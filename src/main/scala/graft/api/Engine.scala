@@ -1,0 +1,84 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.coder.{CoderConfig, Coding}
+import graft.index.Index
+import graft.store.Store
+
+/** The engine facade — the reference Flight client surface
+  * (`/root/reference/src/fenix/flight.py:137-292`) re-expressed as a
+  * stateless library API: every scan parameter travels in the call (no
+  * server-global session state, fixing the reference race — SURVEY §1.3).
+  */
+class Engine(val spark: SparkSession, val root: String) {
+  val store = new Store(spark, root)
+
+  // ——— tables ———
+  def makeTable(name: String, df: DataFrame): Unit = store.createTable(name, df)
+
+  /** `read_table` (S8/`flight.py:46-60`): multi-source load, optional
+    * attached codes, filter, select — all explicit arguments. */
+  def readTable(
+      names: Seq[String],
+      select: Option[Seq[String]] = None,
+      filter: Option[Column] = None,
+      coding: Option[(String, String)] = None): DataFrame = {
+    val base = coding match {
+      case Some((codingName, column)) =>
+        names.map(n => Index.load(store, codingName, n, column)).reduce(_ unionByName _)
+      case None => store.loadTable(names: _*)
+    }
+    val filtered = filter.fold(base)(base.filter)
+    select.fold(filtered)(cols => filtered.select(cols.map(col): _*))
+  }
+
+  def listTables(): Seq[String] = store.listTables()
+  def dropTable(name: String): Unit = store.dropTable(name)
+
+  // ——— coder / index ———
+  def makeCoder(name: String, source: String, column: String, config: CoderConfig): Coding =
+    store.makeCoder(name, source, column, config)
+
+  def syncIndex(codingName: String, source: String, column: String): Unit =
+    Index.build(store, codingName, source, column)
+
+  def makeIndex(name: String, source: String, column: String, config: CoderConfig): Unit = {
+    makeCoder(name, source, column, config)
+    syncIndex(name, source, column)
+  }
+
+  def listCodings(): Seq[String] = store.listCodings()
+  def dropIndex(name: String): Unit = store.dropCoding(name)
+
+  // ——— search (V8/V9) ———
+  /** Brute-force or probed top-k depending on `coding`/`probes`, mirroring
+    * `Flight.search` (`flight.py:242-288`). */
+  def search(
+      source: String,
+      column: String,
+      target: Array[Double],
+      metric: Option[String] = None,
+      coding: Option[String] = None,
+      probes: Option[Int] = None,
+      k: Int = 10,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    (coding, probes) match {
+      case (Some(c), Some(p)) =>
+        Index.searchProbed(store, c, source, column, target, k, p, metric,
+          filter, select, tieBreak)
+      case _ =>
+        val spark0 = spark
+        val targetDf = {
+          import spark0.implicits._
+          Seq(Tuple1(target.toSeq)).toDF("__target__")
+        }
+        Search.knn(store.loadTable(source), column, targetDf,
+          metric.getOrElse("l2"), k, filter, select, tieBreak)
+    }
+
+  def remove(): Unit = store.remove()
+}

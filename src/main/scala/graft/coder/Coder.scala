@@ -1,0 +1,188 @@
+package graft.coder
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.core.Metrics
+
+/** Training configuration — field-for-field the reference's `Config`
+  * (`/root/reference/src/fenix/io/coder/coder.py:14-21` /
+  * `tests/test_flight.py:72-78`), plus Spark-side knobs. */
+case class CoderConfig(
+    metric: String = "l2",
+    codebookSize: Int = 8,
+    numCodebooks: Int = 2,
+    batchSize: Int = 2560,
+    numEpochs: Int = 5,
+    seed: Long = 42L,
+    /** Bounds the driver-orchestrated Lloyd steps per epoch so training cost
+      * is independent of corpus size (each step samples its mini-batches). */
+    maxStepsPerEpoch: Int = 25) {
+  require(codebookSize >= 1 && numCodebooks >= 1)
+  /** Guard the k^n cell-space blow-up (SURVEY §7 hard part (b)). */
+  def numCells: Long = {
+    val cells = math.pow(codebookSize.toDouble, numCodebooks.toDouble)
+    require(cells <= 1e6,
+      s"codebook_size^num_codebooks = $cells cells exceeds the 1e6 cap")
+    cells.toLong
+  }
+}
+
+/** A trained multi-codebook quantizer.
+  *
+  * Capability parity with the reference `Coding`
+  * (`/root/reference/src/fenix/io/coder/coder.py:24-35`): `numCodebooks`
+  * independent codebooks of `codebookSize` centroids each; a vector's cell
+  * id is the mixed-radix number of its per-codebook nearest-centroid
+  * indices, codebook 0 most significant (`coder.py:171-181`).
+  */
+case class Coding(centroids: Array[Array[Array[Double]]], config: CoderConfig) {
+  def n: Int = centroids.length
+  def k: Int = centroids(0).length
+  def dim: Int = centroids(0)(0).length
+  def numCells: Long = config.numCells
+
+  private def nearest(codebook: Int, v: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var i = 0
+    while (i < k) {
+      val d = Metrics.dist(centroids(codebook)(i), v, config.metric)
+      if (d < bestD) { bestD = d; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Cell id of a vector: Σ_j digit_j · k^(n−1−j) (mirrors `coder.py:87-89`,
+    * the k=1 path of the coder UDF). */
+  def assign(v: Array[Double]): Long = {
+    var cell = 0L; var j = 0
+    while (j < n) { cell = cell * k + nearest(j, v); j += 1 }
+    cell
+  }
+
+  /** Rank all k^n cells by additive score Σ_j d(target, centroid[j][digit_j])
+    * and return the `probes` nearest cell ids ascending by score — the IVF
+    * probe list (`coder.py:143-194`). Driver-side: k^n is capped small. */
+  def rankCells(target: Array[Double], probes: Int): Array[Long] = {
+    val cells = numCells.toInt
+    // n×k distance table
+    val d = Array.tabulate(n, k)((j, i) => Metrics.dist(centroids(j)(i), target, config.metric))
+    val scores = new Array[Double](cells)
+    var c = 0
+    while (c < cells) {
+      var rem = c; var score = 0.0; var j = n - 1
+      while (j >= 0) { score += d(j)(rem % k); rem /= k; j -= 1 }
+      scores(c) = score
+      c += 1
+    }
+    (0 until cells).sortBy(c => (scores(c), c)).take(math.min(probes, cells)).map(_.toLong).toArray
+  }
+}
+
+/** Element-wise vector sum over array<double> columns — the one typed UDAF
+  * the engine needs (centroid re-averaging, SURVEY §2.7). */
+object VecSumAgg extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(b: Array[Double], a: Array[Double]): Array[Double] =
+    if (a == null) b
+    else if (b.isEmpty) a.clone()
+    else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] =
+    if (b1.isEmpty) b2 else if (b2.isEmpty) b1
+    else { var i = 0; while (i < b1.length) { b1(i) += b2(i); i += 1 }; b1 }
+  override def finish(r: Array[Double]): Array[Double] = r
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+}
+
+/** Mini-batch multi-codebook k-means, Spark-first.
+  *
+  * Semantics mirror the reference trainer
+  * (`/root/reference/src/fenix/io/coder/coder.py:94-127`):
+  *   - init = k·n random corpus rows viewed as (n,k,d) centroids;
+  *   - each step is one Lloyd update on a fresh random mini-batch, each
+  *     codebook trained on a disjoint random slice (here: a uniform random
+  *     codebook tag per sampled row);
+  *   - the new centroid is the mean of its assigned points *including the
+  *     old centroid* (torch `index_reduce(include_self=True)` ⇒
+  *     (Σ points + old) / (count + 1)), so empty cells stay put;
+  *   - cosine metric ⇒ inputs are L2-normalized and centroids re-normalized
+  *     after every update (`coder.py:57-64`).
+  *
+  * Execution shape for scale: the corpus is only ever *sampled* (never
+  * collected); assignment + partial aggregation run on executors via a
+  * codegen'd groupBy over (codebook, cell) — at most n·k rows reach the
+  * driver per step, so a 1000-executor corpus trains with the same driver
+  * memory as local[32].
+  */
+object Coder {
+
+  private def vecSum = udaf(VecSumAgg)
+
+  def train(df: DataFrame, vecCol: String, config: CoderConfig): Coding = {
+    config.numCells // validate cap early
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = config.codebookSize; val n = config.numCodebooks
+    val cosine = Metrics.canonical(config.metric) == "cosine"
+
+    val vecsRaw = df.select(col(vecCol).cast("array<double>").as("v")).filter(col("v").isNotNull)
+    val vecs = if (cosine) {
+      // L2-normalize once at the source (reference normalizes every batch)
+      vecsRaw.select(
+        transform(col("v"), x => x / sqrt(aggregate(col("v"), lit(0.0d), (acc, e) => acc + e * e))).as("v"))
+    } else vecsRaw
+
+    val total = vecs.count()
+    require(total >= k.toLong * n, s"need at least ${k * n} rows to init $n×$k centroids")
+
+    // Init: k·n distinct random rows → (n, k, d) (coder.py:98-104)
+    val initFrac = math.min(1.0, (k * n * 20.0) / total.toDouble)
+    var init = vecs.sample(withReplacement = false, initFrac, config.seed)
+      .limit(k * n).as[Array[Double]].collect()
+    if (init.length < k * n) init = vecs.limit(k * n).as[Array[Double]].collect()
+    val centroids = Array.tabulate(n, k)((j, i) => init(j * k + i).clone())
+
+    val stepsPerEpoch = math.max(1, math.min(config.maxStepsPerEpoch,
+      (total / (config.batchSize.toLong * n)).toInt))
+    val batchFrac = math.min(1.0, (config.batchSize.toLong * n).toDouble / total.toDouble)
+
+    var step = 0
+    for (epoch <- 0 until config.numEpochs; _ <- 0 until stepsPerEpoch) {
+      val stepSeed = config.seed + 7919L * (step + 1)
+      val coding = Coding(centroids.map(_.map(_.clone())), config)
+      val assignCb = udf((cb: Int, v: Seq[Double]) => {
+        val arr = v.toArray
+        var best = 0; var bestD = Double.MaxValue; var i = 0
+        while (i < coding.k) {
+          val d = Metrics.dist(coding.centroids(cb)(i), arr, coding.config.metric)
+          if (d < bestD) { bestD = d; best = i }
+          i += 1
+        }
+        best
+      })
+      val batch = vecs.sample(withReplacement = false, batchFrac, stepSeed)
+        .withColumn("cb", (rand(stepSeed) * n).cast("int"))
+      val partials = batch
+        .withColumn("cell", assignCb(col("cb"), col("v")))
+        .groupBy("cb", "cell")
+        .agg(vecSum(col("v")).as("sum"), count(lit(1)).as("cnt"))
+        .collect()
+      partials.foreach { r =>
+        val cb = r.getInt(0); val cell = r.getInt(1)
+        val sum = r.getSeq[Double](2).toArray; val cnt = r.getLong(3)
+        val old = centroids(cb)(cell)
+        var i = 0
+        while (i < old.length) { old(i) = (sum(i) + old(i)) / (cnt + 1.0); i += 1 }
+        if (cosine) {
+          val norm = Metrics.normalize(old)
+          System.arraycopy(norm, 0, old, 0, old.length)
+        }
+      }
+      step += 1
+    }
+    Coding(centroids, config)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.api.Search
+import graft.coder.Coding
+import graft.functions.functions.vector_distance
+import graft.store.Store
+
+/** IVF-style index: a cell-partitioned materialization of the source.
+  *
+  * Capability parity with the reference index
+  * (`/root/reference/src/fenix/io/index/index.py:37-65` build,
+  * `index.py:81-170` search) re-shaped for Spark: instead of a
+  * positionally-joined `__CODED_ID__` sidecar (impossible without stable
+  * row order), the table is rewritten Parquet-partitioned by cell id.
+  * A probed search then becomes `filter(__CODED_ID__ isin cells)` which
+  * Catalyst turns into *partition pruning* — only ~probes/k^n of the data
+  * is read, which is exactly the IVF scan-fraction contract, and it
+  * composes with pushed-down user predicates for free.
+  */
+object Index {
+  val CodeCol: String = Search.CodeCol
+
+  /** Cell assignment as a UDF over the vector column (the k=1 coder UDF,
+    * `coder.py:83-89`). Centroids ride the closure (tiny: n·k·d doubles). */
+  def assignUdf(coding: Coding): UserDefinedFunction =
+    udf((v: Seq[Double]) => Option(v).map(x => coding.assign(x.toArray)))
+
+  /** Build (or rebuild) the index for `source.column` under `codingName` —
+    * reference `make-index` / `sync_index` (A2). One distributed pass. */
+  def build(store: Store, codingName: String, source: String, column: String): Unit = {
+    val coding = store.loadCoding(codingName)
+    val df = store.loadTable(source)
+    df.withColumn(CodeCol, assignUdf(coding)(col(column).cast("array<double>")))
+      .write.mode("overwrite")
+      .partitionBy(CodeCol)
+      .parquet(store.indexPath(source, column, codingName))
+  }
+
+  /** Read the indexed copy: source schema ⊕ `__CODED_ID__: long`
+    * (reference V7 `index.py:19-34`, minus the positional join). */
+  def load(store: Store, codingName: String, source: String, column: String): DataFrame = {
+    val df = store.spark.read.parquet(store.indexPath(source, column, codingName))
+    // partition-column discovery types the cell id as int; contract says long
+    df.withColumn(CodeCol, col(CodeCol).cast("long"))
+  }
+
+  /** Probed top-k search (reference V8 with coding+probes,
+    * `index.py:113-126`): rank cells driver-side from the coding, prune to
+    * the `probes` nearest cells, then exact distance + top-k inside them.
+    * `metric` defaults to the coding's training metric (`index.py:116-117`).
+    */
+  def searchProbed(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      target: Array[Double],
+      k: Int,
+      probes: Int,
+      metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val coding = store.loadCoding(codingName)
+    val m = metric.getOrElse(coding.config.metric)
+    val cells = coding.rankCells(target, probes)
+    val indexed = load(store, codingName, source, column)
+    val pruned = indexed.filter(col(CodeCol).isin(cells: _*))
+    val base = filter.fold(pruned)(pruned.filter)
+    val withDist = base.withColumn(Search.DistCol,
+      vector_distance(col(column), typedLit(target.toSeq), m))
+    val projected = select.fold(withDist)(cols =>
+      withDist.select((cols :+ Search.DistCol).map(col): _*))
+    projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
+  }
+}

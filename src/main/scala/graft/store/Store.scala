@@ -1,0 +1,134 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.coder.{Coder, CoderConfig, Coding}
+
+/** Filesystem-backed catalog.
+  *
+  * Layout mirrors the reference root
+  * (`/root/reference/src/fenix/io/table/table.py:9`,
+  * `io/coder/coder.py:120-127`, `io/index/index.py:14-29`) but with
+  * cluster-scale storage choices:
+  *
+  * {{{
+  * <root>/sources/<name>/                      Parquet table
+  * <root>/codings/<name>/centroids/            Parquet (codebook, cell, centroid)
+  * <root>/codings/<name>/config.json           training config
+  * <root>/indexes/<source>/<column>/<coding>/  Parquet partitioned by __CODED_ID__
+  * }}}
+  *
+  * Differences by design (SURVEY §1.3, §2.6): no server-global session
+  * state (all scan parameters are method arguments); the index is a
+  * cell-partitioned copy of the table, NOT a positionally-joined sidecar
+  * (Spark has no stable row order); drop-index actually removes the index
+  * directories (fixes the reference leak, `flight.py:95-100`).
+  *
+  * All paths go through the Hadoop `FileSystem` API so the same code runs
+  * on local disk, HDFS, or object stores.
+  */
+class Store(val spark: SparkSession, val root: String) {
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def sourcePath(name: String) = s"$root/sources/$name"
+  private def codingPath(name: String) = s"$root/codings/$name"
+  def indexPath(source: String, column: String, coding: String) =
+    s"$root/indexes/$source/$column/$coding"
+
+  private def list(dir: String): Seq[String] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+  }
+
+  // ——— Tables (S1-S6) ———
+
+  def createTable(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(sourcePath(name))
+
+  /** Load one or many sources; many ⇒ vertical concat (S4/P7,
+    * `table.py:12-21`). */
+  def loadTable(names: String*): DataFrame = {
+    require(names.nonEmpty, "at least one source name")
+    names.map(n => spark.read.parquet(sourcePath(n))).reduce(_ unionByName _)
+  }
+
+  def listTables(): Seq[String] = list(s"$root/sources")
+
+  def dropTable(name: String): Unit =
+    fs.delete(new Path(sourcePath(name)), true)
+
+  // ——— Codings (V3, A1) ———
+
+  def saveCoding(name: String, coding: Coding): Unit = {
+    import spark.implicits._
+    val c = coding.config
+    val rows = for {
+      j <- coding.centroids.indices
+      i <- coding.centroids(j).indices
+    } yield (j, i, coding.centroids(j)(i).toSeq)
+    rows.toDF("codebook", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"${codingPath(name)}/centroids")
+    val json =
+      s"""{"metric":"${c.metric}","codebookSize":${c.codebookSize},"numCodebooks":${c.numCodebooks},
+         |"batchSize":${c.batchSize},"numEpochs":${c.numEpochs},"seed":${c.seed},
+         |"maxStepsPerEpoch":${c.maxStepsPerEpoch}}""".stripMargin.replace("\n", "")
+    val out = fs.create(new Path(s"${codingPath(name)}/config.json"), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def loadCoding(name: String): Coding = {
+    val in = fs.open(new Path(s"${codingPath(name)}/config.json"))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    def field(k: String): String =
+      s""""$k":\\s*("?)([^,}"]*)\\1""".r.findFirstMatchIn(json)
+        .getOrElse(throw new IllegalStateException(s"missing $k in $json")).group(2)
+    val config = CoderConfig(
+      metric = field("metric"),
+      codebookSize = field("codebookSize").toInt,
+      numCodebooks = field("numCodebooks").toInt,
+      batchSize = field("batchSize").toInt,
+      numEpochs = field("numEpochs").toInt,
+      seed = field("seed").toLong,
+      maxStepsPerEpoch = field("maxStepsPerEpoch").toInt)
+    val rows = spark.read.parquet(s"${codingPath(name)}/centroids").collect()
+    val n = config.numCodebooks; val k = config.codebookSize
+    val centroids = Array.ofDim[Array[Double]](n, k)
+    rows.foreach { r =>
+      centroids(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    Coding(centroids, config)
+  }
+
+  def makeCoder(name: String, source: String, column: String, config: CoderConfig): Coding = {
+    val coding = Coder.train(loadTable(source), column, config)
+    saveCoding(name, coding)
+    coding
+  }
+
+  def listCodings(): Seq[String] = list(s"$root/codings")
+
+  /** Drop a coding AND every index built from it (fixes the reference's
+    * drop-index leak, `flight.py:92-100` / SURVEY A4). */
+  def dropCoding(name: String): Unit = {
+    fs.delete(new Path(codingPath(name)), true)
+    for {
+      source <- list(s"$root/indexes")
+      column <- list(s"$root/indexes/$source")
+      coding <- list(s"$root/indexes/$source/$column") if coding == name
+    } fs.delete(new Path(indexPath(source, column, coding)), true)
+  }
+
+  def listIndexes(): Seq[(String, String, String)] =
+    for {
+      source <- list(s"$root/indexes")
+      column <- list(s"$root/indexes/$source")
+      coding <- list(s"$root/indexes/$source/$column")
+    } yield (source, column, coding)
+
+  /** Delete the whole root (A5, `flight.py:102-103`). */
+  def remove(): Unit = fs.delete(new Path(root), true)
+}

@@ -1,0 +1,169 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.api.{Engine, Search}
+import graft.coder.{Coder, CoderConfig}
+import graft.core.Metrics
+import graft.functions.functions._
+
+trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+  override def afterAll(): Unit = { /* shared across suites; do not stop */ }
+  def sf(dir: String, table: String) =
+    spark.read.parquet(s"/root/testdata/$dir/$table.parquet")
+}
+
+class MetricsSpec extends AnyFunSuite {
+  private val rnd = new scala.util.Random(7)
+  private def vec(d: Int) = Array.fill(d)(rnd.nextDouble() * 2 - 1)
+
+  test("metric identities") {
+    for (_ <- 1 to 50) {
+      val u = vec(16); val v = vec(16)
+      assert(Metrics.dist(u, u, "l2") == 0.0)
+      assert(math.abs(Metrics.dist(u, u, "cosine")) < 1e-12)
+      assert(Metrics.dist(u, v, "l2") == Metrics.dist(v, u, "l2"))
+      val c = Metrics.dist(u, v, "cosine")
+      assert(c >= -1e-12 && c <= 1.0 + 1e-12, s"cosine out of [0,1]: $c")
+      val dot = u.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(Metrics.dist(u, v, "dot") + dot) < 1e-9)
+    }
+  }
+
+  test("aliases and validation") {
+    assert(Metrics.canonical("EUCLIDEAN") == "l2")
+    assert(Metrics.canonical("inner_product") == "dot")
+    intercept[IllegalArgumentException](Metrics.canonical("manhattan"))
+  }
+}
+
+class VectorDistanceSpec extends SparkSuite {
+  test("expression matches scala reference on float corpus (codegen path)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(64)((rnd.nextLong().abs, Seq.fill(8)(rnd.nextFloat())))
+    val df = rows.toDF("id", "vec")
+    val target = Seq.fill(8)(rnd.nextFloat().toDouble)
+    for (m <- Metrics.All) {
+      val got = df.withColumn("d", vector_distance(col("vec"), typedLit(target), m))
+        .select("id", "d").as[(Long, Double)].collect().toMap
+      rows.foreach { case (id, v) =>
+        val want = Metrics.dist(v.map(_.toDouble).toArray, target.toArray, m)
+        assert(math.abs(got(id) - want) < 1e-12, s"metric $m id $id")
+      }
+    }
+  }
+
+  test("dim mismatch throws") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("vec")
+    val ex = intercept[Exception] {
+      df.select(vector_distance(col("vec"), typedLit(Seq(1.0, 2.0, 3.0)), "l2")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+}
+
+class EngineSpec extends SparkSuite {
+  private lazy val root = Files.createTempDirectory("graft-engine").toString
+  private lazy val engine = new Engine(spark, root)
+  private val dim = 64
+
+  private def targetVec(): Array[Double] = {
+    sf("sf0.001", "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+  }
+
+  test("table round-trip preserves data") {
+    val emb = sf("sf0.001", "embeddings")
+    engine.makeTable("emb", emb)
+    val back = engine.readTable(Seq("emb"))
+    assert(back.count() == emb.count())
+    assert(back.schema.fieldNames.sorted.sameElements(emb.schema.fieldNames.sorted))
+    // exact content equality
+    assert(back.exceptAll(emb).isEmpty && emb.exceptAll(back).isEmpty)
+  }
+
+  test("multi-source load unions") {
+    val emb = sf("sf0.001", "embeddings")
+    engine.makeTable("emb_lo", emb.filter(col("vec_id") < 250))
+    engine.makeTable("emb_hi", emb.filter(col("vec_id") >= 250))
+    assert(engine.readTable(Seq("emb_lo", "emb_hi")).count() == emb.count())
+  }
+
+  test("coder trains sane centroids for every metric") {
+    for (metric <- Seq("l2", "cosine", "dot")) {
+      val cfg = CoderConfig(metric = metric, codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 2)
+      val coding = Coder.train(sf("sf0.001", "embeddings"), "embedding", cfg)
+      assert(coding.n == 2 && coding.k == 4 && coding.dim == dim)
+      assert(coding.centroids.flatten.flatten.forall(d => !d.isNaN && !d.isInfinite))
+      if (metric == "cosine")
+        coding.centroids.flatten.foreach { c =>
+          val norm = math.sqrt(c.map(x => x * x).sum)
+          assert(math.abs(norm - 1.0) < 1e-9, s"cosine centroid norm $norm")
+        }
+    }
+  }
+
+  test("index build partitions by cell and probed search at full probes = brute force") {
+    val cfg = CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+      batchSize = 128, numEpochs = 3)
+    engine.makeIndex("c1", "emb", "embedding", cfg)
+    val indexed = engine.readTable(Seq("emb"), coding = Some(("c1", "embedding")))
+    val cells = indexed.select(Search.CodeCol).distinct()
+      .collect().map(_.getLong(0))
+    assert(cells.forall(c => c >= 0 && c < 16))
+    assert(indexed.count() == 500)
+
+    val t = targetVec()
+    val brute = engine.search("emb", "embedding", t, metric = Some("l2"),
+      k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val probedAll = engine.search("emb", "embedding", t, coding = Some("c1"),
+      probes = Some(16), k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(probedAll == brute, "probes = numCells must equal brute force")
+
+    val probed4 = engine.search("emb", "embedding", t, coding = Some("c1"),
+      probes = Some(4), k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = brute.count(probed4.contains) / 10.0
+    info(s"recall@10 at 4/16 probes: $recall")
+    assert(recall >= 0.3, s"suspiciously low recall $recall")
+  }
+
+  test("probed search defaults metric from coding config") {
+    val t = targetVec()
+    val df = engine.search("emb", "embedding", t, coding = Some("c1"),
+      probes = Some(16), k = 5)
+    assert(df.columns.contains(Search.DistCol))
+    assert(df.count() == 5)
+  }
+
+  test("admin: list and drop") {
+    assert(engine.listTables().contains("emb"))
+    assert(engine.listCodings().contains("c1"))
+    assert(engine.store.listIndexes().contains(("emb", "embedding", "c1")))
+    engine.dropIndex("c1")
+    assert(!engine.listCodings().contains("c1"))
+    assert(engine.store.listIndexes().isEmpty, "drop-index must not leak sidecars")
+    engine.dropTable("emb_lo")
+    assert(!engine.listTables().contains("emb_lo"))
+    engine.remove()
+    assert(engine.listTables().isEmpty)
+  }
+}
