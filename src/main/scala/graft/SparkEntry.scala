@@ -1,26 +1,49 @@
 package graft
 
+import java.nio.file.Files
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.api.Search
+import graft.api.{Engine, Search}
+import graft.coder.CoderConfig
+import graft.ext.{Dedup, Multimodal, TextAnalysis}
+import graft.functions.functions._
+import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Each `queries` entry is one operator from SURVEY.md §2 (or a mandated
   * extension), paired with an equivalent DuckDB SQL oracle in `oracleSql`
-  * where SQL-expressible. Column names are aligned between both sides
-  * (the driver sorts columns by name and hashes values).
+  * where SQL-expressible (hash-compare is bit-exact: double outputs are
+  * either raw stored values or arithmetic replicated operation-for-
+  * operation in the oracle; money sums go through exact cent integers).
+  * Queries without an oracle (k-means-derived, hash-signature-derived) get
+  * the driver's rows-only check and are covered by ScalaTest instead.
   */
 object SparkEntry {
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects; read nanos as long, then derive an NTZ timestamp (micros) and
+    * epoch seconds. NTZ keeps written results tz-naive like the source. */
+  private def tblEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+  }
+
   /** 1-row DataFrame holding the deterministic query vector (vec_id = 0). */
   private def targetDf(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings").filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>").as("__target__"))
+
+  private def targetArray(s: SparkSession, dir: String): Array[Double] =
+    targetDf(s, dir).collect()(0).getSeq[Double](0).toArray
 
   /** Brute-force top-10 under `metric` — SURVEY §2.5 V8 (search without
     * index), one entry per reference metric. */
@@ -39,11 +62,30 @@ object SparkEntry {
   private val l2Sql  = "list_distance(CAST(e.embedding AS DOUBLE[]), q.t)"
   // Spelled out from inner products (not list_cosine_similarity) so the
   // float ops match our codegen bit-for-bit: dot / sqrt(nu * nv).
-  private val cosSql =
-    "0.5 - 0.5 * (list_inner_product(CAST(e.embedding AS DOUBLE[]), q.t) / " +
-      "sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * " +
-      "list_inner_product(q.t, q.t)))"
+  private def cosPair(a: String, b: String) =
+    s"0.5 - 0.5 * (list_inner_product($a, $b) / " +
+      s"sqrt(list_inner_product($a, $a) * list_inner_product($b, $b)))"
+  private val cosSql = cosPair("CAST(e.embedding AS DOUBLE[])", "q.t")
   private val dotSql = "-list_inner_product(CAST(e.embedding AS DOUBLE[]), q.t)"
+
+  /** A scratch engine root for lifecycle queries (coder/index/probe). */
+  private def scratchEngine(s: SparkSession, dir: String): Engine = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_root_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val e = new Engine(s, root)
+    if (!e.listTables().contains("emb"))
+      e.makeTable("emb", tbl(s, dir, "embeddings"))
+    e
+  }
+
+  private val idxConfig = CoderConfig(metric = "l2", codebookSize = 8,
+    numCodebooks = 2, batchSize = 256, numEpochs = 3)
+
+  private def withIndex(s: SparkSession, dir: String): Engine = {
+    val e = scratchEngine(s, dir)
+    if (!e.listCodings().contains("c_l2"))
+      e.makeIndex("c_l2", "emb", "embedding", idxConfig)
+    e
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -64,6 +106,15 @@ object SparkEntry {
         k = 10, filter = Some(col("label") >= 5),
         select = Some(Seq("vec_id", "label")), tieBreak = Seq("vec_id"),
         distCol = "dist")),
+    // —— batch k-NN join (SURVEY §2.3 extension): top-3 per query ——
+    "knn_join" -> ((s: SparkSession, dir: String) => {
+      val e = tbl(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
+      Search.knnJoin(e.select("vec_id", "embedding"), "embedding", queries,
+          "q_id", "q_emb", "l2", k = 3, tieBreak = Seq("vec_id"), distCol = "dist")
+        .select("q_id", "vec_id", "dist")
+    }),
     // —— S4/S8 + P1/P2: projected, filtered scan ——
     "scan_select_filter" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "embeddings")
@@ -77,6 +128,118 @@ object SparkEntry {
       lo.unionByName(hi).groupBy(col("label").as("label"))
         .agg(count(lit(1)).as("cnt"), sum("vec_id").as("sum_id"))
     }),
+
+    // —— V3: coder training (k-means; rows-only — covered by ScalaTest) ——
+    "coder_train" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      val e = withIndex(s, dir)
+      val coding = e.store.loadCoding("c_l2")
+      (for { j <- 0 until coding.n; i <- 0 until coding.k }
+        yield (j, i, coding.centroids(j)(i).sum)).toDF("codebook", "cell", "centroid_sum")
+    }),
+    // —— V6/V7: index build + load with codes (rows-only) ——
+    "index_build" -> ((s: SparkSession, dir: String) => {
+      val e = withIndex(s, dir)
+      e.readTable(Seq("emb"), coding = Some(("c_l2", "embedding")))
+        .select(col("vec_id"), col(Search.CodeCol))
+    }),
+    // —— V4/V8: probed (IVF) search at ~25% scan fraction (rows-only) ——
+    "search_probed" -> ((s: SparkSession, dir: String) => {
+      val e = withIndex(s, dir)
+      e.search("emb", "embedding", targetArray(s, dir), coding = Some("c_l2"),
+        probes = Some(16), k = 10, tieBreak = Seq("vec_id"))
+        .select("vec_id", Search.DistCol)
+    }),
+
+    // —— dedup: exact (hash groupBy) ——
+    "dedup_exact" -> ((s: SparkSession, dir: String) =>
+      Dedup.exactDedup(tbl(s, dir, "documents"), "doc_id", Seq("text"))
+        .select("doc_id")),
+    "dedup_exact_groups" -> ((s: SparkSession, dir: String) =>
+      Dedup.exactDupGroups(tbl(s, dir, "documents"), "doc_id", Seq("lang", "source"))),
+    // —— dedup: MinHash LSH (rows-only; ScalaTest checks vs exact jaccard) ——
+    "dedup_minhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.nearDupPairsMinhash(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.35)
+        .select("id_a", "id_b")),
+    // —— dedup: SimHash (rows-only) ——
+    "dedup_simhash" -> ((s: SparkSession, dir: String) =>
+      Dedup.nearDupPairsSimhash(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 8, bands = 4)
+        .select("id_a", "id_b", "hamming")),
+    // —— dedup: embedding-cosine near-dup, exact self-join (oracle) ——
+    "dedup_cosine" -> ((s: SparkSession, dir: String) =>
+      Dedup.nearDupPairsCosineExact(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30)),
+    // —— text analysis ——
+    "text_stats" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "documents")
+        .withColumn("token_count", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "n_chars", "token_count")),
+    "text_lang_quality" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.analyze(tbl(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang_pred", "quality", "fingerprint")),
+    // —— multimodal plumbing (payload bytes; features are stubbed) ——
+    "media_features" -> ((s: SparkSession, dir: String) =>
+      Multimodal.extractFeatures(
+          Multimodal.mediaFromText(tbl(s, dir, "documents"), "doc_id", "text"))
+        .toDF().select(col("media_id"), col("modality"), col("n_bytes").cast("long"))),
+    "media_frames" -> ((s: SparkSession, dir: String) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromText(tbl(s, dir, "documents"), "doc_id", "text"),
+          frameBytes = 64, stride = 2)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))),
+
+    // —— relational coverage (aggregation / join / window / sort / set) ——
+    "q1_agg" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "join_agg" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "orders").join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))),
+    "window_topk" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    }),
+    "topn_orders" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20).select("o_orderkey", "o_totalprice")),
+    "anti_join" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "customer").join(
+          tbl(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")),
+    "semi_join" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "customer").join(
+          tbl(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")),
+    "distinct_parts" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "lineitem").agg(
+        count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"))),
+    // —— events: tumbling-window aggregation (streaming-shaped, batch-checked) ——
+    "events_windowed" -> ((s: SparkSession, dir: String) =>
+      Streams.windowedEventStats(tblEvents(s, dir), "1 hour")
+        .select(col("window_start"), col("event_type"), col("cnt"))),
+    // —— events: sessionization via mapGroupsWithState (counts only) ——
+    "events_sessions" -> ((s: SparkSession, dir: String) =>
+      Streams.sessionize(tblEvents(s, dir))
+        .toDF().select(col("user_id"), col("session_events"), col("session_secs"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -92,6 +255,14 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
         "FROM embeddings WHERE vec_id = 0) q WHERE e.label >= 5 " +
         "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
+    "knn_join" ->
+      ("SELECT q_id, vec_id, dist FROM (" +
+        "SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) ASC, e.vec_id ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
+        ") WHERE rn <= 3"),
     "scan_select_filter" ->
       "SELECT vec_id, label FROM embeddings WHERE label < 3 AND vec_id % 2 = 0",
     "table_union" ->
@@ -99,5 +270,57 @@ object SparkEntry {
         "(SELECT vec_id, label FROM embeddings WHERE vec_id < 100 " +
         "UNION ALL SELECT vec_id, label FROM embeddings WHERE vec_id >= 100) " +
         "GROUP BY label"),
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "dedup_exact_groups" ->
+      ("SELECT lang, source, count(*) AS cnt, min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY lang, source HAVING count(*) > 1"),
+    "dedup_cosine" ->
+      ("SELECT id_a, id_b, dist FROM (" +
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        cosPair("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])") + " AS dist " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id" +
+        ") WHERE dist <= 0.30"),
+    "text_stats" ->
+      ("SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count " +
+        "FROM documents"),
+    "media_features" ->
+      "SELECT doc_id AS media_id, 'image' AS modality, octet_length(encode(text)) AS n_bytes FROM documents",
+    "media_frames" ->
+      ("SELECT doc_id AS media_id, CAST(ceil(ceil(octet_length(encode(text)) / 64.0) / 2.0) AS BIGINT) AS n_frames " +
+        "FROM documents WHERE octet_length(encode(text)) > 0"),
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, " +
+        "count(*) AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "join_agg" ->
+      ("SELECT c_mktsegment, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "window_topk" ->
+      ("SELECT o_custkey, o_orderkey, rn FROM (" +
+        "SELECT o_custkey, o_orderkey, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 2"),
+    "topn_orders" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20",
+    "anti_join" ->
+      ("SELECT c_custkey FROM customer WHERE c_custkey NOT IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"),
+    "semi_join" ->
+      ("SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)"),
+    "distinct_parts" ->
+      ("SELECT count(DISTINCT l_partkey) AS n_parts, " +
+        "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"),
+    "events_windowed" ->
+      ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY 1, 2"),
+    "events_sessions" ->
+      ("SELECT user_id, count(*) AS session_events, " +
+        "CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS DOUBLE) AS session_secs " +
+        "FROM events GROUP BY user_id"),
   )
 }

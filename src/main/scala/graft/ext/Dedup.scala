@@ -1,0 +1,210 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.functions.vector_distance
+
+/** Deduplication operators for training-data pipelines (driver mandate).
+  *
+  * Scale design: every near-dup variant is
+  * signature → band explode → bucket groupBy/join → verify-within-bucket,
+  * so candidate generation is a hash-partitioned shuffle of *signatures*
+  * (bytes per doc, not the documents), and the quadratic verify step only
+  * runs inside tiny buckets. Exact dedup is a plain hash groupBy.
+  */
+object Dedup {
+
+  // ——— exact (hash groupBy) ———
+
+  /** Keep the min-id row per exact key — deterministic survivor choice. */
+  def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+  }
+
+  /** Groups with more than one member (duplicate report). */
+  def exactDupGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
+      .filter(col("cnt") > 1)
+
+  // ——— shingles + MinHash ———
+
+  private def hash64(s: String, seed: Long): Long = {
+    // FNV-1a 64-bit with seed mix — deterministic across JVMs.
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Word-level shingles (n-grams joined by space) of normalized text. */
+  def shingles(s: String, n: Int): Set[String] = {
+    val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Set(toks.mkString(" "))
+    else toks.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  def shingleUdf(n: Int) = udf { (s: String) =>
+    if (s == null) Array.empty[String] else shingles(s, n).toArray
+  }
+
+  /** MinHash signature: numHashes × (min over shingles of seeded hash). */
+  def minhashUdf(numHashes: Int, shingleSize: Int) = udf { (s: String) =>
+    if (s == null) Array.fill(numHashes)(Long.MaxValue)
+    else {
+      val sh = shingles(s, shingleSize)
+      Array.tabulate(numHashes) { i =>
+        var min = Long.MaxValue
+        sh.foreach { g => val h = hash64(g, 0x9E3779B97F4A7C15L * (i + 1)); if (h < min) min = h }
+        min
+      }
+    }
+  }
+
+  /** Exact n-gram Jaccard similarity of two texts. */
+  def jaccardUdf(shingleSize: Int) = udf { (a: String, b: String) =>
+    val sa = shingles(if (a == null) "" else a, shingleSize)
+    val sb = shingles(if (b == null) "" else b, shingleSize)
+    val union = (sa ++ sb).size
+    if (union == 0) 1.0 else sa.count(sb.contains).toDouble / union
+  }
+
+  /** Candidate pairs via MinHash LSH banding, verified with exact
+    * n-gram Jaccard ≥ threshold. Returns (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * Plan shape: signature (map) → band explode (×bands) → groupBy-join on
+    * (band, bucket) → distinct candidate pairs → verify join. Only
+    * signatures shuffle for candidates; texts are joined back just for the
+    * surviving candidates.
+    */
+  def nearDupPairsMinhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashUdf(numHashes, shingleSize)(col("text")))
+    val banded = sigs.select(col("id"), col("sig"),
+        posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p__", "band")))
+      .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .select("id", "band", "bucket")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cands
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jaccardUdf(shingleSize)(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ——— SimHash ———
+
+  /** 64-bit SimHash over word unigrams (deterministic FNV-based). */
+  val simhash64 = udf { (s: String) =>
+    if (s == null) 0L
+    else {
+      val acc = new Array[Int](64)
+      s.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+        val h = hash64(t, 0L)
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1; b += 1 }
+      }
+      var out = 0L; var b = 0
+      while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+  }
+
+  val hammingDist = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
+
+  /** Near-dup pairs by SimHash: band the 64 bits into `bands` chunks
+    * (pigeonhole: hamming ≤ bands-1 guarantees a shared band), bucket-join,
+    * verify hamming ≤ maxHamming. */
+  def nearDupPairsSimhash(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    val bits = 64 / bands
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
+    val banded = sigs.select(col("id"), col("sim"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("chunk", expr(s"shiftrightunsigned(sim, band * $bits)")
+        .bitwiseAND(lit((1L << bits) - 1)))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b")).distinct()
+    cands.withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ——— embedding cosine near-dup ———
+
+  /** All pairs with cosine distance ≤ maxDist, exact O(n²) self-join —
+    * the small-corpus / oracle-checkable baseline. */
+  def nearDupPairsCosineExact(
+      df: DataFrame, idCol: String, vecCol: String, maxDist: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dist", vector_distance(col("vec_a"), col("vec_b"), "cosine"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
+  /** Scale path: multi-table random-hyperplane LSH. `numTables` independent
+    * sign-bit hashes of `numPlanes` bits each; a pair is a candidate if it
+    * collides in ANY table (collision prob 1-(1-p^b)^L, p = 1-θ/π), then
+    * exact cosine verify. Seeded planes ⇒ deterministic. Only (id, bucket)
+    * pairs shuffle for candidate generation; vectors join back for the
+    * verify step. */
+  def nearDupPairsCosineLsh(
+      df: DataFrame, idCol: String, vecCol: String, maxDist: Double,
+      numPlanes: Int = 4, numTables: Int = 16, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(numTables, numPlanes, dim)(rnd.nextGaussian())
+    val bucketsUdf = udf { (v: Seq[Double]) =>
+      Array.tabulate(numTables) { t =>
+        var sig = 0L; var p = 0
+        while (p < numPlanes) {
+          var dot = 0.0; var i = 0
+          while (i < math.min(dim, v.length)) { dot += planes(t)(p)(i) * v(i); i += 1 }
+          if (dot >= 0) sig |= (1L << p)
+          p += 1
+        }
+        (t.toLong << 32) | sig
+      }
+    }
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val banded = vecs
+      .withColumn("bucket", explode(bucketsUdf(col("vec").cast("array<double>"))))
+      .select("id", "bucket")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("dist", vector_distance(col("vec_a"), col("vec_b"), "cosine"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Beyond the reference surface (driver mandate): language ID, quality
+  * scoring, token counting, document fingerprinting. Everything is either
+  * a composition of codegen'd built-ins or a deterministic scalar UDF, so
+  * each operator is a single narrow map over the corpus — no shuffle, no
+  * driver round-trips, safe at any scale.
+  */
+object TextAnalysis {
+
+  // ——— token counting ———
+
+  /** Whitespace token count (codegen'd built-ins only). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: word pieces + standalone punctuation. */
+  val bpeishTokenCount = udf { (s: String) =>
+    if (s == null) 0
+    else "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]".r.findAllIn(s).length
+  }
+
+  // ——— quality scoring ———
+
+  /** Length / punctuation / stopword-ratio quality components + a combined
+    * score in [0,1]. All built-ins; stays in whole-stage codegen. */
+  def qualityComponents(df: DataFrame, textCol: String): DataFrame = {
+    val t = trim(col(textCol))
+    val nChars = length(t)
+    val nTokens = tokenCount(t)
+    val nPunct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val tokens = split(t, "\\s+")
+    val nStop = size(filter(tokens, x => x.isin(stopwords.map(lit(_)): _*)))
+    df.withColumn("n_chars_c", nChars)
+      .withColumn("n_tokens", nTokens)
+      .withColumn("punct_ratio", when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0))
+      .withColumn("stopword_ratio", when(nTokens > 0, nStop.cast("double") / nTokens).otherwise(0.0))
+      .withColumn("avg_token_len",
+        when(nTokens > 0, (nChars - (nTokens - 1)).cast("double") / nTokens).otherwise(0.0))
+  }
+
+  /** Scalar quality score in [0,1]: rewards mid-length docs with a sane
+    * stopword ratio and low punctuation density. */
+  def qualityScore(df: DataFrame, textCol: String, out: String = "quality"): DataFrame = {
+    val c = qualityComponents(df, textCol)
+    val lenScore = least(col("n_tokens").cast("double") / 64.0, lit(1.0))
+    val stopScore = lit(1.0) - abs(col("stopword_ratio") - 0.4) / 0.6
+    val punctScore = lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0))
+    c.withColumn(out,
+      round(greatest(lit(0.0), least(lit(1.0),
+        lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3)), 6))
+      .drop("n_chars_c", "punct_ratio", "stopword_ratio", "avg_token_len")
+  }
+
+  // ——— language identification ———
+
+  private val StopwordTable: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "ein", "nicht"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  /** n-gram/stopword heuristic language ID. CJK codepoint density decides
+    * zh; otherwise the language whose stopword set hits the most tokens
+    * ("und" = undetermined when nothing hits). Pure function of the text. */
+  val langId = udf { (s: String) =>
+    if (s == null || s.trim.isEmpty) "und"
+    else {
+      val cjk = s.codePoints().toArray.count(cp =>
+        (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF))
+      if (cjk * 1.0 / math.max(1, s.length) > 0.2) "zh"
+      else {
+        val tokens = s.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        if (tokens.isEmpty) "und"
+        else {
+          val scores = StopwordTable.view.mapValues { sw =>
+            val set = sw.toSet
+            tokens.count(set.contains)
+          }.toSeq
+          val (best, hits) = scores.maxBy { case (lang, h) => (h, lang) }
+          if (hits == 0) "und" else best
+        }
+      }
+    }
+  }
+
+  // ——— fingerprinting ———
+
+  /** Deterministic 63-bit polynomial rolling hash of the
+    * whitespace-normalized, lower-cased text — a stable document
+    * fingerprint for exact near-normalization dedup. */
+  val fingerprint = udf { (s: String) =>
+    if (s == null) 0L
+    else {
+      val norm = s.toLowerCase.trim.replaceAll("\\s+", " ")
+      var h = 1125899906842597L // prime
+      var i = 0
+      while (i < norm.length) { h = 31 * h + norm.charAt(i); i += 1 }
+      h & Long.MaxValue
+    }
+  }
+
+  /** One-pass text-stats table: doc id, char/token counts, fingerprint,
+    * language, quality. */
+  def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityScore(df, textCol)
+      .withColumn("token_count", tokenCount(col(textCol)))
+      .withColumn("lang_pred", langId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Multimodal, TextAnalysis}
+import graft.streaming.Streams
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base),                                   // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),         // near dup of 1
+    (4L, "completely different text about spark query engines and shuffles at scale"),
+    (5L, "unrelated words entirely banana apple cherry date elderberry fig grape kiwi"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per key") {
+    val kept = Dedup.exactDedup(docs, "doc_id", Seq("text"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
+    val groups = Dedup.exactDupGroups(docs, "doc_id", Seq("text")).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated") {
+    val pairs = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup must be found: $pairs")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)), s"near dup must be found: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L),
+      s"unrelated docs must not pair: $pairs")
+  }
+
+  test("minhash jaccard estimates track exact jaccard") {
+    val j = Dedup.jaccardUdf(3)
+    val got = docs.filter($"doc_id" === 1).crossJoin(docs.filter($"doc_id" === 3).select($"text".as("t2")))
+      .select(j($"text", $"t2")).as[Double].collect()(0)
+    val sa = Dedup.shingles(base, 3)
+    val sb = Dedup.shingles(base.replace("lazy", "sleepy"), 3)
+    val want = sa.intersect(sb).size.toDouble / sa.union(sb).size
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("simhash: identical texts get hamming 0, near dups small, unrelated large") {
+    val pairs = Dedup.nearDupPairsSimhash(docs, "doc_id", "text", maxHamming = 12, bands = 4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs(( 1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).forall(_ <= 12))
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("cosine LSH near-dup is a subset of exact with high recall on testdata") {
+    val emb = sf("sf0.001", "embeddings")
+    val exact = Dedup.nearDupPairsCosineExact(emb, "vec_id", "embedding", 0.30)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.30,
+        numPlanes = 4, numTables = 16, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must only return true near-dups (verified)")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      info(s"cosine LSH recall: $recall (${lsh.size}/${exact.size})")
+      assert(recall >= 0.5, s"recall too low: $recall")
+    }
+  }
+}
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("language id on hand-written samples") {
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it was happy for hours", "en"),
+      (2L, "el perro corre en la casa y los gatos del barrio", "es"),
+      (3L, "der Hund und die Katze sind nicht mit dem Auto", "de"),
+      (4L, "le chat est dans la maison et les oiseaux pour toujours", "fr"),
+      (5L, "今天天气很好我们一起去公园散步吧这是一个测试", "zh"),
+      (6L, "", "und"),
+    ).toDF("id", "text", "want")
+    val got = samples.withColumn("pred", TextAnalysis.langId($"text"))
+      .select("id", "pred", "want").collect()
+    got.foreach { r =>
+      assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)}: ${r.getString(1)} != ${r.getString(2)}")
+    }
+  }
+
+  test("token count edge cases") {
+    val df = Seq((1L, "a b  c"), (2L, ""), (3L, "   "), (4L, "single")).toDF("id", "text")
+    val got = df.select($"id", TextAnalysis.tokenCount($"text").as("n")).as[(Long, Int)].collect().toMap
+    assert(got(1L) == 3 && got(2L) == 0 && got(3L) == 0 && got(4L) == 1)
+  }
+
+  test("fingerprint is whitespace/case-normalized and deterministic") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, " hello   world "),
+      (4L, "hello worlds")).toDF("id", "text")
+    val fp = df.select($"id", TextAnalysis.fingerprint($"text").as("fp")).as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L) && fp(2L) == fp(3L))
+    assert(fp(4L) != fp(1L))
+    assert(fp.values.forall(_ >= 0L))
+  }
+
+  test("quality score in [0,1] and favors normal text over junk") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was a good day for everyone in the park " * 3),
+      (2L, "!!!! ???? ;;;; @@@@ #### $$$$ %%%% ^^^^"),
+    ).toDF("id", "text")
+    val q = TextAnalysis.qualityScore(df, "text").select($"id", $"quality").as[(Long, Double)].collect().toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(2L), s"normal text must outscore junk: $q")
+  }
+}
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("media plumbing: schema, deterministic stub features, frame sampling") {
+    val docs = sf("sf0.001", "documents").limit(50)
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+    val rows = feats.collect()
+    assert(rows.length == 50)
+    assert(rows.forall(_.features.length == 16))
+    assert(rows.forall(_.modality == "image"))
+    // deterministic: second run identical
+    val rows2 = Multimodal.extractFeatures(media, dim = 16).collect()
+    assert(rows.sortBy(_.media_id).zip(rows2.sortBy(_.media_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+    val byId = frames.collect().groupBy(_.media_id)
+    val lens = media.collect().map(m => m.media_id -> m.payload.length).toMap
+    byId.foreach { case (id, fs) =>
+      val totalChunks = math.ceil(lens(id) / 64.0).toInt
+      val want = (0 until totalChunks).count(_ % 2 == 0)
+      assert(fs.length == want, s"media $id: ${fs.length} != $want")
+      assert(fs.forall(_.frame.length <= 64))
+    }
+  }
+}
+
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("windowed event stats on batch match a manual groupBy") {
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 100L, "click", 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), 100L, "click", 2.0),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), 101L, "view", 3.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Streams.windowedEventStats(events, "1 hour").collect()
+    assert(out.length == 2)
+    val clickRow = out.find(_.getAs[String]("event_type") == "click").get
+    assert(clickRow.getAs[Long]("cnt") == 2L)
+    assert(clickRow.getAs[Double]("sum_value") == 3.0)
+  }
+
+  test("windowed stats run as a real stream (incremental, with watermark)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Streams.windowedEventStatsStreaming(df, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_test").outputMode("complete").start()
+    try {
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:35:00"), 2L, "click", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("win_test").collect()
+      assert(got.length == 1 && got(0).getAs[Long]("cnt") == 2L)
+    } finally q.stop()
+  }
+
+  test("sessionize aggregates per user") {
+    val events = Seq(
+      (100L, 1000L, 1.5), (100L, 1300L, 2.5), (101L, 2000L, 1.0),
+    ).toDF("user_id", "ts_sec", "value")
+    val out = Streams.sessionize(events).collect().map(s => s.user_id -> s).toMap
+    assert(out(100L).session_events == 2 && out(100L).session_value == 4.0
+      && out(100L).session_secs == 300.0)
+    assert(out(101L).session_events == 1)
+  }
+}
