@@ -78,7 +78,7 @@ object SparkEntry {
   }
 
   private val idxConfig = CoderConfig(metric = "l2", codebookSize = 8,
-    numCodebooks = 2, batchSize = 256, numEpochs = 3)
+    numCodebooks = 2, batchSize = 512, numEpochs = 3)
 
   private def withIndex(s: SparkSession, dir: String): Engine = {
     val e = scratchEngine(s, dir)

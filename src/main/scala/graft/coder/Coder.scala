@@ -138,16 +138,38 @@ object Coder {
     val total = vecs.count()
     require(total >= k.toLong * n, s"need at least ${k * n} rows to init $n×$k centroids")
 
-    // Init: k·n distinct random rows → (n, k, d) (coder.py:98-104)
-    val initFrac = math.min(1.0, (k * n * 20.0) / total.toDouble)
-    var init = vecs.sample(withReplacement = false, initFrac, config.seed)
-      .limit(k * n).as[Array[Double]].collect()
-    if (init.length < k * n) init = vecs.limit(k * n).as[Array[Double]].collect()
-    val centroids = Array.tabulate(n, k)((j, i) => init(j * k + i).clone())
-
     val stepsPerEpoch = math.max(1, math.min(config.maxStepsPerEpoch,
       (total / (config.batchSize.toLong * n)).toInt))
-    val batchFrac = math.min(1.0, (config.batchSize.toLong * n).toDouble / total.toDouble)
+
+    // Scale design: training touches at most numEpochs·steps·batch·n rows,
+    // so sample that bound ONCE (a single corpus pass) and cache it —
+    // every Lloyd step then iterates over the small in-memory training set
+    // instead of re-scanning a (potentially 100 TB) corpus per step.
+    val wantRows = config.numEpochs.toLong * stepsPerEpoch * config.batchSize * n
+    val sampled =
+      if (wantRows < total) {
+        // oversample slightly so the bound is met w.h.p.
+        val frac = math.min(1.0, wantRows * 1.2 / total.toDouble)
+        vecs.sample(withReplacement = false, frac, config.seed)
+      } else vecs
+    // Size partitions to the SAMPLE, not the corpus: ~100k vectors per
+    // partition keeps per-step jobs at a handful of tasks even when the
+    // source is thousands of parquet splits.
+    val numParts = math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong,
+      math.min(wantRows, total) / 100000L + 1L)).toInt
+    val trainSet = sampled.repartition(numParts)
+    trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainTotal = trainSet.count()
+
+    // Init: k·n distinct random rows → (n, k, d) (coder.py:98-104)
+    val initFrac = math.min(1.0, (k * n * 20.0) / trainTotal.toDouble)
+    var init = trainSet.sample(withReplacement = false, initFrac, config.seed)
+      .limit(k * n).as[Array[Double]].collect()
+    if (init.length < k * n) init = trainSet.limit(k * n).as[Array[Double]].collect()
+    val centroids = Array.tabulate(n, k)((j, i) => init(j * k + i).clone())
+
+    val batchFrac = math.min(1.0, (config.batchSize.toLong * n).toDouble / trainTotal.toDouble)
 
     var step = 0
     for (epoch <- 0 until config.numEpochs; _ <- 0 until stepsPerEpoch) {
@@ -163,7 +185,7 @@ object Coder {
         }
         best
       })
-      val batch = vecs.sample(withReplacement = false, batchFrac, stepSeed)
+      val batch = trainSet.sample(withReplacement = false, batchFrac, stepSeed)
         .withColumn("cb", (rand(stepSeed) * n).cast("int"))
       val partials = batch
         .withColumn("cell", assignCb(col("cb"), col("v")))
@@ -183,6 +205,7 @@ object Coder {
       }
       step += 1
     }
+    trainSet.unpersist(blocking = false)
     Coding(centroids, config)
   }
 }
