@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Metrics
+import graft.functions.{Dequantize, VectorDistance}
+
+/** SQL-surface registration.
+  *
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `Graft.register(spark)` on an existing session) exposes the engine's
+  * native expressions to SQL:
+  *
+  * {{{
+  *   SELECT vector_distance(embedding, other, 'cosine') FROM t
+  *   SELECT graft_dequantize(payload, 0.5, 128) FROM media
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.inject(ext)
+}
+
+object GraftExtensions {
+  private def strArg(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, _) => s.toString
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a string literal, got $other")
+  }
+
+  private def numArg(e: Expression, what: String): Double = e match {
+    case Literal(v, _) if v != null => v.toString.toDouble
+    case other =>
+      throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("vector_distance"),
+      new ExpressionInfo(classOf[VectorDistance].getName, "vector_distance",
+        "vector_distance(u, v, metric) - distance between two float/double arrays " +
+          "under metric in (cosine|dot|inner_product|l2|euclidean); smaller = nearer"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vector_distance(u, v, metric)")
+        VectorDistance(args(0), args(1), Metrics.canonical(strArg(args(2), "metric")))
+      }),
+    (FunctionIdentifier("graft_dequantize"),
+      new ExpressionInfo(classOf[Dequantize].getName, "graft_dequantize",
+        "graft_dequantize(bytes, scale, zeroPoint) - affine-dequantize a uint8 " +
+          "tensor payload to array<float>: scale * (x - zeroPoint)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_dequantize(bytes, scale, zeroPoint)")
+        Dequantize(args(0),
+          numArg(args(1), "scale").toFloat, numArg(args(2), "zeroPoint").toFloat)
+      }),
+  )
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    functions.foreach(ext.injectFunction)
+}
+
+/** Session-level registration for already-running sessions. */
+object Graft {
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      registry.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -151,6 +151,35 @@ object SparkEntry {
         .select("vec_id", Search.DistCol)
     }),
 
+    // —— SQL surface: native expression registered via extensions ——
+    "knn_sql" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("emb_sql")
+      s.sql(
+        """SELECT vec_id,
+          |  vector_distance(embedding,
+          |    (SELECT embedding FROM emb_sql WHERE vec_id = 0), 'l2') AS dist
+          |FROM emb_sql ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
+    }),
+    // —— batch IVF k-NN join at full probes (== exact; oracle-checked) ——
+    "knn_join_ivf" -> ((s: SparkSession, dir: String) => {
+      val e = withIndex(s, dir)
+      val queries = tbl(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
+      graft.index.Index.ivfKnnJoin(e.store, "c_l2", "emb", "embedding",
+          queries, "q_id", "q_emb", k = 3, probes = 64, metric = Some("l2"),
+          tieBreak = Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— quint8 tensor round-trip (rows-only; exactness in ScalaTest) ——
+    "tensor_quantize" -> ((s: SparkSession, dir: String) => {
+      import graft.types.Tensors
+      tbl(s, dir, "embeddings")
+        .withColumn("q", Tensors.quantizeUdf(0.25f, 128f)(col("embedding")))
+        .withColumn("deq", Tensors.dequantize(col("q"), 0.25f, 128f))
+        .select(col("vec_id"), length(col("q")).cast("long").as("n_bytes"))
+    }),
+
     // —— dedup: exact (hash groupBy) ——
     "dedup_exact" -> ((s: SparkSession, dir: String) =>
       Dedup.exactDedup(tbl(s, dir, "documents"), "doc_id", Seq("text"))
@@ -232,6 +261,39 @@ object SparkEntry {
       tbl(s, dir, "lineitem").agg(
         count_distinct(col("l_partkey")).as("n_parts"),
         count_distinct(col("l_suppkey")).as("n_supps"))),
+    "rollup_agg" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))),
+    "set_intersect" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "part").select(col("p_partkey").as("k"))
+        .intersect(tbl(s, dir, "lineitem").select(col("l_partkey").as("k")))),
+    "set_except" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "part").select(col("p_partkey").as("k"))
+        .except(tbl(s, dir, "lineitem").select(col("l_partkey").as("k")))),
+    "string_funcs" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("nm"),
+        substring(col("c_name"), 1, 5).as("pre"),
+        length(col("c_name")).cast("long").as("len"),
+        concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string")).as("tag"))),
+    "date_funcs" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("cnt"))),
+    "having_agg" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "customer")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 5)),
+    "case_when" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "orders")
+        .withColumn("band",
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 300000, "mid")
+            .otherwise("high"))
+        .groupBy("band").agg(count(lit(1)).as("cnt"))),
     // —— events: tumbling-window aggregation (streaming-shaped, batch-checked) ——
     "events_windowed" -> ((s: SparkSession, dir: String) =>
       Streams.windowedEventStats(tblEvents(s, dir), "1 hour")
@@ -315,6 +377,35 @@ object SparkEntry {
     "distinct_parts" ->
       ("SELECT count(DISTINCT l_partkey) AS n_parts, " +
         "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"),
+    "knn_sql" -> knnOracle(l2Sql),
+    "knn_join_ivf" ->
+      ("SELECT q_id, vec_id, dist FROM (" +
+        "SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) ASC, e.vec_id ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
+        ") WHERE rn <= 3"),
+    "rollup_agg" ->
+      ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt " +
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "set_intersect" ->
+      "SELECT p_partkey AS k FROM part INTERSECT SELECT l_partkey AS k FROM lineitem",
+    "set_except" ->
+      "SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey AS k FROM lineitem",
+    "string_funcs" ->
+      ("SELECT c_custkey, upper(c_name) AS nm, substr(c_name, 1, 5) AS pre, " +
+        "length(c_name) AS len, concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS tag " +
+        "FROM customer"),
+    "date_funcs" ->
+      ("SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(month(o_orderdate) AS BIGINT) AS m, " +
+        "count(*) AS cnt FROM orders GROUP BY 1, 2"),
+    "having_agg" ->
+      "SELECT c_nationkey, count(*) AS cnt FROM customer GROUP BY c_nationkey HAVING count(*) > 5",
+    "case_when" ->
+      ("SELECT CASE WHEN o_totalprice < 100000 THEN 'low' " +
+        "WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band, " +
+        "count(*) AS cnt FROM orders GROUP BY 1"),
     "events_windowed" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2"),

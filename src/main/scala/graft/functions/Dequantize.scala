@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Affine dequantization of a uint8 tensor payload:
+  * `out[i] = scale * (bytes[i] - zeroPoint)`.
+  *
+  * Capability parity with the reference quantized tensor type
+  * (`/root/reference/src/fenix/ex/arrow/quint8/quint8.py:52-87`): Spark has
+  * no unsigned byte type, so quantized tensors travel as `binary` (one
+  * uint8 per element) with `{shape, scale, zeroPoint}` in column metadata
+  * (see [[graft.types.Tensors]]) and this expression decodes on demand —
+  * codegen'd, allocation = one float array per row.
+  */
+case class Dequantize(child: Expression, scale: Float, zeroPoint: Float)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_dequantize expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_dequantize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Float](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = scale * ((bytes(i) & 0xFF) - zeroPoint)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      s"""
+         |float[] $out = new float[$b.length];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $out[$i] = ${scale}f * (($b[$i] & 0xFF) - ${zeroPoint}f);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

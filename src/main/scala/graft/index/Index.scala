@@ -77,4 +77,46 @@ object Index {
       withDist.select((cols :+ Search.DistCol).map(col): _*))
     projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
   }
+
+  /** Batch IVF k-NN join: top-k corpus rows per query row, probing only
+    * each query's nearest cells.
+    *
+    * Scale shape: every query explodes to its `probes` cell ids (small
+    * broadcast); the union of probed cells prunes the partitioned corpus
+    * scan (driver-side distinct — bounded by k^n); the per-cell equi-join
+    * then only reads + scores the probed fraction, and per-query top-k is
+    * a window rank. This is the "online ANN" surface re-shaped for Spark:
+    * amortize many queries over one pruned corpus pass.
+    */
+  def ivfKnnJoin(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coding = store.loadCoding(codingName)
+    val m = metric.getOrElse(coding.config.metric)
+    val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
+    val exploded = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .withColumn("__cell__", explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
+    // Union of probed cells (≤ k^n, capped at 1e6) prunes the corpus scan.
+    val cells = exploded.select("__cell__").distinct().collect().map(_.getLong(0))
+    val corpus = load(store, codingName, source, column)
+      .filter(col(CodeCol).isin(cells: _*))
+    val joined = corpus.join(broadcast(exploded), col(CodeCol) === col("__cell__"))
+      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
+      .drop(queryVecCol, "__cell__")
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+    joined.withColumn("__rank__", row_number().over(w))
+      .filter(col("__rank__") <= k).drop("__rank__")
+  }
 }

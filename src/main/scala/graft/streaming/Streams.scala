@@ -32,6 +32,16 @@ object Streams {
       watermark: String = "2 hours"): DataFrame =
     windowedEventStats(events.withWatermark("ts", watermark), windowLen)
 
+  /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
+    * watermark (state is bounded by the watermark horizon — the only way
+    * exact streaming dedup is safe at scale). Works on batch frames too
+    * (plain dropDuplicates). */
+  def streamingDedup(df: DataFrame, keyCols: Seq[String],
+      tsCol: String = "ts", watermark: String = "1 hour"): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
+
   case class SessionState(userId: Long, events: Long, totalValue: Double,
       startTs: Long, lastTs: Long)
   case class SessionOut(user_id: Long, session_events: Long, session_value: Double,

@@ -1,0 +1,79 @@
+package graft.types
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import org.apache.spark.sql.GraftShims
+import graft.functions.Dequantize
+
+/** The reference's extension type system, mapped onto Spark's type system +
+  * column metadata (SURVEY §1.1):
+  *
+  *  - fixed-shape tensor (`ex/arrow/tensor/tensor.py:10-29`):
+  *    `ArrayType(elementType)` + `graft.shape` in field metadata (Parquet
+  *    `list<float>` loses the fixed length, so the shape rides metadata and
+  *    is enforced on ingest);
+  *  - quantized uint8 tensor (`ex/arrow/quint8/quint8.py:52-87`):
+  *    `BinaryType` + `{graft.shape, graft.scale, graft.zeroPoint}` metadata,
+  *    decoded by [[graft.functions.Dequantize]];
+  *  - nested tensor (`ex/arrow/nested/nested.py:18-122`): plain `StructType`
+  *    of tensor fields; path access is Catalyst's `GetStructField`
+  *    (`col("a.b.c")`), no jmespath machinery needed.
+  */
+object Tensors {
+  val ShapeKey = "graft.shape"
+  val ScaleKey = "graft.scale"
+  val ZeroPointKey = "graft.zeroPoint"
+
+  /** Metadata for a fixed-shape float tensor column. */
+  def tensorMeta(shape: Seq[Int]): Metadata =
+    new MetadataBuilder().putLongArray(ShapeKey, shape.map(_.toLong).toArray).build()
+
+  /** Metadata for a quint8 tensor column. */
+  def quint8Meta(shape: Seq[Int], scale: Float, zeroPoint: Float): Metadata =
+    new MetadataBuilder()
+      .putLongArray(ShapeKey, shape.map(_.toLong).toArray)
+      .putDouble(ScaleKey, scale.toDouble)
+      .putDouble(ZeroPointKey, zeroPoint.toDouble)
+      .build()
+
+  def shapeOf(field: StructField): Option[Seq[Int]] =
+    if (field.metadata.contains(ShapeKey))
+      Some(field.metadata.getLongArray(ShapeKey).toSeq.map(_.toInt))
+    else None
+
+  /** Tag an array column as a fixed-shape tensor (metadata survives
+    * Parquet round-trips). */
+  def asTensor(df: DataFrame, column: String, shape: Seq[Int]): DataFrame =
+    df.withColumn(column, col(column).as(column, tensorMeta(shape)))
+
+  /** Validate that every row of `column` has the declared flat size;
+    * fails the job on the first violation (cheap codegen'd check). */
+  def enforceShape(df: DataFrame, column: String, flatSize: Int): DataFrame =
+    df.withColumn(column,
+      when(size(col(column)) === flatSize, col(column))
+        .otherwise(raise_error(concat(
+          lit(s"tensor '$column' expected $flatSize elements, got "),
+          size(col(column)).cast("string")))))
+
+  /** Quantize a float-array column to a quint8 binary payload (inverse of
+    * [[dequantize]]): `b[i] = clamp(round(x[i] / scale + zeroPoint), 0, 255)`. */
+  def quantizeUdf(scale: Float, zeroPoint: Float) = udf { (v: Seq[Float]) =>
+    if (v == null) null
+    else {
+      val out = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) {
+        val q = math.round(v(i) / scale + zeroPoint)
+        out(i) = math.max(0, math.min(255, q)).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Dequantize a binary quint8 column: `scale * (x - zeroPoint)`. */
+  def dequantize(payload: Column, scale: Float, zeroPoint: Float): Column =
+    GraftShims.column(Dequantize(GraftShims.expression(payload), scale, zeroPoint))
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.Search
+import graft.coder.CoderConfig
+import graft.core.Metrics
+import graft.index.Index
+import graft.types.Tensors
+
+class SqlSurfaceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("vector_distance is callable from SQL after registration") {
+    Graft.register(spark)
+    Seq((1L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("id", "u", "v")
+      .createOrReplaceTempView("vecs")
+    val got = spark.sql(
+      "SELECT vector_distance(u, v, 'l2') AS l2, vector_distance(u, v, 'cosine') AS cos, " +
+        "vector_distance(u, v, 'inner_product') AS ip FROM vecs").collect()(0)
+    assert(math.abs(got.getDouble(0) - math.sqrt(2)) < 1e-12)
+    assert(math.abs(got.getDouble(1) - 0.5) < 1e-12) // orthogonal -> 0.5-0.5*0
+    assert(got.getDouble(2) == -0.0 || got.getDouble(2) == 0.0)
+    val err = intercept[Exception](spark.sql("SELECT vector_distance(u, v, 'bogus') FROM vecs"))
+    assert(err.getMessage.toLowerCase.contains("metric") ||
+      err.getMessage.toLowerCase.contains("bogus"))
+  }
+
+  test("graft_dequantize from SQL") {
+    Graft.register(spark)
+    Seq(Tuple1(Array[Byte](0, 127.toByte, 255.toByte))).toDF("b")
+      .createOrReplaceTempView("quant")
+    val got = spark.sql("SELECT graft_dequantize(b, 0.5, 128) AS v FROM quant")
+      .collect()(0).getSeq[Float](0)
+    assert(got == Seq(-64.0f, -0.5f, 63.5f))
+  }
+}
+
+class TensorsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("quantize/dequantize round-trip within quantization error") {
+    val vals = Seq(Tuple1(Seq(-1.0f, 0.0f, 0.5f, 1.0f))).toDF("v")
+    val scale = 0.01f; val zp = 128f
+    val q = vals.withColumn("b", Tensors.quantizeUdf(scale, zp)($"v"))
+      .withColumn("back", Tensors.dequantize($"b", scale, zp))
+    val (orig, back) = q.select($"v", $"back").as[(Seq[Float], Seq[Float])].collect()(0)
+    orig.zip(back).foreach { case (o, b) => assert(math.abs(o - b) <= scale / 2 + 1e-6) }
+  }
+
+  test("tensor metadata survives parquet round-trip and shape is enforced") {
+    val dir = java.nio.file.Files.createTempDirectory("tensors").toString
+    val df = Tensors.asTensor(
+      Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))).toDF("id", "t"), "t", Seq(2))
+    df.write.mode("overwrite").parquet(s"$dir/t")
+    val back = spark.read.parquet(s"$dir/t")
+    assert(Tensors.shapeOf(back.schema("t")).contains(Seq(2)))
+    assert(Tensors.enforceShape(back, "t", 2).count() == 2)
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "t")
+    intercept[Exception](Tensors.enforceShape(bad, "t", 2).collect())
+  }
+
+  test("nested tensor = struct of arrays with path access") {
+    val df = Seq((1L, (Seq(1.0f, 2.0f), Seq(0.1f)))).toDF("id", "nested")
+      .select($"id", $"nested._1".as("image"), $"nested._2".as("audio"))
+      .select($"id", struct($"image", $"audio").as("tensors"))
+    val got = df.select($"tensors.image").as[Seq[Float]].collect()(0)
+    assert(got == Seq(1.0f, 2.0f))
+  }
+}
+
+class IvfJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ivfKnnJoin at full probes equals brute-force knnJoin") {
+    val root = java.nio.file.Files.createTempDirectory("ivfjoin").toString
+    val engine = new graft.api.Engine(spark, root)
+    val emb = sf("sf0.001", "embeddings")
+    engine.makeTable("emb", emb)
+    engine.makeIndex("c", "emb", "embedding",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 2))
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("q_emb"))
+
+    val brute = Search.knnJoin(emb.select("vec_id", "embedding"), "embedding",
+        queries, "q_id", "q_emb", "l2", k = 5, tieBreak = Seq("vec_id"))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfFull = Index.ivfKnnJoin(engine.store, "c", "emb", "embedding",
+        queries, "q_id", "q_emb", k = 5, probes = 16, tieBreak = Seq("vec_id"))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfFull == brute, "full probes must equal brute force")
+
+    val ivf4 = Index.ivfKnnJoin(engine.store, "c", "emb", "embedding",
+        queries, "q_id", "q_emb", k = 5, probes = 4, tieBreak = Seq("vec_id"))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(ivf4.contains).toDouble / brute.size
+    info(s"ivfKnnJoin recall at 4/16 probes: $recall")
+    assert(recall >= 0.3)
+    engine.remove()
+  }
+}
+
+class StreamingDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming dedup drops repeats within watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "doc_id", "text")
+    val q = graft.streaming.Streams.streamingDedup(df, Seq("text"), "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((t0, 1L, "hello"), (t0, 2L, "hello"), (t0, 3L, "world"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").select("text").as[String].collect().sorted
+      assert(got.sameElements(Array("hello", "world")))
+    } finally q.stop()
+  }
+
+  test("batch path is plain dropDuplicates") {
+    val df = Seq((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "a")).toDF("ts", "doc_id", "text")
+    assert(graft.streaming.Streams.streamingDedup(df, Seq("text")).count() == 1)
+  }
+}
