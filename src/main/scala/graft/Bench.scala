@@ -35,13 +35,16 @@ object Bench {
     val order = Seq("coder_train", "index_build", "search_probed") ++
       SparkEntry.queries.keys.toSeq.sorted
         .filterNot(Set("coder_train", "index_build", "search_probed"))
+    // best-of-2: first run pays planning/IO warmup, min is the steady state
     val results = order.map { name =>
       val fn = SparkEntry.queries(name)
-      val sec = time {
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      val secs = (1 to 2).map { _ =>
+        time {
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+        }
       }
-      name -> sec
+      name -> secs.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

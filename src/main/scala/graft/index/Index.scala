@@ -29,12 +29,19 @@ object Index {
   def assignUdf(coding: Coding): UserDefinedFunction =
     udf((v: Seq[Double]) => Option(v).map(x => coding.assign(x.toArray)))
 
+  /** Cell assignment as a codegen'd native expression (the hot path —
+    * reads float arrays in place, no boxing/casting). */
+  def assignExpr(vec: Column, coding: Coding): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.CellAssign(
+        org.apache.spark.sql.GraftShims.expression(vec), coding))
+
   /** Build (or rebuild) the index for `source.column` under `codingName` —
     * reference `make-index` / `sync_index` (A2). One distributed pass. */
   def build(store: Store, codingName: String, source: String, column: String): Unit = {
     val coding = store.loadCoding(codingName)
     val df = store.loadTable(source)
-    df.withColumn(CodeCol, assignUdf(coding)(col(column).cast("array<double>")))
+    df.withColumn(CodeCol, assignExpr(col(column), coding))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
       .parquet(store.indexPath(source, column, codingName))

@@ -127,3 +127,32 @@ class StreamingDedupSpec extends SparkSuite {
     assert(graft.streaming.Streams.streamingDedup(df, Seq("text")).count() == 1)
   }
 }
+
+class CellAssignSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("codegen cell assignment is bit-identical to driver-side Coding.assign") {
+    for (metric <- Seq("l2", "cosine", "dot")) {
+      val cfg = CoderConfig(metric = metric, codebookSize = 4, numCodebooks = 3,
+        batchSize = 64, numEpochs = 1)
+      val coding = graft.coder.Coder.train(sf("sf0.001", "embeddings"), "embedding", cfg)
+      val emb = sf("sf0.001", "embeddings")
+      val viaExpr = emb.select($"vec_id",
+          Index.assignExpr($"embedding", coding).as("cell"))
+        .as[(Long, Long)].collect().toMap
+      val viaDriver = emb.select($"vec_id", $"embedding".cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, v) => id -> coding.assign(v.toArray) }.toMap
+      assert(viaExpr == viaDriver, s"metric $metric: expression != driver assign")
+      assert(viaExpr.values.forall(c => c >= 0 && c < coding.numCells))
+    }
+  }
+
+  test("cell assignment throws on wrong dimension") {
+    val cfg = CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 1,
+      batchSize = 64, numEpochs = 1)
+    val coding = graft.coder.Coder.train(sf("sf0.001", "embeddings"), "embedding", cfg)
+    val bad = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("embedding")
+    intercept[Exception](bad.select(Index.assignExpr($"embedding", coding)).collect())
+  }
+}
