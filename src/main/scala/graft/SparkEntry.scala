@@ -294,6 +294,18 @@ object SparkEntry {
             .when(col("o_totalprice") < 300000, "mid")
             .otherwise("high"))
         .groupBy("band").agg(count(lit(1)).as("cnt"))),
+    // —— skew tools: salted join / two-phase agg (result-identical) ——
+    "salted_join" -> ((s: SparkSession, dir: String) => {
+      val li = tbl(s, dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+      graft.ext.Scale.saltedJoin(li, tbl(s, dir, "part"), "p_partkey", 8)
+        .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+    }),
+    "two_phase_agg" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Scale.twoPhaseCount(tbl(s, dir, "lineitem"), "l_suppkey", 8)),
+    "quantiles" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "lineitem").agg(
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
+        .select(col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))),
     // —— events: tumbling-window aggregation (streaming-shaped, batch-checked) ——
     "events_windowed" -> ((s: SparkSession, dir: String) =>
       Streams.windowedEventStats(tblEvents(s, dir), "1 hour")
@@ -406,6 +418,15 @@ object SparkEntry {
       ("SELECT CASE WHEN o_totalprice < 100000 THEN 'low' " +
         "WHEN o_totalprice < 300000 THEN 'mid' ELSE 'high' END AS band, " +
         "count(*) AS cnt FROM orders GROUP BY 1"),
+    "salted_join" ->
+      ("SELECT p_brand, count(*) AS cnt FROM lineitem " +
+        "JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
+    "two_phase_agg" ->
+      "SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey",
+    "quantiles" ->
+      ("SELECT quantile_cont(l_extendedprice, 0.25) AS q25, " +
+        "quantile_cont(l_extendedprice, 0.5) AS q50, " +
+        "quantile_cont(l_extendedprice, 0.75) AS q75 FROM lineitem"),
     "events_windowed" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2"),

@@ -185,3 +185,26 @@ class StreamsSpec extends SparkSuite {
     assert(out(101L).session_events == 1)
   }
 }
+
+class ScaleSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted join equals plain join") {
+    val li = sf("sf0.001", "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    val part = sf("sf0.001", "part")
+    val plain = li.join(part, "p_partkey")
+      .groupBy("p_brand").count().as[(String, Long)].collect().toMap
+    val salted = graft.ext.Scale.saltedJoin(li, part, "p_partkey", 8)
+      .groupBy("p_brand").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("two-phase count equals plain count") {
+    val li = sf("sf0.001", "lineitem")
+    val plain = li.groupBy("l_suppkey").count()
+      .as[(Long, Long)].collect().toMap
+    val two = graft.ext.Scale.twoPhaseCount(li, "l_suppkey", 8)
+      .as[(Long, Long)].collect().toMap
+    assert(two == plain)
+  }
+}
