@@ -306,6 +306,12 @@ object SparkEntry {
       tbl(s, dir, "lineitem").agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
         .select(col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))),
+    // —— semi-structured: JSON prop extraction over events ——
+    "json_extract" -> ((s: SparkSession, dir: String) =>
+      tblEvents(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"), max("k").as("max_k"))),
     // —— events: tumbling-window aggregation (streaming-shaped, batch-checked) ——
     "events_windowed" -> ((s: SparkSession, dir: String) =>
       Streams.windowedEventStats(tblEvents(s, dir), "1 hour")
@@ -427,6 +433,11 @@ object SparkEntry {
       ("SELECT quantile_cont(l_extendedprice, 0.25) AS q25, " +
         "quantile_cont(l_extendedprice, 0.5) AS q50, " +
         "quantile_cont(l_extendedprice, 0.75) AS q75 FROM lineitem"),
+    "json_extract" ->
+      ("SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
+        "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
+        "FROM events GROUP BY event_type"),
     "events_windowed" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2"),

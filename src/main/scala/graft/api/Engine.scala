@@ -53,6 +53,44 @@ class Engine(val spark: SparkSession, val root: String) {
   def dropIndex(name: String): Unit = store.dropCoding(name)
 
   // ——— search (V8/V9) ———
+  /** Multi-source search (reference ticket `"a:b:c"`, `flight.py:47`):
+    * the union of the per-source (indexed) tables searched as one. */
+  def searchMulti(
+      sources: Seq[String],
+      column: String,
+      target: Array[Double],
+      metric: Option[String] = None,
+      coding: Option[String] = None,
+      probes: Option[Int] = None,
+      k: Int = 10,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    (coding, probes) match {
+      case (Some(c), Some(p)) =>
+        val codingObj = store.loadCoding(c)
+        val m = metric.getOrElse(codingObj.config.metric)
+        val cells = codingObj.rankCells(target, p)
+        val indexed = sources.map(s => Index.load(store, c, s, column))
+          .reduce(_ unionByName _)
+          .filter(col(Index.CodeCol).isin(cells: _*))
+        val base = filter.fold(indexed)(indexed.filter)
+        val withDist = base.withColumn(Search.DistCol,
+          graft.functions.functions.vector_distance(
+            col(column), typedLit(target.toSeq), m))
+        val projected = select.fold(withDist)(cols =>
+          withDist.select((cols :+ Search.DistCol).map(col): _*))
+        projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
+      case _ =>
+        val spark0 = spark
+        val targetDf = {
+          import spark0.implicits._
+          Seq(Tuple1(target.toSeq)).toDF("__target__")
+        }
+        Search.knn(store.loadTable(sources: _*), column, targetDf,
+          metric.getOrElse("l2"), k, filter, select, tieBreak)
+    }
+
   /** Brute-force or probed top-k depending on `coding`/`probes`, mirroring
     * `Flight.search` (`flight.py:242-288`). */
   def search(

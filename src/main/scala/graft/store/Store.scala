@@ -58,6 +58,22 @@ class Store(val spark: SparkSession, val root: String) {
 
   def listTables(): Seq[String] = list(s"$root/sources")
 
+  /** Bucketed table: pre-hash-partitioned AND sorted on `bucketCol` so
+    * equi-joins/aggregations between co-bucketed tables plan with NO
+    * shuffle exchange (registered in the session catalog — bucketing
+    * metadata lives there, the data under the store root). At 100 TB,
+    * bucketing the fact tables on their join key once pays for every
+    * downstream join. */
+  def createBucketedTable(name: String, df: DataFrame, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", s"$root/bucketed/$name")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+
+  def loadBucketedTable(name: String): DataFrame = spark.table(name)
+
   def dropTable(name: String): Unit =
     fs.delete(new Path(sourcePath(name)), true)
 

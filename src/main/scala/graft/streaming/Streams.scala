@@ -32,6 +32,23 @@ object Streams {
       watermark: String = "2 hours"): DataFrame =
     windowedEventStats(events.withWatermark("ts", watermark), windowLen)
 
+  /** Streaming ANN: score each micro-batch of query vectors against a
+    * static corpus (optionally IVF-pruned upstream) with the same batch
+    * k-NN join the offline path uses — the Spark answer to "online"
+    * vector search: bounded latency per micro-batch, one pruned corpus
+    * pass amortized over the batch's queries.
+    *
+    * Returns a function suitable for `queries.writeStream.foreachBatch`.
+    */
+  def knnForEachBatch(
+      corpus: DataFrame, vecCol: String, queryIdCol: String,
+      queryVecCol: String, metric: String, k: Int,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.api.Search.knnJoin(corpus, vecCol, batch, queryIdCol,
+          queryVecCol, metric, k))
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
     * watermark (state is bounded by the watermark horizon — the only way
     * exact streaming dedup is safe at scale). Works on batch frames too

@@ -156,3 +156,93 @@ class CellAssignSpec extends SparkSuite {
     intercept[Exception](bad.select(Index.assignExpr($"embedding", coding)).collect())
   }
 }
+
+class MultiSourceSearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multi-source probed search equals single-source over the union") {
+    val root = java.nio.file.Files.createTempDirectory("multisearch").toString
+    val engine = new graft.api.Engine(spark, root)
+    val emb = sf("sf0.001", "embeddings")
+    engine.makeTable("lo", emb.filter($"vec_id" < 250))
+    engine.makeTable("hi", emb.filter($"vec_id" >= 250))
+    engine.makeTable("all", emb)
+    val cfg = CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+      batchSize = 128, numEpochs = 2)
+    engine.makeCoder("c", "all", "embedding", cfg)
+    engine.syncIndex("c", "lo", "embedding")
+    engine.syncIndex("c", "hi", "embedding")
+    engine.syncIndex("c", "all", "embedding")
+    val t = emb.filter($"vec_id" === 7).select($"embedding".cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val union = engine.searchMulti(Seq("lo", "hi"), "embedding", t,
+        coding = Some("c"), probes = Some(16), k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    val single = engine.search("all", "embedding", t,
+        coding = Some("c"), probes = Some(16), k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(union == single)
+    // brute-force multi-source too
+    val bruteUnion = engine.searchMulti(Seq("lo", "hi"), "embedding", t,
+        metric = Some("cosine"), k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    val bruteSingle = engine.search("all", "embedding", t,
+        metric = Some("cosine"), k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(bruteUnion == bruteSingle)
+    engine.remove()
+  }
+}
+
+class BucketedJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("co-bucketed join plans without a shuffle exchange") {
+    val root = java.nio.file.Files.createTempDirectory("bucketed").toString
+    val store = new graft.store.Store(spark, root)
+    val orders = sf("sf0.001", "orders")
+    val customer = sf("sf0.001", "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    store.createBucketedTable("b_orders", orders, "o_custkey", 4)
+    store.createBucketedTable("b_customer", customer, "o_custkey", 4)
+    val joined = store.loadBucketedTable("b_orders")
+      .join(store.loadBucketedTable("b_customer").hint("merge"), "o_custkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    // result parity with the plain join
+    assert(joined.count() ==
+      orders.join(customer, "o_custkey").count())
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+  }
+}
+
+class StreamingKnnSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming kNN scores each micro-batch against the corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = sf("sf0.001", "embeddings").select("vec_id", "embedding")
+    val target = sf("sf0.001", "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).collect()(0).getSeq[Double](0)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val queries = mem.toDF().toDF("q_id", "q_emb")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val fn = graft.streaming.Streams.knnForEachBatch(
+      corpus, "embedding", "q_id", "q_emb", "l2", k = 3,
+      out => results.synchronized {
+        results ++= out.select("q_id", "vec_id").as[(Long, Long)].collect()
+      })
+    val q = queries.writeStream.foreachBatch(fn).start()
+    try {
+      mem.addData((100L, target), (101L, target.map(_ + 0.1)))
+      q.processAllAvailable()
+      assert(results.size == 6, s"expected 2 queries x top-3: $results")
+      assert(results.count(_._1 == 100L) == 3)
+      // vec_id 0 must be its own nearest neighbor
+      assert(results.filter(_._1 == 100L).map(_._2).contains(0L))
+    } finally q.stop()
+  }
+}
