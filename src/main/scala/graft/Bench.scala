@@ -49,7 +49,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Reference-shape workload (100k × 256-d, BASELINE.md constants).
+    val (refTimings, recall) = RefBench.run(spark)
+    val refJson = refTimings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", s""","recall_at_10_probes_16":$recall}""")
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -158,46 +158,60 @@ object Coder {
     val numParts = math.max(1L, math.min(
       spark.sparkContext.defaultParallelism.toLong,
       math.min(wantRows, total) / 100000L + 1L)).toInt
-    val trainSet = sampled.repartition(numParts)
+    // The step loop runs on the plain RDD: per-step work is then a single
+    // no-shuffle job (partition-local assignment + n·k·d partial sums,
+    // treeReduce of ~32 KB arrays) with none of the per-plan codegen /
+    // shuffle machinery that would otherwise dominate a 25-step loop.
+    val trainSet = sampled.as[Array[Double]].rdd.repartition(numParts)
     trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainTotal = trainSet.count()
+    require(trainTotal >= k.toLong * n, s"training sample too small: $trainTotal")
 
     // Init: k·n distinct random rows → (n, k, d) (coder.py:98-104)
-    val initFrac = math.min(1.0, (k * n * 20.0) / trainTotal.toDouble)
-    var init = trainSet.sample(withReplacement = false, initFrac, config.seed)
-      .limit(k * n).as[Array[Double]].collect()
-    if (init.length < k * n) init = trainSet.limit(k * n).as[Array[Double]].collect()
+    var init = trainSet.takeSample(withReplacement = false, k * n, config.seed)
+    if (init.length < k * n) init = trainSet.take(k * n)
     val centroids = Array.tabulate(n, k)((j, i) => init(j * k + i).clone())
 
     val batchFrac = math.min(1.0, (config.batchSize.toLong * n).toDouble / trainTotal.toDouble)
+    val dim = centroids(0)(0).length
+    val metric = Metrics.canonical(config.metric)
 
     var step = 0
-    for (epoch <- 0 until config.numEpochs; _ <- 0 until stepsPerEpoch) {
+    for (_ <- 0 until config.numEpochs; _ <- 0 until stepsPerEpoch) {
       val stepSeed = config.seed + 7919L * (step + 1)
-      val coding = Coding(centroids.map(_.map(_.clone())), config)
-      val assignCb = udf((cb: Int, v: Seq[Double]) => {
-        val arr = v.toArray
-        var best = 0; var bestD = Double.MaxValue; var i = 0
-        while (i < coding.k) {
-          val d = Metrics.dist(coding.centroids(cb)(i), arr, coding.config.metric)
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
+      val current = centroids.map(_.map(_.clone()))
+      val (sums, counts) = trainSet
+        .sample(withReplacement = false, batchFrac, stepSeed)
+        .mapPartitionsWithIndex { (pid, it) =>
+          val rnd = new java.util.Random(stepSeed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+          val s = Array.ofDim[Double](n, k, dim)
+          val c = Array.ofDim[Long](n, k)
+          it.foreach { v =>
+            val cb = rnd.nextInt(n)
+            var best = 0; var bestD = Double.MaxValue; var i = 0
+            while (i < k) {
+              val d = Metrics.dist(current(cb)(i), v, metric)
+              if (d < bestD) { bestD = d; best = i }
+              i += 1
+            }
+            val tgt = s(cb)(best); var t = 0
+            while (t < dim) { tgt(t) += v(t); t += 1 }
+            c(cb)(best) += 1
+          }
+          Iterator.single((s, c))
         }
-        best
-      })
-      val batch = trainSet.sample(withReplacement = false, batchFrac, stepSeed)
-        .withColumn("cb", (rand(stepSeed) * n).cast("int"))
-      val partials = batch
-        .withColumn("cell", assignCb(col("cb"), col("v")))
-        .groupBy("cb", "cell")
-        .agg(vecSum(col("v")).as("sum"), count(lit(1)).as("cnt"))
-        .collect()
-      partials.foreach { r =>
-        val cb = r.getInt(0); val cell = r.getInt(1)
-        val sum = r.getSeq[Double](2).toArray; val cnt = r.getLong(3)
-        val old = centroids(cb)(cell)
-        var i = 0
-        while (i < old.length) { old(i) = (sum(i) + old(i)) / (cnt + 1.0); i += 1 }
+        .treeReduce { case ((s1, c1), (s2, c2)) =>
+          for (j <- 0 until n; i <- 0 until k) {
+            val a = s1(j)(i); val b = s2(j)(i); var t = 0
+            while (t < dim) { a(t) += b(t); t += 1 }
+            c1(j)(i) += c2(j)(i)
+          }
+          (s1, c1)
+        }
+      for (j <- 0 until n; i <- 0 until k if counts(j)(i) > 0) {
+        val old = centroids(j)(i); val sum = sums(j)(i); val cnt = counts(j)(i)
+        var t = 0
+        while (t < dim) { old(t) = (sum(t) + old(t)) / (cnt + 1.0); t += 1 }
         if (cosine) {
           val norm = Metrics.normalize(old)
           System.arraycopy(norm, 0, old, 0, old.length)

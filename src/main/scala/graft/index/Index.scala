@@ -41,7 +41,14 @@ object Index {
   def build(store: Store, codingName: String, source: String, column: String): Unit = {
     val coding = store.loadCoding(codingName)
     val df = store.loadTable(source)
+    // Cluster rows by cell before the partitioned write: without this every
+    // task writes a file into every cell directory (tasks × cells tiny
+    // files); with it each cell is one task's output. Hash-repartition on
+    // the cell id keeps it one shuffle, sized to the cell count.
+    val parts = math.max(1, math.min(coding.numCells,
+      df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     df.withColumn(CodeCol, assignExpr(col(column), coding))
+      .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
       .parquet(store.indexPath(source, column, codingName))
