@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Metrics
-import graft.functions.{Dequantize, VectorDistance}
+import graft.functions.{Dequantize, VectorDistance, VectorNorm, VectorNormalize}
 
 /** SQL-surface registration.
   *
@@ -46,6 +46,20 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "vector_distance(u, v, metric)")
         VectorDistance(args(0), args(1), Metrics.canonical(strArg(args(2), "metric")))
+      }),
+    (FunctionIdentifier("vector_norm"),
+      new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm",
+        "vector_norm(v) - L2 norm of a float/double array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vector_norm(v)")
+        VectorNorm(args(0))
+      }),
+    (FunctionIdentifier("vector_normalize"),
+      new ExpressionInfo(classOf[VectorNormalize].getName, "vector_normalize",
+        "vector_normalize(v) - L2-normalize a float/double array to unit length"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vector_normalize(v)")
+        VectorNormalize(args(0))
       }),
     (FunctionIdentifier("graft_dequantize"),
       new ExpressionInfo(classOf[Dequantize].getName, "graft_dequantize",

@@ -306,6 +306,14 @@ object SparkEntry {
       tbl(s, dir, "lineitem").agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
         .select(col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))),
+    // —— vector arithmetic: norms via the SQL function surface ——
+    "vector_norms" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("emb_norm")
+      s.sql("""SELECT vec_id, vector_norm(embedding) AS norm,
+              |round(vector_norm(vector_normalize(embedding)), 9) AS unit_norm
+              |FROM emb_norm""".stripMargin)
+    }),
     // —— semi-structured: JSON prop extraction over events ——
     "json_extract" -> ((s: SparkSession, dir: String) =>
       tblEvents(s, dir)
@@ -433,6 +441,9 @@ object SparkEntry {
       ("SELECT quantile_cont(l_extendedprice, 0.25) AS q25, " +
         "quantile_cont(l_extendedprice, 0.5) AS q50, " +
         "quantile_cont(l_extendedprice, 0.75) AS q75 FROM lineitem"),
+    "vector_norms" ->
+      ("SELECT vec_id, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
+        "CAST(embedding AS DOUBLE[]))) AS norm, 1.0 AS unit_norm FROM embeddings"),
     "json_extract" ->
       ("SELECT event_type, count(*) AS cnt, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +

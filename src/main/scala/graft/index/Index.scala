@@ -54,6 +54,30 @@ object Index {
       .parquet(store.indexPath(source, column, codingName))
   }
 
+  /** Incremental sync: assign + append only the source rows whose `idCol`
+    * is not yet indexed (the reference's `sync_index` reassigns the whole
+    * table every time, `flight.py:219-233`). One anti-join + one narrow
+    * assignment pass over the delta; appended files land in their cell
+    * partitions. Returns the number of rows appended. */
+  def syncIncremental(store: Store, codingName: String, source: String,
+      column: String, idCol: String): Long = {
+    val path = store.indexPath(source, column, codingName)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) {
+      build(store, codingName, source, column)
+      return store.spark.read.parquet(path).count()
+    }
+    val coding = store.loadCoding(codingName)
+    val existing = store.spark.read.parquet(path).select(col(idCol))
+    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val delta = fresh.withColumn(CodeCol, assignExpr(col(column), coding))
+    val appended = delta.count()
+    if (appended > 0)
+      delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+    appended
+  }
+
   /** Read the indexed copy: source schema ⊕ `__CODED_ID__: long`
     * (reference V7 `index.py:19-34`, minus the positional join). */
   def load(store: Store, codingName: String, source: String, column: String): DataFrame = {

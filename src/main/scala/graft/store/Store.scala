@@ -77,6 +77,18 @@ class Store(val spark: SparkSession, val root: String) {
   def dropTable(name: String): Unit =
     fs.delete(new Path(sourcePath(name)), true)
 
+  /** Rewrite a table into `numFiles` files (small-file compaction after
+    * many incremental appends — at scale, file-count hygiene is what keeps
+    * scan task counts and NameNode/liststatus pressure sane). */
+  def compact(name: String, numFiles: Int): Unit = {
+    val src = sourcePath(name)
+    val tmp = s"$src.__compact_tmp__"
+    spark.read.parquet(src).repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new Path(src), true)
+    require(fs.rename(new Path(tmp), new Path(src)), s"rename failed for $name")
+  }
+
   // ——— Codings (V3, A1) ———
 
   def saveCoding(name: String, coding: Coding): Unit = {

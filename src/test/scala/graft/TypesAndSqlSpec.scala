@@ -246,3 +246,81 @@ class StreamingKnnSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+class IncrementalSyncSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("incremental sync appends only new rows; compaction preserves data") {
+    val root = java.nio.file.Files.createTempDirectory("incsync").toString
+    val engine = new graft.api.Engine(spark, root)
+    val emb = sf("sf0.001", "embeddings")
+    engine.makeTable("emb", emb.filter($"vec_id" < 400))
+    engine.makeIndex("c", "emb", "embedding",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 2))
+    assert(Index.load(engine.store, "c", "emb", "embedding").count() == 400)
+
+    // grow the table, sync incrementally
+    engine.makeTable("emb", emb)
+    val appended = Index.syncIncremental(engine.store, "c", "emb", "embedding", "vec_id")
+    assert(appended == 100, s"expected 100 new rows, got $appended")
+    val indexed = Index.load(engine.store, "c", "emb", "embedding")
+    assert(indexed.count() == 500)
+    assert(indexed.select("vec_id").distinct().count() == 500)
+    // idempotent
+    assert(Index.syncIncremental(engine.store, "c", "emb", "embedding", "vec_id") == 0)
+
+    // codes of appended rows match fresh assignment
+    val coding = engine.store.loadCoding("c")
+    val viaIndex = indexed.filter($"vec_id" >= 400)
+      .select($"vec_id", col(graft.api.Search.CodeCol)).as[(Long, Long)].collect().toMap
+    val fresh = emb.filter($"vec_id" >= 400)
+      .select($"vec_id", Index.assignExpr($"embedding", coding).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaIndex == fresh)
+
+    // compaction
+    engine.store.compact("emb", 1)
+    assert(engine.readTable(Seq("emb")).count() == 500)
+    engine.remove()
+  }
+}
+
+class VectorNormSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("vector_norm and vector_normalize from SQL") {
+    Graft.register(spark)
+    Seq(Tuple1(Seq(3.0f, 4.0f))).toDF("v").createOrReplaceTempView("nv")
+    val r = spark.sql(
+      "SELECT vector_norm(v) AS n, vector_norm(vector_normalize(v)) AS u FROM nv").collect()(0)
+    assert(math.abs(r.getDouble(0) - 5.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+    // zero vector passes through
+    Seq(Tuple1(Seq(0.0f, 0.0f))).toDF("v").createOrReplaceTempView("zv")
+    val z = spark.sql("SELECT vector_normalize(v) AS u FROM zv").collect()(0).getSeq[Double](0)
+    assert(z == Seq(0.0, 0.0))
+  }
+}
+
+class EdgeCaseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("search edge cases: k > rows, empty filter, null vectors") {
+    val root = java.nio.file.Files.createTempDirectory("edges").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("e", sf("sf0.001", "embeddings").limit(5))
+    val t = Array.fill(64)(0.0)
+    assert(engine.search("e", "embedding", t, k = 100).count() == 5)
+    assert(engine.search("e", "embedding", t, k = 10,
+      filter = Some(col("vec_id") < 0)).count() == 0)
+    // null vector rows are skipped by the null-safe distance (null dist
+    // sorts last in Spark's default NULLS LAST ascending order)
+    val withNull = sf("sf0.001", "embeddings").limit(3)
+      .select($"vec_id", when($"vec_id" === 0, lit(null)).otherwise($"embedding").as("embedding"))
+    engine.makeTable("n", withNull)
+    val got = engine.search("n", "embedding", t, k = 3)
+    assert(got.count() == 3 && got.filter(col(graft.api.Search.DistCol).isNull).count() == 1)
+    engine.remove()
+  }
+}
