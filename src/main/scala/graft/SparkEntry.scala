@@ -306,6 +306,16 @@ object SparkEntry {
       tbl(s, dir, "lineitem").agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
         .select(col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))),
+    // —— element-wise mean embedding per label (posexplode + agg) ——
+    "group_mean_embedding" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("label"), col("i").cast("long").as("i"))
+        .agg(round(avg("v"), 6).as("m"))),
+    "cube_agg" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))),
     // —— vector arithmetic: norms via the SQL function surface ——
     "vector_norms" -> ((s: SparkSession, dir: String) => {
       Graft.register(s)
@@ -444,6 +454,13 @@ object SparkEntry {
     "vector_norms" ->
       ("SELECT vec_id, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
         "CAST(embedding AS DOUBLE[]))) AS norm, 1.0 AS unit_norm FROM embeddings"),
+    "group_mean_embedding" ->
+      ("SELECT label, i, round(avg(v), 6) AS m FROM (" +
+        "SELECT label, unnest(embedding) AS v, " +
+        "unnest(range(len(embedding))) AS i FROM embeddings) GROUP BY label, i"),
+    "cube_agg" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt " +
+        "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)"),
     "json_extract" ->
       ("SELECT event_type, count(*) AS cnt, " +
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +

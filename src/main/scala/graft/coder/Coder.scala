@@ -62,6 +62,10 @@ case class Coding(centroids: Array[Array[Array[Double]]], config: CoderConfig) {
     cell
   }
 
+  /** The reference coder-UDF's full signature (`coder.py:83-89`):
+    * the `p` nearest cells for one vector (k=1 is [[assign]]). */
+  def assignTopP(v: Array[Double], p: Int): Array[Long] = rankCells(v, p)
+
   /** Rank all k^n cells by additive score Σ_j d(target, centroid[j][digit_j])
     * and return the `probes` nearest cell ids ascending by score — the IVF
     * probe list (`coder.py:143-194`). Driver-side: k^n is capped small. */

@@ -167,3 +167,55 @@ class EngineSpec extends SparkSuite {
     assert(engine.listTables().isEmpty)
   }
 }
+
+class MetricsPropertySpec extends AnyFunSuite {
+  import org.scalacheck.{Gen, Prop}
+  import org.scalacheck.Prop.forAll
+  import org.scalatest.prop.Configuration
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.containerOfN[Array, Double](16, Gen.choose(-100.0, 100.0))
+      .suchThat(_.exists(_ != 0.0))
+
+  private def check(p: Prop): Unit = {
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("l2: identity, symmetry, triangle inequality") {
+    check(forAll(vecGen, vecGen, vecGen) { (a, b, c) =>
+      val ab = Metrics.dist(a, b, "l2"); val ba = Metrics.dist(b, a, "l2")
+      val ac = Metrics.dist(a, c, "l2"); val cb = Metrics.dist(c, b, "l2")
+      Metrics.dist(a, a, "l2") == 0.0 && ab == ba && ab <= ac + cb + 1e-9
+    })
+  }
+
+  test("cosine: range [0,1], scale invariance") {
+    check(forAll(vecGen, vecGen, Gen.choose(0.1, 10.0)) { (a, b, s) =>
+      val d = Metrics.dist(a, b, "cosine")
+      val dScaled = Metrics.dist(a.map(_ * s), b, "cosine")
+      d >= -1e-12 && d <= 1.0 + 1e-12 && math.abs(d - dScaled) < 1e-9
+    })
+  }
+
+  test("dot: negating one side negates the distance") {
+    check(forAll(vecGen, vecGen) { (a, b) =>
+      math.abs(Metrics.dist(a.map(-_), b, "dot") + Metrics.dist(a, b, "dot")) < 1e-9
+    })
+  }
+
+  test("assignTopP head equals assign") {
+    val rnd = new scala.util.Random(3)
+    val cfg = CoderConfig(metric = "l2", codebookSize = 3, numCodebooks = 2)
+    val centroids = Array.fill(2, 3, 8)(rnd.nextGaussian())
+    val coding = graft.coder.Coding(centroids, cfg)
+    for (_ <- 1 to 50) {
+      val v = Array.fill(8)(rnd.nextGaussian())
+      val top = coding.assignTopP(v, 3)
+      assert(top.length == 3 && top.distinct.length == 3)
+      assert(top.head == coding.assign(v),
+        "nearest ranked cell must equal the k=1 assignment")
+    }
+  }
+}
