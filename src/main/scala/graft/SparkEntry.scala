@@ -306,6 +306,18 @@ object SparkEntry {
       tbl(s, dir, "lineitem").agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
         .select(col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))),
+    // —— as-of join: latest prior click value per view event ——
+    "asof_join" -> ((s: SparkSession, dir: String) => {
+      val ev = tblEvents(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("prior_click_value"))
+      graft.ext.Temporal.asofJoin(views, clicks, "user_id", "ts", "click_ts",
+          Seq("prior_click_value"))
+        .select("event_id", "user_id", "prior_click_value")
+    }),
     // —— element-wise mean embedding per label (posexplode + agg) ——
     "group_mean_embedding" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "embeddings")
@@ -454,6 +466,11 @@ object SparkEntry {
     "vector_norms" ->
       ("SELECT vec_id, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
         "CAST(embedding AS DOUBLE[]))) AS norm, 1.0 AS unit_norm FROM embeddings"),
+    "asof_join" ->
+      ("SELECT l.event_id, l.user_id, r.value AS prior_click_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') l " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     "group_mean_embedding" ->
       ("SELECT label, i, round(avg(v), 6) AS m FROM (" +
         "SELECT label, unnest(embedding) AS v, " +

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks natively.
+  *
+  * As-of join (point-in-time correctness for feature lookups / event
+  * enrichment): for each left row, the latest right row with
+  * `rightTs <= leftTs` within the same key. Spark has no ASOF JOIN, so
+  * it is composed from built-ins with the standard union + windowed
+  * last-value construction — one shuffle on (key), no range explosion,
+  * skew-safe because state per key is a single carried row.
+  */
+object Temporal {
+
+  /** As-of (backward) join.
+    *
+    * @param left     probe side (e.g. queries/labels at time `leftTs`)
+    * @param right    reference side (e.g. state snapshots at `rightTs`)
+    * @param key      equi-join key column (same name on both sides)
+    * @param leftTs   left timestamp column name
+    * @param rightTs  right timestamp column name
+    * @param rightCols columns of `right` to carry (besides key/ts)
+    *
+    * Output: all left columns + carried right columns (null when no right
+    * row precedes the left row).
+    *
+    * Plan shape: union the two sides tagged by origin, sort within
+    * (key) by (ts, origin) via a window, propagate the last seen right
+    * values with `last(_, ignoreNulls = true)`, keep left rows. One
+    * shuffle on key; window state is O(1) per row.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftTagged = left
+      .withColumn("__ts__", col(leftTs))
+      .withColumn("__is_left__", lit(1))
+      .select(Seq(col(key), col("__ts__"), col("__is_left__")) ++
+        left.columns.filter(_ != key).map(c => col(c)) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val rightTagged = right
+      .withColumn("__ts__", col(rightTs))
+      .withColumn("__is_left__", lit(0))
+      .select(Seq(col(key), col("__ts__"), col("__is_left__")) ++
+        left.columns.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+    // right rows sort before left rows at equal ts => "<=" semantics
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts__").asc, col("__is_left__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(leftTagged.unionByName(rightTagged)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    val out = carried.filter(col("__is_left__") === 1)
+      .drop("__ts__", "__is_left__")
+    rightCols.foldLeft(out)((df, c) => df.withColumnRenamed(s"__r_$c", c))
+  }
+}

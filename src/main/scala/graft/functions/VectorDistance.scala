@@ -53,6 +53,12 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
       throw new IllegalArgumentException(
         s"vector_distance: dim mismatch ${n} vs ${v.numElements()}")
     val uf = isFloat(left); val vf = isFloat(right)
+    var c = 0
+    while (c < n) {
+      if (u.isNullAt(c) || v.isNullAt(c))
+        throw new IllegalArgumentException("vector_distance: null vector element")
+      c += 1
+    }
     @inline def ue(i: Int): Double = if (uf) u.getFloat(i).toDouble else u.getDouble(i)
     @inline def ve(i: Int): Double = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
     metric match {
@@ -85,6 +91,11 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
            |if ($v.numElements() != $n) {
            |  throw new IllegalArgumentException(
            |    "vector_distance: dim mismatch " + $n + " vs " + $v.numElements());
+           |}
+           |for (int z = 0; z < $n; z++) {
+           |  if ($u.isNullAt(z) || $v.isNullAt(z)) {
+           |    throw new IllegalArgumentException("vector_distance: null vector element");
+           |  }
            |}
          """.stripMargin
       val body = metric match {

@@ -208,3 +208,20 @@ class ScaleSpec extends SparkSuite {
     assert(two == plain)
   }
 }
+
+class TemporalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("asof join picks latest right row at or before left ts, null when none") {
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, 1.0), (100L, 20L, 2.0), (100L, 30L, 3.0))
+      .toDF("user_id", "click_ts", "v")
+    val got = graft.ext.Temporal.asofJoin(left, right, "user_id", "ts", "click_ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) == Some(1.0))  // ts=10 matches click_ts=10 (inclusive)
+    assert(got(2L) == Some(2.0))  // ts=25 -> latest click_ts<=25 is 20
+    assert(got(3L) == None)       // user 200 has no clicks
+  }
+}
