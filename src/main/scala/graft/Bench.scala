@@ -55,7 +55,13 @@ object Bench {
     val refJson = refTimings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", s""","recall_at_10_probes_16":$recall}""")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"sf":"$sfDir"}""")
+    // Approximate-operator quality on this SF's documents (sampled).
+    val (mhRecall, mhPairs) = graft.ext.Eval.minhashRecall(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      sampleSize = 200, shingleSize = 1, threshold = 0.5)
+    val quality = f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs}"""
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -159,14 +159,27 @@ object Coder {
     // Size partitions to the SAMPLE, not the corpus: ~100k vectors per
     // partition keeps per-step jobs at a handful of tasks even when the
     // source is thousands of parquet splits.
-    val numParts = math.max(1L, math.min(
-      spark.sparkContext.defaultParallelism.toLong,
-      math.min(wantRows, total) / 100000L + 1L)).toInt
-    // The step loop runs on the plain RDD: per-step work is then a single
-    // no-shuffle job (partition-local assignment + n·k·d partial sums,
-    // treeReduce of ~32 KB arrays) with none of the per-plan codegen /
-    // shuffle machinery that would otherwise dominate a 25-step loop.
-    val trainSet = sampled.as[Array[Double]].rdd.repartition(numParts)
+    val totalSteps = config.numEpochs * stepsPerEpoch
+    // The step loop runs on a plain RDD hash-partitioned BY MINI-BATCH:
+    // each cached row is assigned its step once, so a step's job reads
+    // exactly its own partition (PartitionPruningRDD) instead of
+    // re-scanning the whole sample to draw 1/totalSteps of it. Per-step
+    // work is then one narrow no-shuffle job (partition-local assignment
+    // + n·k·d partial sums, ~32 KB to the driver). Unlike the reference
+    // (which revisits every row each epoch), the budget-bounded sample is
+    // consumed once across all steps — same per-step batch statistics,
+    // one corpus pass total.
+    val seed0 = config.seed
+    val nSteps = totalSteps
+    val trainSet = sampled.as[Array[Double]].rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rnd = new java.util.Random(seed0 ^ (pid.toLong * 0x9E3779B97F4A7C15L))
+        it.map(v => (rnd.nextInt(nSteps), v))
+      }
+      .partitionBy(new org.apache.spark.HashPartitioner(nSteps) {
+        override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .map(_._2)
     trainSet.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trainTotal = trainSet.count()
     require(trainTotal >= k.toLong * n, s"training sample too small: $trainTotal")
@@ -176,7 +189,6 @@ object Coder {
     if (init.length < k * n) init = trainSet.take(k * n)
     val centroids = Array.tabulate(n, k)((j, i) => init(j * k + i).clone())
 
-    val batchFrac = math.min(1.0, (config.batchSize.toLong * n).toDouble / trainTotal.toDouble)
     val dim = centroids(0)(0).length
     val metric = Metrics.canonical(config.metric)
 
@@ -184,8 +196,9 @@ object Coder {
     for (_ <- 0 until config.numEpochs; _ <- 0 until stepsPerEpoch) {
       val stepSeed = config.seed + 7919L * (step + 1)
       val current = centroids.map(_.map(_.clone()))
-      val (sums, counts) = trainSet
-        .sample(withReplacement = false, batchFrac, stepSeed)
+      val stepId = step
+      val (sums, counts) = org.apache.spark.rdd.PartitionPruningRDD
+        .create(trainSet, _ == stepId)
         .mapPartitionsWithIndex { (pid, it) =>
           val rnd = new java.util.Random(stepSeed ^ (pid.toLong * 0x9E3779B97F4A7C15L))
           val s = Array.ofDim[Double](n, k, dim)

@@ -324,3 +324,79 @@ class EdgeCaseSpec extends SparkSuite {
     engine.remove()
   }
 }
+
+class PlanShapeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("probed search plan prunes partitions and plans TakeOrderedAndProject") {
+    val root = java.nio.file.Files.createTempDirectory("planshape").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("emb", sf("sf0.001", "embeddings"))
+    engine.makeIndex("c", "emb", "embedding",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 1))
+    val t = Array.fill(64)(0.1)
+    val df = engine.search("emb", "embedding", t, coding = Some("c"),
+      probes = Some(4), k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator:\n$plan")
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("__CODED_ID__"), s"no partition filter on scan:\n$scan")
+    engine.remove()
+  }
+
+  test("knn filter is pushed to the parquet scan") {
+    val df = graft.api.Search.knn(
+      sf("sf0.001", "embeddings"), "embedding",
+      sf("sf0.001", "embeddings").limit(1)
+        .select(col("embedding").cast("array<double>").as("t")),
+      "l2", 5, filter = Some(col("label") === 3))
+    val scan = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scan.contains("PushedFilters") && scan.contains("label"),
+      s"label filter not pushed:\n$scan")
+  }
+}
+
+class DeterminismSpec extends SparkSuite {
+  test("coder training is deterministic for a fixed seed and input") {
+    val cfg = CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+      batchSize = 128, numEpochs = 2, seed = 7L)
+    val emb = sf("sf0.001", "embeddings")
+    val a = graft.coder.Coder.train(emb, "embedding", cfg)
+    val b = graft.coder.Coder.train(emb, "embedding", cfg)
+    for (j <- 0 until a.n; i <- 0 until a.k)
+      assert(a.centroids(j)(i).sameElements(b.centroids(j)(i)),
+        s"centroid ($j,$i) differs between identical runs")
+  }
+}
+
+class LateDataSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("watermarked streaming agg drops events later than the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = graft.streaming.Streams
+      .windowedEventStatsStreaming(df, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), 2L, "click", 1.0))
+      q.processAllAvailable()
+      // this event is 3+ hours late: must be dropped, not re-open the window
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:40:00"), 3L, "click", 5.0))
+      q.processAllAvailable()
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 18:00:00"), 4L, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_test").collect()
+      val w10 = rows.filter(_.getAs[java.sql.Timestamp]("window_start").toString.contains("10:00"))
+      assert(w10.forall(_.getAs[Long]("cnt") == 1L),
+        s"late event leaked into closed window: ${rows.mkString("; ")}")
+    } finally q.stop()
+  }
+}
