@@ -306,6 +306,35 @@ object SparkEntry {
       tbl(s, dir, "lineitem").agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
         .select(col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))),
+    // —— hybrid retrieval: vector kNN gated by metadata from another table ——
+    "hybrid_search" -> ((s: SparkSession, dir: String) => {
+      val emb = tbl(s, dir, "embeddings")
+      val en = tbl(s, dir, "documents").filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Search.knn(emb.join(en, "vec_id"), "embedding", targetDf(s, dir), "l2",
+        k = 10, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
+        distCol = "dist")
+    }),
+    "offset_limit" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .offset(10).limit(10).select("o_orderkey", "o_totalprice")),
+    "pivot_counts" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "documents")
+        .groupBy("source")
+        .pivot("lang", Seq("en", "es", "de", "fr", "zh"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+    "regex_extract" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "documents")
+        .withColumn("first_word", regexp_extract(col("text"), "^(\\w+)", 1))
+        .groupBy("first_word").agg(count(lit(1)).as("cnt"))),
+    "array_ops" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        aggregate(col("embedding").cast("array<double>"), lit(0.0d),
+          (acc, x) => acc + x).as("sum_elems"))),
     // —— as-of join: latest prior click value per view event ——
     "asof_join" -> ((s: SparkSession, dir: String) => {
       val ev = tblEvents(s, dir)
@@ -466,6 +495,25 @@ object SparkEntry {
     "vector_norms" ->
       ("SELECT vec_id, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
         "CAST(embedding AS DOUBLE[]))) AS norm, 1.0 AS unit_norm FROM embeddings"),
+    "hybrid_search" ->
+      ("SELECT e.vec_id AS vec_id, " + l2Sql + " AS dist " +
+        "FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id " +
+        "CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t FROM embeddings WHERE vec_id = 0) q " +
+        "WHERE d.lang = 'en' ORDER BY dist ASC, vec_id ASC LIMIT 10"),
+    "offset_limit" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 10"),
+    "pivot_counts" ->
+      ("SELECT source, " +
+        "count(*) FILTER (lang = 'en') AS en, count(*) FILTER (lang = 'es') AS es, " +
+        "count(*) FILTER (lang = 'de') AS de, count(*) FILTER (lang = 'fr') AS fr, " +
+        "count(*) FILTER (lang = 'zh') AS zh FROM documents GROUP BY source"),
+    "regex_extract" ->
+      ("SELECT regexp_extract(text, '^(\\w+)', 1) AS first_word, count(*) AS cnt " +
+        "FROM documents GROUP BY 1"),
+    "array_ops" ->
+      ("SELECT vec_id, len(embedding) AS dim, " +
+        "list_sum(CAST(embedding AS DOUBLE[])) AS sum_elems FROM embeddings"),
     "asof_join" ->
       ("SELECT l.event_id, l.user_id, r.value AS prior_click_value " +
         "FROM (SELECT * FROM events WHERE event_type = 'view') l " +
