@@ -200,7 +200,18 @@ object SparkEntry {
     "dedup_cosine" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineExact(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30)),
+    // —— two-stage retrieve-rerank (coarse code scan + exact rerank) ——
+    "search_rerank" -> ((s: SparkSession, dir: String) => {
+      val e = withIndex(s, dir)
+      graft.index.Index.searchRerank(e.store, "c_l2", "emb", "embedding",
+          targetArray(s, dir), k = 10, candidates = 200, tieBreak = Seq("vec_id"))
+        .select("vec_id", Search.DistCol)
+    }),
     // —— text analysis ——
+    "text_tokens_bpe" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))),
     "text_stats" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "documents")
         .withColumn("token_count", TextAnalysis.tokenCount(col("text")).cast("long"))
@@ -420,6 +431,9 @@ object SparkEntry {
         cosPair("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])") + " AS dist " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id" +
         ") WHERE dist <= 0.30"),
+    "text_tokens_bpe" ->
+      ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok FROM documents"),
     "text_stats" ->
       ("SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count " +

@@ -116,6 +116,45 @@ object Index {
     projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
   }
 
+  /** Two-stage retrieve-rerank search (IVF-ADC shape: Jégou et al.'s
+    * asymmetric distance over the coarse codes, then exact rerank).
+    *
+    * Stage 1 scores rows by their CELL's additive score — computed from
+    * `__CODED_ID__` alone via a broadcast k^n lookup, so the coarse pass
+    * reads only (id, code) columns (at 100 TB: a ~10⁴× column-pruned
+    * scan). Stage 2 exactly re-scores the `candidates` best coarse rows.
+    * With `candidates` ≥ rows in the probed cells this equals probed
+    * search; smaller values trade recall for a bounded rerank set.
+    */
+  def searchRerank(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      target: Array[Double],
+      k: Int,
+      candidates: Int,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val coding = store.loadCoding(codingName)
+    val m = metric.getOrElse(coding.config.metric)
+    // driver-side k^n score table (capped by CoderConfig.numCells)
+    val cells = coding.rankCells(target, coding.numCells.toInt)
+    val scoreOfCell: Map[Long, Int] = cells.zipWithIndex.toMap // rank = score order
+    val scoreUdf = udf((cell: Long) => scoreOfCell.getOrElse(cell, Int.MaxValue))
+    val indexed = load(store, codingName, source, column)
+    val coarse = indexed
+      .withColumn("__cell_rank__", scoreUdf(col(CodeCol)))
+      .orderBy(col("__cell_rank__").asc +: tieBreak.map(col(_).asc): _*)
+      .limit(candidates)
+    coarse
+      .withColumn(Search.DistCol,
+        vector_distance(col(column), typedLit(target.toSeq), m))
+      .drop("__cell_rank__")
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** Batch IVF k-NN join: top-k corpus rows per query row, probing only
     * each query's nearest cells.
     *

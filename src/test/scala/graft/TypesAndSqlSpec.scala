@@ -400,3 +400,34 @@ class LateDataSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+class RerankSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("retrieve-rerank with full candidate budget equals brute force") {
+    val root = java.nio.file.Files.createTempDirectory("rerank").toString
+    val engine = new graft.api.Engine(spark, root)
+    val emb = sf("sf0.001", "embeddings")
+    engine.makeTable("emb", emb)
+    engine.makeIndex("c", "emb", "embedding",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 2))
+    val t = emb.filter($"vec_id" === 3).select($"embedding".cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val brute = engine.search("emb", "embedding", t, metric = Some("l2"),
+        k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    val rerankFull = Index.searchRerank(engine.store, "c", "emb", "embedding",
+        t, k = 10, candidates = 500, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(rerankFull == brute, "full candidate budget must equal brute force")
+
+    val rerank50 = Index.searchRerank(engine.store, "c", "emb", "embedding",
+        t, k = 10, candidates = 50, tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    val recall = brute.count(rerank50.contains) / 10.0
+    info(s"rerank recall@10 with 50/500 candidates: $recall")
+    assert(recall >= 0.3)
+    engine.remove()
+  }
+}
