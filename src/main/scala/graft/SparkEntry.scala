@@ -246,6 +246,28 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"),
           sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))),
+    "window_frame" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tbl(s, dir, "orders")
+        .withColumn("running_cents",
+          sum(round(col("o_totalprice") * 100).cast("long")).over(w))
+        .select("o_custkey", "o_orderkey", "running_cents")
+    }),
+    "window_lag" -> ((s: SparkSession, dir: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+      tblEvents(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .groupBy("event_type", "prev_type")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+    "union_distinct" -> ((s: SparkSession, dir: String) => {
+      val e = tbl(s, dir, "embeddings")
+      e.filter(col("vec_id") < 300).select("label")
+        .union(e.filter(col("vec_id") >= 200).select("label"))
+        .distinct()
+    }),
     "window_topk" -> ((s: SparkSession, dir: String) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -452,6 +474,21 @@ object SparkEntry {
       ("SELECT c_mktsegment, count(*) AS cnt, " +
         "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents " +
         "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "window_frame" ->
+      ("SELECT o_custkey, o_orderkey, " +
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents " +
+        "FROM orders"),
+    "window_lag" ->
+      ("SELECT event_type, prev_type, count(*) AS cnt FROM (" +
+        "SELECT event_type, lag(event_type, 1) OVER (" +
+        "PARTITION BY user_id ORDER BY floor(epoch(ts)) ASC, event_id ASC) AS prev_type " +
+        "FROM events) GROUP BY 1, 2"),
+    "union_distinct" ->
+      ("SELECT DISTINCT label FROM (" +
+        "SELECT label FROM embeddings WHERE vec_id < 300 " +
+        "UNION ALL SELECT label FROM embeddings WHERE vec_id >= 200)"),
     "window_topk" ->
       ("SELECT o_custkey, o_orderkey, rn FROM (" +
         "SELECT o_custkey, o_orderkey, row_number() OVER (" +
