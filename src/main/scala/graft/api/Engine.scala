@@ -73,7 +73,7 @@ class Engine(val spark: SparkSession, val root: String) {
         val cells = codingObj.rankCells(target, p)
         val indexed = sources.map(s => Index.load(store, c, s, column))
           .reduce(_ unionByName _)
-          .filter(col(Index.CodeCol).isin(cells: _*))
+          .filter(col(Index.CodeCol).isin(cells.toIndexedSeq: _*))
         val base = filter.fold(indexed)(indexed.filter)
         val withDist = base.withColumn(Search.DistCol,
           graft.functions.functions.vector_distance(

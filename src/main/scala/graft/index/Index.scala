@@ -107,7 +107,7 @@ object Index {
     val m = metric.getOrElse(coding.config.metric)
     val cells = coding.rankCells(target, probes)
     val indexed = load(store, codingName, source, column)
-    val pruned = indexed.filter(col(CodeCol).isin(cells: _*))
+    val pruned = indexed.filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
     val base = filter.fold(pruned)(pruned.filter)
     val withDist = base.withColumn(Search.DistCol,
       vector_distance(col(column), typedLit(target.toSeq), m))
@@ -187,7 +187,7 @@ object Index {
     // Union of probed cells (≤ k^n, capped at 1e6) prunes the corpus scan.
     val cells = exploded.select("__cell__").distinct().collect().map(_.getLong(0))
     val corpus = load(store, codingName, source, column)
-      .filter(col(CodeCol).isin(cells: _*))
+      .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
     val joined = corpus.join(broadcast(exploded), col(CodeCol) === col("__cell__"))
       .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
       .drop(queryVecCol, "__cell__")

@@ -219,3 +219,17 @@ class MetricsPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+class VecSumAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("element-wise vector-sum UDAF works in groupBy aggregations") {
+    val vecSum = udaf(graft.coder.VecSumAgg)
+    val df = Seq(
+      ("a", Array(1.0, 2.0)), ("a", Array(3.0, 4.0)), ("b", Array(5.0, 6.0)),
+    ).toDF("k", "v")
+    val got = df.groupBy("k").agg(vecSum($"v").as("s"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("a") == Seq(4.0, 6.0) && got("b") == Seq(5.0, 6.0))
+  }
+}
