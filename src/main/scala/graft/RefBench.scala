@@ -17,7 +17,7 @@ import graft.coder.CoderConfig
   * (which the reference never measured).
   */
 object RefBench {
-  val NumVectors = 100000
+  val NumVectors: Int = sys.env.getOrElse("GRAFT_REF_VECTORS", "100000").toInt
   val Dim = 256
   val NumClusters = 64
 

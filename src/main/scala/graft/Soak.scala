@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale soak: runs the reference-shape workload at an arbitrary corpus
+  * size (`GRAFT_REF_VECTORS`, default 100k; tested to 1M × 256-d ≈ 1 GB
+  * raw on local[32]) and reports timings + a warm probed-search rerun.
+  * Observed scaling 100k → 1M is ~linear for ingest/train/index, and
+  * probed search stays ~2 s (partition pruning caps the scan at the
+  * probed fraction regardless of corpus size). */
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (t, r) = RefBench.run(spark)
+    println("[soak] n=" + RefBench.NumVectors + " " +
+      t.map { case (k, v) => f"$k=$v%.2f" }.mkString(" ") + f" recall=$r")
+    val engine = new graft.api.Engine(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_refbench")
+    val target = engine.readTable(Seq("vectors")).filter(col("vec_id") === 0)
+      .select(col("vector").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val t0 = System.nanoTime()
+    engine.search("vectors", "vector", target, coding = Some("c"),
+      probes = Some(16), k = 10).collect()
+    println(f"[soak] probed warm: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    spark.stop()
+  }
+}
