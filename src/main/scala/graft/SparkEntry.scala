@@ -339,6 +339,29 @@ object SparkEntry {
       tbl(s, dir, "lineitem").agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
         .select(col("qs")(0).as("q25"), col("qs")(1).as("q50"), col("qs")(2).as("q75"))),
+    // —— flagship pipeline: filter docs -> join embeddings -> kNN ——
+    "pipeline_e2e" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("token_count", TextAnalysis.tokenCount(col("text")))
+        .filter(col("token_count").between(20, 80) && col("lang") =!= "und")
+        .select(col("doc_id").as("vec_id"))
+      val emb = tbl(s, dir, "embeddings").join(docs, "vec_id")
+      Search.knn(emb, "embedding", targetDf(s, dir), "cosine",
+        k = 20, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
+        distCol = "dist")
+    }),
+    "grouping_sets" -> ((s: SparkSession, dir: String) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+              |FROM orders_gs
+              |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+    "date_arith" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "lineitem").join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(round(avg(datediff(col("l_shipdate"), col("o_orderdate"))), 6).as("avg_ship_days"),
+          count(lit(1)).as("cnt"))),
     // —— hybrid retrieval: vector kNN gated by metadata from another table ——
     "hybrid_search" -> ((s: SparkSession, dir: String) => {
       val emb = tbl(s, dir, "embeddings")
@@ -546,6 +569,20 @@ object SparkEntry {
     "vector_norms" ->
       ("SELECT vec_id, sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), " +
         "CAST(embedding AS DOUBLE[]))) AS norm, 1.0 AS unit_norm FROM embeddings"),
+    "pipeline_e2e" ->
+      ("SELECT e.vec_id AS vec_id, " + cosSql + " AS dist " +
+        "FROM embeddings e JOIN (SELECT doc_id FROM documents WHERE " +
+        "(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) " +
+        "BETWEEN 20 AND 80 AND lang <> 'und') d ON e.vec_id = d.doc_id " +
+        "CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t FROM embeddings WHERE vec_id = 0) q " +
+        "ORDER BY dist ASC, vec_id ASC LIMIT 20"),
+    "grouping_sets" ->
+      ("SELECT o_orderstatus, o_orderpriority, count(*) AS cnt FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"),
+    "date_arith" ->
+      ("SELECT o_orderstatus, round(avg(date_diff('day', o_orderdate, l_shipdate)), 6) AS avg_ship_days, " +
+        "count(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY o_orderstatus"),
     "hybrid_search" ->
       ("SELECT e.vec_id AS vec_id, " + l2Sql + " AS dist " +
         "FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id " +
