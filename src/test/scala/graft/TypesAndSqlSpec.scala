@@ -431,3 +431,63 @@ class RerankSpec extends SparkSuite {
     engine.remove()
   }
 }
+
+class InterpretedModeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("expressions produce identical results with codegen disabled") {
+    val df = sf("sf0.001", "embeddings").limit(100)
+    val target = Seq.fill(64)(0.25)
+    def results(): (Map[Long, Double], Map[Long, Double]) = {
+      val dist = df.select($"vec_id",
+          graft.functions.functions.vector_distance(
+            $"embedding", typedLit(target), "cosine").as("d"))
+        .as[(Long, Double)].collect().toMap
+      val norm = df.select($"vec_id",
+          org.apache.spark.sql.GraftShims.column(
+            graft.functions.VectorNorm(
+              org.apache.spark.sql.GraftShims.expression($"embedding"))).as("n"))
+        .as[(Long, Double)].collect().toMap
+      (dist, norm)
+    }
+    val (d1, n1) = results()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val (d2, n2) = results()
+      assert(d1 == d2, "interpreted vector_distance differs from codegen")
+      assert(n1 == n2, "interpreted vector_norm differs from codegen")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("cell assignment identical in interpreted mode") {
+    val cfg = CoderConfig(metric = "cosine", codebookSize = 4, numCodebooks = 2,
+      batchSize = 64, numEpochs = 1)
+    val coding = graft.coder.Coder.train(sf("sf0.001", "embeddings"), "embedding", cfg)
+    val df = sf("sf0.001", "embeddings").limit(100)
+    def assigns() = df.select(col("vec_id"),
+        Index.assignExpr(col("embedding"), coding).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = assigns()
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(assigns() == a)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
+
+class CoderEdgeSpec extends SparkSuite {
+  test("training survives tiny batches and empty steps") {
+    val cfg = CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 2,
+      batchSize = 1, numEpochs = 5, maxStepsPerEpoch = 25)
+    val coding = graft.coder.Coder.train(sf("sf0.001", "embeddings"), "embedding", cfg)
+    assert(coding.centroids.flatten.flatten.forall(d => !d.isNaN && !d.isInfinite))
+    assert(coding.numCells == 4)
+  }
+}
