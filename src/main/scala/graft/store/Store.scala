@@ -89,6 +89,31 @@ class Store(val spark: SparkSession, val root: String) {
     require(fs.rename(new Path(tmp), new Path(src)), s"rename failed for $name")
   }
 
+  /** Range-cluster a table on `sortCol`: repartitionByRange + sort within
+    * partitions, so each output file covers a disjoint value range and
+    * Parquet row-group min/max statistics skip whole files for range
+    * predicates (the poor man's clustering key — at 100 TB this is the
+    * difference between scanning one file and scanning all of them for a
+    * `WHERE ts BETWEEN …`). */
+  def optimizeLayout(name: String, sortCol: String, numFiles: Int): Unit = {
+    val src = sourcePath(name)
+    val tmp = s"$src.__layout_tmp__"
+    spark.read.parquet(src)
+      .repartitionByRange(numFiles, org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(tmp)
+    fs.delete(new Path(src), true)
+    require(fs.rename(new Path(tmp), new Path(src)), s"rename failed for $name")
+  }
+
+  /** Catalog stats for a table: (rowCount, totalBytes, fileCount). */
+  def tableStats(name: String): (Long, Long, Int) = {
+    val p = new Path(sourcePath(name))
+    val files = fs.listStatus(p).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val rows = spark.read.parquet(sourcePath(name)).count()
+    (rows, files.map(_.getLen).sum, files.length)
+  }
+
   // ——— Codings (V3, A1) ———
 
   def saveCoding(name: String, coding: Coding): Unit = {

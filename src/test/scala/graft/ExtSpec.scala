@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{Dedup, Multimodal, TextAnalysis}
+import graft.ext.{CountMinAgg, Dedup, Multimodal, TextAnalysis}
 import graft.streaming.Streams
 
 class DedupSpec extends SparkSuite {
@@ -223,5 +223,51 @@ class TemporalSpec extends SparkSuite {
     assert(got(1L) == Some(1.0))  // ts=10 matches click_ts=10 (inclusive)
     assert(got(2L) == Some(2.0))  // ts=25 -> latest click_ts<=25 is 20
     assert(got(3L) == None)       // user 200 has no clicks
+  }
+}
+
+class SketchSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("count-min estimates bound exact counts from above within eps*N") {
+    val li = sf("sf0.001", "lineitem").select($"l_suppkey".cast("long"))
+    val exact = li.groupBy("l_suppkey").count()
+      .as[(Long, Long)].collect().toMap
+    val n = exact.values.sum
+    val agg = new CountMinAgg(width = 1024, depth = 4)
+    val cm = udaf(agg)
+    val sketch = li.select(cm($"l_suppkey").as("s"))
+      .as[Seq[Long]].collect()(0).toArray
+    exact.foreach { case (k, c) =>
+      val est = agg.estimate(sketch, k)
+      assert(est >= c, s"key $k: estimate $est below exact $c")
+      assert(est <= c + (0.01 * n).toLong + 1, s"key $k: estimate $est too high vs $c (n=$n)")
+    }
+  }
+}
+
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("optimizeLayout produces disjoint per-file ranges; stats report files") {
+    val root = java.nio.file.Files.createTempDirectory("layout").toString
+    val store = new graft.store.Store(spark, root)
+    store.createTable("li", sf("sf0.001", "lineitem").repartition(8))
+    store.optimizeLayout("li", "l_orderkey", 4)
+    val (rows, bytes, files) = store.tableStats("li")
+    assert(rows == 6000 && files == 4 && bytes > 0)
+    // per-file ranges must be disjoint after range clustering
+    val fs = new java.io.File(s"$root/sources/li").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sorted
+    val ranges = fs.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlap: $hi > $lo2")
+      case _ =>
+    }
+    store.remove()
   }
 }
