@@ -196,6 +196,11 @@ object SparkEntry {
       Dedup.nearDupPairsSimhash(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8, bands = 4)
         .select("id_a", "id_b", "hamming")),
+    // —— dedup: exact n-gram (word-set) jaccard pairs (oracle) ——
+    "dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
+      Dedup.ngramJaccardPairsExact(
+        tbl(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", shingleSize = 1, threshold = 0.6)),
     // —— dedup: embedding-cosine near-dup, exact self-join (oracle) ——
     "dedup_cosine" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineExact(
@@ -470,6 +475,14 @@ object SparkEntry {
     "dedup_exact_groups" ->
       ("SELECT lang, source, count(*) AS cnt, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY lang, source HAVING count(*) > 1"),
+    "dedup_ngram_jaccard" ->
+      ("WITH sh AS (SELECT doc_id, " +
+        "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +
+        "FROM documents WHERE doc_id < 100) " +
+        "SELECT id_a, id_b, jaccard FROM (" +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard " +
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.6"),
     "dedup_cosine" ->
       ("SELECT id_a, id_b, dist FROM (" +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

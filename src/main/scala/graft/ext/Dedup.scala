@@ -110,6 +110,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Exact all-pairs n-gram Jaccard above a threshold — the oracle-
+    * checkable baseline for the LSH variants. For word unigrams (n = 1)
+    * it is pure codegen'd built-ins (split → array_distinct →
+    * array_intersect/union); larger n uses the shingle UDF. O(n²): bound
+    * the input (e.g. a blocking key or id range) before calling at scale.
+    */
+  def ngramJaccardPairsExact(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 1, threshold: Double = 0.5): DataFrame = {
+    val withSets =
+      if (shingleSize == 1)
+        df.select(col(idCol).as("id"),
+          array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("s"))
+      else
+        df.select(col(idCol).as("id"), shingleUdf(shingleSize)(col(textCol)).as("s"))
+    val a = withSets.select(col("id").as("id_a"), col("s").as("s_a"))
+    val b = withSets.select(col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_union(col("s_a"), col("s_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ——— SimHash ———
 
   /** 64-bit SimHash over word unigrams (deterministic FNV-based). */
