@@ -61,6 +61,36 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes, rescales (e.g. bilinear)
+    * and re-encodes via a native codec. The stub emulates the data-flow
+    * cost shape — payload in, smaller payload + updated metadata out —
+    * by deterministic byte stride-sampling to `targetWidth` columns.
+    * The Spark plumbing (narrow map, metadata update, no shuffle) is the
+    * real part. */
+  def resize(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val w = math.max(1, row.meta.width)
+      if (w <= targetWidth) row
+      else {
+        val stride = w.toDouble / targetWidth
+        val rows = math.max(1, row.payload.length / w)
+        val out = new Array[Byte](targetWidth * rows)
+        var r = 0
+        while (r < rows) {
+          var c = 0
+          while (c < targetWidth) {
+            out(r * targetWidth + c) = row.payload(
+              math.min(row.payload.length - 1, r * w + (c * stride).toInt))
+            c += 1
+          }
+          r += 1
+        }
+        MediaRow(row.media_id, out, row.meta.copy(width = targetWidth))
+      }
+    }
+  }
+
   /** Build a demo media table from any table with an id + string column
     * (payload = UTF-8 bytes standing in for encoded media). */
   def mediaFromText(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {

@@ -121,6 +121,9 @@ class MultimodalSpec extends SparkSuite {
   test("media plumbing: schema, deterministic stub features, frame sampling") {
     val docs = sf("sf0.001", "documents").limit(50)
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val mrows = media.collect()
+    val lensOf = mrows.map(m => m.media_id -> m.payload.length).toMap
+    val widthOf = mrows.map(m => m.media_id -> m.meta.width).toMap
     val feats = Multimodal.extractFeatures(media, dim = 16)
     val rows = feats.collect()
     assert(rows.length == 50)
@@ -130,6 +133,13 @@ class MultimodalSpec extends SparkSuite {
     val rows2 = Multimodal.extractFeatures(media, dim = 16).collect()
     assert(rows.sortBy(_.media_id).zip(rows2.sortBy(_.media_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
+
+    // resize: narrow map, width shrinks, payload shrinks proportionally
+    val resized = Multimodal.resize(media, targetWidth = 8).collect()
+    resized.foreach { m =>
+      assert(m.meta.width <= 8)
+      assert(m.payload.length <= 8 * math.max(1, lensOf(m.media_id) / math.max(1, widthOf(m.media_id))) + 8)
+    }
 
     val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
     val byId = frames.collect().groupBy(_.media_id)
