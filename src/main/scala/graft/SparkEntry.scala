@@ -436,6 +436,12 @@ object SparkEntry {
     "events_windowed" -> ((s: SparkSession, dir: String) =>
       Streams.windowedEventStats(tblEvents(s, dir), "1 hour")
         .select(col("window_start"), col("event_type"), col("cnt"))),
+    // —— events: sliding windows (2h window, 1h slide) ——
+    "events_sliding" -> ((s: SparkSession, dir: String) =>
+      tblEvents(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))),
     // —— events: sessionization via mapGroupsWithState (counts only) ——
     "events_sessions" -> ((s: SparkSession, dir: String) =>
       Streams.sessionize(tblEvents(s, dir))
@@ -635,6 +641,10 @@ object SparkEntry {
     "events_windowed" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2"),
+    "events_sliding" ->
+      ("SELECT window_start, event_type, count(*) AS cnt FROM (" +
+        "SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start, " +
+        "event_type FROM events) GROUP BY 1, 2"),
     "events_sessions" ->
       ("SELECT user_id, count(*) AS session_events, " +
         "CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS DOUBLE) AS session_secs " +

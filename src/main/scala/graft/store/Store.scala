@@ -117,6 +117,7 @@ class Store(val spark: SparkSession, val root: String) {
   // ——— Codings (V3, A1) ———
 
   def saveCoding(name: String, coding: Coding): Unit = {
+    codingCache.remove(name)
     import spark.implicits._
     val c = coding.config
     val rows = for {
@@ -133,7 +134,21 @@ class Store(val spark: SparkSession, val root: String) {
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
+  // Driver-side coding cache: codings are tiny (n·k·d doubles) but live
+  // in Parquet, so a probed search would otherwise pay 2 small Spark jobs
+  // per call just to reload unchanged centroids. Invalidated on save/drop.
+  private val codingCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Coding]()
+
   def loadCoding(name: String): Coding = {
+    val cached = codingCache.get(name)
+    if (cached != null) return cached
+    val fresh = loadCodingUncached(name)
+    codingCache.put(name, fresh)
+    fresh
+  }
+
+  private def loadCodingUncached(name: String): Coding = {
     val in = fs.open(new Path(s"${codingPath(name)}/config.json"))
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     def field(k: String): String =
@@ -167,6 +182,7 @@ class Store(val spark: SparkSession, val root: String) {
   /** Drop a coding AND every index built from it (fixes the reference's
     * drop-index leak, `flight.py:92-100` / SURVEY A4). */
   def dropCoding(name: String): Unit = {
+    codingCache.remove(name)
     fs.delete(new Path(codingPath(name)), true)
     for {
       source <- list(s"$root/indexes")
