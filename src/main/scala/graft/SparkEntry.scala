@@ -432,6 +432,42 @@ object SparkEntry {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"), max("k").as("max_k"))),
+    // —— multi-way joins (TPC-H Q3/Q5 analogs, exact cent arithmetic) ——
+    "q3_shipping" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum((round(col("l_extendedprice") * 100) * (lit(100) - round(col("l_discount") * 100)))
+          .cast("long")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
+        .limit(10)),
+    "q5_region" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "region").filter(col("r_name") === tbl(s, dir, "region")
+          .select("r_name").orderBy("r_name").limit(1).collect()(0).getString(0))
+        .join(tbl(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .join(tbl(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
+        .join(tbl(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
+        .join(tbl(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))),
+    "cte_query" -> ((s: SparkSession, dir: String) => {
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_cte")
+      s.sql(
+        """WITH big AS (SELECT o_custkey, o_totalprice FROM orders_cte WHERE o_totalprice > 300000),
+          |ranked AS (SELECT o_custkey, count(*) AS big_orders FROM big GROUP BY o_custkey)
+          |SELECT big_orders, count(*) AS n_customers FROM ranked GROUP BY big_orders""".stripMargin)
+    }),
+    "exists_subquery" -> ((s: SparkSession, dir: String) => {
+      tbl(s, dir, "part").createOrReplaceTempView("part_ex")
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+      s.sql(
+        """SELECT p_brand, count(*) AS cnt FROM part_ex p
+          |WHERE EXISTS (SELECT 1 FROM lineitem_ex l
+          |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+          |GROUP BY p_brand""".stripMargin)
+    }),
     // —— events: tumbling-window aggregation (streaming-shaped, batch-checked) ——
     "events_windowed" -> ((s: SparkSession, dir: String) =>
       Streams.windowedEventStats(tblEvents(s, dir), "1 hour")
@@ -638,6 +674,29 @@ object SparkEntry {
         "CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k, " +
         "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k " +
         "FROM events GROUP BY event_type"),
+    "q3_shipping" ->
+      ("SELECT o_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' GROUP BY o_orderkey " +
+        "ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10"),
+    "q5_region" ->
+      ("SELECT n_name, count(*) AS cnt, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE r_name = (SELECT min(r_name) FROM region) GROUP BY n_name"),
+    "cte_query" ->
+      ("WITH big AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000), " +
+        "ranked AS (SELECT o_custkey, count(*) AS big_orders FROM big GROUP BY o_custkey) " +
+        "SELECT big_orders, count(*) AS n_customers FROM ranked GROUP BY big_orders"),
+    "exists_subquery" ->
+      ("SELECT p_brand, count(*) AS cnt FROM part p WHERE EXISTS (" +
+        "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45) " +
+        "GROUP BY p_brand"),
     "events_windowed" ->
       ("SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS cnt " +
         "FROM events GROUP BY 1, 2"),
