@@ -233,3 +233,40 @@ class VecSumAggSpec extends SparkSuite {
     assert(got("a") == Seq(4.0, 6.0) && got("b") == Seq(5.0, 6.0))
   }
 }
+
+class CoderMathSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("one Lloyd step reproduces the hand-computed update (old centroid included)") {
+    // 4 points in 1-D-ish 2-D space, 1 codebook, k=2, one epoch, one step,
+    // batch covers everything (deterministic: single batch = all rows).
+    val pts = Seq(
+      Seq(0.0f, 0.0f), Seq(0.0f, 2.0f),    // cluster A around y in {0,2}
+      Seq(10.0f, 0.0f), Seq(10.0f, 2.0f),  // cluster B
+    ).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val df = pts.toDF("id", "vec")
+    val cfg = CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 1,
+      batchSize = 8, numEpochs = 1, maxStepsPerEpoch = 1, seed = 123L)
+    val coding = graft.coder.Coder.train(df, "vec", cfg)
+    assert(coding.n == 1 && coding.k == 2 && coding.dim == 2)
+    val Array(c0, c1) = coding.centroids(0)
+    // each centroid must be the mean of its assigned points PLUS the old
+    // centroid (init = 2 sampled corpus points): with these well-separated
+    // clusters each final centroid must sit strictly inside one cluster's
+    // x-range and be the average of 2 cluster points + 1 init point (which
+    // is itself a cluster point) => x in {0, 10} exactly
+    val xs = Seq(c0(0), c1(0)).sorted
+    assert(xs(0) == 0.0 && xs(1) == 10.0,
+      s"centroids must converge to cluster x positions, got $xs")
+    // y must be the mean of {0, 2} values seen (including old centroid,
+    // which is one of the corpus points): possible exact values are
+    // means of subsets of {0,2} with one repeated => in [0, 2]
+    Seq(c0(1), c1(1)).foreach(y => assert(y >= 0.0 && y <= 2.0))
+    // assignment maps each point to its nearest final centroid
+    val assigns = pts.map { case (_, v) =>
+      coding.assign(v.map(_.toDouble).toArray)
+    }
+    assert(assigns(0) == assigns(1) && assigns(2) == assigns(3)
+      && assigns(0) != assigns(2), s"cluster co-assignment violated: $assigns")
+  }
+}
