@@ -281,3 +281,28 @@ class LayoutSpec extends SparkSuite {
     store.remove()
   }
 }
+
+class StreamStreamJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("watermarked stream-stream join matches events within the time bound") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(java.sql.Timestamp, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val v = views.toDF().toDF("v_ts", "user_id").withWatermark("v_ts", "1 hour")
+    val c = clicks.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "1 hour")
+    val joined = v.join(c,
+      expr("user_id = c_user AND c_ts BETWEEN v_ts AND v_ts + INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_test")
+      .outputMode("append").start()
+    try {
+      val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      views.addData((t(0), 1L), (t(0), 2L))
+      clicks.addData((t(10), 1L), (t(50), 2L)) // 2L's click outside the 30-min bound
+      q.processAllAvailable()
+      val got = spark.table("ssj_test").select("user_id").as[Long].collect().toSeq
+      assert(got == Seq(1L), s"only user 1's click is within bound: $got")
+    } finally q.stop()
+  }
+}
