@@ -54,6 +54,7 @@ object Multimodal {
   /** Frame sampling for video-like payloads: emit every `stride`-th
     * fixed-size chunk (flatMap ⇒ streaming, no row blow-up in memory). */
   def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int): Dataset[MediaFrame] = {
+    require(frameBytes >= 1 && stride >= 1, "frameBytes and stride must be >= 1")
     import media.sparkSession.implicits._
     media.flatMap { row =>
       row.payload.grouped(frameBytes).zipWithIndex

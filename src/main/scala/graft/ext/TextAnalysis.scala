@@ -15,9 +15,9 @@ object TextAnalysis {
 
   // ——— token counting ———
 
-  /** Whitespace token count (codegen'd built-ins only). */
+  /** Whitespace token count (codegen'd built-ins only; null ⇒ 0). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
+    when(text.isNull || length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish token count: word pieces + standalone punctuation. */

@@ -491,3 +491,33 @@ class CoderEdgeSpec extends SparkSuite {
     assert(coding.numCells == 4)
   }
 }
+
+class ReadTableComboSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("readTable composes coding + filter + select") {
+    val root = java.nio.file.Files.createTempDirectory("combo").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("emb", sf("sf0.001", "embeddings"))
+    engine.makeIndex("c", "emb", "embedding",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 1))
+    val out = engine.readTable(Seq("emb"),
+      select = Some(Seq("vec_id", graft.api.Search.CodeCol)),
+      filter = Some(col("label") >= 5),
+      coding = Some(("c", "embedding")))
+    assert(out.columns.toSeq == Seq("vec_id", graft.api.Search.CodeCol))
+    val expected = sf("sf0.001", "embeddings").filter($"label" >= 5).count()
+    assert(out.count() == expected)
+    // null-safe token count
+    val tc = Seq((1L, null.asInstanceOf[String]), (2L, "a b")).toDF("id", "text")
+      .select($"id", graft.ext.TextAnalysis.tokenCount($"text").as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(tc(1L) == 0 && tc(2L) == 2)
+    intercept[IllegalArgumentException](
+      graft.ext.Multimodal.sampleFrames(
+        graft.ext.Multimodal.mediaFromText(sf("sf0.001", "documents").limit(1), "doc_id", "text"),
+        frameBytes = 0, stride = 1))
+    engine.remove()
+  }
+}
