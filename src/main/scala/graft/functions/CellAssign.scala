@@ -57,43 +57,54 @@ case class CellAssign(child: Expression, coding: Coding) extends UnaryExpression
     val n = coding.n; val k = coding.k; val d = coding.dim
     val metric = graft.core.Metrics.canonical(coding.config.metric)
     val get = if (isFloat) "getFloat" else "getDouble"
+    // all locals freshName'd so the block can inline into host methods
+    // whose parameters use common names (UnsafeProjection's row is `i`)
+    val jV = ctx.freshName("j"); val iV = ctx.freshName("ci")
+    val tV = ctx.freshName("t"); val base = ctx.freshName("base")
+    val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+    val dist = ctx.freshName("dist"); val cell = ctx.freshName("cell")
     nullSafeCodeGen(ctx, ev, a => {
       val distBody = metric match {
         case "l2" =>
-          s"""double acc = 0.0;
-             |for (int t = 0; t < $d; t++) {
-             |  double x = $cRef[base + t] - (double) $a.$get(t);
-             |  acc += x * x;
+          val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+          s"""double $acc = 0.0;
+             |for (int $tV = 0; $tV < $d; $tV++) {
+             |  double $x = $cRef[$base + $tV] - (double) $a.$get($tV);
+             |  $acc += $x * $x;
              |}
-             |double dist = Math.sqrt(acc);""".stripMargin
+             |double $dist = Math.sqrt($acc);""".stripMargin
         case "cosine" =>
-          s"""double dot = 0.0, nu = 0.0, nv = 0.0;
-             |for (int t = 0; t < $d; t++) {
-             |  double cv = $cRef[base + t]; double xv = (double) $a.$get(t);
-             |  dot += cv * xv; nu += cv * cv; nv += xv * xv;
+          val dotV = ctx.freshName("dot"); val nu = ctx.freshName("nu")
+          val nv = ctx.freshName("nv"); val cv = ctx.freshName("cv")
+          val xv = ctx.freshName("xv")
+          s"""double $dotV = 0.0, $nu = 0.0, $nv = 0.0;
+             |for (int $tV = 0; $tV < $d; $tV++) {
+             |  double $cv = $cRef[$base + $tV]; double $xv = (double) $a.$get($tV);
+             |  $dotV += $cv * $xv; $nu += $cv * $cv; $nv += $xv * $xv;
              |}
-             |double dist = 0.5 - 0.5 * (dot / Math.sqrt(nu * nv));""".stripMargin
+             |double $dist = 0.5 - 0.5 * ($dotV / Math.sqrt($nu * $nv));""".stripMargin
         case "dot" =>
-          s"""double dot = 0.0;
-             |for (int t = 0; t < $d; t++) { dot += $cRef[base + t] * (double) $a.$get(t); }
-             |double dist = -dot;""".stripMargin
+          val dotV = ctx.freshName("dot")
+          s"""double $dotV = 0.0;
+             |for (int $tV = 0; $tV < $d; $tV++) { $dotV += $cRef[$base + $tV] * (double) $a.$get($tV); }
+             |double $dist = -$dotV;""".stripMargin
       }
       s"""
          |if ($a.numElements() != $d) {
          |  throw new IllegalArgumentException(
          |    "cell_assign: expected $d elements, got " + $a.numElements());
          |}
-         |long cell = 0L;
-         |for (int j = 0; j < $n; j++) {
-         |  int best = 0; double bestD = Double.MAX_VALUE;
-         |  for (int i = 0; i < $k; i++) {
-         |    final int base = (j * $k + i) * $d;
+         |long $cell = 0L;
+         |for (int $jV = 0; $jV < $n; $jV++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $iV = 0; $iV < $k; $iV++) {
+         |    final int $base = ($jV * $k + $iV) * $d;
          |    $distBody
-         |    if (dist < bestD) { bestD = dist; best = i; }
+         |    if ($dist < $bestD) { $bestD = $dist; $best = $iV; }
          |  }
-         |  cell = cell * $k + best;
+         |  $cell = $cell * $k + $best;
          |}
-         |${ev.value} = cell;
+         |${ev.value} = $cell;
        """.stripMargin
     })
   }

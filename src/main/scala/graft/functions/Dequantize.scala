@@ -42,7 +42,7 @@ case class Dequantize(child: Expression, scale: Float, zeroPoint: Float)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, b => {
       val out = ctx.freshName("out")
-      val i = ctx.freshName("i")
+      val i = ctx.freshName("idx")
       s"""
          |float[] $out = new float[$b.length];
          |for (int $i = 0; $i < $b.length; $i++) {

@@ -82,9 +82,12 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (u, v) => {
-      val uGet = if (isFloat(left)) s"(double) $u.getFloat(i)" else s"$u.getDouble(i)"
-      val vGet = if (isFloat(right)) s"(double) $v.getFloat(i)" else s"$v.getDouble(i)"
+      // every local is freshName'd: this code can be inlined into methods
+      // whose parameters use common names (UnsafeProjection's row is `i`)
       val n = ctx.freshName("n")
+      val idx = ctx.freshName("idx")
+      val uGet = if (isFloat(left)) s"(double) $u.getFloat($idx)" else s"$u.getDouble($idx)"
+      val vGet = if (isFloat(right)) s"(double) $v.getFloat($idx)" else s"$v.getDouble($idx)"
       val check =
         s"""
            |final int $n = $u.numElements();
@@ -92,36 +95,43 @@ case class VectorDistance(left: Expression, right: Expression, metric: String)
            |  throw new IllegalArgumentException(
            |    "vector_distance: dim mismatch " + $n + " vs " + $v.numElements());
            |}
-           |for (int z = 0; z < $n; z++) {
-           |  if ($u.isNullAt(z) || $v.isNullAt(z)) {
+           |for (int $idx = 0; $idx < $n; $idx++) {
+           |  if ($u.isNullAt($idx) || $v.isNullAt($idx)) {
            |    throw new IllegalArgumentException("vector_distance: null vector element");
            |  }
            |}
          """.stripMargin
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val dotV = ctx.freshName("dot")
+      val nu = ctx.freshName("nu")
+      val nv = ctx.freshName("nv")
+      val a = ctx.freshName("a")
+      val b = ctx.freshName("b")
       val body = metric match {
         case "l2" =>
           s"""
-             |double acc = 0.0;
-             |for (int i = 0; i < $n; i++) {
-             |  final double d = $uGet - $vGet;
-             |  acc += d * d;
+             |double $acc = 0.0;
+             |for (int $idx = 0; $idx < $n; $idx++) {
+             |  final double $d = $uGet - $vGet;
+             |  $acc += $d * $d;
              |}
-             |${ev.value} = Math.sqrt(acc);
+             |${ev.value} = Math.sqrt($acc);
            """.stripMargin
         case "cosine" =>
           s"""
-             |double dot = 0.0; double nu = 0.0; double nv = 0.0;
-             |for (int i = 0; i < $n; i++) {
-             |  final double a = $uGet; final double b = $vGet;
-             |  dot += a * b; nu += a * a; nv += b * b;
+             |double $dotV = 0.0; double $nu = 0.0; double $nv = 0.0;
+             |for (int $idx = 0; $idx < $n; $idx++) {
+             |  final double $a = $uGet; final double $b = $vGet;
+             |  $dotV += $a * $b; $nu += $a * $a; $nv += $b * $b;
              |}
-             |${ev.value} = 0.5 - 0.5 * (dot / Math.sqrt(nu * nv));
+             |${ev.value} = 0.5 - 0.5 * ($dotV / Math.sqrt($nu * $nv));
            """.stripMargin
         case "dot" =>
           s"""
-             |double dot = 0.0;
-             |for (int i = 0; i < $n; i++) { dot += $uGet * $vGet; }
-             |${ev.value} = -dot;
+             |double $dotV = 0.0;
+             |for (int $idx = 0; $idx < $n; $idx++) { $dotV += $uGet * $vGet; }
+             |${ev.value} = -$dotV;
            """.stripMargin
       }
       check + body

@@ -34,13 +34,15 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val get = if (isFloat) "getFloat" else "getDouble"
+      val acc = ctx.freshName("acc"); val idx = ctx.freshName("idx")
+      val x = ctx.freshName("x")
       s"""
-         |double acc = 0.0;
-         |for (int i = 0; i < $a.numElements(); i++) {
-         |  final double x = (double) $a.$get(i);
-         |  acc += x * x;
+         |double $acc = 0.0;
+         |for (int $idx = 0; $idx < $a.numElements(); $idx++) {
+         |  final double $x = (double) $a.$get($idx);
+         |  $acc += $x * $x;
          |}
-         |${ev.value} = Math.sqrt(acc);
+         |${ev.value} = Math.sqrt($acc);
        """.stripMargin
     })
 
@@ -74,17 +76,20 @@ case class VectorNormalize(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val get = if (isFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc"); val idx = ctx.freshName("idx")
+      val inv = ctx.freshName("inv")
       s"""
-         |final int n = $a.numElements();
-         |final double[] out = new double[n];
-         |double acc = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  out[i] = (double) $a.$get(i);
-         |  acc += out[i] * out[i];
+         |final int $n = $a.numElements();
+         |final double[] $out = new double[$n];
+         |double $acc = 0.0;
+         |for (int $idx = 0; $idx < $n; $idx++) {
+         |  $out[$idx] = (double) $a.$get($idx);
+         |  $acc += $out[$idx] * $out[$idx];
          |}
-         |final double inv = acc == 0.0 ? 0.0 : 1.0 / Math.sqrt(acc);
-         |for (int i = 0; i < n; i++) { out[i] *= inv; }
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(out);
+         |final double $inv = $acc == 0.0 ? 0.0 : 1.0 / Math.sqrt($acc);
+         |for (int $idx = 0; $idx < $n; $idx++) { $out[$idx] *= $inv; }
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
