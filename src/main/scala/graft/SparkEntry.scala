@@ -205,6 +205,12 @@ object SparkEntry {
     "dedup_cosine" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineExact(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30)),
+    // —— dedup: cosine LSH scale path (rows-only; recall vs exact in tests) ——
+    "dedup_cosine_lsh" -> ((s: SparkSession, dir: String) =>
+      Dedup.nearDupPairsCosineLsh(
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30,
+        numPlanes = 4, numTables = 16, dim = 64)
+        .select("id_a", "id_b")),
     // —— two-stage retrieve-rerank (coarse code scan + exact rerank) ——
     "search_rerank" -> ((s: SparkSession, dir: String) => {
       val e = withIndex(s, dir)

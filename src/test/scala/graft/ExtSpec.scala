@@ -306,3 +306,27 @@ class StreamStreamJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+class StreamStaticJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stream-static broadcast enrichment join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100L, "gold"), (101L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val stream = mem.toDF().toDF("ts", "user_id", "value")
+    val q = stream.join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L, 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 999L, 2.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_test")
+        .select("user_id", "tier").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got(100L) == Some("gold") && got(999L) == None)
+    } finally q.stop()
+  }
+}
