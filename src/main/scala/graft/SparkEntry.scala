@@ -484,10 +484,10 @@ object SparkEntry {
         .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("cnt"))
         .select(col("w.start").as("window_start"), col("event_type"), col("cnt"))),
-    // —— events: sessionization via mapGroupsWithState (counts only) ——
+    // —— events: gap-based sessionization (session_window, gap = 30 min) ——
     "events_sessions" -> ((s: SparkSession, dir: String) =>
-      Streams.sessionize(tblEvents(s, dir))
-        .toDF().select(col("user_id"), col("session_events"), col("session_secs"))),
+      Streams.sessionize(tblEvents(s, dir), gapSecs = 1800L)
+        .select("user_id", "session_start", "session_events", "session_secs")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -710,9 +710,17 @@ object SparkEntry {
       ("SELECT window_start, event_type, count(*) AS cnt FROM (" +
         "SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start, " +
         "event_type FROM events) GROUP BY 1, 2"),
+    // Gap sessions via lag + cumulative sum: a new session starts when the
+    // silence is STRICTLY longer than the gap (Spark's session_window
+    // merges touching [t, t+gap) windows, so diff == gap still merges).
     "events_sessions" ->
-      ("SELECT user_id, count(*) AS session_events, " +
-        "CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS DOUBLE) AS session_secs " +
-        "FROM events GROUP BY user_id"),
+      ("WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "m AS (SELECT user_id, ts_sec, CASE WHEN ts_sec - lag(ts_sec) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_sec) > 1800 THEN 1 ELSE 0 END AS brk FROM e), " +
+        "s AS (SELECT user_id, ts_sec, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_sec " +
+        "ROWS UNBOUNDED PRECEDING) AS sid FROM m) " +
+        "SELECT user_id, min(ts_sec) AS session_start, count(*) AS session_events, " +
+        "CAST(max(ts_sec) - min(ts_sec) AS DOUBLE) AS session_secs " +
+        "FROM s GROUP BY user_id, sid"),
   )
 }

@@ -59,30 +59,104 @@ object Streams {
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
-  case class SessionState(userId: Long, events: Long, totalValue: Double,
-      startTs: Long, lastTs: Long)
-  case class SessionOut(user_id: Long, session_events: Long, session_value: Double,
-      session_secs: Double)
+  /** Gap-based session windows per user (SURVEY §7 extension list).
+    *
+    * Built on Spark's `session_window`: events of one user closer than
+    * `gapSecs` merge into one session; a silence strictly longer than
+    * `gapSecs` starts a new one (events exactly `gapSecs` apart still
+    * merge — Spark merges overlapping-or-touching [t, t+gap) windows).
+    * Expects a `ts_sec` epoch-seconds column (timestamp-type-agnostic);
+    * session identity is (user_id, session_start).
+    *
+    * Runs identically on batch frames (what the DuckDB oracle checks via
+    * the lag-gap cumulative-sum formulation) and, via [[sessionizeStreaming]],
+    * as an incremental stateful streaming agg with watermark-bounded state.
+    */
+  def sessionize(events: DataFrame, gapSecs: Long = 1800L): DataFrame =
+    events
+      .withColumn("__sess_ts__", timestamp_seconds(col("ts_sec").cast("long")))
+      .groupBy(col("user_id"),
+        session_window(col("__sess_ts__"), s"$gapSecs seconds").as("__sw__"))
+      .agg(
+        min(col("ts_sec").cast("long")).as("session_start"),
+        count(lit(1)).as("session_events"),
+        sum(col("value").cast("double")).as("session_value"),
+        (max(col("ts_sec").cast("long")) - min(col("ts_sec").cast("long")))
+          .cast("double").as("session_secs"))
+      .select("user_id", "session_start", "session_events", "session_value",
+        "session_secs")
 
-  /** Session windows per user via mapGroupsWithState (custom state —
-    * SURVEY §7 extension list). Expects a `ts_sec` epoch-seconds column
-    * (timestamp-type-agnostic). Gap-based on streams: a session closes
-    * after `gapSecs` of silence (processing-time timeout). */
-  def sessionize(events: DataFrame, gapSecs: Long = 1800L): Dataset[SessionOut] = {
+  /** Streaming variant: the same gap sessions as an incremental stateful
+    * aggregation — state per (user, open session), closed and emitted once
+    * the watermark passes the session end. `events` must carry an event-time
+    * `ts` timestamp column (the watermark column) plus `ts_sec`. */
+  def sessionizeStreaming(events: DataFrame, gapSecs: Long = 1800L,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapSecs seconds").as("__sw__"))
+      .agg(
+        count(lit(1)).as("session_events"),
+        sum(col("value").cast("double")).as("session_value"))
+      .select(col("user_id"), col("__sw__.start").as("session_start"),
+        col("session_events"), col("session_value"))
+
+  case class GapSession(start: Long, last: Long, events: Long, value: Double)
+  case class SessionRow(user_id: Long, session_start: Long, session_events: Long,
+      session_value: Double, session_secs: Double)
+
+  /** Explicit-state streaming sessionization (flatMapGroupsWithState +
+    * event-time timeout) — the custom-state surface for session logic that
+    * `session_window` can't express (e.g. emitting a session the moment a
+    * later in-stream event proves the gap, not only at watermark).
+    *
+    * State is O(1) per user: exactly the one open session. Each invocation
+    * sorts only the micro-batch's rows for that key (bounded by the batch,
+    * never by user history). A completed session is emitted as soon as a
+    * later event arrives past the gap; an open session is emitted when the
+    * event-time timeout fires (watermark passed `last + gapSecs`). */
+  def sessionizeStateful(events: DataFrame, gapSecs: Long = 1800L,
+      watermark: String = "1 hour"): Dataset[SessionRow] = {
     import events.sparkSession.implicits._
-    val typed = events.select(col("user_id").cast("long"),
-        col("ts_sec").cast("long"),
-        col("value").cast("double"))
-      .as[(Long, Long, Double)]
-    typed.groupByKey(_._1).mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-      (userId: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[SessionState]) =>
-        val sorted = rows.toSeq.sortBy(_._2)
-        var s = state.getOption.getOrElse(SessionState(userId, 0L, 0.0, sorted.head._2, sorted.head._2))
-        sorted.foreach { case (_, ts, v) =>
-          s = s.copy(events = s.events + 1, totalValue = s.totalValue + v, lastTs = math.max(s.lastTs, ts))
+    // the watermarked `ts` column must survive the projection or Spark's
+    // streaming checker can't associate the event-time timeout with it
+    val typed = events.withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts_sec").cast("long"),
+        col("value").cast("double"), col("ts"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+    typed.groupByKey(_._1).flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (userId: Long, rows: Iterator[(Long, Long, Double, java.sql.Timestamp)],
+          state: GroupState[GapSession]) =>
+        def emit(s: GapSession): SessionRow =
+          SessionRow(userId, s.start, s.events, s.value, (s.last - s.start).toDouble)
+        if (state.hasTimedOut) {
+          val out = emit(state.get)
+          state.remove()
+          Iterator.single(out)
+        } else {
+          val batch = rows.map { case (_, ts, v, _) => (ts, v) }.toArray
+          batch.sortInPlaceBy(_._1)
+          val closed = Seq.newBuilder[SessionRow]
+          var open = state.getOption
+          batch.foreach { case (ts, v) =>
+            open = open match {
+              case Some(s) if ts - s.last > gapSecs =>
+                closed += emit(s)
+                Some(GapSession(ts, ts, 1L, v))
+              case Some(s) =>
+                Some(GapSession(s.start, math.max(s.last, ts), s.events + 1, s.value + v))
+              case None =>
+                Some(GapSession(ts, ts, 1L, v))
+            }
+          }
+          open.foreach { s =>
+            state.update(s)
+            // close at watermark ≥ last event + gap (epoch millis)
+            state.setTimeoutTimestamp((s.last + gapSecs) * 1000L)
+          }
+          closed.result().iterator
         }
-        state.update(s)
-        SessionOut(userId, s.events, s.totalValue, (s.lastTs - s.startTs).toDouble)
     }
   }
 }

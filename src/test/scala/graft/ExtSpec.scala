@@ -185,14 +185,101 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("sessionize aggregates per user") {
+  test("sessionize splits on gaps strictly longer than gapSecs") {
     val events = Seq(
-      (100L, 1000L, 1.5), (100L, 1300L, 2.5), (101L, 2000L, 1.0),
+      // user 100: two events 300s apart (one session), then a 1801s gap
+      (100L, 1000L, 1.5), (100L, 1300L, 2.5), (100L, 3101L, 4.0),
+      // user 101: one event
+      (101L, 2000L, 1.0),
+      // user 102: exactly-gap silence (1800s) must still merge
+      (102L, 0L, 1.0), (102L, 1800L, 1.0),
     ).toDF("user_id", "ts_sec", "value")
-    val out = Streams.sessionize(events).collect().map(s => s.user_id -> s).toMap
-    assert(out(100L).session_events == 2 && out(100L).session_value == 4.0
-      && out(100L).session_secs == 300.0)
-    assert(out(101L).session_events == 1)
+    val out = Streams.sessionize(events, gapSecs = 1800L).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start")) -> r).toMap
+    assert(out.size == 4, s"expected 4 sessions, got ${out.keys}")
+    val s1 = out((100L, 1000L))
+    assert(s1.getAs[Long]("session_events") == 2
+      && s1.getAs[Double]("session_value") == 4.0
+      && s1.getAs[Double]("session_secs") == 300.0)
+    val s2 = out((100L, 3101L))
+    assert(s2.getAs[Long]("session_events") == 1 && s2.getAs[Double]("session_secs") == 0.0)
+    assert(out((101L, 2000L)).getAs[Long]("session_events") == 1)
+    assert(out((102L, 0L)).getAs[Long]("session_events") == 2,
+      "events exactly gapSecs apart must merge (touching windows)")
+  }
+
+  test("sessionize matches the lag-gap cumulative-sum formulation on testdata") {
+    import org.apache.spark.sql.expressions.Window
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = sf("sf0.001", "events")
+      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val got = Streams.sessionize(events, gapSecs = 1800L)
+      .select("user_id", "session_start", "session_events")
+      .as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy("user_id").orderBy("ts_sec")
+    val want = events
+      .withColumn("brk", when(col("ts_sec") - lag("ts_sec", 1).over(w) > 1800L, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_sec").as("session_start"), count(lit(1)).as("session_events"))
+      .select("user_id", "session_start", "session_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
+  test("streaming sessionize: a >gap silence splits sessions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.sessionizeStreaming(df, gapSecs = 1800L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("sess_test").outputMode("append").start()
+    try {
+      val t = (sec: Long) => new java.sql.Timestamp(sec * 1000L)
+      // burst 1, then silence > gap, then burst 2
+      mem.addData((t(1000L), 7L, 1.0), (t(1300L), 7L, 2.0))
+      q.processAllAvailable()
+      mem.addData((t(4000L), 7L, 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close session 2
+      mem.addData((t(100000L), 8L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_test").filter($"user_id" === 7L)
+        .select("session_start", "session_events", "session_value")
+        .as[(java.sql.Timestamp, Long, Double)].collect().sortBy(_._1.getTime)
+      assert(got.length == 2, s"expected 2 sessions: ${got.mkString(",")}")
+      assert(got(0)._2 == 2 && got(0)._3 == 3.0)
+      assert(got(1)._2 == 1 && got(1)._3 == 3.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize: emits on in-stream gap and on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+    val df = mem.toDF().toDF("ts", "user_id", "ts_sec", "value")
+    val q = Streams.sessionizeStateful(df, gapSecs = 1800L, watermark = "0 seconds")
+      .toDF().writeStream.format("memory").queryName("sess_state_test")
+      .outputMode("append").start()
+    try {
+      val t = (sec: Long) => new java.sql.Timestamp(sec * 1000L)
+      mem.addData((t(1000L), 7L, 1000L, 1.0), (t(1300L), 7L, 1300L, 2.0))
+      q.processAllAvailable()
+      // in-stream gap: this event both closes session 1 and opens session 2
+      mem.addData((t(4000L), 7L, 4000L, 3.0))
+      q.processAllAvailable()
+      // watermark far past session 2's end -> timeout emits it
+      mem.addData((t(100000L), 8L, 100000L, 0.0))
+      q.processAllAvailable()
+      mem.addData((t(200000L), 9L, 200000L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_state_test").filter($"user_id" === 7L)
+        .select("session_start", "session_events", "session_value", "session_secs")
+        .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+      assert(got.length == 2, s"expected 2 sessions: ${got.mkString(",")}")
+      assert(got(0) == ((1000L, 2L, 3.0, 300.0)))
+      assert(got(1) == ((4000L, 1L, 3.0, 0.0)))
+    } finally q.stop()
   }
 }
 
