@@ -46,7 +46,24 @@ object Bench {
       }
       name -> secs.min
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // Bounded-budget ANN variants (the queries map runs these at full
+    // budget for the oracle; the pruned scan fraction is the scale story).
+    val scratch = new graft.api.Engine(spark,
+      s"${System.getProperty("java.io.tmpdir")}/graft_root_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val target = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .collect()(0).getSeq[Double](0).toArray
+    val pruned = Seq(
+      "search_probed_16" -> (() => scratch.search("emb", "embedding", target,
+        coding = Some("c_l2"), probes = Some(16), k = 10).count()),
+      "search_rerank_200" -> (() => graft.index.Index.searchRerank(scratch.store,
+        "c_l2", "emb", "embedding", target, k = 10, candidates = 200).count()),
+    ).map { case (name, fn) =>
+      name -> (1 to 2).map(_ => time(fn())).min
+    }
+
+    val qs = (results ++ pruned).map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 

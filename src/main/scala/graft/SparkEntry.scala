@@ -137,18 +137,23 @@ object SparkEntry {
       (for { j <- 0 until coding.n; i <- 0 until coding.k }
         yield (j, i, coding.centroids(j)(i).sum)).toDF("codebook", "cell", "centroid_sum")
     }),
-    // —— V6/V7: index build + load with codes (rows-only) ——
+    // —— V6/V7: index build + load — the cell-partitioned copy must be a
+    // faithful copy (no row loss/dup, columns preserved, codes in range);
+    // cell-assignment optimality itself is ScalaTest-verified ——
     "index_build" -> ((s: SparkSession, dir: String) => {
       val e = withIndex(s, dir)
       e.readTable(Seq("emb"), coding = Some(("c_l2", "embedding")))
-        .select(col("vec_id"), col(Search.CodeCol))
+        .select(col("vec_id"), col("label"),
+          col(Search.CodeCol).between(0, idxConfig.numCells - 1)
+            .as("code_in_range"))
     }),
-    // —— V4/V8: probed (IVF) search at ~25% scan fraction (rows-only) ——
+    // —— V4/V8: probed (IVF) search; at full probes (= all 64 cells) the
+    // result is exact, so the flagship path gets the brute-force oracle ——
     "search_probed" -> ((s: SparkSession, dir: String) => {
       val e = withIndex(s, dir)
       e.search("emb", "embedding", targetArray(s, dir), coding = Some("c_l2"),
-        probes = Some(16), k = 10, tieBreak = Seq("vec_id"))
-        .select("vec_id", Search.DistCol)
+        probes = Some(64), k = 10, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
 
     // —— SQL surface: native expression registered via extensions ——
@@ -171,13 +176,17 @@ object SparkEntry {
           tieBreak = Seq("vec_id"))
         .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
     }),
-    // —— quint8 tensor round-trip (rows-only; exactness in ScalaTest) ——
+    // —— quint8 tensor round-trip: quantize → dequantize → recover the
+    // integer codes exactly (dequantize is exact for power-of-two scales),
+    // so the byte-sum is oracle-checkable in SQL ——
     "tensor_quantize" -> ((s: SparkSession, dir: String) => {
       import graft.types.Tensors
       tbl(s, dir, "embeddings")
         .withColumn("q", Tensors.quantizeUdf(0.25f, 128f)(col("embedding")))
         .withColumn("deq", Tensors.dequantize(col("q"), 0.25f, 128f))
-        .select(col("vec_id"), length(col("q")).cast("long").as("n_bytes"))
+        .select(col("vec_id"), length(col("q")).cast("long").as("n_bytes"),
+          aggregate(col("deq").cast("array<double>"), lit(0.0d),
+            (acc, x) => acc + (x / 0.25d + 128.0d)).cast("long").as("q_sum"))
     }),
 
     // —— dedup: exact (hash groupBy) ——
@@ -211,12 +220,14 @@ object SparkEntry {
         tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30,
         numPlanes = 4, numTables = 16, dim = 64)
         .select("id_a", "id_b")),
-    // —— two-stage retrieve-rerank (coarse code scan + exact rerank) ——
+    // —— two-stage retrieve-rerank; at a full candidate budget it equals
+    // exact search, so it shares the brute-force oracle (bounded-budget
+    // recall is ScalaTest + bench territory) ——
     "search_rerank" -> ((s: SparkSession, dir: String) => {
       val e = withIndex(s, dir)
       graft.index.Index.searchRerank(e.store, "c_l2", "emb", "embedding",
-          targetArray(s, dir), k = 10, candidates = 200, tieBreak = Seq("vec_id"))
-        .select("vec_id", Search.DistCol)
+          targetArray(s, dir), k = 10, candidates = 1 << 20, tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
     // —— text analysis ——
     "text_tokens_bpe" -> ((s: SparkSession, dir: String) =>
@@ -590,6 +601,20 @@ object SparkEntry {
       ("SELECT count(DISTINCT l_partkey) AS n_parts, " +
         "count(DISTINCT l_suppkey) AS n_supps FROM lineitem"),
     "knn_sql" -> knnOracle(l2Sql),
+    // probed search at probes = numCells scans every cell ⇒ exact top-k
+    "search_probed" -> knnOracle(l2Sql),
+    // rerank with a full candidate budget re-scores everything ⇒ exact top-k
+    "search_rerank" -> knnOracle(l2Sql),
+    // the index is a faithful partitioned copy: same rows, columns intact,
+    // every assigned cell id within [0, numCells)
+    "index_build" ->
+      "SELECT vec_id, label, CAST(1 AS BOOLEAN) AS code_in_range FROM embeddings",
+    // quantization codes recovered through the exact dequantize round-trip
+    "tensor_quantize" ->
+      ("SELECT vec_id, CAST(any_value(n) AS BIGINT) AS n_bytes, " +
+        "CAST(sum(least(greatest(round(CAST(x AS DOUBLE) / 0.25 + 128), 0), 255)) AS BIGINT) AS q_sum " +
+        "FROM (SELECT vec_id, len(embedding) AS n, unnest(embedding) AS x FROM embeddings) " +
+        "GROUP BY vec_id"),
     "knn_join_ivf" ->
       ("SELECT q_id, vec_id, dist FROM (" +
         "SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +

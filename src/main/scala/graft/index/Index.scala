@@ -138,13 +138,16 @@ object Index {
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
     val m = metric.getOrElse(coding.config.metric)
-    // driver-side k^n score table (capped by CoderConfig.numCells)
+    // driver-side k^n score table (capped by CoderConfig.numCells), shipped
+    // as a map literal so the rank lookup stays inside codegen (no UDF on
+    // the coarse path); cells absent from the coding rank last
     val cells = coding.rankCells(target, coding.numCells.toInt)
     val scoreOfCell: Map[Long, Int] = cells.zipWithIndex.toMap // rank = score order
-    val scoreUdf = udf((cell: Long) => scoreOfCell.getOrElse(cell, Int.MaxValue))
     val indexed = load(store, codingName, source, column)
     val coarse = indexed
-      .withColumn("__cell_rank__", scoreUdf(col(CodeCol)))
+      .withColumn("__cell_rank__",
+        coalesce(try_element_at(typedLit(scoreOfCell), col(CodeCol)),
+          lit(Int.MaxValue)))
       .orderBy(col("__cell_rank__").asc +: tieBreak.map(col(_).asc): _*)
       .limit(candidates)
     coarse

@@ -58,15 +58,18 @@ object Tensors {
           size(col(column)).cast("string")))))
 
   /** Quantize a float-array column to a quint8 binary payload (inverse of
-    * [[dequantize]]): `b[i] = clamp(round(x[i] / scale + zeroPoint), 0, 255)`. */
+    * [[dequantize]]): `b[i] = clamp(round(x[i] / scale + zeroPoint), 0, 255)`.
+    * The affine transform is computed in double so the rounding boundary is
+    * well-defined (and replicable by the SQL oracle) instead of depending
+    * on float ulps. */
   def quantizeUdf(scale: Float, zeroPoint: Float) = udf { (v: Seq[Float]) =>
     if (v == null) null
     else {
       val out = new Array[Byte](v.length)
       var i = 0
       while (i < v.length) {
-        val q = math.round(v(i) / scale + zeroPoint)
-        out(i) = math.max(0, math.min(255, q)).toByte
+        val q = math.round(v(i).toDouble / scale + zeroPoint)
+        out(i) = math.max(0L, math.min(255L, q)).toByte
         i += 1
       }
       out

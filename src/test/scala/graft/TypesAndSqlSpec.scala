@@ -428,6 +428,12 @@ class RerankSpec extends SparkSuite {
     val recall = brute.count(rerank50.contains) / 10.0
     info(s"rerank recall@10 with 50/500 candidates: $recall")
     assert(recall >= 0.3)
+
+    // the coarse rank lookup must stay in codegen: no ScalaUDF in the plan
+    val plan = Index.searchRerank(engine.store, "c", "emb", "embedding",
+      t, k = 10, candidates = 50, tieBreak = Seq("vec_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"rerank plan must be UDF-free:\n$plan")
     engine.remove()
   }
 }
