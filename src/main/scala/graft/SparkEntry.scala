@@ -217,8 +217,7 @@ object SparkEntry {
     // —— dedup: cosine LSH scale path (rows-only; recall vs exact in tests) ——
     "dedup_cosine_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineLsh(
-        tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30,
-        numPlanes = 4, numTables = 16, dim = 64)
+        tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30)
         .select("id_a", "id_b")),
     // —— two-stage retrieve-rerank; at a full candidate budget it equals
     // exact search, so it shares the brute-force oracle (bounded-budget

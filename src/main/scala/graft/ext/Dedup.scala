@@ -194,42 +194,98 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
-  /** Scale path: multi-table random-hyperplane LSH. `numTables` independent
-    * sign-bit hashes of `numPlanes` bits each; a pair is a candidate if it
-    * collides in ANY table (collision prob 1-(1-p^b)^L, p = 1-θ/π), then
-    * exact cosine verify. Seeded planes ⇒ deterministic. Only (id, bucket)
-    * pairs shuffle for candidate generation; vectors join back for the
-    * verify step. */
+  /** Scale path: multi-table random-hyperplane (SRP) LSH. `numTables`
+    * independent sign-bit signatures of `numPlanes` bits each; a pair is a
+    * candidate if it collides in ANY table (prob 1-(1-p^b)^L, p = 1-θ/π),
+    * then exact cosine verify computed INSIDE the bucket-join stage —
+    * candidates are filtered down to true pairs before any further
+    * exchange, so the only wide shuffles are the banded (id, bucket, vec)
+    * rows (n·L of them, hash-partitioned by bucket) and a final dedupe of
+    * the surviving pairs (tiny). No all-pairs stage, no candidate
+    * materialization. Hyperplanes are generated deterministically from
+    * `seed` at the FULL vector dimensionality (taken from each row).
+    *
+    * Parameter guidance: recall for a pair at angle θ is 1-(1-p^b)^L with
+    * p = 1-θ/π per plane. The defaults (b = 5, L = 32) hold recall ≳ 0.95
+    * out to cosine distance 0.30 (p = 0.63 — a LOOSE threshold; most of
+    * the collision-prob curve's discrimination is gone there). For tight
+    * near-dup thresholds (≤ 0.1, p ≥ 0.8) raise `numPlanes` to 8-16 to cut
+    * candidate volume — recall stays high because p^b decays slowly for
+    * genuinely close pairs. */
   def nearDupPairsCosineLsh(
       df: DataFrame, idCol: String, vecCol: String, maxDist: Double,
-      numPlanes: Int = 4, numTables: Int = 16, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(numTables, numPlanes, dim)(rnd.nextGaussian())
+      numPlanes: Int = 5, numTables: Int = 32, seed: Long = 42L): DataFrame = {
+    val (nP, nT, sd) = (numPlanes, numTables, seed)
+    require(nP >= 1 && nP <= 32, s"numPlanes must be in [1,32], got $nP")
     val bucketsUdf = udf { (v: Seq[Double]) =>
-      Array.tabulate(numTables) { t =>
-        var sig = 0L; var p = 0
-        while (p < numPlanes) {
-          var dot = 0.0; var i = 0
-          while (i < math.min(dim, v.length)) { dot += planes(t)(p)(i) * v(i); i += 1 }
+      // unbox ONCE: indexing the boxed ArraySeq the converter hands over
+      // costs ~100× a primitive-array access in this hot loop
+      val a = v.toArray
+      val planes = CosineLsh.planesFor(nT, nP, a.length, sd)
+      Array.tabulate(nT) { t =>
+        var sig = 0L
+        var p = 0
+        while (p < nP) {
+          val pl = planes(t)(p)
+          var dot = 0.0
+          var i = 0
+          while (i < a.length) { dot += pl(i) * a(i); i += 1 }
           if (dot >= 0) sig |= (1L << p)
           p += 1
         }
         (t.toLong << 32) | sig
       }
     }
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    val banded = vecs
-      .withColumn("bucket", explode(bucketsUdf(col("vec").cast("array<double>"))))
-      .select("id", "bucket")
-    val cands = banded.as("a").join(banded.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    cands
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .withColumn("dist", vector_distance(col("vec_a"), col("vec_b"), "cosine"))
-      .filter(col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+    // Within-bucket verify as one tight local loop per bucket: candidate
+    // pairs never materialize as joined rows (a bucket self-JOIN would copy
+    // two vector arrays per candidate — at a loose threshold that's ~all
+    // pairs); only true near-dup pairs are emitted. Same double-precision
+    // arithmetic as vector_distance, so results are bit-consistent with
+    // the exact operator.
+    val md = maxDist
+    val pairsUdf = udf { (ids: Seq[Long], vecs: Seq[Seq[Double]]) =>
+      val idArr = ids.toArray // unbox once; the pair loop indexes O(n²) times
+      val n = idArr.length
+      val arrs = new Array[Array[Double]](n)
+      var i = 0
+      while (i < n) { arrs(i) = vecs(i).toArray; i += 1 }
+      val out = Array.newBuilder[(Long, Long, Double)]
+      i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val d = graft.core.Metrics.dist(arrs(i), arrs(j), "cosine")
+          if (d <= md && idArr(i) != idArr(j)) {
+            if (idArr(i) < idArr(j)) out += ((idArr(i), idArr(j), d))
+            else out += ((idArr(j), idArr(i), d))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("bucket", explode(bucketsUdf(col("vec"))))
+    banded.groupBy("bucket")
+      .agg(collect_list(col("id")).as("ids"), collect_list(col("vec")).as("vecs"))
+      .select(explode(pairsUdf(col("ids"), col("vecs"))).as("p"))
+      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
+      .agg(min(col("p._3")).as("dist"))
   }
+}
+
+/** Deterministic per-executor cache of SRP hyperplanes (tiny: L·b·d
+  * doubles); keyed by dimensionality so the full vector is always hashed. */
+private[ext] object CosineLsh {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int, Int, Long), Array[Array[Array[Double]]]]()
+
+  def planesFor(numTables: Int, numPlanes: Int, dim: Int,
+      seed: Long): Array[Array[Array[Double]]] =
+    cache.computeIfAbsent((numTables, numPlanes, dim, seed), _ => {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numTables, numPlanes, dim)(rnd.nextGaussian())
+    })
 }

@@ -65,10 +65,11 @@ object Tensors {
   def quantizeUdf(scale: Float, zeroPoint: Float) = udf { (v: Seq[Float]) =>
     if (v == null) null
     else {
-      val out = new Array[Byte](v.length)
+      val a = v.toArray // unbox once: boxed-Seq indexing is slow in hot loops
+      val out = new Array[Byte](a.length)
       var i = 0
-      while (i < v.length) {
-        val q = math.round(v(i).toDouble / scale + zeroPoint)
+      while (i < a.length) {
+        val q = math.round(a(i).toDouble / scale + zeroPoint)
         out(i) = math.max(0L, math.min(255L, q)).toByte
         i += 1
       }

@@ -54,18 +54,19 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((4L, 5L)))
   }
 
-  test("cosine LSH near-dup is a subset of exact with high recall on testdata") {
-    val emb = sf("sf0.001", "embeddings")
-    val exact = Dedup.nearDupPairsCosineExact(emb, "vec_id", "embedding", 0.30)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.30,
-        numPlanes = 4, numTables = 16, dim = 64)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(lsh.subsetOf(exact), "LSH must only return true near-dups (verified)")
-    if (exact.nonEmpty) {
-      val recall = lsh.size.toDouble / exact.size
-      info(s"cosine LSH recall: $recall (${lsh.size}/${exact.size})")
-      assert(recall >= 0.5, s"recall too low: $recall")
+  test("cosine LSH near-dup is a subset of exact with recall >= 0.9") {
+    for (scale <- Seq("sf0.001", "sf0.01")) {
+      val emb = sf(scale, "embeddings")
+      val exact = Dedup.nearDupPairsCosineExact(emb, "vec_id", "embedding", 0.30)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val lsh = Dedup.nearDupPairsCosineLsh(emb, "vec_id", "embedding", 0.30)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(lsh.subsetOf(exact), s"$scale: LSH must only return true (verified) near-dups")
+      if (exact.nonEmpty) {
+        val recall = lsh.size.toDouble / exact.size
+        info(s"$scale cosine LSH recall: $recall (${lsh.size}/${exact.size})")
+        assert(recall >= 0.9, s"$scale recall too low: $recall")
+      }
     }
   }
 }
