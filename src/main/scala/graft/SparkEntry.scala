@@ -459,8 +459,11 @@ object SparkEntry {
         .orderBy(col("revenue_c").desc, col("o_orderkey").asc)
         .limit(10)),
     "q5_region" -> ((s: SparkSession, dir: String) =>
-      tbl(s, dir, "region").filter(col("r_name") === tbl(s, dir, "region")
-          .select("r_name").orderBy("r_name").limit(1).collect()(0).getString(0))
+      // min-region scalar via a broadcast 1-row join: stays one job, no
+      // driver round-trip (matches the oracle's scalar subquery)
+      tbl(s, dir, "region").join(
+          broadcast(tbl(s, dir, "region").agg(min("r_name").as("__r_min__"))),
+          col("r_name") === col("__r_min__"))
         .join(tbl(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
         .join(tbl(s, dir, "customer"), col("c_nationkey") === col("n_nationkey"))
         .join(tbl(s, dir, "orders"), col("o_custkey") === col("c_custkey"))

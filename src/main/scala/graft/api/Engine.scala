@@ -88,7 +88,7 @@ class Engine(val spark: SparkSession, val root: String) {
           Seq(Tuple1(target.toSeq)).toDF("__target__")
         }
         Search.knn(store.loadTable(sources: _*), column, targetDf,
-          metric.getOrElse("l2"), k, filter, select, tieBreak)
+          requireMetric(metric), k, filter, select, tieBreak)
     }
 
   /** Brute-force or probed top-k depending on `coding`/`probes`, mirroring
@@ -115,8 +115,17 @@ class Engine(val spark: SparkSession, val root: String) {
           Seq(Tuple1(target.toSeq)).toDF("__target__")
         }
         Search.knn(store.loadTable(source), column, targetDf,
-          metric.getOrElse("l2"), k, filter, select, tieBreak)
+          requireMetric(metric), k, filter, select, tieBreak)
     }
+
+  /** Brute-force search has no coding to default from, so the metric must
+    * be explicit — matching the reference's validated-metric contract
+    * (`flight.py:254-256`); a silent l2 default would hand cosine
+    * workloads wrong answers. */
+  private def requireMetric(metric: Option[String]): String =
+    metric.getOrElse(throw new IllegalArgumentException(
+      "metric is required for search without a coding; expected one of " +
+        graft.core.Metrics.All.mkString(", ")))
 
   def remove(): Unit = store.remove()
 }

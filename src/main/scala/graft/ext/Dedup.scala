@@ -118,7 +118,10 @@ object Dedup {
     */
   def ngramJaccardPairsExact(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 1, threshold: Double = 0.5): DataFrame = {
+      shingleSize: Int = 1, threshold: Double = 0.5,
+      maxRows: Long = 100000L): DataFrame = {
+    guardAllPairs(df, "ngramJaccardPairsExact", maxRows,
+      "nearDupPairsMinhash")
     val withSets =
       if (shingleSize == 1)
         df.select(col(idCol).as("id"),
@@ -133,6 +136,19 @@ object Dedup {
           size(array_union(col("s_a"), col("s_b"))))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Refuse to launch an O(n²) all-pairs job above `maxRows` — the exact
+    * operators exist as oracle baselines, not as 100 TB paths. Raising
+    * `maxRows` is the explicit opt-in. The count is one metadata-cheap
+    * column-pruned job. */
+  private def guardAllPairs(df: DataFrame, op: String, maxRows: Long,
+      scalePath: String): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$op is an exact O(n²) all-pairs baseline and the input has $n rows " +
+        s"(> maxRows=$maxRows). Use the LSH scale path ($scalePath) for " +
+        "large tables, or pass a larger maxRows to opt in explicitly.")
   }
 
   // ——— SimHash ———
@@ -183,9 +199,13 @@ object Dedup {
   // ——— embedding cosine near-dup ———
 
   /** All pairs with cosine distance ≤ maxDist, exact O(n²) self-join —
-    * the small-corpus / oracle-checkable baseline. */
+    * the small-corpus / oracle-checkable baseline. Guarded: inputs above
+    * `maxRows` throw instead of silently launching an n² job. */
   def nearDupPairsCosineExact(
-      df: DataFrame, idCol: String, vecCol: String, maxDist: Double): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, maxDist: Double,
+      maxRows: Long = 100000L): DataFrame = {
+    guardAllPairs(df, "nearDupPairsCosineExact", maxRows,
+      "nearDupPairsCosineLsh")
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))

@@ -35,7 +35,8 @@ object Eval {
   /** Recall@k of probed IVF search vs brute force for one target. */
   def probedRecall(engine: graft.api.Engine, source: String, column: String,
       coding: String, target: Array[Double], k: Int, probes: Int): Double = {
-    val brute = engine.search(source, column, target, metric = None, k = k,
+    val brute = engine.search(source, column, target,
+        metric = Some(engine.store.loadCoding(coding).config.metric), k = k,
         tieBreak = Seq("vec_id"))
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val probed = engine.search(source, column, target, coding = Some(coding),

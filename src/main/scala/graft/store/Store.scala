@@ -46,8 +46,12 @@ class Store(val spark: SparkSession, val root: String) {
 
   // ——— Tables (S1-S6) ———
 
+  /** Write a table; columns declared as fixed-shape tensors (via
+    * `Tensors.asTensor` metadata) are shape-checked during the write, so a
+    * ragged vector fails ingest rather than a later distance/assign. */
   def createTable(name: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(sourcePath(name))
+    graft.types.Tensors.enforceDeclaredShapes(df)
+      .write.mode("overwrite").parquet(sourcePath(name))
 
   /** Load one or many sources; many ⇒ vertical concat (S4/P7,
     * `table.py:12-21`). */

@@ -57,6 +57,27 @@ object Tensors {
           lit(s"tensor '$column' expected $flatSize elements, got "),
           size(col(column)).cast("string")))))
 
+  /** Enforce the declared flat size of EVERY column tagged with
+    * `graft.shape` metadata (via [[asTensor]]/[[quint8Meta]]) — the Spark
+    * equivalent of the reference's fixed-size-list type guarantee
+    * (`ex/arrow/tensor/tensor.py:10-29`): a ragged vector fails at ingest
+    * with a clear error instead of dim-mismatching at distance time.
+    * Columns keep their metadata through the check. */
+  def enforceDeclaredShapes(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      shapeOf(f) match {
+        case Some(shape) if f.dataType.isInstanceOf[ArrayType] =>
+          val flat = shape.product
+          acc.withColumn(f.name,
+            when(size(col(f.name)) === flat, col(f.name))
+              .otherwise(raise_error(concat(
+                lit(s"tensor '${f.name}' expected $flat elements, got "),
+                size(col(f.name)).cast("string"))))
+              .as(f.name, f.metadata))
+        case _ => acc
+      }
+    }
+
   /** Quantize a float-array column to a quint8 binary payload (inverse of
     * [[dequantize]]): `b[i] = clamp(round(x[i] / scale + zeroPoint), 0, 255)`.
     * The affine transform is computed in double so the rounding boundary is

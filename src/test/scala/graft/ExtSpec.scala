@@ -54,6 +54,16 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((4L, 5L)))
   }
 
+  test("all-pairs baselines refuse oversized inputs, pointing at the LSH path") {
+    val err = intercept[IllegalArgumentException](
+      Dedup.nearDupPairsCosineExact(sf("sf0.001", "embeddings"), "vec_id",
+        "embedding", 0.30, maxRows = 10).collect())
+    assert(err.getMessage.contains("nearDupPairsCosineLsh"), err.getMessage)
+    val err2 = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairsExact(docs, "doc_id", "text", maxRows = 2).collect())
+    assert(err2.getMessage.contains("nearDupPairsMinhash"), err2.getMessage)
+  }
+
   test("cosine LSH near-dup is a subset of exact with recall >= 0.9") {
     for (scale <- Seq("sf0.001", "sf0.01")) {
       val emb = sf(scale, "embeddings")

@@ -61,6 +61,36 @@ class TensorsSpec extends SparkSuite {
     intercept[Exception](Tensors.enforceShape(bad, "t", 2).collect())
   }
 
+  test("ragged vector fails fast at ingest when the shape is declared") {
+    val root = java.nio.file.Files.createTempDirectory("ragged").toString
+    val store = new graft.store.Store(spark, root)
+    val good = Tensors.asTensor(
+      Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 4.0f))).toDF("id", "v"), "v", Seq(2))
+    store.createTable("ok", good)
+    assert(store.loadTable("ok").count() == 2)
+    val ragged = Tensors.asTensor(
+      Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f))).toDF("id", "v"), "v", Seq(2))
+    val err = intercept[Exception](store.createTable("bad", ragged))
+    assert(err.getMessage.contains("expected 2 elements"),
+      s"ingest must fail with a clear shape error: ${err.getMessage}")
+    store.remove()
+  }
+
+  test("brute-force search requires an explicit metric") {
+    val root = java.nio.file.Files.createTempDirectory("metricreq").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("e", sf("sf0.001", "embeddings").limit(5))
+    val t = Array.fill(64)(0.0)
+    val err = intercept[IllegalArgumentException](
+      engine.search("e", "embedding", t, k = 3))
+    for (m <- Metrics.All)
+      assert(err.getMessage.contains(m), s"error must list '$m': ${err.getMessage}")
+    val err2 = intercept[IllegalArgumentException](
+      engine.searchMulti(Seq("e"), "embedding", t, k = 3))
+    assert(err2.getMessage.contains("metric"))
+    engine.remove()
+  }
+
   test("nested tensor = struct of arrays with path access") {
     val df = Seq((1L, (Seq(1.0f, 2.0f), Seq(0.1f)))).toDF("id", "nested")
       .select($"id", $"nested._1".as("image"), $"nested._2".as("audio"))
@@ -311,15 +341,15 @@ class EdgeCaseSpec extends SparkSuite {
     val engine = new graft.api.Engine(spark, root)
     engine.makeTable("e", sf("sf0.001", "embeddings").limit(5))
     val t = Array.fill(64)(0.0)
-    assert(engine.search("e", "embedding", t, k = 100).count() == 5)
-    assert(engine.search("e", "embedding", t, k = 10,
+    assert(engine.search("e", "embedding", t, metric = Some("l2"), k = 100).count() == 5)
+    assert(engine.search("e", "embedding", t, metric = Some("l2"), k = 10,
       filter = Some(col("vec_id") < 0)).count() == 0)
     // null vector rows are skipped by the null-safe distance (null dist
     // sorts last in Spark's default NULLS LAST ascending order)
     val withNull = sf("sf0.001", "embeddings").limit(3)
       .select($"vec_id", when($"vec_id" === 0, lit(null)).otherwise($"embedding").as("embedding"))
     engine.makeTable("n", withNull)
-    val got = engine.search("n", "embedding", t, k = 3)
+    val got = engine.search("n", "embedding", t, metric = Some("l2"), k = 3)
     assert(got.count() == 3 && got.filter(col(graft.api.Search.DistCol).isNull).count() == 1)
     engine.remove()
   }
