@@ -176,6 +176,22 @@ object SparkEntry {
           tieBreak = Seq("vec_id"))
         .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
     }),
+    // —— PQ: product-quantization ADC search (codes-only coarse scan +
+    // exact rerank); at full candidate budget the result is exact, so the
+    // PQ path gets the brute-force oracle (same contract as search_probed) ——
+    "search_pq" -> ((s: SparkSession, dir: String) => {
+      val e = scratchEngine(s, dir)
+      val emb = tbl(s, dir, "embeddings")
+      val cb = graft.coder.PQ.trainOrLoad(s"${e.root}/pq_l2.json", emb,
+        "embedding", graft.coder.PQ.PQConfig(numSubspaces = 8,
+          codebookSize = 16, metric = "l2"))
+      val coded = emb.withColumn("__PQ__",
+        graft.coder.PQ.encodeExpr(col("embedding"), cb))
+      graft.coder.PQ.search(coded, "embedding", "__PQ__", cb,
+          targetArray(s, dir), k = 10, candidates = 1 << 20,
+          tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
     // —— quint8 tensor round-trip: quantize → dequantize → recover the
     // integer codes exactly (dequantize is exact for power-of-two scales),
     // so the byte-sum is oracle-checkable in SQL ——
@@ -240,6 +256,13 @@ object SparkEntry {
     "text_lang_quality" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.analyze(tbl(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang_pred", "quality", "fingerprint")),
+    // —— text: quality components + unrounded score (oracle-checked) ——
+    "text_quality" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.qualityComponents(tbl(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("punct_ratio"), col("stopword_ratio"),
+          TextAnalysis.qualityExpr(col("n_tokens"), col("stopword_ratio"),
+            col("punct_ratio")).as("quality"))),
     // —— multimodal plumbing (payload bytes; features are stubbed) ——
     "media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.extractFeatures(
@@ -557,6 +580,30 @@ object SparkEntry {
       ("SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count " +
         "FROM documents"),
+    // mirrors TextAnalysis.qualityComponents + qualityExpr term-for-term
+    // (same IEEE op order => bit-identical doubles; Java \p{Punct} and
+    // RE2 [[:punct:]] are the same ASCII set)
+    "text_quality" ->
+      ("WITH d AS (SELECT doc_id, trim(text) AS t FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(t, '\\s+')) END AS n_tokens, " +
+        "length(t) AS n_chars, " +
+        "length(t) - length(regexp_replace(t, '[[:punct:]]', '', 'g')) AS n_punct, " +
+        "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+        "ELSE len(list_filter(regexp_split_to_array(t, '\\s+'), " +
+        "x -> x IN ('the','a','of','and','to','in','is','it'))) END AS n_stop " +
+        "FROM d), " +
+        "r AS (SELECT doc_id, n_tokens, " +
+        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio, " +
+        "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio " +
+        "FROM c) " +
+        "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, punct_ratio, stopword_ratio, " +
+        "greatest(0.0, least(1.0, " +
+        "least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+        "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
+        "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)) AS quality " +
+        "FROM r"),
     "media_features" ->
       "SELECT doc_id AS media_id, 'image' AS modality, octet_length(encode(text)) AS n_bytes FROM documents",
     "media_frames" ->
@@ -605,6 +652,8 @@ object SparkEntry {
     "knn_sql" -> knnOracle(l2Sql),
     // probed search at probes = numCells scans every cell ⇒ exact top-k
     "search_probed" -> knnOracle(l2Sql),
+    // PQ search at full candidate budget is exact (rerank covers the corpus)
+    "search_pq" -> knnOracle(l2Sql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),
     // the index is a faithful partitioned copy: same rows, columns intact,

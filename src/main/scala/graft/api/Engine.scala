@@ -58,7 +58,7 @@ class Engine(val spark: SparkSession, val root: String) {
   def searchMulti(
       sources: Seq[String],
       column: String,
-      target: Array[Double],
+      target: TargetVector,
       metric: Option[String] = None,
       coding: Option[String] = None,
       probes: Option[Int] = None,
@@ -70,24 +70,19 @@ class Engine(val spark: SparkSession, val root: String) {
       case (Some(c), Some(p)) =>
         val codingObj = store.loadCoding(c)
         val m = metric.getOrElse(codingObj.config.metric)
-        val cells = codingObj.rankCells(target, p)
+        val cells = codingObj.rankCells(target.doubles, p)
         val indexed = sources.map(s => Index.load(store, c, s, column))
           .reduce(_ unionByName _)
           .filter(col(Index.CodeCol).isin(cells.toIndexedSeq: _*))
         val base = filter.fold(indexed)(indexed.filter)
         val withDist = base.withColumn(Search.DistCol,
-          graft.functions.functions.vector_distance(
-            col(column), typedLit(target.toSeq), m))
+          graft.functions.functions.vector_distance(col(column), target.lit, m))
         val projected = select.fold(withDist)(cols =>
           withDist.select((cols :+ Search.DistCol).map(col): _*))
         projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
       case _ =>
-        val spark0 = spark
-        val targetDf = {
-          import spark0.implicits._
-          Seq(Tuple1(target.toSeq)).toDF("__target__")
-        }
-        Search.knn(store.loadTable(sources: _*), column, targetDf,
+        Search.knn(store.loadTable(sources: _*), column,
+          spark.range(1).select(target.lit.as("__target__")),
           requireMetric(metric), k, filter, select, tieBreak)
     }
 
@@ -96,7 +91,7 @@ class Engine(val spark: SparkSession, val root: String) {
   def search(
       source: String,
       column: String,
-      target: Array[Double],
+      target: TargetVector,
       metric: Option[String] = None,
       coding: Option[String] = None,
       probes: Option[Int] = None,
@@ -109,12 +104,8 @@ class Engine(val spark: SparkSession, val root: String) {
         Index.searchProbed(store, c, source, column, target, k, p, metric,
           filter, select, tieBreak)
       case _ =>
-        val spark0 = spark
-        val targetDf = {
-          import spark0.implicits._
-          Seq(Tuple1(target.toSeq)).toDF("__target__")
-        }
-        Search.knn(store.loadTable(source), column, targetDf,
+        Search.knn(store.loadTable(source), column,
+          spark.range(1).select(target.lit.as("__target__")),
           requireMetric(metric), k, filter, select, tieBreak)
     }
 

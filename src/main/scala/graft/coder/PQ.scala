@@ -1,0 +1,278 @@
+package graft.coder
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metrics
+
+/** Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+  * Nearest Neighbor Search", IEEE TPAMI 2011).
+  *
+  * Complements the engine's IVF coder (full-dim codebooks, reference
+  * `/root/reference/src/fenix/io/coder/coder.py`) with the other classic
+  * compression axis: the vector is split into `m` contiguous subvectors,
+  * each quantized against its own `k`-centroid codebook, giving an m-byte
+  * code per vector (k ≤ 256). At 100 TB this is the memory story — a
+  * 256-d float corpus compresses ~128× into codes that fit a fraction of
+  * executor RAM, and the ADC scan reads ONLY (id, code) columns.
+  *
+  * Search is asymmetric distance computation (ADC): a per-query m×k
+  * lookup table of exact subspace distances to every centroid is computed
+  * driver-side (tiny), broadcast inside a codegen'd expression
+  * ([[graft.functions.PQAdcScore]]), and each row's approximate distance
+  * is m table lookups — no float vector is touched until the exact
+  * rerank of the top `candidates` rows.
+  *
+  * Metric handling:
+  *   - l2: codebooks on raw vectors; ADC table = squared subspace l2;
+  *     approx dist = sqrt(Σ).
+  *   - cosine: vectors l2-normalized before encode; table = subspace dot
+  *     vs the normalized query; approx dist = 0.5 − 0.5·Σ (the engine's
+  *     cosine-distance convention, `coder.py:38-50`).
+  *   - dot: raw vectors; table = subspace dot; approx dist = −Σ.
+  * Encode always picks the subspace-l2-nearest centroid (the standard
+  * asymmetric scheme — only the query side changes per metric).
+  */
+object PQ {
+
+  case class PQConfig(
+      numSubspaces: Int = 8,
+      codebookSize: Int = 256,
+      metric: String = "l2",
+      sampleSize: Int = 8192,
+      iters: Int = 15,
+      seed: Long = 42L) {
+    require(codebookSize >= 2 && codebookSize <= 256,
+      s"codebookSize must be in [2, 256] (one byte per subspace), got $codebookSize")
+    require(numSubspaces >= 1, "numSubspaces must be >= 1")
+  }
+
+  /** Trained codebooks: `centroids(sub)(code)` is a subDim-length array. */
+  case class PQCodebooks(config: PQConfig, dim: Int,
+      centroids: Array[Array[Array[Double]]]) {
+    val m: Int = config.numSubspaces
+    val k: Int = config.codebookSize
+    require(dim % m == 0, s"dim $dim not divisible by numSubspaces $m")
+    val subDim: Int = dim / m
+    def canonicalMetric: String = Metrics.canonical(config.metric)
+
+    /** Flat [m*k*subDim] copy for the codegen expression. */
+    def flat: Array[Double] = {
+      val out = new Array[Double](m * k * subDim)
+      for (j <- 0 until m; i <- 0 until k)
+        System.arraycopy(centroids(j)(i), 0, out, (j * k + i) * subDim, subDim)
+      out
+    }
+
+    private def maybeNormalize(v: Array[Double]): Array[Double] =
+      if (canonicalMetric == "cosine") {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      } else v
+
+    /** Driver-side encode (the distributed path is [[encodeExpr]]). */
+    def encode(vRaw: Array[Double]): Array[Byte] = {
+      require(vRaw.length == dim, s"expected $dim dims, got ${vRaw.length}")
+      val v = maybeNormalize(vRaw)
+      val code = new Array[Byte](m)
+      var j = 0
+      while (j < m) {
+        var best = 0; var bestD = Double.MaxValue
+        var i = 0
+        while (i < k) {
+          val c = centroids(j)(i)
+          var acc = 0.0; var t = 0
+          while (t < subDim) {
+            val dlt = c(t) - v(j * subDim + t); acc += dlt * dlt; t += 1
+          }
+          if (acc < bestD) { bestD = acc; best = i }
+          i += 1
+        }
+        code(j) = best.toByte
+        j += 1
+      }
+      code
+    }
+
+    /** Per-query ADC lookup table, flat [m*k]: entry (j,i) is subspace j's
+      * exact contribution of centroid i against the query. */
+    def adcTable(targetRaw: Array[Double]): Array[Double] = {
+      require(targetRaw.length == dim, s"expected $dim dims, got ${targetRaw.length}")
+      val q = maybeNormalize(targetRaw)
+      val table = new Array[Double](m * k)
+      val metric = canonicalMetric
+      for (j <- 0 until m; i <- 0 until k) {
+        val c = centroids(j)(i)
+        var acc = 0.0; var t = 0
+        metric match {
+          case "l2" =>
+            while (t < subDim) { val d = c(t) - q(j * subDim + t); acc += d * d; t += 1 }
+          case _ => // cosine | dot: subspace dot product
+            while (t < subDim) { acc += c(t) * q(j * subDim + t); t += 1 }
+        }
+        table(j * k + i) = acc
+      }
+      table
+    }
+  }
+
+  // ——— training ———
+
+  /** Train per-subspace codebooks with plain seeded Lloyd iterations over
+    * a bounded sample. Driver-side on purpose: the training input is
+    * capped at `sampleSize` rows (PQ codebooks need only a sketch of the
+    * distribution — Jégou et al. train on ~100k samples for billion-scale
+    * corpora), so training cost is independent of corpus size; the
+    * corpus-scale passes (encode, ADC scan) are distributed. */
+  def train(df: DataFrame, column: String, cfg: PQConfig): PQCodebooks = {
+    val rows = df.select(col(column).cast("array<double>"))
+      .limit(cfg.sampleSize).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.nonEmpty, "PQ.train: empty input")
+    val dim = rows.head.length
+    val m = cfg.numSubspaces
+    require(dim % m == 0, s"dim $dim not divisible by numSubspaces $m")
+    val subDim = dim / m
+    val metric = Metrics.canonical(cfg.metric)
+    val data: Array[Array[Double]] =
+      if (metric == "cosine") rows.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      } else rows
+    val k = math.min(cfg.codebookSize, data.length)
+
+    val centroids = Array.tabulate(m) { j =>
+      val sub = data.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      lloyd(sub, k, cfg.iters, cfg.seed + j)
+    }
+    PQCodebooks(cfg.copy(codebookSize = k), dim, centroids)
+  }
+
+  /** Standard Lloyd k-means (seeded init from distinct sample points;
+    * empty clusters re-seeded from the farthest point). */
+  private def lloyd(xs: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    val d = xs.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(xs.indices.toVector).take(k)
+    var cents = init.map(i => xs(i).clone()).toArray
+    val assign = new Array[Int](xs.length)
+    var it = 0
+    while (it < iters) {
+      // assignment
+      var i = 0
+      while (i < xs.length) {
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var acc = 0.0; var t = 0
+          while (t < d) { val dl = cents(c)(t) - xs(i)(t); acc += dl * dl; t += 1 }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      // update
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < xs.length) {
+        val a = assign(i); counts(a) += 1
+        var t = 0
+        while (t < d) { sums(a)(t) += xs(i)(t); t += 1 }
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) xs(rnd.nextInt(xs.length)).clone()
+        else { val out = sums(c); var t = 0; while (t < d) { out(t) /= counts(c); t += 1 }; out }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  // ——— persistence (cache alongside the store root) ———
+
+  /** JSON save/load so repeated Verify/Bench runs skip retraining. */
+  def save(path: String, cb: PQCodebooks): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = mapper.createObjectNode()
+    payload.put("dim", cb.dim)
+    payload.put("metric", cb.config.metric)
+    payload.put("numSubspaces", cb.config.numSubspaces)
+    payload.put("codebookSize", cb.config.codebookSize)
+    payload.put("sampleSize", cb.config.sampleSize)
+    payload.put("iters", cb.config.iters)
+    payload.put("seed", cb.config.seed)
+    payload.set("centroids", mapper.valueToTree(cb.centroids))
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, mapper.writeValueAsBytes(payload),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def load(path: String): PQCodebooks = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(Files.readAllBytes(Paths.get(path)))
+    val cfg = PQConfig(
+      numSubspaces = n.get("numSubspaces").asInt(),
+      codebookSize = n.get("codebookSize").asInt(),
+      metric = n.get("metric").asText(),
+      sampleSize = n.get("sampleSize").asInt(),
+      iters = n.get("iters").asInt(),
+      seed = n.get("seed").asLong())
+    val cents = mapper.treeToValue(n.get("centroids"), classOf[Array[Array[Array[Double]]]])
+    PQCodebooks(cfg, n.get("dim").asInt(), cents)
+  }
+
+  def trainOrLoad(cachePath: String, df: DataFrame, column: String, cfg: PQConfig): PQCodebooks =
+    if (Files.exists(Paths.get(cachePath))) load(cachePath)
+    else { val cb = train(df, column, cfg); save(cachePath, cb); cb }
+
+  // ——— distributed encode + search ———
+
+  /** Codes column (binary, m bytes/row) — the one corpus-scale encode pass. */
+  def encodeExpr(vec: Column, cb: PQCodebooks): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.PQEncode(
+        org.apache.spark.sql.GraftShims.expression(vec), cb))
+
+  /** Approximate (ADC) distance of a codes column to `target`. */
+  def adcScoreExpr(codes: Column, cb: PQCodebooks, target: Array[Double]): Column =
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.PQAdcScore(
+        org.apache.spark.sql.GraftShims.expression(codes),
+        cb.adcTable(target), cb.m, cb.k, cb.canonicalMetric))
+
+  /** Two-stage PQ search: ADC coarse top-`candidates` over codes only,
+    * then exact rerank on the raw vectors. With `candidates` ≥ corpus
+    * size this equals brute-force search (the oracle contract); bounded
+    * candidates trade recall for a scan that never touches vectors.
+    *
+    * @param tieBreak deterministic ordering under distance ties (applies
+    *                 to both stages).
+    */
+  def search(
+      dfWithCodes: DataFrame,
+      vecCol: String,
+      codesCol: String,
+      cb: PQCodebooks,
+      target: Array[Double],
+      k: Int,
+      candidates: Int,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val coarse = dfWithCodes
+      .withColumn("__ADC__", adcScoreExpr(col(codesCol), cb, target))
+      .orderBy(col("__ADC__").asc +: tieBreak.map(col(_).asc): _*)
+      .limit(candidates)
+    coarse
+      .withColumn(graft.api.Search.DistCol,
+        graft.functions.functions.vector_distance(
+          col(vecCol), typedLit(target.toSeq), cb.canonicalMetric))
+      .drop("__ADC__")
+      .orderBy(col(graft.api.Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+}

@@ -46,16 +46,23 @@ object TextAnalysis {
         when(nTokens > 0, (nChars - (nTokens - 1)).cast("double") / nTokens).otherwise(0.0))
   }
 
+  /** The combined quality formula over precomputed components — kept as a
+    * standalone expression so the oracle SQL can mirror it term-for-term
+    * (identical IEEE evaluation order ⇒ bit-identical doubles). */
+  def qualityExpr(nTokens: Column, stopwordRatio: Column, punctRatio: Column): Column = {
+    val lenScore = least(nTokens.cast("double") / 64.0, lit(1.0))
+    val stopScore = lit(1.0) - abs(stopwordRatio - 0.4) / 0.6
+    val punctScore = lit(1.0) - least(punctRatio * 4.0, lit(1.0))
+    greatest(lit(0.0), least(lit(1.0),
+      lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3))
+  }
+
   /** Scalar quality score in [0,1]: rewards mid-length docs with a sane
     * stopword ratio and low punctuation density. */
   def qualityScore(df: DataFrame, textCol: String, out: String = "quality"): DataFrame = {
     val c = qualityComponents(df, textCol)
-    val lenScore = least(col("n_tokens").cast("double") / 64.0, lit(1.0))
-    val stopScore = lit(1.0) - abs(col("stopword_ratio") - 0.4) / 0.6
-    val punctScore = lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0))
     c.withColumn(out,
-      round(greatest(lit(0.0), least(lit(1.0),
-        lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3)), 6))
+      round(qualityExpr(col("n_tokens"), col("stopword_ratio"), col("punct_ratio")), 6))
       .drop("n_chars_c", "punct_ratio", "stopword_ratio", "avg_token_len")
   }
 

@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+import graft.coder.PQ.PQCodebooks
+
+/** PQ encode as a native codegen'd expression — the one corpus-scale pass
+  * of product quantization (see [[graft.coder.PQ]]): each vector becomes
+  * an m-byte code (nearest subspace centroid per block). Codebooks ride
+  * the generated code as one flat double[]; the loop reads the vector's
+  * `ArrayData` in place (float or double element type). Cosine metric
+  * l2-normalizes the vector on the fly, matching
+  * [[graft.coder.PQ.PQCodebooks.encode]] bit-for-bit.
+  */
+case class PQEncode(child: Expression, cb: PQCodebooks) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<float>/array<double>, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pq_encode"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val flat: Array[Double] = cb.flat
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val v = new Array[Double](arr.numElements())
+    val f = isFloat
+    var i = 0
+    while (i < v.length) { v(i) = if (f) arr.getFloat(i).toDouble else arr.getDouble(i); i += 1 }
+    cb.encode(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCentroids", flat, "double[]")
+    val m = cb.m; val k = cb.k; val subDim = cb.subDim; val dim = cb.dim
+    val get = if (isFloat) "getFloat" else "getDouble"
+    val cosine = cb.canonicalMetric == "cosine"
+    val code = ctx.freshName("code"); val inv = ctx.freshName("inv")
+    val jV = ctx.freshName("j"); val iV = ctx.freshName("ci")
+    val tV = ctx.freshName("t"); val base = ctx.freshName("base")
+    val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+    val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+    val dl = ctx.freshName("dl"); val nrm = ctx.freshName("nrm")
+    nullSafeCodeGen(ctx, ev, a => {
+      val invInit = if (cosine) {
+        s"""double $nrm = 0.0;
+           |for (int $tV = 0; $tV < $dim; $tV++) {
+           |  double $x = (double) $a.$get($tV); $nrm += $x * $x;
+           |}
+           |double $inv = ($nrm == 0.0) ? 1.0 : 1.0 / Math.sqrt($nrm);""".stripMargin
+      } else s"final double $inv = 1.0;"
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "pq_encode: expected $dim elements, got " + $a.numElements());
+         |}
+         |$invInit
+         |byte[] $code = new byte[$m];
+         |for (int $jV = 0; $jV < $m; $jV++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $iV = 0; $iV < $k; $iV++) {
+         |    final int $base = ($jV * $k + $iV) * $subDim;
+         |    double $acc = 0.0;
+         |    for (int $tV = 0; $tV < $subDim; $tV++) {
+         |      double $dl = $cRef[$base + $tV] - (double) $a.$get($jV * $subDim + $tV) * $inv;
+         |      $acc += $dl * $dl;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $iV; }
+         |  }
+         |  $code[$jV] = (byte) $best;
+         |}
+         |${ev.value} = $code;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC (asymmetric distance computation) over PQ codes: m byte-indexed
+  * lookups into a per-query table of exact subspace distances, summed and
+  * mapped to the engine's distance convention. The scan that carries this
+  * expression touches only the codes column — at 100 TB the float vectors
+  * stay on disk until the exact rerank.
+  */
+case class PQAdcScore(child: Expression, table: Array[Double], m: Int, k: Int,
+    metric: String) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score expects binary codes, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score"
+
+  private def finish(acc: Double): Double = metric match {
+    case "l2"     => math.sqrt(acc)
+    case "cosine" => 0.5 - 0.5 * acc
+    case "dot"    => -acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val codes = input.asInstanceOf[Array[Byte]]
+    if (codes.length != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score: expected $m code bytes, got ${codes.length}")
+    var acc = 0.0; var j = 0
+    while (j < m) { acc += table(j * k + (codes(j) & 0xFF)); j += 1 }
+    finish(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("adcTable", table, "double[]")
+    val acc = ctx.freshName("acc"); val jV = ctx.freshName("j")
+    val fin = metric match {
+      case "l2"     => s"Math.sqrt($acc)"
+      case "cosine" => s"0.5 - 0.5 * $acc"
+      case "dot"    => s"-$acc"
+    }
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |if ($c.length != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_score: expected $m code bytes, got " + $c.length);
+         |}
+         |double $acc = 0.0;
+         |for (int $jV = 0; $jV < $m; $jV++) {
+         |  $acc += $tRef[$jV * $k + ($c[$jV] & 0xFF)];
+         |}
+         |${ev.value} = $fin;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -96,7 +96,7 @@ object Index {
       codingName: String,
       source: String,
       column: String,
-      target: Array[Double],
+      target: graft.api.TargetVector,
       k: Int,
       probes: Int,
       metric: Option[String] = None,
@@ -105,12 +105,12 @@ object Index {
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
     val m = metric.getOrElse(coding.config.metric)
-    val cells = coding.rankCells(target, probes)
+    val cells = coding.rankCells(target.doubles, probes)
     val indexed = load(store, codingName, source, column)
     val pruned = indexed.filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
     val base = filter.fold(pruned)(pruned.filter)
     val withDist = base.withColumn(Search.DistCol,
-      vector_distance(col(column), typedLit(target.toSeq), m))
+      vector_distance(col(column), target.lit, m))
     val projected = select.fold(withDist)(cols =>
       withDist.select((cols :+ Search.DistCol).map(col): _*))
     projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
@@ -131,7 +131,7 @@ object Index {
       codingName: String,
       source: String,
       column: String,
-      target: Array[Double],
+      target: graft.api.TargetVector,
       k: Int,
       candidates: Int,
       metric: Option[String] = None,
@@ -141,7 +141,7 @@ object Index {
     // driver-side k^n score table (capped by CoderConfig.numCells), shipped
     // as a map literal so the rank lookup stays inside codegen (no UDF on
     // the coarse path); cells absent from the coding rank last
-    val cells = coding.rankCells(target, coding.numCells.toInt)
+    val cells = coding.rankCells(target.doubles, coding.numCells.toInt)
     val scoreOfCell: Map[Long, Int] = cells.zipWithIndex.toMap // rank = score order
     val indexed = load(store, codingName, source, column)
     val coarse = indexed
@@ -152,7 +152,7 @@ object Index {
       .limit(candidates)
     coarse
       .withColumn(Search.DistCol,
-        vector_distance(col(column), typedLit(target.toSeq), m))
+        vector_distance(col(column), target.lit, m))
       .drop("__cell_rank__")
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
       .limit(k)

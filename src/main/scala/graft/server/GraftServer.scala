@@ -1,0 +1,195 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
+
+import graft.api.{Engine, TargetVector}
+import graft.coder.CoderConfig
+
+/** Thin JSON-over-HTTP serving surface for the engine.
+  *
+  * The reference deploys as a client/server pair over Arrow Flight
+  * (`/root/reference/src/fenix/flight.py:17-134` server, 137-292 client,
+  * `launch.py:12-21` CLI): `do_put` ingests, `do_get` scans/searches,
+  * `do_action` administers. This wrapper re-creates that workflow —
+  * create table / read / make coder / make index / search / drop from a
+  * second process — over plain HTTP+JSON using only the JDK's built-in
+  * `HttpServer` and Spark's bundled Jackson, so the library API remains
+  * the contract and the wire layer stays ~300 lines.
+  *
+  * Deliberately NOT the bulk-data path: row payloads ride JSON, which is
+  * fine for control-plane ops, small ingests and top-k results. At 100 TB
+  * the data plane is distributed parquet via [[Engine.makeTable]] /
+  * `spark.read` — a server round-trip for bulk data would serialize the
+  * cluster through one socket, which is exactly the single-node shape
+  * this engine exists to avoid.
+  *
+  * Verbs (reference analogue in parens):
+  *   - `GET    /api/tables`                    (list-tables action)
+  *   - `PUT    /api/tables/{name}`             (do_put) — body `{"schema": ddl, "rows": [{...}]}`
+  *   - `GET    /api/tables/{name}?select=&filter=&limit=` (do_get scan)
+  *   - `DELETE /api/tables/{name}`             (drop-table action)
+  *   - `GET    /api/codings`                   (list-codings action)
+  *   - `POST   /api/indexes`                   (make-coder + sync-index actions)
+  *   - `DELETE /api/indexes/{name}`            (drop-index action)
+  *   - `POST   /api/search`                    (do_exchange search)
+  */
+class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
+  private val mapper = new ObjectMapper()
+  private val http = HttpServer.create(new InetSocketAddress(host, port), 0)
+  private val pool = Executors.newFixedThreadPool(4)
+  /** Cap on rows returned by a single scan/search response. */
+  val maxResponseRows = 10000
+
+  def boundPort: Int = http.getAddress.getPort
+
+  def start(): GraftServer = {
+    http.setExecutor(pool)
+    http.createContext("/api", (ex: HttpExchange) => handle(ex))
+    http.start()
+    this
+  }
+
+  def stop(): Unit = { http.stop(0); pool.shutdown() }
+
+  // ——— routing ———
+
+  private def handle(ex: HttpExchange): Unit = {
+    val method = ex.getRequestMethod
+    val path = ex.getRequestURI.getPath.stripPrefix("/api").stripSuffix("/")
+    val segs = path.stripPrefix("/").split("/").toList.filter(_.nonEmpty)
+    try {
+      (method, segs) match {
+        case ("GET", "tables" :: Nil) =>
+          ok(ex, mapper.writeValueAsString(Map("tables" -> engine.listTables().asJava).asJava))
+        case ("PUT", "tables" :: name :: Nil)    => putTable(ex, name)
+        case ("GET", "tables" :: name :: Nil)    => getTable(ex, name)
+        case ("DELETE", "tables" :: name :: Nil) =>
+          engine.dropTable(name); ok(ex, """{"dropped":true}""")
+        case ("GET", "codings" :: Nil) =>
+          ok(ex, mapper.writeValueAsString(Map("codings" -> engine.listCodings().asJava).asJava))
+        case ("POST", "indexes" :: Nil)          => postIndex(ex)
+        case ("DELETE", "indexes" :: name :: Nil) =>
+          engine.dropIndex(name); ok(ex, """{"dropped":true}""")
+        case ("POST", "search" :: Nil)           => postSearch(ex)
+        case _ => send(ex, 404, s"""{"error":"no route: $method $path"}""")
+      }
+    } catch {
+      case NonFatal(e) =>
+        send(ex, 400, mapper.writeValueAsString(
+          Map("error" -> s"${e.getClass.getSimpleName}: ${e.getMessage}").asJava))
+    }
+  }
+
+  // ——— handlers ———
+
+  /** do_put analogue: JSON rows + explicit schema DDL, ingested through
+    * the normal table-creation path (shape enforcement included). */
+  private def putTable(ex: HttpExchange, name: String): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val ddl = require(body, "schema").asText()
+    val rows = require(body, "rows")
+    val spark = engine.spark
+    import spark.implicits._
+    val ds = spark.createDataset(rows.elements().asScala.map(_.toString).toSeq)
+    val df = spark.read.schema(ddl).json(ds)
+    engine.makeTable(name, df)
+    ok(ex, s"""{"table":"$name","rows":${engine.readTable(Seq(name)).count()}}""")
+  }
+
+  /** do_get scan analogue: select / filter / limit as query params. */
+  private def getTable(ex: HttpExchange, name: String): Unit = {
+    val params = queryParams(ex)
+    val select = params.get("select").map(_.split(",").toSeq)
+    val filter = params.get("filter").map(expr)
+    val limit = params.get("limit").map(_.toInt).getOrElse(maxResponseRows)
+    val df = engine.readTable(Seq(name), select, filter)
+    okRows(ex, df.limit(math.min(limit, maxResponseRows)))
+  }
+
+  /** make-coder + sync-index in one verb (the reference's make-index
+    * flow, `flight.py:205-233`). Config fields mirror [[CoderConfig]]. */
+  private def postIndex(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val name = require(body, "name").asText()
+    val source = require(body, "source").asText()
+    val column = require(body, "column").asText()
+    val base = CoderConfig(metric = require(body, "metric").asText())
+    val cfg = base.copy(
+      codebookSize = intOr(body, "codebookSize", base.codebookSize),
+      numCodebooks = intOr(body, "numCodebooks", base.numCodebooks),
+      batchSize = intOr(body, "batchSize", base.batchSize),
+      numEpochs = intOr(body, "numEpochs", base.numEpochs))
+    engine.makeIndex(name, source, column, cfg)
+    ok(ex, s"""{"index":"$name"}""")
+  }
+
+  /** Search: brute (explicit metric) or probed (coding + probes), same
+    * decision table as [[Engine.search]] / `flight.py:242-288`. */
+  private def postSearch(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val sources = require(body, "sources").elements().asScala.map(_.asText()).toSeq
+    val column = require(body, "column").asText()
+    val target: TargetVector =
+      require(body, "target").elements().asScala.map(_.asDouble()).toArray[Double]
+    val metric = opt(body, "metric").map(_.asText())
+    val coding = opt(body, "coding").map(_.asText())
+    val probes = opt(body, "probes").map(_.asInt())
+    val k = intOr(body, "k", 10)
+    val filter = opt(body, "filter").map(n => expr(n.asText()))
+    val select = opt(body, "select").map(_.elements().asScala.map(_.asText()).toSeq)
+    val tieBreak = opt(body, "tieBreak")
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val df = engine.searchMulti(sources, column, target, metric, coding,
+      probes, math.min(k, maxResponseRows), filter, select, tieBreak)
+    okRows(ex, df)
+  }
+
+  // ——— plumbing ———
+
+  private def require(n: JsonNode, field: String): JsonNode =
+    opt(n, field).getOrElse(
+      throw new IllegalArgumentException(s"missing required field '$field'"))
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+  private def intOr(n: JsonNode, field: String, dflt: Int): Int =
+    opt(n, field).map(_.asInt()).getOrElse(dflt)
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getRawQuery).fold(Map.empty[String, String]) { q =>
+      q.split("&").toSeq.flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            Some(k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
+          case _ => None
+        }
+      }.toMap
+    }
+
+  private def readBody(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  /** Rows as a JSON array via Spark's own row→JSON encoder (handles
+    * nested arrays/structs/timestamps); bounded by [[maxResponseRows]]. */
+  private def okRows(ex: HttpExchange, df: DataFrame): Unit =
+    ok(ex, df.limit(maxResponseRows).toJSON.collect().mkString("""{"rows":[""", ",", "]}"))
+
+  private def ok(ex: HttpExchange, json: String): Unit = send(ex, 200, json)
+
+  private def send(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

@@ -270,3 +270,30 @@ class CoderMathSpec extends SparkSuite {
       && assigns(0) != assigns(2), s"cluster co-assignment violated: $assigns")
   }
 }
+
+class FloatTargetSpec extends SparkSuite {
+  test("float target matches double target and keeps float corpus uncast") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.tabulate(200)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat())))
+    val df = rows.toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-float").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("fvecs", df)
+    val tF: Array[Float] = rows.head._2.toArray
+    val tD: Array[Double] = tF.map(_.toDouble)
+    // float→double widening is exact, so results must be bit-identical
+    for (m <- Seq("l2", "cosine", "dot")) {
+      val gotF = engine.search("fvecs", "vec", tF, metric = Some(m),
+        k = 10, tieBreak = Seq("id")).select("id").as[Long].collect().toSeq
+      val gotD = engine.search("fvecs", "vec", tD, metric = Some(m),
+        k = 10, tieBreak = Seq("id")).select("id").as[Long].collect().toSeq
+      assert(gotF == gotD, s"float/double target mismatch under $m")
+    }
+    // the float corpus column must reach the distance expression uncast
+    val plan = engine.search("fvecs", "vec", tF, metric = Some("l2"), k = 5)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("cast(vec"), s"corpus cast found:\n$plan")
+    engine.remove()
+  }
+}

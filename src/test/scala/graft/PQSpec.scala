@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.coder.PQ
+import graft.coder.PQ.{PQCodebooks, PQConfig}
+import graft.core.Metrics
+
+/** Product-quantization coder + ADC search (PQ.scala, PQExpressions.scala). */
+class PQSpec extends SparkSuite {
+  private val rnd = new scala.util.Random(17)
+
+  /** 4 well-separated clusters in 16-d, 50 points each, float elements. */
+  private def clustered() = {
+    import spark.implicits._
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextDouble() * 20 - 10))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 50
+    } yield ((ci * 50 + i).toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    rows.toDF("id", "vec")
+  }
+
+  test("expression encode matches driver encode bit-for-bit (all metrics)") {
+    import spark.implicits._
+    val df = clustered().cache()
+    val raw = df.select("id", "vec").as[(Long, Seq[Float])].collect().toMap
+    for (metric <- Seq("l2", "cosine", "dot")) {
+      val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 8,
+        metric = metric, sampleSize = 200, iters = 8))
+      val got = df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
+        .select("id", "code").as[(Long, Array[Byte])].collect().toMap
+      raw.foreach { case (id, v) =>
+        val want = cb.encode(v.map(_.toDouble).toArray)
+        assert(java.util.Arrays.equals(got(id), want), s"metric $metric id $id")
+      }
+      assert(got.values.head.length == 4, "one byte per subspace")
+    }
+  }
+
+  test("full candidate budget equals brute force under every metric") {
+    import spark.implicits._
+    val df = clustered().cache()
+    val target = df.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    for (metric <- Seq("l2", "cosine", "dot")) {
+      val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 8,
+        metric = metric, sampleSize = 200, iters = 8))
+      val coded = df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
+      val pq = PQ.search(coded, "vec", "code", cb, target, k = 10,
+        candidates = 1 << 20, tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSeq
+      val brute = df
+        .withColumn("d", graft.functions.functions.vector_distance(
+          col("vec"), typedLit(target.toSeq), metric))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSeq
+      assert(pq == brute, s"metric $metric: PQ@full != brute")
+    }
+  }
+
+  test("bounded candidates: high recall, coarse scan reads only codes") {
+    import spark.implicits._
+    val df = clustered().cache()
+    val target = df.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 16,
+      metric = "l2", sampleSize = 200, iters = 10))
+    val coded = df.withColumn("code", PQ.encodeExpr(col("vec"), cb)).cache()
+    val pq = PQ.search(coded, "vec", "code", cb, target, k = 10,
+      candidates = 30, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val brute = df
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+    val recall = brute.count(pq.contains) / 10.0
+    info(s"PQ recall@10 with 30/200 candidates: $recall")
+    assert(recall >= 0.9, s"low PQ recall $recall")
+  }
+
+  test("ADC approximation error is bounded on clustered data") {
+    import spark.implicits._
+    val df = clustered().cache()
+    val target = df.filter(col("id") === 1)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 16,
+      metric = "l2", sampleSize = 200, iters = 10))
+    val rows = df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
+      .withColumn("adc", PQ.adcScoreExpr(col("code"), cb, target))
+      .withColumn("exact", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "l2"))
+      .select("adc", "exact").as[(Double, Double)].collect()
+    // tight clusters + per-cluster codewords => ADC ~ exact
+    val maxErr = rows.map { case (a, e) => math.abs(a - e) }.max
+    info(s"max |ADC - exact| = $maxErr")
+    assert(maxErr < 1.0, s"ADC error too large: $maxErr")
+  }
+
+  test("save/load round-trip preserves codebooks and config") {
+    val df = clustered()
+    val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 2, codebookSize = 4,
+      metric = "cosine", sampleSize = 100, iters = 5))
+    val path = Files.createTempDirectory("graft-pq").resolve("cb.json").toString
+    PQ.save(path, cb)
+    val back = PQ.load(path)
+    assert(back.config == cb.config && back.dim == cb.dim)
+    assert(back.centroids.flatten.flatten.toSeq == cb.centroids.flatten.flatten.toSeq)
+    // and a loaded codebook encodes identically
+    val v = Array.fill(16)(rnd.nextDouble())
+    assert(java.util.Arrays.equals(back.encode(v), cb.encode(v)))
+  }
+
+  test("interpreted-mode parity (nullSafeEval vs codegen)") {
+    import spark.implicits._
+    val df = clustered().cache()
+    val target = df.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 8,
+      metric = "l2", sampleSize = 200, iters = 8))
+    def run(): Seq[(Long, Double)] =
+      df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
+        .withColumn("adc", PQ.adcScoreExpr(col("code"), cb, target))
+        .orderBy(col("id").asc).select("id", "adc")
+        .as[(Long, Double)].collect().toSeq
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen == interpreted)
+  }
+}

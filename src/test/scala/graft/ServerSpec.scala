@@ -1,0 +1,99 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import graft.api.Engine
+import graft.server.GraftServer
+
+/** End-to-end drive of the serving surface over real TCP — the reference
+  * client workflow (`flight.py:137-292`): put → list → scan → make-index →
+  * search (brute + probed) → drop, all via HTTP from an independent client.
+  */
+class ServerSpec extends SparkSuite {
+  private val mapper = new ObjectMapper()
+  private lazy val root = Files.createTempDirectory("graft-server").toString
+  private lazy val engine = new Engine(spark, root)
+  private lazy val server = new GraftServer(engine).start()
+  private lazy val client = HttpClient.newHttpClient()
+  private def base = s"http://127.0.0.1:${server.boundPort}/api"
+
+  private def send(method: String, path: String, body: String = ""): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"$base$path"))
+    val req = (method match {
+      case "GET"    => b.GET()
+      case "DELETE" => b.DELETE()
+      case m        => b.method(m, HttpRequest.BodyPublishers.ofString(body))
+    }).header("Content-Type", "application/json").build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  override def afterAll(): Unit = { server.stop(); super.afterAll() }
+
+  test("full client workflow over the wire") {
+    // put: 40 labeled 4-d vectors in two clusters
+    val rows = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      s"""{"id":$i,"vec":[${c + i * 0.001},${c},${c},${c}]}"""
+    }
+    val (pc, pBody) = send("PUT", "/tables/wire_vecs",
+      s"""{"schema":"id LONG, vec ARRAY<DOUBLE>","rows":[${rows.mkString(",")}]}""")
+    assert(pc == 200, pBody)
+    assert(mapper.readTree(pBody).get("rows").asLong() == 40)
+
+    // list
+    val (_, lBody) = send("GET", "/tables")
+    assert(mapper.readTree(lBody).get("tables").toString.contains("wire_vecs"))
+
+    // scan with filter + select + limit
+    val (sc, sBody) = send("GET", "/tables/wire_vecs?filter=id%20%3C%205&select=id&limit=3")
+    assert(sc == 200, sBody)
+    assert(mapper.readTree(sBody).get("rows").size() == 3)
+
+    // brute search requires an explicit metric
+    val (mc, mBody) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],"k":5}""")
+    assert(mc == 400 && mBody.contains("metric"), s"$mc $mBody")
+
+    // brute search: nearest to origin must be the even-id cluster
+    val (bc, bBody) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "metric":"l2","k":5,"tieBreak":["id"],"select":["id"]}""")
+    assert(bc == 200, bBody)
+    val bruteIds = mapper.readTree(bBody).get("rows").elements()
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    bruteIds.forEachRemaining(n => got += n.get("id").asLong())
+    assert(got.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"got $got")
+
+    // make index, then probed search finds the same cluster
+    val (ic, iBody) = send("POST", "/indexes",
+      """{"name":"wire_c1","source":"wire_vecs","column":"vec",
+          "metric":"l2","codebookSize":2,"numCodebooks":1,
+          "batchSize":64,"numEpochs":2}""")
+    assert(ic == 200, iBody)
+    val (_, cBody) = send("GET", "/codings")
+    assert(cBody.contains("wire_c1"))
+    val (qc, qBody) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","probes":1,"k":5,"tieBreak":["id"],"select":["id"]}""")
+    assert(qc == 200, qBody)
+    val probed = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(qBody).get("rows").elements()
+      .forEachRemaining(n => probed += n.get("id").asLong())
+    assert(probed.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"probed $probed")
+
+    // error shape: unknown route
+    val (nc, _) = send("GET", "/nope")
+    assert(nc == 404)
+
+    // drop
+    assert(send("DELETE", "/indexes/wire_c1")._1 == 200)
+    assert(send("DELETE", "/tables/wire_vecs")._1 == 200)
+    val (_, lBody2) = send("GET", "/tables")
+    assert(!mapper.readTree(lBody2).get("tables").toString.contains("wire_vecs"))
+  }
+}
