@@ -54,11 +54,17 @@ object Bench {
       .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
       .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
       .collect()(0).getSeq[Double](0).toArray
+    if (!graft.index.Index.pqIndexExists(scratch.store, "c_l2", "emb", "embedding"))
+      graft.index.Index.buildPq(scratch.store, "c_l2", "emb", "embedding",
+        graft.coder.PQ.PQConfig(numSubspaces = 8, codebookSize = 16, metric = "l2"))
     val pruned = Seq(
       "search_probed_16" -> (() => scratch.search("emb", "embedding", target,
         coding = Some("c_l2"), probes = Some(16), k = 10).count()),
       "search_rerank_200" -> (() => graft.index.Index.searchRerank(scratch.store,
         "c_l2", "emb", "embedding", target, k = 10, candidates = 200).count()),
+      "search_ivf_pq_16_200" -> (() => graft.index.Index.searchIvfPq(scratch.store,
+        "c_l2", "emb", "embedding", target, k = 10, probes = 16,
+        candidates = 200, idCol = "vec_id").count()),
     ).map { case (name, fn) =>
       name -> (1 to 2).map(_ => time(fn())).min
     }

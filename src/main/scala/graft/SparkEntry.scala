@@ -87,6 +87,16 @@ object SparkEntry {
     e
   }
 
+  private val pqConfig = graft.coder.PQ.PQConfig(
+    numSubspaces = 8, codebookSize = 16, metric = "l2")
+
+  private def withPqIndex(s: SparkSession, dir: String): Engine = {
+    val e = withIndex(s, dir)
+    if (!graft.index.Index.pqIndexExists(e.store, "c_l2", "emb", "embedding"))
+      graft.index.Index.buildPq(e.store, "c_l2", "emb", "embedding", pqConfig)
+    e
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnQuery("cosine")(spark, "/root/testdata/sf0.001")
@@ -190,6 +200,15 @@ object SparkEntry {
       graft.coder.PQ.search(coded, "embedding", "__PQ__", cb,
           targetArray(s, dir), k = 10, candidates = 1 << 20,
           tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— IVF+PQ: partition-pruned coarse ADC over (id, code) only, then
+    // exact broadcast-join rerank; full probes + full candidates == exact ——
+    "search_ivf_pq" -> ((s: SparkSession, dir: String) => {
+      val e = withPqIndex(s, dir)
+      graft.index.Index.searchIvfPq(e.store, "c_l2", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
     // —— quint8 tensor round-trip: quantize → dequantize → recover the
@@ -654,6 +673,8 @@ object SparkEntry {
     "search_probed" -> knnOracle(l2Sql),
     // PQ search at full candidate budget is exact (rerank covers the corpus)
     "search_pq" -> knnOracle(l2Sql),
+    // IVF+PQ at full probes + full candidates is exact
+    "search_ivf_pq" -> knnOracle(l2Sql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),
     // the index is a faithful partitioned copy: same rows, columns intact,

@@ -195,8 +195,8 @@ object PQ {
 
   // ——— persistence (cache alongside the store root) ———
 
-  /** JSON save/load so repeated Verify/Bench runs skip retraining. */
-  def save(path: String, cb: PQCodebooks): Unit = {
+  /** JSON round-trip (the persistence format; callers pick the filesystem). */
+  def toJsonBytes(cb: PQCodebooks): Array[Byte] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val payload = mapper.createObjectNode()
     payload.put("dim", cb.dim)
@@ -207,15 +207,12 @@ object PQ {
     payload.put("iters", cb.config.iters)
     payload.put("seed", cb.config.seed)
     payload.set("centroids", mapper.valueToTree(cb.centroids))
-    val p = Paths.get(path)
-    Files.createDirectories(p.getParent)
-    Files.write(p, mapper.writeValueAsBytes(payload),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    mapper.writeValueAsBytes(payload)
   }
 
-  def load(path: String): PQCodebooks = {
+  def fromJsonBytes(bytes: Array[Byte]): PQCodebooks = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val n = mapper.readTree(Files.readAllBytes(Paths.get(path)))
+    val n = mapper.readTree(bytes)
     val cfg = PQConfig(
       numSubspaces = n.get("numSubspaces").asInt(),
       codebookSize = n.get("codebookSize").asInt(),
@@ -226,6 +223,17 @@ object PQ {
     val cents = mapper.treeToValue(n.get("centroids"), classOf[Array[Array[Array[Double]]]])
     PQCodebooks(cfg, n.get("dim").asInt(), cents)
   }
+
+  /** Local-file save/load so repeated Verify/Bench runs skip retraining. */
+  def save(path: String, cb: PQCodebooks): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, toJsonBytes(cb),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+  }
+
+  def load(path: String): PQCodebooks =
+    fromJsonBytes(Files.readAllBytes(Paths.get(path)))
 
   def trainOrLoad(cachePath: String, df: DataFrame, column: String, cfg: PQConfig): PQCodebooks =
     if (Files.exists(Paths.get(cachePath))) load(cachePath)

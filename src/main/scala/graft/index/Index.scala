@@ -158,6 +158,96 @@ object Index {
       .limit(k)
   }
 
+  // ——— IVF+PQ: cell-partitioned layout + per-row PQ codes ———
+
+  /** Codes column name in a PQ index. */
+  val PqCol: String = "__PQ__"
+  private def pqSidecar(path: String) = s"$path/_pq_codebooks.json"
+
+  /** Build the IVF+PQ index (the Faiss-IVFADC shape, Jégou et al. 2011):
+    * the cell-partitioned copy additionally carries an m-byte PQ code per
+    * row, so probed search can rank candidates from (id, code) alone —
+    * at 100 TB the coarse pass reads ~probes/k^n of the rows AND none of
+    * the float vectors. Codebooks land as an underscore-prefixed sidecar
+    * (ignored by parquet directory listings) next to the data.
+    */
+  def buildPq(store: Store, codingName: String, source: String, column: String,
+      pqConfig: graft.coder.PQ.PQConfig): graft.coder.PQ.PQCodebooks = {
+    val coding = store.loadCoding(codingName)
+    val df = store.loadTable(source)
+    val cb = graft.coder.PQ.train(df, column, pqConfig)
+    val parts = math.max(1, math.min(coding.numCells,
+      df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
+    val path = store.pqIndexPath(source, column, codingName)
+    df.withColumn(CodeCol, assignExpr(col(column), coding))
+      .withColumn(PqCol, graft.coder.PQ.encodeExpr(col(column), cb))
+      .repartition(parts, col(CodeCol))
+      .write.mode("overwrite")
+      .partitionBy(CodeCol)
+      .parquet(path)
+    store.writeSidecar(pqSidecar(path), graft.coder.PQ.toJsonBytes(cb))
+    cb
+  }
+
+  def pqIndexExists(store: Store, codingName: String, source: String, column: String): Boolean =
+    store.sidecarExists(pqSidecar(store.pqIndexPath(source, column, codingName)))
+
+  def loadPqCodebooks(store: Store, codingName: String, source: String,
+      column: String): graft.coder.PQ.PQCodebooks =
+    graft.coder.PQ.fromJsonBytes(
+      store.readSidecar(pqSidecar(store.pqIndexPath(source, column, codingName))))
+
+  def loadPq(store: Store, codingName: String, source: String, column: String): DataFrame = {
+    val df = store.spark.read.parquet(store.pqIndexPath(source, column, codingName))
+    df.withColumn(CodeCol, col(CodeCol).cast("long"))
+  }
+
+  /** Probed IVF+PQ search, two distributed passes:
+    *   1. coarse: partition-pruned scan of (idCol, code) only — ADC ranks
+    *      every surviving row via m byte-indexed table lookups, keeps the
+    *      best `candidates` ids (TakeOrdered, no full sort);
+    *   2. rerank: broadcast-semi-join those ids back against the same
+    *      pruned partitions and score exactly on the raw vectors.
+    * With probes = numCells and `candidates` ≥ the corpus this is exact
+    * (the oracle contract); bounded budgets give the classic IVFADC
+    * recall/scan-fraction trade. `idCol` must be unique per row.
+    * `metric` must equal the PQ codebooks' training metric (the ADC table
+    * is only meaningful under it); the IVF coding may differ.
+    */
+  def searchIvfPq(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      target: graft.api.TargetVector,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val coding = store.loadCoding(codingName)
+    val cb = loadPqCodebooks(store, codingName, source, column)
+    val m = graft.core.Metrics.canonical(metric.getOrElse(cb.canonicalMetric))
+    require(m == cb.canonicalMetric,
+      s"metric '$m' does not match the PQ codebooks' training metric " +
+        s"'${cb.canonicalMetric}' — rebuild the PQ index under '$m'")
+    val cells = coding.rankCells(target.doubles, probes)
+    val pruned = loadPq(store, codingName, source, column)
+      .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+    val coarseIds = pruned
+      .select(col(idCol), col(PqCol))
+      .withColumn("__ADC__", graft.coder.PQ.adcScoreExpr(col(PqCol), cb, target.doubles))
+      .orderBy(col("__ADC__").asc, col(idCol).asc)
+      .limit(candidates)
+      .select(idCol)
+    pruned.join(broadcast(coarseIds), Seq(idCol))
+      .withColumn(Search.DistCol, vector_distance(col(column), target.lit, m))
+      .drop(PqCol)
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** Batch IVF k-NN join: top-k corpus rows per query row, probing only
     * each query's nearest cells.
     *

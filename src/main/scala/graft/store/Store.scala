@@ -37,6 +37,29 @@ class Store(val spark: SparkSession, val root: String) {
   private def codingPath(name: String) = s"$root/codings/$name"
   def indexPath(source: String, column: String, coding: String) =
     s"$root/indexes/$source/$column/$coding"
+  /** IVF+PQ variant of [[indexPath]]: cell-partitioned copy + codes column. */
+  def pqIndexPath(source: String, column: String, coding: String) =
+    s"$root/pq_indexes/$source/$column/$coding"
+
+  /** Write small sidecar bytes (e.g. PQ codebooks) through the store's
+    * filesystem, so the layout works on HDFS/object stores too. */
+  def writeSidecar(path: String, bytes: Array[Byte]): Unit = {
+    val out = fs.create(new Path(path), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  def readSidecar(path: String): Array[Byte] = {
+    val in = fs.open(new Path(path))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  def sidecarExists(path: String): Boolean = fs.exists(new Path(path))
 
   private def list(dir: String): Seq[String] = {
     val p = new Path(dir)
@@ -193,6 +216,11 @@ class Store(val spark: SparkSession, val root: String) {
       column <- list(s"$root/indexes/$source")
       coding <- list(s"$root/indexes/$source/$column") if coding == name
     } fs.delete(new Path(indexPath(source, column, coding)), true)
+    for {
+      source <- list(s"$root/pq_indexes")
+      column <- list(s"$root/pq_indexes/$source")
+      coding <- list(s"$root/pq_indexes/$source/$column") if coding == name
+    } fs.delete(new Path(pqIndexPath(source, column, coding)), true)
   }
 
   def listIndexes(): Seq[(String, String, String)] =

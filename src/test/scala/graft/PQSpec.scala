@@ -140,3 +140,79 @@ class PQSpec extends SparkSuite {
     assert(codegen == interpreted)
   }
 }
+
+/** IVF+PQ materialized index lifecycle (Index.buildPq/searchIvfPq). */
+class IvfPqSpec extends SparkSuite {
+  import graft.api.Engine
+  import graft.coder.CoderConfig
+  import graft.index.Index
+
+  private lazy val root = Files.createTempDirectory("graft-ivfpq").toString
+  private lazy val engine = new Engine(spark, root)
+  private val rnd = new scala.util.Random(23)
+
+  private def data() = {
+    import spark.implicits._
+    val centers = Seq.fill(8)(Array.fill(16)(rnd.nextDouble() * 20 - 10))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((ci * 40 + i).toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    rows.toDF("id", "vec")
+  }
+
+  test("ivf+pq: exact at full budgets, high recall bounded, codes-only coarse scan") {
+    import spark.implicits._
+    val df = data()
+    engine.makeTable("pqv", df)
+    engine.makeCoder("pc", "pqv", "vec",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 3))
+    Index.build(engine.store, "pc", "pqv", "vec")
+    Index.buildPq(engine.store, "pc", "pqv", "vec",
+      PQConfig(numSubspaces = 4, codebookSize = 16, metric = "l2", sampleSize = 400))
+
+    val target = df.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val brute = df
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+
+    // full probes + full candidates == brute
+    val full = Index.searchIvfPq(engine.store, "pc", "pqv", "vec", target,
+      k = 10, probes = 16, candidates = 1 << 20, idCol = "id",
+      metric = Some("l2"), tieBreak = Seq("id"))
+    assert(full.select("id").as[Long].collect().toSeq == brute)
+
+    // the coarse scan must not read the vector column
+    val planStr = full.queryExecution.executedPlan.toString
+    val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(l => l.contains(Index.PqCol) && !l.contains("vec:")),
+      s"no codes-only scan found:\n$planStr")
+
+    // bounded budgets: 4/16 probes, 40 candidates
+    val probed = Index.searchIvfPq(engine.store, "pc", "pqv", "vec", target,
+      k = 10, probes = 4, candidates = 40, idCol = "id",
+      metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val recall = brute.count(probed.contains) / 10.0
+    info(s"ivf+pq recall@10 at 4/16 probes, 40 candidates: $recall")
+    assert(recall >= 0.9, s"low recall $recall")
+
+    // metric mismatch is rejected (codebooks trained under l2)
+    intercept[IllegalArgumentException] {
+      Index.searchIvfPq(engine.store, "pc", "pqv", "vec", target,
+        k = 5, probes = 4, candidates = 40, idCol = "id", metric = Some("cosine"))
+    }
+  }
+
+  test("drop coding removes the pq index too") {
+    assert(Index.pqIndexExists(engine.store, "pc", "pqv", "vec"))
+    engine.dropIndex("pc")
+    assert(!Index.pqIndexExists(engine.store, "pc", "pqv", "vec"))
+    engine.remove()
+  }
+}
