@@ -282,6 +282,11 @@ object SparkEntry {
           col("punct_ratio"), col("stopword_ratio"),
           TextAnalysis.qualityExpr(col("n_tokens"), col("stopword_ratio"),
             col("punct_ratio")).as("quality"))),
+    // —— text: corpus statistics — vocabulary + bigram counts ——
+    "vocab_topk" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.topVocab(tbl(s, dir, "documents"), "text", 100)),
+    "ngram_counts" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.wordNgramCounts(tbl(s, dir, "documents"), "text", 2)),
     // —— multimodal plumbing (payload bytes; features are stubbed) ——
     "media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.extractFeatures(
@@ -623,6 +628,18 @@ object SparkEntry {
         "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
         "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)) AS quality " +
         "FROM r"),
+    "vocab_topk" ->
+      ("SELECT token, freq FROM (" +
+        "SELECT t AS token, count(*) AS freq " +
+        "FROM (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t FROM documents) " +
+        "WHERE len(t) > 0 GROUP BY t) " +
+        "ORDER BY freq DESC, token ASC LIMIT 100"),
+    "ngram_counts" ->
+      ("WITH tk AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents " +
+        "WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2) " +
+        "SELECT ngram, count(*) AS freq FROM (" +
+        "SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1])) AS ngram FROM tk) GROUP BY ngram"),
     "media_features" ->
       "SELECT doc_id AS media_id, 'image' AS modality, octet_length(encode(text)) AS n_bytes FROM documents",
     "media_frames" ->

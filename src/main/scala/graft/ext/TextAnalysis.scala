@@ -66,6 +66,40 @@ object TextAnalysis {
       .drop("n_chars_c", "punct_ratio", "stopword_ratio", "avg_token_len")
   }
 
+  // ——— corpus statistics (vocabulary / n-grams) ———
+
+  /** Token frequency table — the vocabulary-building primitive. One
+    * narrow explode + one partial-agg shuffle on the token; at 100 TB the
+    * map-side combine collapses each partition to its distinct tokens
+    * before anything moves. */
+  def tokenFrequencies(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+
+  /** Top-n vocabulary, deterministic under frequency ties (token asc).
+    * The `orderBy.limit` plans as TakeOrderedAndProject — a distributed
+    * per-partition top-n + driver merge, never a total sort. */
+  def topVocab(df: DataFrame, textCol: String, n: Int): DataFrame =
+    tokenFrequencies(df, textCol)
+      .orderBy(col("freq").desc, col("token").asc).limit(n)
+
+  /** Word n-gram frequency counts (n ≥ 2) via built-ins only
+    * (`sequence` + `transform` + `element_at` stay in codegen): each doc
+    * emits its (len − n + 1) n-grams, then the same partial-agg shuffle
+    * as [[tokenFrequencies]]. */
+  def wordNgramCounts(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"wordNgramCounts needs n >= 2, got $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+        .as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+  }
+
   // ——— language identification ———
 
   private val StopwordTable: Map[String, Seq[String]] = Map(

@@ -428,3 +428,34 @@ class StreamStaticJoinSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+class CorpusStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b a c"),
+    (2L, "b a"),
+    (3L, "   "),          // whitespace-only: contributes nothing
+    (4L, "c"),            // single token: no bigrams
+  ).toDF("doc_id", "text")
+
+  test("token frequencies and top-k vocabulary are exact and deterministic") {
+    val freqs = TextAnalysis.tokenFrequencies(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(freqs == Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    // tie between b and c broken by token asc; top-2 = a, b
+    val top = TextAnalysis.topVocab(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("a", 3L), ("b", 2L)))
+  }
+
+  test("bigram counts are exact; short docs drop out") {
+    val got = TextAnalysis.wordNgramCounts(docs, "text", 2)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a b" -> 1L, "b a" -> 2L, "a c" -> 1L))
+    // trigrams: only doc 1 is long enough
+    val tri = TextAnalysis.wordNgramCounts(docs, "text", 3)
+      .as[(String, Long)].collect().toMap
+    assert(tri == Map("a b a" -> 1L, "b a c" -> 1L))
+  }
+}
