@@ -52,6 +52,28 @@ class Engine(val spark: SparkSession, val root: String) {
   def listCodings(): Seq[String] = store.listCodings()
   def dropIndex(name: String): Unit = store.dropCoding(name)
 
+  /** Build the IVF+PQ index under an existing coding — the memory-
+    * compressed search path ([[Index.buildPq]]). */
+  def makePqIndex(codingName: String, source: String, column: String,
+      pqConfig: graft.coder.PQ.PQConfig): Unit =
+    Index.buildPq(store, codingName, source, column, pqConfig)
+
+  /** Probed IVF+PQ search: codes-only ADC coarse pass over the probed
+    * cells, exact rerank of `candidates` rows ([[Index.searchIvfPq]]). */
+  def searchPq(
+      source: String,
+      column: String,
+      target: TargetVector,
+      coding: String,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      k: Int = 10,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    Index.searchIvfPq(store, coding, source, column, target, k, probes,
+      candidates, idCol, metric, tieBreak)
+
   // ——— search (V8/V9) ———
   /** Multi-source search (reference ticket `"a:b:c"`, `flight.py:47`):
     * the union of the per-source (indexed) tables searched as one. */

@@ -130,6 +130,14 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       batchSize = intOr(body, "batchSize", base.batchSize),
       numEpochs = intOr(body, "numEpochs", base.numEpochs))
     engine.makeIndex(name, source, column, cfg)
+    // optional PQ sidecar index: {"pq": {"numSubspaces": 8, "codebookSize": 16}}
+    opt(body, "pq").foreach { pq =>
+      val pqBase = graft.coder.PQ.PQConfig(metric = cfg.metric)
+      engine.makePqIndex(name, source, column, pqBase.copy(
+        numSubspaces = intOr(pq, "numSubspaces", pqBase.numSubspaces),
+        codebookSize = intOr(pq, "codebookSize", pqBase.codebookSize),
+        sampleSize = intOr(pq, "sampleSize", pqBase.sampleSize)))
+    }
     ok(ex, s"""{"index":"$name"}""")
   }
 
@@ -149,8 +157,18 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val select = opt(body, "select").map(_.elements().asScala.map(_.asText()).toSeq)
     val tieBreak = opt(body, "tieBreak")
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    val df = engine.searchMulti(sources, column, target, metric, coding,
-      probes, math.min(k, maxResponseRows), filter, select, tieBreak)
+    // candidates + idCol selects the IVF+PQ path (single source)
+    val df = (opt(body, "candidates"), coding, probes) match {
+      case (Some(cand), Some(c), Some(p)) =>
+        if (sources.size != 1)
+          throw new IllegalArgumentException("pq search takes exactly one source")
+        engine.searchPq(sources.head, column, target, c, p, cand.asInt(),
+          require(body, "idCol").asText(), math.min(k, maxResponseRows),
+          metric, tieBreak)
+      case _ =>
+        engine.searchMulti(sources, column, target, metric, coding,
+          probes, math.min(k, maxResponseRows), filter, select, tieBreak)
+    }
     okRows(ex, df)
   }
 

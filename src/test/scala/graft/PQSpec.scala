@@ -169,7 +169,7 @@ class IvfPqSpec extends SparkSuite {
       CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
         batchSize = 128, numEpochs = 3))
     Index.build(engine.store, "pc", "pqv", "vec")
-    Index.buildPq(engine.store, "pc", "pqv", "vec",
+    engine.makePqIndex("pc", "pqv", "vec",
       PQConfig(numSubspaces = 4, codebookSize = 16, metric = "l2", sampleSize = 400))
 
     val target = df.filter(col("id") === 0)
@@ -181,9 +181,9 @@ class IvfPqSpec extends SparkSuite {
       .orderBy(col("d").asc, col("id").asc).limit(10)
       .select("id").as[Long].collect().toSeq
 
-    // full probes + full candidates == brute
-    val full = Index.searchIvfPq(engine.store, "pc", "pqv", "vec", target,
-      k = 10, probes = 16, candidates = 1 << 20, idCol = "id",
+    // full probes + full candidates == brute (via the Engine facade)
+    val full = engine.searchPq("pqv", "vec", target, coding = "pc",
+      probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
       metric = Some("l2"), tieBreak = Seq("id"))
     assert(full.select("id").as[Long].collect().toSeq == brute)
 

@@ -69,11 +69,12 @@ class ServerSpec extends SparkSuite {
     bruteIds.forEachRemaining(n => got += n.get("id").asLong())
     assert(got.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"got $got")
 
-    // make index, then probed search finds the same cluster
+    // make index (+ PQ sidecar), then probed search finds the same cluster
     val (ic, iBody) = send("POST", "/indexes",
       """{"name":"wire_c1","source":"wire_vecs","column":"vec",
           "metric":"l2","codebookSize":2,"numCodebooks":1,
-          "batchSize":64,"numEpochs":2}""")
+          "batchSize":64,"numEpochs":2,
+          "pq":{"numSubspaces":2,"codebookSize":4}}""")
     assert(ic == 200, iBody)
     val (_, cBody) = send("GET", "/codings")
     assert(cBody.contains("wire_c1"))
@@ -85,6 +86,17 @@ class ServerSpec extends SparkSuite {
     mapper.readTree(qBody).get("rows").elements()
       .forEachRemaining(n => probed += n.get("id").asLong())
     assert(probed.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"probed $probed")
+
+    // ivf+pq search over the wire (candidates + idCol select the PQ path)
+    val (pc2, pBody2) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","probes":2,"candidates":40,"idCol":"id",
+          "k":5,"tieBreak":["id"]}""")
+    assert(pc2 == 200, pBody2)
+    val pqIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(pBody2).get("rows").elements()
+      .forEachRemaining(n => pqIds += n.get("id").asLong())
+    assert(pqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"pq $pqIds")
 
     // error shape: unknown route
     val (nc, _) = send("GET", "/nope")
