@@ -79,8 +79,31 @@ object RefBench {
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }
     val recall = brute.count(probed.contains) / 10.0
+
+    // IVF+PQ at reference scale: 256-d float32 → 16-byte codes (64×);
+    // coarse pass reads (id, code) over 16/64 probed cells only.
+    val (_, tPqBuild) = time {
+      engine.makePqIndex("c", "vectors", "vector",
+        graft.coder.PQ.PQConfig(numSubspaces = 16, codebookSize = 256,
+          metric = "l2", sampleSize = 8192))
+    }
+    val (pqIds, tPqSearch) = {
+      val ts = (1 to 2).map { _ =>
+        time {
+          engine.searchPq("vectors", "vector", target, coding = "c",
+            probes = 16, candidates = 4000, idCol = "vec_id", k = 10,
+            tieBreak = Seq("vec_id"))
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }
+      }
+      (ts.head._1, ts.map(_._2).min)
+    }
+    val pqRecall = brute.count(pqIds.contains) / 10.0
+
     val timings = Seq("ingest" -> tIngest, "coder_train" -> tTrain,
-      "index_build" -> tIndex) ++ metricTimes :+ ("search_probed" -> tProbed)
+      "index_build" -> tIndex) ++ metricTimes ++
+      Seq("search_probed" -> tProbed, "pq_index_build" -> tPqBuild,
+        "search_ivf_pq" -> tPqSearch, "pq_recall_at_10" -> pqRecall)
     (timings, recall)
   }
 }

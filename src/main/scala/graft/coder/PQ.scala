@@ -143,10 +143,13 @@ object PQ {
       } else rows
     val k = math.min(cfg.codebookSize, data.length)
 
-    val centroids = Array.tabulate(m) { j =>
+    // subspaces are independent — train them on parallel driver threads
+    // (m·iters·sample·k·subDim flops; ~8e9 at reference scale)
+    import scala.collection.parallel.CollectionConverters._
+    val centroids = (0 until m).par.map { j =>
       val sub = data.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
       lloyd(sub, k, cfg.iters, cfg.seed + j)
-    }
+    }.toArray
     PQCodebooks(cfg.copy(codebookSize = k), dim, centroids)
   }
 
