@@ -48,8 +48,7 @@ object Bench {
     }
     // Bounded-budget ANN variants (the queries map runs these at full
     // budget for the oracle; the pruned scan fraction is the scale story).
-    val scratch = new graft.api.Engine(spark,
-      s"${System.getProperty("java.io.tmpdir")}/graft_root_${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val scratch = new graft.api.Engine(spark, SparkEntry.scratchRoot(sfDir))
     val target = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(org.apache.spark.sql.functions.col("vec_id") === 0)
       .select(org.apache.spark.sql.functions.col("embedding").cast("array<double>"))

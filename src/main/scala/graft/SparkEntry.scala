@@ -68,10 +68,15 @@ object SparkEntry {
   private val cosSql = cosPair("CAST(e.embedding AS DOUBLE[])", "q.t")
   private val dotSql = "-list_inner_product(CAST(e.embedding AS DOUBLE[]), q.t)"
 
-  /** A scratch engine root for lifecycle queries (coder/index/probe). */
+  /** Scratch root for lifecycle queries — single source of truth for the
+    * formula (Bench attaches to the same root after the query loop has
+    * populated it). */
+  def scratchRoot(dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_root_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+
+  /** A scratch engine for lifecycle queries (coder/index/probe). */
   private def scratchEngine(s: SparkSession, dir: String): Engine = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft_root_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-    val e = new Engine(s, root)
+    val e = new Engine(s, scratchRoot(dir))
     if (!e.listTables().contains("emb"))
       e.makeTable("emb", tbl(s, dir, "embeddings"))
     e

@@ -70,9 +70,11 @@ class Engine(val spark: SparkSession, val root: String) {
       idCol: String,
       k: Int = 10,
       metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
     Index.searchIvfPq(store, coding, source, column, target, k, probes,
-      candidates, idCol, metric, tieBreak)
+      candidates, idCol, metric, filter, select, tieBreak)
 
   // ——— search (V8/V9) ———
   /** Multi-source search (reference ticket `"a:b:c"`, `flight.py:47`):

@@ -132,6 +132,11 @@ object PQ {
       .map(_.getSeq[Double](0).toArray)
     require(rows.nonEmpty, "PQ.train: empty input")
     val dim = rows.head.length
+    rows.iterator.zipWithIndex.foreach { case (v, i) =>
+      require(v.length == dim,
+        s"PQ.train: ragged input — sample row $i has ${v.length} elements, " +
+          s"expected $dim (enforce a fixed tensor shape at ingest)")
+    }
     val m = cfg.numSubspaces
     require(dim % m == 0, s"dim $dim not divisible by numSubspaces $m")
     val subDim = dim / m
@@ -238,9 +243,23 @@ object PQ {
   def load(path: String): PQCodebooks =
     fromJsonBytes(Files.readAllBytes(Paths.get(path)))
 
-  def trainOrLoad(cachePath: String, df: DataFrame, column: String, cfg: PQConfig): PQCodebooks =
-    if (Files.exists(Paths.get(cachePath))) load(cachePath)
-    else { val cb = train(df, column, cfg); save(cachePath, cb); cb }
+  /** Load iff the cached codebooks were trained under `cfg` (codebookSize
+    * may have been reduced to the sample size at training time); a stale
+    * or mismatched cache retrains instead of silently serving the old
+    * subspace layout / metric. */
+  def trainOrLoad(cachePath: String, df: DataFrame, column: String, cfg: PQConfig): PQCodebooks = {
+    if (Files.exists(Paths.get(cachePath))) {
+      val cb = load(cachePath)
+      val c = cb.config
+      if (c.numSubspaces == cfg.numSubspaces && c.metric == cfg.metric &&
+          c.sampleSize == cfg.sampleSize && c.iters == cfg.iters &&
+          c.seed == cfg.seed && c.codebookSize <= cfg.codebookSize)
+        return cb
+    }
+    val cb = train(df, column, cfg)
+    save(cachePath, cb)
+    cb
+  }
 
   // ——— distributed encode + search ———
 

@@ -234,7 +234,8 @@ object Dedup {
     * genuinely close pairs. */
   def nearDupPairsCosineLsh(
       df: DataFrame, idCol: String, vecCol: String, maxDist: Double,
-      numPlanes: Int = 5, numTables: Int = 32, seed: Long = 42L): DataFrame = {
+      numPlanes: Int = 5, numTables: Int = 32, seed: Long = 42L,
+      maxBucket: Long = 8192L): DataFrame = {
     val (nP, nT, sd) = (numPlanes, numTables, seed)
     require(nP >= 1 && nP <= 32, s"numPlanes must be in [1,32], got $nP")
     val bucketsUdf = udf { (v: Seq[Double]) =>
@@ -256,43 +257,45 @@ object Dedup {
         (t.toLong << 32) | sig
       }
     }
-    // Within-bucket verify as one tight local loop per bucket: candidate
-    // pairs never materialize as joined rows (a bucket self-JOIN would copy
-    // two vector arrays per candidate — at a loose threshold that's ~all
-    // pairs); only true near-dup pairs are emitted. Same double-precision
-    // arithmetic as vector_distance, so results are bit-consistent with
-    // the exact operator.
-    val md = maxDist
-    val pairsUdf = udf { (ids: Seq[Long], vecs: Seq[Seq[Double]]) =>
-      val idArr = ids.toArray // unbox once; the pair loop indexes O(n²) times
-      val n = idArr.length
-      val arrs = new Array[Array[Double]](n)
-      var i = 0
-      while (i < n) { arrs(i) = vecs(i).toArray; i += 1 }
-      val out = Array.newBuilder[(Long, Long, Double)]
-      i = 0
-      while (i < n) {
-        var j = i + 1
-        while (j < n) {
-          val d = graft.core.Metrics.dist(arrs(i), arrs(j), "cosine")
-          if (d <= md && idArr(i) != idArr(j)) {
-            if (idArr(i) < idArr(j)) out += ((idArr(i), idArr(j), d))
-            else out += ((idArr(j), idArr(i), d))
-          }
-          j += 1
-        }
-        i += 1
-      }
-      out.result()
-    }
-    val banded = df
-      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    // Three distributed stages, all parallel by key — no per-bucket
+    // materialization (a collect_list of a hot bucket would put the whole
+    // bucket into ONE aggregation row — 2 GB row limit — and verify it in
+    // one task, which is exactly the failure mode at scale):
+    //   1. candidates: self-join of (bucket, id) pairs — 8-byte ids only,
+    //      no vectors ride the quadratic stage — deduped to unique
+    //      (id_a, id_b) so a pair colliding in many tables verifies once;
+    //   2. verify: join the two vectors back by id (one row per unique
+    //      candidate pair) and keep pairs within maxDist — the same
+    //      "join back only for survivors of the cheap stage" shape as the
+    //      MinHash path;
+    //   3. bucket-size cap: buckets larger than `maxBucket` are dropped
+    //      up front — a bucket's pair generation runs in ONE join task
+    //      (the bucket id is the shuffle key), so the cap bounds per-task
+    //      work at ~maxBucket²/2 id-comparisons (8192 → ≤33M, seconds);
+    //      hyperplanes that don't discriminate for a region would
+    //      otherwise contribute unbounded quadratic volume, and
+    //      genuinely-near pairs still collide in the other L−1 tables
+    //      (recall trade documented; raise numPlanes to shrink buckets
+    //      instead of raising the cap).
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val banded = vecs
       .withColumn("bucket", explode(bucketsUdf(col("vec"))))
-    banded.groupBy("bucket")
-      .agg(collect_list(col("id")).as("ids"), collect_list(col("vec")).as("vecs"))
-      .select(explode(pairsUdf(col("ids"), col("vecs"))).as("p"))
-      .groupBy(col("p._1").as("id_a"), col("p._2").as("id_b"))
-      .agg(min(col("p._3")).as("dist"))
+      .select("bucket", "id")
+    val sized = banded.join(
+      banded.groupBy("bucket").count().filter(col("count") <= maxBucket)
+        .select("bucket"),
+      Seq("bucket"))
+    val candidates = sized.select(col("bucket"), col("id").as("id_a"))
+      .join(sized.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), Seq("id_b"))
+      .withColumn("dist", vector_distance(col("vec_a"), col("vec_b"), "cosine"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
   }
 }
 

@@ -53,12 +53,15 @@ case class PQEncode(child: Expression, cb: PQCodebooks) extends UnaryExpression 
     val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
     val dl = ctx.freshName("dl"); val nrm = ctx.freshName("nrm")
     nullSafeCodeGen(ctx, ev, a => {
+      // divide (not multiply-by-reciprocal): x/√n and x·(1/√n) differ by
+      // an ulp, and the driver path (PQCodebooks.encode) divides — the
+      // bit-for-bit contract requires the same IEEE op here
       val invInit = if (cosine) {
         s"""double $nrm = 0.0;
            |for (int $tV = 0; $tV < $dim; $tV++) {
            |  double $x = (double) $a.$get($tV); $nrm += $x * $x;
            |}
-           |double $inv = ($nrm == 0.0) ? 1.0 : 1.0 / Math.sqrt($nrm);""".stripMargin
+           |double $inv = ($nrm == 0.0) ? 1.0 : Math.sqrt($nrm);""".stripMargin
       } else s"final double $inv = 1.0;"
       s"""
          |if ($a.numElements() != $dim) {
@@ -73,7 +76,7 @@ case class PQEncode(child: Expression, cb: PQCodebooks) extends UnaryExpression 
          |    final int $base = ($jV * $k + $iV) * $subDim;
          |    double $acc = 0.0;
          |    for (int $tV = 0; $tV < $subDim; $tV++) {
-         |      double $dl = $cRef[$base + $tV] - (double) $a.$get($jV * $subDim + $tV) * $inv;
+         |      double $dl = $cRef[$base + $tV] - (double) $a.$get($jV * $subDim + $tV) / $inv;
          |      $acc += $dl * $dl;
          |    }
          |    if ($acc < $bestD) { $bestD = $acc; $best = $iV; }

@@ -225,6 +225,8 @@ object Index {
       candidates: Int,
       idCol: String,
       metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
     val cb = loadPqCodebooks(store, codingName, source, column)
@@ -233,17 +235,23 @@ object Index {
       s"metric '$m' does not match the PQ codebooks' training metric " +
         s"'${cb.canonicalMetric}' — rebuild the PQ index under '$m'")
     val cells = coding.rankCells(target.doubles, probes)
-    val pruned = loadPq(store, codingName, source, column)
+    val prunedAll = loadPq(store, codingName, source, column)
       .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+    // the predicate applies to BOTH passes (pushed into the coarse scan,
+    // so the candidate budget is spent on qualifying rows only)
+    val pruned = filter.fold(prunedAll)(prunedAll.filter)
     val coarseIds = pruned
       .select(col(idCol), col(PqCol))
       .withColumn("__ADC__", graft.coder.PQ.adcScoreExpr(col(PqCol), cb, target.doubles))
       .orderBy(col("__ADC__").asc, col(idCol).asc)
       .limit(candidates)
       .select(idCol)
-    pruned.join(broadcast(coarseIds), Seq(idCol))
+    val reranked = pruned.join(broadcast(coarseIds), Seq(idCol))
       .withColumn(Search.DistCol, vector_distance(col(column), target.lit, m))
       .drop(PqCol)
+    val projected = select.fold(reranked)(cols =>
+      reranked.select((cols :+ Search.DistCol).map(col): _*))
+    projected
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
       .limit(k)
   }

@@ -101,7 +101,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val spark = engine.spark
     import spark.implicits._
     val ds = spark.createDataset(rows.elements().asScala.map(_.toString).toSeq)
-    val df = spark.read.schema(ddl).json(ds)
+    // FAILFAST: a malformed row 400s the request instead of being
+    // swallowed as nulls (the reference's typed do_put rejects at the wire)
+    val df = spark.read.schema(ddl).option("mode", "FAILFAST").json(ds)
     engine.makeTable(name, df)
     ok(ex, s"""{"table":"$name","rows":${engine.readTable(Seq(name)).count()}}""")
   }
@@ -164,7 +166,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           throw new IllegalArgumentException("pq search takes exactly one source")
         engine.searchPq(sources.head, column, target, c, p, cand.asInt(),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),
-          metric, tieBreak)
+          metric, filter, select, tieBreak)
       case _ =>
         engine.searchMulti(sources, column, target, metric, coding,
           probes, math.min(k, maxResponseRows), filter, select, tieBreak)

@@ -48,11 +48,13 @@ object Tensors {
   def asTensor(df: DataFrame, column: String, shape: Seq[Int]): DataFrame =
     df.withColumn(column, col(column).as(column, tensorMeta(shape)))
 
-  /** Validate that every row of `column` has the declared flat size;
-    * fails the job on the first violation (cheap codegen'd check). */
+  /** Validate that every non-null row of `column` has the declared flat
+    * size; fails the job on the first violation (cheap codegen'd check).
+    * Null rows pass — the reference's fixed-size-list type is nullable,
+    * and the engine's distance path is null-safe. */
   def enforceShape(df: DataFrame, column: String, flatSize: Int): DataFrame =
     df.withColumn(column,
-      when(size(col(column)) === flatSize, col(column))
+      when(col(column).isNull || size(col(column)) === flatSize, col(column))
         .otherwise(raise_error(concat(
           lit(s"tensor '$column' expected $flatSize elements, got "),
           size(col(column)).cast("string")))))
@@ -69,7 +71,7 @@ object Tensors {
         case Some(shape) if f.dataType.isInstanceOf[ArrayType] =>
           val flat = shape.product
           acc.withColumn(f.name,
-            when(size(col(f.name)) === flat, col(f.name))
+            when(col(f.name).isNull || size(col(f.name)) === flat, col(f.name))
               .otherwise(raise_error(concat(
                 lit(s"tensor '${f.name}' expected $flat elements, got "),
                 size(col(f.name)).cast("string"))))

@@ -117,27 +117,29 @@ class PQSpec extends SparkSuite {
     assert(java.util.Arrays.equals(back.encode(v), cb.encode(v)))
   }
 
-  test("interpreted-mode parity (nullSafeEval vs codegen)") {
+  test("interpreted-mode parity (nullSafeEval vs codegen), every metric") {
     import spark.implicits._
     val df = clustered().cache()
     val target = df.filter(col("id") === 0)
       .select(col("vec").cast("array<double>")).collect()(0)
       .getSeq[Double](0).toArray
-    val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 8,
-      metric = "l2", sampleSize = 200, iters = 8))
-    def run(): Seq[(Long, Double)] =
-      df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
-        .withColumn("adc", PQ.adcScoreExpr(col("code"), cb, target))
-        .orderBy(col("id").asc).select("id", "adc")
-        .as[(Long, Double)].collect().toSeq
-    val codegen = run()
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    val interpreted = try run() finally {
-      spark.conf.set("spark.sql.codegen.wholeStage", "true")
-      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    for (metric <- Seq("l2", "cosine", "dot")) {
+      val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 8,
+        metric = metric, sampleSize = 200, iters = 8))
+      def run(): Seq[(Long, Double)] =
+        df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
+          .withColumn("adc", PQ.adcScoreExpr(col("code"), cb, target))
+          .orderBy(col("id").asc).select("id", "adc")
+          .as[(Long, Double)].collect().toSeq
+      val codegen = run()
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = try run() finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+      assert(codegen == interpreted, s"codegen/interpreted divergence under $metric")
     }
-    assert(codegen == interpreted)
   }
 }
 

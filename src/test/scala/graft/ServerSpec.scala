@@ -98,6 +98,17 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => pqIds += n.get("id").asLong())
     assert(pqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"pq $pqIds")
 
+    // the filter applies on the PQ path too (id 0 excluded)
+    val (fc2, fBody2) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","probes":2,"candidates":40,"idCol":"id",
+          "k":4,"filter":"id >= 2","tieBreak":["id"],"select":["id"]}""")
+    assert(fc2 == 200, fBody2)
+    val fIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(fBody2).get("rows").elements()
+      .forEachRemaining(n => fIds += n.get("id").asLong())
+    assert(fIds.toSeq == Seq(2L, 4L, 6L, 8L), s"filtered pq $fIds")
+
     // error shape: unknown route
     val (nc, _) = send("GET", "/nope")
     assert(nc == 404)

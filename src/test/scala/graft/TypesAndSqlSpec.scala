@@ -73,6 +73,13 @@ class TensorsSpec extends SparkSuite {
     val err = intercept[Exception](store.createTable("bad", ragged))
     assert(err.getMessage.contains("expected 2 elements"),
       s"ingest must fail with a clear shape error: ${err.getMessage}")
+    // null rows pass: the fixed-size-list type is nullable (the distance
+    // path is null-safe), only WRONG-length rows are rejected
+    val withNull = Tensors.asTensor(
+      Seq((1L, Some(Seq(1.0f, 2.0f))), (2L, None))
+        .toDF("id", "v"), "v", Seq(2))
+    store.createTable("nullable", withNull)
+    assert(store.loadTable("nullable").count() == 2)
     store.remove()
   }
 

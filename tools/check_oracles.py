@@ -18,6 +18,8 @@ def norm(v):
         # bit-exact float compare, but normalize -0.0/NaN representation
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0  # -0.0 == 0.0 but str()s differently: keep row sort keys aligned
         return v
     return v
 
