@@ -250,6 +250,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairsExact(
         tbl(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", shingleSize = 1, threshold = 0.6)),
+    // —— dedup: pair graph → duplicate groups (connected components,
+    // min-label propagation; rep = component-minimum doc_id) ——
+    "dedup_groups_cc" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+      val pairs = Dedup.ngramJaccardPairsExact(
+        docs, "doc_id", "text", shingleSize = 1, threshold = 0.6)
+      Dedup.duplicateGroups(docs, "doc_id", pairs, "id_a", "id_b")
+    }),
     // —— dedup: embedding-cosine near-dup, exact self-join (oracle) ——
     "dedup_cosine" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineExact(
@@ -596,6 +604,18 @@ object SparkEntry {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) AS jaccard " +
         "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jaccard >= 0.6"),
+    // connected components via recursive CTE: min reachable id == the
+    // component-minimum label that duplicateGroups propagates
+    "dedup_groups_cc" ->
+      ("WITH RECURSIVE " +
+        "sh AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +
+        "FROM documents WHERE doc_id < 100), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.6), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM sh " +
+        "UNION SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id"),
     "dedup_cosine" ->
       ("SELECT id_a, id_b, dist FROM (" +
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +

@@ -138,6 +138,51 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Consolidate near-dup pairs into duplicate GROUPS: connected
+    * components over the pair graph, each node labeled with its
+    * component's minimum id (the canonical "keeper"). This is the step
+    * after any pair generator (exact / MinHash / SimHash / cosine-LSH)
+    * in a real dedup pipeline — pairs alone can't answer "which rows do
+    * I drop".
+    *
+    * Distributed min-label propagation: each round pushes every node's
+    * current label across its edges and keeps the minimum (the
+    * alternating-join shape of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014). Rounds are bounded by the
+    * component diameter — near-dup graphs are dense clusters, so a
+    * handful; `maxIter` caps pathological chains. Each round is one
+    * shuffle join + one partial-agg min; `localCheckpoint` cuts the
+    * iterative lineage so plans stay flat.
+    *
+    * Returns (`idCol`, rep) for every node of `nodes` (singletons are
+    * their own rep).
+    */
+  def duplicateGroups(
+      nodes: DataFrame, idCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val prop = edges.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("rep").as("rep"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
+        .filter(col("rep") =!= col("prev")).count()
+      labels = next
+      it += 1
+    }
+    labels.withColumnRenamed("id", idCol)
+  }
+
   /** Refuse to launch an O(n²) all-pairs job above `maxRows` — the exact
     * operators exist as oracle baselines, not as 100 TB paths. Raising
     * `maxRows` is the explicit opt-in. The count is one metadata-cheap

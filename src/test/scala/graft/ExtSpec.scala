@@ -459,3 +459,26 @@ class CorpusStatsSpec extends SparkSuite {
     assert(tri == Map("a b a" -> 1L, "b a c" -> 1L))
   }
 }
+
+class DuplicateGroupsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("connected components label every node with its component minimum") {
+    // components: {1,2,3,4} (chain), {10,11}, singleton {20}
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = graft.ext.Dedup.duplicateGroups(nodes, "id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("a long chain converges within the diameter bound") {
+    // path graph 0-1-2-...-9: diameter 9, needs several rounds
+    val nodes = (0L to 9L).toDF("id")
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.ext.Dedup.duplicateGroups(nodes, "id", pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == Set(0L), s"all nodes must fold to 0: $got")
+  }
+}
