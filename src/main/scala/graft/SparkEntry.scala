@@ -300,6 +300,22 @@ object SparkEntry {
       TextAnalysis.topVocab(tbl(s, dir, "documents"), "text", 100)),
     "ngram_counts" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.wordNgramCounts(tbl(s, dir, "documents"), "text", 2)),
+    // —— balanced (stratified) sampling: n deterministic docs/stratum ——
+    "balanced_sample" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Scale.balancedSample(
+        tbl(s, dir, "documents"), Seq("lang", "source"), 3, "doc_id")
+        .select("doc_id", "lang", "source")),
+    // —— text: benchmark decontamination (n-gram containment) ——
+    "text_decontaminate" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.ngramContainment(
+        docs.filter(col("doc_id") >= 100)
+          .select(col("doc_id").as("corpus_id"), col("text")),
+        "corpus_id", "text",
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        "bench_id", "text", n = 2, threshold = 0.2)
+    }),
     // —— multimodal plumbing (payload bytes; features are stubbed) ——
     "media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.extractFeatures(
@@ -653,6 +669,24 @@ object SparkEntry {
         "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
         "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)) AS quality " +
         "FROM r"),
+    "balanced_sample" ->
+      ("SELECT doc_id, lang, source FROM (" +
+        "SELECT doc_id, lang, source, " +
+        "row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn " +
+        "FROM documents) WHERE rn <= 3"),
+    "text_decontaminate" ->
+      ("WITH b AS (SELECT doc_id AS bench_id, " +
+        "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id < 5) WHERE len(t) >= 2), " +
+        "c AS (SELECT doc_id AS corpus_id, " +
+        "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
+        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id >= 100) WHERE len(t) >= 2), " +
+        "bt AS (SELECT bench_id, len(gs) AS b_total FROM b), " +
+        "bg AS (SELECT bench_id, unnest(gs) AS ngram FROM b), " +
+        "cg AS (SELECT corpus_id, unnest(gs) AS ngram FROM c), " +
+        "j AS (SELECT cg.corpus_id, bg.bench_id, count(*) AS shared FROM cg JOIN bg USING (ngram) GROUP BY 1, 2) " +
+        "SELECT corpus_id, bench_id, shared, CAST(shared AS DOUBLE) / b_total AS containment " +
+        "FROM j JOIN bt USING (bench_id) WHERE CAST(shared AS DOUBLE) / b_total >= 0.2"),
     "vocab_topk" ->
       ("SELECT token, freq FROM (" +
         "SELECT t AS token, count(*) AS freq " +

@@ -40,6 +40,22 @@ object Scale {
 
   /** Range-bucket co-partitioning: repartition both sides by the same
     * expression so a subsequent join/zip is shuffle-local. */
+  /** Balanced (stratified) sample: the first `n` rows of every stratum
+    * under a deterministic order — the training-data-mix primitive
+    * ("at most n docs per language/source"). One window over a single
+    * shuffle on the strata key; deterministic, so resumable pipelines
+    * re-produce the same sample (unlike fraction-based `sampleBy`).
+    * For seeded-random balance, order by a hash of the id instead of the
+    * id itself. */
+  def balancedSample(df: DataFrame, strataCols: Seq[String], n: Int,
+      orderCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(col(orderCol).asc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") <= n)
+      .drop("__rn__")
+  }
+
   def coPartition(a: DataFrame, b: DataFrame, key: String, partitions: Int)
       : (DataFrame, DataFrame) =
     (a.repartition(partitions, col(key)), b.repartition(partitions, col(key)))

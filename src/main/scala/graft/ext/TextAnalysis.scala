@@ -100,6 +100,43 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
   }
 
+  /** Per-doc distinct word n-grams (helper for containment/dedup). */
+  private def distinctNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, out: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol), explode(array_distinct(transform(
+        sequence(lit(0), size(col("toks")) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+        .as(out))
+  }
+
+  /** Benchmark decontamination: n-gram containment of every benchmark
+    * doc in every corpus doc — containment(c, b) = |G(b) ∩ G(c)| / |G(b)|
+    * over distinct word n-grams (the standard eval-leakage check for
+    * training corpora). The benchmark side is small by definition, so its
+    * exploded n-grams broadcast; the corpus n-grams stream through one
+    * map-side-combined groupBy — the corpus is never shuffled by itself
+    * at 100 TB. Pairs at or above `threshold` come back with the shared
+    * count and score. Id columns must be pre-renamed to be distinct. */
+  def ngramContainment(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int, threshold: Double): DataFrame = {
+    require(corpusId != benchId,
+      s"rename the id columns apart (both are '$corpusId')")
+    val bGrams = distinctNgrams(bench, benchId, benchText, n, "ngram")
+    val bTotals = bGrams.groupBy(benchId).agg(count(lit(1)).as("b_total"))
+    val cGrams = distinctNgrams(corpus, corpusId, corpusText, n, "ngram")
+    cGrams.join(broadcast(bGrams), Seq("ngram"))
+      .groupBy(corpusId, benchId).agg(count(lit(1)).as("shared"))
+      .join(broadcast(bTotals), Seq(benchId))
+      .withColumn("containment", col("shared").cast("double") / col("b_total"))
+      .filter(col("containment") >= threshold)
+      .select(corpusId, benchId, "shared", "containment")
+  }
+
   // ——— language identification ———
 
   private val StopwordTable: Map[String, Seq[String]] = Map(

@@ -482,3 +482,31 @@ class DuplicateGroupsSpec extends SparkSuite {
     assert(got.values.toSet == Set(0L), s"all nodes must fold to 0: $got")
   }
 }
+
+class DecontaminationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("n-gram containment is exact on hand-computed docs") {
+    val bench = Seq((100L, "a b c")).toDF("bench_id", "text")   // grams: {a b, b c}
+    val corpus = Seq(
+      (1L, "a b x y"),      // shares {a b}          -> 1/2
+      (2L, "a b c d"),      // shares {a b, b c}     -> 2/2
+      (3L, "z z z"),        // shares nothing        -> dropped
+    ).toDF("corpus_id", "text")
+    val got = graft.ext.TextAnalysis.ngramContainment(
+      corpus, "corpus_id", "text", bench, "bench_id", "text",
+      n = 2, threshold = 0.5)
+      .select("corpus_id", "shared", "containment")
+      .as[(Long, Long, Double)].collect()
+      .map { case (i, s, c) => i -> ((s, c)) }.toMap
+    assert(got == Map(1L -> ((1L, 0.5)), 2L -> ((2L, 1.0))))
+  }
+
+  test("balanced sample takes exactly n deterministic rows per stratum") {
+    val df = (1L to 100L).map(i => (i, if (i % 3 == 0) "x" else "y")).toDF("id", "grp")
+    val got = graft.ext.Scale.balancedSample(df, Seq("grp"), 5, "id")
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(got == Seq((1L,"y"),(2L,"y"),(3L,"x"),(4L,"y"),(5L,"y"),(6L,"x"),
+      (7L,"y"),(9L,"x"),(12L,"x"),(15L,"x")).sorted)
+  }
+}
