@@ -27,6 +27,10 @@ object Soak {
     engine.search("vectors", "vector", target, coding = Some("c"),
       probes = Some(16), k = 10).collect()
     println(f"[soak] probed warm: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = System.nanoTime()
+    engine.searchPq("vectors", "vector", target, coding = "c", probes = 16,
+      candidates = 4000, idCol = "vec_id", k = 10).collect()
+    println(f"[soak] ivf+pq warm: ${(System.nanoTime() - t1) / 1e9}%.2f s")
     spark.stop()
   }
 }

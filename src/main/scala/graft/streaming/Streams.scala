@@ -32,6 +32,16 @@ object Streams {
       watermark: String = "2 hours"): DataFrame =
     windowedEventStats(events.withWatermark("ts", watermark), windowLen)
 
+  /** Running vocabulary: token frequencies over a text stream. Batch =
+    * one map-side-combined groupBy (identical to
+    * [[graft.ext.TextAnalysis.tokenFrequencies]]); on a stream in update
+    * mode the state is one counter per distinct token — bounded by
+    * vocabulary size, not stream length. */
+  def streamingTokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+
   /** Streaming ANN: score each micro-batch of query vectors against a
     * static corpus (optionally IVF-pruned upstream) with the same batch
     * k-NN join the offline path uses — the Spark answer to "online"

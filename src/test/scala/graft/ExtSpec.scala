@@ -510,3 +510,24 @@ class DecontaminationSpec extends SparkSuite {
       (7L,"y"),(9L,"x"),(12L,"x"),(15L,"x")).sorted)
   }
 }
+
+class StreamingVocabSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("running token counts accumulate across micro-batches (update state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val q = Streams.streamingTokenCounts(mem.toDF().toDF("text"), "text")
+      .writeStream.format("memory").queryName("vocab_test")
+      .outputMode("complete").start()
+    try {
+      mem.addData("a b a", "  ")
+      q.processAllAvailable()
+      mem.addData("b c")
+      q.processAllAvailable()
+      val got = spark.table("vocab_test").as[(String, Long)].collect().toMap
+      assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 1L), s"got $got")
+    } finally q.stop()
+  }
+}
