@@ -316,6 +316,17 @@ object SparkEntry {
           .select(col("doc_id").as("bench_id"), col("text")),
         "bench_id", "text", n = 2, threshold = 0.2)
     }),
+    // —— multimodal: REAL P6 codec round-trip — every doc becomes a valid
+    // 16×16 PPM, is decoded (header parse + raster), and reports its
+    // actual decoded dims + payload size (decode failure fails the query) ——
+    "media_ppm_decode" -> ((s: SparkSession, dir: String) => {
+      val media = Multimodal.mediaAsPpm(tbl(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeaturesPpm(media).toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 15).cast("int").as("width"),
+          element_at(col("features"), 16).cast("int").as("height"),
+          col("n_bytes").cast("long").as("n_bytes"))
+    }),
     // —— multimodal plumbing (payload bytes; features are stubbed) ——
     "media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.extractFeatures(
@@ -699,6 +710,11 @@ object SparkEntry {
         "SELECT ngram, count(*) AS freq FROM (" +
         "SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
         "i -> t[i] || ' ' || t[i+1])) AS ngram FROM tk) GROUP BY ngram"),
+    // P6 of a 16x16 image: 13-byte header ("P6\n16 16\n255\n") + 768 raster
+    // bytes; width/height come from the DECODED raster, so any codec break
+    // fails the hash match (or throws)
+    "media_ppm_decode" ->
+      "SELECT doc_id AS media_id, 16 AS width, 16 AS height, CAST(781 AS BIGINT) AS n_bytes FROM documents",
     "media_features" ->
       "SELECT doc_id AS media_id, 'image' AS modality, octet_length(encode(text)) AS n_bytes FROM documents",
     "media_frames" ->

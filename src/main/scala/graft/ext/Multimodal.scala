@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * the layout a 100 TB multimodal corpus actually uses (payload bytes
   * inline or as object-store pointers; schema'd metadata for pruning).
   * The Spark-side plumbing (schema, batching, partition-parallel decode,
-  * feature schema) is real and tested; the *codec* itself is a
-  * clearly-marked deterministic STUB because no image/audio libraries
-  * exist in this container — swap `stubDecode` for an actual decoder
-  * (e.g. JNI/FFI into libjpeg/ffmpeg) without touching the plumbing.
+  * feature schema) is real and tested. Codecs: PPM/P6 has a REAL pure-JVM
+  * decode → pixel-math → re-encode path ([[Ppm]], `mediaAsPpm` /
+  * `extractFeaturesPpm` / `resizePpm`); compressed formats (JPEG/ffmpeg)
+  * stay behind the clearly-marked deterministic `stubDecode` because no
+  * native codec libraries exist in this container — swap it for a JNI/FFI
+  * decoder without touching the plumbing.
   */
 object Multimodal {
 
@@ -100,6 +102,61 @@ object Multimodal {
       case (id, text) =>
         val bytes = if (text == null) Array.empty[Byte] else text.getBytes("UTF-8")
         MediaRow(id, bytes, MediaMeta("image", width = bytes.length min 64, height = 1, sampleRateHz = 0))
+    }
+  }
+
+  // ——— REAL decode path (PPM/P6 — see [[Ppm]]) ———
+
+  /** Deterministic VALID P6 payloads synthesized from a text column —
+    * genuinely encoded images (header + raster) so the decode path below
+    * exercises a real codec, not the stub. */
+  def mediaAsPpm(df: DataFrame, idCol: String, textCol: String,
+      width: Int = 16, height: Int = 16): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)].map {
+      case (id, text) =>
+        val px = new Array[Byte](width * height * 3)
+        var h = id * 0x9E3779B97F4A7C15L + (if (text == null) 0 else text.hashCode.toLong)
+        var i = 0
+        while (i < px.length) {
+          h = h * 6364136223846793005L + 1442695040888963407L
+          px(i) = (h >>> 56).toByte
+          i += 1
+        }
+        val payload = Ppm.encode(Ppm.Image(width, height, px))
+        MediaRow(id, payload, MediaMeta("image", width, height, 0))
+    }
+  }
+
+  /** Decode + featurize with the REAL codec: P6 header parse, raster
+    * decode, per-channel statistics ([[Ppm.features]]). Same partition-
+    * parallel shape as [[extractFeatures]]; payloads that fail to decode
+    * throw (a corrupt-tolerant pipeline would route them to a quarantine
+    * sink instead). */
+  def extractFeaturesPpm(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val img = Ppm.decode(row.payload)
+        MediaFeatures(row.media_id, row.meta.modality, row.payload.length,
+          Ppm.features(img))
+      }
+    }
+  }
+
+  /** Real resize: decode → nearest-neighbor resample on the pixel grid →
+    * re-encode; metadata follows the actual new raster dims. */
+  def resizePpm(media: Dataset[MediaRow], targetWidth: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val img = Ppm.decode(row.payload)
+      if (img.width <= targetWidth) row
+      else {
+        val targetH = math.max(1, (img.height.toLong * targetWidth / img.width).toInt)
+        val resized = Ppm.resizeNearest(img, targetWidth, targetH)
+        MediaRow(row.media_id, Ppm.encode(resized),
+          row.meta.copy(width = resized.width, height = resized.height))
+      }
     }
   }
 }

@@ -531,3 +531,60 @@ class StreamingVocabSpec extends SparkSuite {
     } finally q.stop()
   }
 }
+
+class PpmSpec extends SparkSuite {
+  import graft.ext.Ppm
+
+  test("encode/decode round-trip is exact; whitespace and comments parse") {
+    val img = Ppm.Image(2, 2, Array[Byte](
+      10, 20, 30,   40, 50, 60,
+      70, 80, 90,  100, 110, 120))
+    val back = Ppm.decode(Ppm.encode(img))
+    assert(back.width == 2 && back.height == 2)
+    assert(back.pixels.sameElements(img.pixels))
+    // a header with comments and extra whitespace is still valid netpbm
+    val commented = "P6\n# a comment\n 2  2 \n# another\n255\n".getBytes("US-ASCII") ++
+      img.pixels
+    val fromCommented = Ppm.decode(commented)
+    assert(fromCommented.pixels.sameElements(img.pixels))
+  }
+
+  test("malformed payloads are rejected with clear errors") {
+    val img = Ppm.Image(1, 1, Array[Byte](1, 2, 3))
+    val ok = Ppm.encode(img)
+    intercept[IllegalArgumentException](Ppm.decode("PX\n1 1\n255\nabc".getBytes))
+    intercept[IllegalArgumentException](Ppm.decode(ok.dropRight(1)))   // truncated raster
+    intercept[IllegalArgumentException](Ppm.decode("P6\n1 1\n65535\nabc".getBytes))
+  }
+
+  test("nearest-neighbor resize picks the expected source pixels") {
+    // 4x1 gradient -> 2x1 keeps pixels 0 and 2
+    val img = Ppm.Image(4, 1, Array[Byte](0, 0, 0, 10, 10, 10, 20, 20, 20, 30, 30, 30))
+    val out = Ppm.resizeNearest(img, 2, 1)
+    assert(out.at(0, 0) == ((0, 0, 0)) && out.at(1, 0) == ((20, 20, 20)))
+  }
+
+  test("pixel statistics are hand-exact") {
+    // two pixels: (0,0,0) and (255,255,255)
+    val img = Ppm.Image(2, 1, Array[Byte](0, 0, 0, -1, -1, -1))
+    val f = Ppm.features(img)
+    assert(f(0) == 127.5f && f(1) == 127.5f && f(2) == 127.5f)   // means
+    assert(f(3) == 127.5f)                                        // stddev
+    assert(f(6) == 0.5f && f(13) == 0.5f)                         // lum bins 0 and 7
+    assert(f(14) == 2.0f && f(15) == 1.0f)
+  }
+
+  test("distributed decode + real resize over generated valid P6 media") {
+    val docs = sf("sf0.001", "documents").limit(50)
+    val media = graft.ext.Multimodal.mediaAsPpm(docs, "doc_id", "text")
+    val feats = graft.ext.Multimodal.extractFeaturesPpm(media).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(f => f.n_bytes == 781 && f.features.length == 16))
+    assert(feats.forall(f => f.features(14) == 16.0f && f.features(15) == 16.0f))
+    val resized = graft.ext.Multimodal.resizePpm(media, 8).collect()
+    resized.foreach { m =>
+      val img = Ppm.decode(m.payload)
+      assert(img.width == 8 && img.height == 8 && m.meta.width == 8)
+    }
+  }
+}
