@@ -327,6 +327,16 @@ object SparkEntry {
           element_at(col("features"), 16).cast("int").as("height"),
           col("n_bytes").cast("long").as("n_bytes"))
     }),
+    // —— multimodal: REAL wav codec round-trip — one second of pcm16 per
+    // doc, decoded (RIFF chunk walk) and reporting actual frame counts ——
+    "media_wav_decode" -> ((s: SparkSession, dir: String) => {
+      val media = Multimodal.mediaAsWav(tbl(s, dir, "documents"), "doc_id")
+      Multimodal.extractFeaturesWav(media).toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 13).cast("long").as("frames"),
+          element_at(col("features"), 14).cast("int").as("rate_hz"),
+          col("n_bytes").cast("long").as("n_bytes"))
+    }),
     // —— multimodal plumbing (payload bytes; features are stubbed) ——
     "media_features" -> ((s: SparkSession, dir: String) =>
       Multimodal.extractFeatures(
@@ -715,6 +725,11 @@ object SparkEntry {
     // fails the hash match (or throws)
     "media_ppm_decode" ->
       "SELECT doc_id AS media_id, 16 AS width, 16 AS height, CAST(781 AS BIGINT) AS n_bytes FROM documents",
+    // pcm16 wav of 8000 mono frames: 44-byte RIFF header + 16000 data bytes;
+    // frames/rate come from the DECODED stream
+    "media_wav_decode" ->
+      ("SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS frames, " +
+        "8000 AS rate_hz, CAST(16044 AS BIGINT) AS n_bytes FROM documents"),
     "media_features" ->
       "SELECT doc_id AS media_id, 'image' AS modality, octet_length(encode(text)) AS n_bytes FROM documents",
     "media_frames" ->

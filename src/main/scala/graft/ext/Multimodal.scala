@@ -159,4 +159,50 @@ object Multimodal {
       }
     }
   }
+
+  // ——— REAL audio path (WAV/PCM16 — see [[Wav]]) ———
+
+  /** Deterministic VALID pcm16 WAV payloads synthesized from an id column
+    * (one second of a per-id tone + hash noise at `rateHz`). */
+  def mediaAsWav(df: DataFrame, idCol: String, rateHz: Int = 8000,
+      frames: Int = 8000): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val s = new Array[Short](frames)
+      val freq = 100.0 + (id % 40) * 10.0
+      var h = id * 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < frames) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        val noise = ((h >>> 48).toShort / 16).toInt
+        val tone = (8000 * math.sin(2 * math.Pi * freq * i / rateHz)).toInt
+        s(i) = math.max(Short.MinValue, math.min(Short.MaxValue, tone + noise)).toShort
+        i += 1
+      }
+      val payload = Wav.encode(Wav.Audio(rateHz, Array(s)))
+      MediaRow(id, payload, MediaMeta("audio", 0, 0, rateHz))
+    }
+  }
+
+  /** Decode + featurize with the REAL wav codec (RIFF chunk walk, PCM16
+    * samples, signal statistics — [[Wav.features]]). */
+  def extractFeaturesWav(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val audio = Wav.decode(row.payload)
+        MediaFeatures(row.media_id, row.meta.modality, row.payload.length,
+          Wav.features(audio))
+      }
+    }
+  }
+
+  /** Real resample: decode → index-mapped rate change → re-encode. */
+  def resampleWav(media: Dataset[MediaRow], targetRateHz: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val out = Wav.resample(Wav.decode(row.payload), targetRateHz)
+      MediaRow(row.media_id, Wav.encode(out), row.meta.copy(sampleRateHz = targetRateHz))
+    }
+  }
 }

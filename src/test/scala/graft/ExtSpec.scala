@@ -588,3 +588,55 @@ class PpmSpec extends SparkSuite {
     }
   }
 }
+
+class WavSpec extends SparkSuite {
+  import graft.ext.Wav
+
+  test("encode/decode round-trip is exact, stereo included") {
+    val a = Wav.Audio(8000, Array(
+      Array[Short](0, 1000, -1000, 32767, -32768),
+      Array[Short](5, -5, 0, 100, -100)))
+    val back = Wav.decode(Wav.encode(a))
+    assert(back.sampleRateHz == 8000 && back.numChannels == 2 && back.numFrames == 5)
+    assert(back.samples(0).sameElements(a.samples(0)))
+    assert(back.samples(1).sameElements(a.samples(1)))
+  }
+
+  test("chunk walker tolerates extra chunks; malformed payloads rejected") {
+    val a = Wav.Audio(8000, Array(Array[Short](1, 2, 3)))
+    val ok = Wav.encode(a)
+    // splice a LIST chunk between WAVE and fmt
+    val extra = java.nio.ByteBuffer.allocate(10)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(2).put(Array[Byte](7, 7)).array()
+    val spliced = ok.take(12) ++ extra ++ ok.drop(12)
+    assert(Wav.decode(spliced).samples(0).sameElements(a.samples(0)))
+    intercept[IllegalArgumentException](Wav.decode("RIFX".getBytes ++ ok.drop(4)))
+    intercept[IllegalArgumentException](Wav.decode(ok.dropRight(1)))
+  }
+
+  test("resample maps indices; features are hand-exact on a square wave") {
+    val sq = Wav.Audio(4, Array(Array[Short](1000, 1000, -1000, -1000)))
+    val down = Wav.resample(sq, 2)
+    assert(down.samples(0).sameElements(Array[Short](1000, -1000)))
+    val f = Wav.features(sq)
+    assert(f(0) == 0.0f)              // mean
+    assert(f(1) == 1000.0f)           // rms
+    assert(f(2) == 1000.0f)           // peak
+    assert(math.abs(f(3) - 1.0f / 3) < 1e-7)  // one crossing / 3 steps
+    assert(f(12) == 4.0f && f(13) == 4.0f && f(14) == 1.0f && f(15) == 1.0f)
+  }
+
+  test("distributed wav decode over generated valid payloads") {
+    val docs = sf("sf0.001", "documents").limit(30)
+    val media = graft.ext.Multimodal.mediaAsWav(docs, "doc_id", rateHz = 4000, frames = 4000)
+    val feats = graft.ext.Multimodal.extractFeaturesWav(media).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(f => f.features(12) == 4000.0f && f.features(13) == 4000.0f))
+    val resampled = graft.ext.Multimodal.resampleWav(media, 2000).collect()
+    resampled.foreach { m =>
+      val a = Wav.decode(m.payload)
+      assert(a.sampleRateHz == 2000 && a.numFrames == 2000 && m.meta.sampleRateHz == 2000)
+    }
+  }
+}
