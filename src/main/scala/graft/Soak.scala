@@ -27,10 +27,21 @@ object Soak {
     engine.search("vectors", "vector", target, coding = Some("c"),
       probes = Some(16), k = 10).collect()
     println(f"[soak] probed warm: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // Rerank budget scales with rows-per-cell: on isotropic within-cell
+    // residuals (this synthetic corpus) ADC ranking is noise-limited, so
+    // recall tracks candidates / cell-size, not candidates alone.
+    val candidates = sys.env.get("GRAFT_PQ_CANDIDATES").map(_.toInt)
+      .getOrElse(math.max(4000, RefBench.NumVectors / 100))
     val t1 = System.nanoTime()
-    engine.searchPq("vectors", "vector", target, coding = "c", probes = 16,
-      candidates = 4000, idCol = "vec_id", k = 10).collect()
-    println(f"[soak] ivf+pq warm: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    val pqIds = engine.searchPq("vectors", "vector", target, coding = "c", probes = 16,
+      candidates = candidates, idCol = "vec_id", k = 10, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    println(f"[soak] ivf+pq warm: ${(System.nanoTime() - t1) / 1e9}%.2f s " +
+      f"(candidates=$candidates)")
+    val brute = engine.search("vectors", "vector", target, metric = Some("l2"),
+      k = 10, tieBreak = Seq("vec_id")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    println(f"[soak] ivf+pq recall@10 at candidates=$candidates: ${brute.count(pqIds.contains) / 10.0}%.2f")
     spark.stop()
   }
 }

@@ -18,6 +18,11 @@ class Engine(val spark: SparkSession, val root: String) {
   // ——— tables ———
   def makeTable(name: String, df: DataFrame): Unit = store.createTable(name, df)
 
+  /** CSV/JSON ingest with explicit schema ([[Store.importTable]]). */
+  def importTable(name: String, path: String, format: String, schemaDdl: String,
+      options: Map[String, String] = Map.empty): Unit =
+    store.importTable(name, path, format, schemaDdl, options)
+
   /** `read_table` (S8/`flight.py:46-60`): multi-source load, optional
     * attached codes, filter, select — all explicit arguments. */
   def readTable(

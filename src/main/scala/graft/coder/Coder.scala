@@ -66,6 +66,26 @@ case class Coding(centroids: Array[Array[Array[Double]]], config: CoderConfig) {
     * the `p` nearest cells for one vector (k=1 is [[assign]]). */
   def assignTopP(v: Array[Double], p: Int): Array[Long] = rankCells(v, p)
 
+  /** A full-dim anchor point for a cell: the mean of the cell's n
+    * codebook centroids. Used by residual PQ (IVFADC, Jégou et al. 2011
+    * §III) — l2 in residual space is EXACT for any fixed per-cell anchor
+    * (||(q−a)−(x−a)|| = ||q−x||), and the centroid mean sits near the
+    * cell's data mean, which is what gives the residual codebooks their
+    * resolution. */
+  def anchor(cell: Long): Array[Double] = {
+    val out = new Array[Double](dim)
+    var rem = cell; var j = n - 1
+    while (j >= 0) {
+      val c = centroids(j)((rem % k).toInt); rem /= k
+      var t = 0
+      while (t < dim) { out(t) += c(t); t += 1 }
+      j -= 1
+    }
+    var t = 0
+    while (t < dim) { out(t) /= n; t += 1 }
+    out
+  }
+
   /** Rank all k^n cells by additive score Σ_j d(target, centroid[j][digit_j])
     * and return the `probes` nearest cell ids ascending by score — the IVF
     * probe list (`coder.py:143-194`). Driver-side: k^n is capped small. */

@@ -49,9 +49,14 @@ object PQ {
     require(numSubspaces >= 1, "numSubspaces must be >= 1")
   }
 
-  /** Trained codebooks: `centroids(sub)(code)` is a subDim-length array. */
+  /** Trained codebooks: `centroids(sub)(code)` is a subDim-length array.
+    * `residual = true` marks codebooks trained on cell residuals
+    * (x − anchor(cell)) — search must then build per-cell ADC tables on
+    * the query residual (see [[graft.index.Index.searchIvfPq]]); `anchors`
+    * carries the per-cell anchor points (empirical cell means). */
   case class PQCodebooks(config: PQConfig, dim: Int,
-      centroids: Array[Array[Array[Double]]]) {
+      centroids: Array[Array[Array[Double]]], residual: Boolean = false,
+      anchors: Map[Long, Array[Double]] = Map.empty) {
     val m: Int = config.numSubspaces
     val k: Int = config.codebookSize
     require(dim % m == 0, s"dim $dim not divisible by numSubspaces $m")
@@ -214,7 +219,14 @@ object PQ {
     payload.put("sampleSize", cb.config.sampleSize)
     payload.put("iters", cb.config.iters)
     payload.put("seed", cb.config.seed)
+    payload.put("residual", cb.residual)
     payload.set("centroids", mapper.valueToTree(cb.centroids))
+    val anchorsNode = payload.putObject("anchors")
+    cb.anchors.foreach { case (cell, a) =>
+      anchorsNode.set[com.fasterxml.jackson.databind.JsonNode](
+        cell.toString, mapper.valueToTree(a))
+      ()
+    }
     mapper.writeValueAsBytes(payload)
   }
 
@@ -229,7 +241,15 @@ object PQ {
       iters = n.get("iters").asInt(),
       seed = n.get("seed").asLong())
     val cents = mapper.treeToValue(n.get("centroids"), classOf[Array[Array[Array[Double]]]])
-    PQCodebooks(cfg, n.get("dim").asInt(), cents)
+    val residual = Option(n.get("residual")).exists(_.asBoolean(false))
+    val anchors: Map[Long, Array[Double]] = Option(n.get("anchors")).map { an =>
+      val b = Map.newBuilder[Long, Array[Double]]
+      an.fields().forEachRemaining { e =>
+        b += e.getKey.toLong -> mapper.treeToValue(e.getValue, classOf[Array[Double]])
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+    PQCodebooks(cfg, n.get("dim").asInt(), cents, residual, anchors)
   }
 
   /** Local-file save/load so repeated Verify/Bench runs skip retraining. */
@@ -268,6 +288,42 @@ object PQ {
     org.apache.spark.sql.GraftShims.column(
       graft.functions.PQEncode(
         org.apache.spark.sql.GraftShims.expression(vec), cb))
+
+  /** Residual column x − anchor(cell), all codegen'd built-ins: a map
+    * literal of cell → anchor feeds a `zip_with` subtraction. Literal size
+    * = numCells·dim doubles — callers gate on the residual cell cap. */
+  def residualExpr(vec: Column, cell: Column,
+      anchors: Map[Long, Array[Double]]): Column = {
+    val lit: Map[Long, Seq[Double]] = anchors.map { case (c, a) => c -> a.toSeq }
+    org.apache.spark.sql.functions.zip_with(
+      vec.cast("array<double>"),
+      org.apache.spark.sql.functions.element_at(typedLit(lit), cell),
+      (a, b) => a - b)
+  }
+
+  /** Per-cell ADC over residual codes: one l2 table per probed cell
+    * (query residual vs codewords), selected per row by its cell id.
+    * Cells the build never saw (possible probe targets, impossible scan
+    * rows) fall back to `fallbackAnchor`. */
+  def adcScoreCellsExpr(codes: Column, cell: Column, cb: PQCodebooks,
+      target: Array[Double], cells: Array[Long],
+      fallbackAnchor: Long => Array[Double]): Column = {
+    val tables = new Array[Double](cells.length * cb.m * cb.k)
+    var i = 0
+    while (i < cells.length) {
+      val anchor = cb.anchors.getOrElse(cells(i), fallbackAnchor(cells(i)))
+      val qRes = new Array[Double](target.length)
+      var t = 0
+      while (t < target.length) { qRes(t) = target(t) - anchor(t); t += 1 }
+      System.arraycopy(cb.adcTable(qRes), 0, tables, i * cb.m * cb.k, cb.m * cb.k)
+      i += 1
+    }
+    org.apache.spark.sql.GraftShims.column(
+      graft.functions.PQAdcScoreCells(
+        org.apache.spark.sql.GraftShims.expression(codes),
+        org.apache.spark.sql.GraftShims.expression(cell),
+        cells, tables, cb.m, cb.k))
+  }
 
   /** Approximate (ADC) distance of a codes column to `target`. */
   def adcScoreExpr(codes: Column, cb: PQCodebooks, target: Array[Double]): Column =

@@ -152,3 +152,77 @@ case class PQAdcScore(child: Expression, table: Array[Double], m: Int, k: Int,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Residual-PQ ADC with PER-CELL tables (IVFADC proper): the row's cell id
+  * selects which query-residual table its code bytes index into. `cells`
+  * is the probed cell list (tiny — ≤ probes entries, linear-scanned);
+  * `tables` is the concatenation of their m×k l2 tables. Residual mode is
+  * l2-only, so the finish is always sqrt.
+  */
+case class PQAdcScoreCells(codes: Expression, cell: Expression,
+    cells: Array[Long], tables: Array[Double], m: Int, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult = (codes.dataType, cell.dataType) match {
+    case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (c, l) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score_cells expects (binary, bigint), got (${c.catalogString}, ${l.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score_cells"
+
+  override def nullSafeEval(codesAny: Any, cellAny: Any): Any = {
+    val c = codesAny.asInstanceOf[Array[Byte]]
+    val cl = cellAny.asInstanceOf[Long]
+    if (c.length != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score_cells: expected $m code bytes, got ${c.length}")
+    var idx = -1; var i = 0
+    while (idx < 0 && i < cells.length) { if (cells(i) == cl) idx = i; i += 1 }
+    if (idx < 0)
+      throw new IllegalArgumentException(
+        s"pq_adc_score_cells: cell $cl not in the probed set")
+    val base = idx * m * k
+    var acc = 0.0; var j = 0
+    while (j < m) { acc += tables(base + j * k + (c(j) & 0xFF)); j += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("probedCells", cells, "long[]")
+    val tRef = ctx.addReferenceObj("adcTables", tables, "double[]")
+    val idx = ctx.freshName("idx"); val i = ctx.freshName("i")
+    val base = ctx.freshName("base"); val acc = ctx.freshName("acc")
+    val j = ctx.freshName("j")
+    nullSafeCodeGen(ctx, ev, (c, cl) => {
+      s"""
+         |if ($c.length != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_score_cells: expected $m code bytes, got " + $c.length);
+         |}
+         |int $idx = -1;
+         |for (int $i = 0; $idx < 0 && $i < ${cells.length}; $i++) {
+         |  if ($cellsRef[$i] == $cl) { $idx = $i; }
+         |}
+         |if ($idx < 0) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_score_cells: cell " + $cl + " not in the probed set");
+         |}
+         |final int $base = $idx * ${m * k};
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $tRef[$base + $j * $k + ($c[$j] & 0xFF)];
+         |}
+         |${ev.value} = Math.sqrt($acc);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, cell = newRight)
+}

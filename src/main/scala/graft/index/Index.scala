@@ -171,16 +171,56 @@ object Index {
     * the float vectors. Codebooks land as an underscore-prefixed sidecar
     * (ignored by parquet directory listings) next to the data.
     */
+  /** Residual PQ is gated to l2 and a bounded cell count (the anchor map
+    * literal is numCells·dim doubles). */
+  private val ResidualCellCap = 4096L
+
   def buildPq(store: Store, codingName: String, source: String, column: String,
-      pqConfig: graft.coder.PQ.PQConfig): graft.coder.PQ.PQCodebooks = {
+      pqConfig: graft.coder.PQ.PQConfig,
+      residual: Boolean = true): graft.coder.PQ.PQCodebooks = {
     val coding = store.loadCoding(codingName)
     val df = store.loadTable(source)
-    val cb = graft.coder.PQ.train(df, column, pqConfig)
+    // Residual mode (IVFADC proper, Jégou et al. §III): PQ codebooks train
+    // on x − anchor(cell), spending their resolution on WITHIN-cell
+    // structure — flat PQ on cluster-dominated data can separate cells but
+    // ranks within a cell at chance (observed: recall collapses as rows/
+    // cell grow). l2-only (the residual identity needs it) and bounded
+    // cell count (anchor map literal).
+    val useRes = residual &&
+      graft.core.Metrics.canonical(pqConfig.metric) == "l2" &&
+      coding.numCells <= ResidualCellCap
+    val assigned = df.withColumn(CodeCol, assignExpr(col(column), coding))
+    // Anchors = EMPIRICAL per-cell means (one bounded agg; numCells·dim
+    // values to the driver) — the codebook-derived anchor is a poor cell
+    // representative under this engine's additive-codebook coarse
+    // quantizer, and residual resolution is only as good as the anchor.
+    val anchors: Map[Long, Array[Double]] =
+      if (!useRes) Map.empty
+      else assigned
+        .select(col(CodeCol), posexplode(col(column).cast("array<double>")).as(Seq("i", "v")))
+        .groupBy(col(CodeCol), col("i")).agg(avg("v").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          val a = new Array[Double](rows.length)
+          rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+          cell -> a
+        }
+    val encodeInput =
+      if (useRes)
+        assigned.withColumn("__RES__",
+          graft.coder.PQ.residualExpr(col(column), col(CodeCol), anchors))
+      else assigned
+    val cb0 = graft.coder.PQ.train(encodeInput,
+      if (useRes) "__RES__" else column, pqConfig)
+    val cb = cb0.copy(residual = useRes, anchors = anchors)
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.pqIndexPath(source, column, codingName)
-    df.withColumn(CodeCol, assignExpr(col(column), coding))
-      .withColumn(PqCol, graft.coder.PQ.encodeExpr(col(column), cb))
+    encodeInput
+      .withColumn(PqCol, graft.coder.PQ.encodeExpr(
+        col(if (useRes) "__RES__" else column), cb))
+      .drop("__RES__")
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
@@ -240,9 +280,16 @@ object Index {
     // the predicate applies to BOTH passes (pushed into the coarse scan,
     // so the candidate budget is spent on qualifying rows only)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
+    // residual codebooks score against per-cell query-residual tables
+    // (IVFADC); flat codebooks use the single-table ADC
+    val adc =
+      if (cb.residual)
+        graft.coder.PQ.adcScoreCellsExpr(col(PqCol), col(CodeCol), cb,
+          target.doubles, cells, coding.anchor)
+      else graft.coder.PQ.adcScoreExpr(col(PqCol), cb, target.doubles)
     val coarseIds = pruned
-      .select(col(idCol), col(PqCol))
-      .withColumn("__ADC__", graft.coder.PQ.adcScoreExpr(col(PqCol), cb, target.doubles))
+      .select(col(idCol), col(PqCol), col(CodeCol))
+      .withColumn("__ADC__", adc)
       .orderBy(col("__ADC__").asc, col(idCol).asc)
       .limit(candidates)
       .select(idCol)

@@ -76,6 +76,21 @@ class Store(val spark: SparkSession, val root: String) {
     graft.types.Tensors.enforceDeclaredShapes(df)
       .write.mode("overwrite").parquet(sourcePath(name))
 
+  /** Import an external CSV or JSON file set as a named table. The schema
+    * is caller-supplied DDL, never inferred (the reference's schema
+    * contract, SURVEY §1.2), parsing is FAILFAST (a malformed record
+    * fails the import rather than becoming silent nulls), and the data
+    * lands in the store's parquet layout through the normal ingest path —
+    * tensor shape enforcement included. */
+  def importTable(name: String, path: String, format: String, schemaDdl: String,
+      options: Map[String, String] = Map.empty): Unit = {
+    require(Set("csv", "json").contains(format),
+      s"unsupported import format '$format' (csv | json)")
+    val df = spark.read.schema(schemaDdl).options(options)
+      .option("mode", "FAILFAST").format(format).load(path)
+    createTable(name, df)
+  }
+
   /** Load one or many sources; many ⇒ vertical concat (S4/P7,
     * `table.py:12-21`). */
   def loadTable(names: String*): DataFrame = {

@@ -297,3 +297,31 @@ class FloatTargetSpec extends SparkSuite {
     engine.remove()
   }
 }
+
+class ImportSpec extends SparkSuite {
+  test("csv and json import with explicit schema; malformed input failfasts") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-import")
+    Files.writeString(dir.resolve("t.csv"), "1,alpha\n2,beta\n")
+    Files.writeString(dir.resolve("t.json"),
+      """{"id":3,"name":"gamma"}
+        |{"id":4,"name":"delta"}""".stripMargin)
+    val root = Files.createTempDirectory("graft-import-root").toString
+    val engine = new Engine(spark, root)
+    engine.importTable("from_csv", dir.resolve("t.csv").toString, "csv", "id LONG, name STRING")
+    engine.importTable("from_json", dir.resolve("t.json").toString, "json", "id LONG, name STRING")
+    val all = engine.readTable(Seq("from_csv", "from_json"))
+    assert(all.count() == 4)
+    assert(all.select("name").collect().map(_.getString(0)).sorted
+      .sameElements(Array("alpha", "beta", "delta", "gamma")))
+    // malformed CSV row (wrong arity) fails the import, not silently nulls
+    Files.writeString(dir.resolve("bad.csv"), "1,alpha\nnot-a-long,beta,extra\n")
+    intercept[Exception] {
+      engine.importTable("bad", dir.resolve("bad.csv").toString, "csv", "id LONG, name STRING")
+    }
+    intercept[IllegalArgumentException] {
+      engine.importTable("nope", dir.resolve("t.csv").toString, "xml", "id LONG")
+    }
+    engine.remove()
+  }
+}
