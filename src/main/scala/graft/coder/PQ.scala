@@ -308,10 +308,16 @@ object PQ {
   def adcScoreCellsExpr(codes: Column, cell: Column, cb: PQCodebooks,
       target: Array[Double], cells: Array[Long],
       fallbackAnchor: Long => Array[Double]): Column = {
-    val tables = new Array[Double](cells.length * cb.m * cb.k)
+    // probes·m·k doubles ride the plan to every task — gate so a huge
+    // probe list fails loudly instead of shipping a silent multi-GB ref
+    require(cells.length.toLong * cb.m * cb.k <= (1L << 24),
+      s"ADC tables for ${cells.length} probed cells × m=${cb.m} × k=${cb.k} " +
+        "exceed the 16M-entry cap — probe fewer cells or shrink the codebooks")
+    val sorted = cells.sorted // binary-searched per row in the expression
+    val tables = new Array[Double](sorted.length * cb.m * cb.k)
     var i = 0
-    while (i < cells.length) {
-      val anchor = cb.anchors.getOrElse(cells(i), fallbackAnchor(cells(i)))
+    while (i < sorted.length) {
+      val anchor = cb.anchors.getOrElse(sorted(i), fallbackAnchor(sorted(i)))
       val qRes = new Array[Double](target.length)
       var t = 0
       while (t < target.length) { qRes(t) = target(t) - anchor(t); t += 1 }
@@ -322,7 +328,7 @@ object PQ {
       graft.functions.PQAdcScoreCells(
         org.apache.spark.sql.GraftShims.expression(codes),
         org.apache.spark.sql.GraftShims.expression(cell),
-        cells, tables, cb.m, cb.k))
+        sorted, tables, cb.m, cb.k))
   }
 
   /** Approximate (ADC) distance of a codes column to `target`. */

@@ -10,7 +10,8 @@ object Ppm {
 
   /** Decoded RGB image; `pixels` is row-major interleaved RGB. */
   case class Image(width: Int, height: Int, pixels: Array[Byte]) {
-    require(pixels.length == width * height * 3,
+    require(width >= 1 && height >= 1, s"bad dimensions ${width}x$height")
+    require(pixels.length.toLong == width.toLong * height * 3,
       s"pixel buffer ${pixels.length} != $width x $height x 3")
     def at(x: Int, y: Int): (Int, Int, Int) = {
       val i = (y * width + x) * 3
@@ -52,14 +53,19 @@ object Ppm {
     pos = 2
     val w = readInt(); val h = readInt(); val maxval = readInt()
     if (maxval != 255) fail(s"unsupported maxval $maxval")
+    // bound dims BEFORE multiplying: crafted headers like "1431655766 1"
+    // would overflow w*h*3 back into a small positive int and defeat the
+    // raster-length check below (empty images are rejected too — feature
+    // math divides by the pixel count)
+    if (w < 1 || h < 1 || w > 65535 || h > 65535) fail(s"bad dimensions ${w}x$h")
     if (pos >= payload.length || !payload(pos).toChar.isWhitespace)
       fail("missing whitespace after maxval")
     pos += 1 // exactly ONE whitespace byte separates header from raster
-    val need = w * h * 3
-    if (payload.length - pos != need)
+    val need = w.toLong * h * 3
+    if ((payload.length - pos).toLong != need)
       fail(s"raster is ${payload.length - pos} bytes, need $need for ${w}x$h")
-    val px = new Array[Byte](need)
-    System.arraycopy(payload, pos, px, 0, need)
+    val px = new Array[Byte](need.toInt)
+    System.arraycopy(payload, pos, px, 0, need.toInt)
     Image(w, h, px)
   }
 

@@ -38,8 +38,6 @@ object Scale {
       .groupBy(col(key), col("__salt__")).agg(count(lit(1)).as("__partial__"))
       .groupBy(col(key)).agg(sum("__partial__").as("cnt"))
 
-  /** Range-bucket co-partitioning: repartition both sides by the same
-    * expression so a subsequent join/zip is shuffle-local. */
   /** Balanced (stratified) sample: the first `n` rows of every stratum
     * under a deterministic order — the training-data-mix primitive
     * ("at most n docs per language/source"). One window over a single
@@ -56,6 +54,8 @@ object Scale {
       .drop("__rn__")
   }
 
+  /** Range-bucket co-partitioning: repartition both sides by the same
+    * expression so a subsequent join/zip is shuffle-local. */
   def coPartition(a: DataFrame, b: DataFrame, key: String, partitions: Int)
       : (DataFrame, DataFrame) =
     (a.repartition(partitions, col(key)), b.repartition(partitions, col(key)))

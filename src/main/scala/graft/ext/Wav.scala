@@ -14,6 +14,7 @@ object Wav {
   case class Audio(sampleRateHz: Int, samples: Array[Array[Short]]) {
     require(samples.nonEmpty && samples.forall(_.length == samples(0).length),
       "channels must be non-empty and equal length")
+    require(samples(0).length >= 1, "audio needs >= 1 frame (feature math divides by it)")
     def numChannels: Int = samples.length
     def numFrames: Int = samples(0).length
     def durationSecs: Double = numFrames.toDouble / sampleRateHz
@@ -61,6 +62,7 @@ object Wav {
       if (size < 0 || size > buf.remaining()) fail(s"chunk '$id' overruns payload")
       id match {
         case "fmt " =>
+          if (size < 16) fail(s"fmt chunk too short ($size bytes, need 16)")
           val fmt = buf.getShort
           if (fmt != 1) fail(s"compression format $fmt unsupported (PCM only)")
           channels = buf.getShort.toInt
@@ -80,6 +82,7 @@ object Wav {
     if (channels < 1) fail(s"bad channel count $channels")
     if (data.length % (channels * 2) != 0) fail("data not a whole number of frames")
     val frames = data.length / (channels * 2)
+    if (frames < 1) fail("empty data chunk (feature math needs >= 1 frame)")
     val out = Array.fill(channels)(new Array[Short](frames))
     val db = ByteBuffer.wrap(data).order(ByteOrder.LITTLE_ENDIAN)
     var i = 0

@@ -155,9 +155,10 @@ case class PQAdcScore(child: Expression, table: Array[Double], m: Int, k: Int,
 
 /** Residual-PQ ADC with PER-CELL tables (IVFADC proper): the row's cell id
   * selects which query-residual table its code bytes index into. `cells`
-  * is the probed cell list (tiny — ≤ probes entries, linear-scanned);
-  * `tables` is the concatenation of their m×k l2 tables. Residual mode is
-  * l2-only, so the finish is always sqrt.
+  * is the probed cell list SORTED ascending (binary-searched per row, so
+  * the lookup is log(probes), not probes); `tables` is the concatenation
+  * of their m×k l2 tables in the same order. Residual mode is l2-only, so
+  * the finish is always sqrt.
   */
 case class PQAdcScoreCells(codes: Expression, cell: Expression,
     cells: Array[Long], tables: Array[Double], m: Int, k: Int)
@@ -181,8 +182,7 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
     if (c.length != m)
       throw new IllegalArgumentException(
         s"pq_adc_score_cells: expected $m code bytes, got ${c.length}")
-    var idx = -1; var i = 0
-    while (idx < 0 && i < cells.length) { if (cells(i) == cl) idx = i; i += 1 }
+    val idx = java.util.Arrays.binarySearch(cells, cl)
     if (idx < 0)
       throw new IllegalArgumentException(
         s"pq_adc_score_cells: cell $cl not in the probed set")
@@ -195,7 +195,7 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cellsRef = ctx.addReferenceObj("probedCells", cells, "long[]")
     val tRef = ctx.addReferenceObj("adcTables", tables, "double[]")
-    val idx = ctx.freshName("idx"); val i = ctx.freshName("i")
+    val idx = ctx.freshName("idx")
     val base = ctx.freshName("base"); val acc = ctx.freshName("acc")
     val j = ctx.freshName("j")
     nullSafeCodeGen(ctx, ev, (c, cl) => {
@@ -204,10 +204,7 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
          |  throw new IllegalArgumentException(
          |    "pq_adc_score_cells: expected $m code bytes, got " + $c.length);
          |}
-         |int $idx = -1;
-         |for (int $i = 0; $idx < 0 && $i < ${cells.length}; $i++) {
-         |  if ($cellsRef[$i] == $cl) { $idx = $i; }
-         |}
+         |final int $idx = java.util.Arrays.binarySearch($cellsRef, $cl);
          |if ($idx < 0) {
          |  throw new IllegalArgumentException(
          |    "pq_adc_score_cells: cell " + $cl + " not in the probed set");

@@ -190,22 +190,27 @@ object Index {
       graft.core.Metrics.canonical(pqConfig.metric) == "l2" &&
       coding.numCells <= ResidualCellCap
     val assigned = df.withColumn(CodeCol, assignExpr(col(column), coding))
-    // Anchors = EMPIRICAL per-cell means (one bounded agg; numCells·dim
-    // values to the driver) — the codebook-derived anchor is a poor cell
-    // representative under this engine's additive-codebook coarse
-    // quantizer, and residual resolution is only as good as the anchor.
+    // Anchors = EMPIRICAL per-cell means — the codebook-derived anchor is
+    // a poor cell representative under this engine's additive-codebook
+    // coarse quantizer, and residual resolution is only as good as the
+    // anchor. One map-side-combined vector-sum agg (VecSumAgg): only
+    // numCells (sum, count) rows shuffle; the anchor pass + the encode
+    // pass below are two corpus scans by design (anchors must exist
+    // before codes can be encoded; a 100 TB corpus can't be cached).
     val anchors: Map[Long, Array[Double]] =
       if (!useRes) Map.empty
-      else assigned
-        .select(col(CodeCol), posexplode(col(column).cast("array<double>")).as(Seq("i", "v")))
-        .groupBy(col(CodeCol), col("i")).agg(avg("v").as("m"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .map { case (cell, rows) =>
-          val a = new Array[Double](rows.length)
-          rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
-          cell -> a
-        }
+      else {
+        val vecSum = udaf(graft.coder.VecSumAgg)
+        assigned
+          .select(col(CodeCol), col(column).cast("array<double>").as("__v__"))
+          .groupBy(col(CodeCol))
+          .agg(vecSum(col("__v__")).as("s"), count(col("__v__")).as("n"))
+          .collect()
+          .map { r =>
+            val s = r.getSeq[Double](1); val n = r.getLong(2)
+            r.getLong(0) -> s.map(_ / n).toArray
+          }.toMap
+      }
     val encodeInput =
       if (useRes)
         assigned.withColumn("__RES__",

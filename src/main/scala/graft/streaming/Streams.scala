@@ -38,9 +38,7 @@ object Streams {
     * mode the state is one counter per distinct token — bounded by
     * vocabulary size, not stream length. */
   def streamingTokenCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("freq"))
+    graft.ext.TextAnalysis.tokenFrequencies(docs, textCol)
 
   /** Streaming ANN: score each micro-batch of query vectors against a
     * static corpus (optionally IVF-pruned upstream) with the same batch

@@ -555,6 +555,12 @@ class PpmSpec extends SparkSuite {
     intercept[IllegalArgumentException](Ppm.decode("PX\n1 1\n255\nabc".getBytes))
     intercept[IllegalArgumentException](Ppm.decode(ok.dropRight(1)))   // truncated raster
     intercept[IllegalArgumentException](Ppm.decode("P6\n1 1\n65535\nabc".getBytes))
+    // crafted dims whose w*h*3 overflows Int back to a small value must
+    // not slip past the raster-length check
+    intercept[IllegalArgumentException](
+      Ppm.decode("P6\n1431655766 1\n255\nab".getBytes))
+    // empty images are rejected (feature math divides by the pixel count)
+    intercept[IllegalArgumentException](Ppm.decode("P6\n0 0\n255\n".getBytes))
   }
 
   test("nearest-neighbor resize picks the expected source pixels") {
@@ -613,6 +619,21 @@ class WavSpec extends SparkSuite {
     assert(Wav.decode(spliced).samples(0).sameElements(a.samples(0)))
     intercept[IllegalArgumentException](Wav.decode("RIFX".getBytes ++ ok.drop(4)))
     intercept[IllegalArgumentException](Wav.decode(ok.dropRight(1)))
+    // undersized fmt chunk must fail cleanly, not over-read into the next chunk
+    val shortFmt = ok.clone()
+    val fmtSizeOff = 16 // "RIFF"+size+"WAVE"+"fmt " → size field
+    shortFmt(fmtSizeOff) = 14
+    intercept[IllegalArgumentException](Wav.decode(shortFmt))
+    // empty data chunk: NaN features are worse than an error
+    val err = intercept[IllegalArgumentException] {
+      // rebuild with a 0-frame data chunk: header of a 1-frame mono file
+      // with data size patched to 0 and raster dropped
+      val one = Wav.encode(Wav.Audio(8000, Array(Array[Short](7))))
+      val patched = one.dropRight(2)
+      patched(40) = 0 // data chunk size LE byte 0
+      Wav.decode(patched)
+    }
+    assert(err.getMessage.contains("frame"), err.getMessage)
   }
 
   test("resample maps indices; features are hand-exact on a square wave") {
