@@ -211,6 +211,28 @@ class IvfPqSpec extends SparkSuite {
     }
   }
 
+  test("flat (non-residual) branch: cosine codebooks, exact at full budgets") {
+    import spark.implicits._
+    // a cosine PQ index skips residual mode (l2-only) => flat ADC path
+    engine.makePqIndex("pc", "pqv", "vec",
+      PQConfig(numSubspaces = 4, codebookSize = 16, metric = "cosine", sampleSize = 400))
+    assert(!Index.loadPqCodebooks(engine.store, "pc", "pqv", "vec").residual)
+    val df = engine.readTable(Seq("pqv"))
+    val target = df.filter(col("id") === 5)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val brute = df
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "cosine"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+    val got = engine.searchPq("pqv", "vec", target, coding = "pc",
+      probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
+      metric = Some("cosine"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute, "flat cosine IVF+PQ at full budgets must equal brute")
+  }
+
   test("drop coding removes the pq index too") {
     assert(Index.pqIndexExists(engine.store, "pc", "pqv", "vec"))
     engine.dropIndex("pc")
