@@ -60,7 +60,8 @@ object Bench {
       "search_probed_16" -> (() => scratch.search("emb", "embedding", target,
         coding = Some("c_l2"), probes = Some(16), k = 10).count()),
       "search_rerank_200" -> (() => graft.index.Index.searchRerank(scratch.store,
-        "c_l2", "emb", "embedding", target, k = 10, candidates = 200).count()),
+        "c_l2", "emb", "embedding", target, k = 10, candidates = 200,
+        idCol = "vec_id", probes = Some(16)).count()),
       "search_ivf_pq_16_200" -> (() => graft.index.Index.searchIvfPq(scratch.store,
         "c_l2", "emb", "embedding", target, k = 10, probes = 16,
         candidates = 200, idCol = "vec_id").count()),

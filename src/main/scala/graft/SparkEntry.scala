@@ -102,6 +102,18 @@ object SparkEntry {
     e
   }
 
+  /** Cosine coding + residual-cosine PQ index (unit-sphere IVFADC): the
+    * most common embedding metric gets the same residual machinery as l2. */
+  private def withCosPqIndex(s: SparkSession, dir: String): Engine = {
+    val e = scratchEngine(s, dir)
+    if (!e.listCodings().contains("c_cos"))
+      e.makeCoder("c_cos", "emb", "embedding", idxConfig.copy(metric = "cosine"))
+    if (!graft.index.Index.pqIndexExists(e.store, "c_cos", "emb", "embedding"))
+      graft.index.Index.buildPq(e.store, "c_cos", "emb", "embedding",
+        pqConfig.copy(metric = "cosine"))
+    e
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnQuery("cosine")(spark, "/root/testdata/sf0.001")
@@ -216,6 +228,15 @@ object SparkEntry {
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
+    // —— IVF+PQ under cosine: residual (unit-sphere IVFADC) codebooks,
+    // per-cell affine ADC tables; full probes + candidates == exact ——
+    "search_ivf_pq_cosine" -> ((s: SparkSession, dir: String) => {
+      val e = withCosPqIndex(s, dir)
+      graft.index.Index.searchIvfPq(e.store, "c_cos", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("cosine"), tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
     // —— quint8 tensor round-trip: quantize → dequantize → recover the
     // integer codes exactly (dequantize is exact for power-of-two scales),
     // so the byte-sum is oracle-checkable in SQL ——
@@ -273,7 +294,8 @@ object SparkEntry {
     "search_rerank" -> ((s: SparkSession, dir: String) => {
       val e = withIndex(s, dir)
       graft.index.Index.searchRerank(e.store, "c_l2", "emb", "embedding",
-          targetArray(s, dir), k = 10, candidates = 1 << 20, tieBreak = Seq("vec_id"))
+          targetArray(s, dir), k = 10, candidates = 1 << 20, idCol = "vec_id",
+          tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
     // —— text analysis ——
@@ -782,6 +804,7 @@ object SparkEntry {
     "search_pq" -> knnOracle(l2Sql),
     // IVF+PQ at full probes + full candidates is exact
     "search_ivf_pq" -> knnOracle(l2Sql),
+    "search_ivf_pq_cosine" -> knnOracle(cosSql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),
     // the index is a faithful partitioned copy: same rows, columns intact,

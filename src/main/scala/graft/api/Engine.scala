@@ -58,10 +58,12 @@ class Engine(val spark: SparkSession, val root: String) {
   def dropIndex(name: String): Unit = store.dropCoding(name)
 
   /** Build the IVF+PQ index under an existing coding — the memory-
-    * compressed search path ([[Index.buildPq]]). */
+    * compressed search path ([[Index.buildPq]]). `residual = false`
+    * explicitly opts into the flat variant (required above the residual
+    * cell cap; weaker within-cell ranking on clustered data). */
   def makePqIndex(codingName: String, source: String, column: String,
-      pqConfig: graft.coder.PQ.PQConfig): Unit =
-    Index.buildPq(store, codingName, source, column, pqConfig)
+      pqConfig: graft.coder.PQ.PQConfig, residual: Boolean = true): Unit =
+    Index.buildPq(store, codingName, source, column, pqConfig, residual)
 
   /** Probed IVF+PQ search: codes-only ADC coarse pass over the probed
     * cells, exact rerank of `candidates` rows ([[Index.searchIvfPq]]). */

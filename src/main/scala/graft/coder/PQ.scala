@@ -71,8 +71,12 @@ object PQ {
       out
     }
 
+    /** Flat cosine codebooks live on the unit sphere, so encode/ADC
+      * normalize their input. Residual codebooks train on residuals of
+      * ALREADY-normalized vectors (cosine ⇒ unit-sphere l2), so the
+      * residual input must pass through untouched. */
     private def maybeNormalize(v: Array[Double]): Array[Double] =
-      if (canonicalMetric == "cosine") {
+      if (canonicalMetric == "cosine" && !residual) {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
       } else v
@@ -301,34 +305,66 @@ object PQ {
       (a, b) => a - b)
   }
 
-  /** Per-cell ADC over residual codes: one l2 table per probed cell
-    * (query residual vs codewords), selected per row by its cell id.
-    * Cells the build never saw (possible probe targets, impossible scan
-    * rows) fall back to `fallbackAnchor`. */
+  /** Per-cell ADC over residual codes: one table per probed cell, selected
+    * per row by its cell id. Cells the build never saw (possible probe
+    * targets, impossible scan rows) fall back to `fallbackAnchor`.
+    *
+    * Table math per metric (x ≈ anchor(cell) + r, r quantized per
+    * subspace; for cosine both sides live on the unit sphere):
+    *   - l2:     ‖q−x‖ = ‖(q−anchor) − r‖ ⇒ squared-l2 tables of the
+    *             QUERY RESIDUAL vs codewords, finish = sqrt.
+    *   - cosine: 0.5 − 0.5·(q̂·x̂) = 0.5 − 0.5·q̂·anchor − 0.5·q̂·r ⇒
+    *             −0.5·dot tables of the (normalized) query slices vs
+    *             codewords, per-cell constant folded into subspace 0.
+    *   - dot:    −q·x = −q·anchor − q·r ⇒ −dot tables + folded constant.
+    * At zero quantization error every formula recovers the exact
+    * distance, so the only approximation is the codebooks' — uniformly
+    * across the reference's 5 metrics (`flight.py:254-256`).
+    */
   def adcScoreCellsExpr(codes: Column, cell: Column, cb: PQCodebooks,
       target: Array[Double], cells: Array[Long],
       fallbackAnchor: Long => Array[Double]): Column = {
+    require(cb.residual, "per-cell ADC tables are the residual-PQ search path")
     // probes·m·k doubles ride the plan to every task — gate so a huge
     // probe list fails loudly instead of shipping a silent multi-GB ref
     require(cells.length.toLong * cb.m * cb.k <= (1L << 24),
       s"ADC tables for ${cells.length} probed cells × m=${cb.m} × k=${cb.k} " +
         "exceed the 16M-entry cap — probe fewer cells or shrink the codebooks")
+    val metric = cb.canonicalMetric
+    val q = if (metric == "cosine") Metrics.normalize(target) else target
+    val mk = cb.m * cb.k
     val sorted = cells.sorted // binary-searched per row in the expression
-    val tables = new Array[Double](sorted.length * cb.m * cb.k)
+    val tables = new Array[Double](sorted.length * mk)
     var i = 0
     while (i < sorted.length) {
       val anchor = cb.anchors.getOrElse(sorted(i), fallbackAnchor(sorted(i)))
-      val qRes = new Array[Double](target.length)
-      var t = 0
-      while (t < target.length) { qRes(t) = target(t) - anchor(t); t += 1 }
-      System.arraycopy(cb.adcTable(qRes), 0, tables, i * cb.m * cb.k, cb.m * cb.k)
+      val base = i * mk
+      metric match {
+        case "l2" =>
+          val qRes = new Array[Double](q.length)
+          var t = 0
+          while (t < q.length) { qRes(t) = q(t) - anchor(t); t += 1 }
+          System.arraycopy(cb.adcTable(qRes), 0, tables, base, mk)
+        case _ => // cosine | dot
+          val dots = cb.adcTable(q) // subspace dots q_j · c_j(i)
+          val w = if (metric == "cosine") -0.5 else -1.0
+          var qa = 0.0; var t = 0
+          while (t < q.length) { qa += q(t) * anchor(t); t += 1 }
+          val const = if (metric == "cosine") 0.5 - 0.5 * qa else -qa
+          var e = 0
+          while (e < mk) { tables(base + e) = w * dots(e); e += 1 }
+          // fold the per-cell constant into subspace 0 (each row sums
+          // exactly one entry per subspace)
+          e = 0
+          while (e < cb.k) { tables(base + e) += const; e += 1 }
+      }
       i += 1
     }
     org.apache.spark.sql.GraftShims.column(
       graft.functions.PQAdcScoreCells(
         org.apache.spark.sql.GraftShims.expression(codes),
         org.apache.spark.sql.GraftShims.expression(cell),
-        sorted, tables, cb.m, cb.k))
+        sorted, tables, cb.m, cb.k, sqrtFinish = metric == "l2"))
   }
 
   /** Approximate (ADC) distance of a codes column to `target`. */
@@ -355,6 +391,9 @@ object PQ {
       k: Int,
       candidates: Int,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(!cb.residual,
+      "residual codebooks need per-cell ADC tables — search them via " +
+        "Index.searchIvfPq, not the flat PQ.search path")
     val coarse = dfWithCodes
       .withColumn("__ADC__", adcScoreExpr(col(codesCol), cb, target))
       .orderBy(col("__ADC__").asc +: tieBreak.map(col(_).asc): _*)

@@ -45,7 +45,10 @@ case class PQEncode(child: Expression, cb: PQCodebooks) extends UnaryExpression 
     val cRef = ctx.addReferenceObj("pqCentroids", flat, "double[]")
     val m = cb.m; val k = cb.k; val subDim = cb.subDim; val dim = cb.dim
     val get = if (isFloat) "getFloat" else "getDouble"
-    val cosine = cb.canonicalMetric == "cosine"
+    // residual codebooks encode residuals of already-normalized vectors,
+    // so only the FLAT cosine variant normalizes here (mirrors
+    // PQCodebooks.maybeNormalize — the bit-for-bit parity contract)
+    val cosine = cb.canonicalMetric == "cosine" && !cb.residual
     val code = ctx.freshName("code"); val inv = ctx.freshName("inv")
     val jV = ctx.freshName("j"); val iV = ctx.freshName("ci")
     val tV = ctx.freshName("t"); val base = ctx.freshName("base")
@@ -154,14 +157,17 @@ case class PQAdcScore(child: Expression, table: Array[Double], m: Int, k: Int,
 }
 
 /** Residual-PQ ADC with PER-CELL tables (IVFADC proper): the row's cell id
-  * selects which query-residual table its code bytes index into. `cells`
-  * is the probed cell list SORTED ascending (binary-searched per row, so
-  * the lookup is log(probes), not probes); `tables` is the concatenation
-  * of their m×k l2 tables in the same order. Residual mode is l2-only, so
-  * the finish is always sqrt.
+  * selects which per-query table its code bytes index into. `cells` is
+  * the probed cell list SORTED ascending (binary-searched per row, so the
+  * lookup is log(probes), not probes); `tables` is the concatenation of
+  * their m×k tables in the same order. The table semantics are metric-
+  * specific (see [[graft.coder.PQ.adcScoreCellsExpr]]): l2 sums squared
+  * subspace distances (`sqrtFinish = true`); cosine/dot tables carry the
+  * full affine score so the sum IS the distance (`sqrtFinish = false`).
   */
 case class PQAdcScoreCells(codes: Expression, cell: Expression,
-    cells: Array[Long], tables: Array[Double], m: Int, k: Int)
+    cells: Array[Long], tables: Array[Double], m: Int, k: Int,
+    sqrtFinish: Boolean)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def left: Expression = codes
@@ -189,7 +195,7 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
     val base = idx * m * k
     var acc = 0.0; var j = 0
     while (j < m) { acc += tables(base + j * k + (c(j) & 0xFF)); j += 1 }
-    math.sqrt(acc)
+    if (sqrtFinish) math.sqrt(acc) else acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -214,7 +220,7 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
          |for (int $j = 0; $j < $m; $j++) {
          |  $acc += $tRef[$base + $j * $k + ($c[$j] & 0xFF)];
          |}
-         |${ev.value} = Math.sqrt($acc);
+         |${ev.value} = ${if (sqrtFinish) s"Math.sqrt($acc)" else acc};
        """.stripMargin
     })
   }

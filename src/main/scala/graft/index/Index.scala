@@ -120,11 +120,15 @@ object Index {
     * asymmetric distance over the coarse codes, then exact rerank).
     *
     * Stage 1 scores rows by their CELL's additive score — computed from
-    * `__CODED_ID__` alone via a broadcast k^n lookup, so the coarse pass
-    * reads only (id, code) columns (at 100 TB: a ~10⁴× column-pruned
-    * scan). Stage 2 exactly re-scores the `candidates` best coarse rows.
-    * With `candidates` ≥ rows in the probed cells this equals probed
-    * search; smaller values trade recall for a bounded rerank set.
+    * `__CODED_ID__` alone via a broadcast k^n lookup — over a projection
+    * of (id, code) ONLY, optionally partition-pruned to the `probes`
+    * nearest cells: at 100 TB the coarse TakeOrdered carries a few bytes
+    * per row, never the float vectors. Stage 2 broadcast-joins the
+    * `candidates` surviving ids back against the (pruned) index and
+    * re-scores them exactly on the raw vectors — the same shape as
+    * [[searchIvfPq]]. With full probes and `candidates` ≥ the corpus this
+    * equals exact search; smaller values trade recall for a bounded
+    * rerank set. `idCol` must be unique per row.
     */
   def searchRerank(
       store: Store,
@@ -134,6 +138,8 @@ object Index {
       target: graft.api.TargetVector,
       k: Int,
       candidates: Int,
+      idCol: String,
+      probes: Option[Int] = None,
       metric: Option[String] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
@@ -141,19 +147,26 @@ object Index {
     // driver-side k^n score table (capped by CoderConfig.numCells), shipped
     // as a map literal so the rank lookup stays inside codegen (no UDF on
     // the coarse path); cells absent from the coding rank last
-    val cells = coding.rankCells(target.doubles, coding.numCells.toInt)
+    val cells = coding.rankCells(target.doubles,
+      probes.getOrElse(coding.numCells.toInt))
     val scoreOfCell: Map[Long, Int] = cells.zipWithIndex.toMap // rank = score order
     val indexed = load(store, codingName, source, column)
-    val coarse = indexed
+    val pruned =
+      if (cells.length < coding.numCells)
+        indexed.filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+      else indexed
+    val coarseCols = (Seq(idCol, CodeCol) ++ tieBreak).distinct.map(col)
+    val coarseIds = pruned
+      .select(coarseCols: _*)
       .withColumn("__cell_rank__",
         coalesce(try_element_at(typedLit(scoreOfCell), col(CodeCol)),
           lit(Int.MaxValue)))
       .orderBy(col("__cell_rank__").asc +: tieBreak.map(col(_).asc): _*)
       .limit(candidates)
-    coarse
+      .select(idCol)
+    pruned.join(broadcast(coarseIds), Seq(idCol))
       .withColumn(Search.DistCol,
         vector_distance(col(column), target.lit, m))
-      .drop("__cell_rank__")
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
       .limit(k)
   }
@@ -171,25 +184,48 @@ object Index {
     * the float vectors. Codebooks land as an underscore-prefixed sidecar
     * (ignored by parquet directory listings) next to the data.
     */
-  /** Residual PQ is gated to l2 and a bounded cell count (the anchor map
-    * literal is numCells·dim doubles). */
+  /** Residual PQ is gated to a bounded cell count (the anchor map literal
+    * is numCells·dim doubles, and search ships one ADC table per probed
+    * cell). */
   private val ResidualCellCap = 4096L
+
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   def buildPq(store: Store, codingName: String, source: String, column: String,
       pqConfig: graft.coder.PQ.PQConfig,
       residual: Boolean = true): graft.coder.PQ.PQCodebooks = {
     val coding = store.loadCoding(codingName)
     val df = store.loadTable(source)
+    val metricC = graft.core.Metrics.canonical(pqConfig.metric)
     // Residual mode (IVFADC proper, Jégou et al. §III): PQ codebooks train
     // on x − anchor(cell), spending their resolution on WITHIN-cell
     // structure — flat PQ on cluster-dominated data can separate cells but
     // ranks within a cell at chance (observed: recall collapses as rows/
-    // cell grow). l2-only (the residual identity needs it) and bounded
-    // cell count (anchor map literal).
-    val useRes = residual &&
-      graft.core.Metrics.canonical(pqConfig.metric) == "l2" &&
-      coding.numCells <= ResidualCellCap
-    val assigned = df.withColumn(CodeCol, assignExpr(col(column), coding))
+    // cell grow). All metrics route through it: l2 natively; cosine on the
+    // unit sphere (normalize ⇒ cosine is monotone in l2 there); dot via
+    // the affine split −q·x = −q·anchor − q·r. The cell cap bounds the
+    // anchor map literal — above it the weaker flat variant must be an
+    // EXPLICIT choice, not a silent fallback.
+    if (residual && coding.numCells > ResidualCellCap)
+      throw new IllegalArgumentException(
+        s"residual PQ supports codings up to $ResidualCellCap cells (anchor " +
+          s"tables are numCells×dim doubles); coding '$codingName' has " +
+          s"${coding.numCells}. Pass residual = false to explicitly build " +
+          "the flat variant (weaker within-cell ranking on clustered data).")
+    val useRes = residual
+    val assigned0 = df.withColumn(CodeCol, assignExpr(col(column), coding))
+    // Cosine residuals live on the unit sphere: normalize once (codegen'd
+    // built-ins), then anchors/residuals/codebooks all operate in the
+    // space where l2 ranking is monotone-equivalent to cosine distance.
+    val ResBase = "__RESBASE__"
+    val assigned =
+      if (!useRes) assigned0
+      else if (metricC == "cosine") {
+        val v = col(column).cast("array<double>")
+        val nrm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+        assigned0.withColumn(ResBase,
+          when(nrm === 0.0d, v).otherwise(transform(v, x => x / nrm)))
+      } else assigned0.withColumn(ResBase, col(column).cast("array<double>"))
     // Anchors = EMPIRICAL per-cell means — the codebook-derived anchor is
     // a poor cell representative under this engine's additive-codebook
     // coarse quantizer, and residual resolution is only as good as the
@@ -202,7 +238,7 @@ object Index {
       else {
         val vecSum = udaf(graft.coder.VecSumAgg)
         assigned
-          .select(col(CodeCol), col(column).cast("array<double>").as("__v__"))
+          .select(col(CodeCol), col(ResBase).as("__v__"))
           .groupBy(col(CodeCol))
           .agg(vecSum(col("__v__")).as("s"), count(col("__v__")).as("n"))
           .collect()
@@ -214,18 +250,27 @@ object Index {
     val encodeInput =
       if (useRes)
         assigned.withColumn("__RES__",
-          graft.coder.PQ.residualExpr(col(column), col(CodeCol), anchors))
+          graft.coder.PQ.residualExpr(col(ResBase), col(CodeCol), anchors))
       else assigned
+    // Residual codebooks must NOT re-normalize their input (the residual
+    // is already in the right space), so train under l2 and restore the
+    // user metric on the returned codebooks — training only uses the
+    // metric for the cosine normalization decision.
     val cb0 = graft.coder.PQ.train(encodeInput,
-      if (useRes) "__RES__" else column, pqConfig)
-    val cb = cb0.copy(residual = useRes, anchors = anchors)
+      if (useRes) "__RES__" else column,
+      if (useRes) pqConfig.copy(metric = "l2") else pqConfig)
+    val cb = cb0.copy(config = cb0.config.copy(metric = pqConfig.metric),
+      residual = useRes, anchors = anchors)
+    log.info(s"buildPq($source.$column under $codingName): " +
+      s"variant=${if (useRes) "residual" else "flat"} metric=$metricC " +
+      s"cells=${coding.numCells} m=${cb.m} k=${cb.k}")
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.pqIndexPath(source, column, codingName)
     encodeInput
       .withColumn(PqCol, graft.coder.PQ.encodeExpr(
         col(if (useRes) "__RES__" else column), cb))
-      .drop("__RES__")
+      .drop("__RES__", ResBase)
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
@@ -233,6 +278,17 @@ object Index {
     store.writeSidecar(pqSidecar(path), graft.coder.PQ.toJsonBytes(cb))
     cb
   }
+
+  /** Anchor for a cell absent from the build-time empirical means: the
+    * coding's centroid-mean anchor, projected onto the unit sphere for
+    * cosine (residual space is the normalized one). Deterministic and
+    * derivable at both encode (incremental sync) and search time, so the
+    * two always agree. */
+  private def residualFallbackAnchor(cb: graft.coder.PQ.PQCodebooks,
+      coding: Coding): Long => Array[Double] =
+    if (cb.canonicalMetric == "cosine")
+      c => graft.core.Metrics.normalize(coding.anchor(c))
+    else coding.anchor
 
   def pqIndexExists(store: Store, codingName: String, source: String, column: String): Boolean =
     store.sidecarExists(pqSidecar(store.pqIndexPath(source, column, codingName)))
@@ -285,12 +341,14 @@ object Index {
     // the predicate applies to BOTH passes (pushed into the coarse scan,
     // so the candidate budget is spent on qualifying rows only)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
-    // residual codebooks score against per-cell query-residual tables
-    // (IVFADC); flat codebooks use the single-table ADC
+    // residual codebooks score against per-cell query tables (IVFADC);
+    // flat codebooks use the single-table ADC. The fallback anchor (cells
+    // the build never saw) must match what an encode of a new row in that
+    // cell would use — see residualFallbackAnchor.
     val adc =
       if (cb.residual)
         graft.coder.PQ.adcScoreCellsExpr(col(PqCol), col(CodeCol), cb,
-          target.doubles, cells, coding.anchor)
+          target.doubles, cells, residualFallbackAnchor(cb, coding))
       else graft.coder.PQ.adcScoreExpr(col(PqCol), cb, target.doubles)
     val coarseIds = pruned
       .select(col(idCol), col(PqCol), col(CodeCol))

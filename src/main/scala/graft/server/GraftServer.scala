@@ -132,13 +132,15 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       batchSize = intOr(body, "batchSize", base.batchSize),
       numEpochs = intOr(body, "numEpochs", base.numEpochs))
     engine.makeIndex(name, source, column, cfg)
-    // optional PQ sidecar index: {"pq": {"numSubspaces": 8, "codebookSize": 16}}
+    // optional PQ sidecar index: {"pq": {"numSubspaces": 8, "codebookSize": 16,
+    // "residual": true}} — residual=false explicitly opts into the flat variant
     opt(body, "pq").foreach { pq =>
       val pqBase = graft.coder.PQ.PQConfig(metric = cfg.metric)
       engine.makePqIndex(name, source, column, pqBase.copy(
         numSubspaces = intOr(pq, "numSubspaces", pqBase.numSubspaces),
         codebookSize = intOr(pq, "codebookSize", pqBase.codebookSize),
-        sampleSize = intOr(pq, "sampleSize", pqBase.sampleSize)))
+        sampleSize = intOr(pq, "sampleSize", pqBase.sampleSize)),
+        residual = opt(pq, "residual").forall(_.asBoolean(true)))
     }
     ok(ex, s"""{"index":"$name"}""")
   }

@@ -213,9 +213,10 @@ class IvfPqSpec extends SparkSuite {
 
   test("flat (non-residual) branch: cosine codebooks, exact at full budgets") {
     import spark.implicits._
-    // a cosine PQ index skips residual mode (l2-only) => flat ADC path
+    // the flat ADC path is now an explicit opt-in (residual covers all metrics)
     engine.makePqIndex("pc", "pqv", "vec",
-      PQConfig(numSubspaces = 4, codebookSize = 16, metric = "cosine", sampleSize = 400))
+      PQConfig(numSubspaces = 4, codebookSize = 16, metric = "cosine", sampleSize = 400),
+      residual = false)
     assert(!Index.loadPqCodebooks(engine.store, "pc", "pqv", "vec").residual)
     val df = engine.readTable(Seq("pqv"))
     val target = df.filter(col("id") === 5)
@@ -231,6 +232,95 @@ class IvfPqSpec extends SparkSuite {
       metric = Some("cosine"), tieBreak = Seq("id"))
       .select("id").as[Long].collect().toSeq
     assert(got == brute, "flat cosine IVF+PQ at full budgets must equal brute")
+  }
+
+  test("residual branch covers cosine and dot: exact at full budgets") {
+    import spark.implicits._
+    val df = engine.readTable(Seq("pqv"))
+    val target = df.filter(col("id") === 5)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    for (metric <- Seq("cosine", "dot")) {
+      engine.makePqIndex("pc", "pqv", "vec",
+        PQConfig(numSubspaces = 4, codebookSize = 16, metric = metric,
+          sampleSize = 400))
+      val cb = Index.loadPqCodebooks(engine.store, "pc", "pqv", "vec")
+      assert(cb.residual, s"$metric build must take the residual branch")
+      assert(cb.canonicalMetric == graft.core.Metrics.canonical(metric))
+      val brute = df
+        .withColumn("d", graft.functions.functions.vector_distance(
+          col("vec"), typedLit(target.toSeq), metric))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSeq
+      val got = engine.searchPq("pqv", "vec", target, coding = "pc",
+        probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
+        metric = Some(metric), tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSeq
+      assert(got == brute, s"residual $metric IVF+PQ at full budgets must equal brute")
+    }
+  }
+
+  test("residual >= flat at a bounded budget (cosine, cluster-dominated corpus)") {
+    import spark.implicits._
+    // Cluster-dominated: big per-cluster offsets, small within-cluster
+    // noise — flat codewords separate clusters but rank within a cell at
+    // chance; residual codewords spend all resolution on the noise.
+    val rnd2 = new scala.util.Random(41)
+    val centers = Seq.fill(8)(Array.fill(32)(rnd2.nextDouble() * 40 - 20))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 100
+    } yield ((ci * 100 + i).toLong,
+      c.map(x => (x + rnd2.nextGaussian() * 1.0).toFloat).toSeq)
+    val df = rows.toDF("id", "vec")
+    engine.makeTable("pqres", df)
+    engine.makeCoder("pcr", "pqres", "vec",
+      CoderConfig(metric = "cosine", codebookSize = 4, numCodebooks = 2,
+        batchSize = 256, numEpochs = 3))
+    val target = df.filter(col("id") === 7)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val brute = df
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "cosine"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+    def recallWith(residual: Boolean): Double = {
+      engine.makePqIndex("pcr", "pqres", "vec",
+        PQConfig(numSubspaces = 8, codebookSize = 32, metric = "cosine",
+          sampleSize = 800, iters = 20), residual = residual)
+      val got = engine.searchPq("pqres", "vec", target, coding = "pcr",
+        probes = 16, candidates = 40, idCol = "id", k = 10,
+        metric = Some("cosine"), tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSet
+      brute.count(got.contains) / 10.0
+    }
+    val flat = recallWith(residual = false)
+    val res = recallWith(residual = true)
+    // Budget (40) is deliberately << rows-per-cluster (100): at budget ≈
+    // rows/cell both variants trivially reach 1.0 and the comparison says
+    // nothing. In this regime ADC ranking is noise-limited (see NOTES —
+    // budget must scale with rows/cell), so the contract is the PAIR:
+    // residual must clearly beat flat, not hit an absolute number.
+    info(s"recall@10 at 40-candidate budget: flat=$flat residual=$res")
+    assert(res >= flat + 0.2, s"residual recall $res does not clearly beat flat $flat")
+    assert(res >= 0.5, s"residual recall $res too low on clustered data")
+  }
+
+  test("above the cell cap, residual build refuses unless flat is explicit") {
+    val many = CoderConfig(metric = "l2", codebookSize = 70, numCodebooks = 2,
+      batchSize = 256, numEpochs = 1)
+    assert(many.numCells > 4096)
+    engine.makeCoder("pbig", "pqres", "vec", many)
+    val err = intercept[IllegalArgumentException] {
+      engine.makePqIndex("pbig", "pqres", "vec",
+        PQConfig(numSubspaces = 4, codebookSize = 8, sampleSize = 400))
+    }
+    assert(err.getMessage.contains("residual = false"))
+    engine.makePqIndex("pbig", "pqres", "vec",
+      PQConfig(numSubspaces = 4, codebookSize = 8, sampleSize = 400),
+      residual = false)
+    assert(!Index.loadPqCodebooks(engine.store, "pbig", "pqres", "vec").residual)
   }
 
   test("drop coding removes the pq index too") {

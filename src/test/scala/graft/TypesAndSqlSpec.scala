@@ -455,22 +455,38 @@ class RerankSpec extends SparkSuite {
         k = 10, tieBreak = Seq("vec_id"))
       .select("vec_id").as[Long].collect().toSeq
     val rerankFull = Index.searchRerank(engine.store, "c", "emb", "embedding",
-        t, k = 10, candidates = 500, tieBreak = Seq("vec_id"))
+        t, k = 10, candidates = 500, idCol = "vec_id", tieBreak = Seq("vec_id"))
       .select("vec_id").as[Long].collect().toSeq
     assert(rerankFull == brute, "full candidate budget must equal brute force")
 
     val rerank50 = Index.searchRerank(engine.store, "c", "emb", "embedding",
-        t, k = 10, candidates = 50, tieBreak = Seq("vec_id"))
+        t, k = 10, candidates = 50, idCol = "vec_id", tieBreak = Seq("vec_id"))
       .select("vec_id").as[Long].collect().toSet
     val recall = brute.count(rerank50.contains) / 10.0
     info(s"rerank recall@10 with 50/500 candidates: $recall")
     assert(recall >= 0.3)
 
+    // probe pruning composes: probed + bounded candidates still finds the
+    // neighborhood (target cell is among the 2 nearest probed cells)
+    val probed = Index.searchRerank(engine.store, "c", "emb", "embedding",
+        t, k = 10, candidates = 50, idCol = "vec_id", probes = Some(2),
+        tieBreak = Seq("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed.nonEmpty && brute.count(probed.contains) >= 1)
+
+    val planDf = Index.searchRerank(engine.store, "c", "emb", "embedding",
+      t, k = 10, candidates = 50, idCol = "vec_id", tieBreak = Seq("vec_id"))
+    val plan = planDf.queryExecution.executedPlan.toString
     // the coarse rank lookup must stay in codegen: no ScalaUDF in the plan
-    val plan = Index.searchRerank(engine.store, "c", "emb", "embedding",
-      t, k = 10, candidates = 50, tieBreak = Seq("vec_id"))
-      .queryExecution.executedPlan.toString
     assert(!plan.contains("UDF"), s"rerank plan must be UDF-free:\n$plan")
+    // the coarse pass must scan (id, code) ONLY — the float vectors ride
+    // only the broadcast-joined rerank scan (the 100 TB plan contract);
+    // compare the ReadSchema struct itself (the file PATH contains the
+    // column name "embedding")
+    val scans = plan.split("\n").filter(_.contains("ReadSchema"))
+      .map(l => l.substring(l.indexOf("ReadSchema")))
+    assert(scans.exists(l => !l.contains("embedding")),
+      s"no codes-only coarse scan found:\n$plan")
     engine.remove()
   }
 }
