@@ -65,6 +65,40 @@ class Engine(val spark: SparkSession, val root: String) {
       pqConfig: graft.coder.PQ.PQConfig, residual: Boolean = true): Unit =
     Index.buildPq(store, codingName, source, column, pqConfig, residual)
 
+  /** Encode-only append of new source rows to an existing PQ index under
+    * its stored codebooks ([[Index.syncIncrementalPq]]); returns rows
+    * appended. */
+  def syncPqIndex(codingName: String, source: String, column: String,
+      idCol: String, expect: Option[graft.coder.PQ.PQConfig] = None): Long =
+    Index.syncIncrementalPq(store, codingName, source, column, idCol, expect)
+
+  /** Multi-source IVF+PQ search (reference ticket `"a:b:c"`,
+    * `flight.py:47`): each source's PQ index is searched independently —
+    * per-source codebooks make ADC scores incomparable across sources,
+    * but each source's EXACT-reranked top-k is, so the global top-k of
+    * the union equals top-k over the unioned corpus at full budgets. */
+  def searchPqMulti(
+      sources: Seq[String],
+      column: String,
+      target: TargetVector,
+      coding: String,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      k: Int = 10,
+      metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources
+      .map(s => Index.searchIvfPq(store, coding, s, column, target, k, probes,
+        candidates, idCol, metric, filter, select, tieBreak))
+      .reduce(_ unionByName _)
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** Probed IVF+PQ search: codes-only ADC coarse pass over the probed
     * cells, exact rerank of `candidates` rows ([[Index.searchIvfPq]]). */
   def searchPq(

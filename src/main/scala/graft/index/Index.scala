@@ -217,15 +217,9 @@ object Index {
     // Cosine residuals live on the unit sphere: normalize once (codegen'd
     // built-ins), then anchors/residuals/codebooks all operate in the
     // space where l2 ranking is monotone-equivalent to cosine distance.
-    val ResBase = "__RESBASE__"
     val assigned =
       if (!useRes) assigned0
-      else if (metricC == "cosine") {
-        val v = col(column).cast("array<double>")
-        val nrm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
-        assigned0.withColumn(ResBase,
-          when(nrm === 0.0d, v).otherwise(transform(v, x => x / nrm)))
-      } else assigned0.withColumn(ResBase, col(column).cast("array<double>"))
+      else assigned0.withColumn(ResBase, residualBase(col(column), metricC))
     // Anchors = EMPIRICAL per-cell means — the codebook-derived anchor is
     // a poor cell representative under this engine's additive-codebook
     // coarse quantizer, and residual resolution is only as good as the
@@ -289,6 +283,75 @@ object Index {
     if (cb.canonicalMetric == "cosine")
       c => graft.core.Metrics.normalize(coding.anchor(c))
     else coding.anchor
+
+  private val ResBase = "__RESBASE__"
+
+  /** The space residuals are computed in: raw doubles for l2/dot, the
+    * unit sphere for cosine (zero vectors pass through, matching
+    * `Metrics.normalize` / `PQCodebooks.maybeNormalize`). */
+  private def residualBase(vec: Column, metricC: String): Column = {
+    val v = vec.cast("array<double>")
+    if (metricC != "cosine") v
+    else {
+      val nrm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+      when(nrm === 0.0d, v).otherwise(transform(v, x => x / nrm))
+    }
+  }
+
+  /** Incremental PQ sync: encode-only append of the source rows whose
+    * `idCol` is not yet in the PQ index, under the STORED codebooks — no
+    * retraining, mirroring [[syncIncremental]] for the plain IVF copy
+    * (reference `sync_index` re-assigns after new data,
+    * `flight.py:219-233`). Residual indexes encode new rows against the
+    * build-time empirical anchors; rows landing in cells the build never
+    * saw use the deterministic fallback anchor — the SAME one
+    * [[searchIvfPq]] builds its ADC table from, so codes and search
+    * tables always agree. Refuses when the index doesn't exist or when
+    * `expect` names a different PQ layout than the stored one. Returns
+    * the number of rows appended. */
+  def syncIncrementalPq(store: Store, codingName: String, source: String,
+      column: String, idCol: String,
+      expect: Option[graft.coder.PQ.PQConfig] = None): Long = {
+    val path = store.pqIndexPath(source, column, codingName)
+    require(store.sidecarExists(pqSidecar(path)),
+      s"no PQ index for $source.$column under coding '$codingName' — " +
+        "build it first (buildPq)")
+    val cb = loadPqCodebooks(store, codingName, source, column)
+    expect.foreach { e =>
+      require(e.numSubspaces == cb.config.numSubspaces &&
+          graft.core.Metrics.canonical(e.metric) == cb.canonicalMetric &&
+          e.codebookSize >= cb.config.codebookSize,
+        s"PQ config mismatch: stored index has m=${cb.config.numSubspaces} " +
+          s"k=${cb.config.codebookSize} metric=${cb.canonicalMetric}; " +
+          s"requested m=${e.numSubspaces} k=${e.codebookSize} " +
+          s"metric=${graft.core.Metrics.canonical(e.metric)} — rebuild with buildPq")
+    }
+    val coding = store.loadCoding(codingName)
+    val existing = store.spark.read.parquet(path).select(col(idCol))
+    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val assigned = fresh.withColumn(CodeCol, assignExpr(col(column), coding))
+    val delta =
+      if (!cb.residual)
+        assigned.withColumn(PqCol,
+          graft.coder.PQ.encodeExpr(col(column), cb))
+      else {
+        // anchors for EVERY possible cell (stored empirical mean, else the
+        // deterministic fallback); numCells is ≤ the residual cap by build
+        val fb = residualFallbackAnchor(cb, coding)
+        val full: Map[Long, Array[Double]] = (0L until coding.numCells)
+          .map(c => c -> cb.anchors.getOrElse(c, fb(c))).toMap
+        assigned
+          .withColumn(ResBase, residualBase(col(column), cb.canonicalMetric))
+          .withColumn("__RES__",
+            graft.coder.PQ.residualExpr(col(ResBase), col(CodeCol), full))
+          .withColumn(PqCol, graft.coder.PQ.encodeExpr(col("__RES__"), cb))
+          .drop("__RES__", ResBase)
+      }
+    val appended = delta.count()
+    if (appended > 0)
+      delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+    appended
+  }
 
   def pqIndexExists(store: Store, codingName: String, source: String, column: String): Boolean =
     store.sidecarExists(pqSidecar(store.pqIndexPath(source, column, codingName)))

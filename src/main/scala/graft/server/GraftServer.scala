@@ -161,12 +161,11 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val select = opt(body, "select").map(_.elements().asScala.map(_.asText()).toSeq)
     val tieBreak = opt(body, "tieBreak")
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    // candidates + idCol selects the IVF+PQ path (single source)
+    // candidates + idCol selects the IVF+PQ path (one index per source;
+    // multi-source unions the per-source exact-reranked top-k)
     val df = (opt(body, "candidates"), coding, probes) match {
       case (Some(cand), Some(c), Some(p)) =>
-        if (sources.size != 1)
-          throw new IllegalArgumentException("pq search takes exactly one source")
-        engine.searchPq(sources.head, column, target, c, p, cand.asInt(),
+        engine.searchPqMulti(sources, column, target, c, p, cand.asInt(),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),
           metric, filter, select, tieBreak)
       case _ =>

@@ -323,6 +323,75 @@ class IvfPqSpec extends SparkSuite {
     assert(!Index.loadPqCodebooks(engine.store, "pbig", "pqres", "vec").residual)
   }
 
+  test("incremental pq sync: encode-only append stays exact at full budgets") {
+    import spark.implicits._
+    val full = data()
+    // build on a 5-cluster subset; the coder knows only that subset too,
+    // so later clusters land in cells with NO empirical anchor — the
+    // deterministic fallback-anchor path gets exercised for real
+    engine.makeTable("pqsync", full.filter(col("id") < 200))
+    engine.makeCoder("psync", "pqsync", "vec",
+      CoderConfig(metric = "cosine", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 3))
+    engine.makePqIndex("psync", "pqsync", "vec",
+      PQConfig(numSubspaces = 4, codebookSize = 16, metric = "cosine",
+        sampleSize = 400))
+    assert(Index.loadPqCodebooks(engine.store, "psync", "pqsync", "vec").residual)
+
+    // the source grows; sync appends ONLY the new rows, no retraining
+    engine.makeTable("pqsync", full)
+    val appended = engine.syncPqIndex("psync", "pqsync", "vec", "id")
+    assert(appended == 120, s"expected 120 appended, got $appended")
+    assert(engine.syncPqIndex("psync", "pqsync", "vec", "id") == 0L)
+
+    val target = full.filter(col("id") === 310) // a post-build cluster
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val brute = full
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "cosine"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+    val got = engine.searchPq("pqsync", "vec", target, coding = "psync",
+      probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
+      metric = Some("cosine"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == brute, "post-sync full-budget search must equal brute")
+
+    // config mismatch refuses instead of silently mixing layouts
+    val err = intercept[IllegalArgumentException] {
+      engine.syncPqIndex("psync", "pqsync", "vec", "id",
+        expect = Some(PQConfig(numSubspaces = 8, codebookSize = 16,
+          metric = "cosine")))
+    }
+    assert(err.getMessage.contains("mismatch"))
+    // missing index refuses too
+    intercept[IllegalArgumentException] {
+      engine.syncPqIndex("nope", "pqsync", "vec", "id")
+    }
+  }
+
+  test("multi-source pq search unions per-source exact top-k") {
+    import spark.implicits._
+    // nearest-to-target rows interleave across the two sources
+    val a = (0 until 10).map(i => (i.toLong, Seq.tabulate(8)(d => if (d == 0) (2 * i).toFloat else 0f)))
+    val b = (0 until 10).map(i => ((100 + i).toLong, Seq.tabulate(8)(d => if (d == 0) (2 * i + 1).toFloat else 0f)))
+    engine.makeTable("msrc_a", a.toDF("id", "vec"))
+    engine.makeTable("msrc_b", b.toDF("id", "vec"))
+    engine.makeCoder("pm", "msrc_a", "vec",
+      CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 1,
+        batchSize = 64, numEpochs = 2))
+    val cfg = PQConfig(numSubspaces = 2, codebookSize = 4, metric = "l2",
+      sampleSize = 64)
+    engine.makePqIndex("pm", "msrc_a", "vec", cfg)
+    engine.makePqIndex("pm", "msrc_b", "vec", cfg)
+    val got = engine.searchPqMulti(Seq("msrc_a", "msrc_b"), "vec",
+      Array.fill(8)(0.0), coding = "pm", probes = 2, candidates = 100,
+      idCol = "id", k = 6, metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(0L, 100L, 1L, 101L, 2L, 102L), s"got $got")
+  }
+
   test("drop coding removes the pq index too") {
     assert(Index.pqIndexExists(engine.store, "pc", "pqv", "vec"))
     engine.dropIndex("pc")

@@ -113,6 +113,32 @@ class ServerSpec extends SparkSuite {
     val (nc, _) = send("GET", "/nope")
     assert(nc == 404)
 
+    // multi-source PQ search: a second source indexed under the same
+    // coding (library API — the wire layer builds one coding per call);
+    // the wire search unions per-source exact-reranked top-k
+    // b's near-cluster distances land exactly BETWEEN a's (0.001 offset),
+    // so the global exact top-6 must interleave the two sources
+    val rowsB = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      s"""{"id":${100 + i},"vec":[${c + 0.001 + i * 0.001},${c},${c},${c}]}"""
+    }
+    val (pbc, pbBody) = send("PUT", "/tables/wire_vecs_b",
+      s"""{"schema":"id LONG, vec ARRAY<DOUBLE>","rows":[${rowsB.mkString(",")}]}""")
+    assert(pbc == 200, pbBody)
+    engine.makePqIndex("wire_c1", "wire_vecs_b", "vec",
+      graft.coder.PQ.PQConfig(numSubspaces = 2, codebookSize = 4, sampleSize = 64))
+    val (mc2, mBody2) = send("POST", "/search",
+      """{"sources":["wire_vecs","wire_vecs_b"],"column":"vec",
+          "target":[0,0,0,0],"coding":"wire_c1","probes":2,"candidates":100,
+          "idCol":"id","k":6,"tieBreak":["id"],"select":["id"]}""")
+    assert(mc2 == 200, mBody2)
+    val multiIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(mBody2).get("rows").elements()
+      .forEachRemaining(n => multiIds += n.get("id").asLong())
+    assert(multiIds.toSeq == Seq(0L, 100L, 2L, 102L, 4L, 104L),
+      s"multi-source pq top-6 $multiIds")
+    assert(send("DELETE", "/tables/wire_vecs_b")._1 == 200)
+
     // drop
     assert(send("DELETE", "/indexes/wire_c1")._1 == 200)
     assert(send("DELETE", "/tables/wire_vecs")._1 == 200)
