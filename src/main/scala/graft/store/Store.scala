@@ -76,18 +76,34 @@ class Store(val spark: SparkSession, val root: String) {
     graft.types.Tensors.enforceDeclaredShapes(df)
       .write.mode("overwrite").parquet(sourcePath(name))
 
-  /** Import an external CSV or JSON file set as a named table. The schema
-    * is caller-supplied DDL, never inferred (the reference's schema
-    * contract, SURVEY §1.2), parsing is FAILFAST (a malformed record
-    * fails the import rather than becoming silent nulls), and the data
+  /** Import an external CSV, JSON, or Arrow IPC stream file set as a
+    * named table. For CSV/JSON the schema is caller-supplied DDL, never
+    * inferred (the reference's schema contract, SURVEY §1.2) and parsing
+    * is FAILFAST (a malformed record fails the import rather than
+    * becoming silent nulls). For `arrow` — the reference's native format
+    * (`io/arrow/arrow.py:6-21`) — the schema travels IN the file
+    * ([[graft.sources.ArrowIpc]]); a non-empty `schemaDdl` is validated
+    * against it (names + types) rather than applied. Either way the data
     * lands in the store's parquet layout through the normal ingest path —
     * tensor shape enforcement included. */
   def importTable(name: String, path: String, format: String, schemaDdl: String,
       options: Map[String, String] = Map.empty): Unit = {
-    require(Set("csv", "json").contains(format),
-      s"unsupported import format '$format' (csv | json)")
-    val df = spark.read.schema(schemaDdl).options(options)
-      .option("mode", "FAILFAST").format(format).load(path)
+    require(Set("csv", "json", "arrow").contains(format),
+      s"unsupported import format '$format' (csv | json | arrow)")
+    val df =
+      if (format == "arrow") {
+        val got = graft.sources.ArrowIpc.readStream(spark, path)
+        if (schemaDdl.nonEmpty) {
+          val want = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+          val gotShape = got.schema.map(f => (f.name, f.dataType))
+          val wantShape = want.map(f => (f.name, f.dataType))
+          require(gotShape == wantShape,
+            s"arrow file schema $gotShape does not match declared $wantShape")
+        }
+        got
+      } else
+        spark.read.schema(schemaDdl).options(options)
+          .option("mode", "FAILFAST").format(format).load(path)
     createTable(name, df)
   }
 

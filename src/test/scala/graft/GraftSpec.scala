@@ -324,4 +324,70 @@ class ImportSpec extends SparkSuite {
     }
     engine.remove()
   }
+
+  test("arrow ipc stream import round-trips schema and rows exactly") {
+    import java.nio.file.Files
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.{BigIntVector, Float4Vector, VarCharVector, VectorSchemaRoot}
+    import org.apache.arrow.vector.complex.ListVector
+    import org.apache.arrow.vector.ipc.ArrowStreamWriter
+    import org.apache.arrow.vector.types.FloatingPointPrecision
+    import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+
+    val dir = Files.createTempDirectory("graft-arrow")
+    val file = dir.resolve("t.arrow").toFile
+    val alloc = new RootAllocator()
+    val embChild = new Field("item",
+      FieldType.nullable(new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)), null)
+    val schema = new Schema(java.util.List.of(
+      new Field("id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+      new Field("name", FieldType.nullable(new ArrowType.Utf8()), null),
+      new Field("emb", FieldType.nullable(new ArrowType.List()),
+        java.util.List.of(embChild))))
+    val root = VectorSchemaRoot.create(schema, alloc)
+    val out = new java.io.FileOutputStream(file)
+    val writer = new ArrowStreamWriter(root, null, out.getChannel)
+    writer.start()
+    // two batches, to exercise batch iteration; one null name
+    def fillBatch(startId: Long, n: Int, nullAt: Int): Unit = {
+      root.allocateNew()
+      val idV = root.getVector("id").asInstanceOf[BigIntVector]
+      val nameV = root.getVector("name").asInstanceOf[VarCharVector]
+      val embV = root.getVector("emb").asInstanceOf[ListVector]
+      val w = embV.getWriter
+      for (i <- 0 until n) {
+        idV.setSafe(i, startId + i)
+        if (i == nullAt) nameV.setNull(i)
+        else nameV.setSafe(i, s"doc_${startId + i}".getBytes("UTF-8"))
+        w.setPosition(i)
+        w.startList()
+        w.float4().writeFloat4((startId + i).toFloat)
+        w.float4().writeFloat4(0.5f)
+        w.endList()
+      }
+      root.setRowCount(n)
+      writer.writeBatch()
+    }
+    fillBatch(0L, 3, nullAt = 1)
+    fillBatch(10L, 2, nullAt = -1)
+    writer.end(); writer.close(); out.close(); root.close(); alloc.close()
+
+    val rootDir = Files.createTempDirectory("graft-arrow-root").toString
+    val engine = new Engine(spark, rootDir)
+    engine.importTable("from_arrow", file.toString, "arrow",
+      "id BIGINT, name STRING, emb ARRAY<FLOAT>")
+    val got = engine.readTable(Seq("from_arrow"))
+    assert(got.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Seq(("id", "bigint"), ("name", "string"), ("emb", "array<float>")))
+    val rows = got.orderBy("id").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 10L, 11L))
+    assert(rows(1).isNullAt(1) && rows(0).getString(1) == "doc_0")
+    assert(rows(3).getSeq[Float](2) == Seq(10.0f, 0.5f))
+    // declared schema mismatch refuses
+    intercept[IllegalArgumentException] {
+      engine.importTable("bad_arrow", file.toString, "arrow", "id INT, name STRING")
+    }
+    engine.remove()
+  }
 }
