@@ -82,9 +82,21 @@ object Bench {
     val (mhRecall, mhPairs) = graft.ext.Eval.minhashRecall(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       sampleSize = 200, shingleSize = 1, threshold = 0.5)
-    val quality = f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs}"""
+    // LSH vs exact near-dup at the 100k scale where n² visibly loses
+    // (run once each — the exact baseline is the expensive side).
+    val nearDup = NearDupBench.run(spark)
+    val ndJson = nearDup.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString(",")
+    val quality =
+      f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs,$ndJson}"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality,"sf":"$sfDir"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality,"sf":"$sfDir"}"""
+    println(line)
+    // Machine-readable copy the driver (or anyone) can ingest whole,
+    // immune to stdout interleaving/truncation.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

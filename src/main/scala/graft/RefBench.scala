@@ -80,6 +80,34 @@ object RefBench {
     }
     val recall = brute.count(probed.contains) / 10.0
 
+    // Residual-cosine IVF+PQ at reference scale (unit-sphere IVFADC —
+    // the most common embedding metric). Runs BEFORE the l2 PQ section:
+    // one PQ index per (source, column, coding), so the l2 build below
+    // overwrites these codes and the root's final state stays l2 (Soak
+    // and any attached tooling search it as l2 afterwards).
+    val (bruteCos, _) = time {
+      engine.search("vectors", "vector", target, metric = Some("cosine"),
+        k = 10, tieBreak = Seq("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val (_, tPqCosBuild) = time {
+      engine.makePqIndex("c", "vectors", "vector",
+        graft.coder.PQ.PQConfig(numSubspaces = 16, codebookSize = 256,
+          metric = "cosine", sampleSize = 8192))
+    }
+    val (cosIds, tPqCosSearch) = {
+      val ts = (1 to 2).map { _ =>
+        time {
+          engine.searchPq("vectors", "vector", target, coding = "c",
+            probes = 16, candidates = 4000, idCol = "vec_id", k = 10,
+            metric = Some("cosine"), tieBreak = Seq("vec_id"))
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }
+      }
+      (ts.head._1, ts.map(_._2).min)
+    }
+    val pqCosRecall = bruteCos.count(cosIds.contains) / 10.0
+
     // IVF+PQ at reference scale: 256-d float32 → 16-byte codes (64×);
     // coarse pass reads (id, code) over 16/64 probed cells only.
     val (_, tPqBuild) = time {
@@ -103,7 +131,10 @@ object RefBench {
     val timings = Seq("ingest" -> tIngest, "coder_train" -> tTrain,
       "index_build" -> tIndex) ++ metricTimes ++
       Seq("search_probed" -> tProbed, "pq_index_build" -> tPqBuild,
-        "search_ivf_pq" -> tPqSearch, "pq_recall_at_10" -> pqRecall)
+        "search_ivf_pq" -> tPqSearch, "pq_recall_at_10" -> pqRecall,
+        "pq_cosine_index_build" -> tPqCosBuild,
+        "search_ivf_pq_cosine" -> tPqCosSearch,
+        "pq_cosine_recall_at_10" -> pqCosRecall)
     (timings, recall)
   }
 }

@@ -219,7 +219,7 @@ object Index {
     // space where l2 ranking is monotone-equivalent to cosine distance.
     val assigned =
       if (!useRes) assigned0
-      else assigned0.withColumn(ResBase, residualBase(col(column), metricC))
+      else withResidualBase(assigned0, column, metricC)
     // Anchors = EMPIRICAL per-cell means — the codebook-derived anchor is
     // a poor cell representative under this engine's additive-codebook
     // coarse quantizer, and residual resolution is only as good as the
@@ -286,16 +286,23 @@ object Index {
 
   private val ResBase = "__RESBASE__"
 
-  /** The space residuals are computed in: raw doubles for l2/dot, the
-    * unit sphere for cosine (zero vectors pass through, matching
-    * `Metrics.normalize` / `PQCodebooks.maybeNormalize`). */
-  private def residualBase(vec: Column, metricC: String): Column = {
-    val v = vec.cast("array<double>")
-    if (metricC != "cosine") v
-    else {
-      val nrm = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
-      when(nrm === 0.0d, v).otherwise(transform(v, x => x / nrm))
-    }
+  /** Adds the column residuals are computed from: raw doubles for
+    * l2/dot, the unit sphere for cosine (zero vectors pass through,
+    * matching `Metrics.normalize` / `PQCodebooks.maybeNormalize`).
+    * The norm goes through its OWN column first: a `transform` lambda
+    * that references a non-trivial expression re-evaluates it PER
+    * ELEMENT (no CSE inside HOF lambdas — an inline
+    * `sqrt(aggregate(...))` turns a d-element normalize into d² work
+    * per row; observed 79s vs 6s on a 100k×256-d build). */
+  private def withResidualBase(df: DataFrame, column: String,
+      metricC: String): DataFrame = {
+    val v = col(column).cast("array<double>")
+    if (metricC != "cosine") df.withColumn(ResBase, v)
+    else df
+      .withColumn("__NRM__", sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn(ResBase, when(col("__NRM__") === 0.0d, v)
+        .otherwise(transform(v, x => x / col("__NRM__"))))
+      .drop("__NRM__")
   }
 
   /** Incremental PQ sync: encode-only append of the source rows whose
@@ -340,8 +347,7 @@ object Index {
         val fb = residualFallbackAnchor(cb, coding)
         val full: Map[Long, Array[Double]] = (0L until coding.numCells)
           .map(c => c -> cb.anchors.getOrElse(c, fb(c))).toMap
-        assigned
-          .withColumn(ResBase, residualBase(col(column), cb.canonicalMetric))
+        withResidualBase(assigned, column, cb.canonicalMetric)
           .withColumn("__RES__",
             graft.coder.PQ.residualExpr(col(ResBase), col(CodeCol), full))
           .withColumn(PqCol, graft.coder.PQ.encodeExpr(col("__RES__"), cb))

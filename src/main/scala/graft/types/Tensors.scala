@@ -80,6 +80,55 @@ object Tensors {
       }
     }
 
+  // ——— nested tensors (struct-of-tensor columns) ———
+
+  /** Attach tensor metadata to a field nested inside struct columns
+    * (dotted `path`, e.g. `"sensors.image"`), the Spark mapping of the
+    * reference's nested extension type (`ex/arrow/nested/nested.py:18-122`,
+    * which stores per-leaf dtype/shape in the storage type's metadata).
+    * The whole schema — nested metadata included — rides the parquet
+    * footer, so the tags survive write/read round-trips exactly like
+    * top-level [[asTensor]] tags. */
+  def withNestedTensorMeta(df: DataFrame, path: String, meta: Metadata): DataFrame =
+    df.to(withMetaAt(df.schema, path.split('.').toList, meta))
+
+  private def withMetaAt(schema: StructType, path: List[String],
+      meta: Metadata): StructType = {
+    require(schema.fieldNames.contains(path.head),
+      s"no field '${path.head}' in ${schema.catalogString}")
+    StructType(schema.fields.map { f =>
+      if (f.name != path.head) f
+      else path.tail match {
+        case Nil => f.copy(metadata = new MetadataBuilder()
+          .withMetadata(f.metadata).withMetadata(meta).build())
+        case rest => f.dataType match {
+          case s: StructType => f.copy(dataType = withMetaAt(s, rest, meta))
+          case other => throw new IllegalArgumentException(
+            s"path segment '${f.name}' is not a struct (${other.catalogString})")
+        }
+      }
+    })
+  }
+
+  /** The field at a dotted path (jmespath-style access over struct
+    * nesting; element access inside the leaf tensor is Catalyst's own
+    * `col(path)(i)`). */
+  def fieldAt(schema: StructType, path: String): StructField = {
+    val segs = path.split('.').toList
+    segs.init.foldLeft(schema) { (s, seg) =>
+      s(seg).dataType match {
+        case st: StructType => st
+        case other => throw new IllegalArgumentException(
+          s"path segment '$seg' is not a struct (${other.catalogString})")
+      }
+    }.apply(segs.last)
+  }
+
+  /** Declared shape of a (possibly nested) tensor field, read from its
+    * metadata. */
+  def shapeAt(df: DataFrame, path: String): Option[Seq[Int]] =
+    shapeOf(fieldAt(df.schema, path))
+
   /** Quantize a float-array column to a quint8 binary payload (inverse of
     * [[dequantize]]): `b[i] = clamp(round(x[i] / scale + zeroPoint), 0, 255)`.
     * The affine transform is computed in double so the rounding boundary is

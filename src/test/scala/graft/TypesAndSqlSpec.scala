@@ -105,6 +105,38 @@ class TensorsSpec extends SparkSuite {
     val got = df.select($"tensors.image").as[Seq[Float]].collect()(0)
     assert(got == Seq(1.0f, 2.0f))
   }
+
+  test("nested tensor metadata survives parquet; path accessor reads it back") {
+    val dir = java.nio.file.Files.createTempDirectory("nested-tensors").toString
+    val base = Seq(
+        (1L, (Seq(1.0f, 2.0f, 3.0f, 4.0f), Seq(0.1f, 0.2f))),
+        (2L, (Seq(5.0f, 6.0f, 7.0f, 8.0f), Seq(0.3f, 0.4f))))
+      .toDF("id", "nested")
+      .select($"id", struct(
+        $"nested._1".as("image"), $"nested._2".as("audio")).as("sensors"))
+    // tag the LEAVES inside the struct (shape 2×2 image, quint8-ish audio)
+    val tagged = Tensors.withNestedTensorMeta(
+      Tensors.withNestedTensorMeta(base, "sensors.image", Tensors.tensorMeta(Seq(2, 2))),
+      "sensors.audio", Tensors.quint8Meta(Seq(2), 0.25f, 128f))
+    assert(Tensors.shapeAt(tagged, "sensors.image").contains(Seq(2, 2)))
+    tagged.write.mode("overwrite").parquet(s"$dir/t")
+
+    val back = spark.read.parquet(s"$dir/t")
+    assert(Tensors.shapeAt(back, "sensors.image").contains(Seq(2, 2)),
+      s"image shape lost: ${back.schema.json}")
+    assert(Tensors.shapeAt(back, "sensors.audio").contains(Seq(2)))
+    val audioMeta = Tensors.fieldAt(back.schema, "sensors.audio").metadata
+    assert(audioMeta.getDouble(Tensors.ScaleKey) == 0.25)
+    assert(audioMeta.getDouble(Tensors.ZeroPointKey) == 128.0)
+    // values and jmespath-style access are untouched by the tagging
+    val img = back.orderBy("id").select($"sensors.image").as[Seq[Float]].collect()
+    assert(img(0) == Seq(1.0f, 2.0f, 3.0f, 4.0f))
+    assert(back.select($"sensors.image"(2)).orderBy("id").as[Float].collect()(0) == 3.0f)
+    // bad paths fail loudly
+    intercept[IllegalArgumentException](Tensors.shapeAt(back, "sensors.nope.x"))
+    intercept[IllegalArgumentException](
+      Tensors.withNestedTensorMeta(back, "nope.x", Tensors.tensorMeta(Seq(1))))
+  }
 }
 
 class IvfJoinSpec extends SparkSuite {
