@@ -76,7 +76,11 @@ class Engine(val spark: SparkSession, val root: String) {
     * `flight.py:47`): each source's PQ index is searched independently —
     * per-source codebooks make ADC scores incomparable across sources,
     * but each source's EXACT-reranked top-k is, so the global top-k of
-    * the union equals top-k over the unioned corpus at full budgets. */
+    * the union equals top-k over the unioned corpus at full budgets.
+    * That only holds when every source's final distances are under ONE
+    * metric, so indexes trained under different metrics are refused up
+    * front (cosine ∈ [0,1] unioned with unbounded l2 would silently
+    * return garbage ordering). */
   def searchPqMulti(
       sources: Seq[String],
       column: String,
@@ -91,9 +95,17 @@ class Engine(val spark: SparkSession, val root: String) {
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(sources.nonEmpty, "at least one source")
+    val metrics = sources.map(s =>
+      s -> Index.loadPqCodebooks(store, coding, s, column).canonicalMetric)
+    require(metrics.map(_._2).distinct.size == 1,
+      "multi-source PQ search needs every source's codebooks trained under " +
+        s"ONE metric — distances are not comparable across metrics; got " +
+        metrics.map { case (s, m) => s"$s:$m" }.mkString(", "))
+    val m = Some(metric.map(graft.core.Metrics.canonical)
+      .getOrElse(metrics.head._2))
     sources
       .map(s => Index.searchIvfPq(store, coding, s, column, target, k, probes,
-        candidates, idCol, metric, filter, select, tieBreak))
+        candidates, idCol, m, filter, select, tieBreak))
       .reduce(_ unionByName _)
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
       .limit(k)

@@ -155,12 +155,10 @@ object Coder {
     val vecsRaw = df.select(col(vecCol).cast("array<double>").as("v")).filter(col("v").isNotNull)
     val vecs = if (cosine) {
       // L2-normalize once at the source (reference normalizes every
-      // batch). The norm gets its OWN column: referencing an inline
-      // sqrt(aggregate(...)) from the transform lambda re-evaluates it
-      // per ELEMENT (no CSE inside HOF lambdas ⇒ d² work per row).
-      vecsRaw
-        .withColumn("n", sqrt(aggregate(col("v"), lit(0.0d), (acc, e) => acc + e * e)))
-        .select(transform(col("v"), x => x / col("n")).as("v"))
+      // batch); shared helper keeps the norm out of the HOF lambda
+      // (no CSE there ⇒ d² work per row) and zero vectors finite.
+      graft.functions.functions.withUnitNormalized(vecsRaw, col("v"), "vn")
+        .select(col("vn").as("v"))
     } else vecsRaw
 
     val total = vecs.count()

@@ -325,46 +325,56 @@ object PQ {
       target: Array[Double], cells: Array[Long],
       fallbackAnchor: Long => Array[Double]): Column = {
     require(cb.residual, "per-cell ADC tables are the residual-PQ search path")
-    // probes·m·k doubles ride the plan to every task — gate so a huge
-    // probe list fails loudly instead of shipping a silent multi-GB ref
-    require(cells.length.toLong * cb.m * cb.k <= (1L << 24),
-      s"ADC tables for ${cells.length} probed cells × m=${cb.m} × k=${cb.k} " +
-        "exceed the 16M-entry cap — probe fewer cells or shrink the codebooks")
     val metric = cb.canonicalMetric
     val q = if (metric == "cosine") Metrics.normalize(target) else target
     val mk = cb.m * cb.k
     val sorted = cells.sorted // binary-searched per row in the expression
-    val tables = new Array[Double](sorted.length * mk)
-    var i = 0
-    while (i < sorted.length) {
-      val anchor = cb.anchors.getOrElse(sorted(i), fallbackAnchor(sorted(i)))
-      val base = i * mk
-      metric match {
-        case "l2" =>
+    val (tables, consts) = metric match {
+      case "l2" =>
+        // The query RESIDUAL differs per cell in every entry, so l2 needs
+        // one m×k table per probed cell. probes·m·k doubles ride the plan
+        // to every task — gate so a huge probe list fails loudly instead
+        // of shipping a silent multi-GB ref.
+        require(sorted.length.toLong * mk <= (1L << 24),
+          s"ADC tables for ${sorted.length} probed cells × m=${cb.m} × " +
+            s"k=${cb.k} exceed the 16M-entry cap — probe fewer cells or " +
+            "shrink the codebooks")
+        val ts = new Array[Double](sorted.length * mk)
+        var i = 0
+        while (i < sorted.length) {
+          val anchor = cb.anchors.getOrElse(sorted(i), fallbackAnchor(sorted(i)))
           val qRes = new Array[Double](q.length)
           var t = 0
           while (t < q.length) { qRes(t) = q(t) - anchor(t); t += 1 }
-          System.arraycopy(cb.adcTable(qRes), 0, tables, base, mk)
-        case _ => // cosine | dot
-          val dots = cb.adcTable(q) // subspace dots q_j · c_j(i)
-          val w = if (metric == "cosine") -0.5 else -1.0
+          System.arraycopy(cb.adcTable(qRes), 0, ts, i * mk, mk)
+          i += 1
+        }
+        (ts, Array.emptyDoubleArray)
+      case _ => // cosine | dot: the dot table is loop-invariant across
+        // cells (score = const(cell) + Σ_j w·(q_j·c_j(code_j))), so ship
+        // ONE shared m×k table + one scalar per probed cell — m·k + probes
+        // doubles instead of probes·m·k.
+        val dots = cb.adcTable(q) // subspace dots q_j · c_j(i), computed once
+        val w = if (metric == "cosine") -0.5 else -1.0
+        val ts = new Array[Double](mk)
+        var e = 0
+        while (e < mk) { ts(e) = w * dots(e); e += 1 }
+        val cs = new Array[Double](sorted.length)
+        var i = 0
+        while (i < sorted.length) {
+          val anchor = cb.anchors.getOrElse(sorted(i), fallbackAnchor(sorted(i)))
           var qa = 0.0; var t = 0
           while (t < q.length) { qa += q(t) * anchor(t); t += 1 }
-          val const = if (metric == "cosine") 0.5 - 0.5 * qa else -qa
-          var e = 0
-          while (e < mk) { tables(base + e) = w * dots(e); e += 1 }
-          // fold the per-cell constant into subspace 0 (each row sums
-          // exactly one entry per subspace)
-          e = 0
-          while (e < cb.k) { tables(base + e) += const; e += 1 }
-      }
-      i += 1
+          cs(i) = if (metric == "cosine") 0.5 - 0.5 * qa else -qa
+          i += 1
+        }
+        (ts, cs)
     }
     org.apache.spark.sql.GraftShims.column(
       graft.functions.PQAdcScoreCells(
         org.apache.spark.sql.GraftShims.expression(codes),
         org.apache.spark.sql.GraftShims.expression(cell),
-        sorted, tables, cb.m, cb.k, sqrtFinish = metric == "l2"))
+        sorted, tables, consts, cb.m, cb.k, sqrtFinish = metric == "l2"))
   }
 
   /** Approximate (ADC) distance of a codes column to `target`. */

@@ -156,19 +156,30 @@ case class PQAdcScore(child: Expression, table: Array[Double], m: Int, k: Int,
     copy(child = newChild)
 }
 
-/** Residual-PQ ADC with PER-CELL tables (IVFADC proper): the row's cell id
-  * selects which per-query table its code bytes index into. `cells` is
-  * the probed cell list SORTED ascending (binary-searched per row, so the
-  * lookup is log(probes), not probes); `tables` is the concatenation of
-  * their m×k tables in the same order. The table semantics are metric-
-  * specific (see [[graft.coder.PQ.adcScoreCellsExpr]]): l2 sums squared
-  * subspace distances (`sqrtFinish = true`); cosine/dot tables carry the
-  * full affine score so the sum IS the distance (`sqrtFinish = false`).
+/** Residual-PQ ADC with per-cell scoring (IVFADC proper): the row's cell
+  * id (binary-searched in the SORTED `cells` list — log(probes) per row)
+  * selects how its code bytes are scored. Two layouts, chosen by the
+  * metric's math (see [[graft.coder.PQ.adcScoreCellsExpr]]):
+  *
+  *  - PER-CELL tables (`cellConst` empty, l2): `tables` concatenates one
+  *    m×k squared-subspace-distance table per probed cell (the query
+  *    RESIDUAL differs per cell in every entry); `sqrtFinish = true`.
+  *  - SHARED table + per-cell constant (cosine/dot): the m×k dot-product
+  *    table is loop-invariant across cells — only the folded
+  *    `w·(q·anchor)` scalar differs — so `tables` is a single m×k table
+  *    and `cellConst(i)` is cell i's additive constant. Ships
+  *    m·k + probes doubles instead of probes·m·k (at the 4096-cell cap
+  *    with m=16, k=256: 32 KB + 32 KB instead of 134 MB per task).
   */
 case class PQAdcScoreCells(codes: Expression, cell: Expression,
-    cells: Array[Long], tables: Array[Double], m: Int, k: Int,
-    sqrtFinish: Boolean)
+    cells: Array[Long], tables: Array[Double], cellConst: Array[Double],
+    m: Int, k: Int, sqrtFinish: Boolean)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def shared: Boolean = cellConst.nonEmpty
+  require(if (shared) cellConst.length == cells.length && tables.length == m * k
+          else tables.length == cells.length * m * k,
+    "pq_adc_score_cells: tables/cellConst layout does not match the cell list")
 
   override def left: Expression = codes
   override def right: Expression = cell
@@ -192,8 +203,9 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
     if (idx < 0)
       throw new IllegalArgumentException(
         s"pq_adc_score_cells: cell $cl not in the probed set")
-    val base = idx * m * k
-    var acc = 0.0; var j = 0
+    val base = if (shared) 0 else idx * m * k
+    var acc = if (shared) cellConst(idx) else 0.0
+    var j = 0
     while (j < m) { acc += tables(base + j * k + (c(j) & 0xFF)); j += 1 }
     if (sqrtFinish) math.sqrt(acc) else acc
   }
@@ -201,6 +213,8 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cellsRef = ctx.addReferenceObj("probedCells", cells, "long[]")
     val tRef = ctx.addReferenceObj("adcTables", tables, "double[]")
+    val constRef =
+      if (shared) ctx.addReferenceObj("adcCellConst", cellConst, "double[]") else ""
     val idx = ctx.freshName("idx")
     val base = ctx.freshName("base"); val acc = ctx.freshName("acc")
     val j = ctx.freshName("j")
@@ -215,8 +229,8 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
          |  throw new IllegalArgumentException(
          |    "pq_adc_score_cells: cell " + $cl + " not in the probed set");
          |}
-         |final int $base = $idx * ${m * k};
-         |double $acc = 0.0;
+         |final int $base = ${if (shared) "0" else s"$idx * ${m * k}"};
+         |double $acc = ${if (shared) s"$constRef[$idx]" else "0.0"};
          |for (int $j = 0; $j < $m; $j++) {
          |  $acc += $tRef[$base + $j * $k + ($c[$j] & 0xFF)];
          |}

@@ -1,12 +1,29 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metrics
 
 /** Column-level entry points for the engine's vector functions. */
 object functions {
+
+  /** Adds `outCol` = the L2-normalized copy of `vec` (zero vectors pass
+    * through unchanged, matching [[Metrics.normalize]]). The norm goes
+    * through its OWN intermediate column on purpose: HOF lambdas get no
+    * common-subexpression elimination, so referencing an inline
+    * `sqrt(aggregate(...))` from `transform()` re-evaluates the whole
+    * aggregate per ELEMENT — d² work per row (observed 79s vs 6s on a
+    * 100k×256-d build). One shared implementation for the cosine coder
+    * training and the residual-PQ build/sync paths. */
+  def withUnitNormalized(df: DataFrame, vec: Column, outCol: String): DataFrame = {
+    val tmp = s"__${outCol}_norm__"
+    val v = vec.cast("array<double>")
+    df.withColumn(tmp, sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn(outCol, when(col(tmp) === 0.0d, v)
+        .otherwise(transform(v, x => x / col(tmp))))
+      .drop(tmp)
+  }
 
   /** Distance between two vector columns under `metric`
     * (cosine | dot | inner_product | l2 | euclidean — reference formulas,

@@ -72,10 +72,15 @@ object Index {
     val existing = store.spark.read.parquet(path).select(col(idCol))
     val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
     val delta = fresh.withColumn(CodeCol, assignExpr(col(column), coding))
-    val appended = delta.count()
-    if (appended > 0)
-      delta.write.mode("append").partitionBy(CodeCol).parquet(path)
-    appended
+    // the delta is bounded by the append size, so persist it: count +
+    // write would otherwise run the anti-join + assignment twice
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = delta.count()
+      if (appended > 0)
+        delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+      appended
+    } finally delta.unpersist(blocking = false)
   }
 
   /** Read the indexed copy: source schema ⊕ `__CODED_ID__: long`
@@ -288,22 +293,12 @@ object Index {
 
   /** Adds the column residuals are computed from: raw doubles for
     * l2/dot, the unit sphere for cosine (zero vectors pass through,
-    * matching `Metrics.normalize` / `PQCodebooks.maybeNormalize`).
-    * The norm goes through its OWN column first: a `transform` lambda
-    * that references a non-trivial expression re-evaluates it PER
-    * ELEMENT (no CSE inside HOF lambdas — an inline
-    * `sqrt(aggregate(...))` turns a d-element normalize into d² work
-    * per row; observed 79s vs 6s on a 100k×256-d build). */
+    * matching `Metrics.normalize` / `PQCodebooks.maybeNormalize`). */
   private def withResidualBase(df: DataFrame, column: String,
-      metricC: String): DataFrame = {
-    val v = col(column).cast("array<double>")
-    if (metricC != "cosine") df.withColumn(ResBase, v)
-    else df
-      .withColumn("__NRM__", sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x)))
-      .withColumn(ResBase, when(col("__NRM__") === 0.0d, v)
-        .otherwise(transform(v, x => x / col("__NRM__"))))
-      .drop("__NRM__")
-  }
+      metricC: String): DataFrame =
+    if (metricC != "cosine")
+      df.withColumn(ResBase, col(column).cast("array<double>"))
+    else graft.functions.functions.withUnitNormalized(df, col(column), ResBase)
 
   /** Incremental PQ sync: encode-only append of the source rows whose
     * `idCol` is not yet in the PQ index, under the STORED codebooks — no
@@ -353,10 +348,15 @@ object Index {
           .withColumn(PqCol, graft.coder.PQ.encodeExpr(col("__RES__"), cb))
           .drop("__RES__", ResBase)
       }
-    val appended = delta.count()
-    if (appended > 0)
-      delta.write.mode("append").partitionBy(CodeCol).parquet(path)
-    appended
+    // persist the (append-sized) delta: count + write would otherwise run
+    // the anti-join + assignment + normalize + residual + encode twice
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = delta.count()
+      if (appended > 0)
+        delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+      appended
+    } finally delta.unpersist(blocking = false)
   }
 
   def pqIndexExists(store: Store, codingName: String, source: String, column: String): Boolean =

@@ -307,6 +307,30 @@ class IvfPqSpec extends SparkSuite {
     assert(res >= 0.5, s"residual recall $res too low on clustered data")
   }
 
+  test("per-cell ADC (residual search) matches between codegen and interpreted") {
+    import spark.implicits._
+    // cosine exercises the shared-table + per-cell-constant layout;
+    // bounded budget so the ADC ordering actually decides the result
+    val target: Array[Double] = engine.readTable(Seq("pqres"))
+      .filter(col("id") === 42)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    def run(): Seq[Long] =
+      engine.searchPq("pqres", "vec", target,
+        coding = "pcr", probes = 16, candidates = 40, idCol = "id", k = 10,
+        metric = Some("cosine"), tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSeq
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen == interpreted,
+      s"codegen $codegen != interpreted $interpreted")
+  }
+
   test("above the cell cap, residual build refuses unless flat is explicit") {
     val many = CoderConfig(metric = "l2", codebookSize = 70, numCodebooks = 2,
       batchSize = 256, numEpochs = 1)
@@ -390,6 +414,15 @@ class IvfPqSpec extends SparkSuite {
       idCol = "id", k = 6, metric = Some("l2"), tieBreak = Seq("id"))
       .select("id").as[Long].collect().toSeq
     assert(got == Seq(0L, 100L, 1L, 101L, 2L, 102L), s"got $got")
+
+    // mixed-metric indexes refuse up front: cosine ∈ [0,1] unioned with
+    // unbounded l2 distances would silently return garbage ordering
+    engine.makePqIndex("pm", "msrc_b", "vec", cfg.copy(metric = "cosine"))
+    val err = intercept[IllegalArgumentException] {
+      engine.searchPqMulti(Seq("msrc_a", "msrc_b"), "vec", Array.fill(8)(0.0),
+        coding = "pm", probes = 2, candidates = 100, idCol = "id", k = 6)
+    }
+    assert(err.getMessage.contains("ONE metric"), err.getMessage)
   }
 
   test("drop coding removes the pq index too") {
