@@ -322,6 +322,9 @@ object SparkEntry {
       TextAnalysis.topVocab(tbl(s, dir, "documents"), "text", 100)),
     "ngram_counts" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.wordNgramCounts(tbl(s, dir, "documents"), "text", 2)),
+    // —— text: within-doc repeated-bigram fraction (Gopher-style signal) ——
+    "text_repetition" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.repetitionRatio(tbl(s, dir, "documents"), "doc_id", "text", 2)),
     // —— balanced (stratified) sampling: n deterministic docs/stratum ——
     "balanced_sample" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.balancedSample(
@@ -742,6 +745,15 @@ object SparkEntry {
         "SELECT ngram, count(*) AS freq FROM (" +
         "SELECT unnest(list_transform(generate_series(1, len(t) - 1), " +
         "i -> t[i] || ' ' || t[i+1])) AS ngram FROM tk) GROUP BY ngram"),
+    // rep_ratio = 1 - distinct/total over bigrams, op order mirrored
+    "text_repetition" ->
+      ("WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents), " +
+        "g AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN " +
+        "list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1]) " +
+        "ELSE NULL END AS gs FROM tk) " +
+        "SELECT doc_id, CASE WHEN gs IS NULL THEN 0.0 ELSE " +
+        "1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / CAST(len(gs) AS DOUBLE) END AS rep_ratio, " +
+        "CAST(coalesce(len(gs), 0) AS BIGINT) AS n_ngrams FROM g"),
     // P6 of a 16x16 image: 13-byte header ("P6\n16 16\n255\n") + 768 raster
     // bytes; width/height come from the DECODED raster, so any codec break
     // fails the hash match (or throws)

@@ -100,6 +100,30 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
   }
 
+  /** Within-document repetition: the fraction of a doc's word n-grams
+    * that are duplicates (1 − distinct/total) — the classic
+    * repetitiousness quality signal for training-corpus filtering (Rae
+    * et al., "Scaling Language Models: ... Gopher", 2021 filter on
+    * repeated-n-gram fractions). Pure narrow map over built-ins (stays
+    * in codegen, no shuffle — embarrassingly parallel at 100 TB). Docs
+    * with fewer than `n` tokens score 0.0 over 0 n-grams. */
+  def repetitionRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 2, s"repetitionRatio needs n >= 2, got $n")
+    val toks = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol), toks.as("toks"))
+      .withColumn("ngrams", when(size(col("toks")) >= n,
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(col("toks"), i + j + 1)): _*))))
+      .select(col(idCol),
+        when(col("ngrams").isNull, lit(0.0d))
+          .otherwise(lit(1.0d) -
+            size(array_distinct(col("ngrams"))).cast("double") /
+              size(col("ngrams")).cast("double"))
+          .as("rep_ratio"),
+        coalesce(size(col("ngrams")), lit(0)).cast("long").as("n_ngrams"))
+  }
+
   /** Per-doc distinct word n-grams (helper for containment/dedup). */
   private def distinctNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, out: String): DataFrame = {

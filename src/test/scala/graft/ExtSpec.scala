@@ -106,6 +106,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(got(1L) == 3 && got(2L) == 0 && got(3L) == 0 && got(4L) == 1)
   }
 
+  test("repetition ratio: hand-computed bigram duplication fractions") {
+    val df = Seq(
+      (1L, "a b a b a"),      // bigrams: ab ba ab ba -> 4 total, 2 distinct
+      (2L, "w x y z"),        // all distinct -> 0.0
+      (3L, "spam spam spam"), // bigrams: ss ss -> 2 total, 1 distinct
+      (4L, "one"),            // < n tokens -> 0.0 over 0 ngrams
+      (5L, "")).toDF("id", "text")
+    val got = TextAnalysis.repetitionRatio(df, "id", "text", 2)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == (0.5, 4L), s"got ${got(1L)}")
+    assert(got(2L) == (0.0, 3L))
+    assert(got(3L) == (0.5, 2L))
+    assert(got(4L) == (0.0, 0L))
+    assert(got(5L) == (0.0, 0L))
+  }
+
   test("fingerprint is whitespace/case-normalized and deterministic") {
     val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, " hello   world "),
       (4L, "hello worlds")).toDF("id", "text")
