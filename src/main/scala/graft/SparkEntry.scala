@@ -325,6 +325,11 @@ object SparkEntry {
     // —— text: within-doc repeated-bigram fraction (Gopher-style signal) ——
     "text_repetition" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.repetitionRatio(tbl(s, dir, "documents"), "doc_id", "text", 2)),
+    // —— multimodal: REAL JPEG + PNG codec round-trip through the JDK's
+    // ImageIO readers/writers — lossless PNG stats are oracle constants,
+    // any codec break (header, raster, writer) breaks the row ——
+    "media_compressed_decode" -> ((s: SparkSession, dir: String) =>
+      Multimodal.compressedCodecCheck(tbl(s, dir, "documents"), "doc_id")),
     // —— balanced (stratified) sampling: n deterministic docs/stratum ——
     "balanced_sample" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.balancedSample(
@@ -759,6 +764,12 @@ object SparkEntry {
     // fails the hash match (or throws)
     "media_ppm_decode" ->
       "SELECT doc_id AS media_id, 16 AS width, 16 AS height, CAST(781 AS BIGINT) AS n_bytes FROM documents",
+    // the (x,y)-only 16x16 pattern has red = x*16, so the lossless PNG
+    // round-trip must recover red_sum = 16 rows * sum(x*16) = 30720
+    "media_compressed_decode" ->
+      ("SELECT doc_id AS media_id, 16 AS png_w, 16 AS png_h, " +
+        "CAST(30720 AS BIGINT) AS png_red_sum, 16 AS jpeg_w, 16 AS jpeg_h, " +
+        "TRUE AS sizes_ok FROM documents"),
     // pcm16 wav of 8000 mono frames: 44-byte RIFF header + 16000 data bytes;
     // frames/rate come from the DECODED stream
     "media_wav_decode" ->

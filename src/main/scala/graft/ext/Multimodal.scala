@@ -9,14 +9,22 @@ import org.apache.spark.sql.functions._
   * the layout a 100 TB multimodal corpus actually uses (payload bytes
   * inline or as object-store pointers; schema'd metadata for pruning).
   * The Spark-side plumbing (schema, batching, partition-parallel decode,
-  * feature schema) is real and tested. Codecs: PPM/P6 has a REAL pure-JVM
-  * decode → pixel-math → re-encode path ([[Ppm]], `mediaAsPpm` /
-  * `extractFeaturesPpm` / `resizePpm`); compressed formats (JPEG/ffmpeg)
-  * stay behind the clearly-marked deterministic `stubDecode` because no
-  * native codec libraries exist in this container — swap it for a JNI/FFI
-  * decoder without touching the plumbing.
+  * feature schema) is real and tested. Codecs, all pure-JVM:
+  *   - PPM/P6: hand-written decode → pixel-math → re-encode ([[Ppm]]);
+  *   - WAV/PCM16: RIFF chunk walk, resample, signal stats ([[Wav]]);
+  *   - JPEG / PNG / BMP / GIF / TIFF: the JDK's own `javax.imageio`
+  *     readers/writers (shipped in every JRE, headless-safe —
+  *     `decodeImage` / `encodeImage` / `resizeCompressed` below).
+  * Only containerized video/audio-compressed formats (h264, mp3, …)
+  * remain behind the clearly-marked deterministic `stubDecode` — those
+  * genuinely need native libraries; swap the stub for a JNI/FFI decoder
+  * without touching the plumbing.
   */
 object Multimodal {
+
+  // executors must never try to touch a display; set before any ImageIO
+  // class loads (safe to set repeatedly)
+  System.setProperty("java.awt.headless", "true")
 
   /** Media row: payload + typed metadata (modality, dims, sample rate). */
   case class MediaMeta(modality: String, width: Int, height: Int, sampleRateHz: Int)
@@ -156,6 +164,103 @@ object Multimodal {
         val resized = Ppm.resizeNearest(img, targetWidth, targetH)
         MediaRow(row.media_id, Ppm.encode(resized),
           row.meta.copy(width = resized.width, height = resized.height))
+      }
+    }
+  }
+
+  // ——— REAL compressed-image path (JPEG/PNG/BMP/GIF via JDK ImageIO) ———
+
+  /** Decode any ImageIO-supported compressed payload (JPEG, PNG, BMP,
+    * GIF, TIFF, WBMP); throws on undecodable bytes — a corrupt-tolerant
+    * pipeline routes those to a quarantine sink instead. */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null)
+      throw new IllegalArgumentException(
+        s"decodeImage: no ImageIO reader recognized the ${payload.length}-byte payload")
+    img
+  }
+
+  /** Encode via the JDK writer for `format` ("png", "jpg", "bmp", "gif"). */
+  def encodeImage(img: java.awt.image.BufferedImage, format: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, format, out),
+      s"encodeImage: no ImageIO writer for format '$format'")
+    out.toByteArray
+  }
+
+  /** Deterministic RGB test pattern (pixel value depends only on
+    * (x, y), so lossless decodes have constant, oracle-checkable stats). */
+  def testPattern(width: Int, height: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, ((x * 16) & 0xFF) << 16 | ((y * 16) & 0xFF) << 8 | 128)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Compressed-codec round-trip over real encoded bytes, one narrow map
+    * per row (no shuffle): synthesize the deterministic pattern, encode
+    * it as PNG AND JPEG through the JDK writers, decode both through the
+    * JDK readers, and emit decoded dimensions plus the lossless (PNG)
+    * red-channel sum — constants a SQL oracle can assert, where ANY
+    * codec break (bad header, wrong raster, failed writer) breaks the
+    * row. JPEG is lossy so only its decoded dimensions are asserted. */
+  def compressedCodecCheck(df: DataFrame, idCol: String,
+      width: Int = 16, height: Int = 16): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val img = testPattern(width, height)
+      val png = encodeImage(img, "png")
+      val jpg = encodeImage(img, "jpg")
+      val dp = decodeImage(png)
+      val dj = decodeImage(jpg)
+      var redSum = 0L
+      var y = 0
+      while (y < dp.getHeight) {
+        var x = 0
+        while (x < dp.getWidth) { redSum += (dp.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+        y += 1
+      }
+      (id, dp.getWidth, dp.getHeight, redSum, dj.getWidth, dj.getHeight,
+        png.length > 0 && jpg.length > 0)
+    }.toDF("media_id", "png_w", "png_h", "png_red_sum", "jpeg_w", "jpeg_h",
+      "sizes_ok")
+  }
+
+  /** Real compressed resize: ImageIO decode → nearest-neighbor resample
+    * on the pixel grid (deterministic, same policy as [[Ppm.resizeNearest]])
+    * → re-encode in `format`. Narrow map, metadata follows the raster. */
+  def resizeCompressed(media: Dataset[MediaRow], targetWidth: Int,
+      format: String = "png"): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { row =>
+      val img = decodeImage(row.payload)
+      if (img.getWidth <= targetWidth) row
+      else {
+        val targetH = math.max(1, (img.getHeight.toLong * targetWidth / img.getWidth).toInt)
+        val out = new java.awt.image.BufferedImage(targetWidth, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < targetH) {
+          val sy = math.min(img.getHeight - 1, y * img.getHeight / targetH)
+          var x = 0
+          while (x < targetWidth) {
+            out.setRGB(x, y, img.getRGB(
+              math.min(img.getWidth - 1, x * img.getWidth / targetWidth), sy))
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(row.media_id, encodeImage(out, format),
+          row.meta.copy(width = targetWidth, height = targetH))
       }
     }
   }

@@ -178,6 +178,47 @@ class MultimodalSpec extends SparkSuite {
       assert(fs.forall(_.frame.length <= 64))
     }
   }
+
+  test("jdk imageio: png lossless round-trip, jpeg lossy decode, real resize") {
+    // PNG is lossless: every pixel of the pattern must survive exactly
+    val img = Multimodal.testPattern(16, 16)
+    val png = Multimodal.encodeImage(img, "png")
+    val backP = Multimodal.decodeImage(png)
+    assert(backP.getWidth == 16 && backP.getHeight == 16)
+    for (y <- 0 until 16; x <- 0 until 16)
+      assert((backP.getRGB(x, y) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF),
+        s"png pixel ($x,$y) mismatch")
+    // JPEG is lossy: dims exact, channel content close (smooth gradient)
+    val jpg = Multimodal.encodeImage(img, "jpg")
+    val backJ = Multimodal.decodeImage(jpg)
+    assert(backJ.getWidth == 16 && backJ.getHeight == 16)
+    val meanRed = (for (y <- 0 until 16; x <- 0 until 16)
+      yield (backJ.getRGB(x, y) >> 16) & 0xFF).sum / 256.0
+    assert(math.abs(meanRed - 120.0) < 10.0, s"jpeg mean red $meanRed far from 120")
+    // undecodable bytes throw instead of silently passing
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImage(Array[Byte](1, 2, 3, 4)))
+
+    // distributed: the oracle-checked constants hold for every row
+    val docs = sf("sf0.001", "documents").limit(20)
+    val checked = Multimodal.compressedCodecCheck(docs, "doc_id").collect()
+    assert(checked.length == 20)
+    checked.foreach { r =>
+      assert(r.getInt(1) == 16 && r.getInt(2) == 16 && r.getLong(3) == 30720L)
+      assert(r.getInt(4) == 16 && r.getInt(5) == 16 && r.getBoolean(6))
+    }
+
+    // real compressed resize: decode -> nearest-neighbor -> re-encode
+    val media = docs.select(col("doc_id").cast("long")).as[Long]
+      .map(id => Multimodal.MediaRow(id, png,
+        Multimodal.MediaMeta("image", 16, 16, 0)))
+    val resized = Multimodal.resizeCompressed(media, targetWidth = 8).collect()
+    resized.foreach { m =>
+      assert(m.meta.width == 8 && m.meta.height == 8)
+      val d = Multimodal.decodeImage(m.payload)
+      assert(d.getWidth == 8 && d.getHeight == 8)
+    }
+  }
 }
 
 class StreamsSpec extends SparkSuite {
