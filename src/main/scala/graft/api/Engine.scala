@@ -111,6 +111,26 @@ class Engine(val spark: SparkSession, val root: String) {
       .limit(k)
   }
 
+  /** Two-stage retrieve-rerank under an IVF coding
+    * ([[Index.searchRerank]]): id-only coarse pass ranked by cell score,
+    * exact rerank of the `candidates` survivors; optional `probes`
+    * partition pruning. */
+  def searchRerank(
+      source: String,
+      column: String,
+      target: TargetVector,
+      coding: String,
+      candidates: Int,
+      idCol: String,
+      k: Int = 10,
+      probes: Option[Int] = None,
+      metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    Index.searchRerank(store, coding, source, column, target, k, candidates,
+      idCol, probes, metric, filter, select, tieBreak)
+
   /** Probed IVF+PQ search: codes-only ADC coarse pass over the probed
     * cells, exact rerank of `candidates` rows ([[Index.searchIvfPq]]). */
   def searchPq(

@@ -235,6 +235,34 @@ object Multimodal {
       "sizes_ok")
   }
 
+  /** Decode + featurize compressed images with the JDK codec: width,
+    * height, per-channel means — same partition-parallel shape as
+    * [[extractFeaturesPpm]]; undecodable payloads throw. */
+  def extractFeaturesCompressed(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val img = decodeImage(row.payload)
+        val n = img.getWidth.toLong * img.getHeight
+        var r = 0L; var g = 0L; var b = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(row.media_id, row.meta.modality, row.payload.length,
+          Array(img.getWidth.toFloat, img.getHeight.toFloat,
+            (r.toDouble / n).toFloat, (g.toDouble / n).toFloat,
+            (b.toDouble / n).toFloat))
+      }
+    }
+  }
+
   /** Real compressed resize: ImageIO decode → nearest-neighbor resample
     * on the pixel grid (deterministic, same policy as [[Ppm.resizeNearest]])
     * → re-encode in `format`. Narrow map, metadata follows the raster. */

@@ -146,6 +146,8 @@ object Index {
       idCol: String,
       probes: Option[Int] = None,
       metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
     val m = metric.getOrElse(coding.config.metric)
@@ -156,10 +158,14 @@ object Index {
       probes.getOrElse(coding.numCells.toInt))
     val scoreOfCell: Map[Long, Int] = cells.zipWithIndex.toMap // rank = score order
     val indexed = load(store, codingName, source, column)
-    val pruned =
+    val prunedAll =
       if (cells.length < coding.numCells)
         indexed.filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
       else indexed
+    // predicate applies to BOTH passes (pushed into the coarse scan, so
+    // the candidate budget is spent on qualifying rows — same contract
+    // as searchIvfPq)
+    val pruned = filter.fold(prunedAll)(prunedAll.filter)
     val coarseCols = (Seq(idCol, CodeCol) ++ tieBreak).distinct.map(col)
     val coarseIds = pruned
       .select(coarseCols: _*)
@@ -169,9 +175,12 @@ object Index {
       .orderBy(col("__cell_rank__").asc +: tieBreak.map(col(_).asc): _*)
       .limit(candidates)
       .select(idCol)
-    pruned.join(broadcast(coarseIds), Seq(idCol))
+    val reranked = pruned.join(broadcast(coarseIds), Seq(idCol))
       .withColumn(Search.DistCol,
         vector_distance(col(column), target.lit, m))
+    val projected = select.fold(reranked)(cols =>
+      reranked.select((cols :+ Search.DistCol).map(col): _*))
+    projected
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
       .limit(k)
   }

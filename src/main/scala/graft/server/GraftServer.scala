@@ -162,8 +162,17 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val tieBreak = opt(body, "tieBreak")
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     // candidates + idCol selects the IVF+PQ path (one index per source;
-    // multi-source unions the per-source exact-reranked top-k)
+    // multi-source unions the per-source exact-reranked top-k);
+    // "rerank": true instead routes to the two-stage retrieve-rerank over
+    // the plain IVF index (id-only coarse pass, no PQ codes needed)
+    val rerank = opt(body, "rerank").exists(_.asBoolean(false))
     val df = (opt(body, "candidates"), coding, probes) match {
+      case (Some(cand), Some(c), _) if rerank =>
+        if (sources.size != 1)
+          throw new IllegalArgumentException("rerank search takes exactly one source")
+        engine.searchRerank(sources.head, column, target, c, cand.asInt(),
+          require(body, "idCol").asText(), math.min(k, maxResponseRows),
+          probes, metric, filter, select, tieBreak)
       case (Some(cand), Some(c), Some(p)) =>
         engine.searchPqMulti(sources, column, target, c, p, cand.asInt(),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),

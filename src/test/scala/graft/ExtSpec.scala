@@ -218,6 +218,24 @@ class MultimodalSpec extends SparkSuite {
       val d = Multimodal.decodeImage(m.payload)
       assert(d.getWidth == 8 && d.getHeight == 8)
     }
+
+    // compressed featurize: dims exact, channel means equal the lossless
+    // pixel grid's means
+    var rs = 0L; var gs = 0L; var bs = 0L
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val p = img.getRGB(x, y)
+      rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+    }
+    val cfeats = Multimodal.extractFeaturesCompressed(media).collect()
+    assert(cfeats.length == 20)
+    cfeats.foreach { f =>
+      assert(f.n_bytes == png.length)
+      assert(f.features.length == 5)
+      assert(f.features(0) == 16f && f.features(1) == 16f)
+      assert(math.abs(f.features(2) - rs / 256.0) < 1e-4, s"r ${f.features(2)}")
+      assert(math.abs(f.features(3) - gs / 256.0) < 1e-4, s"g ${f.features(3)}")
+      assert(math.abs(f.features(4) - bs / 256.0) < 1e-4, s"b ${f.features(4)}")
+    }
   }
 }
 

@@ -98,6 +98,18 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => pqIds += n.get("id").asLong())
     assert(pqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"pq $pqIds")
 
+    // retrieve-rerank over the wire ("rerank": true routes to the plain
+    // IVF two-stage path — id-only coarse pass, exact rerank)
+    val (rc2, rBody2) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","candidates":40,"idCol":"id","rerank":true,
+          "k":5,"tieBreak":["id"],"select":["id"]}""")
+    assert(rc2 == 200, rBody2)
+    val rrIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(rBody2).get("rows").elements()
+      .forEachRemaining(n => rrIds += n.get("id").asLong())
+    assert(rrIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"rerank $rrIds")
+
     // the filter applies on the PQ path too (id 0 excluded)
     val (fc2, fBody2) = send("POST", "/search",
       """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],

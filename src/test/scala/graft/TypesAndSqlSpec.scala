@@ -506,6 +506,16 @@ class RerankSpec extends SparkSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(probed.nonEmpty && brute.count(probed.contains) >= 1)
 
+    // predicate + projection compose (filter spends the budget on
+    // qualifying rows; select keeps id + distance only)
+    val filtered = Index.searchRerank(engine.store, "c", "emb", "embedding",
+        t, k = 10, candidates = 500, idCol = "vec_id",
+        filter = Some($"vec_id" =!= 3L), select = Some(Seq("vec_id")),
+        tieBreak = Seq("vec_id"))
+      .collect()
+    assert(filtered.forall(_.getLong(0) != 3L))
+    assert(filtered.head.schema.fieldNames.toSeq == Seq("vec_id", "__DISTANCE__"))
+
     val planDf = Index.searchRerank(engine.store, "c", "emb", "embedding",
       t, k = 10, candidates = 50, idCol = "vec_id", tieBreak = Seq("vec_id"))
     val plan = planDf.queryExecution.executedPlan.toString
