@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators for LLM training-data pipelines: C4-style
+  * heuristic cleaning, fixed-window token chunking, sequential token
+  * packing, deterministic hash sampling, and PII redaction.
+  *
+  * Everything here is either a narrow map over codegen'd built-ins (clean,
+  * chunk, sample, redact — embarrassingly parallel at 100 TB) or one
+  * window over a per-shard sort (pack — sequential only within a shard,
+  * which is inherent to packing order). No UDFs, no driver round-trips.
+  */
+object Corpus {
+
+  // ——— C4-style heuristic cleaning ———
+
+  /** Line-level corpus cleaning in the style of C4 (Raffel et al., "Exploring
+    * the Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", 2020, §2.2): keep only lines that end in terminal
+    * punctuation and have at least `minWordsPerLine` words, and drop lines
+    * carrying boilerplate/code markers (`{`, "lorem ipsum",
+    * case-insensitive "javascript"). Emits the cleaned text plus
+    * kept/total line counts so callers can apply a doc-level minimum
+    * (C4 drops docs with < 3 surviving sentences).
+    *
+    * One narrow map — the line filter runs inside a higher-order
+    * `filter` on the split array, entirely in whole-stage codegen. */
+  def c4CleanLines(df: DataFrame, idCol: String, textCol: String,
+      minWordsPerLine: Int = 3): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val keep = (l: Column) => {
+      val t = trim(l)
+      size(split(t, " +")).geq(minWordsPerLine) &&
+        t.rlike("[.!?\"]$") &&
+        !t.contains("{") &&
+        !lower(t).contains("lorem ipsum") &&
+        !lower(t).contains("javascript")
+    }
+    val kept = filter(lines, keep)
+    df.select(col(idCol),
+      array_join(kept, "\n").as("clean_text"),
+      size(kept).cast("long").as("n_lines_kept"),
+      size(lines).cast("long").as("n_lines_total"))
+  }
+
+  // ——— fixed-window token chunking ———
+
+  /** Split each document into fixed-size token windows (`window` tokens,
+    * advancing by `stride` — overlapping when stride < window), the
+    * standard long-document → training-sequence step. Every document with
+    * at least one token emits ceil(max(n − window, 0) / stride) + 1
+    * chunks; the last chunk may be short. Narrow map + explode, no
+    * shuffle. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    // ceil((n - window) / stride) via integer arithmetic; 0 when n <= window
+    val extra = when(n > window,
+      (n - window + stride - 1).cast("int").divide(stride).cast("int"))
+      .otherwise(lit(0))
+    df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks__"), extra.as("__extra__"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), col("__extra__")),
+        i => array_join(slice(col("__toks__"), i * stride + 1, lit(window)), " "))))
+      .withColumnRenamed("pos", "chunk_id")
+      .withColumnRenamed("col", "chunk_text")
+      .withColumn("n_tokens",
+        size(split(col("chunk_text"), " ")).cast("long"))
+  }
+
+  // ——— sequential token packing ———
+
+  /** Assign each document a (bin, offset) in a token-budget packing of its
+    * shard: documents are concatenated in `orderCol` order within each
+    * `shardCol` group, and a document's bin is the training sequence its
+    * first token lands in (documents may straddle bins — exactly how
+    * concat-then-chunk LLM data packing behaves). One shuffle on the shard
+    * key + a per-shard ordered window; packing order is inherently
+    * sequential per shard, so sharding IS the scale path (a 100 TB corpus
+    * packs shard-parallel). */
+  def packByTokenBudget(df: DataFrame, shardCol: String, orderCol: String,
+      textCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol).asc)
+    val nTok = TextAnalysis.tokenCount(col(textCol)).cast("long")
+    df.withColumn("n_tokens", nTok)
+      .withColumn("__cum__", sum(col("n_tokens")).over(w))
+      .select(col(shardCol), col(orderCol), col("n_tokens"),
+        ((col("__cum__") - col("n_tokens")) / capacity).cast("long").as("bin"),
+        ((col("__cum__") - col("n_tokens")) % capacity).as("bin_offset"))
+  }
+
+  // ——— deterministic hash sampling ———
+
+  /** Uniform u in [0, 1) as a 60-bit integer derived from md5 of the key —
+    * stable across runs, machines, and engines (the DuckDB oracle spells
+    * the same bytes), unlike `rand(seed)` which is partition-layout
+    * dependent. */
+  private def hashU60(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private val U60Denom = math.pow(2, 60)
+
+  /** Deterministic uniform sample: keep rows whose key-hash falls under
+    * `rate`. Re-running (or resuming) a pipeline reproduces the exact
+    * sample; different `salt`s give independent samples. Narrow filter,
+    * pushed to the scan. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val threshold = (rate * U60Denom).toLong
+    df.filter(hashU60(concat(col(keyCol).cast("string"), lit(salt)))
+      < threshold)
+  }
+
+  /** Deterministic importance sampling: keep each row with probability
+    * `weightCol` (clamped to [0,1]) — the quality-weighted resampling step
+    * of a data-mix pipeline (e.g. weight = quality score). Same stable
+    * hash as [[hashSample]]. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: Column,
+      salt: String = ""): DataFrame =
+    df.filter(hashU60(concat(col(keyCol).cast("string"), lit(salt)))
+      .cast("double") / U60Denom
+      < greatest(lit(0.0), least(lit(1.0), weightCol)))
+
+  // ——— PII redaction ———
+
+  /** Regex PII scrubbing: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,
+    * international-format phone numbers (leading `+`) → `<PHONE>`.
+    * Patterns are RE2-compatible (no lookaround), so the DuckDB oracle
+    * runs the identical expressions. Order matters: emails first (their
+    * local parts can contain digits), then IPs, then phones. Narrow map,
+    * stays in codegen. */
+  def redactPii(df: DataFrame, textCol: String,
+      out: String = "redacted"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}"
+    df.withColumn(out,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ipv4, "<IP>"),
+        phone, "<PHONE>"))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.{CountMinAgg, Dedup, Multimodal, TextAnalysis}
+import graft.ext.{Corpus, CountMinAgg, Dedup, Multimodal, TextAnalysis}
 import graft.streaming.Streams
 
 class DedupSpec extends SparkSuite {
@@ -734,5 +734,93 @@ class WavSpec extends SparkSuite {
       val a = Wav.decode(m.payload)
       assert(a.sampleRateHz == 2000 && a.numFrames == 2000 && m.meta.sampleRateHz == 2000)
     }
+  }
+}
+
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("c4 clean keeps punctuated prose lines, drops short/code/boilerplate") {
+    val doc = Seq(
+      "This is a perfectly reasonable sentence that survives cleaning.",
+      "short one.",                                   // < 3 words? no: 2 words -> dropped
+      "No terminal punctuation so this line goes away",
+      "function f() { return 42; }",                  // code marker
+      "Lorem Ipsum dolor sit amet, consectetur.",     // boilerplate
+      "Enable JavaScript to view this page.",         // boilerplate
+      "Another good sentence ends with a question mark?",
+    ).mkString("\n")
+    val out = Corpus.c4CleanLines(Seq((1L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(out.getAs[Long]("n_lines_total") == 7)
+    assert(out.getAs[Long]("n_lines_kept") == 2)
+    val kept = out.getAs[String]("clean_text").split("\n")
+    assert(kept(0).startsWith("This is a perfectly") && kept(1).endsWith("?"))
+  }
+
+  test("token chunking covers every token with the declared overlap") {
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val chunks = Corpus.chunkTokens(Seq((1L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", window = 10, stride = 5)
+      .orderBy("chunk_id").collect()
+    // n=25, window=10, stride=5 -> extra = ceil(15/5) = 3 -> 4 chunks
+    assert(chunks.length == 4)
+    assert(chunks(0).getAs[String]("chunk_text").startsWith("w1 ")
+      && chunks(0).getAs[Long]("n_tokens") == 10)
+    assert(chunks(1).getAs[String]("chunk_text").startsWith("w6 "))
+    // last chunk starts at token 16 and is full (16..25)
+    assert(chunks(3).getAs[String]("chunk_text") ==
+      (16 to 25).map(i => s"w$i").mkString(" "))
+    // short doc: one (short) chunk
+    val one = Corpus.chunkTokens(Seq((2L, "a b c")).toDF("doc_id", "text"),
+      "doc_id", "text", window = 10, stride = 5).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("n_tokens") == 3)
+  }
+
+  test("token packing assigns sequential bins per shard") {
+    val df = Seq(
+      ("s1", 1L, "a b c d"),   // 4 tokens, cum 4  -> bin 0, offset 0
+      ("s1", 2L, "e f g"),     // 3 tokens, cum 7  -> bin 0, offset 4
+      ("s1", 3L, "h i j k l"), // 5 tokens, cum 12 -> bin 0 (starts at 7), offset 7
+      ("s1", 4L, "m n"),       // cum 14 -> starts at 12 -> bin 1, offset 2
+      ("s2", 1L, "x y z"),     // separate shard restarts at bin 0
+    ).toDF("source", "doc_id", "text")
+    val packed = Corpus.packByTokenBudget(df, "source", "doc_id", "text",
+      capacity = 10L).orderBy("source", "doc_id").collect()
+    assert(packed.map(r => (r.getAs[String]("source"), r.getAs[Long]("bin"),
+      r.getAs[Long]("bin_offset"))).toSeq == Seq(
+      ("s1", 0L, 0L), ("s1", 0L, 4L), ("s1", 0L, 7L), ("s1", 1L, 2L),
+      ("s2", 0L, 0L)))
+  }
+
+  test("hash sampling is deterministic, rate-accurate, and salt-independent") {
+    val df = spark.range(20000).toDF("id")
+    val a = Corpus.hashSample(df, "id", 0.1).count()
+    val b = Corpus.hashSample(df, "id", 0.1).count()
+    assert(a == b, "same sample on re-run")
+    assert(math.abs(a - 2000.0) < 200, s"rate off: $a")
+    val c = Corpus.hashSample(df, "id", 0.1, salt = "other").as[Long]
+      .collect().toSet
+    val aSet = Corpus.hashSample(df, "id", 0.1).as[Long].collect().toSet
+    assert(c != aSet, "different salt gives a different sample")
+    // weighted: weight 1 keeps everything, weight 0 keeps nothing
+    assert(Corpus.weightedSample(df, "id", lit(1.0)).count() == 20000)
+    assert(Corpus.weightedSample(df, "id", lit(0.0)).count() == 0)
+    val w = Corpus.weightedSample(df, "id", col("id").cast("double") / 20000)
+      .count()
+    assert(math.abs(w - 10000.0) < 500, s"mean-weight sample off: $w")
+  }
+
+  test("pii redaction replaces emails, ips, phones and nothing else") {
+    val df = Seq((1L,
+      "mail bob.smith+x@corp.example.org now, host 10.1.2.3 tel +44 123-4567-8901 done"
+    )).toDF("id", "text")
+    val out = Corpus.redactPii(df, "text").select("redacted")
+      .as[String].collect().head
+    assert(out == "mail <EMAIL> now, host <IP> tel <PHONE> done", out)
+    val clean = Seq((1L, "no pii here just words and 42 numbers"))
+      .toDF("id", "text")
+    assert(Corpus.redactPii(clean, "text").select("redacted")
+      .as[String].collect().head == "no pii here just words and 42 numbers")
   }
 }
