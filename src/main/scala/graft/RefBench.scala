@@ -90,11 +90,16 @@ object RefBench {
         k = 10, tieBreak = Seq("vec_id"))
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }
-    val (_, tPqCosBuild) = time {
-      engine.makePqIndex("c", "vectors", "vector",
-        graft.coder.PQ.PQConfig(numSubspaces = 16, codebookSize = 256,
-          metric = "cosine", sampleSize = 8192))
-    }
+    // best-of-2 (build is an idempotent overwrite): a single noisy-neighbor
+    // spike otherwise lands straight in the recorded artifact (BENCH_r03's
+    // 84s pq_index_build vs 4.4s on a quiet machine)
+    val tPqCosBuild = (1 to 2).map { _ =>
+      time {
+        engine.makePqIndex("c", "vectors", "vector",
+          graft.coder.PQ.PQConfig(numSubspaces = 16, codebookSize = 256,
+            metric = "cosine", sampleSize = 8192))
+      }._2
+    }.min
     val (cosIds, tPqCosSearch) = {
       val ts = (1 to 2).map { _ =>
         time {
@@ -110,11 +115,13 @@ object RefBench {
 
     // IVF+PQ at reference scale: 256-d float32 → 16-byte codes (64×);
     // coarse pass reads (id, code) over 16/64 probed cells only.
-    val (_, tPqBuild) = time {
-      engine.makePqIndex("c", "vectors", "vector",
-        graft.coder.PQ.PQConfig(numSubspaces = 16, codebookSize = 256,
-          metric = "l2", sampleSize = 8192))
-    }
+    val tPqBuild = (1 to 2).map { _ =>
+      time {
+        engine.makePqIndex("c", "vectors", "vector",
+          graft.coder.PQ.PQConfig(numSubspaces = 16, codebookSize = 256,
+            metric = "l2", sampleSize = 8192))
+      }._2
+    }.min
     val (pqIds, tPqSearch) = {
       val ts = (1 to 2).map { _ =>
         time {
