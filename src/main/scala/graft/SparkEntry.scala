@@ -288,6 +288,17 @@ object SparkEntry {
       Dedup.nearDupPairsCosineLsh(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30)
         .select("id_a", "id_b")),
+    // —— dedup: SemDeDup-style bucketed semantic dedup (oracle uses the
+    // deterministic sign-bucket variant; scale path passes IVF cells) ——
+    "dedup_semantic" -> ((s: SparkSession, dir: String) =>
+      Dedup.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+          maxDist = 0.30, bucket = Dedup.signBuckets("embedding", 4))
+        .select("vec_id")),
+    // —— text: winnowing k-gram fingerprints (MOSS; shared fp ⇔ shared
+    // ≥ k+window−1 char run) ——
+    "text_fingerprint" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.winnowFingerprints(tbl(s, dir, "documents"),
+        "doc_id", "text", k = 5, window = 4)),
     // —— two-stage retrieve-rerank; at a full candidate budget it equals
     // exact search, so it shares the brute-force oracle (bounded-budget
     // recall is ScalaTest + bench territory) ——
@@ -689,6 +700,31 @@ object SparkEntry {
         cosPair("CAST(a.embedding AS DOUBLE[])", "CAST(b.embedding AS DOUBLE[])") + " AS dist " +
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id" +
         ") WHERE dist <= 0.30"),
+    // mirrors Dedup.semanticDedup with the sign-bucket bucketing: drop a
+    // row iff its bucket holds a smaller-id row within cosine dist 0.30
+    // (DuckDB lists are 1-based where Spark arrays are 0-based)
+    "dedup_semantic" -> {
+      def bucket(c: String) = (0 until 4)
+        .map(i => s"CASE WHEN $c[${i + 1}] > 0 THEN ${1 << i} ELSE 0 END")
+        .mkString("(", " + ", ")")
+      "SELECT a.vec_id FROM embeddings a WHERE NOT EXISTS (" +
+        "SELECT 1 FROM embeddings b WHERE b.vec_id < a.vec_id " +
+        s"AND ${bucket("a.embedding")} = ${bucket("b.embedding")} " +
+        "AND " + cosPair("CAST(a.embedding AS DOUBLE[])",
+          "CAST(b.embedding AS DOUBLE[])") + " <= 0.30)"
+    },
+    // mirrors TextAnalysis.winnowFingerprints term-for-term: k = 5 char
+    // grams, polynomial hash base 257 mod 1e9+7, window-4 minima, distinct
+    "text_fingerprint" ->
+      ("WITH c AS (SELECT doc_id, string_split(lower(text), '') AS c FROM documents), " +
+        "h AS (SELECT doc_id, CASE WHEN len(c) < 5 THEN CAST([] AS BIGINT[]) ELSE " +
+        "list_transform(range(1, len(c) - 5 + 2), " +
+        "i -> list_reduce(list_transform(range(0, 5), j -> CAST(unicode(c[i + j]) AS BIGINT)), " +
+        "(a, b) -> (a * 257 + b) % 1000000007)) END AS h FROM c), " +
+        "w AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[]) ELSE " +
+        "list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1), " +
+        "t -> list_min(h[t : t + 3])) END AS wins FROM h) " +
+        "SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w"),
     "text_tokens_bpe" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok FROM documents"),

@@ -39,6 +39,15 @@ class Engine(val spark: SparkSession, val root: String) {
     select.fold(filtered)(cols => filtered.select(cols.map(col): _*))
   }
 
+  /** Export a table (or any query over it) back to the reference's
+    * native Arrow IPC stream format ([[graft.sources.ArrowIpc.writeStream]])
+    * — the reverse of the arrow [[importTable]] path; returns rows
+    * written. */
+  def exportArrow(name: String, path: String,
+      maxRecordsPerBatch: Int = 4096): Long =
+    graft.sources.ArrowIpc.writeStream(store.loadTable(name), path,
+      maxRecordsPerBatch)
+
   def listTables(): Seq[String] = store.listTables()
   def dropTable(name: String): Unit = store.dropTable(name)
 

@@ -259,6 +259,57 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  // ——— SemDeDup-style semantic dedup (bucketed embedding dedup) ———
+
+  /** Sign-bucket id: Σ 2^i·[vec[i] > 0] over the first `bits` components
+    * — a deterministic, SQL-expressible bucketing (the identity-hyperplane
+    * special case of SRP). The oracle query uses this; real corpora pass a
+    * coding's cell assignment to [[semanticDedup]] instead. */
+  def signBuckets(vecCol: String, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    expr((0 until bits)
+      .map(i => s"CASE WHEN $vecCol[$i] > 0 THEN ${1 << i} ELSE 0 END")
+      .mkString("CAST((", " + ", ")  AS BIGINT)"))
+  }
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): drop every
+    * row whose bucket holds an EARLIER (smaller-id) row within cosine
+    * `maxDist`; keep the rest. Candidate pairs are generated only inside
+    * a bucket, so the quadratic stage is per-bucket-bounded — at 100 TB
+    * pass the IVF cell id of a trained coding as `bucket` (k-means
+    * clusters — the paper's exact setting) and the pair join shuffles
+    * hash-partitioned (bucket, id, vec) rows with ~cellRows² work per
+    * cell, never an all-pairs stage. Buckets larger than `maxBucketRows`
+    * fail loudly up front (correctness here needs every bucket — unlike
+    * the LSH path, dropping one isn't a recall trade): re-bucket with
+    * more cells/bits instead.
+    *
+    * Returns the surviving rows with their original schema.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String, maxDist: Double,
+      bucket: Column, maxBucketRows: Long = 8192L): DataFrame = {
+    val withB = df.withColumn("__SB__", bucket)
+    val vecs = withB.select(col("__SB__"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val biggest = vecs.groupBy("__SB__").count()
+      .agg(max("count")).collect()(0)
+    if (!biggest.isNullAt(0))
+      require(biggest.getLong(0) <= maxBucketRows,
+        s"semanticDedup: largest bucket has ${biggest.getLong(0)} rows " +
+          s"(> maxBucketRows=$maxBucketRows); per-bucket pair generation " +
+          "is quadratic — re-bucket with more cells/bits, or raise the " +
+          "cap explicitly.")
+    val dropped = vecs.select(col("__SB__"), col("id").as("id_a"), col("vec").as("vec_a"))
+      .join(vecs.select(col("__SB__"), col("id").as("id_b"), col("vec").as("vec_b")),
+        Seq("__SB__"))
+      .where(col("id_b") < col("id_a") &&
+        vector_distance(col("vec_a"), col("vec_b"), "cosine") <= maxDist)
+      .select(col("id_a").as("__drop__")).distinct()
+    withB.join(dropped, col(idCol) === col("__drop__"), "left_anti")
+      .drop("__SB__")
+  }
+
   /** Scale path: multi-table random-hyperplane (SRP) LSH. `numTables`
     * independent sign-bit signatures of `numPlanes` bits each; a pair is a
     * candidate if it collides in ANY table (prob 1-(1-p^b)^L, p = 1-θ/π),

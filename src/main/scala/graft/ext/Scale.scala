@@ -59,4 +59,66 @@ object Scale {
   def coPartition(a: DataFrame, b: DataFrame, key: String, partitions: Int)
       : (DataFrame, DataFrame) =
     (a.repartition(partitions, col(key)), b.repartition(partitions, col(key)))
+
+  // ——— shuffled batch iteration (reference S9, `io/batch/batch.py:15-46`) ———
+
+  /** Batch-id column added by [[shuffledBatches]]. */
+  val BatchCol = "__BATCH__"
+
+  /** Assign every row to one of ⌈n/size⌉ pseudo-random batches,
+    * deterministically from `seed` — the distributed re-expression of the
+    * reference's shuffled fixed-size batch iterator (S9,
+    * `io/batch/batch.py:15-46`: torch DataLoader permutation + chunks).
+    * A permutation's exact batch sizes need a global rank (a total sort —
+    * affordable on the reference's single mmap'd node, anti-scale here);
+    * hash-sharding gives size ± O(√size) batches in ONE narrow pass, the
+    * same trade distributed training makes when sharding an epoch.
+    * Re-seed per epoch (`seed + epoch`) for fresh shuffles. Duplicate
+    * rows hash to the same batch (content-addressed identity). */
+  def shuffledBatches(df: DataFrame, size: Int, seed: Long): DataFrame = {
+    val (out, _) = shuffledBatchesWithCount(df, size, seed)
+    out
+  }
+
+  private def shuffledBatchesWithCount(df: DataFrame, size: Int,
+      seed: Long): (DataFrame, Long) = {
+    require(size >= 1, s"batch size must be >= 1, got $size")
+    val n = df.count()
+    val numBatches = math.max(1L, (n + size - 1) / size)
+    (df.withColumn(BatchCol,
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col) :+ lit(seed): _*),
+        lit(numBatches))),
+      numBatches)
+  }
+
+  /** Apply `f` once per shuffled batch (the reference's `imap` with a
+    * per-batch `func`). Each batch is delivered WHOLE to one invocation:
+    * rows are hash-partitioned by batch id (a batch never splits across
+    * partitions) and sorted within partitions so co-resident batches
+    * arrive as consecutive runs. The batch is materialized as a Seq —
+    * bounded by construction at ~`size` rows, which is the entire point
+    * of batching. */
+  def imapBatches[T: org.apache.spark.sql.Encoder](
+      df: DataFrame, size: Int, seed: Long)(
+      f: (Long, Seq[org.apache.spark.sql.Row]) => IterableOnce[T])
+      : org.apache.spark.sql.Dataset[T] = {
+    val (batched, numBatches) = shuffledBatchesWithCount(df, size, seed)
+    require(numBatches <= Int.MaxValue, s"$numBatches batches exceed Int range")
+    batched
+      .repartition(numBatches.toInt, col(BatchCol))
+      .sortWithinPartitions(BatchCol)
+      .mapPartitions { rows =>
+        new Iterator[(Long, Seq[org.apache.spark.sql.Row])] {
+          private val buf = rows.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Long, Seq[org.apache.spark.sql.Row]) = {
+            val idx = buf.head.fieldIndex(BatchCol)
+            val id = buf.head.getLong(idx)
+            val batch = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+            while (buf.hasNext && buf.head.getLong(idx) == id) batch += buf.next()
+            (id, batch.toSeq)
+          }
+        }.flatMap { case (id, batch) => f(id, batch).iterator }
+      }
+  }
 }

@@ -209,6 +209,53 @@ object TextAnalysis {
     }
   }
 
+  /** Winnowing k-gram fingerprints (Schleimer et al., SIGMOD 2003 — the
+    * MOSS document-fingerprinting algorithm): a 63-bit polynomial hash of
+    * every k-character gram of the lower-cased text, then the minimum of
+    * each `window`-hash sliding window, deduplicated. Two documents
+    * sharing a run of ≥ k+window−1 characters are guaranteed to share a
+    * fingerprint, so partial overlap (quotes, boilerplate, near-copies)
+    * is detectable by a plain equi-join on `fp` — a hash-partitioned
+    * shuffle of (doc_id, fp) longs, never of the documents.
+    *
+    * Pure codegen'd HOFs over a per-row char array — no UDF; each gram's
+    * hash is recomputed in O(k) rather than rolled in O(1), the price of
+    * staying inside whole-stage codegen (k is small; the map is narrow
+    * and embarrassingly parallel). The arithmetic is mirrored
+    * term-for-term by the DuckDB oracle (`text_fingerprint`). Characters
+    * are UTF-16 code units on the Spark side and code points on the
+    * oracle side — identical for the BMP text this targets.
+    *
+    * Returns (`idCol`, fp: bigint), one row per distinct fingerprint;
+    * documents shorter than k characters yield no rows.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, window: Int = 4): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val M = 1000000007L
+    val B = 257L
+    val emptyLongs = typedLit(Seq.empty[Long])
+    df
+      .select(col(idCol),
+        // char array once per row: element_at is O(1), while substr-ing
+        // the string per (i, j) would rescan from the start each time
+        filter(split(lower(col(textCol)), ""), c => c =!= "").as("__c__"))
+      .withColumn("__h__",
+        when(size(col("__c__")) < k, emptyLongs)
+          .otherwise(transform(
+            sequence(lit(1), size(col("__c__")) - (k - 1)),
+            i => aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
+              (acc, j) =>
+                (acc * B + ascii(element_at(col("__c__"), i + j))) % M))))
+      .withColumn("__w__",
+        when(size(col("__h__")) === 0, emptyLongs)
+          .otherwise(transform(
+            sequence(lit(1), greatest(size(col("__h__")) - (window - 1), lit(1))),
+            t => array_min(slice(col("__h__"), t, lit(window))))))
+      .select(col(idCol), explode(array_distinct(col("__w__"))).as("fp"))
+  }
+
   /** One-pass text-stats table: doc id, char/token counts, fingerprint,
     * language, quality. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =

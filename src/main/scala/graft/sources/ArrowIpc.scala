@@ -109,4 +109,21 @@ object ArrowIpc {
       spark.createDataFrame(rows.asJava, schema)
     } finally alloc.close()
   }
+
+  /** Write a DataFrame as an Arrow IPC **stream** file — the reverse
+    * migration step (results back into the reference's native format,
+    * `arrow.py:24-34` shape: one stream file, batched record batches).
+    * Uses Spark's own Arrow serialization (see
+    * `GraftShims.writeArrowStream`), so the produced file is what any
+    * Arrow implementation (pyarrow included) reads back bit-for-bit.
+    * Driver-side like the import, for the same no-footer/unsplittable
+    * reason; batches bound memory. Returns the row count written. */
+  def writeStream(df: DataFrame, path: String,
+      maxRecordsPerBatch: Int = 4096): Long = {
+    val f = new File(path)
+    Option(f.getParentFile).foreach(_.mkdirs())
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+    try org.apache.spark.sql.GraftShims.writeArrowStream(df, out, maxRecordsPerBatch)
+    finally out.close()
+  }
 }

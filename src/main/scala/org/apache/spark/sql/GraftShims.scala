@@ -12,4 +12,43 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Serialize a DataFrame to an Arrow IPC **stream** on `out` using
+    * Spark's own Arrow writers (`execution.arrow.ArrowWriter` — the
+    * exact serialization `toArrow`/pandas-interchange uses, so types and
+    * nulls follow Spark's canonical Arrow mapping instead of a parallel
+    * re-implementation). Driver-side by design: rows arrive via
+    * `toLocalIterator` (one partition resident at a time) and leave in
+    * `maxRecordsPerBatch`-row record batches. */
+  def writeArrowStream(df: Dataset[Row], out: java.io.OutputStream,
+      maxRecordsPerBatch: Int): Long = {
+    import scala.jdk.CollectionConverters._
+    require(maxRecordsPerBatch > 0, "maxRecordsPerBatch must be positive")
+    val schema = df.schema
+    val timeZone = df.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val arrowSchema = util.ArrowUtils.toArrowSchema(
+      schema, timeZone, errorOnDuplicatedFieldNames = true, largeVarTypes = false)
+    val alloc = util.ArrowUtils.rootAllocator
+      .newChildAllocator("graft-arrow-export", 0, Long.MaxValue)
+    val root = org.apache.arrow.vector.VectorSchemaRoot.create(arrowSchema, alloc)
+    try {
+      val writer = execution.arrow.ArrowWriter.create(root)
+      val stream = new org.apache.arrow.vector.ipc.ArrowStreamWriter(
+        root, null, java.nio.channels.Channels.newChannel(out))
+      val toInternal = catalyst.encoders.ExpressionEncoder(schema).createSerializer()
+      stream.start()
+      var inBatch = 0
+      var total = 0L
+      df.toLocalIterator().asScala.foreach { row =>
+        writer.write(toInternal(row))
+        inBatch += 1; total += 1
+        if (inBatch == maxRecordsPerBatch) {
+          writer.finish(); stream.writeBatch(); writer.reset(); inBatch = 0
+        }
+      }
+      if (inBatch > 0) { writer.finish(); stream.writeBatch(); writer.reset() }
+      stream.end()
+      total
+    } finally { root.close(); alloc.close() }
+  }
 }

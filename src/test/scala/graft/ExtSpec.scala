@@ -79,6 +79,45 @@ class DedupSpec extends SparkSuite {
       }
     }
   }
+
+  test("semantic dedup drops later near-dups within a bucket only") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),    // bucket 15, keeper
+      (2L, Seq(1.1f, 1.05f, 0.95f, 1.0f)),  // bucket 15, ~dup of 1 → dropped
+      (3L, Seq(-1.0f, 1.0f, 1.0f, 1.0f)),   // bucket 14: dist to 1 is 0.25
+                                            // (≤ 0.30) but bucket differs → kept
+      (4L, Seq(1.0f, 2.0f, -3.0f, 4.0f)),   // bucket 11, unrelated → kept
+    ).toDF("vec_id", "vec")
+    val kept = graft.ext.Dedup.semanticDedup(vecs, "vec_id", "vec",
+        maxDist = 0.30, bucket = graft.ext.Dedup.signBuckets("vec", 4))
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L)), kept.mkString(","))
+    // schema passes through untouched
+    val full = graft.ext.Dedup.semanticDedup(vecs, "vec_id", "vec",
+      maxDist = 0.30, bucket = graft.ext.Dedup.signBuckets("vec", 4))
+    assert(full.columns.toSeq == Seq("vec_id", "vec"))
+    // oversized buckets refuse loudly (correctness needs every bucket)
+    val err = intercept[IllegalArgumentException](
+      graft.ext.Dedup.semanticDedup(vecs, "vec_id", "vec", maxDist = 0.30,
+        bucket = graft.ext.Dedup.signBuckets("vec", 4), maxBucketRows = 1L))
+    assert(err.getMessage.contains("re-bucket"), err.getMessage)
+  }
+
+  test("semantic dedup with IVF cells matches sign-bucket semantics shape") {
+    // the scale path: bucket = any deterministic Column; a constant bucket
+    // degenerates to global exact cosine dedup — cross-check against the
+    // all-pairs baseline on real embeddings
+    val emb = sf("sf0.001", "embeddings")
+    val pairs = Dedup.nearDupPairsCosineExact(emb, "vec_id", "embedding", 0.30)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // expected survivors: drop b of every (a < b) pair
+    val dropped = pairs.map(_._2).toSet
+    val want = emb.select("vec_id").as[Long].collect().filterNot(dropped).sorted
+    val got = graft.ext.Dedup.semanticDedup(emb, "vec_id", "embedding",
+        maxDist = 0.30, bucket = org.apache.spark.sql.functions.lit(0L))
+      .select("vec_id").as[Long].collect().sorted
+    assert(got.sameElements(want))
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {
@@ -98,6 +137,45 @@ class TextAnalysisSpec extends SparkSuite {
     got.foreach { r =>
       assert(r.getString(1) == r.getString(2), s"doc ${r.getLong(0)}: ${r.getString(1)} != ${r.getString(2)}")
     }
+  }
+
+  test("winnowing fingerprints match an independent reimplementation") {
+    // plain-Scala winnowing, written without looking at the Column code:
+    // hash every k-gram (base-257 poly mod 1e9+7), min per w-window, dedup
+    def winnow(text: String, k: Int, w: Int): Set[Long] = {
+      val c = text.toLowerCase.toCharArray
+      if (c.length < k) Set.empty
+      else {
+        val M = 1000000007L
+        val h = (0 to c.length - k).map { i =>
+          var acc = 0L
+          (0 until k).foreach(j => acc = (acc * 257 + c(i + j)) % M)
+          acc
+        }
+        val nw = math.max(h.length - w + 1, 1)
+        (0 until nw).map(t => h.slice(t, t + w).min).toSet
+      }
+    }
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog"),
+      (2L, "a different text with the quick brown fox inside it"),
+      (3L, "the QUICK brown fox jumps over the lazy dog"), // case-dup of 1
+      (4L, "tiny"),                                        // < k chars: no fps
+      (5L, "zzzz completely unrelated content here zzzz"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 5, window = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val want = winnow(text, 5, 4)
+      assert(got.getOrElse(id, Set.empty[Long]) == want, s"doc $id")
+    }
+    assert(!got.contains(4L), "sub-k docs yield no fingerprints")
+    assert(got(1L) == got(3L), "fingerprints are case-insensitive")
+    // winnowing guarantee: a shared run of ≥ k+w−1 chars shares a fp
+    assert(got(1L).intersect(got(2L)).nonEmpty,
+      "docs sharing 'the quick brown fox' must share a fingerprint")
+    assert(got(1L).intersect(got(5L)).isEmpty,
+      "unrelated docs should not collide at this scale")
   }
 
   test("token count edge cases") {
@@ -389,6 +467,39 @@ class ScaleSpec extends SparkSuite {
     val two = graft.ext.Scale.twoPhaseCount(li, "l_suppkey", 8)
       .as[(Long, Long)].collect().toMap
     assert(two == plain)
+  }
+
+  test("shuffled batches partition the table deterministically by seed") {
+    import graft.ext.Scale
+    val df = spark.range(500L).toDF("id")
+    val b1 = Scale.shuffledBatches(df, size = 50, seed = 7L)
+      .as[(Long, Long)].collect().toMap
+    // every row lands in exactly one batch within [0, ceil(500/50))
+    assert(b1.size == 500 && b1.values.forall(b => b >= 0 && b < 10))
+    // sizes concentrate around `size` (hash sharding: size ± O(sqrt size))
+    val sizes = b1.values.groupBy(identity).values.map(_.size)
+    assert(sizes.sum == 500 && sizes.forall(s => s > 20 && s < 100), sizes)
+    // same seed reproduces the exact assignment; a different seed moves rows
+    val b1again = Scale.shuffledBatches(df, size = 50, seed = 7L)
+      .as[(Long, Long)].collect().toMap
+    assert(b1again == b1)
+    val b2 = Scale.shuffledBatches(df, size = 50, seed = 8L)
+      .as[(Long, Long)].collect().toMap
+    assert(b2 != b1)
+  }
+
+  test("imapBatches delivers every batch whole, exactly once") {
+    import graft.ext.Scale
+    val df = spark.range(500L).toDF("id")
+    val perCall = Scale.imapBatches[(Long, Long, Boolean)](df, size = 50, seed = 7L) {
+      (batchId, rows) =>
+        val idx = rows.head.fieldIndex(Scale.BatchCol)
+        Seq((batchId, rows.size.toLong, rows.forall(_.getLong(idx) == batchId)))
+    }.collect()
+    assert(perCall.map(_._1).distinct.length == perCall.length,
+      "a batch must reach exactly one invocation")
+    assert(perCall.map(_._2).sum == 500L)
+    assert(perCall.forall(_._3), "an invocation must only see its own batch")
   }
 }
 

@@ -390,4 +390,46 @@ class ImportSpec extends SparkSuite {
     }
     engine.remove()
   }
+
+  test("arrow ipc stream export round-trips back through the importer") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = true),
+      StructField("flag", BooleanType, nullable = true),
+      StructField("payload", BinaryType, nullable = true),
+      StructField("emb", ArrayType(FloatType, containsNull = true), nullable = true)))
+    val rows = Seq(
+      Row(1L, "alpha", 0.5, true, Array[Byte](1, 2), Seq(1.0f, 2.0f)),
+      Row(2L, null, null, null, null, null),
+      Row(3L, "gamma", -2.25, false, Array.emptyByteArray, Seq(0.0f, -1.5f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val rootDir = Files.createTempDirectory("graft-arrow-export").toString
+    val engine = new Engine(spark, rootDir)
+    engine.makeTable("t", df)
+    val file = Files.createTempDirectory("graft-arrow-out").resolve("t.arrow")
+    // batch size 2 forces multiple record batches over 3 rows
+    assert(engine.exportArrow("t", file.toString, maxRecordsPerBatch = 2) == 3L)
+    val back = graft.sources.ArrowIpc.readStream(spark, file.toString)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      schema.map(f => (f.name, f.dataType)))
+    val got = back.orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    assert(got.length == 3)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.isNullAt(1) == w.isNullAt(1))
+      if (!g.isNullAt(1)) assert(g.getString(1) == w.getString(1))
+      if (!g.isNullAt(2)) assert(g.getDouble(2) == w.getDouble(2))
+      if (!g.isNullAt(3)) assert(g.getBoolean(3) == w.getBoolean(3))
+      if (!g.isNullAt(4))
+        assert(java.util.Arrays.equals(g.getAs[Array[Byte]](4), w.getAs[Array[Byte]](4)))
+      if (!g.isNullAt(5)) assert(g.getSeq[Float](5) == w.getSeq[Float](5))
+    }
+    engine.remove()
+  }
 }
