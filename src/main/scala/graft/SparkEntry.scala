@@ -299,6 +299,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.winnowFingerprints(tbl(s, dir, "documents"),
         "doc_id", "text", k = 5, window = 4)),
+    // —— text: MOSS overlap pairs (≥ minShared shared fingerprints) ——
+    "text_overlap" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.overlapPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        k = 5, window = 4, minShared = 20, maxDocFreq = 100L)),
     // —— two-stage retrieve-rerank; at a full candidate budget it equals
     // exact search, so it shares the brute-force oracle (bounded-budget
     // recall is ScalaTest + bench territory) ——
@@ -725,6 +729,23 @@ object SparkEntry {
         "list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1), " +
         "t -> list_min(h[t : t + 3])) END AS wins FROM h) " +
         "SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w"),
+    // mirrors TextAnalysis.overlapPairs (doc-frequency cap 100, ≥ 20
+    // shared fps) over the same fingerprint CTE as text_fingerprint
+    "text_overlap" ->
+      ("WITH c AS (SELECT doc_id, string_split(lower(text), '') AS c FROM documents), " +
+        "h AS (SELECT doc_id, CASE WHEN len(c) < 5 THEN CAST([] AS BIGINT[]) ELSE " +
+        "list_transform(range(1, len(c) - 5 + 2), " +
+        "i -> list_reduce(list_transform(range(0, 5), j -> CAST(unicode(c[i + j]) AS BIGINT)), " +
+        "(a, b) -> (a * 257 + b) % 1000000007)) END AS h FROM c), " +
+        "w AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[]) ELSE " +
+        "list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1), " +
+        "t -> list_min(h[t : t + 3])) END AS wins FROM h), " +
+        "fps AS (SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w), " +
+        "rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN " +
+        "(SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100) r USING (fp)) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared " +
+        "FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 20"),
     "text_tokens_bpe" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok FROM documents"),

@@ -66,6 +66,21 @@ class Engine(val spark: SparkSession, val root: String) {
   def listCodings(): Seq[String] = store.listCodings()
   def dropIndex(name: String): Unit = store.dropCoding(name)
 
+  /** Semantic dedup of a stored table at scale ([[graft.ext.Dedup
+    * .semanticDedup]] with buckets = the IVF cells of a trained coding —
+    * the SemDeDup paper's exact setting: k-means-cluster the embeddings,
+    * pairwise-compare only within clusters). One cell-assignment map over
+    * the corpus, then a per-cell-bounded pair join; never an all-pairs
+    * stage. Survivor rule: a row is dropped when its cell holds a
+    * smaller-`idCol` row within cosine `maxDist`. */
+  def semanticDedup(source: String, column: String, coding: String,
+      maxDist: Double, idCol: String,
+      maxBucketRows: Long = 8192L): DataFrame = {
+    val c = store.loadCoding(coding)
+    graft.ext.Dedup.semanticDedup(store.loadTable(source), idCol, column,
+      maxDist, bucket = Index.assignExpr(col(column), c), maxBucketRows)
+  }
+
   /** Build the IVF+PQ index under an existing coding — the memory-
     * compressed search path ([[Index.buildPq]]). `residual = false`
     * explicitly opts into the flat variant (required above the residual

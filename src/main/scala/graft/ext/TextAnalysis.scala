@@ -256,6 +256,32 @@ object TextAnalysis {
       .select(col(idCol), explode(array_distinct(col("__w__"))).as("fp"))
   }
 
+  /** Document-overlap candidate pairs from shared winnowing
+    * fingerprints: pairs of documents sharing ≥ `minShared` fingerprints
+    * ([[winnowFingerprints]]), i.e. ≥ minShared distinct selected
+    * k-gram regions in common — the MOSS "detect partial copies across
+    * a corpus" step. Plan shape mirrors the LSH dedup family:
+    * fingerprint (narrow map) → document-frequency filter → fp-bucket
+    * self-join → pair count; only (doc_id, fp) longs ride the shuffles.
+    * Fingerprints appearing in more than `maxDocFreq` documents are
+    * dropped up front — corpus-wide boilerplate grams would otherwise
+    * form quadratic buckets (and carry no overlap signal; same reasoning
+    * as a stopword list), so per-fp join work is bounded at
+    * maxDocFreq². Returns (id_a, id_b, shared), id_a < id_b. */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, window: Int = 4, minShared: Int = 10,
+      maxDocFreq: Long = 1000L): DataFrame = {
+    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+    val rare = fps.join(
+      fps.groupBy("fp").count().filter(col("count") <= maxDocFreq).select("fp"),
+      Seq("fp"))
+    rare.select(col("fp"), col(idCol).as("id_a"))
+      .join(rare.select(col("fp"), col(idCol).as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** One-pass text-stats table: doc id, char/token counts, fingerprint,
     * language, quality. */
   def analyze(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -103,6 +103,40 @@ class DedupSpec extends SparkSuite {
     assert(err.getMessage.contains("re-bucket"), err.getMessage)
   }
 
+  test("engine semantic dedup over IVF cells honors the within-cell contract") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-semdedup").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("emb", sf("sf0.001", "embeddings"))
+    engine.makeCoder("c", "emb", "embedding",
+      graft.coder.CoderConfig(metric = "cosine", codebookSize = 4,
+        numCodebooks = 2, batchSize = 256, numEpochs = 2))
+    val survivors = engine.semanticDedup("emb", "embedding", "c",
+      maxDist = 0.30, idCol = "vec_id")
+    // deterministic: a second run returns the identical survivor set
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    val ids2 = engine.semanticDedup("emb", "embedding", "c",
+      maxDist = 0.30, idCol = "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(ids == ids2)
+    // contract: no surviving pair within one cell is closer than maxDist
+    val coding = engine.store.loadCoding("c")
+    val cells = survivors.withColumn("__cell__",
+      graft.index.Index.assignExpr(col("embedding"), coding))
+    val close = cells.as("a").join(cells.as("b"),
+        col("a.__cell__") === col("b.__cell__") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("a.embedding"), col("b.embedding"), "cosine"))
+      .filter(col("d") <= 0.30).count()
+    assert(close == 0L, "two same-cell survivors within maxDist remain")
+    // bucketed drops are a subset of global (constant-bucket) drops
+    val globalIds = graft.ext.Dedup.semanticDedup(sf("sf0.001", "embeddings"),
+        "vec_id", "embedding", maxDist = 0.30, bucket = lit(0L))
+      .select("vec_id").as[Long].collect().toSet
+    assert(globalIds.subsetOf(ids))
+    engine.remove()
+  }
+
   test("semantic dedup with IVF cells matches sign-bucket semantics shape") {
     // the scale path: bucket = any deterministic Column; a constant bucket
     // degenerates to global exact cosine dedup — cross-check against the
@@ -176,6 +210,23 @@ class TextAnalysisSpec extends SparkSuite {
       "docs sharing 'the quick brown fox' must share a fingerprint")
     assert(got(1L).intersect(got(5L)).isEmpty,
       "unrelated docs should not collide at this scale")
+  }
+
+  test("overlap pairs find shared runs and ignore corpus-wide boilerplate") {
+    val boiler = "terms of service apply to all documents in this corpus. "
+    val shared = "the five boxing wizards jump quickly over the frozen river tonight"
+    val docs = Seq(
+      (1L, boiler + shared + " alpha ending one"),
+      (2L, boiler + "totally different middle body here " + shared),
+      (3L, boiler + "nothing in common with the others at all, kumquat xylophone"),
+      (4L, boiler + "fourth doc, also unique: quartz vortex glyph jousting"),
+    ).toDF("doc_id", "text")
+    // maxDocFreq 2 drops the boilerplate fps (df = 4) up front
+    val pairs = TextAnalysis.overlapPairs(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 5, maxDocFreq = 2L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the docs sharing the long run must pair: $pairs")
   }
 
   test("token count edge cases") {
