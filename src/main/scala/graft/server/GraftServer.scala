@@ -72,6 +72,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("GET", "tables" :: Nil) =>
           ok(ex, mapper.writeValueAsString(Map("tables" -> engine.listTables().asJava).asJava))
         case ("PUT", "tables" :: name :: Nil)    => putTable(ex, name)
+        case ("GET", "tables" :: name :: "arrow" :: Nil) => getTableArrow(ex, name)
         case ("GET", "tables" :: name :: Nil)    => getTable(ex, name)
         case ("DELETE", "tables" :: name :: Nil) =>
           engine.dropTable(name); ok(ex, """{"dropped":true}""")
@@ -116,6 +117,25 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val limit = params.get("limit").map(_.toInt).getOrElse(maxResponseRows)
     val df = engine.readTable(Seq(name), select, filter)
     okRows(ex, df.limit(math.min(limit, maxResponseRows)))
+  }
+
+  /** Table as an Arrow IPC stream over the wire — the reference's native
+    * wire format (`flight.py:46-60` streams record batches); a migrating
+    * client gets its data back byte-compatible with what it put in.
+    * Chunked response, batch-bounded memory; select/filter/limit as in
+    * the JSON scan route, but no row cap by default (export is the
+    * whole-table migration verb). */
+  private def getTableArrow(ex: HttpExchange, name: String): Unit = {
+    val params = queryParams(ex)
+    val select = params.get("select").map(_.split(",").toSeq)
+    val filter = params.get("filter").map(expr)
+    val base = engine.readTable(Seq(name), select, filter)
+    val df = params.get("limit").map(n => base.limit(n.toInt)).getOrElse(base)
+    ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
+    ex.sendResponseHeaders(200, 0) // 0 = chunked: length unknown up front
+    val out = ex.getResponseBody
+    try org.apache.spark.sql.GraftShims.writeArrowStream(df, out, 4096)
+    finally out.close()
   }
 
   /** make-coder + sync-index in one verb (the reference's make-index

@@ -615,6 +615,44 @@ class LayoutSpec extends SparkSuite {
     }
     store.remove()
   }
+
+  test("zorder clusters BOTH dims where range clustering leaves one wide") {
+    val root = java.nio.file.Files.createTempDirectory("zorder").toString
+    val store = new graft.store.Store(spark, root)
+    // two independent uniform dims on a 256x256 grid
+    val grid = spark.range(65536L).toDF("id")
+      .withColumn("x", col("id") % 256)
+      .withColumn("y", floor(col("id") / 256))
+    def avgSpan(name: String, c: String): Double = {
+      val fs = new java.io.File(s"$root/sources/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val spans = fs.map { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col(c)), max(col(c))).collect()(0)
+        (d.getLong(1) - d.getLong(0)).toDouble / 255.0
+      }
+      spans.sum / spans.length
+    }
+    store.createTable("g_range", grid.repartition(8))
+    store.optimizeLayout("g_range", "x", 16)
+    store.createTable("g_z", grid.repartition(8))
+    store.zorderLayout("g_z", Seq("x", "y"), 16)
+    // range layout on x: x-spans tight, y-spans the full domain
+    assert(avgSpan("g_range", "x") < 0.15, s"range x ${avgSpan("g_range", "x")}")
+    assert(avgSpan("g_range", "y") > 0.9, s"range y ${avgSpan("g_range", "y")}")
+    // z-order: BOTH dims bounded (16 files ~ 4x4 hypercubes => ~25-35%)
+    assert(avgSpan("g_z", "x") < 0.6, s"zorder x ${avgSpan("g_z", "x")}")
+    assert(avgSpan("g_z", "y") < 0.6, s"zorder y ${avgSpan("g_z", "y")}")
+    // file-skipping payoff: a point-ish predicate on y touches few files
+    val touched = new java.io.File(s"$root/sources/g_z").listFiles()
+      .filter(_.getName.endsWith(".parquet")).count { f =>
+        val d = spark.read.parquet(f.getAbsolutePath)
+          .agg(min(col("y")), max(col("y"))).collect()(0)
+        d.getLong(0) <= 10L && 10L <= d.getLong(1)
+      }
+    assert(touched <= 8, s"y=10 touches $touched of 16 files")
+    store.remove()
+  }
 }
 
 class StreamStreamJoinSpec extends SparkSuite {

@@ -54,6 +54,22 @@ class ServerSpec extends SparkSuite {
     assert(sc == 200, sBody)
     assert(mapper.readTree(sBody).get("rows").size() == 3)
 
+    // arrow export over the wire: byte-compatible with the reference's
+    // native format — parse the response with the Arrow reader
+    val areq = HttpRequest.newBuilder(
+      URI.create(s"$base/tables/wire_vecs/arrow?filter=id%20%3C%2010")).GET().build()
+    val aresp = client.send(areq, HttpResponse.BodyHandlers.ofByteArray())
+    assert(aresp.statusCode() == 200)
+    assert(aresp.headers().firstValue("Content-Type").orElse("")
+      == "application/vnd.apache.arrow.stream")
+    val arrowFile = Files.createTempFile("wire-export", ".arrow")
+    Files.write(arrowFile, aresp.body())
+    val exported = graft.sources.ArrowIpc.readStream(spark, arrowFile.toString)
+    assert(exported.count() == 10)
+    assert(exported.schema.fieldNames.toSeq == Seq("id", "vec"))
+    assert(exported.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 10L))
+
     // brute search requires an explicit metric
     val (mc, mBody) = send("POST", "/search",
       """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],"k":5}""")
