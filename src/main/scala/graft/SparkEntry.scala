@@ -102,6 +102,13 @@ object SparkEntry {
     e
   }
 
+  private def withSqIndex(s: SparkSession, dir: String): Engine = {
+    val e = withIndex(s, dir)
+    if (!graft.index.Index.sqIndexExists(e.store, "c_l2", "emb", "embedding"))
+      graft.index.Index.buildSq(e.store, "c_l2", "emb", "embedding")
+    e
+  }
+
   /** Cosine coding + residual-cosine PQ index (unit-sphere IVFADC): the
     * most common embedding metric gets the same residual machinery as l2. */
   private def withCosPqIndex(s: SparkSession, dir: String): Engine = {
@@ -224,6 +231,15 @@ object SparkEntry {
     "search_ivf_pq" -> ((s: SparkSession, dir: String) => {
       val e = withPqIndex(s, dir)
       graft.index.Index.searchIvfPq(e.store, "c_l2", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— IVF+SQ8: d-byte scalar-quantized coarse pass + exact rerank;
+    // full probes + candidates == exact (shares the brute-force oracle) ——
+    "search_sq" -> ((s: SparkSession, dir: String) => {
+      val e = withSqIndex(s, dir)
+      graft.index.Index.searchSq(e.store, "c_l2", "emb", "embedding",
           targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
@@ -884,6 +900,7 @@ object SparkEntry {
     "search_pq" -> knnOracle(l2Sql),
     // IVF+PQ at full probes + full candidates is exact
     "search_ivf_pq" -> knnOracle(l2Sql),
+    "search_sq" -> knnOracle(l2Sql),
     "search_ivf_pq_cosine" -> knnOracle(cosSql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),

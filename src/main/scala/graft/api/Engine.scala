@@ -96,6 +96,22 @@ class Engine(val spark: SparkSession, val root: String) {
       idCol: String, expect: Option[graft.coder.PQ.PQConfig] = None): Long =
     Index.syncIncrementalPq(store, codingName, source, column, idCol, expect)
 
+  /** Build the IVF+SQ8 index under an existing coding — 8-bit scalar
+    * quantization, the memory tier between raw vectors and PQ
+    * ([[Index.buildSq]]); returns the (scale, zeroPoint) params. */
+  def makeSqIndex(codingName: String, source: String, column: String): (Float, Float) =
+    Index.buildSq(store, codingName, source, column)
+
+  /** Probed IVF+SQ8 search ([[Index.searchSq]]): coarse pass over the
+    * d-byte quantized copy, exact rerank of the survivors. */
+  def searchSq(source: String, column: String, target: TargetVector,
+      coding: String, probes: Int, candidates: Int, idCol: String,
+      k: Int = 10, metric: Option[String] = None,
+      filter: Option[Column] = None, select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    Index.searchSq(store, coding, source, column, target, k, probes,
+      candidates, idCol, metric, filter, select, tieBreak)
+
   /** Multi-source IVF+PQ search (reference ticket `"a:b:c"`,
     * `flight.py:47`): each source's PQ index is searched independently —
     * per-source codebooks make ADC scores incomparable across sources,

@@ -55,3 +55,62 @@ case class Dequantize(child: Expression, scale: Float, zeroPoint: Float)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Affine quantization of a float/double array to a uint8 payload — the
+  * codegen'd inverse of [[Dequantize]] and the hot-path twin of
+  * `Tensors.quantizeUdf` (bit-identical rounding, asserted in tests):
+  * `out[i] = clamp(round(x[i] / scale + zeroPoint), 0, 255)`, computed in
+  * double so the rounding boundary is exact. Used by the SQ8 index build,
+  * where the encode is a corpus-scale pass and UDF boxing would dominate.
+  */
+case class Quantize(child: Expression, scale: Float, zeroPoint: Float)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_quantize expects array<float|double>, got ${other.catalogString}")
+  }
+
+  // lazy: the child is unresolved (NullType) at construction time
+  private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_quantize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val q = math.round(x / scale + zeroPoint)
+      out(i) = math.max(0L, math.min(255L, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("idx")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val get = if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $q = Math.round($get / ((double) ${scale}f) + ((double) ${zeroPoint}f));
+         |  $out[$i] = (byte) Math.max(0L, Math.min(255L, $q));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

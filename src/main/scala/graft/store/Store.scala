@@ -40,6 +40,9 @@ class Store(val spark: SparkSession, val root: String) {
   /** IVF+PQ variant of [[indexPath]]: cell-partitioned copy + codes column. */
   def pqIndexPath(source: String, column: String, coding: String) =
     s"$root/pq_indexes/$source/$column/$coding"
+  /** IVF+SQ8 variant: cell-partitioned copy + 8-bit quantized vectors. */
+  def sqIndexPath(source: String, column: String, coding: String) =
+    s"$root/sq_indexes/$source/$column/$coding"
 
   /** Write small sidecar bytes (e.g. PQ codebooks) through the store's
     * filesystem, so the layout works on HDFS/object stores too. */
@@ -303,6 +306,11 @@ class Store(val spark: SparkSession, val root: String) {
       column <- list(s"$root/pq_indexes/$source")
       coding <- list(s"$root/pq_indexes/$source/$column") if coding == name
     } fs.delete(new Path(pqIndexPath(source, column, coding)), true)
+    for {
+      source <- list(s"$root/sq_indexes")
+      column <- list(s"$root/sq_indexes/$source")
+      coding <- list(s"$root/sq_indexes/$source/$column") if coding == name
+    } fs.delete(new Path(sqIndexPath(source, column, coding)), true)
   }
 
   def listIndexes(): Seq[(String, String, String)] =

@@ -432,3 +432,88 @@ class IvfPqSpec extends SparkSuite {
     engine.remove()
   }
 }
+
+class SqSpec extends SparkSuite {
+  import graft.api.Engine
+  import graft.coder.CoderConfig
+  import graft.index.Index
+  import org.apache.spark.sql.functions._
+
+  test("quantize expression is bit-identical to the quantize udf") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 200).map { i =>
+      // include values far outside the affine range to exercise clamping
+      (i.toLong, Seq.fill(16)((rnd.nextGaussian() * (if (i % 7 == 0) 1e4 else 2)).toFloat))
+    }.toDF("id", "vec")
+    val (scale, zp) = (0.173f, 117.3f)
+    val both = df.select(
+      graft.types.Tensors.quantizeUdf(scale, zp)(col("vec")).as("u"),
+      org.apache.spark.sql.GraftShims.column(graft.functions.Quantize(
+        org.apache.spark.sql.GraftShims.expression(col("vec")), scale, zp)).as("e"))
+    val rows = both.collect()
+    assert(rows.forall(r => java.util.Arrays.equals(
+      r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1))))
+    // double input path too
+    val d = df.select(col("id"), col("vec").cast("array<double>").as("vec"))
+      .select(org.apache.spark.sql.GraftShims.column(graft.functions.Quantize(
+        org.apache.spark.sql.GraftShims.expression(col("vec")), scale, zp)).as("e"))
+    assert(d.collect().length == 200)
+  }
+
+  test("ivf+sq8: exact at full budgets, codes-only coarse scan, near-exact bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val centers = Seq.fill(8)(Array.fill(16)(rnd.nextDouble() * 20 - 10))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((ci * 40 + i).toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    val df = rows.toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-sq").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("sqv", df)
+    engine.makeCoder("sc", "sqv", "vec",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 3))
+    Index.build(engine.store, "sc", "sqv", "vec")
+    val (scale, zp) = engine.makeSqIndex("sc", "sqv", "vec")
+    assert(scale > 0 && !zp.isNaN)
+
+    val target = df.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val brute = df
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+
+    // full probes + candidates == brute
+    val full = engine.searchSq("sqv", "vec", target, coding = "sc",
+      probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
+      metric = Some("l2"), tieBreak = Seq("id"))
+    assert(full.select("id").as[Long].collect().toSeq == brute)
+
+    // the coarse scan reads codes, not the vector column
+    val planStr = full.queryExecution.executedPlan.toString
+    val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(l => l.contains(Index.SqCol) && !l.contains("vec:")),
+      s"no codes-only scan found:\n$planStr")
+
+    // 8-bit ranking is near-exact: a candidate budget of just k already
+    // recovers the true top-k here (PQ needs a far larger rerank budget)
+    val tight = engine.searchSq("sqv", "vec", target, coding = "sc",
+      probes = 16, candidates = 10, idCol = "id", k = 10,
+      metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val recall = brute.count(tight.contains) / 10.0
+    info(s"sq8 recall@10 at candidates=10: $recall")
+    assert(recall >= 0.9, s"low sq8 recall $recall")
+
+    // drop-index also removes the SQ copy (the A4 leak-fix contract)
+    engine.dropIndex("sc")
+    assert(!Index.sqIndexExists(engine.store, "sc", "sqv", "vec"))
+    engine.remove()
+  }
+}
