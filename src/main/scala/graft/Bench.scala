@@ -56,6 +56,8 @@ object Bench {
     if (!graft.index.Index.pqIndexExists(scratch.store, "c_l2", "emb", "embedding"))
       graft.index.Index.buildPq(scratch.store, "c_l2", "emb", "embedding",
         graft.coder.PQ.PQConfig(numSubspaces = 8, codebookSize = 16, metric = "l2"))
+    if (!graft.index.Index.sqIndexExists(scratch.store, "c_l2", "emb", "embedding"))
+      graft.index.Index.buildSq(scratch.store, "c_l2", "emb", "embedding")
     val pruned = Seq(
       "search_probed_16" -> (() => scratch.search("emb", "embedding", target,
         coding = Some("c_l2"), probes = Some(16), k = 10).count()),
@@ -63,6 +65,9 @@ object Bench {
         "c_l2", "emb", "embedding", target, k = 10, candidates = 200,
         idCol = "vec_id", probes = Some(16)).count()),
       "search_ivf_pq_16_200" -> (() => graft.index.Index.searchIvfPq(scratch.store,
+        "c_l2", "emb", "embedding", target, k = 10, probes = 16,
+        candidates = 200, idCol = "vec_id").count()),
+      "search_sq_16_200" -> (() => graft.index.Index.searchSq(scratch.store,
         "c_l2", "emb", "embedding", target, k = 10, probes = 16,
         candidates = 200, idCol = "vec_id").count()),
     ).map { case (name, fn) =>
@@ -80,9 +85,10 @@ object Bench {
       "knn_l2", "knn_cosine", "knn_dot", "search_pq", "search_rerank",
       "search_ivf_pq", "search_ivf_pq_cosine", "knn_join", "knn_join_ivf",
       "dedup_exact", "dedup_minhash", "dedup_cosine_lsh", "dedup_groups_cc",
+      "dedup_semantic", "text_fingerprint", "text_overlap", "search_sq",
       "q1_agg", "q3_shipping", "q5_region", "events_sessions", "text_quality",
       "media_compressed_decode", "search_probed_16", "search_rerank_200",
-      "search_ivf_pq_16_200")
+      "search_ivf_pq_16_200", "search_sq_16_200")
     val allMap = all.toMap
     val qsHead = headline.flatMap(k => allMap.get(k).map(v =>
         "\"" + k + "\":" + f"$v%.3f"))

@@ -76,9 +76,21 @@ class Engine(val spark: SparkSession, val root: String) {
   def semanticDedup(source: String, column: String, coding: String,
       maxDist: Double, idCol: String,
       maxBucketRows: Long = 8192L): DataFrame = {
-    val c = store.loadCoding(coding)
-    graft.ext.Dedup.semanticDedup(store.loadTable(source), idCol, column,
-      maxDist, bucket = Index.assignExpr(col(column), c), maxBucketRows)
+    // prefer the MATERIALIZED cell column of the built index — the
+    // assignment is then a stored-column read instead of a
+    // distance-to-every-centroid recomputation on each scan of the
+    // dedup's join stages; fall back to computing it when only the
+    // coder exists
+    if (Index.indexExists(store, coding, source, column))
+      graft.ext.Dedup.semanticDedup(
+        Index.load(store, coding, source, column), idCol, column,
+        maxDist, bucket = col(Index.CodeCol), maxBucketRows)
+        .drop(Index.CodeCol)
+    else {
+      val c = store.loadCoding(coding)
+      graft.ext.Dedup.semanticDedup(store.loadTable(source), idCol, column,
+        maxDist, bucket = Index.assignExpr(col(column), c), maxBucketRows)
+    }
   }
 
   /** Build the IVF+PQ index under an existing coding — the memory-
@@ -101,6 +113,13 @@ class Engine(val spark: SparkSession, val root: String) {
     * ([[Index.buildSq]]); returns the (scale, zeroPoint) params. */
   def makeSqIndex(codingName: String, source: String, column: String): (Float, Float) =
     Index.buildSq(store, codingName, source, column)
+
+  /** Quantize-only append of new source rows to an existing SQ8 index
+    * under its stored affine params ([[Index.syncIncrementalSq]]);
+    * returns rows appended. */
+  def syncSqIndex(codingName: String, source: String, column: String,
+      idCol: String): Long =
+    Index.syncIncrementalSq(store, codingName, source, column, idCol)
 
   /** Probed IVF+SQ8 search ([[Index.searchSq]]): coarse pass over the
     * d-byte quantized copy, exact rerank of the survivors. */

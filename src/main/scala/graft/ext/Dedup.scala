@@ -289,8 +289,12 @@ object Dedup {
   def semanticDedup(
       df: DataFrame, idCol: String, vecCol: String, maxDist: Double,
       bucket: Column, maxBucketRows: Long = 8192L): DataFrame = {
-    val withB = df.withColumn("__SB__", bucket)
-    val vecs = withB.select(col("__SB__"), col(idCol).as("id"),
+    // (bucket, id, vec) computed once per downstream scan; the survivor
+    // anti-join below deliberately reads the PLAIN df (no bucket eval on
+    // that side). When the bucketing expression is expensive (an IVF
+    // cell assignment), pass a PRE-MATERIALIZED code column instead —
+    // Engine.semanticDedup reads the stored index copy for exactly this.
+    val vecs = df.select(bucket.as("__SB__"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
     val biggest = vecs.groupBy("__SB__").count()
       .agg(max("count")).collect()(0)
@@ -306,8 +310,7 @@ object Dedup {
       .where(col("id_b") < col("id_a") &&
         vector_distance(col("vec_a"), col("vec_b"), "cosine") <= maxDist)
       .select(col("id_a").as("__drop__")).distinct()
-    withB.join(dropped, col(idCol) === col("__drop__"), "left_anti")
-      .drop("__SB__")
+    df.join(dropped, col(idCol) === col("__drop__"), "left_anti")
   }
 
   /** Scale path: multi-table random-hyperplane (SRP) LSH. `numTables`

@@ -103,9 +103,15 @@ object Scale {
       f: (Long, Seq[org.apache.spark.sql.Row]) => IterableOnce[T])
       : org.apache.spark.sql.Dataset[T] = {
     val (batched, numBatches) = shuffledBatchesWithCount(df, size, seed)
-    require(numBatches <= Int.MaxValue, s"$numBatches batches exceed Int range")
+    // cap the shuffle's partition count: the run-grouping iterator below
+    // already handles many batches per partition, so one-partition-per-
+    // batch would only buy scheduler overhead (390k tasks for 100M rows
+    // at size=256); hash partitioning still keeps each batch whole
+    val parts = math.min(numBatches,
+      math.max(df.sparkSession.sparkContext.defaultParallelism.toLong * 4, 64L))
+      .toInt
     batched
-      .repartition(numBatches.toInt, col(BatchCol))
+      .repartition(parts, col(BatchCol))
       .sortWithinPartitions(BatchCol)
       .mapPartitions { rows =>
         new Iterator[(Long, Seq[org.apache.spark.sql.Row])] {

@@ -271,7 +271,11 @@ object TextAnalysis {
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4, minShared: Int = 10,
       maxDocFreq: Long = 1000L): DataFrame = {
-    val fps = winnowFingerprints(df, idCol, textCol, k, window)
+    // materialize the fingerprints once (localCheckpoint, the
+    // duplicateGroups precedent): they are read by the doc-frequency agg
+    // and BOTH self-join sides, and recomputing the O(len·k) hashing
+    // three times dominated the query's wall time
+    val fps = winnowFingerprints(df, idCol, textCol, k, window).localCheckpoint()
     val rare = fps.join(
       fps.groupBy("fp").count().filter(col("count") <= maxDocFreq).select("fp"),
       Seq("fp"))

@@ -83,6 +83,12 @@ object Index {
     } finally delta.unpersist(blocking = false)
   }
 
+  /** Whether the materialized indexed copy exists (Spark's _SUCCESS
+    * marker: a partial/failed write does not count). */
+  def indexExists(store: Store, codingName: String, source: String,
+      column: String): Boolean =
+    store.sidecarExists(s"${store.indexPath(source, column, codingName)}/_SUCCESS")
+
   /** Read the indexed copy: source schema ⊕ `__CODED_ID__: long`
     * (reference V7 `index.py:19-34`, minus the positional join). */
   def load(store: Store, codingName: String, source: String, column: String): DataFrame = {
@@ -466,6 +472,8 @@ object Index {
         min(array_min(col(column).cast("array<float>"))).as("lo"),
         max(array_max(col(column).cast("array<float>"))).as("hi"))
       .collect()(0)
+    require(!stats.isNullAt(0) && !stats.isNullAt(1),
+      s"buildSq: $source.$column has no non-null vectors to quantize")
     val (lo, hi) = (stats.getFloat(0), stats.getFloat(1))
     require(hi > lo, s"degenerate value range [$lo, $hi] in $source.$column")
     // q = x/scale + zeroPoint maps [lo, hi] onto [0, 255]
@@ -502,6 +510,37 @@ object Index {
         throw new IllegalStateException(s"malformed SQ sidecar: $s"))
     }
     (f("scale"), f("zeroPoint"))
+  }
+
+  /** Incremental SQ8 sync: quantize-only append of source rows whose
+    * `idCol` is not yet in the SQ index, under the STORED affine params
+    * (no re-fit — new values outside the original [lo, hi] clamp to the
+    * range ends, the standard SQ staleness trade; rebuild when the value
+    * distribution shifts). Mirrors [[syncIncrementalPq]]; refuses when
+    * the index doesn't exist. Returns rows appended. */
+  def syncIncrementalSq(store: Store, codingName: String, source: String,
+      column: String, idCol: String): Long = {
+    val path = store.sqIndexPath(source, column, codingName)
+    require(store.sidecarExists(sqSidecar(path)),
+      s"no SQ index for $source.$column under coding '$codingName' — " +
+        "build it first (buildSq)")
+    val (scale, zeroPoint) = loadSqParams(store, codingName, source, column)
+    val coding = store.loadCoding(codingName)
+    val existing = store.spark.read.parquet(path).select(col(idCol))
+    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val delta = fresh
+      .withColumn(CodeCol, assignExpr(col(column), coding))
+      .withColumn(SqCol, org.apache.spark.sql.GraftShims.column(
+        graft.functions.Quantize(
+          org.apache.spark.sql.GraftShims.expression(col(column)),
+          scale, zeroPoint)))
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = delta.count()
+      if (appended > 0)
+        delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+      appended
+    } finally delta.unpersist(blocking = false)
   }
 
   /** Probed IVF+SQ8 search — the [[searchIvfPq]] two-pass shape with the

@@ -131,10 +131,21 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val filter = params.get("filter").map(expr)
     val base = engine.readTable(Seq(name), select, filter)
     val df = params.get("limit").map(n => base.limit(n.toInt)).getOrElse(base)
+    // force analysis + planning BEFORE committing to a 200: bad table /
+    // column / filter errors surface as a clean 400 from handle()
+    df.queryExecution.executedPlan
     ex.getResponseHeaders.set("Content-Type", "application/vnd.apache.arrow.stream")
     ex.sendResponseHeaders(200, 0) // 0 = chunked: length unknown up front
     val out = ex.getResponseBody
+    // a RUNTIME failure mid-stream can't be turned into an error status
+    // any more (headers are sent) — close the truncated stream so the
+    // client's Arrow reader fails fast, and swallow here so handle()
+    // doesn't attempt a second sendResponseHeaders on this exchange
     try org.apache.spark.sql.GraftShims.writeArrowStream(df, out, 4096)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft-server] arrow export of '$name' failed mid-stream: $e")
+    }
     finally out.close()
   }
 
@@ -162,6 +173,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         sampleSize = intOr(pq, "sampleSize", pqBase.sampleSize)),
         residual = opt(pq, "residual").forall(_.asBoolean(true)))
     }
+    // optional SQ8 sidecar index: {"sq": true}
+    if (opt(body, "sq").exists(_.asBoolean(false)))
+      engine.makeSqIndex(name, source, column)
     ok(ex, s"""{"index":"$name"}""")
   }
 
@@ -184,9 +198,24 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     // candidates + idCol selects the IVF+PQ path (one index per source;
     // multi-source unions the per-source exact-reranked top-k);
     // "rerank": true instead routes to the two-stage retrieve-rerank over
-    // the plain IVF index (id-only coarse pass, no PQ codes needed)
+    // the plain IVF index (id-only coarse pass, no PQ codes needed);
+    // "sq": true routes to the IVF+SQ8 index (d-byte quantized coarse pass)
     val rerank = opt(body, "rerank").exists(_.asBoolean(false))
+    val sq = opt(body, "sq").exists(_.asBoolean(false))
     val df = (opt(body, "candidates"), coding, probes) match {
+      case _ if sq =>
+        // explicit contract, no silent fall-through to another path
+        if (sources.size != 1)
+          throw new IllegalArgumentException("sq search takes exactly one source")
+        val c = coding.getOrElse(throw new IllegalArgumentException(
+          "sq search requires \"coding\""))
+        val p = probes.getOrElse(throw new IllegalArgumentException(
+          "sq search requires \"probes\""))
+        val cand = opt(body, "candidates").getOrElse(
+          throw new IllegalArgumentException("sq search requires \"candidates\""))
+        engine.searchSq(sources.head, column, target, c, p, cand.asInt(),
+          require(body, "idCol").asText(), math.min(k, maxResponseRows),
+          metric, filter, select, tieBreak)
       case (Some(cand), Some(c), _) if rerank =>
         if (sources.size != 1)
           throw new IllegalArgumentException("rerank search takes exactly one source")

@@ -511,6 +511,32 @@ class SqSpec extends SparkSuite {
     info(s"sq8 recall@10 at candidates=10: $recall")
     assert(recall >= 0.9, s"low sq8 recall $recall")
 
+    // incremental sync: grow the source, append quantize-only under the
+    // stored affine params, full-budget search reflects the new rows
+    val extra = (400 until 420).map { i =>
+      (i.toLong, centers(0).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    }
+    val grown = df.unionByName(extra.toDF("id", "vec"))
+    engine.makeTable("sqv", grown)
+    assert(engine.syncSqIndex("sc", "sqv", "vec", "id") == 20L)
+    assert(engine.syncSqIndex("sc", "sqv", "vec", "id") == 0L) // idempotent
+    val target2 = extra.head._2.map(_.toDouble).toArray
+    val brute2 = grown
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target2.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+    val full2 = engine.searchSq("sqv", "vec", target2, coding = "sc",
+      probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
+      metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(full2 == brute2, s"post-sync full-budget != brute: $full2 vs $brute2")
+
+    // sync refuses when no SQ index exists
+    intercept[IllegalArgumentException] {
+      Index.syncIncrementalSq(engine.store, "nope", "sqv", "vec", "id")
+    }
+
     // drop-index also removes the SQ copy (the A4 leak-fix contract)
     engine.dropIndex("sc")
     assert(!Index.sqIndexExists(engine.store, "sc", "sqv", "vec"))

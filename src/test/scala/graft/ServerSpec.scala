@@ -85,11 +85,12 @@ class ServerSpec extends SparkSuite {
     bruteIds.forEachRemaining(n => got += n.get("id").asLong())
     assert(got.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"got $got")
 
-    // make index (+ PQ sidecar), then probed search finds the same cluster
+    // make index (+ PQ and SQ8 sidecars), then probed search finds the
+    // same cluster
     val (ic, iBody) = send("POST", "/indexes",
       """{"name":"wire_c1","source":"wire_vecs","column":"vec",
           "metric":"l2","codebookSize":2,"numCodebooks":1,
-          "batchSize":64,"numEpochs":2,
+          "batchSize":64,"numEpochs":2,"sq":true,
           "pq":{"numSubspaces":2,"codebookSize":4}}""")
     assert(ic == 200, iBody)
     val (_, cBody) = send("GET", "/codings")
@@ -113,6 +114,17 @@ class ServerSpec extends SparkSuite {
     mapper.readTree(pBody2).get("rows").elements()
       .forEachRemaining(n => pqIds += n.get("id").asLong())
     assert(pqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"pq $pqIds")
+
+    // ivf+sq8 over the wire ("sq": true routes to the quantized coarse pass)
+    val (sc2, sBody2) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","probes":2,"candidates":40,"idCol":"id","sq":true,
+          "k":5,"tieBreak":["id"],"select":["id"]}""")
+    assert(sc2 == 200, sBody2)
+    val sqIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(sBody2).get("rows").elements()
+      .forEachRemaining(n => sqIds += n.get("id").asLong())
+    assert(sqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"sq $sqIds")
 
     // retrieve-rerank over the wire ("rerank": true routes to the plain
     // IVF two-stage path — id-only coarse pass, exact rerank)
