@@ -135,13 +135,33 @@ object RefBench {
     }
     val pqRecall = brute.count(pqIds.contains) / 10.0
 
+    // IVF+SQ8 at reference scale: 256-d float32 → 256-byte codes (4×);
+    // near-exact coarse ranking, so a small rerank budget suffices.
+    val tSqBuild = (1 to 2).map { _ =>
+      time(engine.makeSqIndex("c", "vectors", "vector"))._2
+    }.min
+    val (sqIds, tSqSearch) = {
+      val ts = (1 to 2).map { _ =>
+        time {
+          engine.searchSq("vectors", "vector", target, coding = "c",
+            probes = 16, candidates = 100, idCol = "vec_id", k = 10,
+            metric = Some("l2"), tieBreak = Seq("vec_id"))
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }
+      }
+      (ts.head._1, ts.map(_._2).min)
+    }
+    val sqRecall = brute.count(sqIds.contains) / 10.0
+
     val timings = Seq("ingest" -> tIngest, "coder_train" -> tTrain,
       "index_build" -> tIndex) ++ metricTimes ++
       Seq("search_probed" -> tProbed, "pq_index_build" -> tPqBuild,
         "search_ivf_pq" -> tPqSearch, "pq_recall_at_10" -> pqRecall,
         "pq_cosine_index_build" -> tPqCosBuild,
         "search_ivf_pq_cosine" -> tPqCosSearch,
-        "pq_cosine_recall_at_10" -> pqCosRecall)
+        "pq_cosine_recall_at_10" -> pqCosRecall,
+        "sq_index_build" -> tSqBuild, "search_sq" -> tSqSearch,
+        "sq_recall_at_10" -> sqRecall)
     (timings, recall)
   }
 }

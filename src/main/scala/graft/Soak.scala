@@ -42,6 +42,15 @@ object Soak {
       k = 10, tieBreak = Seq("vec_id")).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     println(f"[soak] ivf+pq recall@10 at candidates=$candidates: ${brute.count(pqIds.contains) / 10.0}%.2f")
+    // SQ8 ranking is near-exact per element, so its rerank budget does
+    // NOT need to scale with rows-per-cell the way PQ's does.
+    val t2 = System.nanoTime()
+    val sqIds = engine.searchSq("vectors", "vector", target, coding = "c",
+      probes = 16, candidates = 100, idCol = "vec_id", k = 10,
+      metric = Some("l2"), tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    println(f"[soak] ivf+sq8 warm: ${(System.nanoTime() - t2) / 1e9}%.2f s " +
+      f"(candidates=100) recall@10: ${brute.count(sqIds.contains) / 10.0}%.2f")
     spark.stop()
   }
 }
