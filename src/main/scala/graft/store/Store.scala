@@ -176,11 +176,14 @@ class Store(val spark: SparkSession, val root: String) {
     * move behind Delta/Iceberg `OPTIMIZE ZORDER BY`, for the multi-filter
     * scan patterns a 100 TB store actually serves.
     *
-    * Normalization is linear in [min, max] (ONE agg pass, no global
-    * sort); heavily skewed columns get uneven cells — an equi-depth
-    * variant would need a rank (total sort) or quantile sketch per
-    * column. Numeric columns only. */
-  def zorderLayout(name: String, cols: Seq[String], numFiles: Int): Unit = {
+    * Normalization is linear in [min, max] by default (ONE agg pass, no
+    * global sort), so heavily skewed columns collapse onto few z-cells
+    * and lose within-dense-region pruning; `equiDepth = true` ranks each
+    * column by ~256 approximate quantiles instead (Greenwald-Khanna
+    * sketch — still no global sort), spending the z-curve's resolution
+    * where the data actually is. Numeric columns only. */
+  def zorderLayout(name: String, cols: Seq[String], numFiles: Int,
+      equiDepth: Boolean = false): Unit = {
     import org.apache.spark.sql.functions._
     require(cols.size >= 2 && cols.size <= 4,
       s"zorderLayout interleaves 2-4 columns, got ${cols.size} " +
@@ -189,18 +192,35 @@ class Store(val spark: SparkSession, val root: String) {
     val tmp = s"$src.__zorder_tmp__"
     val df = spark.read.parquet(src)
     val n = cols.size
-    val bitsPer = math.min(16, 63 / n)
+    val bitsPer = if (equiDepth) 8 else math.min(16, 63 / n)
     val scale = (1L << bitsPer) - 1
-    val aggs = cols.flatMap(c =>
-      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
-    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val ranks: Seq[org.apache.spark.sql.Column] = cols.zipWithIndex.map { case (c, i) =>
-      val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-      if (hi == lo) lit(0L)
-      else least(greatest(
-        ((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * scale, lit(0.0)),
-        lit(scale.toDouble)).cast("long")
-    }
+    val ranks: Seq[org.apache.spark.sql.Column] =
+      if (equiDepth) {
+        val doubled = cols.foldLeft(df)((d, c) =>
+          d.withColumn(s"__zq_$c", col(c).cast("double")))
+        cols.map { c =>
+          val probs = (1 until (1 << bitsPer)).map(_.toDouble / (1 << bitsPer)).toArray
+          val bounds = doubled.stat.approxQuantile(s"__zq_$c", probs, 0.001)
+          // rank = quantile-bucket index by binary search. A UDF is fine
+          // here: this is a one-shot layout REWRITE job, not a query path
+          val rank = udf { (v: Double) =>
+            val i = java.util.Arrays.binarySearch(bounds, v)
+            (if (i >= 0) i + 1 else -(i + 1)).toLong // insertion point
+          }
+          rank(col(c).cast("double"))
+        }
+      } else {
+        val aggs = cols.flatMap(c =>
+          Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+        val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        cols.zipWithIndex.map { case (c, i) =>
+          val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+          if (hi == lo) lit(0L)
+          else least(greatest(
+            ((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * scale, lit(0.0)),
+            lit(scale.toDouble)).cast("long")
+        }
+      }
     // bit interleave of n pre-normalized longs — a driver-built chain of
     // codegen'd shift/or builtins (bitsPer·n terms), no UDF in the job
     val z = (0 until bitsPer).flatMap { b =>

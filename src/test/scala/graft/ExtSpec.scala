@@ -653,6 +653,43 @@ class LayoutSpec extends SparkSuite {
     assert(touched <= 8, s"y=10 touches $touched of 16 files")
     store.remove()
   }
+
+  test("equi-depth zorder keeps pruning on skewed columns where linear collapses") {
+    val root = java.nio.file.Files.createTempDirectory("zorder-eq").toString
+    val store = new graft.store.Store(spark, root)
+    // x: 99% of rows dense in [0,1], 1% outliers spread to 1e6 — linear
+    // normalization maps every dense row to rank 0
+    val skewed = spark.range(20000L).toDF("id")
+      .withColumn("x", when(col("id") % 100 === 0,
+        (col("id") % 997).cast("double") * 1003.0)
+        .otherwise((col("id") % 1000).cast("double") / 1000.0))
+      .withColumn("y", (col("id") % 256).cast("double"))
+    def filesOverlapping(name: String, lo: Double, hi: Double): Int =
+      new java.io.File(s"$root/sources/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val d = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col("x")), max(col("x"))).collect()(0)
+          d.getDouble(0) <= hi && lo <= d.getDouble(1)
+        }
+    store.createTable("s_lin", skewed.repartition(8))
+    store.zorderLayout("s_lin", Seq("x", "y"), 16)
+    store.createTable("s_eq", skewed.repartition(8))
+    store.zorderLayout("s_eq", Seq("x", "y"), 16, equiDepth = true)
+    // a dense-region slice (~20% of rows): linear z gives every dense row
+    // rank_x = 0, so the slice spreads across ~all files by y; equi-depth
+    // spends rank resolution inside the dense region
+    val lin = filesOverlapping("s_lin", 0.4, 0.6)
+    val eq = filesOverlapping("s_eq", 0.4, 0.6)
+    info(s"files overlapping dense slice: linear=$lin equiDepth=$eq (of 16)")
+    // linear collapses completely (every file overlaps); equi-depth
+    // prunes some — boundaries come from a sampled range partitioner,
+    // so the exact count wobbles around the bit-boundary ideal of 8
+    assert(lin == 16, s"expected full collapse under linear, got $lin")
+    assert(eq <= 12, s"equi-depth must prune on skew: eq=$eq lin=$lin")
+    // row counts stay equal (layout must not drop/duplicate)
+    assert(spark.read.parquet(s"$root/sources/s_eq").count() == 20000L)
+    store.remove()
+  }
 }
 
 class StreamStreamJoinSpec extends SparkSuite {
