@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Metrics
-import graft.functions.{Dequantize, VectorDistance, VectorNorm, VectorNormalize}
+import graft.functions.{Dequantize, Quantize, VectorDistance, VectorNorm, VectorNormalize}
 
 /** SQL-surface registration.
   *
@@ -68,6 +68,15 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "graft_dequantize(bytes, scale, zeroPoint)")
         Dequantize(args(0),
+          numArg(args(1), "scale").toFloat, numArg(args(2), "zeroPoint").toFloat)
+      }),
+    (FunctionIdentifier("graft_quantize"),
+      new ExpressionInfo(classOf[Quantize].getName, "graft_quantize",
+        "graft_quantize(v, scale, zeroPoint) - affine-quantize a float/double " +
+          "array to a uint8 payload: clamp(round(x / scale + zeroPoint), 0, 255)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_quantize(v, scale, zeroPoint)")
+        Quantize(args(0),
           numArg(args(1), "scale").toFloat, numArg(args(2), "zeroPoint").toFloat)
       }),
   )

@@ -35,6 +35,20 @@ class SqlSurfaceSpec extends SparkSuite {
       .collect()(0).getSeq[Float](0)
     assert(got == Seq(-64.0f, -0.5f, 63.5f))
   }
+
+  test("graft_quantize from SQL round-trips through graft_dequantize") {
+    Graft.register(spark)
+    Seq(Tuple1(Seq(-64.0f, -0.5f, 63.5f, 1e9f, -1e9f))).toDF("v")
+      .createOrReplaceTempView("unquant")
+    val bytes = spark.sql("SELECT graft_quantize(v, 0.5, 128) AS b FROM unquant")
+      .collect()(0).getAs[Array[Byte]](0)
+    // exact values map back; out-of-range clamps to the byte ends
+    assert(bytes.toSeq == Seq(0.toByte, 127.toByte, 255.toByte, 255.toByte, 0.toByte))
+    val rt = spark.sql(
+      "SELECT graft_dequantize(graft_quantize(v, 0.5, 128), 0.5, 128) AS v FROM unquant")
+      .collect()(0).getSeq[Float](0)
+    assert(rt.take(3) == Seq(-64.0f, -0.5f, 63.5f))
+  }
 }
 
 class TensorsSpec extends SparkSuite {
