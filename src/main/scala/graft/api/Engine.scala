@@ -170,6 +170,35 @@ class Engine(val spark: SparkSession, val root: String) {
       .limit(k)
   }
 
+  /** Multi-source IVF+SQ8 search. Simpler than [[searchPqMulti]]: each
+    * source's affine params differ, but the per-source result distances
+    * come from the EXACT rerank (true metric distances), so the global
+    * top-k of the per-source top-k unions is exact over the unioned
+    * corpus at full budgets with no codebook-comparability caveat —
+    * only the metric must agree across calls (enforced by passing one
+    * `metric` to every source). */
+  def searchSqMulti(
+      sources: Seq[String],
+      column: String,
+      target: TargetVector,
+      coding: String,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      k: Int = 10,
+      metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    sources
+      .map(s => Index.searchSq(store, coding, s, column, target, k, probes,
+        candidates, idCol, metric, filter, select, tieBreak))
+      .reduce(_ unionByName _)
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** Two-stage retrieve-rerank under an IVF coding
     * ([[Index.searchRerank]]): id-only coarse pass ranked by cell score,
     * exact rerank of the `candidates` survivors; optional `probes`

@@ -205,15 +205,13 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val df = (opt(body, "candidates"), coding, probes) match {
       case _ if sq =>
         // explicit contract, no silent fall-through to another path
-        if (sources.size != 1)
-          throw new IllegalArgumentException("sq search takes exactly one source")
         val c = coding.getOrElse(throw new IllegalArgumentException(
           "sq search requires \"coding\""))
         val p = probes.getOrElse(throw new IllegalArgumentException(
           "sq search requires \"probes\""))
         val cand = opt(body, "candidates").getOrElse(
           throw new IllegalArgumentException("sq search requires \"candidates\""))
-        engine.searchSq(sources.head, column, target, c, p, cand.asInt(),
+        engine.searchSqMulti(sources, column, target, c, p, cand.asInt(),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),
           metric, filter, select, tieBreak)
       case (Some(cand), Some(c), _) if rerank =>

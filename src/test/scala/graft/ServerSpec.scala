@@ -167,6 +167,7 @@ class ServerSpec extends SparkSuite {
     assert(pbc == 200, pbBody)
     engine.makePqIndex("wire_c1", "wire_vecs_b", "vec",
       graft.coder.PQ.PQConfig(numSubspaces = 2, codebookSize = 4, sampleSize = 64))
+    engine.makeSqIndex("wire_c1", "wire_vecs_b", "vec")
     val (mc2, mBody2) = send("POST", "/search",
       """{"sources":["wire_vecs","wire_vecs_b"],"column":"vec",
           "target":[0,0,0,0],"coding":"wire_c1","probes":2,"candidates":100,
@@ -177,6 +178,19 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => multiIds += n.get("id").asLong())
     assert(multiIds.toSeq == Seq(0L, 100L, 2L, 102L, 4L, 104L),
       s"multi-source pq top-6 $multiIds")
+
+    // multi-source SQ8 over the wire: exact rerank distances are
+    // comparable across sources, so the same interleaving must appear
+    val (msq, msqBody) = send("POST", "/search",
+      """{"sources":["wire_vecs","wire_vecs_b"],"column":"vec",
+          "target":[0,0,0,0],"coding":"wire_c1","probes":2,"candidates":100,
+          "idCol":"id","sq":true,"k":6,"tieBreak":["id"],"select":["id"]}""")
+    assert(msq == 200, msqBody)
+    val msqIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(msqBody).get("rows").elements()
+      .forEachRemaining(n => msqIds += n.get("id").asLong())
+    assert(msqIds.toSeq == Seq(0L, 100L, 2L, 102L, 4L, 104L),
+      s"multi-source sq top-6 $msqIds")
     assert(send("DELETE", "/tables/wire_vecs_b")._1 == 200)
 
     // drop
