@@ -62,6 +62,21 @@ object SparkEntry {
   private val l2Sql  = "list_distance(CAST(e.embedding AS DOUBLE[]), q.t)"
   // Spelled out from inner products (not list_cosine_similarity) so the
   // float ops match our codegen bit-for-bit: dot / sqrt(nu * nv).
+  /** DuckDB winnowing-fingerprint CTE chain (chars → k-gram hashes →
+    * window minima), shared by the text_fingerprint and text_overlap
+    * oracles so the arithmetic cannot drift between them. Mirrors
+    * `TextAnalysis.winnowFingerprints(k = 5, window = 4)` term-for-term;
+    * DuckDB lists/substrings are 1-based. */
+  private val winnowCte =
+    "c AS (SELECT doc_id, string_split(lower(text), '') AS c FROM documents), " +
+      "h AS (SELECT doc_id, CASE WHEN len(c) < 5 THEN CAST([] AS BIGINT[]) ELSE " +
+      "list_transform(range(1, len(c) - 5 + 2), " +
+      "i -> list_reduce(list_transform(range(0, 5), j -> CAST(unicode(c[i + j]) AS BIGINT)), " +
+      "(a, b) -> (a * 257 + b) % 1000000007)) END AS h FROM c), " +
+      "w AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[]) ELSE " +
+      "list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1), " +
+      "t -> list_min(h[t : t + 3])) END AS wins FROM h)"
+
   private def cosPair(a: String, b: String) =
     s"0.5 - 0.5 * (list_inner_product($a, $b) / " +
       s"sqrt(list_inner_product($a, $a) * list_inner_product($b, $b)))"
@@ -735,27 +750,13 @@ object SparkEntry {
     },
     // mirrors TextAnalysis.winnowFingerprints term-for-term: k = 5 char
     // grams, polynomial hash base 257 mod 1e9+7, window-4 minima, distinct
+    // (one shared CTE — the overlap oracle MUST stay in lockstep with it)
     "text_fingerprint" ->
-      ("WITH c AS (SELECT doc_id, string_split(lower(text), '') AS c FROM documents), " +
-        "h AS (SELECT doc_id, CASE WHEN len(c) < 5 THEN CAST([] AS BIGINT[]) ELSE " +
-        "list_transform(range(1, len(c) - 5 + 2), " +
-        "i -> list_reduce(list_transform(range(0, 5), j -> CAST(unicode(c[i + j]) AS BIGINT)), " +
-        "(a, b) -> (a * 257 + b) % 1000000007)) END AS h FROM c), " +
-        "w AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[]) ELSE " +
-        "list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1), " +
-        "t -> list_min(h[t : t + 3])) END AS wins FROM h) " +
-        "SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w"),
+      s"WITH $winnowCte SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w",
     // mirrors TextAnalysis.overlapPairs (doc-frequency cap 100, ≥ 20
     // shared fps) over the same fingerprint CTE as text_fingerprint
     "text_overlap" ->
-      ("WITH c AS (SELECT doc_id, string_split(lower(text), '') AS c FROM documents), " +
-        "h AS (SELECT doc_id, CASE WHEN len(c) < 5 THEN CAST([] AS BIGINT[]) ELSE " +
-        "list_transform(range(1, len(c) - 5 + 2), " +
-        "i -> list_reduce(list_transform(range(0, 5), j -> CAST(unicode(c[i + j]) AS BIGINT)), " +
-        "(a, b) -> (a * 257 + b) % 1000000007)) END AS h FROM c), " +
-        "w AS (SELECT doc_id, CASE WHEN len(h) = 0 THEN CAST([] AS BIGINT[]) ELSE " +
-        "list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1), " +
-        "t -> list_min(h[t : t + 3])) END AS wins FROM h), " +
+      (s"WITH $winnowCte, " +
         "fps AS (SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM w), " +
         "rare AS (SELECT f.doc_id, f.fp FROM fps f JOIN " +
         "(SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100) r USING (fp)) " +

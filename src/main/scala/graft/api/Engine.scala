@@ -79,9 +79,16 @@ class Engine(val spark: SparkSession, val root: String) {
     // prefer the MATERIALIZED cell column of the built index — the
     // assignment is then a stored-column read instead of a
     // distance-to-every-centroid recomputation on each scan of the
-    // dedup's join stages; fall back to computing it when only the
-    // coder exists
-    if (Index.indexExists(store, coding, source, column))
+    // dedup's join stages. The index is a SNAPSHOT: if the source has
+    // grown/changed since the build it would silently dedup stale data,
+    // so only take this branch when the row counts still agree
+    // (metadata-cheap parquet counts; same-count-different-content means
+    // the index is broken for search too — resync it). Fall back to
+    // computing the assignment inline otherwise.
+    val fresh = Index.indexExists(store, coding, source, column) &&
+      Index.load(store, coding, source, column).count() ==
+        store.loadTable(source).count()
+    if (fresh)
       graft.ext.Dedup.semanticDedup(
         Index.load(store, coding, source, column), idCol, column,
         maxDist, bucket = col(Index.CodeCol), maxBucketRows)
@@ -162,13 +169,21 @@ class Engine(val spark: SparkSession, val root: String) {
         metrics.map { case (s, m) => s"$s:$m" }.mkString(", "))
     val m = Some(metric.map(graft.core.Metrics.canonical)
       .getOrElse(metrics.head._2))
-    sources
-      .map(s => Index.searchIvfPq(store, coding, s, column, target, k, probes,
+    unionTopK(sources, k, tieBreak)(s =>
+      Index.searchIvfPq(store, coding, s, column, target, k, probes,
         candidates, idCol, m, filter, select, tieBreak))
+  }
+
+  /** Global top-k over per-source top-k results: exact over the unioned
+    * corpus whenever each per-source result carries true (comparable)
+    * final distances — the shared merge step of every multi-source
+    * search path. */
+  private def unionTopK(sources: Seq[String], k: Int, tieBreak: Seq[String])(
+      perSource: String => DataFrame): DataFrame =
+    sources.map(perSource)
       .reduce(_ unionByName _)
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
       .limit(k)
-  }
 
   /** Multi-source IVF+SQ8 search. Simpler than [[searchPqMulti]]: each
     * source's affine params differ, but the per-source result distances
@@ -191,12 +206,9 @@ class Engine(val spark: SparkSession, val root: String) {
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     require(sources.nonEmpty, "at least one source")
-    sources
-      .map(s => Index.searchSq(store, coding, s, column, target, k, probes,
+    unionTopK(sources, k, tieBreak)(s =>
+      Index.searchSq(store, coding, s, column, target, k, probes,
         candidates, idCol, metric, filter, select, tieBreak))
-      .reduce(_ unionByName _)
-      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
-      .limit(k)
   }
 
   /** Two-stage retrieve-rerank under an IVF coding

@@ -85,6 +85,10 @@ case class Quantize(child: Expression, scale: Float, zeroPoint: Float)
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      // a null ELEMENT would silently encode as garbage — fail loudly
+      // (ingest-time shape enforcement should have caught it upstream)
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_quantize: null element at index $i — quantize needs dense vectors")
       val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       val q = math.round(x / scale + zeroPoint)
       out(i) = math.max(0L, math.min(255L, q)).toByte
@@ -104,6 +108,11 @@ case class Quantize(child: Expression, scale: Float, zeroPoint: Float)
          |int $n = $a.numElements();
          |byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_quantize: null element at index " + $i +
+         |      " — quantize needs dense vectors");
+         |  }
          |  long $q = Math.round($get / ((double) ${scale}f) + ((double) ${zeroPoint}f));
          |  $out[$i] = (byte) Math.max(0L, Math.min(255L, $q));
          |}

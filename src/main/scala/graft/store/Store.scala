@@ -198,9 +198,13 @@ class Store(val spark: SparkSession, val root: String) {
       if (equiDepth) {
         val doubled = cols.foldLeft(df)((d, c) =>
           d.withColumn(s"__zq_$c", col(c).cast("double")))
-        cols.map { c =>
-          val probs = (1 until (1 << bitsPer)).map(_.toDouble / (1 << bitsPer)).toArray
-          val bounds = doubled.stat.approxQuantile(s"__zq_$c", probs, 0.001)
+        val probs = (1 until (1 << bitsPer)).map(_.toDouble / (1 << bitsPer)).toArray
+        // ONE Greenwald-Khanna pass sketches every column (the
+        // multi-column overload) — per-column calls would rescan the
+        // corpus n times at exactly the scale this feature targets
+        val allBounds = doubled.stat.approxQuantile(
+          cols.map(c => s"__zq_$c").toArray, probs, 0.001)
+        cols.zip(allBounds).map { case (c, bounds) =>
           // rank = quantile-bucket index by binary search. A UDF is fine
           // here: this is a one-shot layout REWRITE job, not a query path
           val rank = udf { (v: Double) =>
@@ -214,6 +218,9 @@ class Store(val spark: SparkSession, val root: String) {
           Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
         val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
         cols.zipWithIndex.map { case (c, i) =>
+          require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+            s"zorderLayout: column '$c' of '$name' has no non-null numeric " +
+              "values (empty table, all-null, or non-numeric column)")
           val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
           if (hi == lo) lit(0L)
           else least(greatest(

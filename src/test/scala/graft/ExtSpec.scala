@@ -111,6 +111,9 @@ class DedupSpec extends SparkSuite {
     engine.makeCoder("c", "emb", "embedding",
       graft.coder.CoderConfig(metric = "cosine", codebookSize = 4,
         numCodebooks = 2, batchSize = 256, numEpochs = 2))
+    // build the index so the MATERIALIZED-cells branch (the production
+    // path) is what this test exercises
+    graft.index.Index.build(engine.store, "c", "emb", "embedding")
     val survivors = engine.semanticDedup("emb", "embedding", "c",
       maxDist = 0.30, idCol = "vec_id")
     // deterministic: a second run returns the identical survivor set
@@ -134,6 +137,17 @@ class DedupSpec extends SparkSuite {
         "vec_id", "embedding", maxDist = 0.30, bucket = lit(0L))
       .select("vec_id").as[Long].collect().toSet
     assert(globalIds.subsetOf(ids))
+    // staleness: growing the source WITHOUT resyncing the index must not
+    // dedup the old snapshot — the new row has to show up in the output
+    val extraRow = sf("sf0.001", "embeddings").limit(1)
+      .withColumn("vec_id", lit(-1L))
+      .withColumn("embedding", transform(col("embedding"), x => -x))
+    engine.makeTable("emb",
+      sf("sf0.001", "embeddings").unionByName(extraRow))
+    val afterGrow = engine.semanticDedup("emb", "embedding", "c",
+      maxDist = 0.30, idCol = "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(afterGrow.contains(-1L),
+      "stale index snapshot used after the source changed")
     engine.remove()
   }
 
