@@ -231,6 +231,29 @@ class Engine(val spark: SparkSession, val root: String) {
     Index.searchRerank(store, coding, source, column, target, k, candidates,
       idCol, probes, metric, filter, select, tieBreak)
 
+  /** Multi-source retrieve-rerank: per-source exact-reranked top-k
+    * merged by the shared global-top-k step (final distances are exact,
+    * hence cross-source comparable — the same argument as
+    * [[searchSqMulti]]). */
+  def searchRerankMulti(
+      sources: Seq[String],
+      column: String,
+      target: TargetVector,
+      coding: String,
+      candidates: Int,
+      idCol: String,
+      k: Int = 10,
+      probes: Option[Int] = None,
+      metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    unionTopK(sources, k, tieBreak)(s =>
+      Index.searchRerank(store, coding, s, column, target, k, candidates,
+        idCol, probes, metric, filter, select, tieBreak))
+  }
+
   /** Probed IVF+PQ search: codes-only ADC coarse pass over the probed
     * cells, exact rerank of `candidates` rows ([[Index.searchIvfPq]]). */
   def searchPq(

@@ -215,9 +215,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           require(body, "idCol").asText(), math.min(k, maxResponseRows),
           metric, filter, select, tieBreak)
       case (Some(cand), Some(c), _) if rerank =>
-        if (sources.size != 1)
-          throw new IllegalArgumentException("rerank search takes exactly one source")
-        engine.searchRerank(sources.head, column, target, c, cand.asInt(),
+        engine.searchRerankMulti(sources, column, target, c, cand.asInt(),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),
           probes, metric, filter, select, tieBreak)
       case (Some(cand), Some(c), Some(p)) =>

@@ -168,6 +168,7 @@ class ServerSpec extends SparkSuite {
     engine.makePqIndex("wire_c1", "wire_vecs_b", "vec",
       graft.coder.PQ.PQConfig(numSubspaces = 2, codebookSize = 4, sampleSize = 64))
     engine.makeSqIndex("wire_c1", "wire_vecs_b", "vec")
+    engine.syncIndex("wire_c1", "wire_vecs_b", "vec")
     val (mc2, mBody2) = send("POST", "/search",
       """{"sources":["wire_vecs","wire_vecs_b"],"column":"vec",
           "target":[0,0,0,0],"coding":"wire_c1","probes":2,"candidates":100,
@@ -191,6 +192,18 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => msqIds += n.get("id").asLong())
     assert(msqIds.toSeq == Seq(0L, 100L, 2L, 102L, 4L, 104L),
       s"multi-source sq top-6 $msqIds")
+
+    // multi-source retrieve-rerank over the wire (same exactness argument)
+    val (mrr, mrrBody) = send("POST", "/search",
+      """{"sources":["wire_vecs","wire_vecs_b"],"column":"vec",
+          "target":[0,0,0,0],"coding":"wire_c1","candidates":100,
+          "idCol":"id","rerank":true,"k":6,"tieBreak":["id"],"select":["id"]}""")
+    assert(mrr == 200, mrrBody)
+    val mrrIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(mrrBody).get("rows").elements()
+      .forEachRemaining(n => mrrIds += n.get("id").asLong())
+    assert(mrrIds.toSeq == Seq(0L, 100L, 2L, 102L, 4L, 104L),
+      s"multi-source rerank top-6 $mrrIds")
     assert(send("DELETE", "/tables/wire_vecs_b")._1 == 200)
 
     // drop
