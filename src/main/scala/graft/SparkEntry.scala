@@ -597,6 +597,17 @@ object SparkEntry {
           Seq("prior_click_value"))
         .select("event_id", "user_id", "prior_click_value")
     }),
+    // —— bucketized range (interval) join: equi-shuffle on the bin id
+    // instead of the O(n·m) nested-loop a raw BETWEEN join plans ——
+    "range_join" -> ((s: SparkSession, dir: String) => {
+      val cust = tbl(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val ivals = tbl(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"), (col("o_totalprice") - 1000).as("lo"),
+          (col("o_totalprice") + 1000).as("hi"))
+      graft.ext.Temporal.rangeJoin(cust, "c_acctbal", ivals, "lo", "hi",
+          binWidth = 500.0)
+        .select("c_custkey", "o_orderkey", "c_acctbal")
+    }),
     // —— element-wise mean embedding per label (posexplode + agg) ——
     "group_mean_embedding" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "embeddings")
@@ -993,6 +1004,10 @@ object SparkEntry {
         "FROM (SELECT * FROM events WHERE event_type = 'view') l " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    "range_join" ->
+      ("SELECT c.c_custkey, o.o_orderkey, c.c_acctbal FROM customer c " +
+        "JOIN orders o ON o.o_orderkey < 100 AND " +
+        "c.c_acctbal BETWEEN o.o_totalprice - 1000 AND o.o_totalprice + 1000"),
     "group_mean_embedding" ->
       ("SELECT label, i, round(avg(v), 6) AS m FROM (" +
         "SELECT label, unnest(embedding) AS v, " +

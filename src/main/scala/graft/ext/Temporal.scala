@@ -62,4 +62,42 @@ object Temporal {
       .drop("__ts__", "__is_left__")
     rightCols.foldLeft(out)((df, c) => df.withColumnRenamed(s"__r_$c", c))
   }
+
+  /** Bucketized range (interval) join: left rows whose `valueCol` falls
+    * inside a right-side interval `[loCol, hiCol]` (inclusive). Spark
+    * plans a naive `v BETWEEN lo AND hi` join as a broadcast
+    * nested-loop — O(n·m) compares with no partition parallelism on the
+    * predicate. Here each interval EXPLODES to the fixed-width bins it
+    * covers and each value hashes to exactly ONE bin, so the join is a
+    * plain equi-shuffle on the bin id plus an exact residual filter —
+    * the standard interval-binning construction (e.g. Databricks' range
+    * join optimization). A value's bin is unique, so no dedup step is
+    * needed.
+    *
+    * `binWidth` trades replication (intervals copy to ~span/width bins)
+    * against bin selectivity; `maxBinsPerInterval` fails loudly when an
+    * interval would explode (pick a wider bin, or split giant
+    * intervals). Output: all left columns + all right columns.
+    */
+  def rangeJoin(
+      left: DataFrame, valueCol: String,
+      right: DataFrame, loCol: String, hiCol: String,
+      binWidth: Double,
+      maxBinsPerInterval: Long = 4096L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val spanBins = right.select(
+        max(ceil((col(hiCol) - col(loCol)) / binWidth))).collect()(0)
+    if (!spanBins.isNullAt(0))
+      require(spanBins.getLong(0) + 1 <= maxBinsPerInterval,
+        s"rangeJoin: an interval covers up to ${spanBins.getLong(0) + 1} " +
+          s"bins of width $binWidth (> maxBinsPerInterval=" +
+          s"$maxBinsPerInterval) — widen binWidth or split the interval.")
+    val binned = right.withColumn("__BIN__",
+      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    left.withColumn("__BIN__", floor(col(valueCol) / binWidth).cast("long"))
+      .join(binned, Seq("__BIN__"))
+      .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__BIN__")
+  }
 }

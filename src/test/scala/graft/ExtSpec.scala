@@ -583,6 +583,28 @@ class TemporalSpec extends SparkSuite {
     assert(got(2L) == Some(2.0))  // ts=25 -> latest click_ts<=25 is 20
     assert(got(3L) == None)       // user 200 has no clicks
   }
+
+  test("range join matches BETWEEN semantics as an equi-join on bins") {
+    val values = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5), (4L, -3.0), (5L, 99.0))
+      .toDF("vid", "v")
+    val intervals = Seq((100L, 4.0, 10.0), (200L, 10.5, 10.5), (300L, -5.0, -1.0))
+      .toDF("iid", "lo", "hi")
+    val got = graft.ext.Temporal.rangeJoin(values, "v", intervals, "lo", "hi",
+        binWidth = 3.0)
+      .select("vid", "iid").as[(Long, Long)].collect().toSet
+    // inclusive both ends; point interval matches exactly; negatives bin right
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 300L)), got)
+    // equi-join on the bin id, NOT a nested loop
+    val plan = graft.ext.Temporal.rangeJoin(values, "v", intervals, "lo", "hi", 3.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join planned as nested loop:\n$plan")
+    // an interval exploding past the cap refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.ext.Temporal.rangeJoin(values, "v",
+        Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi"), "lo", "hi", binWidth = 1.0)
+    }
+    assert(err.getMessage.contains("binWidth"), err.getMessage)
+  }
 }
 
 class SketchSpec extends SparkSuite {
