@@ -34,6 +34,9 @@ class Store(val spark: SparkSession, val root: String) {
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def sourcePath(name: String) = s"$root/sources/$name"
+  /** Public path of a named table's parquet directory (streaming sinks
+    * need it for `writeStream.option("path", …)`). */
+  def tablePath(name: String): String = sourcePath(name)
   private def codingPath(name: String) = s"$root/codings/$name"
   def indexPath(source: String, column: String, coding: String) =
     s"$root/indexes/$source/$column/$coding"

@@ -15,6 +15,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
+  /** Streaming ingest into the store catalog — the `do_put` analogue
+    * for a stream (the reference's ingest is batch-only,
+    * `flight.py:34-44`): shape-enforced parquet APPEND into the named
+    * table's directory with an exactly-once file-sink checkpoint. The
+    * table is readable via `Engine.readTable` between micro-batches
+    * (the file sink's `_spark_metadata` commit log gives readers
+    * exactly-once file visibility), and downstream index sync is the
+    * normal incremental path (`Engine.syncIndex`/`syncPqIndex`/
+    * `syncSqIndex`). Do not mix with batch `createTable` overwrites on
+    * the same name — the sink owns the directory's commit log. */
+  def ingestStream(store: graft.store.Store, name: String, df: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    graft.types.Tensors.enforceDeclaredShapes(df)
+      .writeStream
+      .format("parquet")
+      .option("path", store.tablePath(name))
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .start()
+
   /** Tumbling-window per-type aggregates. On a stream, add
     * `.withWatermark("ts", "1 hour")` upstream and this plans as an
     * incremental stateful agg; on a batch frame it's a plain groupBy. */

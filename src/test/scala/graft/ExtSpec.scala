@@ -728,6 +728,43 @@ class LayoutSpec extends SparkSuite {
   }
 }
 
+class StreamIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("streaming ingest lands shape-enforced rows in a readable table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-ingest").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val engine = new graft.api.Engine(spark, root)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val df = graft.types.Tensors.asTensor(
+      mem.toDF().toDF("id", "vec"), "vec", Seq(4))
+    val q = Streams.ingestStream(engine.store, "live_vecs", df, ckpt)
+    try {
+      mem.addData((1L, Seq(1f, 2f, 3f, 4f)), (2L, Seq(5f, 6f, 7f, 8f)))
+      q.processAllAvailable()
+      assert(engine.readTable(Seq("live_vecs")).count() == 2)
+      mem.addData((3L, Seq(9f, 9f, 9f, 9f)))
+      q.processAllAvailable()
+      val got = engine.readTable(Seq("live_vecs"))
+        .select("id").as[Long].collect().sorted
+      assert(got.sameElements(Array(1L, 2L, 3L)))
+      // shape enforcement applies to the STREAM: a ragged vector fails
+      // the micro-batch instead of landing silently
+      mem.addData((4L, Seq(1f, 2f)))
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("expected 4 elements"),
+        s"expected a shape violation, got: ${err.getMessage}")
+    } finally {
+      if (q.isActive) q.stop()
+      engine.remove()
+    }
+  }
+}
+
 class StreamStreamJoinSpec extends SparkSuite {
   import spark.implicits._
 
