@@ -376,6 +376,17 @@ object SparkEntry {
     // any codec break (header, raster, writer) breaks the row ——
     "media_compressed_decode" -> ((s: SparkSession, dir: String) =>
       Multimodal.compressedCodecCheck(tbl(s, dir, "documents"), "doc_id")),
+    // —— multimodal: perceptual hash through the REAL codec — the aHash
+    // of the decoded (x,y) pattern is a hand-derivable integer constant
+    // (all-integer block means; any codec or hash break breaks the row) ——
+    "media_phash" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val png = Multimodal.encodeImage(Multimodal.testPattern(16, 16), "png")
+          (id, Multimodal.aHash64(Multimodal.decodeImage(png)))
+        }.toDF("media_id", "ahash")
+    }),
     // —— balanced (stratified) sampling: n deterministic docs/stratum ——
     "balanced_sample" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.balancedSample(
@@ -855,6 +866,12 @@ object SparkEntry {
       ("SELECT doc_id AS media_id, 16 AS png_w, 16 AS png_h, " +
         "CAST(30720 AS BIGINT) AS png_red_sum, 16 AS jpeg_w, 16 AS jpeg_h, " +
         "TRUE AS sizes_ok FROM documents"),
+    // aHash of the 16x16 (x,y) pattern, derived by hand: gray(x,y) =
+    // (16x%256 + 16y%256 + 128)/3, 2x2 block means, bit i=(by*8+bx) set
+    // iff block > mean-of-blocks => 0xfefcf8f0e0c08000 (signed below)
+    "media_phash" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST(-72909780498219008 AS BIGINT) AS ahash FROM documents"),
     // pcm16 wav of 8000 mono frames: 44-byte RIFF header + 16000 data bytes;
     // frames/rate come from the DECODED stream
     "media_wav_decode" ->

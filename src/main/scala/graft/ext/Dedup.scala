@@ -224,9 +224,21 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
+      maxHamming, bands)
+
+  /** The banded-hamming candidate join shared by every 64-bit-signature
+    * near-dup operator (text SimHash, image average-hash): band the
+    * signature into `bands` chunks (pigeonhole: hamming ≤ bands−1
+    * guarantees a shared band), equi-join on (band, chunk), verify
+    * hamming ≤ maxHamming. `sigs` must have columns (id, sim: long).
+    * Returns (id_a, id_b, hamming), id_a < id_b. */
+  def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
     val bits = 64 / bands
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
     val banded = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk", expr(s"shiftrightunsigned(sim, band * $bits)")

@@ -338,4 +338,63 @@ object Multimodal {
       MediaRow(row.media_id, Wav.encode(out), row.meta.copy(sampleRateHz = targetRateHz))
     }
   }
+
+  // ——— perceptual hashing (image near-dup) ———
+
+  /** 64-bit average hash (aHash — the classic perceptual image hash):
+    * integer grayscale `(r+g+b)/3` → 8×8 block means (integer division
+    * on integer block bounds) → bit i = block(i) > mean-of-blocks.
+    * ALL-INTEGER arithmetic, so the hash is exact and reproducible
+    * across platforms/SQL (unlike DCT-based pHash, whose `cos` calls
+    * differ by ulps between libms). Robust to lossless re-encodes by
+    * construction and to mild lossy compression because 32×-downsampled
+    * block means barely move; bit i = (by·8 + bx). */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 8 && h >= 8, s"aHash64 needs at least 8x8 pixels, got ${w}x$h")
+    val blocks = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        val (x0, x1) = (bx * w / 8, (bx + 1) * w / 8)
+        val (y0, y1) = (by * h / 8, (by + 1) * h / 8)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            sum += (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        blocks(by * 8 + bx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        bx += 1
+      }
+      by += 1
+    }
+    val mean = blocks.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) { if (blocks(i) > mean) hash |= 1L << i; i += 1 }
+    hash
+  }
+
+  /** Per-row aHash of compressed image payloads (any ImageIO format):
+    * (media_id, ahash) — the signature stage of image near-dup. */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map(row => (row.media_id, aHash64(decodeImage(row.payload))))
+      .toDF("id", "sim")
+  }
+
+  /** Image near-dup pairs: aHash signatures → the same banded-hamming
+    * candidate join as text SimHash ([[Dedup.bandedHammingPairs]]) —
+    * 8-byte signatures shuffle, never pixels; quadratic work only inside
+    * (band, chunk) buckets. Returns (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+      bands: Int = 4): DataFrame =
+    Dedup.bandedHammingPairs(imageHashes(media), maxHamming, bands)
 }

@@ -288,6 +288,50 @@ class TextAnalysisSpec extends SparkSuite {
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
+  test("aHash is exact on the known pattern and stable across lossless codecs") {
+    val img = Multimodal.testPattern(16, 16)
+    // hand/Python-derived constant for the (x,y) pattern (see the
+    // media_phash oracle comment)
+    assert(Multimodal.aHash64(img) == 0xfefcf8f0e0c08000L)
+    val viaPng = Multimodal.aHash64(
+      Multimodal.decodeImage(Multimodal.encodeImage(img, "png")))
+    val viaBmp = Multimodal.aHash64(
+      Multimodal.decodeImage(Multimodal.encodeImage(img, "bmp")))
+    assert(viaPng == viaBmp && viaPng == 0xfefcf8f0e0c08000L,
+      "lossless codecs must preserve the hash exactly")
+    // lossy JPEG moves block means a little, the hash only a few bits
+    val viaJpg = Multimodal.aHash64(
+      Multimodal.decodeImage(Multimodal.encodeImage(img, "jpg")))
+    val dJpg = java.lang.Long.bitCount(viaPng ^ viaJpg)
+    assert(dJpg <= 8, s"jpeg re-encode moved $dJpg hash bits")
+    // a genuinely different image is far away
+    val inverted = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      inverted.setRGB(x, y, ~img.getRGB(x, y) & 0xFFFFFF)
+    val dInv = java.lang.Long.bitCount(viaPng ^ Multimodal.aHash64(inverted))
+    assert(dInv > 16, s"inverted image only $dInv bits away")
+  }
+
+  test("image near-dup pairs find re-encodes, not distinct images") {
+    val img = Multimodal.testPattern(16, 16)
+    val other = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      other.setRGB(x, y, ~img.getRGB(x, y) & 0xFFFFFF)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeImage(img, "png"),
+        Multimodal.MediaMeta("image", 16, 16, 0)),
+      Multimodal.MediaRow(2L, Multimodal.encodeImage(img, "bmp"),
+        Multimodal.MediaMeta("image", 16, 16, 0)),
+      Multimodal.MediaRow(3L, Multimodal.encodeImage(other, "png"),
+        Multimodal.MediaMeta("image", 16, 16, 0)),
+    ).toDS()
+    val pairs = Multimodal.imageNearDupPairs(rows, maxHamming = 3, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"expected only the re-encode pair: $pairs")
+  }
+
   test("media plumbing: schema, deterministic stub features, frame sampling") {
     val docs = sf("sf0.001", "documents").limit(50)
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
