@@ -387,6 +387,16 @@ object SparkEntry {
           (id, Multimodal.aHash64(Multimodal.decodeImage(png)))
         }.toDF("media_id", "ahash")
     }),
+    // —— multimodal: audio energy-delta fingerprint through the REAL wav
+    // codec — all-integer square-wave signal, hand-derivable constant ——
+    "media_afp" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val wav = graft.ext.Wav.encode(Multimodal.testSignal())
+          (id, Multimodal.audioFingerprint64(graft.ext.Wav.decode(wav)))
+        }.toDF("media_id", "afp")
+    }),
     // —— balanced (stratified) sampling: n deterministic docs/stratum ——
     "balanced_sample" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.balancedSample(
@@ -872,6 +882,12 @@ object SparkEntry {
     "media_phash" ->
       ("SELECT doc_id AS media_id, " +
         "CAST(-72909780498219008 AS BIGINT) AS ahash FROM documents"),
+    // energy-delta fingerprint of the integer square wave (sign flips
+    // every 100 samples, amp = 1000 + (i mod 37)*200, 65 frames over
+    // 8000 samples, bit b = energy(b+1) > energy(b)) — derived by hand
+    "media_afp" ->
+      ("SELECT doc_id AS media_id, " +
+        "CAST(5311674074794632411 AS BIGINT) AS afp FROM documents"),
     // pcm16 wav of 8000 mono frames: 44-byte RIFF header + 16000 data bytes;
     // frames/rate come from the DECODED stream
     "media_wav_decode" ->

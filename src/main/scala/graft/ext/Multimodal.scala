@@ -397,4 +397,59 @@ object Multimodal {
   def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
       bands: Int = 4): DataFrame =
     Dedup.bandedHammingPairs(imageHashes(media), maxHamming, bands)
+
+  /** 64-bit audio fingerprint: channel 0 split into 65 equal frames
+    * (integer bounds f·n/65), frame energy = Σ sample² in a long
+    * (exact), bit i = energy(i+1) > energy(i) — the energy-delta
+    * construction (Haitsma-Kalker's sign-of-difference shape on one
+    * band). All-integer, so the fingerprint is exact and reproducible;
+    * robust to gain-preserving re-encodes (PCM16 round-trips exactly)
+    * and to small noise because only energy ORDER between adjacent
+    * frames matters. */
+  def audioFingerprint64(audio: Wav.Audio): Long = {
+    val s = audio.samples(0)
+    val n = s.length
+    require(n >= 65, s"audioFingerprint64 needs at least 65 samples, got $n")
+    val energy = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      val (i0, i1) = (f * n / 65, (f + 1) * n / 65)
+      var sum = 0L
+      var i = i0
+      while (i < i1) { val v = s(i).toLong; sum += v * v; i += 1 }
+      energy(f) = sum
+      f += 1
+    }
+    var hash = 0L
+    var b = 0
+    while (b < 64) { if (energy(b + 1) > energy(b)) hash |= 1L << b; b += 1 }
+    hash
+  }
+
+  /** Per-row audio fingerprints of WAV payloads: (media_id, fingerprint). */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.map(row => (row.media_id, audioFingerprint64(Wav.decode(row.payload))))
+      .toDF("id", "sim")
+  }
+
+  /** Audio near-dup pairs via the shared banded-hamming join. */
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+      bands: Int = 4): DataFrame =
+    Dedup.bandedHammingPairs(audioHashes(media), maxHamming, bands)
+
+  /** Deterministic integer square-wave test signal (no trig — every
+    * sample is a closed-form integer, so a SQL oracle can derive the
+    * fingerprint constant): sign flips every 100 samples, amplitude
+    * cycles 1000 + (i mod 37)·200. */
+  def testSignal(frames: Int = 8000, rateHz: Int = 8000): Wav.Audio = {
+    val s = new Array[Short](frames)
+    var i = 0
+    while (i < frames) {
+      val sign = if ((i / 100) % 2 == 0) 1 else -1
+      s(i) = (sign * (1000 + (i % 37) * 200)).toShort
+      i += 1
+    }
+    Wav.Audio(rateHz, Array(s))
+  }
 }

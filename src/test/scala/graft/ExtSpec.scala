@@ -313,6 +313,28 @@ class MultimodalSpec extends SparkSuite {
     assert(dInv > 16, s"inverted image only $dInv bits away")
   }
 
+  test("audio fingerprint is exact on the square wave and noise-tolerant") {
+    val sig = Multimodal.testSignal()
+    // constant derived independently in Python (see media_afp oracle)
+    assert(Multimodal.audioFingerprint64(sig) == 5311674074794632411L)
+    // pcm16 wav round-trip is lossless => identical fingerprint
+    val rt = graft.ext.Wav.decode(graft.ext.Wav.encode(sig))
+    assert(Multimodal.audioFingerprint64(rt) == 5311674074794632411L)
+    // mild additive noise flips few bits (only adjacent-frame energy
+    // ORDER matters); a different signal is far away
+    val noisy = sig.samples(0).zipWithIndex.map { case (v, i) =>
+      (v + (if (i % 3 == 0) 25 else -25)).toShort
+    }
+    val dNoise = java.lang.Long.bitCount(5311674074794632411L ^
+      Multimodal.audioFingerprint64(graft.ext.Wav.Audio(8000, Array(noisy))))
+    assert(dNoise <= 8, s"noise flipped $dNoise bits")
+    val other = Array.tabulate(8000)(i =>
+      ((if ((i / 173) % 2 == 0) 1 else -1) * (500 + (i % 53) * 150)).toShort)
+    val dOther = java.lang.Long.bitCount(5311674074794632411L ^
+      Multimodal.audioFingerprint64(graft.ext.Wav.Audio(8000, Array(other))))
+    assert(dOther > 12, s"distinct signal only $dOther bits away")
+  }
+
   test("image near-dup pairs find re-encodes, not distinct images") {
     val img = Multimodal.testPattern(16, 16)
     val other = new java.awt.image.BufferedImage(16, 16,
