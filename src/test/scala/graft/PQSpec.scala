@@ -511,6 +511,21 @@ class SqSpec extends SparkSuite {
     info(s"sq8 recall@10 at candidates=10: $recall")
     assert(recall >= 0.9, s"low sq8 recall $recall")
 
+    // the SQ copy is metric-agnostic (it stores quantized VECTORS, not
+    // metric-specific codes): the same index serves cosine exactly —
+    // the scale answer for the metric where PQ's residual ADC is
+    // budget-hungry on structure-free corpora
+    val bruteCos = df
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "cosine"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+    val fullCos = engine.searchSq("sqv", "vec", target, coding = "sc",
+      probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
+      metric = Some("cosine"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(fullCos == bruteCos, "cosine SQ at full budgets must equal brute")
+
     // incremental sync: grow the source, append quantize-only under the
     // stored affine params, full-budget search reflects the new rows
     val extra = (400 until 420).map { i =>
