@@ -816,6 +816,22 @@ class StreamIngestSpec extends SparkSuite {
       val got = engine.readTable(Seq("live_vecs"))
         .select("id").as[Long].collect().sorted
       assert(got.sameElements(Array(1L, 2L, 3L)))
+      // streamed rows flow into the normal index lifecycle: train a
+      // coder on what has arrived, sync, then a probed search finds a
+      // row that was STREAMED in afterwards via incremental sync
+      engine.makeIndex("lc", "live_vecs", "vec",
+        graft.coder.CoderConfig(metric = "l2", codebookSize = 2,
+          numCodebooks = 1, batchSize = 8, numEpochs = 2))
+      mem.addData((42L, Seq(100f, 100f, 100f, 100f)))
+      q.processAllAvailable()
+      graft.index.Index.syncIncremental(engine.store, "lc", "live_vecs",
+        "vec", "id")
+      val hit = engine.search("live_vecs", "vec",
+          Array(100.0, 100.0, 100.0, 100.0), coding = Some("lc"),
+          probes = Some(2), k = 1, tieBreak = Seq("id"))
+        .select("id").as[Long].collect()
+      assert(hit.sameElements(Array(42L)),
+        s"probed search must find the streamed row, got ${hit.mkString(",")}")
       // shape enforcement applies to the STREAM: a ragged vector fails
       // the micro-batch instead of landing silently
       mem.addData((4L, Seq(1f, 2f)))
