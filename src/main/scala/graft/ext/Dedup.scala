@@ -233,7 +233,10 @@ object Dedup {
     * near-dup operator (text SimHash, image average-hash): band the
     * signature into `bands` chunks (pigeonhole: hamming ≤ bands−1
     * guarantees a shared band), equi-join on (band, chunk), verify
-    * hamming ≤ maxHamming. `sigs` must have columns (id, sim: long).
+    * hamming ≤ maxHamming. Pairs BEYOND bands−1 bits apart are returned
+    * only when their differing bits happen to cluster (recall is
+    * probabilistic there — raise `bands` to widen the guarantee at the
+    * cost of more candidates). `sigs` must have columns (id, sim: long).
     * Returns (id_a, id_b, hamming), id_a < id_b. */
   def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
       bands: Int): DataFrame = {

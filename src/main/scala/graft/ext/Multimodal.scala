@@ -394,7 +394,7 @@ object Multimodal {
     * candidate join as text SimHash ([[Dedup.bandedHammingPairs]]) —
     * 8-byte signatures shuffle, never pixels; quadratic work only inside
     * (band, chunk) buckets. Returns (id_a, id_b, hamming), id_a < id_b. */
-  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+  def imageNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
       bands: Int = 4): DataFrame =
     Dedup.bandedHammingPairs(imageHashes(media), maxHamming, bands)
 
@@ -434,7 +434,7 @@ object Multimodal {
   }
 
   /** Audio near-dup pairs via the shared banded-hamming join. */
-  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 4,
+  def audioNearDupPairs(media: Dataset[MediaRow], maxHamming: Int = 3,
       bands: Int = 4): DataFrame =
     Dedup.bandedHammingPairs(audioHashes(media), maxHamming, bands)
 

@@ -75,9 +75,15 @@ object Temporal {
     * needed.
     *
     * `binWidth` trades replication (intervals copy to ~span/width bins)
-    * against bin selectivity; `maxBinsPerInterval` fails loudly when an
-    * interval would explode (pick a wider bin, or split giant
-    * intervals). Output: all left columns + all right columns.
+    * against bin selectivity; an interval exceeding `maxBinsPerInterval`
+    * bins fails loudly PER ROW inside the job (a lazy `raise_error`, no
+    * extra scan of `right`) — pick a wider bin, or split giant
+    * intervals. Inverted intervals (lo > hi) match nothing under
+    * BETWEEN, so they are dropped before binning rather than fed to
+    * `sequence` (whose default negative step would silently explode
+    * them into huge descending arrays). Output: all left columns + all
+    * right columns — the names must be disjoint (checked), mirroring a
+    * plain join's usability contract.
     */
   def rangeJoin(
       left: DataFrame, valueCol: String,
@@ -85,16 +91,27 @@ object Temporal {
       binWidth: Double,
       maxBinsPerInterval: Long = 4096L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    val spanBins = right.select(
-        max(ceil((col(hiCol) - col(loCol)) / binWidth))).collect()(0)
-    if (!spanBins.isNullAt(0))
-      require(spanBins.getLong(0) + 1 <= maxBinsPerInterval,
-        s"rangeJoin: an interval covers up to ${spanBins.getLong(0) + 1} " +
-          s"bins of width $binWidth (> maxBinsPerInterval=" +
-          s"$maxBinsPerInterval) — widen binWidth or split the interval.")
-    val binned = right.withColumn("__BIN__",
-      explode(sequence(floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"rangeJoin: left and right share column names ${shared.mkString(", ")} " +
+        "— rename one side (the output carries both sides' columns)")
+    require(!left.columns.contains("__BIN__") && !right.columns.contains("__BIN__"),
+      "rangeJoin: __BIN__ is reserved")
+    // guard on the ARITHMETIC bin count before sequence() ever builds an
+    // array (a runaway interval would blow up inside sequence itself);
+    // CASE branches evaluate lazily per row, so oversized rows hit the
+    // raise_error without materializing their bins
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    val nBins = hiBin - loBin + lit(1L)
+    val binned = right
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__BIN__", explode(
+        when(nBins <= maxBinsPerInterval, sequence(loBin, hiBin))
+          .otherwise(raise_error(concat(
+            lit("rangeJoin: an interval covers "), nBins.cast("string"),
+            lit(s" bins of width $binWidth (> maxBinsPerInterval=" +
+              s"$maxBinsPerInterval) — widen binWidth or split the interval."))))))
     left.withColumn("__BIN__", floor(col(valueCol) / binWidth).cast("long"))
       .join(binned, Seq("__BIN__"))
       .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))

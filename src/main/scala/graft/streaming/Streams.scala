@@ -23,10 +23,26 @@ object Streams {
     * (the file sink's `_spark_metadata` commit log gives readers
     * exactly-once file visibility), and downstream index sync is the
     * normal incremental path (`Engine.syncIndex`/`syncPqIndex`/
-    * `syncSqIndex`). Do not mix with batch `createTable` overwrites on
-    * the same name — the sink owns the directory's commit log. */
+    * `syncSqIndex`). The sink OWNS the directory's `_spark_metadata`
+    * commit log: readers then see only sink-committed files, so pointing
+    * this at an existing batch-written table would silently hide every
+    * previously ingested row — that mix is refused loudly up front. */
   def ingestStream(store: graft.store.Store, name: String, df: DataFrame,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val dir = new org.apache.hadoop.fs.Path(store.tablePath(name))
+    val fs = dir.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      val hasSinkLog = fs.exists(new org.apache.hadoop.fs.Path(dir, "_spark_metadata"))
+      val hasBatchData = fs.listStatus(dir)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      require(hasSinkLog || !hasBatchData,
+        s"ingestStream: table '$name' was written by the BATCH path; " +
+          "starting a file sink here would make its rows invisible to " +
+          "readers (the sink's _spark_metadata log becomes the source of " +
+          "truth). Stream into a fresh table name, or import the batch " +
+          "rows through the stream.")
+    }
     graft.types.Tensors.enforceDeclaredShapes(df)
       .writeStream
       .format("parquet")
@@ -34,6 +50,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .start()
+  }
 
   /** Tumbling-window per-type aggregates. On a stream, add
     * `.withWatermark("ts", "1 hour")` upstream and this plans as an

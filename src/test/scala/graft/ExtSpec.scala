@@ -664,12 +664,28 @@ class TemporalSpec extends SparkSuite {
     val plan = graft.ext.Temporal.rangeJoin(values, "v", intervals, "lo", "hi", 3.0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("NestedLoop"), s"range join planned as nested loop:\n$plan")
-    // an interval exploding past the cap refuses loudly
-    val err = intercept[IllegalArgumentException] {
+    // an interval exploding past the cap refuses loudly (lazily, inside
+    // the job — no eager extra scan of the right side)
+    val err = intercept[Exception] {
       graft.ext.Temporal.rangeJoin(values, "v",
-        Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi"), "lo", "hi", binWidth = 1.0)
+        Seq((1L, 0.0, 1e9)).toDF("iid", "lo", "hi"), "lo", "hi",
+        binWidth = 1.0).collect()
     }
-    assert(err.getMessage.contains("binWidth"), err.getMessage)
+    assert(err.getMessage.contains("widen binWidth") ||
+      Option(err.getCause).exists(_.getMessage.contains("widen binWidth")),
+      err.getMessage)
+    // inverted intervals match nothing (BETWEEN semantics) instead of
+    // exploding through sequence's negative default step
+    val inv = graft.ext.Temporal.rangeJoin(values, "v",
+      Seq((9L, 1e6, 0.0)).toDF("iid", "lo", "hi"), "lo", "hi", binWidth = 1.0)
+      .count()
+    assert(inv == 0L)
+    // shared column names refuse loudly
+    val dup = intercept[IllegalArgumentException] {
+      graft.ext.Temporal.rangeJoin(values, "v",
+        Seq((1L, 0.0, 1.0)).toDF("vid", "lo", "hi"), "lo", "hi", 1.0)
+    }
+    assert(dup.getMessage.contains("share column names"), dup.getMessage)
   }
 }
 
@@ -844,6 +860,22 @@ class StreamIngestSpec extends SparkSuite {
       if (q.isActive) q.stop()
       engine.remove()
     }
+  }
+
+  test("streaming ingest refuses a batch-written table (commit-log hazard)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-mix").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-mix-ckpt").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("batchy", Seq((1L, Seq(1f, 2f))).toDF("id", "vec"))
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val err = intercept[IllegalArgumentException] {
+      Streams.ingestStream(engine.store, "batchy",
+        mem.toDF().toDF("id", "vec"), ckpt)
+    }
+    assert(err.getMessage.contains("BATCH path"), err.getMessage)
+    engine.remove()
   }
 }
 

@@ -70,19 +70,28 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 
   test("quantize/dequantize round-trip error is bounded by scale/2 per element") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types._
     val scale = 0.5f
     val zp = 128f
+    // the PRODUCTION kernels: the Quantize/Dequantize expressions'
+    // interpreted path (asserted bit-identical to codegen in SqSpec and
+    // to the ingest UDF), evaluated directly on literals
+    def roundTrip(v: Array[Float]): Array[Float] = {
+      val bytes = graft.functions.Quantize(
+          Literal.create(v, ArrayType(FloatType, containsNull = false)),
+          scale, zp)
+        .eval(null).asInstanceOf[Array[Byte]]
+      graft.functions.Dequantize(Literal.create(bytes, BinaryType), scale, zp)
+        .eval(null).asInstanceOf[ArrayData].toFloatArray()
+    }
     // representable range of the affine: [(0-zp)*scale, (255-zp)*scale]
     val inRange = Gen.containerOfN[Array, Float](dim,
       Gen.chooseNum((-zp * scale).toDouble, ((255 - zp) * scale).toDouble)
         .map(_.toFloat))
     check(Prop.forAll(inRange) { v =>
-      val q = v.map { x =>
-        val r = math.round(x.toDouble / scale + zp)
-        math.max(0L, math.min(255L, r)).toByte
-      }
-      val back = q.map(b => scale * ((b & 0xFF) - zp))
-      v.zip(back).forall { case (orig, rt) =>
+      v.zip(roundTrip(v)).forall { case (orig, rt) =>
         math.abs(orig - rt) <= scale / 2 + 1e-6
       }
     })
