@@ -636,4 +636,66 @@ object Index {
     joined.withColumn("__rank__", row_number().over(w))
       .filter(col("__rank__") <= k).drop("__rank__")
   }
+
+  /** Batch k-NN join over the SQ8 index: [[ivfKnnJoin]]'s shape with the
+    * expensive stage on the QUANTIZED copy — the per-cell
+    * corpus×queries join carries (id, cell, d-byte codes) instead of 4d
+    * float bytes (4× less data through the join and the per-query
+    * window), then raw vectors are read back only for each query's
+    * `candidates` coarse survivors and scored exactly. With
+    * probes = numCells and candidates ≥ corpus size this equals the
+    * exact k-NN join (the oracle contract); bounded budgets inherit
+    * SQ8's near-exact ranking, so small `candidates` already recover
+    * the true top-k. */
+  def sqKnnJoin(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val coding = store.loadCoding(codingName)
+    val (scale, zeroPoint) = loadSqParams(store, codingName, source, column)
+    val m = graft.core.Metrics.canonical(
+      metric.getOrElse(coding.config.metric))
+    val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
+    val exploded = queries
+      .select(col(queryIdCol), col(queryVecCol))
+      .withColumn("__cell__",
+        explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
+    val cells = exploded.select("__cell__").distinct().collect().map(_.getLong(0))
+    val sqDf = store.spark.read
+      .parquet(store.sqIndexPath(source, column, codingName))
+      .withColumn(CodeCol, col(CodeCol).cast("long"))
+      .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+    // coarse: only (id, cell, codes) ride the per-cell join and window
+    val coarse = sqDf.select(col(idCol), col(CodeCol), col(SqCol))
+      .join(broadcast(exploded), col(CodeCol) === col("__cell__"))
+      .withColumn("__SQD__", vector_distance(
+        graft.types.Tensors.dequantize(col(SqCol), scale, zeroPoint),
+        col(queryVecCol), m))
+    val wCoarse = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__SQD__").asc, col(idCol).asc)
+    val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
+      .filter(col("__crank__") <= candidates)
+      .select(col(queryIdCol), col(queryVecCol), col(idCol))
+    // rerank: raw vectors only for each query's surviving candidates
+    val reranked = survivors
+      .join(sqDf.select(col(idCol), col(column)), Seq(idCol))
+      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
+      .drop(queryVecCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+    reranked.withColumn("__rank__", row_number().over(w))
+      .filter(col("__rank__") <= k).drop("__rank__")
+  }
 }

@@ -558,3 +558,61 @@ class SqSpec extends SparkSuite {
     engine.remove()
   }
 }
+
+class SqKnnJoinSpec extends SparkSuite {
+  import graft.api.Engine
+  import graft.coder.CoderConfig
+  import graft.index.Index
+  import org.apache.spark.sql.functions._
+
+  test("sq knn join: exact at full budgets; coarse join carries codes, not vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextDouble() * 20 - 10))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong, c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    val df = rows.toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-sqknn").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("kv", df)
+    engine.makeCoder("kc", "kv", "vec",
+      CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 2,
+        batchSize = 64, numEpochs = 2))
+    Index.build(engine.store, "kc", "kv", "vec")
+    engine.makeSqIndex("kc", "kv", "vec")
+
+    val queries = df.filter(col("id") < 3)
+      .select(col("id").as("q_id"), col("vec").cast("array<double>").as("q_vec"))
+    // brute per-query top-3 via the unindexed knn join
+    val brute = graft.api.Search.knnJoin(df, "vec", queries,
+        "q_id", "q_vec", metric = "l2", k = 3, tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val full = Index.sqKnnJoin(engine.store, "kc", "kv", "vec", queries,
+        "q_id", "q_vec", k = 3, probes = 4, candidates = 1 << 20,
+        idCol = "id", metric = Some("l2"), tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(full == brute, s"full-budget sq knn join != brute:\n$full\nvs $brute")
+
+    // bounded budgets stay near-exact (8-bit coarse ranking)
+    val tight = Index.sqKnnJoin(engine.store, "kc", "kv", "vec", queries,
+        "q_id", "q_vec", k = 3, probes = 2, candidates = 5,
+        idCol = "id", metric = Some("l2"), tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(tight.contains).toDouble / brute.size
+    info(s"sq knn join recall at probes=2, candidates=5: $recall")
+    assert(recall >= 0.8, s"low recall $recall")
+
+    // the coarse (pre-rerank) stage must not carry the vector column:
+    // its scan reads only (id, cell, codes)
+    val planStr = Index.sqKnnJoin(engine.store, "kc", "kv", "vec", queries,
+        "q_id", "q_vec", k = 3, probes = 4, candidates = 10,
+        idCol = "id", metric = Some("l2"), tieBreak = Seq("id"))
+      .queryExecution.executedPlan.toString
+    val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(l => l.contains(Index.SqCol) && !l.contains("vec:")),
+      s"no codes-only scan in:\n$planStr")
+    engine.remove()
+  }
+}
