@@ -138,6 +138,26 @@ class Engine(val spark: SparkSession, val root: String) {
     Index.searchSq(store, coding, source, column, target, k, probes,
       candidates, idCol, metric, filter, select, tieBreak)
 
+  /** Batch IVF k-NN join ([[Index.ivfKnnJoin]]): per-query top-k over
+    * the probed cells — many queries amortized over one pruned corpus
+    * pass. */
+  def knnJoinIvf(coding: String, source: String, column: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, probes: Int, metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    Index.ivfKnnJoin(store, coding, source, column, queries, queryIdCol,
+      queryVecCol, k, probes, metric, tieBreak)
+
+  /** Batch k-NN join over the SQ8 copy ([[Index.sqKnnJoin]]): the
+    * expensive per-cell stage carries d-byte codes instead of float
+    * vectors. */
+  def knnJoinSq(coding: String, source: String, column: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, probes: Int, candidates: Int, idCol: String,
+      metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
+    Index.sqKnnJoin(store, coding, source, column, queries, queryIdCol,
+      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+
   /** Multi-source IVF+PQ search (reference ticket `"a:b:c"`,
     * `flight.py:47`): each source's PQ index is searched independently —
     * per-source codebooks make ADC scores incomparable across sources,
