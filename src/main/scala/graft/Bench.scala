@@ -108,8 +108,13 @@ object Bench {
     val nearDup = NearDupBench.run(spark)
     val ndJson = nearDup.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(",")
+    // Recall-vs-budget curve at soak scale (1M): the SQ8 tier's
+    // budget-independence claim, recorded in the artifact.
+    val curveJson = CurveBench.run(spark)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString(",")
+    val curvePart = if (curveJson.isEmpty) "" else s",$curveJson"
     val quality =
-      f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs,$ndJson}"""
+      f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs,$ndJson$curvePart}"""
 
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality,"sf":"$sfDir"}"""

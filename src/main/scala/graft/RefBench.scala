@@ -24,7 +24,7 @@ object RefBench {
   /** Deterministic clustered corpus, generated distributed (no driver
     * data): per-row RNG seeded by vec_id, plus a shared per-cluster
     * offset pattern — mirrors the reference's `randn + 10·x[0]`. */
-  def corpus(spark: SparkSession): DataFrame = {
+  def corpus(spark: SparkSession, numVectors: Long = NumVectors.toLong): DataFrame = {
     import spark.implicits._
     val gen = udf { (id: Long) =>
       val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 42L)
@@ -33,7 +33,7 @@ object RefBench {
       val offset = Array.fill(Dim)(crnd.nextGaussian().toFloat * 10f)
       Array.tabulate(Dim)(i => rnd.nextGaussian().toFloat + offset(i))
     }
-    spark.range(NumVectors.toLong).toDF("vec_id")
+    spark.range(numVectors).toDF("vec_id")
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("vector", gen(col("vec_id")))
   }

@@ -221,8 +221,8 @@ object SparkEntry {
       val queries = tbl(s, dir, "embeddings").filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
       graft.index.Index.ivfKnnJoin(e.store, "c_l2", "emb", "embedding",
-          queries, "q_id", "q_emb", k = 3, probes = 64, metric = Some("l2"),
-          tieBreak = Seq("vec_id"))
+          queries, "q_id", "q_emb", k = 3, probes = 64, idCol = "vec_id",
+          metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
     }),
     // —— batch kNN join over the SQ8 copy: the per-cell join carries
@@ -361,6 +361,17 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))),
+    // —— REAL trained-merges BPE token counts (Sennrich alg; merges are
+    // deterministic but not SQL-expressible → rows-only oracle; the merge
+    // learning + encode are pinned against hand-computed tokenizations in
+    // ScalaTest) ——
+    "text_tokens_bpe2" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      val model = graft.ext.Bpe.train(docs, "text",
+        numMerges = 200, maxWords = 4096)
+      docs.select(col("doc_id"),
+        graft.ext.Bpe.tokenCountUdf(model)(col("text")).cast("long").as("n_tok"))
+    }),
     "text_stats" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "documents")
         .withColumn("token_count", TextAnalysis.tokenCount(col("text")).cast("long"))

@@ -81,13 +81,11 @@ class Engine(val spark: SparkSession, val root: String) {
     // distance-to-every-centroid recomputation on each scan of the
     // dedup's join stages. The index is a SNAPSHOT: if the source has
     // grown/changed since the build it would silently dedup stale data,
-    // so only take this branch when the row counts still agree
-    // (metadata-cheap parquet counts; same-count-different-content means
-    // the index is broken for search too — resync it). Fall back to
-    // computing the assignment inline otherwise.
-    val fresh = Index.indexExists(store, coding, source, column) &&
-      Index.load(store, coding, source, column).count() ==
-        store.loadTable(source).count()
+    // so only take this branch when the content stamp recorded at
+    // build/sync time still matches the source ([[Index.indexFresh]] —
+    // a file-listing hash, so even a same-row-count rewrite is caught).
+    // Fall back to computing the assignment inline otherwise.
+    val fresh = Index.indexFresh(store, coding, source, column)
     if (fresh)
       graft.ext.Dedup.semanticDedup(
         Index.load(store, coding, source, column), idCol, column,
@@ -117,8 +115,8 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** Build the IVF+SQ8 index under an existing coding — 8-bit scalar
     * quantization, the memory tier between raw vectors and PQ
-    * ([[Index.buildSq]]); returns the (scale, zeroPoint) params. */
-  def makeSqIndex(codingName: String, source: String, column: String): (Float, Float) =
+    * ([[Index.buildSq]]); returns the per-dimension affine params. */
+  def makeSqIndex(codingName: String, source: String, column: String): Index.SqParams =
     Index.buildSq(store, codingName, source, column)
 
   /** Quantize-only append of new source rows to an existing SQ8 index
@@ -140,13 +138,13 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** Batch IVF k-NN join ([[Index.ivfKnnJoin]]): per-query top-k over
     * the probed cells — many queries amortized over one pruned corpus
-    * pass. */
+    * pass; only ids/distances cross the per-query shuffle. */
   def knnJoinIvf(coding: String, source: String, column: String,
       queries: DataFrame, queryIdCol: String, queryVecCol: String,
-      k: Int, probes: Int, metric: Option[String] = None,
+      k: Int, probes: Int, idCol: String, metric: Option[String] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
     Index.ivfKnnJoin(store, coding, source, column, queries, queryIdCol,
-      queryVecCol, k, probes, metric, tieBreak)
+      queryVecCol, k, probes, idCol, metric, tieBreak)
 
   /** Batch k-NN join over the SQ8 copy ([[Index.sqKnnJoin]]): the
     * expensive per-cell stage carries d-byte codes instead of float

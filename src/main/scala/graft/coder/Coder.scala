@@ -121,6 +121,35 @@ object VecSumAgg extends Aggregator[Array[Double], Array[Double], Array[Double]]
   override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
 }
 
+/** Element-wise vector reduce under an associative binary op — the shared
+  * shape of the per-dimension min/max aggs the SQ8 build needs (one
+  * map-side-combined pass; only `parts × dim` doubles ever shuffle).
+  * Ragged inputs fail loudly: a silent truncation would mis-fit the
+  * per-dimension affine params. */
+sealed abstract class VecReduceAgg(op: (Double, Double) => Double)
+    extends Aggregator[Array[Double], Array[Double], Array[Double]] {
+  private def combine(b: Array[Double], a: Array[Double]): Array[Double] =
+    if (a == null) b
+    else if (b.isEmpty) a.clone()
+    else {
+      require(a.length == b.length,
+        s"ragged vectors in per-dimension agg: ${a.length} vs ${b.length} dims")
+      var i = 0; while (i < b.length) { b(i) = op(b(i), a(i)); i += 1 }; b
+    }
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(b: Array[Double], a: Array[Double]): Array[Double] = combine(b, a)
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = combine(b1, b2)
+  override def finish(r: Array[Double]): Array[Double] = r
+  override def bufferEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
+}
+
+/** Per-dimension minimum over array<double> rows. */
+object VecMinAgg extends VecReduceAgg(math.min)
+
+/** Per-dimension maximum over array<double> rows. */
+object VecMaxAgg extends VecReduceAgg(math.max)
+
 /** Mini-batch multi-codebook k-means, Spark-first.
   *
   * Semantics mirror the reference trainer

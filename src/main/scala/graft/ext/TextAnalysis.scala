@@ -218,43 +218,26 @@ object TextAnalysis {
     * is detectable by a plain equi-join on `fp` — a hash-partitioned
     * shuffle of (doc_id, fp) longs, never of the documents.
     *
-    * Pure codegen'd HOFs over a per-row char array — no UDF; each gram's
-    * hash is recomputed in O(k) rather than rolled in O(1), the price of
-    * staying inside whole-stage codegen (k is small; the map is narrow
-    * and embarrassingly parallel). The arithmetic is mirrored
-    * term-for-term by the DuckDB oracle (`text_fingerprint`). Characters
-    * are UTF-16 code units on the Spark side and code points on the
-    * oracle side — identical for the BMP text this targets.
+    * One codegen'd expression over the lower-cased string
+    * ([[graft.functions.WinnowFingerprints]]): an O(len) rolling hash of
+    * CODE POINTS whose per-gram values are mirrored term-for-term by the
+    * DuckDB oracle's `unicode()`-based fold — identical for all text,
+    * not just ASCII (the earlier HOF pipeline hashed UTF-8 lead bytes
+    * via `ascii()`, collapsing e.g. every CJK char to one value). The
+    * map is narrow and embarrassingly parallel; lower-casing stays in
+    * Spark's `lower` so engine-specific case-mapping edge cases sit in
+    * one visible place.
     *
     * Returns (`idCol`, fp: bigint), one row per distinct fingerprint;
-    * documents shorter than k characters yield no rows.
+    * documents shorter than k code points yield no rows.
     */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 5, window: Int = 4): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    require(window >= 1, s"window must be >= 1, got $window")
-    val M = 1000000007L
-    val B = 257L
-    val emptyLongs = typedLit(Seq.empty[Long])
-    df
-      .select(col(idCol),
-        // char array once per row: element_at is O(1), while substr-ing
-        // the string per (i, j) would rescan from the start each time
-        filter(split(lower(col(textCol)), ""), c => c =!= "").as("__c__"))
-      .withColumn("__h__",
-        when(size(col("__c__")) < k, emptyLongs)
-          .otherwise(transform(
-            sequence(lit(1), size(col("__c__")) - (k - 1)),
-            i => aggregate(sequence(lit(0), lit(k - 1)), lit(0L),
-              (acc, j) =>
-                (acc * B + ascii(element_at(col("__c__"), i + j))) % M))))
-      .withColumn("__w__",
-        when(size(col("__h__")) === 0, emptyLongs)
-          .otherwise(transform(
-            sequence(lit(1), greatest(size(col("__h__")) - (window - 1), lit(1))),
-            t => array_min(slice(col("__h__"), t, lit(window))))))
-      .select(col(idCol), explode(array_distinct(col("__w__"))).as("fp"))
-  }
+      k: Int = 5, window: Int = 4): DataFrame =
+    df.select(col(idCol),
+      explode(org.apache.spark.sql.GraftShims.column(
+        graft.functions.WinnowFingerprints(
+          org.apache.spark.sql.GraftShims.expression(lower(col(textCol))),
+          k, window))).as("fp"))
 
   /** Document-overlap candidate pairs from shared winnowing
     * fingerprints: pairs of documents sharing ≥ `minShared` fingerprints
@@ -267,15 +250,28 @@ object TextAnalysis {
     * dropped up front — corpus-wide boilerplate grams would otherwise
     * form quadratic buckets (and carry no overlap signal; same reasoning
     * as a stopword list), so per-fp join work is bounded at
-    * maxDocFreq². Returns (id_a, id_b, shared), id_a < id_b. */
+    * maxDocFreq². Returns (id_a, id_b, shared), id_a < id_b.
+    *
+    * `durableCheckpoint = true` writes the materialized fingerprints to
+    * the configured `sparkContext.setCheckpointDir` instead of executor-
+    * local storage: `localCheckpoint` cuts lineage, so on a real cluster
+    * an executor loss fails the job rather than recomputing — the
+    * durable variant survives it at the cost of one distributed write. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, window: Int = 4, minShared: Int = 10,
-      maxDocFreq: Long = 1000L): DataFrame = {
-    // materialize the fingerprints once (localCheckpoint, the
-    // duplicateGroups precedent): they are read by the doc-frequency agg
-    // and BOTH self-join sides, and recomputing the O(len·k) hashing
-    // three times dominated the query's wall time
-    val fps = winnowFingerprints(df, idCol, textCol, k, window).localCheckpoint()
+      maxDocFreq: Long = 1000L, durableCheckpoint: Boolean = false): DataFrame = {
+    // materialize the fingerprints once (the duplicateGroups precedent):
+    // they are read by the doc-frequency agg and BOTH self-join sides,
+    // and recomputing the hashing three times dominated the query's wall
+    // time
+    val fps0 = winnowFingerprints(df, idCol, textCol, k, window)
+    val fps =
+      if (!durableCheckpoint) fps0.localCheckpoint()
+      else {
+        require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "durableCheckpoint requires sparkContext.setCheckpointDir(...)")
+        fps0.checkpoint()
+      }
     val rare = fps.join(
       fps.groupBy("fp").count().filter(col("count") <= maxDocFreq).select("fp"),
       Seq("fp"))

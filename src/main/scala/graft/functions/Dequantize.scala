@@ -18,6 +18,12 @@ import org.apache.spark.sql.types._
   */
 case class Dequantize(child: Expression, scale: Float, zeroPoint: Float)
     extends UnaryExpression {
+  // NaN/Infinity params are reachable from SQL (`graft_dequantize(b,
+  // double('nan'), 0)`) and would interpolate as uncompilable Java in
+  // doGenCode — fail at analysis time instead of falling back to
+  // interpreted eval that silently produces NaNs.
+  require(java.lang.Float.isFinite(scale) && java.lang.Float.isFinite(zeroPoint),
+    s"graft_dequantize: scale/zeroPoint must be finite, got ($scale, $zeroPoint)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case BinaryType => TypeCheckResult.TypeCheckSuccess
@@ -65,6 +71,12 @@ case class Dequantize(child: Expression, scale: Float, zeroPoint: Float)
   */
 case class Quantize(child: Expression, scale: Float, zeroPoint: Float)
     extends UnaryExpression {
+  // see Dequantize: non-finite params would render as `NaNf`/`Infinityf`
+  // in the generated Java; a zero scale silently divides to ±Infinity
+  require(java.lang.Float.isFinite(scale) && scale != 0f &&
+      java.lang.Float.isFinite(zeroPoint),
+    s"graft_quantize: scale must be finite non-zero and zeroPoint finite, " +
+      s"got ($scale, $zeroPoint)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -117,6 +129,145 @@ case class Quantize(child: Expression, scale: Float, zeroPoint: Float)
          |  $out[$i] = (byte) Math.max(0L, Math.min(255L, $q));
          |}
          |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-dimension affine quantization:
+  * `out[i] = clamp(round(x[i] / scales[i] + zeroPoints[i]), 0, 255)`.
+  *
+  * The SQ8 index's encode path: one (scale, zeroPoint) pair PER DIMENSION
+  * instead of [[Quantize]]'s single global affine — the standard scalar-
+  * quantizer formulation (one outlier element anywhere must not collapse
+  * resolution for every dimension). Params ride the plan as a reference
+  * object (no literal interpolation, so the array size doesn't bloat the
+  * generated source). Input dimensionality must match the param arrays —
+  * a mismatch encodes garbage, so it throws.
+  */
+case class QuantizePerDim(child: Expression, scales: Array[Float],
+    zeroPoints: Array[Float]) extends UnaryExpression {
+  require(scales.nonEmpty && scales.length == zeroPoints.length,
+    s"per-dim quantize: ${scales.length} scales vs ${zeroPoints.length} zeroPoints")
+  require(scales.forall(s => java.lang.Float.isFinite(s) && s != 0f) &&
+      zeroPoints.forall(java.lang.Float.isFinite),
+    "per-dim quantize: every scale must be finite non-zero and every zeroPoint finite")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"per-dim quantize expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_quantize_dims"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n != scales.length) throw new IllegalArgumentException(
+      s"graft_quantize_dims: vector has $n dims but params have ${scales.length}")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_quantize_dims: null element at index $i — quantize needs dense vectors")
+      val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      val q = math.round(x / scales(i) + zeroPoints(i))
+      out(i) = math.max(0L, math.min(255L, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.addReferenceObj("scales", scales, "float[]")
+      val z = ctx.addReferenceObj("zeroPoints", zeroPoints, "float[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("idx")
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val get = if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $s.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_quantize_dims: vector has " + $n + " dims but params have " + $s.length);
+         |}
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_quantize_dims: null element at index " + $i +
+         |      " — quantize needs dense vectors");
+         |  }
+         |  long $q = Math.round($get / ((double) $s[$i]) + ((double) $z[$i]));
+         |  $out[$i] = (byte) Math.max(0L, Math.min(255L, $q));
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-dimension affine dequantization — the inverse of [[QuantizePerDim]]:
+  * `out[i] = scales[i] * (bytes[i] - zeroPoints[i])`. */
+case class DequantizePerDim(child: Expression, scales: Array[Float],
+    zeroPoints: Array[Float]) extends UnaryExpression {
+  require(scales.nonEmpty && scales.length == zeroPoints.length,
+    s"per-dim dequantize: ${scales.length} scales vs ${zeroPoints.length} zeroPoints")
+  require(scales.forall(java.lang.Float.isFinite) &&
+      zeroPoints.forall(java.lang.Float.isFinite),
+    "per-dim dequantize: every scale and zeroPoint must be finite")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"per-dim dequantize expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_dequantize_dims"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length != scales.length) throw new IllegalArgumentException(
+      s"graft_dequantize_dims: payload has ${bytes.length} dims but params " +
+        s"have ${scales.length}")
+    val out = new Array[Float](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = scales(i) * ((bytes(i) & 0xFF) - zeroPoints(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val s = ctx.addReferenceObj("scales", scales, "float[]")
+      val z = ctx.addReferenceObj("zeroPoints", zeroPoints, "float[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("idx")
+      s"""
+         |if ($b.length != $s.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dequantize_dims: payload has " + $b.length +
+         |    " dims but params have " + $s.length);
+         |}
+         |float[] $out = new float[$b.length];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $out[$i] = $s[$i] * (($b[$i] & 0xFF) - $z[$i]);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 

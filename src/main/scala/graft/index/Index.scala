@@ -40,6 +40,10 @@ object Index {
     * reference `make-index` / `sync_index` (A2). One distributed pass. */
   def build(store: Store, codingName: String, source: String, column: String): Unit = {
     val coding = store.loadCoding(codingName)
+    // stamp BEFORE reading: a concurrent source change mid-build then
+    // leaves a stale stamp (conservative — freshness check fails) rather
+    // than a wrongly-fresh one
+    val stamp = store.sourceStamp(source)
     val df = store.loadTable(source)
     // Cluster rows by cell before the partitioned write: without this every
     // task writes a file into every cell directory (tasks × cells tiny
@@ -47,12 +51,33 @@ object Index {
     // the cell id keeps it one shuffle, sized to the cell count.
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
+    val path = store.indexPath(source, column, codingName)
     df.withColumn(CodeCol, assignExpr(col(column), coding))
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
-      .parquet(store.indexPath(source, column, codingName))
+      .parquet(path)
+    recordSourceStamp(store, path, stamp)
   }
+
+  private def stampSidecar(path: String) = s"$path/_source_stamp.json"
+
+  private def recordSourceStamp(store: Store, indexPath: String, stamp: String): Unit =
+    store.writeSidecar(stampSidecar(indexPath),
+      s"""{"stamp":"$stamp"}""".getBytes("UTF-8"))
+
+  /** Whether the materialized index copy exists AND was built/synced from
+    * the CURRENT content of `source` (the stamp recorded at build/sync
+    * time matches the source's file-listing stamp now — catches
+    * same-row-count rewrites that count-equality checks miss). Indexes
+    * predating the stamp sidecar report not-fresh. */
+  def indexFresh(store: Store, codingName: String, source: String,
+      column: String): Boolean =
+    indexExists(store, codingName, source, column) && {
+      val sc = stampSidecar(store.indexPath(source, column, codingName))
+      store.sidecarExists(sc) && new String(store.readSidecar(sc), "UTF-8")
+        .contains("\"" + store.sourceStamp(source) + "\"")
+    }
 
   /** Incremental sync: assign + append only the source rows whose `idCol`
     * is not yet indexed (the reference's `sync_index` reassigns the whole
@@ -69,6 +94,7 @@ object Index {
       return store.spark.read.parquet(path).count()
     }
     val coding = store.loadCoding(codingName)
+    val stamp = store.sourceStamp(source)
     val existing = store.spark.read.parquet(path).select(col(idCol))
     val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
     val delta = fresh.withColumn(CodeCol, assignExpr(col(column), coding))
@@ -77,8 +103,14 @@ object Index {
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = delta.count()
-      if (appended > 0)
+      if (appended > 0) {
         delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+        // append-only growth re-freshens the stamp; an in-place row
+        // MODIFICATION yields appended == 0 (the anti-join sees no new
+        // ids) and the stamp stays stale on purpose — sync cannot repair
+        // modified rows, so freshness must keep failing
+        recordSourceStamp(store, path, stamp)
+      }
       appended
     } finally delta.unpersist(blocking = false)
   }
@@ -456,60 +488,106 @@ object Index {
   val SqCol: String = "__SQ__"
   private def sqSidecar(path: String) = s"$path/_sq_params.json"
 
+  /** The SQ8 index's affine params: one (scale, zeroPoint) pair PER
+    * DIMENSION — the standard scalar-quantizer formulation. A single
+    * global pair collapses resolution for every dimension when one
+    * outlier element lands anywhere in the corpus; per-dimension fitting
+    * costs the same single agg pass. */
+  case class SqParams(scales: Array[Float], zeroPoints: Array[Float]) {
+    def dim: Int = scales.length
+  }
+
+  private def quantizeCol(vec: Column, p: SqParams): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.QuantizePerDim(
+      org.apache.spark.sql.GraftShims.expression(vec), p.scales, p.zeroPoints))
+
+  private def dequantizeCol(codes: Column, p: SqParams): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.DequantizePerDim(
+      org.apache.spark.sql.GraftShims.expression(codes), p.scales, p.zeroPoints))
+
+  /** Fit per-dimension affine params from per-dimension [lo, hi]:
+    * `q = x/scale + zeroPoint` maps [lo_i, hi_i] onto [0, 255]. Constant
+    * dimensions (hi == lo — paddings, one-hot constants) encode exactly
+    * under (scale 1, zeroPoint −lo); ranges too tiny for float32 fall
+    * back the same way rather than dividing by a rounded-to-zero scale. */
+  private[graft] def fitSqParams(lo: Array[Double], hi: Array[Double]): SqParams = {
+    val scales = new Array[Float](lo.length)
+    val zps = new Array[Float](lo.length)
+    var i = 0
+    while (i < lo.length) {
+      val s = ((hi(i) - lo(i)) / 255.0).toFloat
+      val z = if (s > 0f) (-lo(i) / s).toFloat else Float.NaN
+      if (s > 0f && java.lang.Float.isFinite(s) && java.lang.Float.isFinite(z)) {
+        scales(i) = s; zps(i) = z
+      } else {
+        scales(i) = 1f; zps(i) = (-lo(i)).toFloat
+      }
+      i += 1
+    }
+    SqParams(scales, zps)
+  }
+
   /** Build the IVF+SQ8 index: the cell-partitioned copy carries an 8-bit
     * scalar-quantized copy of the vector (d bytes/row vs 4d float bytes —
     * the memory tier BETWEEN raw vectors and PQ's m bytes, with near-exact
-    * ranking instead of PQ's subspace approximation). One global affine
-    * (scale, zeroPoint) covers the corpus: computed from the min/max
-    * element over all vectors (one agg pass), so dequantized values have
-    * ≤ range/510 absolute error per element. Encode is the codegen'd
-    * [[graft.functions.Quantize]] — a single narrow corpus pass. */
+    * ranking instead of PQ's subspace approximation). Affine params are
+    * PER-DIMENSION ([[fitSqParams]]): one map-side-combined min/max agg
+    * pass (only partitions × dim doubles shuffle), so each dimension's
+    * dequantized values have ≤ range_i/510 absolute error — an outlier
+    * in one dimension cannot collapse the others' resolution. Encode is
+    * the codegen'd [[graft.functions.QuantizePerDim]] — a single narrow
+    * corpus pass. */
   def buildSq(store: Store, codingName: String, source: String,
-      column: String): (Float, Float) = {
+      column: String): SqParams = {
     val coding = store.loadCoding(codingName)
     val df = store.loadTable(source)
-    val stats = df.select(
-        min(array_min(col(column).cast("array<float>"))).as("lo"),
-        max(array_max(col(column).cast("array<float>"))).as("hi"))
+    val vecMin = udaf(graft.coder.VecMinAgg)
+    val vecMax = udaf(graft.coder.VecMaxAgg)
+    val stats = df
+      .select(col(column).cast("array<double>").as("__v__"))
+      .filter(col("__v__").isNotNull)
+      .agg(vecMin(col("__v__")).as("lo"), vecMax(col("__v__")).as("hi"))
       .collect()(0)
-    require(!stats.isNullAt(0) && !stats.isNullAt(1),
+    val lo = stats.getSeq[Double](0).toArray
+    val hi = stats.getSeq[Double](1).toArray
+    require(lo.nonEmpty,
       s"buildSq: $source.$column has no non-null vectors to quantize")
-    val (lo, hi) = (stats.getFloat(0), stats.getFloat(1))
-    require(hi > lo, s"degenerate value range [$lo, $hi] in $source.$column")
-    // q = x/scale + zeroPoint maps [lo, hi] onto [0, 255]
-    val scale = ((hi.toDouble - lo.toDouble) / 255.0).toFloat
-    val zeroPoint = (-lo.toDouble / scale).toFloat
+    val params = fitSqParams(lo, hi)
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.sqIndexPath(source, column, codingName)
     df.withColumn(CodeCol, assignExpr(col(column), coding))
-      .withColumn(SqCol, org.apache.spark.sql.GraftShims.column(
-        graft.functions.Quantize(
-          org.apache.spark.sql.GraftShims.expression(col(column)),
-          scale, zeroPoint)))
+      .withColumn(SqCol, quantizeCol(col(column), params))
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
       .parquet(path)
-    store.writeSidecar(sqSidecar(path),
-      s"""{"scale":$scale,"zeroPoint":$zeroPoint}""".getBytes("UTF-8"))
-    (scale, zeroPoint)
+    store.writeSidecar(sqSidecar(path), sqParamsJson(params).getBytes("UTF-8"))
+    params
   }
+
+  private def sqParamsJson(p: SqParams): String =
+    s"""{"scales":[${p.scales.mkString(",")}],""" +
+      s""""zeroPoints":[${p.zeroPoints.mkString(",")}]}"""
 
   def sqIndexExists(store: Store, codingName: String, source: String,
       column: String): Boolean =
-    store.sidecarExists(sqSidecar(store.sqIndexPath(source, column, codingName)))
+    store.sidecarExists(sqSidecar(store.sqIndexPath(source, column, codingName))) &&
+      // a sidecar in the legacy single-affine format (or otherwise
+      // unparseable) counts as ABSENT, so exists-then-build flows rebuild
+      // it instead of failing at search time
+      scala.util.Try(loadSqParams(store, codingName, source, column)).isSuccess
 
   private def loadSqParams(store: Store, codingName: String, source: String,
-      column: String): (Float, Float) = {
+      column: String): SqParams = {
     val s = new String(store.readSidecar(
       sqSidecar(store.sqIndexPath(source, column, codingName))), "UTF-8")
-    def f(k: String): Float = {
-      val m = s"""\"$k\":([-0-9.eE]+)""".r.findFirstMatchIn(s)
-      m.map(_.group(1).toFloat).getOrElse(
-        throw new IllegalStateException(s"malformed SQ sidecar: $s"))
-    }
-    (f("scale"), f("zeroPoint"))
+    def arr(k: String): Array[Float] =
+      s"""\"$k\":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
+        .map(_.group(1).split(",").map(_.trim.toFloat))
+        .getOrElse(throw new IllegalStateException(
+          s"malformed or pre-per-dimension SQ sidecar (rebuild with buildSq): $s"))
+    SqParams(arr("scales"), arr("zeroPoints"))
   }
 
   /** Incremental SQ8 sync: quantize-only append of source rows whose
@@ -524,16 +602,13 @@ object Index {
     require(store.sidecarExists(sqSidecar(path)),
       s"no SQ index for $source.$column under coding '$codingName' — " +
         "build it first (buildSq)")
-    val (scale, zeroPoint) = loadSqParams(store, codingName, source, column)
+    val params = loadSqParams(store, codingName, source, column)
     val coding = store.loadCoding(codingName)
     val existing = store.spark.read.parquet(path).select(col(idCol))
     val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
     val delta = fresh
       .withColumn(CodeCol, assignExpr(col(column), coding))
-      .withColumn(SqCol, org.apache.spark.sql.GraftShims.column(
-        graft.functions.Quantize(
-          org.apache.spark.sql.GraftShims.expression(col(column)),
-          scale, zeroPoint)))
+      .withColumn(SqCol, quantizeCol(col(column), params))
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = delta.count()
@@ -568,7 +643,7 @@ object Index {
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
-    val (scale, zeroPoint) = loadSqParams(store, codingName, source, column)
+    val params = loadSqParams(store, codingName, source, column)
     val m = graft.core.Metrics.canonical(
       metric.getOrElse(coding.config.metric))
     val cells = coding.rankCells(target.doubles, probes)
@@ -580,8 +655,7 @@ object Index {
     val coarseIds = pruned
       .select(col(idCol), col(SqCol))
       .withColumn("__SQD__", vector_distance(
-        graft.types.Tensors.dequantize(col(SqCol), scale, zeroPoint),
-        target.lit, m))
+        dequantizeCol(col(SqCol), params), target.lit, m))
       .orderBy(col("__SQD__").asc, col(idCol).asc)
       .limit(candidates)
       .select(idCol)
@@ -595,15 +669,38 @@ object Index {
       .limit(k)
   }
 
+  /** A k^n-capped probe union is still a planning hazard as an IN-SET
+    * partition filter (catalog pruning evaluates it per partition and the
+    * predicate itself ships in every task); beyond this many distinct
+    * cells the batch should probe less or split. */
+  val ProbedCellUnionCap = 32768
+
+  /** Distinct probed cells across the query batch (driver-side — the
+    * exploded frame is numQueries×probes rows), cap-checked. */
+  private def probedCellUnion(exploded: DataFrame): Array[Long] = {
+    val cells = exploded.select("__cell__").distinct().collect().map(_.getLong(0))
+    require(cells.length <= ProbedCellUnionCap,
+      s"the union of probed cells across this query batch (${cells.length}) " +
+        s"exceeds $ProbedCellUnionCap — an IN-SET partition filter that " +
+        "large is itself a planning hazard. Reduce probes, use a coding " +
+        "with fewer cells, or split the query batch.")
+    cells
+  }
+
   /** Batch IVF k-NN join: top-k corpus rows per query row, probing only
     * each query's nearest cells.
     *
     * Scale shape: every query explodes to its `probes` cell ids (small
     * broadcast); the union of probed cells prunes the partitioned corpus
-    * scan (driver-side distinct — bounded by k^n); the per-cell equi-join
-    * then only reads + scores the probed fraction, and per-query top-k is
-    * a window rank. This is the "online ANN" surface re-shaped for Spark:
-    * amortize many queries over one pruned corpus pass.
+    * scan (driver-side distinct — capped, see [[ProbedCellUnionCap]]); the
+    * per-cell broadcast equi-join scores distances MAP-SIDE (the pruned
+    * scan has to read the vectors to score them, but no shuffle sees
+    * them), and only (queryId, corpusId, distance, tie-breaks) ride the
+    * per-query window exchange — the corpus' float vectors never cross a
+    * shuffle. Full rows come back via a broadcast join of the ≤
+    * numQueries·k survivors. This is the "online ANN" surface re-shaped
+    * for Spark: amortize many queries over one pruned corpus pass.
+    * `idCol` must be unique per corpus row.
     */
   def ivfKnnJoin(
       store: Store,
@@ -615,6 +712,7 @@ object Index {
       queryVecCol: String,
       k: Int,
       probes: Int,
+      idCol: String,
       metric: Option[String] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -624,17 +722,26 @@ object Index {
     val exploded = queries
       .select(col(queryIdCol), col(queryVecCol))
       .withColumn("__cell__", explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
-    // Union of probed cells (≤ k^n, capped at 1e6) prunes the corpus scan.
-    val cells = exploded.select("__cell__").distinct().collect().map(_.getLong(0))
+    val cells = probedCellUnion(exploded)
     val corpus = load(store, codingName, source, column)
       .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
-    val joined = corpus.join(broadcast(exploded), col(CodeCol) === col("__cell__"))
+    // narrow coarse pass: score in the projection of the broadcast join,
+    // then immediately shed the vectors before the window exchange
+    val coarseCols = (idCol +: tieBreak).distinct
+    val scored = corpus
+      .select((coarseCols :+ column).distinct.map(col) :+ col(CodeCol): _*)
+      .join(broadcast(exploded), col(CodeCol) === col("__cell__"))
       .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
-      .drop(queryVecCol, "__cell__")
+      .select(col(queryIdCol) +: col(Search.DistCol) +: coarseCols.map(col): _*)
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
-    joined.withColumn("__rank__", row_number().over(w))
-      .filter(col("__rank__") <= k).drop("__rank__")
+    val topk = scored.withColumn("__rank__", row_number().over(w))
+      .filter(col("__rank__") <= k)
+      .select(col(queryIdCol), col(Search.DistCol), col(idCol))
+    // survivors (≤ numQueries·k ids) broadcast back against the pruned
+    // corpus to restore the full row — distances travel with them, no
+    // re-scoring
+    broadcast(topk).join(corpus, Seq(idCol))
   }
 
   /** Batch k-NN join over the SQ8 index: [[ivfKnnJoin]]'s shape with the
@@ -664,7 +771,7 @@ object Index {
     import org.apache.spark.sql.expressions.Window
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val coding = store.loadCoding(codingName)
-    val (scale, zeroPoint) = loadSqParams(store, codingName, source, column)
+    val params = loadSqParams(store, codingName, source, column)
     val m = graft.core.Metrics.canonical(
       metric.getOrElse(coding.config.metric))
     val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
@@ -672,7 +779,7 @@ object Index {
       .select(col(queryIdCol), col(queryVecCol))
       .withColumn("__cell__",
         explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
-    val cells = exploded.select("__cell__").distinct().collect().map(_.getLong(0))
+    val cells = probedCellUnion(exploded)
     val sqDf = store.spark.read
       .parquet(store.sqIndexPath(source, column, codingName))
       .withColumn(CodeCol, col(CodeCol).cast("long"))
@@ -681,8 +788,7 @@ object Index {
     val coarse = sqDf.select(col(idCol), col(CodeCol), col(SqCol))
       .join(broadcast(exploded), col(CodeCol) === col("__cell__"))
       .withColumn("__SQD__", vector_distance(
-        graft.types.Tensors.dequantize(col(SqCol), scale, zeroPoint),
-        col(queryVecCol), m))
+        dequantizeCol(col(SqCol), params), col(queryVecCol), m))
     val wCoarse = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__SQD__").asc, col(idCol).asc)
     val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))

@@ -122,6 +122,23 @@ class Store(val spark: SparkSession, val root: String) {
 
   def listTables(): Seq[String] = list(s"$root/sources")
 
+  /** Metadata-cheap content stamp of a stored source: MD5 over the
+    * sorted (name, length, mtime) file listing of its directory. Any
+    * rewrite — including one that preserves the row count — lands new
+    * files and changes the stamp, so "stamp unchanged" is a far stronger
+    * freshness proxy than count equality (one FS listing, no data
+    * scan). */
+  def sourceStamp(name: String): String = {
+    val p = new Path(sourcePath(name))
+    if (!fs.exists(p)) return "absent"
+    val entries = fs.listStatus(p).filter(_.isFile)
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(entries.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   /** Bucketed table: pre-hash-partitioned AND sorted on `bucketCol` so
     * equi-joins/aggregations between co-bucketed tables plan with NO
     * shuffle exchange (registered in the session catalog — bucketing

@@ -148,6 +148,24 @@ class DedupSpec extends SparkSuite {
       maxDist = 0.30, idCol = "vec_id").select("vec_id").as[Long].collect().toSet
     assert(afterGrow.contains(-1L),
       "stale index snapshot used after the source changed")
+    // SAME-COUNT content change (the round-4 verdict gap): overwrite with
+    // identical ids but every embedding replaced by row 0's vector. A
+    // count-equality freshness check cannot see this; the file-listing
+    // stamp must, and the inline fallback then dedups everything down to
+    // the single minimum id
+    graft.index.Index.build(engine.store, "c", "emb", "embedding")
+    assert(graft.index.Index.indexFresh(engine.store, "c", "emb", "embedding"))
+    val base = sf("sf0.001", "embeddings")
+    val constVec = base.filter(col("vec_id") === 0)
+      .select(col("embedding")).collect()(0).getSeq[Float](0)
+    engine.makeTable("emb",
+      base.withColumn("embedding", typedLit(constVec)))
+    assert(!graft.index.Index.indexFresh(engine.store, "c", "emb", "embedding"),
+      "same-count rewrite must invalidate the stamp")
+    val collapsed = engine.semanticDedup("emb", "embedding", "c",
+      maxDist = 0.30, idCol = "vec_id").select("vec_id").as[Long].collect().toSet
+    assert(collapsed == Set(base.agg(min("vec_id")).collect()(0).getLong(0)),
+      s"stale cells used after a same-count rewrite: ${collapsed.size} survivors")
     engine.remove()
   }
 
@@ -226,6 +244,43 @@ class TextAnalysisSpec extends SparkSuite {
       "unrelated docs should not collide at this scale")
   }
 
+  test("winnowing hashes code points: lead-byte-sharing scripts don't collide") {
+    // α and β share the UTF-8 lead byte 0xCE — the old ascii()-based hash
+    // collapsed them to identical fingerprint sets; code-point hashing
+    // (mirroring the oracle's unicode()) must distinguish them, and a
+    // shared CJK run must still share a fingerprint
+    val docs = Seq(
+      (1L, "ααααααααααααα"),
+      (2L, "βββββββββββββ"),
+      (3L, "前文 机器学习模型训练数据 后文"),
+      (4L, "别的 机器学习模型训练数据 其他"),
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k = 5, window = 4)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L).intersect(got(2L)).isEmpty,
+      "distinct Greek letters must hash to distinct fingerprints")
+    assert(got(3L).intersect(got(4L)).nonEmpty,
+      "docs sharing a CJK run of >= k+w-1 chars must share a fingerprint")
+    // parity with an independent code-point reimplementation
+    def winnowCp(text: String, k: Int, w: Int): Set[Long] = {
+      val c = text.toLowerCase.codePoints().toArray
+      if (c.length < k) Set.empty
+      else {
+        val M = 1000000007L
+        val h = (0 to c.length - k).map { i =>
+          var acc = 0L
+          (0 until k).foreach(j => acc = (acc * 257 + c(i + j)) % M)
+          acc
+        }
+        val nw = math.max(h.length - w + 1, 1)
+        (0 until nw).map(t => h.slice(t, t + w).min).toSet
+      }
+    }
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(got.getOrElse(id, Set.empty[Long]) == winnowCp(text, 5, 4), s"doc $id")
+    }
+  }
+
   test("overlap pairs find shared runs and ignore corpus-wide boilerplate") {
     val boiler = "terms of service apply to all documents in this corpus. "
     val shared = "the five boxing wizards jump quickly over the frozen river tonight"
@@ -241,6 +296,21 @@ class TextAnalysisSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)),
       s"only the docs sharing the long run must pair: $pairs")
+
+    // durable checkpoint: identical pairs, requires a checkpoint dir
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      intercept[IllegalArgumentException] {
+        TextAnalysis.overlapPairs(docs, "doc_id", "text",
+          k = 5, window = 4, minShared = 5, maxDocFreq = 2L,
+          durableCheckpoint = true)
+      }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val durable = TextAnalysis.overlapPairs(docs, "doc_id", "text",
+        k = 5, window = 4, minShared = 5, maxDocFreq = 2L,
+        durableCheckpoint = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(durable == pairs, s"durable-checkpoint pairs differ: $durable")
   }
 
   test("token count edge cases") {
@@ -282,6 +352,57 @@ class TextAnalysisSpec extends SparkSuite {
     val q = TextAnalysis.qualityScore(df, "text").select($"id", $"quality").as[(Long, Double)].collect().toMap
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1L) > q(2L), s"normal text must outscore junk: $q")
+  }
+}
+
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("merge learning matches the hand-computed Sennrich example") {
+    // word freqs: low×5, lower×2, newest×6, widest×3. Hand-derived pair
+    // statistics give merges, in order:
+    //   (e,s)=9 -> es; (es,t)=9 -> est; (l,o)=7 (tie with (o,w), lex);
+    //   (lo,w)=7 -> low; (e,w)=6 (tie with (n,e),(w,est), lex)
+    val docs = Seq(
+      (1L, Array.fill(5)("low").mkString(" ")),
+      (2L, Array.fill(2)("lower").mkString(" ")),
+      (3L, Array.fill(6)("newest").mkString(" ")),
+      (4L, Array.fill(3)("widest").mkString(" "))).toDF("doc_id", "text")
+    val model = graft.ext.Bpe.train(docs, "text", numMerges = 5)
+    assert(model.merges == Seq(("e", "s"), ("es", "t"), ("l", "o"),
+      ("lo", "w"), ("e", "w")), s"got ${model.merges}")
+
+    // encode applies merges lowest-rank-first
+    assert(model.encodeWord("lowest") == Seq("low", "est"))
+    assert(model.encodeWord("newer") == Seq("n", "ew", "e", "r"))
+    assert(model.encodeWord("low") == Seq("low"))
+    assert(model.encodeWord("xyz") == Seq("x", "y", "z"))
+    assert(model.countTokens("lowest newer") == 6)
+    assert(model.countTokens(null) == 0)
+    // pre-tokenizer: punctuation is its own word, digits split from letters
+    assert(model.encode("low-cost 42x") ==
+      Seq("low", "-", "c", "o", "s", "t", "4", "2", "x"))
+
+    // json round-trip
+    val back = graft.ext.Bpe.fromJson(model.toJson)
+    assert(back.merges == model.merges)
+
+    // the distributed token-count column agrees with the driver encode
+    val counted = docs.select(col("doc_id"),
+        graft.ext.Bpe.tokenCountUdf(model)(col("text")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(counted(1L) == 5)      // 5 × [low]
+    assert(counted(3L) == 18)     // 6 × [n, ew, est]
+  }
+
+  test("training is deterministic and bounded; exhausting merges stops early") {
+    val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val m1 = graft.ext.Bpe.train(docs, "text", numMerges = 100)
+    val m2 = graft.ext.Bpe.train(docs, "text", numMerges = 100)
+    assert(m1.merges == m2.merges)
+    // only pairs (a,a)=2 and (a,b)=1 exist; after both merge nothing is left
+    assert(m1.merges.size <= 3, s"runaway merges: ${m1.merges}")
+    assert(m1.merges.head == ("a", "a"))
   }
 }
 

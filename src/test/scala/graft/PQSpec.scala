@@ -477,8 +477,8 @@ class SqSpec extends SparkSuite {
       CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
         batchSize = 128, numEpochs = 3))
     Index.build(engine.store, "sc", "sqv", "vec")
-    val (scale, zp) = engine.makeSqIndex("sc", "sqv", "vec")
-    assert(scale > 0 && !zp.isNaN)
+    val sqParams = engine.makeSqIndex("sc", "sqv", "vec")
+    assert(sqParams.dim == 16 && sqParams.scales.forall(s => s > 0 && !s.isNaN))
 
     val target = df.filter(col("id") === 0)
       .select(col("vec").cast("array<double>")).collect()(0)
@@ -555,6 +555,109 @@ class SqSpec extends SparkSuite {
     // drop-index also removes the SQ copy (the A4 leak-fix contract)
     engine.dropIndex("sc")
     assert(!Index.sqIndexExists(engine.store, "sc", "sqv", "vec"))
+    engine.remove()
+  }
+
+  test("per-dim quantize: round-trip bounded per dimension; constant dims exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    // wildly different per-dimension ranges + a constant dimension
+    val rows = (0 until 100).map { i =>
+      (i.toLong, Seq(rnd.nextGaussian().toFloat, (rnd.nextDouble() * 1e4).toFloat,
+        3.5f, (rnd.nextDouble() * 0.01 - 0.005).toFloat))
+    }
+    val df = rows.toDF("id", "vec")
+    val lo = Array.tabulate(4)(d => rows.map(_._2(d).toDouble).min)
+    val hi = Array.tabulate(4)(d => rows.map(_._2(d).toDouble).max)
+    val p = Index.fitSqParams(lo, hi)
+    assert(p.scales(2) == 1f && p.zeroPoints(2) == -3.5f) // constant dim
+    val back = df.select(col("vec"),
+      org.apache.spark.sql.GraftShims.column(graft.functions.DequantizePerDim(
+        org.apache.spark.sql.GraftShims.expression(
+          org.apache.spark.sql.GraftShims.column(graft.functions.QuantizePerDim(
+            org.apache.spark.sql.GraftShims.expression(col("vec")),
+            p.scales, p.zeroPoints))),
+        p.scales, p.zeroPoints)).as("rt"))
+      .as[(Seq[Float], Seq[Float])].collect()
+    back.foreach { case (v, rt) =>
+      for (d <- 0 until 4) {
+        val err = math.abs(v(d) - rt(d))
+        assert(err <= p.scales(d) / 2.0 + 1e-4,
+          s"dim $d err $err exceeds ${p.scales(d) / 2}")
+      }
+      assert(rt(2) == 3.5f, "constant dimension must round-trip exactly")
+    }
+    // dimension mismatch is refused, not silently mis-encoded
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "vec")
+    val e = intercept[Throwable] {
+      bad.select(org.apache.spark.sql.GraftShims.column(
+        graft.functions.QuantizePerDim(
+          org.apache.spark.sql.GraftShims.expression(col("vec")),
+          p.scales, p.zeroPoints))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dims")), s"unexpected: $e")
+  }
+
+  test("per-dim affine survives an outlier dimension that collapses global affine") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val dim = 8
+    // normal corpus in ~[-2,2]^8, one row carries a 1e4 outlier in dim 3:
+    // a single global (scale,zeroPoint) then maps every normal value to
+    // the same bucket and the coarse ranking collapses to ties
+    val rows = (0 until 400).map { i =>
+      val v = Array.fill(dim)((rnd.nextGaussian() * 0.7).toFloat)
+      if (i == 399) v(3) = 1e4f
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-sq-outlier").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("ov", df)
+    engine.makeCoder("oc", "ov", "vec",
+      CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 2,
+        batchSize = 128, numEpochs = 2))
+    Index.build(engine.store, "oc", "ov", "vec")
+    engine.makeSqIndex("oc", "ov", "vec")
+
+    val target = rows(7)._2.map(_.toDouble).toArray
+    val brute = df
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSet
+
+    // per-dim SQ8 at a tight candidate budget keeps its recall
+    val perDim = engine.searchSq("ov", "vec", target, coding = "oc",
+      probes = 4, candidates = 100, idCol = "id", k = 10,
+      metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSet
+    val perDimRecall = brute.count(perDim.contains) / 10.0
+
+    // the global-affine coarse ranking under the same budget: fit ONE
+    // (scale, zeroPoint) over all elements, rank by dequantized distance
+    val allVals = rows.flatMap(_._2.map(_.toDouble))
+    val gScale = ((allVals.max - allVals.min) / 255.0).toFloat
+    val gZp = (-allVals.min / gScale).toFloat
+    val gSurvivors = df
+      .withColumn("q", org.apache.spark.sql.GraftShims.column(
+        graft.functions.Quantize(
+          org.apache.spark.sql.GraftShims.expression(col("vec")), gScale, gZp)))
+      .withColumn("dq", graft.types.Tensors.dequantize(col("q"), gScale, gZp))
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("dq"), typedLit(target.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(100)
+      .select("id").as[Long].collect().toSet
+    val globalRecall = brute.count(gSurvivors.contains) / 10.0
+
+    info(s"recall@10 with candidates=100: per-dim $perDimRecall, global $globalRecall")
+    assert(perDimRecall >= 0.9,
+      s"per-dim SQ8 recall collapsed under an outlier dimension: $perDimRecall")
+    assert(globalRecall < 0.8,
+      s"test fixture no longer collapses the global affine ($globalRecall) — " +
+        "strengthen the outlier")
     engine.remove()
   }
 }
