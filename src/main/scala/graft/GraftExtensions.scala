@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Metrics
-import graft.functions.{Dequantize, Quantize, VectorDistance, VectorNorm, VectorNormalize}
+import graft.functions.{Dequantize, Quantize, VectorDistance, VectorNorm, VectorNormalize, WinnowFingerprints}
 
 /** SQL-surface registration.
   *
@@ -78,6 +78,16 @@ object GraftExtensions {
         require(args.length == 3, "graft_quantize(v, scale, zeroPoint)")
         Quantize(args(0),
           numArg(args(1), "scale").toFloat, numArg(args(2), "zeroPoint").toFloat)
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints",
+        "winnow_fingerprints(text, k, window) - distinct MOSS winnowing " +
+          "fingerprints (array<bigint>) of the k-gram code-point rolling " +
+          "hashes, minimum per sliding window"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_fingerprints(text, k, window)")
+        WinnowFingerprints(args(0),
+          numArg(args(1), "k").toInt, numArg(args(2), "window").toInt)
       }),
   )
 

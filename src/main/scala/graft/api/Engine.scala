@@ -66,6 +66,30 @@ class Engine(val spark: SparkSession, val root: String) {
   def listCodings(): Seq[String] = store.listCodings()
   def dropIndex(name: String): Unit = store.dropCoding(name)
 
+  // ——— BPE tokenizer (pipeline extension: trained-merges token accounting) ———
+
+  /** Train and persist a BPE model from a stored table's text column
+    * ([[graft.ext.Bpe.train]] — one distributed word-frequency agg,
+    * driver-bounded merge learning, deterministic). */
+  def trainBpe(name: String, source: String, textCol: String,
+      numMerges: Int, maxWords: Int = 65536): graft.ext.Bpe.BpeModel = {
+    val model = graft.ext.Bpe.train(store.loadTable(source), textCol,
+      numMerges, maxWords)
+    store.saveBpeModel(name, model)
+    model
+  }
+
+  /** Token counts of a stored table under a persisted BPE model — a
+    * narrow map (merge ranks broadcast in the closure). */
+  def bpeTokenCounts(source: String, idCol: String, textCol: String,
+      model: String): DataFrame = {
+    val m = store.loadBpeModel(model)
+    store.loadTable(source).select(col(idCol),
+      graft.ext.Bpe.tokenCountUdf(m)(col(textCol)).cast("long").as("n_tok"))
+  }
+
+  def listBpeModels(): Seq[String] = store.listBpeModels()
+
   /** Semantic dedup of a stored table at scale ([[graft.ext.Dedup
     * .semanticDedup]] with buckets = the IVF cells of a trained coding —
     * the SemDeDup paper's exact setting: k-means-cluster the embeddings,
@@ -309,9 +333,10 @@ class Engine(val spark: SparkSession, val root: String) {
         val codingObj = store.loadCoding(c)
         val m = metric.getOrElse(codingObj.config.metric)
         val cells = codingObj.rankCells(target.doubles, p)
-        val indexed = sources.map(s => Index.load(store, c, s, column))
-          .reduce(_ unionByName _)
-          .filter(col(Index.CodeCol).isin(cells.toIndexedSeq: _*))
+        val indexed = Index.pruneToCells(
+          sources.map(s => Index.load(store, c, s, column))
+            .reduce(_ unionByName _),
+          cells, codingObj.numCells)
         val base = filter.fold(indexed)(indexed.filter)
         val withDist = base.withColumn(Search.DistCol,
           graft.functions.functions.vector_distance(col(column), target.lit, m))

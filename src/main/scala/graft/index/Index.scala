@@ -129,6 +129,15 @@ object Index {
     df.withColumn(CodeCol, col(CodeCol).cast("long"))
   }
 
+  /** Partition-prune to the probed cells — skipped entirely at full
+    * probes, where the IN-SET predicate prunes nothing and would only
+    * ship a numCells-element filter in every task (searchRerank's
+    * existing behavior, now shared by every probed path). */
+  private[graft] def pruneToCells(df: DataFrame, cells: Array[Long],
+      numCells: Long): DataFrame =
+    if (cells.length >= numCells) df
+    else df.filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+
   /** Probed top-k search (reference V8 with coding+probes,
     * `index.py:113-126`): rank cells driver-side from the coding, prune to
     * the `probes` nearest cells, then exact distance + top-k inside them.
@@ -150,7 +159,7 @@ object Index {
     val m = metric.getOrElse(coding.config.metric)
     val cells = coding.rankCells(target.doubles, probes)
     val indexed = load(store, codingName, source, column)
-    val pruned = indexed.filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+    val pruned = pruneToCells(indexed, cells, coding.numCells)
     val base = filter.fold(pruned)(pruned.filter)
     val withDist = base.withColumn(Search.DistCol,
       vector_distance(col(column), target.lit, m))
@@ -452,8 +461,8 @@ object Index {
       s"metric '$m' does not match the PQ codebooks' training metric " +
         s"'${cb.canonicalMetric}' — rebuild the PQ index under '$m'")
     val cells = coding.rankCells(target.doubles, probes)
-    val prunedAll = loadPq(store, codingName, source, column)
-      .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+    val prunedAll = pruneToCells(loadPq(store, codingName, source, column),
+      cells, coding.numCells)
     // the predicate applies to BOTH passes (pushed into the coarse scan,
     // so the candidate budget is spent on qualifying rows only)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
@@ -647,10 +656,10 @@ object Index {
     val m = graft.core.Metrics.canonical(
       metric.getOrElse(coding.config.metric))
     val cells = coding.rankCells(target.doubles, probes)
-    val prunedAll = store.spark.read
+    val prunedAll = pruneToCells(store.spark.read
       .parquet(store.sqIndexPath(source, column, codingName))
-      .withColumn(CodeCol, col(CodeCol).cast("long"))
-      .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      cells, coding.numCells)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
     val coarseIds = pruned
       .select(col(idCol), col(SqCol))
@@ -676,10 +685,12 @@ object Index {
   val ProbedCellUnionCap = 32768
 
   /** Distinct probed cells across the query batch (driver-side — the
-    * exploded frame is numQueries×probes rows), cap-checked. */
-  private def probedCellUnion(exploded: DataFrame): Array[Long] = {
+    * exploded frame is numQueries×probes rows), cap-checked. A union
+    * covering EVERY cell is exempt: [[pruneToCells]] then skips the
+    * IN-SET filter entirely, so there is nothing hazardous to build. */
+  private def probedCellUnion(exploded: DataFrame, numCells: Long): Array[Long] = {
     val cells = exploded.select("__cell__").distinct().collect().map(_.getLong(0))
-    require(cells.length <= ProbedCellUnionCap,
+    require(cells.length <= ProbedCellUnionCap || cells.length >= numCells,
       s"the union of probed cells across this query batch (${cells.length}) " +
         s"exceeds $ProbedCellUnionCap — an IN-SET partition filter that " +
         "large is itself a planning hazard. Reduce probes, use a coding " +
@@ -722,9 +733,9 @@ object Index {
     val exploded = queries
       .select(col(queryIdCol), col(queryVecCol))
       .withColumn("__cell__", explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
-    val cells = probedCellUnion(exploded)
-    val corpus = load(store, codingName, source, column)
-      .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+    val cells = probedCellUnion(exploded, coding.numCells)
+    val corpus = pruneToCells(load(store, codingName, source, column),
+      cells, coding.numCells)
     // narrow coarse pass: score in the projection of the broadcast join,
     // then immediately shed the vectors before the window exchange
     val coarseCols = (idCol +: tieBreak).distinct
@@ -779,11 +790,11 @@ object Index {
       .select(col(queryIdCol), col(queryVecCol))
       .withColumn("__cell__",
         explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
-    val cells = probedCellUnion(exploded)
-    val sqDf = store.spark.read
+    val cells = probedCellUnion(exploded, coding.numCells)
+    val sqDf = pruneToCells(store.spark.read
       .parquet(store.sqIndexPath(source, column, codingName))
-      .withColumn(CodeCol, col(CodeCol).cast("long"))
-      .filter(col(CodeCol).isin(cells.toIndexedSeq: _*))
+      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      cells, coding.numCells)
     // coarse: only (id, cell, codes) ride the per-cell join and window
     val coarse = sqDf.select(col(idCol), col(CodeCol), col(SqCol))
       .join(broadcast(exploded), col(CodeCol) === col("__cell__"))

@@ -273,6 +273,26 @@ class Store(val spark: SparkSession, val root: String) {
     (rows, files.map(_.getLen).sum, files.length)
   }
 
+  // ——— BPE tokenizer models ———
+
+  def bpeModelPath(name: String): String = s"$root/models/bpe/$name.json"
+
+  def saveBpeModel(name: String, model: graft.ext.Bpe.BpeModel): Unit =
+    writeSidecar(bpeModelPath(name), model.toJson.getBytes("UTF-8"))
+
+  def loadBpeModel(name: String): graft.ext.Bpe.BpeModel =
+    graft.ext.Bpe.fromJson(new String(readSidecar(bpeModelPath(name)), "UTF-8"))
+
+  def listBpeModels(): Seq[String] = {
+    val p = new Path(s"$root/models/bpe")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
+  }
+
+  def dropBpeModel(name: String): Unit =
+    fs.delete(new Path(bpeModelPath(name)), false)
+
   // ——— Codings (V3, A1) ———
 
   def saveCoding(name: String, coding: Coding): Unit = {

@@ -404,6 +404,27 @@ class BpeSpec extends SparkSuite {
     assert(m1.merges.size <= 3, s"runaway merges: ${m1.merges}")
     assert(m1.merges.head == ("a", "a"))
   }
+
+  test("engine persists and serves BPE models from the store") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val engine = new graft.api.Engine(spark, root)
+    val docs = Seq((1L, "low low lower lowest"), (2L, "newest newest widest"))
+      .toDF("doc_id", "text")
+    engine.makeTable("docs", docs)
+    val trained = engine.trainBpe("tok", "docs", "text", numMerges = 8)
+    assert(engine.listBpeModels() == Seq("tok"))
+    val loaded = engine.store.loadBpeModel("tok")
+    assert(loaded.merges == trained.merges)
+    val counts = engine.bpeTokenCounts("docs", "doc_id", "text", "tok")
+      .as[(Long, Long)].collect().toMap
+    // distributed counts agree with the driver-side encode
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(counts(id) == trained.countTokens(text).toLong, s"doc $id")
+    }
+    engine.store.dropBpeModel("tok")
+    assert(engine.listBpeModels().isEmpty)
+    engine.remove()
+  }
 }
 
 class MultimodalSpec extends SparkSuite {

@@ -49,6 +49,42 @@ class SqlSurfaceSpec extends SparkSuite {
       .collect()(0).getSeq[Float](0)
     assert(rt.take(3) == Seq(-64.0f, -0.5f, 63.5f))
   }
+
+  test("non-finite quantize params fail at analysis time, not in codegen") {
+    Graft.register(spark)
+    Seq(Tuple1(Seq(1.0f))).toDF("v").createOrReplaceTempView("nfq")
+    // via SQL a NaN can only arrive through an expression, which the
+    // literal-only builder already rejects — either guard is analysis-time
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_quantize(v, cast('nan' as double), 0) FROM nfq"))
+    assert(e.getMessage.contains("finite") || e.getMessage.contains("literal"),
+      e.getMessage)
+    // a zero scale IS a valid literal, so it reaches the constructor guard
+    val e2 = intercept[Exception](
+      spark.sql("SELECT graft_quantize(v, 0, 0) FROM nfq"))
+    assert(e2.getMessage.contains("finite"), e2.getMessage)
+    // NaN/Inf params on direct construction fail immediately
+    intercept[IllegalArgumentException](graft.functions.Quantize(
+      org.apache.spark.sql.GraftShims.expression(col("v")), Float.NaN, 0f))
+    intercept[IllegalArgumentException](graft.functions.Dequantize(
+      org.apache.spark.sql.GraftShims.expression(col("v")),
+      Float.PositiveInfinity, 0f))
+  }
+
+  test("winnow_fingerprints from SQL matches the column API") {
+    Graft.register(spark)
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "tiny")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("winnow_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, explode(winnow_fingerprints(lower(text), 5, 4)) AS fp
+        |FROM winnow_docs""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    val viaApi = graft.ext.TextAnalysis
+      .winnowFingerprints(docs, "doc_id", "text", k = 5, window = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
 }
 
 class TensorsSpec extends SparkSuite {
