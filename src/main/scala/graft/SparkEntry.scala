@@ -379,6 +379,16 @@ object SparkEntry {
     "text_lang_quality" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.analyze(tbl(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang_pred", "quality", "fingerprint")),
+    // —— language ID + document fingerprint, ORACLE-CHECKED: the stopword/
+    // CJK heuristic and the 63-bit rolling hash are both mirrored
+    // term-for-term in DuckDB (hugeint mod-2^64 for the wrapping multiply),
+    // so the two formerly rows-only operators gain a bit-exact gate ——
+    "text_lang" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+    }),
     // —— text: quality components + unrounded score (oracle-checked) ——
     "text_quality" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.qualityComponents(tbl(s, dir, "documents"), "text")
@@ -849,6 +859,39 @@ object SparkEntry {
         "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
         "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)) AS quality " +
         "FROM r"),
+    // langId heuristic + 63-bit rolling-hash fingerprint mirrored exactly:
+    // the wrapping 64-bit multiply runs in HUGEINT mod 2^64; tie-break =
+    // (max hits, then lexicographically greatest lang), matching Scala
+    // maxBy over (hits, lang) tuples
+    "text_lang" ->
+      ("WITH tok AS (SELECT doc_id, text, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks, " +
+        "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) AS cjk " +
+        "FROM documents), " +
+        "langs(lang, sw) AS (VALUES " +
+        "('en', ['the','and','of','to','is','in','that','it','was','for']), " +
+        "('es', ['el','la','de','que','y','en','los','del','las','por']), " +
+        "('de', ['der','die','und','das','ist','von','den','mit','ein','nicht']), " +
+        "('fr', ['le','la','les','de','et','un','une','est','que','pour'])), " +
+        "scores AS (SELECT t.doc_id, t.text, t.toks, t.cjk, l.lang, " +
+        "len(list_filter(t.toks, x -> list_contains(l.sw, x))) AS hits " +
+        "FROM tok t CROSS JOIN langs l), " +
+        "best AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY hits DESC, lang DESC) AS rn FROM scores), " +
+        "fp AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE CAST(xor(" +
+        "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+        "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
+        "c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(h, c) -> (31 * h + c) % 18446744073709551616) % 9223372036854775808, " +
+        "0) AS BIGINT) END AS fingerprint FROM documents) " +
+        "SELECT b.doc_id AS doc_id, " +
+        "CASE WHEN b.text IS NULL OR trim(b.text) = '' THEN 'und' " +
+        "WHEN b.cjk * 1.0 / greatest(1, length(b.text)) > 0.2 THEN 'zh' " +
+        "WHEN len(b.toks) = 0 THEN 'und' " +
+        "WHEN b.hits = 0 THEN 'und' " +
+        "ELSE b.lang END AS lang_pred, " +
+        "f.fingerprint AS fingerprint " +
+        "FROM best b JOIN fp f USING (doc_id) WHERE b.rn = 1"),
     "balanced_sample" ->
       ("SELECT doc_id, lang, source FROM (" +
         "SELECT doc_id, lang, source, " +
