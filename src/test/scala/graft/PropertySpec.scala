@@ -126,6 +126,69 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     }, minTests = 50)
   }
 
+  test("winnow kernel: unicode parity with a direct reimplementation; " +
+      "shared runs share a fingerprint") {
+    // the PRODUCTION kernel (Winnow.compute — the same code the codegen'd
+    // expression calls) vs a direct non-rolling code-point fold
+    def winnowRef(text: String, k: Int, w: Int): Set[Long] = {
+      val c = text.codePoints().toArray
+      if (c.length < k) Set.empty
+      else {
+        val M = 1000000007L
+        val h = (0 to c.length - k).map { i =>
+          var acc = 0L
+          (0 until k).foreach(j => acc = (acc * 257 + c(i + j)) % M)
+          acc
+        }
+        val nw = math.max(h.length - w + 1, 1)
+        (0 until nw).map(t => h.slice(t, t + w).min).toSet
+      }
+    }
+    def kernel(text: String, k: Int, w: Int): Set[Long] =
+      graft.functions.Winnow.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), k, w)
+        .toLongArray().toSet
+    val (k, w) = (5, 4)
+    // mixed scripts incl. surrogate-pair (non-BMP) code points
+    val charGen = Gen.oneOf(
+      Gen.alphaLowerChar.map(_.toString),
+      Gen.oneOf("α", "β", "機", "器", "学", "習", " ", "é", "ß"),
+      Gen.oneOf("𝔘", "𐍈", "🙂")) // non-BMP: surrogate pairs in UTF-16
+    val textGen = Gen.listOf(charGen).map(_.mkString)
+    check(Prop.forAll(textGen) { t =>
+      kernel(t, k, w) == winnowRef(t, k, w)
+    })
+    // the winnowing guarantee holds for unicode text too
+    val runGen = Gen.listOfN(12, charGen).map(_.mkString)
+      .suchThat(_.codePoints().count() >= k + w - 1)
+    check(Prop.forAll(textGen, textGen, runGen) { (pre, post, shared) =>
+      kernel(s"$pre $shared", k, w)
+        .intersect(kernel(s"$shared $post", k, w)).nonEmpty
+    }, minTests = 50)
+  }
+
+  test("bpe invariants: concatenated pieces reproduce the word; counts add up") {
+    val wordGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val corpusGen = Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, wordGen))
+    // driver-side merge learning on the word-freq dict is exercised via
+    // the Spark path elsewhere (BpeSpec); here the ENCODE invariants:
+    // pieces concatenate back to the word, token counts are consistent,
+    // and encoding is deterministic
+    val merges = graft.ext.Bpe.BpeModel(Vector(
+      ("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"), ("e", "w"),
+      ("a", "n"), ("an", "d"), ("t", "h"), ("th", "e")))
+    check(Prop.forAll(wordGen) { word =>
+      val pieces = merges.encodeWord(word)
+      pieces.mkString == word && pieces.forall(_.nonEmpty) &&
+        merges.encodeWord(word) == pieces
+    })
+    check(Prop.forAll(corpusGen) { words =>
+      val text = words.mkString(" ")
+      merges.countTokens(text) == words.map(merges.encodeWord(_).size).sum
+    })
+  }
+
   test("aHash is invariant under lossless re-encodes on random images") {
     import graft.ext.Multimodal
     val pixGen = Gen.containerOfN[Array, Int](16 * 16, Gen.chooseNum(0, 0xFFFFFF))
