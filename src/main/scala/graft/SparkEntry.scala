@@ -299,12 +299,14 @@ object SparkEntry {
         .select("doc_id")),
     "dedup_exact_groups" -> ((s: SparkSession, dir: String) =>
       Dedup.exactDupGroups(tbl(s, dir, "documents"), "doc_id", Seq("lang", "source"))),
-    // —— dedup: MinHash LSH (rows-only; ScalaTest checks vs exact jaccard) ——
+    // —— dedup: MinHash LSH — ORACLE-CHECKED since round 5 (FNV signature
+    // arithmetic + band-slice join keys are mirrored term-for-term) ——
     "dedup_minhash" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsMinhash(tbl(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.35)
         .select("id_a", "id_b")),
-    // —— dedup: SimHash (rows-only) ——
+    // —— dedup: SimHash — ORACLE-CHECKED since round 5 (FNV token hashes,
+    // bit-majority signature, pigeonhole bands, bit_count hamming) ——
     "dedup_simhash" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsSimhash(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8, bands = 4)
@@ -774,6 +776,67 @@ object SparkEntry {
     "dedup_exact_groups" ->
       ("SELECT lang, source, count(*) AS cnt, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY lang, source HAVING count(*) > 1"),
+    // MinHash LSH mirrored end-to-end: FNV-1a shingle hashes (HUGEINT mod
+    // 2^64, signed min matching Scala Long ordering), band join on the
+    // raw 4-long signature slices, exact-jaccard verify — deterministic
+    // since round 5 switched the band key from murmur buckets to slices
+    "dedup_minhash" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS gs FROM toks), " +
+        "g AS (SELECT doc_id, unnest(gs) AS gram FROM sh), " +
+        "hs AS (SELECT doc_id, r.i AS seed_i, gram, " +
+        "list_reduce(list_prepend(" +
+        "xor(CAST('14695981039346656037' AS HUGEINT), " +
+        "(CAST('11400714819323198485' AS HUGEINT) * (r.i + 1)) % CAST('18446744073709551616' AS HUGEINT)), " +
+        "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hu " +
+        "FROM g CROSS JOIN range(32) r(i)), " +
+        "hsig AS (SELECT doc_id, seed_i, " +
+        "min(CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
+        "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT)) AS mh " +
+        "FROM hs GROUP BY doc_id, seed_i), " +
+        "sig AS (SELECT doc_id, list(mh ORDER BY seed_i) AS sig FROM hsig GROUP BY doc_id), " +
+        "banded AS (SELECT doc_id, r.band, sig[r.band * 4 + 1 : r.band * 4 + 4] AS chunk " +
+        "FROM sig CROSS JOIN range(8) r(band)), " +
+        "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id), " +
+        "ver AS (SELECT c.id_a, c.id_b, " +
+        "CASE WHEN len(list_distinct(sa.gs || sb.gs)) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
+        "FROM cands c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b) " +
+        "SELECT id_a, id_b FROM ver WHERE j >= 0.35"),
+    // SimHash mirrored end-to-end: FNV token hashes, per-bit majority
+    // votes, 16-bit pigeonhole bands, bit_count(xor) hamming verify
+    "dedup_simhash" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts " +
+        "FROM documents), " +
+        "tok AS (SELECT doc_id, unnest(ts) AS t FROM toks), " +
+        "h AS (SELECT doc_id, t, " +
+        "list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+        "list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hv " +
+        "FROM tok), " +
+        "bits AS (SELECT doc_id, r.b, " +
+        "sum(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc " +
+        "FROM h CROSS JOIN range(64) r(b) GROUP BY doc_id, r.b), " +
+        "sig0 AS (SELECT doc_id, " +
+        "sum(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END) AS sig " +
+        "FROM bits GROUP BY doc_id), " +
+        "sig AS (SELECT d.doc_id, coalesce(s.sig, CAST(0 AS HUGEINT)) AS sig " +
+        "FROM documents d LEFT JOIN sig0 s USING (doc_id)), " +
+        "banded AS (SELECT doc_id, sig, r.band, (sig >> (r.band * 16)) & 65535 AS chunk " +
+        "FROM sig CROSS JOIN range(4) r(band)), " +
+        "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+        "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming " +
+        "FROM cands WHERE bit_count(xor(sa, sb)) <= 8"),
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, " +
         "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +

@@ -93,9 +93,13 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sig", minhashUdf(numHashes, shingleSize)(col("text")))
+    // the band's raw signature slice IS the join key (arrays are valid
+    // equi-join keys): pure LSH semantics with no hash-collision false
+    // positives, and — with FNV signatures — every stage is deterministic
+    // integer arithmetic, so the whole operator is DuckDB-mirrorable
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p__", "band")))
-      .withColumn("bucket", hash(col("band"), slice(col("sig"), col("band") * rows + 1, lit(rows))))
+      .withColumn("bucket", slice(col("sig"), col("band") * rows + 1, lit(rows)))
       .select("id", "band", "bucket")
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
