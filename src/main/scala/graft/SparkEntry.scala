@@ -328,7 +328,9 @@ object SparkEntry {
     "dedup_cosine" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineExact(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30)),
-    // —— dedup: cosine LSH scale path (rows-only; recall vs exact in tests) ——
+    // —— dedup: cosine LSH scale path — ORACLE-CHECKED since round 5:
+    // hash-derived Rademacher hyperplanes make every stage deterministic
+    // arithmetic (signature bits, bucket join, exact-cosine verify) ——
     "dedup_cosine_lsh" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineLsh(
         tbl(s, dir, "embeddings"), "vec_id", "embedding", maxDist = 0.30)
@@ -776,6 +778,38 @@ object SparkEntry {
     "dedup_exact_groups" ->
       ("SELECT lang, source, count(*) AS cnt, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY lang, source HAVING count(*) > 1"),
+    // SRP cosine LSH mirrored end-to-end: Rademacher plane signs from
+    // bit-count parity of the FNV hash of "t:p:i" (seed 42), ORDERED
+    // list_reduce dot products (bit-exact vs the Scala left fold — ±1
+    // weights are exact sign flips), 32-table 5-bit sign buckets, exact
+    // cosine verify in the proven inner-product spelling
+    "dedup_cosine_lsh" ->
+      ("WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings), " +
+        "pw AS (SELECT t.t, p.p, i.i, " +
+        "CASE WHEN bit_count(list_reduce(list_prepend(" +
+        "xor(CAST('14695981039346656037' AS HUGEINT), CAST(42 AS HUGEINT)), " +
+        "list_transform(string_split(t.t || ':' || p.p || ':' || i.i, ''), " +
+        "c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))) % 2 = 1 " +
+        "THEN 1.0 ELSE -1.0 END AS w " +
+        "FROM range(32) t(t) CROSS JOIN range(5) p(p) CROSS JOIN range(64) i(i)), " +
+        "planes AS (SELECT t, p, list(w ORDER BY i) AS ws FROM pw GROUP BY t, p), " +
+        "dots AS (SELECT v.id, pl.t, pl.p, " +
+        "list_reduce(list_transform(generate_series(1, len(v.vec)), k -> pl.ws[k] * v.vec[k]), " +
+        "(a, b) -> a + b) AS dot FROM v CROSS JOIN planes pl), " +
+        "sigs AS (SELECT id, t, " +
+        "sum(CASE WHEN dot >= 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS sig " +
+        "FROM dots GROUP BY id, t), " +
+        "buckets AS (SELECT id, t * 4294967296 + sig AS bucket FROM sigs), " +
+        "sized AS (SELECT b.* FROM buckets b JOIN (" +
+        "SELECT bucket FROM buckets GROUP BY bucket HAVING count(*) <= 8192) ok USING (bucket)), " +
+        "cands AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b " +
+        "FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.id < b.id), " +
+        "ver AS (SELECT c.id_a, c.id_b, " +
+        "0.5 - 0.5 * (list_inner_product(va.vec, vb.vec) / " +
+        "sqrt(list_inner_product(va.vec, va.vec) * list_inner_product(vb.vec, vb.vec))) AS dist " +
+        "FROM cands c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b) " +
+        "SELECT id_a, id_b FROM ver WHERE dist <= 0.30"),
     // MinHash LSH mirrored end-to-end: FNV-1a shingle hashes (HUGEINT mod
     // 2^64, signed min matching Scala Long ordering), band join on the
     // raw 4-long signature slices, exact-jaccard verify — deterministic
@@ -922,6 +956,55 @@ object SparkEntry {
         "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
         "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)) AS quality " +
         "FROM r"),
+    // the full analyze() surface: lang + fingerprint (the text_lang
+    // mirrors) + quality = round(formula, 6) — Spark's HALF_UP double
+    // round and DuckDB's round agree on this corpus (verified hash-exact)
+    "text_lang_quality" ->
+      ("WITH tok AS (SELECT doc_id, text, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks, " +
+        "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) AS cjk " +
+        "FROM documents), " +
+        "langs(lang, sw) AS (VALUES " +
+        "('en', ['the','and','of','to','is','in','that','it','was','for']), " +
+        "('es', ['el','la','de','que','y','en','los','del','las','por']), " +
+        "('de', ['der','die','und','das','ist','von','den','mit','ein','nicht']), " +
+        "('fr', ['le','la','les','de','et','un','une','est','que','pour'])), " +
+        "scores AS (SELECT t.doc_id, t.text, t.toks, t.cjk, l.lang, " +
+        "len(list_filter(t.toks, x -> list_contains(l.sw, x))) AS hits " +
+        "FROM tok t CROSS JOIN langs l), " +
+        "best AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+        "ORDER BY hits DESC, lang DESC) AS rn FROM scores), " +
+        "fp AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE CAST(xor(" +
+        "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+        "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
+        "c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(h, c) -> (31 * h + c) % 18446744073709551616) % 9223372036854775808, " +
+        "0) AS BIGINT) END AS fingerprint FROM documents), " +
+        "qc AS (SELECT doc_id, trim(text) AS t FROM documents), " +
+        "q1 AS (SELECT doc_id, " +
+        "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(t, '\\s+')) END AS n_tokens, " +
+        "length(t) AS n_chars, " +
+        "length(t) - length(regexp_replace(t, '[[:punct:]]', '', 'g')) AS n_punct, " +
+        "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+        "ELSE len(list_filter(regexp_split_to_array(t, '\\s+'), " +
+        "x -> x IN ('the','a','of','and','to','in','is','it'))) END AS n_stop FROM qc), " +
+        "q2 AS (SELECT doc_id, n_tokens, " +
+        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio, " +
+        "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio " +
+        "FROM q1), " +
+        "q AS (SELECT doc_id, round(greatest(0.0, least(1.0, " +
+        "least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+        "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
+        "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)), 6) AS quality FROM q2) " +
+        "SELECT b.doc_id AS doc_id, " +
+        "CASE WHEN b.text IS NULL OR trim(b.text) = '' THEN 'und' " +
+        "WHEN b.cjk * 1.0 / greatest(1, length(b.text)) > 0.2 THEN 'zh' " +
+        "WHEN len(b.toks) = 0 THEN 'und' " +
+        "WHEN b.hits = 0 THEN 'und' " +
+        "ELSE b.lang END AS lang_pred, " +
+        "q.quality AS quality, f.fingerprint AS fingerprint " +
+        "FROM best b JOIN fp f USING (doc_id) JOIN q USING (doc_id) WHERE b.rn = 1"),
     // langId heuristic + 63-bit rolling-hash fingerprint mirrored exactly:
     // the wrapping 64-bit multiply runs in HUGEINT mod 2^64; tie-break =
     // (max hits, then lexicographically greatest lang), matching Scala

@@ -33,7 +33,7 @@ object Dedup {
 
   // ——— shingles + MinHash ———
 
-  private def hash64(s: String, seed: Long): Long = {
+  private[ext] def hash64(s: String, seed: Long): Long = {
     // FNV-1a 64-bit with seed mix — deterministic across JVMs.
     var h = 0xcbf29ce484222325L ^ seed
     var i = 0
@@ -423,10 +423,19 @@ private[ext] object CosineLsh {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (Int, Int, Int, Long), Array[Array[Array[Double]]]]()
 
+  /** Entries are RADEMACHER (±1), derived per (table, plane, dim) from
+    * the shared FNV hash — sign-random-projection only needs a symmetric
+    * component distribution, and hash-derived ±1 makes the whole LSH
+    * pipeline deterministic arithmetic a DuckDB oracle can mirror
+    * term-for-term (a JVM-seeded Gaussian cannot be). */
   def planesFor(numTables: Int, numPlanes: Int, dim: Int,
       seed: Long): Array[Array[Array[Double]]] =
-    cache.computeIfAbsent((numTables, numPlanes, dim, seed), _ => {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(numTables, numPlanes, dim)(rnd.nextGaussian())
-    })
+    cache.computeIfAbsent((numTables, numPlanes, dim, seed), _ =>
+      // bit-count PARITY of the full 64-bit hash, not a single output
+      // bit: FNV-1a's low bits mix poorly across near-identical inputs
+      // ("0:0:1" vs "0:0:2"), and a biased sign pattern collapses SRP
+      // recall (observed 0.67 with bit 0; parity restores ≥ 0.9)
+      Array.tabulate(numTables, numPlanes, dim)((t, p, i) =>
+        if ((java.lang.Long.bitCount(Dedup.hash64(s"$t:$p:$i", seed)) & 1) == 1)
+          1.0 else -1.0))
 }
