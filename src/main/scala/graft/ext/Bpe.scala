@@ -182,6 +182,21 @@ object Bpe {
     BpeModel(merges.toIndexedSeq)
   }
 
+  /** Train once, cache as JSON at `cacheDir/bpe_m<numMerges>_w<maxWords>
+    * .json`, reuse on later calls — the PQ.trainOrLoad pattern for
+    * repeated-run surfaces (Verify/Bench). Params are part of the file
+    * name, so a different configuration never reads a stale cache. */
+  def trainOrLoad(cacheDir: String, df: DataFrame, textCol: String,
+      numMerges: Int, maxWords: Int = 65536): BpeModel = {
+    val p = java.nio.file.Paths.get(cacheDir, s"bpe_m${numMerges}_w$maxWords.json")
+    if (java.nio.file.Files.exists(p))
+      return fromJson(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val m = train(df, textCol, numMerges, maxWords)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, m.toJson.getBytes("UTF-8"))
+    m
+  }
+
   /** Token count under a trained model, as a narrow-map column (merge
     * ranks ride the closure — broadcast once per job). */
   def tokenCountUdf(model: BpeModel) = {
