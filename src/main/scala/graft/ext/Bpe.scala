@@ -118,7 +118,15 @@ object Bpe {
       .orderBy(col("c").desc, col("w").asc)
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    BpeModel(learnMerges(wf, numMerges))
+  }
 
+  /** The driver-side merge-learning loop over a word-frequency dict —
+    * classic Sennrich with incremental pair statistics; factored out so
+    * the incremental bookkeeping can be property-tested against a naive
+    * recount-everything reimplementation. */
+  private[graft] def learnMerges(wf: Array[(String, Long)],
+      numMerges: Int): IndexedSeq[(String, String)] = {
     val words: Array[Array[String]] = wf.map(_._1.map(_.toString).toArray)
     val counts: Array[Long] = wf.map(_._2)
     // incremental pair statistics: global weighted pair counts + an index
@@ -179,7 +187,7 @@ object Bpe {
         exhausted = pairCounts.isEmpty
       }
     }
-    BpeModel(merges.toIndexedSeq)
+    merges.toIndexedSeq
   }
 
   /** Train once, cache as JSON at `cacheDir/bpe_m<numMerges>_w<maxWords>

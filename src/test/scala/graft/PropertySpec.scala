@@ -189,6 +189,47 @@ class PropertySpec extends org.scalatest.funsuite.AnyFunSuite {
     })
   }
 
+  test("bpe merge learning: incremental pair stats match a naive recount trainer") {
+    // naive reference: recount EVERY pair from scratch each iteration —
+    // O(merges × dict × len), obviously correct; the production trainer
+    // maintains counts incrementally and must produce the identical
+    // merge sequence on any dict
+    def naive(wf0: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      var words = wf0.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (merges.size < numMerges && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, c) <- words; i <- 0 until syms.length - 1)
+          pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (pc.isEmpty) done = true
+        else {
+          val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          merges += best
+          words = words.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+                out += (best._1 + best._2); j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+      }
+      merges.toSeq
+    }
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val dictGen = Gen.chooseNum(1, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(wordGen, Gen.chooseNum(1L, 9L))))
+      .map(_.groupMapReduce(_._1)(_._2)(_ + _).toArray.sortBy(_._1))
+    check(Prop.forAll(dictGen, Gen.chooseNum(0, 12)) { (wf, n) =>
+      graft.ext.Bpe.learnMerges(wf, n) == naive(wf, n)
+    }, minTests = 200)
+  }
+
   test("aHash is invariant under lossless re-encodes on random images") {
     import graft.ext.Multimodal
     val pixGen = Gen.containerOfN[Array, Int](16 * 16, Gen.chooseNum(0, 0xFFFFFF))
