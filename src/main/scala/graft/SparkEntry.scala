@@ -124,6 +124,18 @@ object SparkEntry {
     e
   }
 
+  /** Per-cell-affine SQ8 variant under its own coding (the SQ index path
+    * is keyed by coding name, and `search_sq` owns the shared-affine
+    * copy under c_l2). */
+  private def withSqCellIndex(s: SparkSession, dir: String): Engine = {
+    val e = scratchEngine(s, dir)
+    if (!e.listCodings().contains("c_sqc"))
+      e.makeIndex("c_sqc", "emb", "embedding", idxConfig)
+    if (!graft.index.Index.sqIndexExists(e.store, "c_sqc", "emb", "embedding"))
+      graft.index.Index.buildSq(e.store, "c_sqc", "emb", "embedding", perCell = true)
+    e
+  }
+
   /** Cosine coding + residual-cosine PQ index (unit-sphere IVFADC): the
     * most common embedding metric gets the same residual machinery as l2. */
   private def withCosPqIndex(s: SparkSession, dir: String): Engine = {
@@ -161,7 +173,8 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 3)
         .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
       Search.knnJoin(e.select("vec_id", "embedding"), "embedding", queries,
-          "q_id", "q_emb", "l2", k = 3, tieBreak = Seq("vec_id"), distCol = "dist")
+          "q_id", "q_emb", "l2", k = 3, tieBreak = Seq("vec_id"), distCol = "dist",
+          idCol = Some("vec_id"))
         .select("q_id", "vec_id", "dist")
     }),
     // —— S4/S8 + P1/P2: projected, filtered scan ——
@@ -267,6 +280,15 @@ object SparkEntry {
     "search_sq" -> ((s: SparkSession, dir: String) => {
       val e = withSqIndex(s, dir)
       graft.index.Index.searchSq(e.store, "c_l2", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— IVF+SQ8 with PER-CELL affine params (SemDeDup setting:
+    // heterogeneous clusters, disjoint ranges); full budgets == exact ——
+    "search_sq_cell" -> ((s: SparkSession, dir: String) => {
+      val e = withSqCellIndex(s, dir)
+      graft.index.Index.searchSq(e.store, "c_sqc", "emb", "embedding",
           targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
@@ -1161,6 +1183,7 @@ object SparkEntry {
     // IVF+PQ at full probes + full candidates is exact
     "search_ivf_pq" -> knnOracle(l2Sql),
     "search_sq" -> knnOracle(l2Sql),
+    "search_sq_cell" -> knnOracle(l2Sql),
     "search_ivf_pq_cosine" -> knnOracle(cosSql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),

@@ -140,8 +140,11 @@ class Engine(val spark: SparkSession, val root: String) {
   /** Build the IVF+SQ8 index under an existing coding — 8-bit scalar
     * quantization, the memory tier between raw vectors and PQ
     * ([[Index.buildSq]]); returns the per-dimension affine params. */
-  def makeSqIndex(codingName: String, source: String, column: String): Index.SqParams =
-    Index.buildSq(store, codingName, source, column)
+  /** `perCell = true` fits one affine block per IVF cell (plus a global
+    * fallback) — see [[Index.buildSq]]. */
+  def makeSqIndex(codingName: String, source: String, column: String,
+      perCell: Boolean = false): Index.SqParams =
+    Index.buildSq(store, codingName, source, column, perCell)
 
   /** Quantize-only append of new source rows to an existing SQ8 index
     * under its stored affine params ([[Index.syncIncrementalSq]]);

@@ -20,6 +20,43 @@ object Search {
   val DistCol = "__DISTANCE__"
   val CodeCol = "__CODED_ID__"
 
+  /** Default cap on the ESTIMATED size of a query-batch broadcast in the
+    * batch kNN joins. A 1M-query × 256-d float batch is ~2 GB of raw
+    * vectors (× probes in the IVF paths) — past the driver / broadcast
+    * limits with an opaque OOM, at exactly the "amortize many queries
+    * over one corpus pass" scale the joins advertise. Batches estimated
+    * above the cap are hash-split into chunks and the per-chunk top-k
+    * unioned — exactly equivalent (each query's top-k depends only on
+    * its own chunk), trading one corpus pass per chunk for a bounded
+    * broadcast. */
+  val QueryBroadcastCap: Long = 256L << 20
+
+  /** Splits a query batch into deterministic hash chunks so no single
+    * broadcast exceeds `capBytes` (estimated: vector payload + per-row
+    * overhead, times `replication` for joins that explode each query to
+    * its probed cells). One chunk returns the batch unchanged; the
+    * sizing agg is one tiny job over the query side. */
+  private[graft] def chunkByBroadcastSize(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      replication: Int,
+      capBytes: Long): Seq[DataFrame] = {
+    require(capBytes > 0, "broadcastCapBytes must be > 0")
+    val r = queries
+      .agg(count(lit(1)), max(size(col(queryVecCol).cast("array<double>"))))
+      .head
+    val nq = r.getLong(0)
+    if (nq == 0L) return Seq(queries)
+    val dim = if (r.isNullAt(1)) 0 else r.getInt(1)
+    val rowBytes = (dim.toLong * 8 + 64) * math.max(1, replication)
+    val est = nq * rowBytes
+    val chunks = math.min(nq, math.max(1L, (est + capBytes - 1) / capBytes)).toInt
+    if (chunks == 1) Seq(queries)
+    else (0 until chunks).map(i =>
+      queries.filter(pmod(xxhash64(col(queryIdCol)), lit(chunks)) === i))
+  }
+
   /** Top-k nearest rows to a single target vector.
     *
     * The target arrives as a 1-row DataFrame (column `targetCol`) and is
@@ -55,6 +92,18 @@ object Search {
     * Generalizes the reference's single-target search to a set of queries
     * (broadcast) — the Spark-shaped replacement for "online" ANN: queries
     * are batched, the corpus streams once, per-query top-k via window rank.
+    * Query batches whose estimated broadcast exceeds `broadcastCapBytes`
+    * are hash-chunked and the per-chunk top-k unioned (equivalent; see
+    * [[QueryBroadcastCap]]).
+    *
+    * @param idCol unique-per-corpus-row id column. When set, the join is
+    *   codes-light: distances are scored map-side in the broadcast join's
+    *   projection and only (queryId, id, distance, tie-breaks) ride the
+    *   per-query window exchange — the corpus' float vectors never cross
+    *   a shuffle; full rows return via a broadcast join of the ≤
+    *   queries·k survivors. Without an id the full corpus row (vector
+    *   included) rides the window — fine for small corpora, a scale
+    *   hazard past that.
     */
   def knnJoin(
       corpus: DataFrame,
@@ -65,17 +114,50 @@ object Search {
       metric: String,
       k: Int,
       tieBreak: Seq[String] = Nil,
-      distCol: String = DistCol): DataFrame = {
+      distCol: String = DistCol,
+      idCol: Option[String] = None,
+      broadcastCapBytes: Long = QueryBroadcastCap): DataFrame = {
+    val qs = queries.select(col(queryIdCol), col(queryVecCol))
+    chunkByBroadcastSize(qs, queryIdCol, queryVecCol, 1, broadcastCapBytes)
+      .map(ch => knnJoinChunk(corpus, vecCol, ch, queryIdCol, queryVecCol,
+        metric, k, tieBreak, distCol, idCol))
+      .reduce(_.unionByName(_))
+  }
+
+  private def knnJoinChunk(
+      corpus: DataFrame,
+      vecCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      metric: String,
+      k: Int,
+      tieBreak: Seq[String],
+      distCol: String,
+      idCol: Option[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val joined = corpus
-      .crossJoin(broadcast(queries.select(col(queryIdCol), col(queryVecCol))))
-      .withColumn(distCol, vector_distance(col(vecCol), col(queryVecCol), metric))
-      .drop(queryVecCol)
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col(distCol).asc +: tieBreak.map(col(_).asc): _*)
-    joined
-      .withColumn("__rank__", row_number().over(w))
-      .filter(col("__rank__") <= k)
-      .drop("__rank__")
+    idCol match {
+      case Some(id) =>
+        val coarseCols = (id +: tieBreak).distinct
+        val scored = corpus
+          .select((coarseCols :+ vecCol).distinct.map(col): _*)
+          .crossJoin(broadcast(queries))
+          .withColumn(distCol, vector_distance(col(vecCol), col(queryVecCol), metric))
+          .select(col(queryIdCol) +: col(distCol) +: coarseCols.map(col): _*)
+        val topk = scored.withColumn("__rank__", row_number().over(w))
+          .filter(col("__rank__") <= k)
+          .select(col(queryIdCol), col(distCol), col(id))
+        broadcast(topk).join(corpus, Seq(id))
+      case None =>
+        corpus
+          .crossJoin(broadcast(queries))
+          .withColumn(distCol, vector_distance(col(vecCol), col(queryVecCol), metric))
+          .drop(queryVecCol)
+          .withColumn("__rank__", row_number().over(w))
+          .filter(col("__rank__") <= k)
+          .drop("__rank__")
+    }
   }
 }

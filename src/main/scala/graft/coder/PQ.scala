@@ -37,16 +37,27 @@ import graft.core.Metrics
   */
 object PQ {
 
+  /** @param opqIters 0 = classic PQ. >0 enables Optimized Product
+    *   Quantization (Ge, He, Ke & Sun, "Optimized Product Quantization",
+    *   CVPR 2013, non-parametric variant): that many alternating
+    *   iterations of (train codebooks on rotated sample) ↔ (solve the
+    *   orthogonal Procrustes problem R = U·Vᵀ from SVD(XᵀY)) learn a
+    *   d×d rotation applied before the subspace split, re-balancing
+    *   variance across subspaces. Pure win on anisotropic data
+    *   (correlated dims straddling subspace boundaries); a no-op in
+    *   expectation on isotropic data. */
   case class PQConfig(
       numSubspaces: Int = 8,
       codebookSize: Int = 256,
       metric: String = "l2",
       sampleSize: Int = 8192,
       iters: Int = 15,
-      seed: Long = 42L) {
+      seed: Long = 42L,
+      opqIters: Int = 0) {
     require(codebookSize >= 2 && codebookSize <= 256,
       s"codebookSize must be in [2, 256] (one byte per subspace), got $codebookSize")
     require(numSubspaces >= 1, "numSubspaces must be >= 1")
+    require(opqIters >= 0, "opqIters must be >= 0")
   }
 
   /** Trained codebooks: `centroids(sub)(code)` is a subDim-length array.
@@ -54,12 +65,20 @@ object PQ {
     * (x − anchor(cell)) — search must then build per-cell ADC tables on
     * the query residual (see [[graft.index.Index.searchIvfPq]]); `anchors`
     * carries the per-cell anchor points (empirical cell means). */
+  /** @param rotation optional row-major d×d OPQ rotation (entry (t, d) at
+    *   `t*dim + d`); applied to every encode/ADC input AFTER metric
+    *   normalization, v'(d) = Σₜ v(t)·R(t,d). Orthogonal, so l2 / dot /
+    *   cosine are all preserved and the residual decomposition commutes
+    *   with it (anchors stay in the original space). */
   case class PQCodebooks(config: PQConfig, dim: Int,
       centroids: Array[Array[Array[Double]]], residual: Boolean = false,
-      anchors: Map[Long, Array[Double]] = Map.empty) {
+      anchors: Map[Long, Array[Double]] = Map.empty,
+      rotation: Option[Array[Double]] = None) {
     val m: Int = config.numSubspaces
     val k: Int = config.codebookSize
     require(dim % m == 0, s"dim $dim not divisible by numSubspaces $m")
+    require(rotation.forall(_.length == dim * dim),
+      s"rotation must be a flat $dim×$dim matrix")
     val subDim: Int = dim / m
     def canonicalMetric: String = Metrics.canonical(config.metric)
 
@@ -81,10 +100,24 @@ object PQ {
         if (n == 0.0) v else v.map(_ / n)
       } else v
 
+    /** OPQ rotation, loop order matching [[graft.functions.PQEncode]]'s
+      * generated code bit-for-bit (accumulate over t for each output d). */
+    private[coder] def maybeRotate(v: Array[Double]): Array[Double] =
+      rotation.fold(v) { rot =>
+        val out = new Array[Double](dim)
+        var d = 0
+        while (d < dim) {
+          var acc = 0.0; var t = 0
+          while (t < dim) { acc += rot(t * dim + d) * v(t); t += 1 }
+          out(d) = acc; d += 1
+        }
+        out
+      }
+
     /** Driver-side encode (the distributed path is [[encodeExpr]]). */
     def encode(vRaw: Array[Double]): Array[Byte] = {
       require(vRaw.length == dim, s"expected $dim dims, got ${vRaw.length}")
-      val v = maybeNormalize(vRaw)
+      val v = maybeRotate(maybeNormalize(vRaw))
       val code = new Array[Byte](m)
       var j = 0
       while (j < m) {
@@ -109,7 +142,7 @@ object PQ {
       * exact contribution of centroid i against the query. */
     def adcTable(targetRaw: Array[Double]): Array[Double] = {
       require(targetRaw.length == dim, s"expected $dim dims, got ${targetRaw.length}")
-      val q = maybeNormalize(targetRaw)
+      val q = maybeRotate(maybeNormalize(targetRaw))
       val table = new Array[Double](m * k)
       val metric = canonicalMetric
       for (j <- 0 until m; i <- 0 until k) {
@@ -157,14 +190,80 @@ object PQ {
       } else rows
     val k = math.min(cfg.codebookSize, data.length)
 
-    // subspaces are independent — train them on parallel driver threads
-    // (m·iters·sample·k·subDim flops; ~8e9 at reference scale)
+    if (cfg.opqIters <= 0) {
+      PQCodebooks(cfg.copy(codebookSize = k), dim,
+        trainSubspaces(data, m, subDim, k, cfg.iters, cfg.seed))
+    } else {
+      val (rot, rotated) = learnRotation(data, dim, m, subDim, k, cfg)
+      PQCodebooks(cfg.copy(codebookSize = k), dim,
+        trainSubspaces(rotated, m, subDim, k, cfg.iters, cfg.seed),
+        rotation = Some(rot))
+    }
+  }
+
+  /** Per-subspace codebooks over a (possibly rotated) sample — subspaces
+    * are independent, so train them on parallel driver threads
+    * (m·iters·sample·k·subDim flops; ~8e9 at reference scale). */
+  private def trainSubspaces(data: Array[Array[Double]], m: Int, subDim: Int,
+      k: Int, iters: Int, seed: Long): Array[Array[Array[Double]]] = {
     import scala.collection.parallel.CollectionConverters._
-    val centroids = (0 until m).par.map { j =>
+    (0 until m).par.map { j =>
       val sub = data.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
-      lloyd(sub, k, cfg.iters, cfg.seed + j)
+      lloyd(sub, k, iters, seed + j)
     }.toArray
-    PQCodebooks(cfg.copy(codebookSize = k), dim, centroids)
+  }
+
+  /** Non-parametric OPQ (Ge et al. 2013, Algorithm 2): alternate between
+    * training sub-codebooks on the rotated sample and solving the
+    * orthogonal Procrustes problem — R = U·Vᵀ from SVD(Xᵀ·Y), where Y is
+    * the quantized reconstruction of X·R — which is the closed-form
+    * rotation minimizing ‖X·R − Y‖_F. Driver-side on the bounded training
+    * sample (n ≤ sampleSize, d×d SVD via the Spark distribution's breeze).
+    * Deterministic: seeded Lloyd + LAPACK. Returns (flat row-major R,
+    * X·R rows) so the caller trains final codebooks on the rotated data. */
+  private def learnRotation(data: Array[Array[Double]], dim: Int, m: Int,
+      subDim: Int, k: Int, cfg: PQConfig): (Array[Double], Array[Array[Double]]) = {
+    import breeze.linalg.{svd, DenseMatrix}
+    import scala.collection.parallel.CollectionConverters._
+    val n = data.length
+    val x = DenseMatrix.tabulate(n, dim)((i, j) => data(i)(j))
+    var r = DenseMatrix.eye[Double](dim)
+    // inner codebook refits need only track the rotation, not converge —
+    // the final full-iteration training runs after R is fixed
+    val innerIters = math.max(4, cfg.iters / 3)
+    var it = 0
+    while (it < cfg.opqIters) {
+      val xr = x * r
+      val rows = Array.tabulate(n)(i => Array.tabulate(dim)(j => xr(i, j)))
+      val cents = trainSubspaces(rows, m, subDim, k, innerIters, cfg.seed)
+      val y = DenseMatrix.zeros[Double](n, dim)
+      (0 until m).par.foreach { j =>
+        val cs = cents(j)
+        var i = 0
+        while (i < n) {
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var acc = 0.0; var t = 0
+            while (t < subDim) {
+              val dl = cs(c)(t) - xr(i, j * subDim + t); acc += dl * dl; t += 1
+            }
+            if (acc < bestD) { bestD = acc; best = c }
+            c += 1
+          }
+          val bc = cs(best)
+          var t = 0
+          while (t < subDim) { y(i, j * subDim + t) = bc(t); t += 1 }
+          i += 1
+        }
+      }
+      val svd.SVD(u, _, vt) = svd(x.t * y)
+      r = u * vt
+      it += 1
+    }
+    val xrF = x * r
+    (Array.tabulate(dim * dim)(e => r(e / dim, e % dim)),
+      Array.tabulate(n)(i => Array.tabulate(dim)(j => xrF(i, j))))
   }
 
   /** Standard Lloyd k-means (seeded init from distinct sample points;
@@ -223,8 +322,13 @@ object PQ {
     payload.put("sampleSize", cb.config.sampleSize)
     payload.put("iters", cb.config.iters)
     payload.put("seed", cb.config.seed)
+    payload.put("opqIters", cb.config.opqIters)
     payload.put("residual", cb.residual)
     payload.set("centroids", mapper.valueToTree(cb.centroids))
+    cb.rotation.foreach { rot =>
+      payload.set[com.fasterxml.jackson.databind.JsonNode](
+        "rotation", mapper.valueToTree(rot))
+    }
     val anchorsNode = payload.putObject("anchors")
     cb.anchors.foreach { case (cell, a) =>
       anchorsNode.set[com.fasterxml.jackson.databind.JsonNode](
@@ -243,9 +347,12 @@ object PQ {
       metric = n.get("metric").asText(),
       sampleSize = n.get("sampleSize").asInt(),
       iters = n.get("iters").asInt(),
-      seed = n.get("seed").asLong())
+      seed = n.get("seed").asLong(),
+      opqIters = Option(n.get("opqIters")).map(_.asInt()).getOrElse(0))
     val cents = mapper.treeToValue(n.get("centroids"), classOf[Array[Array[Array[Double]]]])
     val residual = Option(n.get("residual")).exists(_.asBoolean(false))
+    val rotation = Option(n.get("rotation"))
+      .map(r => mapper.treeToValue(r, classOf[Array[Double]]))
     val anchors: Map[Long, Array[Double]] = Option(n.get("anchors")).map { an =>
       val b = Map.newBuilder[Long, Array[Double]]
       an.fields().forEachRemaining { e =>
@@ -253,7 +360,7 @@ object PQ {
       }
       b.result()
     }.getOrElse(Map.empty)
-    PQCodebooks(cfg, n.get("dim").asInt(), cents, residual, anchors)
+    PQCodebooks(cfg, n.get("dim").asInt(), cents, residual, anchors, rotation)
   }
 
   /** Local-file save/load so repeated Verify/Bench runs skip retraining. */
@@ -277,7 +384,8 @@ object PQ {
       val c = cb.config
       if (c.numSubspaces == cfg.numSubspaces && c.metric == cfg.metric &&
           c.sampleSize == cfg.sampleSize && c.iters == cfg.iters &&
-          c.seed == cfg.seed && c.codebookSize <= cfg.codebookSize)
+          c.seed == cfg.seed && c.opqIters == cfg.opqIters &&
+          c.codebookSize <= cfg.codebookSize)
         return cb
     }
     val cb = train(df, column, cfg)

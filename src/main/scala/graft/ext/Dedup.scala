@@ -33,11 +33,19 @@ object Dedup {
 
   // ——— shingles + MinHash ———
 
-  private[ext] def hash64(s: String, seed: Long): Long = {
-    // FNV-1a 64-bit with seed mix — deterministic across JVMs.
+  private[graft] def hash64(s: String, seed: Long): Long = {
+    // FNV-1a 64-bit with seed mix over CODE POINTS — deterministic across
+    // JVMs and identical to the DuckDB oracle mirrors, which hash
+    // unicode(c) per character, for ALL text (UTF-16 code units would
+    // silently diverge on non-BMP chars; same move the Winnow kernel made
+    // in round 5 and identical values for BMP text either way).
     var h = 0xcbf29ce484222325L ^ seed
     var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h ^= cp; h *= 0x100000001b3L
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -91,7 +99,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // NULL-text docs carry no content and are never near-dup candidates —
+    // skipped up front (the DuckDB oracle drops them in tokenization; the
+    // UDF's all-MaxValue null signature would instead pair every null doc
+    // with every other at jaccard 1.0)
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .filter(col("text").isNotNull)
       .withColumn("sig", minhashUdf(numHashes, shingleSize)(col("text")))
     // the band's raw signature slice IS the join key (arrays are valid
     // equi-join keys): pure LSH semantics with no hash-collision false

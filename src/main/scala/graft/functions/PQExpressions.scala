@@ -49,16 +49,20 @@ case class PQEncode(child: Expression, cb: PQCodebooks) extends UnaryExpression 
     // so only the FLAT cosine variant normalizes here (mirrors
     // PQCodebooks.maybeNormalize — the bit-for-bit parity contract)
     val cosine = cb.canonicalMetric == "cosine" && !cb.residual
+    val rotRef = cb.rotation.map(r => ctx.addReferenceObj("pqRotation", r, "double[]"))
     val code = ctx.freshName("code"); val inv = ctx.freshName("inv")
     val jV = ctx.freshName("j"); val iV = ctx.freshName("ci")
     val tV = ctx.freshName("t"); val base = ctx.freshName("base")
     val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
     val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
     val dl = ctx.freshName("dl"); val nrm = ctx.freshName("nrm")
+    val vv = ctx.freshName("vv"); val rv = ctx.freshName("rv")
+    val dV = ctx.freshName("d"); val racc = ctx.freshName("racc")
     nullSafeCodeGen(ctx, ev, a => {
       // divide (not multiply-by-reciprocal): x/√n and x·(1/√n) differ by
       // an ulp, and the driver path (PQCodebooks.encode) divides — the
-      // bit-for-bit contract requires the same IEEE op here
+      // bit-for-bit contract requires the same IEEE op here. Dividing once
+      // into the scratch array is IEEE-identical to dividing per visit.
       val invInit = if (cosine) {
         s"""double $nrm = 0.0;
            |for (int $tV = 0; $tV < $dim; $tV++) {
@@ -66,12 +70,30 @@ case class PQEncode(child: Expression, cb: PQCodebooks) extends UnaryExpression 
            |}
            |double $inv = ($nrm == 0.0) ? 1.0 : Math.sqrt($nrm);""".stripMargin
       } else s"final double $inv = 1.0;"
+      // OPQ rotation: same accumulate-over-t loop order as
+      // PQCodebooks.maybeRotate (the bit-for-bit parity contract)
+      val rotate = rotRef.fold("") { rr =>
+        s"""double[] $rv = new double[$dim];
+           |for (int $dV = 0; $dV < $dim; $dV++) {
+           |  double $racc = 0.0;
+           |  for (int $tV = 0; $tV < $dim; $tV++) {
+           |    $racc += $rr[$tV * $dim + $dV] * $vv[$tV];
+           |  }
+           |  $rv[$dV] = $racc;
+           |}
+           |$vv = $rv;""".stripMargin
+      }
       s"""
          |if ($a.numElements() != $dim) {
          |  throw new IllegalArgumentException(
          |    "pq_encode: expected $dim elements, got " + $a.numElements());
          |}
          |$invInit
+         |double[] $vv = new double[$dim];
+         |for (int $tV = 0; $tV < $dim; $tV++) {
+         |  $vv[$tV] = (double) $a.$get($tV) / $inv;
+         |}
+         |$rotate
          |byte[] $code = new byte[$m];
          |for (int $jV = 0; $jV < $m; $jV++) {
          |  int $best = 0; double $bestD = Double.MAX_VALUE;
@@ -79,7 +101,7 @@ case class PQEncode(child: Expression, cb: PQCodebooks) extends UnaryExpression 
          |    final int $base = ($jV * $k + $iV) * $subDim;
          |    double $acc = 0.0;
          |    for (int $tV = 0; $tV < $subDim; $tV++) {
-         |      double $dl = $cRef[$base + $tV] - (double) $a.$get($jV * $subDim + $tV) / $inv;
+         |      double $dl = $cRef[$base + $tV] - $vv[$jV * $subDim + $tV];
          |      $acc += $dl * $dl;
          |    }
          |    if ($acc < $bestD) { $bestD = $acc; $best = $iV; }

@@ -36,14 +36,20 @@ object Index {
       graft.functions.CellAssign(
         org.apache.spark.sql.GraftShims.expression(vec), coding))
 
+  /** Source-file provenance column stored in the plain IVF copy: the
+    * source parquet file each indexed row came from (`_metadata.file_name`
+    * at build/sync time). Stripped by [[load]]; consumed by [[repair]],
+    * which uses it to rewrite only the cells touched by changed files. */
+  val SrcFileCol: String = "__SRC_FILE__"
+
   /** Build (or rebuild) the index for `source.column` under `codingName` —
     * reference `make-index` / `sync_index` (A2). One distributed pass. */
   def build(store: Store, codingName: String, source: String, column: String): Unit = {
     val coding = store.loadCoding(codingName)
-    // stamp BEFORE reading: a concurrent source change mid-build then
-    // leaves a stale stamp (conservative — freshness check fails) rather
-    // than a wrongly-fresh one
-    val stamp = store.sourceStamp(source)
+    // listing + stamp BEFORE reading: a concurrent source change mid-build
+    // then leaves a stale stamp (conservative — freshness check fails)
+    // rather than a wrongly-fresh one
+    val listing = store.sourceListing(source)
     val df = store.loadTable(source)
     // Cluster rows by cell before the partitioned write: without this every
     // task writes a file into every cell directory (tasks × cells tiny
@@ -52,19 +58,49 @@ object Index {
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.indexPath(source, column, codingName)
-    df.withColumn(CodeCol, assignExpr(col(column), coding))
+    df.withColumn(SrcFileCol, col("_metadata.file_name"))
+      .withColumn(CodeCol, assignExpr(col(column), coding))
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
       .parquet(path)
-    recordSourceStamp(store, path, stamp)
+    recordSourceStamp(store, path, listing)
   }
 
   private def stampSidecar(path: String) = s"$path/_source_stamp.json"
 
-  private def recordSourceStamp(store: Store, indexPath: String, stamp: String): Unit =
-    store.writeSidecar(stampSidecar(indexPath),
-      s"""{"stamp":"$stamp"}""".getBytes("UTF-8"))
+  /** The sidecar records both the MD5 stamp and the full (name:len:mtime)
+    * listing it hashes — sync needs the listing to prove growth was
+    * append-only before re-stamping, and [[repair]] diffs it to find
+    * WHICH files changed. */
+  private def recordSourceStamp(store: Store, indexPath: String,
+      listing: Seq[String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = mapper.createObjectNode()
+    payload.put("stamp", store.stampOf(listing))
+    val arr = payload.putArray("files")
+    listing.foreach(arr.add)
+    store.writeSidecar(stampSidecar(indexPath), mapper.writeValueAsBytes(payload))
+  }
+
+  /** The recorded source listing, if the sidecar carries one (indexes
+    * stamped before the listing field report None). */
+  private def recordedListing(store: Store, indexPath: String): Option[Seq[String]] = {
+    val sc = stampSidecar(indexPath)
+    if (!store.sidecarExists(sc)) return None
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(store.readSidecar(sc))
+    Option(n.get("files")).map { files =>
+      (0 until files.size()).map(i => files.get(i).asText())
+    }
+  }
+
+  private def recordedStamp(store: Store, indexPath: String): Option[String] = {
+    val sc = stampSidecar(indexPath)
+    if (!store.sidecarExists(sc)) return None
+    Option(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(store.readSidecar(sc)).get("stamp")).map(_.asText())
+  }
 
   /** Whether the materialized index copy exists AND was built/synced from
     * the CURRENT content of `source` (the stamp recorded at build/sync
@@ -73,17 +109,22 @@ object Index {
     * predating the stamp sidecar report not-fresh. */
   def indexFresh(store: Store, codingName: String, source: String,
       column: String): Boolean =
-    indexExists(store, codingName, source, column) && {
-      val sc = stampSidecar(store.indexPath(source, column, codingName))
-      store.sidecarExists(sc) && new String(store.readSidecar(sc), "UTF-8")
-        .contains("\"" + store.sourceStamp(source) + "\"")
-    }
+    indexExists(store, codingName, source, column) &&
+      recordedStamp(store, store.indexPath(source, column, codingName))
+        .contains(store.sourceStamp(source))
 
   /** Incremental sync: assign + append only the source rows whose `idCol`
     * is not yet indexed (the reference's `sync_index` reassigns the whole
     * table every time, `flight.py:219-233`). One anti-join + one narrow
     * assignment pass over the delta; appended files land in their cell
-    * partitions. Returns the number of rows appended. */
+    * partitions. Returns the number of rows appended.
+    *
+    * The stamp is refreshed only when growth is VERIFIABLY append-only:
+    * every file entry recorded at the last build/sync must still be
+    * present, unchanged, in the current listing. A rewrite that modifies
+    * existing rows AND adds new ids appends the new rows but leaves the
+    * stamp stale (the anti-join cannot repair modified rows) — recover
+    * with [[repair]]. */
   def syncIncremental(store: Store, codingName: String, source: String,
       column: String, idCol: String): Long = {
     val path = store.indexPath(source, column, codingName)
@@ -94,9 +135,17 @@ object Index {
       return store.spark.read.parquet(path).count()
     }
     val coding = store.loadCoding(codingName)
-    val stamp = store.sourceStamp(source)
-    val existing = store.spark.read.parquet(path).select(col(idCol))
-    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val listing = store.sourceListing(source)
+    val existingDf = store.spark.read.parquet(path)
+    val existing = existingDf.select(col(idCol))
+    val hasProvenance = existingDf.schema.fieldNames.contains(SrcFileCol)
+    val src0 = store.loadTable(source)
+    // legacy indexes (no provenance column) append without it — a mixed
+    // schema would make the parquet read schema file-order-dependent
+    val src = if (hasProvenance)
+      src0.withColumn(SrcFileCol, col("_metadata.file_name"))
+    else src0
+    val fresh = src.join(existing, Seq(idCol), "left_anti")
     val delta = fresh.withColumn(CodeCol, assignExpr(col(column), coding))
     // the delta is bounded by the append size, so persist it: count +
     // write would otherwise run the anti-join + assignment twice
@@ -105,14 +154,120 @@ object Index {
       val appended = delta.count()
       if (appended > 0) {
         delta.write.mode("append").partitionBy(CodeCol).parquet(path)
-        // append-only growth re-freshens the stamp; an in-place row
-        // MODIFICATION yields appended == 0 (the anti-join sees no new
-        // ids) and the stamp stays stale on purpose — sync cannot repair
-        // modified rows, so freshness must keep failing
-        recordSourceStamp(store, path, stamp)
+        // re-stamp ONLY for verifiably append-only growth: the recorded
+        // listing must be a subset of the current one. Otherwise (files
+        // modified or removed alongside the append) the indexed copy
+        // still serves stale vectors for the modified rows, so freshness
+        // must keep failing until repair()/build()
+        val curSet = listing.toSet
+        if (recordedListing(store, path).exists(_.forall(curSet.contains)))
+          recordSourceStamp(store, path, listing)
       }
       appended
     } finally delta.unpersist(blocking = false)
+  }
+
+  /** Outcome of a [[repair]]: which files were re-ingested / dropped and
+    * how many cell partitions were rewritten (`fullRebuild` marks the
+    * legacy-index fallback where file-scoped repair was impossible). */
+  case class RepairStats(filesChanged: Long, cellsRewritten: Long,
+      fullRebuild: Boolean)
+
+  /** Cell-scoped repair after in-place source modifications or deletions —
+    * the recovery path [[syncIncremental]] cannot provide (its anti-join
+    * only sees NEW ids). Diffs the recorded per-file listing against the
+    * current one, drops indexed rows originating from changed/removed
+    * files, re-ingests rows from changed/added files, and rewrites ONLY
+    * the affected cell partitions (ghost rows from deleted files are
+    * removed too). At 100 TB a one-file rewrite costs one file's worth of
+    * re-assignment plus a few cell directories — not a full re-index.
+    *
+    * Indexes built before the provenance column / listing sidecar fall
+    * back to a full [[build]] (flagged in the returned stats). Repairs
+    * only the plain IVF copy; PQ/SQ8 copies of the same source keep their
+    * own stamps and need their own rebuild if stale. */
+  def repair(store: Store, codingName: String, source: String,
+      column: String): RepairStats = {
+    val path = store.indexPath(source, column, codingName)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    def fullRebuild(): RepairStats = {
+      build(store, codingName, source, column)
+      RepairStats(-1, -1, fullRebuild = true)
+    }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return fullRebuild()
+    val recordedOpt = recordedListing(store, path)
+    val indexedRaw = store.spark.read.parquet(path)
+      .withColumn(CodeCol, col(CodeCol).cast("long"))
+    if (recordedOpt.isEmpty || !indexedRaw.schema.fieldNames.contains(SrcFileCol))
+      return fullRebuild()
+
+    // entry = "name:len:mtime" (parquet part names never contain ':';
+    // strip the two trailing fields defensively anyway)
+    def nameOf(e: String): String =
+      e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1))
+    val recorded = recordedOpt.get
+    val listing = store.sourceListing(source)
+    val curSet = listing.toSet
+    val recSet = recorded.toSet
+    // recorded entries no longer exactly present: modified or removed
+    val staleNames = recorded.filterNot(curSet.contains).map(nameOf).distinct
+    // current entries not recorded: added, or the new face of a modified
+    // file, or files appended by a sync that could not re-stamp
+    val freshNames = listing.filterNot(recSet.contains).map(nameOf).distinct
+    if (staleNames.isEmpty && freshNames.isEmpty) {
+      recordSourceStamp(store, path, listing) // already consistent
+      return RepairStats(0, 0, fullRebuild = false)
+    }
+    val affectedNames = (staleNames ++ freshNames).distinct
+    val coding = store.loadCoding(codingName)
+    val freshRows = store.loadTable(source)
+      .withColumn(SrcFileCol, col("_metadata.file_name"))
+      .filter(col(SrcFileCol).isin(freshNames: _*))
+      .withColumn(CodeCol, assignExpr(col(column), coding))
+    // affected cells: wherever a stale file's rows sit, plus wherever a
+    // fresh file's rows land — two small distinct-collects, bounded by
+    // numCells
+    val staleCells =
+      if (staleNames.isEmpty) Array.empty[Long]
+      else indexedRaw.filter(col(SrcFileCol).isin(staleNames: _*))
+        .select(CodeCol).distinct().collect().map(_.getLong(0))
+    val freshCells = freshRows
+      .select(CodeCol).distinct().collect().map(_.getLong(0))
+    val affected = (staleCells ++ freshCells).distinct.sorted
+    if (affected.isEmpty) {
+      recordSourceStamp(store, path, listing) // e.g. an empty file removed
+      return RepairStats(affectedNames.length.toLong, 0, fullRebuild = false)
+    }
+    // replacement content for the affected cells: surviving rows from
+    // untouched files + re-assigned rows from changed/added files. It
+    // READS the directories about to be deleted, so it must land on disk
+    // (a temp sibling) before any delete — a cache could be evicted and
+    // recompute over deleted files
+    val replacement = indexedRaw
+      .filter(col(CodeCol).isin(affected.toIndexedSeq: _*))
+      .filter(!col(SrcFileCol).isin(affectedNames: _*))
+      .unionByName(freshRows)
+    val tmp = s"$path.__repair_tmp__"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val parts = math.max(1, math.min(affected.length.toLong,
+      store.spark.sparkContext.defaultParallelism.toLong * 2).toInt)
+    replacement.repartition(parts, col(CodeCol))
+      .write.mode("overwrite").partitionBy(CodeCol).parquet(tmp)
+    // swap in the rewritten cells one directory at a time; a crash
+    // mid-swap leaves a stale stamp (the sidecar is written LAST), so
+    // freshness keeps failing rather than lying
+    affected.foreach { cell =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$CodeCol=$cell")
+      val srcP = new org.apache.hadoop.fs.Path(s"$tmp/$CodeCol=$cell")
+      fs.delete(dst, true)
+      if (fs.exists(srcP))
+        require(fs.rename(srcP, dst), s"repair: rename failed for cell $cell")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    recordSourceStamp(store, path, listing)
+    RepairStats(affectedNames.length.toLong, affected.length.toLong,
+      fullRebuild = false)
   }
 
   /** Whether the materialized indexed copy exists (Spark's _SUCCESS
@@ -122,11 +277,13 @@ object Index {
     store.sidecarExists(s"${store.indexPath(source, column, codingName)}/_SUCCESS")
 
   /** Read the indexed copy: source schema ⊕ `__CODED_ID__: long`
-    * (reference V7 `index.py:19-34`, minus the positional join). */
+    * (reference V7 `index.py:19-34`, minus the positional join). The
+    * internal provenance column is stripped — it exists for [[repair]],
+    * not for queries. */
   def load(store: Store, codingName: String, source: String, column: String): DataFrame = {
     val df = store.spark.read.parquet(store.indexPath(source, column, codingName))
     // partition-column discovery types the cell id as int; contract says long
-    df.withColumn(CodeCol, col(CodeCol).cast("long"))
+    df.withColumn(CodeCol, col(CodeCol).cast("long")).drop(SrcFileCol)
   }
 
   /** Partition-prune to the probed cells — skipped entirely at full
@@ -506,13 +663,53 @@ object Index {
     def dim: Int = scales.length
   }
 
+  /** The full affine parameter set of an SQ8 index: the shared per-dim
+    * params, plus (opt-in, [[buildSq]] `perCell = true`) one params block
+    * PER CELL keyed by `__CODED_ID__` — the SemDeDup setting, where
+    * heterogeneous clusters have disjoint per-dimension ranges and one
+    * shared range wastes the 8-bit resolution on between-cluster spread.
+    * `global` doubles as the fallback for cells the build never saw. */
+  case class SqParamsSet(global: SqParams, cells: Map[Long, SqParams] = Map.empty) {
+    def perCell: Boolean = cells.nonEmpty
+    /** (sorted cells, flat scales, flat zps) with the global block LAST —
+      * the layout [[graft.functions.QuantizePerCellDim]] binary-searches. */
+    def flat: (IndexedSeq[Long], IndexedSeq[Float], IndexedSeq[Float]) = {
+      val sorted = cells.keys.toIndexedSeq.sorted
+      val blocks = sorted.map(cells) :+ global
+      (sorted,
+        blocks.flatMap(_.scales.toIndexedSeq),
+        blocks.flatMap(_.zeroPoints.toIndexedSeq))
+    }
+  }
+
   private def quantizeCol(vec: Column, p: SqParams): Column =
     org.apache.spark.sql.GraftShims.column(graft.functions.QuantizePerDim(
-      org.apache.spark.sql.GraftShims.expression(vec), p.scales, p.zeroPoints))
+      org.apache.spark.sql.GraftShims.expression(vec), p.scales.toIndexedSeq, p.zeroPoints.toIndexedSeq))
 
   private def dequantizeCol(codes: Column, p: SqParams): Column =
     org.apache.spark.sql.GraftShims.column(graft.functions.DequantizePerDim(
-      org.apache.spark.sql.GraftShims.expression(codes), p.scales, p.zeroPoints))
+      org.apache.spark.sql.GraftShims.expression(codes), p.scales.toIndexedSeq, p.zeroPoints.toIndexedSeq))
+
+  /** Quantize under a param set: per-cell expression (params selected per
+    * row by its cell id) when the set carries cells, plain per-dim
+    * otherwise. */
+  private def quantizeSetCol(vec: Column, cell: Column, set: SqParamsSet): Column =
+    if (!set.perCell) quantizeCol(vec, set.global)
+    else {
+      val (cs, ss, zs) = set.flat
+      org.apache.spark.sql.GraftShims.column(graft.functions.QuantizePerCellDim(
+        org.apache.spark.sql.GraftShims.expression(vec),
+        org.apache.spark.sql.GraftShims.expression(cell), cs, ss, zs))
+    }
+
+  private def dequantizeSetCol(codes: Column, cell: Column, set: SqParamsSet): Column =
+    if (!set.perCell) dequantizeCol(codes, set.global)
+    else {
+      val (cs, ss, zs) = set.flat
+      org.apache.spark.sql.GraftShims.column(graft.functions.DequantizePerCellDim(
+        org.apache.spark.sql.GraftShims.expression(codes),
+        org.apache.spark.sql.GraftShims.expression(cell), cs, ss, zs))
+    }
 
   /** Fit per-dimension affine params from per-dimension [lo, hi]:
     * `q = x/scale + zeroPoint` maps [lo_i, hi_i] onto [0, 255]. Constant
@@ -547,37 +744,91 @@ object Index {
     * the codegen'd [[graft.functions.QuantizePerDim]] — a single narrow
     * corpus pass. */
   def buildSq(store: Store, codingName: String, source: String,
-      column: String): SqParams = {
+      column: String, perCell: Boolean = false): SqParams = {
     val coding = store.loadCoding(codingName)
+    if (perCell)
+      require(coding.numCells <= ResidualCellCap,
+        s"per-cell SQ8 supports codings up to $ResidualCellCap cells (the " +
+          s"param set is numCells×dim×2 floats); coding '$codingName' has " +
+          s"${coding.numCells}. Build with perCell = false.")
     val df = store.loadTable(source)
     val vecMin = udaf(graft.coder.VecMinAgg)
     val vecMax = udaf(graft.coder.VecMaxAgg)
-    val stats = df
-      .select(col(column).cast("array<double>").as("__v__"))
-      .filter(col("__v__").isNotNull)
-      .agg(vecMin(col("__v__")).as("lo"), vecMax(col("__v__")).as("hi"))
-      .collect()(0)
-    val lo = stats.getSeq[Double](0).toArray
-    val hi = stats.getSeq[Double](1).toArray
-    require(lo.nonEmpty,
-      s"buildSq: $source.$column has no non-null vectors to quantize")
-    val params = fitSqParams(lo, hi)
+    // ONE agg pass either way: per-cell just keys the same VecMin/VecMax
+    // agg by the cell id (numCells × (lo, hi) rows collect — bounded by
+    // the cell cap); the global fallback derives from the per-cell
+    // bounds driver-side, no second scan
+    val set: SqParamsSet =
+      if (!perCell) {
+        val stats = df
+          .select(col(column).cast("array<double>").as("__v__"))
+          .filter(col("__v__").isNotNull)
+          .agg(vecMin(col("__v__")).as("lo"), vecMax(col("__v__")).as("hi"))
+          .collect()(0)
+        val lo = stats.getSeq[Double](0).toArray
+        val hi = stats.getSeq[Double](1).toArray
+        require(lo.nonEmpty,
+          s"buildSq: $source.$column has no non-null vectors to quantize")
+        SqParamsSet(fitSqParams(lo, hi))
+      } else {
+        val rows = df
+          .withColumn(CodeCol, assignExpr(col(column), coding))
+          .select(col(CodeCol), col(column).cast("array<double>").as("__v__"))
+          .filter(col("__v__").isNotNull)
+          .groupBy(col(CodeCol))
+          .agg(vecMin(col("__v__")).as("lo"), vecMax(col("__v__")).as("hi"))
+          .collect()
+        require(rows.nonEmpty,
+          s"buildSq: $source.$column has no non-null vectors to quantize")
+        val bounds = rows.map { r =>
+          r.getLong(0) -> (r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+        }
+        val dim = bounds.head._2._1.length
+        val gLo = Array.fill(dim)(Double.MaxValue)
+        val gHi = Array.fill(dim)(Double.MinValue)
+        bounds.foreach { case (_, (lo, hi)) =>
+          var i = 0
+          while (i < dim) {
+            if (lo(i) < gLo(i)) gLo(i) = lo(i)
+            if (hi(i) > gHi(i)) gHi(i) = hi(i)
+            i += 1
+          }
+        }
+        SqParamsSet(fitSqParams(gLo, gHi),
+          bounds.map { case (c, (lo, hi)) => c -> fitSqParams(lo, hi) }.toMap)
+      }
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.sqIndexPath(source, column, codingName)
     df.withColumn(CodeCol, assignExpr(col(column), coding))
-      .withColumn(SqCol, quantizeCol(col(column), params))
+      .withColumn(SqCol, quantizeSetCol(col(column), col(CodeCol), set))
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
       .parquet(path)
-    store.writeSidecar(sqSidecar(path), sqParamsJson(params).getBytes("UTF-8"))
-    params
+    store.writeSidecar(sqSidecar(path), sqParamsJson(set).getBytes("UTF-8"))
+    set.global
   }
 
-  private def sqParamsJson(p: SqParams): String =
-    s"""{"scales":[${p.scales.mkString(",")}],""" +
-      s""""zeroPoints":[${p.zeroPoints.mkString(",")}]}"""
+  private def sqParamsJson(set: SqParamsSet): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = mapper.createObjectNode()
+    def putArr(node: com.fasterxml.jackson.databind.node.ObjectNode,
+        k: String, a: Array[Float]): Unit = {
+      val arr = node.putArray(k); a.foreach(arr.add); ()
+    }
+    putArr(payload, "scales", set.global.scales)
+    putArr(payload, "zeroPoints", set.global.zeroPoints)
+    if (set.perCell) {
+      val cellsNode = payload.putObject("cells")
+      set.cells.toSeq.sortBy(_._1).foreach { case (c, p) =>
+        val n = cellsNode.putObject(c.toString)
+        putArr(n, "scales", p.scales)
+        putArr(n, "zeroPoints", p.zeroPoints)
+      }
+    }
+    mapper.writeValueAsString(payload)
+  }
 
   def sqIndexExists(store: Store, codingName: String, source: String,
       column: String): Boolean =
@@ -588,15 +839,27 @@ object Index {
       scala.util.Try(loadSqParams(store, codingName, source, column)).isSuccess
 
   private def loadSqParams(store: Store, codingName: String, source: String,
-      column: String): SqParams = {
-    val s = new String(store.readSidecar(
-      sqSidecar(store.sqIndexPath(source, column, codingName))), "UTF-8")
-    def arr(k: String): Array[Float] =
-      s"""\"$k\":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
-        .map(_.group(1).split(",").map(_.trim.toFloat))
-        .getOrElse(throw new IllegalStateException(
-          s"malformed or pre-per-dimension SQ sidecar (rebuild with buildSq): $s"))
-    SqParams(arr("scales"), arr("zeroPoints"))
+      column: String): SqParamsSet = {
+    val bytes = store.readSidecar(
+      sqSidecar(store.sqIndexPath(source, column, codingName)))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(bytes)
+    def arr(node: com.fasterxml.jackson.databind.JsonNode, k: String): Array[Float] = {
+      val a = Option(node.get(k)).filter(_.isArray).getOrElse(
+        throw new IllegalStateException(
+          "malformed or pre-per-dimension SQ sidecar (rebuild with buildSq): " +
+            new String(bytes, "UTF-8").take(200)))
+      Array.tabulate(a.size())(i => a.get(i).floatValue())
+    }
+    val global = SqParams(arr(n, "scales"), arr(n, "zeroPoints"))
+    val cells: Map[Long, SqParams] = Option(n.get("cells")).map { cn =>
+      val b = Map.newBuilder[Long, SqParams]
+      cn.fields().forEachRemaining { e =>
+        b += e.getKey.toLong -> SqParams(arr(e.getValue, "scales"), arr(e.getValue, "zeroPoints"))
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+    SqParamsSet(global, cells)
   }
 
   /** Incremental SQ8 sync: quantize-only append of source rows whose
@@ -617,7 +880,9 @@ object Index {
     val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
     val delta = fresh
       .withColumn(CodeCol, assignExpr(col(column), coding))
-      .withColumn(SqCol, quantizeCol(col(column), params))
+      // per-cell sets quantize rows in unseen cells under the global
+      // fallback block — the same block the dequantize side will select
+      .withColumn(SqCol, quantizeSetCol(col(column), col(CodeCol), params))
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = delta.count()
@@ -662,9 +927,9 @@ object Index {
       cells, coding.numCells)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
     val coarseIds = pruned
-      .select(col(idCol), col(SqCol))
+      .select(col(idCol), col(SqCol), col(CodeCol))
       .withColumn("__SQD__", vector_distance(
-        dequantizeCol(col(SqCol), params), target.lit, m))
+        dequantizeSetCol(col(SqCol), col(CodeCol), params), target.lit, m))
       .orderBy(col("__SQD__").asc, col(idCol).asc)
       .limit(candidates)
       .select(idCol)
@@ -711,7 +976,11 @@ object Index {
     * shuffle. Full rows come back via a broadcast join of the ≤
     * numQueries·k survivors. This is the "online ANN" surface re-shaped
     * for Spark: amortize many queries over one pruned corpus pass.
-    * `idCol` must be unique per corpus row.
+    * `idCol` must be unique per corpus row. The exploded query batch
+    * (numQueries×probes rows, vectors included) is broadcast — batches
+    * estimated past `broadcastCapBytes` are hash-chunked and the
+    * per-chunk top-k unioned (equivalent; see
+    * [[graft.api.Search.QueryBroadcastCap]]).
     */
   def ivfKnnJoin(
       store: Store,
@@ -725,13 +994,33 @@ object Index {
       probes: Int,
       idCol: String,
       metric: Option[String] = None,
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      broadcastCapBytes: Long = Search.QueryBroadcastCap): DataFrame = {
+    val qs = queries.select(col(queryIdCol), col(queryVecCol))
+    Search.chunkByBroadcastSize(qs, queryIdCol, queryVecCol, probes, broadcastCapBytes)
+      .map(ch => ivfKnnJoinChunk(store, codingName, source, column, ch,
+        queryIdCol, queryVecCol, k, probes, idCol, metric, tieBreak))
+      .reduce(_.unionByName(_))
+  }
+
+  private def ivfKnnJoinChunk(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      idCol: String,
+      metric: Option[String],
+      tieBreak: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val coding = store.loadCoding(codingName)
     val m = metric.getOrElse(coding.config.metric)
     val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
     val exploded = queries
-      .select(col(queryIdCol), col(queryVecCol))
       .withColumn("__cell__", explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
     val cells = probedCellUnion(exploded, coding.numCells)
     val corpus = pruneToCells(load(store, codingName, source, column),
@@ -764,7 +1053,8 @@ object Index {
     * probes = numCells and candidates ≥ corpus size this equals the
     * exact k-NN join (the oracle contract); bounded budgets inherit
     * SQ8's near-exact ranking, so small `candidates` already recover
-    * the true top-k. */
+    * the true top-k. Query batches estimated past `broadcastCapBytes`
+    * are hash-chunked (see [[ivfKnnJoin]]). */
   def sqKnnJoin(
       store: Store,
       codingName: String,
@@ -778,16 +1068,37 @@ object Index {
       candidates: Int,
       idCol: String,
       metric: Option[String] = None,
-      tieBreak: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      tieBreak: Seq[String] = Nil,
+      broadcastCapBytes: Long = Search.QueryBroadcastCap): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qs = queries.select(col(queryIdCol), col(queryVecCol))
+    Search.chunkByBroadcastSize(qs, queryIdCol, queryVecCol, probes, broadcastCapBytes)
+      .map(ch => sqKnnJoinChunk(store, codingName, source, column, ch,
+        queryIdCol, queryVecCol, k, probes, candidates, idCol, metric, tieBreak))
+      .reduce(_.unionByName(_))
+  }
+
+  private def sqKnnJoinChunk(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String],
+      tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val coding = store.loadCoding(codingName)
     val params = loadSqParams(store, codingName, source, column)
     val m = graft.core.Metrics.canonical(
       metric.getOrElse(coding.config.metric))
     val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
     val exploded = queries
-      .select(col(queryIdCol), col(queryVecCol))
       .withColumn("__cell__",
         explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
     val cells = probedCellUnion(exploded, coding.numCells)
@@ -799,7 +1110,7 @@ object Index {
     val coarse = sqDf.select(col(idCol), col(CodeCol), col(SqCol))
       .join(broadcast(exploded), col(CodeCol) === col("__cell__"))
       .withColumn("__SQD__", vector_distance(
-        dequantizeCol(col(SqCol), params), col(queryVecCol), m))
+        dequantizeSetCol(col(SqCol), col(CodeCol), params), col(queryVecCol), m))
     val wCoarse = Window.partitionBy(col(queryIdCol))
       .orderBy(col("__SQD__").asc, col(idCol).asc)
     val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))

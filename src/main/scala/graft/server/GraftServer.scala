@@ -42,6 +42,10 @@ import graft.coder.CoderConfig
   *   - `POST   /api/indexes`                   (make-coder + sync-index actions)
   *   - `DELETE /api/indexes/{name}`            (drop-index action)
   *   - `POST   /api/search`                    (do_exchange search)
+  *   - `GET    /api/bpe` · `POST /api/bpe` · `GET /api/bpe/{model}/tokens`
+  *     (tokenizer lifecycle: list / train+persist / per-row token counts)
+  *   - `POST   /api/text/fingerprints` · `POST /api/text/overlaps`
+  *     (winnowing fingerprints / MOSS overlap pairs)
   */
 class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   private val mapper = new ObjectMapper()
@@ -82,6 +86,13 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("DELETE", "indexes" :: name :: Nil) =>
           engine.dropIndex(name); ok(ex, """{"dropped":true}""")
         case ("POST", "search" :: Nil)           => postSearch(ex)
+        case ("GET", "bpe" :: Nil) =>
+          ok(ex, mapper.writeValueAsString(
+            Map("models" -> engine.listBpeModels().asJava).asJava))
+        case ("POST", "bpe" :: Nil)              => postBpe(ex)
+        case ("GET", "bpe" :: model :: "tokens" :: Nil) => getBpeTokens(ex, model)
+        case ("POST", "text" :: "fingerprints" :: Nil) => postFingerprints(ex)
+        case ("POST", "text" :: "overlaps" :: Nil)     => postOverlaps(ex)
         case _ => send(ex, 404, s"""{"error":"no route: $method $path"}""")
       }
     } catch {
@@ -227,6 +238,49 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           probes, math.min(k, maxResponseRows), filter, select, tieBreak)
     }
     okRows(ex, df)
+  }
+
+  /** Train + persist a BPE model from a stored table's text column
+    * ([[Engine.trainBpe]]) — the tokenizer lifecycle over the wire. */
+  private def postBpe(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val name = require(body, "name").asText()
+    val model = engine.trainBpe(name,
+      require(body, "source").asText(),
+      require(body, "column").asText(),
+      numMerges = require(body, "numMerges").asInt(),
+      maxWords = intOr(body, "maxWords", 65536))
+    ok(ex, s"""{"model":"$name","merges":${model.merges.length}}""")
+  }
+
+  /** Per-row token counts under a persisted model ([[Engine.bpeTokenCounts]]). */
+  private def getBpeTokens(ex: HttpExchange, model: String): Unit = {
+    val params = queryParams(ex)
+    def p(k: String): String = params.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required param '$k'"))
+    okRows(ex, engine.bpeTokenCounts(p("source"), p("idCol"), p("column"), model))
+  }
+
+  /** Winnowing fingerprints of a stored table's text column
+    * ([[graft.ext.TextAnalysis.winnowFingerprints]]) — (id, fp) rows. */
+  private def postFingerprints(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    okRows(ex, graft.ext.TextAnalysis.winnowFingerprints(df,
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      k = intOr(body, "k", 5), window = intOr(body, "window", 4)))
+  }
+
+  /** Document-overlap pairs from shared fingerprints (MOSS step,
+    * [[graft.ext.TextAnalysis.overlapPairs]]). */
+  private def postOverlaps(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    okRows(ex, graft.ext.TextAnalysis.overlapPairs(df,
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      k = intOr(body, "k", 5), window = intOr(body, "window", 4),
+      minShared = intOr(body, "minShared", 10),
+      maxDocFreq = intOr(body, "maxDocFreq", 1000).toLong))
   }
 
   // ——— plumbing ———

@@ -129,11 +129,28 @@ class Store(val spark: SparkSession, val root: String) {
     * freshness proxy than count equality (one FS listing, no data
     * scan). */
   def sourceStamp(name: String): String = {
+    if (!fs.exists(new Path(sourcePath(name)))) return "absent"
+    stampOf(sourceListing(name))
+  }
+
+  /** The sorted (name:len:mtime) file entries behind [[sourceStamp]] —
+    * persisted by the index stamp sidecar so sync/repair can diff WHICH
+    * files changed, not just that something did. */
+  def sourceListing(name: String): Seq[String] = {
     val p = new Path(sourcePath(name))
-    if (!fs.exists(p)) return "absent"
-    val entries = fs.listStatus(p).filter(_.isFile)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p)
+      // data files only: parquet readers ignore _/.-prefixed files, and
+      // a rewritten _SUCCESS marker must not read as "file modified" to
+      // the append-only subset gate or the repair diff
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
       .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-      .sorted
+      .sorted.toSeq
+  }
+
+  /** MD5 of a file listing (the stamp format). */
+  def stampOf(entries: Seq[String]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(entries.mkString("\n").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString

@@ -36,6 +36,33 @@ class DedupSpec extends SparkSuite {
       s"unrelated docs must not pair: $pairs")
   }
 
+  test("minhash: null-text docs are skipped, never paired (oracle contract)") {
+    val withNulls = docs.unionByName(
+      Seq((10L, null.asInstanceOf[String]), (11L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.nearDupPairsMinhash(withNulls, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!pairs.exists(p => p._1 >= 10L || p._2 >= 10L),
+      s"null docs must never reach the candidate stage: $pairs")
+    assert(pairs.contains((1L, 2L)), "non-null pairs unaffected")
+  }
+
+  test("hash64 hashes code points (matches the unicode()-based oracles)") {
+    // independent reimplementation: FNV-1a fold over the code-point array
+    def want(s: String, seed: Long): Long =
+      s.codePoints().toArray.foldLeft(0xcbf29ce484222325L ^ seed) {
+        (h, cp) => (h ^ cp) * 0x100000001b3L
+      }
+    for (s <- Seq("the lazy dog", "ASCII only", "𝄞 clef 🎼 emoji", "混合 𠀀 text");
+         seed <- Seq(0L, 42L, 0x9E3779B97F4A7C15L)) {
+      assert(Dedup.hash64(s, seed) == want(s, seed), s"mismatch on '$s' seed $seed")
+    }
+    // a surrogate PAIR must hash as one code point, not two UTF-16 units
+    val gClef = new String(Character.toChars(0x1D11E))
+    assert(Dedup.hash64(gClef, 0L) == (0xcbf29ce484222325L ^ 0x1D11E) * 0x100000001b3L)
+  }
+
   test("minhash jaccard estimates track exact jaccard") {
     val j = Dedup.jaccardUdf(3)
     val got = docs.filter($"doc_id" === 1).crossJoin(docs.filter($"doc_id" === 3).select($"text".as("t2")))

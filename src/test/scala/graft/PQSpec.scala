@@ -141,6 +141,124 @@ class PQSpec extends SparkSuite {
       assert(codegen == interpreted, s"codegen/interpreted divergence under $metric")
     }
   }
+
+  // ——— OPQ (learned rotation, Ge et al. 2013) ———
+
+  /** Anisotropic 16-d corpus: latent N(0, diag(decaying)) mixed by a fixed
+    * random rotation, so high-variance directions straddle every subspace
+    * boundary — the setting where classic PQ wastes its codebook bits and
+    * OPQ's learned rotation is designed to win. */
+  private def anisotropic(n: Int = 400) = {
+    import spark.implicits._
+    val dim = 16
+    val arnd = new scala.util.Random(99)
+    // fixed mixing rotation via QR-ish Gram-Schmidt of a random matrix
+    val a = Array.fill(dim)(Array.fill(dim)(arnd.nextGaussian()))
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(t => a(i)(t) * a(j)(t)).sum
+        for (t <- 0 until dim) a(i)(t) -= d * a(j)(t)
+      }
+      val nrm = math.sqrt(a(i).map(x => x * x).sum)
+      for (t <- 0 until dim) a(i)(t) /= nrm
+    }
+    val sds = Array.tabulate(dim)(i => math.pow(0.7, i) * 8.0)
+    val rows = (0 until n).map { id =>
+      val z = Array.tabulate(dim)(i => arnd.nextGaussian() * sds(i))
+      val x = Array.tabulate(dim)(t => (0 until dim).map(i => z(i) * a(i)(t)).sum.toFloat)
+      (id.toLong, x.toSeq)
+    }
+    rows.toDF("id", "vec")
+  }
+
+  /** Mean squared quantization error of `cb` over the data, measured in
+    * the space the codebooks live in (rotated when OPQ — orthogonal, so
+    * directly comparable to the unrotated PQ error). */
+  private def quantMse(cb: PQCodebooks, data: Array[Array[Double]]): Double = {
+    val errs = data.map { v0 =>
+      val v = cb.rotation.fold(v0) { rot =>
+        val out = new Array[Double](cb.dim)
+        for (d <- 0 until cb.dim; t <- 0 until cb.dim)
+          out(d) += rot(t * cb.dim + d) * v0(t)
+        out
+      }
+      val code = cb.encode(v0)
+      var acc = 0.0
+      for (j <- 0 until cb.m; t <- 0 until cb.subDim) {
+        val d = v(j * cb.subDim + t) - cb.centroids(j)(code(j) & 0xFF)(t)
+        acc += d * d
+      }
+      acc
+    }
+    errs.sum / errs.length
+  }
+
+  test("opq: rotation is orthogonal; save/load and codegen parity hold") {
+    import spark.implicits._
+    val df = anisotropic().cache()
+    val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 16,
+      metric = "l2", sampleSize = 400, iters = 8, opqIters = 3))
+    val rot = cb.rotation.getOrElse(fail("opqIters > 0 must learn a rotation"))
+    val dim = cb.dim
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = (0 until dim).map(t => rot(i * dim + t) * rot(j * dim + t)).sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - want) < 1e-9, s"RRᵀ($i,$j) = $d")
+    }
+    // expression encode matches driver encode bit-for-bit under rotation
+    val raw = df.select("id", "vec").as[(Long, Seq[Float])].collect().toMap
+    val got = df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
+      .select("id", "code").as[(Long, Array[Byte])].collect().toMap
+    raw.foreach { case (id, v) =>
+      assert(java.util.Arrays.equals(got(id), cb.encode(v.map(_.toDouble).toArray)),
+        s"opq codegen/driver divergence at id $id")
+    }
+    // persistence round-trips the rotation
+    val path = Files.createTempDirectory("graft-opq").resolve("cb.json").toString
+    PQ.save(path, cb)
+    val back = PQ.load(path)
+    assert(back.config.opqIters == 3)
+    assert(back.rotation.map(_.toSeq) == cb.rotation.map(_.toSeq))
+    val v = Array.fill(16)(rnd.nextDouble())
+    assert(java.util.Arrays.equals(back.encode(v), cb.encode(v)))
+  }
+
+  test("opq: lower quantization error than plain PQ on anisotropic data") {
+    val df = anisotropic().cache()
+    val data = df.select(col("vec").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val base = PQConfig(numSubspaces = 4, codebookSize = 16,
+      metric = "l2", sampleSize = 400, iters = 10)
+    val pq = PQ.train(df, "vec", base)
+    val opq = PQ.train(df, "vec", base.copy(opqIters = 5))
+    val mseP = quantMse(pq, data)
+    val mseO = quantMse(opq, data)
+    info(f"quantization MSE: pq=$mseP%.3f opq=$mseO%.3f (ratio ${mseO / mseP}%.2f)")
+    assert(mseO < mseP * 0.9,
+      s"OPQ must beat plain PQ by >10% on anisotropic data: $mseO vs $mseP")
+  }
+
+  test("opq: full candidate budget still equals brute force") {
+    import spark.implicits._
+    val df = anisotropic().cache()
+    val target = df.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    for (metric <- Seq("l2", "cosine")) {
+      val cb = PQ.train(df, "vec", PQConfig(numSubspaces = 4, codebookSize = 8,
+        metric = metric, sampleSize = 400, iters = 8, opqIters = 3))
+      val coded = df.withColumn("code", PQ.encodeExpr(col("vec"), cb))
+      val pq = PQ.search(coded, "vec", "code", cb, target, k = 10,
+        candidates = 1 << 20, tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSeq
+      val brute = df
+        .withColumn("d", graft.functions.functions.vector_distance(
+          col("vec"), typedLit(target.toSeq), metric))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSeq
+      assert(pq == brute, s"metric $metric: OPQ@full != brute")
+    }
+  }
 }
 
 /** IVF+PQ materialized index lifecycle (Index.buildPq/searchIvfPq). */
@@ -257,6 +375,32 @@ class IvfPqSpec extends SparkSuite {
         metric = Some(metric), tieBreak = Seq("id"))
         .select("id").as[Long].collect().toSeq
       assert(got == brute, s"residual $metric IVF+PQ at full budgets must equal brute")
+    }
+  }
+
+  test("residual + OPQ rotation: exact at full budgets (l2, cosine)") {
+    import spark.implicits._
+    val df = engine.readTable(Seq("pqv"))
+    val target = df.filter(col("id") === 7)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    for (metric <- Seq("l2", "cosine")) {
+      engine.makePqIndex("pc", "pqv", "vec",
+        PQConfig(numSubspaces = 4, codebookSize = 16, metric = metric,
+          sampleSize = 400, opqIters = 3))
+      val cb = Index.loadPqCodebooks(engine.store, "pc", "pqv", "vec")
+      assert(cb.residual && cb.rotation.nonEmpty,
+        s"$metric build must be residual with a learned rotation")
+      val brute = df
+        .withColumn("d", graft.functions.functions.vector_distance(
+          col("vec"), typedLit(target.toSeq), metric))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select("id").as[Long].collect().toSeq
+      val got = engine.searchPq("pqv", "vec", target, coding = "pc",
+        probes = 16, candidates = 1 << 20, idCol = "id", k = 10,
+        metric = Some(metric), tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSeq
+      assert(got == brute, s"residual OPQ $metric at full budgets must equal brute")
     }
   }
 
@@ -576,8 +720,8 @@ class SqSpec extends SparkSuite {
         org.apache.spark.sql.GraftShims.expression(
           org.apache.spark.sql.GraftShims.column(graft.functions.QuantizePerDim(
             org.apache.spark.sql.GraftShims.expression(col("vec")),
-            p.scales, p.zeroPoints))),
-        p.scales, p.zeroPoints)).as("rt"))
+            p.scales.toIndexedSeq, p.zeroPoints.toIndexedSeq))),
+        p.scales.toIndexedSeq, p.zeroPoints.toIndexedSeq)).as("rt"))
       .as[(Seq[Float], Seq[Float])].collect()
     back.foreach { case (v, rt) =>
       for (d <- 0 until 4) {
@@ -593,7 +737,7 @@ class SqSpec extends SparkSuite {
       bad.select(org.apache.spark.sql.GraftShims.column(
         graft.functions.QuantizePerDim(
           org.apache.spark.sql.GraftShims.expression(col("vec")),
-          p.scales, p.zeroPoints))).collect()
+          p.scales.toIndexedSeq, p.zeroPoints.toIndexedSeq))).collect()
     }
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
@@ -658,6 +802,76 @@ class SqSpec extends SparkSuite {
     assert(globalRecall < 0.8,
       s"test fixture no longer collapses the global affine ($globalRecall) — " +
         "strengthen the outlier")
+    engine.remove()
+  }
+
+  test("per-cell affine: disjoint-range clusters where per-cell beats per-dim") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val dim = 8
+    // two TIGHT clusters with disjoint per-dimension ranges: a shared
+    // per-dim affine spends its 8 bits on the ~1000-wide between-cluster
+    // gap (step ≈ 4), so every within-cluster value collapses into one
+    // bucket and the coarse ranking is pure ties; per-(cell,dim) params
+    // give each cluster its own tight range
+    val rows = (0 until 800).map { i =>
+      val base = if (i < 400) 0.0 else 1000.0
+      (i.toLong,
+        Array.tabulate(dim)(_ => (base + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    }
+    val df = rows.toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-sq-cell").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("cv", df)
+    engine.makeCoder("cc", "cv", "vec",
+      CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 1,
+        batchSize = 128, numEpochs = 3))
+    Index.build(engine.store, "cc", "cv", "vec")
+
+    val target = rows(7)._2.map(_.toDouble).toArray
+    def brute(): Seq[Long] = engine.readTable(Seq("cv"))
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+    def recallAt(candidates: Int): Double = {
+      val got = engine.searchSq("cv", "vec", target, coding = "cc",
+          probes = 2, candidates = candidates, idCol = "id", k = 10,
+          metric = Some("l2"), tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSet
+      brute().count(got.contains) / 10.0
+    }
+
+    engine.makeSqIndex("cc", "cv", "vec") // shared per-dim baseline
+    val sharedRecall = recallAt(50)
+    engine.makeSqIndex("cc", "cv", "vec", perCell = true)
+    val cellRecall = recallAt(50)
+    info(s"recall@10 at candidates=50: shared $sharedRecall, per-cell $cellRecall")
+    assert(cellRecall == 1.0,
+      s"per-cell SQ8 must rank near-exactly within tight clusters: $cellRecall")
+    assert(sharedRecall < cellRecall,
+      s"fixture no longer separates per-cell from shared ($sharedRecall)")
+
+    // exact at full budgets (the oracle contract), per-cell build active
+    val full = engine.searchSq("cv", "vec", target, coding = "cc",
+        probes = 2, candidates = 1 << 20, idCol = "id", k = 10,
+        metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(full == brute(), "per-cell SQ8 at full budgets must equal brute")
+
+    // incremental sync encodes appends under the per-cell params (unseen
+    // values clamp; full-budget search stays exact because rerank is)
+    val extra = (0 until 10).map(i =>
+      (900L + i, Array.tabulate(dim)(_ => (500.0 + rnd.nextGaussian()).toFloat).toSeq))
+      .toDF("id", "vec")
+    extra.coalesce(1).write.mode("append")
+      .parquet(engine.store.tablePath("cv"))
+    assert(Index.syncIncrementalSq(engine.store, "cc", "cv", "vec", "id") == 10L)
+    val full2 = engine.searchSq("cv", "vec", target, coding = "cc",
+        probes = 2, candidates = 1 << 20, idCol = "id", k = 10,
+        metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(full2 == brute(), "per-cell SQ8 stays exact after incremental sync")
     engine.remove()
   }
 }

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.api.Engine
+import graft.coder.CoderConfig
+import graft.index.Index
+
+/** Cell-scoped index repair (Index.repair) + the append-only re-stamp
+  * gate in syncIncremental: in-place source modifications and deletions
+  * must be recoverable without a full rebuild, and sync must never mark
+  * a modified source fresh just because it also grew. */
+class RepairSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(41)
+
+  /** 8 tight, well-separated 16-d clusters, 40 rows each, written so each
+    * source FILE holds two whole clusters (repartitionByRange on the
+    * cluster id) — the layout where a one-file change should touch only
+    * a few cells. */
+  private def makeClusteredSource(engine: Engine, name: String): Unit = {
+    val centers = Seq.fill(8)(Array.fill(16)(rnd.nextDouble() * 40 - 20))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 40
+    } yield ((ci * 40 + i).toLong, ci,
+      c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val df = rows.toDF("id", "cluster", "vec")
+      .repartitionByRange(4, col("cluster"))
+    engine.makeTable(name, df)
+  }
+
+  private def fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def partFiles(dir: String): Seq[Path] =
+    fs.listStatus(new Path(dir)).filter(_.isFile)
+      .map(_.getPath).filter(_.getName.startsWith("part-")).sortBy(_.getName).toSeq
+
+  /** (relative path → mtime) of every data file under the index root. */
+  private def indexDataFiles(indexPath: String): Map[String, Long] = {
+    val base = new Path(indexPath)
+    val it = fs.listFiles(base, true)
+    val b = Map.newBuilder[String, Long]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.startsWith("part-"))
+        b += (f.getPath.toString.stripPrefix(base.toString) ->
+          f.getModificationTime)
+    }
+    b.result()
+  }
+
+  /** Replace one source part-file IN PLACE (same name) with a version
+    * whose vectors are negated — same ids, new content, new len/mtime. */
+  private def modifyOneFile(srcDir: String): Path = {
+    val target = partFiles(srcDir).head
+    val rows = spark.read.parquet(target.toString)
+    val mod = rows.withColumn("vec", transform(col("vec"), x => -x))
+    val tmp = s"$srcDir/../__modtmp__"
+    mod.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val newPart = partFiles(tmp).head
+    assert(fs.delete(target, false))
+    assert(fs.rename(newPart, target))
+    fs.delete(new Path(tmp), true)
+    target
+  }
+
+  private def bruteIds(engine: Engine, name: String, target: Array[Double]): Seq[Long] =
+    engine.readTable(Seq(name))
+      .withColumn("d", graft.functions.functions.vector_distance(
+        col("vec"), typedLit(target.toSeq), "l2"))
+      .orderBy(col("d").asc, col("id").asc).limit(10)
+      .select("id").as[Long].collect().toSeq
+
+  private def probedIds(engine: Engine, name: String, target: Array[Double]): Seq[Long] =
+    engine.search(name, "vec", target, coding = Some("rc"), probes = Some(1 << 20),
+        metric = Some("l2"), k = 10, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+
+  test("repair after an in-place file modification is cell-scoped and exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-repair").toString
+    val engine = new Engine(spark, root)
+    makeClusteredSource(engine, "emb")
+    engine.makeIndex("rc", "emb", "vec",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 3))
+    assert(Index.indexFresh(engine.store, "rc", "emb", "vec"))
+    val srcDir = s"$root/sources/emb"
+    val indexPath = s"$root/indexes/emb/vec/rc"
+    val numCells = engine.store.loadCoding("rc").numCells
+
+    modifyOneFile(srcDir)
+    assert(!Index.indexFresh(engine.store, "rc", "emb", "vec"),
+      "in-place modification must break freshness")
+
+    val before = indexDataFiles(indexPath)
+    val stats = Index.repair(engine.store, "rc", "emb", "vec")
+    assert(!stats.fullRebuild, "file-scoped repair must not fall back to rebuild")
+    assert(stats.cellsRewritten > 0 && stats.cellsRewritten < numCells,
+      s"expected a strict subset of cells rewritten, got ${stats.cellsRewritten}/$numCells")
+    val after = indexDataFiles(indexPath)
+    val untouched = before.keySet.intersect(after.keySet)
+      .filter(p => before(p) == after(p))
+    assert(untouched.nonEmpty,
+      "repair must leave data files of unaffected cells byte-untouched")
+
+    assert(Index.indexFresh(engine.store, "rc", "emb", "vec"),
+      "repair must restore freshness")
+    // the indexed copy is a faithful copy of the CURRENT source
+    val src = engine.readTable(Seq("emb"))
+    val idx = Index.load(engine.store, "rc", "emb", "vec")
+    assert(idx.count() == src.count())
+    // modified rows carry the NEW vectors in the index
+    val diff = idx.select(col("id"), col("vec").cast("array<double>").as("iv"))
+      .join(src.select(col("id"), col("vec").cast("array<double>").as("sv")), Seq("id"))
+      .filter(col("iv") =!= col("sv")).count()
+    assert(diff == 0L, s"$diff indexed rows still carry stale vectors")
+    // full-probe search over the repaired index equals brute force on the
+    // current source — for a target inside the MODIFIED region
+    val target = src.filter(col("id") === 0)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    assert(probedIds(engine, "emb", target) == bruteIds(engine, "emb", target))
+    engine.remove()
+  }
+
+  test("repair after a source file deletion removes ghost rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-repair-del").toString
+    val engine = new Engine(spark, root)
+    makeClusteredSource(engine, "emb")
+    engine.makeIndex("rc", "emb", "vec",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 3))
+    val srcDir = s"$root/sources/emb"
+    val victim = partFiles(srcDir).head
+    val goneIds = spark.read.parquet(victim.toString)
+      .select("id").as[Long].collect().toSet
+    assert(fs.delete(victim, false))
+    assert(!Index.indexFresh(engine.store, "rc", "emb", "vec"))
+
+    val stats = Index.repair(engine.store, "rc", "emb", "vec")
+    assert(!stats.fullRebuild)
+    assert(Index.indexFresh(engine.store, "rc", "emb", "vec"))
+    val idx = Index.load(engine.store, "rc", "emb", "vec")
+    assert(idx.count() == engine.readTable(Seq("emb")).count())
+    assert(idx.filter(col("id").isInCollection(goneIds)).count() == 0L,
+      "ghost rows from the deleted file linger in the index")
+    engine.remove()
+  }
+
+  test("sync refuses to re-stamp when a modification accompanies the append") {
+    val root = java.nio.file.Files.createTempDirectory("graft-repair-sync").toString
+    val engine = new Engine(spark, root)
+    makeClusteredSource(engine, "emb")
+    engine.makeIndex("rc", "emb", "vec",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 3))
+    val srcDir = s"$root/sources/emb"
+    // modify one file in place AND append a new file with new ids — the
+    // ADVICE scenario where append-triggered re-stamping would lie
+    modifyOneFile(srcDir)
+    val extra = (0 until 10).map(i =>
+      (1000L + i, 99, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "cluster", "vec")
+    extra.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val appended = Index.syncIncremental(engine.store, "rc", "emb", "vec", "id")
+    assert(appended == 10L, s"sync must append the new rows, got $appended")
+    assert(!Index.indexFresh(engine.store, "rc", "emb", "vec"),
+      "sync must NOT mark a modified source fresh just because it also grew")
+
+    // repair recovers: modified rows re-ingested, appended rows kept
+    val stats = Index.repair(engine.store, "rc", "emb", "vec")
+    assert(!stats.fullRebuild)
+    assert(Index.indexFresh(engine.store, "rc", "emb", "vec"))
+    val idx = Index.load(engine.store, "rc", "emb", "vec")
+    val src = engine.readTable(Seq("emb"))
+    assert(idx.count() == src.count())
+    val diff = idx.select(col("id"), col("vec").cast("array<double>").as("iv"))
+      .join(src.select(col("id"), col("vec").cast("array<double>").as("sv")), Seq("id"))
+      .filter(col("iv") =!= col("sv")).count()
+    assert(diff == 0L)
+    // pure append-only growth DOES re-stamp (the common path still works)
+    val extra2 = (0 until 5).map(i =>
+      (2000L + i, 98, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "cluster", "vec")
+    extra2.coalesce(1).write.mode("append").parquet(srcDir)
+    assert(!Index.indexFresh(engine.store, "rc", "emb", "vec"))
+    assert(Index.syncIncremental(engine.store, "rc", "emb", "vec", "id") == 5L)
+    assert(Index.indexFresh(engine.store, "rc", "emb", "vec"),
+      "append-only growth must re-stamp")
+    engine.remove()
+  }
+}

@@ -212,4 +212,63 @@ class ServerSpec extends SparkSuite {
     val (_, lBody2) = send("GET", "/tables")
     assert(!mapper.readTree(lBody2).get("tables").toString.contains("wire_vecs"))
   }
+
+  test("bpe + winnow text routes over the wire") {
+    // a tiny corpus with an obvious repeated phrase and shared boilerplate
+    val docs = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again",
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "low lower lowest newest widest low low lower",
+      3L -> "completely unrelated content about distributed query engines")
+    val rows = docs.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+    val (pc, pBody) = send("PUT", "/tables/wire_docs",
+      s"""{"schema":"doc_id LONG, text STRING","rows":[${rows.mkString(",")}]}""")
+    assert(pc == 200, pBody)
+
+    // train + persist a BPE model over the wire
+    val (tc, tBody) = send("POST", "/bpe",
+      """{"name":"wire_bpe","source":"wire_docs","column":"text","numMerges":20}""")
+    assert(tc == 200, tBody)
+    assert(mapper.readTree(tBody).get("merges").asInt() > 0)
+    val (_, mBody) = send("GET", "/bpe")
+    assert(mapper.readTree(mBody).get("models").toString.contains("wire_bpe"))
+
+    // encode: per-row token counts under the persisted model, and they
+    // must equal the library-path counts exactly
+    val (kc, kBody) = send("GET",
+      "/bpe/wire_bpe/tokens?source=wire_docs&idCol=doc_id&column=text")
+    assert(kc == 200, kBody)
+    val wire = new scala.collection.mutable.HashMap[Long, Long]
+    mapper.readTree(kBody).get("rows").elements()
+      .forEachRemaining(n => wire(n.get("doc_id").asLong()) = n.get("n_tok").asLong())
+    val lib = engine.bpeTokenCounts("wire_docs", "doc_id", "text", "wire_bpe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wire.toMap == lib, s"wire $wire vs library $lib")
+    assert(wire(0L) == wire(1L), "identical docs must count identically")
+
+    // winnowing fingerprints: identical docs share every fingerprint
+    val (fc, fBody) = send("POST", "/text/fingerprints",
+      """{"source":"wire_docs","idCol":"doc_id","column":"text"}""")
+    assert(fc == 200, fBody)
+    val byDoc = new scala.collection.mutable.HashMap[Long, scala.collection.mutable.Set[Long]]
+    mapper.readTree(fBody).get("rows").elements().forEachRemaining { n =>
+      byDoc.getOrElseUpdate(n.get("doc_id").asLong(),
+        scala.collection.mutable.Set.empty) += n.get("fp").asLong()
+    }
+    assert(byDoc(0L) == byDoc(1L), "identical docs must fingerprint identically")
+    assert(byDoc(0L) != byDoc(3L))
+
+    // overlap pairs: the duplicated pair surfaces, the unrelated doc doesn't
+    val (oc, oBody) = send("POST", "/text/overlaps",
+      """{"source":"wire_docs","idCol":"doc_id","column":"text","minShared":3}""")
+    assert(oc == 200, oBody)
+    val pairs = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+    mapper.readTree(oBody).get("rows").elements()
+      .forEachRemaining(n => pairs += (n.get("id_a").asLong() -> n.get("id_b").asLong()))
+    assert(pairs.contains((0L, 1L)), s"duplicated pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated doc must not pair: $pairs")
+
+    assert(send("DELETE", "/tables/wire_docs")._1 == 200)
+  }
 }

@@ -259,6 +259,87 @@ class IvfJoinSpec extends SparkSuite {
     }
     engine.remove()
   }
+
+  test("brute knnJoin with idCol is codes-light and equals the legacy shape") {
+    val emb = sf("sf0.001", "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("q_emb"))
+    val legacy = Search.knnJoin(emb.select("vec_id", "embedding"), "embedding",
+        queries, "q_id", "q_emb", "l2", k = 5, tieBreak = Seq("vec_id"))
+      .select("q_id", "vec_id", Search.DistCol)
+      .as[(Long, Long, Double)].collect().toSet
+    val light = Search.knnJoin(emb.select("vec_id", "embedding"), "embedding",
+        queries, "q_id", "q_emb", "l2", k = 5, tieBreak = Seq("vec_id"),
+        idCol = Some("vec_id"))
+      .select("q_id", "vec_id", Search.DistCol)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(light == legacy, "codes-light brute join must equal the legacy shape")
+
+    // no ShuffleExchange may carry the corpus/query vector columns
+    val planned = Search.knnJoin(emb.select("vec_id", "embedding"), "embedding",
+      queries, "q_id", "q_emb", "l2", k = 5, tieBreak = Seq("vec_id"),
+      idCol = Some("vec_id"))
+    val fmt = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = fmt.split("\n\n")
+      .filter(_.linesIterator.hasNext)
+      .filter(_.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(shuffles.nonEmpty, s"expected the per-query window exchange in:\n$fmt")
+    shuffles.foreach { b =>
+      assert(!b.contains("embedding#") && !b.contains("q_emb#"),
+        s"vector column rides a shuffle:\n$b")
+    }
+  }
+
+  test("query batches over the broadcast cap are chunked with identical results") {
+    val root = java.nio.file.Files.createTempDirectory("joinchunk").toString
+    val engine = new graft.api.Engine(spark, root)
+    val emb = sf("sf0.001", "embeddings")
+    engine.makeTable("emb", emb)
+    engine.makeIndex("c", "emb", "embedding",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 2))
+    graft.index.Index.buildSq(engine.store, "c", "emb", "embedding")
+    val queries = emb.filter($"vec_id" < 12)
+      .select($"vec_id".as("q_id"), $"embedding".cast("array<double>").as("q_emb"))
+    // 12 queries × (64-d × 8 B + overhead) estimated ≫ a 2 KB cap → the
+    // chunked path must engage, and the result must be EXACTLY the
+    // single-broadcast one (each query's top-k only depends on itself)
+    val tinyCap = 2048L
+
+    val bruteOne = Search.knnJoin(emb.select("vec_id", "embedding"), "embedding",
+        queries, "q_id", "q_emb", "l2", k = 3, tieBreak = Seq("vec_id"),
+        idCol = Some("vec_id"))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val bruteChunked = Search.knnJoin(emb.select("vec_id", "embedding"), "embedding",
+        queries, "q_id", "q_emb", "l2", k = 3, tieBreak = Seq("vec_id"),
+        idCol = Some("vec_id"), broadcastCapBytes = tinyCap)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(bruteChunked == bruteOne, "chunked brute join diverged")
+
+    val ivfOne = Index.ivfKnnJoin(engine.store, "c", "emb", "embedding",
+        queries, "q_id", "q_emb", k = 3, probes = 16, idCol = "vec_id",
+        tieBreak = Seq("vec_id"))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivfChunked = Index.ivfKnnJoin(engine.store, "c", "emb", "embedding",
+        queries, "q_id", "q_emb", k = 3, probes = 16, idCol = "vec_id",
+        tieBreak = Seq("vec_id"), broadcastCapBytes = tinyCap)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivfChunked == ivfOne, "chunked ivf join diverged")
+
+    val sqOne = Index.sqKnnJoin(engine.store, "c", "emb", "embedding",
+        queries, "q_id", "q_emb", k = 3, probes = 16, candidates = 1 << 20,
+        idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val sqChunked = Index.sqKnnJoin(engine.store, "c", "emb", "embedding",
+        queries, "q_id", "q_emb", k = 3, probes = 16, candidates = 1 << 20,
+        idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"),
+        broadcastCapBytes = tinyCap)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(sqChunked == sqOne, "chunked sq join diverged")
+    assert(sqChunked == bruteOne, "sq join at full budgets must equal brute")
+    engine.remove()
+  }
 }
 
 class StreamingDedupSpec extends SparkSuite {
