@@ -89,6 +89,13 @@ object SparkEntry {
   def scratchRoot(dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_root_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
 
+  /** Fixed tmpdir path where `text_tokens_bpe2` exports its trained
+    * merges for the DuckDB oracle. Dir-independent on purpose:
+    * `oracleSql` is a static string, and the driver always runs Verify
+    * (which writes this file) before the oracle compare. */
+  def bpeOracleModelPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_m200_w4096.json"
+
   /** A scratch engine for lifecycle queries (coder/index/probe). */
   private def scratchEngine(s: SparkSession, dir: String): Engine = {
     val e = new Engine(s, scratchRoot(dir))
@@ -387,10 +394,13 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"),
           TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("n_tok"))),
-    // —— REAL trained-merges BPE token counts (Sennrich alg; merges are
-    // deterministic but not SQL-expressible → rows-only oracle; the merge
-    // learning + encode are pinned against hand-computed tokenizations in
-    // ScalaTest) ——
+    // —— REAL trained-merges BPE token counts (Sennrich alg). Training is
+    // not SQL-expressible, but ENCODING under a fixed merges table is
+    // deterministic: the query exports the trained merges to a fixed
+    // tmpdir path and the oracle replays the greedy lowest-rank merge
+    // loop over it with a recursive CTE — bit-exact gate; the merge
+    // LEARNING stays pinned against hand-computed tokenizations in
+    // ScalaTest ——
     "text_tokens_bpe2" -> ((s: SparkSession, dir: String) => {
       val docs = tbl(s, dir, "documents")
       // train-once cache under the scratch root (the PQ.trainOrLoad
@@ -398,6 +408,11 @@ object SparkEntry {
       // merges instead of re-running the word-frequency agg + merge loop
       val model = graft.ext.Bpe.trainOrLoad(scratchRoot(dir), docs, "text",
         numMerges = 200, maxWords = 4096)
+      // export for the DuckDB oracle (static path — oracleSql is a
+      // dir-independent string; Verify runs before the oracle compare)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(bpeOracleModelPath),
+        model.toJson.getBytes("UTF-8"))
       docs.select(col("doc_id"),
         graft.ext.Bpe.tokenCountUdf(model)(col("text")).cast("long").as("n_tok"))
     }),
@@ -953,6 +968,60 @@ object SparkEntry {
     "text_tokens_bpe" ->
       ("SELECT doc_id, CAST(len(regexp_extract_all(text, " +
         "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok FROM documents"),
+    // mirrors BpeModel.encode under the merges table the query exported:
+    // per distinct word type, a recursive CTE replays the greedy
+    // lowest-rank merge loop — each step finds the minimum-rank adjacent
+    // pair (list_position over the rank-ordered merges = rank + 1) and
+    // merges ALL its occurrences left-to-right (`st` marks merge starts;
+    // the streak-parity term resolves overlapping a==b runs exactly like
+    // the Scala j+=2 scan). Final tokens per word = min(len(parts)):
+    // lengths strictly decrease, so the minimum is the fixpoint.
+    "text_tokens_bpe2" -> s"""
+      |WITH RECURSIVE
+      |m AS (SELECT list_transform(merges, p -> {'a': p[1], 'b': p[2]}) AS keys
+      |      FROM read_json('$bpeOracleModelPath', columns={merges: 'VARCHAR[][]'})),
+      |docw AS (
+      |  SELECT doc_id, w
+      |  FROM documents,
+      |       unnest(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS t(w)
+      |),
+      |words AS (SELECT DISTINCT w AS word FROM docw),
+      |enc AS (
+      |  SELECT word, list_transform(range(1, len(word)+1), i -> word[i]) AS parts
+      |  FROM words
+      |  UNION ALL
+      |  SELECT word,
+      |    list_filter(
+      |      list_transform(range(1, len(parts)+1), i ->
+      |        CASE WHEN coalesce(st[i], false) THEN parts[i] || parts[i+1]
+      |             WHEN i > 1 AND coalesce(st[i-1], false) THEN NULL
+      |             ELSE parts[i] END),
+      |      x -> x IS NOT NULL) AS parts
+      |  FROM (
+      |    SELECT word, parts,
+      |      struct_extract(keys[best], 'a') AS a,
+      |      struct_extract(keys[best], 'b') AS b
+      |    FROM (
+      |      SELECT e.word, e.parts, m.keys,
+      |        list_min(list_filter(
+      |          list_transform(range(1, len(e.parts)), i ->
+      |            list_position(m.keys, {'a': e.parts[i], 'b': e.parts[i+1]})),
+      |          x -> x > 0)) AS best
+      |      FROM enc e, m
+      |    ) WHERE best IS NOT NULL
+      |  ),
+      |  LATERAL (SELECT list_transform(range(1, len(parts)), i ->
+      |      parts[i] = a AND parts[i+1] = b) AS mt),
+      |  LATERAL (SELECT list_transform(range(1, len(mt)+1), i ->
+      |    mt[i] AND ((i - coalesce(list_max(list_filter(range(0,i), j ->
+      |      j = 0 OR NOT mt[j])), 0)) % 2 = 1)) AS st)
+      |),
+      |wordtok AS (SELECT word, min(len(parts)) AS n FROM enc GROUP BY word)
+      |SELECT d.doc_id, CAST(coalesce(sum(wt.n), 0) AS BIGINT) AS n_tok
+      |FROM documents d
+      |LEFT JOIN docw ON d.doc_id = docw.doc_id
+      |LEFT JOIN wordtok wt ON docw.w = wt.word
+      |GROUP BY d.doc_id""".stripMargin,
     "text_stats" ->
       ("SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count " +

@@ -32,15 +32,32 @@ object Bpe {
     * replace. */
   val WordPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Split a word into one string per Unicode CODE POINT (not UTF-16
+    * unit): identical for BMP text, but keeps astral symbols whole, so
+    * the merge alphabet matches character-indexed mirrors (DuckDB
+    * `word[i]`) — the same granularity contract as
+    * [[Dedup.hash64]]'s code-point fold. */
+  private[graft] def codePointStrings(word: String): Array[String] = {
+    val out = new Array[String](word.codePointCount(0, word.length))
+    var i = 0; var k = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      out(k) = new String(Character.toChars(cp))
+      i += Character.charCount(cp); k += 1
+    }
+    out
+  }
+
   case class BpeModel(merges: IndexedSeq[(String, String)]) {
     @transient lazy val ranks: Map[(String, String), Int] =
       merges.zipWithIndex.toMap
 
-    /** Encode one pre-tokenized word: start from characters, repeatedly
-      * merge the LOWEST-RANK adjacent pair (the GPT-2 `bpe()` loop). */
+    /** Encode one pre-tokenized word: start from characters (one per
+      * code point), repeatedly merge the LOWEST-RANK adjacent pair (the
+      * GPT-2 `bpe()` loop). */
     def encodeWord(word: String): Seq[String] = {
       if (word.isEmpty) return Nil
-      var parts: Array[String] = word.map(_.toString).toArray
+      var parts: Array[String] = codePointStrings(word)
       var done = parts.length <= 1
       while (!done) {
         var best = -1; var bestRank = Int.MaxValue
@@ -127,7 +144,7 @@ object Bpe {
     * recount-everything reimplementation. */
   private[graft] def learnMerges(wf: Array[(String, Long)],
       numMerges: Int): IndexedSeq[(String, String)] = {
-    val words: Array[Array[String]] = wf.map(_._1.map(_.toString).toArray)
+    val words: Array[Array[String]] = wf.map(w => codePointStrings(w._1))
     val counts: Array[Long] = wf.map(_._2)
     // incremental pair statistics: global weighted pair counts + an index
     // from pair -> word ids that (at some point) contained it; stale index

@@ -410,6 +410,11 @@ class BpeSpec extends SparkSuite {
     assert(model.encode("low-cost 42x") ==
       Seq("low", "-", "c", "o", "s", "t", "4", "2", "x"))
 
+    // astral symbols stay whole: one token per CODE POINT, not per
+    // UTF-16 unit (the granularity the character-indexed DuckDB oracle
+    // sees — same contract as Dedup.hash64)
+    assert(model.encodeWord("a𝄞b") == Seq("a", "𝄞", "b"))
+
     // json round-trip
     val back = graft.ext.Bpe.fromJson(model.toJson)
     assert(back.merges == model.merges)
