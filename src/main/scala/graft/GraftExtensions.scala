@@ -47,6 +47,16 @@ object GraftExtensions {
         require(args.length == 3, "vector_distance(u, v, metric)")
         VectorDistance(args(0), args(1), Metrics.canonical(strArg(args(2), "metric")))
       }),
+    (FunctionIdentifier("maxsim"),
+      new ExpressionInfo(classOf[graft.functions.MaxSim].getName, "maxsim",
+        "maxsim(docTokens, queryTokens, metric) - late-interaction (ColBERT) " +
+          "MaxSim distance between two array<array<float|double>> token sets " +
+          "under metric in (dot|cosine): -sum over query tokens of the max " +
+          "per-doc-token similarity; smaller = nearer"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "maxsim(docTokens, queryTokens, metric)")
+        graft.functions.MaxSim(args(0), args(1), strArg(args(2), "metric"))
+      }),
     (FunctionIdentifier("vector_norm"),
       new ExpressionInfo(classOf[VectorNorm].getName, "vector_norm",
         "vector_norm(v) - L2 norm of a float/double array"),

@@ -53,6 +53,40 @@ object SparkEntry {
       k = 10, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
       distCol = "dist")
 
+  /** Late-interaction MaxSim retrieval over a multi-vector corpus derived
+    * deterministically from `embeddings` (doc = vec_id % 64, tokens = that
+    * doc's embeddings; query = tokens of vec_ids 1,2,3,5). `candidates = 0`
+    * is the brute path; `candidates = 64` covers every doc, so the pooled
+    * coarse+rerank path stays EXACT and shares the brute oracle while
+    * still executing the two-stage plan. */
+  private def maxsimQuery(metric: String, candidates: Int)(
+      s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val docs = emb
+      .groupBy((col("vec_id") % 64).as("doc"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"))
+      .withColumn("tokens", transform(col("toks"), t => t("embedding")))
+      .select("doc", "tokens")
+    val query: Seq[Seq[Double]] = emb
+      .filter(col("vec_id").isin(1L, 2L, 3L, 5L)).orderBy("vec_id")
+      .select(col("embedding").cast("array<double>"))
+      .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+    Search.maxsimSearch(docs, "tokens", query, metric, k = 10,
+        candidates = candidates, tieBreak = Seq("doc"), distCol = "dist")
+      .select("doc", "dist")
+  }
+
+  /** DuckDB mirror of [[maxsimQuery]]: max over doc tokens is
+    * order-independent; the per-query-token sum is forced into vec_id
+    * order via list(... ORDER BY qi) + list_reduce, matching the
+    * expression's query-order accumulation bit-for-bit. */
+  private def maxsimOracle(simExpr: String): String =
+    s"""WITH d AS (SELECT vec_id % 64 AS doc, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qi, CAST(embedding AS DOUBLE[]) AS t FROM embeddings WHERE vec_id IN (1, 2, 3, 5)),
+       |m AS (SELECT d.doc, q.qi, max($simExpr) AS best FROM d CROSS JOIN q GROUP BY d.doc, q.qi),
+       |s AS (SELECT doc, -list_reduce(list(best ORDER BY qi), (a, b) -> a + b) AS dist FROM m GROUP BY doc)
+       |SELECT doc, dist FROM s ORDER BY dist ASC, doc ASC LIMIT 10""".stripMargin.replace("\n", " ")
+
   private def knnOracle(distExpr: String): String =
     s"""SELECT e.vec_id AS vec_id, $distExpr AS dist
        |FROM embeddings e
@@ -184,6 +218,9 @@ object SparkEntry {
           idCol = Some("vec_id"))
         .select("q_id", "vec_id", "dist")
     }),
+    // —— late-interaction (ColBERT MaxSim) multi-vector retrieval ——
+    "search_maxsim"        -> (maxsimQuery("dot", candidates = 0) _),
+    "search_maxsim_pooled" -> (maxsimQuery("cosine", candidates = 64) _),
     // —— S4/S8 + P1/P2: projected, filtered scan ——
     "scan_select_filter" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "embeddings")
@@ -793,6 +830,9 @@ object SparkEntry {
     "knn_cosine"        -> knnOracle(cosSql),
     "knn_dot"           -> knnOracle(dotSql),
     "knn_inner_product" -> knnOracle(dotSql),
+    "search_maxsim"        -> maxsimOracle("list_inner_product(d.v, q.t)"),
+    "search_maxsim_pooled" -> maxsimOracle(
+      "list_inner_product(d.v, q.t) / sqrt(list_inner_product(q.t, q.t) * list_inner_product(d.v, d.v))"),
     "knn_filtered" ->
       ("SELECT e.vec_id AS vec_id, e.label AS label, " + l2Sql + " AS dist " +
         "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +

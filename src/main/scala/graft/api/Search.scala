@@ -160,4 +160,59 @@ object Search {
           .drop("__rank__")
     }
   }
+
+  /** Top-k documents by late-interaction MaxSim over a multi-vector
+    * (token-embedding-matrix) column — ColBERT-style retrieval
+    * ([[graft.functions.MaxSim]]; smaller distance = nearer).
+    *
+    * `candidates = 0` scores every document exactly — one narrow corpus
+    * pass, distributed `TakeOrderedAndProject`. `candidates > 0` runs the
+    * standard late-interaction serving shape: a cheap coarse stage ranks
+    * documents by single-vector distance between their MEAN-POOLED tokens
+    * and the mean-pooled query (pooling via builtin HOFs — stays in
+    * codegen), keeps `candidates` survivors, then reranks them with exact
+    * MaxSim — the token-matrix pair loop runs on `candidates` docs, not
+    * the corpus. At `candidates` ≥ corpus size the result is exact (the
+    * oracle contract). Pass `poolCol` to reuse a precomputed pooled-vector
+    * column (e.g. persisted next to the tokens, or indexed by the IVF
+    * tiers) instead of pooling inline.
+    */
+  def maxsimSearch(
+      docs: DataFrame,
+      tokensCol: String,
+      query: Seq[Seq[Double]],
+      metric: String,
+      k: Int,
+      candidates: Int = 0,
+      tieBreak: Seq[String] = Nil,
+      poolCol: Option[String] = None,
+      distCol: String = DistCol): DataFrame = {
+    require(query.nonEmpty && query.head.nonEmpty, "maxsimSearch: empty query")
+    require(metric == "dot" || metric == "cosine",
+      s"maxsimSearch supports dot | cosine, got '$metric'")
+    import graft.functions.functions.{maxsim, tokens_lit, vector_distance, vector_lit}
+    val ord: Seq[Column] => Seq[Column] = cs => cs ++ tieBreak.map(col(_).asc)
+    val coarse =
+      if (candidates <= 0) docs
+      else {
+        val dim = query.head.length
+        val pooledQuery = (0 until dim).map(i => query.map(_(i)).sum / query.length)
+        val pooled = poolCol.map(col).getOrElse {
+          val toks = col(tokensCol).cast("array<array<double>>")
+          aggregate(toks,
+            array_repeat(lit(0.0d), dim),
+            (acc, t) => zip_with(acc, t, (a, b) => a + b),
+            acc => transform(acc, x => x / size(col(tokensCol))))
+        }
+        docs.withColumn("__POOL_DIST__",
+            vector_distance(pooled, vector_lit(pooledQuery), metric))
+          .orderBy(ord(Seq(col("__POOL_DIST__").asc)): _*)
+          .limit(candidates)
+          .drop("__POOL_DIST__")
+      }
+    coarse
+      .withColumn(distCol, maxsim(col(tokensCol), tokens_lit(query), metric))
+      .orderBy(ord(Seq(col(distCol).asc)): _*)
+      .limit(k)
+  }
 }

@@ -39,4 +39,16 @@ object functions {
   }
 
   def vector_lit_f(target: Seq[Float]): Column = typedLit(target)
+
+  /** Late-interaction (ColBERT) MaxSim "distance" between a multi-vector
+    * document column and a multi-vector query: −Σ_q max_d sim(q, d),
+    * `metric` ∈ dot | cosine (see [[MaxSim]]). Smaller = nearer. */
+  def maxsim(docTokens: Column, queryTokens: Column, metric: String): Column =
+    GraftShims.column(
+      MaxSim(GraftShims.expression(docTokens), GraftShims.expression(queryTokens),
+        metric))
+
+  /** A multi-vector (token-matrix) literal usable as the query side of
+    * [[maxsim]]. */
+  def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)
 }

@@ -52,6 +52,46 @@ object Streams {
       .start()
   }
 
+  /** Continuous incremental index maintenance for a streamed-into table:
+    * a second streaming query tails the table directory (the file source
+    * honors the ingest sink's `_spark_metadata` log, so only committed
+    * files trigger) and runs the normal incremental sync after each
+    * micro-batch of new files. The micro-batch CONTENT is ignored on
+    * purpose — sync re-reads the table through its own anti-join delta
+    * path, which is idempotent on ids, so checkpoint replays and
+    * rescaled batches cannot double-encode a row. `tier` picks the index
+    * flavor: "ivf" (raw cell-partitioned copy), "pq", or "sq".
+    *
+    * At scale this is the serving pattern for freshness: ingest and index
+    * maintenance are decoupled queries with independent checkpoints —
+    * a sync failure never blocks ingest, and restarting sync just
+    * re-runs an idempotent delta. */
+  def indexSyncStream(store: graft.store.Store, codingName: String,
+      source: String, column: String, idCol: String, checkpoint: String,
+      tier: String = "ivf"): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("ivf", "pq", "sq")(tier),
+      s"indexSyncStream: tier must be ivf | pq | sq, got '$tier'")
+    val spark = store.spark
+    val path = store.tablePath(source)
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        tier match {
+          case "ivf" => graft.index.Index.syncIncremental(
+            store, codingName, source, column, idCol)
+          case "pq" => graft.index.Index.syncIncrementalPq(
+            store, codingName, source, column, idCol)
+          case "sq" => graft.index.Index.syncIncrementalSq(
+            store, codingName, source, column, idCol)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Tumbling-window per-type aggregates. On a stream, add
     * `.withWatermark("ts", "1 hour")` upstream and this plans as an
     * incremental stateful agg; on a batch frame it's a plain groupBy. */

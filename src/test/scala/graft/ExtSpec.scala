@@ -1036,6 +1036,68 @@ class StreamIngestSpec extends SparkSuite {
     }
   }
 
+  test("indexSyncStream keeps the index fresh as rows stream in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sync-stream").toString
+    val ckptIn = java.nio.file.Files.createTempDirectory("graft-ss-in").toString
+    val ckptIx = java.nio.file.Files.createTempDirectory("graft-ss-ix").toString
+    val engine = new graft.api.Engine(spark, root)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ingest = Streams.ingestStream(engine.store, "ss_vecs",
+      mem.toDF().toDF("id", "vec"), ckptIn)
+    var sync: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val rnd = new scala.util.Random(17)
+      def batch(from: Int, n: Int) = (from until from + n).map(i =>
+        (i.toLong, Seq.fill(4)(rnd.nextFloat() * 10)))
+      mem.addData(batch(0, 64): _*)
+      ingest.processAllAvailable()
+      engine.makeIndex("ssc", "ss_vecs", "vec",
+        graft.coder.CoderConfig(metric = "l2", codebookSize = 2,
+          numCodebooks = 2, batchSize = 32, numEpochs = 2))
+      // the maintenance stream tails the committed table files and runs
+      // the idempotent incremental sync per micro-batch
+      sync = Streams.indexSyncStream(engine.store, "ssc", "ss_vecs", "vec",
+        "id", ckptIx)
+      sync.processAllAvailable()
+      def probedIds(target: Array[Double]): Seq[Long] =
+        engine.search("ss_vecs", "vec", target, coding = Some("ssc"),
+            probes = Some(4), k = 3, tieBreak = Seq("id"))
+          .select("id").as[Long].collect().toSeq
+      def bruteIds(target: Array[Double]): Seq[Long] =
+        graft.api.Search.knn(engine.readTable(Seq("ss_vecs")), "vec",
+            Seq(Tuple1(target.toSeq)).toDF("t"), "l2", k = 3,
+            tieBreak = Seq("id"))
+          .select("id").as[Long].collect().toSeq
+      // stream two more waves; after each, the index must already be
+      // fresh — no manual sync call anywhere
+      for (wave <- 1 to 2) {
+        mem.addData(batch(wave * 100, 32): _*)
+        ingest.processAllAvailable()
+        sync.processAllAvailable()
+        assert(graft.index.Index.indexFresh(engine.store, "ssc", "ss_vecs", "vec"),
+          s"index stale after wave $wave with a running sync stream")
+        val t = Array.fill(4)(rnd.nextDouble() * 10)
+        assert(probedIds(t) == bruteIds(t), s"probed != brute after wave $wave")
+      }
+      // replay safety: restarting the sync stream from its checkpoint
+      // must not duplicate index rows (sync is an id anti-join)
+      sync.stop()
+      sync = Streams.indexSyncStream(engine.store, "ssc", "ss_vecs", "vec",
+        "id", ckptIx)
+      sync.processAllAvailable()
+      val tableN = engine.readTable(Seq("ss_vecs")).count()
+      val indexN = spark.read.parquet(
+        engine.store.indexPath("ss_vecs", "vec", "ssc")).count()
+      assert(indexN == tableN, s"index rows $indexN != table rows $tableN")
+    } finally {
+      if (sync != null && sync.isActive) sync.stop()
+      if (ingest.isActive) ingest.stop()
+      engine.remove()
+    }
+  }
+
   test("streaming ingest refuses a batch-written table (commit-log hazard)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

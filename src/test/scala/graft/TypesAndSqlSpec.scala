@@ -27,6 +27,22 @@ class SqlSurfaceSpec extends SparkSuite {
       err.getMessage.toLowerCase.contains("bogus"))
   }
 
+  test("maxsim from SQL") {
+    Graft.register(spark)
+    Seq((1L, Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))),
+        (2L, Seq(Seq(-1.0f, 0.0f))))
+      .toDF("id", "toks").createOrReplaceTempView("msim")
+    val got = spark.sql(
+      "SELECT id, maxsim(toks, array(array(1.0d, 0.0d)), 'dot') AS s " +
+        "FROM msim ORDER BY id").collect()
+    assert(got(0).getDouble(1) == -1.0) // best of dot(q,[1,0])=1, dot(q,[0,1])=0
+    assert(got(1).getDouble(1) == 1.0)  // single token: -(-1)
+    val err = intercept[Exception](
+      spark.sql("SELECT maxsim(toks, array(array(1.0d)), 'l2') FROM msim").collect())
+    assert(err.getMessage.contains("dot | cosine") ||
+      err.getCause != null && err.getCause.getMessage.contains("dot | cosine"))
+  }
+
   test("graft_dequantize from SQL") {
     Graft.register(spark)
     Seq(Tuple1(Array[Byte](0, 127.toByte, 255.toByte))).toDF("b")
