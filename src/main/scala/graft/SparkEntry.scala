@@ -148,6 +148,28 @@ object SparkEntry {
     e
   }
 
+  /** Scratch table of multi-vector docs (same construction as
+    * [[maxsimQuery]]) with a persisted mean-pooled column, plus an IVF
+    * index on the pool — the indexed late-interaction serving path. */
+  private def withMaxsimIndex(s: SparkSession, dir: String): Engine = {
+    val e = scratchEngine(s, dir)
+    if (!e.listTables().contains("msdocs")) {
+      val emb = tbl(s, dir, "embeddings")
+      val docs = emb
+        .groupBy((col("vec_id") % 64).as("doc"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"))
+        .withColumn("tokens", transform(col("toks"), t => t("embedding")))
+        .withColumn("pool", graft.functions.functions.pooled_tokens(col("tokens")))
+        .select("doc", "tokens", "pool")
+      e.makeTable("msdocs", docs)
+    }
+    if (!e.listCodings().contains("c_ms"))
+      e.makeIndex("c_ms", "msdocs", "pool",
+        graft.coder.CoderConfig(metric = "cosine", codebookSize = 4,
+          numCodebooks = 1, batchSize = 64, numEpochs = 2))
+    e
+  }
+
   private val pqConfig = graft.coder.PQ.PQConfig(
     numSubspaces = 8, codebookSize = 16, metric = "l2")
 
@@ -221,6 +243,20 @@ object SparkEntry {
     // —— late-interaction (ColBERT MaxSim) multi-vector retrieval ——
     "search_maxsim"        -> (maxsimQuery("dot", candidates = 0) _),
     "search_maxsim_pooled" -> (maxsimQuery("cosine", candidates = 64) _),
+    // indexed serving path: probed IVF coarse over the pooled column,
+    // candidate ids broadcast back, exact MaxSim rerank; full probes +
+    // full candidates ⇒ exact ⇒ shares the brute cosine oracle
+    "search_maxsim_ivf" -> ((s: SparkSession, dir: String) => {
+      val e = withMaxsimIndex(s, dir)
+      val query: Seq[Seq[Double]] = tbl(s, dir, "embeddings")
+        .filter(col("vec_id").isin(1L, 2L, 3L, 5L)).orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().toSeq.map(_.getSeq[Double](0).toSeq)
+      e.maxsimSearch("msdocs", "tokens", query, "cosine", k = 10,
+          candidates = 64, poolCol = Some("pool"), coding = Some("c_ms"),
+          probes = Some(4), idCol = Some("doc"), tieBreak = Seq("doc"))
+        .select(col("doc"), col(Search.DistCol).as("dist"))
+    }),
     // —— S4/S8 + P1/P2: projected, filtered scan ——
     "scan_select_filter" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "embeddings")
@@ -832,6 +868,9 @@ object SparkEntry {
     "knn_inner_product" -> knnOracle(dotSql),
     "search_maxsim"        -> maxsimOracle("list_inner_product(d.v, q.t)"),
     "search_maxsim_pooled" -> maxsimOracle(
+      "list_inner_product(d.v, q.t) / sqrt(list_inner_product(q.t, q.t) * list_inner_product(d.v, d.v))"),
+    // full probes + full candidates ⇒ exact ⇒ brute cosine mirror
+    "search_maxsim_ivf" -> maxsimOracle(
       "list_inner_product(d.v, q.t) / sqrt(list_inner_product(q.t, q.t) * list_inner_product(d.v, d.v))"),
     "knn_filtered" ->
       ("SELECT e.vec_id AS vec_id, e.label AS label, " + l2Sql + " AS dist " +

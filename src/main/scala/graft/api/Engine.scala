@@ -375,6 +375,56 @@ class Engine(val spark: SparkSession, val root: String) {
           requireMetric(metric), k, filter, select, tieBreak)
     }
 
+  /** Late-interaction (ColBERT MaxSim) retrieval over a table carrying a
+    * multi-vector `tokensCol` — see [[Search.maxsimSearch]].
+    *
+    * Without `coding`/`probes`: brute (candidates = 0) or pooled-coarse
+    * two-stage over the raw table (`poolCol` reused when given, else
+    * pooled inline). With `coding` + `probes`: the INDEXED serving path —
+    * the coarse stage is a probed IVF search over the precomputed pooled
+    * column (partition-pruned scan, distributed top-candidates), the
+    * survivors' ids broadcast back to fetch token matrices, exact MaxSim
+    * rerank on `candidates` docs. The token matrices never leave their
+    * partitions until the candidate join, so corpus scale is bounded by
+    * the single-vector index tier, not the token payload. Exact when
+    * probes cover all cells and `candidates` ≥ corpus size. */
+  def maxsimSearch(
+      source: String,
+      tokensCol: String,
+      query: Seq[Seq[Double]],
+      metric: String,
+      k: Int,
+      candidates: Int = 0,
+      poolCol: Option[String] = None,
+      coding: Option[String] = None,
+      probes: Option[Int] = None,
+      idCol: Option[String] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    (coding, probes) match {
+      case (Some(c), Some(p)) =>
+        val pc = poolCol.getOrElse(throw new IllegalArgumentException(
+          "indexed maxsimSearch needs poolCol (the indexed pooled-vector column)"))
+        val id = idCol.getOrElse(throw new IllegalArgumentException(
+          "indexed maxsimSearch needs idCol to join candidates back to tokens"))
+        require(candidates > 0, "indexed maxsimSearch needs candidates > 0")
+        val dim = query.head.length
+        val pooledQuery =
+          (0 until dim).map(i => query.map(_(i)).sum / query.length).toArray
+        val cands = Index.searchProbed(store, c, source, pc, pooledQuery,
+          candidates, p, Some(metric), select = Some(Seq(id)),
+          tieBreak = tieBreak)
+        val docs = store.loadTable(source)
+          .join(broadcast(cands.select(id)), Seq(id))
+        import graft.functions.functions.{maxsim, tokens_lit}
+        docs.withColumn(Search.DistCol,
+            maxsim(col(tokensCol), tokens_lit(query), metric))
+          .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+          .limit(k)
+      case _ =>
+        Search.maxsimSearch(store.loadTable(source), tokensCol, query,
+          metric, k, candidates, tieBreak, poolCol)
+    }
+
   /** Brute-force search has no coding to default from, so the metric must
     * be explicit — matching the reference's validated-metric contract
     * (`flight.py:254-256`); a silent l2 default would hand cosine

@@ -40,11 +40,21 @@ object Dedup {
     // silently diverge on non-BMP chars; same move the Winnow kernel made
     // in round 5 and identical values for BMP text either way).
     var h = 0xcbf29ce484222325L ^ seed
+    val n = s.length
     var i = 0
-    while (i < s.length) {
-      val cp = s.codePointAt(i)
-      h ^= cp; h *= 0x100000001b3L
-      i += Character.charCount(cp)
+    while (i < n) {
+      val c = s.charAt(i)
+      // BMP fast path (branch-predicted away on real text): anything that
+      // is not a high surrogate IS its own code point, including unpaired
+      // low surrogates — exactly codePointAt's contract
+      if (c < Character.MIN_HIGH_SURROGATE || c > Character.MAX_HIGH_SURROGATE) {
+        h ^= c; h *= 0x100000001b3L
+        i += 1
+      } else {
+        val cp = s.codePointAt(i)
+        h ^= cp; h *= 0x100000001b3L
+        i += Character.charCount(cp)
+      }
     }
     h
   }

@@ -51,4 +51,16 @@ object functions {
   /** A multi-vector (token-matrix) literal usable as the query side of
     * [[maxsim]]. */
   def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)
+
+  /** Mean-pool a multi-vector (token-matrix) column to a single
+    * array<double> — the coarse-stage representation for late-interaction
+    * retrieval (persist it next to the tokens and index it with the IVF
+    * tiers). Pure builtin HOFs, stays in codegen. */
+  def pooled_tokens(tokens: Column): Column = {
+    val toks = tokens.cast("array<array<double>>")
+    aggregate(toks,
+      transform(element_at(toks, 1), _ => lit(0.0d)),
+      (acc, t) => zip_with(acc, t, (a, b) => a + b),
+      acc => transform(acc, x => x / size(toks)))
+  }
 }

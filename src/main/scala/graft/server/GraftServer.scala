@@ -42,6 +42,7 @@ import graft.coder.CoderConfig
   *   - `POST   /api/indexes`                   (make-coder + sync-index actions)
   *   - `DELETE /api/indexes/{name}`            (drop-index action)
   *   - `POST   /api/search`                    (do_exchange search)
+  *   - `POST   /api/search/maxsim`             (late-interaction retrieval)
   *   - `GET    /api/bpe` · `POST /api/bpe` · `GET /api/bpe/{model}/tokens`
   *     (tokenizer lifecycle: list / train+persist / per-row token counts)
   *   - `POST   /api/text/fingerprints` · `POST /api/text/overlaps`
@@ -86,6 +87,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("DELETE", "indexes" :: name :: Nil) =>
           engine.dropIndex(name); ok(ex, """{"dropped":true}""")
         case ("POST", "search" :: Nil)           => postSearch(ex)
+        case ("POST", "search" :: "maxsim" :: Nil) => postMaxsim(ex)
         case ("GET", "bpe" :: Nil) =>
           ok(ex, mapper.writeValueAsString(
             Map("models" -> engine.listBpeModels().asJava).asJava))
@@ -238,6 +240,37 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           probes, math.min(k, maxResponseRows), filter, select, tieBreak)
     }
     okRows(ex, df)
+  }
+
+  /** Late-interaction MaxSim retrieval ([[Engine.maxsimSearch]]): body
+    * carries the multi-vector query as an array of arrays; optional
+    * `poolCol` + `coding` + `probes` + `idCol` select the indexed serving
+    * path, `candidates` alone the pooled two-stage, neither the brute. */
+  private def postMaxsim(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val source = require(body, "source").asText()
+    val tokensCol = require(body, "tokensCol").asText()
+    val query: Seq[Seq[Double]] = require(body, "query").elements().asScala
+      .map(_.elements().asScala.map(_.asDouble()).toSeq).toSeq
+    val metric = require(body, "metric").asText()
+    val k = intOr(body, "k", 10)
+    val tieBreak = opt(body, "tieBreak")
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val df = engine.maxsimSearch(source, tokensCol, query, metric,
+      math.min(k, maxResponseRows),
+      candidates = intOr(body, "candidates", 0),
+      poolCol = opt(body, "poolCol").map(_.asText()),
+      coding = opt(body, "coding").map(_.asText()),
+      probes = opt(body, "probes").map(_.asInt()),
+      idCol = opt(body, "idCol").map(_.asText()),
+      tieBreak = tieBreak)
+    // "select" trims the response (token matrices are heavy; distance is
+    // always appended, same contract as the single-vector search)
+    val out = opt(body, "select")
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .fold(df)(cols => df.select(
+        (cols :+ graft.api.Search.DistCol).distinct.map(org.apache.spark.sql.functions.col): _*))
+    okRows(ex, out)
   }
 
   /** Train + persist a BPE model from a stored table's text column

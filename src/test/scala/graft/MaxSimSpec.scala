@@ -104,6 +104,45 @@ class MaxSimSpec extends SparkSuite {
     }
   }
 
+  test("Engine.maxsimSearch: indexed serving path prunes cells and stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val centers = Seq.fill(4)(Array.fill(dim)(rnd.nextDouble() * 10 - 5))
+    val docs = Seq.tabulate(80) { i =>
+      val c = centers(i % 4)
+      (i.toLong, Seq.fill(5)(c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq))
+    }
+    val df = docs.toDF("doc", "tokens")
+      .withColumn("pool", graft.functions.functions.pooled_tokens(col("tokens")))
+    val root = java.nio.file.Files.createTempDirectory("graft-maxsim-ivf").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("msd", df)
+    engine.makeIndex("msc", "msd", "pool",
+      graft.coder.CoderConfig(metric = "cosine", codebookSize = 4,
+        numCodebooks = 1, batchSize = 64, numEpochs = 3))
+    val qry = Seq.fill(3)(centers(0).map(x => x + rnd.nextGaussian() * 0.1).toSeq)
+    def ids(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("doc").as[Long].collect().toSeq
+    val brute = ids(engine.maxsimSearch("msd", "tokens", qry, "cosine",
+      k = 10, tieBreak = Seq("doc")))
+    // full probes + full candidates: exact through the index
+    val full = ids(engine.maxsimSearch("msd", "tokens", qry, "cosine",
+      k = 10, candidates = 80, poolCol = Some("pool"), coding = Some("msc"),
+      probes = Some(4), idCol = Some("doc"), tieBreak = Seq("doc")))
+    assert(full == brute, "indexed maxsim at full budgets must equal brute")
+    // pruned probes + tight candidates: the query sits on center 0, so the
+    // probed coarse stage must still recover the true top-10
+    val pruned = ids(engine.maxsimSearch("msd", "tokens", qry, "cosine",
+      k = 10, candidates = 20, poolCol = Some("pool"), coding = Some("msc"),
+      probes = Some(1), idCol = Some("doc"), tieBreak = Seq("doc")))
+    assert(pruned == brute, "clustered fixture: probes=1 must recover the top-10")
+    // misuse guards
+    intercept[IllegalArgumentException](engine.maxsimSearch("msd", "tokens",
+      qry, "cosine", k = 10, coding = Some("msc"), probes = Some(1)))
+    engine.remove()
+  }
+
   test("maxsimSearch: pooled coarse stage — exact at full budget, useful below it") {
     import spark.implicits._
     val dim = 8

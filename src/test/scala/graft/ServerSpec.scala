@@ -213,6 +213,35 @@ class ServerSpec extends SparkSuite {
     assert(!mapper.readTree(lBody2).get("tables").toString.contains("wire_vecs"))
   }
 
+  test("maxsim route over the wire: brute and pooled two-stage") {
+    // 8 docs of 2 tokens each; doc 7's tokens align with the query
+    val rows = (0 until 8).map { i =>
+      val x = i.toDouble
+      s"""{"doc":$i,"toks":[[${x},0.0],[0.0,${x}]]}"""
+    }
+    val (pc, pBody) = send("PUT", "/tables/wire_ms",
+      s"""{"schema":"doc LONG, toks ARRAY<ARRAY<DOUBLE>>","rows":[${rows.mkString(",")}]}""")
+    assert(pc == 200, pBody)
+    val (mc, mBody) = send("POST", "/search/maxsim",
+      """{"source":"wire_ms","tokensCol":"toks","query":[[1.0,0.0],[0.0,1.0]],""" +
+        """"metric":"dot","k":3,"tieBreak":["doc"],"select":["doc"]}""")
+    assert(mc == 200, mBody)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(mBody).get("rows").elements()
+      .forEachRemaining(n => got += n.get("doc").asLong())
+    assert(got.toSeq == Seq(7L, 6L, 5L), s"maxsim dot must rank by magnitude: $got")
+    // pooled two-stage at full budget: identical ranking
+    val (c2, b2) = send("POST", "/search/maxsim",
+      """{"source":"wire_ms","tokensCol":"toks","query":[[1.0,0.0],[0.0,1.0]],""" +
+        """"metric":"dot","k":3,"candidates":8,"tieBreak":["doc"],"select":["doc"]}""")
+    assert(c2 == 200, b2)
+    val got2 = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(b2).get("rows").elements()
+      .forEachRemaining(n => got2 += n.get("doc").asLong())
+    assert(got2.toSeq == got.toSeq, s"pooled@full must equal brute: $got2 vs $got")
+    assert(send("DELETE", "/tables/wire_ms")._1 == 200)
+  }
+
   test("bpe + winnow text routes over the wire") {
     // a tiny corpus with an obvious repeated phrase and shared boilerplate
     val docs = Seq(
