@@ -59,19 +59,22 @@ object SparkEntry {
     * is the brute path; `candidates = 64` covers every doc, so the pooled
     * coarse+rerank path stays EXACT and shares the brute oracle while
     * still executing the two-stage plan. */
-  private def maxsimQuery(metric: String, candidates: Int)(
-      s: SparkSession, dir: String): DataFrame = {
-    val emb = tbl(s, dir, "embeddings")
-    val docs = emb
+  /** The deterministic multi-vector corpus shared by every maxsim query:
+    * doc = vec_id % 64, tokens = that doc's embeddings in vec_id order. */
+  private def maxsimDocs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
       .groupBy((col("vec_id") % 64).as("doc"))
       .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"))
       .withColumn("tokens", transform(col("toks"), t => t("embedding")))
       .select("doc", "tokens")
-    val query: Seq[Seq[Double]] = emb
+
+  private def maxsimQuery(metric: String, candidates: Int)(
+      s: SparkSession, dir: String): DataFrame = {
+    val query: Seq[Seq[Double]] = tbl(s, dir, "embeddings")
       .filter(col("vec_id").isin(1L, 2L, 3L, 5L)).orderBy("vec_id")
       .select(col("embedding").cast("array<double>"))
       .collect().toSeq.map(_.getSeq[Double](0).toSeq)
-    Search.maxsimSearch(docs, "tokens", query, metric, k = 10,
+    Search.maxsimSearch(maxsimDocs(s, dir), "tokens", query, metric, k = 10,
         candidates = candidates, tieBreak = Seq("doc"), distCol = "dist")
       .select("doc", "dist")
   }
@@ -153,16 +156,9 @@ object SparkEntry {
     * index on the pool — the indexed late-interaction serving path. */
   private def withMaxsimIndex(s: SparkSession, dir: String): Engine = {
     val e = scratchEngine(s, dir)
-    if (!e.listTables().contains("msdocs")) {
-      val emb = tbl(s, dir, "embeddings")
-      val docs = emb
-        .groupBy((col("vec_id") % 64).as("doc"))
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("toks"))
-        .withColumn("tokens", transform(col("toks"), t => t("embedding")))
-        .withColumn("pool", graft.functions.functions.pooled_tokens(col("tokens")))
-        .select("doc", "tokens", "pool")
-      e.makeTable("msdocs", docs)
-    }
+    if (!e.listTables().contains("msdocs"))
+      e.makeTable("msdocs", maxsimDocs(s, dir)
+        .withColumn("pool", graft.functions.functions.pooled_tokens(col("tokens"))))
     if (!e.listCodings().contains("c_ms"))
       e.makeIndex("c_ms", "msdocs", "pool",
         graft.coder.CoderConfig(metric = "cosine", codebookSize = 4,
@@ -243,6 +239,16 @@ object SparkEntry {
     // —— late-interaction (ColBERT MaxSim) multi-vector retrieval ——
     "search_maxsim"        -> (maxsimQuery("dot", candidates = 0) _),
     "search_maxsim_pooled" -> (maxsimQuery("cosine", candidates = 64) _),
+    // batch late-interaction join: top-3 corpus docs per multi-vector
+    // query (queries = docs 0-2 of the same construction)
+    "maxsim_join" -> ((s: SparkSession, dir: String) => {
+      val docs = maxsimDocs(s, dir)
+      val queries = docs.filter(col("doc") < 3)
+        .select(col("doc").as("q_doc"), col("tokens").as("q_toks"))
+      Search.maxsimJoin(docs, "tokens", "doc", queries, "q_doc", "q_toks",
+          "cosine", k = 3, tieBreak = Seq("doc"), distCol = "dist")
+        .select("q_doc", "doc", "dist")
+    }),
     // indexed serving path: probed IVF coarse over the pooled column,
     // candidate ids broadcast back, exact MaxSim rerank; full probes +
     // full candidates ⇒ exact ⇒ shares the brute cosine oracle
@@ -493,6 +499,10 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .withColumn("token_count", TextAnalysis.tokenCount(col("text")).cast("long"))
         .select("doc_id", "n_chars", "token_count")),
+    // —— RAG-style chunking: 200-char chunks, 40-char overlap ——
+    "text_chunks" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
+        size = 200, overlap = 40)),
     "text_lang_quality" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.analyze(tbl(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang_pred", "quality", "fingerprint")),
@@ -872,6 +882,18 @@ object SparkEntry {
     // full probes + full candidates ⇒ exact ⇒ brute cosine mirror
     "search_maxsim_ivf" -> maxsimOracle(
       "list_inner_product(d.v, q.t) / sqrt(list_inner_product(q.t, q.t) * list_inner_product(d.v, d.v))"),
+    // batch maxsim join: same per-pair arithmetic, per-query window top-3
+    "maxsim_join" ->
+      ("WITH d AS (SELECT vec_id % 64 AS doc, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "qd AS (SELECT vec_id % 64 AS qdoc, vec_id AS qi, CAST(embedding AS DOUBLE[]) AS t " +
+        "FROM embeddings WHERE vec_id % 64 < 3), " +
+        "m AS (SELECT d.doc, qd.qdoc, qd.qi, max(list_inner_product(d.v, qd.t) / " +
+        "sqrt(list_inner_product(qd.t, qd.t) * list_inner_product(d.v, d.v))) AS best " +
+        "FROM d CROSS JOIN qd GROUP BY d.doc, qd.qdoc, qd.qi), " +
+        "s AS (SELECT doc, qdoc, -list_reduce(list(best ORDER BY qi), (a, b) -> a + b) AS dist " +
+        "FROM m GROUP BY doc, qdoc) " +
+        "SELECT qdoc AS q_doc, doc, dist FROM (SELECT *, row_number() OVER " +
+        "(PARTITION BY qdoc ORDER BY dist ASC, doc ASC) AS rn FROM s) WHERE rn <= 3"),
     "knn_filtered" ->
       ("SELECT e.vec_id AS vec_id, e.label AS label, " + l2Sql + " AS dist " +
         "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
@@ -1105,6 +1127,16 @@ object SparkEntry {
       ("SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count " +
         "FROM documents"),
+    // integer chunk-count arithmetic mirrored exactly: step = 160,
+    // n = greatest((len - 40 + 159) // 160, 1); both substr are 1-based
+    "text_chunks" ->
+      ("WITH d AS (SELECT doc_id, text, " +
+        "greatest((length(text) - 40 + 159) // 160, 1) AS n " +
+        "FROM documents WHERE text IS NOT NULL), " +
+        "e AS (SELECT doc_id, text, " +
+        "unnest(generate_series(0, n - 1)) AS i FROM d) " +
+        "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        "substr(text, CAST(i AS INT) * 160 + 1, 200) AS chunk FROM e"),
     // mirrors TextAnalysis.qualityComponents + qualityExpr term-for-term
     // (same IEEE op order => bit-identical doubles; Java \p{Punct} and
     // RE2 [[:punct:]] are the same ASCII set)

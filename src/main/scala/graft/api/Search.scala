@@ -215,4 +215,65 @@ object Search {
       .orderBy(ord(Seq(col(distCol).asc)): _*)
       .limit(k)
   }
+
+  /** [[chunkByBroadcastSize]] for a MULTI-vector (token-matrix) query
+    * column: row size is the total element count across the matrix. */
+  private[graft] def chunkTokenBatch(
+      queries: DataFrame,
+      queryIdCol: String,
+      tokensCol: String,
+      capBytes: Long): Seq[DataFrame] = {
+    require(capBytes > 0, "broadcastCapBytes must be > 0")
+    val r = queries
+      .agg(count(lit(1)),
+        max(size(flatten(col(tokensCol).cast("array<array<double>>")))))
+      .head
+    val nq = r.getLong(0)
+    if (nq == 0L) return Seq(queries)
+    val elems = if (r.isNullAt(1)) 0 else r.getInt(1)
+    val est = nq * (elems.toLong * 8 + 64)
+    val chunks = math.min(nq, math.max(1L, (est + capBytes - 1) / capBytes)).toInt
+    if (chunks == 1) Seq(queries)
+    else (0 until chunks).map(i =>
+      queries.filter(pmod(xxhash64(col(queryIdCol)), lit(chunks)) === i))
+  }
+
+  /** Batch late-interaction join: top-k corpus documents per multi-vector
+    * query row — the MaxSim analog of [[knnJoin]], always codes-light
+    * (multi-vector corpora are exactly where full rows must not ride a
+    * shuffle): scores are computed in the broadcast-join projection, only
+    * (queryId, id, distance, tie-breaks) cross the per-query window
+    * exchange, and full rows return via a broadcast join of the ≤
+    * queries·k survivors. Over-cap query batches hash-chunk exactly like
+    * the single-vector joins. */
+  def maxsimJoin(
+      corpus: DataFrame,
+      tokensCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTokensCol: String,
+      metric: String,
+      k: Int,
+      tieBreak: Seq[String] = Nil,
+      distCol: String = DistCol,
+      broadcastCapBytes: Long = QueryBroadcastCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.functions.maxsim
+    val qs = queries.select(col(queryIdCol), col(queryTokensCol))
+    chunkTokenBatch(qs, queryIdCol, queryTokensCol, broadcastCapBytes).map { ch =>
+      val w = Window.partitionBy(col(queryIdCol))
+        .orderBy(col(distCol).asc +: tieBreak.map(col(_).asc): _*)
+      val coarseCols = (idCol +: tieBreak).distinct
+      val scored = corpus
+        .select((coarseCols :+ tokensCol).distinct.map(col): _*)
+        .crossJoin(broadcast(ch))
+        .withColumn(distCol, maxsim(col(tokensCol), col(queryTokensCol), metric))
+        .select(col(queryIdCol) +: col(distCol) +: coarseCols.map(col): _*)
+      val topk = scored.withColumn("__rank__", row_number().over(w))
+        .filter(col("__rank__") <= k)
+        .select(col(queryIdCol), col(distCol), col(idCol))
+      broadcast(topk).join(corpus, Seq(idCol))
+    }.reduce(_.unionByName(_))
+  }
 }

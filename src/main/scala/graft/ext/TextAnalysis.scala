@@ -15,6 +15,30 @@ object TextAnalysis {
 
   // ——— token counting ———
 
+  /** Fixed-size overlapping character chunks — the RAG/embedding
+    * preprocessing step: each document explodes to
+    * ⌈(len − overlap) / (size − overlap)⌉ chunks (≥ 1) of up to `size`
+    * chars starting every `size − overlap` chars. Chunk count uses pure
+    * INTEGER arithmetic so a SQL mirror cannot drift via float ceil.
+    * One narrow map + explode, no shuffle; null-text docs emit nothing.
+    * Output: (idCol, chunk_idx, chunk). */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"chunkDocuments: need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        expr(s"greatest(CAST((length($textCol) - $overlap + ${step - 1}) " +
+          s"DIV $step AS INT), 1)").as("__nchunks__"),
+        col(textCol))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__nchunks__") - 1),
+          i => col(textCol).substr(i * step + 1, lit(size)))))
+      .toDF(idCol, "chunk_idx", "chunk")
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+  }
+
   /** Whitespace token count (codegen'd built-ins only; null ⇒ 0). */
   def tokenCount(text: Column): Column =
     when(text.isNull || length(trim(text)) === 0, lit(0))

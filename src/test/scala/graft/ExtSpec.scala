@@ -216,6 +216,36 @@ class DedupSpec extends SparkSuite {
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
 
+  test("chunkDocuments: coverage, overlap, and edge cases") {
+    val docs = Seq(
+      (1L, "a" * 100),   // len < size: one whole chunk
+      (2L, "b" * 200),   // len == size: exactly one chunk
+      (3L, "0123456789" * 50), // 500 chars: n = ceil(460/160) = 3
+      (4L, ""),          // empty: one empty chunk
+      (5L, null.asInstanceOf[String]) // null: no chunks
+    ).toDF("id", "text")
+    val got = graft.ext.TextAnalysis
+      .chunkDocuments(docs, "id", "text", size = 200, overlap = 40)
+      .as[(Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got(1L) == Seq("a" * 100))
+    assert(got(2L) == Seq("b" * 200))
+    val full = "0123456789" * 50
+    assert(got(3L) == Seq(
+      full.substring(0, 200), full.substring(160, 360), full.substring(320, 500)))
+    // consecutive chunks overlap by exactly 40 chars
+    assert(got(3L)(0).takeRight(40) == got(3L)(1).take(40))
+    assert(got(4L) == Seq(""))
+    assert(!got.contains(5L), "null text must emit no chunks")
+    // every char of every doc is covered by at least one chunk
+    val rebuilt = got(3L).zipWithIndex
+      .flatMap { case (c, i) => c.zipWithIndex.map { case (ch, j) => (i * 160 + j, ch) } }
+      .toMap
+    assert((0 until 500).forall(p => rebuilt(p) == full(p)), "coverage gap")
+    intercept[IllegalArgumentException](
+      graft.ext.TextAnalysis.chunkDocuments(docs, "id", "text", 100, 100))
+  }
+
   test("language id on hand-written samples") {
     val samples = Seq(
       (1L, "the cat sat on the mat and it was happy for hours", "en"),

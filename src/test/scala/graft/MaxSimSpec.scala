@@ -104,6 +104,50 @@ class MaxSimSpec extends SparkSuite {
     }
   }
 
+  test("maxsimJoin: per-query top-k matches per-query maxsimSearch; " +
+      "token matrices never shuffle; chunked path identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val docs = Seq.tabulate(40)(i => (i.toLong, Seq.fill(3 + i % 3)(tok(dim))))
+    // materialize like a real table (the fixture's own repartition would
+    // otherwise show up as a corpus shuffle in the plan assertion)
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft-msjoin").toString
+    docs.toDF("doc", "tokens").repartition(4).write.mode("overwrite").parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val qdocs = Seq.tabulate(4)(i => (100L + i, Seq.fill(2)(tok(dim))))
+    val queries = qdocs.toDF("q_doc", "q_toks")
+    def collectJoin(cap: Long): Set[(Long, Long, Double)] =
+      Search.maxsimJoin(corpus, "tokens", "doc", queries, "q_doc", "q_toks",
+          "cosine", k = 5, tieBreak = Seq("doc"), broadcastCapBytes = cap)
+        .select("q_doc", "doc", Search.DistCol)
+        .as[(Long, Long, Double)].collect().toSet
+    val joined = collectJoin(Search.QueryBroadcastCap)
+    // reference: one maxsimSearch per query
+    val want = qdocs.flatMap { case (qid, toks) =>
+      Search.maxsimSearch(corpus, "tokens",
+          toks.map(_.map(_.toDouble)), "cosine", k = 5, tieBreak = Seq("doc"))
+        .select("doc", Search.DistCol).as[(Long, Double)].collect()
+        .map { case (d, s) => (qid, d, s) }
+    }.toSet
+    assert(joined == want, "maxsimJoin must equal per-query maxsimSearch")
+    // forced chunking (2 KB cap): bit-identical
+    assert(collectJoin(2048) == joined, "chunked path must be identical")
+    // codes-light contract: no ShuffleExchange carries a token matrix
+    val planned = Search.maxsimJoin(corpus, "tokens", "doc", queries,
+      "q_doc", "q_toks", "cosine", k = 5, tieBreak = Seq("doc"))
+    val fmt = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffleBlocks = fmt.split("\n\n")
+      .filter(_.linesIterator.hasNext)
+      .filter(_.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(shuffleBlocks.nonEmpty, s"expected the window exchange in:\n$fmt")
+    shuffleBlocks.foreach { b =>
+      assert(!b.contains("tokens#") && !b.contains("q_toks#"),
+        s"token matrix rides a shuffle:\n$b")
+    }
+  }
+
   test("Engine.maxsimSearch: indexed serving path prunes cells and stays exact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
