@@ -105,8 +105,85 @@ object CurveBench {
     val out = Seq("curve_vectors" -> NumVectors.toDouble) ++ pq16 ++ pq128 ++
       Seq(
         "sq_recall_at_10_at_100" -> recallSq(100),
-        "sq_recall_at_10_at_4k" -> recallSq(4000)) ++ joins
+        "sq_recall_at_10_at_4k" -> recallSq(4000)) ++ joins ++
+      maxsimCurves(spark, engine)
     engine.remove()
     out
+  }
+
+  /** Late-interaction recall + throughput at scale: NumVectors/8 docs × 8
+    * tokens × 64-d with HIERARCHICAL structure — 64 theme centers, a
+    * per-doc offset (1σ), then per-token jitter (1σ): token =
+    * theme + doc + jitter. Random grouping would make mean pooling
+    * vacuous; themes WITHOUT doc offsets make within-theme pooled ranking
+    * a coin flip (every same-theme doc pools to the same point ± noise) —
+    * both fixture artifacts, not engine properties. With doc offsets the
+    * pooled signal (1σ) dominates pooled token noise (σ/√8), which is the
+    * structure real corpora have. Queries are 4 existing docs' token sets.
+    * Records pooled-prefilter recall vs candidates, the indexed
+    * (IVF-probed) path's recall, and brute vs indexed wall time (the
+    * indexed path pays 3 fixed job latencies vs brute's 1 — it wins past
+    * the corpus size where brute's scan dominates, ~1M docs at local[32]). */
+  private[graft] def maxsimCurves(spark: SparkSession,
+      engine: Engine): Seq[(String, Double)] = {
+    import graft.functions.functions.pooled_tokens
+    val numDocs = math.max(NumVectors / 8, 1000L)
+    val gen = udf { (docId: Long) =>
+      val theme = (docId % 64).toInt
+      val trnd = new java.util.Random(theme * 7919L + 1L)
+      val center = Array.fill(64)(trnd.nextGaussian().toFloat * 10f)
+      val rnd = new java.util.Random(docId * 0x9E3779B97F4A7C15L + 11L)
+      val docOff = Array.fill(64)(rnd.nextGaussian().toFloat)
+      Array.tabulate(8)(_ =>
+        Array.tabulate(64)(i => center(i) + docOff(i) + rnd.nextGaussian().toFloat))
+    }
+    engine.makeTable("msdocs", spark.range(numDocs).toDF("doc")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("tokens", gen(col("doc")))
+      .withColumn("pool", pooled_tokens(col("tokens"))))
+    engine.makeIndex("cms", "msdocs", "pool",
+      CoderConfig(metric = "cosine", codebookSize = 8, numCodebooks = 2,
+        batchSize = 2560, numEpochs = 2, maxStepsPerEpoch = 5))
+    val docs = engine.readTable(Seq("msdocs"))
+    val queryIds = Seq(0L, 3L, 17L, 130L)
+    val qTokens: Map[Long, Seq[Seq[Double]]] = docs
+      .filter(col("doc").isin(queryIds: _*))
+      .select(col("doc"), col("tokens").cast("array<array<double>>"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[scala.collection.Seq[Double]](1).toSeq.map(_.toSeq)).toMap
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def top(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc").collect().map(_.getLong(0)).toSet
+    // brute baseline per query (also the recall ground truth)
+    val bruteTimed = queryIds.map { q =>
+      time(top(graft.api.Search.maxsimSearch(docs, "tokens", qTokens(q),
+        "cosine", k = 10, tieBreak = Seq("doc"))))
+    }
+    val brute = queryIds.zip(bruteTimed.map(_._1)).toMap
+    def avgRecall(per: Long => Set[Long]): Double = {
+      val rs = queryIds.map(q => brute(q).count(per(q).contains) / 10.0)
+      rs.sum / rs.length
+    }
+    def pooled(candidates: Int): Double = avgRecall { q =>
+      top(graft.api.Search.maxsimSearch(docs, "tokens", qTokens(q), "cosine",
+        k = 10, candidates = candidates, tieBreak = Seq("doc"),
+        poolCol = Some("pool")))
+    }
+    val ivfTimed = queryIds.map { q =>
+      time(top(engine.maxsimSearch("msdocs", "tokens", qTokens(q), "cosine",
+        k = 10, candidates = 1000, poolCol = Some("pool"),
+        coding = Some("cms"), probes = Some(16), idCol = Some("doc"),
+        tieBreak = Seq("doc"))))
+    }
+    val ivfRecall = avgRecall(queryIds.zip(ivfTimed.map(_._1)).toMap)
+    Seq(
+      "maxsim_docs" -> numDocs.toDouble,
+      "maxsim_pooled_recall_at_10_cand_100" -> pooled(100),
+      "maxsim_pooled_recall_at_10_cand_1k" -> pooled(1000),
+      "maxsim_ivf_recall_at_10_probes_16_cand_1k" -> ivfRecall,
+      "maxsim_brute_sec" -> bruteTimed.map(_._2).min,
+      "maxsim_ivf_sec" -> ivfTimed.map(_._2).min)
   }
 }
