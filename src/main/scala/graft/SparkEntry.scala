@@ -133,6 +133,13 @@ object SparkEntry {
   def bpeOracleModelPath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_bpe_oracle_m200_w4096.json"
 
+  /** Fixed tmpdir path where `embed_pca` exports its trained PCA model
+    * for the DuckDB oracle (same pattern as [[bpeOracleModelPath]]:
+    * training is replayed from the exported parameters, projection
+    * arithmetic is mirrored term-for-term). */
+  def pcaOracleModelPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_pca_oracle_k8_whiten.json"
+
   /** A scratch engine for lifecycle queries (coder/index/probe). */
   private def scratchEngine(s: SparkSession, dir: String): Engine = {
     val e = new Engine(s, scratchRoot(dir))
@@ -503,6 +510,19 @@ object SparkEntry {
     "text_chunks" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
         size = 200, overlap = 40)),
+    // —— PCA whitening: train (deterministic one-pass covariance +
+    // driver eig), export the model for the oracle, project (codegen) ——
+    "embed_pca" -> ((s: SparkSession, dir: String) => {
+      val emb = tbl(s, dir, "embeddings")
+      val model = graft.ext.Embeddings.pcaTrain(emb, "embedding",
+        k = 8, whiten = true)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(pcaOracleModelPath), model.toJson)
+      graft.ext.Embeddings.project(emb, "embedding", model, "proj")
+        .select(col("vec_id"), posexplode(col("proj")))
+        .toDF("vec_id", "r", "y")
+        .withColumn("r", col("r").cast("long"))
+    }),
     "text_lang_quality" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.analyze(tbl(s, dir, "documents"), "doc_id", "text")
         .select("doc_id", "lang_pred", "quality", "fingerprint")),
@@ -1127,6 +1147,20 @@ object SparkEntry {
       ("SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count " +
         "FROM documents"),
+    // replay the exported PCA model: y_r = Σ_i comp[r][i]·(x_i − mean_i)
+    // in i order (list_transform preserves order, list_reduce folds
+    // left-to-right — matches the codegen accumulation)
+    "embed_pca" ->
+      (s"WITH m AS (SELECT * FROM read_json('$pcaOracleModelPath', " +
+        "columns = {whitened: 'BOOLEAN', mean: 'DOUBLE[]', " +
+        "eigenvalues: 'DOUBLE[]', components: 'DOUBLE[][]'})), " +
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), " +
+        "rs AS (SELECT unnest(generate_series(0, 7)) AS r) " +
+        "SELECT e.vec_id AS vec_id, CAST(rs.r AS BIGINT) AS r, " +
+        "list_reduce(list_transform(range(1, len(m.mean) + 1), " +
+        "i -> m.components[CAST(rs.r AS INT) + 1][i] * (e.v[i] - m.mean[i])), " +
+        "(a, b) -> a + b) AS y " +
+        "FROM e, m, rs"),
     // integer chunk-count arithmetic mirrored exactly: step = 160,
     // n = greatest((len - 40 + 159) // 160, 1); both substr are 1-based
     "text_chunks" ->

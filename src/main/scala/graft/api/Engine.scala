@@ -71,6 +71,23 @@ class Engine(val spark: SparkSession, val root: String) {
   /** Train and persist a BPE model from a stored table's text column
     * ([[graft.ext.Bpe.train]] — one distributed word-frequency agg,
     * driver-bounded merge learning, deterministic). */
+  /** Train + persist a PCA (optionally whitening) model on a stored
+    * table's vector column ([[graft.ext.Embeddings.pcaTrain]]). */
+  def trainPca(name: String, source: String, column: String, k: Int,
+      whiten: Boolean = false): graft.ext.Embeddings.PcaModel = {
+    val model = graft.ext.Embeddings.pcaTrain(store.loadTable(source), column,
+      k, whiten)
+    store.savePcaModel(name, model)
+    model
+  }
+
+  /** Project a stored table's vector column under a persisted PCA model —
+    * one narrow codegen'd map ([[graft.functions.PcaProject]]). */
+  def projectPca(source: String, column: String, modelName: String,
+      out: String = "projection"): DataFrame =
+    graft.ext.Embeddings.project(store.loadTable(source), column,
+      store.loadPcaModel(modelName), out)
+
   def trainBpe(name: String, source: String, textCol: String,
       numMerges: Int, maxWords: Int = 65536): graft.ext.Bpe.BpeModel = {
     val model = graft.ext.Bpe.train(store.loadTable(source), textCol,

@@ -44,6 +44,7 @@ import graft.coder.CoderConfig
   *   - `POST   /api/search`                    (do_exchange search)
   *   - `POST   /api/search/maxsim`             (late-interaction retrieval)
   *   - `GET    /api/bpe` · `POST /api/bpe` · `GET /api/bpe/{model}/tokens`
+  *   - `GET    /api/pca` · `POST /api/pca` · `GET /api/pca/{model}/project`
   *     (tokenizer lifecycle: list / train+persist / per-row token counts)
   *   - `POST   /api/text/fingerprints` · `POST /api/text/overlaps`
   *     (winnowing fingerprints / MOSS overlap pairs)
@@ -88,6 +89,11 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           engine.dropIndex(name); ok(ex, """{"dropped":true}""")
         case ("POST", "search" :: Nil)           => postSearch(ex)
         case ("POST", "search" :: "maxsim" :: Nil) => postMaxsim(ex)
+        case ("GET", "pca" :: Nil) =>
+          ok(ex, s"""{"models":[${engine.store.listPcaModels()
+            .map("\"" + _ + "\"").mkString(",")}]}""")
+        case ("POST", "pca" :: Nil)              => postPca(ex)
+        case ("GET", "pca" :: model :: "project" :: Nil) => getPcaProject(ex, model)
         case ("GET", "bpe" :: Nil) =>
           ok(ex, mapper.writeValueAsString(
             Map("models" -> engine.listBpeModels().asJava).asJava))
@@ -271,6 +277,33 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       .fold(df)(cols => df.select(
         (cols :+ graft.api.Search.DistCol).distinct.map(org.apache.spark.sql.functions.col): _*))
     okRows(ex, out)
+  }
+
+  /** Train + persist a PCA/whitening model ([[Engine.trainPca]]). */
+  private def postPca(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val name = require(body, "name").asText()
+    val model = engine.trainPca(name,
+      require(body, "source").asText(),
+      require(body, "column").asText(),
+      k = require(body, "k").asInt(),
+      whiten = opt(body, "whiten").exists(_.asBoolean(false)))
+    ok(ex, s"""{"model":"$name","k":${model.k},"dim":${model.dim},""" +
+      s""""whitened":${model.whitened}}""")
+  }
+
+  /** Project a stored table under a persisted PCA model
+    * ([[Engine.projectPca]]); `select` trims the response. */
+  private def getPcaProject(ex: HttpExchange, model: String): Unit = {
+    val params = queryParams(ex)
+    def p(k: String): String = params.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required param '$k'"))
+    val df = engine.projectPca(p("source"), p("column"), model)
+    val out = params.get("select")
+      .map(s => df.select((s.split(",").toSeq :+ "projection").distinct.map(col): _*))
+      .getOrElse(df)
+    val limit = params.get("limit").map(_.toInt).getOrElse(maxResponseRows)
+    okRows(ex, out.limit(math.min(limit, maxResponseRows)))
   }
 
   /** Train + persist a BPE model from a stored table's text column

@@ -310,6 +310,26 @@ class Store(val spark: SparkSession, val root: String) {
   def dropBpeModel(name: String): Unit =
     fs.delete(new Path(bpeModelPath(name)), false)
 
+  // ——— PCA models (embedding dimensionality reduction) ———
+
+  def pcaModelPath(name: String): String = s"$root/models/pca/$name.json"
+
+  def savePcaModel(name: String, model: graft.ext.Embeddings.PcaModel): Unit =
+    writeSidecar(pcaModelPath(name), model.toJson.getBytes("UTF-8"))
+
+  def loadPcaModel(name: String): graft.ext.Embeddings.PcaModel =
+    graft.ext.Embeddings.fromJson(new String(readSidecar(pcaModelPath(name)), "UTF-8"))
+
+  def listPcaModels(): Seq[String] = {
+    val p = new Path(s"$root/models/pca")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
+  }
+
+  def dropPcaModel(name: String): Unit =
+    fs.delete(new Path(pcaModelPath(name)), false)
+
   // ——— Codings (V3, A1) ———
 
   def saveCoding(name: String, coding: Coding): Unit = {

@@ -242,6 +242,31 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_ms")._1 == 200)
   }
 
+  test("pca routes over the wire: train, list, project") {
+    val rows = (0 until 60).map { i =>
+      // variance concentrated on the first axis
+      s"""{"id":$i,"v":[${i * 1.0},${(i % 3) * 0.1},0.5,0.5]}"""
+    }
+    val (pc, pBody) = send("PUT", "/tables/wire_pca",
+      s"""{"schema":"id LONG, v ARRAY<DOUBLE>","rows":[${rows.mkString(",")}]}""")
+    assert(pc == 200, pBody)
+    val (tc, tBody) = send("POST", "/pca",
+      """{"name":"wp","source":"wire_pca","column":"v","k":2,"whiten":true}""")
+    assert(tc == 200, tBody)
+    val tn = mapper.readTree(tBody)
+    assert(tn.get("k").asInt() == 2 && tn.get("dim").asInt() == 4 &&
+      tn.get("whitened").asBoolean())
+    val (_, lBody) = send("GET", "/pca")
+    assert(mapper.readTree(lBody).get("models").toString.contains("wp"))
+    val (jc, jBody) = send("GET",
+      "/pca/wp/project?source=wire_pca&column=v&select=id&limit=5")
+    assert(jc == 200, jBody)
+    val rws = mapper.readTree(jBody).get("rows")
+    assert(rws.size() == 5, jBody)
+    assert(rws.get(0).get("projection").size() == 2, jBody)
+    assert(send("DELETE", "/tables/wire_pca")._1 == 200)
+  }
+
   test("bpe + winnow text routes over the wire") {
     // a tiny corpus with an obvious repeated phrase and shared boilerplate
     val docs = Seq(
