@@ -71,6 +71,18 @@ class Engine(val spark: SparkSession, val root: String) {
   /** Train and persist a BPE model from a stored table's text column
     * ([[graft.ext.Bpe.train]] — one distributed word-frequency agg,
     * driver-bounded merge learning, deterministic). */
+  /** Per-cell (cell, files, bytes, rows) layout stats of an IVF index
+    * ([[Index.cellStats]]) — the skew/fragmentation ops view. */
+  def indexStats(codingName: String, source: String, column: String,
+      withRows: Boolean = false): Seq[(Long, Int, Long, Long)] =
+    Index.cellStats(store, codingName, source, column, withRows)
+
+  /** Coalesce fragmented index cell partitions ([[Index.compactCells]]) —
+    * run periodically under a streaming sync workload. */
+  def compactIndex(codingName: String, source: String, column: String,
+      maxFilesPerCell: Int = 8): Index.CompactStats =
+    Index.compactCells(store, codingName, source, column, maxFilesPerCell)
+
   /** Train + persist a PCA (optionally whitening) model on a stored
     * table's vector column ([[graft.ext.Embeddings.pcaTrain]]). */
   def trainPca(name: String, source: String, column: String, k: Int,

@@ -270,6 +270,94 @@ object Index {
       fullRebuild = false)
   }
 
+  /** Per-cell layout statistics of the IVF copy: (cell, files, bytes,
+    * rows = −1 unless `withRows`). The ops view for skew and
+    * fragmentation — incremental sync appends one file set per
+    * micro-batch, so long-running streams fragment cell partitions until
+    * scan task overhead dominates; a cell holding a disproportionate
+    * byte share signals coder imbalance (retrain or raise probes). Pure
+    * file-listing driver work unless row counts are requested. */
+  def cellStats(store: Store, codingName: String, source: String,
+      column: String, withRows: Boolean = false): Seq[(Long, Int, Long, Long)] = {
+    val path = store.indexPath(source, column, codingName)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val prefix = s"$CodeCol="
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+    val rowsByCell: Map[Long, Long] =
+      if (!withRows) Map.empty
+      else store.spark.read.parquet(path)
+        .groupBy(col(CodeCol).cast("long")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dirs.map { d =>
+      val cell = d.getPath.getName.stripPrefix(prefix).toLong
+      val files = fs.listStatus(d.getPath)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+      (cell, files.length, files.map(_.getLen).sum,
+        rowsByCell.getOrElse(cell, -1L))
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Outcome of a [[compactCells]] pass. */
+  case class CompactStats(cellsCompacted: Long, filesBefore: Long,
+      filesAfter: Long)
+
+  /** Rewrite fragmented cell partitions coalesced — the maintenance step
+    * a streaming [[syncIncremental]] workload needs: every micro-batch
+    * appends its own file set, so a cell touched by N waves holds ≥ N
+    * small files and scan cost becomes task-overhead-bound. Cells with
+    * more than `maxFilesPerCell` files are rewritten to ≈
+    * max(1, bytes/targetFileBytes) files each (temp sibling + per-cell
+    * rename, as [[repair]]).
+    *
+    * Content is identical, so the recorded source stamp remains VALID —
+    * it is snapshotted before the swap and restored verbatim after (NOT
+    * refreshed to the current source listing, which may have drifted).
+    * Crash discipline is fail-closed: the stamp sidecar is deleted before
+    * the first swap, so a crash mid-compaction leaves freshness failing
+    * (recover with [[build]]/[[repair]]) instead of serving a cell whose
+    * directory vanished between the delete and the rename. */
+  def compactCells(store: Store, codingName: String, source: String,
+      column: String, maxFilesPerCell: Int = 8,
+      targetFileBytes: Long = 128L << 20): CompactStats = {
+    require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
+    val path = store.indexPath(source, column, codingName)
+    require(indexExists(store, codingName, source, column),
+      s"compactCells: no index for $source.$column under '$codingName'")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val stats = cellStats(store, codingName, source, column)
+    val frag = stats.filter(_._2 > maxFilesPerCell)
+    if (frag.isEmpty) return CompactStats(0, 0, 0)
+    val cells = frag.map(_._1)
+    val bytes = frag.map(_._3).sum
+    val recorded = recordedListing(store, path)
+    val tmp = s"$path.__compact_tmp__"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val parts = math.max(cells.length.toLong,
+      bytes / math.max(1L, targetFileBytes) + 1).toInt
+    store.spark.read.parquet(path)
+      .withColumn(CodeCol, col(CodeCol).cast("long"))
+      .filter(col(CodeCol).isin(cells: _*))
+      .repartition(parts, col(CodeCol))
+      .write.mode("overwrite").partitionBy(CodeCol).parquet(tmp)
+    fs.delete(new org.apache.hadoop.fs.Path(stampSidecar(path)), false)
+    cells.foreach { cell =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$CodeCol=$cell")
+      val srcP = new org.apache.hadoop.fs.Path(s"$tmp/$CodeCol=$cell")
+      fs.delete(dst, true)
+      if (fs.exists(srcP))
+        require(fs.rename(srcP, dst), s"compactCells: rename failed for cell $cell")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    recorded.foreach(l => recordSourceStamp(store, path, l))
+    val after = cellStats(store, codingName, source, column)
+      .filter(s => cells.contains(s._1)).map(_._2.toLong).sum
+    CompactStats(cells.length.toLong, frag.map(_._2.toLong).sum, after)
+  }
+
   /** Whether the materialized indexed copy exists (Spark's _SUCCESS
     * marker: a partial/failed write does not count). */
   def indexExists(store: Store, codingName: String, source: String,

@@ -98,6 +98,44 @@ class PcaSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("PCA→IVF pipeline: rank-limited corpus searches losslessly in reduced space") {
+    val d = 32
+    val sigmas = Seq(8.0, 6.0, 4.0, 3.0, 2.0, 1.0) // rank-6 signal
+    val rows = corpus(2000, d, sigmas).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = rows.toDF("id", "vec")
+    val m = Embeddings.pcaTrain(df, "vec", k = 6)
+    val root = java.nio.file.Files.createTempDirectory("graft-pca-ivf").toString
+    val engine = new graft.api.Engine(spark, root)
+    // reduced table: 32-d floats → 6-d projections, indexed like any vector
+    engine.makeTable("pvt", Embeddings.project(df, "vec", m, "pvec")
+      .select($"id", $"pvec"))
+    engine.makeIndex("pc", "pvt", "pvec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 4,
+        numCodebooks = 1, batchSize = 256, numEpochs = 3))
+    val target = rows(5)._2
+    // project the query the same way (driver math == PcaProject by parity test)
+    val pt = m.components.map { c =>
+      var acc = 0.0
+      var i = 0
+      while (i < d) { acc += c(i) * (target(i).toDouble - m.mean(i)); i += 1 }
+      acc
+    }
+    val reduced = engine.search("pvt", "pvec", pt, coding = Some("pc"),
+        probes = Some(4), k = 10, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    val brute = graft.api.Search.knn(df, "vec",
+        Seq(Tuple1(target.map(_.toDouble))).toDF("t"), "l2", k = 10,
+        tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    // rank-6 data + k=6 orthonormal components ⇒ pairwise distances are
+    // exactly preserved (up to fp rounding), so the reduced-space search
+    // must return the original-space answer
+    assert(reduced == brute,
+      s"reduced-space search diverged: $reduced vs $brute")
+    engine.remove()
+  }
+
   test("error contracts: dim mismatch, empty input, k too large") {
     val df = corpus(50, 4, Seq(1.0)).map(Tuple1(_)).toDF("vec")
     val m = Embeddings.pcaTrain(df, "vec", k = 2)

@@ -194,4 +194,58 @@ class RepairSpec extends SparkSuite {
       "append-only growth must re-stamp")
     engine.remove()
   }
+
+  test("compactCells coalesces fragmented cells; content and freshness intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val engine = new graft.api.Engine(spark, root)
+    val rnd = new scala.util.Random(23)
+    def wave(from: Int, n: Int) = (from until from + n)
+      .map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat() * 10))).toDF("id", "vec")
+    engine.makeTable("emb", wave(0, 64).coalesce(2))
+    engine.makeIndex("cc", "emb", "vec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 2,
+        numCodebooks = 1, batchSize = 32, numEpochs = 2))
+    // 6 incremental waves fragment every cell (one file set per sync)
+    for (w <- 1 to 6) {
+      wave(w * 1000, 32).coalesce(2).write.mode("append")
+        .parquet(engine.store.tablePath("emb"))
+      Index.syncIncremental(engine.store, "cc", "emb", "vec", "id")
+    }
+    assert(Index.indexFresh(engine.store, "cc", "emb", "vec"))
+    val before = Index.cellStats(engine.store, "cc", "emb", "vec", withRows = true)
+    assert(before.exists(_._2 > 4), s"fixture not fragmented: $before")
+    val content = Index.load(engine.store, "cc", "emb", "vec")
+      .select("id", "__CODED_ID__").as[(Long, Long)].collect().toSet
+    val stats = Index.compactCells(engine.store, "cc", "emb", "vec",
+      maxFilesPerCell = 4)
+    assert(stats.cellsCompacted > 0 && stats.filesAfter < stats.filesBefore,
+      s"no coalescing happened: $stats")
+    val after = Index.cellStats(engine.store, "cc", "emb", "vec", withRows = true)
+    after.filter(s => before.exists(b => b._1 == s._1 && b._2 > 4)).foreach { s =>
+      assert(s._2 <= 2, s"cell ${s._1} still fragmented: ${s._2} files")
+    }
+    // rows per cell unchanged, content identical, stamp still fresh
+    assert(after.map(s => s._1 -> s._4) == before.map(s => s._1 -> s._4),
+      "row counts changed")
+    val content2 = Index.load(engine.store, "cc", "emb", "vec")
+      .select("id", "__CODED_ID__").as[(Long, Long)].collect().toSet
+    assert(content2 == content, "compaction changed content")
+    assert(Index.indexFresh(engine.store, "cc", "emb", "vec"),
+      "compaction must preserve a valid stamp")
+    // probed search still exact
+    val t = Array.fill(4)(rnd.nextDouble() * 10)
+    val probed = engine.search("emb", "vec", t, coding = Some("cc"),
+        probes = Some(2), k = 5, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    val brute = graft.api.Search.knn(engine.readTable(Seq("emb")), "vec",
+        Seq(Tuple1(t.toSeq)).toDF("t"), "l2", k = 5, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(probed == brute, "post-compaction search mismatch")
+    // idempotent: nothing left to compact
+    assert(Index.compactCells(engine.store, "cc", "emb", "vec",
+      maxFilesPerCell = 4).cellsCompacted == 0)
+    engine.remove()
+  }
 }
