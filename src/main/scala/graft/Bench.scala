@@ -58,6 +58,8 @@ object Bench {
         graft.coder.PQ.PQConfig(numSubspaces = 8, codebookSize = 16, metric = "l2"))
     if (!graft.index.Index.sqIndexExists(scratch.store, "c_l2", "emb", "embedding"))
       graft.index.Index.buildSq(scratch.store, "c_l2", "emb", "embedding")
+    if (!graft.index.Index.bqIndexExists(scratch.store, "c_l2", "emb", "embedding"))
+      graft.index.Index.buildBq(scratch.store, "c_l2", "emb", "embedding")
     val pruned = Seq(
       "search_probed_16" -> (() => scratch.search("emb", "embedding", target,
         coding = Some("c_l2"), probes = Some(16), k = 10).count()),
@@ -68,6 +70,9 @@ object Bench {
         "c_l2", "emb", "embedding", target, k = 10, probes = 16,
         candidates = 200, idCol = "vec_id").count()),
       "search_sq_16_200" -> (() => graft.index.Index.searchSq(scratch.store,
+        "c_l2", "emb", "embedding", target, k = 10, probes = 16,
+        candidates = 200, idCol = "vec_id").count()),
+      "search_bq_16_200" -> (() => graft.index.Index.searchBq(scratch.store,
         "c_l2", "emb", "embedding", target, k = 10, probes = 16,
         candidates = 200, idCol = "vec_id").count()),
     ).map { case (name, fn) =>
@@ -88,7 +93,7 @@ object Bench {
       "dedup_semantic", "text_fingerprint", "text_overlap", "search_sq",
       "q1_agg", "q3_shipping", "q5_region", "events_sessions", "text_quality",
       "media_compressed_decode", "search_probed_16", "search_rerank_200",
-      "search_ivf_pq_16_200", "search_sq_16_200")
+      "search_ivf_pq_16_200", "search_sq_16_200", "search_bq_16_200")
     val allMap = all.toMap
     val qsHead = headline.flatMap(k => allMap.get(k).map(v =>
         "\"" + k + "\":" + f"$v%.3f"))

@@ -68,6 +68,12 @@ object CurveBench {
           metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select("vec_id").collect().map(_.getLong(0)).toSet
     }
+    def recallBq(candidates: Int): Double = avgRecall { q =>
+      engine.searchBq("vectors", "vector", targets(q), coding = "c",
+          probes = 16, candidates = candidates, idCol = "vec_id", k = 10,
+          metric = Some("l2"), tieBreak = Seq("vec_id"))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
     def joinRecall(df: org.apache.spark.sql.DataFrame): Double = {
       val got = df.select("q_id", "vec_id").collect()
         .groupBy(_.getLong(0))
@@ -102,10 +108,14 @@ object CurveBench {
           queries, "q_id", "q_vec", k = 10, probes = 16, candidates = 100,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))))
 
+    engine.makeBqIndex("c", "vectors", "vector")
     val out = Seq("curve_vectors" -> NumVectors.toDouble) ++ pq16 ++ pq128 ++
       Seq(
         "sq_recall_at_10_at_100" -> recallSq(100),
-        "sq_recall_at_10_at_4k" -> recallSq(4000)) ++ joins ++
+        "sq_recall_at_10_at_4k" -> recallSq(4000),
+        // 1-bit tier: 32 bytes/row at 256-d (32× under raw, 8× under SQ8)
+        "bq_recall_at_10_at_100" -> recallBq(100),
+        "bq_recall_at_10_at_4k" -> recallBq(4000)) ++ joins ++
       maxsimCurves(spark, engine)
     engine.remove()
     out

@@ -190,6 +190,13 @@ object SparkEntry {
     e
   }
 
+  private def withBqIndex(s: SparkSession, dir: String): Engine = {
+    val e = withIndex(s, dir)
+    if (!graft.index.Index.bqIndexExists(e.store, "c_l2", "emb", "embedding"))
+      graft.index.Index.buildBq(e.store, "c_l2", "emb", "embedding")
+    e
+  }
+
   /** Per-cell-affine SQ8 variant under its own coding (the SQ index path
     * is keyed by coding name, and `search_sq` owns the shared-affine
     * copy under c_l2). */
@@ -373,6 +380,15 @@ object SparkEntry {
     "search_sq" -> ((s: SparkSession, dir: String) => {
       val e = withSqIndex(s, dir)
       graft.index.Index.searchSq(e.store, "c_l2", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— IVF+BQ: 1-bit sign codes (32× smaller than float32), Hamming
+    // popcount coarse rank + exact rerank; full budgets == exact ——
+    "search_bq" -> ((s: SparkSession, dir: String) => {
+      val e = withBqIndex(s, dir)
+      graft.index.Index.searchBq(e.store, "c_l2", "emb", "embedding",
           targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
@@ -1398,6 +1414,9 @@ object SparkEntry {
     "search_ivf_pq" -> knnOracle(l2Sql),
     "search_sq" -> knnOracle(l2Sql),
     "search_sq_cell" -> knnOracle(l2Sql),
+    // IVF+BQ (1-bit sign codes) at full probes + candidates is exact:
+    // Hamming only orders the coarse pass, the rerank is the true metric
+    "search_bq" -> knnOracle(l2Sql),
     "search_ivf_pq_cosine" -> knnOracle(cosSql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),

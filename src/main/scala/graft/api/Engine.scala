@@ -192,6 +192,28 @@ class Engine(val spark: SparkSession, val root: String) {
     Index.searchSq(store, coding, source, column, target, k, probes,
       candidates, idCol, metric, filter, select, tieBreak)
 
+  /** Build the IVF+BQ index under an existing coding — 1-bit sign codes
+    * (32× smaller than float32; [[Index.buildBq]]); returns the
+    * per-dimension mean thresholds. */
+  def makeBqIndex(codingName: String, source: String, column: String): Array[Double] =
+    Index.buildBq(store, codingName, source, column)
+
+  /** Encode-only append of new source rows to an existing BQ index under
+    * its stored thresholds ([[Index.syncIncrementalBq]]). */
+  def syncBqIndex(codingName: String, source: String, column: String,
+      idCol: String): Long =
+    Index.syncIncrementalBq(store, codingName, source, column, idCol)
+
+  /** Probed IVF+BQ search ([[Index.searchBq]]): Hamming coarse pass over
+    * the 1-bit codes, exact rerank of the survivors. */
+  def searchBq(source: String, column: String, target: TargetVector,
+      coding: String, probes: Int, candidates: Int, idCol: String,
+      k: Int = 10, metric: Option[String] = None,
+      filter: Option[Column] = None, select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    Index.searchBq(store, coding, source, column, target, k, probes,
+      candidates, idCol, metric, filter, select, tieBreak)
+
   /** Batch IVF k-NN join ([[Index.ivfKnnJoin]]): per-query top-k over
     * the probed cells — many queries amortized over one pruned corpus
     * pass; only ids/distances cross the per-query shuffle. */
@@ -282,6 +304,27 @@ class Engine(val spark: SparkSession, val root: String) {
     require(sources.nonEmpty, "at least one source")
     unionTopK(sources, k, tieBreak)(s =>
       Index.searchSq(store, coding, s, column, target, k, probes,
+        candidates, idCol, metric, filter, select, tieBreak))
+  }
+
+  /** Multi-source IVF+BQ search: per-source [[Index.searchBq]] top-k,
+    * unioned and re-topped (same shape as [[searchSqMulti]]). */
+  def searchBqMulti(
+      sources: Seq[String],
+      column: String,
+      target: TargetVector,
+      coding: String,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      k: Int = 10,
+      metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(sources.nonEmpty, "at least one source")
+    unionTopK(sources, k, tieBreak)(s =>
+      Index.searchBq(store, coding, s, column, target, k, probes,
         candidates, idCol, metric, filter, select, tieBreak))
   }
 

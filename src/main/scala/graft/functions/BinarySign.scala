@@ -1,0 +1,151 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Sign-bit packing of a float vector against per-dimension thresholds:
+  * bit `i` of the output is set iff `x[i] > thresholds[i]`, packed
+  * MSB-first into `ceil(d/8)` bytes.
+  *
+  * The 1-bit quantization kernel of the IVF+BQ index tier (binary
+  * quantization — 32× smaller than float32): with thresholds at the
+  * per-dimension mean this is the classic one-bit-per-dimension code
+  * whose Hamming distance tracks angular/L2 proximity of the original
+  * vectors (sign-random-projection family, Charikar 2002 — here with the
+  * identity "projection" and mean-centering, the shape used by binary
+  * embedding search). MSB-first packing keeps the code a deterministic
+  * pure function of the input, so the whole column is mirrorable in SQL
+  * if ever needed.
+  *
+  * Thresholds ride the plan as a reference object (no literal
+  * interpolation); `IndexedSeq` params keep case-class equality
+  * structural (array fields would compare by reference and defeat
+  * Catalyst subexpression elimination).
+  */
+case class PackSignBits(child: Expression, thresholds: IndexedSeq[Double])
+    extends UnaryExpression {
+  require(thresholds.nonEmpty, "pack_sign_bits: thresholds must be non-empty")
+  require(thresholds.forall(java.lang.Double.isFinite),
+    "pack_sign_bits: every threshold must be finite")
+
+  @transient private lazy val thrArr: Array[Double] = thresholds.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pack_sign_bits expects array<float|double>, got ${other.catalogString}")
+  }
+
+  private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pack_sign_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n != thrArr.length) throw new IllegalArgumentException(
+      s"graft_pack_sign_bits: vector has $n dims but thresholds have ${thrArr.length}")
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_pack_sign_bits: null element at index $i — needs dense vectors")
+      val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (x > thrArr(i)) out(i >> 3) = (out(i >> 3) | (0x80 >> (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val t = ctx.addReferenceObj("thresholds", thrArr, "double[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("idx")
+      val n = ctx.freshName("n")
+      val get = if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $t.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pack_sign_bits: vector has " + $n + " dims but thresholds have " + $t.length);
+         |}
+         |byte[] $out = new byte[($n + 7) / 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_pack_sign_bits: null element at index " + $i +
+         |      " — needs dense vectors");
+         |  }
+         |  if ($get > $t[$i]) {
+         |    $out[$i >> 3] = (byte) ($out[$i >> 3] | (0x80 >> ($i & 7)));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hamming distance between a packed sign-bit code column (binary, as
+  * produced by [[PackSignBits]]) and a fixed query code: popcount of the
+  * bytewise XOR. The coarse-ranking distance of the IVF+BQ tier — 32
+  * byte-XOR + popcount steps rank a 256-d vector, vs 256 float multiplies
+  * for the full distance. Integer and exactly deterministic, so coarse
+  * ranking never suffers float-order nondeterminism.
+  */
+case class HammingDistance(child: Expression, query: IndexedSeq[Byte])
+    extends UnaryExpression {
+  require(query.nonEmpty, "hamming_distance: query code must be non-empty")
+
+  @transient private lazy val qArr: Array[Byte] = query.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hamming_distance expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length != qArr.length) throw new IllegalArgumentException(
+      s"graft_hamming: code has ${bytes.length} bytes but query has ${qArr.length}")
+    var acc = 0
+    var i = 0
+    while (i < bytes.length) {
+      acc += java.lang.Integer.bitCount((bytes(i) ^ qArr(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val q = ctx.addReferenceObj("queryCode", qArr, "byte[]")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("idx")
+      s"""
+         |if ($b.length != $q.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_hamming: code has " + $b.length + " bytes but query has " + $q.length);
+         |}
+         |int $acc = 0;
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $acc += java.lang.Integer.bitCount(($b[$i] ^ $q[$i]) & 0xff);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1031,6 +1031,172 @@ object Index {
       .limit(k)
   }
 
+  // ——— IVF + BQ (1-bit binary quantization) tier ———
+
+  val BqCol: String = "__BQ__"
+  private def bqSidecar(path: String) = s"$path/_bq_thresholds.json"
+
+  /** Build the IVF+BQ index: the cell-partitioned copy carries a 1-bit
+    * sign code per dimension (`ceil(d/8)` bytes/row — 32× smaller than
+    * float32, 8× smaller than SQ8; the coarsest memory tier). Each
+    * dimension is binarized around its MEAN (one map-side-combined
+    * sum/count agg pass — only partitions × dim doubles shuffle), the
+    * standard centering that makes the Hamming distance between codes
+    * track proximity of the original vectors (sign-random-projection
+    * family, Charikar 2002). Encode is the codegen'd
+    * [[graft.functions.PackSignBits]] — one narrow corpus pass.
+    *
+    * The tier's contract matches SQ8's: Hamming is COARSE ranking only;
+    * [[searchBq]] always reranks the `candidates` survivors with the
+    * exact metric over the float vectors, so full probes + candidates is
+    * exact and bounded budgets trade recall for a 32×-smaller coarse
+    * scan. Returns the per-dimension thresholds. */
+  def buildBq(store: Store, codingName: String, source: String,
+      column: String): Array[Double] = {
+    val coding = store.loadCoding(codingName)
+    val df = store.loadTable(source)
+    val vecSum = udaf(graft.coder.VecSumAgg)
+    val stats = df
+      .select(col(column).cast("array<double>").as("__v__"))
+      .filter(col("__v__").isNotNull)
+      .agg(vecSum(col("__v__")).as("s"), count(lit(1)).as("n"))
+      .collect()(0)
+    require(!stats.isNullAt(0) && stats.getSeq[Double](0).nonEmpty,
+      s"buildBq: $source.$column has no non-null vectors to binarize")
+    val n = stats.getLong(1).toDouble
+    val thresholds = stats.getSeq[Double](0).map(_ / n).toArray
+    val parts = math.max(1, math.min(coding.numCells,
+      df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
+    val path = store.bqIndexPath(source, column, codingName)
+    df.withColumn(CodeCol, assignExpr(col(column), coding))
+      .withColumn(BqCol, packSignBitsCol(col(column), thresholds))
+      .repartition(parts, col(CodeCol))
+      .write.mode("overwrite")
+      .partitionBy(CodeCol)
+      .parquet(path)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val payload = mapper.createObjectNode()
+    payload.set[com.fasterxml.jackson.databind.JsonNode](
+      "thresholds", mapper.valueToTree(thresholds))
+    store.writeSidecar(bqSidecar(path), mapper.writeValueAsBytes(payload))
+    thresholds
+  }
+
+  private def packSignBitsCol(vec: Column, thresholds: Array[Double]): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.PackSignBits(
+      org.apache.spark.sql.GraftShims.expression(vec), thresholds.toIndexedSeq))
+
+  def bqIndexExists(store: Store, codingName: String, source: String,
+      column: String): Boolean =
+    store.sidecarExists(bqSidecar(store.bqIndexPath(source, column, codingName))) &&
+      scala.util.Try(loadBqThresholds(store, codingName, source, column)).isSuccess
+
+  private def loadBqThresholds(store: Store, codingName: String,
+      source: String, column: String): Array[Double] = {
+    val path = store.bqIndexPath(source, column, codingName)
+    require(store.sidecarExists(bqSidecar(path)),
+      s"no BQ index for $source.$column under coding '$codingName' — " +
+        "build it first (buildBq)")
+    val n = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(store.readSidecar(bqSidecar(path))).get("thresholds")
+    val out = new Array[Double](n.size())
+    var i = 0
+    while (i < out.length) { out(i) = n.get(i).asDouble(); i += 1 }
+    out
+  }
+
+  /** Incremental BQ sync: append-only delta encoded under the STORED
+    * thresholds (no re-fit — a shifted value distribution degrades code
+    * balance, not correctness, since rerank is exact; rebuild when the
+    * distribution moves). Mirrors [[syncIncrementalSq]]. */
+  def syncIncrementalBq(store: Store, codingName: String, source: String,
+      column: String, idCol: String): Long = {
+    val path = store.bqIndexPath(source, column, codingName)
+    val thresholds = loadBqThresholds(store, codingName, source, column)
+    val coding = store.loadCoding(codingName)
+    val existing = store.spark.read.parquet(path).select(col(idCol))
+    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val delta = fresh
+      .withColumn(CodeCol, assignExpr(col(column), coding))
+      .withColumn(BqCol, packSignBitsCol(col(column), thresholds))
+    delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val appended = delta.count()
+      if (appended > 0)
+        delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+      appended
+    } finally delta.unpersist(blocking = false)
+  }
+
+  /** Probed IVF+BQ search — the [[searchSq]] two-pass shape with the
+    * coarse stage ranked by HAMMING distance over 1-bit sign codes: the
+    * coarse pass reads (idCol, ceil(d/8)-byte codes) over pruned
+    * partitions only and ranks with the codegen'd
+    * [[graft.functions.HammingDistance]] (integer popcount — exactly
+    * deterministic, ~32 byte ops per 256-d row), then the float vectors
+    * are read back just for the `candidates` survivors and scored
+    * exactly under `metric`. With probes = numCells and candidates ≥
+    * corpus this is exact (the oracle contract); at bounded budgets the
+    * 1-bit coarse scan is 8× smaller than SQ8's and 32× smaller than
+    * raw — the tier to reach for when even d bytes/row won't fit the
+    * scan budget. Hamming ties are broken by `idCol` so candidate
+    * selection is deterministic. */
+  def searchBq(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      target: graft.api.TargetVector,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val coding = store.loadCoding(codingName)
+    val thresholds = loadBqThresholds(store, codingName, source, column)
+    val m = graft.core.Metrics.canonical(
+      metric.getOrElse(coding.config.metric))
+    val targetCode: Array[Byte] = {
+      val v = target.doubles
+      require(v.length == thresholds.length,
+        s"searchBq: target has ${v.length} dims, index has ${thresholds.length}")
+      val out = new Array[Byte]((v.length + 7) / 8)
+      var i = 0
+      while (i < v.length) {
+        if (v(i) > thresholds(i)) out(i >> 3) = (out(i >> 3) | (0x80 >> (i & 7))).toByte
+        i += 1
+      }
+      out
+    }
+    val cells = coding.rankCells(target.doubles, probes)
+    val prunedAll = pruneToCells(store.spark.read
+      .parquet(store.bqIndexPath(source, column, codingName))
+      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      cells, coding.numCells)
+    val pruned = filter.fold(prunedAll)(prunedAll.filter)
+    val hamming = org.apache.spark.sql.GraftShims.column(
+      graft.functions.HammingDistance(
+        org.apache.spark.sql.GraftShims.expression(col(BqCol)),
+        targetCode.toIndexedSeq))
+    val coarseIds = pruned
+      .select(col(idCol), col(BqCol))
+      .withColumn("__HAM__", hamming)
+      .orderBy(col("__HAM__").asc, col(idCol).asc)
+      .limit(candidates)
+      .select(idCol)
+    val reranked = pruned.join(broadcast(coarseIds), Seq(idCol))
+      .withColumn(Search.DistCol, vector_distance(col(column), target.lit, m))
+      .drop(BqCol)
+    val projected = select.fold(reranked)(cols =>
+      reranked.select((cols :+ Search.DistCol).map(col): _*))
+    projected
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+      .limit(k)
+  }
+
   /** A k^n-capped probe union is still a planning hazard as an IN-SET
     * partition filter (catalog pruning evaluates it per partition and the
     * predicate itself ships in every task); beyond this many distinct

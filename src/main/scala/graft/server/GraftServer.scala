@@ -195,6 +195,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     // optional SQ8 sidecar index: {"sq": true}
     if (opt(body, "sq").exists(_.asBoolean(false)))
       engine.makeSqIndex(name, source, column)
+    // optional BQ (1-bit) sidecar index: {"bq": true}
+    if (opt(body, "bq").exists(_.asBoolean(false)))
+      engine.makeBqIndex(name, source, column)
     ok(ex, s"""{"index":"$name"}""")
   }
 
@@ -221,18 +224,26 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     // "sq": true routes to the IVF+SQ8 index (d-byte quantized coarse pass)
     val rerank = opt(body, "rerank").exists(_.asBoolean(false))
     val sq = opt(body, "sq").exists(_.asBoolean(false))
+    // "bq": true routes to the IVF+BQ index (1-bit Hamming coarse pass)
+    val bq = opt(body, "bq").exists(_.asBoolean(false))
     val df = (opt(body, "candidates"), coding, probes) match {
-      case _ if sq =>
+      case _ if sq || bq =>
         // explicit contract, no silent fall-through to another path
+        val tier = if (sq) "sq" else "bq"
         val c = coding.getOrElse(throw new IllegalArgumentException(
-          "sq search requires \"coding\""))
+          s"$tier search requires \"coding\""))
         val p = probes.getOrElse(throw new IllegalArgumentException(
-          "sq search requires \"probes\""))
+          s"$tier search requires \"probes\""))
         val cand = opt(body, "candidates").getOrElse(
-          throw new IllegalArgumentException("sq search requires \"candidates\""))
-        engine.searchSqMulti(sources, column, target, c, p, cand.asInt(),
-          require(body, "idCol").asText(), math.min(k, maxResponseRows),
-          metric, filter, select, tieBreak)
+          throw new IllegalArgumentException(s"$tier search requires \"candidates\""))
+        if (sq)
+          engine.searchSqMulti(sources, column, target, c, p, cand.asInt(),
+            require(body, "idCol").asText(), math.min(k, maxResponseRows),
+            metric, filter, select, tieBreak)
+        else
+          engine.searchBqMulti(sources, column, target, c, p, cand.asInt(),
+            require(body, "idCol").asText(), math.min(k, maxResponseRows),
+            metric, filter, select, tieBreak)
       case (Some(cand), Some(c), _) if rerank =>
         engine.searchRerankMulti(sources, column, target, c, cand.asInt(),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),

@@ -46,6 +46,9 @@ class Store(val spark: SparkSession, val root: String) {
   /** IVF+SQ8 variant: cell-partitioned copy + 8-bit quantized vectors. */
   def sqIndexPath(source: String, column: String, coding: String) =
     s"$root/sq_indexes/$source/$column/$coding"
+  /** IVF+BQ variant: cell-partitioned copy + 1-bit sign codes. */
+  def bqIndexPath(source: String, column: String, coding: String) =
+    s"$root/bq_indexes/$source/$column/$coding"
 
   /** Write small sidecar bytes (e.g. PQ codebooks) through the store's
     * filesystem, so the layout works on HDFS/object stores too. */
@@ -415,6 +418,11 @@ class Store(val spark: SparkSession, val root: String) {
       column <- list(s"$root/sq_indexes/$source")
       coding <- list(s"$root/sq_indexes/$source/$column") if coding == name
     } fs.delete(new Path(sqIndexPath(source, column, coding)), true)
+    for {
+      source <- list(s"$root/bq_indexes")
+      column <- list(s"$root/bq_indexes/$source")
+      coding <- list(s"$root/bq_indexes/$source/$column") if coding == name
+    } fs.delete(new Path(bqIndexPath(source, column, coding)), true)
   }
 
   def listIndexes(): Seq[(String, String, String)] =

@@ -90,7 +90,7 @@ class ServerSpec extends SparkSuite {
     val (ic, iBody) = send("POST", "/indexes",
       """{"name":"wire_c1","source":"wire_vecs","column":"vec",
           "metric":"l2","codebookSize":2,"numCodebooks":1,
-          "batchSize":64,"numEpochs":2,"sq":true,
+          "batchSize":64,"numEpochs":2,"sq":true,"bq":true,
           "pq":{"numSubspaces":2,"codebookSize":4}}""")
     assert(ic == 200, iBody)
     val (_, cBody) = send("GET", "/codings")
@@ -125,6 +125,18 @@ class ServerSpec extends SparkSuite {
     mapper.readTree(sBody2).get("rows").elements()
       .forEachRemaining(n => sqIds += n.get("id").asLong())
     assert(sqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"sq $sqIds")
+
+    // ivf+bq over the wire ("bq": true routes to the 1-bit Hamming coarse
+    // pass; full candidate budget here, so the exact rerank pins the result)
+    val (bc2, bBody2) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","probes":2,"candidates":200,"idCol":"id","bq":true,
+          "k":5,"tieBreak":["id"],"select":["id"]}""")
+    assert(bc2 == 200, bBody2)
+    val bqIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(bBody2).get("rows").elements()
+      .forEachRemaining(n => bqIds += n.get("id").asLong())
+    assert(bqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"bq $bqIds")
 
     // retrieve-rerank over the wire ("rerank": true routes to the plain
     // IVF two-stage path — id-only coarse pass, exact rerank)
