@@ -393,6 +393,14 @@ object SparkEntry {
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
+    // —— Matryoshka prefix-truncation search: coarse rank on the first 16
+    // of 64 dims, exact rerank; full candidate budget == exact ——
+    "search_matryoshka" -> ((s: SparkSession, dir: String) => {
+      Search.matryoshkaSearch(tbl(s, dir, "embeddings"), "embedding",
+          targetArray(s, dir), prefixDim = 16, candidates = 1 << 20,
+          idCol = "vec_id", k = 10, metric = "l2", tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
     // —— IVF+SQ8 with PER-CELL affine params (SemDeDup setting:
     // heterogeneous clusters, disjoint ranges); full budgets == exact ——
     "search_sq_cell" -> ((s: SparkSession, dir: String) => {
@@ -1417,6 +1425,9 @@ object SparkEntry {
     // IVF+BQ (1-bit sign codes) at full probes + candidates is exact:
     // Hamming only orders the coarse pass, the rerank is the true metric
     "search_bq" -> knnOracle(l2Sql),
+    // Matryoshka prefix search at full candidate budget is exact (the
+    // prefix only orders the coarse pass, the rerank is full-width)
+    "search_matryoshka" -> knnOracle(l2Sql),
     "search_ivf_pq_cosine" -> knnOracle(cosSql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),

@@ -204,6 +204,19 @@ class Engine(val spark: SparkSession, val root: String) {
       idCol: String): Long =
     Index.syncIncrementalBq(store, codingName, source, column, idCol)
 
+  /** Matryoshka prefix-truncation search over a stored table
+    * ([[Search.matryoshkaSearch]]): coarse rank on the first `prefixDim`
+    * dims (a materialized `prefixCol` makes the coarse scan column-pruned),
+    * exact rerank of the survivors. */
+  def matryoshkaSearch(source: String, column: String, target: TargetVector,
+      prefixDim: Int, candidates: Int, idCol: String, k: Int = 10,
+      metric: String = "l2", prefixCol: Option[String] = None,
+      filter: Option[Column] = None, select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame =
+    Search.matryoshkaSearch(store.loadTable(source), column, target,
+      prefixDim, candidates, idCol, k, metric, prefixCol, filter, select,
+      tieBreak)
+
   /** Probed IVF+BQ search ([[Index.searchBq]]): Hamming coarse pass over
     * the 1-bit codes, exact rerank of the survivors. */
   def searchBq(source: String, column: String, target: TargetVector,

@@ -87,6 +87,54 @@ object Search {
     projected.orderBy(col(distCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
   }
 
+  /** Matryoshka (MRL) prefix-truncation search: coarse-rank on the FIRST
+    * `prefixDim` dimensions, exact-rerank the `candidates` survivors on
+    * the full vector. Matryoshka-trained embeddings (Kusupati et al.
+    * 2022) pack most of the signal into a prefix, so a d/8 prefix scan
+    * ranks nearly as well as the full vector at 1/8 the compute — and,
+    * with `prefixCol` pointing at a MATERIALIZED prefix column, 1/8 the
+    * scan I/O too (column pruning keeps the full vector out of the
+    * coarse pass entirely; the lazy `slice` fallback saves compute
+    * only). With candidates ≥ corpus this is exact (the oracle
+    * contract). Works index-free on any table; compose with the IVF
+    * tiers by indexing the prefix column instead.
+    *
+    * @param idCol unique-per-row id: the coarse pass emits ids only, full
+    *   rows return via a broadcast join of the ≤ `candidates` survivors,
+    *   so the full-width vectors never cross a shuffle. */
+  def matryoshkaSearch(
+      df: DataFrame,
+      vecCol: String,
+      target: TargetVector,
+      prefixDim: Int,
+      candidates: Int,
+      idCol: String,
+      k: Int = 10,
+      metric: String = "l2",
+      prefixCol: Option[String] = None,
+      filter: Option[Column] = None,
+      select: Option[Seq[String]] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    require(prefixDim > 0 && prefixDim <= target.length,
+      s"matryoshkaSearch: prefixDim $prefixDim out of (0, ${target.length}]")
+    require(candidates >= k,
+      s"matryoshkaSearch: candidates $candidates < k $k")
+    val prefixTarget = typedLit(target.doubles.take(prefixDim).toSeq)
+    val base = filter.fold(df)(df.filter)
+    val coarseVec = prefixCol.map(col).getOrElse(slice(col(vecCol), 1, prefixDim))
+    val coarseIds = base
+      .select(col(idCol), coarseVec.as("__PFX__"))
+      .withColumn("__PD__", vector_distance(col("__PFX__"), prefixTarget, metric))
+      .orderBy(col("__PD__").asc, col(idCol).asc)
+      .limit(candidates)
+      .select(idCol)
+    val reranked = base.join(broadcast(coarseIds), Seq(idCol))
+      .withColumn(DistCol, vector_distance(col(vecCol), target.lit, metric))
+    val projected = select.fold(reranked)(cols =>
+      reranked.select((cols :+ DistCol).map(col): _*))
+    projected.orderBy(col(DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
+  }
+
   /** Batch k-NN join: top-k corpus rows per query row.
     *
     * Generalizes the reference's single-target search to a set of queries
