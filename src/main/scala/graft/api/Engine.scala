@@ -74,14 +74,16 @@ class Engine(val spark: SparkSession, val root: String) {
   /** Per-cell (cell, files, bytes, rows) layout stats of an IVF index
     * ([[Index.cellStats]]) — the skew/fragmentation ops view. */
   def indexStats(codingName: String, source: String, column: String,
-      withRows: Boolean = false): Seq[(Long, Int, Long, Long)] =
-    Index.cellStats(store, codingName, source, column, withRows)
+      withRows: Boolean = false, tier: String = "ivf"): Seq[(Long, Int, Long, Long)] =
+    Index.cellStats(store, codingName, source, column, withRows, tier)
 
   /** Coalesce fragmented index cell partitions ([[Index.compactCells]]) —
-    * run periodically under a streaming sync workload. */
+    * run periodically under a streaming sync workload. `tier` selects the
+    * copy (ivf | pq | sq | bq). */
   def compactIndex(codingName: String, source: String, column: String,
-      maxFilesPerCell: Int = 8): Index.CompactStats =
-    Index.compactCells(store, codingName, source, column, maxFilesPerCell)
+      maxFilesPerCell: Int = 8, tier: String = "ivf"): Index.CompactStats =
+    Index.compactCells(store, codingName, source, column, maxFilesPerCell,
+      tier = tier)
 
   /** Train + persist a PCA (optionally whitening) model on a stored
     * table's vector column ([[graft.ext.Embeddings.pcaTrain]]). */

@@ -278,8 +278,9 @@ object Index {
     * byte share signals coder imbalance (retrain or raise probes). Pure
     * file-listing driver work unless row counts are requested. */
   def cellStats(store: Store, codingName: String, source: String,
-      column: String, withRows: Boolean = false): Seq[(Long, Int, Long, Long)] = {
-    val path = store.indexPath(source, column, codingName)
+      column: String, withRows: Boolean = false,
+      tier: String = "ivf"): Seq[(Long, Int, Long, Long)] = {
+    val path = tierPath(store, codingName, source, column, tier)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(store.spark.sparkContext.hadoopConfiguration)
     val prefix = s"$CodeCol="
@@ -304,6 +305,19 @@ object Index {
   case class CompactStats(cellsCompacted: Long, filesBefore: Long,
       filesAfter: Long)
 
+  /** Cell-partitioned copy path of an index `tier` (ivf | pq | sq | bq) —
+    * all four tiers share the `__CODED_ID__=N` partition layout, so the
+    * layout tooling ([[cellStats]]/[[compactCells]]) applies uniformly. */
+  private def tierPath(store: Store, codingName: String, source: String,
+      column: String, tier: String): String = tier match {
+    case "ivf" => store.indexPath(source, column, codingName)
+    case "pq"  => store.pqIndexPath(source, column, codingName)
+    case "sq"  => store.sqIndexPath(source, column, codingName)
+    case "bq"  => store.bqIndexPath(source, column, codingName)
+    case other => throw new IllegalArgumentException(
+      s"tier must be ivf | pq | sq | bq, got '$other'")
+  }
+
   /** Rewrite fragmented cell partitions coalesced — the maintenance step
     * a streaming [[syncIncremental]] workload needs: every micro-batch
     * appends its own file set, so a cell touched by N waves holds ≥ N
@@ -318,17 +332,22 @@ object Index {
     * Crash discipline is fail-closed: the stamp sidecar is deleted before
     * the first swap, so a crash mid-compaction leaves freshness failing
     * (recover with [[build]]/[[repair]]) instead of serving a cell whose
-    * directory vanished between the delete and the rename. */
+    * directory vanished between the delete and the rename.
+    *
+    * `tier` selects which cell-partitioned copy to compact (ivf | pq |
+    * sq | bq — all share the layout; only the ivf tier carries a stamp
+    * sidecar, the others' sidecars live at the path root and are never
+    * touched since only cell directories are swapped). */
   def compactCells(store: Store, codingName: String, source: String,
       column: String, maxFilesPerCell: Int = 8,
-      targetFileBytes: Long = 128L << 20): CompactStats = {
+      targetFileBytes: Long = 128L << 20, tier: String = "ivf"): CompactStats = {
     require(maxFilesPerCell >= 1, "maxFilesPerCell must be >= 1")
-    val path = store.indexPath(source, column, codingName)
-    require(indexExists(store, codingName, source, column),
-      s"compactCells: no index for $source.$column under '$codingName'")
+    val path = tierPath(store, codingName, source, column, tier)
+    require(store.sidecarExists(s"$path/_SUCCESS"),
+      s"compactCells: no $tier index for $source.$column under '$codingName'")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(store.spark.sparkContext.hadoopConfiguration)
-    val stats = cellStats(store, codingName, source, column)
+    val stats = cellStats(store, codingName, source, column, tier = tier)
     val frag = stats.filter(_._2 > maxFilesPerCell)
     if (frag.isEmpty) return CompactStats(0, 0, 0)
     val cells = frag.map(_._1)
@@ -353,7 +372,7 @@ object Index {
     }
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     recorded.foreach(l => recordSourceStamp(store, path, l))
-    val after = cellStats(store, codingName, source, column)
+    val after = cellStats(store, codingName, source, column, tier = tier)
       .filter(s => cells.contains(s._1)).map(_._2.toLong).sum
     CompactStats(cells.length.toLong, frag.map(_._2.toLong).sum, after)
   }

@@ -60,7 +60,16 @@ object Streams {
     * purpose — sync re-reads the table through its own anti-join delta
     * path, which is idempotent on ids, so checkpoint replays and
     * rescaled batches cannot double-encode a row. `tier` picks the index
-    * flavor: "ivf" (raw cell-partitioned copy), "pq", or "sq".
+    * flavor: "ivf" (raw cell-partitioned copy), "pq", "sq", or "bq".
+    *
+    * Every micro-batch appends its own file set, so a long-running sync
+    * stream fragments cell partitions until scan cost is task-overhead
+    * bound. `compactEveryBatches > 0` folds the maintenance step in:
+    * after every N micro-batches the sync calls
+    * [[graft.index.Index.compactCells]] with `maxFilesPerCell`, so the
+    * stream stays self-maintaining. Compaction counts batches SINCE
+    * STREAM START (a restart resets the cadence, not correctness —
+    * compaction is idempotent and content-preserving).
     *
     * At scale this is the serving pattern for freshness: ingest and index
     * maintenance are decoupled queries with independent checkpoints —
@@ -68,12 +77,16 @@ object Streams {
     * re-runs an idempotent delta. */
   def indexSyncStream(store: graft.store.Store, codingName: String,
       source: String, column: String, idCol: String, checkpoint: String,
-      tier: String = "ivf"): org.apache.spark.sql.streaming.StreamingQuery = {
-    require(Set("ivf", "pq", "sq")(tier),
-      s"indexSyncStream: tier must be ivf | pq | sq, got '$tier'")
+      tier: String = "ivf", compactEveryBatches: Int = 0,
+      maxFilesPerCell: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("ivf", "pq", "sq", "bq")(tier),
+      s"indexSyncStream: tier must be ivf | pq | sq | bq, got '$tier'")
+    require(compactEveryBatches >= 0,
+      "indexSyncStream: compactEveryBatches must be >= 0 (0 = off)")
     val spark = store.spark
     val path = store.tablePath(source)
     val schema = spark.read.parquet(path).schema
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.readStream.schema(schema).parquet(path)
       .writeStream
       .outputMode(OutputMode.Append)
@@ -86,7 +99,13 @@ object Streams {
             store, codingName, source, column, idCol)
           case "sq" => graft.index.Index.syncIncrementalSq(
             store, codingName, source, column, idCol)
+          case "bq" => graft.index.Index.syncIncrementalBq(
+            store, codingName, source, column, idCol)
         }
+        val n = batches.incrementAndGet()
+        if (compactEveryBatches > 0 && n % compactEveryBatches == 0)
+          graft.index.Index.compactCells(store, codingName, source, column,
+            maxFilesPerCell, tier = tier)
         ()
       }
       .start()

@@ -1128,6 +1128,60 @@ class StreamIngestSpec extends SparkSuite {
     }
   }
 
+  test("indexSyncStream bq tier self-compacts under compactEveryBatches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-sync-bq").toString
+    val ckptIn = java.nio.file.Files.createTempDirectory("graft-sbq-in").toString
+    val ckptIx = java.nio.file.Files.createTempDirectory("graft-sbq-ix").toString
+    val engine = new graft.api.Engine(spark, root)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ingest = Streams.ingestStream(engine.store, "sbq_vecs",
+      mem.toDF().toDF("id", "vec"), ckptIn)
+    var sync: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      val rnd = new scala.util.Random(19)
+      def batch(from: Int, n: Int) = (from until from + n).map(i =>
+        (i.toLong, Seq.fill(4)(rnd.nextFloat() * 10)))
+      mem.addData(batch(0, 64): _*)
+      ingest.processAllAvailable()
+      engine.makeCoder("sbc", "sbq_vecs", "vec",
+        graft.coder.CoderConfig(metric = "l2", codebookSize = 2,
+          numCodebooks = 1, batchSize = 32, numEpochs = 2))
+      engine.makeBqIndex("sbc", "sbq_vecs", "vec")
+      // every 2 micro-batches the sync compacts cells past 2 files
+      sync = Streams.indexSyncStream(engine.store, "sbc", "sbq_vecs", "vec",
+        "id", ckptIx, tier = "bq", compactEveryBatches = 2,
+        maxFilesPerCell = 2)
+      for (wave <- 1 to 6) {
+        mem.addData(batch(wave * 1000, 16): _*)
+        ingest.processAllAvailable()
+        sync.processAllAvailable()
+      }
+      // 6 appended waves would leave ≥ 6 file sets; the in-stream
+      // compaction must have kept the layout bounded
+      val stats = graft.index.Index.cellStats(engine.store, "sbc",
+        "sbq_vecs", "vec", tier = "bq")
+      assert(stats.nonEmpty && stats.forall(_._2 <= 4),
+        s"cells not compacted: $stats")
+      // and the compacted copy still searches exactly at full budget
+      val t = Array.fill(4)(rnd.nextDouble() * 10)
+      val got = engine.searchBq("sbq_vecs", "vec", t, coding = "sbc",
+          probes = 2, candidates = 1 << 20, idCol = "id", k = 5,
+          metric = Some("l2"), tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSeq
+      val brute = graft.api.Search.knn(engine.readTable(Seq("sbq_vecs")),
+          "vec", Seq(Tuple1(t.toSeq)).toDF("t"), "l2", k = 5,
+          tieBreak = Seq("id"))
+        .select("id").as[Long].collect().toSeq
+      assert(got == brute, s"post-compaction bq search mismatch: $got vs $brute")
+    } finally {
+      if (sync != null && sync.isActive) sync.stop()
+      if (ingest.isActive) ingest.stop()
+      engine.remove()
+    }
+  }
+
   test("streaming ingest refuses a batch-written table (commit-log hazard)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
