@@ -98,6 +98,7 @@ object CurveBench {
       "pq_recall_at_10_at_100" -> recallPq(100),
       "pq_recall_at_10_at_4k" -> recallPq(4000))
 
+    engine.makeBqIndex("c", "vectors", "vector")
     val joins = Seq(
       "ivf_join_recall_at_10_probes_16" -> joinRecall(
         graft.index.Index.ivfKnnJoin(engine.store, "c", "vectors", "vector",
@@ -106,9 +107,12 @@ object CurveBench {
       "sq_join_recall_at_10_probes_16_cand_100" -> joinRecall(
         graft.index.Index.sqKnnJoin(engine.store, "c", "vectors", "vector",
           queries, "q_id", "q_vec", k = 10, probes = 16, candidates = 100,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))),
+      "bq_join_recall_at_10_probes_16_cand_4k" -> joinRecall(
+        graft.index.Index.bqKnnJoin(engine.store, "c", "vectors", "vector",
+          queries, "q_id", "q_vec", k = 10, probes = 16, candidates = 4000,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))))
 
-    engine.makeBqIndex("c", "vectors", "vector")
     val out = Seq("curve_vectors" -> NumVectors.toDouble) ++ pq16 ++ pq128 ++
       Seq(
         "sq_recall_at_10_at_100" -> recallSq(100),

@@ -249,6 +249,16 @@ class Engine(val spark: SparkSession, val root: String) {
     Index.sqKnnJoin(store, coding, source, column, queries, queryIdCol,
       queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
 
+  /** Batch BQ k-NN join ([[Index.bqKnnJoin]]): the 1-bit tier's batch
+    * join — Hamming popcount coarse pass per cell, scalars-only window,
+    * exact rerank of each query's survivors. */
+  def knnJoinBq(coding: String, source: String, column: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, probes: Int, candidates: Int, idCol: String,
+      metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
+    Index.bqKnnJoin(store, coding, source, column, queries, queryIdCol,
+      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+
   /** Multi-source IVF+PQ search (reference ticket `"a:b:c"`,
     * `flight.py:47`): each source's PQ index is searched independently —
     * per-source codebooks make ADC scores incomparable across sources,

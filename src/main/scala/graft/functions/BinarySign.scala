@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -148,4 +148,56 @@ case class HammingDistance(child: Expression, query: IndexedSeq[Byte])
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Hamming distance between two packed sign-bit code COLUMNS (both
+  * binary): popcount of the bytewise XOR. The batch-join variant of
+  * [[HammingDistance]] — each corpus code meets a different query code
+  * in the per-cell broadcast join, so neither side is a literal. */
+case class HammingDistancePair(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hamming_pair expects (binary, binary), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hamming_pair"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    if (a.length != b.length) throw new IllegalArgumentException(
+      s"graft_hamming_pair: code lengths differ (${a.length} vs ${b.length})")
+    var acc = 0
+    var i = 0
+    while (i < a.length) {
+      acc += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("idx")
+      s"""
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException(
+         |    "graft_hamming_pair: code lengths differ (" + $a.length + " vs " + $b.length + ")");
+         |}
+         |int $acc = 0;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  $acc += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xff);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }

@@ -1399,4 +1399,100 @@ object Index {
     reranked.withColumn("__rank__", row_number().over(w))
       .filter(col("__rank__") <= k).drop("__rank__")
   }
+
+  /** Batch k-NN join over the BQ index: [[sqKnnJoin]]'s shape at the
+    * 1-bit tier — the per-cell corpus×queries join carries (id, cell,
+    * ceil(d/8)-byte sign codes) and ranks with the codegen'd
+    * [[graft.functions.HammingDistancePair]] popcount (32× less data
+    * through the join and the per-query window than raw floats; the
+    * query side pre-packs its codes under the stored thresholds), then
+    * raw vectors are read back only for each query's `candidates`
+    * coarse survivors and scored exactly under `metric`. With
+    * probes = numCells and candidates ≥ corpus size this equals the
+    * exact k-NN join (the oracle contract). Query batches estimated
+    * past `broadcastCapBytes` are hash-chunked (see [[ivfKnnJoin]]). */
+  def bqKnnJoin(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil,
+      broadcastCapBytes: Long = Search.QueryBroadcastCap): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qs = queries.select(col(queryIdCol), col(queryVecCol))
+    Search.chunkByBroadcastSize(qs, queryIdCol, queryVecCol, probes, broadcastCapBytes)
+      .map(ch => bqKnnJoinChunk(store, codingName, source, column, ch,
+        queryIdCol, queryVecCol, k, probes, candidates, idCol, metric, tieBreak))
+      .reduce(_.unionByName(_))
+  }
+  private def bqKnnJoinChunk(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String],
+      tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coding = store.loadCoding(codingName)
+    val thresholds = loadBqThresholds(store, codingName, source, column)
+    val m = graft.core.Metrics.canonical(
+      metric.getOrElse(coding.config.metric))
+    val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
+    // query-side prep (numQueries rows — the small side): probed cells +
+    // the query's own packed sign code under the STORED thresholds
+    val exploded = queries
+      .withColumn("__cell__",
+        explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
+      .withColumn("__QBQ__",
+        packSignBitsCol(col(queryVecCol), thresholds))
+    val cells = probedCellUnion(exploded, coding.numCells)
+    val bqDf = pruneToCells(store.spark.read
+      .parquet(store.bqIndexPath(source, column, codingName))
+      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      cells, coding.numCells)
+    // coarse: (id, cell, 1-bit codes) ride the per-cell join, the
+    // popcount lands in the join projection, and the per-query window
+    // exchange carries SCALARS only — (queryId, id, hamming); neither
+    // the query vectors nor any codes cross the shuffle
+    val ham = org.apache.spark.sql.GraftShims.column(
+      graft.functions.HammingDistancePair(
+        org.apache.spark.sql.GraftShims.expression(col(BqCol)),
+        org.apache.spark.sql.GraftShims.expression(col("__QBQ__"))))
+    val coarse = bqDf.select(col(idCol), col(CodeCol), col(BqCol))
+      .join(broadcast(exploded.select(col(queryIdCol), col("__cell__"), col("__QBQ__"))),
+        col(CodeCol) === col("__cell__"))
+      .withColumn("__HAM__", ham)
+      .select(col(queryIdCol), col(idCol), col("__HAM__"))
+    val wCoarse = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__HAM__").asc, col(idCol).asc)
+    val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
+      .filter(col("__crank__") <= candidates)
+      .select(col(queryIdCol), col(idCol))
+    // rerank: query vectors rejoin via the (small) broadcast query side,
+    // raw corpus vectors only for each query's surviving candidates
+    val reranked = survivors
+      .join(broadcast(queries), Seq(queryIdCol))
+      .join(bqDf.select(col(idCol), col(column)), Seq(idCol))
+      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
+      .drop(queryVecCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+    reranked.withColumn("__rank__", row_number().over(w))
+      .filter(col("__rank__") <= k).drop("__rank__")
+  }
 }

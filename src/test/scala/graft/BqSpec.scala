@@ -133,6 +133,47 @@ class BqSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("bqKnnJoin: full budgets == brute join; shuffles carry scalars only") {
+    val rnd = new scala.util.Random(37)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextDouble() * 20 - 10))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 50
+    } yield ((ci * 50 + i).toLong, c.map(x => (x + rnd.nextGaussian() * 0.2).toFloat).toSeq)
+    val df = rows.toDF("id", "vec")
+    val root = java.nio.file.Files.createTempDirectory("graft-bq-join").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("bj", df)
+    engine.makeCoder("bc", "bj", "vec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 2,
+        numCodebooks = 2, batchSize = 64, numEpochs = 2))
+    engine.makeBqIndex("bc", "bj", "vec")
+    val queries = df.filter(col("id") < 5)
+      .select(col("id").as("q_id"), col("vec").cast("array<double>").as("q_vec"))
+    val brute = graft.api.Search.knnJoin(df.select("id", "vec"), "vec",
+        queries, "q_id", "q_vec", "l2", k = 5, tieBreak = Seq("id"),
+        idCol = Some("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val joined = engine.knnJoinBq("bc", "bj", "vec", queries, "q_id",
+      "q_vec", k = 5, probes = 4, candidates = 1 << 20, idCol = "id",
+      metric = Some("l2"), tieBreak = Seq("id"))
+    assert(joined.select("q_id", "id").as[(Long, Long)].collect().toSet == brute,
+      "full-budget bq join must equal the brute join")
+    // scalars-only shuffles: no vector and no code column in any Exchange
+    val fmt = joined.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffles = fmt.split("\n\n")
+      .filter(_.linesIterator.hasNext)
+      .filter(_.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    assert(shuffles.nonEmpty, s"expected the per-query window exchange in:\n$fmt")
+    shuffles.foreach { b =>
+      assert(!b.contains("vec#") && !b.contains("q_vec#") &&
+          !b.contains(graft.index.Index.BqCol),
+        s"vector or code column rides a shuffle:\n$b")
+    }
+    engine.remove()
+  }
+
   test("ivf+bq incremental sync appends under stored thresholds; stays exact") {
     val rnd = new scala.util.Random(53)
     def wave(from: Int, n: Int) = (from until from + n)
