@@ -153,6 +153,25 @@ object RefBench {
     }
     val sqRecall = brute.count(sqIds.contains) / 10.0
 
+    // IVF+BQ at reference scale: 256-d float32 → 32-byte sign codes
+    // (32×); Hamming coarse rank needs a larger rerank budget than SQ8
+    // but reads 8× less in the coarse pass.
+    val tBqBuild = (1 to 2).map { _ =>
+      time(engine.makeBqIndex("c", "vectors", "vector"))._2
+    }.min
+    val (bqIds, tBqSearch) = {
+      val ts = (1 to 2).map { _ =>
+        time {
+          engine.searchBq("vectors", "vector", target, coding = "c",
+            probes = 16, candidates = 1000, idCol = "vec_id", k = 10,
+            metric = Some("l2"), tieBreak = Seq("vec_id"))
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+        }
+      }
+      (ts.head._1, ts.map(_._2).min)
+    }
+    val bqRecall = brute.count(bqIds.contains) / 10.0
+
     val timings = Seq("ingest" -> tIngest, "coder_train" -> tTrain,
       "index_build" -> tIndex) ++ metricTimes ++
       Seq("search_probed" -> tProbed, "pq_index_build" -> tPqBuild,
@@ -161,7 +180,9 @@ object RefBench {
         "search_ivf_pq_cosine" -> tPqCosSearch,
         "pq_cosine_recall_at_10" -> pqCosRecall,
         "sq_index_build" -> tSqBuild, "search_sq" -> tSqSearch,
-        "sq_recall_at_10" -> sqRecall)
+        "sq_recall_at_10" -> sqRecall,
+        "bq_index_build" -> tBqBuild, "search_bq" -> tBqSearch,
+        "bq_recall_at_10" -> bqRecall)
     (timings, recall)
   }
 }

@@ -48,6 +48,8 @@ import graft.coder.CoderConfig
   *     (tokenizer lifecycle: list / train+persist / per-row token counts)
   *   - `POST   /api/text/fingerprints` · `POST /api/text/overlaps`
   *     (winnowing fingerprints / MOSS overlap pairs)
+  *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact`
+  *     (per-cell layout stats / cell compaction, any tier)
   */
 class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   private val mapper = new ObjectMapper()
@@ -101,6 +103,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("GET", "bpe" :: model :: "tokens" :: Nil) => getBpeTokens(ex, model)
         case ("POST", "text" :: "fingerprints" :: Nil) => postFingerprints(ex)
         case ("POST", "text" :: "overlaps" :: Nil)     => postOverlaps(ex)
+        case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
+        case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case _ => send(ex, 404, s"""{"error":"no route: $method $path"}""")
       }
     } catch {
@@ -340,6 +344,31 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Winnowing fingerprints of a stored table's text column
     * ([[graft.ext.TextAnalysis.winnowFingerprints]]) — (id, fp) rows. */
+  /** Per-cell index layout stats ([[Engine.indexStats]]) — the ops view
+    * for fragmentation and cell skew. */
+  private def postIndexStats(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val stats = engine.indexStats(require(body, "coding").asText(),
+      require(body, "source").asText(), require(body, "column").asText(),
+      withRows = opt(body, "withRows").exists(_.asBoolean(false)),
+      tier = opt(body, "tier").map(_.asText()).getOrElse("ivf"))
+    val rows = stats.map { case (cell, files, bytes, rows) =>
+      s"""{"cell":$cell,"files":$files,"bytes":$bytes,"rows":$rows}"""
+    }.mkString(",")
+    ok(ex, s"""{"cells":[$rows]}""")
+  }
+
+  /** Coalesce fragmented index cells ([[Engine.compactIndex]]). */
+  private def postIndexCompact(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val s = engine.compactIndex(require(body, "coding").asText(),
+      require(body, "source").asText(), require(body, "column").asText(),
+      maxFilesPerCell = intOr(body, "maxFilesPerCell", 8),
+      tier = opt(body, "tier").map(_.asText()).getOrElse("ivf"))
+    ok(ex, s"""{"cellsCompacted":${s.cellsCompacted},""" +
+      s""""filesBefore":${s.filesBefore},"filesAfter":${s.filesAfter}}""")
+  }
+
   private def postFingerprints(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val df = engine.readTable(Seq(require(body, "source").asText()))

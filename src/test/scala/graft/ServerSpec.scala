@@ -138,6 +138,17 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => bqIds += n.get("id").asLong())
     assert(bqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"bq $bqIds")
 
+    // ops surface: per-cell layout stats + compaction over the wire
+    val (stc, stBody) = send("POST", "/indexes/stats",
+      """{"coding":"wire_c1","source":"wire_vecs","column":"vec","withRows":true}""")
+    assert(stc == 200, stBody)
+    val cellsNode = mapper.readTree(stBody).get("cells")
+    assert(cellsNode.size() > 0 && cellsNode.get(0).has("files"), stBody)
+    val (cpc, cpBody) = send("POST", "/indexes/compact",
+      """{"coding":"wire_c1","source":"wire_vecs","column":"vec","maxFilesPerCell":64}""")
+    assert(cpc == 200 && mapper.readTree(cpBody).get("cellsCompacted").asLong() == 0L,
+      cpBody)
+
     // retrieve-rerank over the wire ("rerank": true routes to the plain
     // IVF two-stage path — id-only coarse pass, exact rerank)
     val (rc2, rBody2) = send("POST", "/search",
