@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core.Metrics
-import graft.functions.{Dequantize, Quantize, VectorDistance, VectorNorm, VectorNormalize, WinnowFingerprints}
+import graft.functions.{Dequantize, HammingDistancePair, PackSignBits, Quantize, VectorDistance, VectorNorm, VectorNormalize, WinnowFingerprints}
 
 /** SQL-surface registration.
   *
@@ -88,6 +88,24 @@ object GraftExtensions {
         require(args.length == 3, "graft_quantize(v, scale, zeroPoint)")
         Quantize(args(0),
           numArg(args(1), "scale").toFloat, numArg(args(2), "zeroPoint").toFloat)
+      }),
+    (FunctionIdentifier("pack_sign_bits"),
+      new ExpressionInfo(classOf[PackSignBits].getName, "pack_sign_bits",
+        "pack_sign_bits(v, dims) - pack a float/double array's sign bits " +
+          "(x > 0) MSB-first into ceil(dims/8) bytes; the 1-bit binary- " +
+          "quantization code (library paths threshold at the per-dim mean)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "pack_sign_bits(v, dims)")
+        PackSignBits(args(0),
+          IndexedSeq.fill(numArg(args(1), "dims").toInt)(0.0))
+      }),
+    (FunctionIdentifier("hamming_distance"),
+      new ExpressionInfo(classOf[HammingDistancePair].getName, "hamming_distance",
+        "hamming_distance(a, b) - popcount of the bytewise XOR of two " +
+          "equal-length binary codes (sign-bit Hamming distance)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "hamming_distance(a, b)")
+        HammingDistancePair(args(0), args(1))
       }),
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints",

@@ -328,6 +328,19 @@ object SparkEntry {
           |    (SELECT embedding FROM emb_sql WHERE vec_id = 0), 'l2') AS dist
           |FROM emb_sql ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin)
     }),
+    // —— 1-bit sign codes + Hamming on the SQL surface: packed-code XOR
+    // popcount equals a per-dim sign-disagreement count (trailing pad
+    // bits are zero on both sides), which is what the oracle mirrors ——
+    "hamming_sql" -> ((s: SparkSession, dir: String) => {
+      Graft.register(s)
+      tbl(s, dir, "embeddings").createOrReplaceTempView("emb_hs")
+      s.sql(
+        """SELECT e.vec_id,
+          |  hamming_distance(pack_sign_bits(e.embedding, 64),
+          |                   pack_sign_bits(t.embedding, 64)) AS ham
+          |FROM emb_hs e CROSS JOIN
+          |  (SELECT embedding FROM emb_hs WHERE vec_id = 0) t""".stripMargin)
+    }),
     // —— batch IVF k-NN join at full probes (== exact; oracle-checked) ——
     "knn_join_ivf" -> ((s: SparkSession, dir: String) => {
       val e = withIndex(s, dir)
@@ -1440,6 +1453,12 @@ object SparkEntry {
     // Matryoshka prefix search at full candidate budget is exact (the
     // prefix only orders the coarse pass, the rerank is full-width)
     "search_matryoshka" -> knnOracle(l2Sql),
+    // packed sign-bit hamming == count of dims whose (x > 0) sign differs
+    "hamming_sql" ->
+      ("SELECT e.vec_id, CAST(len(list_filter(range(1, 65), " +
+        "i -> (e.embedding[i] > 0) <> (t.embedding[i] > 0))) AS INT) AS ham " +
+        "FROM embeddings e CROSS JOIN " +
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0) t"),
     "search_ivf_pq_cosine" -> knnOracle(cosSql),
     // rerank with a full candidate budget re-scores everything ⇒ exact top-k
     "search_rerank" -> knnOracle(l2Sql),
