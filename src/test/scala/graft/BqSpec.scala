@@ -174,6 +174,86 @@ class BqSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("DequantizeSignBits reconstructs conditional means; codegen == interpreted") {
+    val rnd = new scala.util.Random(47)
+    val d = 11
+    val thr = IndexedSeq.fill(d)(0.0)
+    val lo = IndexedSeq.fill(d)((rnd.nextDouble() * -2).toFloat)
+    val hi = IndexedSeq.fill(d)((rnd.nextDouble() * 2).toFloat)
+    val rows = Seq.tabulate(40)(i => (i.toLong, Seq.fill(d)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "vec")
+    def run(): Seq[(Long, Seq[Float])] = df
+      .withColumn("code", org.apache.spark.sql.GraftShims.column(
+        graft.functions.PackSignBits(
+          org.apache.spark.sql.GraftShims.expression(col("vec")), thr)))
+      .withColumn("rec", org.apache.spark.sql.GraftShims.column(
+        graft.functions.DequantizeSignBits(
+          org.apache.spark.sql.GraftShims.expression(col("code")), lo, hi)))
+      .orderBy("id").select("id", "rec")
+      .collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen == interpreted, "codegen/interpreted divergence")
+    codegen.zip(rows).foreach { case ((id, rec), (_, v)) =>
+      val want = v.indices.map(i => if (v(i) > 0.0) hi(i) else lo(i))
+      assert(rec == want, s"reconstruction mismatch id $id: $rec vs $want")
+    }
+  }
+
+  test("asymmetric coarse ranking beats legacy symmetric Hamming at a tight budget") {
+    val rnd = new scala.util.Random(59)
+    // one diffuse cloud: with d=32 the symmetric code has only 32 bits of
+    // resolution (heavy ties at a 30-candidate budget); the asymmetric
+    // score keeps magnitudes, so it ranks within the tie classes
+    val rows = Seq.tabulate(3000)(i =>
+      (i.toLong, Seq.fill(32)((rnd.nextGaussian() * 2).toFloat)))
+    val df = rows.toDF("id", "vec")
+    val root = java.nio.file.Files.createTempDirectory("graft-bq-asym").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("av", df)
+    engine.makeCoder("ac", "av", "vec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 2,
+        numCodebooks = 1, batchSize = 256, numEpochs = 2))
+    engine.makeBqIndex("ac", "av", "vec")
+    val targets = (0 until 8).map(q =>
+      rows(q * 37)._2.map(_.toDouble).toArray)
+    def recallOf(): Double = {
+      val per = targets.map { t =>
+        val brute = graft.api.Search.knn(df, "vec",
+            Seq(Tuple1(t.toSeq)).toDF("t"), "l2", k = 10, tieBreak = Seq("id"))
+          .select("id").as[Long].collect().toSet
+        val got = engine.searchBq("av", "vec", t, coding = "ac",
+            probes = 2, candidates = 100, idCol = "id", k = 10,
+            metric = Some("l2"), tieBreak = Seq("id"))
+          .select("id").as[Long].collect().toSet
+        brute.count(got.contains) / 10.0
+      }
+      per.sum / per.length
+    }
+    val asym = recallOf()
+    // strip the reconstruction levels from the sidecar → legacy symmetric
+    val path = engine.store.bqIndexPath("av", "vec", "ac")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(engine.store.readSidecar(s"$path/_bq_thresholds.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("lo"); node.remove("hi")
+    engine.store.writeSidecar(s"$path/_bq_thresholds.json",
+      mapper.writeValueAsBytes(node))
+    val sym = recallOf()
+    assert(asym > sym,
+      s"asymmetric recall $asym must beat symmetric $sym at a tight budget")
+    // a structure-free 32-d gaussian cloud at a 3% budget is the hardest
+    // setting for any 1-bit code; the point here is the ORDERING — the
+    // 1M × 256-d absolute numbers live in bench_summary.json quality
+    assert(asym >= 0.55, s"asymmetric recall $asym unexpectedly low")
+    engine.remove()
+  }
+
   test("ivf+bq incremental sync appends under stored thresholds; stays exact") {
     val rnd = new scala.util.Random(53)
     def wave(from: Int, n: Int) = (from until from + n)
