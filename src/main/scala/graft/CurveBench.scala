@@ -98,7 +98,20 @@ object CurveBench {
       "pq_recall_at_10_at_100" -> recallPq(100),
       "pq_recall_at_10_at_4k" -> recallPq(4000))
 
+    // 1-bit tier, global thresholds first (recorded to keep the
+    // bits-vs-structure trade visible: on this clustered corpus global
+    // sign bits degenerate into a cluster id)
     engine.makeBqIndex("c", "vectors", "vector")
+    val bqGlobal = Seq(
+      "bq_recall_at_10_at_100" -> recallBq(100),
+      "bq_recall_at_10_at_4k" -> recallBq(4000))
+    // per-cell (residual) thresholds: the recommended config — bits
+    // encode within-cell variation; the batch join below runs against it
+    engine.makeBqIndex("c", "vectors", "vector", perCell = true)
+    val bqCell = Seq(
+      "bq_cell_recall_at_10_at_100" -> recallBq(100),
+      "bq_cell_recall_at_10_at_4k" -> recallBq(4000))
+
     val joins = Seq(
       "ivf_join_recall_at_10_probes_16" -> joinRecall(
         graft.index.Index.ivfKnnJoin(engine.store, "c", "vectors", "vector",
@@ -116,10 +129,8 @@ object CurveBench {
     val out = Seq("curve_vectors" -> NumVectors.toDouble) ++ pq16 ++ pq128 ++
       Seq(
         "sq_recall_at_10_at_100" -> recallSq(100),
-        "sq_recall_at_10_at_4k" -> recallSq(4000),
-        // 1-bit tier: 32 bytes/row at 256-d (32× under raw, 8× under SQ8)
-        "bq_recall_at_10_at_100" -> recallBq(100),
-        "bq_recall_at_10_at_4k" -> recallBq(4000)) ++ joins ++
+        "sq_recall_at_10_at_4k" -> recallSq(4000)) ++
+      bqGlobal ++ bqCell ++ joins ++
       maxsimCurves(spark, engine)
     engine.remove()
     out

@@ -209,6 +209,18 @@ object SparkEntry {
     e
   }
 
+  /** Per-cell (residual) BQ variant under its own coding (the BQ index
+    * path is keyed by coding name; `search_bq` owns the global-threshold
+    * copy under c_l2). */
+  private def withBqCellIndex(s: SparkSession, dir: String): Engine = {
+    val e = scratchEngine(s, dir)
+    if (!e.listCodings().contains("c_bqc"))
+      e.makeIndex("c_bqc", "emb", "embedding", idxConfig)
+    if (!graft.index.Index.bqIndexExists(e.store, "c_bqc", "emb", "embedding"))
+      graft.index.Index.buildBq(e.store, "c_bqc", "emb", "embedding", perCell = true)
+    e
+  }
+
   /** Cosine coding + residual-cosine PQ index (unit-sphere IVFADC): the
     * most common embedding metric gets the same residual machinery as l2. */
   private def withCosPqIndex(s: SparkSession, dir: String): Engine = {
@@ -424,6 +436,15 @@ object SparkEntry {
       Search.matryoshkaSearch(tbl(s, dir, "embeddings"), "embedding",
           targetArray(s, dir), prefixDim = 16, candidates = 1 << 20,
           idCol = "vec_id", k = 10, metric = "l2", tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— IVF+BQ with PER-CELL (residual) thresholds: bits encode the
+    // within-cell variation; full budgets == exact ——
+    "search_bq_cell" -> ((s: SparkSession, dir: String) => {
+      val e = withBqCellIndex(s, dir)
+      graft.index.Index.searchBq(e.store, "c_bqc", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
     // —— IVF+SQ8 with PER-CELL affine params (SemDeDup setting:
@@ -1450,6 +1471,7 @@ object SparkEntry {
     // IVF+BQ (1-bit sign codes) at full probes + candidates is exact:
     // Hamming only orders the coarse pass, the rerank is the true metric
     "search_bq" -> knnOracle(l2Sql),
+    "search_bq_cell" -> knnOracle(l2Sql),
     // Matryoshka prefix search at full candidate budget is exact (the
     // prefix only orders the coarse pass, the rerank is full-width)
     "search_matryoshka" -> knnOracle(l2Sql),

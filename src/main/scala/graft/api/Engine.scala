@@ -196,9 +196,12 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** Build the IVF+BQ index under an existing coding — 1-bit sign codes
     * (32× smaller than float32; [[Index.buildBq]]); returns the
-    * per-dimension mean thresholds. */
-  def makeBqIndex(codingName: String, source: String, column: String): Array[Double] =
-    Index.buildBq(store, codingName, source, column)
+    * per-dimension mean thresholds. `perCell = true` centers each cell's
+    * bits at its own means (residual codes — the config for clustered
+    * corpora, where global sign bits degenerate into a cluster id). */
+  def makeBqIndex(codingName: String, source: String, column: String,
+      perCell: Boolean = false): Array[Double] =
+    Index.buildBq(store, codingName, source, column, perCell)
 
   /** Encode-only append of new source rows to an existing BQ index under
     * its stored thresholds ([[Index.syncIncrementalBq]]). */

@@ -265,3 +265,170 @@ case class DequantizeSignBits(child: Expression, lo: IndexedSeq[Float],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Per-cell sign-bit packing: the threshold block is selected by the
+  * row's IVF cell id (flat layout: one dim-sized block per sorted cell,
+  * plus a trailing global-fallback block for unseen cells — the
+  * [[QuantizePerCellDim]] convention). Per-cell thresholds make the bits
+  * encode WITHIN-cell (residual) variation: under a clustered corpus a
+  * globally-centered sign code degenerates into a cluster id (every
+  * member shares the sign pattern of its cluster offset), carrying no
+  * information about a query's true neighbors — which all live in the
+  * same cells. */
+case class PackSignBitsPerCell(child: Expression, cell: Expression,
+    cells: IndexedSeq[Long], thresholds: IndexedSeq[Double])
+    extends BinaryExpression {
+  require(thresholds.nonEmpty && thresholds.length % (cells.length + 1) == 0,
+    s"per-cell pack: ${thresholds.length} thresholds not divisible into " +
+      s"${cells.length + 1} blocks (cells + global fallback)")
+  require(cells.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "per-cell pack: cell ids must be strictly sorted")
+
+  private val dim = thresholds.length / (cells.length + 1)
+  @transient private lazy val cellsArr: Array[Long] = cells.toArray
+  @transient private lazy val thrArr: Array[Double] = thresholds.toArray
+
+  override def left: Expression = child
+  override def right: Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, cell.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (c, l) => TypeCheckResult.TypeCheckFailure(
+      s"per-cell pack expects (array<float|double>, bigint), got " +
+        s"(${c.catalogString}, ${l.catalogString})")
+  }
+
+  private lazy val childIsFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_pack_sign_bits_cell"
+
+  override def nullSafeEval(input: Any, cellAny: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n != dim) throw new IllegalArgumentException(
+      s"graft_pack_sign_bits_cell: vector has $n dims but params have $dim")
+    val idx = java.util.Arrays.binarySearch(cellsArr, cellAny.asInstanceOf[Long])
+    val base = (if (idx >= 0) idx else cellsArr.length) * dim
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"graft_pack_sign_bits_cell: null element at index $i")
+      val x = if (childIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      if (x > thrArr(base + i)) out(i >> 3) = (out(i >> 3) | (0x80 >> (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, c) => {
+      val cl = ctx.addReferenceObj("cells", cellsArr, "long[]")
+      val t = ctx.addReferenceObj("thresholds", thrArr, "double[]")
+      val out = ctx.freshName("out"); val i = ctx.freshName("idx")
+      val n = ctx.freshName("n")
+      val ix = ctx.freshName("cix"); val base = ctx.freshName("base")
+      val get = if (childIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "graft_pack_sign_bits_cell: vector has " + $n + " dims but params have $dim");
+         |}
+         |final int $ix = java.util.Arrays.binarySearch($cl, $c);
+         |final int $base = ($ix >= 0 ? $ix : $cl.length) * $dim;
+         |byte[] $out = new byte[($n + 7) / 8];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "graft_pack_sign_bits_cell: null element at index " + $i);
+         |  }
+         |  if ($get > $t[$base + $i]) {
+         |    $out[$i >> 3] = (byte) ($out[$i >> 3] | (0x80 >> ($i & 7)));
+         |  }
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, cell = newRight)
+}
+
+/** Per-cell asymmetric decode: [[DequantizeSignBits]] with the
+  * reconstruction-level block selected by the row's cell id (flat
+  * cells+fallback layout, as [[PackSignBitsPerCell]]). */
+case class DequantizeSignBitsPerCell(child: Expression, cell: Expression,
+    cells: IndexedSeq[Long], lo: IndexedSeq[Float], hi: IndexedSeq[Float])
+    extends BinaryExpression {
+  require(lo.nonEmpty && lo.length == hi.length,
+    s"per-cell sign decode: ${lo.length} lo vs ${hi.length} hi")
+  require(lo.length % (cells.length + 1) == 0,
+    s"per-cell sign decode: ${lo.length} levels not divisible into " +
+      s"${cells.length + 1} blocks")
+  require(cells.sliding(2).forall(p => p.length < 2 || p(0) < p(1)),
+    "per-cell sign decode: cell ids must be strictly sorted")
+
+  private val dim = lo.length / (cells.length + 1)
+  @transient private lazy val cellsArr: Array[Long] = cells.toArray
+  @transient private lazy val loArr: Array[Float] = lo.toArray
+  @transient private lazy val hiArr: Array[Float] = hi.toArray
+
+  override def left: Expression = child
+  override def right: Expression = cell
+
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, cell.dataType) match {
+    case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (c, l) => TypeCheckResult.TypeCheckFailure(
+      s"per-cell sign decode expects (binary, bigint), got " +
+        s"(${c.catalogString}, ${l.catalogString})")
+  }
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "graft_dequantize_sign_bits_cell"
+
+  override def nullSafeEval(input: Any, cellAny: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    if (bytes.length != (dim + 7) / 8) throw new IllegalArgumentException(
+      s"graft_dequantize_sign_bits_cell: code has ${bytes.length} bytes for $dim dims")
+    val idx = java.util.Arrays.binarySearch(cellsArr, cellAny.asInstanceOf[Long])
+    val base = (if (idx >= 0) idx else cellsArr.length) * dim
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = if ((bytes(i >> 3) & (0x80 >> (i & 7))) != 0) hiArr(base + i)
+        else loArr(base + i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, c) => {
+      val cl = ctx.addReferenceObj("cells", cellsArr, "long[]")
+      val l = ctx.addReferenceObj("loLevels", loArr, "float[]")
+      val h = ctx.addReferenceObj("hiLevels", hiArr, "float[]")
+      val out = ctx.freshName("out"); val i = ctx.freshName("idx")
+      val ix = ctx.freshName("cix"); val base = ctx.freshName("base")
+      s"""
+         |if ($b.length != ($dim + 7) / 8) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dequantize_sign_bits_cell: code has " + $b.length + " bytes for $dim dims");
+         |}
+         |final int $ix = java.util.Arrays.binarySearch($cl, $c);
+         |final int $base = ($ix >= 0 ? $ix : $cl.length) * $dim;
+         |float[] $out = new float[$dim];
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  $out[$i] = (($b[$i >> 3] & (0x80 >> ($i & 7))) != 0) ? $h[$base + $i] : $l[$base + $i];
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(child = newLeft, cell = newRight)
+}

@@ -1064,6 +1064,42 @@ object Index {
     def asymmetric: Boolean = lo.nonEmpty
   }
 
+  /** Global params plus (opt-in, [[buildBq]] `perCell = true`) one block
+    * per IVF cell. Per-cell thresholds are what make the 1-bit tier
+    * usable on CLUSTERED corpora: globally-centered sign bits degenerate
+    * into a cluster id (every member of a cell shares its offset's sign
+    * pattern), while per-cell centering makes the bits encode the
+    * within-cell residual — exactly where a query's true neighbors live. */
+  case class BqParamsSet(global: BqParams, cells: Map[Long, BqParams] = Map.empty) {
+    def perCell: Boolean = cells.nonEmpty
+    /** Flat (cells + trailing global fallback) blocks, sorted by cell. */
+    def flat: (IndexedSeq[Long], IndexedSeq[Double], IndexedSeq[Float], IndexedSeq[Float]) = {
+      val cs = cells.keys.toIndexedSeq.sorted
+      val blocks = cs.map(cells) :+ global
+      (cs, blocks.flatMap(_.thresholds.toIndexedSeq),
+        blocks.flatMap(_.lo.toIndexedSeq), blocks.flatMap(_.hi.toIndexedSeq))
+    }
+  }
+
+  private def packSignBitsSetCol(vec: Column, cell: Column, set: BqParamsSet): Column =
+    if (!set.perCell) packSignBitsCol(vec, set.global.thresholds)
+    else {
+      val (cs, thr, _, _) = set.flat
+      org.apache.spark.sql.GraftShims.column(graft.functions.PackSignBitsPerCell(
+        org.apache.spark.sql.GraftShims.expression(vec),
+        org.apache.spark.sql.GraftShims.expression(cell), cs, thr))
+    }
+
+  private def dequantizeSignBitsSetCol(codes: Column, cell: Column,
+      set: BqParamsSet): Column =
+    if (!set.perCell) dequantizeSignBitsCol(codes, set.global)
+    else {
+      val (cs, _, lo, hi) = set.flat
+      org.apache.spark.sql.GraftShims.column(graft.functions.DequantizeSignBitsPerCell(
+        org.apache.spark.sql.GraftShims.expression(codes),
+        org.apache.spark.sql.GraftShims.expression(cell), cs, lo, hi))
+    }
+
   /** Build the IVF+BQ index: the cell-partitioned copy carries a 1-bit
     * sign code per dimension (`ceil(d/8)` bytes/row — 32× smaller than
     * float32, 8× smaller than SQ8; the coarsest memory tier). Each
@@ -1083,13 +1119,41 @@ object Index {
     * survivors with the exact metric over the float vectors, so full
     * probes + candidates is exact. Returns the per-dim thresholds. */
   def buildBq(store: Store, codingName: String, source: String,
-      column: String): Array[Double] = {
+      column: String, perCell: Boolean = false): Array[Double] = {
     val coding = store.loadCoding(codingName)
+    if (perCell)
+      require(coding.numCells <= ResidualCellCap,
+        s"per-cell BQ supports codings up to $ResidualCellCap cells (the " +
+          s"param set is numCells×dim×3 values); coding '$codingName' has " +
+          s"${coding.numCells}. Build with perCell = false.")
     val df = store.loadTable(source)
     val vecSum = udaf(graft.coder.VecSumAgg)
     val vecs = df
       .select(col(column).cast("array<double>").as("__v__"))
       .filter(col("__v__").isNotNull)
+
+    /** (thresholds, lo, hi) from a vector frame under GIVEN thresholds:
+      * one agg of four element-masked VecSum columns. */
+    def condLevels(frame: DataFrame, thr: Array[Double]): (Array[Float], Array[Float]) = {
+      val thrLit = typedLit(thr.toSeq)
+      val cond = frame.select(
+          zip_with(col("__v__"), thrLit, (x, t) => when(x > t, x).otherwise(lit(0.0d))).as("hs"),
+          zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(1.0d)).otherwise(lit(0.0d))).as("hc"),
+          zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(0.0d)).otherwise(x)).as("ls"),
+          zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(0.0d)).otherwise(lit(1.0d))).as("lc"))
+        .agg(vecSum(col("hs")).as("hs"), vecSum(col("hc")).as("hc"),
+          vecSum(col("ls")).as("ls"), vecSum(col("lc")).as("lc"))
+        .collect()(0)
+      val (hs, hc, ls, lc) = (cond.getSeq[Double](0), cond.getSeq[Double](1),
+        cond.getSeq[Double](2), cond.getSeq[Double](3))
+      // an empty side (constant dimension) reconstructs to the threshold
+      val hi = Array.tabulate(thr.length)(i =>
+        (if (hc(i) > 0) hs(i) / hc(i) else thr(i)).toFloat)
+      val lo = Array.tabulate(thr.length)(i =>
+        (if (lc(i) > 0) ls(i) / lc(i) else thr(i)).toFloat)
+      (lo, hi)
+    }
+
     val stats = vecs
       .agg(vecSum(col("__v__")).as("s"), count(lit(1)).as("n"))
       .collect()(0)
@@ -1097,43 +1161,85 @@ object Index {
       s"buildBq: $source.$column has no non-null vectors to binarize")
     val n = stats.getLong(1).toDouble
     val thresholds = stats.getSeq[Double](0).map(_ / n).toArray
-    // second pass: per-side conditional sums/counts in ONE agg (four
-    // VecSumAgg columns over elementwise-masked copies of the vector)
-    val thrLit = typedLit(thresholds.toSeq)
-    val cond = vecs.select(
-        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, x).otherwise(lit(0.0d))).as("hs"),
-        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(1.0d)).otherwise(lit(0.0d))).as("hc"),
-        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(0.0d)).otherwise(x)).as("ls"),
-        zip_with(col("__v__"), thrLit, (x, t) => when(x > t, lit(0.0d)).otherwise(lit(1.0d))).as("lc"))
-      .agg(vecSum(col("hs")).as("hs"), vecSum(col("hc")).as("hc"),
-        vecSum(col("ls")).as("ls"), vecSum(col("lc")).as("lc"))
-      .collect()(0)
-    val (hs, hc, ls, lc) = (cond.getSeq[Double](0), cond.getSeq[Double](1),
-      cond.getSeq[Double](2), cond.getSeq[Double](3))
-    // an empty side (constant dimension) reconstructs to the threshold
-    val hi = Array.tabulate(thresholds.length)(i =>
-      (if (hc(i) > 0) hs(i) / hc(i) else thresholds(i)).toFloat)
-    val lo = Array.tabulate(thresholds.length)(i =>
-      (if (lc(i) > 0) ls(i) / lc(i) else thresholds(i)).toFloat)
+    val (gLo, gHi) = condLevels(vecs, thresholds)
+    val global = BqParams(thresholds, gLo, gHi)
+
+    val set: BqParamsSet =
+      if (!perCell) BqParamsSet(global)
+      else {
+        val keyed = df
+          .withColumn(CodeCol, assignExpr(col(column), coding))
+          .select(col(CodeCol), col(column).cast("array<double>").as("__v__"))
+          .filter(col("__v__").isNotNull)
+        // per-cell means: ONE keyed sum/count agg (numCells×dim doubles
+        // collect — bounded by the cell cap)
+        val sums = keyed.groupBy(col(CodeCol))
+          .agg(vecSum(col("__v__")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val cellThr: Map[Long, Array[Double]] = sums.map { r =>
+          val cn = r.getLong(2).toDouble
+          r.getLong(0) -> r.getSeq[Double](1).map(_ / cn).toArray
+        }.toMap
+        // per-cell conditional levels: the per-row threshold block joins
+        // in via a broadcast of the tiny (cell, thresholds) table, then
+        // the same four masked VecSums — keyed this time
+        import df.sparkSession.implicits._
+        val thrDf = broadcast(cellThr.toSeq.map { case (c, t) => (c, t.toSeq) }
+          .toDF(CodeCol, "__thr__"))
+        val cond = keyed.join(thrDf, CodeCol)
+          .select(col(CodeCol),
+            zip_with(col("__v__"), col("__thr__"), (x, t) => when(x > t, x).otherwise(lit(0.0d))).as("hs"),
+            zip_with(col("__v__"), col("__thr__"), (x, t) => when(x > t, lit(1.0d)).otherwise(lit(0.0d))).as("hc"),
+            zip_with(col("__v__"), col("__thr__"), (x, t) => when(x > t, lit(0.0d)).otherwise(x)).as("ls"),
+            zip_with(col("__v__"), col("__thr__"), (x, t) => when(x > t, lit(0.0d)).otherwise(lit(1.0d))).as("lc"))
+          .groupBy(col(CodeCol))
+          .agg(vecSum(col("hs")).as("hs"), vecSum(col("hc")).as("hc"),
+            vecSum(col("ls")).as("ls"), vecSum(col("lc")).as("lc"))
+          .collect()
+        val cells = cond.map { r =>
+          val c = r.getLong(0)
+          val thr = cellThr(c)
+          val (hs, hc, ls, lc) = (r.getSeq[Double](1), r.getSeq[Double](2),
+            r.getSeq[Double](3), r.getSeq[Double](4))
+          val hi = Array.tabulate(thr.length)(i =>
+            (if (hc(i) > 0) hs(i) / hc(i) else thr(i)).toFloat)
+          val lo = Array.tabulate(thr.length)(i =>
+            (if (lc(i) > 0) ls(i) / lc(i) else thr(i)).toFloat)
+          c -> BqParams(thr, lo, hi)
+        }.toMap
+        BqParamsSet(global, cells)
+      }
+
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.bqIndexPath(source, column, codingName)
     df.withColumn(CodeCol, assignExpr(col(column), coding))
-      .withColumn(BqCol, packSignBitsCol(col(column), thresholds))
+      .withColumn(BqCol, packSignBitsSetCol(col(column), col(CodeCol), set))
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
       .partitionBy(CodeCol)
       .parquet(path)
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val payload = mapper.createObjectNode()
-    payload.set[com.fasterxml.jackson.databind.JsonNode](
-      "thresholds", mapper.valueToTree(thresholds))
-    payload.set[com.fasterxml.jackson.databind.JsonNode](
-      "lo", mapper.valueToTree(lo))
-    payload.set[com.fasterxml.jackson.databind.JsonNode](
-      "hi", mapper.valueToTree(hi))
-    store.writeSidecar(bqSidecar(path), mapper.writeValueAsBytes(payload))
+    store.writeSidecar(bqSidecar(path), bqParamsJson(set).getBytes("UTF-8"))
     thresholds
+  }
+
+  private def bqParamsJson(set: BqParamsSet): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def block(node: com.fasterxml.jackson.databind.node.ObjectNode, p: BqParams): Unit = {
+      node.set[com.fasterxml.jackson.databind.JsonNode](
+        "thresholds", mapper.valueToTree(p.thresholds))
+      node.set[com.fasterxml.jackson.databind.JsonNode]("lo", mapper.valueToTree(p.lo))
+      node.set[com.fasterxml.jackson.databind.JsonNode]("hi", mapper.valueToTree(p.hi))
+    }
+    val payload = mapper.createObjectNode()
+    block(payload, set.global)
+    if (set.perCell) {
+      val cn = payload.putObject("cells")
+      set.cells.toSeq.sortBy(_._1).foreach { case (c, p) =>
+        block(cn.putObject(c.toString), p)
+      }
+    }
+    mapper.writeValueAsString(payload)
   }
 
   private def packSignBitsCol(vec: Column, thresholds: Array[Double]): Column =
@@ -1151,25 +1257,33 @@ object Index {
       scala.util.Try(loadBqThresholds(store, codingName, source, column)).isSuccess
 
   private def loadBqParams(store: Store, codingName: String,
-      source: String, column: String): BqParams = {
+      source: String, column: String): BqParamsSet = {
     val path = store.bqIndexPath(source, column, codingName)
     require(store.sidecarExists(bqSidecar(path)),
       s"no BQ index for $source.$column under coding '$codingName' — " +
         "build it first (buildBq)")
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(store.readSidecar(bqSidecar(path)))
-    def dbl(name: String): Array[Double] = Option(root.get(name)).map { n =>
-      Array.tabulate(n.size())(i => n.get(i).asDouble())
-    }.getOrElse(Array.empty)
-    def flt(name: String): Array[Float] = Option(root.get(name)).map { n =>
-      Array.tabulate(n.size())(i => n.get(i).asDouble().toFloat)
-    }.getOrElse(Array.empty)
-    BqParams(dbl("thresholds"), flt("lo"), flt("hi"))
+    def block(n: com.fasterxml.jackson.databind.JsonNode): BqParams = {
+      def dbl(name: String): Array[Double] = Option(n.get(name)).map { a =>
+        Array.tabulate(a.size())(i => a.get(i).asDouble())
+      }.getOrElse(Array.empty)
+      def flt(name: String): Array[Float] = Option(n.get(name)).map { a =>
+        Array.tabulate(a.size())(i => a.get(i).asDouble().toFloat)
+      }.getOrElse(Array.empty)
+      BqParams(dbl("thresholds"), flt("lo"), flt("hi"))
+    }
+    val cells: Map[Long, BqParams] = Option(root.get("cells")).map { cn =>
+      val b = Map.newBuilder[Long, BqParams]
+      cn.properties().forEach { e => b += e.getKey.toLong -> block(e.getValue) }
+      b.result()
+    }.getOrElse(Map.empty)
+    BqParamsSet(block(root), cells)
   }
 
   private def loadBqThresholds(store: Store, codingName: String,
       source: String, column: String): Array[Double] =
-    loadBqParams(store, codingName, source, column).thresholds
+    loadBqParams(store, codingName, source, column).global.thresholds
 
   /** Incremental BQ sync: append-only delta encoded under the STORED
     * thresholds (no re-fit — a shifted value distribution degrades code
@@ -1178,13 +1292,15 @@ object Index {
   def syncIncrementalBq(store: Store, codingName: String, source: String,
       column: String, idCol: String): Long = {
     val path = store.bqIndexPath(source, column, codingName)
-    val thresholds = loadBqThresholds(store, codingName, source, column)
+    val params = loadBqParams(store, codingName, source, column)
     val coding = store.loadCoding(codingName)
     val existing = store.spark.read.parquet(path).select(col(idCol))
     val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
     val delta = fresh
       .withColumn(CodeCol, assignExpr(col(column), coding))
-      .withColumn(BqCol, packSignBitsCol(col(column), thresholds))
+      // per-cell sets pack rows in unseen cells under the global
+      // fallback block — the same block the decode side will select
+      .withColumn(BqCol, packSignBitsSetCol(col(column), col(CodeCol), params))
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = delta.count()
@@ -1225,7 +1341,7 @@ object Index {
       tieBreak: Seq[String] = Nil): DataFrame = {
     val coding = store.loadCoding(codingName)
     val params = loadBqParams(store, codingName, source, column)
-    val thresholds = params.thresholds
+    val thresholds = params.global.thresholds
     val m = graft.core.Metrics.canonical(
       metric.getOrElse(coding.config.metric))
     require(target.length == thresholds.length,
@@ -1237,8 +1353,10 @@ object Index {
       cells, coding.numCells)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
     val coarseScore: Column =
-      if (params.asymmetric)
-        vector_distance(dequantizeSignBitsCol(col(BqCol), params), target.lit, m)
+      if (params.perCell || params.global.asymmetric)
+        vector_distance(
+          dequantizeSignBitsSetCol(col(BqCol), col(CodeCol), params),
+          target.lit, m)
       else {
         val v = target.doubles
         val code = new Array[Byte]((v.length + 7) / 8)
@@ -1253,7 +1371,7 @@ object Index {
             code.toIndexedSeq)).cast("double")
       }
     val coarseIds = pruned
-      .select(col(idCol), col(BqCol))
+      .select(col(idCol), col(BqCol), col(CodeCol))
       .withColumn("__BQD__", coarseScore)
       .orderBy(col("__BQD__").asc, col(idCol).asc)
       .limit(candidates)
@@ -1521,13 +1639,15 @@ object Index {
     // SCALARS only: (queryId, id, score). Neither vectors nor codes
     // cross the shuffle.
     val (qSide, score) =
-      if (params.asymmetric)
+      if (params.perCell || params.global.asymmetric)
         (exploded.select(col(queryIdCol), col("__cell__"), col(queryVecCol)),
-          vector_distance(dequantizeSignBitsCol(col(BqCol), params),
+          vector_distance(
+            dequantizeSignBitsSetCol(col(BqCol), col(CodeCol), params),
             col(queryVecCol), m))
       else {
         val packed = exploded
-          .withColumn("__QBQ__", packSignBitsCol(col(queryVecCol), params.thresholds))
+          .withColumn("__QBQ__",
+            packSignBitsCol(col(queryVecCol), params.global.thresholds))
           .select(col(queryIdCol), col("__cell__"), col("__QBQ__"))
         (packed, org.apache.spark.sql.GraftShims.column(
           graft.functions.HammingDistancePair(

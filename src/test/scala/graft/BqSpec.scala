@@ -254,6 +254,58 @@ class BqSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("per-cell (residual) bits rescue recall on a clustered corpus") {
+    val rnd = new scala.util.Random(73)
+    // well-separated clusters (offsets ±10) with σ=1 within: global sign
+    // bits are just the cluster id — EVERY member of the query's cluster
+    // shares its code pattern, so a within-cluster budget is a coin flip;
+    // per-cell centering makes the bits encode the residual
+    val centers = Seq.fill(4)(Array.fill(64)(rnd.nextGaussian() * 10))
+    val rows = for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 500
+    } yield ((ci * 500 + i).toLong, c.map(x => (x + rnd.nextGaussian()).toFloat).toSeq)
+    val df = rows.toDF("id", "vec")
+    val root = java.nio.file.Files.createTempDirectory("graft-bq-cell").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("cv", df)
+    engine.makeCoder("cc", "cv", "vec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 4,
+        numCodebooks = 1, batchSize = 256, numEpochs = 3))
+    val targets = (0 until 6).map(q => rows(q * 311)._2.map(_.toDouble).toArray)
+    def recallOf(): Double = {
+      val per = targets.map { t =>
+        val brute = graft.api.Search.knn(df, "vec",
+            Seq(Tuple1(t.toSeq)).toDF("t"), "l2", k = 10, tieBreak = Seq("id"))
+          .select("id").as[Long].collect().toSet
+        val got = engine.searchBq("cv", "vec", t, coding = "cc",
+            probes = 4, candidates = 100, idCol = "id", k = 10,
+            metric = Some("l2"), tieBreak = Seq("id"))
+          .select("id").as[Long].collect().toSet
+        brute.count(got.contains) / 10.0
+      }
+      per.sum / per.length
+    }
+    engine.makeBqIndex("cc", "cv", "vec", perCell = false)
+    val globalRecall = recallOf()
+    engine.makeBqIndex("cc", "cv", "vec", perCell = true)
+    val cellRecall = recallOf()
+    assert(cellRecall > globalRecall,
+      s"per-cell recall $cellRecall must beat global $globalRecall on clusters")
+    assert(cellRecall >= 0.8, s"per-cell recall $cellRecall < 0.8")
+    // per-cell stays exact at full budgets
+    val t = targets.head
+    val full = engine.searchBq("cv", "vec", t, coding = "cc",
+        probes = 4, candidates = 1 << 20, idCol = "id", k = 10,
+        metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    val brute = graft.api.Search.knn(df, "vec",
+        Seq(Tuple1(t.toSeq)).toDF("t"), "l2", k = 10, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(full == brute, "per-cell full-budget mismatch")
+    engine.remove()
+  }
+
   test("ivf+bq incremental sync appends under stored thresholds; stays exact") {
     val rnd = new scala.util.Random(53)
     def wave(from: Int, n: Int) = (from until from + n)
