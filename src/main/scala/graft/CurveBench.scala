@@ -197,7 +197,9 @@ object CurveBench {
     }
     val out = Seq(
       "bq_lowrank_recall_at_10_at_100" -> recall(100),
-      "bq_lowrank_recall_at_10_at_4k" -> recall(4000))
+      "bq_lowrank_recall_at_10_at_4k" -> recall(4000),
+      // where the 1-bit curve saturates (~1.6% of the probed corpus)
+      "bq_lowrank_recall_at_10_at_16k" -> recall(16000))
     engine.dropTable("vectors_lr")
     engine.dropIndex("clr")
     out
