@@ -269,9 +269,13 @@ class BqSpec extends SparkSuite {
     val root = java.nio.file.Files.createTempDirectory("graft-bq-cell").toString
     val engine = new graft.api.Engine(spark, root)
     engine.makeTable("cv", df)
-    engine.makeCoder("cc", "cv", "vec",
+    // plant the coding at the true cluster centers: k-means training is
+    // sample()-seeded (nondeterministic), and this test is about the BQ
+    // threshold mode, not coder quality — cells must match clusters
+    engine.store.saveCoding("cc", graft.coder.Coding(
+      Array(centers.toArray),
       graft.coder.CoderConfig(metric = "l2", codebookSize = 4,
-        numCodebooks = 1, batchSize = 256, numEpochs = 3))
+        numCodebooks = 1, batchSize = 256, numEpochs = 3)))
     val targets = (0 until 6).map(q => rows(q * 311)._2.map(_.toDouble).toArray)
     def recallOf(): Double = {
       val per = targets.map { t =>
