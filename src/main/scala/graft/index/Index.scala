@@ -113,6 +113,20 @@ object Index {
       recordedStamp(store, store.indexPath(source, column, codingName))
         .contains(store.sourceStamp(source))
 
+  /** Tier-generalized [[indexFresh]]: whether the `tier` copy
+    * (ivf | pq | sq | bq) exists and was built/synced from the CURRENT
+    * source content. Every tier build records the source file-listing
+    * stamp and every tier sync re-stamps only on verifiably append-only
+    * growth, so an in-place source rewrite makes ALL tiers report
+    * not-fresh (tier copies predating their stamp also report
+    * not-fresh — rebuild to adopt). */
+  def tierFresh(store: Store, codingName: String, source: String,
+      column: String, tier: String = "ivf"): Boolean = {
+    val path = tierPath(store, codingName, source, column, tier)
+    store.sidecarExists(s"$path/_SUCCESS") &&
+      recordedStamp(store, path).contains(store.sourceStamp(source))
+  }
+
   /** Incremental sync: assign + append only the source rows whose `idCol`
     * is not yet indexed (the reference's `sync_index` reassigns the whole
     * table every time, `flight.py:219-233`). One anti-join + one narrow
@@ -335,8 +349,9 @@ object Index {
     * directory vanished between the delete and the rename.
     *
     * `tier` selects which cell-partitioned copy to compact (ivf | pq |
-    * sq | bq — all share the layout; only the ivf tier carries a stamp
-    * sidecar, the others' sidecars live at the path root and are never
+    * sq | bq — all share the layout and, since round 6, the stamp
+    * sidecar, so the fail-closed snapshot/restore applies uniformly;
+    * the tiers' codec sidecars live at the path root and are never
     * touched since only cell directories are swapped). */
   def compactCells(store: Store, codingName: String, source: String,
       column: String, maxFilesPerCell: Int = 8,
@@ -520,6 +535,9 @@ object Index {
       pqConfig: graft.coder.PQ.PQConfig,
       residual: Boolean = true): graft.coder.PQ.PQCodebooks = {
     val coding = store.loadCoding(codingName)
+    // listing BEFORE reading (as [[build]]): a concurrent source change
+    // mid-build leaves a conservatively-stale stamp
+    val listing = store.sourceListing(source)
     val df = store.loadTable(source)
     val metricC = graft.core.Metrics.canonical(pqConfig.metric)
     // Residual mode (IVFADC proper, Jégou et al. §III): PQ codebooks train
@@ -595,6 +613,7 @@ object Index {
       .partitionBy(CodeCol)
       .parquet(path)
     store.writeSidecar(pqSidecar(path), graft.coder.PQ.toJsonBytes(cb))
+    recordSourceStamp(store, path, listing)
     cb
   }
 
@@ -673,8 +692,15 @@ object Index {
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = delta.count()
-      if (appended > 0)
+      if (appended > 0) {
         delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+        // re-stamp ONLY for verifiably append-only growth (the
+        // [[syncIncremental]] rule): a rewrite that also modified
+        // existing files must keep freshness failing
+        val curSet = store.sourceListing(source).toSet
+        if (recordedListing(store, path).exists(_.forall(curSet.contains)))
+          recordSourceStamp(store, path, store.sourceListing(source))
+      }
       appended
     } finally delta.unpersist(blocking = false)
   }
@@ -853,6 +879,7 @@ object Index {
   def buildSq(store: Store, codingName: String, source: String,
       column: String, perCell: Boolean = false): SqParams = {
     val coding = store.loadCoding(codingName)
+    val listing = store.sourceListing(source)
     if (perCell)
       require(coding.numCells <= ResidualCellCap,
         s"per-cell SQ8 supports codings up to $ResidualCellCap cells (the " +
@@ -914,6 +941,7 @@ object Index {
       .partitionBy(CodeCol)
       .parquet(path)
     store.writeSidecar(sqSidecar(path), sqParamsJson(set).getBytes("UTF-8"))
+    recordSourceStamp(store, path, listing)
     set.global
   }
 
@@ -993,8 +1021,15 @@ object Index {
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = delta.count()
-      if (appended > 0)
+      if (appended > 0) {
         delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+        // re-stamp ONLY for verifiably append-only growth (the
+        // [[syncIncremental]] rule): a rewrite that also modified
+        // existing files must keep freshness failing
+        val curSet = store.sourceListing(source).toSet
+        if (recordedListing(store, path).exists(_.forall(curSet.contains)))
+          recordSourceStamp(store, path, store.sourceListing(source))
+      }
       appended
     } finally delta.unpersist(blocking = false)
   }
@@ -1121,6 +1156,7 @@ object Index {
   def buildBq(store: Store, codingName: String, source: String,
       column: String, perCell: Boolean = false): Array[Double] = {
     val coding = store.loadCoding(codingName)
+    val listing = store.sourceListing(source)
     if (perCell)
       require(coding.numCells <= ResidualCellCap,
         s"per-cell BQ supports codings up to $ResidualCellCap cells (the " +
@@ -1220,6 +1256,7 @@ object Index {
       .partitionBy(CodeCol)
       .parquet(path)
     store.writeSidecar(bqSidecar(path), bqParamsJson(set).getBytes("UTF-8"))
+    recordSourceStamp(store, path, listing)
     thresholds
   }
 
@@ -1304,8 +1341,15 @@ object Index {
     delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val appended = delta.count()
-      if (appended > 0)
+      if (appended > 0) {
         delta.write.mode("append").partitionBy(CodeCol).parquet(path)
+        // re-stamp ONLY for verifiably append-only growth (the
+        // [[syncIncremental]] rule): a rewrite that also modified
+        // existing files must keep freshness failing
+        val curSet = store.sourceListing(source).toSet
+        if (recordedListing(store, path).exists(_.forall(curSet.contains)))
+          recordSourceStamp(store, path, store.sourceListing(source))
+      }
       appended
     } finally delta.unpersist(blocking = false)
   }

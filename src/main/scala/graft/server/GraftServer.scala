@@ -230,6 +230,19 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val sq = opt(body, "sq").exists(_.asBoolean(false))
     // "bq": true routes to the IVF+BQ index (1-bit Hamming coarse pass)
     val bq = opt(body, "bq").exists(_.asBoolean(false))
+    // "prefixDim": N routes to the index-free Matryoshka prefix search
+    // (optional "prefixCol" selects a materialized prefix column)
+    opt(body, "prefixDim").foreach { pd =>
+      val cand = opt(body, "candidates").getOrElse(throw new IllegalArgumentException(
+        "matryoshka search requires \"candidates\"")).asInt()
+      val df = graft.api.Search.matryoshkaSearch(
+        engine.readTable(sources), column, target, pd.asInt(), cand,
+        require(body, "idCol").asText(), math.min(k, maxResponseRows),
+        metric.getOrElse("l2"), opt(body, "prefixCol").map(_.asText()),
+        filter, select, tieBreak)
+      okRows(ex, df)
+      return
+    }
     val df = (opt(body, "candidates"), coding, probes) match {
       case _ if sq || bq =>
         // explicit contract, no silent fall-through to another path

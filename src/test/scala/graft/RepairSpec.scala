@@ -195,6 +195,59 @@ class RepairSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("tier freshness: pq/sq/bq stamps follow build, append-only sync, and rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-tierfresh").toString
+    val engine = new graft.api.Engine(spark, root)
+    val rnd = new scala.util.Random(83)
+    def wave(from: Int, n: Int) = (from until from + n)
+      .map(i => (i.toLong, Seq.fill(4)(rnd.nextFloat() * 10))).toDF("id", "vec")
+    engine.makeTable("tf", wave(0, 80).coalesce(2))
+    engine.makeIndex("tc", "tf", "vec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 2,
+        numCodebooks = 1, batchSize = 64, numEpochs = 2))
+    Index.buildSq(engine.store, "tc", "tf", "vec")
+    Index.buildBq(engine.store, "tc", "tf", "vec")
+    Index.buildPq(engine.store, "tc", "tf", "vec",
+      graft.coder.PQ.PQConfig(numSubspaces = 2, codebookSize = 4,
+        metric = "l2", sampleSize = 80))
+    for (t <- Seq("ivf", "pq", "sq", "bq"))
+      assert(Index.tierFresh(engine.store, "tc", "tf", "vec", t),
+        s"tier $t not fresh after build")
+    // append-only growth + sync re-stamps every tier
+    wave(1000, 20).coalesce(1).write.mode("append")
+      .parquet(engine.store.tablePath("tf"))
+    for (t <- Seq("ivf", "pq", "sq", "bq"))
+      assert(!Index.tierFresh(engine.store, "tc", "tf", "vec", t),
+        s"tier $t still fresh after un-synced append")
+    Index.syncIncremental(engine.store, "tc", "tf", "vec", "id")
+    Index.syncIncrementalPq(engine.store, "tc", "tf", "vec", "id")
+    Index.syncIncrementalSq(engine.store, "tc", "tf", "vec", "id")
+    Index.syncIncrementalBq(engine.store, "tc", "tf", "vec", "id")
+    for (t <- Seq("ivf", "pq", "sq", "bq"))
+      assert(Index.tierFresh(engine.store, "tc", "tf", "vec", t),
+        s"tier $t not fresh after sync")
+    // in-place rewrite (same row count, changed content) → ALL tiers
+    // stale, and sync cannot repair the stamp
+    val snapshot = engine.readTable(Seq("tf"))
+      .withColumn("vec", org.apache.spark.sql.functions.transform(
+        col("vec"), x => x + 1.0f))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    snapshot.toDF("id", "vec").coalesce(2).write.mode("overwrite")
+      .parquet(engine.store.tablePath("tf"))
+    for (t <- Seq("ivf", "pq", "sq", "bq"))
+      assert(!Index.tierFresh(engine.store, "tc", "tf", "vec", t),
+        s"tier $t wrongly fresh after in-place rewrite")
+    Index.syncIncrementalBq(engine.store, "tc", "tf", "vec", "id")
+    assert(!Index.tierFresh(engine.store, "tc", "tf", "vec", "bq"),
+      "bq sync must not re-stamp after a rewrite")
+    // a rebuild adopts the new content
+    Index.buildBq(engine.store, "tc", "tf", "vec")
+    assert(Index.tierFresh(engine.store, "tc", "tf", "vec", "bq"))
+    engine.remove()
+  }
+
   test("compactCells coalesces fragmented cells; content and freshness intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

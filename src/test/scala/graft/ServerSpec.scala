@@ -138,6 +138,18 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => bqIds += n.get("id").asLong())
     assert(bqIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"bq $bqIds")
 
+    // matryoshka prefix search over the wire (full candidate budget ⇒
+    // exact, same expected ids)
+    val (mk, mkBody) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "metric":"l2","prefixDim":2,"candidates":1000,"idCol":"id",
+          "k":5,"tieBreak":["id"],"select":["id"]}""")
+    assert(mk == 200, mkBody)
+    val mkIds = new scala.collection.mutable.ArrayBuffer[Long]
+    mapper.readTree(mkBody).get("rows").elements()
+      .forEachRemaining(n => mkIds += n.get("id").asLong())
+    assert(mkIds.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"matryoshka $mkIds")
+
     // ops surface: per-cell layout stats + compaction over the wire
     val (stc, stBody) = send("POST", "/indexes/stats",
       """{"coding":"wire_c1","source":"wire_vecs","column":"vec","withRows":true}""")
