@@ -358,17 +358,23 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   /** Winnowing fingerprints of a stored table's text column
     * ([[graft.ext.TextAnalysis.winnowFingerprints]]) — (id, fp) rows. */
   /** Per-cell index layout stats ([[Engine.indexStats]]) — the ops view
-    * for fragmentation and cell skew. */
+    * for fragmentation and cell skew — plus the tier's source-freshness
+    * verdict ([[graft.index.Index.tierFresh]]). */
   private def postIndexStats(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
-    val stats = engine.indexStats(require(body, "coding").asText(),
-      require(body, "source").asText(), require(body, "column").asText(),
+    val coding = require(body, "coding").asText()
+    val source = require(body, "source").asText()
+    val column = require(body, "column").asText()
+    val tier = opt(body, "tier").map(_.asText()).getOrElse("ivf")
+    val stats = engine.indexStats(coding, source, column,
       withRows = opt(body, "withRows").exists(_.asBoolean(false)),
-      tier = opt(body, "tier").map(_.asText()).getOrElse("ivf"))
+      tier = tier)
+    val fresh = graft.index.Index.tierFresh(engine.store, coding, source,
+      column, tier)
     val rows = stats.map { case (cell, files, bytes, rows) =>
       s"""{"cell":$cell,"files":$files,"bytes":$bytes,"rows":$rows}"""
     }.mkString(",")
-    ok(ex, s"""{"cells":[$rows]}""")
+    ok(ex, s"""{"fresh":$fresh,"cells":[$rows]}""")
   }
 
   /** Coalesce fragmented index cells ([[Engine.compactIndex]]). */

@@ -154,6 +154,7 @@ class ServerSpec extends SparkSuite {
     val (stc, stBody) = send("POST", "/indexes/stats",
       """{"coding":"wire_c1","source":"wire_vecs","column":"vec","withRows":true}""")
     assert(stc == 200, stBody)
+    assert(mapper.readTree(stBody).get("fresh").asBoolean(), stBody)
     val cellsNode = mapper.readTree(stBody).get("cells")
     assert(cellsNode.size() > 0 && cellsNode.get(0).has("files"), stBody)
     val (cpc, cpBody) = send("POST", "/indexes/compact",
