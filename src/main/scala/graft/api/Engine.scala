@@ -77,6 +77,15 @@ class Engine(val spark: SparkSession, val root: String) {
       withRows: Boolean = false, tier: String = "ivf"): Seq[(Long, Int, Long, Long)] =
     Index.cellStats(store, codingName, source, column, withRows, tier)
 
+  /** Cell-scoped index repair after in-place source modifications or
+    * deletions ([[Index.repair]] for the ivf copy, [[Index.repairTier]]
+    * for the quantized tiers) — re-encodes only rows from changed files
+    * and rewrites only affected cells. */
+  def repairIndex(codingName: String, source: String, column: String,
+      tier: String = "ivf"): Index.RepairStats =
+    if (tier == "ivf") Index.repair(store, codingName, source, column)
+    else Index.repairTier(store, codingName, source, column, tier)
+
   /** Coalesce fragmented index cell partitions ([[Index.compactCells]]) —
     * run periodically under a streaming sync workload. `tier` selects the
     * copy (ivf | pq | sq | bq). */

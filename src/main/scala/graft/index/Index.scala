@@ -284,6 +284,126 @@ object Index {
       fullRebuild = false)
   }
 
+  /** [[repair]] for the quantized tiers (pq | sq | bq): same
+    * listing-diff → reassign-changed-files → rewrite-affected-cells
+    * machinery, with the fresh rows re-ENCODED under the tier's stored
+    * codecs (codebooks / affine params / sign thresholds — repair never
+    * re-fits; a shifted value distribution is a rebuild decision, not a
+    * repair). Tier copies predating the provenance column or the
+    * listing stamp fall back to a full rebuild UNDER THE STORED CONFIG
+    * (per-cell mode, PQ m/k/metric/residual — preserved from the
+    * sidecar). At 100 TB a one-file rewrite costs one file's worth of
+    * re-encode plus a few cell directories per tier — not four full
+    * re-indexes. */
+  def repairTier(store: Store, codingName: String, source: String,
+      column: String, tier: String): RepairStats = {
+    require(Set("pq", "sq", "bq")(tier),
+      s"repairTier handles pq | sq | bq (plain ivf goes through repair), got '$tier'")
+    val path = tierPath(store, codingName, source, column, tier)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(store.spark.sparkContext.hadoopConfiguration)
+    val coding = store.loadCoding(codingName)
+    def rebuild(): RepairStats = {
+      tier match {
+        case "sq" =>
+          val perCell = scala.util.Try(
+            loadSqParams(store, codingName, source, column).perCell).getOrElse(false)
+          buildSq(store, codingName, source, column, perCell)
+        case "bq" =>
+          val perCell = scala.util.Try(
+            loadBqParams(store, codingName, source, column).perCell).getOrElse(false)
+          buildBq(store, codingName, source, column, perCell)
+        case "pq" =>
+          val cb = loadPqCodebooks(store, codingName, source, column)
+          buildPq(store, codingName, source, column, cb.config, cb.residual)
+      }
+      RepairStats(-1, -1, fullRebuild = true)
+    }
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path))) return rebuild()
+    val recordedOpt = recordedListing(store, path)
+    val indexedRaw = store.spark.read.parquet(path)
+      .withColumn(CodeCol, col(CodeCol).cast("long"))
+    if (recordedOpt.isEmpty || !indexedRaw.schema.fieldNames.contains(SrcFileCol))
+      return rebuild()
+
+    def nameOf(e: String): String =
+      e.substring(0, e.lastIndexOf(':', e.lastIndexOf(':') - 1))
+    val recorded = recordedOpt.get
+    val listing = store.sourceListing(source)
+    val curSet = listing.toSet
+    val recSet = recorded.toSet
+    val staleNames = recorded.filterNot(curSet.contains).map(nameOf).distinct
+    val freshNames = listing.filterNot(recSet.contains).map(nameOf).distinct
+    if (staleNames.isEmpty && freshNames.isEmpty) {
+      recordSourceStamp(store, path, listing)
+      return RepairStats(0, 0, fullRebuild = false)
+    }
+    val affectedNames = (staleNames ++ freshNames).distinct
+    val assigned = store.loadTable(source)
+      .withColumn(SrcFileCol, col("_metadata.file_name"))
+      .filter(col(SrcFileCol).isin(freshNames: _*))
+      .withColumn(CodeCol, assignExpr(col(column), coding))
+    // tier-specific re-encode of the fresh rows under STORED codecs
+    val freshRows: DataFrame = tier match {
+      case "sq" =>
+        val params = loadSqParams(store, codingName, source, column)
+        assigned.withColumn(SqCol,
+          quantizeSetCol(col(column), col(CodeCol), params))
+      case "bq" =>
+        val params = loadBqParams(store, codingName, source, column)
+        assigned.withColumn(BqCol,
+          packSignBitsSetCol(col(column), col(CodeCol), params))
+      case "pq" =>
+        val cb = loadPqCodebooks(store, codingName, source, column)
+        if (!cb.residual)
+          assigned.withColumn(PqCol, graft.coder.PQ.encodeExpr(col(column), cb))
+        else {
+          val fb = residualFallbackAnchor(cb, coding)
+          val full: Map[Long, Array[Double]] = (0L until coding.numCells)
+            .map(c => c -> cb.anchors.getOrElse(c, fb(c))).toMap
+          withResidualBase(assigned, column, cb.canonicalMetric)
+            .withColumn("__RES__",
+              graft.coder.PQ.residualExpr(col(ResBase), col(CodeCol), full))
+            .withColumn(PqCol, graft.coder.PQ.encodeExpr(col("__RES__"), cb))
+            .drop("__RES__", ResBase)
+        }
+    }
+    val staleCells =
+      if (staleNames.isEmpty) Array.empty[Long]
+      else indexedRaw.filter(col(SrcFileCol).isin(staleNames: _*))
+        .select(CodeCol).distinct().collect().map(_.getLong(0))
+    val freshCells = freshRows
+      .select(CodeCol).distinct().collect().map(_.getLong(0))
+    val affected = (staleCells ++ freshCells).distinct.sorted
+    if (affected.isEmpty) {
+      recordSourceStamp(store, path, listing)
+      return RepairStats(affectedNames.length.toLong, 0, fullRebuild = false)
+    }
+    // replacement reads the directories about to be deleted → must land
+    // on a temp sibling before any delete (as [[repair]])
+    val replacement = indexedRaw
+      .filter(col(CodeCol).isin(affected.toIndexedSeq: _*))
+      .filter(!col(SrcFileCol).isin(affectedNames: _*))
+      .unionByName(freshRows)
+    val tmp = s"$path.__repair_tmp__"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val parts = math.max(1, math.min(affected.length.toLong,
+      store.spark.sparkContext.defaultParallelism.toLong * 2).toInt)
+    replacement.repartition(parts, col(CodeCol))
+      .write.mode("overwrite").partitionBy(CodeCol).parquet(tmp)
+    affected.foreach { cell =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$CodeCol=$cell")
+      val srcP = new org.apache.hadoop.fs.Path(s"$tmp/$CodeCol=$cell")
+      fs.delete(dst, true)
+      if (fs.exists(srcP))
+        require(fs.rename(srcP, dst), s"repairTier: rename failed for cell $cell")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    recordSourceStamp(store, path, listing)
+    RepairStats(affectedNames.length.toLong, affected.length.toLong,
+      fullRebuild = false)
+  }
+
   /** Per-cell layout statistics of the IVF copy: (cell, files, bytes,
     * rows = −1 unless `withRows`). The ops view for skew and
     * fragmentation — incremental sync appends one file set per
@@ -556,7 +676,8 @@ object Index {
           s"${coding.numCells}. Pass residual = false to explicitly build " +
           "the flat variant (weaker within-cell ranking on clustered data).")
     val useRes = residual
-    val assigned0 = df.withColumn(CodeCol, assignExpr(col(column), coding))
+    val assigned0 = df.withColumn(SrcFileCol, col("_metadata.file_name"))
+      .withColumn(CodeCol, assignExpr(col(column), coding))
     // Cosine residuals live on the unit sphere: normalize once (codegen'd
     // built-ins), then anchors/residuals/codebooks all operate in the
     // space where l2 ranking is monotone-equivalent to cosine distance.
@@ -668,8 +789,15 @@ object Index {
           s"metric=${graft.core.Metrics.canonical(e.metric)} — rebuild with buildPq")
     }
     val coding = store.loadCoding(codingName)
-    val existing = store.spark.read.parquet(path).select(col(idCol))
-    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val existingDf = store.spark.read.parquet(path)
+    val existing = existingDf.select(col(idCol))
+    // legacy copies (no provenance column) append without it — a mixed
+    // schema would make the parquet read file-order-dependent
+    val src0 = store.loadTable(source)
+    val src = if (existingDf.schema.fieldNames.contains(SrcFileCol))
+      src0.withColumn(SrcFileCol, col("_metadata.file_name"))
+    else src0
+    val fresh = src.join(existing, Seq(idCol), "left_anti")
     val assigned = fresh.withColumn(CodeCol, assignExpr(col(column), coding))
     val delta =
       if (!cb.residual)
@@ -715,7 +843,7 @@ object Index {
 
   def loadPq(store: Store, codingName: String, source: String, column: String): DataFrame = {
     val df = store.spark.read.parquet(store.pqIndexPath(source, column, codingName))
-    df.withColumn(CodeCol, col(CodeCol).cast("long"))
+    df.withColumn(CodeCol, col(CodeCol).cast("long")).drop(SrcFileCol)
   }
 
   /** Probed IVF+PQ search, two distributed passes:
@@ -934,7 +1062,8 @@ object Index {
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.sqIndexPath(source, column, codingName)
-    df.withColumn(CodeCol, assignExpr(col(column), coding))
+    df.withColumn(SrcFileCol, col("_metadata.file_name"))
+      .withColumn(CodeCol, assignExpr(col(column), coding))
       .withColumn(SqCol, quantizeSetCol(col(column), col(CodeCol), set))
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
@@ -1011,8 +1140,15 @@ object Index {
         "build it first (buildSq)")
     val params = loadSqParams(store, codingName, source, column)
     val coding = store.loadCoding(codingName)
-    val existing = store.spark.read.parquet(path).select(col(idCol))
-    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val existingDf = store.spark.read.parquet(path)
+    val existing = existingDf.select(col(idCol))
+    // legacy copies (no provenance column) append without it — a mixed
+    // schema would make the parquet read file-order-dependent
+    val src0 = store.loadTable(source)
+    val src = if (existingDf.schema.fieldNames.contains(SrcFileCol))
+      src0.withColumn(SrcFileCol, col("_metadata.file_name"))
+    else src0
+    val fresh = src.join(existing, Seq(idCol), "left_anti")
     val delta = fresh
       .withColumn(CodeCol, assignExpr(col(column), coding))
       // per-cell sets quantize rows in unseen cells under the global
@@ -1065,7 +1201,7 @@ object Index {
     val cells = coding.rankCells(target.doubles, probes)
     val prunedAll = pruneToCells(store.spark.read
       .parquet(store.sqIndexPath(source, column, codingName))
-      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      .withColumn(CodeCol, col(CodeCol).cast("long")).drop(SrcFileCol),
       cells, coding.numCells)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
     val coarseIds = pruned
@@ -1249,7 +1385,8 @@ object Index {
     val parts = math.max(1, math.min(coding.numCells,
       df.sparkSession.sparkContext.defaultParallelism.toLong * 2).toInt)
     val path = store.bqIndexPath(source, column, codingName)
-    df.withColumn(CodeCol, assignExpr(col(column), coding))
+    df.withColumn(SrcFileCol, col("_metadata.file_name"))
+      .withColumn(CodeCol, assignExpr(col(column), coding))
       .withColumn(BqCol, packSignBitsSetCol(col(column), col(CodeCol), set))
       .repartition(parts, col(CodeCol))
       .write.mode("overwrite")
@@ -1331,8 +1468,15 @@ object Index {
     val path = store.bqIndexPath(source, column, codingName)
     val params = loadBqParams(store, codingName, source, column)
     val coding = store.loadCoding(codingName)
-    val existing = store.spark.read.parquet(path).select(col(idCol))
-    val fresh = store.loadTable(source).join(existing, Seq(idCol), "left_anti")
+    val existingDf = store.spark.read.parquet(path)
+    val existing = existingDf.select(col(idCol))
+    // legacy copies (no provenance column) append without it — a mixed
+    // schema would make the parquet read file-order-dependent
+    val src0 = store.loadTable(source)
+    val src = if (existingDf.schema.fieldNames.contains(SrcFileCol))
+      src0.withColumn(SrcFileCol, col("_metadata.file_name"))
+    else src0
+    val fresh = src.join(existing, Seq(idCol), "left_anti")
     val delta = fresh
       .withColumn(CodeCol, assignExpr(col(column), coding))
       // per-cell sets pack rows in unseen cells under the global
@@ -1393,7 +1537,7 @@ object Index {
     val cells = coding.rankCells(target.doubles, probes)
     val prunedAll = pruneToCells(store.spark.read
       .parquet(store.bqIndexPath(source, column, codingName))
-      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      .withColumn(CodeCol, col(CodeCol).cast("long")).drop(SrcFileCol),
       cells, coding.numCells)
     val pruned = filter.fold(prunedAll)(prunedAll.filter)
     val coarseScore: Column =
@@ -1591,7 +1735,7 @@ object Index {
     val cells = probedCellUnion(exploded, coding.numCells)
     val sqDf = pruneToCells(store.spark.read
       .parquet(store.sqIndexPath(source, column, codingName))
-      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      .withColumn(CodeCol, col(CodeCol).cast("long")).drop(SrcFileCol),
       cells, coding.numCells)
     // coarse: only (id, cell, codes) ride the per-cell join and window
     val coarse = sqDf.select(col(idCol), col(CodeCol), col(SqCol))
@@ -1673,7 +1817,7 @@ object Index {
     val cells = probedCellUnion(exploded, coding.numCells)
     val bqDf = pruneToCells(store.spark.read
       .parquet(store.bqIndexPath(source, column, codingName))
-      .withColumn(CodeCol, col(CodeCol).cast("long")),
+      .withColumn(CodeCol, col(CodeCol).cast("long")).drop(SrcFileCol),
       cells, coding.numCells)
     // coarse: (id, cell, 1-bit codes) ride the per-cell join; the
     // asymmetric score — vector_distance over the conditional-mean

@@ -248,6 +248,59 @@ class RepairSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("repairTier re-encodes changed files cell-scoped for sq, bq, and pq") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-tier-repair").toString
+    val engine = new graft.api.Engine(spark, root)
+    makeClusteredSource(engine, "tr")
+    engine.makeCoder("rc", "tr", "vec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 8,
+        numCodebooks = 1, batchSize = 128, numEpochs = 4))
+    Index.buildSq(engine.store, "rc", "tr", "vec", perCell = true)
+    Index.buildBq(engine.store, "rc", "tr", "vec")
+    Index.buildPq(engine.store, "rc", "tr", "vec",
+      graft.coder.PQ.PQConfig(numSubspaces = 2, codebookSize = 4,
+        metric = "l2", sampleSize = 320))
+    // rewrite one source part-file in place (same ids, negated vectors)
+    modifyOneFile(engine.store.tablePath("tr"))
+    for (t <- Seq("pq", "sq", "bq"))
+      assert(!Index.tierFresh(engine.store, "rc", "tr", "vec", t),
+        s"tier $t wrongly fresh after rewrite")
+    for (t <- Seq("pq", "sq", "bq")) {
+      val stats = engine.repairIndex("rc", "tr", "vec", t)
+      assert(!stats.fullRebuild, s"tier $t repair fell back to full rebuild")
+      assert(stats.filesChanged >= 1 && stats.cellsRewritten >= 1,
+        s"tier $t repair did nothing: $stats")
+      assert(Index.tierFresh(engine.store, "rc", "tr", "vec", t),
+        s"tier $t not fresh after repair")
+    }
+    // post-repair full-budget searches equal brute force over the NEW data
+    val all = engine.readTable(Seq("tr"))
+    val target2 = all.filter(col("id") === 3L)
+      .select(col("vec").cast("array<double>")).collect()(0)
+      .getSeq[Double](0).toArray
+    val brute = graft.api.Search.knn(all.select("id", "vec"), "vec",
+        Seq(Tuple1(target2.toSeq)).toDF("t"), "l2", k = 8, tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    val viaSq = Index.searchSq(engine.store, "rc", "tr", "vec", target2,
+        k = 8, probes = 4, candidates = 1 << 20, idCol = "id",
+        metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(viaSq == brute, s"sq after repair: $viaSq vs $brute")
+    val viaBq = Index.searchBq(engine.store, "rc", "tr", "vec", target2,
+        k = 8, probes = 4, candidates = 1 << 20, idCol = "id",
+        metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(viaBq == brute, s"bq after repair: $viaBq vs $brute")
+    val viaPq = Index.searchIvfPq(engine.store, "rc", "tr", "vec", target2,
+        k = 8, probes = 4, candidates = 1 << 20, idCol = "id",
+        metric = Some("l2"), tieBreak = Seq("id"))
+      .select("id").as[Long].collect().toSeq
+    assert(viaPq == brute, s"pq after repair: $viaPq vs $brute")
+    engine.remove()
+  }
+
   test("compactCells coalesces fragmented cells; content and freshness intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
