@@ -32,8 +32,13 @@ object CurveBench {
       .delete(new org.apache.hadoop.fs.Path(root), true)
     val engine = new Engine(spark, root)
     engine.makeTable("vectors", RefBench.corpus(spark, NumVectors))
+    // one 64-centroid codebook (not 8×8 product cells): the corpus has 64
+    // planted clusters, and per-cell quantizer params (SQ/BQ residual
+    // blocks) are only as good as the cell↔cluster match — product cells
+    // slice clusters apart and mute exactly the effect the per-cell
+    // curves measure
     engine.makeCoder("c", "vectors", "vector",
-      CoderConfig(metric = "l2", codebookSize = 8, numCodebooks = 2,
+      CoderConfig(metric = "l2", codebookSize = 64, numCodebooks = 1,
         batchSize = 2560, numEpochs = 3, maxStepsPerEpoch = 5))
     engine.syncIndex("c", "vectors", "vector")
     engine.makeSqIndex("c", "vectors", "vector")
@@ -169,7 +174,7 @@ object CurveBench {
       .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("vector", gen(col("vec_id"))))
     engine.makeCoder("clr", "vectors_lr", "vector",
-      CoderConfig(metric = "l2", codebookSize = 8, numCodebooks = 2,
+      CoderConfig(metric = "l2", codebookSize = 64, numCodebooks = 1,
         batchSize = 2560, numEpochs = 3, maxStepsPerEpoch = 5))
     engine.makeBqIndex("clr", "vectors_lr", "vector", perCell = true)
     val corpus = engine.readTable(Seq("vectors_lr"))
