@@ -86,6 +86,13 @@ class Engine(val spark: SparkSession, val root: String) {
     if (tier == "ivf") Index.repair(store, codingName, source, column)
     else Index.repairTier(store, codingName, source, column, tier)
 
+  /** Whether a tier's copy was built/synced from the CURRENT source
+    * content ([[Index.tierFresh]]) — false after any in-place rewrite
+    * until [[repairIndex]] or a rebuild. */
+  def indexIsFresh(codingName: String, source: String, column: String,
+      tier: String = "ivf"): Boolean =
+    Index.tierFresh(store, codingName, source, column, tier)
+
   /** Coalesce fragmented index cell partitions ([[Index.compactCells]]) —
     * run periodically under a streaming sync workload. `tier` selects the
     * copy (ivf | pq | sq | bq). */
