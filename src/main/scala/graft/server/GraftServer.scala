@@ -48,8 +48,9 @@ import graft.coder.CoderConfig
   *     (tokenizer lifecycle: list / train+persist / per-row token counts)
   *   - `POST   /api/text/fingerprints` · `POST /api/text/overlaps`
   *     (winnowing fingerprints / MOSS overlap pairs)
-  *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact`
-  *     (per-cell layout stats / cell compaction, any tier)
+  *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
+  *     `POST /api/indexes/repair`
+  *     (per-cell layout stats / compaction / cell-scoped repair, any tier)
   */
 class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   private val mapper = new ObjectMapper()
@@ -105,6 +106,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "text" :: "overlaps" :: Nil)     => postOverlaps(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
+        case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
         case _ => send(ex, 404, s"""{"error":"no route: $method $path"}""")
       }
     } catch {
@@ -375,6 +377,17 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       s"""{"cell":$cell,"files":$files,"bytes":$bytes,"rows":$rows}"""
     }.mkString(",")
     ok(ex, s"""{"fresh":$fresh,"cells":[$rows]}""")
+  }
+
+  /** Cell-scoped repair after in-place source changes
+    * ([[Engine.repairIndex]], any tier). */
+  private def postIndexRepair(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val s = engine.repairIndex(require(body, "coding").asText(),
+      require(body, "source").asText(), require(body, "column").asText(),
+      tier = opt(body, "tier").map(_.asText()).getOrElse("ivf"))
+    ok(ex, s"""{"filesChanged":${s.filesChanged},""" +
+      s""""cellsRewritten":${s.cellsRewritten},"fullRebuild":${s.fullRebuild}}""")
   }
 
   /** Coalesce fragmented index cells ([[Engine.compactIndex]]). */

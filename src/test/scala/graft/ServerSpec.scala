@@ -161,6 +161,13 @@ class ServerSpec extends SparkSuite {
       """{"coding":"wire_c1","source":"wire_vecs","column":"vec","maxFilesPerCell":64}""")
     assert(cpc == 200 && mapper.readTree(cpBody).get("cellsCompacted").asLong() == 0L,
       cpBody)
+    // repair on a consistent index is a no-op that reports zero work
+    val (rpc, rpBody) = send("POST", "/indexes/repair",
+      """{"coding":"wire_c1","source":"wire_vecs","column":"vec","tier":"sq"}""")
+    assert(rpc == 200, rpBody)
+    val rp = mapper.readTree(rpBody)
+    assert(rp.get("filesChanged").asLong() == 0L && !rp.get("fullRebuild").asBoolean(),
+      rpBody)
 
     // retrieve-rerank over the wire ("rerank": true routes to the plain
     // IVF two-stage path — id-only coarse pass, exact rerank)
