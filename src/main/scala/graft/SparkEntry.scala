@@ -836,6 +836,20 @@ object SparkEntry {
         k = 10, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
         distCol = "dist")
     }),
+    // —— reciprocal-rank fusion of two dense rankings (l2 + cosine):
+    // integer ranks + left-associative double terms ⇒ bit-mirrorable ——
+    "rrf_fusion" -> ((s: SparkSession, dir: String) => {
+      val emb = tbl(s, dir, "embeddings")
+      val l2r = Search.knn(emb, "embedding", targetDf(s, dir), "l2",
+        k = 50, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
+        distCol = "d")
+      val cosr = Search.knn(emb, "embedding", targetDf(s, dir), "cosine",
+        k = 50, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
+        distCol = "d")
+      Search.rrfFuse(Seq((l2r, "d"), (cosr, "d")), "vec_id", k = 10,
+          perListLimit = 50)
+        .select(col("vec_id"), col("rrf_score").as("score"))
+    }),
     "offset_limit" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1475,6 +1489,24 @@ object SparkEntry {
     // Matryoshka prefix search at full candidate budget is exact (the
     // prefix only orders the coarse pass, the rerank is full-width)
     "search_matryoshka" -> knnOracle(l2Sql),
+    // RRF: integer ranks from the two (bit-exact) distance orders, then
+    // the same left-associative coalesce-sum of 1/(60+rank) terms
+    "rrf_fusion" ->
+      ("WITH l2r AS (SELECT vec_id, row_number() OVER (ORDER BY d ASC, vec_id ASC) AS r " +
+        "FROM (SELECT e.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), q.t) AS d " +
+        "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
+        "FROM embeddings WHERE vec_id = 0) q ORDER BY d ASC, vec_id ASC LIMIT 50)), " +
+        "cosr AS (SELECT vec_id, row_number() OVER (ORDER BY d ASC, vec_id ASC) AS r " +
+        "FROM (SELECT e.vec_id, 0.5 - 0.5 * (list_inner_product(CAST(e.embedding AS DOUBLE[]), q.t) / " +
+        "sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * " +
+        "list_inner_product(q.t, q.t))) AS d " +
+        "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
+        "FROM embeddings WHERE vec_id = 0) q ORDER BY d ASC, vec_id ASC LIMIT 50)) " +
+        "SELECT COALESCE(l.vec_id, c.vec_id) AS vec_id, " +
+        "COALESCE(1.0 / (60.0 + CAST(l.r AS DOUBLE)), 0.0) + " +
+        "COALESCE(1.0 / (60.0 + CAST(c.r AS DOUBLE)), 0.0) AS score " +
+        "FROM l2r l FULL OUTER JOIN cosr c ON l.vec_id = c.vec_id " +
+        "ORDER BY score DESC, vec_id ASC LIMIT 10"),
     // packed sign-bit hamming == count of dims whose (x > 0) sign differs
     "hamming_sql" ->
       ("SELECT e.vec_id, CAST(len(list_filter(range(1, 65), " +

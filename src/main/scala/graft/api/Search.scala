@@ -135,6 +135,56 @@ object Search {
     projected.orderBy(col(DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009): combine
+    * N rankings of the same id space into one by summing
+    * `1 / (kRrf + rank_i)` over the lists an id appears in — the
+    * standard score-free way to fuse heterogeneous retrievers (dense ANN
+    * + lexical BM25, or several metrics) whose raw scores are not
+    * comparable.
+    *
+    * Each input is `(DataFrame, scoreCol)` with ASCENDING = better
+    * (distance convention). Each list is first truncated to
+    * `perListLimit` rows by (score asc, id asc) — a distributed
+    * TakeOrderedAndProject — so the rank window and the outer-join
+    * fusion run on N×perListLimit rows, never on a corpus: RRF is
+    * defined over top-N lists, and that bound is what keeps the
+    * single-partition rank window harmless at any corpus scale. Ranks
+    * are 1-based integers with ties broken by id, and the fused score is
+    * the LEFT-ASSOCIATIVE sum of the per-list terms in input order —
+    * fully deterministic, so the whole operator is SQL-mirrorable.
+    * Output: (idCol, rrf_score), top-k by score desc, id asc. */
+  def rrfFuse(
+      rankings: Seq[(DataFrame, String)],
+      idCol: String,
+      k: Int,
+      kRrf: Int = 60,
+      perListLimit: Int = 1000): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: at least one ranking")
+    require(kRrf >= 1, s"rrfFuse: kRrf must be >= 1, got $kRrf")
+    require(perListLimit >= 1,
+      s"rrfFuse: perListLimit must be >= 1, got $perListLimit")
+    import org.apache.spark.sql.expressions.Window
+    val rankCols = rankings.indices.map(i => s"__rank_$i")
+    val ranked = rankings.zipWithIndex.map { case ((df, scoreCol), i) =>
+      val top = df.select(col(idCol), col(scoreCol))
+        .orderBy(col(scoreCol).asc, col(idCol).asc)
+        .limit(perListLimit)
+      // the un-partitioned window is bounded by perListLimit rows (the
+      // limit above) — never a corpus-scale single partition
+      top.withColumn(rankCols(i), row_number().over(
+          Window.orderBy(col(scoreCol).asc, col(idCol).asc)))
+        .select(col(idCol), col(rankCols(i)))
+    }
+    val joined = ranked.reduce(_.join(_, Seq(idCol), "full_outer"))
+    val score = rankCols.map(rc =>
+        coalesce(lit(1.0d) / (lit(kRrf.toDouble) + col(rc).cast("double")), lit(0.0d)))
+      .reduce(_ + _)
+    joined.withColumn("rrf_score", score)
+      .select(col(idCol), col("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Batch k-NN join: top-k corpus rows per query row.
     *
     * Generalizes the reference's single-target search to a set of queries

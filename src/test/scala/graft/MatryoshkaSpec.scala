@@ -81,6 +81,39 @@ class MatryoshkaSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall < 0.9 ($got vs $brute)")
   }
 
+  test("rrfFuse: hand-computed fusion, missing-id handling, contracts") {
+    // list A ranks ids 1,2,3; list B ranks 3,2,4 — id 3 appears rank 3+1,
+    // id 2 rank 2+2, id 1 rank 1 only, id 4 rank 3 only (kRrf = 60)
+    val a = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3)).toDF("id", "s")
+    val b = Seq((3L, 0.05), (2L, 0.15), (4L, 0.25)).toDF("id", "s")
+    val got = Search.rrfFuse(Seq((a, "s"), (b, "s")), "id", k = 4,
+        perListLimit = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def t(r: Int) = 1.0 / (60.0 + r)
+    val want = Map(
+      1L -> (t(1) + 0.0), 2L -> (t(2) + t(2)),
+      3L -> (t(3) + t(1)), 4L -> (0.0 + t(3)))
+    got.foreach { case (id, sc) =>
+      assert(math.abs(sc - want(id)) < 1e-15, s"id $id: $sc vs ${want(id)}")
+    }
+    // ordering: 3 (t3+t1) > 2 (2·t2) > 1 (t1) > 4 (t3)
+    assert(got.map(_._1) == Seq(3L, 2L, 1L, 4L), got.toString)
+    // perListLimit truncates before fusion: with limit 2, id 3 drops from
+    // list A and id 4 from list B
+    val trunc = Search.rrfFuse(Seq((a, "s"), (b, "s")), "id", k = 4,
+        perListLimit = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(math.abs(trunc(3L) - t(1)) < 1e-15,
+      s"id 3 must keep only its list-B rank-1 term: $trunc")
+    assert(!trunc.contains(4L), s"id 4 was truncated from both lists: $trunc")
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Nil, "id", k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq((a, "s")), "id", k = 1, kRrf = 0)
+    }
+  }
+
   test("error contracts: prefixDim out of range, candidates < k") {
     val df = corpus(20, 8).toDF("id", "vec")
     val t = Array.fill(8)(1.0)
