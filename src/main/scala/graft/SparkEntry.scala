@@ -120,6 +120,34 @@ object SparkEntry {
   private val cosSql = cosPair("CAST(e.embedding AS DOUBLE[])", "q.t")
   private val dotSql = "-list_inner_product(CAST(e.embedding AS DOUBLE[]), q.t)"
 
+  /** DuckDB mirror of [[graft.ext.TextAnalysis.bm25Scores]] for terms
+    * (hash, join, scan), k1 = 1.2, b = 0.75 — same tokenization, exact
+    * integer corpus stats, identical arithmetic association, round(,6). */
+  private val bm25Sql: String = {
+    val terms = Seq("hash", "join", "scan")
+    def tf(t: String) =
+      s"CAST(len(list_filter(bd.t, x -> x = '$t')) AS DOUBLE)"
+    def dfi(i: Int) = s"CAST(bs.df_$i AS DOUBLE)"
+    def idf(i: Int) =
+      s"ln(1.0 + (CAST(bs.n AS DOUBLE) - ${dfi(i)} + 0.5) / (${dfi(i)} + 0.5))"
+    val norm = "(1.2 * (0.25 + (0.75 * CAST(bd.dl AS DOUBLE)) / " +
+      "(CAST(bs.sdl AS DOUBLE) / CAST(bs.n AS DOUBLE))))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      s"((${idf(i)} * (${tf(t)} * 2.2)) / (${tf(t)} + $norm))"
+    }.mkString(" + ")
+    val dfAggs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN list_contains(t, '${terms(i)}') THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+      .mkString(", ")
+    "SELECT bd.doc_id AS doc_id, round(" + score + ", 6) AS bm25 FROM " +
+      "(SELECT doc_id, t, len(t) AS dl FROM (SELECT doc_id, " +
+      "list_filter(string_split(lower(text), ' '), x -> x <> '') AS t " +
+      "FROM documents WHERE text IS NOT NULL)) bd CROSS JOIN " +
+      "(SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl, " +
+      dfAggs + " FROM (SELECT t, len(t) AS dl FROM (SELECT " +
+      "list_filter(string_split(lower(text), ' '), x -> x <> '') AS t " +
+      "FROM documents WHERE text IS NOT NULL))) bs"
+  }
+
   /** Scratch root for lifecycle queries — single source of truth for the
     * formula (Bench attaches to the same root after the query loop has
     * populated it). */
@@ -836,6 +864,27 @@ object SparkEntry {
         k = 10, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
         distCol = "dist")
     }),
+    // —— Okapi BM25 lexical scoring against a fixed term set: integer
+    // corpus stats + driver-side idf + round(,6) ⇒ bit-mirrorable ——
+    "search_bm25" -> ((s: SparkSession, dir: String) => {
+      graft.ext.TextAnalysis.bm25Scores(tbl(s, dir, "documents"),
+          "doc_id", "text", Seq("hash", "join", "scan"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+    }),
+    // —— TRUE hybrid retrieval: dense l2 ranking over embeddings fused
+    // with the BM25 lexical ranking over documents (shared id space)
+    // via reciprocal-rank fusion ——
+    "hybrid_rrf" -> ((s: SparkSession, dir: String) => {
+      val dense = Search.knn(tbl(s, dir, "embeddings"), "embedding",
+        targetDf(s, dir), "l2", k = 50, select = Some(Seq("vec_id")),
+        tieBreak = Seq("vec_id"), distCol = "d")
+      val lex = graft.ext.TextAnalysis.bm25Scores(tbl(s, dir, "documents"),
+          "doc_id", "text", Seq("hash", "join", "scan"))
+        .select(col("doc_id").as("vec_id"), (-col("bm25")).as("d"))
+      Search.rrfFuse(Seq((dense, "d"), (lex, "d")), "vec_id", k = 10,
+          perListLimit = 50)
+        .select(col("vec_id"), col("rrf_score").as("score"))
+    }),
     // —— reciprocal-rank fusion of two dense rankings (l2 + cosine):
     // integer ranks + left-associative double terms ⇒ bit-mirrorable ——
     "rrf_fusion" -> ((s: SparkSession, dir: String) => {
@@ -1489,6 +1538,26 @@ object SparkEntry {
     // Matryoshka prefix search at full candidate budget is exact (the
     // prefix only orders the coarse pass, the rerank is full-width)
     "search_matryoshka" -> knnOracle(l2Sql),
+    // BM25 mirrored term-for-term: same tokenization, exact integer
+    // corpus stats, same ln() idf (round(,6) absorbs the ≤1-ulp ln
+    // divergence), same left-associative arithmetic order
+    "search_bm25" ->
+      (bm25Sql + " ORDER BY bm25 DESC, doc_id ASC LIMIT 10"),
+    // hybrid RRF: dense l2 ranks × BM25 ranks over the shared id space,
+    // fused with the same coalesce-sum as rrf_fusion
+    "hybrid_rrf" ->
+      ("WITH l2r AS (SELECT vec_id, row_number() OVER (ORDER BY d ASC, vec_id ASC) AS r " +
+        "FROM (SELECT e.vec_id, list_distance(CAST(e.embedding AS DOUBLE[]), q.t) AS d " +
+        "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
+        "FROM embeddings WHERE vec_id = 0) q ORDER BY d ASC, vec_id ASC LIMIT 50)), " +
+        "lexr AS (SELECT doc_id AS vec_id, " +
+        "row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r FROM (" +
+        bm25Sql + " ORDER BY bm25 DESC, doc_id ASC LIMIT 50)) " +
+        "SELECT COALESCE(l.vec_id, c.vec_id) AS vec_id, " +
+        "COALESCE(1.0 / (60.0 + CAST(l.r AS DOUBLE)), 0.0) + " +
+        "COALESCE(1.0 / (60.0 + CAST(c.r AS DOUBLE)), 0.0) AS score " +
+        "FROM l2r l FULL OUTER JOIN lexr c ON l.vec_id = c.vec_id " +
+        "ORDER BY score DESC, vec_id ASC LIMIT 10"),
     // RRF: integer ranks from the two (bit-exact) distance orders, then
     // the same left-associative coalesce-sum of 1/(60+rank) terms
     "rrf_fusion" ->

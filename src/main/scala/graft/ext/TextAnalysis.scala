@@ -13,6 +13,57 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // ——— lexical (BM25) scoring ———
+
+  /** Okapi BM25 scores of every document against a fixed term set
+    * (Robertson & Zaragoza 2009) — the lexical half of hybrid retrieval;
+    * fuse the resulting ranking with a dense one via
+    * [[graft.api.Search.rrfFuse]].
+    *
+    * Scale shape: corpus statistics (N, Σ doc-length, per-term document
+    * frequencies) come from ONE map-side-combined agg over integer
+    * counters — exact and order-independent — and return to the
+    * executors as literals in a single narrow scoring map (per-term
+    * `tf` via the codegen `filter` HOF). No shuffle touches the corpus.
+    *
+    * Determinism/mirror contract: tokens = lowercase split on single
+    * spaces with empties dropped (the corpus convention, mirrored by
+    * `string_split(…, ' ')`); `avgdl` = exact integer Σdl divided once;
+    * idf computed driver-side with the Lucene-style
+    * `ln(1 + (N − df + 0.5)/(df + 0.5))`; the score sums the per-term
+    * contributions LEFT-ASSOCIATIVELY in input term order and is rounded
+    * to 6 decimals, so a SQL mirror reproduces it bit-exactly (the
+    * rounding absorbs the ≤1-ulp `ln` divergence across runtimes).
+    * Output: (idCol, bm25). */
+  def bm25Scores(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25Scores: at least one term")
+    require(terms.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "bm25Scores: terms must be non-empty and lowercase")
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks__"))
+      .withColumn("__dl__", size(col("__toks__")))
+    val dfAggs = count(lit(1)).as("n") +: sum(col("__dl__")).as("sdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("__toks__"), t), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = base.agg(dfAggs.head, dfAggs.tail: _*).collect()(0)
+    val n = stats.getLong(0)
+    require(n > 0, "bm25Scores: no non-null documents")
+    val avgdl = stats.getLong(1).toDouble / n.toDouble
+    val idfs = terms.indices.map { i =>
+      val dfi = stats.getLong(2 + i).toDouble
+      math.log(1.0 + (n.toDouble - dfi + 0.5) / (dfi + 0.5))
+    }
+    val norm = lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl__").cast("double") / lit(avgdl))
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = size(filter(col("__toks__"), x => x === lit(t))).cast("double")
+      lit(idfs(i)) * (tf * lit(k1 + 1.0)) / (tf + norm)
+    }.reduce(_ + _)
+    base.select(col(idCol), round(score, 6).as("bm25"))
+  }
+
   // ——— token counting ———
 
   /** Fixed-size overlapping character chunks — the RAG/embedding

@@ -216,6 +216,41 @@ class DedupSpec extends SparkSuite {
 class TextAnalysisSpec extends SparkSuite {
   import spark.implicits._
 
+  test("bm25Scores match a hand-computed reference; null docs excluded") {
+    // corpus: 3 docs; term "cat" appears in docs 1 (tf=2, dl=4) and
+    // 2 (tf=1, dl=2); doc 3 lacks it (dl=3); null doc excluded
+    val docs = Seq(
+      (1L, "cat dog cat bird"),
+      (2L, "cat fish"),
+      (3L, "dog bird fish"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysis.bm25Scores(docs, "id", "text", Seq("cat"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    val n = 3.0; val df = 2.0; val avgdl = 9.0 / 3.0
+    val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def term(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == r6(term(2.0, 4.0)), s"doc 1: ${got(1L)}")
+    assert(got(2L) == r6(term(1.0, 2.0)), s"doc 2: ${got(2L)}")
+    assert(got(3L) == 0.0, s"doc 3: ${got(3L)}")
+    // more matches rank higher; shorter doc beats longer at equal tf
+    assert(got(1L) > got(2L) && got(2L) > got(3L))
+    // multi-term scores are the sum of per-term contributions
+    val multi = TextAnalysis.bm25Scores(docs, "id", "text", Seq("cat", "dog"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(multi(3L) > 0.0 && multi(1L) > got(1L), multi.toString)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Scores(docs, "id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Scores(docs, "id", "text", Seq("Cat"))
+    }
+  }
+
   test("chunkDocuments: coverage, overlap, and edge cases") {
     val docs = Seq(
       (1L, "a" * 100),   // len < size: one whole chunk
