@@ -114,6 +114,28 @@ object SparkEntry {
       "list_transform(range(1, greatest(len(h) - 4 + 1, 1) + 1), " +
       "t -> list_min(h[t : t + 3])) END AS wins FROM h)"
 
+  /** DuckDB duplicated-span CTE chain (whitespace tokens → 8-token gram
+    * strings → signed FNV-1a span hashes), shared by the dedup_spans and
+    * dedup_span_strip oracles. Mirrors `Dedup.tokenSpans(k = 8)`
+    * term-for-term: case-SENSITIVE tokens, space-joined grams, FNV-1a
+    * seed 0 over code points in HUGEINT mod 2^64, Scala-signed result. */
+  private val spanCte =
+    "sptoks AS (SELECT doc_id, " +
+      "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "spge AS (SELECT doc_id, s.start AS start, s.gram AS gram FROM (" +
+      "SELECT doc_id, unnest(list_transform(range(0, len(t) - 7), " +
+      "i -> {'start': i, 'gram': array_to_string(t[i+1:i+8], ' ')})) AS s " +
+      "FROM sptoks WHERE len(t) >= 8)), " +
+      "sphs AS (SELECT doc_id, CAST(start AS BIGINT) AS start, " +
+      "CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
+      "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS h FROM (" +
+      "SELECT doc_id, start, " +
+      "list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
+      "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hu " +
+      "FROM spge))"
+
   private def cosPair(a: String, b: String) =
     s"0.5 - 0.5 * (list_inner_product($a, $b) / " +
       s"sqrt(list_inner_product($a, $a) * list_inner_product($b, $b)))"
@@ -524,6 +546,17 @@ object SparkEntry {
       Dedup.nearDupPairsSimhash(tbl(s, dir, "documents"), "doc_id", "text",
         maxHamming = 8, bands = 4)
         .select("id_a", "id_b", "hamming")),
+    // —— dedup: exact substring (duplicated 8-token span) detection —
+    // Lee et al. ACL 2022, distributed: narrow-map FNV span hashes,
+    // hash groupBy, long-keyed join back; the oracle replays the FNV
+    // arithmetic in HUGEINT ——
+    "dedup_spans" -> ((s: SparkSession, dir: String) =>
+      Dedup.duplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)),
+    // —— dedup: remove all but the canonical occurrence of every
+    // duplicated 8-token span; overlapping windows union, so whole
+    // duplicated runs disappear from non-canonical docs ——
+    "dedup_span_strip" -> ((s: SparkSession, dir: String) =>
+      Dedup.stripDuplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)),
     // —— dedup: exact n-gram (word-set) jaccard pairs (oracle) ——
     "dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairsExact(
@@ -1165,6 +1198,36 @@ object SparkEntry {
         "ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming " +
         "FROM cands WHERE bit_count(xor(sa, sb)) <= 8"),
+    // duplicated 8-token spans mirrored end-to-end: FNV-1a span hashes in
+    // HUGEINT, hash group HAVING >= 2, join back — Lee et al. detection
+    "dedup_spans" ->
+      (s"WITH $spanCte, " +
+        "spd AS (SELECT h, CAST(count(*) AS BIGINT) AS n_occ " +
+        "FROM sphs GROUP BY h HAVING count(*) >= 2) " +
+        "SELECT sphs.doc_id, sphs.start, sphs.h AS gram_hash, spd.n_occ " +
+        "FROM sphs JOIN spd USING (h)"),
+    // strip mirror: canonical = row_number 1 over (doc_id, start) per
+    // hash; non-canonical window positions union; kept tokens re-joined
+    // in position order (string_agg ORDER BY = Spark's array_sort join)
+    "dedup_span_strip" ->
+      (s"WITH $spanCte, " +
+        "spd AS (SELECT h FROM sphs GROUP BY h HAVING count(*) >= 2), " +
+        "spocc AS (SELECT sphs.* FROM sphs JOIN spd USING (h)), " +
+        "spnc AS (SELECT doc_id, start FROM (SELECT doc_id, start, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM spocc) " +
+        "WHERE rn > 1), " +
+        "sprem AS (SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS p FROM spnc), " +
+        "sptp AS (SELECT doc_id, s.p AS p, s.tok AS tok FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), " +
+        "i -> {'p': CAST(i - 1 AS BIGINT), 'tok': t[i]})) AS s FROM sptoks)), " +
+        "spkept AS (SELECT sptp.doc_id, sptp.p, sptp.tok FROM sptp " +
+        "LEFT JOIN sprem ON sptp.doc_id = sprem.doc_id AND sptp.p = sprem.p " +
+        "WHERE sprem.p IS NULL), " +
+        "spagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY p) AS text_kept FROM spkept GROUP BY doc_id) " +
+        "SELECT sptoks.doc_id, CAST(len(sptoks.t) AS BIGINT) AS n_tokens, " +
+        "coalesce(spagg.n_kept, 0) AS n_kept, coalesce(spagg.text_kept, '') AS text_kept " +
+        "FROM sptoks LEFT JOIN spagg USING (doc_id)"),
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, " +
         "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +

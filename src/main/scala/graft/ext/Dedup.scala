@@ -31,6 +31,113 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
       .filter(col("cnt") > 1)
 
+  // ——— cross-document duplicated token spans (exact substring dedup) ———
+
+  /** Whitespace tokens of raw text (case-sensitive — substring dedup must
+    * not conflate "The" with "the"); empties from leading whitespace
+    * dropped. */
+  private def spanTokens(textCol: String): Column =
+    filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
+
+  /** FNV-1a (seed 0) of the space-joined k-token gram — computed in the
+    * same narrow map that forms the gram, so gram STRINGS never reach a
+    * shuffle; only (id, start, hash) longs do. */
+  private val spanHashUdf = udf { (gram: String) => hash64(gram, 0L) }
+
+  /** All (id, start, hash) k-token spans of every non-null document.
+    * `start` is the 0-based token offset. */
+  private def tokenSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
+      .filter(size(col("__t__")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("__t__")) - k),
+        i => array_join(slice(col("__t__"), i + 1, lit(k)), " "))))
+      .select(col("id"), col("pos").cast("long").as("start"),
+        spanHashUdf(col("col")).as("h"))
+
+  /** Every occurrence of a k-token span that appears at least
+    * `minOccurrences` times anywhere in the corpus (across documents or
+    * repeated within one) — the detection half of exact substring
+    * deduplication (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022). A duplicated run of L ≥ k tokens
+    * shows up as its L − k + 1 overlapping duplicated windows, so the
+    * union of reported windows covers the full maximal run — window
+    * granularity IS the paper's minimum-match-length threshold.
+    *
+    * Scale shape: this is the distributed alternative to the paper's
+    * corpus-wide suffix array — one narrow map emits (id, start, hash64)
+    * per token position (24 bytes/token; hashes are formed before any
+    * shuffle so gram strings never leave the scan stage), one hash
+    * groupBy finds repeated hashes, and one long-keyed join annotates the
+    * occurrences. No all-pairs step anywhere.
+    *
+    * Output: (idCol, start, gram_hash, n_occ). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int, minOccurrences: Int = 2): DataFrame = {
+    require(k >= 1, s"duplicatedSpans: k must be >= 1, got $k")
+    require(minOccurrences >= 2,
+      s"duplicatedSpans: minOccurrences must be >= 2, got $minOccurrences")
+    val spans = tokenSpans(df, idCol, textCol, k)
+    val dup = spans.groupBy("h")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOccurrences)
+    spans.join(dup, "h")
+      .select(col("id").as(idCol), col("start"),
+        col("h").as("gram_hash"), col("n_occ"))
+  }
+
+  /** Remove all but the first occurrence of every duplicated k-token
+    * span — the rewrite half of Lee et al. exact substring dedup. The
+    * canonical (kept) occurrence of each span is the globally smallest
+    * (id, start); every other occurrence's k token positions are deleted,
+    * and overlapping duplicated windows union, so a duplicated run of any
+    * length ≥ k is removed wholesale from every document except the
+    * canonical one. Documents shorter than k tokens pass through intact.
+    *
+    * Output: (idCol, n_tokens, n_kept, text_kept) for every non-null
+    * document — `text_kept` is the surviving tokens re-joined in order
+    * (single spaces; original inter-token whitespace is not preserved,
+    * matching the tokenized training-data setting this feeds).
+    *
+    * Scale shape: spans/canonicals/removals shuffle only id + offset
+    * longs; the final per-document reassembly is one groupBy whose state
+    * is bounded by the document's own length. */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"stripDuplicatedSpans: k must be >= 1, got $k")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
+    val spans = tokenSpans(df, idCol, textCol, k)
+    val dup = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select("h")
+    val occ = spans.join(dup, "h")
+    // non-canonical occurrences: everything but the (id, start)-smallest
+    val wOcc = Window.partitionBy(col("h"))
+      .orderBy(col("id").asc, col("start").asc)
+    val nonCanon = occ.withColumn("__rn__", row_number().over(wOcc))
+      .filter(col("__rn__") > 1)
+    val removed = nonCanon
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
+      .distinct()
+    val tokPos = base
+      .select(col("id"), posexplode(col("__t__")).as(Seq("p", "tok")))
+      .withColumn("p", col("p").cast("long"))
+    val kept = tokPos.join(removed, Seq("id", "p"), "left_anti")
+    val agg = kept.groupBy("id").agg(
+      count(lit(1)).as("n_kept"),
+      array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s("tok")), " ").as("text_kept"))
+    base.select(col("id"), size(col("__t__")).cast("long").as("n_tokens"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   // ——— shingles + MinHash ———
 
   private[graft] def hash64(s: String, seed: Long): Long = {

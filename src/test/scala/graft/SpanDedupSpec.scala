@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+
+/** Exact substring (duplicated k-token span) dedup — Lee et al., ACL 2022.
+  * Every expectation below is hand-computed from the fixture. */
+class SpanDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // d1/d2 share the 5-token run "a b c d e" (d1 at 0, d2 at 2); d3 repeats
+  // "m n o" within itself (0 and 5); d4 is shorter than k; d5 is null.
+  private lazy val docs = Seq(
+    (1L, "a b c d e x1 y1 z1"),
+    (2L, "p q a b c d e r"),
+    (3L, "m n o f g m n o"),
+    (4L, "s t"),
+    (5L, null.asInstanceOf[String]),
+  ).toDF("doc_id", "text")
+
+  test("duplicatedSpans finds cross-doc and within-doc k-gram repeats") {
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "start", "n_occ").as[(Long, Long, Long)]
+      .collect().toSet
+    val expected = Set(
+      (1L, 0L, 2L), (1L, 1L, 2L), (1L, 2L, 2L),  // "a b c","b c d","c d e" in d1
+      (2L, 2L, 2L), (2L, 3L, 2L), (2L, 4L, 2L),  // same three in d2
+      (3L, 0L, 2L), (3L, 5L, 2L),                // "m n o" twice in d3
+    )
+    assert(spans == expected, s"got $spans")
+  }
+
+  test("minOccurrences filters pairs-only duplicates") {
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text",
+      k = 3, minOccurrences = 3)
+    assert(spans.count() == 0)
+  }
+
+  test("stripDuplicatedSpans keeps the canonical occurrence, removes the rest") {
+    val out = Dedup.stripDuplicatedSpans(docs, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))          // null doc excluded
+    assert(out(1L) == ((1L, 8L, 8L, "a b c d e x1 y1 z1")), s"${out(1L)}")
+    // d2: overlapping non-canonical windows at 2,3,4 union to positions
+    // 2..6 — the whole 5-token run goes, not just one window
+    assert(out(2L) == ((2L, 8L, 3L, "p q r")), s"${out(2L)}")
+    // d3: within-doc repeat — second "m n o" (positions 5..7) removed
+    assert(out(3L) == ((3L, 8L, 5L, "m n o f g")), s"${out(3L)}")
+    // d4: shorter than k, untouched
+    assert(out(4L) == ((4L, 2L, 2L, "s t")), s"${out(4L)}")
+  }
+
+  test("identical docs: min-id doc is canonical, duplicate is emptied") {
+    val dup = Seq((10L, "u v w x"), (11L, "u v w x")).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(dup, "doc_id", "text", k = 2)
+      .select("doc_id", "n_kept", "text_kept")
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 4L, "u v w x")))
+    assert(out(11L) == ((11L, 0L, "")))
+  }
+
+  test("error contracts") {
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3, minOccurrences = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.stripDuplicatedSpans(docs, "doc_id", "text", k = 0)
+    }
+  }
+}
