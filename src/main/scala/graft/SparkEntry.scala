@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{Engine, Search}
 import graft.coder.CoderConfig
-import graft.ext.{Dedup, Multimodal, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, NgramLm, TextAnalysis}
 import graft.functions.functions._
 import graft.streaming.Streams
 
@@ -189,6 +189,12 @@ object SparkEntry {
     * arithmetic is mirrored term-for-term). */
   def pcaOracleModelPath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_pca_oracle_k8_whiten.json"
+
+  /** Fixed tmpdir path where `text_perplexity` exports its trained bigram
+    * LM for the DuckDB oracle (same exported-model pattern as
+    * [[pcaOracleModelPath]]). */
+  def ngramOracleModelPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ngram_oracle_v2048_mc2.json"
 
   /** A scratch engine for lifecycle queries (coder/index/probe). */
   private def scratchEngine(s: SparkSession, dir: String): Engine = {
@@ -674,6 +680,17 @@ object SparkEntry {
           col("punct_ratio"), col("stopword_ratio"),
           TextAnalysis.qualityExpr(col("n_tokens"), col("stopword_ratio"),
             col("punct_ratio")).as("quality"))),
+    // —— text: CCNet-style LM perplexity — train a bigram stupid-backoff
+    // LM on the corpus (two bounded integer aggs), export the model for
+    // the oracle, score every doc in one narrow map (model broadcast) ——
+    "text_perplexity" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      val model = NgramLm.train(docs, "text",
+        vocabSize = 2048, minCount = 2L, alpha = 0.4)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(ngramOracleModelPath), model.toJson)
+      NgramLm.perplexity(docs, "doc_id", "text", model)
+    }),
     // —— text: corpus statistics — vocabulary + bigram counts ——
     "vocab_topk" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.topVocab(tbl(s, dir, "documents"), "text", 100)),
@@ -1368,6 +1385,38 @@ object SparkEntry {
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
         "substr(text, CAST(i AS INT) * 160 + 1, 200) AS chunk FROM e"),
     // mirrors TextAnalysis.qualityComponents + qualityExpr term-for-term
+    // bigram stupid-backoff perplexity mirrored from the exported model:
+    // vocab-map each token (list_contains = the training map), look up
+    // bigram/unigram counts, fold -ln(S) in token order (ordered list +
+    // left-assoc list_reduce = the Scala while-loop), round(exp(nll/n),6)
+    "text_perplexity" -> s"""
+      |WITH nm AS (SELECT * FROM read_json('$ngramOracleModelPath',
+      |    columns={alpha: 'DOUBLE', total: 'BIGINT', vocab: 'VARCHAR[]',
+      |      unigrams: 'STRUCT(t VARCHAR, c BIGINT)[]',
+      |      bigrams: 'STRUCT(p VARCHAR, w VARCHAR, c BIGINT)[]'})),
+      |nuni AS (SELECT u.t AS t, u.c AS c FROM (SELECT unnest(unigrams) AS u FROM nm)),
+      |nbig AS (SELECT b.p AS p, b.w AS w, b.c AS c FROM (SELECT unnest(bigrams) AS b FROM nm)),
+      |ntok AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      |         FROM documents WHERE text IS NOT NULL),
+      |nmap AS (SELECT doc_id, len(t) AS n,
+      |    list_prepend('<s>', list_transform(t, x ->
+      |      CASE WHEN list_contains(nm.vocab, x) THEN x ELSE '<unk>' END)) AS s
+      |  FROM ntok CROSS JOIN nm WHERE len(t) >= 1),
+      |npr AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, s FROM nmap),
+      |npw AS (SELECT doc_id, n, i, s[i] AS p, s[i + 1] AS w FROM npr),
+      |nsc AS (SELECT npw.doc_id, npw.n, npw.i,
+      |    CASE WHEN b.c IS NOT NULL THEN CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE)
+      |         ELSE (SELECT alpha FROM nm) * CAST(uw.c AS DOUBLE)
+      |              / CAST((SELECT total FROM nm) AS DOUBLE) END AS sc
+      |  FROM npw LEFT JOIN nbig b ON b.p = npw.p AND b.w = npw.w
+      |           JOIN nuni up ON up.t = npw.p
+      |           JOIN nuni uw ON uw.t = npw.w),
+      |nagg AS (SELECT doc_id, n,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(-ln(sc) ORDER BY i)),
+      |      (a, b) -> a + b) AS nll
+      |  FROM nsc GROUP BY doc_id, n)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(exp(nll / n), 6) AS ppl FROM nagg
+      |""".stripMargin,
     // (same IEEE op order => bit-identical doubles; Java \p{Punct} and
     // RE2 [[:punct:]] are the same ASCII set)
     "text_quality" ->

@@ -137,6 +137,26 @@ class Engine(val spark: SparkSession, val root: String) {
 
   def listBpeModels(): Seq[String] = store.listBpeModels()
 
+  /** Train and persist a bigram stupid-backoff LM over a stored table —
+    * the CCNet-style perplexity-filter model ([[graft.ext.NgramLm]]). */
+  def trainNgramLm(name: String, source: String, textCol: String,
+      vocabSize: Int = 4096, minCount: Long = 1L,
+      alpha: Double = 0.4): graft.ext.NgramLm.NgramLmModel = {
+    val model = graft.ext.NgramLm.train(store.loadTable(source), textCol,
+      vocabSize, minCount, alpha)
+    store.saveNgramModel(name, model)
+    model
+  }
+
+  /** Per-document perplexity of a stored table under a persisted LM —
+    * one narrow map with the model broadcast. */
+  def perplexity(source: String, idCol: String, textCol: String,
+      model: String): DataFrame =
+    graft.ext.NgramLm.perplexity(store.loadTable(source), idCol, textCol,
+      store.loadNgramModel(model))
+
+  def listNgramModels(): Seq[String] = store.listNgramModels()
+
   /** Semantic dedup of a stored table at scale ([[graft.ext.Dedup
     * .semanticDedup]] with buckets = the IVF cells of a trained coding —
     * the SemDeDup paper's exact setting: k-means-cluster the embeddings,

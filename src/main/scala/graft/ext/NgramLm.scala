@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model perplexity scoring — the CCNet-style quality
+  * filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  * Datasets from Web Crawl Data", LREC 2020): train a small LM on a
+  * reference corpus, score candidate documents by per-token perplexity,
+  * and keep the low-perplexity (fluent) tail. The model here is a bigram
+  * LM with stupid backoff (Brants et al., "Large Language Models in
+  * Machine Translation", EMNLP 2007) — unnormalized scores are exactly
+  * what a ranking/thresholding filter needs, and the arithmetic is simple
+  * enough to mirror term-for-term in a SQL oracle.
+  *
+  * Scale shape: training is two distributed integer aggs (token counts →
+  * top-V vocab; bigram counts over vocab-mapped tokens), both bounded on
+  * the driver by `vocabSize` / `maxBigrams` with a loud refusal — never
+  * an unbounded collect. Scoring is one narrow map with the model
+  * broadcast; no shuffle touches the corpus.
+  *
+  * Determinism/mirror contract: tokens = lowercase split on single
+  * spaces, empties dropped (the corpus convention shared with
+  * [[TextAnalysis.bm25Scores]]); vocab tie-break = (count desc, token
+  * asc); every probability is formed with the same association the
+  * DuckDB mirror uses (`count/count` and `(alpha * count) / total`); the
+  * per-document negative log-likelihood folds `-ln(S)` LEFT-TO-RIGHT in
+  * token order from 0.0; perplexity = `round(exp(nll / n), 6)` — the
+  * rounding absorbs cross-runtime `ln`/`exp` ulp drift.
+  */
+object NgramLm {
+
+  /** Sentence-start context token. A corpus token spelled exactly
+    * `"<s>"`/`"<unk>"` collides with the markers (documented, harmless
+    * for filtering: it scores as the marker). */
+  val Start = "<s>"
+  val Unk = "<unk>"
+
+  /** Persisted bigram LM: unigram counts include one [[Start]] per
+    * training document; `total` = Σ unigram counts. */
+  case class NgramLmModel(
+      vocab: IndexedSeq[String],
+      unigrams: Map[String, Long],
+      bigrams: Map[(String, String), Long],
+      total: Long,
+      alpha: Double) {
+
+    /** Stupid-backoff score S(w | p); both tokens must already be
+      * vocab-mapped. */
+    def score(p: String, w: String): Double =
+      bigrams.get((p, w)) match {
+        case Some(c) => c.toDouble / unigrams(p).toDouble
+        case None    => alpha * unigrams(w).toDouble / total.toDouble
+      }
+
+    def toJson: String = {
+      def q(s: String) =
+        "\"" + s.flatMap {
+          case '"' => "\\\""
+          case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+      val uni = unigrams.toSeq.sortBy(_._1)
+        .map { case (t, c) => s"""{"t":${q(t)},"c":$c}""" }
+        .mkString("[", ",", "]")
+      val big = bigrams.toSeq.sortBy(x => (x._1._1, x._1._2))
+        .map { case ((p, w), c) => s"""{"p":${q(p)},"w":${q(w)},"c":$c}""" }
+        .mkString("[", ",", "]")
+      s"""{"alpha":$alpha,"total":$total,""" +
+        s""""vocab":${vocab.map(q).mkString("[", ",", "]")},""" +
+        s""""unigrams":$uni,"bigrams":$big}"""
+    }
+  }
+
+  def fromJson(json: String): NgramLmModel = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val vocab = (0 until node.get("vocab").size())
+      .map(node.get("vocab").get(_).asText())
+    val uni = (0 until node.get("unigrams").size()).map { i =>
+      val u = node.get("unigrams").get(i)
+      u.get("t").asText() -> u.get("c").asLong()
+    }.toMap
+    val big = (0 until node.get("bigrams").size()).map { i =>
+      val b = node.get("bigrams").get(i)
+      (b.get("p").asText(), b.get("w").asText()) -> b.get("c").asLong()
+    }.toMap
+    NgramLmModel(vocab, uni, big, node.get("total").asLong(),
+      node.get("alpha").asDouble())
+  }
+
+  /** Lowercase single-space tokens, empties dropped (bm25 convention). */
+  private def toksCol(textCol: String) =
+    filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
+
+  /** Train a bigram stupid-backoff LM over `textCol`.
+    *
+    * `vocabSize` caps the vocabulary at the top-V tokens by (count desc,
+    * token asc) — everything else maps to [[Unk]]. `minCount` prunes rare
+    * bigrams from the model (they fall back to the unigram path at
+    * scoring time, exactly like unseen pairs). `maxBigrams` is the
+    * driver-size guard: training REFUSES loudly rather than collecting an
+    * oversized model. */
+  def train(df: DataFrame, textCol: String, vocabSize: Int = 4096,
+      minCount: Long = 1L, alpha: Double = 0.4,
+      maxBigrams: Long = 4000000L): NgramLmModel = {
+    require(vocabSize >= 1, s"train: vocabSize must be >= 1, got $vocabSize")
+    require(minCount >= 1, s"train: minCount must be >= 1, got $minCount")
+    require(alpha > 0 && alpha <= 1, s"train: alpha must be in (0,1], got $alpha")
+    val base = df.filter(col(textCol).isNotNull)
+      .select(toksCol(textCol).as("__t__"))
+      .filter(size(col("__t__")) >= 1)
+    val vocab = base.select(explode(col("__t__")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select("tok").collect().map(_.getString(0)).toIndexedSeq
+    val vocabSet = vocab.toSet
+    val spark = df.sparkSession
+    val bcVocab = spark.sparkContext.broadcast(vocabSet)
+    val mapUdf = udf { (ts: Seq[String]) =>
+      Start +: ts.map(t => if (bcVocab.value(t)) t else Unk)
+    }
+    val seqs = base.select(mapUdf(col("__t__")).as("__s__"))
+    val uniRows = seqs.select(explode(col("__s__")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .collect()                                   // ≤ vocabSize + 2 rows
+    val counted = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counted.nonEmpty, "train: corpus has no non-empty documents")
+    // add-one floor so scoring a corpus with OOV tokens never sees a
+    // missing <unk> count even when training saw the full vocabulary
+    val unigrams =
+      if (counted.contains(Unk)) counted else counted + (Unk -> 1L)
+    val total = unigrams.valuesIterator.sum
+    val bigDf = seqs.select(explode(transform(
+        sequence(lit(1), size(col("__s__")) - 1),
+        i => struct(element_at(col("__s__"), i).as("p"),
+          element_at(col("__s__"), i + 1).as("w")))).as("pr"))
+      .groupBy(col("pr.p").as("p"), col("pr.w").as("w"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val nBig = bigDf.count()
+    require(nBig <= maxBigrams,
+      s"train: model has $nBig bigrams > maxBigrams = $maxBigrams; " +
+        "raise minCount or lower vocabSize")
+    val bigrams = bigDf.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    NgramLmModel(vocab, unigrams, bigrams, total, alpha)
+  }
+
+  /** Per-document perplexity under a trained model: one narrow map, model
+    * broadcast, documents with ≥ 1 token only.
+    * Output: (idCol, n_tokens, `out`). */
+  def perplexity(df: DataFrame, idCol: String, textCol: String,
+      model: NgramLmModel, out: String = "ppl"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val bcSet = df.sparkSession.sparkContext.broadcast(model.vocab.toSet)
+    val pplUdf = udf { (ts: Seq[String]) =>
+      val m = bc.value
+      val v = bcSet.value
+      val s = new Array[String](ts.length + 1)
+      s(0) = Start
+      var i = 0
+      while (i < ts.length) {
+        val t = ts(i)
+        // vocab membership, EXACTLY the training map and the SQL mirror's
+        // list_contains(vocab, x)
+        s(i + 1) = if (v(t)) t else Unk
+        i += 1
+      }
+      var nll = 0.0
+      i = 1
+      while (i < s.length) {
+        nll += -math.log(m.score(s(i - 1), s(i)))
+        i += 1
+      }
+      math.exp(nll / ts.length.toDouble)
+    }
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), toksCol(textCol).as("__t__"))
+      .filter(size(col("__t__")) >= 1)
+      .select(col(idCol), size(col("__t__")).cast("long").as("n_tokens"),
+        round(pplUdf(col("__t__")), 6).as(out))
+  }
+}

@@ -313,6 +313,26 @@ class Store(val spark: SparkSession, val root: String) {
   def dropBpeModel(name: String): Unit =
     fs.delete(new Path(bpeModelPath(name)), false)
 
+  // ——— n-gram LM models (perplexity quality filtering) ———
+
+  def ngramModelPath(name: String): String = s"$root/models/ngram/$name.json"
+
+  def saveNgramModel(name: String, model: graft.ext.NgramLm.NgramLmModel): Unit =
+    writeSidecar(ngramModelPath(name), model.toJson.getBytes("UTF-8"))
+
+  def loadNgramModel(name: String): graft.ext.NgramLm.NgramLmModel =
+    graft.ext.NgramLm.fromJson(new String(readSidecar(ngramModelPath(name)), "UTF-8"))
+
+  def listNgramModels(): Seq[String] = {
+    val p = new Path(s"$root/models/ngram")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
+  }
+
+  def dropNgramModel(name: String): Unit =
+    fs.delete(new Path(ngramModelPath(name)), false)
+
   // ——— PCA models (embedding dimensionality reduction) ———
 
   def pcaModelPath(name: String): String = s"$root/models/pca/$name.json"

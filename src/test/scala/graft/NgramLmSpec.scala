@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.NgramLm
+
+/** Bigram stupid-backoff LM — every expectation hand-computed from the
+  * closed-form model counts. */
+class NgramLmSpec extends SparkSuite {
+  import spark.implicits._
+
+  // counts: a:3 b:2 c:1 → vocab [a,b,c]; seqs [<s> a b a], [<s> a b c];
+  // unigrams <s>:2 a:3 b:2 c:1 + <unk>-floor 1 → total 9;
+  // bigrams (<s>,a):2 (a,b):2 (b,a):1 (b,c):1
+  private lazy val train = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+  private lazy val model = NgramLm.train(train, "text", vocabSize = 10)
+
+  test("trained counts are the hand-computed ones") {
+    assert(model.vocab == IndexedSeq("a", "b", "c"))
+    assert(model.unigrams == Map("<s>" -> 2L, "a" -> 3L, "b" -> 2L,
+      "c" -> 1L, "<unk>" -> 1L))
+    assert(model.bigrams == Map(("<s>", "a") -> 2L, ("a", "b") -> 2L,
+      ("b", "a") -> 1L, ("b", "c") -> 1L))
+    assert(model.total == 9L)
+    assert(model.alpha == 0.4)
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def pplOf(text: String, m: NgramLm.NgramLmModel = model): Double = {
+    val df = Seq((9L, text)).toDF("doc_id", "text")
+    NgramLm.perplexity(df, "doc_id", "text", m).select("ppl")
+      .as[Double].collect()(0)
+  }
+
+  test("in-vocab doc: pure bigram path, ppl = cbrt(3)") {
+    // S(a|<s>)=2/2, S(b|a)=2/3, S(a|b)=1/2 → ppl = (1 · 3/2 · 2)^(1/3)
+    assert(pplOf("a b a") == round6(math.cbrt(3.0)))
+  }
+
+  test("unseen bigrams: stupid backoff to scaled unigrams") {
+    // all three pairs unseen: S = 0.4·uni/9 → ppl = cbrt(22.5·22.5·11.25)
+    assert(pplOf("c c b") == round6(math.cbrt(22.5 * 22.5 * 11.25)))
+  }
+
+  test("OOV token maps to <unk> with the add-one floor") {
+    // z → <unk>: S(<unk>|<s>) = 0.4·1/9 → ppl = 22.5
+    assert(pplOf("z") == 22.5)
+  }
+
+  test("vocabSize truncation maps the tail to <unk> at train time") {
+    val m2 = NgramLm.train(train, "text", vocabSize = 2)
+    assert(m2.vocab == IndexedSeq("a", "b"))
+    assert(m2.unigrams == Map("<s>" -> 2L, "a" -> 3L, "b" -> 2L, "<unk>" -> 1L))
+    assert(m2.bigrams(("b", "<unk>")) == 1L)
+    assert(m2.total == 8L)
+  }
+
+  test("minCount prunes rare bigrams into the backoff path") {
+    val m3 = NgramLm.train(train, "text", vocabSize = 10, minCount = 2L)
+    assert(m3.bigrams == Map(("<s>", "a") -> 2L, ("a", "b") -> 2L))
+    // S(a|<s>)=1, S(b|a)=2/3, S(a|b) pruned → 0.4·3/9
+    val expected = math.cbrt(1.0 * 1.5 * (9.0 / 1.2))
+    assert(pplOf("a b a", m3) == round6(expected))
+  }
+
+  test("model JSON round-trips exactly") {
+    val back = NgramLm.fromJson(model.toJson)
+    assert(back == model)
+  }
+
+  test("n_tokens and doc filtering") {
+    val df = Seq((1L, "a b"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = NgramLm.perplexity(df, "doc_id", "text", model)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L))   // empty + null docs excluded
+  }
+
+  test("engine lifecycle: train persists the model, score loads it back") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ngram").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("lmdocs", train)
+    val m = engine.trainNgramLm("lm1", "lmdocs", "text", vocabSize = 10)
+    assert(m == model)
+    assert(engine.listNgramModels() == Seq("lm1"))
+    val scored = engine.perplexity("lmdocs", "doc_id", "text", "lm1")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(scored(1L) == round6(math.cbrt(3.0)))
+  }
+
+  test("error contracts") {
+    intercept[IllegalArgumentException] {
+      NgramLm.train(train, "text", vocabSize = 0)
+    }
+    intercept[IllegalArgumentException] {
+      NgramLm.train(train, "text", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      NgramLm.train(train, "text", maxBigrams = 1L)
+    }
+  }
+}
