@@ -725,6 +725,13 @@ object SparkEntry {
           (id, Multimodal.audioFingerprint64(graft.ext.Wav.decode(wav)))
         }.toDF("media_id", "afp")
     }),
+    // —— domain-mixture resampling: retarget src0/src1/src2 from uniform
+    // to 50/30/20 by deterministic md5-threshold downsampling ——
+    "mixture_sample" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.mixtureSample(tbl(s, dir, "documents"),
+        "doc_id", "source",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .select("doc_id", "source")),
     // —— balanced (stratified) sampling: n deterministic docs/stratum ——
     "balanced_sample" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.balancedSample(
@@ -1522,6 +1529,28 @@ object SparkEntry {
         "ELSE b.lang END AS lang_pred, " +
         "f.fingerprint AS fingerprint " +
         "FROM best b JOIN fp f USING (doc_id) WHERE b.rn = 1"),
+    // mixture resampling mirrored end-to-end: counts → factor/rate DOUBLE
+    // arithmetic in the same association → trunc to the 2^60 threshold →
+    // md5-prefix hash compare (hex fold = Spark's conv(...,16,10))
+    "mixture_sample" -> s"""
+      |WITH mc AS (SELECT source, CAST(count(*) AS BIGINT) AS c FROM documents
+      |            WHERE source IN ('src0','src1','src2') GROUP BY source),
+      |mt AS (SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+      |        ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))) AS t(source, w)),
+      |mtot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM mc),
+      |mf AS (SELECT mc.source, mt.w / (CAST(mc.c AS DOUBLE) / CAST(mtot.total AS DOUBLE)) AS f
+      |       FROM mc JOIN mt USING (source) CROSS JOIN mtot),
+      |mm AS (SELECT max(f) AS maxf FROM mf),
+      |mr AS (SELECT source, CAST(trunc(f / mm.maxf * 1152921504606846976.0) AS BIGINT) AS thr
+      |       FROM mf CROSS JOIN mm),
+      |mh AS (SELECT doc_id, source,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+      |        ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))),
+      |      (a, b) -> a * 16 + b) AS h
+      |  FROM documents WHERE source IN ('src0','src1','src2'))
+      |SELECT mh.doc_id, mh.source FROM mh JOIN mr USING (source) WHERE mh.h < mr.thr
+      |""".stripMargin,
     "balanced_sample" ->
       ("SELECT doc_id, lang, source FROM (" +
         "SELECT doc_id, lang, source, " +

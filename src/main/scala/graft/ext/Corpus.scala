@@ -129,6 +129,53 @@ object Corpus {
       .cast("double") / U60Denom
       < greatest(lit(0.0), least(lit(1.0), weightCol)))
 
+  /** Resample a corpus toward a target DOMAIN MIXTURE (the data-mix step
+    * of LLM pipelines, cf. DoReMi / The Pile's per-source weights):
+    * given target shares per domain, compute per-domain keep-rates that
+    * hit the target proportions in expectation while only ever
+    * DOWN-sampling (the domain with the highest target/actual ratio
+    * keeps 100%; everything else scales down relative to it). Rows whose
+    * domain is not in `targetWeights` are dropped.
+    *
+    * Deterministic: the per-domain rates come from one counts agg plus
+    * driver arithmetic, and row selection is the same stable md5
+    * threshold as [[hashSample]] — re-running reproduces the exact
+    * sample, and a SQL engine can mirror the whole operator (counts →
+    * rate arithmetic → hash compare) bit-exactly. One agg + one narrow
+    * filter; nothing shuffles the corpus.
+    *
+    * `targetWeights` need not sum to 1 — only ratios matter. Domains
+    * listed in the map but absent from the data are ignored. */
+  def mixtureSample(df: DataFrame, keyCol: String, domainCol: String,
+      targetWeights: Map[String, Double], salt: String = ""): DataFrame = {
+    require(targetWeights.nonEmpty, "mixtureSample: empty targetWeights")
+    targetWeights.foreach { case (d, w) =>
+      require(w > 0, s"mixtureSample: weight for '$d' must be > 0, got $w")
+    }
+    val domains = targetWeights.keys.toSeq.sorted
+    val counts = df
+      .filter(col(domainCol).isin(domains: _*))
+      .groupBy(col(domainCol).cast("string").as("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = domains.filter(counts.contains)
+    require(present.nonEmpty,
+      s"mixtureSample: no rows in any target domain $domains")
+    val total = present.map(counts).sum
+    // factor = target share / actual share; the max-factor domain keeps
+    // everything (pure downsampling), association mirrors the SQL oracle
+    val factors = present.map(d =>
+      d -> targetWeights(d) / (counts(d).toDouble / total.toDouble)).toMap
+    val maxF = factors.values.max
+    val thresholds = present.map(d =>
+      d -> (factors(d) / maxF * U60Denom).toLong).toMap
+    val thr = present.tail.foldLeft(
+      when(col(domainCol) === present.head, lit(thresholds(present.head)))) {
+      (acc, d) => acc.when(col(domainCol) === d, lit(thresholds(d)))
+    }.otherwise(lit(-1L))
+    df.filter(hashU60(concat(col(keyCol).cast("string"), lit(salt))) < thr)
+  }
+
   // ——— PII redaction ———
 
   /** Regex PII scrubbing: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,
