@@ -48,6 +48,11 @@ import graft.coder.CoderConfig
   *     (tokenizer lifecycle: list / train+persist / per-row token counts)
   *   - `POST   /api/text/fingerprints` · `POST /api/text/overlaps`
   *     (winnowing fingerprints / MOSS overlap pairs)
+  *   - `GET    /api/ngram` · `POST /api/ngram` ·
+  *     `GET /api/ngram/{model}/perplexity` (LM quality-filter lifecycle)
+  *   - `POST   /api/dedup/spans` · `POST /api/dedup/strip`
+  *     (exact substring dedup: detect / rewrite)
+  *   - `POST   /api/sample/mixture` (domain-mixture resampling)
   *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
   *     `POST /api/indexes/repair`
   *     (per-cell layout stats / compaction / cell-scoped repair, any tier)
@@ -104,6 +109,15 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("GET", "bpe" :: model :: "tokens" :: Nil) => getBpeTokens(ex, model)
         case ("POST", "text" :: "fingerprints" :: Nil) => postFingerprints(ex)
         case ("POST", "text" :: "overlaps" :: Nil)     => postOverlaps(ex)
+        case ("GET", "ngram" :: Nil) =>
+          ok(ex, mapper.writeValueAsString(
+            Map("models" -> engine.listNgramModels().asJava).asJava))
+        case ("POST", "ngram" :: Nil)            => postNgram(ex)
+        case ("GET", "ngram" :: model :: "perplexity" :: Nil) =>
+          getPerplexity(ex, model)
+        case ("POST", "dedup" :: "spans" :: Nil) => postDedupSpans(ex)
+        case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
+        case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
@@ -399,6 +413,67 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       tier = opt(body, "tier").map(_.asText()).getOrElse("ivf"))
     ok(ex, s"""{"cellsCompacted":${s.cellsCompacted},""" +
       s""""filesBefore":${s.filesBefore},"filesAfter":${s.filesAfter}}""")
+  }
+
+  /** Train + persist a bigram stupid-backoff LM ([[Engine.trainNgramLm]])
+    * — the perplexity-filter model lifecycle over the wire. */
+  private def postNgram(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val name = require(body, "name").asText()
+    val model = engine.trainNgramLm(name,
+      require(body, "source").asText(),
+      require(body, "column").asText(),
+      vocabSize = intOr(body, "vocabSize", 4096),
+      minCount = intOr(body, "minCount", 1).toLong,
+      alpha = opt(body, "alpha").map(_.asDouble()).getOrElse(0.4))
+    ok(ex, s"""{"model":"$name","vocab":${model.vocab.length},""" +
+      s""""bigrams":${model.bigrams.size}}""")
+  }
+
+  /** Per-document perplexity under a persisted LM ([[Engine.perplexity]]). */
+  private def getPerplexity(ex: HttpExchange, model: String): Unit = {
+    val params = queryParams(ex)
+    def p(k: String): String = params.getOrElse(k,
+      throw new IllegalArgumentException(s"missing required param '$k'"))
+    okRows(ex, engine.perplexity(p("source"), p("idCol"), p("column"), model))
+  }
+
+  /** Duplicated k-token span occurrences
+    * ([[graft.ext.Dedup.duplicatedSpans]]). */
+  private def postDedupSpans(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    okRows(ex, graft.ext.Dedup.duplicatedSpans(df,
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      k = intOr(body, "k", 50),
+      minOccurrences = intOr(body, "minOccurrences", 2)))
+  }
+
+  /** Exact substring dedup rewrite
+    * ([[graft.ext.Dedup.stripDuplicatedSpans]]). */
+  private def postDedupStrip(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    okRows(ex, graft.ext.Dedup.stripDuplicatedSpans(df,
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      k = intOr(body, "k", 50)))
+  }
+
+  /** Deterministic domain-mixture resampling
+    * ([[graft.ext.Corpus.mixtureSample]]); weights = {"domain": share}. */
+  private def postMixture(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val wNode = require(body, "weights")
+    val weights = {
+      val it = wNode.fields()
+      val b = Map.newBuilder[String, Double]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+      b.result()
+    }
+    okRows(ex, graft.ext.Corpus.mixtureSample(df,
+      require(body, "keyCol").asText(), require(body, "domainCol").asText(),
+      weights, salt = opt(body, "salt").map(_.asText()).getOrElse("")))
   }
 
   private def postFingerprints(ex: HttpExchange): Unit = {

@@ -368,4 +368,64 @@ class ServerSpec extends SparkSuite {
 
     assert(send("DELETE", "/tables/wire_docs")._1 == 200)
   }
+
+  test("ngram LM, span-dedup and mixture routes over the wire") {
+    val rows = Seq(
+      """{"doc_id":0,"text":"a b a","src":"d0"}""",
+      """{"doc_id":1,"text":"a b c","src":"d0"}""",
+      """{"doc_id":2,"text":"z z","src":"d1"}""",
+      """{"doc_id":3,"text":"a b a b","src":"d1"}""")
+    val (pc, pBody) = send("PUT", "/tables/wire_lm",
+      s"""{"schema":"doc_id LONG, text STRING, src STRING","rows":[${rows.mkString(",")}]}""")
+    assert(pc == 200, pBody)
+
+    // LM lifecycle: train+persist, list, score — wire == library exactly
+    val (tc, tBody) = send("POST", "/ngram",
+      """{"name":"wire_lm1","source":"wire_lm","column":"text","vocabSize":16}""")
+    assert(tc == 200, tBody)
+    assert(mapper.readTree(tBody).get("vocab").asInt() > 0)
+    val (_, mBody) = send("GET", "/ngram")
+    assert(mapper.readTree(mBody).get("models").toString.contains("wire_lm1"))
+    val (sc2, sBody) = send("GET",
+      "/ngram/wire_lm1/perplexity?source=wire_lm&idCol=doc_id&column=text")
+    assert(sc2 == 200, sBody)
+    val wirePpl = new scala.collection.mutable.HashMap[Long, Double]
+    mapper.readTree(sBody).get("rows").elements()
+      .forEachRemaining(n => wirePpl(n.get("doc_id").asLong()) = n.get("ppl").asDouble())
+    val libPpl = engine.perplexity("wire_lm", "doc_id", "text", "wire_lm1")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(wirePpl.toMap == libPpl, s"wire $wirePpl vs library $libPpl")
+
+    // duplicated spans: "a b" occurs in docs 0, 1, 3 (twice in 3)
+    val (dc, dBody) = send("POST", "/dedup/spans",
+      """{"source":"wire_lm","idCol":"doc_id","column":"text","k":2}""")
+    assert(dc == 200, dBody)
+    var maxOcc = 0L
+    mapper.readTree(dBody).get("rows").elements()
+      .forEachRemaining(n => maxOcc = math.max(maxOcc, n.get("n_occ").asLong()))
+    assert(maxOcc >= 4L, s"'a b' must appear >= 4 times, got max $maxOcc")
+    val (uc, uBody) = send("POST", "/dedup/strip",
+      """{"source":"wire_lm","idCol":"doc_id","column":"text","k":2}""")
+    assert(uc == 200, uBody)
+    val kept = new scala.collection.mutable.HashMap[Long, String]
+    mapper.readTree(uBody).get("rows").elements()
+      .forEachRemaining(n => kept(n.get("doc_id").asLong()) = n.get("text_kept").asText())
+    assert(kept(0L) == "a b a", "canonical doc keeps its text")
+    assert(kept.contains(3L) && kept(3L) != "a b a b", "duplicate span removed")
+
+    // mixture resample — wire == library exactly
+    val (xc, xBody) = send("POST", "/sample/mixture",
+      """{"source":"wire_lm","keyCol":"doc_id","domainCol":"src","weights":{"d0":0.7,"d1":0.3}}""")
+    assert(xc == 200, xBody)
+    val wireIds = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(xBody).get("rows").elements()
+      .forEachRemaining(n => wireIds += n.get("doc_id").asLong())
+    val libIds = graft.ext.Corpus.mixtureSample(
+      engine.readTable(Seq("wire_lm")), "doc_id", "src",
+      Map("d0" -> 0.7, "d1" -> 0.3)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(wireIds.toSet == libIds, s"wire $wireIds vs library $libIds")
+
+    assert(send("DELETE", "/tables/wire_lm")._1 == 200)
+  }
 }
