@@ -101,9 +101,13 @@ object Dedup {
     * (single spaces; original inter-token whitespace is not preserved,
     * matching the tokenized training-data setting this feeds).
     *
-    * Scale shape: spans/canonicals/removals shuffle only id + offset
-    * longs; the final per-document reassembly is one groupBy whose state
-    * is bounded by the document's own length. */
+    * Scale shape: everything that shuffles is id/offset longs — span
+    * hashes, the duplicate set, and the per-document REMOVED-position
+    * sets (bounded by duplicated content only). The corpus itself is
+    * never reshuffled for reassembly: removed positions join back to the
+    * one-row-per-doc token arrays (broadcast while the duplicate set is
+    * small) and a positional `filter` higher-order function drops the
+    * dead tokens in a narrow map. */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"stripDuplicatedSpans: k must be >= 1, got $k")
@@ -118,24 +122,18 @@ object Dedup {
       .orderBy(col("id").asc, col("start").asc)
     val nonCanon = occ.withColumn("__rn__", row_number().over(wOcc))
       .filter(col("__rn__") > 1)
-    val removed = nonCanon
+    val removedPerDoc = nonCanon
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
-      .distinct()
-    val tokPos = base
-      .select(col("id"), posexplode(col("__t__")).as(Seq("p", "tok")))
-      .withColumn("p", col("p").cast("long"))
-    val kept = tokPos.join(removed, Seq("id", "p"), "left_anti")
-    val agg = kept.groupBy("id").agg(
-      count(lit(1)).as("n_kept"),
-      array_join(transform(
-        array_sort(collect_list(struct(col("p"), col("tok")))),
-        s => s("tok")), " ").as("text_kept"))
-    base.select(col("id"), size(col("__t__")).cast("long").as("n_tokens"))
-      .join(agg, Seq("id"), "left")
-      .select(col("id").as(idCol), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .groupBy("id").agg(collect_set(col("p")).as("__rm__"))
+    val keptToks = when(col("__rm__").isNull, col("__t__"))
+      .otherwise(filter(col("__t__"),
+        (t, i) => not(array_contains(col("__rm__"), i.cast("long")))))
+    base.join(removedPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__t__")).cast("long").as("n_tokens"),
+        size(keptToks).cast("long").as("n_kept"),
+        array_join(keptToks, " ").as("text_kept"))
   }
 
   // ——— shingles + MinHash ———

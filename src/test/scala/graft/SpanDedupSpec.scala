@@ -62,6 +62,21 @@ class SpanDedupSpec extends SparkSuite {
     assert(out(11L) == ((11L, 0L, "")))
   }
 
+  test("strip never reshuffles the corpus tokens (narrow reassembly)") {
+    // every ShuffleExchange must carry only ids/offsets/hashes — the
+    // token arrays stay in the scan stage and the final narrow map
+    val planned = Dedup.stripDuplicatedSpans(docs, "doc_id", "text", k = 3)
+    val fmt = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffleBlocks = fmt.split("\n\n")
+      .filter(_.linesIterator.hasNext)
+      .filter(_.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    shuffleBlocks.foreach { b =>
+      assert(!b.contains("__t__#") && !b.contains("text#"),
+        s"token array rides a shuffle:\n$b")
+    }
+  }
+
   test("error contracts") {
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(docs, "doc_id", "text", k = 0)
