@@ -699,6 +699,16 @@ object SparkEntry {
     // —— text: within-doc repeated-bigram fraction (Gopher-style signal) ——
     "text_repetition" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.repetitionRatio(tbl(s, dir, "documents"), "doc_id", "text", 2)),
+    // —— text: Gopher rule-based quality flags (word-count bounds chosen
+    // to split this corpus both ways; every rule mirrored bit-exact) ——
+    "text_gopher" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.gopherQualityFlags(tbl(s, dir, "documents"),
+        "doc_id", "text", minWords = 20, maxWords = 80)),
+    // —— text: within-doc segment dedup (RefinedWeb-style repetition
+    // removal; token separator on this single-line corpus) ——
+    "text_seg_dedup" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.dedupSegments(tbl(s, dir, "documents"),
+        "doc_id", "text", sep = " ")),
     // —— multimodal: REAL JPEG + PNG codec round-trip through the JDK's
     // ImageIO readers/writers — lossless PNG stats are oracle constants,
     // any codec break (header, raster, writer) breaks the row ——
@@ -1392,6 +1402,53 @@ object SparkEntry {
         "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
         "substr(text, CAST(i AS INT) * 160 + 1, 200) AS chunk FROM e"),
     // mirrors TextAnalysis.qualityComponents + qualityExpr term-for-term
+    // Gopher rule flags mirrored term-for-term: integer char sums via
+    // ordered list_reduce, non-overlapping replace deltas for symbol
+    // counts, single IEEE divisions for every fraction
+    "text_gopher" -> s"""
+      |WITH gw AS (SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+      |    string_split(text, chr(10)) AS ln
+      |  FROM documents WHERE text IS NOT NULL),
+      |g2 AS (SELECT doc_id, len(w) AS n, len(ln) AS nl,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS chars,
+      |    length(text) - length(replace(text, '#', '')) AS nhash,
+      |    (length(text) - length(replace(text, '...', ''))) / 3
+      |      + (length(text) - length(replace(text, '…', ''))) AS nell,
+      |    len(list_filter(ln, l -> starts_with(trim(l), '-')
+      |      OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS nbul,
+      |    len(list_filter(ln, l -> ends_with(trim(l), '...')
+      |      OR ends_with(trim(l), '…'))) AS nellln,
+      |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+      |    len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+      |      ['the','a','of','and','to','in','is','it'])) AS nstop
+      |  FROM gw),
+      |g3 AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+      |    n >= 20 AND n <= 80 AS rule_word_count,
+      |    n > 0 AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+      |      AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0 AS rule_mean_word_len,
+      |    n > 0 AND CAST(nhash + nell AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1 AS rule_symbol_ratio,
+      |    CAST(nbul AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9 AS rule_bullet_lines,
+      |    CAST(nellln AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3 AS rule_ellipsis_lines,
+      |    n > 0 AND CAST(nalpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8 AS rule_alpha_words,
+      |    nstop >= 2 AS rule_stopwords
+      |  FROM g2)
+      |SELECT *, rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+      |  AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
+      |  AND rule_stopwords AS keep FROM g3
+      |""".stripMargin,
+    // within-doc segment dedup: 1-based list_position/index in DuckDB =
+    // Spark's array_position = i + 1 over 0-based indices
+    "text_seg_dedup" -> s"""
+      |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_segments,
+      |  CAST(len(k) AS BIGINT) AS n_kept,
+      |  CAST(len(l) - len(k) AS DOUBLE) / CAST(len(l) AS DOUBLE) AS dup_segment_ratio,
+      |  array_to_string(k, ' ') AS clean_text
+      |FROM (SELECT doc_id, l, list_filter(l, (x, i) -> list_position(l, x) = i) AS k
+      |      FROM (SELECT doc_id, string_split(text, ' ') AS l
+      |            FROM documents WHERE text IS NOT NULL))
+      |""".stripMargin,
     // bigram stupid-backoff perplexity mirrored from the exported model:
     // vocab-map each token (list_contains = the training map), look up
     // bigram/unigram counts, fold -ln(S) in token order (ordered list +

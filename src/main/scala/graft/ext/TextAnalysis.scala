@@ -141,6 +141,91 @@ object TextAnalysis {
       .drop("n_chars_c", "punct_ratio", "stopword_ratio", "avg_token_len")
   }
 
+  /** Gopher-style rule-based quality flags (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio (`#`, `...`, `…`), bullet-/ellipsis-line fractions,
+    * alphabetic-word fraction, and minimum distinct-stopword presence.
+    * One narrow map of codegen built-ins per document; every rule is a
+    * boolean column plus a conjunctive `keep` — the standard first-pass
+    * web-corpus filter, with each threshold exposed as a parameter.
+    *
+    * Determinism/mirror contract: words = whitespace split with empties
+    * dropped; mean word length = exact integer char sum over exact count;
+    * symbol counts = non-overlapping left-to-right replacement deltas;
+    * fractions are single IEEE divisions of small integers — a SQL engine
+    * reproduces every comparison bit-exactly. */
+  def gopherQualityFlags(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => w =!= lit(""))
+    val nW = size(words)
+    val charSum = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanLen = charSum.cast("double") / nW.cast("double")
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3) +
+      (length(t) - length(regexp_replace(t, "…", "")))
+    val symbolRatio = (nHash + nEll).cast("double") / nW.cast("double")
+    val lines = split(t, "\n")
+    val nLines = size(lines)
+    val bulletFrac = size(filter(lines, l =>
+      startswith(trim(l), lit("-")) || startswith(trim(l), lit("*")) ||
+        startswith(trim(l), lit("•")))).cast("double") / nLines.cast("double")
+    val ellFrac = size(filter(lines, l =>
+      endswith(trim(l), lit("...")) || endswith(trim(l), lit("…"))))
+      .cast("double") / nLines.cast("double")
+    val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nW.cast("double")
+    val stopHits = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)))
+    val hasWords = nW > 0
+    val rules = Seq(
+      "rule_word_count" -> (nW >= minWords && nW <= maxWords),
+      "rule_mean_word_len" ->
+        (hasWords && meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen),
+      "rule_symbol_ratio" -> (hasWords && symbolRatio <= maxSymbolRatio),
+      "rule_bullet_lines" -> (bulletFrac <= maxBulletRatio),
+      "rule_ellipsis_lines" -> (ellFrac <= maxEllipsisRatio),
+      "rule_alpha_words" -> (hasWords && alphaFrac >= minAlphaRatio),
+      "rule_stopwords" -> (stopHits >= minStopwords))
+    val keep = rules.map(_._2).reduce(_ && _)
+    df.filter(t.isNotNull).select(
+      col(idCol) +: nW.cast("long").as("n_words") +:
+        rules.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+  }
+
+  /** Within-document repeated-segment removal (the line/paragraph dedup
+    * of Gopher / RefinedWeb repetition filtering, generic over the
+    * separator): split on `sep`, keep only the FIRST occurrence of each
+    * segment, report the duplicated fraction, and re-join. One narrow
+    * map — the positional `filter` + `array_position` pair stays in
+    * codegen; nothing shuffles.
+    *
+    * Output: (idCol, n_segments, n_kept, dup_segment_ratio, clean_text).
+    */
+  def dedupSegments(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "dedupSegments: sep must be non-empty")
+    val quoted = java.util.regex.Pattern.quote(sep)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), quoted).as("__l__"))
+      .select(col(idCol), col("__l__"),
+        expr("filter(__l__, (x, i) -> array_position(__l__, x) = i + 1)")
+          .as("__k__"))
+      .select(col(idCol),
+        size(col("__l__")).cast("long").as("n_segments"),
+        size(col("__k__")).cast("long").as("n_kept"),
+        ((size(col("__l__")) - size(col("__k__"))).cast("double") /
+          size(col("__l__")).cast("double")).as("dup_segment_ratio"),
+        array_join(col("__k__"), sep).as("clean_text"))
+  }
+
   // ——— corpus statistics (vocabulary / n-grams) ———
 
   /** Token frequency table — the vocabulary-building primitive. One

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.TextAnalysis
+
+/** Gopher rule flags + within-doc segment dedup — hand-computed fixtures. */
+class CorpusRulesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("gopher flags: clean doc passes every rule") {
+    val df = Seq((1L,
+      "the cat sat on the mat and it was nice to see it again today"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityFlags(df, "doc_id", "text",
+      minWords = 5, maxWords = 100).collect()(0)
+    assert(r.getAs[Long]("n_words") == 15L)
+    // mean word len = 46/15 ≈ 3.07 ∈ [3,10]; 4 distinct stopwords
+    Seq("rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+      "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+      "rule_stopwords", "keep").foreach(c =>
+      assert(r.getAs[Boolean](c), s"$c must pass"))
+  }
+
+  test("gopher flags: symbol spam fails symbol/alpha/stopword rules") {
+    val df = Seq((2L, "###### ## #")).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherQualityFlags(df, "doc_id", "text",
+      minWords = 1, maxWords = 100).collect()(0)
+    assert(!r.getAs[Boolean]("rule_symbol_ratio"))   // 9 symbols / 3 words
+    assert(!r.getAs[Boolean]("rule_alpha_words"))
+    assert(!r.getAs[Boolean]("rule_stopwords"))
+    assert(!r.getAs[Boolean]("keep"))
+    assert(r.getAs[Boolean]("rule_word_count"))
+  }
+
+  test("gopher flags: bullet and ellipsis line fractions") {
+    val bullets = Seq((3L, "- one\n- two\n- three\nplain line here"))
+      .toDF("doc_id", "text")
+    val rDefault = TextAnalysis.gopherQualityFlags(bullets, "doc_id", "text",
+      minWords = 1).collect()(0)
+    assert(rDefault.getAs[Boolean]("rule_bullet_lines"))      // 0.75 <= 0.9
+    val rStrict = TextAnalysis.gopherQualityFlags(bullets, "doc_id", "text",
+      minWords = 1, maxBulletRatio = 0.5).collect()(0)
+    assert(!rStrict.getAs[Boolean]("rule_bullet_lines"))      // 0.75 > 0.5
+    val ell = Seq((4L, "this trails off...\nand this one too…"))
+      .toDF("doc_id", "text")
+    val rEll = TextAnalysis.gopherQualityFlags(ell, "doc_id", "text",
+      minWords = 1).collect()(0)
+    assert(!rEll.getAs[Boolean]("rule_ellipsis_lines"))       // 1.0 > 0.3
+  }
+
+  test("gopher flags: word-count bounds and null exclusion") {
+    val df = Seq((5L, "too short"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherQualityFlags(df, "doc_id", "text").collect()
+    assert(rows.length == 1)                                  // null dropped
+    assert(!rows(0).getAs[Boolean]("rule_word_count"))        // 2 < 50
+    assert(!rows(0).getAs[Boolean]("keep"))
+  }
+
+  test("dedupSegments keeps first occurrences in order") {
+    val df = Seq((1L, "x\ny\nx\nz\ny")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupSegments(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_segments") == 5L)
+    assert(r.getAs[Long]("n_kept") == 3L)
+    assert(r.getAs[Double]("dup_segment_ratio") == 0.4)
+    assert(r.getAs[String]("clean_text") == "x\ny\nz")
+  }
+
+  test("dedupSegments: custom separator and no-dup doc") {
+    val df = Seq((1L, "p q p p r"), (2L, "all distinct words here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.dedupSegments(df, "doc_id", "text", sep = " ")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("clean_text") == "p q r")
+    assert(out(1L).getAs[Double]("dup_segment_ratio") == 0.4)
+    assert(out(2L).getAs[Long]("n_kept") == 4L)
+    assert(out(2L).getAs[Double]("dup_segment_ratio") == 0.0)
+  }
+
+  test("dedupSegments: trailing separator yields an empty segment once") {
+    val df = Seq((1L, "x\nx\n")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupSegments(df, "doc_id", "text").collect()(0)
+    assert(r.getAs[Long]("n_segments") == 3L)   // [x, x, ""]
+    assert(r.getAs[Long]("n_kept") == 2L)       // [x, ""]
+    assert(r.getAs[String]("clean_text") == "x\n")
+  }
+
+  test("dedupSegments error contract") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.dedupSegments(Seq((1L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", sep = "")
+    }
+  }
+}
