@@ -196,6 +196,10 @@ object SparkEntry {
   def ngramOracleModelPath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ngram_oracle_v2048_mc2.json"
 
+  /** Fixed tmpdir path for the `text_perplexity3` trigram model export. */
+  def ngram3OracleModelPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ngram3_oracle_v2048_mc2.json"
+
   /** A scratch engine for lifecycle queries (coder/index/probe). */
   private def scratchEngine(s: SparkSession, dir: String): Engine = {
     val e = new Engine(s, scratchRoot(dir))
@@ -689,6 +693,15 @@ object SparkEntry {
         vocabSize = 2048, minCount = 2L, alpha = 0.4)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(ngramOracleModelPath), model.toJson)
+      NgramLm.perplexity(docs, "doc_id", "text", model)
+    }),
+    // —— text: trigram variant — tri → bi → unigram backoff chain ——
+    "text_perplexity3" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      val model = NgramLm.train(docs, "text",
+        vocabSize = 2048, minCount = 2L, alpha = 0.4, order = 3)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(ngram3OracleModelPath), model.toJson)
       NgramLm.perplexity(docs, "doc_id", "text", model)
     }),
     // —— text: corpus statistics — vocabulary + bigram counts ——
@@ -1474,6 +1487,46 @@ object SparkEntry {
       |              / CAST((SELECT total FROM nm) AS DOUBLE) END AS sc
       |  FROM npw LEFT JOIN nbig b ON b.p = npw.p AND b.w = npw.w
       |           JOIN nuni up ON up.t = npw.p
+      |           JOIN nuni uw ON uw.t = npw.w),
+      |nagg AS (SELECT doc_id, n,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(-ln(sc) ORDER BY i)),
+      |      (a, b) -> a + b) AS nll
+      |  FROM nsc GROUP BY doc_id, n)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(exp(nll / n), 6) AS ppl FROM nagg
+      |""".stripMargin,
+    // trigram mirror: doubly-padded sequence, trigram/context-bigram
+    // lookups, then the SAME parenthesized backoff chain as score3 —
+    // alpha·(bi/uni) and alpha·((alpha·uni)/total)
+    "text_perplexity3" -> s"""
+      |WITH nm AS (SELECT * FROM read_json('$ngram3OracleModelPath',
+      |    columns={alpha: 'DOUBLE', total: 'BIGINT', vocab: 'VARCHAR[]',
+      |      unigrams: 'STRUCT(t VARCHAR, c BIGINT)[]',
+      |      bigrams: 'STRUCT(p VARCHAR, w VARCHAR, c BIGINT)[]',
+      |      trigrams: 'STRUCT(p2 VARCHAR, p1 VARCHAR, w VARCHAR, c BIGINT)[]'})),
+      |nuni AS (SELECT u.t AS t, u.c AS c FROM (SELECT unnest(unigrams) AS u FROM nm)),
+      |nbig AS (SELECT b.p AS p, b.w AS w, b.c AS c FROM (SELECT unnest(bigrams) AS b FROM nm)),
+      |ntri AS (SELECT r.p2 AS p2, r.p1 AS p1, r.w AS w, r.c AS c
+      |         FROM (SELECT unnest(trigrams) AS r FROM nm)),
+      |ntok AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+      |         FROM documents WHERE text IS NOT NULL),
+      |nmap AS (SELECT doc_id, len(t) AS n,
+      |    list_prepend('<s>', list_prepend('<s>', list_transform(t, x ->
+      |      CASE WHEN list_contains(nm.vocab, x) THEN x ELSE '<unk>' END))) AS s
+      |  FROM ntok CROSS JOIN nm WHERE len(t) >= 1),
+      |npr AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS i, s FROM nmap),
+      |npw AS (SELECT doc_id, n, i, s[i] AS p2, s[i + 1] AS p1, s[i + 2] AS w FROM npr),
+      |nsc AS (SELECT npw.doc_id, npw.n, npw.i,
+      |    CASE
+      |      WHEN t.c IS NOT NULL AND bc.c IS NOT NULL
+      |        THEN CAST(t.c AS DOUBLE) / CAST(bc.c AS DOUBLE)
+      |      WHEN b.c IS NOT NULL
+      |        THEN (SELECT alpha FROM nm) * (CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE))
+      |      ELSE (SELECT alpha FROM nm) * (((SELECT alpha FROM nm) * CAST(uw.c AS DOUBLE))
+      |           / CAST((SELECT total FROM nm) AS DOUBLE)) END AS sc
+      |  FROM npw LEFT JOIN ntri t ON t.p2 = npw.p2 AND t.p1 = npw.p1 AND t.w = npw.w
+      |           LEFT JOIN nbig bc ON bc.p = npw.p2 AND bc.w = npw.p1
+      |           LEFT JOIN nbig b ON b.p = npw.p1 AND b.w = npw.w
+      |           JOIN nuni up ON up.t = npw.p1
       |           JOIN nuni uw ON uw.t = npw.w),
       |nagg AS (SELECT doc_id, n,
       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(-ln(sc) ORDER BY i)),

@@ -141,9 +141,9 @@ class Engine(val spark: SparkSession, val root: String) {
     * the CCNet-style perplexity-filter model ([[graft.ext.NgramLm]]). */
   def trainNgramLm(name: String, source: String, textCol: String,
       vocabSize: Int = 4096, minCount: Long = 1L,
-      alpha: Double = 0.4): graft.ext.NgramLm.NgramLmModel = {
+      alpha: Double = 0.4, order: Int = 2): graft.ext.NgramLm.NgramLmModel = {
     val model = graft.ext.NgramLm.train(store.loadTable(source), textCol,
-      vocabSize, minCount, alpha)
+      vocabSize, minCount, alpha, order = order)
     store.saveNgramModel(name, model)
     model
   }

@@ -36,14 +36,21 @@ object NgramLm {
   val Start = "<s>"
   val Unk = "<unk>"
 
-  /** Persisted bigram LM: unigram counts include one [[Start]] per
-    * training document; `total` = Σ unigram counts. */
+  /** Persisted backoff LM. Unigram counts include one [[Start]] per
+    * training document; `total` = Σ unigram counts. For `order == 3`, the
+    * bigram table is counted over the DOUBLY-[[Start]]-padded sequence
+    * (so the `(<s>, <s>)` context of each document's first token is a
+    * countable denominator) and `trigrams` holds the min-count-pruned
+    * triple counts; for `order == 2` it is singly padded and `trigrams`
+    * is empty. */
   case class NgramLmModel(
       vocab: IndexedSeq[String],
       unigrams: Map[String, Long],
       bigrams: Map[(String, String), Long],
       total: Long,
-      alpha: Double) {
+      alpha: Double,
+      order: Int = 2,
+      trigrams: Map[(String, String, String), Long] = Map.empty) {
 
     /** Stupid-backoff score S(w | p); both tokens must already be
       * vocab-mapped. */
@@ -51,6 +58,16 @@ object NgramLm {
       bigrams.get((p, w)) match {
         case Some(c) => c.toDouble / unigrams(p).toDouble
         case None    => alpha * unigrams(w).toDouble / total.toDouble
+      }
+
+    /** Trigram stupid backoff S(w | p2 p1) → alpha·S(w | p1) → … */
+    def score3(p2: String, p1: String, w: String): Double =
+      trigrams.get((p2, p1, w)) match {
+        case Some(c) => bigrams.get((p2, p1)) match {
+          case Some(ctx) => c.toDouble / ctx.toDouble
+          case None      => alpha * score(p1, w)
+        }
+        case None => alpha * score(p1, w)
       }
 
     def toJson: String = {
@@ -67,9 +84,13 @@ object NgramLm {
       val big = bigrams.toSeq.sortBy(x => (x._1._1, x._1._2))
         .map { case ((p, w), c) => s"""{"p":${q(p)},"w":${q(w)},"c":$c}""" }
         .mkString("[", ",", "]")
-      s"""{"alpha":$alpha,"total":$total,""" +
+      val tri = trigrams.toSeq.sortBy(x => (x._1._1, x._1._2, x._1._3))
+        .map { case ((p2, p1, w), c) =>
+          s"""{"p2":${q(p2)},"p1":${q(p1)},"w":${q(w)},"c":$c}""" }
+        .mkString("[", ",", "]")
+      s"""{"alpha":$alpha,"total":$total,"order":$order,""" +
         s""""vocab":${vocab.map(q).mkString("[", ",", "]")},""" +
-        s""""unigrams":$uni,"bigrams":$big}"""
+        s""""unigrams":$uni,"bigrams":$big,"trigrams":$tri}"""
     }
   }
 
@@ -85,28 +106,41 @@ object NgramLm {
       val b = node.get("bigrams").get(i)
       (b.get("p").asText(), b.get("w").asText()) -> b.get("c").asLong()
     }.toMap
+    val triNode = node.get("trigrams")
+    val tri =
+      if (triNode == null) Map.empty[(String, String, String), Long]
+      else (0 until triNode.size()).map { i =>
+        val t = triNode.get(i)
+        (t.get("p2").asText(), t.get("p1").asText(), t.get("w").asText()) ->
+          t.get("c").asLong()
+      }.toMap
+    val order = if (node.get("order") == null) 2 else node.get("order").asInt()
     NgramLmModel(vocab, uni, big, node.get("total").asLong(),
-      node.get("alpha").asDouble())
+      node.get("alpha").asDouble(), order, tri)
   }
 
   /** Lowercase single-space tokens, empties dropped (bm25 convention). */
   private def toksCol(textCol: String) =
     filter(split(lower(col(textCol)), " "), t => t =!= lit(""))
 
-  /** Train a bigram stupid-backoff LM over `textCol`.
+  /** Train a stupid-backoff LM (`order` 2 = bigram, 3 = trigram) over
+    * `textCol`.
     *
     * `vocabSize` caps the vocabulary at the top-V tokens by (count desc,
     * token asc) — everything else maps to [[Unk]]. `minCount` prunes rare
-    * bigrams from the model (they fall back to the unigram path at
-    * scoring time, exactly like unseen pairs). `maxBigrams` is the
-    * driver-size guard: training REFUSES loudly rather than collecting an
-    * oversized model. */
+    * bigrams/trigrams from the model (they fall back one order at
+    * scoring time, exactly like unseen tuples; a surviving trigram's
+    * context bigram always survives too, since its count is ≥ the
+    * trigram's). `maxBigrams` is the driver-size guard on EACH count
+    * table: training REFUSES loudly rather than collecting an oversized
+    * model. */
   def train(df: DataFrame, textCol: String, vocabSize: Int = 4096,
       minCount: Long = 1L, alpha: Double = 0.4,
-      maxBigrams: Long = 4000000L): NgramLmModel = {
+      maxBigrams: Long = 4000000L, order: Int = 2): NgramLmModel = {
     require(vocabSize >= 1, s"train: vocabSize must be >= 1, got $vocabSize")
     require(minCount >= 1, s"train: minCount must be >= 1, got $minCount")
     require(alpha > 0 && alpha <= 1, s"train: alpha must be in (0,1], got $alpha")
+    require(order == 2 || order == 3, s"train: order must be 2 or 3, got $order")
     val base = df.filter(col(textCol).isNotNull)
       .select(toksCol(textCol).as("__t__"))
       .filter(size(col("__t__")) >= 1)
@@ -132,20 +166,35 @@ object NgramLm {
     val unigrams =
       if (counted.contains(Unk)) counted else counted + (Unk -> 1L)
     val total = unigrams.valuesIterator.sum
-    val bigDf = seqs.select(explode(transform(
-        sequence(lit(1), size(col("__s__")) - 1),
-        i => struct(element_at(col("__s__"), i).as("p"),
-          element_at(col("__s__"), i + 1).as("w")))).as("pr"))
-      .groupBy(col("pr.p").as("p"), col("pr.w").as("w"))
-      .agg(count(lit(1)).as("c"))
-      .filter(col("c") >= minCount)
-    val nBig = bigDf.count()
-    require(nBig <= maxBigrams,
-      s"train: model has $nBig bigrams > maxBigrams = $maxBigrams; " +
-        "raise minCount or lower vocabSize")
-    val bigrams = bigDf.collect()
+    // bigram counts: pairs of the (order-3: doubly) padded sequence — the
+    // extra (<s>, <s>) per doc is exactly the first-token trigram context
+    val pairSeq =
+      if (order == 3) concat(array(lit(Start)), col("__s__")) else col("__s__")
+    def tupleCounts(seqCol: org.apache.spark.sql.Column, n: Int,
+        names: Seq[String]) = {
+      val tuples = seqs.select(explode(transform(
+        sequence(lit(1), size(seqCol) - (n - 1)),
+        i => struct(names.zipWithIndex.map { case (nm, j) =>
+          element_at(seqCol, i + j).as(nm) }: _*))).as("tp"))
+      tuples.groupBy(names.map(nm => col(s"tp.$nm").as(nm)): _*)
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= minCount)
+    }
+    def guarded(dfc: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
+      val n = dfc.count()
+      require(n <= maxBigrams,
+        s"train: model has $n $what > maxBigrams = $maxBigrams; " +
+          "raise minCount or lower vocabSize")
+      dfc.collect()
+    }
+    val bigrams = guarded(tupleCounts(pairSeq, 2, Seq("p", "w")), "bigrams")
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
-    NgramLmModel(vocab, unigrams, bigrams, total, alpha)
+    val trigrams =
+      if (order == 2) Map.empty[(String, String, String), Long]
+      else guarded(tupleCounts(pairSeq, 3, Seq("p2", "p1", "w")), "trigrams")
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+        .toMap
+    NgramLmModel(vocab, unigrams, bigrams, total, alpha, order, trigrams)
   }
 
   /** Per-document perplexity under a trained model: one narrow map, model
@@ -169,10 +218,20 @@ object NgramLm {
         i += 1
       }
       var nll = 0.0
-      i = 1
-      while (i < s.length) {
-        nll += -math.log(m.score(s(i - 1), s(i)))
-        i += 1
+      if (m.order == 2) {
+        i = 1
+        while (i < s.length) {
+          nll += -math.log(m.score(s(i - 1), s(i)))
+          i += 1
+        }
+      } else {
+        // doubly padded: the first token's context is (<s>, <s>)
+        i = 1
+        while (i < s.length) {
+          val p2 = if (i >= 2) s(i - 2) else Start
+          nll += -math.log(m.score3(p2, s(i - 1), s(i)))
+          i += 1
+        }
       }
       math.exp(nll / ts.length.toDouble)
     }

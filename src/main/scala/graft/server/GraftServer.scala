@@ -425,7 +425,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       require(body, "column").asText(),
       vocabSize = intOr(body, "vocabSize", 4096),
       minCount = intOr(body, "minCount", 1).toLong,
-      alpha = opt(body, "alpha").map(_.asDouble()).getOrElse(0.4))
+      alpha = opt(body, "alpha").map(_.asDouble()).getOrElse(0.4),
+      order = intOr(body, "order", 2))
     ok(ex, s"""{"model":"$name","vocab":${model.vocab.length},""" +
       s""""bigrams":${model.bigrams.size}}""")
   }

@@ -79,6 +79,37 @@ class NgramLmSpec extends SparkSuite {
     assert(out == Map(1L -> 2L))   // empty + null docs excluded
   }
 
+  // order-3: s3 = [<s>,<s>,a,b,a] / [<s>,<s>,a,b,c];
+  // bigrams gain (<s>,<s>):2; trigrams (<s>,<s>,a):2 (<s>,a,b):2
+  // (a,b,a):1 (a,b,c):1
+  private lazy val model3 = NgramLm.train(train, "text", vocabSize = 10,
+    order = 3)
+
+  test("order-3 counts: doubly padded contexts and trigram table") {
+    assert(model3.order == 3)
+    assert(model3.bigrams(("<s>", "<s>")) == 2L)
+    assert(model3.trigrams == Map(
+      ("<s>", "<s>", "a") -> 2L, ("<s>", "a", "b") -> 2L,
+      ("a", "b", "a") -> 1L, ("a", "b", "c") -> 1L))
+    // unigrams/total unchanged from the bigram model (single padding)
+    assert(model3.unigrams == model.unigrams && model3.total == model.total)
+  }
+
+  test("order-3 scoring: pure trigram path, ppl = cbrt(2)") {
+    // S(a|<s>,<s>)=2/2, S(b|<s>,a)=2/2, S(a|a,b)=1/2
+    assert(pplOf("a b a", model3) == round6(math.cbrt(2.0)))
+  }
+
+  test("order-3 double backoff: tri → bi → unigram chain") {
+    // both tokens: trigram and bigram unseen → alpha·(alpha·uni(c)/total)
+    val term = 0.4 * ((0.4 * 1.0) / 9.0)
+    assert(pplOf("c c", model3) == round6(1.0 / term))
+  }
+
+  test("order-3 model JSON round-trips exactly") {
+    assert(NgramLm.fromJson(model3.toJson) == model3)
+  }
+
   test("engine lifecycle: train persists the model, score loads it back") {
     val root = java.nio.file.Files.createTempDirectory("graft-ngram").toString
     val engine = new graft.api.Engine(spark, root)
