@@ -122,6 +122,26 @@ class NgramLmSpec extends SparkSuite {
     assert(scored(1L) == round6(math.cbrt(3.0)))
   }
 
+  test("perplexity scoring runs as a streaming quality filter") {
+    // the scorer is one narrow map (broadcast model), so it composes with
+    // Structured Streaming unchanged — the online ingest-filter shape
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val scored = NgramLm.perplexity(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model)
+      .filter(col("ppl") < 2.0)   // in-vocab fluent docs only
+    val q = scored.writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, "a b a"), (2L, "c c b"), (3L, "z"))
+      q.processAllAvailable()
+      val kept = spark.table("ppl_stream").select("doc_id")
+        .as[Long].collect().toSet
+      assert(kept == Set(1L), s"only the fluent doc passes: $kept")
+    } finally q.stop()
+  }
+
   test("error contracts") {
     intercept[IllegalArgumentException] {
       NgramLm.train(train, "text", vocabSize = 0)
