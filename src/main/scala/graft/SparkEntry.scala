@@ -748,6 +748,16 @@ object SparkEntry {
           (id, Multimodal.audioFingerprint64(graft.ext.Wav.decode(wav)))
         }.toDF("media_id", "afp")
     }),
+    // —— sequence packing: per-shard (bin, offset) assignment of each
+    // document under a 512-token budget (docs may straddle bins) ——
+    "pack_assign" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.packByTokenBudget(tbl(s, dir, "documents"),
+        "source", "doc_id", "text", 512L)),
+    // —— sequence packing: MATERIALIZED concat-then-chunk training
+    // sequences — every bin but a shard's last is exactly 512 tokens ——
+    "pack_sequences" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.packedSequences(tbl(s, dir, "documents"),
+        "source", "doc_id", "text", 512L)),
     // —— domain-mixture resampling: retarget src0/src1/src2 from uniform
     // to 50/30/20 by deterministic md5-threshold downsampling ——
     "mixture_sample" -> ((s: SparkSession, dir: String) =>
@@ -1639,6 +1649,41 @@ object SparkEntry {
         "ELSE b.lang END AS lang_pred, " +
         "f.fingerprint AS fingerprint " +
         "FROM best b JOIN fp f USING (doc_id) WHERE b.rn = 1"),
+    // packing assignment mirror: window cumsum of exact integer token
+    // counts; bin = double-division truncate (Spark's cast), offset = mod
+    "pack_assign" -> s"""
+      |WITH pa AS (SELECT source, doc_id,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+      |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
+      |  FROM documents),
+      |pc AS (SELECT source, doc_id, n,
+      |    sum(n) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM pa)
+      |SELECT source, doc_id, CAST(n AS BIGINT) AS n_tokens,
+      |  CAST(trunc(CAST(cum - n AS DOUBLE) / 512) AS BIGINT) AS bin,
+      |  CAST((cum - n) % 512 AS BIGINT) AS bin_offset
+      |FROM pc
+      |""".stripMargin,
+    // materialized packing mirror: same cumsum, token positions unnested,
+    // per-(shard,bin) ordered string_agg = Spark's sorted collect
+    "pack_sequences" -> s"""
+      |WITH pt AS (SELECT source, doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |p1 AS (SELECT source, doc_id, t FROM pt WHERE len(t) >= 1),
+      |p2 AS (SELECT source, doc_id, t,
+      |    sum(len(t)) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |      - len(t) AS st
+      |  FROM p1),
+      |p3 AS (SELECT source, st + s.i AS pos, s.tok AS tok FROM (
+      |    SELECT source, st, unnest(list_transform(range(0, len(t)),
+      |      i -> {'i': i, 'tok': t[i + 1]})) AS s FROM p2)),
+      |p4 AS (SELECT source, CAST(trunc(CAST(pos AS DOUBLE) / 512) AS BIGINT) AS bin,
+      |    pos, tok FROM p3)
+      |SELECT source, bin, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  string_agg(tok, ' ' ORDER BY pos) AS seq_text
+      |FROM p4 GROUP BY source, bin
+      |""".stripMargin,
     // mixture resampling mirrored end-to-end: counts → factor/rate DOUBLE
     // arithmetic in the same association → trunc to the 2^60 threshold →
     // md5-prefix hash compare (hex fold = Spark's conv(...,16,10))

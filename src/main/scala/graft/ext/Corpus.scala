@@ -96,6 +96,43 @@ object Corpus {
         ((col("__cum__") - col("n_tokens")) % capacity).as("bin_offset"))
   }
 
+  /** Materialize the packed training sequences that
+    * [[packByTokenBudget]] only ASSIGNS: within each shard, documents
+    * concatenate in `orderCol` order and every `capacity`-token window
+    * becomes one output row — token-exact, documents straddling bin
+    * boundaries split mid-document (GPT-style concat-then-chunk). Every
+    * bin except a shard's last holds exactly `capacity` tokens, and
+    * concatenating a shard's `seq_text`s reproduces its concatenated
+    * documents.
+    *
+    * Scale shape: one window cumsum per shard (longs), then the one
+    * inherent shuffle — tokens move to their (shard, bin) — with a
+    * per-bin sort bounded by `capacity`. Output:
+    * (shardCol, bin, n_tokens, seq_text). */
+  def packedSequences(df: DataFrame, shardCol: String, orderCol: String,
+      textCol: String, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol).asc)
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(shardCol), col(orderCol), toks.as("__t__"))
+      .filter(size(col("__t__")) >= 1)
+      .withColumn("__start__",
+        sum(size(col("__t__")).cast("long")).over(w) - size(col("__t__")))
+    base
+      .select(col(shardCol), col("__start__"),
+        posexplode(col("__t__")).as(Seq("__p__", "__tok__")))
+      .select(col(shardCol),
+        (col("__start__") + col("__p__")).as("__pos__"), col("__tok__"))
+      .withColumn("bin", (col("__pos__") / capacity).cast("long"))
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos__"), col("__tok__")))),
+          s => s("__tok__")), " ").as("seq_text"))
+  }
+
   // ——— deterministic hash sampling ———
 
   /** Uniform u in [0, 1) as a 60-bit integer derived from md5 of the key —

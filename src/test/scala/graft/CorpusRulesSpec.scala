@@ -87,6 +87,41 @@ class CorpusRulesSpec extends SparkSuite {
     assert(r.getAs[String]("clean_text") == "x\n")
   }
 
+  test("packedSequences: token-exact concat-then-chunk per shard") {
+    import graft.ext.Corpus
+    val df = Seq(
+      ("A", 1L, "t1 t2 t3"), ("A", 2L, "t4 t5"), ("A", 3L, "t6 t7 t8 t9"),
+      ("B", 4L, "u1 u2"),
+    ).toDF("shard", "doc_id", "text")
+    val out = Corpus.packedSequences(df, "shard", "doc_id", "text", capacity = 4)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("bin")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("seq_text"))).toMap
+    // docs straddle bins: doc 2 splits across bins 0/1, doc 3 across 1/2
+    assert(out(("A", 0L)) == ((4L, "t1 t2 t3 t4")))
+    assert(out(("A", 1L)) == ((4L, "t5 t6 t7 t8")))
+    assert(out(("A", 2L)) == ((1L, "t9")))
+    assert(out(("B", 0L)) == ((2L, "u1 u2")))
+    // every bin but a shard's last is exactly full, and shard concat is
+    // the doc concat
+    val aConcat = Seq("A" -> 0L, "A" -> 1L, "A" -> 2L)
+      .map { case (s, b) => out((s, b))._2 }.mkString(" ")
+    assert(aConcat == "t1 t2 t3 t4 t5 t6 t7 t8 t9")
+  }
+
+  test("packedSequences agrees with packByTokenBudget bin assignment") {
+    import graft.ext.Corpus
+    val df = Seq(
+      ("A", 1L, "a b c"), ("A", 2L, "d e f g"), ("A", 3L, "h"),
+    ).toDF("shard", "doc_id", "text")
+    // packByTokenBudget: a doc's bin = the bin of its FIRST token
+    val assign = Corpus.packByTokenBudget(df, "shard", "doc_id", "text", 4L)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val packed = Corpus.packedSequences(df, "shard", "doc_id", "text", 4L)
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[String]("seq_text")).toMap
+    assert(assign == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    assert(packed(0L) == "a b c d" && packed(1L) == "e f g h")
+  }
+
   test("dedupSegments error contract") {
     intercept[IllegalArgumentException] {
       TextAnalysis.dedupSegments(Seq((1L, "x")).toDF("doc_id", "text"),
