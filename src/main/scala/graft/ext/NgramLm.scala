@@ -167,31 +167,39 @@ object NgramLm {
       if (counted.contains(Unk)) counted else counted + (Unk -> 1L)
     val total = unigrams.valuesIterator.sum
     // bigram counts: pairs of the (order-3: doubly) padded sequence — the
-    // extra (<s>, <s>) per doc is exactly the first-token trigram context
-    val pairSeq =
-      if (order == 3) concat(array(lit(Start)), col("__s__")) else col("__s__")
-    def tupleCounts(seqCol: org.apache.spark.sql.Column, n: Int,
-        names: Seq[String]) = {
-      val tuples = seqs.select(explode(transform(
-        sequence(lit(1), size(seqCol) - (n - 1)),
+    // extra (<s>, <s>) per doc is exactly the first-token trigram context.
+    // The padding is MATERIALIZED as a column before any lambda touches
+    // it: there is no CSE inside HOF lambdas, so an element_at over an
+    // inline concat would re-copy the whole array per element (the same
+    // d²-work trap the round-3 cosine-norm fix closed).
+    val padded =
+      if (order == 3)
+        seqs.select(concat(array(lit(Start)), col("__s__")).as("__s__"))
+      else seqs
+    def tupleCounts(n: Int, names: Seq[String]) = {
+      val s = col("__s__")
+      val tuples = padded.select(explode(transform(
+        sequence(lit(1), size(s) - (n - 1)),
         i => struct(names.zipWithIndex.map { case (nm, j) =>
-          element_at(seqCol, i + j).as(nm) }: _*))).as("tp"))
+          element_at(s, i + j).as(nm) }: _*))).as("tp"))
       tuples.groupBy(names.map(nm => col(s"tp.$nm").as(nm)): _*)
         .agg(count(lit(1)).as("c"))
         .filter(col("c") >= minCount)
     }
     def guarded(dfc: DataFrame, what: String): Array[org.apache.spark.sql.Row] = {
-      val n = dfc.count()
-      require(n <= maxBigrams,
-        s"train: model has $n $what > maxBigrams = $maxBigrams; " +
+      // one job: fetch at most the cap + 1 rows, refuse on overflow
+      val rows = dfc.limit(
+        math.min(maxBigrams, Int.MaxValue - 1L).toInt + 1).collect()
+      require(rows.length <= maxBigrams,
+        s"train: model has more than maxBigrams = $maxBigrams $what; " +
           "raise minCount or lower vocabSize")
-      dfc.collect()
+      rows
     }
-    val bigrams = guarded(tupleCounts(pairSeq, 2, Seq("p", "w")), "bigrams")
+    val bigrams = guarded(tupleCounts(2, Seq("p", "w")), "bigrams")
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val trigrams =
       if (order == 2) Map.empty[(String, String, String), Long]
-      else guarded(tupleCounts(pairSeq, 3, Seq("p2", "p1", "w")), "trigrams")
+      else guarded(tupleCounts(3, Seq("p2", "p1", "w")), "trigrams")
         .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
         .toMap
     NgramLmModel(vocab, unigrams, bigrams, total, alpha, order, trigrams)
