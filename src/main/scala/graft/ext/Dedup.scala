@@ -39,13 +39,24 @@ object Dedup {
   private def spanTokens(textCol: String): Column =
     filter(split(col(textCol), "\\s+"), t => t =!= lit(""))
 
-  /** FNV-1a (seed 0) of the space-joined k-token gram — computed in the
-    * same narrow map that forms the gram, so gram STRINGS never reach a
-    * shuffle; only (id, start, hash) longs do. */
-  private val spanHashUdf = udf { (gram: String) => hash64(gram, 0L) }
+  /** Seed of the second, independent span hash. Two FNV-1a streams under
+    * different seeds give an effective 128-bit gram key: at the 100 TB
+    * design scale (~10^13 spans) a 64-bit key expects millions of
+    * birthday collisions — i.e. unrelated text silently conflated — while
+    * 2^128 pushes the expected collision count below 10^-12. Grouping on
+    * BOTH hashes replaces re-comparing gram strings (which would drag the
+    * text through the shuffle that the (id, start, hash) design exists to
+    * avoid). */
+  private[graft] val SpanSeed2 = 0x9E3779B97F4A7C15L
 
-  /** All (id, start, hash) k-token spans of every non-null document.
-    * `start` is the 0-based token offset. */
+  /** FNV-1a (seeds 0 and [[SpanSeed2]]) of the space-joined k-token gram —
+    * computed in the same narrow map that forms the gram, so gram STRINGS
+    * never reach a shuffle; only (id, start, hash, hash2) longs do. */
+  private val spanHashUdf = udf { (gram: String) => hash64(gram, 0L) }
+  private val spanHash2Udf = udf { (gram: String) => hash64(gram, SpanSeed2) }
+
+  /** All (id, start, hash, hash2) k-token spans of every non-null
+    * document. `start` is the 0-based token offset. */
   private def tokenSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
@@ -55,7 +66,7 @@ object Dedup {
         sequence(lit(0), size(col("__t__")) - k),
         i => array_join(slice(col("__t__"), i + 1, lit(k)), " "))))
       .select(col("id"), col("pos").cast("long").as("start"),
-        spanHashUdf(col("col")).as("h"))
+        spanHashUdf(col("col")).as("h"), spanHash2Udf(col("col")).as("h2"))
 
   /** Every occurrence of a k-token span that appears at least
     * `minOccurrences` times anywhere in the corpus (across documents or
@@ -67,11 +78,13 @@ object Dedup {
     * granularity IS the paper's minimum-match-length threshold.
     *
     * Scale shape: this is the distributed alternative to the paper's
-    * corpus-wide suffix array — one narrow map emits (id, start, hash64)
-    * per token position (24 bytes/token; hashes are formed before any
+    * corpus-wide suffix array — one narrow map emits (id, start, hash128)
+    * per token position (32 bytes/token; hashes are formed before any
     * shuffle so gram strings never leave the scan stage), one hash
     * groupBy finds repeated hashes, and one long-keyed join annotates the
-    * occurrences. No all-pairs step anywhere.
+    * occurrences. No all-pairs step anywhere. Gram identity is the PAIR
+    * of independent 64-bit hashes (see [[SpanSeed2]]) — a 64-bit key
+    * alone expects birthday collisions at ~10^13 spans.
     *
     * Output: (idCol, start, gram_hash, n_occ). */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
@@ -80,10 +93,10 @@ object Dedup {
     require(minOccurrences >= 2,
       s"duplicatedSpans: minOccurrences must be >= 2, got $minOccurrences")
     val spans = tokenSpans(df, idCol, textCol, k)
-    val dup = spans.groupBy("h")
+    val dup = spans.groupBy("h", "h2")
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurrences)
-    spans.join(dup, "h")
+    spans.join(dup, Seq("h", "h2"))
       .select(col("id").as(idCol), col("start"),
         col("h").as("gram_hash"), col("n_occ"))
   }
@@ -114,11 +127,11 @@ object Dedup {
     val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
     val spans = tokenSpans(df, idCol, textCol, k)
-    val dup = spans.groupBy("h").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= 2).select("h")
-    val occ = spans.join(dup, "h")
+    val dup = spans.groupBy("h", "h2").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2).select("h", "h2")
+    val occ = spans.join(dup, Seq("h", "h2"))
     // non-canonical occurrences: everything but the (id, start)-smallest
-    val wOcc = Window.partitionBy(col("h"))
+    val wOcc = Window.partitionBy(col("h"), col("h2"))
       .orderBy(col("id").asc, col("start").asc)
     val nonCanon = occ.withColumn("__rn__", row_number().over(wOcc))
       .filter(col("__rn__") > 1)
