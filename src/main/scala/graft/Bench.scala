@@ -25,6 +25,12 @@ object Bench {
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // A crashed query must NOT be recorded as a (fast) timing: collect
+    // failures separately, surface them in the JSON, and exit nonzero.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    def timed(f: => Unit): Either[String, Double] =
+      try Right(time(f))
+      catch { case e: Throwable => Left(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
 
     // Warmup: JIT + codegen + parquet footer caches on a tiny slice.
     SparkEntry.queries("knn_l2")(spark, sfDir).count()
@@ -36,15 +42,17 @@ object Bench {
       SparkEntry.queries.keys.toSeq.sorted
         .filterNot(Set("coder_train", "index_build", "search_probed"))
     // best-of-2: first run pays planning/IO warmup, min is the steady state
-    val results = order.map { name =>
+    val results = order.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val secs = (1 to 2).map { _ =>
-        time {
-          try fn(spark, sfDir).count()
-          catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-        }
+      val runs = (1 to 2).map(_ => timed(fn(spark, sfDir).count()))
+      val oks = runs.collect { case Right(s) => s }
+      if (oks.nonEmpty) Some(name -> oks.min)
+      else {
+        val msg = runs.collectFirst { case Left(m) => m }.getOrElse("?")
+        System.err.println(s"[bench] FAILED $name: $msg")
+        errors(name) = msg
+        None
       }
-      name -> secs.min
     }
     // Bounded-budget ANN variants (the queries map runs these at full
     // budget for the oracle; the pruned scan fraction is the scale story).
@@ -75,8 +83,16 @@ object Bench {
       "search_bq_16_200" -> (() => graft.index.Index.searchBq(scratch.store,
         "c_l2", "emb", "embedding", target, k = 10, probes = 16,
         candidates = 200, idCol = "vec_id").count()),
-    ).map { case (name, fn) =>
-      name -> (1 to 2).map(_ => time(fn())).min
+    ).flatMap { case (name, fn) =>
+      val runs = (1 to 2).map(_ => timed(fn()))
+      val oks = runs.collect { case Right(s) => s }
+      if (oks.nonEmpty) Some(name -> oks.min)
+      else {
+        val msg = runs.collectFirst { case Left(m) => m }.getOrElse("?")
+        System.err.println(s"[bench] FAILED $name: $msg")
+        errors(name) = msg
+        None
+      }
     }
 
     val all = results ++ pruned
@@ -121,15 +137,20 @@ object Bench {
     val quality =
       f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs,$ndJson$curvePart}"""
 
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val errPart = s""","error_count":${errors.size},"errors":$errJson"""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart,"sf":"$sfDir"}"""
     // Machine-readable FULL copy the driver (or anyone) can ingest whole,
     // immune to stdout interleaving/truncation.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // Compact stdout line (fits the driver's captured tail; see `headline`).
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"ref_shape_100k_256d":$refJson,"quality":$quality,"detail":"bench_summary.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart,"detail":"bench_summary.json","sf":"$sfDir"}""")
     spark.stop()
+    // A bench with crashed queries is not a clean pass — make the driver see it.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

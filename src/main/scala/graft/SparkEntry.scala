@@ -27,14 +27,24 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects; read nanos as long, then derive an NTZ timestamp (micros) and
-    * epoch seconds. NTZ keeps written results tz-naive like the source. */
-  private def tblEvents(s: SparkSession, dir: String): DataFrame = {
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * unless read as int64 nanos) and plain timestamp[us]. Branch on the
+    * type actually read and normalize to (`ts`: timestamp_ntz, `ts_sec`:
+    * bigint epoch seconds). The session timezone is UTC everywhere (Verify/
+    * Bench/tests), so the NTZ→epoch mapping matches DuckDB's naive
+    * `epoch(ts)` bit-exactly. */
+  private[graft] def tblEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as int64 nanos
+        raw.withColumn("ts_sec", expr("ts div 1000000000"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)").cast("timestamp_ntz"))
+      case _ => // timestamp[us], NTZ or UTC-adjusted
+        raw.withColumn("ts_sec", expr("unix_micros(cast(ts as timestamp)) div 1000000"))
+          .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** 1-row DataFrame holding the deterministic query vector (vec_id = 0). */
@@ -1653,11 +1663,13 @@ object SparkEntry {
     // counts; bin = double-division truncate (Spark's cast), offset = mod
     "pack_assign" -> s"""
       |WITH pa AS (SELECT source, doc_id,
+      |    md5(coalesce(trim(text), '')) AS tb,
       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
       |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n
       |  FROM documents),
       |pc AS (SELECT source, doc_id, n,
-      |    sum(n) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |    sum(n) OVER (PARTITION BY source ORDER BY doc_id, tb
+      |      ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM pa)
       |SELECT source, doc_id, CAST(n AS BIGINT) AS n_tokens,
       |  CAST(trunc(CAST(cum - n AS DOUBLE) / 512) AS BIGINT) AS bin,
@@ -1667,12 +1679,14 @@ object SparkEntry {
     // materialized packing mirror: same cumsum, token positions unnested,
     // per-(shard,bin) ordered string_agg = Spark's sorted collect
     "pack_sequences" -> s"""
-      |WITH pt AS (SELECT source, doc_id,
+      |WITH pt AS (SELECT source, doc_id, text,
       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
       |  FROM documents WHERE text IS NOT NULL),
-      |p1 AS (SELECT source, doc_id, t FROM pt WHERE len(t) >= 1),
+      |p1 AS (SELECT source, doc_id, md5(coalesce(trim(text), '')) AS tb, t
+      |  FROM pt WHERE len(t) >= 1),
       |p2 AS (SELECT source, doc_id, t,
-      |    sum(len(t)) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    sum(len(t)) OVER (PARTITION BY source ORDER BY doc_id, tb
+      |      ROWS UNBOUNDED PRECEDING)
       |      - len(t) AS st
       |  FROM p1),
       |p3 AS (SELECT source, st + s.i AS pos, s.tok AS tok FROM (

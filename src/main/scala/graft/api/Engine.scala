@@ -142,6 +142,7 @@ class Engine(val spark: SparkSession, val root: String) {
   def trainNgramLm(name: String, source: String, textCol: String,
       vocabSize: Int = 4096, minCount: Long = 1L,
       alpha: Double = 0.4, order: Int = 2): graft.ext.NgramLm.NgramLmModel = {
+    store.ngramModelPath(name) // validate the name BEFORE the training job
     val model = graft.ext.NgramLm.train(store.loadTable(source), textCol,
       vocabSize, minCount, alpha, order = order)
     store.saveNgramModel(name, model)

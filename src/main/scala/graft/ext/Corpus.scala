@@ -87,7 +87,13 @@ object Corpus {
       textCol: String, capacity: Long): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol).asc)
+    // ROWS frame, not the default RANGE: RANGE gives tied orderCol rows
+    // IDENTICAL cumulative sums → overlapping bins over capacity. The md5
+    // tiebreak makes tie order deterministic (and engine-portable — the
+    // DuckDB oracle spells the same bytes).
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col(orderCol).asc, md5(coalesce(trim(col(textCol)), lit(""))).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val nTok = TextAnalysis.tokenCount(col(textCol)).cast("long")
     df.withColumn("n_tokens", nTok)
       .withColumn("__cum__", sum(col("n_tokens")).over(w))
@@ -114,9 +120,15 @@ object Corpus {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     import org.apache.spark.sql.expressions.Window
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol).asc)
+    // ROWS frame + md5 tiebreak — see packByTokenBudget for why (the
+    // default RANGE frame garbles bins when orderCol has ties).
+    val w = Window.partitionBy(col(shardCol))
+      .orderBy(col(orderCol).asc, col("__tb__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val base = df.filter(col(textCol).isNotNull)
-      .select(col(shardCol), col(orderCol), toks.as("__t__"))
+      .select(col(shardCol), col(orderCol),
+        md5(coalesce(trim(col(textCol)), lit(""))).as("__tb__"),
+        toks.as("__t__"))
       .filter(size(col("__t__")) >= 1)
       .withColumn("__start__",
         sum(size(col("__t__")).cast("long")).over(w) - size(col("__t__")))

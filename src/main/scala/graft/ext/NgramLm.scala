@@ -36,6 +36,10 @@ object NgramLm {
   val Start = "<s>"
   val Unk = "<unk>"
 
+  /** Total model broadcasts ever created — observable in tests to prove
+    * repeated scoring does not accumulate broadcast blocks. */
+  private[graft] val broadcastsCreated = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Persisted backoff LM. Unigram counts include one [[Start]] per
     * training document; `total` = Σ unigram counts. For `order == 3`, the
     * bigram table is counted over the DOUBLY-[[Start]]-padded sequence
@@ -51,6 +55,26 @@ object NgramLm {
       alpha: Double,
       order: Int = 2,
       trigrams: Map[(String, String, String), Long] = Map.empty) {
+
+    /** Vocab membership for scoring — memoized per instance (driver and,
+      * after deserialization, once per executor), so scoring needs no
+      * second broadcast alongside the model itself. */
+    @transient lazy val vocabSet: Set[String] = vocab.toSet
+
+    /** One broadcast per model INSTANCE, memoized: repeated scoring with
+      * the same loaded model (the server's perplexity route) reuses a
+      * single broadcast instead of accumulating two new ones per call.
+      * When the instance is dropped, Spark's ContextCleaner reclaims the
+      * broadcast blocks. */
+    @transient private var bcRef: org.apache.spark.broadcast.Broadcast[NgramLmModel] = _
+    private[graft] def broadcastFor(sc: org.apache.spark.SparkContext)
+        : org.apache.spark.broadcast.Broadcast[NgramLmModel] = synchronized {
+      if (bcRef == null) {
+        bcRef = sc.broadcast(this)
+        NgramLm.broadcastsCreated.incrementAndGet()
+      }
+      bcRef
+    }
 
     /** Stupid-backoff score S(w | p); both tokens must already be
       * vocab-mapped. */
@@ -210,11 +234,10 @@ object NgramLm {
     * Output: (idCol, n_tokens, `out`). */
   def perplexity(df: DataFrame, idCol: String, textCol: String,
       model: NgramLmModel, out: String = "ppl"): DataFrame = {
-    val bc = df.sparkSession.sparkContext.broadcast(model)
-    val bcSet = df.sparkSession.sparkContext.broadcast(model.vocab.toSet)
+    val bc = model.broadcastFor(df.sparkSession.sparkContext)
     val pplUdf = udf { (ts: Seq[String]) =>
       val m = bc.value
-      val v = bcSet.value
+      val v = m.vocabSet
       val s = new Array[String](ts.length + 1)
       s(0) = Start
       var i = 0

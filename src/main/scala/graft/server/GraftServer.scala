@@ -98,8 +98,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "search" :: Nil)           => postSearch(ex)
         case ("POST", "search" :: "maxsim" :: Nil) => postMaxsim(ex)
         case ("GET", "pca" :: Nil) =>
-          ok(ex, s"""{"models":[${engine.store.listPcaModels()
-            .map("\"" + _ + "\"").mkString(",")}]}""")
+          ok(ex, mapper.writeValueAsString(
+            Map("models" -> engine.store.listPcaModels().asJava).asJava))
         case ("POST", "pca" :: Nil)              => postPca(ex)
         case ("GET", "pca" :: model :: "project" :: Nil) => getPcaProject(ex, model)
         case ("GET", "bpe" :: Nil) =>
@@ -121,7 +121,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
-        case _ => send(ex, 404, s"""{"error":"no route: $method $path"}""")
+        case _ => send(ex, 404,
+          s"""{"error":${jstr(s"no route: $method $path")}}""")
       }
     } catch {
       case NonFatal(e) =>
@@ -145,7 +146,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     // swallowed as nulls (the reference's typed do_put rejects at the wire)
     val df = spark.read.schema(ddl).option("mode", "FAILFAST").json(ds)
     engine.makeTable(name, df)
-    ok(ex, s"""{"table":"$name","rows":${engine.readTable(Seq(name)).count()}}""")
+    ok(ex, s"""{"table":${jstr(name)},"rows":${engine.readTable(Seq(name)).count()}}""")
   }
 
   /** do_get scan analogue: select / filter / limit as query params. */
@@ -218,7 +219,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     // optional BQ (1-bit) sidecar index: {"bq": true}
     if (opt(body, "bq").exists(_.asBoolean(false)))
       engine.makeBqIndex(name, source, column)
-    ok(ex, s"""{"index":"$name"}""")
+    ok(ex, s"""{"index":${jstr(name)}}""")
   }
 
   /** Search: brute (explicit metric) or probed (coding + probes), same
@@ -332,7 +333,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       require(body, "column").asText(),
       k = require(body, "k").asInt(),
       whiten = opt(body, "whiten").exists(_.asBoolean(false)))
-    ok(ex, s"""{"model":"$name","k":${model.k},"dim":${model.dim},""" +
+    ok(ex, s"""{"model":${jstr(name)},"k":${model.k},"dim":${model.dim},""" +
       s""""whitened":${model.whitened}}""")
   }
 
@@ -360,7 +361,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       require(body, "column").asText(),
       numMerges = require(body, "numMerges").asInt(),
       maxWords = intOr(body, "maxWords", 65536))
-    ok(ex, s"""{"model":"$name","merges":${model.merges.length}}""")
+    ok(ex, s"""{"model":${jstr(name)},"merges":${model.merges.length}}""")
   }
 
   /** Per-row token counts under a persisted model ([[Engine.bpeTokenCounts]]). */
@@ -427,7 +428,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       minCount = intOr(body, "minCount", 1).toLong,
       alpha = opt(body, "alpha").map(_.asDouble()).getOrElse(0.4),
       order = intOr(body, "order", 2))
-    ok(ex, s"""{"model":"$name","vocab":${model.vocab.length},""" +
+    ok(ex, s"""{"model":${jstr(name)},"vocab":${model.vocab.length},""" +
       s""""bigrams":${model.bigrams.size}}""")
   }
 
@@ -525,6 +526,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * nested arrays/structs/timestamps); bounded by [[maxResponseRows]]. */
   private def okRows(ex: HttpExchange, df: DataFrame): Unit =
     ok(ex, df.limit(maxResponseRows).toJSON.collect().mkString("""{"rows":[""", ",", "]}"))
+
+  /** JSON string literal (quoted + escaped) — hand-built response bodies
+    * must never interpolate raw user input. */
+  private def jstr(v: String): String = mapper.writeValueAsString(v)
 
   private def ok(ex: HttpExchange, json: String): Unit = send(ex, 200, json)
 

@@ -33,22 +33,34 @@ class Store(val spark: SparkSession, val root: String) {
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def sourcePath(name: String) = s"$root/sources/$name"
+  /** Every table/coding/column/model name becomes a filesystem path
+    * segment — reject anything outside `[A-Za-z0-9._-]` (and `.`/`..`
+    * traversal) BEFORE it reaches a Path. Central here so both the
+    * library API and the HTTP server get the same guarantee. */
+  private def safeSeg(name: String): String = {
+    require(name.nonEmpty && name.length <= 255 && name != "." && name != ".." &&
+      name.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'),
+      s"invalid name '$name': allowed characters are [A-Za-z0-9._-]")
+    name
+  }
+
+  private def sourcePath(name: String) = s"$root/sources/${safeSeg(name)}"
   /** Public path of a named table's parquet directory (streaming sinks
     * need it for `writeStream.option("path", …)`). */
   def tablePath(name: String): String = sourcePath(name)
-  private def codingPath(name: String) = s"$root/codings/$name"
+  private def codingPath(name: String) = s"$root/codings/${safeSeg(name)}"
   def indexPath(source: String, column: String, coding: String) =
-    s"$root/indexes/$source/$column/$coding"
+    s"$root/indexes/${safeSeg(source)}/${safeSeg(column)}/${safeSeg(coding)}"
   /** IVF+PQ variant of [[indexPath]]: cell-partitioned copy + codes column. */
   def pqIndexPath(source: String, column: String, coding: String) =
-    s"$root/pq_indexes/$source/$column/$coding"
+    s"$root/pq_indexes/${safeSeg(source)}/${safeSeg(column)}/${safeSeg(coding)}"
   /** IVF+SQ8 variant: cell-partitioned copy + 8-bit quantized vectors. */
   def sqIndexPath(source: String, column: String, coding: String) =
-    s"$root/sq_indexes/$source/$column/$coding"
+    s"$root/sq_indexes/${safeSeg(source)}/${safeSeg(column)}/${safeSeg(coding)}"
   /** IVF+BQ variant: cell-partitioned copy + 1-bit sign codes. */
   def bqIndexPath(source: String, column: String, coding: String) =
-    s"$root/bq_indexes/$source/$column/$coding"
+    s"$root/bq_indexes/${safeSeg(source)}/${safeSeg(column)}/${safeSeg(coding)}"
 
   /** Write small sidecar bytes (e.g. PQ codebooks) through the store's
     * filesystem, so the layout works on HDFS/object stores too. */
@@ -295,7 +307,7 @@ class Store(val spark: SparkSession, val root: String) {
 
   // ——— BPE tokenizer models ———
 
-  def bpeModelPath(name: String): String = s"$root/models/bpe/$name.json"
+  def bpeModelPath(name: String): String = s"$root/models/bpe/${safeSeg(name)}.json"
 
   def saveBpeModel(name: String, model: graft.ext.Bpe.BpeModel): Unit =
     writeSidecar(bpeModelPath(name), model.toJson.getBytes("UTF-8"))
@@ -315,13 +327,31 @@ class Store(val spark: SparkSession, val root: String) {
 
   // ——— n-gram LM models (perplexity quality filtering) ———
 
-  def ngramModelPath(name: String): String = s"$root/models/ngram/$name.json"
+  def ngramModelPath(name: String): String = s"$root/models/ngram/${safeSeg(name)}.json"
 
   def saveNgramModel(name: String, model: graft.ext.NgramLm.NgramLmModel): Unit =
     writeSidecar(ngramModelPath(name), model.toJson.getBytes("UTF-8"))
 
-  def loadNgramModel(name: String): graft.ext.NgramLm.NgramLmModel =
-    graft.ext.NgramLm.fromJson(new String(readSidecar(ngramModelPath(name)), "UTF-8"))
+  /** Content-keyed model cache: repeated loads of an unchanged model file
+    * (the server's per-request perplexity route) return the SAME instance,
+    * so its memoized broadcast is reused instead of accumulating one (or
+    * more) broadcast blocks per request. The md5 check re-reads the small
+    * sidecar each call, so a retrained model is picked up immediately. */
+  @transient private lazy val ngramModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, graft.ext.NgramLm.NgramLmModel)]()
+
+  def loadNgramModel(name: String): graft.ext.NgramLm.NgramLmModel = {
+    val bytes = readSidecar(ngramModelPath(name))
+    val digest = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5").digest(bytes))
+    val cached = ngramModelCache.get(name)
+    if (cached != null && cached._1 == digest) cached._2
+    else {
+      val m = graft.ext.NgramLm.fromJson(new String(bytes, "UTF-8"))
+      ngramModelCache.put(name, (digest, m))
+      m
+    }
+  }
 
   def listNgramModels(): Seq[String] = {
     val p = new Path(s"$root/models/ngram")
@@ -330,12 +360,14 @@ class Store(val spark: SparkSession, val root: String) {
       .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
   }
 
-  def dropNgramModel(name: String): Unit =
+  def dropNgramModel(name: String): Unit = {
+    ngramModelCache.remove(name)
     fs.delete(new Path(ngramModelPath(name)), false)
+  }
 
   // ——— PCA models (embedding dimensionality reduction) ———
 
-  def pcaModelPath(name: String): String = s"$root/models/pca/$name.json"
+  def pcaModelPath(name: String): String = s"$root/models/pca/${safeSeg(name)}.json"
 
   def savePcaModel(name: String, model: graft.ext.Embeddings.PcaModel): Unit =
     writeSidecar(pcaModelPath(name), model.toJson.getBytes("UTF-8"))

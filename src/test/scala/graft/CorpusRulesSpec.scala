@@ -122,6 +122,39 @@ class CorpusRulesSpec extends SparkSuite {
     assert(packed(0L) == "a b c d" && packed(1L) == "e f g h")
   }
 
+  test("packing with duplicate orderCol values: exact-capacity bins, no overlap") {
+    import graft.ext.Corpus
+    // Every doc shares orderCol = 1 — under the old default RANGE frame all
+    // four got identical cumulative sums (overlapping bins, 12-token "bins"
+    // at capacity 4); the ROWS frame + md5 tiebreak must pack them cleanly.
+    val df = Seq(
+      ("A", 1L, "a1 a2 a3"), ("A", 1L, "b1 b2 b3"),
+      ("A", 1L, "c1 c2 c3"), ("A", 1L, "d1 d2 d3"),
+    ).toDF("shard", "doc_id", "text")
+    val assign = Corpus.packByTokenBudget(df, "shard", "doc_id", "text", 4L)
+      .collect()
+    // cumulative starts must be a permutation of 0,3,6,9 — distinct, no overlap
+    val starts = assign.map(r =>
+      r.getAs[Long]("bin") * 4L + r.getAs[Long]("bin_offset")).sorted
+    assert(starts.toSeq == Seq(0L, 3L, 6L, 9L), starts.mkString(","))
+    val packed = Corpus.packedSequences(df, "shard", "doc_id", "text", 4L)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("seq_text"))).toMap
+    // 12 tokens / capacity 4 = bins 0,1,2 all exactly full
+    assert(packed.keySet == Set(0L, 1L, 2L))
+    assert(packed.values.map(_._1).toSeq.forall(_ == 4L), packed.toString)
+    // concatenation reproduces SOME doc order (tiebreak-determined), with
+    // each doc's tokens contiguous and in order
+    val concat = (0L to 2L).map(packed(_)._2).mkString(" ")
+    val docs = Seq("a1 a2 a3", "b1 b2 b3", "c1 c2 c3", "d1 d2 d3")
+    assert(docs.forall(concat.contains), concat)
+    // deterministic across runs
+    val again = Corpus.packedSequences(df, "shard", "doc_id", "text", 4L)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[String]("seq_text"))).toMap
+    assert(again == packed)
+  }
+
   test("dedupSegments error contract") {
     intercept[IllegalArgumentException] {
       TextAnalysis.dedupSegments(Seq((1L, "x")).toDF("doc_id", "text"),

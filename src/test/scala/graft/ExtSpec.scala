@@ -744,9 +744,7 @@ class StreamsSpec extends SparkSuite {
 
   test("sessionize matches the lag-gap cumulative-sum formulation on testdata") {
     import org.apache.spark.sql.expressions.Window
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = sf("sf0.001", "events")
-      .withColumn("ts_sec", expr("ts div 1000000000"))
+    val events = SparkEntry.tblEvents(spark, "/root/testdata/sf0.001")
     val got = Streams.sessionize(events, gapSecs = 1800L)
       .select("user_id", "session_start", "session_events")
       .as[(Long, Long, Long)].collect().toSet

@@ -142,6 +142,33 @@ class NgramLmSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("repeated scoring with one model instance creates exactly one broadcast") {
+    val df = Seq((1L, "a b a"), (2L, "a b c")).toDF("doc_id", "text")
+    val m = NgramLm.train(train, "text", vocabSize = 10)
+    val before = graft.ext.NgramLm.broadcastsCreated.get()
+    (1 to 50).foreach { _ =>
+      NgramLm.perplexity(df, "doc_id", "text", m).count()
+    }
+    val created = graft.ext.NgramLm.broadcastsCreated.get() - before
+    assert(created == 1L,
+      s"50 scoring calls must reuse one memoized broadcast, created $created")
+  }
+
+  test("store-loaded models are content-cached: same instance, same broadcast") {
+    val root = java.nio.file.Files.createTempDirectory("ngram-cache").toString
+    val store = new graft.store.Store(spark, root)
+    val m = NgramLm.train(train, "text", vocabSize = 10)
+    store.saveNgramModel("lm", m)
+    val a = store.loadNgramModel("lm")
+    val b = store.loadNgramModel("lm")
+    assert(a eq b, "unchanged model file must return the cached instance")
+    // retrain + save invalidates via the content digest
+    val m2 = NgramLm.train(train, "text", vocabSize = 2)
+    store.saveNgramModel("lm", m2)
+    val c = store.loadNgramModel("lm")
+    assert(!(c eq a) && c.vocab == m2.vocab)
+  }
+
   test("error contracts") {
     intercept[IllegalArgumentException] {
       NgramLm.train(train, "text", vocabSize = 0)

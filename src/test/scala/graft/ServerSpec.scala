@@ -428,4 +428,29 @@ class ServerSpec extends SparkSuite {
 
     assert(send("DELETE", "/tables/wire_lm")._1 == 200)
   }
+
+  test("hostile names: traversal rejected, quotes never break response JSON") {
+    // `..` as a table name must be rejected before any filesystem use
+    val (tc, tBody) = send("PUT", "/tables/..",
+      """{"schema":"x LONG","rows":[{"x":1}]}""")
+    assert(tc == 400, s"$tc $tBody")
+    assert(mapper.readTree(tBody).get("error") != null)
+    // model name with a path separator in the JSON body → clean 400
+    val (hc, hBody) = send("PUT", "/tables/hostile_src",
+      """{"schema":"doc_id LONG, text STRING","rows":[{"doc_id":1,"text":"a b"}]}""")
+    assert(hc == 200, hBody)
+    val (nc, nBody) = send("POST", "/ngram",
+      """{"name":"../evil","source":"hostile_src","column":"text"}""")
+    assert(nc == 400, s"$nc $nBody")
+    assert(mapper.readTree(nBody).get("error").asText().contains("invalid name"))
+    // nothing escaped the store root
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root).resolveSibling("evil.json")))
+    // a quote-bearing unknown route must still yield PARSEABLE error JSON
+    val q = java.net.URLEncoder.encode("""x"y\z""", "UTF-8")
+    val (uc, uBody) = send("GET", s"/nosuch/$q")
+    assert(uc == 404, s"$uc $uBody")
+    assert(mapper.readTree(uBody).get("error").asText().contains("no route"))
+    assert(send("DELETE", "/tables/hostile_src")._1 == 200)
+  }
 }
