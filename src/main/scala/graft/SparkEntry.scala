@@ -127,9 +127,19 @@ object SparkEntry {
   /** DuckDB duplicated-span CTE chain (whitespace tokens → 8-token gram
     * strings → signed FNV-1a span hashes), shared by the dedup_spans and
     * dedup_span_strip oracles. Mirrors `Dedup.tokenSpans(k = 8)`
-    * term-for-term: case-SENSITIVE tokens, space-joined grams, FNV-1a
-    * seed 0 over code points in HUGEINT mod 2^64, Scala-signed result. */
-  private val spanCte =
+    * term-for-term: case-SENSITIVE tokens, space-joined grams, TWO
+    * independent FNV-1a streams over code points in HUGEINT mod 2^64
+    * (seed 0 → init 14695981039346656037; `Dedup.SpanSeed2` → init
+    * 0xcbf29ce484222325 ^ 0x9E3779B97F4A7C15 = 6180598255448514352),
+    * Scala-signed results — gram identity is the (h, h2) pair, exactly
+    * like the Spark side. */
+  private val spanCte = {
+    def fnv(init: String) =
+      s"list_reduce(list_prepend(CAST('$init' AS HUGEINT), cs), " +
+        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
+    def signed(u: String) =
+      s"CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT) " +
+        s"THEN $u - CAST('18446744073709551616' AS HUGEINT) ELSE $u END AS BIGINT)"
     "sptoks AS (SELECT doc_id, " +
       "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t " +
       "FROM documents WHERE text IS NOT NULL), " +
@@ -137,14 +147,14 @@ object SparkEntry {
       "SELECT doc_id, unnest(list_transform(range(0, len(t) - 7), " +
       "i -> {'start': i, 'gram': array_to_string(t[i+1:i+8], ' ')})) AS s " +
       "FROM sptoks WHERE len(t) >= 8)), " +
+      "spcs AS (SELECT doc_id, start, " +
+      "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs " +
+      "FROM spge), " +
       "sphs AS (SELECT doc_id, CAST(start AS BIGINT) AS start, " +
-      "CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
-      "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT) AS h FROM (" +
-      "SELECT doc_id, start, " +
-      "list_reduce(list_prepend(CAST('14695981039346656037' AS HUGEINT), " +
-      "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-      "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hu " +
-      "FROM spge))"
+      s"${signed("hu")} AS h, ${signed("hu2")} AS h2 FROM (" +
+      s"SELECT doc_id, start, ${fnv("14695981039346656037")} AS hu, " +
+      s"${fnv("6180598255448514352")} AS hu2 FROM spcs))"
+  }
 
   private def cosPair(a: String, b: String) =
     s"0.5 - 0.5 * (list_inner_product($a, $b) / " +
@@ -1265,23 +1275,25 @@ object SparkEntry {
         "ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
         "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming " +
         "FROM cands WHERE bit_count(xor(sa, sb)) <= 8"),
-    // duplicated 8-token spans mirrored end-to-end: FNV-1a span hashes in
-    // HUGEINT, hash group HAVING >= 2, join back — Lee et al. detection
+    // duplicated 8-token spans mirrored end-to-end: PAIRED FNV-1a span
+    // hashes in HUGEINT, (h, h2) group HAVING >= 2, join back — Lee et
+    // al. detection with the 128-bit gram identity
     "dedup_spans" ->
       (s"WITH $spanCte, " +
-        "spd AS (SELECT h, CAST(count(*) AS BIGINT) AS n_occ " +
-        "FROM sphs GROUP BY h HAVING count(*) >= 2) " +
-        "SELECT sphs.doc_id, sphs.start, sphs.h AS gram_hash, spd.n_occ " +
-        "FROM sphs JOIN spd USING (h)"),
+        "spd AS (SELECT h, h2, CAST(count(*) AS BIGINT) AS n_occ " +
+        "FROM sphs GROUP BY h, h2 HAVING count(*) >= 2) " +
+        "SELECT sphs.doc_id, sphs.start, sphs.h AS gram_hash, " +
+        "sphs.h2 AS gram_hash2, spd.n_occ " +
+        "FROM sphs JOIN spd USING (h, h2)"),
     // strip mirror: canonical = row_number 1 over (doc_id, start) per
     // hash; non-canonical window positions union; kept tokens re-joined
     // in position order (string_agg ORDER BY = Spark's array_sort join)
     "dedup_span_strip" ->
       (s"WITH $spanCte, " +
-        "spd AS (SELECT h FROM sphs GROUP BY h HAVING count(*) >= 2), " +
-        "spocc AS (SELECT sphs.* FROM sphs JOIN spd USING (h)), " +
+        "spd AS (SELECT h, h2 FROM sphs GROUP BY h, h2 HAVING count(*) >= 2), " +
+        "spocc AS (SELECT sphs.* FROM sphs JOIN spd USING (h, h2)), " +
         "spnc AS (SELECT doc_id, start FROM (SELECT doc_id, start, " +
-        "row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn FROM spocc) " +
+        "row_number() OVER (PARTITION BY h, h2 ORDER BY doc_id, start) AS rn FROM spocc) " +
         "WHERE rn > 1), " +
         "sprem AS (SELECT DISTINCT doc_id, unnest(range(start, start + 8)) AS p FROM spnc), " +
         "sptp AS (SELECT doc_id, s.p AS p, s.tok AS tok FROM (" +

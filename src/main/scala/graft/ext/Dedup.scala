@@ -50,10 +50,13 @@ object Dedup {
   private[graft] val SpanSeed2 = 0x9E3779B97F4A7C15L
 
   /** FNV-1a (seeds 0 and [[SpanSeed2]]) of the space-joined k-token gram —
-    * computed in the same narrow map that forms the gram, so gram STRINGS
-    * never reach a shuffle; only (id, start, hash, hash2) longs do. */
-  private val spanHashUdf = udf { (gram: String) => hash64(gram, 0L) }
-  private val spanHash2Udf = udf { (gram: String) => hash64(gram, SpanSeed2) }
+    * BOTH hashes from one UDF call (one UTF8String→String conversion per
+    * token position), computed in the same narrow map that forms the gram,
+    * so gram STRINGS never reach a shuffle; only (id, start, hash, hash2)
+    * longs do. */
+  private val spanHashPairUdf = udf { (gram: String) =>
+    Array(hash64(gram, 0L), hash64(gram, SpanSeed2))
+  }
 
   /** All (id, start, hash, hash2) k-token spans of every non-null
     * document. `start` is the 0-based token offset. */
@@ -65,8 +68,13 @@ object Dedup {
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("__t__")) - k),
         i => array_join(slice(col("__t__"), i + 1, lit(k)), " "))))
+      // materialize the pair FIRST: referencing __hp__ twice in the next
+      // projection is safe (CollapseProject never duplicates a non-cheap
+      // UDF), so the gram string is converted and hashed exactly once
       .select(col("id"), col("pos").cast("long").as("start"),
-        spanHashUdf(col("col")).as("h"), spanHash2Udf(col("col")).as("h2"))
+        spanHashPairUdf(col("col")).as("__hp__"))
+      .select(col("id"), col("start"),
+        col("__hp__")(0).as("h"), col("__hp__")(1).as("h2"))
 
   /** Every occurrence of a k-token span that appears at least
     * `minOccurrences` times anywhere in the corpus (across documents or
@@ -86,19 +94,29 @@ object Dedup {
     * of independent 64-bit hashes (see [[SpanSeed2]]) — a 64-bit key
     * alone expects birthday collisions at ~10^13 spans.
     *
-    * Output: (idCol, start, gram_hash, n_occ). */
+    * Output: (idCol, start, gram_hash, gram_hash2, n_occ) — the
+    * collision-safe gram identifier is the (gram_hash, gram_hash2) PAIR;
+    * consumers grouping on gram_hash alone reintroduce 64-bit
+    * conflation. */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int, minOccurrences: Int = 2): DataFrame = {
     require(k >= 1, s"duplicatedSpans: k must be >= 1, got $k")
     require(minOccurrences >= 2,
       s"duplicatedSpans: minOccurrences must be >= 2, got $minOccurrences")
-    val spans = tokenSpans(df, idCol, textCol, k)
+    duplicatedSpansFrom(tokenSpans(df, idCol, textCol, k), idCol, minOccurrences)
+  }
+
+  /** Detection stage over an already-hashed (id, start, h, h2) span frame
+    * — split out so tests can inject a synthetic seed-0 collision (equal
+    * `h`, different `h2`) and prove the pair key keeps the grams apart. */
+  private[graft] def duplicatedSpansFrom(spans: DataFrame, idCol: String,
+      minOccurrences: Int): DataFrame = {
     val dup = spans.groupBy("h", "h2")
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurrences)
     spans.join(dup, Seq("h", "h2"))
       .select(col("id").as(idCol), col("start"),
-        col("h").as("gram_hash"), col("n_occ"))
+        col("h").as("gram_hash"), col("h2").as("gram_hash2"), col("n_occ"))
   }
 
   /** Remove all but the first occurrence of every duplicated k-token

@@ -77,6 +77,28 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("seed-0 hash collision: pair key keeps distinct grams apart") {
+    // Two DIFFERENT grams engineered to collide on h (the old single-hash
+    // identity) but differ on h2: under the pre-round-8 code these four
+    // occurrences would conflate into one n_occ=4 group; the (h, h2) pair
+    // must keep them as two independent n_occ=2 groups.
+    val spans = Seq(
+      (1L, 0L, 42L, 1000L), (2L, 3L, 42L, 1000L),   // gram A, twice
+      (3L, 0L, 42L, 2000L), (4L, 7L, 42L, 2000L),   // gram B: same h!
+      (5L, 1L, 99L, 3000L),                         // unique gram, dropped
+    ).toDF("id", "start", "h", "h2")
+    val out = Dedup.duplicatedSpansFrom(spans, "doc_id", minOccurrences = 2)
+      .select("doc_id", "gram_hash", "gram_hash2", "n_occ")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 42L, 1000L, 2L), (2L, 42L, 1000L, 2L),
+      (3L, 42L, 2000L, 2L), (4L, 42L, 2000L, 2L)), s"got $out")
+    // and the real hash streams are in fact independent: same input,
+    // different seeds, different values
+    val g = "a b c d e f g h"
+    assert(Dedup.hash64(g, 0L) != Dedup.hash64(g, Dedup.SpanSeed2))
+  }
+
   test("error contracts") {
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(docs, "doc_id", "text", k = 0)
