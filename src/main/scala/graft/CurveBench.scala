@@ -25,6 +25,19 @@ import graft.coder.PQ.PQConfig
 object CurveBench {
   val NumVectors: Long = sys.env.getOrElse("GRAFT_CURVE_VECTORS", "1000000").toLong
 
+  /** Standalone runner for iterating on the curves without the full
+    * Bench: `GRAFT_CURVE_VECTORS=100000 sbt "runMain graft.CurveBench"`. */
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark).foreach { case (k, v) => println(f"[curve] $k = $v%.3f") }
+    spark.stop()
+  }
+
   def run(spark: SparkSession): Seq[(String, Double)] = {
     if (NumVectors <= 0L) return Nil
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_curvebench"
@@ -94,6 +107,21 @@ object CurveBench {
       "pq16_recall_at_10_at_100" -> recallPq(100),
       "pq16_recall_at_10_at_4k" -> recallPq(4000))
 
+    // compact scale config: m=32, 32 bytes/row. On THIS corpus (iid
+    // unit-variance 256-d residuals) 256 bits is rate-distortion-limited
+    // — measured 0.84@4k at 1M, and OPQ cannot help because the residual
+    // is already isotropic (probed: m32opq8 0.83@4k). The deployable
+    // regime for the compact tier is the low-rank corpus below
+    // (pq{16,32}_lowrank_*), exactly like the BQ tier's iid-vs-lowrank
+    // split.
+    engine.makePqIndex("c", "vectors", "vector",
+      PQConfig(numSubspaces = 32, codebookSize = 256, metric = "l2",
+        sampleSize = 8192))
+    val pq32 = Seq(
+      "pq32_bytes_per_vector" -> 32.0,
+      "pq32_recall_at_10_at_100" -> recallPq(100),
+      "pq32_recall_at_10_at_4k" -> recallPq(4000))
+
     // recommended scale config: m=128, 2 bits/dim (half of SQ8's bytes)
     engine.makePqIndex("c", "vectors", "vector",
       PQConfig(numSubspaces = 128, codebookSize = 256, metric = "l2",
@@ -131,7 +159,7 @@ object CurveBench {
           queries, "q_id", "q_vec", k = 10, probes = 16, candidates = 4000,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))))
 
-    val out = Seq("curve_vectors" -> NumVectors.toDouble) ++ pq16 ++ pq128 ++
+    val out = Seq("curve_vectors" -> NumVectors.toDouble) ++ pq16 ++ pq32 ++ pq128 ++
       Seq(
         "sq_recall_at_10_at_100" -> recallSq(100),
         "sq_recall_at_10_at_4k" -> recallSq(4000)) ++
@@ -200,11 +228,37 @@ object CurveBench {
       }
       rs.sum / rs.length
     }
+    // compact PQ tiers in the SAME deployable regime: 256 correlated
+    // dims over a 32-d latent leave plenty of structure for 16-32 B/row
+    // codes (measured at 1M: m16 0.99@4k, m32 1.00@4k / 0.98@1k) — the
+    // regime answer to the iid pq16/pq32 worst-case numbers above.
+    def recallPqLr(candidates: Int): Double = {
+      val rs = queryIds.map { q =>
+        val got = engine.searchPq("vectors_lr", "vector", targets(q),
+            coding = "clr", probes = 16, candidates = candidates,
+            idCol = "vec_id", k = 10, tieBreak = Seq("vec_id"))
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        brute(q).count(got.contains) / 10.0
+      }
+      rs.sum / rs.length
+    }
+    engine.makePqIndex("clr", "vectors_lr", "vector",
+      graft.coder.PQ.PQConfig(numSubspaces = 16, codebookSize = 256,
+        metric = "l2", sampleSize = 8192))
+    val pq16Lr = Seq(
+      "pq16_lowrank_recall_at_10_at_1k" -> recallPqLr(1000),
+      "pq16_lowrank_recall_at_10_at_4k" -> recallPqLr(4000))
+    engine.makePqIndex("clr", "vectors_lr", "vector",
+      graft.coder.PQ.PQConfig(numSubspaces = 32, codebookSize = 256,
+        metric = "l2", sampleSize = 8192))
+    val pq32Lr = Seq(
+      "pq32_lowrank_recall_at_10_at_1k" -> recallPqLr(1000),
+      "pq32_lowrank_recall_at_10_at_4k" -> recallPqLr(4000))
     val out = Seq(
       "bq_lowrank_recall_at_10_at_100" -> recall(100),
       "bq_lowrank_recall_at_10_at_4k" -> recall(4000),
       // where the 1-bit curve saturates (~1.6% of the probed corpus)
-      "bq_lowrank_recall_at_10_at_16k" -> recall(16000))
+      "bq_lowrank_recall_at_10_at_16k" -> recall(16000)) ++ pq16Lr ++ pq32Lr
     engine.dropTable("vectors_lr")
     engine.dropIndex("clr")
     out

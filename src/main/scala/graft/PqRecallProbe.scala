@@ -27,9 +27,36 @@ object PqRecallProbe {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
     val engine = new Engine(spark, root)
-    engine.makeTable("vectors", RefBench.corpus(spark, n))
+    // GRAFT_PROBE_LOWRANK=1 swaps in the effective-rank-32 corpus (the
+    // regime CurveBench.bqLowRankCurves documents as deployable) — OPQ's
+    // rotation only has something to balance when residual variance is
+    // NOT isotropic, so compact-tier decisions need both regimes.
+    val lowRank = sys.env.get("GRAFT_PROBE_LOWRANK").contains("1")
+    val corpusDf =
+      if (lowRank) {
+        val gen = udf { (id: Long) =>
+          val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 7L)
+          val cluster = (id % 64).toInt
+          val crnd = new java.util.Random(cluster * 7919L + 3L)
+          val offset = Array.fill(256)(crnd.nextGaussian().toFloat * 10f)
+          val z = Array.fill(32)(rnd.nextGaussian())
+          Array.tabulate(256) { i =>
+            val brnd = new java.util.Random(i * 1000003L + 11L)
+            var acc = 0.0
+            var j = 0
+            while (j < 32) { acc += brnd.nextGaussian() * z(j); j += 1 }
+            (acc / math.sqrt(32.0) + offset(i)).toFloat
+          }
+        }
+        spark.range(n).toDF("vec_id")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .withColumn("vector", gen(col("vec_id")))
+      } else RefBench.corpus(spark, n)
+    engine.makeTable("vectors", corpusDf)
+    // same coder shape as CurveBench (64 aligned cells, not 8×8 product)
+    // so probe numbers predict the 1M curve
     engine.makeCoder("c", "vectors", "vector",
-      CoderConfig(metric = "l2", codebookSize = 8, numCodebooks = 2,
+      CoderConfig(metric = "l2", codebookSize = 64, numCodebooks = 1,
         batchSize = 2560, numEpochs = 3, maxStepsPerEpoch = 5))
     engine.syncIndex("c", "vectors", "vector")
 
@@ -57,9 +84,12 @@ object PqRecallProbe {
     }
 
     val configs = Seq(
-      "m64s32k" -> PQConfig(numSubspaces = 64, codebookSize = 256, metric = "l2", sampleSize = 32768),
-      "m128" -> PQConfig(numSubspaces = 128, codebookSize = 256, metric = "l2", sampleSize = 8192),
-      "m128s32k" -> PQConfig(numSubspaces = 128, codebookSize = 256, metric = "l2", sampleSize = 32768))
+      // compact-tier candidates (round-9: close the 16 B/row quality gap
+      // under a <=32 B/row budget)
+      "m16" -> PQConfig(numSubspaces = 16, codebookSize = 256, metric = "l2", sampleSize = 8192),
+      "m32" -> PQConfig(numSubspaces = 32, codebookSize = 256, metric = "l2", sampleSize = 8192),
+      "m32opq8" -> PQConfig(numSubspaces = 32, codebookSize = 256, metric = "l2", sampleSize = 8192, opqIters = 8),
+      "m64" -> PQConfig(numSubspaces = 64, codebookSize = 256, metric = "l2", sampleSize = 8192))
     configs.foreach { case (tag, cfg) =>
       val t0 = System.nanoTime()
       engine.makePqIndex("c", "vectors", "vector", cfg)
