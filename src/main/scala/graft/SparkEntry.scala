@@ -570,6 +570,17 @@ object SparkEntry {
       Dedup.nearDupPairsMinhash(tbl(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.35)
         .select("id_a", "id_b")),
+    // —— dedup: incoming-vs-corpus near-dup gate (the stream-static
+    // crawl-ingest shape, run on its batch-identical path: arrivals =
+    // doc_id >= 250, corpus = doc_id < 250) ——
+    "dedup_stream_static" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      graft.streaming.Streams.nearDupAgainstCorpus(
+        docs.filter(col("doc_id") >= 250), "doc_id", "text",
+        docs.filter(col("doc_id") < 250), "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.35)
+        .select(col("doc_id"), col("ref_id"))
+    }),
     // —— dedup: SimHash — ORACLE-CHECKED since round 5 (FNV token hashes,
     // bit-majority signature, pigeonhole bands, bit_count hamming) ——
     "dedup_simhash" -> ((s: SparkSession, dir: String) =>
@@ -1248,6 +1259,41 @@ object SparkEntry {
         "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
         "FROM cands c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b) " +
         "SELECT id_a, id_b FROM ver WHERE j >= 0.35"),
+    // incoming-vs-corpus near-dup gate: the SAME minhash/band/verify
+    // chain, restricted to cross-side (arrival >= 250, corpus < 250)
+    // pairs — DISTINCT here equals the library's first-matching-band
+    // emission (both yield one row per pair)
+    "dedup_stream_static" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
+        "FROM documents), " +
+        "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
+        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS gs FROM toks), " +
+        "g AS (SELECT doc_id, unnest(gs) AS gram FROM sh), " +
+        "hs AS (SELECT doc_id, r.i AS seed_i, gram, " +
+        "list_reduce(list_prepend(" +
+        "xor(CAST('14695981039346656037' AS HUGEINT), " +
+        "(CAST('11400714819323198485' AS HUGEINT) * (r.i + 1)) % CAST('18446744073709551616' AS HUGEINT)), " +
+        "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hu " +
+        "FROM g CROSS JOIN range(32) r(i)), " +
+        "hsig AS (SELECT doc_id, seed_i, " +
+        "min(CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
+        "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT)) AS mh " +
+        "FROM hs GROUP BY doc_id, seed_i), " +
+        "sig AS (SELECT doc_id, list(mh ORDER BY seed_i) AS sig FROM hsig GROUP BY doc_id), " +
+        "banded AS (SELECT doc_id, r.band, sig[r.band * 4 + 1 : r.band * 4 + 4] AS chunk " +
+        "FROM sig CROSS JOIN range(8) r(band)), " +
+        "cands AS (SELECT DISTINCT a.doc_id AS s_id, b.doc_id AS ref_id " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.chunk = b.chunk " +
+        "AND a.doc_id >= 250 AND b.doc_id < 250), " +
+        "ver AS (SELECT c.s_id, c.ref_id, " +
+        "CASE WHEN len(list_distinct(sa.gs || sb.gs)) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
+        "FROM cands c JOIN sh sa ON sa.doc_id = c.s_id JOIN sh sb ON sb.doc_id = c.ref_id) " +
+        "SELECT s_id AS doc_id, ref_id FROM ver WHERE j >= 0.35"),
     // SimHash mirrored end-to-end: FNV token hashes, per-bit majority
     // votes, 16-bit pigeonhole bands, bit_count(xor) hamming verify
     "dedup_simhash" ->

@@ -163,6 +163,75 @@ object Streams {
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** Near-duplicate gate for an INCOMING document stream against a STATIC
+    * reference corpus — the crawl-ingest dedup step of a training-data
+    * pipeline: decide per arriving document whether the corpus already
+    * holds a near-duplicate, WITHOUT rescanning the corpus per batch and
+    * without any cross-batch state.
+    *
+    * Plan shape (works identically on a batch frame — what the DuckDB
+    * oracle checks — and on a `readStream` frame in append mode, as a
+    * stream-static equi-join):
+    *   1. both sides get the same FNV MinHash signature in a narrow map
+    *      ([[graft.ext.Dedup.minhashUdf]]);
+    *   2. the corpus is banded once into a slim (band, bucket, ref id)
+    *      frame — signature slices ARE the buckets, so there are no
+    *      band-hash false positives; callers at scale should
+    *      persist/cache `corpus` so the banding is not re-derived per
+    *      micro-batch;
+    *   3. the stream joins on (band, bucket) — an equi-join Spark executes
+    *      stream-static with no watermark requirement;
+    *   4. a pair that matches in several bands would emit once per band;
+    *      it is kept ONLY on its first matching band (a stateless filter
+    *      over the two signatures — no streaming-illegal `distinct`);
+    *   5. candidates verify with exact n-gram Jaccard ≥ `threshold`
+    *      against the matched reference text.
+    *
+    * Output: (idCol, ref_id, jaccard) — one row per (arriving doc,
+    * corpus near-duplicate) pair; a doc absent from the output is novel.
+    * Only signatures and ids shuffle for candidacy; corpus text is joined
+    * back only for surviving candidates. */
+  def nearDupAgainstCorpus(stream: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, refIdCol: String, refTextCol: String,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(threshold >= 0 && threshold <= 1,
+      s"threshold must be in [0,1], got $threshold")
+    val rows = numHashes / bands
+    val mh = graft.ext.Dedup.minhashUdf(numHashes, shingleSize)
+    val refSigs = corpus
+      .select(col(refIdCol).as("ref_id"), col(refTextCol).as("__ref_text__"))
+      .filter(col("__ref_text__").isNotNull)
+      .withColumn("__ref_sig__", mh(col("__ref_text__")))
+    val refBanded = refSigs.select(col("ref_id"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("__ref_sig__"))
+      .withColumn("bucket",
+        slice(col("__ref_sig__"), col("band") * rows + 1, lit(rows)))
+      .select("ref_id", "band", "bucket")
+    val sBanded = stream.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__s_id__"), col(textCol).as("__s_text__"))
+      .withColumn("__s_sig__", mh(col("__s_text__")))
+      .select(col("__s_id__"), col("__s_text__"), col("__s_sig__"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("bucket",
+        slice(col("__s_sig__"), col("band") * rows + 1, lit(rows)))
+    val matched = sBanded.join(refBanded, Seq("band", "bucket"))
+      .join(refSigs, Seq("ref_id"))
+    // keep each (doc, ref) pair only on its FIRST matching band
+    val firstMatch = element_at(filter(
+      sequence(lit(0), lit(bands - 1)),
+      p => slice(col("__s_sig__"), p * rows + 1, lit(rows)) ===
+        slice(col("__ref_sig__"), p * rows + 1, lit(rows))), 1)
+    matched.filter(col("band") === firstMatch)
+      .withColumn("jaccard", graft.ext.Dedup.jaccardUdf(shingleSize)(
+        col("__s_text__"), col("__ref_text__")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__s_id__").as(idCol), col("ref_id"), col("jaccard"))
+  }
+
   /** Gap-based session windows per user (SURVEY §7 extension list).
     *
     * Built on Spark's `session_window`: events of one user closer than

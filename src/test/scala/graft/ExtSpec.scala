@@ -1279,6 +1279,87 @@ class StreamStaticJoinSpec extends SparkSuite {
       assert(got(100L) == Some("gold") && got(999L) == None)
     } finally q.stop()
   }
+
+  // corpus fixture shared by the near-dup gate tests: refs 1-3, arrivals
+  // 10-12; 10 near-dups ref 1, 11 is novel, 12 exactly duplicates ref 3
+  private lazy val ndCorpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "completely different reference text about spark engines"),
+    (3L, "training data pipelines deduplicate incoming crawl documents"),
+  ).toDF("ref_doc", "body")
+  private def ndArrivals = Seq(
+    (10L, "the quick brown fox jumps over the lazy dog yesterday"),
+    (11L, "unrelated arrival with entirely novel words inside"),
+    (12L, "training data pipelines deduplicate incoming crawl documents"),
+  )
+
+  test("nearDupAgainstCorpus (batch path): flags dup arrivals, passes novel ones") {
+    val arrivals = ndArrivals.toDF("doc_id", "text")
+    val got = Streams.nearDupAgainstCorpus(arrivals, "doc_id", "text",
+        ndCorpus, "ref_doc", "body", threshold = 0.5)
+      .select("doc_id", "ref_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val byDoc = got.groupBy(_._1)
+    assert(byDoc.keySet == Set(10L, 12L), s"got $got")
+    // one row per pair even though an exact dup matches in ALL 8 bands
+    assert(byDoc(12L).toSeq == Seq((12L, 3L, 1.0)), s"${byDoc(12L).toSeq}")
+    assert(byDoc(10L).map(_._2).toSet == Set(1L))
+    assert(byDoc(10L).forall(r => r._3 >= 0.5 && r._3 < 1.0))
+  }
+
+  test("nearDupAgainstCorpus runs as a real stream-static join (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val out = Streams.nearDupAgainstCorpus(stream, "doc_id", "text",
+      ndCorpus, "ref_doc", "body", threshold = 0.5)
+    assert(out.isStreaming, "must stay a streaming frame")
+    val q = out.writeStream.format("memory").queryName("neardup_test")
+      .outputMode("append").start()
+    try {
+      mem.addData(ndArrivals: _*)
+      q.processAllAvailable()
+      val got = spark.table("neardup_test")
+        .select("doc_id", "ref_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L), (12L, 3L)), s"got $got")
+      // a later batch is judged independently (no cross-batch state)
+      mem.addData((20L, "the quick brown fox jumps over the lazy dog today"))
+      q.processAllAvailable()
+      val got2 = spark.table("neardup_test")
+        .filter($"doc_id" === 20L).select("ref_id").as[Long].collect().toSet
+      assert(got2 == Set(1L), s"got $got2")
+    } finally q.stop()
+  }
+
+  test("nearDupAgainstCorpus batch path equals nearDupPairsMinhash on cross pairs") {
+    val all = (ndArrivals.map { case (id, t) => (id, t) } ++
+      Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+        (2L, "completely different reference text about spark engines"),
+        (3L, "training data pipelines deduplicate incoming crawl documents")))
+      .toDF("doc_id", "text")
+    val expected = graft.ext.Dedup.nearDupPairsMinhash(all, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a < 10) != (b < 10) }  // cross-side only
+      .map { case (a, b, j) => (math.max(a, b), math.min(a, b), j) }.toSet
+    val got = Streams.nearDupAgainstCorpus(
+        all.filter($"doc_id" >= 10L), "doc_id", "text",
+        all.filter($"doc_id" < 10L), "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected, s"got $got want $expected")
+  }
+
+  test("nearDupAgainstCorpus error contracts") {
+    intercept[IllegalArgumentException] {
+      Streams.nearDupAgainstCorpus(ndArrivals.toDF("doc_id", "text"),
+        "doc_id", "text", ndCorpus, "ref_doc", "body", numHashes = 30, bands = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Streams.nearDupAgainstCorpus(ndArrivals.toDF("doc_id", "text"),
+        "doc_id", "text", ndCorpus, "ref_doc", "body", threshold = 1.5)
+    }
+  }
 }
 
 class CorpusStatsSpec extends SparkSuite {
