@@ -52,6 +52,7 @@ import graft.coder.CoderConfig
   *     `GET /api/ngram/{model}/perplexity` (LM quality-filter lifecycle)
   *   - `POST   /api/dedup/spans` · `POST /api/dedup/strip`
   *     (exact substring dedup: detect / rewrite)
+  *   - `POST   /api/dedup/gate` (arrivals-vs-corpus near-dup gate)
   *   - `POST   /api/sample/mixture` (domain-mixture resampling)
   *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
   *     `POST /api/indexes/repair`
@@ -117,6 +118,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           getPerplexity(ex, model)
         case ("POST", "dedup" :: "spans" :: Nil) => postDedupSpans(ex)
         case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
+        case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
@@ -459,6 +461,22 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     okRows(ex, graft.ext.Dedup.stripDuplicatedSpans(df,
       require(body, "idCol").asText(), require(body, "column").asText(),
       k = intOr(body, "k", 50)))
+  }
+
+  /** Incoming-vs-corpus near-dup gate
+    * ([[graft.streaming.Streams.nearDupAgainstCorpus]] on its batch
+    * path): which docs of `source` near-duplicate a doc of `corpus`. */
+  private def postDedupGate(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val arrivals = engine.readTable(Seq(require(body, "source").asText()))
+    val corpus = engine.readTable(Seq(require(body, "corpus").asText()))
+    okRows(ex, graft.streaming.Streams.nearDupAgainstCorpus(
+      arrivals, require(body, "idCol").asText(), require(body, "column").asText(),
+      corpus, require(body, "refIdCol").asText(), require(body, "refColumn").asText(),
+      shingleSize = intOr(body, "shingleSize", 3),
+      numHashes = intOr(body, "numHashes", 32),
+      bands = intOr(body, "bands", 8),
+      threshold = opt(body, "threshold").map(_.asDouble()).getOrElse(0.5)))
   }
 
   /** Deterministic domain-mixture resampling

@@ -429,6 +429,29 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_lm")._1 == 200)
   }
 
+  test("near-dup gate route: arrivals flagged against a stored corpus") {
+    val (c1, b1) = send("PUT", "/tables/gate_corpus",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":1,"text":"the quick brown fox jumps over the lazy dog today"},
+        {"doc_id":2,"text":"completely different reference text about spark engines"}]}""")
+    assert(c1 == 200, b1)
+    val (c2, b2) = send("PUT", "/tables/gate_in",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":10,"text":"the quick brown fox jumps over the lazy dog yesterday"},
+        {"doc_id":11,"text":"unrelated arrival with entirely novel words inside"}]}""")
+    assert(c2 == 200, b2)
+    val (gc, gBody) = send("POST", "/dedup/gate",
+      """{"source":"gate_in","idCol":"doc_id","column":"text",
+        "corpus":"gate_corpus","refIdCol":"doc_id","refColumn":"text"}""")
+    assert(gc == 200, gBody)
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    mapper.readTree(gBody).get("rows").elements()
+      .forEachRemaining(n => pairs += ((n.get("doc_id").asLong(), n.get("ref_id").asLong())))
+    assert(pairs.toSet == Set((10L, 1L)), s"got $pairs")
+    assert(send("DELETE", "/tables/gate_corpus")._1 == 200)
+    assert(send("DELETE", "/tables/gate_in")._1 == 200)
+  }
+
   test("hostile names: traversal rejected, quotes never break response JSON") {
     // `..` as a table name must be rejected before any filesystem use
     val (tc, tBody) = send("PUT", "/tables/..",
