@@ -219,6 +219,19 @@ object Dedup {
     }
   }
 
+  /** MinHash signature table (idCol, sig: array<bigint>) — the
+    * persistable artifact of a corpus for repeated near-dup gating
+    * ([[graft.streaming.Streams.nearDupAgainstSignatures]]): computing
+    * signatures is the expensive pass over corpus text; banding them is a
+    * cheap narrow derivation, so signatures are what a 100 TB pipeline
+    * stores (numHashes longs per doc) and syncs incrementally. Null-text
+    * docs are excluded (they are never near-dup candidates). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, shingleSize: Int = 3): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        minhashUdf(numHashes, shingleSize)(col(textCol)).as("sig"))
+
   /** Exact n-gram Jaccard similarity of two texts. */
   def jaccardUdf(shingleSize: Int) = udf { (a: String, b: String) =>
     val sa = shingles(if (a == null) "" else a, shingleSize)

@@ -174,11 +174,11 @@ object Streams {
     * stream-static equi-join):
     *   1. both sides get the same FNV MinHash signature in a narrow map
     *      ([[graft.ext.Dedup.minhashUdf]]);
-    *   2. the corpus is banded once into a slim (band, bucket, ref id)
-    *      frame — signature slices ARE the buckets, so there are no
-    *      band-hash false positives; callers at scale should
-    *      persist/cache `corpus` so the banding is not re-derived per
-    *      micro-batch;
+    *   2. the corpus is banded into a slim (band, bucket, ref id) frame —
+    *      signature slices ARE the buckets, so there are no band-hash
+    *      false positives; at scale, persist the signatures once and use
+    *      [[nearDupAgainstSignatures]] so corpus text is never re-hashed
+    *      per micro-batch;
     *   3. the stream joins on (band, bucket) — an equi-join Spark executes
     *      stream-static with no watermark requirement;
     *   4. a pair that matches in several bands would emit once per band;
@@ -195,17 +195,35 @@ object Streams {
       corpus: DataFrame, refIdCol: String, refTextCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
+    val refData = corpus
+      .select(col(refIdCol).as("ref_id"), col(refTextCol).as("ref_text"))
+      .filter(col("ref_text").isNotNull)
+    val refSigs = graft.ext.Dedup.minhashSignatures(
+      refData, "ref_id", "ref_text", numHashes, shingleSize)
+    nearDupAgainstSignatures(stream, idCol, textCol, refSigs, refData,
+      shingleSize, numHashes, bands, threshold)
+  }
+
+  /** [[nearDupAgainstCorpus]] against a PRE-COMPUTED corpus signature
+    * table — the 100 TB shape: signatures
+    * ([[graft.ext.Dedup.minhashSignatures]], numHashes longs/doc) are the
+    * expensive corpus pass, so a pipeline persists them once (and appends
+    * incrementally as the corpus grows) instead of re-hashing corpus text
+    * per batch/job. `refSigs` must be (ref_id, sig) with the SAME
+    * numHashes/shingleSize; `refTexts` is (ref_id, ref_text), consulted
+    * only for surviving candidates' exact-Jaccard verify. */
+  def nearDupAgainstSignatures(stream: DataFrame, idCol: String,
+      textCol: String, refSigs: DataFrame, refTexts: DataFrame,
+      shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     require(threshold >= 0 && threshold <= 1,
       s"threshold must be in [0,1], got $threshold")
     val rows = numHashes / bands
     val mh = graft.ext.Dedup.minhashUdf(numHashes, shingleSize)
-    val refSigs = corpus
-      .select(col(refIdCol).as("ref_id"), col(refTextCol).as("__ref_text__"))
-      .filter(col("__ref_text__").isNotNull)
-      .withColumn("__ref_sig__", mh(col("__ref_text__")))
-    val refBanded = refSigs.select(col("ref_id"),
+    val ref = refSigs.select(col("ref_id"), col("sig").as("__ref_sig__"))
+    val refBanded = ref.select(col("ref_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("__ref_sig__"))
       .withColumn("bucket",
@@ -219,15 +237,16 @@ object Streams {
       .withColumn("bucket",
         slice(col("__s_sig__"), col("band") * rows + 1, lit(rows)))
     val matched = sBanded.join(refBanded, Seq("band", "bucket"))
-      .join(refSigs, Seq("ref_id"))
+      .join(ref, Seq("ref_id"))
     // keep each (doc, ref) pair only on its FIRST matching band
     val firstMatch = element_at(filter(
       sequence(lit(0), lit(bands - 1)),
       p => slice(col("__s_sig__"), p * rows + 1, lit(rows)) ===
         slice(col("__ref_sig__"), p * rows + 1, lit(rows))), 1)
     matched.filter(col("band") === firstMatch)
+      .join(refTexts.select(col("ref_id"), col("ref_text")), Seq("ref_id"))
       .withColumn("jaccard", graft.ext.Dedup.jaccardUdf(shingleSize)(
-        col("__s_text__"), col("__ref_text__")))
+        col("__s_text__"), col("ref_text")))
       .filter(col("jaccard") >= threshold)
       .select(col("__s_id__").as(idCol), col("ref_id"), col("jaccard"))
   }

@@ -1350,6 +1350,27 @@ class StreamStaticJoinSpec extends SparkSuite {
     assert(got == expected, s"got $got want $expected")
   }
 
+  test("nearDupAgainstSignatures: persisted signature artifact equals direct path") {
+    val arrivals = ndArrivals.toDF("doc_id", "text")
+    val direct = Streams.nearDupAgainstCorpus(arrivals, "doc_id", "text",
+        ndCorpus, "ref_doc", "body", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // persist the signature table to parquet (the 100 TB artifact) and
+    // gate against the RELOADED copy
+    val dir = java.nio.file.Files.createTempDirectory("nd-sigs").toString
+    graft.ext.Dedup.minhashSignatures(
+        ndCorpus.select($"ref_doc".as("ref_id"), $"body".as("ref_text")),
+        "ref_id", "ref_text")
+      .write.mode("overwrite").parquet(s"$dir/sigs")
+    val viaSigs = Streams.nearDupAgainstSignatures(arrivals, "doc_id", "text",
+        spark.read.parquet(s"$dir/sigs"),
+        ndCorpus.select($"ref_doc".as("ref_id"), $"body".as("ref_text")),
+        threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaSigs == direct, s"sigs $viaSigs direct $direct")
+    assert(viaSigs.nonEmpty)
+  }
+
   test("nearDupAgainstCorpus error contracts") {
     intercept[IllegalArgumentException] {
       Streams.nearDupAgainstCorpus(ndArrivals.toDF("doc_id", "text"),
