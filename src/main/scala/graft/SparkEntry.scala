@@ -156,6 +156,23 @@ object SparkEntry {
       s"${fnv("6180598255448514352")} AS hu2 FROM spcs))"
   }
 
+  /** Containment mirror shared by text_decontaminate (batch groupBy
+    * shape) and decontaminate_stream (broadcast narrow-map shape) — the
+    * two operators compute the same function. */
+  private val decontaminateSql =
+    "WITH b AS (SELECT doc_id AS bench_id, " +
+      "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
+      "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id < 5) WHERE len(t) >= 2), " +
+      "c AS (SELECT doc_id AS corpus_id, " +
+      "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
+      "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id >= 100) WHERE len(t) >= 2), " +
+      "bt AS (SELECT bench_id, len(gs) AS b_total FROM b), " +
+      "bg AS (SELECT bench_id, unnest(gs) AS ngram FROM b), " +
+      "cg AS (SELECT corpus_id, unnest(gs) AS ngram FROM c), " +
+      "j AS (SELECT cg.corpus_id, bg.bench_id, count(*) AS shared FROM cg JOIN bg USING (ngram) GROUP BY 1, 2) " +
+      "SELECT corpus_id, bench_id, shared, CAST(shared AS DOUBLE) / b_total AS containment " +
+      "FROM j JOIN bt USING (bench_id) WHERE CAST(shared AS DOUBLE) / b_total >= 0.2"
+
   private def cosPair(a: String, b: String) =
     s"0.5 - 0.5 * (list_inner_product($a, $b) / " +
       s"sqrt(list_inner_product($a, $a) * list_inner_product($b, $b)))"
@@ -805,6 +822,18 @@ object SparkEntry {
     "text_decontaminate" -> ((s: SparkSession, dir: String) => {
       val docs = tbl(s, dir, "documents")
       TextAnalysis.ngramContainment(
+        docs.filter(col("doc_id") >= 100)
+          .select(col("doc_id").as("corpus_id"), col("text")),
+        "corpus_id", "text",
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        "bench_id", "text", n = 2, threshold = 0.2)
+    }),
+    // —— the SAME decontamination as a streaming-legal gate: benchmark
+    // n-grams broadcast into a narrow map (no corpus-side aggregate) ——
+    "decontaminate_stream" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      graft.streaming.Streams.decontaminateGate(
         docs.filter(col("doc_id") >= 100)
           .select(col("doc_id").as("corpus_id"), col("text")),
         "corpus_id", "text",
@@ -1783,19 +1812,10 @@ object SparkEntry {
         "SELECT doc_id, lang, source, " +
         "row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn " +
         "FROM documents) WHERE rn <= 3"),
-    "text_decontaminate" ->
-      ("WITH b AS (SELECT doc_id AS bench_id, " +
-        "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
-        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id < 5) WHERE len(t) >= 2), " +
-        "c AS (SELECT doc_id AS corpus_id, " +
-        "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
-        "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id >= 100) WHERE len(t) >= 2), " +
-        "bt AS (SELECT bench_id, len(gs) AS b_total FROM b), " +
-        "bg AS (SELECT bench_id, unnest(gs) AS ngram FROM b), " +
-        "cg AS (SELECT corpus_id, unnest(gs) AS ngram FROM c), " +
-        "j AS (SELECT cg.corpus_id, bg.bench_id, count(*) AS shared FROM cg JOIN bg USING (ngram) GROUP BY 1, 2) " +
-        "SELECT corpus_id, bench_id, shared, CAST(shared AS DOUBLE) / b_total AS containment " +
-        "FROM j JOIN bt USING (bench_id) WHERE CAST(shared AS DOUBLE) / b_total >= 0.2"),
+    "text_decontaminate" -> decontaminateSql,
+    // the streaming gate computes the same containment in a narrow
+    // broadcast map — same mirror
+    "decontaminate_stream" -> decontaminateSql,
     "vocab_topk" ->
       ("SELECT token, freq FROM (" +
         "SELECT t AS token, count(*) AS freq " +

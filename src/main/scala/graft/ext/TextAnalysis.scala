@@ -285,7 +285,7 @@ object TextAnalysis {
   }
 
   /** Per-doc distinct word n-grams (helper for containment/dedup). */
-  private def distinctNgrams(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def distinctNgrams(df: DataFrame, idCol: String, textCol: String,
       n: Int, out: String): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
     df.select(col(idCol), toks.as("toks"))

@@ -251,6 +251,73 @@ object Streams {
       .select(col("__s_id__").as(idCol), col("ref_id"), col("jaccard"))
   }
 
+  /** Benchmark-decontamination gate for an INCOMING document stream —
+    * the eval-leakage check ([[graft.ext.TextAnalysis.ngramContainment]])
+    * re-shaped so it is legal in streaming append mode: the batch
+    * operator's corpus-side groupBy becomes a NARROW map with the
+    * benchmark n-grams broadcast, so arriving docs are scored without
+    * any streaming aggregate or cross-batch state.
+    *
+    * The benchmark side is small by definition — its distinct n-grams
+    * are collected driver-side (bounded by `maxBenchGrams`, loud refusal
+    * above it, the [[graft.ext.NgramLm]] discipline) and broadcast once
+    * per call; a long-running streaming query reuses the one broadcast
+    * across micro-batches. Bench ids must be long-castable (the engine's
+    * id convention).
+    *
+    * Batch-identical: on a batch frame the output equals
+    * `ngramContainment` row-for-row (same tokenization expressions, same
+    * containment association `shared.toDouble / b_total`).
+    * Output: (idCol, benchIdCol, shared, containment). */
+  def decontaminateGate(stream: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 2, threshold: Double = 0.2,
+      maxBenchGrams: Long = 5000000L): DataFrame = {
+    require(n >= 1, s"decontaminateGate: n must be >= 1, got $n")
+    require(threshold >= 0 && threshold <= 1,
+      s"decontaminateGate: threshold must be in [0,1], got $threshold")
+    require(idCol != benchIdCol,
+      s"rename the id columns apart (both are '$idCol')")
+    val cap = math.min(maxBenchGrams, Int.MaxValue - 1L).toInt
+    val bgRows = graft.ext.TextAnalysis
+      .distinctNgrams(bench, benchIdCol, benchTextCol, n, "ngram")
+      .select(col(benchIdCol).cast("long"), col("ngram"))
+      .limit(cap + 1).collect()
+    require(bgRows.length <= cap,
+      s"decontaminateGate: benchmark has more than maxBenchGrams = " +
+        s"$maxBenchGrams distinct $n-grams; raise the cap or shrink the benchmark")
+    val gramToBench: Map[String, Array[Long]] = bgRows.groupBy(_.getString(1))
+      .map { case (g, rs) => g -> rs.map(_.getLong(0)) }
+    val totals: Map[Long, Long] = bgRows.groupBy(_.getLong(0))
+      .map { case (b, rs) => b -> rs.length.toLong }
+    val sc = stream.sparkSession.sparkContext
+    val bcGrams = sc.broadcast(gramToBench)
+    val bcTotals = sc.broadcast(totals)
+    val matchUdf = udf { (grams: Seq[String]) =>
+      val counts = scala.collection.mutable.LongMap.empty[Long]
+      grams.foreach { g =>
+        bcGrams.value.get(g).foreach(_.foreach(b =>
+          counts(b) = counts.getOrElse(b, 0L) + 1L))
+      }
+      counts.iterator
+        .map { case (b, c) => (b, c, c.toDouble / bcTotals.value(b)) }
+        .filter(_._3 >= threshold).toSeq
+    }
+    // same gram expressions as TextAnalysis.distinctNgrams, un-exploded
+    val toks = split(trim(col(textCol)), "\\s+")
+    stream.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks__"))
+      .filter(size(col("__toks__")) >= n)
+      .select(col(idCol), array_distinct(transform(
+        sequence(lit(0), size(col("__toks__")) - n),
+        i => concat_ws(" ",
+          (0 until n).map(j => element_at(col("__toks__"), i + j + 1)): _*)))
+        .as("__grams__"))
+      .select(col(idCol), explode(matchUdf(col("__grams__"))).as("__m__"))
+      .select(col(idCol), col("__m__._1").as(benchIdCol),
+        col("__m__._2").as("shared"), col("__m__._3").as("containment"))
+  }
+
   /** Gap-based session windows per user (SURVEY §7 extension list).
     *
     * Built on Spark's `session_window`: events of one user closer than

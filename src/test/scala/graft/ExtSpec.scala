@@ -1371,6 +1371,57 @@ class StreamStaticJoinSpec extends SparkSuite {
     assert(viaSigs.nonEmpty)
   }
 
+  test("decontaminateGate batch path equals ngramContainment row-for-row") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha beta zeta eta theta"),
+      (102L, "totally disjoint words here now"),
+    ).toDF("corpus_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma"),        // bigrams: alpha-beta, beta-gamma
+      (2L, "unseen bigrams only here"),
+    ).toDF("bench_id", "text")
+    val expected = graft.ext.TextAnalysis.ngramContainment(
+        corpus, "corpus_id", "text", bench, "bench_id", "text",
+        n = 2, threshold = 0.2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = Streams.decontaminateGate(corpus, "corpus_id", "text",
+        bench, "bench_id", "text", n = 2, threshold = 0.2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected, s"got $got want $expected")
+    assert(got.nonEmpty, "fixture must produce contaminated pairs")
+    // doc 100 contains both of bench 1's bigrams
+    assert(got.contains((100L, 1L, 2L, 1.0)))
+  }
+
+  test("decontaminateGate runs as a real stream (append mode, no aggregate)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "alpha beta gamma")).toDF("bench_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.decontaminateGate(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", bench, "bench_id", "text", n = 2, threshold = 0.5)
+    assert(out.isStreaming)
+    val q = out.writeStream.format("memory").queryName("decon_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, "alpha beta gamma delta"), (11L, "no leakage at all"))
+      q.processAllAvailable()
+      val got = spark.table("decon_test")
+        .select("doc_id", "bench_id", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((10L, 1L, 1.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("decontaminateGate refuses an oversized benchmark loudly") {
+    val bench = Seq((1L, "a b c d e f g h i j")).toDF("bench_id", "text")
+    intercept[IllegalArgumentException] {
+      Streams.decontaminateGate(ndArrivals.toDF("doc_id", "text"),
+        "doc_id", "text", bench, "bench_id", "text", n = 2, maxBenchGrams = 3L)
+    }
+  }
+
   test("nearDupAgainstCorpus error contracts") {
     intercept[IllegalArgumentException] {
       Streams.nearDupAgainstCorpus(ndArrivals.toDF("doc_id", "text"),
