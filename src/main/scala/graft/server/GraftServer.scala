@@ -53,6 +53,7 @@ import graft.coder.CoderConfig
   *   - `POST   /api/dedup/spans` · `POST /api/dedup/strip`
   *     (exact substring dedup: detect / rewrite)
   *   - `POST   /api/dedup/gate` (arrivals-vs-corpus near-dup gate)
+  *   - `POST   /api/text/decontaminate` (corpus-vs-benchmark containment)
   *   - `POST   /api/sample/mixture` (domain-mixture resampling)
   *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
   *     `POST /api/indexes/repair`
@@ -119,6 +120,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "spans" :: Nil) => postDedupSpans(ex)
         case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
+        case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
@@ -477,6 +479,20 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       numHashes = intOr(body, "numHashes", 32),
       bands = intOr(body, "bands", 8),
       threshold = opt(body, "threshold").map(_.asDouble()).getOrElse(0.5)))
+  }
+
+  /** Benchmark decontamination of a stored corpus against a stored
+    * benchmark table ([[graft.streaming.Streams.decontaminateGate]] on
+    * its batch path). */
+  private def postDecontaminate(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val corpus = engine.readTable(Seq(require(body, "source").asText()))
+    val bench = engine.readTable(Seq(require(body, "bench").asText()))
+    okRows(ex, graft.streaming.Streams.decontaminateGate(
+      corpus, require(body, "idCol").asText(), require(body, "column").asText(),
+      bench, require(body, "benchIdCol").asText(), require(body, "benchColumn").asText(),
+      n = intOr(body, "n", 2),
+      threshold = opt(body, "threshold").map(_.asDouble()).getOrElse(0.2)))
   }
 
   /** Deterministic domain-mixture resampling

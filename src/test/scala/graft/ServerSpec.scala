@@ -452,6 +452,30 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/gate_in")._1 == 200)
   }
 
+  test("decontamination route: corpus scored against a stored benchmark") {
+    val (c1, b1) = send("PUT", "/tables/decon_corpus",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":100,"text":"alpha beta gamma delta epsilon"},
+        {"doc_id":101,"text":"totally disjoint words here now"}]}""")
+    assert(c1 == 200, b1)
+    val (c2, b2) = send("PUT", "/tables/decon_bench",
+      """{"schema":"bench_id LONG, text STRING","rows":[
+        {"bench_id":1,"text":"alpha beta gamma"}]}""")
+    assert(c2 == 200, b2)
+    val (dc, dBody) = send("POST", "/text/decontaminate",
+      """{"source":"decon_corpus","idCol":"doc_id","column":"text",
+        "bench":"decon_bench","benchIdCol":"bench_id","benchColumn":"text",
+        "n":2,"threshold":0.5}""")
+    assert(dc == 200, dBody)
+    val rows = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    mapper.readTree(dBody).get("rows").elements().forEachRemaining(r =>
+      rows += ((r.get("doc_id").asLong(), r.get("bench_id").asLong(),
+        r.get("containment").asDouble())))
+    assert(rows.toSet == Set((100L, 1L, 1.0)), s"got $rows")
+    assert(send("DELETE", "/tables/decon_corpus")._1 == 200)
+    assert(send("DELETE", "/tables/decon_bench")._1 == 200)
+  }
+
   test("hostile names: traversal rejected, quotes never break response JSON") {
     // `..` as a table name must be rejected before any filesystem use
     val (tc, tBody) = send("PUT", "/tables/..",
