@@ -106,7 +106,8 @@ object Bench {
       "knn_l2", "knn_cosine", "knn_dot", "search_pq", "search_rerank",
       "search_ivf_pq", "search_ivf_pq_cosine", "knn_join", "knn_join_ivf",
       "dedup_exact", "dedup_minhash", "dedup_cosine_lsh", "dedup_groups_cc",
-      "dedup_semantic", "text_fingerprint", "text_overlap", "search_sq",
+      "dedup_semantic", "dedup_stream_static", "decontaminate_stream",
+      "text_fingerprint", "text_overlap", "search_sq",
       "q1_agg", "q3_shipping", "q5_region", "events_sessions", "text_quality",
       "media_compressed_decode", "search_probed_16", "search_rerank_200",
       "search_ivf_pq_16_200", "search_sq_16_200", "search_bq_16_200")
