@@ -153,6 +153,32 @@ object Streams {
         sink(graft.api.Search.knnJoin(corpus, vecCol, batch, queryIdCol,
           queryVecCol, metric, k))
 
+  /** Semantic (embedding) near-dup gate for an arriving-vector stream —
+    * the SemDeDup ingest step: per micro-batch, each arriving embedding
+    * is joined to its nearest indexed corpus vector through the TRAINED
+    * IVF index ([[graft.index.Index.ivfKnnJoin]] — cell-pruned scan, so
+    * the corpus is probed, never fully scanned), and rows whose nearest
+    * neighbor sits within `maxDist` are emitted to `sink` as
+    * (queryIdCol, idCol, __DISTANCE__) duplicate flags. A
+    * `foreachBatch` harness like [[knnForEachBatch]]: kNN needs a
+    * per-batch global top-k, which no single-pass streaming plan can
+    * express — the batch join IS the semantics. */
+  def semanticDupGateForEachBatch(
+      store: graft.store.Store, codingName: String, source: String,
+      column: String, queryIdCol: String, queryVecCol: String,
+      maxDist: Double, probes: Int, corpusIdCol: String,
+      metric: Option[String] = None,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.index.Index.ivfKnnJoin(store, codingName, source, column,
+            batch, queryIdCol, queryVecCol, k = 1, probes = probes,
+            idCol = corpusIdCol, metric = metric,
+            tieBreak = Seq(corpusIdCol))
+          .filter(col("__DISTANCE__") <= maxDist))
+  }
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
     * watermark (state is bounded by the watermark horizon — the only way
     * exact streaming dedup is safe at scale). Works on batch frames too

@@ -501,6 +501,39 @@ class StreamingKnnSpec extends SparkSuite {
       assert(results.filter(_._1 == 100L).map(_._2).contains(0L))
     } finally q.stop()
   }
+
+  test("semantic dup gate flags arriving embeddings near the indexed corpus") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("semgate").toString
+    val engine = new graft.api.Engine(spark, root)
+    engine.makeTable("emb", sf("sf0.001", "embeddings").select("vec_id", "embedding"))
+    engine.makeIndex("c", "emb", "embedding",
+      CoderConfig(metric = "l2", codebookSize = 4, numCodebooks = 2,
+        batchSize = 128, numEpochs = 2))
+    val v0 = sf("sf0.001", "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).collect()(0).getSeq[Double](0)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val flagged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val fn = graft.streaming.Streams.semanticDupGateForEachBatch(
+      engine.store, "c", "emb", "embedding", "q_id", "q_emb",
+      maxDist = 1e-6, probes = 16, corpusIdCol = "vec_id",
+      metric = Some("l2"),
+      sink = out => flagged.synchronized {
+        flagged ++= out.select("q_id", "vec_id", "__DISTANCE__")
+          .as[(Long, Long, Double)].collect()
+      })
+    val q = mem.toDF().toDF("q_id", "q_emb")
+      .writeStream.foreachBatch(fn).start()
+    try {
+      // 100 duplicates vec_id 0 exactly; 101 is far from everything
+      mem.addData((100L, v0), (101L, v0.map(_ + 100.0)))
+      q.processAllAvailable()
+      assert(flagged.map(t => (t._1, t._2)).toSet == Set((100L, 0L)),
+        s"only the exact dup flags: $flagged")
+      assert(flagged.head._3 == 0.0)
+    } finally q.stop()
+  }
 }
 
 class IncrementalSyncSpec extends SparkSuite {
