@@ -476,6 +476,41 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/decon_bench")._1 == 200)
   }
 
+  test("concurrent clients: parallel scans and searches over one engine") {
+    val rows = (0 until 24).map(i =>
+      s"""{"vec_id":$i,"embedding":[${i % 4}.0, ${(i + 1) % 4}.0]}""")
+    val (pc, pBody) = send("PUT", "/tables/conc_t",
+      s"""{"schema":"vec_id LONG, embedding ARRAY<FLOAT>","rows":[${rows.mkString(",")}]}""")
+    assert(pc == 200, pBody)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    // 12 simultaneous requests across three route kinds against the one
+    // shared SparkSession/Engine — all must come back 200 and correct
+    val futs = (0 until 12).map { i =>
+      Future {
+        i % 3 match {
+          case 0 => send("GET", "/tables/conc_t?limit=24")
+          case 1 => send("GET", "/tables")
+          case _ => send("POST", "/search",
+            """{"sources":["conc_t"],"column":"embedding","target":[0.0,1.0],"metric":"l2","k":3}""")
+        }
+      }
+    }
+    val results = Await.result(Future.sequence(futs), 120.seconds)
+    results.zipWithIndex.foreach { case ((code, body), i) =>
+      assert(code == 200, s"request $i: $code $body")
+      val n = mapper.readTree(body)
+      i % 3 match {
+        case 0 => assert(n.get("rows").size() == 24, s"request $i: $body")
+        case 1 => assert(n.get("tables").toString.contains("conc_t"))
+        case _ => assert(n.get("rows").size() == 3, s"request $i: $body")
+      }
+    }
+    assert(send("DELETE", "/tables/conc_t")._1 == 200)
+  }
+
   test("hostile names: traversal rejected, quotes never break response JSON") {
     // `..` as a table name must be rejected before any filesystem use
     val (tc, tBody) = send("PUT", "/tables/..",
