@@ -81,6 +81,60 @@ object NearDupBench {
       s"cosine_lsh_recall" -> recall)
   }
 
+  /** Text ingest-gate at the same row scale: a NumVectors-doc corpus'
+    * minhash signatures built ONCE (the persistable artifact), then
+    * NumVectors/20 arrivals — half injected near-dups of corpus docs
+    * (one word changed out of 30), half novel — gated against them
+    * ([[graft.streaming.Streams.nearDupAgainstSignatures]]). Records the
+    * one-time signature cost, the per-wave gate cost, and the injected
+    * hit rate (every injected near-dup must flag; trigram Jaccard of a
+    * 1-word edit ≈ 0.78 ≫ the 0.5 threshold). */
+  def gateRun(spark: SparkSession): Seq[(String, Double)] = {
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = NumVectors.toLong; val nArr = n / 20
+    def text(seed: Long): String = {
+      val rnd = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 13L)
+      Array.fill(30)("w" + rnd.nextInt(50000)).mkString(" ")
+    }
+    val corpusGen = udf { (id: Long) => text(id) }
+    val arrivalGen = udf { (id: Long) =>
+      if (id % 2 == 0) { // near-dup of a corpus doc: one word swapped
+        val base = (id * 17L) % n
+        val toks = text(base).split(" ")
+        toks(7) = "CHANGED"
+        toks.mkString(" ")
+      } else text(n + id * 31L + 1L) // novel
+    }
+    val corpusDf = spark.range(n).toDF("ref_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("ref_text", corpusGen(col("ref_id")))
+    val arrivals = spark.range(nArr).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("text", arrivalGen(col("doc_id")))
+    val (sigs, tSigs) = time {
+      val s = Dedup.minhashSignatures(corpusDf, "ref_id", "ref_text").cache()
+      s.count()
+      s
+    }
+    val (flagged, tGate) = time {
+      graft.streaming.Streams.nearDupAgainstSignatures(
+          arrivals, "doc_id", "text", sigs, corpusDf, threshold = 0.5)
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    sigs.unpersist(blocking = false)
+    val injected = (0L until nArr).filter(_ % 2 == 0).toSet
+    val hitRate =
+      if (injected.isEmpty) 1.0
+      else injected.count(flagged.contains).toDouble / injected.size
+    Seq(
+      s"gate_corpus_sigs_${NumVectors}_sec" -> tSigs,
+      s"gate_arrivals_${nArr}_sec" -> tGate,
+      "gate_injected_hit_rate" -> hitRate,
+      "gate_flagged" -> flagged.size.toDouble)
+  }
+
   /** Standalone entry point for measuring outside the full Bench run. */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -91,6 +145,7 @@ object NearDupBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     println(run(spark).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    println(gateRun(spark).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     spark.stop()
   }
 }
