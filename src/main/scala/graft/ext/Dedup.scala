@@ -148,11 +148,19 @@ object Dedup {
     val dup = spans.groupBy("h", "h2").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select("h", "h2")
     val occ = spans.join(dup, Seq("h", "h2"))
-    // non-canonical occurrences: everything but the (id, start)-smallest
-    val wOcc = Window.partitionBy(col("h"), col("h2"))
-      .orderBy(col("id").asc, col("start").asc)
-    val nonCanon = occ.withColumn("__rn__", row_number().over(wOcc))
-      .filter(col("__rn__") > 1)
+    // non-canonical occurrences: everything but the (id, start)-smallest.
+    // The canonical pick is a min(struct) AGGREGATION, not a row_number
+    // window: all occurrences of one span hash to one partition either
+    // way, but the agg is one partial-combined pass (map-side min per
+    // partition, then a merge of one struct per key), while a window
+    // would SORT every occurrence of the span in a single task — a span
+    // duplicated 10⁸ times (licence headers) becomes a hot-key sort.
+    val canon = occ.groupBy("h", "h2")
+      .agg(min(struct(col("id"), col("start"))).as("__c__"))
+      .select(col("h"), col("h2"),
+        col("__c__.id").as("__cid__"), col("__c__.start").as("__cstart__"))
+    val nonCanon = occ.join(canon, Seq("h", "h2"))
+      .filter(col("id") =!= col("__cid__") || col("start") =!= col("__cstart__"))
     val removedPerDoc = nonCanon
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
@@ -247,7 +255,22 @@ object Dedup {
     * (band, bucket) → distinct candidate pairs → verify join. Only
     * signatures shuffle for candidates; texts are joined back just for the
     * surviving candidates.
-    */
+    *
+    * Skew guard: the band self-join runs each bucket in ONE task (the
+    * bucket is the shuffle key), so a bucket of M docs generates ~M²/2
+    * pairs in that task — and web-scale corpora reliably contain
+    * boilerplate clusters (error pages, templates) of 10⁵⁺ near-identical
+    * docs that land in the same bucket in EVERY band. Buckets larger than
+    * `maxBucket` therefore skip pairwise generation and emit a STAR
+    * instead: every member paired with the bucket's minimum id (M−1
+    * pairs, linear). An over-cap bucket shares an entire signature band,
+    * so its members are near-duplicates of each other by construction —
+    * the star keeps the cluster connected for [[duplicateGroups]]
+    * (connected components give the same groups as the full clique) at
+    * the cost of pairwise completeness INSIDE the cluster, and cross-pair
+    * recall between two non-rep members relies on their other bands
+    * (same documented trade as [[bandedHammingPairs]]). Verify still runs
+    * on every emitted pair. */
   def nearDupPairsMinhash(
       df: DataFrame,
       idCol: String,
@@ -255,8 +278,10 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Long = 8192L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val rows = numHashes / bands
     // NULL-text docs carry no content and are never near-dup candidates —
     // skipped up front (the DuckDB oracle drops them in tokenization; the
@@ -273,10 +298,27 @@ object Dedup {
         posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p__", "band")))
       .withColumn("bucket", slice(col("sig"), col("band") * rows + 1, lit(rows)))
       .select("id", "band", "bucket")
-    val cands = banded.as("a").join(banded.as("b"),
+    // one partial-agg count pass sizes every bucket; the signature explode
+    // is recomputed rather than cached (narrow arithmetic over longs —
+    // cheaper than persisting n·bands signature rows)
+    val sizes = banded.groupBy("band", "bucket").count()
+    val small = banded.join(
+      sizes.filter(col("count") <= maxBucket).select("band", "bucket"),
+      Seq("band", "bucket"))
+    val pairsSmall = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // over-cap buckets: min-id representative star (M−1 pairs per bucket,
+    // emitted from one linear join task; min is partial-aggregatable)
+    val big = banded.join(
+      sizes.filter(col("count") > maxBucket).select("band", "bucket"),
+      Seq("band", "bucket"))
+    val reps = big.groupBy("band", "bucket").agg(min("id").as("__rep__"))
+    val pairsBig = big.join(reps, Seq("band", "bucket"))
+      .filter(col("id") =!= col("__rep__"))
+      .select(col("__rep__").as("id_a"), col("id").as("id_b"))
+    val cands = pairsSmall.union(pairsBig).distinct()
     val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
     cands
       .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")

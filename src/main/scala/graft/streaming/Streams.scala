@@ -220,14 +220,14 @@ object Streams {
   def nearDupAgainstCorpus(stream: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, refIdCol: String, refTextCol: String,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxRefBucket: Long = 8192L): DataFrame = {
     val refData = corpus
       .select(col(refIdCol).as("ref_id"), col(refTextCol).as("ref_text"))
       .filter(col("ref_text").isNotNull)
     val refSigs = graft.ext.Dedup.minhashSignatures(
       refData, "ref_id", "ref_text", numHashes, shingleSize)
     nearDupAgainstSignatures(stream, idCol, textCol, refSigs, refData,
-      shingleSize, numHashes, bands, threshold)
+      shingleSize, numHashes, bands, threshold, maxRefBucket)
   }
 
   /** [[nearDupAgainstCorpus]] against a PRE-COMPUTED corpus signature
@@ -237,24 +237,57 @@ object Streams {
     * incrementally as the corpus grows) instead of re-hashing corpus text
     * per batch/job. `refSigs` must be (ref_id, sig) with the SAME
     * numHashes/shingleSize; `refTexts` is (ref_id, ref_text), consulted
-    * only for surviving candidates' exact-Jaccard verify. */
+    * only for surviving candidates' exact-Jaccard verify.
+    *
+    * Skew guard (`maxRefBucket`): a boilerplate cluster of M near-identical
+    * corpus docs shares one bucket in every band, so a single matching
+    * arrival would otherwise fan out to M pre-verify rows per batch.
+    * Corpus buckets larger than the cap keep only their minimum-ref_id
+    * REPRESENTATIVE — the cluster's members are near-duplicates of each
+    * other by construction, so an arrival near the cluster still flags
+    * (against the representative, one row instead of M). The trade: the
+    * specific ref_ids reported for such an arrival shrink to the
+    * representative, and a pair whose first-matching band (computed from
+    * the full signatures, step 4) is a band where that ref was dropped is
+    * reported via the representative instead of that ref. The gate
+    * decision — "does the corpus already hold a near-duplicate?" — is
+    * unaffected. */
   def nearDupAgainstSignatures(stream: DataFrame, idCol: String,
       textCol: String, refSigs: DataFrame, refTexts: DataFrame,
       shingleSize: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxRefBucket: Long = 8192L): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     require(threshold >= 0 && threshold <= 1,
       s"threshold must be in [0,1], got $threshold")
+    require(maxRefBucket >= 1, s"maxRefBucket must be >= 1, got $maxRefBucket")
+    // output columns are fixed (idCol, ref_id, jaccard) — a stream idCol
+    // named like one of them would silently produce duplicate columns
+    require(idCol != "ref_id" && idCol != "jaccard",
+      s"nearDupAgainstSignatures: stream idCol '$idCol' collides with a " +
+        "fixed output column (ref_id, jaccard); rename it apart first")
     val rows = numHashes / bands
     val mh = graft.ext.Dedup.minhashUdf(numHashes, shingleSize)
     val ref = refSigs.select(col("ref_id"), col("sig").as("__ref_sig__"))
-    val refBanded = ref.select(col("ref_id"),
+    val refBandedAll = ref.select(col("ref_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),
         col("__ref_sig__"))
       .withColumn("bucket",
         slice(col("__ref_sig__"), col("band") * rows + 1, lit(rows)))
       .select("ref_id", "band", "bucket")
+    // static-side skew cap: over-cap buckets collapse to their min-ref_id
+    // representative (one partial-agg count + one min — both static-side,
+    // evaluated with the static plan, never per-row on the stream)
+    val refSizes = refBandedAll.groupBy("band", "bucket").count()
+    val refBanded = refBandedAll.join(
+        refSizes.filter(col("count") <= maxRefBucket).select("band", "bucket"),
+        Seq("band", "bucket"))
+      .select("ref_id", "band", "bucket")
+      .unionByName(refBandedAll.join(
+          refSizes.filter(col("count") > maxRefBucket).select("band", "bucket"),
+          Seq("band", "bucket"))
+        .groupBy("band", "bucket").agg(min("ref_id").as("ref_id"))
+        .select("ref_id", "band", "bucket"))
     val sBanded = stream.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__s_id__"), col(textCol).as("__s_text__"))
       .withColumn("__s_sig__", mh(col("__s_text__")))
@@ -312,6 +345,10 @@ object Streams {
     require(bgRows.length <= cap,
       s"decontaminateGate: benchmark has more than maxBenchGrams = " +
         s"$maxBenchGrams distinct $n-grams; raise the cap or shrink the benchmark")
+    require(bgRows.forall(!_.isNullAt(0)),
+      s"decontaminateGate: benchmark id column '$benchIdCol' has values " +
+        "that are null or not castable to long — the engine's id " +
+        "convention requires long-castable ids")
     val gramToBench: Map[String, Array[Long]] = bgRows.groupBy(_.getString(1))
       .map { case (g, rs) => g -> rs.map(_.getLong(0)) }
     val totals: Map[Long, Long] = bgRows.groupBy(_.getLong(0))

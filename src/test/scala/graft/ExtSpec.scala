@@ -48,6 +48,79 @@ class DedupSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)), "non-null pairs unaffected")
   }
 
+  test("minhash bucket cap: 20k-doc boilerplate cluster emits a bounded star") {
+    // a web-scale failure shape in miniature: every doc identical, so ONE
+    // bucket holds all 20k docs in every band — uncapped this is 2·10⁸
+    // candidate pairs in one task; capped it is a 19,999-pair star
+    val n = 20000
+    val cluster = spark.range(n)
+      .select($"id".as("doc_id"), lit(base).as("text"))
+    val pairs = Dedup.nearDupPairsMinhash(cluster, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+    assert(pairs.length == n - 1, s"star must have n-1 pairs, got ${pairs.length}")
+    assert(pairs.forall(_.getLong(0) == 0L), "every pair anchors at the min-id rep")
+    assert(pairs.forall(_.getDouble(2) == 1.0), "identical docs verify at jaccard 1.0")
+  }
+
+  test("minhash bucket cap: under-cap pairs unchanged, over-cap cluster stays connected") {
+    val cluster = spark.range(100L, 130L)
+      .select($"id".as("doc_id"),
+        lit("boilerplate template error page repeated verbatim across the crawl corpus").as("text"))
+    val all = docs.unionByName(cluster)
+    val pairs = Dedup.nearDupPairsMinhash(all, "doc_id", "text",
+      shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3,
+      maxBucket = 10L)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the small-bucket path is untouched by the cap
+    assert(got.contains((1L, 2L)) && got.contains((1L, 3L)) && got.contains((2L, 3L)),
+      s"under-cap near-dup pairs must survive the cap: $got")
+    assert(!got.exists(p => Set(4L, 5L)(p._1) || Set(4L, 5L)(p._2)),
+      s"unrelated docs must not pair: $got")
+    // the over-cap cluster collapses to a star around its min id …
+    val clusterPairs = got.filter(p => p._1 >= 100L || p._2 >= 100L)
+    assert(clusterPairs == (101L until 130L).map(i => (100L, i)).toSet,
+      s"over-cap bucket must emit the min-id star: $clusterPairs")
+    // … which is exactly enough for connected-component grouping
+    val groups = Dedup.duplicateGroups(
+        all.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert((100L until 130L).forall(groups(_) == 100L),
+      "cluster must consolidate to one duplicate group")
+  }
+
+  test("stream gate ref-bucket cap: cluster arrival flags against the representative") {
+    val cluster = spark.range(100L, 130L)
+      .select($"id".as("ref_id"),
+        lit("boilerplate template error page repeated verbatim across the crawl corpus").as("ref_text"))
+    val corpus = Seq((1L, base)).toDF("ref_id", "ref_text").unionByName(cluster)
+    val arrivals = Seq(
+      (201L, "boilerplate template error page repeated verbatim across the crawl corpus"),
+      (202L, base.replace("lazy", "sleepy")),
+      (203L, "entirely novel content nothing like anything held in the corpus today"),
+    ).toDF("doc_id", "text")
+    val got = Streams.nearDupAgainstCorpus(arrivals, "doc_id", "text",
+        corpus, "ref_id", "ref_text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.3,
+        maxRefBucket = 10L)
+      .select("doc_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((201L, 100L)),
+      s"cluster arrival must flag against the min-id representative: $got")
+    assert(!got.exists(p => p._1 == 201L && p._2 > 100L),
+      s"over-cap cluster must contribute exactly one ref row per arrival: $got")
+    assert(got.contains((202L, 1L)), s"under-cap corpus refs unaffected: $got")
+    assert(!got.exists(_._1 == 203L), s"novel arrival must pass: $got")
+  }
+
+  test("stream gate: idCol colliding with fixed output columns is refused") {
+    val corpus = Seq((1L, base)).toDF("ref_id", "ref_text")
+    val err = intercept[IllegalArgumentException](
+      Streams.nearDupAgainstCorpus(
+        Seq((2L, base)).toDF("ref_id", "text"), "ref_id", "text",
+        corpus, "ref_id", "ref_text"))
+    assert(err.getMessage.contains("rename"), err.getMessage)
+  }
+
   test("hash64 hashes code points (matches the unicode()-based oracles)") {
     // independent reimplementation: FNV-1a fold over the code-point array
     def want(s: String, seed: Long): Long =

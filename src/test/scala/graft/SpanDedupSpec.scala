@@ -77,6 +77,28 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("canonical pick is an aggregation, not a per-span-key window sort") {
+    // one span duplicated far more than the rest: with a row_number window
+    // the canonical pick would sort ALL occurrences of that span in one
+    // task; the min(struct) aggregation does it in a partial-combined
+    // pass. Assert the plan has no Window node at all, and that the
+    // mega-duplicated span still strips correctly.
+    val mega = (0L until 200L).map(i => (i, "h h h h")) :+ (500L, "q r s t u")
+    val df = mega.toDF("doc_id", "text")
+    val planned = Dedup.stripDuplicatedSpans(df, "doc_id", "text", k = 2)
+    val fmt = planned.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!fmt.contains("Window"), s"canonical pick must not plan a window:\n$fmt")
+    val out = planned.select("doc_id", "n_kept")
+      .as[(Long, Long)].collect().toMap
+    // doc 0 keeps only the canonical window's first token: its own later
+    // overlapping occurrences (starts 1, 2) are non-canonical and remove
+    // positions 1..3 — same within-doc semantics the d3 fixture pins
+    assert(out(0L) == 1L, s"canonical doc keeps the canonical window, got ${out(0L)}")
+    assert((1L until 200L).forall(out(_) == 0L), "every other copy is emptied")
+    assert(out(500L) == 5L, "non-duplicated doc untouched")
+  }
+
   test("seed-0 hash collision: pair key keeps distinct grams apart") {
     // Two DIFFERENT grams engineered to collide on h (the old single-hash
     // identity) but differ on h2: under the pre-round-8 code these four
