@@ -645,6 +645,26 @@ object SparkEntry {
       Dedup.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
           maxDist = 0.30, bucket = Dedup.signBuckets("embedding", 4))
         .select("vec_id")),
+    // —— dedup: streaming semantic ingest gate (SemDeDup ingest step) —
+    // the exact foreachBatch body each micro-batch executes (cell-pruned
+    // ivfKnnJoin k=1 + maxDist flag), run over a static arrivals frame of
+    // perturbed corpus vectors; at full probes the 1-NN is exact, so the
+    // oracle is the brute-force 1-NN + threshold ——
+    "dedup_semantic_stream" -> ((s: SparkSession, dir: String) => {
+      val e = withIndex(s, dir)
+      val arrivals = tbl(s, dir, "embeddings").filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"),
+          transform(col("embedding").cast("array<double>"),
+            x => x * lit(1.05) + lit(0.01)).as("q_emb"))
+      var flagged: DataFrame = null
+      val gate = graft.streaming.Streams.semanticDupGateForEachBatch(
+        e.store, "c_l2", "emb", "embedding", "q_id", "q_emb",
+        maxDist = 0.093, probes = 64, corpusIdCol = "vec_id",
+        metric = Some("l2"), sink = df => flagged = df)
+      gate(arrivals, 0L)
+      flagged.select(col("q_id"), col("vec_id"),
+        col(Search.DistCol).as("dist"))
+    }),
     // —— text: winnowing k-gram fingerprints (MOSS; shared fp ⇔ shared
     // ≥ k+window−1 char run) ——
     "text_fingerprint" -> ((s: SparkSession, dir: String) =>
@@ -978,6 +998,24 @@ object SparkEntry {
     }),
     "two_phase_agg" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.twoPhaseCount(tbl(s, dir, "lineitem"), "l_suppkey", 8)),
+    // —— layout: Z-order (Morton) clustering keys — the deterministic
+    // bit interleave zorderLayout range-clusters on, computed as a query
+    // (linear min/max ranks at 16 bits/dim over two lineitem columns);
+    // file-level pruning effects are ScalaTest-verified ——
+    "zorder_keys" -> ((s: SparkSession, dir: String) => {
+      val li = tbl(s, dir, "lineitem")
+      val stats = li.agg(
+        min(col("l_partkey").cast("double")), max(col("l_partkey").cast("double")),
+        min(col("l_suppkey").cast("double")), max(col("l_suppkey").cast("double"))
+      ).collect()(0)
+      val ranks = Seq(
+        graft.store.Store.linearRank(col("l_partkey"),
+          stats.getDouble(0), stats.getDouble(1), 16),
+        graft.store.Store.linearRank(col("l_suppkey"),
+          stats.getDouble(2), stats.getDouble(3), 16))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.store.Store.mortonInterleave(ranks, 16).as("zkey"))
+    }),
     "quantiles" -> ((s: SparkSession, dir: String) =>
       tbl(s, dir, "lineitem").agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("qs"))
@@ -1421,6 +1459,18 @@ object SparkEntry {
         "AND " + cosPair("CAST(a.embedding AS DOUBLE[])",
           "CAST(b.embedding AS DOUBLE[])") + " <= 0.30)"
     },
+    // semantic ingest gate at full probes == exact 1-NN (l2, id tiebreak)
+    // over perturbed arrivals, kept iff within maxDist = 0.093
+    "dedup_semantic_stream" ->
+      ("SELECT q_id, vec_id, dist FROM (" +
+        "SELECT q.q_id, e.vec_id, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), q.q_emb) AS dist, " +
+        "row_number() OVER (PARTITION BY q.q_id ORDER BY " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), q.q_emb) ASC, e.vec_id ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN " +
+        "(SELECT vec_id AS q_id, list_transform(CAST(embedding AS DOUBLE[]), " +
+        "x -> x * 1.05 + 0.01) AS q_emb FROM embeddings WHERE vec_id < 20) q" +
+        ") WHERE rn = 1 AND dist <= 0.093"),
     // mirrors TextAnalysis.winnowFingerprints term-for-term: k = 5 char
     // grams, polynomial hash base 257 mod 1e9+7, window-4 minima, distinct
     // (one shared CTE — the overlap oracle MUST stay in lockstep with it)
@@ -2032,6 +2082,24 @@ object SparkEntry {
         "JOIN part ON l_partkey = p_partkey GROUP BY p_brand"),
     "two_phase_agg" ->
       "SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY l_suppkey",
+    // mirrors Store.linearRank + Store.mortonInterleave term-for-term:
+    // linear rank to [0, 65535] (double arithmetic in the same order,
+    // trunc = Spark's double→long cast), then bit b of rank j → z-bit 2b+j
+    "zorder_keys" -> {
+      def rank(c: String, lo: String, hi: String) =
+        s"CAST(trunc(least(greatest((CAST($c AS DOUBLE) - $lo) / ($hi - $lo) " +
+          s"* 65535, 0.0), 65535.0)) AS BIGINT)"
+      val interleave = (for (b <- 0 until 16; j <- 0 until 2)
+        yield s"(((r$j >> $b) & 1) << ${b * 2 + j})").mkString(" | ")
+      "WITH st AS (SELECT min(CAST(l_partkey AS DOUBLE)) AS lo0, " +
+        "max(CAST(l_partkey AS DOUBLE)) AS hi0, " +
+        "min(CAST(l_suppkey AS DOUBLE)) AS lo1, " +
+        "max(CAST(l_suppkey AS DOUBLE)) AS hi1 FROM lineitem), " +
+        "r AS (SELECT l_orderkey, l_linenumber, " +
+        rank("l_partkey", "lo0", "hi0") + " AS r0, " +
+        rank("l_suppkey", "lo1", "hi1") + " AS r1 FROM lineitem, st) " +
+        s"SELECT l_orderkey, l_linenumber, CAST($interleave AS BIGINT) AS zkey FROM r"
+    },
     "quantiles" ->
       ("SELECT quantile_cont(l_extendedprice, 0.25) AS q25, " +
         "quantile_cont(l_extendedprice, 0.5) AS q50, " +

@@ -273,21 +273,11 @@ class Store(val spark: SparkSession, val root: String) {
           require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
             s"zorderLayout: column '$c' of '$name' has no non-null numeric " +
               "values (empty table, all-null, or non-numeric column)")
-          val (lo, hi) = (stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
-          if (hi == lo) lit(0L)
-          else least(greatest(
-            ((col(c).cast("double") - lit(lo)) / lit(hi - lo)) * scale, lit(0.0)),
-            lit(scale.toDouble)).cast("long")
+          Store.linearRank(col(c),
+            stats.getDouble(2 * i), stats.getDouble(2 * i + 1), bitsPer)
         }
       }
-    // bit interleave of n pre-normalized longs — a driver-built chain of
-    // codegen'd shift/or builtins (bitsPer·n terms), no UDF in the job
-    val z = (0 until bitsPer).flatMap { b =>
-      (0 until n).map { j =>
-        shiftleft(shiftrightunsigned(ranks(j), b).bitwiseAND(lit(1L)),
-          b * n + j)
-      }
-    }.reduce(_.bitwiseOR(_))
+    val z = Store.mortonInterleave(ranks, bitsPer)
     df.withColumn("__Z__", z)
       .repartitionByRange(numFiles, col("__Z__"))
       .sortWithinPartitions("__Z__")
@@ -486,4 +476,36 @@ class Store(val spark: SparkSession, val root: String) {
 
   /** Delete the whole root (A5, `flight.py:102-103`). */
   def remove(): Unit = fs.delete(new Path(root), true)
+}
+
+/** Pure-Column pieces of the Z-order key, exposed so queries can compute
+  * (and oracles can mirror) the deterministic bit interleave without a
+  * layout rewrite. */
+object Store {
+  import org.apache.spark.sql.Column
+
+  /** Linear min/max normalization of a numeric column to a
+    * [0, 2^bitsPer − 1] rank — the one-agg-pass default of
+    * [[Store.zorderLayout]] (skew caveat documented there). */
+  def linearRank(c: Column, lo: Double, hi: Double, bitsPer: Int): Column = {
+    val scale = (1L << bitsPer) - 1
+    if (hi == lo) lit(0L)
+    else least(greatest(
+      ((c.cast("double") - lit(lo)) / lit(hi - lo)) * scale, lit(0.0)),
+      lit(scale.toDouble)).cast("long")
+  }
+
+  /** Morton bit interleave of n pre-normalized long ranks — a
+    * driver-built chain of codegen'd shift/or builtins (bitsPer·n
+    * terms), no UDF in the job. Bit b of rank j lands at position
+    * b·n + j. */
+  def mortonInterleave(ranks: Seq[Column], bitsPer: Int): Column = {
+    val n = ranks.size
+    (0 until bitsPer).flatMap { b =>
+      (0 until n).map { j =>
+        shiftleft(shiftrightunsigned(ranks(j), b).bitwiseAND(lit(1L)),
+          b * n + j)
+      }
+    }.reduce(_.bitwiseOR(_))
+  }
 }
