@@ -41,7 +41,8 @@ import graft.coder.CoderConfig
   *   - `GET    /api/codings`                   (list-codings action)
   *   - `POST   /api/indexes`                   (make-coder + sync-index actions)
   *   - `DELETE /api/indexes/{name}`            (drop-index action)
-  *   - `POST   /api/search`                    (do_exchange search)
+  *   - `POST   /api/search`                    (do_exchange search; a
+  *     `targets` array instead of `target` selects the batch kNN-join form)
   *   - `POST   /api/search/maxsim`             (late-interaction retrieval)
   *   - `GET    /api/bpe` · `POST /api/bpe` · `GET /api/bpe/{model}/tokens`
   *   - `GET    /api/pca` · `POST /api/pca` · `GET /api/pca/{model}/project`
@@ -227,9 +228,12 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   }
 
   /** Search: brute (explicit metric) or probed (coding + probes), same
-    * decision table as [[Engine.search]] / `flight.py:242-288`. */
+    * decision table as [[Engine.search]] / `flight.py:242-288`. A
+    * `targets` array of vectors instead of `target` selects the BATCH
+    * form ([[postSearchBatch]]). */
   private def postSearch(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
+    if (opt(body, "targets").isDefined) { postSearchBatch(ex, body); return }
     val sources = require(body, "sources").elements().asScala.map(_.asText()).toSeq
     val column = require(body, "column").asText()
     val target: TargetVector =
@@ -295,6 +299,69 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           probes, math.min(k, maxResponseRows), filter, select, tieBreak)
     }
     okRows(ex, df)
+  }
+
+  /** Batch-targets search: `targets: [[...], ...]` maps onto the capped
+    * batch kNN joins (broadcast guard + auto-chunking already live
+    * there), so real serving batches amortize one pruned corpus pass
+    * instead of N independent requests. Result rows carry `query_id`
+    * (the 0-based position in `targets`) and equal the corresponding
+    * single-target calls row-for-row. Tier routing mirrors the
+    * single-target decision table: `sq`/`bq` → SQ8/BQ join, coding +
+    * probes → IVF join, otherwise the brute join (explicit metric
+    * required). Indexed tiers take exactly one source (per-source joins
+    * don't union here — issue per-source requests for multi-source). */
+  private def postSearchBatch(ex: HttpExchange, body: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val sources = require(body, "sources").elements().asScala.map(_.asText()).toSeq
+    val column = require(body, "column").asText()
+    val targets: Seq[Seq[Double]] = require(body, "targets").elements().asScala
+      .map(_.elements().asScala.map(_.asDouble()).toSeq).toSeq
+    if (targets.isEmpty)
+      throw new IllegalArgumentException("targets must be a non-empty array of vectors")
+    val metric = opt(body, "metric").map(_.asText())
+    val coding = opt(body, "coding").map(_.asText())
+    val probes = opt(body, "probes").map(_.asInt())
+    val k = math.min(intOr(body, "k", 10), maxResponseRows)
+    val tieBreak = opt(body, "tieBreak")
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val sq = opt(body, "sq").exists(_.asBoolean(false))
+    val bq = opt(body, "bq").exists(_.asBoolean(false))
+    import engine.spark.implicits._
+    val queries = targets.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("query_id", "__QV__")
+    def oneSource(tier: String): String = {
+      if (sources.size != 1) throw new IllegalArgumentException(
+        s"$tier batch search takes exactly one source, got ${sources.size}")
+      sources.head
+    }
+    val df =
+      if (sq || bq) {
+        val tier = if (sq) "sq" else "bq"
+        val c = coding.getOrElse(throw new IllegalArgumentException(
+          s"$tier batch search requires \"coding\""))
+        val p = probes.getOrElse(throw new IllegalArgumentException(
+          s"$tier batch search requires \"probes\""))
+        val cand = opt(body, "candidates").getOrElse(
+          throw new IllegalArgumentException(
+            s"$tier batch search requires \"candidates\"")).asInt()
+        val id = require(body, "idCol").asText()
+        if (sq) engine.knnJoinSq(c, oneSource(tier), column, queries,
+          "query_id", "__QV__", k, p, cand, id, metric, tieBreak)
+        else engine.knnJoinBq(c, oneSource(tier), column, queries,
+          "query_id", "__QV__", k, p, cand, id, metric, tieBreak)
+      } else (coding, probes) match {
+        case (Some(c), Some(p)) =>
+          engine.knnJoinIvf(c, oneSource("ivf"), column, queries,
+            "query_id", "__QV__", k, p, require(body, "idCol").asText(),
+            metric, tieBreak)
+        case _ =>
+          val m = metric.getOrElse(throw new IllegalArgumentException(
+            "brute batch search requires \"metric\""))
+          graft.api.Search.knnJoin(engine.readTable(sources), column,
+            queries, "query_id", "__QV__", m, k, tieBreak,
+            idCol = opt(body, "idCol").map(_.asText()))
+      }
+    okRows(ex, df.drop("__QV__"))
   }
 
   /** Late-interaction MaxSim retrieval ([[Engine.maxsimSearch]]): body

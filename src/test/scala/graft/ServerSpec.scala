@@ -256,6 +256,93 @@ class ServerSpec extends SparkSuite {
     assert(!mapper.readTree(lBody2).get("tables").toString.contains("wire_vecs"))
   }
 
+  test("batch-targets search: N targets == N single-target calls, wire == library") {
+    val rows = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      s"""{"id":$i,"vec":[${c + i * 0.001},${c},${c},${c}]}"""
+    }
+    val (pc, pBody) = send("PUT", "/tables/batch_vecs",
+      s"""{"schema":"id LONG, vec ARRAY<DOUBLE>","rows":[${rows.mkString(",")}]}""")
+    assert(pc == 200, pBody)
+    val (ic, iBody) = send("POST", "/indexes",
+      """{"name":"batch_c1","source":"batch_vecs","column":"vec",
+          "metric":"l2","codebookSize":2,"numCodebooks":1,
+          "batchSize":64,"numEpochs":2,"sq":true,"bq":true}""")
+    assert(ic == 200, iBody)
+
+    // rows → (query_id → ids ordered by distance then id)
+    def perQuery(body: String): Map[Long, Seq[Long]] = {
+      val triples = new scala.collection.mutable.ArrayBuffer[(Long, Double, Long)]
+      mapper.readTree(body).get("rows").elements().forEachRemaining(n =>
+        triples += ((n.get("query_id").asLong(),
+          n.get("__DISTANCE__").asDouble(), n.get("id").asLong())))
+      triples.groupBy(_._1).view
+        .mapValues(_.sortBy(t => (t._2, t._3)).map(_._3).toSeq).toMap
+    }
+    def singleIds(extra: String): Seq[Long] = {
+      val (c, b) = send("POST", "/search",
+        s"""{"sources":["batch_vecs"],"column":"vec","target":[0,0,0,0],
+            $extra,"k":5,"tieBreak":["id"],"select":["id"]}""")
+      assert(c == 200, b)
+      val ids = new scala.collection.mutable.ArrayBuffer[Long]
+      mapper.readTree(b).get("rows").elements()
+        .forEachRemaining(n => ids += n.get("id").asLong())
+      ids.toSeq
+    }
+    val targets = """"targets":[[0,0,0,0],[10,10,10,10]]"""
+    val evens = Seq(0L, 2L, 4L, 6L, 8L)
+    // odd-id vecs are [10 + 0.001·i, 10, 10, 10] ⇒ nearest to
+    // [10,10,10,10] are the smallest odd ids
+    val odds = Seq(1L, 3L, 5L, 7L, 9L)
+
+    // brute tier: wire batch vs the two single-target calls AND the library
+    val (bb, bbBody) = send("POST", "/search",
+      s"""{"sources":["batch_vecs"],"column":"vec",$targets,
+          "metric":"l2","k":5,"tieBreak":["id"],"idCol":"id"}""")
+    assert(bb == 200, bbBody)
+    val brute = perQuery(bbBody)
+    assert(brute(0L) == evens && brute(1L) == odds, s"brute batch $brute")
+    assert(brute(0L) == singleIds(""""metric":"l2""""), "batch != single-target")
+    import spark.implicits._
+    val queries = Seq((0L, Seq(0.0, 0.0, 0.0, 0.0)), (1L, Seq(10.0, 10.0, 10.0, 10.0)))
+      .toDF("query_id", "qv")
+    val lib = graft.api.Search.knnJoin(engine.readTable(Seq("batch_vecs")),
+        "vec", queries, "query_id", "qv", "l2", 5, Seq("id"), idCol = Some("id"))
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(brute(0L).sorted == lib(0L) && brute(1L).sorted == lib(1L),
+      "wire batch != library knnJoin")
+
+    // ivf / sq / bq tiers at full budgets: same per-query answers
+    for (extra <- Seq(
+        s""""coding":"batch_c1","probes":2,"idCol":"id"""",
+        s""""coding":"batch_c1","probes":2,"candidates":200,"idCol":"id","sq":true""",
+        s""""coding":"batch_c1","probes":2,"candidates":200,"idCol":"id","bq":true""")) {
+      val (c, b) = send("POST", "/search",
+        s"""{"sources":["batch_vecs"],"column":"vec",$targets,$extra,
+            "k":5,"tieBreak":["id"]}""")
+      assert(c == 200, b)
+      val got = perQuery(b)
+      assert(got(0L) == evens && got(1L) == odds, s"[$extra] batch $got")
+    }
+
+    // error contracts: empty targets, brute without metric, indexed
+    // tiers take one source
+    val (e1, e1b) = send("POST", "/search",
+      s"""{"sources":["batch_vecs"],"column":"vec","targets":[],"metric":"l2"}""")
+    assert(e1 == 400 && e1b.contains("non-empty"), s"$e1 $e1b")
+    val (e2, e2b) = send("POST", "/search",
+      s"""{"sources":["batch_vecs"],"column":"vec",$targets}""")
+    assert(e2 == 400 && e2b.contains("metric"), s"$e2 $e2b")
+    val (e3, e3b) = send("POST", "/search",
+      s"""{"sources":["batch_vecs","batch_vecs"],"column":"vec",$targets,
+          "coding":"batch_c1","probes":2,"idCol":"id"}""")
+    assert(e3 == 400 && e3b.contains("one source"), s"$e3 $e3b")
+
+    assert(send("DELETE", "/indexes/batch_c1")._1 == 200)
+    assert(send("DELETE", "/tables/batch_vecs")._1 == 200)
+  }
+
   test("maxsim route over the wire: brute and pooled two-stage") {
     // 8 docs of 2 tokens each; doc 7's tokens align with the query
     val rows = (0 until 8).map { i =>
