@@ -87,8 +87,11 @@ object NearDupBench {
     * (one word changed out of 30), half novel — gated against them
     * ([[graft.streaming.Streams.nearDupAgainstSignatures]]). Records the
     * one-time signature cost, the per-wave gate cost, and the injected
-    * hit rate (every injected near-dup must flag; trigram Jaccard of a
-    * 1-word edit ≈ 0.78 ≫ the 0.5 threshold). */
+    * hit rate. Expected hit rate ≈ 0.99, NOT 1.0: a 1-word edit out of
+    * 30 has trigram Jaccard ≈ 0.81, and the 8-band × 4-row banding
+    * matches such a pair with probability 1 − (1 − 0.81⁴)⁸ ≈ 0.99 —
+    * the exact-Jaccard verify only sees candidates some band surfaced,
+    * so ~1% of injected dups are banding misses. Do not assert 1.0. */
   def gateRun(spark: SparkSession): Seq[(String, Double)] = {
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)

@@ -136,9 +136,11 @@ object Dedup {
     * hashes, the duplicate set, and the per-document REMOVED-position
     * sets (bounded by duplicated content only). The corpus itself is
     * never reshuffled for reassembly: removed positions join back to the
-    * one-row-per-doc token arrays (broadcast while the duplicate set is
-    * small) and a positional `filter` higher-order function drops the
-    * dead tokens in a narrow map. */
+    * one-row-per-doc token arrays (join strategy auto-planned — Spark
+    * broadcasts the removed-position side when its size estimate is
+    * under the broadcast threshold, shuffles only that side otherwise)
+    * and a positional `filter` higher-order function drops the dead
+    * tokens in a narrow map. */
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"stripDuplicatedSpans: k must be >= 1, got $k")

@@ -36,7 +36,15 @@ class Store(val spark: SparkSession, val root: String) {
   /** Every table/coding/column/model name becomes a filesystem path
     * segment — reject anything outside `[A-Za-z0-9._-]` (and `.`/`..`
     * traversal) BEFORE it reaches a Path. Central here so both the
-    * library API and the HTTP server get the same guarantee. */
+    * library API and the HTTP server get the same guarantee.
+    *
+    * The contract applies RETROACTIVELY: read and drop paths validate
+    * too, so an artifact persisted under a name outside the character
+    * class (possible only before this guard existed, or by writing to
+    * the store directory out-of-band) is unreachable through the API —
+    * rename it on disk to a legal name to recover it. Uniform
+    * validation is deliberate: a read-side exemption would re-open the
+    * traversal surface this exists to close. */
   private def safeSeg(name: String): String = {
     require(name.nonEmpty && name.length <= 255 && name != "." && name != ".." &&
       name.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
