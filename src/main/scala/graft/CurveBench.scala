@@ -122,6 +122,21 @@ object CurveBench {
       "pq32_recall_at_10_at_100" -> recallPq(100),
       "pq32_recall_at_10_at_4k" -> recallPq(4000))
 
+    // 4-bit probe of the compact tier: 64 subspaces × 16 codes = 256
+    // bits/row — the SAME rate as pq32 (32 B nibble-packed; the stored
+    // codes are byte-per-subspace, so on-disk it is 64 B until packed),
+    // spent on 2× the subspaces with 16× smaller codebooks. Answers
+    // whether the iid rate-distortion ceiling (pq32 ≈ 0.84@4k) is about
+    // WHERE the bits go or how MANY there are: if recall doesn't move,
+    // the ceiling is the rate itself, confirming the low-rank regime as
+    // the compact tier's deployable home.
+    engine.makePqIndex("c", "vectors", "vector",
+      PQConfig(numSubspaces = 64, codebookSize = 16, metric = "l2",
+        sampleSize = 8192))
+    val pq4bit = Seq(
+      "pq64x4_recall_at_10_at_100" -> recallPq(100),
+      "pq64x4_recall_at_10_at_4k" -> recallPq(4000))
+
     // recommended scale config: m=128, 2 bits/dim (half of SQ8's bytes)
     engine.makePqIndex("c", "vectors", "vector",
       PQConfig(numSubspaces = 128, codebookSize = 256, metric = "l2",
@@ -159,7 +174,8 @@ object CurveBench {
           queries, "q_id", "q_vec", k = 10, probes = 16, candidates = 4000,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))))
 
-    val out = Seq("curve_vectors" -> NumVectors.toDouble) ++ pq16 ++ pq32 ++ pq128 ++
+    val out = Seq("curve_vectors" -> NumVectors.toDouble) ++
+      pq16 ++ pq32 ++ pq4bit ++ pq128 ++
       Seq(
         "sq_recall_at_10_at_100" -> recallSq(100),
         "sq_recall_at_10_at_4k" -> recallSq(4000)) ++
@@ -254,11 +270,19 @@ object CurveBench {
     val pq32Lr = Seq(
       "pq32_lowrank_recall_at_10_at_1k" -> recallPqLr(1000),
       "pq32_lowrank_recall_at_10_at_4k" -> recallPqLr(4000))
+    // the 4-bit split (same 256-bit rate as pq32) in the deployable regime
+    engine.makePqIndex("clr", "vectors_lr", "vector",
+      graft.coder.PQ.PQConfig(numSubspaces = 64, codebookSize = 16,
+        metric = "l2", sampleSize = 8192))
+    val pq4bitLr = Seq(
+      "pq64x4_lowrank_recall_at_10_at_1k" -> recallPqLr(1000),
+      "pq64x4_lowrank_recall_at_10_at_4k" -> recallPqLr(4000))
     val out = Seq(
       "bq_lowrank_recall_at_10_at_100" -> recall(100),
       "bq_lowrank_recall_at_10_at_4k" -> recall(4000),
       // where the 1-bit curve saturates (~1.6% of the probed corpus)
-      "bq_lowrank_recall_at_10_at_16k" -> recall(16000)) ++ pq16Lr ++ pq32Lr
+      "bq_lowrank_recall_at_10_at_16k" -> recall(16000)) ++
+      pq16Lr ++ pq32Lr ++ pq4bitLr
     engine.dropTable("vectors_lr")
     engine.dropIndex("clr")
     out

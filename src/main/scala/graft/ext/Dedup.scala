@@ -296,13 +296,17 @@ object Dedup {
     // equi-join keys): pure LSH semantics with no hash-collision false
     // positives, and — with FNV signatures — every stage is deterministic
     // integer arithmetic, so the whole operator is DuckDB-mirrorable
+    // localCheckpoint: the signature UDF (shingle + numHashes FNV mins
+    // per doc) is the expensive pass over corpus text, and the cap logic
+    // below reads `banded` from four places (sizes, under-cap join sides,
+    // over-cap star) — materializing the slim (id, band, bucket) rows
+    // (~40 B × n × bands, trivial next to the corpus) runs it ONCE
     val banded = sigs.select(col("id"), col("sig"),
         posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p__", "band")))
       .withColumn("bucket", slice(col("sig"), col("band") * rows + 1, lit(rows)))
       .select("id", "band", "bucket")
-    // one partial-agg count pass sizes every bucket; the signature explode
-    // is recomputed rather than cached (narrow arithmetic over longs —
-    // cheaper than persisting n·bands signature rows)
+      .localCheckpoint()
+    // one partial-agg count pass sizes every bucket
     val sizes = banded.groupBy("band", "bucket").count()
     val small = banded.join(
       sizes.filter(col("count") <= maxBucket).select("band", "bucket"),
