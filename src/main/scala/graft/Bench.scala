@@ -30,7 +30,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def timed(f: => Unit): Either[String, Double] =
       try Right(time(f))
-      catch { case e: Throwable => Left(e.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)) }
+      catch { case e: Throwable => Left(e.toString.take(200)) }
 
     // Warmup: JIT + codegen + parquet footer caches on a tiny slice.
     SparkEntry.queries("knn_l2")(spark, sfDir).count()
@@ -138,18 +138,32 @@ object Bench {
     val quality =
       f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs,$ndJson$curvePart}"""
 
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    // messages escaped by the JSON library — exception text can carry any
+    // control character, and a hand-rolled character class would let e.g.
+    // backspace or raw control byte break the very error line this feeds
+    val jm = new com.fasterxml.jackson.databind.ObjectMapper()
+    val errJson = errors
+      .map { case (k, v) => jm.writeValueAsString(k) + ":" + jm.writeValueAsString(v) }
       .mkString("{", ",", "}")
     val errPart = s""","error_count":${errors.size},"errors":$errJson"""
+    // fold in the 10M serving-tier soak evidence ([[Soak10M]] writes
+    // soak_10m.json as a separate one-off run — a 10M pass per bench
+    // would dwarf the bench itself)
+    val soakPath = java.nio.file.Paths.get("soak_10m.json")
+    val soakPart =
+      if (java.nio.file.Files.exists(soakPath))
+        s""","soak_10m":${new String(
+          java.nio.file.Files.readAllBytes(soakPath), "UTF-8").trim}"""
+      else ""
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
     // Machine-readable FULL copy the driver (or anyone) can ingest whole,
     // immune to stdout interleaving/truncation.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     // Compact stdout line (fits the driver's captured tail; see `headline`).
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart,"detail":"bench_summary.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"detail":"bench_summary.json","sf":"$sfDir"}""")
     spark.stop()
     // A bench with crashed queries is not a clean pass — make the driver see it.
     if (errors.nonEmpty) sys.exit(1)

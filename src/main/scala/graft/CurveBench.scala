@@ -127,9 +127,13 @@ object CurveBench {
     // codes are byte-per-subspace, so on-disk it is 64 B until packed),
     // spent on 2× the subspaces with 16× smaller codebooks. Answers
     // whether the iid rate-distortion ceiling (pq32 ≈ 0.84@4k) is about
-    // WHERE the bits go or how MANY there are: if recall doesn't move,
-    // the ceiling is the rate itself, confirming the low-rank regime as
-    // the compact tier's deployable home.
+    // WHERE the bits go or how MANY there are. MEASURED (1M): the finer
+    // split LOSES in both regimes — iid 0.69@4k vs pq32's 0.84,
+    // low-rank 0.73@4k vs pq32's 1.00 — a 16-entry codebook per 4-d
+    // subspace under-fits its marginal far more than independence costs
+    // across 8-d subspaces, so at 256 bits the 8-bit-codebook split
+    // dominates and pq32 stays the compact-tier recommendation (no
+    // nibble-packing work is warranted).
     engine.makePqIndex("c", "vectors", "vector",
       PQConfig(numSubspaces = 64, codebookSize = 16, metric = "l2",
         sampleSize = 8192))
