@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.functions.vector_distance
@@ -18,11 +17,21 @@ object Dedup {
 
   // ——— exact (hash groupBy) ———
 
-  /** Keep the min-id row per exact key — deterministic survivor choice. */
+  /** Keep the min-id row per exact key — deterministic survivor choice.
+    *
+    * Shape: min-id aggregation + id-only join, NOT a row_number window.
+    * The window would shuffle EVERY row (with its full key — the text
+    * itself when deduping on content) and sort each key's rows in one
+    * task, so a key duplicated 10⁷ times is a single-task hot sort of
+    * 10⁷ full-text rows. The aggregation partial-combines map-side
+    * (only distinct keys cross the wire, one min per key), and the
+    * survivors come back via a join on the 8-byte id alone — ids are
+    * unique, so the min id IDENTIFIES the surviving row without
+    * re-shuffling the key columns. */
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol).asc)
-    df.withColumn("__rn__", row_number().over(w))
-      .filter(col("__rn__") === 1).drop("__rn__")
+    val keepIds = df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("__keep__")).select("__keep__")
+    df.join(keepIds, col(idCol) === col("__keep__"), "left_semi")
   }
 
   /** Groups with more than one member (duplicate report). */
@@ -448,10 +457,11 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4,
+      maxBucket: Long = 8192L): DataFrame =
     bandedHammingPairs(
       df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim")),
-      maxHamming, bands)
+      maxHamming, bands, maxBucket)
 
   /** The banded-hamming candidate join shared by every 64-bit-signature
     * near-dup operator (text SimHash, image average-hash): band the
@@ -461,20 +471,49 @@ object Dedup {
     * only when their differing bits happen to cluster (recall is
     * probabilistic there — raise `bands` to widen the guarantee at the
     * cost of more candidates). `sigs` must have columns (id, sim: long).
-    * Returns (id_a, id_b, hamming), id_a < id_b. */
+    * Returns (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Skew guard: buckets larger than `maxBucket` emit a min-id
+    * representative STAR (M−1 candidate pairs, one linear task) instead
+    * of the M²/2 pairwise join — the [[nearDupPairsMinhash]] treatment,
+    * upgraded from the pre-round-10 drop-the-bucket behavior, which
+    * silently LOST whole boilerplate clusters (an identical-signature
+    * cluster over-caps every band, so no band surfaced any of its
+    * pairs). Exact Hamming verify still runs on every emitted pair, so
+    * a loose over-cap bucket (16 shared bits ≠ near-dup) costs M
+    * verify rows and yields only its true pairs; pairwise completeness
+    * INSIDE an over-cap cluster trades down to the star + other-band
+    * recall, which connected-component grouping recovers. */
   def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucket: Long = 8192L): DataFrame = {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val bits = 64 / bands
     val banded = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk", expr(s"shiftrightunsigned(sim, band * $bits)")
         .bitwiseAND(lit((1L << bits) - 1)))
-    val cands = banded.as("a").join(banded.as("b"),
+    val sizes = banded.groupBy("band", "chunk").count()
+    val small = banded.join(
+      sizes.filter(col("count") <= maxBucket).select("band", "chunk"),
+      Seq("band", "chunk"))
+    val pairsSmall = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sim").as("sim_a"), col("b.sim").as("sim_b")).distinct()
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+    val big = banded.join(
+      sizes.filter(col("count") > maxBucket).select("band", "chunk"),
+      Seq("band", "chunk"))
+    val reps = big.groupBy("band", "chunk")
+      .agg(min(struct(col("id"), col("sim"))).as("__r__"))
+      .select(col("band"), col("chunk"),
+        col("__r__.id").as("__rid__"), col("__r__.sim").as("__rsim__"))
+    val pairsBig = big.join(reps, Seq("band", "chunk"))
+      .filter(col("id") =!= col("__rid__"))
+      .select(col("__rid__").as("id_a"), col("id").as("id_b"),
+        col("__rsim__").as("sim_a"), col("sim").as("sim_b"))
+    val cands = pairsSmall.unionByName(pairsBig).distinct()
     cands.withColumn("hamming", hammingDist(col("sim_a"), col("sim_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")

@@ -121,6 +121,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "spans" :: Nil) => postDedupSpans(ex)
         case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
+        case ("POST", "dedup" :: "semantic-gate" :: Nil) => postSemanticGate(ex)
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
@@ -545,7 +546,34 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       shingleSize = intOr(body, "shingleSize", 3),
       numHashes = intOr(body, "numHashes", 32),
       bands = intOr(body, "bands", 8),
-      threshold = opt(body, "threshold").map(_.asDouble()).getOrElse(0.5)))
+      threshold = opt(body, "threshold").map(_.asDouble()).getOrElse(0.5),
+      maxRefBucket = opt(body, "maxRefBucket").map(_.asLong()).getOrElse(8192L)))
+  }
+
+  /** Semantic (embedding) dup gate — the SemDeDup ingest step's batch
+    * body ([[graft.streaming.Streams.semanticDupGateForEachBatch]]):
+    * arriving vectors from `source` joined to their nearest indexed
+    * corpus vector through the trained IVF index, flagged within
+    * `maxDist`. Same decision a streaming deployment makes per
+    * micro-batch. */
+  private def postSemanticGate(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val arrivals = engine.readTable(Seq(require(body, "source").asText()))
+    var out: org.apache.spark.sql.DataFrame = null
+    graft.streaming.Streams.semanticDupGateForEachBatch(
+      engine.store,
+      require(body, "coding").asText(),
+      require(body, "corpus").asText(),
+      require(body, "column").asText(),
+      require(body, "idCol").asText(),
+      require(body, "vecCol").asText(),
+      maxDist = require(body, "maxDist").asDouble(),
+      probes = require(body, "probes").asInt(),
+      corpusIdCol = require(body, "corpusIdCol").asText(),
+      metric = opt(body, "metric").map(_.asText()),
+      sink = df => out = df)(arrivals, 0L)
+    // empty arrivals: the gate body skips the sink (nothing to flag)
+    if (out == null) ok(ex, """{"rows":[]}""") else okRows(ex, out)
   }
 
   /** Benchmark decontamination of a stored corpus against a stored

@@ -112,6 +112,26 @@ class DedupSpec extends SparkSuite {
     assert(!got.exists(_._1 == 203L), s"novel arrival must pass: $got")
   }
 
+  test("simhash bucket cap: over-cap cluster stars instead of vanishing") {
+    // identical docs share every band chunk, so pre-round-10 the cap
+    // DROPPED all their buckets and the cluster produced zero pairs;
+    // the star emission must keep it connected while the under-cap
+    // fixture pairs are untouched
+    val cluster = spark.range(100L, 130L)
+      .select($"id".as("doc_id"),
+        lit("boilerplate template error page repeated verbatim across the crawl corpus").as("text"))
+    val all = docs.unionByName(cluster)
+    val pairs = Dedup.nearDupPairsSimhash(all, "doc_id", "text",
+      maxHamming = 12, bands = 4, maxBucket = 10L)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), s"under-cap exact dup must survive: $got")
+    val clusterPairs = got.filter(p => p._1 >= 100L || p._2 >= 100L)
+    assert(clusterPairs == (101L until 130L).map(i => (100L, i)).toSet,
+      s"over-cap bucket must emit the min-id star: $clusterPairs")
+    assert(pairs.filter($"id_a" === 100L).select("hamming").as[Int].collect()
+      .forall(_ == 0), "identical docs verify at hamming 0")
+  }
+
   test("stream gate: idCol colliding with fixed output columns is refused") {
     val corpus = Seq((1L, base)).toDF("ref_id", "ref_text")
     val err = intercept[IllegalArgumentException](

@@ -539,6 +539,41 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/gate_in")._1 == 200)
   }
 
+  test("semantic gate route: arriving vectors flagged through the IVF index") {
+    // corpus: two tight clusters; arrivals: one near a corpus vector,
+    // one far from everything
+    val rows = (0 until 40).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 10.0
+      s"""{"id":$i,"vec":[${c + i * 0.001},${c},${c},${c}]}"""
+    }
+    val (c1, b1) = send("PUT", "/tables/sgate_corpus",
+      s"""{"schema":"id LONG, vec ARRAY<DOUBLE>","rows":[${rows.mkString(",")}]}""")
+    assert(c1 == 200, b1)
+    val (ic, ib) = send("POST", "/indexes",
+      """{"name":"sgate_c","source":"sgate_corpus","column":"vec",
+          "metric":"l2","codebookSize":2,"numCodebooks":1,
+          "batchSize":64,"numEpochs":2}""")
+    assert(ic == 200, ib)
+    val (c2, b2) = send("PUT", "/tables/sgate_in",
+      """{"schema":"qid LONG, qvec ARRAY<DOUBLE>","rows":[
+        {"qid":100,"qvec":[0.001,0.0,0.0,0.0]},
+        {"qid":101,"qvec":[500.0,500.0,500.0,500.0]}]}""")
+    assert(c2 == 200, b2)
+    val (gc, gBody) = send("POST", "/dedup/semantic-gate",
+      """{"source":"sgate_in","coding":"sgate_c","corpus":"sgate_corpus",
+        "column":"vec","idCol":"qid","vecCol":"qvec","maxDist":1.0,
+        "probes":2,"corpusIdCol":"id","metric":"l2"}""")
+    assert(gc == 200, gBody)
+    val flagged = scala.collection.mutable.Set.empty[(Long, Long)]
+    mapper.readTree(gBody).get("rows").elements()
+      .forEachRemaining(n => flagged += ((n.get("qid").asLong(), n.get("id").asLong())))
+    assert(flagged.toSet == Set((100L, 0L)),
+      s"near arrival flags against its neighbor, far arrival passes: $flagged")
+    assert(send("DELETE", "/indexes/sgate_c")._1 == 200)
+    assert(send("DELETE", "/tables/sgate_corpus")._1 == 200)
+    assert(send("DELETE", "/tables/sgate_in")._1 == 200)
+  }
+
   test("decontamination route: corpus scored against a stored benchmark") {
     val (c1, b1) = send("PUT", "/tables/decon_corpus",
       """{"schema":"doc_id LONG, text STRING","rows":[
