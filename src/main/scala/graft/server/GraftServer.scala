@@ -54,6 +54,7 @@ import graft.coder.CoderConfig
   *   - `POST   /api/dedup/spans` · `POST /api/dedup/strip`
   *     (exact substring dedup: detect / rewrite)
   *   - `POST   /api/dedup/gate` (arrivals-vs-corpus near-dup gate)
+  *   - `POST   /api/dedup/semantic-gate` (embedding dup gate over the IVF index)
   *   - `POST   /api/text/decontaminate` (corpus-vs-benchmark containment)
   *   - `POST   /api/sample/mixture` (domain-mixture resampling)
   *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
