@@ -156,22 +156,137 @@ object SparkEntry {
       s"${fnv("6180598255448514352")} AS hu2 FROM spcs))"
   }
 
+  /** Bigram-containment CTE chain (decontamination mirror), parameterized
+    * over the corpus and bench relations (each must expose doc_id, text).
+    * Ends with `contam(corpus_id, bench_id, shared, containment)` holding
+    * only rows at containment >= 0.2. Shared by text_decontaminate,
+    * decontaminate_stream and curate_corpus so the gram arithmetic cannot
+    * drift between the three. */
+  private def containmentCte(corpusRel: String, benchRel: String): String =
+    "b AS (SELECT doc_id AS bench_id, " +
+      "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
+      s"FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $benchRel) WHERE len(t) >= 2), " +
+      "c AS (SELECT doc_id AS corpus_id, " +
+      "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
+      s"FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM $corpusRel) WHERE len(t) >= 2), " +
+      "bt AS (SELECT bench_id, len(gs) AS b_total FROM b), " +
+      "bg AS (SELECT bench_id, unnest(gs) AS ngram FROM b), " +
+      "cg AS (SELECT corpus_id, unnest(gs) AS ngram FROM c), " +
+      "j AS (SELECT cg.corpus_id, bg.bench_id, count(*) AS shared FROM cg JOIN bg USING (ngram) GROUP BY 1, 2), " +
+      "contam AS (SELECT corpus_id, bench_id, shared, CAST(shared AS DOUBLE) / b_total AS containment " +
+      "FROM j JOIN bt USING (bench_id) WHERE CAST(shared AS DOUBLE) / b_total >= 0.2)"
+
   /** Containment mirror shared by text_decontaminate (batch groupBy
     * shape) and decontaminate_stream (broadcast narrow-map shape) — the
     * two operators compute the same function. */
   private val decontaminateSql =
-    "WITH b AS (SELECT doc_id AS bench_id, " +
-      "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
-      "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id < 5) WHERE len(t) >= 2), " +
-      "c AS (SELECT doc_id AS corpus_id, " +
-      "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
-      "FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents WHERE doc_id >= 100) WHERE len(t) >= 2), " +
-      "bt AS (SELECT bench_id, len(gs) AS b_total FROM b), " +
-      "bg AS (SELECT bench_id, unnest(gs) AS ngram FROM b), " +
-      "cg AS (SELECT corpus_id, unnest(gs) AS ngram FROM c), " +
-      "j AS (SELECT cg.corpus_id, bg.bench_id, count(*) AS shared FROM cg JOIN bg USING (ngram) GROUP BY 1, 2) " +
-      "SELECT corpus_id, bench_id, shared, CAST(shared AS DOUBLE) / b_total AS containment " +
-      "FROM j JOIN bt USING (bench_id) WHERE CAST(shared AS DOUBLE) / b_total >= 0.2"
+    "WITH " + containmentCte(
+      "(SELECT doc_id, text FROM documents WHERE doc_id >= 100)",
+      "(SELECT doc_id, text FROM documents WHERE doc_id < 5)") +
+      " SELECT corpus_id, bench_id, shared, containment FROM contam"
+
+  /** MinHash CTE prefix over `src` (must expose doc_id, text): lowercase
+    * whitespace tokens → 3-shingles → 32 seeded-FNV-1a minhashes (HUGEINT
+    * mod 2^64, signed to match Scala Long ordering) → 8 raw 4-long band
+    * slices. Ends with `banded(doc_id, band, chunk)`, keeping
+    * `sh(doc_id, gs)` in scope for the exact-jaccard verify. Shared by
+    * dedup_minhash, dedup_stream_static and curate_corpus. */
+  private def minhashBandedCte(src: String): String =
+    "toks AS (SELECT doc_id, " +
+      "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
+      s"FROM $src), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
+      "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS gs FROM toks), " +
+      "g AS (SELECT doc_id, unnest(gs) AS gram FROM sh), " +
+      "hs AS (SELECT doc_id, r.i AS seed_i, gram, " +
+      "list_reduce(list_prepend(" +
+      "xor(CAST('14695981039346656037' AS HUGEINT), " +
+      "(CAST('11400714819323198485' AS HUGEINT) * (r.i + 1)) % CAST('18446744073709551616' AS HUGEINT)), " +
+      "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
+      "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hu " +
+      "FROM g CROSS JOIN range(32) r(i)), " +
+      "hsig AS (SELECT doc_id, seed_i, " +
+      "min(CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
+      "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT)) AS mh " +
+      "FROM hs GROUP BY doc_id, seed_i), " +
+      "sig AS (SELECT doc_id, list(mh ORDER BY seed_i) AS sig FROM hsig GROUP BY doc_id), " +
+      "banded AS (SELECT doc_id, r.band, sig[r.band * 4 + 1 : r.band * 4 + 4] AS chunk " +
+      "FROM sig CROSS JOIN range(8) r(band))"
+
+  /** Self-join pair candidates + exact-jaccard verify over the
+    * [[minhashBandedCte]] prefix. Ends with `ver(id_a, id_b, j)`. */
+  private val minhashPairVerifyCte: String =
+    "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
+      "FROM banded a JOIN banded b " +
+      "ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id), " +
+      "ver AS (SELECT c.id_a, c.id_b, " +
+      "CASE WHEN len(list_distinct(sa.gs || sb.gs)) = 0 THEN 1.0 " +
+      "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
+      "FROM cands c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"
+
+  /** Gopher rule-flag CTE chain over `src` (doc_id, text; nulls dropped),
+    * word bounds [20, 80] as in text_gopher. Ends with `g4(doc_id,
+    * n_words, rule_*, keep)`. Shared by text_gopher and curate_corpus. */
+  private def gopherCte(src: String): String = s"""
+    |gw AS (SELECT doc_id, text,
+    |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
+    |    string_split(text, chr(10)) AS ln
+    |  FROM $src WHERE text IS NOT NULL),
+    |g2 AS (SELECT doc_id, len(w) AS n, len(ln) AS nl,
+    |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+    |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS chars,
+    |    length(text) - length(replace(text, '#', '')) AS nhash,
+    |    (length(text) - length(replace(text, '...', ''))) / 3
+    |      + (length(text) - length(replace(text, '…', ''))) AS nell,
+    |    len(list_filter(ln, l -> starts_with(trim(l), '-')
+    |      OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS nbul,
+    |    len(list_filter(ln, l -> ends_with(trim(l), '...')
+    |      OR ends_with(trim(l), '…'))) AS nellln,
+    |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+    |    len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+    |      ['the','a','of','and','to','in','is','it'])) AS nstop
+    |  FROM gw),
+    |g3 AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+    |    n >= 20 AND n <= 80 AS rule_word_count,
+    |    n > 0 AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
+    |      AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0 AS rule_mean_word_len,
+    |    n > 0 AND CAST(nhash + nell AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1 AS rule_symbol_ratio,
+    |    CAST(nbul AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9 AS rule_bullet_lines,
+    |    CAST(nellln AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3 AS rule_ellipsis_lines,
+    |    n > 0 AND CAST(nalpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8 AS rule_alpha_words,
+    |    nstop >= 2 AS rule_stopwords
+    |  FROM g2),
+    |g4 AS (SELECT *, rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
+    |  AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
+    |  AND rule_stopwords AS keep FROM g3)""".stripMargin
+
+  /** Language-id CTE chain over `src` (doc_id, text): stopword-hit
+    * scoring per language, tie-break = (max hits, lexicographically
+    * greatest lang) matching the Scala maxBy, CJK-ratio and empty-text
+    * fallbacks. Ends with `lpred(doc_id, lang_pred)`. Shared by
+    * text_lang, text_lang_quality and curate_corpus. */
+  private def langPredCte(src: String): String =
+    "tok AS (SELECT doc_id, text, " +
+      "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks, " +
+      "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) AS cjk " +
+      s"FROM $src), " +
+      "langs(lang, sw) AS (VALUES " +
+      "('en', ['the','and','of','to','is','in','that','it','was','for']), " +
+      "('es', ['el','la','de','que','y','en','los','del','las','por']), " +
+      "('de', ['der','die','und','das','ist','von','den','mit','ein','nicht']), " +
+      "('fr', ['le','la','les','de','et','un','une','est','que','pour'])), " +
+      "scores AS (SELECT t.doc_id, t.text, t.toks, t.cjk, l.lang, " +
+      "len(list_filter(t.toks, x -> list_contains(l.sw, x))) AS hits " +
+      "FROM tok t CROSS JOIN langs l), " +
+      "best AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
+      "ORDER BY hits DESC, lang DESC) AS rn FROM scores), " +
+      "lpred AS (SELECT doc_id, " +
+      "CASE WHEN text IS NULL OR trim(text) = '' THEN 'und' " +
+      "WHEN cjk * 1.0 / greatest(1, length(text)) > 0.2 THEN 'zh' " +
+      "WHEN len(toks) = 0 THEN 'und' " +
+      "WHEN hits = 0 THEN 'und' " +
+      "ELSE lang END AS lang_pred FROM best WHERE rn = 1)"
 
   private def cosPair(a: String, b: String) =
     s"0.5 - 0.5 * (list_inner_product($a, $b) / " +
@@ -1031,6 +1146,18 @@ object SparkEntry {
         k = 20, select = Some(Seq("vec_id")), tieBreak = Seq("vec_id"),
         distCol = "dist")
     }),
+    // —— flagship curation pipeline: exact dedup → minhash near-dup
+    // removal → benchmark decontamination → Gopher quality → language
+    // filter, composed as ONE declarative plan (graft.ext.Curate); the
+    // oracle chains the same five stage mirrors as CTEs ——
+    "curate_corpus" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ext.Curate.curate(docs, "doc_id", "text",
+          docs.filter(col("doc_id") < 5), "doc_id", "text",
+          graft.ext.Curate.Config(jaccardThreshold = 0.35,
+            minWords = 20, maxWords = 80))
+        .select(col("doc_id"), col("lang_pred"), col("n_words"))
+    }),
     "grouping_sets" -> ((s: SparkSession, dir: String) => {
       tbl(s, dir, "orders").createOrReplaceTempView("orders_gs")
       s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
@@ -1297,61 +1424,33 @@ object SparkEntry {
     // raw 4-long signature slices, exact-jaccard verify — deterministic
     // since round 5 switched the band key from murmur buckets to slices
     "dedup_minhash" ->
-      ("WITH toks AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
-        "FROM documents), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS gs FROM toks), " +
-        "g AS (SELECT doc_id, unnest(gs) AS gram FROM sh), " +
-        "hs AS (SELECT doc_id, r.i AS seed_i, gram, " +
-        "list_reduce(list_prepend(" +
-        "xor(CAST('14695981039346656037' AS HUGEINT), " +
-        "(CAST('11400714819323198485' AS HUGEINT) * (r.i + 1)) % CAST('18446744073709551616' AS HUGEINT)), " +
-        "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hu " +
-        "FROM g CROSS JOIN range(32) r(i)), " +
-        "hsig AS (SELECT doc_id, seed_i, " +
-        "min(CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
-        "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT)) AS mh " +
-        "FROM hs GROUP BY doc_id, seed_i), " +
-        "sig AS (SELECT doc_id, list(mh ORDER BY seed_i) AS sig FROM hsig GROUP BY doc_id), " +
-        "banded AS (SELECT doc_id, r.band, sig[r.band * 4 + 1 : r.band * 4 + 4] AS chunk " +
-        "FROM sig CROSS JOIN range(8) r(band)), " +
-        "cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b " +
-        "FROM banded a JOIN banded b " +
-        "ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id), " +
-        "ver AS (SELECT c.id_a, c.id_b, " +
-        "CASE WHEN len(list_distinct(sa.gs || sb.gs)) = 0 THEN 1.0 " +
-        "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
-        "FROM cands c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b) " +
-        "SELECT id_a, id_b FROM ver WHERE j >= 0.35"),
+      ("WITH " + minhashBandedCte("documents") + ", " + minhashPairVerifyCte +
+        " SELECT id_a, id_b FROM ver WHERE j >= 0.35"),
+    // curation pipeline: the five stage mirrors chained — exact-dedup
+    // survivors feed the minhash chain, near-dup survivors feed the
+    // containment chain, decontaminated survivors feed the gopher and
+    // lang-id chains; each stage's arithmetic is the SAME shared CTE its
+    // standalone oracle uses
+    "curate_corpus" ->
+      ("WITH ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "exd AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)), " +
+        minhashBandedCte("exd") + ", " + minhashPairVerifyCte + ", " +
+        "nd AS (SELECT doc_id, text FROM exd WHERE doc_id NOT IN " +
+        "(SELECT id_b FROM ver WHERE j >= 0.35)), " +
+        containmentCte("nd",
+          "(SELECT doc_id, text FROM documents WHERE doc_id < 5)") + ", " +
+        "dc AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN " +
+        "(SELECT corpus_id FROM contam)), " +
+        gopherCte("dc") + ", " + langPredCte("dc") +
+        " SELECT dc.doc_id AS doc_id, p.lang_pred AS lang_pred, g.n_words AS n_words " +
+        "FROM dc JOIN g4 g USING (doc_id) JOIN lpred p USING (doc_id) " +
+        "WHERE g.keep AND p.lang_pred <> 'und'"),
     // incoming-vs-corpus near-dup gate: the SAME minhash/band/verify
     // chain, restricted to cross-side (arrival >= 250, corpus < 250)
     // pairs — DISTINCT here equals the library's first-matching-band
     // emission (both yield one row per pair)
     "dedup_stream_static" ->
-      ("WITH toks AS (SELECT doc_id, " +
-        "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS t " +
-        "FROM documents), " +
-        "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] " +
-        "ELSE list_distinct(list_transform(range(1, len(t) - 1), " +
-        "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS gs FROM toks), " +
-        "g AS (SELECT doc_id, unnest(gs) AS gram FROM sh), " +
-        "hs AS (SELECT doc_id, r.i AS seed_i, gram, " +
-        "list_reduce(list_prepend(" +
-        "xor(CAST('14695981039346656037' AS HUGEINT), " +
-        "(CAST('11400714819323198485' AS HUGEINT) * (r.i + 1)) % CAST('18446744073709551616' AS HUGEINT)), " +
-        "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT))), " +
-        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)) AS hu " +
-        "FROM g CROSS JOIN range(32) r(i)), " +
-        "hsig AS (SELECT doc_id, seed_i, " +
-        "min(CAST(CASE WHEN hu >= CAST('9223372036854775808' AS HUGEINT) " +
-        "THEN hu - CAST('18446744073709551616' AS HUGEINT) ELSE hu END AS BIGINT)) AS mh " +
-        "FROM hs GROUP BY doc_id, seed_i), " +
-        "sig AS (SELECT doc_id, list(mh ORDER BY seed_i) AS sig FROM hsig GROUP BY doc_id), " +
-        "banded AS (SELECT doc_id, r.band, sig[r.band * 4 + 1 : r.band * 4 + 4] AS chunk " +
-        "FROM sig CROSS JOIN range(8) r(band)), " +
+      ("WITH " + minhashBandedCte("documents") + ", " +
         "cands AS (SELECT DISTINCT a.doc_id AS s_id, b.doc_id AS ref_id " +
         "FROM banded a JOIN banded b " +
         "ON a.band = b.band AND a.chunk = b.chunk " +
@@ -1575,39 +1674,7 @@ object SparkEntry {
     // Gopher rule flags mirrored term-for-term: integer char sums via
     // ordered list_reduce, non-overlapping replace deltas for symbol
     // counts, single IEEE divisions for every fraction
-    "text_gopher" -> s"""
-      |WITH gw AS (SELECT doc_id, text,
-      |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w,
-      |    string_split(text, chr(10)) AS ln
-      |  FROM documents WHERE text IS NOT NULL),
-      |g2 AS (SELECT doc_id, len(w) AS n, len(ln) AS nl,
-      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |      list_transform(w, x -> CAST(length(x) AS BIGINT))), (a, b) -> a + b) AS chars,
-      |    length(text) - length(replace(text, '#', '')) AS nhash,
-      |    (length(text) - length(replace(text, '...', ''))) / 3
-      |      + (length(text) - length(replace(text, '…', ''))) AS nell,
-      |    len(list_filter(ln, l -> starts_with(trim(l), '-')
-      |      OR starts_with(trim(l), '*') OR starts_with(trim(l), '•'))) AS nbul,
-      |    len(list_filter(ln, l -> ends_with(trim(l), '...')
-      |      OR ends_with(trim(l), '…'))) AS nellln,
-      |    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
-      |    len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
-      |      ['the','a','of','and','to','in','is','it'])) AS nstop
-      |  FROM gw),
-      |g3 AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
-      |    n >= 20 AND n <= 80 AS rule_word_count,
-      |    n > 0 AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) >= 3.0
-      |      AND CAST(chars AS DOUBLE) / CAST(n AS DOUBLE) <= 10.0 AS rule_mean_word_len,
-      |    n > 0 AND CAST(nhash + nell AS DOUBLE) / CAST(n AS DOUBLE) <= 0.1 AS rule_symbol_ratio,
-      |    CAST(nbul AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.9 AS rule_bullet_lines,
-      |    CAST(nellln AS DOUBLE) / CAST(nl AS DOUBLE) <= 0.3 AS rule_ellipsis_lines,
-      |    n > 0 AND CAST(nalpha AS DOUBLE) / CAST(n AS DOUBLE) >= 0.8 AS rule_alpha_words,
-      |    nstop >= 2 AS rule_stopwords
-      |  FROM g2)
-      |SELECT *, rule_word_count AND rule_mean_word_len AND rule_symbol_ratio
-      |  AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
-      |  AND rule_stopwords AS keep FROM g3
-      |""".stripMargin,
+    "text_gopher" -> ("WITH " + gopherCte("documents") + " SELECT * FROM g4"),
     // within-doc segment dedup: 1-based list_position/index in DuckDB =
     // Spark's array_position = i + 1 over 0-based indices
     "text_seg_dedup" -> s"""
@@ -1718,20 +1785,7 @@ object SparkEntry {
     // mirrors) + quality = round(formula, 6) — Spark's HALF_UP double
     // round and DuckDB's round agree on this corpus (verified hash-exact)
     "text_lang_quality" ->
-      ("WITH tok AS (SELECT doc_id, text, " +
-        "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks, " +
-        "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) AS cjk " +
-        "FROM documents), " +
-        "langs(lang, sw) AS (VALUES " +
-        "('en', ['the','and','of','to','is','in','that','it','was','for']), " +
-        "('es', ['el','la','de','que','y','en','los','del','las','por']), " +
-        "('de', ['der','die','und','das','ist','von','den','mit','ein','nicht']), " +
-        "('fr', ['le','la','les','de','et','un','une','est','que','pour'])), " +
-        "scores AS (SELECT t.doc_id, t.text, t.toks, t.cjk, l.lang, " +
-        "len(list_filter(t.toks, x -> list_contains(l.sw, x))) AS hits " +
-        "FROM tok t CROSS JOIN langs l), " +
-        "best AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY hits DESC, lang DESC) AS rn FROM scores), " +
+      ("WITH " + langPredCte("documents") + ", " +
         "fp AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE CAST(xor(" +
         "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
         "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
@@ -1755,47 +1809,24 @@ object SparkEntry {
         "least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
         "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
         "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)), 6) AS quality FROM q2) " +
-        "SELECT b.doc_id AS doc_id, " +
-        "CASE WHEN b.text IS NULL OR trim(b.text) = '' THEN 'und' " +
-        "WHEN b.cjk * 1.0 / greatest(1, length(b.text)) > 0.2 THEN 'zh' " +
-        "WHEN len(b.toks) = 0 THEN 'und' " +
-        "WHEN b.hits = 0 THEN 'und' " +
-        "ELSE b.lang END AS lang_pred, " +
+        "SELECT p.doc_id AS doc_id, p.lang_pred AS lang_pred, " +
         "q.quality AS quality, f.fingerprint AS fingerprint " +
-        "FROM best b JOIN fp f USING (doc_id) JOIN q USING (doc_id) WHERE b.rn = 1"),
+        "FROM lpred p JOIN fp f USING (doc_id) JOIN q USING (doc_id)"),
     // langId heuristic + 63-bit rolling-hash fingerprint mirrored exactly:
     // the wrapping 64-bit multiply runs in HUGEINT mod 2^64; tie-break =
     // (max hits, then lexicographically greatest lang), matching Scala
     // maxBy over (hits, lang) tuples
     "text_lang" ->
-      ("WITH tok AS (SELECT doc_id, text, " +
-        "list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks, " +
-        "length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}]', '', 'g')) AS cjk " +
-        "FROM documents), " +
-        "langs(lang, sw) AS (VALUES " +
-        "('en', ['the','and','of','to','is','in','that','it','was','for']), " +
-        "('es', ['el','la','de','que','y','en','los','del','las','por']), " +
-        "('de', ['der','die','und','das','ist','von','den','mit','ein','nicht']), " +
-        "('fr', ['le','la','les','de','et','un','une','est','que','pour'])), " +
-        "scores AS (SELECT t.doc_id, t.text, t.toks, t.cjk, l.lang, " +
-        "len(list_filter(t.toks, x -> list_contains(l.sw, x))) AS hits " +
-        "FROM tok t CROSS JOIN langs l), " +
-        "best AS (SELECT *, row_number() OVER (PARTITION BY doc_id " +
-        "ORDER BY hits DESC, lang DESC) AS rn FROM scores), " +
+      ("WITH " + langPredCte("documents") + ", " +
         "fp AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE CAST(xor(" +
         "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
         "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
         "c -> CAST(unicode(c) AS HUGEINT))), " +
         "(h, c) -> (31 * h + c) % 18446744073709551616) % 9223372036854775808, " +
         "0) AS BIGINT) END AS fingerprint FROM documents) " +
-        "SELECT b.doc_id AS doc_id, " +
-        "CASE WHEN b.text IS NULL OR trim(b.text) = '' THEN 'und' " +
-        "WHEN b.cjk * 1.0 / greatest(1, length(b.text)) > 0.2 THEN 'zh' " +
-        "WHEN len(b.toks) = 0 THEN 'und' " +
-        "WHEN b.hits = 0 THEN 'und' " +
-        "ELSE b.lang END AS lang_pred, " +
+        "SELECT p.doc_id AS doc_id, p.lang_pred AS lang_pred, " +
         "f.fingerprint AS fingerprint " +
-        "FROM best b JOIN fp f USING (doc_id) WHERE b.rn = 1"),
+        "FROM lpred p JOIN fp f USING (doc_id)"),
     // packing assignment mirror: window cumsum of exact integer token
     // counts; bin = double-division truncate (Spark's cast), offset = mod
     "pack_assign" -> s"""

@@ -1,0 +1,113 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the standard LLM-data cleaning
+  * sequence composed from this library's oracle-checked stages, in the
+  * order production pipelines run them (cheapest-per-byte first, so each
+  * stage shrinks the input of the next):
+  *
+  *   1. exact dedup        — keep the min-id row per identical text
+  *                           ([[Dedup.exactDedup]]; map-side-combined
+  *                           hash aggregate, id-only semi-join back);
+  *   2. near-dup removal   — MinHash/LSH pairs at a Jaccard threshold,
+  *                           drop the higher-id side of every verified
+  *                           pair ([[Dedup.nearDupPairsMinhash]]; banded
+  *                           signature join, bucket-capped star on
+  *                           boilerplate clusters). Dropping every id
+  *                           that has a smaller near-dup is closure-free
+  *                           and deterministic — no connected-components
+  *                           pass is needed to pick survivors;
+  *   3. decontamination    — drop any doc whose n-gram containment of a
+  *                           benchmark doc crosses the threshold
+  *                           ([[TextAnalysis.ngramContainment]];
+  *                           broadcast bench grams). Benchmark rows that
+  *                           are themselves in the corpus self-match at
+  *                           containment 1.0 and are dropped — the
+  *                           desired "test set must not be trained on"
+  *                           semantics;
+  *   4. quality filter     — Gopher rule flags, keep only docs passing
+  *                           every rule ([[TextAnalysis.gopherQualityFlags]];
+  *                           one narrow codegen map);
+  *   5. language filter    — n-gram/stopword language id, optionally
+  *                           dropping unidentifiable docs
+  *                           ([[TextAnalysis.langId]]).
+  *
+  * Every stage is shuffle-light at 100 TB: stages 1–3 move only ids,
+  * signatures, or n-grams (never full text more than once), stages 4–5
+  * are narrow maps. The whole pipeline is one declarative plan — Catalyst
+  * fuses the filters and the scan is shared.
+  *
+  * Output: the surviving rows of `docs` (all original columns) plus
+  * `n_words` (long, from the quality stage) and `lang_pred` (string).
+  *
+  * Reference corpus-pipeline semantics: Rae et al. 2021 (Gopher §A1.1),
+  * Lee et al. ACL 2022 (dedup), Brown et al. 2020 §C (benchmark
+  * decontamination via n-gram overlap).
+  */
+object Curate {
+
+  /** Knobs for [[curate]]; defaults mirror the individual operators'. */
+  case class Config(
+      shingleSize: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      jaccardThreshold: Double = 0.5,
+      maxBucket: Long = 8192L,
+      contamNgram: Int = 2,
+      contamThreshold: Double = 0.2,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minStopwords: Int = 2,
+      dropUnknownLang: Boolean = true)
+
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      cfg: Config = Config()): DataFrame = {
+    require(idCol != "n_words" && idCol != "lang_pred" &&
+      textCol != "n_words" && textCol != "lang_pred",
+      "rename the id/text columns apart from the appended n_words/lang_pred")
+
+    // 1 — exact dedup (survivor = min id per identical text)
+    val exact = Dedup.exactDedup(docs, idCol, Seq(textCol))
+
+    // 2 — near-dup removal: any doc with a verified near-dup of smaller
+    // id goes; pairs are emitted with id_a < id_b, so the drop set is
+    // exactly the distinct id_b side
+    val pairs = Dedup.nearDupPairsMinhash(exact, idCol, textCol,
+      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
+      cfg.maxBucket)
+    val nd = exact.join(pairs.select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+    // 3 — benchmark decontamination (containment >= threshold ⇒ drop)
+    val contam = TextAnalysis.ngramContainment(
+      nd.select(col(idCol).as("__corpus_id__"), col(textCol)),
+      "__corpus_id__", textCol,
+      bench.select(col(benchIdCol).as("__bench_id__"),
+        col(benchTextCol).as(textCol)),
+      "__bench_id__", textCol,
+      cfg.contamNgram, cfg.contamThreshold)
+    val dc = nd.join(contam.select(col("__corpus_id__").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+    // 4 — Gopher quality rules (inner join also drops null-text rows,
+    // which the flags operator excludes by contract)
+    val gq = TextAnalysis.gopherQualityFlags(dc, idCol, textCol,
+        minWords = cfg.minWords, maxWords = cfg.maxWords,
+        minStopwords = cfg.minStopwords)
+      .filter(col("keep"))
+      .select(col(idCol), col("n_words"))
+
+    // 5 — language id
+    val out = dc.join(gq, Seq(idCol))
+      .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
+    if (cfg.dropUnknownLang) out.filter(col("lang_pred") =!= "und") else out
+  }
+}
