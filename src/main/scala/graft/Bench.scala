@@ -149,12 +149,15 @@ object Bench {
     // fold in the 10M serving-tier soak evidence ([[Soak10M]] writes
     // soak_10m.json as a separate one-off run — a 10M pass per bench
     // would dwarf the bench itself)
-    val soakPath = java.nio.file.Paths.get("soak_10m.json")
-    val soakPart =
-      if (java.nio.file.Files.exists(soakPath))
-        s""","soak_10m":${new String(
-          java.nio.file.Files.readAllBytes(soakPath), "UTF-8").trim}"""
+    def foldArtifact(key: String, file: String): String = {
+      val p = java.nio.file.Paths.get(file)
+      if (java.nio.file.Files.exists(p))
+        s""","$key":${new String(
+          java.nio.file.Files.readAllBytes(p), "UTF-8").trim}"""
       else ""
+    }
+    val soakPart = foldArtifact("soak_10m", "soak_10m.json") +
+      foldArtifact("dedup_soak_1m", "dedup_soak_1m.json")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
     // Machine-readable FULL copy the driver (or anyone) can ingest whole,

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+import graft.ext.Dedup
+
+/** One-off 1M-document near-dup soak — validates the bucket-cap/star
+  * discipline of [[Dedup.nearDupPairsMinhash]] at the scale the cap
+  * exists for, which no sf-scale bench number can show.
+  *
+  * Corpus: 1M docs of 30-token synthetic text —
+  *   - ids [0, 100k): one identical boilerplate text (the "error page"
+  *     cluster every web crawl contains). Uncapped, the band self-join
+  *     would emit 8 × C(100k, 2) ≈ 4·10¹⁰ candidate rows from this
+  *     cluster alone — the pre-round-10 scale-killer. Capped, it must
+  *     emit exactly a 99,999-pair min-id star;
+  *   - ids [100k, 1M): unique random text; every 20th doc is instead a
+  *     one-word edit of another base doc (trigram Jaccard ≈ 0.81), the
+  *     injected near-dup population whose banding hit rate ≈ 0.99
+  *     (1 − (1 − 0.81⁴)⁸; see NearDupBench's gate docstring).
+  *
+  * Measures: signature+pair wall time, total pairs, the star shape
+  * (cluster pairs all anchored at the min id), injected-dup recall, and
+  * a [[Dedup.duplicateGroups]] pass showing the cluster consolidates to
+  * ONE component (star and clique give identical components).
+  *
+  * Writes dedup_soak_1m.json in the cwd; Bench folds it into
+  * bench_summary.json the same way it folds soak_10m.json.
+  */
+object DedupSoak1M {
+  val N = 1000000L
+  val Cluster = 100000L
+  val Boilerplate: String =
+    (0 until 30).map(i => "boiler" + (i % 7)).mkString(" ")
+
+  private def text(seed: Long): String = {
+    val rnd = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 13L)
+    Array.fill(30)("w" + rnd.nextInt(50000)).mkString(" ")
+  }
+
+  /** base doc for injected near-dup `id` (never itself injected). */
+  private def baseOf(id: Long): Long = {
+    val b = Cluster + ((id * 17L) % (N - Cluster))
+    if (b % 20L == 0L) b + 1L else b
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val n = N; val cluster = Cluster
+    val gen = udf { (id: Long) =>
+      if (id < cluster) Boilerplate
+      else if (id % 20L == 0L) {
+        val toks = text(baseOf(id)).split(" ")
+        toks(7) = "CHANGED"
+        toks.mkString(" ")
+      } else text(id)
+    }
+    val docs = spark.range(n).toDF("doc_id")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("text", gen(col("doc_id")))
+
+    val (pairs, tPairs) = time {
+      val p = Dedup.nearDupPairsMinhash(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.5).cache()
+      p.count()
+      p
+    }
+    val nPairs = pairs.count()
+    // star shape: every within-cluster pair is anchored at the min id
+    val clusterPairs = pairs.filter(col("id_b") < cluster)
+    val nClusterPairs = clusterPairs.count()
+    val starAnchored = clusterPairs.filter(col("id_a") === 0L).count()
+    // injected recall, measured distributed (no driver-side loop): the
+    // expected pair set from the generator arithmetic, semi-joined
+    // against the found pairs
+    val baseUdf = udf { (id: Long) => baseOf(id) }
+    val expected = spark.range(n).toDF("inj")
+      .filter(col("inj") >= cluster && col("inj") % 20L === 0L)
+      .withColumn("base", baseUdf(col("inj")))
+      .select(least(col("inj"), col("base")).as("id_a"),
+        greatest(col("inj"), col("base")).as("id_b"))
+    val nExpected = expected.count()
+    val nFound = expected.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+    val recall = nFound.toDouble / nExpected
+
+    val (groups, tGroups) = time {
+      val g = Dedup.duplicateGroups(docs.select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b").cache()
+      g.count()
+      g
+    }
+    // the boilerplate cluster must be ONE component rooted at id 0
+    val clusterComponents = groups.filter(col("doc_id") < cluster)
+      .select("rep").distinct().count()
+
+    val json =
+      f"""{"n_docs":$n,"cluster_size":$cluster,""" +
+        f""""pairs_sec":$tPairs%.1f,"n_pairs":$nPairs,""" +
+        f""""cluster_pairs":$nClusterPairs,"cluster_star_anchored":$starAnchored,""" +
+        f""""injected_expected":$nExpected,"injected_found":$nFound,""" +
+        f""""injected_recall":$recall%.4f,""" +
+        f""""groups_sec":$tGroups%.1f,"cluster_components":$clusterComponents}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("dedup_soak_1m.json"),
+      (json + "\n").getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

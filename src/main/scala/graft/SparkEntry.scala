@@ -1158,6 +1158,25 @@ object SparkEntry {
             minWords = 20, maxWords = 80))
         .select(col("doc_id"), col("lang_pred"), col("n_words"))
     }),
+    // —— the SAME curation as an ingest gate (streaming foreachBatch
+    // body, run on its batch-identical path): arrivals = doc_id >= 250
+    // gated against the < 250 corpus' persisted minhash signatures,
+    // then decontaminated / quality- / language-filtered ——
+    "curate_stream" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+      val sigs = Dedup.minhashSignatures(corpus, "ref_id", "ref_text")
+      graft.ext.Curate.curateArrivals(
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          sigs, corpus,
+          docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", "text",
+          graft.ext.Curate.Config(jaccardThreshold = 0.35,
+            minWords = 20, maxWords = 80))
+        .select(col("doc_id"), col("lang_pred"), col("n_words"))
+    }),
     "grouping_sets" -> ((s: SparkSession, dir: String) => {
       tbl(s, dir, "orders").createOrReplaceTempView("orders_gs")
       s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
@@ -1437,6 +1456,35 @@ object SparkEntry {
         minhashBandedCte("exd") + ", " + minhashPairVerifyCte + ", " +
         "nd AS (SELECT doc_id, text FROM exd WHERE doc_id NOT IN " +
         "(SELECT id_b FROM ver WHERE j >= 0.35)), " +
+        containmentCte("nd",
+          "(SELECT doc_id, text FROM documents WHERE doc_id < 5)") + ", " +
+        "dc AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN " +
+        "(SELECT corpus_id FROM contam)), " +
+        gopherCte("dc") + ", " + langPredCte("dc") +
+        " SELECT dc.doc_id AS doc_id, p.lang_pred AS lang_pred, g.n_words AS n_words " +
+        "FROM dc JOIN g4 g USING (doc_id) JOIN lpred p USING (doc_id) " +
+        "WHERE g.keep AND p.lang_pred <> 'und'"),
+    // ingest-gate curation: in-batch exact dedup of the arrivals, then
+    // the CROSS-side minhash flag chain (arrival >= 250 vs corpus < 250,
+    // the dedup_stream_static shape), then the same containment / gopher
+    // / lang-id chains as curate_corpus
+    "curate_stream" ->
+      ("WITH arr0 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250), " +
+        "ex AS (SELECT min(doc_id) AS doc_id FROM arr0 GROUP BY text), " +
+        "arr AS (SELECT a.doc_id, a.text FROM arr0 a JOIN ex USING (doc_id)), " +
+        "allr AS (SELECT doc_id, text FROM arr " +
+        "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 250), " +
+        minhashBandedCte("allr") + ", " +
+        "cands AS (SELECT DISTINCT a.doc_id AS s_id, b.doc_id AS ref_id " +
+        "FROM banded a JOIN banded b " +
+        "ON a.band = b.band AND a.chunk = b.chunk " +
+        "AND a.doc_id >= 250 AND b.doc_id < 250), " +
+        "ver AS (SELECT c.s_id, c.ref_id, " +
+        "CASE WHEN len(list_distinct(sa.gs || sb.gs)) = 0 THEN 1.0 " +
+        "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
+        "FROM cands c JOIN sh sa ON sa.doc_id = c.s_id JOIN sh sb ON sb.doc_id = c.ref_id), " +
+        "nd AS (SELECT doc_id, text FROM arr WHERE doc_id NOT IN " +
+        "(SELECT s_id FROM ver WHERE j >= 0.35)), " +
         containmentCte("nd",
           "(SELECT doc_id, text FROM documents WHERE doc_id < 5)") + ", " +
         "dc AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN " +

@@ -97,17 +97,65 @@ object Curate {
     val dc = nd.join(contam.select(col("__corpus_id__").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
-    // 4 — Gopher quality rules (inner join also drops null-text rows,
-    // which the flags operator excludes by contract)
+    qualityAndLang(dc, idCol, textCol, cfg)
+  }
+
+  /** Stages 4–5 (Gopher quality rules + language id), shared by the
+    * batch pipeline and the streaming ingest gate. The inner join also
+    * drops null-text rows, which the flags operator excludes by
+    * contract. */
+  private[graft] def qualityAndLang(dc: DataFrame, idCol: String,
+      textCol: String, cfg: Config): DataFrame = {
     val gq = TextAnalysis.gopherQualityFlags(dc, idCol, textCol,
         minWords = cfg.minWords, maxWords = cfg.maxWords,
         minStopwords = cfg.minStopwords)
       .filter(col("keep"))
       .select(col(idCol), col("n_words"))
-
-    // 5 — language id
     val out = dc.join(gq, Seq(idCol))
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
     if (cfg.dropUnknownLang) out.filter(col("lang_pred") =!= "und") else out
+  }
+
+  /** Arrival-vs-corpus curation — the ingest twin of [[curate]], run per
+    * micro-batch by
+    * [[graft.streaming.Streams.curateGateForEachBatch]]:
+    *
+    *   1. in-batch exact dedup (arrivals identical to a CORPUS doc are
+    *      caught by stage 2 at jaccard 1.0);
+    *   2. near-dup flagging against the PERSISTED corpus signature
+    *      artifact ([[graft.streaming.Streams.nearDupAgainstSignatures]]
+    *      — the corpus text is never re-hashed per batch);
+    *   3. benchmark decontamination via the broadcast gram gate
+    *      ([[graft.streaming.Streams.decontaminateGate]]);
+    *   4–5. Gopher quality + language id (narrow maps).
+    *
+    * Output contract matches [[curate]]: surviving arrival rows plus
+    * `n_words` and `lang_pred`. */
+  def curateArrivals(
+      arrivals: DataFrame,
+      idCol: String,
+      textCol: String,
+      refSigs: DataFrame,
+      refTexts: DataFrame,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      cfg: Config = Config()): DataFrame = {
+    require(idCol != "n_words" && idCol != "lang_pred" &&
+      textCol != "n_words" && textCol != "lang_pred",
+      "rename the id/text columns apart from the appended n_words/lang_pred")
+    val exact = Dedup.exactDedup(arrivals, idCol, Seq(textCol))
+    val ndFlags = graft.streaming.Streams.nearDupAgainstSignatures(
+      exact, idCol, textCol, refSigs, refTexts,
+      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
+      cfg.maxBucket)
+    val nd = exact.join(ndFlags.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    val contam = graft.streaming.Streams.decontaminateGate(
+      nd, idCol, textCol, bench, benchIdCol, benchTextCol,
+      cfg.contamNgram, cfg.contamThreshold)
+    val dc = nd.join(contam.select(col(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+    qualityAndLang(dc, idCol, textCol, cfg)
   }
 }

@@ -179,6 +179,30 @@ object Streams {
           .filter(col("__DISTANCE__") <= maxDist))
   }
 
+  /** The FULL ingest-curation gate as a foreachBatch harness — the
+    * streaming twin of [[graft.ext.Curate.curate]]: each micro-batch of
+    * arriving documents runs [[graft.ext.Curate.curateArrivals]]
+    * (in-batch exact dedup → near-dup vs the persisted corpus signature
+    * artifact → broadcast benchmark decontamination → Gopher quality →
+    * language id) and the survivors go to `sink` (typically
+    * [[ingestStream]]'s append target). foreachBatch is the right legal
+    * shape here: the survivor set needs anti-joins against gate flags
+    * derived from the batch itself, which append-mode streaming plans
+    * cannot express but per-micro-batch batch plans can — the same
+    * pattern as [[semanticDupGateForEachBatch]]. The corpus-side work
+    * (signature banding, bench-gram broadcast) is computed from STATIC
+    * frames and reused across batches. */
+  def curateGateForEachBatch(
+      refSigs: DataFrame, refTexts: DataFrame,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      idCol: String, textCol: String,
+      cfg: graft.ext.Curate.Config = graft.ext.Curate.Config(),
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.ext.Curate.curateArrivals(batch, idCol, textCol,
+          refSigs, refTexts, bench, benchIdCol, benchTextCol, cfg))
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
     * watermark (state is bounded by the watermark horizon — the only way
     * exact streaming dedup is safe at scale). Works on batch frames too

@@ -55,6 +55,54 @@ class CurateSpec extends SparkSuite {
     assert(!out.select("doc_id").as[Long].collect().contains(8L))
   }
 
+  test("curateArrivals: corpus near-dups are gated, clean arrivals pass") {
+    val corpus = Seq(100L -> doc1).toDF("ref_id", "ref_text")
+    val sigs = graft.ext.Dedup.minhashSignatures(corpus, "ref_id", "ref_text")
+    val arrivals = Seq(
+      10L -> doc1.replace("cat", "bat"),                 // near-dup of corpus
+      11L -> (benchText + " the cat and it sat to play"), // contaminated
+      12L -> "of mice and men in the big house it was all fine to see"
+    ).toDF("doc_id", "text")
+    val out = Curate.curateArrivals(arrivals, "doc_id", "text",
+      sigs, corpus, bench.withColumnRenamed("doc_id", "bench_id"),
+      "bench_id", "text", cfg)
+    assert(out.select("doc_id").as[Long].collect().toSeq == Seq(12L))
+  }
+
+  test("curateGateForEachBatch: streamed survivors == batch curateArrivals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(100L -> doc1).toDF("ref_id", "ref_text")
+    val sigs = graft.ext.Dedup.minhashSignatures(corpus, "ref_id", "ref_text")
+    val benchR = bench.withColumnRenamed("doc_id", "bench_id")
+    val batch1 = Seq(
+      10L -> doc1.replace("cat", "bat"),
+      12L -> "of mice and men in the big house it was all fine to see")
+    val batch2 = Seq(
+      13L -> (benchText + " the cat and it sat to play"),
+      14L -> ("the dogs were running toward the park and it was great " +
+        "fun to be outside in the sunshine"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val mem = MemoryStream[(Long, String)]
+    val gate = graft.streaming.Streams.curateGateForEachBatch(
+      sigs, corpus, benchR, "bench_id", "text", "doc_id", "text", cfg,
+      df => got ++= df.select("doc_id", "lang_pred", "n_words")
+        .as[(Long, String, Long)].collect())
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(gate).outputMode("update").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val expected = Curate.curateArrivals(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+        sigs, corpus, benchR, "bench_id", "text", cfg)
+      .select("doc_id", "lang_pred", "n_words")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got.sortBy(_._1).toSeq == expected)
+    assert(expected.map(_._1) == Seq(12L, 14L))
+  }
+
   test("id/text column names must not collide with the appended columns") {
     val bad = docs.withColumnRenamed("doc_id", "n_words")
     intercept[IllegalArgumentException] {
