@@ -190,6 +190,21 @@ class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Full corpus curation of a stored table
+    * ([[graft.ext.Curate.curate]]: exact dedup → minhash near-dup
+    * removal → benchmark decontamination → Gopher quality → language
+    * filter). Survivors (plus `n_words`/`lang_pred`) are persisted as
+    * `dest`; returns the survivor count. */
+  def curateTable(source: String, dest: String, bench: String,
+      idCol: String, textCol: String,
+      benchIdCol: String, benchTextCol: String,
+      cfg: graft.ext.Curate.Config = graft.ext.Curate.Config()): Long = {
+    val out = graft.ext.Curate.curate(store.loadTable(source), idCol,
+      textCol, store.loadTable(bench), benchIdCol, benchTextCol, cfg)
+    store.createTable(dest, out)
+    store.loadTable(dest).count()
+  }
+
   /** Build the IVF+PQ index under an existing coding — the memory-
     * compressed search path ([[Index.buildPq]]). `residual = false`
     * explicitly opts into the flat variant (required above the residual

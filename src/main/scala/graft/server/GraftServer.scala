@@ -56,6 +56,7 @@ import graft.coder.CoderConfig
   *   - `POST   /api/dedup/gate` (arrivals-vs-corpus near-dup gate)
   *   - `POST   /api/dedup/semantic-gate` (embedding dup gate over the IVF index)
   *   - `POST   /api/text/decontaminate` (corpus-vs-benchmark containment)
+  *   - `POST   /api/text/curate` (full curation pipeline; optional dest table)
   *   - `POST   /api/sample/mixture` (domain-mixture resampling)
   *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
   *     `POST /api/indexes/repair`
@@ -124,6 +125,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
         case ("POST", "dedup" :: "semantic-gate" :: Nil) => postSemanticGate(ex)
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
+        case ("POST", "text" :: "curate" :: Nil)        => postCurate(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
@@ -589,6 +591,41 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       bench, require(body, "benchIdCol").asText(), require(body, "benchColumn").asText(),
       n = intOr(body, "n", 2),
       threshold = opt(body, "threshold").map(_.asDouble()).getOrElse(0.2)))
+  }
+
+  /** Full corpus-curation pipeline over stored tables
+    * ([[graft.ext.Curate.curate]]). With `dest`, survivors are persisted
+    * as a named table ([[graft.api.Engine.curateTable]]) and the row
+    * count returned; without it the (response-capped) survivors come
+    * back inline. */
+  private def postCurate(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val source = require(body, "source").asText()
+    val bench = require(body, "bench").asText()
+    val idCol = require(body, "idCol").asText()
+    val column = require(body, "column").asText()
+    val benchIdCol = require(body, "benchIdCol").asText()
+    val benchColumn = require(body, "benchColumn").asText()
+    val cfg = graft.ext.Curate.Config(
+      jaccardThreshold =
+        opt(body, "jaccard").map(_.asDouble()).getOrElse(0.5),
+      contamThreshold =
+        opt(body, "contamThreshold").map(_.asDouble()).getOrElse(0.2),
+      minWords = intOr(body, "minWords", 50),
+      maxWords = intOr(body, "maxWords", 100000),
+      minStopwords = intOr(body, "minStopwords", 2),
+      dropUnknownLang =
+        opt(body, "dropUnknownLang").forall(_.asBoolean()))
+    opt(body, "dest") match {
+      case Some(d) =>
+        val n = engine.curateTable(source, d.asText(), bench,
+          idCol, column, benchIdCol, benchColumn, cfg)
+        ok(ex, s"""{"table":${jstr(d.asText())},"rows":$n}""")
+      case None =>
+        okRows(ex, graft.ext.Curate.curate(
+          engine.readTable(Seq(source)), idCol, column,
+          engine.readTable(Seq(bench)), benchIdCol, benchColumn, cfg))
+    }
   }
 
   /** Deterministic domain-mixture resampling

@@ -598,6 +598,45 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/decon_bench")._1 == 200)
   }
 
+  test("curate route: inline survivors and persisted dest table match the library") {
+    val doc1 = "the cat sat on the mat and it was nice to see the dog again"
+    def j(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
+    val (c1, b1) = send("PUT", "/tables/cur_docs",
+      s"""{"schema":"doc_id LONG, text STRING","rows":[
+        ${j(1, doc1)},
+        ${j(2, doc1)},
+        ${j(3, doc1.replace("cat", "bat"))},
+        ${j(4, "alpha beta gamma delta epsilon zeta the cat and it sat to play")},
+        ${j(5, "of mice and men in the big house it was all fine to see")}]}""")
+    assert(c1 == 200, b1)
+    val (c2, b2) = send("PUT", "/tables/cur_bench",
+      """{"schema":"bench_id LONG, text STRING","rows":[
+        {"bench_id":1,"text":"alpha beta gamma delta epsilon zeta"}]}""")
+    assert(c2 == 200, b2)
+    val req = """"source":"cur_docs","idCol":"doc_id","column":"text",
+        "bench":"cur_bench","benchIdCol":"bench_id","benchColumn":"text",
+        "jaccard":0.35,"minWords":5,"maxWords":100,"minStopwords":0"""
+    val (rc, rBody) = send("POST", "/text/curate", s"{$req}")
+    assert(rc == 200, rBody)
+    val ids = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(rBody).get("rows").elements()
+      .forEachRemaining(n => ids += n.get("doc_id").asLong())
+    // 2 exact dup, 3 near-dup, 4 contaminated → survivors 1 and 5
+    assert(ids.toSet == Set(1L, 5L), s"got $ids")
+    // dest form: persists and reports the same survivor count
+    val (dc, dBody) = send("POST", "/text/curate", s"""{$req,"dest":"cur_out"}""")
+    assert(dc == 200, dBody)
+    assert(mapper.readTree(dBody).get("rows").asLong() == 2L, dBody)
+    val (sc2, sBody) = send("GET", "/tables/cur_out?select=doc_id&limit=10")
+    assert(sc2 == 200, sBody)
+    val stored = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(sBody).get("rows").elements()
+      .forEachRemaining(n => stored += n.get("doc_id").asLong())
+    assert(stored.toSet == Set(1L, 5L), s"stored $stored")
+    Seq("cur_docs", "cur_bench", "cur_out").foreach(t =>
+      assert(send("DELETE", s"/tables/$t")._1 == 200))
+  }
+
   test("concurrent clients: parallel scans and searches over one engine") {
     val rows = (0 until 24).map(i =>
       s"""{"vec_id":$i,"embedding":[${i % 4}.0, ${(i + 1) % 4}.0]}""")
