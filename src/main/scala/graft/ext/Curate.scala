@@ -62,6 +62,21 @@ object Curate {
       minStopwords: Int = 2,
       dropUnknownLang: Boolean = true)
 
+  /** Although the SEMANTICS are a staged cascade (each stage filtering
+    * the last), the PLAN is not: a literal cascade re-derives every
+    * upstream stage wherever it is referenced, and the whole pipeline
+    * re-scans the corpus ~56 times (measured at sf0.001). Instead each
+    * stage's drop/keep set is computed from the BASE scan and the
+    * survivors assembled in one final pass over narrow id-sets — ~6
+    * corpus scans total, each one column-pruned. This is legal because
+    * decontamination, quality and language are per-row (restriction
+    * commutes with filtering), and the near-dup drop set over the FULL
+    * corpus equals the staged one: if pair (a, b) fires where `a` is an
+    * exact-dup of an earlier rep `m`, then `m` shares `a`'s text, hence
+    * its signature and buckets, so pair (m, b) fires too (under the
+    * bucket cap the star anchors at the bucket minimum, which is never
+    * the dropped side) — every extra full-corpus pair only re-drops a
+    * doc the exact stage already dropped. */
   def curate(
       docs: DataFrame,
       idCol: String,
@@ -74,44 +89,50 @@ object Curate {
       textCol != "n_words" && textCol != "lang_pred",
       "rename the id/text columns apart from the appended n_words/lang_pred")
 
-    // 1 — exact dedup (survivor = min id per identical text)
-    val exact = Dedup.exactDedup(docs, idCol, Seq(textCol))
+    // 1 — exact-dedup survivors (min id per identical text)
+    val exactKeep = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
 
-    // 2 — near-dup removal: any doc with a verified near-dup of smaller
-    // id goes; pairs are emitted with id_a < id_b, so the drop set is
-    // exactly the distinct id_b side
-    val pairs = Dedup.nearDupPairsMinhash(exact, idCol, textCol,
-      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
-      cfg.maxBucket)
-    val nd = exact.join(pairs.select(col("id_b").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    // 2 — near-dup drop set: the distinct higher-id side of every
+    // verified pair (id_a < id_b by construction)
+    val ndDrop = Dedup.nearDupPairsMinhash(docs, idCol, textCol,
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
+        cfg.maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
 
-    // 3 — benchmark decontamination (containment >= threshold ⇒ drop)
-    val contam = TextAnalysis.ngramContainment(
-      nd.select(col(idCol).as("__corpus_id__"), col(textCol)),
-      "__corpus_id__", textCol,
-      bench.select(col(benchIdCol).as("__bench_id__"),
-        col(benchTextCol).as(textCol)),
-      "__bench_id__", textCol,
-      cfg.contamNgram, cfg.contamThreshold)
-    val dc = nd.join(contam.select(col("__corpus_id__").as(idCol)).distinct(),
-      Seq(idCol), "left_anti")
+    // 3 — decontamination drop set (containment >= threshold)
+    val contamDrop = TextAnalysis.ngramContainment(
+        docs.select(col(idCol).as("__corpus_id__"), col(textCol)),
+        "__corpus_id__", textCol,
+        bench.select(col(benchIdCol).as("__bench_id__"),
+          col(benchTextCol).as(textCol)),
+        "__bench_id__", textCol,
+        cfg.contamNgram, cfg.contamThreshold)
+      .select(col("__corpus_id__").as(idCol)).distinct()
 
-    qualityAndLang(dc, idCol, textCol, cfg)
+    // 4–5 assemble: one pass over the base scan against the id-sets,
+    // then the per-row quality/language maps
+    val survivors = docs
+      .join(exactKeep, Seq(idCol), "left_semi")
+      .join(ndDrop, Seq(idCol), "left_anti")
+      .join(contamDrop, Seq(idCol), "left_anti")
+    qualityAndLang(survivors, idCol, textCol, cfg)
   }
 
   /** Stages 4–5 (Gopher quality rules + language id), shared by the
-    * batch pipeline and the streaming ingest gate. The inner join also
-    * drops null-text rows, which the flags operator excludes by
-    * contract. */
+    * batch pipeline and the streaming ingest gate — ONE narrow map over
+    * the survivors (the rules are pure expressions via
+    * [[TextAnalysis.gopherRules]]; a join back against a flags
+    * projection would double the whole upstream subtree). Null-text
+    * rows are dropped, matching the flags operator's contract. */
   private[graft] def qualityAndLang(dc: DataFrame, idCol: String,
       textCol: String, cfg: Config): DataFrame = {
-    val gq = TextAnalysis.gopherQualityFlags(dc, idCol, textCol,
-        minWords = cfg.minWords, maxWords = cfg.maxWords,
-        minStopwords = cfg.minStopwords)
-      .filter(col("keep"))
-      .select(col(idCol), col("n_words"))
-    val out = dc.join(gq, Seq(idCol))
+    val (nW, rules) = TextAnalysis.gopherRules(col(textCol),
+      minWords = cfg.minWords, maxWords = cfg.maxWords,
+      minStopwords = cfg.minStopwords)
+    val keep = rules.map(_._2).reduce(_ && _)
+    val out = dc.filter(col(textCol).isNotNull && keep)
+      .withColumn("n_words", nW.cast("long"))
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
     if (cfg.dropUnknownLang) out.filter(col("lang_pred") =!= "und") else out
   }
@@ -144,18 +165,26 @@ object Curate {
     require(idCol != "n_words" && idCol != "lang_pred" &&
       textCol != "n_words" && textCol != "lang_pred",
       "rename the id/text columns apart from the appended n_words/lang_pred")
-    val exact = Dedup.exactDedup(arrivals, idCol, Seq(textCol))
-    val ndFlags = graft.streaming.Streams.nearDupAgainstSignatures(
-      exact, idCol, textCol, refSigs, refTexts,
-      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
-      cfg.maxBucket)
-    val nd = exact.join(ndFlags.select(col(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-    val contam = graft.streaming.Streams.decontaminateGate(
-      nd, idCol, textCol, bench, benchIdCol, benchTextCol,
-      cfg.contamNgram, cfg.contamThreshold)
-    val dc = nd.join(contam.select(col(idCol)).distinct(),
-      Seq(idCol), "left_anti")
-    qualityAndLang(dc, idCol, textCol, cfg)
+    // same one-pass assembly as [[curate]]: the gate flag of one arrival
+    // never depends on the other arrivals (it is a per-doc decision vs
+    // STATIC corpus/bench state), so every drop set is computed from the
+    // base batch and applied once — an arrival that is an in-batch exact
+    // dup of a flagged arrival shares its text and therefore its flags
+    val exactKeep = arrivals.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val ndDrop = graft.streaming.Streams.nearDupAgainstSignatures(
+        arrivals, idCol, textCol, refSigs, refTexts,
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
+        cfg.maxBucket)
+      .select(col(idCol)).distinct()
+    val contamDrop = graft.streaming.Streams.decontaminateGate(
+        arrivals, idCol, textCol, bench, benchIdCol, benchTextCol,
+        cfg.contamNgram, cfg.contamThreshold)
+      .select(col(idCol)).distinct()
+    val survivors = arrivals
+      .join(exactKeep, Seq(idCol), "left_semi")
+      .join(ndDrop, Seq(idCol), "left_anti")
+      .join(contamDrop, Seq(idCol), "left_anti")
+    qualityAndLang(survivors, idCol, textCol, cfg)
   }
 }

@@ -161,7 +161,25 @@ object TextAnalysis {
       maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
       maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
       minStopwords: Int = 2): DataFrame = {
-    val t = col(textCol)
+    val (nW, rules) = gopherRules(col(textCol), minWords, maxWords,
+      minMeanWordLen, maxMeanWordLen, maxSymbolRatio, maxBulletRatio,
+      maxEllipsisRatio, minAlphaRatio, minStopwords)
+    val keep = rules.map(_._2).reduce(_ && _)
+    df.filter(col(textCol).isNotNull).select(
+      col(idCol) +: nW.cast("long").as("n_words") +:
+        rules.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+  }
+
+  /** The rule COLUMNS of [[gopherQualityFlags]] — (word count, named
+    * rules) as pure expressions over a text column, so callers that need
+    * the flags appended to a wide frame (e.g. [[Curate]]'s one-pass
+    * assembly) can avoid a self-join of the input subtree. */
+  private[graft] def gopherRules(t: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletRatio: Double = 0.9,
+      maxEllipsisRatio: Double = 0.3, minAlphaRatio: Double = 0.8,
+      minStopwords: Int = 2): (Column, Seq[(String, Column)]) = {
     val words = filter(split(t, "\\s+"), w => w =!= lit(""))
     val nW = size(words)
     val charSum = aggregate(transform(words, w => length(w).cast("long")),
@@ -194,10 +212,7 @@ object TextAnalysis {
       "rule_ellipsis_lines" -> (ellFrac <= maxEllipsisRatio),
       "rule_alpha_words" -> (hasWords && alphaFrac >= minAlphaRatio),
       "rule_stopwords" -> (stopHits >= minStopwords))
-    val keep = rules.map(_._2).reduce(_ && _)
-    df.filter(t.isNotNull).select(
-      col(idCol) +: nW.cast("long").as("n_words") +:
-        rules.map { case (n, c) => c.as(n) } :+ keep.as("keep"): _*)
+    (nW, rules)
   }
 
   /** Within-document repeated-segment removal (the line/paragraph dedup

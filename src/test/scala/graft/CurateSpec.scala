@@ -103,6 +103,20 @@ class CurateSpec extends SparkSuite {
     assert(expected.map(_._1) == Seq(12L, 14L))
   }
 
+  test("plan: one-pass assembly keeps corpus scans bounded (no cascade)") {
+    // a literal staged cascade re-derives upstream stages wherever they
+    // are referenced and rescans the corpus ~56× (measured); the id-set
+    // assembly holds it to ~14 bounded, column-pruned scans
+    val dir = java.nio.file.Files.createTempDirectory("curate-plan").toString
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    val pd = spark.read.parquet(s"$dir/docs")
+    val plan = Curate.curate(pd, "doc_id", "text", bench, "doc_id", "text", cfg)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val scans = "Scan parquet".r.findAllMatchIn(plan).size
+    assert(scans <= 16, s"curate plan cascade-rescans the corpus: $scans scans")
+  }
+
   test("id/text column names must not collide with the appended columns") {
     val bad = docs.withColumnRenamed("doc_id", "n_words")
     intercept[IllegalArgumentException] {
