@@ -104,13 +104,30 @@ object DedupSoak1M {
     val clusterComponents = groups.filter(col("doc_id") < cluster)
       .select("rep").distinct().count()
 
+    // full curation pipeline at the same scale: exact dedup + the capped
+    // near-dup stage + decontamination (tiny synthetic benchmark) +
+    // quality/language maps in the one-pass assembly. The synthetic
+    // "w####" tokens carry no stopwords, so the stopword rule and the
+    // language filter are relaxed — this measures the PLAN at 1M, not
+    // the English heuristics.
+    val bench = spark.range(5).toDF("bench_id")
+      .withColumn("text", udf { (id: Long) => text(2 * n + id) }.apply(col("bench_id")))
+    val (nCurated, tCurate) = time {
+      graft.ext.Curate.curate(docs, "doc_id", "text", bench,
+        "bench_id", "text",
+        graft.ext.Curate.Config(jaccardThreshold = 0.5,
+          minWords = 10, maxWords = 100, minStopwords = 0,
+          dropUnknownLang = false)).count()
+    }
+
     val json =
       f"""{"n_docs":$n,"cluster_size":$cluster,""" +
         f""""pairs_sec":$tPairs%.1f,"n_pairs":$nPairs,""" +
         f""""cluster_pairs":$nClusterPairs,"cluster_star_anchored":$starAnchored,""" +
         f""""injected_expected":$nExpected,"injected_found":$nFound,""" +
         f""""injected_recall":$recall%.4f,""" +
-        f""""groups_sec":$tGroups%.1f,"cluster_components":$clusterComponents}"""
+        f""""groups_sec":$tGroups%.1f,"cluster_components":$clusterComponents,""" +
+        f""""curate_sec":$tCurate%.1f,"curate_survivors":$nCurated}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("dedup_soak_1m.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)

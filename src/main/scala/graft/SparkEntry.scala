@@ -261,6 +261,19 @@ object SparkEntry {
     |  AND rule_bullet_lines AND rule_ellipsis_lines AND rule_alpha_words
     |  AND rule_stopwords AS keep FROM g3)""".stripMargin
 
+  /** 63-bit rolling-hash fingerprint CTE over `src` (doc_id, text) —
+    * the [[graft.ext.TextAnalysis.fingerprint]] mirror (wrapping 64-bit
+    * multiply in HUGEINT mod 2^64, whitespace-normalized lowercase
+    * input, null → 0). Shared by text_lang, text_lang_quality and
+    * dedup_exact_stream. */
+  private def fpCte(name: String, src: String): String =
+    s"$name AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE CAST(xor(" +
+      "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
+      "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
+      "c -> CAST(unicode(c) AS HUGEINT))), " +
+      "(h, c) -> (31 * h + c) % 18446744073709551616) % 9223372036854775808, " +
+      s"0) AS BIGINT) END AS fingerprint FROM $src)"
+
   /** Language-id CTE chain over `src` (doc_id, text): stopword-hit
     * scoring per language, tie-break = (max hits, lexicographically
     * greatest lang) matching the Scala maxBy, CJK-ratio and empty-text
@@ -712,6 +725,22 @@ object SparkEntry {
         docs.filter(col("doc_id") < 250), "doc_id", "text",
         shingleSize = 3, numHashes = 32, bands = 8, threshold = 0.35)
         .select(col("doc_id"), col("ref_id"))
+    }),
+    // —— dedup: EXACT-duplicate ingest gate over the persisted 8-byte
+    // fingerprint artifact (re-crawl rejection, the cheap first tier of
+    // the gate ladder): arrivals = docs < 100 re-numbered +1000 (true
+    // re-crawls of corpus content) plus docs >= 400 (novel) ——
+    "dedup_exact_stream" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+      val fps = Dedup.textFingerprints(corpus, "ref_id", "ref_text")
+      val arrivals = docs.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") >= 400)
+          .select(col("doc_id"), col("text")))
+      graft.streaming.Streams.exactDupAgainstFingerprints(
+        arrivals, "doc_id", "text", fps, corpus)
     }),
     // —— dedup: SimHash — ORACLE-CHECKED since round 5 (FNV token hashes,
     // bit-majority signature, pigeonhole bands, bit_count hamming) ——
@@ -1508,6 +1537,19 @@ object SparkEntry {
         "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
         "FROM cands c JOIN sh sa ON sa.doc_id = c.s_id JOIN sh sb ON sb.doc_id = c.ref_id) " +
         "SELECT s_id AS doc_id, ref_id FROM ver WHERE j >= 0.35"),
+    // exact-dup ingest gate: the fingerprint chain on both sides, 8-byte
+    // equi-join, normalized-text equality verify (collisions can't flag)
+    "dedup_exact_stream" ->
+      ("WITH arr AS (SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 100 " +
+        "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 400), " +
+        "corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 250), " +
+        fpCte("fpa", "arr") + ", " + fpCte("fpc", "corp") + " " +
+        "SELECT a.doc_id AS doc_id, c.doc_id AS ref_id " +
+        "FROM fpa a JOIN fpc c ON a.fingerprint = c.fingerprint " +
+        "JOIN arr at ON at.doc_id = a.doc_id " +
+        "JOIN corp ct ON ct.doc_id = c.doc_id " +
+        "WHERE regexp_replace(lower(trim(at.text)), '\\s+', ' ', 'g') = " +
+        "regexp_replace(lower(trim(ct.text)), '\\s+', ' ', 'g')"),
     // SimHash mirrored end-to-end: FNV token hashes, per-bit majority
     // votes, 16-bit pigeonhole bands, bit_count(xor) hamming verify
     "dedup_simhash" ->
@@ -1834,12 +1876,7 @@ object SparkEntry {
     // round and DuckDB's round agree on this corpus (verified hash-exact)
     "text_lang_quality" ->
       ("WITH " + langPredCte("documents") + ", " +
-        "fp AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE CAST(xor(" +
-        "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
-        "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
-        "c -> CAST(unicode(c) AS HUGEINT))), " +
-        "(h, c) -> (31 * h + c) % 18446744073709551616) % 9223372036854775808, " +
-        "0) AS BIGINT) END AS fingerprint FROM documents), " +
+        fpCte("fp", "documents") + ", " +
         "qc AS (SELECT doc_id, trim(text) AS t FROM documents), " +
         "q1 AS (SELECT doc_id, " +
         "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
@@ -1866,12 +1903,7 @@ object SparkEntry {
     // maxBy over (hits, lang) tuples
     "text_lang" ->
       ("WITH " + langPredCte("documents") + ", " +
-        "fp AS (SELECT doc_id, CASE WHEN text IS NULL THEN 0 ELSE CAST(xor(" +
-        "list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), " +
-        "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
-        "c -> CAST(unicode(c) AS HUGEINT))), " +
-        "(h, c) -> (31 * h + c) % 18446744073709551616) % 9223372036854775808, " +
-        "0) AS BIGINT) END AS fingerprint FROM documents) " +
+        fpCte("fp", "documents") + " " +
         "SELECT p.doc_id AS doc_id, p.lang_pred AS lang_pred, " +
         "f.fingerprint AS fingerprint " +
         "FROM lpred p JOIN fp f USING (doc_id)"),

@@ -251,6 +251,19 @@ object Dedup {
       .select(col(idCol),
         minhashUdf(numHashes, shingleSize)(col(textCol)).as("sig"))
 
+  /** Persistable text-fingerprint artifact for the EXACT-duplicate
+    * ingest gate ([[graft.streaming.Streams.exactDupAgainstFingerprints]])
+    * — the exact-tier analog of [[minhashSignatures]]: 8 bytes/doc
+    * (the [[TextAnalysis.fingerprint]] 63-bit rolling hash of
+    * whitespace-normalized lowercase text), computed once at corpus
+    * build and appended incrementally, so re-crawled exact duplicates
+    * are rejected with one equi-join before any banding work runs. */
+  def textFingerprints(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("ref_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+
   /** Exact n-gram Jaccard similarity of two texts. */
   def jaccardUdf(shingleSize: Int) = udf { (a: String, b: String) =>
     val sa = shingles(if (a == null) "" else a, shingleSize)

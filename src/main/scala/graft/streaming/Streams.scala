@@ -179,6 +179,34 @@ object Streams {
           .filter(col("__DISTANCE__") <= maxDist))
   }
 
+  /** EXACT-duplicate ingest gate: arriving docs vs a persisted corpus
+    * fingerprint table ([[graft.ext.Dedup.textFingerprints]], 8
+    * bytes/doc). The cheap first tier of the gate ladder — one narrow
+    * fingerprint map on the stream and a stream-static equi-join on the
+    * 8-byte hash (no banding, no shingles), then an exact
+    * NORMALIZED-text equality verify against `refTexts` for the matched
+    * candidates only, so a hash collision can never flag. "Exact" means
+    * exact modulo the fingerprint's normalization: lowercase,
+    * trimmed, runs of whitespace collapsed — the re-crawl dedup
+    * contract. Append-mode legal (map + stream-static inner joins, no
+    * aggregate). Output: (idCol, ref_id). */
+  def exactDupAgainstFingerprints(stream: DataFrame, idCol: String,
+      textCol: String, refFps: DataFrame, refTexts: DataFrame): DataFrame = {
+    require(idCol != "ref_id",
+      s"exactDupAgainstFingerprints: stream idCol '$idCol' collides with " +
+        "the fixed output column ref_id; rename it apart first")
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(lower(trim(c)), "\\s+", " ")
+    stream.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol).as("__s_text__"),
+        graft.ext.TextAnalysis.fingerprint(col(textCol)).as("__fp__"))
+      .join(refFps.select(col("ref_id"), col("fingerprint").as("__fp__")),
+        Seq("__fp__"))
+      .join(refTexts.select(col("ref_id"), col("ref_text")), Seq("ref_id"))
+      .filter(norm(col("__s_text__")) === norm(col("ref_text")))
+      .select(col(idCol), col("ref_id"))
+  }
+
   /** The FULL ingest-curation gate as a foreachBatch harness — the
     * streaming twin of [[graft.ext.Curate.curate]]: each micro-batch of
     * arriving documents runs [[graft.ext.Curate.curateArrivals]]

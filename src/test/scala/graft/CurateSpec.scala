@@ -124,3 +124,49 @@ class CurateSpec extends SparkSuite {
     }
   }
 }
+
+/** Exact-duplicate ingest gate over the persisted fingerprint artifact. */
+class ExactGateSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    100L -> "The Cat sat  on the mat",
+    101L -> "something else entirely here",
+    102L -> (null: String)
+  ).toDF("ref_id", "ref_text")
+  private val fps = graft.ext.Dedup.textFingerprints(corpus, "ref_id", "ref_text")
+
+  test("normalization-exact re-crawls flag; novel and null texts pass") {
+    val arrivals = Seq(
+      1L -> "the cat SAT on   the mat",   // case/whitespace variant of 100
+      2L -> "the cat sat on the hat",     // one word off → NOT exact
+      3L -> (null: String),               // null never flags
+      4L -> "something else entirely here" // identical to 101
+    ).toDF("doc_id", "text")
+    val got = graft.streaming.Streams.exactDupAgainstFingerprints(
+        arrivals, "doc_id", "text", fps, corpus)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (4L, 101L)))
+  }
+
+  test("artifact round-trips through parquet (8 bytes/doc contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("fp-artifact").toString
+    fps.write.mode("overwrite").parquet(s"$dir/fps")
+    val reloaded = spark.read.parquet(s"$dir/fps")
+    assert(reloaded.columns.toSeq == Seq("ref_id", "fingerprint"))
+    val arrivals = Seq(1L -> "the cat sat on the mat").toDF("doc_id", "text")
+    val direct = graft.streaming.Streams.exactDupAgainstFingerprints(
+      arrivals, "doc_id", "text", fps, corpus).as[(Long, Long)].collect().toSet
+    val viaDisk = graft.streaming.Streams.exactDupAgainstFingerprints(
+      arrivals, "doc_id", "text", reloaded, corpus).as[(Long, Long)].collect().toSet
+    assert(direct == viaDisk && direct == Set((1L, 100L)))
+  }
+
+  test("idCol colliding with ref_id is refused") {
+    val arrivals = Seq(1L -> "x").toDF("ref_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.streaming.Streams.exactDupAgainstFingerprints(
+        arrivals, "ref_id", "text", fps, corpus)
+    }
+  }
+}
