@@ -107,6 +107,7 @@ object Bench {
       "search_ivf_pq", "search_ivf_pq_cosine", "knn_join", "knn_join_ivf",
       "dedup_exact", "dedup_minhash", "dedup_cosine_lsh", "dedup_groups_cc",
       "dedup_semantic", "dedup_stream_static", "decontaminate_stream",
+      "curate_corpus", "curate_stream", "dedup_exact_stream",
       "text_fingerprint", "text_overlap", "search_sq",
       "q1_agg", "q3_shipping", "q5_region", "events_sessions", "text_quality",
       "media_compressed_decode", "search_probed_16", "search_rerank_200",

@@ -161,27 +161,43 @@ object Curate {
       bench: DataFrame,
       benchIdCol: String,
       benchTextCol: String,
-      cfg: Config = Config()): DataFrame = {
+      cfg: Config = Config(),
+      refFps: Option[DataFrame] = None): DataFrame = {
     require(idCol != "n_words" && idCol != "lang_pred" &&
       textCol != "n_words" && textCol != "lang_pred",
       "rename the id/text columns apart from the appended n_words/lang_pred")
+    // tier 0 (optional): exact re-crawl rejection on the persisted
+    // 8-byte fingerprint artifact. Changes NO survivor (an identical
+    // normalized text has identical shingles, so the near-dup tier would
+    // flag it at jaccard 1.0) — it exists so the shingle/minhash UDF
+    // never runs on the re-crawled fraction, which in real crawls is a
+    // large share of every batch.
+    val base = refFps match {
+      case Some(fps) =>
+        arrivals.join(
+          graft.streaming.Streams.exactDupAgainstFingerprints(
+              arrivals, idCol, textCol, fps, refTexts)
+            .select(col(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      case None => arrivals
+    }
     // same one-pass assembly as [[curate]]: the gate flag of one arrival
     // never depends on the other arrivals (it is a per-doc decision vs
     // STATIC corpus/bench state), so every drop set is computed from the
     // base batch and applied once — an arrival that is an in-batch exact
     // dup of a flagged arrival shares its text and therefore its flags
-    val exactKeep = arrivals.groupBy(col(textCol))
+    val exactKeep = base.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
     val ndDrop = graft.streaming.Streams.nearDupAgainstSignatures(
-        arrivals, idCol, textCol, refSigs, refTexts,
+        base, idCol, textCol, refSigs, refTexts,
         cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
         cfg.maxBucket)
       .select(col(idCol)).distinct()
     val contamDrop = graft.streaming.Streams.decontaminateGate(
-        arrivals, idCol, textCol, bench, benchIdCol, benchTextCol,
+        base, idCol, textCol, bench, benchIdCol, benchTextCol,
         cfg.contamNgram, cfg.contamThreshold)
       .select(col(idCol)).distinct()
-    val survivors = arrivals
+    val survivors = base
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(ndDrop, Seq(idCol), "left_anti")
       .join(contamDrop, Seq(idCol), "left_anti")

@@ -225,11 +225,12 @@ object Streams {
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       idCol: String, textCol: String,
       cfg: graft.ext.Curate.Config = graft.ext.Curate.Config(),
-      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+      sink: DataFrame => Unit,
+      refFps: Option[DataFrame] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty)
         sink(graft.ext.Curate.curateArrivals(batch, idCol, textCol,
-          refSigs, refTexts, bench, benchIdCol, benchTextCol, cfg))
+          refSigs, refTexts, bench, benchIdCol, benchTextCol, cfg, refFps))
 
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
     * watermark (state is bounded by the watermark horizon — the only way

@@ -162,6 +162,24 @@ class ExactGateSpec extends SparkSuite {
     assert(direct == viaDisk && direct == Set((1L, 100L)))
   }
 
+  test("exact tier in curateArrivals: identical survivors either way") {
+    val sigs = graft.ext.Dedup.minhashSignatures(corpus, "ref_id", "ref_text")
+    val benchR = Seq(500L -> "alpha beta gamma").toDF("bench_id", "text")
+    val cfg = graft.ext.Curate.Config(jaccardThreshold = 0.35,
+      minWords = 1, maxWords = 100, minStopwords = 0,
+      dropUnknownLang = false)
+    val arrivals = Seq(
+      1L -> "The Cat sat  on the mat",           // re-crawl of 100
+      2L -> "totally different words here today" // novel
+    ).toDF("doc_id", "text")
+    def run(fpsOpt: Option[org.apache.spark.sql.DataFrame]) =
+      graft.ext.Curate.curateArrivals(arrivals, "doc_id", "text",
+        sigs, corpus, benchR, "bench_id", "text", cfg, fpsOpt)
+        .select("doc_id").as[Long].collect().toSet
+    assert(run(Some(fps)) == run(None))
+    assert(run(Some(fps)) == Set(2L))
+  }
+
   test("idCol colliding with ref_id is refused") {
     val arrivals = Seq(1L -> "x").toDF("ref_id", "text")
     intercept[IllegalArgumentException] {
