@@ -1537,17 +1537,20 @@ object SparkEntry {
         "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
         "FROM cands c JOIN sh sa ON sa.doc_id = c.s_id JOIN sh sb ON sb.doc_id = c.ref_id) " +
         "SELECT s_id AS doc_id, ref_id FROM ver WHERE j >= 0.35"),
-    // exact-dup ingest gate: the fingerprint chain on both sides, 8-byte
-    // equi-join, normalized-text equality verify (collisions can't flag)
+    // exact-dup ingest gate: the fingerprint chain on both sides, the
+    // corpus side collapsed to a min-id representative per fingerprint
+    // (the skew guard), 8-byte equi-join, normalized-text equality
+    // verify (collisions can't flag)
     "dedup_exact_stream" ->
       ("WITH arr AS (SELECT doc_id + 1000 AS doc_id, text FROM documents WHERE doc_id < 100 " +
         "UNION ALL SELECT doc_id, text FROM documents WHERE doc_id >= 400), " +
         "corp AS (SELECT doc_id, text FROM documents WHERE doc_id < 250), " +
-        fpCte("fpa", "arr") + ", " + fpCte("fpc", "corp") + " " +
-        "SELECT a.doc_id AS doc_id, c.doc_id AS ref_id " +
-        "FROM fpa a JOIN fpc c ON a.fingerprint = c.fingerprint " +
+        fpCte("fpa", "arr") + ", " + fpCte("fpc", "corp") + ", " +
+        "fpr AS (SELECT fingerprint, min(doc_id) AS ref_id FROM fpc GROUP BY fingerprint) " +
+        "SELECT a.doc_id AS doc_id, c.ref_id AS ref_id " +
+        "FROM fpa a JOIN fpr c ON a.fingerprint = c.fingerprint " +
         "JOIN arr at ON at.doc_id = a.doc_id " +
-        "JOIN corp ct ON ct.doc_id = c.doc_id " +
+        "JOIN corp ct ON ct.doc_id = c.ref_id " +
         "WHERE regexp_replace(lower(trim(at.text)), '\\s+', ' ', 'g') = " +
         "regexp_replace(lower(trim(ct.text)), '\\s+', ' ', 'g')"),
     // SimHash mirrored end-to-end: FNV token hashes, per-bit majority

@@ -189,7 +189,17 @@ object Streams {
     * exact modulo the fingerprint's normalization: lowercase,
     * trimmed, runs of whitespace collapsed — the re-crawl dedup
     * contract. Append-mode legal (map + stream-static inner joins, no
-    * aggregate). Output: (idCol, ref_id). */
+    * aggregate). Output: (idCol, ref_id).
+    *
+    * Skew guard (the boilerplate-cluster discipline shared with
+    * [[nearDupAgainstSignatures]]'s `maxRefBucket`): M identical corpus
+    * docs share ONE fingerprint, so the ref side is collapsed to its
+    * minimum-ref_id REPRESENTATIVE per fingerprint — a matching arrival
+    * flags once, never M times. The trade: if two DIFFERENT normalized
+    * texts ever collide in the 63-bit hash (≈2⁻⁶³), the non-rep text
+    * loses exact-gate coverage (its re-crawls fall through to the
+    * near-dup tier, which flags them at jaccard 1.0) — it can never
+    * cause a FALSE flag, because the verify still compares real text. */
   def exactDupAgainstFingerprints(stream: DataFrame, idCol: String,
       textCol: String, refFps: DataFrame, refTexts: DataFrame): DataFrame = {
     require(idCol != "ref_id",
@@ -197,11 +207,12 @@ object Streams {
         "the fixed output column ref_id; rename it apart first")
     def norm(c: org.apache.spark.sql.Column) =
       regexp_replace(lower(trim(c)), "\\s+", " ")
+    val reps = refFps.groupBy(col("fingerprint").as("__fp__"))
+      .agg(min(col("ref_id")).as("ref_id"))
     stream.filter(col(textCol).isNotNull)
       .select(col(idCol), col(textCol).as("__s_text__"),
         graft.ext.TextAnalysis.fingerprint(col(textCol)).as("__fp__"))
-      .join(refFps.select(col("ref_id"), col("fingerprint").as("__fp__")),
-        Seq("__fp__"))
+      .join(reps, Seq("__fp__"))
       .join(refTexts.select(col("ref_id"), col("ref_text")), Seq("ref_id"))
       .filter(norm(col("__s_text__")) === norm(col("ref_text")))
       .select(col(idCol), col("ref_id"))

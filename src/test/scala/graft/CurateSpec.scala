@@ -162,6 +162,20 @@ class ExactGateSpec extends SparkSuite {
     assert(direct == viaDisk && direct == Set((1L, 100L)))
   }
 
+  test("identical-text corpus cluster: one flag against the min-id rep") {
+    val cluster = Seq(
+      200L -> "boiler plate error page",
+      201L -> "boiler plate error page",
+      202L -> "Boiler  Plate ERROR page"  // same normalized text
+    ).toDF("ref_id", "ref_text")
+    val cfps = graft.ext.Dedup.textFingerprints(cluster, "ref_id", "ref_text")
+    val arrivals = Seq(1L -> "boiler plate error page").toDF("doc_id", "text")
+    val got = graft.streaming.Streams.exactDupAgainstFingerprints(
+        arrivals, "doc_id", "text", cfps, cluster)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 200L)), s"one row, against the rep: $got")
+  }
+
   test("exact tier in curateArrivals: identical survivors either way") {
     val sigs = graft.ext.Dedup.minhashSignatures(corpus, "ref_id", "ref_text")
     val benchR = Seq(500L -> "alpha beta gamma").toDF("bench_id", "text")
