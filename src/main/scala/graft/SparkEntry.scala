@@ -274,6 +274,15 @@ object SparkEntry {
       "(h, c) -> (31 * h + c) % 18446744073709551616) % 9223372036854775808, " +
       s"0) AS BIGINT) END AS fingerprint FROM $src)"
 
+  /** Hex-fold mirror of `Corpus.hashU60` (top-60-bit md5 threshold
+    * hashing) over a VARCHAR key expression — shared by the
+    * mixture_sample, sample_hash and sample_weighted oracles. */
+  private def u60Sql(keyExpr: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(substr(md5($keyExpr), 1, 15), ''), " +
+      "ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))), " +
+      "(a, b) -> a * 16 + b)"
+
   /** Language-id CTE chain over `src` (doc_id, text): stopword-hit
     * scoring per language, tie-break = (max hits, lexicographically
     * greatest lang) matching the Scala maxBy, CJK-ratio and empty-text
@@ -982,6 +991,35 @@ object SparkEntry {
       graft.ext.Scale.balancedSample(
         tbl(s, dir, "documents"), Seq("lang", "source"), 3, "doc_id")
         .select("doc_id", "lang", "source")),
+    // —— deterministic uniform hash sample (resume-stable) ——
+    "sample_hash" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.hashSample(tbl(s, dir, "documents"),
+        "doc_id", 0.5, salt = "s1").select("doc_id")),
+    // —— deterministic importance sampling: keep-prob = a per-row weight ——
+    "sample_weighted" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.weightedSample(tbl(s, dir, "documents"),
+        "doc_id", (col("doc_id") % 10).cast("double") / 10.0)
+        .select("doc_id")),
+    // —— C4 line-level cleaning (Raffel et al. 2020 §2.2) ——
+    "text_c4_clean" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.c4CleanLines(tbl(s, dir, "documents"),
+        "doc_id", "text")),
+    // —— fixed-window token chunking: long doc → overlapping training
+    // sequences (window 32, stride 24) ——
+    "text_chunk_tokens" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.chunkTokens(tbl(s, dir, "documents"),
+        "doc_id", "text", window = 32, stride = 24)),
+    // —— PII redaction over synthetic injected PII (email + IPv4 +
+    // phone appended per row so every row exercises all three rules) ——
+    "text_redact_pii" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents").withColumn("text2",
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@mail.example or 10.0.0."),
+          (col("doc_id") % 256).cast("string"),
+          lit(" call +44-123-456-7890")))
+      graft.ext.Corpus.redactPii(d, "text2")
+        .select(col("doc_id"), col("redacted"))
+    }),
     // —— text: benchmark decontamination (n-gram containment) ——
     "text_decontaminate" -> ((s: SparkSession, dir: String) => {
       val docs = tbl(s, dir, "documents")
@@ -1976,6 +2014,55 @@ object SparkEntry {
         "SELECT doc_id, lang, source, " +
         "row_number() OVER (PARTITION BY lang, source ORDER BY doc_id ASC) AS rn " +
         "FROM documents) WHERE rn <= 3"),
+    // deterministic samples: the same hex-fold u60 hash as mixture_sample
+    "sample_hash" ->
+      ("SELECT doc_id FROM documents WHERE " +
+        u60Sql("CAST(doc_id AS VARCHAR) || 's1'") +
+        " < 576460752303423488"),
+    "sample_weighted" ->
+      ("SELECT doc_id FROM documents WHERE CAST(" +
+        u60Sql("CAST(doc_id AS VARCHAR)") +
+        " AS DOUBLE) / 1152921504606846976.0 " +
+        "< greatest(0.0, least(1.0, CAST(doc_id % 10 AS DOUBLE) / 10.0))"),
+    // C4 line filter: terminal punctuation + >= 3 words + boilerplate
+    // marker rejection, mirrored predicate-for-predicate
+    // DuckDB's array_to_string([]) is NULL where Spark's array_join([])
+    // is '' — the CASE keeps true-NULL text NULL while mapping the
+    // empty-keep case to the empty string
+    "text_c4_clean" ->
+      ("SELECT doc_id, CASE WHEN l IS NULL THEN NULL " +
+        "ELSE coalesce(array_to_string(k, chr(10)), '') END AS clean_text, " +
+        "CAST(len(k) AS BIGINT) AS n_lines_kept, " +
+        "CAST(len(l) AS BIGINT) AS n_lines_total FROM (" +
+        "SELECT doc_id, l, list_filter(l, x -> " +
+        "len(regexp_split_to_array(trim(x), ' +')) >= 3 " +
+        "AND regexp_matches(trim(x), '[.!?\"]$') " +
+        "AND NOT contains(trim(x), '{') " +
+        "AND NOT contains(lower(trim(x)), 'lorem ipsum') " +
+        "AND NOT contains(lower(trim(x)), 'javascript')) AS k " +
+        "FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM documents))"),
+    // token chunking: ceil extra-window arithmetic + 1-based slices
+    "text_chunk_tokens" ->
+      ("WITH ct AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks " +
+        "FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0), " +
+        "ce AS (SELECT doc_id, toks, CASE WHEN len(toks) > 32 " +
+        "THEN CAST(ceil((len(toks) - 32) / 24.0) AS INT) ELSE 0 END AS extra FROM ct), " +
+        "cx AS (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS chunk_id FROM ce) " +
+        "SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, " +
+        "array_to_string(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text, " +
+        "CAST(len(toks[chunk_id * 24 + 1 : chunk_id * 24 + 32]) AS BIGINT) AS n_tokens " +
+        "FROM cx"),
+    // PII redaction: identical RE2-compatible patterns, same order
+    // (emails → IPs → phones), 'g' = Spark's replace-all
+    "text_redact_pii" ->
+      ("SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+        "'@mail.example or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || " +
+        "' call +44-123-456-7890', " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+        "'\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}', '<PHONE>', 'g') AS redacted " +
+        "FROM documents"),
     "text_decontaminate" -> decontaminateSql,
     // the streaming gate computes the same containment in a narrow
     // broadcast map — same mirror
