@@ -103,6 +103,18 @@ class CurateSpec extends SparkSuite {
     assert(expected.map(_._1) == Seq(12L, 14L))
   }
 
+  test("idempotence: curating the survivors again changes nothing") {
+    // survivors are pair-free (every verified pair's id_b was dropped),
+    // decontaminated and per-row-clean, so a second pass is the identity
+    val once = Curate.curate(docs, "doc_id", "text",
+      bench, "doc_id", "text", cfg)
+    val onceIds = once.select("doc_id", "text")
+    val twice = Curate.curate(onceIds, "doc_id", "text",
+      bench, "doc_id", "text", cfg)
+    assert(twice.select("doc_id").as[Long].collect().sorted.toSeq ==
+      once.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("plan: one-pass assembly keeps corpus scans bounded (no cascade)") {
     // a literal staged cascade re-derives upstream stages wherever they
     // are referenced and rescans the corpus ~56× (measured); the id-set
