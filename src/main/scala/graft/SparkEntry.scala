@@ -1031,6 +1031,21 @@ object SparkEntry {
           .select(col("doc_id").as("bench_id"), col("text")),
         "bench_id", "text", n = 2, threshold = 0.2)
     }),
+    // —— the SAME decontamination through the UNBOUNDED-benchmark tier:
+    // bloom-prefiltered corpus grams + exact verify join (no broadcast,
+    // no collect — the path for benchmarks above the gate's gram cap).
+    // fpp deliberately coarse (0.05) so the fixture exercises real bloom
+    // false positives and proves the verify join scrubs them. ——
+    "decontaminate_bloom" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      TextAnalysis.ngramContainmentLarge(
+        docs.filter(col("doc_id") >= 100)
+          .select(col("doc_id").as("corpus_id"), col("text")),
+        "corpus_id", "text",
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("bench_id"), col("text")),
+        "bench_id", "text", n = 2, threshold = 0.2, fpp = 0.05)
+    }),
     // —— the SAME decontamination as a streaming-legal gate: benchmark
     // n-grams broadcast into a narrow map (no corpus-side aggregate) ——
     "decontaminate_stream" -> ((s: SparkSession, dir: String) => {
@@ -2067,6 +2082,7 @@ object SparkEntry {
     // the streaming gate computes the same containment in a narrow
     // broadcast map — same mirror
     "decontaminate_stream" -> decontaminateSql,
+    "decontaminate_bloom" -> decontaminateSql,
     "vocab_topk" ->
       ("SELECT token, freq FROM (" +
         "SELECT t AS token, count(*) AS freq " +

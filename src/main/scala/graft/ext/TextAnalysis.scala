@@ -336,6 +336,76 @@ object TextAnalysis {
       .select(corpusId, benchId, "shared", "containment")
   }
 
+  /** The persistable benchmark-gram ARTIFACT for decontamination at
+    * scale: one row per (benchId, distinct n-gram) of the benchmark set,
+    * written once as a plain table (the discipline of
+    * [[graft.ext.Dedup.minhashSignatures]] / `textFingerprints` — hash
+    * the static side once, not per run/batch) and fed to
+    * [[containmentWithBloom]] or the streaming gate. */
+  def benchGrams(bench: DataFrame, benchId: String, benchText: String,
+      n: Int): DataFrame =
+    distinctNgrams(bench, benchId, benchText, n, "ngram")
+
+  /** Bloom filter over a gram table's `gramCol` — one distributed
+    * count + one distributed `stat.bloomFilter` aggregate; the only
+    * driver-resident artifact of the large-benchmark decontamination
+    * path (~1.2 bytes/gram at fpp 1e-3, so 100 M grams ≈ 170 MB where
+    * the exploded-string broadcast of [[ngramContainment]] would be
+    * many GB and the collected map of the broadcast gate is capped). */
+  def buildGramBloom(grams: DataFrame, fpp: Double = 1e-3,
+      gramCol: String = "ngram"): org.apache.spark.util.sketch.BloomFilter = {
+    require(fpp > 0 && fpp < 1, s"buildGramBloom: fpp must be in (0,1), got $fpp")
+    val cnt = grams.select(col(gramCol)).distinct().count()
+    grams.stat.bloomFilter(gramCol, math.max(cnt, 1L), fpp)
+  }
+
+  /** Benchmark decontamination for benchmarks TOO BIG to broadcast or
+    * collect — the same containment contract and bit-identical output as
+    * [[ngramContainment]], with the benchmark side held as the
+    * [[benchGrams]] table plus a broadcast Bloom filter instead of an
+    * exploded-gram broadcast.
+    *
+    * Scale shape: corpus grams are prefiltered MAP-SIDE by bloom
+    * membership, so the only shuffle carries true matches + fpp × corpus
+    * grams — at fpp 1e-3 a 100 TB corpus sheds 99.9 % of its non-matching
+    * grams before any exchange. Bloom false positives CANNOT reach the
+    * output: every survivor still passes the exact equi-join on the gram
+    * string, which discards them — the bloom bounds shuffle volume, it
+    * never decides a match, so exactness is independent of fpp. The
+    * per-benchmark totals join is a plain (benchId, count) shuffle join,
+    * also unbounded-bench-safe (no broadcast hint; AQE picks). */
+  def containmentWithBloom(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bGrams: DataFrame, benchId: String, n: Int, threshold: Double,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    require(corpusId != benchId,
+      s"rename the id columns apart (both are '$corpusId')")
+    val bTotals = bGrams.groupBy(benchId).agg(count(lit(1)).as("b_total"))
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    distinctNgrams(corpus, corpusId, corpusText, n, "ngram")
+      .filter(mightContain(col("ngram")))
+      .join(bGrams, Seq("ngram"))
+      .groupBy(corpusId, benchId).agg(count(lit(1)).as("shared"))
+      .join(bTotals, Seq(benchId))
+      .withColumn("containment", col("shared").cast("double") / col("b_total"))
+      .filter(col("containment") >= threshold)
+      .select(corpusId, benchId, "shared", "containment")
+  }
+
+  /** Frame-to-frame convenience over [[containmentWithBloom]]: derives
+    * the gram table (checkpointed — it feeds the bloom build, the totals
+    * agg and the verify join) and the bloom from the benchmark frame.
+    * Use the artifact form directly when the grams are already persisted. */
+  def ngramContainmentLarge(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int, threshold: Double, fpp: Double = 1e-3): DataFrame = {
+    val bGrams = benchGrams(bench, benchId, benchText, n).localCheckpoint()
+    containmentWithBloom(corpus, corpusId, corpusText, bGrams, benchId, n,
+      threshold, buildGramBloom(bGrams, fpp))
+  }
+
   // ——— language identification ———
 
   private val StopwordTable: Map[String, Seq[String]] = Map(

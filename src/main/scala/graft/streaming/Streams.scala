@@ -445,6 +445,35 @@ object Streams {
         col("__m__._2").as("shared"), col("__m__._3").as("containment"))
   }
 
+  /** Decontamination gate for benchmarks ABOVE [[decontaminateGate]]'s
+    * collect cap — the scale tier that replaces the loud
+    * `maxBenchGrams` refusal: the benchmark lives as the persisted
+    * [[graft.ext.TextAnalysis.benchGrams]] gram table (never collected,
+    * never broadcast), a Bloom filter over it is built ONCE from the
+    * static frame and reused across every micro-batch, and each batch of
+    * arriving docs runs the exact
+    * [[graft.ext.TextAnalysis.containmentWithBloom]] body
+    * (bloom-prefiltered grams → exact verify join → containment). A
+    * `foreachBatch` harness like [[semanticDupGateForEachBatch]]: the
+    * per-(doc, bench) shared-gram count is an aggregate over the batch,
+    * which append-mode streaming plans cannot express but per-micro-batch
+    * batch plans can. Output rows to `sink`:
+    * (idCol, benchId, shared, containment) — identical to
+    * `ngramContainment` on the same batch. */
+  def decontaminateGateForEachBatch(
+      benchGrams: DataFrame, benchIdCol: String,
+      idCol: String, textCol: String,
+      n: Int = 2, threshold: Double = 0.2, fpp: Double = 1e-3,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(idCol != benchIdCol,
+      s"rename the id columns apart (both are '$idCol')")
+    val bloom = graft.ext.TextAnalysis.buildGramBloom(benchGrams, fpp)
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.ext.TextAnalysis.containmentWithBloom(batch, idCol,
+          textCol, benchGrams, benchIdCol, n, threshold, bloom))
+  }
+
   /** Gap-based session windows per user (SURVEY §7 extension list).
     *
     * Built on Spark's `session_window`: events of one user closer than

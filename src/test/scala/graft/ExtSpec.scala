@@ -1515,6 +1515,74 @@ class StreamStaticJoinSpec extends SparkSuite {
     }
   }
 
+  test("ngramContainmentLarge equals ngramContainment even at coarse fpp") {
+    val corpus = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha beta zeta eta theta"),
+      (102L, "totally disjoint words here now"),
+      (103L, "more unrelated filler text rows"),
+    ).toDF("corpus_id", "text")
+    val bench = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "unseen bigrams only here"),
+    ).toDF("bench_id", "text")
+    val expected = graft.ext.TextAnalysis.ngramContainment(
+        corpus, "corpus_id", "text", bench, "bench_id", "text",
+        n = 2, threshold = 0.2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    // fpp 0.4: the bloom passes many non-bench grams — the exact verify
+    // join must scrub every one of them
+    val got = graft.ext.TextAnalysis.ngramContainmentLarge(
+        corpus, "corpus_id", "text", bench, "bench_id", "text",
+        n = 2, threshold = 0.2, fpp = 0.4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected, s"got $got want $expected")
+    assert(got.contains((100L, 1L, 2L, 1.0)))
+  }
+
+  test("decontaminateGateForEachBatch over a persisted gram artifact equals batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "alpha beta gamma"), (2L, "kappa lambda mu"))
+      .toDF("bench_id", "text")
+    // persist the gram artifact (the 100 TB discipline: hash the static
+    // side once) and gate against the RELOADED copy
+    val dir = java.nio.file.Files.createTempDirectory("bench-grams").toString
+    graft.ext.TextAnalysis.benchGrams(bench, "bench_id", "text", n = 2)
+      .write.mode("overwrite").parquet(s"$dir/grams")
+    val grams = spark.read.parquet(s"$dir/grams")
+    val arrivals = Seq((10L, "alpha beta gamma delta"),
+      (11L, "kappa lambda nu"), (12L, "no leakage at all"))
+    val expected = graft.ext.TextAnalysis.ngramContainment(
+        arrivals.toDF("doc_id", "text"), "doc_id", "text",
+        bench, "bench_id", "text", n = 2, threshold = 0.4)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val sunk = scala.collection.mutable.Set.empty[(Long, Long, Long, Double)]
+    val onBatch = Streams.decontaminateGateForEachBatch(
+      grams, "bench_id", "doc_id", "text", n = 2, threshold = 0.4,
+      fpp = 0.3,
+      sink = b => sunk ++= b.as[(Long, Long, Long, Double)].collect())
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(onBatch).start()
+    try {
+      mem.addData(arrivals: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sunk.toSet == expected, s"got ${sunk.toSet} want $expected")
+    assert(sunk.nonEmpty, "fixture must flag leakage")
+  }
+
+  test("buildGramBloom rejects an out-of-range fpp") {
+    val grams = Seq((1L, "a b")).toDF("bench_id", "ngram")
+    intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.buildGramBloom(grams, fpp = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.TextAnalysis.buildGramBloom(grams, fpp = 1.0)
+    }
+  }
+
   test("nearDupAgainstCorpus error contracts") {
     intercept[IllegalArgumentException] {
       Streams.nearDupAgainstCorpus(ndArrivals.toDF("doc_id", "text"),
