@@ -986,6 +986,18 @@ object SparkEntry {
         "doc_id", "source",
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .select("doc_id", "source")),
+    // —— temperature mixture: flatten the token-mass distribution with
+    // share^0.5 targets (XLM-R sampling) — token sums, not doc counts ——
+    "mixture_temperature" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.temperatureMixture(tbl(s, dir, "documents"),
+        "doc_id", "source", "text", Seq("src0", "src1", "src2"), 0.5)
+        .select("doc_id", "source")),
+    // —— deterministic token-budget cut: first docs per domain in
+    // (u60 hash, id) order until the domain's token budget is met ——
+    "sample_token_budget" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.tokenBudgetSample(tbl(s, dir, "documents"),
+        "doc_id", "source", "text",
+        Map("src0" -> 3000L, "src1" -> 1500L))),
     // —— balanced (stratified) sampling: n deterministic docs/stratum ——
     "balanced_sample" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.balancedSample(
@@ -2024,6 +2036,39 @@ object SparkEntry {
       |  FROM documents WHERE source IN ('src0','src1','src2'))
       |SELECT mh.doc_id, mh.source FROM mh JOIN mr USING (source) WHERE mh.h < mr.thr
       |""".stripMargin,
+    // temperature mixture: token-mass shares, floor(pow(s,τ)·1e9+0.5)/1e9
+    // decimal-rounded weights (absorbs cross-engine pow ulps), then the
+    // same trunc-threshold arithmetic as mixture_sample
+    "mixture_temperature" -> ("WITH n AS (SELECT doc_id, source, " +
+      "CASE WHEN trim(text) IS NULL OR length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens " +
+      "FROM documents WHERE source IN ('src0','src1','src2')), " +
+      "tc AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t FROM n GROUP BY source), " +
+      "tt AS (SELECT CAST(sum(t) AS BIGINT) AS total FROM tc WHERE t > 0), " +
+      "sh AS (SELECT source, CAST(t AS DOUBLE) / CAST(total AS DOUBLE) AS s " +
+      "FROM tc CROSS JOIN tt WHERE t > 0), " +
+      "wt AS (SELECT source, s, floor(pow(s, 0.5) * 1000000000.0 + 0.5) / 1000000000.0 AS w FROM sh), " +
+      "f AS (SELECT source, w / s AS f FROM wt), " +
+      "m AS (SELECT max(f) AS maxf FROM f), " +
+      "r AS (SELECT source, CAST(trunc(f / m.maxf * 1152921504606846976.0) AS BIGINT) AS thr " +
+      "FROM f CROSS JOIN m), " +
+      "h AS (SELECT doc_id, source, " + u60Sql("CAST(doc_id AS VARCHAR)") +
+      " AS h FROM documents WHERE source IN ('src0','src1','src2')) " +
+      "SELECT h.doc_id, h.source FROM h JOIN r USING (source) WHERE h.h < r.thr"),
+    // token-budget cut: the pure-window mirror of the contract (the
+    // Spark side's hash prefilter is a work bound, not a semantic)
+    "sample_token_budget" -> ("WITH d AS (SELECT doc_id, source, " +
+      "CAST(CASE WHEN trim(text) IS NULL OR length(trim(text)) = 0 THEN 0 " +
+      "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens, " +
+      u60Sql("CAST(doc_id AS VARCHAR)") + " AS h " +
+      "FROM documents WHERE source IN ('src0','src1')), " +
+      "b AS (SELECT * FROM (VALUES ('src0', CAST(3000 AS BIGINT)), " +
+      "('src1', CAST(1500 AS BIGINT))) AS t(source, budget)), " +
+      "c AS (SELECT doc_id, source, n_tokens, " +
+      "sum(n_tokens) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
+      "SELECT c.doc_id, c.source, c.n_tokens FROM c JOIN b USING (source) " +
+      "WHERE c.cum - c.n_tokens < b.budget"),
     "balanced_sample" ->
       ("SELECT doc_id, lang, source FROM (" +
         "SELECT doc_id, lang, source, " +

@@ -225,6 +225,133 @@ object Corpus {
     df.filter(hashU60(concat(col(keyCol).cast("string"), lit(salt))) < thr)
   }
 
+  /** Temperature-flattened domain mixture over TOKEN mass (the
+    * multilingual-sampling rule of XLM-R / mBERT: target share ∝
+    * actual-token-share^τ, τ in (0, 1] flattening the distribution so
+    * low-resource domains keep relatively more). The token-mass sibling
+    * of [[mixtureSample]]: per-domain token sums come from ONE
+    * map-side-combined agg (bounded by the domain count), target weights
+    * are derived driver-side as `floor(share^τ·1e9 + 0.5)/1e9` (the
+    * explicit decimal rounding absorbs the ≤1-ulp `pow` divergence
+    * across engines — the BM25 discipline — so a SQL mirror reproduces
+    * the thresholds bit-exactly), and row selection is the same stable
+    * md5-threshold downsampling: the domain with the highest
+    * target/actual ratio keeps 100 %, everything else scales down. Rows
+    * outside `domains` are dropped. One agg + one narrow filter; the
+    * corpus never shuffles. */
+  def temperatureMixture(df: DataFrame, keyCol: String, domainCol: String,
+      textCol: String, domains: Seq[String], temperature: Double,
+      salt: String = ""): DataFrame = {
+    require(domains.nonEmpty, "temperatureMixture: empty domains")
+    require(temperature > 0 && temperature <= 1,
+      s"temperatureMixture: temperature must be in (0,1], got $temperature")
+    val ds = domains.sorted
+    val counts = df.filter(col(domainCol).isin(ds: _*))
+      .groupBy(col(domainCol).cast("string").as("d"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = ds.filter(d => counts.getOrElse(d, 0L) > 0L)
+    require(present.nonEmpty,
+      s"temperatureMixture: no tokens in any target domain $ds")
+    val total = present.map(counts).sum
+    val shares = present.map(d =>
+      d -> counts(d).toDouble / total.toDouble).toMap
+    // decimal-rounded target weight — engine-portable (floor/×/÷ are
+    // correctly rounded IEEE; only pow differs by ulps, absorbed here)
+    val weights = present.map(d =>
+      d -> math.floor(math.pow(shares(d), temperature) * 1e9 + 0.5) / 1e9).toMap
+    val factors = present.map(d => d -> weights(d) / shares(d)).toMap
+    val maxF = factors.values.max
+    val thresholds = present.map(d =>
+      d -> (factors(d) / maxF * U60Denom).toLong).toMap
+    val thr = present.tail.foldLeft(
+      when(col(domainCol) === present.head, lit(thresholds(present.head)))) {
+      (acc, d) => acc.when(col(domainCol) === d, lit(thresholds(d)))
+    }.otherwise(lit(-1L))
+    df.filter(hashU60(concat(col(keyCol).cast("string"), lit(salt))) < thr)
+  }
+
+  /** Deterministic per-domain TOKEN-BUDGET cut: within each domain, take
+    * documents in ascending (u60 hash, key) order until the cumulative
+    * token count reaches the domain's budget — the "give me exactly B
+    * tokens of domain d, reproducibly" step that sizes a training set.
+    * The first document crossing the budget is included (its preceding
+    * mass is under budget), so every budget is met when the domain has
+    * enough tokens. Output: (keyCol, domainCol, n_tokens).
+    *
+    * Scale shape: the naive form is one window over EVERY domain row —
+    * a per-domain sort of the whole corpus. Instead, a hash-threshold
+    * PREFILTER (rate ≈ slack·budget/domainTokens, one bounded agg for
+    * the sums) cuts each domain to ≈slack× its budget BEFORE the window,
+    * so the per-domain sort is bounded by the budget, not the corpus.
+    * Because survivors of a hash threshold form a PREFIX of the (hash,
+    * key) order, the budget cut over survivors equals the cut over the
+    * full domain whenever surviving token mass covers the budget — a
+    * driver loop verifies that (one agg per round) and doubles any
+    * undershot domain's rate, falling back to rate 1 after `maxWiden`
+    * rounds, so the output CONTRACT is exactly the pure-window
+    * semantics regardless of `slack` (slack only bounds work; with
+    * uniform token lengths the default 1.3 verifies on the first pass). */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, domainCol: String,
+      textCol: String, budgets: Map[String, Long], salt: String = "",
+      slack: Double = 1.3, maxWiden: Int = 6): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetSample: empty budgets")
+    budgets.foreach { case (d, b) =>
+      require(b > 0, s"tokenBudgetSample: budget for '$d' must be > 0, got $b")
+    }
+    require(slack > 1.0, s"tokenBudgetSample: slack must be > 1, got $slack")
+    import org.apache.spark.sql.expressions.Window
+    val ds = budgets.keys.toSeq.sorted
+    val base = df.filter(col(domainCol).isin(ds: _*))
+      .select(col(keyCol), col(domainCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        hashU60(concat(col(keyCol).cast("string"), lit(salt))).as("__h__"))
+    val totals = base
+      .groupBy(col(domainCol).cast("string").as("d"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def thrExpr(rates: Map[String, Double]): Column =
+      ds.tail.foldLeft(
+        when(col(domainCol) === ds.head,
+          lit((rates(ds.head) * U60Denom).toLong))) { (acc, d) =>
+        acc.when(col(domainCol) === d, lit((rates(d) * U60Denom).toLong))
+      }.otherwise(lit(-1L))
+    var rates: Map[String, Double] = ds.map { d =>
+      val t = totals.getOrElse(d, 0L)
+      d -> (if (t <= 0L) 1.0
+            else math.min(1.0, slack * budgets(d).toDouble / t.toDouble))
+    }.toMap
+    // exactness loop: a domain whose surviving mass is under its budget
+    // (possible only while its rate < 1) widens until covered
+    var widen = 0
+    var under = Seq.empty[String]
+    do {
+      val mass = base.filter(col("__h__") < thrExpr(rates))
+        .groupBy(col(domainCol).cast("string").as("d"))
+        .agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      under = ds.filter(d => rates(d) < 1.0 &&
+        mass.getOrElse(d, 0L) < budgets(d))
+      if (under.nonEmpty) {
+        widen += 1
+        val bump = if (widen >= maxWiden) Double.MaxValue else 2.0
+        rates = rates ++ under.map(d =>
+          d -> math.min(1.0, rates(d) * bump))
+      }
+    } while (under.nonEmpty && widen <= maxWiden)
+    val budgetCol = ds.tail.foldLeft(
+      when(col(domainCol) === ds.head, lit(budgets(ds.head)))) { (acc, d) =>
+      acc.when(col(domainCol) === d, lit(budgets(d)))
+    }.otherwise(lit(0L))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("__h__").asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.filter(col("__h__") < thrExpr(rates))
+      .withColumn("__cum__", sum(col("n_tokens")).over(w))
+      .filter(col("__cum__") - col("n_tokens") < budgetCol)
+      .select(col(keyCol), col(domainCol), col("n_tokens"))
+  }
+
   // ——— PII redaction ———
 
   /** Regex PII scrubbing: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,

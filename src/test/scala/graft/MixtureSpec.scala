@@ -64,4 +64,90 @@ class MixtureSpec extends SparkSuite {
       Corpus.mixtureSample(skewed, "id", "domain", Map("absent" -> 1.0))
     }
   }
+
+  // 1800 web docs + 200 books docs, 10 tokens each → token shares 0.9/0.1
+  private lazy val texted = ((0L until 1800L).map(i => (i, "web")) ++
+    (2000L until 2200L).map(i => (i, "books")))
+    .map { case (i, d) => (i, d, Seq.fill(10)("tok").mkString(" ")) }
+    .toDF("id", "domain", "text")
+
+  test("temperatureMixture flattens toward share^tau on token mass") {
+    // tau 0.5: factor_d = share^-0.5 → books (share 0.1) keeps all,
+    // web rate = sqrt(0.1/0.9) = 1/3 → ≈600 of 1800
+    val kept = Corpus.temperatureMixture(texted, "id", "domain", "text",
+      Seq("web", "books"), 0.5)
+    val byDomain = kept.groupBy("domain").count()
+      .as[(String, Long)].collect().toMap
+    assert(byDomain("books") == 200L, s"books must keep all: $byDomain")
+    assert(byDomain("web") > 480 && byDomain("web") < 720,
+      s"web should keep ≈600 (rate 1/3): $byDomain")
+  }
+
+  test("temperatureMixture at tau 1 keeps everything") {
+    val kept = Corpus.temperatureMixture(texted, "id", "domain", "text",
+      Seq("web", "books"), 1.0)
+    assert(kept.count() == 2000L)
+  }
+
+  test("temperatureMixture error contracts") {
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMixture(texted, "id", "domain", "text", Seq(), 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMixture(texted, "id", "domain", "text",
+        Seq("web"), 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.temperatureMixture(texted, "id", "domain", "text",
+        Seq("absent"), 0.5)
+    }
+  }
+
+  test("tokenBudgetSample: budget met by a minimal hash-order prefix") {
+    val out = Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+      Map("web" -> 205L, "books" -> 95L))
+    val mass = out.groupBy("domain").agg(sum("n_tokens").as("m"))
+      .as[(String, Long)].collect().toMap
+    // 10-token docs: first doc crossing the budget is included
+    assert(mass("web") == 210L, s"web mass: $mass")
+    assert(mass("books") == 100L, s"books mass: $mass")
+    // minimality: dropping any one selected doc dips under budget
+    assert(mass("web") - 10L < 205L && mass("books") - 10L < 95L)
+  }
+
+  test("tokenBudgetSample: slack never changes the output (exactness loop)") {
+    for (salt <- Seq("", "s2", "s3")) {
+      val tight = Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+          Map("web" -> 500L), salt = salt, slack = 1.000001)
+        .select("id").as[Long].collect().toSet
+      val pure = Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+          Map("web" -> 500L), salt = salt, slack = 1e9)
+        .select("id").as[Long].collect().toSet
+      assert(tight == pure, s"salt '$salt': prefilter changed the sample")
+      assert(tight.nonEmpty)
+    }
+  }
+
+  test("tokenBudgetSample: budget above the domain total keeps every row") {
+    val out = Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+      Map("books" -> 1000000L))
+    assert(out.count() == 200L)
+    assert(out.select("domain").distinct().as[String].collect().toSeq ==
+      Seq("books"))
+  }
+
+  test("tokenBudgetSample error contracts") {
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+        Map.empty[String, Long])
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+        Map("web" -> 0L))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+        Map("web" -> 10L), slack = 1.0)
+    }
+  }
 }
