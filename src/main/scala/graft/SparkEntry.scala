@@ -374,6 +374,12 @@ object SparkEntry {
   def ngram3OracleModelPath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ngram3_oracle_v2048_mc2.json"
 
+  /** Fixed tmpdir path where `quality_classifier` exports its trained
+    * logistic weights for the DuckDB oracle (exported-model pattern:
+    * the oracle replays SCORING only). */
+  def qualityOracleModelPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_quality_oracle_lr4.json"
+
   /** A scratch engine for lifecycle queries (coder/index/probe). */
   private def scratchEngine(s: SparkSession, dir: String): Engine = {
     val e = new Engine(s, scratchRoot(dir))
@@ -905,6 +911,19 @@ object SparkEntry {
           col("punct_ratio"), col("stopword_ratio"),
           TextAnalysis.qualityExpr(col("n_tokens"), col("stopword_ratio"),
             col("punct_ratio")).as("quality"))),
+    // —— text: trainable quality classifier — distill the Gopher rule
+    // set into a logistic model (IRLS, ~8 bounded aggs), export the
+    // weights for the oracle, score every doc in one narrow map ——
+    "quality_classifier" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      val (_, rules) = TextAnalysis.gopherRules(col("text"))
+      val labeled = docs.filter(col("text").isNotNull)
+        .select(col("text"), rules.map(_._2).reduce(_ && _).as("label"))
+      val model = graft.ext.QualityModel.train(labeled, "text", "label")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(qualityOracleModelPath), model.toJson)
+      graft.ext.QualityModel.score(docs, "doc_id", "text", model)
+    }),
     // —— text: CCNet-style LM perplexity — train a bigram stupid-backoff
     // LM on the corpus (two bounded integer aggs), export the model for
     // the oracle, score every doc in one narrow map (model broadcast) ——
@@ -1916,6 +1935,29 @@ object SparkEntry {
       |  FROM nsc GROUP BY doc_id, n)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(exp(nll / n), 6) AS ppl FROM nagg
       |""".stripMargin,
+    // exported-weights logistic scoring: the SAME feature CTE as
+    // text_quality, left-assoc z, round-6 sigmoid (absorbs exp ulps)
+    "quality_classifier" ->
+      (s"WITH m AS (SELECT * FROM read_json('$qualityOracleModelPath', " +
+        "columns = {weights: 'DOUBLE[]'})), " +
+        "d AS (SELECT doc_id, trim(text) AS t FROM documents), " +
+        "c AS (SELECT doc_id, " +
+        "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+        "ELSE len(regexp_split_to_array(t, '\\s+')) END AS n_tokens, " +
+        "length(t) AS n_chars, " +
+        "length(t) - length(regexp_replace(t, '[[:punct:]]', '', 'g')) AS n_punct, " +
+        "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+        "ELSE len(list_filter(regexp_split_to_array(t, '\\s+'), " +
+        "x -> x IN ('the','a','of','and','to','in','is','it'))) END AS n_stop " +
+        "FROM d), " +
+        "f AS (SELECT doc_id, " +
+        "least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) AS f1, " +
+        "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS f2, " +
+        "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS f3 " +
+        "FROM c) " +
+        "SELECT f.doc_id, round(1.0 / (1.0 + exp(-(m.weights[1] + " +
+        "m.weights[2] * f.f1 + m.weights[3] * f.f2 + m.weights[4] * f.f3))), 6) " +
+        "AS quality_prob FROM f, m"),
     // (same IEEE op order => bit-identical doubles; Java \p{Punct} and
     // RE2 [[:punct:]] are the same ASCII set)
     "text_quality" ->
