@@ -127,6 +127,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
         case ("POST", "text" :: "curate" :: Nil)        => postCurate(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
+        case ("POST", "sample" :: "budget" :: Nil)  => postBudget(ex)
+        case ("POST", "text" :: "quality-model" :: Nil) => postQualityModel(ex)
+        case ("POST", "text" :: "quality-score" :: Nil) => postQualityScore(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
@@ -633,16 +636,77 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   private def postMixture(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val df = engine.readTable(Seq(require(body, "source").asText()))
-    val wNode = require(body, "weights")
-    val weights = {
-      val it = wNode.fields()
-      val b = Map.newBuilder[String, Double]
-      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+    val keyCol = require(body, "keyCol").asText()
+    val domainCol = require(body, "domainCol").asText()
+    val salt = opt(body, "salt").map(_.asText()).getOrElse("")
+    opt(body, "temperature") match {
+      case Some(tau) => // token-mass temperature form
+        val domains = require(body, "domains").elements().asScala
+          .map(_.asText()).toSeq
+        okRows(ex, graft.ext.Corpus.temperatureMixture(df, keyCol,
+          domainCol, require(body, "textCol").asText(), domains,
+          tau.asDouble(), salt))
+      case None => // explicit target-weights form
+        val wNode = require(body, "weights")
+        val weights = {
+          val it = wNode.fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+          b.result()
+        }
+        okRows(ex, graft.ext.Corpus.mixtureSample(df, keyCol, domainCol,
+          weights, salt))
+    }
+  }
+
+  /** Temperature-mixture form lives here too: with a `temperature` (and
+    * `domains` + `textCol`), resample by token mass toward share^τ
+    * ([[graft.ext.Corpus.temperatureMixture]]). */
+  private def postBudget(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val bNode = require(body, "budgets")
+    val budgets = {
+      val it = bNode.fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
       b.result()
     }
-    okRows(ex, graft.ext.Corpus.mixtureSample(df,
+    okRows(ex, graft.ext.Corpus.tokenBudgetSample(df,
       require(body, "keyCol").asText(), require(body, "domainCol").asText(),
-      weights, salt = opt(body, "salt").map(_.asText()).getOrElse("")))
+      require(body, "textCol").asText(), budgets,
+      salt = opt(body, "salt").map(_.asText()).getOrElse("")))
+  }
+
+  /** Train the logistic quality classifier on a stored table; labels
+    * come from `labelCol`, or — when omitted — weakly from the Gopher
+    * rule conjunction (rule distillation). Responds with the weights
+    * JSON, which feeds `/api/text/quality-score` (stateless pair). */
+  private def postQualityModel(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val textCol = require(body, "textCol").asText()
+    val labeled = opt(body, "labelCol") match {
+      case Some(lc) =>
+        df.select(col(textCol), col(lc.asText()).as("__label__"))
+      case None =>
+        val (_, rules) = graft.ext.TextAnalysis.gopherRules(col(textCol))
+        df.filter(col(textCol).isNotNull)
+          .select(col(textCol), rules.map(_._2).reduce(_ && _).as("__label__"))
+    }
+    ok(ex, graft.ext.QualityModel.train(labeled, textCol, "__label__").toJson)
+  }
+
+  /** Score a stored table under explicit weights (from
+    * `/api/text/quality-model` or any external training run). */
+  private def postQualityScore(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val ws = require(body, "weights").elements().asScala
+      .map(_.asDouble()).toArray
+    okRows(ex, graft.ext.QualityModel.score(df,
+      require(body, "idCol").asText(), require(body, "textCol").asText(),
+      graft.ext.QualityModel.Logistic(ws)))
   }
 
   private def postFingerprints(ex: HttpExchange): Unit = {

@@ -696,4 +696,68 @@ class ServerSpec extends SparkSuite {
     assert(mapper.readTree(uBody).get("error").asText().contains("no route"))
     assert(send("DELETE", "/tables/hostile_src")._1 == 200)
   }
+
+  test("sampling + quality-model routes: wire equals library") {
+    val rows = (0 until 40).map { i =>
+      val d = if (i % 4 == 0) "books" else "web"
+      val t = if (i % 2 == 0)
+        s"the quick brown fox $i jumps over the lazy dog and runs to the hill in a calm stride"
+      else s"### !!! junk $i ???"
+      s"""{"doc_id":$i,"src":"$d","text":"$t"}"""
+    }.mkString(",")
+    val (c0, b0) = send("PUT", "/tables/wire_samp",
+      s"""{"schema":"doc_id LONG, src STRING, text STRING","rows":[$rows]}""")
+    assert(c0 == 200, b0)
+    val df = engine.readTable(Seq("wire_samp"))
+
+    // temperature form of the mixture route
+    val (tc, tBody) = send("POST", "/sample/mixture",
+      """{"source":"wire_samp","keyCol":"doc_id","domainCol":"src",
+         "textCol":"text","domains":["web","books"],"temperature":0.5}""")
+    assert(tc == 200, tBody)
+    val wireT = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(tBody).get("rows").elements()
+      .forEachRemaining(n => wireT += n.get("doc_id").asLong())
+    val libT = graft.ext.Corpus.temperatureMixture(df, "doc_id", "src",
+      "text", Seq("web", "books"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wireT.toSet == libT, s"wire $wireT vs library $libT")
+
+    // token-budget route
+    val (bc, bBody) = send("POST", "/sample/budget",
+      """{"source":"wire_samp","keyCol":"doc_id","domainCol":"src",
+         "textCol":"text","budgets":{"web":60,"books":30}}""")
+    assert(bc == 200, bBody)
+    val wireB = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(bBody).get("rows").elements()
+      .forEachRemaining(n => wireB += n.get("doc_id").asLong())
+    val libB = graft.ext.Corpus.tokenBudgetSample(df, "doc_id", "src",
+      "text", Map("web" -> 60L, "books" -> 30L))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wireB.toSet == libB, s"wire $wireB vs library $libB")
+    assert(wireB.nonEmpty)
+
+    // quality model: train (weak Gopher labels) then score with the
+    // returned weights — wire scores == library scores
+    val (qc, qBody) = send("POST", "/text/quality-model",
+      """{"source":"wire_samp","textCol":"text"}""")
+    assert(qc == 200, qBody)
+    val wNode = mapper.readTree(qBody).get("weights")
+    assert(wNode != null && wNode.size() == 4, qBody)
+    val ws = (0 until 4).map(wNode.get(_).asDouble()).toArray
+    val (sc, sBody) = send("POST", "/text/quality-score",
+      s"""{"source":"wire_samp","idCol":"doc_id","textCol":"text",
+          "weights":[${ws.mkString(",")}]}""")
+    assert(sc == 200, sBody)
+    val wireQ = new scala.collection.mutable.HashMap[Long, Double]
+    mapper.readTree(sBody).get("rows").elements()
+      .forEachRemaining(n => wireQ(n.get("doc_id").asLong()) =
+        n.get("quality_prob").asDouble())
+    val libQ = graft.ext.QualityModel.score(df, "doc_id", "text",
+        graft.ext.QualityModel.Logistic(ws))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wireQ.toMap == libQ, s"wire $wireQ vs library $libQ")
+
+    assert(send("DELETE", "/tables/wire_samp")._1 == 200)
+  }
 }
