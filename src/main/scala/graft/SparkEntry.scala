@@ -911,6 +911,13 @@ object SparkEntry {
           col("punct_ratio"), col("stopword_ratio"),
           TextAnalysis.qualityExpr(col("n_tokens"), col("stopword_ratio"),
             col("punct_ratio")).as("quality"))),
+    // —— corpus audit profile: per (source, predicted lang) — doc/token/
+    // distinct-fingerprint counts, quality micro-mass, Gopher keeps ——
+    "corpus_profile" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.corpusProfile(
+        tbl(s, dir, "documents")
+          .withColumn("lang_pred", TextAnalysis.langId(col("text"))),
+        "text", Seq("source", "lang_pred"), minWords = 20, maxWords = 80)),
     // —— text: trainable quality classifier — distill the Gopher rule
     // set into a logistic model (IRLS, ~8 bounded aggs), export the
     // weights for the oracle, score every doc in one narrow map ——
@@ -1935,6 +1942,38 @@ object SparkEntry {
       |  FROM nsc GROUP BY doc_id, n)
       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, round(exp(nll / n), 6) AS ppl FROM nagg
       |""".stripMargin,
+    // corpus profile: every metric an exact integer sum — quality in
+    // round(q*1e6) micro-units so no double sum order can drift; reuses
+    // the lang-id, fingerprint and gopher CTE chains
+    "corpus_profile" -> ("WITH " + langPredCte("documents") + ", " +
+      fpCte("fp", "documents") + ", " + gopherCte("documents") + ", " +
+      "pd AS (SELECT doc_id, trim(text) AS t FROM documents), " +
+      "pc AS (SELECT doc_id, " +
+      "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+      "ELSE len(regexp_split_to_array(t, '\\s+')) END AS n_tokens, " +
+      "length(t) AS n_chars, " +
+      "length(t) - length(regexp_replace(t, '[[:punct:]]', '', 'g')) AS n_punct, " +
+      "CASE WHEN t IS NULL OR length(t) = 0 THEN 0 " +
+      "ELSE len(list_filter(regexp_split_to_array(t, '\\s+'), " +
+      "x -> x IN ('the','a','of','and','to','in','is','it'))) END AS n_stop " +
+      "FROM pd), " +
+      "pr AS (SELECT doc_id, n_tokens, " +
+      "CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio, " +
+      "CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stopword_ratio " +
+      "FROM pc), " +
+      "pq AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, " +
+      "CAST(round(greatest(0.0, least(1.0, " +
+      "least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) * 0.4 + " +
+      "(1.0 - abs(stopword_ratio - 0.4) / 0.6) * 0.3 + " +
+      "(1.0 - least(punct_ratio * 4.0, 1.0)) * 0.3)) * 1000000.0, 0) AS BIGINT) AS qmicro " +
+      "FROM pr) " +
+      "SELECT doc.source, p.lang_pred, CAST(count(*) AS BIGINT) AS n_docs, " +
+      "CAST(sum(pq.n_tokens) AS BIGINT) AS n_tokens, " +
+      "CAST(count(DISTINCT f.fingerprint) AS BIGINT) AS n_distinct_fp, " +
+      "CAST(sum(pq.qmicro) AS BIGINT) AS quality_micro, " +
+      "CAST(coalesce(sum(CASE WHEN g.keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_gopher_keep " +
+      "FROM documents doc JOIN lpred p USING (doc_id) JOIN fp f USING (doc_id) " +
+      "JOIN pq USING (doc_id) LEFT JOIN g4 g USING (doc_id) GROUP BY 1, 2"),
     // exported-weights logistic scoring: the SAME feature CTE as
     // text_quality, left-assoc z, round-6 sigmoid (absorbs exp ulps)
     "quality_classifier" ->

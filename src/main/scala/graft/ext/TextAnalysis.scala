@@ -534,4 +534,49 @@ object TextAnalysis {
       .withColumn("token_count", tokenCount(col(textCol)))
       .withColumn("lang_pred", langId(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** One-pass corpus PROFILE — the audit rollup run before/after every
+    * curation step of a training-data pipeline: per `groupCols` group
+    * (e.g. source × predicted language), document count, exact token
+    * count, exact distinct-fingerprint count (the upper bound on unique
+    * normalized texts — n_docs − n_distinct_fp estimates the exact-dup
+    * mass), total quality mass, and Gopher-keep count.
+    *
+    * Scale shape: one groupBy over per-row narrow expressions — partial
+    * (map-side) aggregation everywhere, with `countDistinct` planned as
+    * the standard two-phase expand. Nothing but (group, metric) rows
+    * ever shuffle.
+    *
+    * Determinism/mirror contract: every metric is an exact INTEGER sum —
+    * quality is summed in micro-units (`round(q·1e6)` per doc, exact
+    * long addition) precisely because a double `sum`/`avg` would depend
+    * on partition combine order and could never hash-match a mirror.
+    * Derive means downstream as single divisions. Null text: 0 tokens,
+    * fingerprint 0, quality micro 400000 (the formula's empty-text
+    * value), Gopher keep false. */
+  def corpusProfile(df: DataFrame, textCol: String, groupCols: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    require(groupCols.nonEmpty, "corpusProfile: at least one group column")
+    val t = trim(col(textCol))
+    val nChars = length(t)
+    val nTok = tokenCount(t)
+    val nPunct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    val nStop = size(filter(split(t, "\\s+"),
+      x => x.isin(stopwords.map(lit(_)): _*)))
+    val punctRatio = when(nChars > 0, nPunct.cast("double") / nChars).otherwise(0.0)
+    val stopRatio = when(nTok > 0, nStop.cast("double") / nTok).otherwise(0.0)
+    val qMicro = round(qualityExpr(nTok, stopRatio, punctRatio) * lit(1000000.0), 0)
+      .cast("long")
+    val (_, rules) = gopherRules(col(textCol), minWords = minWords,
+      maxWords = maxWords)
+    val keep = coalesce(rules.map(_._2).reduce(_ && _), lit(false))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("n_tokens"),
+        countDistinct(fingerprint(col(textCol))).as("n_distinct_fp"),
+        sum(qMicro).as("quality_micro"),
+        sum(keep.cast("long")).as("n_gopher_keep"))
+  }
 }

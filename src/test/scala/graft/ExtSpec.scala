@@ -1624,6 +1624,37 @@ class CorpusStatsSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(tri == Map("a b a" -> 1L, "b a c" -> 1L))
   }
+
+  test("corpusProfile: exact integer rollup per group") {
+    val corpus = Seq(
+      (1L, "web", "a b c a b c a b"),
+      (2L, "web", "a b c a b c a b"),   // exact duplicate of doc 1
+      (3L, "web", null),
+      (4L, "books",
+        "the quick brown fox jumps over a lazy dog and runs to it"),
+    ).toDF("doc_id", "source", "text")
+    val prof = TextAnalysis.corpusProfile(corpus, "text", Seq("source"),
+        minWords = 3, maxWords = 100)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, webDocs, webToks, webFp, webQ, webKeep) = prof("web")
+    assert(webDocs == 3L && webToks == 16L)
+    // identical texts share a fingerprint; null text fingerprints to 0
+    assert(webFp == 2L, s"distinct fp: $webFp")
+    // null text contributes the formula's empty value 400000 exactly
+    assert(webQ > 400000L)
+    assert(webKeep == 0L, "1-char mean word length fails the Gopher rules")
+    val (_, bDocs, bToks, _, _, bKeep) = prof("books")
+    assert(bDocs == 1L && bToks == 13L)
+    // cross-check the keep count against the standalone flags operator
+    val flagsKeep = TextAnalysis.gopherQualityFlags(corpus, "doc_id", "text",
+        minWords = 3, maxWords = 100)
+      .filter(col("keep")).count()
+    assert(bKeep + prof("web")._6 == flagsKeep)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.corpusProfile(corpus, "text", Seq.empty)
+    }
+  }
 }
 
 class DuplicateGroupsSpec extends SparkSuite {
