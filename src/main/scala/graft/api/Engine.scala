@@ -158,6 +158,35 @@ class Engine(val spark: SparkSession, val root: String) {
 
   def listNgramModels(): Seq[String] = store.listNgramModels()
 
+  /** Train + persist the logistic quality classifier over a stored table
+    * ([[graft.ext.QualityModel]]). `labelCol` = explicit 0/1 labels;
+    * None = weak labels from the Gopher rule conjunction (rule
+    * distillation). */
+  def trainQualityModel(name: String, source: String, textCol: String,
+      labelCol: Option[String] = None): graft.ext.QualityModel.Logistic = {
+    store.qualityModelPath(name) // validate the name BEFORE the training job
+    val df = store.loadTable(source)
+    val labeled = labelCol match {
+      case Some(lc) => df.select(col(textCol), col(lc).as("__label__"))
+      case None =>
+        val (_, rules) = graft.ext.TextAnalysis.gopherRules(col(textCol))
+        df.filter(col(textCol).isNotNull)
+          .select(col(textCol), rules.map(_._2).reduce(_ && _).as("__label__"))
+    }
+    val model = graft.ext.QualityModel.train(labeled, textCol, "__label__")
+    store.saveQualityModel(name, model)
+    model
+  }
+
+  /** Quality probability per document of a stored table under a
+    * persisted model — one narrow codegen map. */
+  def qualityScores(source: String, idCol: String, textCol: String,
+      model: String): DataFrame =
+    graft.ext.QualityModel.score(store.loadTable(source), idCol, textCol,
+      store.loadQualityModel(model))
+
+  def listQualityModels(): Seq[String] = store.listQualityModels()
+
   /** Semantic dedup of a stored table at scale ([[graft.ext.Dedup
     * .semanticDedup]] with buckets = the IVF cells of a trained coding —
     * the SemDeDup paper's exact setting: k-means-cluster the embeddings,

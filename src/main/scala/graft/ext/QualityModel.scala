@@ -37,6 +37,14 @@ object QualityModel {
       weights.mkString("{\"weights\": [", ", ", "]}")
   }
 
+  def fromJson(json: String): Logistic = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val arr = node.get("weights")
+    require(arr != null && arr.isArray && arr.size() == 4,
+      s"malformed quality model: $json")
+    Logistic(Array.tabulate(4)(arr.get(_).asDouble()))
+  }
+
   /** The three bounded features, expression-for-expression identical to
     * [[TextAnalysis.qualityComponents]] (so the existing `text_quality`
     * SQL mirror covers them): capped length least(n_tokens/64, 1),

@@ -130,6 +130,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "sample" :: "budget" :: Nil)  => postBudget(ex)
         case ("POST", "text" :: "quality-model" :: Nil) => postQualityModel(ex)
         case ("POST", "text" :: "quality-score" :: Nil) => postQualityScore(ex)
+        case ("GET", "quality" :: Nil) =>
+          ok(ex, s"""{"models":[${engine.listQualityModels()
+            .map(jstr).mkString(",")}]}""")
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
@@ -680,33 +683,47 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Train the logistic quality classifier on a stored table; labels
     * come from `labelCol`, or — when omitted — weakly from the Gopher
-    * rule conjunction (rule distillation). Responds with the weights
-    * JSON, which feeds `/api/text/quality-score` (stateless pair). */
+    * rule conjunction (rule distillation). With a `name` the model
+    * persists under the store ([[Engine.trainQualityModel]], listable
+    * at GET /api/quality); without one the call is stateless. Responds
+    * with the weights JSON either way, which feeds
+    * `/api/text/quality-score`. */
   private def postQualityModel(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
-    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val source = require(body, "source").asText()
     val textCol = require(body, "textCol").asText()
-    val labeled = opt(body, "labelCol") match {
-      case Some(lc) =>
-        df.select(col(textCol), col(lc.asText()).as("__label__"))
+    val labelCol = opt(body, "labelCol").map(_.asText())
+    val model = opt(body, "name") match {
+      case Some(n) =>
+        engine.trainQualityModel(n.asText(), source, textCol, labelCol)
       case None =>
-        val (_, rules) = graft.ext.TextAnalysis.gopherRules(col(textCol))
-        df.filter(col(textCol).isNotNull)
-          .select(col(textCol), rules.map(_._2).reduce(_ && _).as("__label__"))
+        val df = engine.readTable(Seq(source))
+        val labeled = labelCol match {
+          case Some(lc) => df.select(col(textCol), col(lc).as("__label__"))
+          case None =>
+            val (_, rules) = graft.ext.TextAnalysis.gopherRules(col(textCol))
+            df.filter(col(textCol).isNotNull)
+              .select(col(textCol),
+                rules.map(_._2).reduce(_ && _).as("__label__"))
+        }
+        graft.ext.QualityModel.train(labeled, textCol, "__label__")
     }
-    ok(ex, graft.ext.QualityModel.train(labeled, textCol, "__label__").toJson)
+    ok(ex, model.toJson)
   }
 
-  /** Score a stored table under explicit weights (from
-    * `/api/text/quality-model` or any external training run). */
+  /** Score a stored table under a persisted `model` name or explicit
+    * `weights` (from `/api/text/quality-model` or any external run). */
   private def postQualityScore(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val df = engine.readTable(Seq(require(body, "source").asText()))
-    val ws = require(body, "weights").elements().asScala
-      .map(_.asDouble()).toArray
+    val model = opt(body, "model") match {
+      case Some(n) => engine.store.loadQualityModel(n.asText())
+      case None => graft.ext.QualityModel.Logistic(
+        require(body, "weights").elements().asScala.map(_.asDouble()).toArray)
+    }
     okRows(ex, graft.ext.QualityModel.score(df,
       require(body, "idCol").asText(), require(body, "textCol").asText(),
-      graft.ext.QualityModel.Logistic(ws)))
+      model))
   }
 
   private def postFingerprints(ex: HttpExchange): Unit = {

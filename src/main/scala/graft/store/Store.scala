@@ -358,6 +358,29 @@ class Store(val spark: SparkSession, val root: String) {
       .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
   }
 
+  // ——— quality classifier models (model-based filtering) ———
+
+  def qualityModelPath(name: String): String =
+    s"$root/models/quality/${safeSeg(name)}.json"
+
+  def saveQualityModel(name: String,
+      model: graft.ext.QualityModel.Logistic): Unit =
+    writeSidecar(qualityModelPath(name), model.toJson.getBytes("UTF-8"))
+
+  def loadQualityModel(name: String): graft.ext.QualityModel.Logistic =
+    graft.ext.QualityModel.fromJson(
+      new String(readSidecar(qualityModelPath(name)), "UTF-8"))
+
+  def listQualityModels(): Seq[String] = {
+    val p = new Path(s"$root/models/quality")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath.getName.stripSuffix(".json")).toSeq.sorted
+  }
+
+  def dropQualityModel(name: String): Unit =
+    fs.delete(new Path(qualityModelPath(name)), false)
+
   def dropNgramModel(name: String): Unit = {
     ngramModelCache.remove(name)
     fs.delete(new Path(ngramModelPath(name)), false)

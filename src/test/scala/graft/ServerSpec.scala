@@ -758,6 +758,28 @@ class ServerSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(wireQ.toMap == libQ, s"wire $wireQ vs library $libQ")
 
+    // persisted form: train under a name, list it, score by model name
+    val (pc, pBody) = send("POST", "/text/quality-model",
+      """{"name":"wire_qm1","source":"wire_samp","textCol":"text"}""")
+    assert(pc == 200, pBody)
+    val (lc2, lBody) = send("GET", "/quality")
+    assert(lc2 == 200 && mapper.readTree(lBody).get("models").toString
+      .contains("wire_qm1"), lBody)
+    val (mc, mBody) = send("POST", "/text/quality-score",
+      """{"source":"wire_samp","idCol":"doc_id","textCol":"text",
+          "model":"wire_qm1"}""")
+    assert(mc == 200, mBody)
+    val wireM = new scala.collection.mutable.HashMap[Long, Double]
+    mapper.readTree(mBody).get("rows").elements()
+      .forEachRemaining(n => wireM(n.get("doc_id").asLong()) =
+        n.get("quality_prob").asDouble())
+    // wire scoring under the model NAME == library scoring under the
+    // loaded persisted model (exact same weights by construction)
+    val libM = graft.ext.QualityModel.score(df, "doc_id", "text",
+        engine.store.loadQualityModel("wire_qm1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wireM.toMap == libM, s"wire $wireM vs library $libM")
+
     assert(send("DELETE", "/tables/wire_samp")._1 == 200)
   }
 }
