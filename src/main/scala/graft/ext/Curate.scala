@@ -60,7 +60,13 @@ object Curate {
       minWords: Int = 50,
       maxWords: Int = 100000,
       minStopwords: Int = 2,
-      dropUnknownLang: Boolean = true)
+      dropUnknownLang: Boolean = true,
+      // optional model tier AFTER the rule tier: a trained
+      // [[QualityModel.Logistic]] appends quality_prob and drops docs
+      // under minQualityProb (rules gate the obvious junk; the model
+      // ranks what survives — the FineWeb-style two-tier filter)
+      qualityModel: Option[QualityModel.Logistic] = None,
+      minQualityProb: Double = 0.5)
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -134,7 +140,17 @@ object Curate {
     val out = dc.filter(col(textCol).isNotNull && keep)
       .withColumn("n_words", nW.cast("long"))
       .withColumn("lang_pred", TextAnalysis.langId(col(textCol)))
-    if (cfg.dropUnknownLang) out.filter(col("lang_pred") =!= "und") else out
+    val langed =
+      if (cfg.dropUnknownLang) out.filter(col("lang_pred") =!= "und") else out
+    cfg.qualityModel match {
+      case Some(m) => // model tier: still one narrow map, no join
+        require(idCol != "quality_prob" && textCol != "quality_prob",
+          "rename the id/text columns apart from the appended quality_prob")
+        langed
+          .withColumn("quality_prob", QualityModel.scoreExpr(textCol, m))
+          .filter(col("quality_prob") >= cfg.minQualityProb)
+      case None => langed
+    }
   }
 
   /** Arrival-vs-corpus curation — the ingest twin of [[curate]], run per

@@ -123,15 +123,20 @@ object QualityModel {
     Logistic(w)
   }
 
-  /** Score every document: (idCol, out = round(σ(w·x), 6)). One narrow
-    * codegen map; weights are literals in the plan. */
-  def score(df: DataFrame, idCol: String, textCol: String, model: Logistic,
-      out: String = "quality_prob"): DataFrame = {
+  /** The scoring expression alone — round(σ(w·x), 6) over `textCol` —
+    * so wider plans (e.g. [[Curate]]'s one-pass assembly) can append the
+    * score as a narrow column instead of joining a scored projection. */
+  def scoreExpr(textCol: String, model: Logistic): Column = {
     val fs = featureCols(textCol)
     val z = fs.zipWithIndex.foldLeft(lit(model.weights(0)): Column) {
       case (acc, (f, i)) => acc + lit(model.weights(i + 1)) * f
     }
-    df.select(col(idCol),
-      round(lit(1.0) / (lit(1.0) + exp(-z)), 6).as(out))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
   }
+
+  /** Score every document: (idCol, out = round(σ(w·x), 6)). One narrow
+    * codegen map; weights are literals in the plan. */
+  def score(df: DataFrame, idCol: String, textCol: String, model: Logistic,
+      out: String = "quality_prob"): DataFrame =
+    df.select(col(idCol), scoreExpr(textCol, model).as(out))
 }

@@ -621,7 +621,12 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       maxWords = intOr(body, "maxWords", 100000),
       minStopwords = intOr(body, "minStopwords", 2),
       dropUnknownLang =
-        opt(body, "dropUnknownLang").forall(_.asBoolean()))
+        opt(body, "dropUnknownLang").forall(_.asBoolean()),
+      // optional model tier: a persisted quality-model name + threshold
+      qualityModel = opt(body, "qualityModel")
+        .map(n => engine.store.loadQualityModel(n.asText())),
+      minQualityProb =
+        opt(body, "minQualityProb").map(_.asDouble()).getOrElse(0.5))
     opt(body, "dest") match {
       case Some(d) =>
         val n = engine.curateTable(source, d.asText(), bench,

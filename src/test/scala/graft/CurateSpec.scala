@@ -39,6 +39,26 @@ class CurateSpec extends SparkSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "n_words", "lang_pred"))
   }
 
+  test("optional quality-model tier filters by score, appends quality_prob") {
+    val model = graft.ext.QualityModel.Logistic(Array(0.0, 2.0, -4.0, 1.0))
+    // expected = the default pipeline's survivors, re-filtered by the
+    // standalone scorer at the same threshold
+    val base = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+      "text", cfg)
+    val thr = 0.5
+    val expected = graft.ext.QualityModel.score(base, "doc_id", "text", model)
+      .filter(col("quality_prob") >= thr)
+      .as[(Long, Double)].collect().toMap
+    val got = Curate.curate(docs, "doc_id", "text", bench, "doc_id", "text",
+        cfg.copy(qualityModel = Some(model), minQualityProb = thr))
+      .select("doc_id", "quality_prob").as[(Long, Double)].collect().toMap
+    assert(got == expected, s"got $got want $expected")
+    assert(got.nonEmpty, "fixture must keep at least one doc")
+    // a hostile threshold drops everything — the tier really gates
+    assert(Curate.curate(docs, "doc_id", "text", bench, "doc_id", "text",
+      cfg.copy(qualityModel = Some(model), minQualityProb = 1.1)).isEmpty)
+  }
+
   test("dropUnknownLang=false keeps the 'und' doc") {
     val out = Curate.curate(docs, "doc_id", "text",
       bench, "doc_id", "text", cfg.copy(dropUnknownLang = false))
