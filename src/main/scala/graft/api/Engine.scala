@@ -187,6 +187,14 @@ class Engine(val spark: SparkSession, val root: String) {
 
   def listQualityModels(): Seq[String] = store.listQualityModels()
 
+  /** Per-group audit profile of a stored table
+    * ([[graft.ext.TextAnalysis.corpusProfile]]) — run it before/after
+    * curation steps; every metric is an exact integer. */
+  def profileTable(source: String, textCol: String, groupCols: Seq[String],
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame =
+    graft.ext.TextAnalysis.corpusProfile(store.loadTable(source), textCol,
+      groupCols, minWords, maxWords)
+
   /** Semantic dedup of a stored table at scale ([[graft.ext.Dedup
     * .semanticDedup]] with buckets = the IVF cells of a trained coding —
     * the SemDeDup paper's exact setting: k-means-cluster the embeddings,

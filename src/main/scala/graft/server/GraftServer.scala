@@ -128,6 +128,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "text" :: "curate" :: Nil)        => postCurate(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "sample" :: "budget" :: Nil)  => postBudget(ex)
+        case ("POST", "text" :: "profile" :: Nil)       => postProfile(ex)
         case ("POST", "text" :: "quality-model" :: Nil) => postQualityModel(ex)
         case ("POST", "text" :: "quality-score" :: Nil) => postQualityScore(ex)
         case ("GET", "quality" :: Nil) =>
@@ -684,6 +685,19 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       require(body, "keyCol").asText(), require(body, "domainCol").asText(),
       require(body, "textCol").asText(), budgets,
       salt = opt(body, "salt").map(_.asText()).getOrElse("")))
+  }
+
+  /** Per-group corpus audit profile
+    * ([[graft.ext.TextAnalysis.corpusProfile]]). */
+  private def postProfile(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val groupCols = require(body, "groupCols").elements().asScala
+      .map(_.asText()).toSeq
+    okRows(ex, engine.profileTable(
+      require(body, "source").asText(),
+      require(body, "textCol").asText(), groupCols,
+      minWords = intOr(body, "minWords", 50),
+      maxWords = intOr(body, "maxWords", 100000)))
   }
 
   /** Train the logistic quality classifier on a stored table; labels

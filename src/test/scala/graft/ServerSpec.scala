@@ -758,6 +758,21 @@ class ServerSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(wireQ.toMap == libQ, s"wire $wireQ vs library $libQ")
 
+    // corpus profile route — exact integer metrics per group
+    val (fc, fBody) = send("POST", "/text/profile",
+      """{"source":"wire_samp","textCol":"text","groupCols":["src"],
+          "minWords":3,"maxWords":100}""")
+    assert(fc == 200, fBody)
+    val wireP = new scala.collection.mutable.HashMap[String, (Long, Long)]
+    mapper.readTree(fBody).get("rows").elements()
+      .forEachRemaining(n => wireP(n.get("src").asText()) =
+        (n.get("n_docs").asLong(), n.get("n_tokens").asLong()))
+    val libP = graft.ext.TextAnalysis.corpusProfile(df, "text", Seq("src"),
+        minWords = 3, maxWords = 100)
+      .select("src", "n_docs", "n_tokens")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wireP.toMap == libP, s"wire $wireP vs library $libP")
+
     // persisted form: train under a name, list it, score by model name
     val (pc, pBody) = send("POST", "/text/quality-model",
       """{"name":"wire_qm1","source":"wire_samp","textCol":"text"}""")
