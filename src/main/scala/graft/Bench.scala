@@ -128,7 +128,8 @@ object Bench {
       sampleSize = 200, shingleSize = 1, threshold = 0.5)
     // LSH vs exact near-dup at the 100k scale where n² visibly loses
     // (run once each — the exact baseline is the expensive side).
-    val nearDup = NearDupBench.run(spark) ++ NearDupBench.gateRun(spark)
+    val nearDup = NearDupBench.run(spark) ++ NearDupBench.gateRun(spark) ++
+      NearDupBench.deconRun(spark)
     val ndJson = nearDup.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(",")
     // Recall-vs-budget curve at soak scale (1M): the SQ8 tier's

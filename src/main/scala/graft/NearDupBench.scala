@@ -138,6 +138,63 @@ object NearDupBench {
       "gate_flagged" -> flagged.size.toDouble)
   }
 
+  /** Broadcast-vs-bloom decontamination at 100k corpus docs × a 20k-doc
+    * benchmark (~0.6 M distinct grams): measures the Bloom scale tier
+    * ([[graft.ext.TextAnalysis.containmentWithBloom]]) against the
+    * broadcast path on identical inputs and VERIFIES the outputs are
+    * row-identical (the tier's contract: fpp tunes shuffle volume, never
+    * the answer). Half the benchmark docs are verbatim 15-word spans of
+    * corpus docs (containment 1.0), half novel. */
+  def deconRun(spark: SparkSession): Seq[(String, Double)] = {
+    import graft.ext.TextAnalysis
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val n = NumVectors.toLong; val nBench = (n / 5).toInt
+    def text(seed: Long): String = {
+      val rnd = new java.util.Random(seed * 0x9E3779B97F4A7C15L + 13L)
+      Array.fill(30)("w" + rnd.nextInt(50000)).mkString(" ")
+    }
+    val corpusGen = udf { (id: Long) => text(id) }
+    val benchGen = udf { (id: Long) =>
+      if (id % 2 == 0) text((id * 13L) % n).split(" ").take(15).mkString(" ")
+      else text(2L * n + id * 7L + 3L)
+    }
+    val par = spark.sparkContext.defaultParallelism
+    val corpusDf = spark.range(n).toDF("ref_id").repartition(par)
+      .withColumn("ref_text", corpusGen(col("ref_id")))
+    val bench = spark.range(nBench.toLong).toDF("bench_id").repartition(par)
+      .withColumn("btext", benchGen(col("bench_id")))
+    val (bcRows, tBroadcast) = time {
+      TextAnalysis.ngramContainment(corpusDf, "ref_id", "ref_text",
+        bench, "bench_id", "btext", 2, 0.8).count()
+    }
+    val (grams, tArtifact) = time {
+      val g = TextAnalysis.benchGrams(bench, "bench_id", "btext", 2).cache()
+      g.count(); g
+    }
+    val (bloom, tBloom) = time { TextAnalysis.buildGramBloom(grams, 1e-3) }
+    val (blRows, tScore) = time {
+      TextAnalysis.containmentWithBloom(corpusDf, "ref_id", "ref_text",
+        grams, "bench_id", 2, 0.8, bloom).count()
+    }
+    // row-identical, not just count-identical
+    val a = TextAnalysis.ngramContainment(corpusDf, "ref_id", "ref_text",
+      bench, "bench_id", "btext", 2, 0.8)
+    val b = TextAnalysis.containmentWithBloom(corpusDf, "ref_id", "ref_text",
+      grams, "bench_id", 2, 0.8, bloom)
+    val equal = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty &&
+      bcRows == blRows
+    grams.unpersist(blocking = false)
+    Seq(
+      s"decon_broadcast_${NumVectors}_sec" -> tBroadcast,
+      "decon_bloom_artifact_sec" -> tArtifact,
+      "decon_bloom_build_sec" -> tBloom,
+      "decon_bloom_score_sec" -> tScore,
+      "decon_rows" -> bcRows.toDouble,
+      "decon_paths_equal" -> (if (equal) 1.0 else 0.0))
+  }
+
   /** Standalone entry point for measuring outside the full Bench run. */
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -149,6 +206,7 @@ object NearDupBench {
     spark.sparkContext.setLogLevel("WARN")
     println(run(spark).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     println(gateRun(spark).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
+    println(deconRun(spark).map { case (k, v) => f"$k=$v%.3f" }.mkString(" "))
     spark.stop()
   }
 }
