@@ -66,7 +66,13 @@ object Curate {
       // under minQualityProb (rules gate the obvious junk; the model
       // ranks what survives — the FineWeb-style two-tier filter)
       qualityModel: Option[QualityModel.Logistic] = None,
-      minQualityProb: Double = 0.5)
+      minQualityProb: Double = 0.5,
+      // Some(fpp) routes the decontamination stage through the Bloom
+      // scale tier ([[TextAnalysis.ngramContainmentLarge]]) instead of
+      // the exploded-gram broadcast — for benchmarks too big to
+      // broadcast. Identical output at any fpp (the tier's contract),
+      // so the pipeline's oracle mirror is unchanged.
+      deconBloomFpp: Option[Double] = None)
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -106,15 +112,19 @@ object Curate {
         cfg.maxBucket)
       .select(col("id_b").as(idCol)).distinct()
 
-    // 3 — decontamination drop set (containment >= threshold)
-    val contamDrop = TextAnalysis.ngramContainment(
-        docs.select(col(idCol).as("__corpus_id__"), col(textCol)),
-        "__corpus_id__", textCol,
-        bench.select(col(benchIdCol).as("__bench_id__"),
-          col(benchTextCol).as(textCol)),
-        "__bench_id__", textCol,
-        cfg.contamNgram, cfg.contamThreshold)
-      .select(col("__corpus_id__").as(idCol)).distinct()
+    // 3 — decontamination drop set (containment >= threshold); the
+    // bloom tier produces the identical set when configured
+    val corpusSide = docs.select(col(idCol).as("__corpus_id__"), col(textCol))
+    val benchSide = bench.select(col(benchIdCol).as("__bench_id__"),
+      col(benchTextCol).as(textCol))
+    val contamDrop = (cfg.deconBloomFpp match {
+      case Some(fpp) => TextAnalysis.ngramContainmentLarge(
+        corpusSide, "__corpus_id__", textCol, benchSide, "__bench_id__",
+        textCol, cfg.contamNgram, cfg.contamThreshold, fpp)
+      case None => TextAnalysis.ngramContainment(
+        corpusSide, "__corpus_id__", textCol, benchSide, "__bench_id__",
+        textCol, cfg.contamNgram, cfg.contamThreshold)
+    }).select(col("__corpus_id__").as(idCol)).distinct()
 
     // 4–5 assemble: one pass over the base scan against the id-sets,
     // then the per-row quality/language maps

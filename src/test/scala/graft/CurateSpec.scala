@@ -39,6 +39,15 @@ class CurateSpec extends SparkSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "n_words", "lang_pred"))
   }
 
+  test("bloom-tier decontamination yields identical survivors at coarse fpp") {
+    val base = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+        "text", cfg).orderBy("doc_id").collect().toSeq
+    val bloom = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+        "text", cfg.copy(deconBloomFpp = Some(0.4)))
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == base, s"bloom $bloom vs broadcast $base")
+  }
+
   test("optional quality-model tier filters by score, appends quality_prob") {
     val model = graft.ext.QualityModel.Logistic(Array(0.0, 2.0, -4.0, 1.0))
     // expected = the default pipeline's survivors, re-filtered by the
