@@ -165,14 +165,8 @@ class Engine(val spark: SparkSession, val root: String) {
   def trainQualityModel(name: String, source: String, textCol: String,
       labelCol: Option[String] = None): graft.ext.QualityModel.Logistic = {
     store.qualityModelPath(name) // validate the name BEFORE the training job
-    val df = store.loadTable(source)
-    val labeled = labelCol match {
-      case Some(lc) => df.select(col(textCol), col(lc).as("__label__"))
-      case None =>
-        val (_, rules) = graft.ext.TextAnalysis.gopherRules(col(textCol))
-        df.filter(col(textCol).isNotNull)
-          .select(col(textCol), rules.map(_._2).reduce(_ && _).as("__label__"))
-    }
+    val labeled = graft.ext.QualityModel.labeledFrame(
+      store.loadTable(source), textCol, labelCol)
     val model = graft.ext.QualityModel.train(labeled, textCol, "__label__")
     store.saveQualityModel(name, model)
     model

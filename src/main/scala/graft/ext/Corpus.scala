@@ -245,7 +245,10 @@ object Corpus {
     require(domains.nonEmpty, "temperatureMixture: empty domains")
     require(temperature > 0 && temperature <= 1,
       s"temperatureMixture: temperature must be in (0,1], got $temperature")
-    val ds = domains.sorted
+    // dedupe: a repeated domain name would double-count its token mass
+    // in `total` and silently skew every share (the Seq form can receive
+    // duplicates — raw JSON over the wire — unlike mixtureSample's Map)
+    val ds = domains.distinct.sorted
     val counts = df.filter(col(domainCol).isin(ds: _*))
       .groupBy(col(domainCol).cast("string").as("d"))
       .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))

@@ -219,10 +219,25 @@ object Curate {
         cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
         cfg.maxBucket)
       .select(col(idCol)).distinct()
-    val contamDrop = graft.streaming.Streams.decontaminateGate(
-        base, idCol, textCol, bench, benchIdCol, benchTextCol,
-        cfg.contamNgram, cfg.contamThreshold)
-      .select(col(idCol)).distinct()
+    val contamDrop = (cfg.deconBloomFpp match {
+      case Some(fpp) => // bloom tier for benchmarks above the gate's
+        // collect cap — identical output, batch-legal in foreachBatch.
+        // NOTE: per-call bloom build; a long-running stream with a huge
+        // benchmark should prefer Streams.decontaminateGateForEachBatch,
+        // which builds and broadcasts the bloom once.
+        TextAnalysis.ngramContainmentLarge(
+          base.select(col(idCol).as("__corpus_id__"), col(textCol)),
+          "__corpus_id__", textCol,
+          bench.select(col(benchIdCol).as("__bench_id__"),
+            col(benchTextCol).as(textCol)),
+          "__bench_id__", textCol,
+          cfg.contamNgram, cfg.contamThreshold, fpp)
+          .select(col("__corpus_id__").as(idCol))
+      case None => graft.streaming.Streams.decontaminateGate(
+          base, idCol, textCol, bench, benchIdCol, benchTextCol,
+          cfg.contamNgram, cfg.contamThreshold)
+        .select(col(idCol))
+    }).distinct()
     val survivors = base
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(ndDrop, Seq(idCol), "left_anti")

@@ -63,6 +63,23 @@ object QualityModel {
       when(nTokens > 0, nStop.cast("double") / nTokens).otherwise(0.0))
   }
 
+  /** Labeled (textCol, __label__) training frame: explicit `labelCol`
+    * when given, else weak labels from the Gopher rule conjunction
+    * (rule distillation — the no-labeled-data default). ONE shared
+    * construction for the engine verb, the wire route and ad-hoc
+    * callers, so named and stateless training can never drift. The
+    * weak path must drop null text (the rules need text); explicit
+    * labels keep every labeled row (null text = all-zero features,
+    * still a valid example). */
+  def labeledFrame(df: DataFrame, textCol: String,
+      labelCol: Option[String]): DataFrame = labelCol match {
+    case Some(lc) => df.select(col(textCol), col(lc).as("__label__"))
+    case None =>
+      val (_, rules) = TextAnalysis.gopherRules(col(textCol))
+      df.filter(col(textCol).isNotNull)
+        .select(col(textCol), rules.map(_._2).reduce(_ && _).as("__label__"))
+  }
+
   /** Train by IRLS. `labelCol` must be boolean/0-1 castable to double.
     * `l2` regularizes the Newton system (and handles separable data);
     * the bias is regularized too — acceptable at these magnitudes and
@@ -72,10 +89,13 @@ object QualityModel {
     require(iters >= 1, s"train: iters must be >= 1, got $iters")
     require(l2 > 0, s"train: l2 must be > 0, got $l2")
     val fs = featureCols(textCol)
+    // persist (not localCheckpoint): unpersist below actually releases
+    // the blocks when training ends — a localCheckpoint would pin them
+    // until RDD GC, which in a long-lived server is unbounded
     val base = df.select(
       (col(labelCol).cast("double").as("y") +:
         fs.zipWithIndex.map { case (f, i) => f.as(s"f${i + 1}") }): _*)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
     require(n > 0, "train: empty training frame")
     val w = Array.fill(4)(0.0)
@@ -119,7 +139,7 @@ object QualityModel {
       }
       for (i <- 0 until 4) w(i) += delta(i)
     }
-    base.unpersist()
+    base.unpersist(blocking = false)
     Logistic(w)
   }
 

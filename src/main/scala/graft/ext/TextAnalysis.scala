@@ -377,12 +377,24 @@ object TextAnalysis {
   def containmentWithBloom(
       corpus: DataFrame, corpusId: String, corpusText: String,
       bGrams: DataFrame, benchId: String, n: Int, threshold: Double,
-      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+    containmentWithBloomBc(corpus, corpusId, corpusText, bGrams, benchId,
+      n, threshold, corpus.sparkSession.sparkContext.broadcast(bloom))
+
+  /** [[containmentWithBloom]] over a caller-held `Broadcast` — for
+    * long-lived callers (the streaming gate) that must ship the bloom to
+    * executors ONCE and reuse it across many invocations instead of
+    * leaking one broadcast per call. */
+  def containmentWithBloomBc(
+      corpus: DataFrame, corpusId: String, corpusText: String,
+      bGrams: DataFrame, benchId: String, n: Int, threshold: Double,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]): DataFrame = {
     require(corpusId != benchId,
       s"rename the id columns apart (both are '$corpusId')")
     val bTotals = bGrams.groupBy(benchId).agg(count(lit(1)).as("b_total"))
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bc.value.mightContainString(g))
+    val mightContain =
+      udf((g: String) => g != null && bloomBc.value.mightContainString(g))
     distinctNgrams(corpus, corpusId, corpusText, n, "ngram")
       .filter(mightContain(col("ngram")))
       .join(bGrams, Seq("ngram"))
@@ -394,14 +406,17 @@ object TextAnalysis {
   }
 
   /** Frame-to-frame convenience over [[containmentWithBloom]]: derives
-    * the gram table (checkpointed — it feeds the bloom build, the totals
-    * agg and the verify join) and the bloom from the benchmark frame.
-    * Use the artifact form directly when the grams are already persisted. */
+    * the gram table and the bloom from the benchmark frame. The gram
+    * derivation deliberately RECOMPUTES (bloom sizing, bloom build,
+    * verify join) rather than checkpointing: the benchmark is the small
+    * side by definition, and a localCheckpoint would pin corpus-lifetime
+    * blocks in a long-lived server with no reliable release. Use the
+    * artifact form directly when the grams are already persisted. */
   def ngramContainmentLarge(
       corpus: DataFrame, corpusId: String, corpusText: String,
       bench: DataFrame, benchId: String, benchText: String,
       n: Int, threshold: Double, fpp: Double = 1e-3): DataFrame = {
-    val bGrams = benchGrams(bench, benchId, benchText, n).localCheckpoint()
+    val bGrams = benchGrams(bench, benchId, benchText, n)
     containmentWithBloom(corpus, corpusId, corpusText, bGrams, benchId, n,
       threshold, buildGramBloom(bGrams, fpp))
   }

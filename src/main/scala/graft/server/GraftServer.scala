@@ -627,7 +627,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       qualityModel = opt(body, "qualityModel")
         .map(n => engine.store.loadQualityModel(n.asText())),
       minQualityProb =
-        opt(body, "minQualityProb").map(_.asDouble()).getOrElse(0.5))
+        opt(body, "minQualityProb").map(_.asDouble()).getOrElse(0.5),
+      // optional bloom decontamination tier for oversized benchmarks
+      deconBloomFpp = opt(body, "deconBloomFpp").map(_.asDouble()))
     opt(body, "dest") match {
       case Some(d) =>
         val n = engine.curateTable(source, d.asText(), bench,
@@ -640,8 +642,11 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     }
   }
 
-  /** Deterministic domain-mixture resampling
-    * ([[graft.ext.Corpus.mixtureSample]]); weights = {"domain": share}. */
+  /** Deterministic domain-mixture resampling. Two forms: explicit
+    * target `weights` = {"domain": share}
+    * ([[graft.ext.Corpus.mixtureSample]]), or `temperature` +
+    * `domains` + `textCol` for token-mass share^τ resampling
+    * ([[graft.ext.Corpus.temperatureMixture]]). */
   private def postMixture(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val df = engine.readTable(Seq(require(body, "source").asText()))
@@ -668,9 +673,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     }
   }
 
-  /** Temperature-mixture form lives here too: with a `temperature` (and
-    * `domains` + `textCol`), resample by token mass toward share^τ
-    * ([[graft.ext.Corpus.temperatureMixture]]). */
+  /** Per-domain token-budget cut
+    * ([[graft.ext.Corpus.tokenBudgetSample]]); budgets =
+    * {"domain": tokenCount}. */
   private def postBudget(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val df = engine.readTable(Seq(require(body, "source").asText()))
@@ -716,16 +721,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       case Some(n) =>
         engine.trainQualityModel(n.asText(), source, textCol, labelCol)
       case None =>
-        val df = engine.readTable(Seq(source))
-        val labeled = labelCol match {
-          case Some(lc) => df.select(col(textCol), col(lc).as("__label__"))
-          case None =>
-            val (_, rules) = graft.ext.TextAnalysis.gopherRules(col(textCol))
-            df.filter(col(textCol).isNotNull)
-              .select(col(textCol),
-                rules.map(_._2).reduce(_ && _).as("__label__"))
-        }
-        graft.ext.QualityModel.train(labeled, textCol, "__label__")
+        graft.ext.QualityModel.train(
+          graft.ext.QualityModel.labeledFrame(
+            engine.readTable(Seq(source)), textCol, labelCol),
+          textCol, "__label__")
     }
     ok(ex, model.toJson)
   }

@@ -467,11 +467,15 @@ object Streams {
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(idCol != benchIdCol,
       s"rename the id columns apart (both are '$idCol')")
-    val bloom = graft.ext.TextAnalysis.buildGramBloom(benchGrams, fpp)
+    // built AND broadcast once — per-batch re-broadcast of a ~170 MB
+    // bloom would ship it to every executor every trigger and leak
+    // stale broadcast blocks for the stream's lifetime
+    val bloomBc = benchGrams.sparkSession.sparkContext.broadcast(
+      graft.ext.TextAnalysis.buildGramBloom(benchGrams, fpp))
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty)
-        sink(graft.ext.TextAnalysis.containmentWithBloom(batch, idCol,
-          textCol, benchGrams, benchIdCol, n, threshold, bloom))
+        sink(graft.ext.TextAnalysis.containmentWithBloomBc(batch, idCol,
+          textCol, benchGrams, benchIdCol, n, threshold, bloomBc))
   }
 
   /** Gap-based session windows per user (SURVEY §7 extension list).

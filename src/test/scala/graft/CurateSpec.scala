@@ -96,6 +96,12 @@ class CurateSpec extends SparkSuite {
       sigs, corpus, bench.withColumnRenamed("doc_id", "bench_id"),
       "bench_id", "text", cfg)
     assert(out.select("doc_id").as[Long].collect().toSeq == Seq(12L))
+    // the ingest twin honors the bloom decontamination tier too —
+    // identical survivors at a coarse fpp
+    val bloomOut = Curate.curateArrivals(arrivals, "doc_id", "text",
+      sigs, corpus, bench.withColumnRenamed("doc_id", "bench_id"),
+      "bench_id", "text", cfg.copy(deconBloomFpp = Some(0.4)))
+    assert(bloomOut.select("doc_id").as[Long].collect().toSeq == Seq(12L))
   }
 
   test("curateGateForEachBatch: streamed survivors == batch curateArrivals") {

@@ -83,6 +83,14 @@ class MixtureSpec extends SparkSuite {
       s"web should keep ≈600 (rate 1/3): $byDomain")
   }
 
+  test("temperatureMixture dedupes repeated domain names") {
+    val a = Corpus.temperatureMixture(texted, "id", "domain", "text",
+      Seq("web", "web", "books"), 0.5).select("id").as[Long].collect().toSet
+    val b = Corpus.temperatureMixture(texted, "id", "domain", "text",
+      Seq("web", "books"), 0.5).select("id").as[Long].collect().toSet
+    assert(a == b, "a duplicate domain must not double-count token mass")
+  }
+
   test("temperatureMixture at tau 1 keeps everything") {
     val kept = Corpus.temperatureMixture(texted, "id", "domain", "text",
       Seq("web", "books"), 1.0)
