@@ -1278,6 +1278,15 @@ object SparkEntry {
             minWords = 20, maxWords = 80))
         .select(col("doc_id"), col("lang_pred"), col("n_words"))
     }),
+    // —— drop attribution: every dropped doc + the FIRST stage that
+    // dropped it (the "why was my document removed" audit) ——
+    "curate_drops" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ext.Curate.curateDrops(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5), "doc_id", "text",
+        graft.ext.Curate.Config(jaccardThreshold = 0.35,
+          minWords = 20, maxWords = 80))
+    }),
     // —— the SAME curation as an ingest gate (streaming foreachBatch
     // body, run on its batch-identical path): arrivals = doc_id >= 250
     // gated against the < 250 corpus' persisted minhash signatures,
@@ -1584,6 +1593,27 @@ object SparkEntry {
         " SELECT dc.doc_id AS doc_id, p.lang_pred AS lang_pred, g.n_words AS n_words " +
         "FROM dc JOIN g4 g USING (doc_id) JOIN lpred p USING (doc_id) " +
         "WHERE g.keep AND p.lang_pred <> 'und'"),
+    // drop attribution: the SAME staged chains as curate_corpus, read
+    // through a precedence CASE — each stage's membership is consulted
+    // only for docs every earlier stage kept, which is exactly why the
+    // Spark side's full-corpus drop sets attribute identically
+    "curate_drops" ->
+      ("WITH ex AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text), " +
+        "exd AS (SELECT d.doc_id, d.text FROM documents d JOIN ex USING (doc_id)), " +
+        minhashBandedCte("exd") + ", " + minhashPairVerifyCte + ", " +
+        "nd AS (SELECT doc_id, text FROM exd WHERE doc_id NOT IN " +
+        "(SELECT id_b FROM ver WHERE j >= 0.35)), " +
+        containmentCte("nd",
+          "(SELECT doc_id, text FROM documents WHERE doc_id < 5)") + ", " +
+        gopherCte("documents") + ", " + langPredCte("documents") +
+        " SELECT doc_id, drop_stage FROM (SELECT d.doc_id, CASE " +
+        "WHEN d.doc_id NOT IN (SELECT doc_id FROM ex) THEN 'exact_dup' " +
+        "WHEN d.doc_id IN (SELECT id_b FROM ver WHERE j >= 0.35) THEN 'near_dup' " +
+        "WHEN d.doc_id IN (SELECT corpus_id FROM contam) THEN 'contaminated' " +
+        "WHEN d.text IS NULL OR NOT coalesce(g.keep, false) THEN 'quality' " +
+        "WHEN p.lang_pred = 'und' THEN 'language' END AS drop_stage " +
+        "FROM documents d LEFT JOIN g4 g USING (doc_id) " +
+        "LEFT JOIN lpred p USING (doc_id)) WHERE drop_stage IS NOT NULL"),
     // ingest-gate curation: in-batch exact dedup of the arrivals, then
     // the CROSS-side minhash flag chain (arrival >= 250 vs corpus < 250,
     // the dedup_stream_static shape), then the same containment / gopher

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation: the standard LLM-data cleaning
@@ -133,6 +133,75 @@ object Curate {
       .join(ndDrop, Seq(idCol), "left_anti")
       .join(contamDrop, Seq(idCol), "left_anti")
     qualityAndLang(survivors, idCol, textCol, cfg)
+  }
+
+  /** Drop ATTRIBUTION — the audit/explain twin of [[curate]]: one row
+    * per DROPPED document with the FIRST pipeline stage that drops it
+    * (`drop_stage` ∈ exact_dup, near_dup, contaminated, quality,
+    * language, model_quality — pipeline order; survivors are absent).
+    * [[curate]]'s ids and [[curateDrops]]'s ids partition the corpus:
+    * this is the "why was my document removed" report every curation
+    * run owes its operators, and the per-stage drop counts fall out of
+    * one groupBy over the result.
+    *
+    * Same one-pass id-set assembly as [[curate]] (the drop sets are
+    * computed from the base scan; per-row stages are pure expressions),
+    * so the plan adds only the three marker joins over the same
+    * subtrees. Stage attribution matches the staged-cascade semantics
+    * by the same argument as [[curate]]'s survivor equivalence: the
+    * full-corpus near-dup/contamination sets only differ from the
+    * staged ones on documents an EARLIER stage already dropped, and the
+    * `when` precedence consults each set only for documents that
+    * survived every earlier stage. */
+  def curateDrops(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      cfg: Config = Config()): DataFrame = {
+    require(idCol != "drop_stage" && textCol != "drop_stage",
+      "rename the id/text columns apart from the appended drop_stage")
+    val exactKeep = docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as(idCol)).select(idCol)
+    val ndDrop = Dedup.nearDupPairsMinhash(docs, idCol, textCol,
+        cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.jaccardThreshold,
+        cfg.maxBucket)
+      .select(col("id_b").as(idCol)).distinct()
+    val corpusSide = docs.select(col(idCol).as("__corpus_id__"), col(textCol))
+    val benchSide = bench.select(col(benchIdCol).as("__bench_id__"),
+      col(benchTextCol).as(textCol))
+    val contamDrop = (cfg.deconBloomFpp match {
+      case Some(fpp) => TextAnalysis.ngramContainmentLarge(
+        corpusSide, "__corpus_id__", textCol, benchSide, "__bench_id__",
+        textCol, cfg.contamNgram, cfg.contamThreshold, fpp)
+      case None => TextAnalysis.ngramContainment(
+        corpusSide, "__corpus_id__", textCol, benchSide, "__bench_id__",
+        textCol, cfg.contamNgram, cfg.contamThreshold)
+    }).select(col("__corpus_id__").as(idCol)).distinct()
+    val (_, rules) = TextAnalysis.gopherRules(col(textCol),
+      minWords = cfg.minWords, maxWords = cfg.maxWords,
+      minStopwords = cfg.minStopwords)
+    val ruleKeep = rules.map(_._2).reduce(_ && _)
+    val modelFail: Column = cfg.qualityModel match {
+      case Some(m) =>
+        QualityModel.scoreExpr(textCol, m) < cfg.minQualityProb
+      case None => lit(false)
+    }
+    val stage = when(col("__ex__").isNull, "exact_dup")
+      .when(col("__nd__").isNotNull, "near_dup")
+      .when(col("__ct__").isNotNull, "contaminated")
+      .when(col(textCol).isNull || !coalesce(ruleKeep, lit(false)), "quality")
+      .when(lit(cfg.dropUnknownLang) &&
+        TextAnalysis.langId(col(textCol)) === "und", "language")
+      .when(modelFail, "model_quality")
+    docs
+      .join(exactKeep.withColumn("__ex__", lit(true)), Seq(idCol), "left")
+      .join(ndDrop.withColumn("__nd__", lit(true)), Seq(idCol), "left")
+      .join(contamDrop.withColumn("__ct__", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), stage.as("drop_stage"))
+      .filter(col("drop_stage").isNotNull)
   }
 
   /** Stages 4–5 (Gopher quality rules + language id), shared by the

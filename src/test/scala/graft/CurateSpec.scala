@@ -39,6 +39,28 @@ class CurateSpec extends SparkSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "n_words", "lang_pred"))
   }
 
+  test("curateDrops: first-dropping-stage attribution partitions the corpus") {
+    val drops = Curate.curateDrops(docs, "doc_id", "text",
+        bench, "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(drops == Map(2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "contaminated", 5L -> "quality", 6L -> "language"),
+      s"got $drops")
+    val kept = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+        "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept ++ drops.keySet == (1L to 7L).toSet &&
+      kept.intersect(drops.keySet).isEmpty,
+      "curate and curateDrops must partition the corpus")
+    // model tier attribution: an impossible threshold claims the rest
+    val model = graft.ext.QualityModel.Logistic(Array(0.0, 1.0, -1.0, 1.0))
+    val withModel = Curate.curateDrops(docs, "doc_id", "text",
+        bench, "doc_id", "text",
+        cfg.copy(qualityModel = Some(model), minQualityProb = 1.1))
+      .as[(Long, String)].collect().toMap
+    assert(withModel(1L) == "model_quality" && withModel(7L) == "model_quality")
+  }
+
   test("bloom-tier decontamination yields identical survivors at coarse fpp") {
     val base = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
         "text", cfg).orderBy("doc_id").collect().toSeq
