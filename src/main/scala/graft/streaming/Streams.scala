@@ -243,6 +243,73 @@ object Streams {
         sink(graft.ext.Curate.curateArrivals(batch, idCol, textCol,
           refSigs, refTexts, bench, benchIdCol, benchTextCol, cfg, refFps))
 
+  /** Append the gate-ladder ARTIFACTS for newly accepted documents —
+    * minhash signatures (near-dup tier) and, when a path is given, text
+    * fingerprints (exact tier) — so the artifacts stay fresh as the
+    * corpus grows and the NEXT batch gates against a state that
+    * includes this batch's admissions. Plain append-mode parquet
+    * writes; exactly-once is the caller's foreachBatch/checkpoint
+    * contract. */
+  def appendGateArtifacts(accepted: DataFrame, idCol: String,
+      textCol: String, sigsPath: String, fpsPath: Option[String] = None,
+      numHashes: Int = 32, shingleSize: Int = 3): Unit = {
+    graft.ext.Dedup.minhashSignatures(
+        accepted.select(col(idCol).as("ref_id"), col(textCol).as("ref_text")),
+        "ref_id", "ref_text", numHashes, shingleSize)
+      .write.mode("append").parquet(sigsPath)
+    fpsPath.foreach(p =>
+      graft.ext.Dedup.textFingerprints(accepted, idCol, textCol)
+        .write.mode("append").parquet(p))
+  }
+
+  /** The curation gate CLOSED INTO A LOOP — [[curateGateForEachBatch]]
+    * plus state maintenance: each micro-batch (1) re-reads the ref
+    * table and artifacts (fresh file listing per batch — a static
+    * frame's cached file index would never see appends), (2) curates
+    * the arrivals against them, (3) appends the SURVIVORS to the ref
+    * table and their signatures/fingerprints to the artifacts, then
+    * (4) hands the survivors to `sink`. A near-dup of a document
+    * admitted three batches ago is now rejected — without maintenance
+    * the gate only knows the corpus state at stream start.
+    *
+    * `refTable` must be exactly (refIdCol, refTextCol) — the gate's
+    * reference state, not the full curated corpus (which `sink`
+    * typically builds with whatever extra columns it wants). */
+  def selfMaintainingCurateGate(
+      store: graft.store.Store, refTable: String,
+      refIdCol: String, refTextCol: String,
+      sigsPath: String, fpsPath: Option[String],
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      idCol: String, textCol: String,
+      cfg: graft.ext.Curate.Config = graft.ext.Curate.Config(),
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val refTexts = store.loadTable(refTable)
+          .select(col(refIdCol).as("ref_id"), col(refTextCol).as("ref_text"))
+        val refSigs = spark.read.parquet(sigsPath)
+        val refFps = fpsPath.map(p => spark.read.parquet(p))
+        // localCheckpoint (eager) is load-bearing here, not a cache: the
+        // survivor plan READS the very paths the maintenance step then
+        // APPENDS to, and Spark's recache-by-path would re-derive the
+        // plan over the grown artifacts — flagging each survivor as a
+        // near-dup of ITSELF and emptying the sink. Truncating lineage
+        // freezes the batch's decisions before any append. The blocks
+        // are released by the ContextCleaner when the per-batch RDD
+        // reference dies.
+        val survivors = graft.ext.Curate.curateArrivals(batch, idCol,
+            textCol, refSigs, refTexts, bench, benchIdCol, benchTextCol,
+            cfg, refFps)
+          .localCheckpoint(true)
+        survivors.select(col(idCol).as(refIdCol),
+            col(textCol).as(refTextCol))
+          .write.mode("append").parquet(store.tablePath(refTable))
+        appendGateArtifacts(survivors, idCol, textCol, sigsPath, fpsPath,
+          cfg.numHashes, cfg.shingleSize)
+        sink(survivors)
+      }
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
     * watermark (state is bounded by the watermark horizon — the only way
     * exact streaming dedup is safe at scale). Works on batch frames too
