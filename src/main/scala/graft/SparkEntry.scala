@@ -1024,6 +1024,21 @@ object SparkEntry {
       graft.ext.Corpus.tokenBudgetSample(tbl(s, dir, "documents"),
         "doc_id", "source", "text",
         Map("src0" -> 3000L, "src1" -> 1500L))),
+    // —— deterministic train/val/test split assignment ——
+    "sample_splits" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.assignSplits(tbl(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")),
+    // —— leakage-free splits: near-dup clusters move as one unit (split
+    // hash on the connected-component representative) ——
+    "sample_splits_grouped" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents").filter(col("doc_id") < 100)
+      val pairs = Dedup.ngramJaccardPairsExact(
+        docs, "doc_id", "text", shingleSize = 1, threshold = 0.6)
+      graft.ext.Corpus.assignSplitsByGroup(docs, "doc_id", pairs,
+        "id_a", "id_b", Seq("train" -> 0.5, "test" -> 0.5))
+        .select("doc_id", "split")
+    }),
     // —— balanced (stratified) sampling: n deterministic docs/stratum ——
     "balanced_sample" -> ((s: SparkSession, dir: String) =>
       graft.ext.Scale.balancedSample(
@@ -2180,6 +2195,34 @@ object SparkEntry {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d) " +
       "SELECT c.doc_id, c.source, c.n_tokens FROM c JOIN b USING (source) " +
       "WHERE c.cum - c.n_tokens < b.budget"),
+    // split assignment: the EXACT same boundary longs as the Scala side
+    // (Corpus.splitThresholds — the cumulative-sum float arithmetic
+    // happens once, its results are embedded as literals)
+    "sample_splits" -> {
+      val t = graft.ext.Corpus.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      "SELECT doc_id, CASE WHEN h < " + t(0) + " THEN 'train' " +
+        "WHEN h < " + t(1) + " THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, " + u60Sql("CAST(doc_id AS VARCHAR)") +
+        " AS h FROM documents)"
+    },
+    // leakage-free splits: the dedup_groups_cc recursive-CTE component
+    // chain supplies each doc's representative; the split hashes the REP
+    "sample_splits_grouped" -> {
+      val t = graft.ext.Corpus.splitThresholds(
+        Seq("train" -> 0.5, "test" -> 0.5))
+      "WITH RECURSIVE " +
+        "sh AS (SELECT doc_id, list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +
+        "FROM documents WHERE doc_id < 100), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sh a JOIN sh b ON a.doc_id < b.doc_id " +
+        "WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.6), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM sh " +
+        "UNION SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id), " +
+        "reps AS (SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id) " +
+        "SELECT doc_id, CASE WHEN " + u60Sql("CAST(rep AS VARCHAR)") +
+        " < " + t(0) + " THEN 'train' ELSE 'test' END AS split FROM reps"
+    },
     "balanced_sample" ->
       ("SELECT doc_id, lang, source FROM (" +
         "SELECT doc_id, lang, source, " +

@@ -355,6 +355,61 @@ object Corpus {
       .select(col(keyCol), col(domainCol), col("n_tokens"))
   }
 
+  /** The u60 interval boundaries for [[assignSplits]] — public so an
+    * oracle mirror can embed the EXACT same longs (the cumulative-sum
+    * float arithmetic must happen once, not be re-derived). Returns one
+    * boundary per split except the last (which takes the remainder). */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[Long] = {
+    require(splits.nonEmpty, "assignSplits: at least one split")
+    splits.foreach { case (s, w) =>
+      require(w > 0, s"assignSplits: weight for '$s' must be > 0, got $w")
+    }
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"assignSplits: duplicate split names in ${splits.map(_._1)}")
+    val total = splits.map(_._2).sum
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => (c / total * U60Denom).toLong)
+  }
+
+  /** Deterministic train/val/test SPLIT assignment: each row gets the
+    * label whose cumulative-weight interval contains its u60 key hash —
+    * disjoint, exhaustive, resume-stable (the md5 discipline of
+    * [[hashSample]]), and a different `salt` re-deals the split. One
+    * narrow map; nothing shuffles. Weights need not sum to 1. */
+  def assignSplits(df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], salt: String = "",
+      out: String = "split"): DataFrame = {
+    val thresholds = splitThresholds(splits)
+    val h = hashU60(concat(col(keyCol).cast("string"), lit(salt)))
+    val expr = thresholds.zip(splits.map(_._1))
+      .foldRight(lit(splits.last._1): Column) { case ((thr, name), acc) =>
+        when(h < lit(thr), lit(name)).otherwise(acc)
+      }
+    df.withColumn(out, expr)
+  }
+
+  /** LEAKAGE-FREE splits: near-duplicate clusters are assigned as a
+    * unit. The split hash is taken on each document's duplicate-group
+    * REPRESENTATIVE (connected components over `pairs`, min-id rep via
+    * [[Dedup.duplicateGroups]]), so two near-duplicates can never land
+    * in different splits — the classic train/test-contamination mistake
+    * that inflates held-out scores (a test doc whose near-copy sits in
+    * train). Documents in no pair are their own representative; the
+    * split RATIOS hold over clusters, not documents (a mega-cluster
+    * moves as one). Adds one bounded-iteration CC pass + an id-only
+    * join over [[assignSplits]]'s narrow map. */
+  def assignSplitsByGroup(df: DataFrame, keyCol: String,
+      pairs: DataFrame, aCol: String, bCol: String,
+      splits: Seq[(String, Double)], salt: String = "",
+      out: String = "split"): DataFrame = {
+    require(keyCol != "rep",
+      "assignSplitsByGroup: rename the key column apart from 'rep'")
+    val groups = Dedup.duplicateGroups(df.select(col(keyCol)), keyCol,
+      pairs, aCol, bCol)
+    assignSplits(df.join(groups, Seq(keyCol)), "rep", splits, salt, out)
+      .drop("rep")
+  }
+
   // ——— PII redaction ———
 
   /** Regex PII scrubbing: emails → `<EMAIL>`, IPv4 addresses → `<IP>`,

@@ -128,6 +128,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "text" :: "curate" :: Nil)        => postCurate(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "sample" :: "budget" :: Nil)  => postBudget(ex)
+        case ("POST", "sample" :: "splits" :: Nil)  => postSplits(ex)
         case ("POST", "text" :: "profile" :: Nil)       => postProfile(ex)
         case ("POST", "text" :: "quality-model" :: Nil) => postQualityModel(ex)
         case ("POST", "text" :: "quality-score" :: Nil) => postQualityScore(ex)
@@ -703,6 +704,19 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       require(body, "textCol").asText(), groupCols,
       minWords = intOr(body, "minWords", 50),
       maxWords = intOr(body, "maxWords", 100000)))
+  }
+
+  /** Deterministic split assignment
+    * ([[graft.ext.Corpus.assignSplits]]); splits = ordered
+    * [{"name": ..., "weight": ...}] (order defines the hash intervals). */
+  private def postSplits(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val splits = require(body, "splits").elements().asScala.map(n =>
+      require(n, "name").asText() -> require(n, "weight").asDouble()).toSeq
+    okRows(ex, graft.ext.Corpus.assignSplits(df,
+      require(body, "keyCol").asText(), splits,
+      salt = opt(body, "salt").map(_.asText()).getOrElse("")))
   }
 
   /** Train the logistic quality classifier on a stored table; labels

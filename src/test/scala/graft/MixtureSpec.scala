@@ -144,6 +144,50 @@ class MixtureSpec extends SparkSuite {
       Seq("books"))
   }
 
+  test("assignSplits: disjoint, exhaustive, ratio-true, salt re-deals") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Corpus.assignSplits(skewed, "id", splits)
+    assert(out.count() == 2000L, "every row gets exactly one split")
+    val byS = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > 1500 && byS("train") < 1700, s"80%: $byS")
+    // deterministic; a salt re-deals
+    val a = Corpus.assignSplits(skewed, "id", splits)
+      .as[(Long, String, String)].collect().toSet
+    val b = Corpus.assignSplits(skewed, "id", splits)
+      .as[(Long, String, String)].collect().toSet
+    assert(a == b)
+    val c = Corpus.assignSplits(skewed, "id", splits, salt = "s2")
+      .as[(Long, String, String)].collect().toSet
+    assert(a != c)
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(skewed, "id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.assignSplits(skewed, "id", Seq("a" -> 0.0))
+    }
+  }
+
+  test("assignSplitsByGroup: near-dup clusters never straddle a split") {
+    // 100 docs, pairs chaining (0,1), (2,3), ..., plus a 5-doc cluster
+    val docs = (0L until 100L).toDF("id")
+    val pairs = ((0L until 40L by 2).map(i => (i, i + 1)) ++
+      Seq((90L, 91L), (91L, 92L), (92L, 93L), (93L, 94L)))
+      .toDF("id_a", "id_b")
+    val out = Corpus.assignSplitsByGroup(docs, "id", pairs, "id_a", "id_b",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .as[(Long, String)].collect().toMap
+    assert(out.size == 100)
+    for (i <- 0L until 40L by 2)
+      assert(out(i) == out(i + 1), s"pair ($i,${i + 1}) straddles splits")
+    assert((90L to 94L).map(out).toSet.size == 1, "cluster must move as one")
+    // unpaired docs match the plain per-doc assignment
+    val plain = Corpus.assignSplits(docs, "id",
+        Seq("train" -> 0.5, "test" -> 0.5))
+      .as[(Long, String)].collect().toMap
+    for (i <- 50L until 90L) assert(out(i) == plain(i))
+  }
+
   test("tokenBudgetSample error contracts") {
     intercept[IllegalArgumentException] {
       Corpus.tokenBudgetSample(texted, "id", "domain", "text",

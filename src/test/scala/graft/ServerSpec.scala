@@ -758,6 +758,21 @@ class ServerSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(wireQ.toMap == libQ, s"wire $wireQ vs library $libQ")
 
+    // split assignment route — wire == library
+    val (vc, vBody) = send("POST", "/sample/splits",
+      """{"source":"wire_samp","keyCol":"doc_id","splits":
+         [{"name":"train","weight":0.8},{"name":"test","weight":0.2}]}""")
+    assert(vc == 200, vBody)
+    val wireS = new scala.collection.mutable.HashMap[Long, String]
+    mapper.readTree(vBody).get("rows").elements()
+      .forEachRemaining(n => wireS(n.get("doc_id").asLong()) =
+        n.get("split").asText())
+    val libS = graft.ext.Corpus.assignSplits(df, "doc_id",
+        Seq("train" -> 0.8, "test" -> 0.2))
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wireS.toMap == libS, s"wire $wireS vs library $libS")
+
     // corpus profile route — exact integer metrics per group
     val (fc, fBody) = send("POST", "/text/profile",
       """{"source":"wire_samp","textCol":"text","groupCols":["src"],
