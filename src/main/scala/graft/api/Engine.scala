@@ -48,6 +48,22 @@ class Engine(val spark: SparkSession, val root: String) {
     graft.sources.ArrowIpc.writeStream(store.loadTable(name), path,
       maxRecordsPerBatch)
 
+  /** Export a stored table as CSV or JSONL — Spark's `json` sink writes
+    * one object per line, the standard training-data delivery format.
+    * Distributed write, one file per partition; `shards > 0`
+    * repartitions first to bound the output file count (balanced by
+    * round-robin, so shard sizes stay even at any scale). Returns rows
+    * exported. Round-trips through [[importTable]]. */
+  def exportTable(name: String, path: String, format: String,
+      options: Map[String, String] = Map.empty, shards: Int = 0): Long = {
+    require(Set("csv", "json").contains(format),
+      s"unsupported export format '$format' (csv | json)")
+    val df0 = store.loadTable(name)
+    val df = if (shards > 0) df0.repartition(shards) else df0
+    df.write.mode("overwrite").options(options).format(format).save(path)
+    df0.count()
+  }
+
   def listTables(): Seq[String] = store.listTables()
   def dropTable(name: String): Unit = store.dropTable(name)
 

@@ -325,6 +325,40 @@ class ImportSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("csv/jsonl export round-trips through import") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-export")
+    val engine = new Engine(spark, dir.resolve("root").toString)
+    import spark.implicits._
+    val src = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("id", "name")
+    engine.makeTable("exp_src", src)
+    // JSONL: one object per line, shard count bounded
+    val nj = engine.exportTable("exp_src", dir.resolve("out_json").toString,
+      "json", shards = 1)
+    assert(nj == 3L)
+    val jsonFiles = Files.list(dir.resolve("out_json")).toArray
+      .map(_.toString).filter(_.endsWith(".json"))
+    assert(jsonFiles.length == 1, "shards=1 must produce one data file")
+    val lines = scala.io.Source.fromFile(jsonFiles(0)).getLines().toSeq
+    assert(lines.size == 3 && lines.forall(_.startsWith("{")))
+    engine.importTable("exp_back_j", dir.resolve("out_json").toString,
+      "json", "id LONG, name STRING")
+    assert(engine.readTable(Seq("exp_back_j")).as[(Long, String)]
+      .collect().toSet == src.as[(Long, String)].collect().toSet)
+    // CSV with header
+    engine.exportTable("exp_src", dir.resolve("out_csv").toString,
+      "csv", options = Map("header" -> "true"), shards = 1)
+    engine.importTable("exp_back_c", dir.resolve("out_csv").toString,
+      "csv", "id LONG, name STRING", Map("header" -> "true"))
+    assert(engine.readTable(Seq("exp_back_c")).as[(Long, String)]
+      .collect().toSet == src.as[(Long, String)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      engine.exportTable("exp_src", dir.resolve("nope").toString, "xml")
+    }
+    engine.remove()
+  }
+
   test("arrow ipc stream import round-trips schema and rows exactly") {
     import java.nio.file.Files
     import org.apache.arrow.memory.RootAllocator
