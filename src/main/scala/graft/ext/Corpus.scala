@@ -241,7 +241,7 @@ object Corpus {
     * corpus never shuffles. */
   def temperatureMixture(df: DataFrame, keyCol: String, domainCol: String,
       textCol: String, domains: Seq[String], temperature: Double,
-      salt: String = ""): DataFrame = {
+      salt: String = "", tokensCol: Option[String] = None): DataFrame = {
     require(domains.nonEmpty, "temperatureMixture: empty domains")
     require(temperature > 0 && temperature <= 1,
       s"temperatureMixture: temperature must be in (0,1], got $temperature")
@@ -249,9 +249,14 @@ object Corpus {
     // in `total` and silently skew every share (the Seq form can receive
     // duplicates — raw JSON over the wire — unlike mixtureSample's Map)
     val ds = domains.distinct.sorted
+    // token mass: whitespace tokenCount of textCol, or — when a
+    // precomputed count column is named (e.g. a trained-BPE count from
+    // [[graft.ext.Bpe]]) — that column directly
+    val tokExpr = tokensCol.map(c => col(c).cast("long"))
+      .getOrElse(TextAnalysis.tokenCount(col(textCol)).cast("long"))
     val counts = df.filter(col(domainCol).isin(ds: _*))
       .groupBy(col(domainCol).cast("string").as("d"))
-      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long")).as("t"))
+      .agg(sum(tokExpr).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val present = ds.filter(d => counts.getOrElse(d, 0L) > 0L)
     require(present.nonEmpty,
@@ -297,7 +302,8 @@ object Corpus {
     * uniform token lengths the default 1.3 verifies on the first pass). */
   def tokenBudgetSample(df: DataFrame, keyCol: String, domainCol: String,
       textCol: String, budgets: Map[String, Long], salt: String = "",
-      slack: Double = 1.3, maxWiden: Int = 6): DataFrame = {
+      slack: Double = 1.3, maxWiden: Int = 6,
+      tokensCol: Option[String] = None): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetSample: empty budgets")
     budgets.foreach { case (d, b) =>
       require(b > 0, s"tokenBudgetSample: budget for '$d' must be > 0, got $b")
@@ -305,9 +311,10 @@ object Corpus {
     require(slack > 1.0, s"tokenBudgetSample: slack must be > 1, got $slack")
     import org.apache.spark.sql.expressions.Window
     val ds = budgets.keys.toSeq.sorted
+    val tokExpr = tokensCol.map(c => col(c).cast("long"))
+      .getOrElse(TextAnalysis.tokenCount(col(textCol)).cast("long"))
     val base = df.filter(col(domainCol).isin(ds: _*))
-      .select(col(keyCol), col(domainCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+      .select(col(keyCol), col(domainCol), tokExpr.as("n_tokens"),
         hashU60(concat(col(keyCol).cast("string"), lit(salt))).as("__h__"))
     val totals = base
       .groupBy(col(domainCol).cast("string").as("d"))

@@ -126,6 +126,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "semantic-gate" :: Nil) => postSemanticGate(ex)
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
         case ("POST", "text" :: "curate" :: Nil)        => postCurate(ex)
+        case ("POST", "text" :: "curate-drops" :: Nil)  => postCurateDrops(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "sample" :: "budget" :: Nil)  => postBudget(ex)
         case ("POST", "sample" :: "splits" :: Nil)  => postSplits(ex)
@@ -606,15 +607,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * as a named table ([[graft.api.Engine.curateTable]]) and the row
     * count returned; without it the (response-capped) survivors come
     * back inline. */
-  private def postCurate(ex: HttpExchange): Unit = {
-    val body = mapper.readTree(readBody(ex))
-    val source = require(body, "source").asText()
-    val bench = require(body, "bench").asText()
-    val idCol = require(body, "idCol").asText()
-    val column = require(body, "column").asText()
-    val benchIdCol = require(body, "benchIdCol").asText()
-    val benchColumn = require(body, "benchColumn").asText()
-    val cfg = graft.ext.Curate.Config(
+  /** The curation Config fields shared by the curate and curate-drops
+    * routes — one parser so the two can never accept different knobs. */
+  private def curateCfg(body: JsonNode): graft.ext.Curate.Config =
+    graft.ext.Curate.Config(
       jaccardThreshold =
         opt(body, "jaccard").map(_.asDouble()).getOrElse(0.5),
       contamThreshold =
@@ -631,6 +627,30 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         opt(body, "minQualityProb").map(_.asDouble()).getOrElse(0.5),
       // optional bloom decontamination tier for oversized benchmarks
       deconBloomFpp = opt(body, "deconBloomFpp").map(_.asDouble()))
+
+  /** Drop attribution ([[graft.ext.Curate.curateDrops]]): every dropped
+    * doc + the first stage that dropped it — the "why was my document
+    * removed" audit over the wire. Same knobs as /text/curate. */
+  private def postCurateDrops(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Curate.curateDrops(
+      engine.readTable(Seq(require(body, "source").asText())),
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      engine.readTable(Seq(require(body, "bench").asText())),
+      require(body, "benchIdCol").asText(),
+      require(body, "benchColumn").asText(),
+      curateCfg(body)))
+  }
+
+  private def postCurate(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val source = require(body, "source").asText()
+    val bench = require(body, "bench").asText()
+    val idCol = require(body, "idCol").asText()
+    val column = require(body, "column").asText()
+    val benchIdCol = require(body, "benchIdCol").asText()
+    val benchColumn = require(body, "benchColumn").asText()
+    val cfg = curateCfg(body)
     opt(body, "dest") match {
       case Some(d) =>
         val n = engine.curateTable(source, d.asText(), bench,

@@ -144,6 +144,21 @@ class MixtureSpec extends SparkSuite {
       Seq("books"))
   }
 
+  test("tokensCol: a precomputed count column replaces whitespace counting") {
+    // wrong text, right counts: the counts column must win
+    val counted = texted.withColumn("n_tok",
+      when(col("domain") === "books", 90L).otherwise(10L))
+    val viaCol = Corpus.temperatureMixture(counted, "id", "domain", "text",
+        Seq("web", "books"), 0.5, tokensCol = Some("n_tok"))
+      .groupBy("domain").count().as[(String, Long)].collect().toMap
+    // token mass now web 18000 vs books 18000 → equal shares → both keep all
+    assert(viaCol("web") == 1800L && viaCol("books") == 200L, s"$viaCol")
+    val budg = Corpus.tokenBudgetSample(counted, "id", "domain", "text",
+        Map("books" -> 450L), tokensCol = Some("n_tok"))
+      .agg(sum("n_tokens")).as[Long].collect()(0)
+    assert(budg == 450L, s"budget over the counts column: $budg")
+  }
+
   test("assignSplits: disjoint, exhaustive, ratio-true, salt re-deals") {
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
     val out = Corpus.assignSplits(skewed, "id", splits)
