@@ -287,28 +287,40 @@ object Corpus {
     * mass is under budget), so every budget is met when the domain has
     * enough tokens. Output: (keyCol, domainCol, n_tokens).
     *
-    * Scale shape: the naive form is one window over EVERY domain row —
-    * a per-domain sort of the whole corpus. Instead, a hash-threshold
-    * PREFILTER (rate ≈ slack·budget/domainTokens, one bounded agg for
-    * the sums) cuts each domain to ≈slack× its budget BEFORE the window,
-    * so the per-domain sort is bounded by the budget, not the corpus.
-    * Because survivors of a hash threshold form a PREFIX of the (hash,
-    * key) order, the budget cut over survivors equals the cut over the
-    * full domain whenever surviving token mass covers the budget — a
-    * driver loop verifies that (one agg per round) and doubles any
-    * undershot domain's rate, falling back to rate 1 after `maxWiden`
-    * rounds, so the output CONTRACT is exactly the pure-window
-    * semantics regardless of `slack` (slack only bounds work; with
-    * uniform token lengths the default 1.3 verifies on the first pass). */
+    * Scale shape — two bounding layers around one tiny sort:
+    *   1. A hash-threshold PREFILTER (rate ≈ slack·budget/domainTokens,
+    *      one bounded agg) cuts each domain to ≈slack× its budget.
+    *      Survivors of a hash threshold form a PREFIX of the (hash, key)
+    *      order, so the cut over survivors equals the cut over the full
+    *      domain whenever surviving mass covers the budget — a driver
+    *      loop VERIFIES that (one agg per round), doubling undershot
+    *      rates with a rate-1 fallback after `maxWiden` rounds.
+    *   2. The per-domain prefix itself is found WITHOUT sorting the
+    *      survivors: hash-range `buckets` (top bits of the u60, so
+    *      bucket order = hash order) are summed in one agg (≤ domains ×
+    *      buckets rows to the driver), the budget-CROSSING bucket is
+    *      located driver-side, every bucket before it is taken whole
+    *      (no exchange at all), and only the crossing bucket — ~1/buckets
+    *      of the survivors — is window-sorted with the residual budget.
+    *      A naive `Window.partitionBy(domain)` would put a whole
+    *      domain's survivors in ONE task; at a 10¹²-token budget that
+    *      single task is the job. Here the one sort touches
+    *      ~slack·budget/buckets tokens.
+    * The output CONTRACT is exactly the pure-window semantics at any
+    * (slack, buckets) — both parameters only bound work. `buckets = 1`
+    * degenerates to the plain full-survivor window (used by tests as
+    * the reference). */
   def tokenBudgetSample(df: DataFrame, keyCol: String, domainCol: String,
       textCol: String, budgets: Map[String, Long], salt: String = "",
       slack: Double = 1.3, maxWiden: Int = 6,
-      tokensCol: Option[String] = None): DataFrame = {
+      tokensCol: Option[String] = None, buckets: Int = 4096): DataFrame = {
     require(budgets.nonEmpty, "tokenBudgetSample: empty budgets")
     budgets.foreach { case (d, b) =>
       require(b > 0, s"tokenBudgetSample: budget for '$d' must be > 0, got $b")
     }
     require(slack > 1.0, s"tokenBudgetSample: slack must be > 1, got $slack")
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"tokenBudgetSample: buckets must be in [1, 2^20], got $buckets")
     import org.apache.spark.sql.expressions.Window
     val ds = budgets.keys.toSeq.sorted
     val tokExpr = tokensCol.map(c => col(c).cast("long"))
@@ -349,17 +361,45 @@ object Corpus {
           d -> math.min(1.0, rates(d) * bump))
       }
     } while (under.nonEmpty && widen <= maxWiden)
-    val budgetCol = ds.tail.foldLeft(
-      when(col(domainCol) === ds.head, lit(budgets(ds.head)))) { (acc, d) =>
-      acc.when(col(domainCol) === d, lit(budgets(d)))
-    }.otherwise(lit(0L))
+    val surv = base.filter(col("__h__") < thrExpr(rates))
+    def perDomain(m: Map[String, Long], default: Long): Column =
+      ds.tail.foldLeft(
+        when(col(domainCol) === ds.head,
+          lit(m.getOrElse(ds.head, default)))) { (acc, d) =>
+        acc.when(col(domainCol) === d, lit(m.getOrElse(d, default)))
+      }.otherwise(lit(default))
+    // bucketed prefix: hash-range buckets preserve hash order, so the
+    // budget-crossing bucket is locatable from one bounded agg and only
+    // ITS rows need the window sort
+    val width = (U60Denom / buckets).toLong
+    val bCol = (col("__h__") / lit(width)).cast("long")
+    val bStats = surv
+      .groupBy(col(domainCol).cast("string").as("d"), bCol.as("b"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val crossing: Map[String, (Long, Long)] = ds.flatMap { d =>
+      val rows = bStats.filter(_._1 == d).map(r => (r._2, r._3)).sortBy(_._1)
+      var acc = 0L
+      var found: Option[(Long, Long)] = None
+      for ((b, t) <- rows if found.isEmpty) {
+        if (acc + t >= budgets(d)) found = Some((b, acc))
+        acc += t
+      }
+      found.map(d -> _) // None = domain total under budget: take it all
+    }.toMap
+    val cbCol = perDomain(crossing.view.mapValues(_._1).toMap, Long.MaxValue)
+    val pmCol = perDomain(crossing.view.mapValues(_._2).toMap, 0L)
+    val budgetCol = perDomain(budgets, 0L)
+    val before = surv.filter(bCol < cbCol)
+      .select(col(keyCol), col(domainCol), col("n_tokens"))
     val w = Window.partitionBy(col(domainCol))
       .orderBy(col("__h__").asc, col(keyCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.filter(col("__h__") < thrExpr(rates))
+    val crossKept = surv.filter(bCol === cbCol)
       .withColumn("__cum__", sum(col("n_tokens")).over(w))
-      .filter(col("__cum__") - col("n_tokens") < budgetCol)
+      .filter(col("__cum__") - col("n_tokens") < budgetCol - pmCol)
       .select(col(keyCol), col(domainCol), col("n_tokens"))
+    before.union(crossKept)
   }
 
   /** The u60 interval boundaries for [[assignSplits]] — public so an

@@ -136,6 +136,28 @@ class MixtureSpec extends SparkSuite {
     }
   }
 
+  test("tokenBudgetSample: bucketed prefix equals the pure window") {
+    // buckets = 1 degenerates to the full-survivor window (the crossing
+    // bucket is bucket 0 = everything) — the reference semantics
+    for (salt <- Seq("", "s2", "s3"); buckets <- Seq(8, 4096)) {
+      val bucketed = Corpus.tokenBudgetSample(texted, "id", "domain",
+          "text", Map("web" -> 500L, "books" -> 150L), salt = salt,
+          buckets = buckets)
+        .select("id").as[Long].collect().toSet
+      val reference = Corpus.tokenBudgetSample(texted, "id", "domain",
+          "text", Map("web" -> 500L, "books" -> 150L), salt = salt,
+          buckets = 1)
+        .select("id").as[Long].collect().toSet
+      assert(bucketed == reference,
+        s"salt '$salt' buckets $buckets: bucketed prefix diverged")
+      assert(bucketed.nonEmpty)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSample(texted, "id", "domain", "text",
+        Map("web" -> 10L), buckets = 0)
+    }
+  }
+
   test("tokenBudgetSample: budget above the domain total keeps every row") {
     val out = Corpus.tokenBudgetSample(texted, "id", "domain", "text",
       Map("books" -> 1000000L))
