@@ -133,13 +133,24 @@ object SparkEntry {
     * 0xcbf29ce484222325 ^ 0x9E3779B97F4A7C15 = 6180598255448514352),
     * Scala-signed results — gram identity is the (h, h2) pair, exactly
     * like the Spark side. */
+  /** DuckDB mirrors of `Dedup.hash64`: FNV-1a over a `cs` code-point list
+    * in HUGEINT mod 2^64 (`fnvSql`), re-signed to the Scala Long
+    * (`signedSql`). Shared by the span and cross-doc-segment CTEs so the
+    * hash arithmetic exists in exactly one SQL spelling. */
+  private def fnvSql(init: String) =
+    s"list_reduce(list_prepend(CAST('$init' AS HUGEINT), cs), " +
+      "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
+  private def signedSql(u: String) =
+    s"CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT) " +
+      s"THEN $u - CAST('18446744073709551616' AS HUGEINT) ELSE $u END AS BIGINT)"
+  /** FNV init values: seed 0 and `Dedup.SpanSeed2`
+    * (0xcbf29ce484222325 ^ 0x9E3779B97F4A7C15). */
+  private val FnvInit1 = "14695981039346656037"
+  private val FnvInit2 = "6180598255448514352"
+
   private val spanCte = {
-    def fnv(init: String) =
-      s"list_reduce(list_prepend(CAST('$init' AS HUGEINT), cs), " +
-        "(acc, c) -> (xor(acc, c) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT))"
-    def signed(u: String) =
-      s"CAST(CASE WHEN $u >= CAST('9223372036854775808' AS HUGEINT) " +
-        s"THEN $u - CAST('18446744073709551616' AS HUGEINT) ELSE $u END AS BIGINT)"
+    def fnv(init: String) = fnvSql(init)
+    def signed(u: String) = signedSql(u)
     "sptoks AS (SELECT doc_id, " +
       "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t " +
       "FROM documents WHERE text IS NOT NULL), " +
@@ -152,9 +163,46 @@ object SparkEntry {
       "FROM spge), " +
       "sphs AS (SELECT doc_id, CAST(start AS BIGINT) AS start, " +
       s"${signed("hu")} AS h, ${signed("hu2")} AS h2 FROM (" +
-      s"SELECT doc_id, start, ${fnv("14695981039346656037")} AS hu, " +
-      s"${fnv("6180598255448514352")} AS hu2 FROM spcs))"
+      s"SELECT doc_id, start, ${fnv(FnvInit1)} AS hu, " +
+      s"${fnv(FnvInit2)} AS hu2 FROM spcs))"
   }
+
+  /** DuckDB cross-document segment CTE chain, shared by the
+    * dedup_common_segs and dedup_seg_strip_cross oracles. Expects a
+    * prior CTE `segdocs(doc_id, t)` holding newline-separated text;
+    * mirrors `Dedup.docSegments` term-for-term: 0-based `seg_no` over
+    * ALL split segments, identity = trimmed segment (empty-after-trim
+    * skipped), paired FNV-1a over code points. Ends with
+    * `segcommon(h, h2, n_docs)` — segments in ≥ `minDocs` DISTINCT
+    * docs — alongside the full occurrence list `segh`. */
+  private def segCte(minDocs: Int): String =
+    "seglines AS (SELECT doc_id, s.seg_no AS seg_no, trim(s.seg) AS seg FROM (" +
+      "SELECT doc_id, unnest(list_transform(range(1, len(l) + 1), " +
+      "i -> {'seg_no': CAST(i - 1 AS BIGINT), 'seg': l[i]})) AS s " +
+      "FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM segdocs))), " +
+      "segcs AS (SELECT doc_id, seg_no, " +
+      "list_transform(string_split(seg, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs " +
+      "FROM seglines WHERE seg <> ''), " +
+      "segh AS (SELECT doc_id, seg_no, " +
+      s"${signedSql("hu")} AS h, ${signedSql("hu2")} AS h2 FROM (" +
+      s"SELECT doc_id, seg_no, ${fnvSql(FnvInit1)} AS hu, " +
+      s"${fnvSql(FnvInit2)} AS hu2 FROM segcs)), " +
+      "segcommon AS (SELECT h, h2, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs " +
+      s"FROM segh GROUP BY h, h2 HAVING count(DISTINCT doc_id) >= $minDocs)"
+
+  /** The documents fixture is single-line word soup, so the cross-doc
+    * segment queries derive a deterministic multi-line corpus first:
+    * every 2 tokens become one line (regex alternation — both engines
+    * replace left-to-right). Mirrored by [[segDerived]]. */
+  private val segDocsCte =
+    "segdocs AS (SELECT doc_id, " +
+      "regexp_replace(text, '(\\S+ \\S+) ', '\\1' || chr(10), 'g') AS t " +
+      "FROM documents WHERE text IS NOT NULL)"
+
+  private def segDerived(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("t"))
 
   /** Bigram-containment CTE chain (decontamination mirror), parameterized
     * over the corpus and bench relations (each must expose doc_id, text).
@@ -774,6 +822,17 @@ object SparkEntry {
     // duplicated runs disappear from non-canonical docs ——
     "dedup_span_strip" -> ((s: SparkSession, dir: String) =>
       Dedup.stripDuplicatedSpans(tbl(s, dir, "documents"), "doc_id", "text", k = 8)),
+    // —— dedup: cross-document common segments (CCNet/RefinedWeb
+    // boilerplate lines — distinct-DOC frequency ≥ 20 over a derived
+    // 2-token-per-line corpus; hashes mirrored in HUGEINT FNV) ——
+    "dedup_common_segs" -> ((s: SparkSession, dir: String) =>
+      Dedup.commonSegments(segDerived(s, dir), "doc_id", "t",
+        sep = "\n", minDocs = 20)),
+    // —— dedup: strip EVERY occurrence of the common segments (no
+    // canonical survivor — boilerplate is noise in every copy) ——
+    "dedup_seg_strip_cross" -> ((s: SparkSession, dir: String) =>
+      Dedup.stripCommonSegments(segDerived(s, dir), "doc_id", "t",
+        sep = "\n", minDocs = 20)),
     // —— dedup: exact n-gram (word-set) jaccard pairs (oracle) ——
     "dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairsExact(
@@ -1748,6 +1807,33 @@ object SparkEntry {
         "SELECT sptoks.doc_id, CAST(len(sptoks.t) AS BIGINT) AS n_tokens, " +
         "coalesce(spagg.n_kept, 0) AS n_kept, coalesce(spagg.text_kept, '') AS text_kept " +
         "FROM sptoks LEFT JOIN spagg USING (doc_id)"),
+    // cross-doc common segments: trimmed-line FNV pair identity, distinct-
+    // doc HAVING >= 20, annotate every occurrence
+    "dedup_common_segs" ->
+      (s"WITH $segDocsCte, ${segCte(20)} " +
+        "SELECT segh.doc_id, segh.seg_no, segh.h AS seg_hash, " +
+        "segh.h2 AS seg_hash2, segcommon.n_docs " +
+        "FROM segh JOIN segcommon USING (h, h2)"),
+    // strip mirror: remove ALL occurrences of common segments; kept
+    // ORIGINAL (untrimmed) segments re-joined in position order
+    "dedup_seg_strip_cross" ->
+      (s"WITH $segDocsCte, ${segCte(20)}, " +
+        "segrm AS (SELECT doc_id, seg_no FROM segh JOIN segcommon USING (h, h2)), " +
+        "segall AS (SELECT doc_id, s.seg_no AS seg_no, s.seg AS seg FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(l) + 1), " +
+        "i -> {'seg_no': CAST(i - 1 AS BIGINT), 'seg': l[i]})) AS s " +
+        "FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM segdocs))), " +
+        "segkept AS (SELECT segall.doc_id, segall.seg_no, segall.seg FROM segall " +
+        "LEFT JOIN segrm ON segall.doc_id = segrm.doc_id AND segall.seg_no = segrm.seg_no " +
+        "WHERE segrm.seg_no IS NULL), " +
+        "segagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(seg, chr(10) ORDER BY seg_no) AS text_kept FROM segkept GROUP BY doc_id), " +
+        "segtot AS (SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_segments " +
+        "FROM segdocs) " +
+        "SELECT segtot.doc_id, segtot.n_segments, " +
+        "coalesce(segagg.n_kept, 0) AS n_kept, " +
+        "coalesce(segagg.text_kept, '') AS text_kept " +
+        "FROM segtot LEFT JOIN segagg USING (doc_id)"),
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, " +
         "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +

@@ -186,6 +186,104 @@ object Dedup {
         array_join(keptToks, " ").as("text_kept"))
   }
 
+  // ——— cross-document common segments (boilerplate line removal) ———
+
+  /** (id, seg_no, h, h2) for every separator-split segment of every
+    * non-null document. Segment IDENTITY is the trimmed segment string
+    * (leading/trailing whitespace never distinguishes boilerplate);
+    * empty-after-trim segments carry no content and are skipped — they
+    * can never be "common" and the strip path always keeps them. The
+    * hash pair is the same 128-bit FNV identity as the span operators
+    * ([[SpanSeed2]]): only (id, seg_no, hash, hash) longs ever shuffle;
+    * segment STRINGS stay in the scan-side narrow map. */
+  private def docSegments(df: DataFrame, idCol: String, textCol: String,
+      sep: String): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), quoted).as("__l__"))
+      .select(col("id"), posexplode(col("__l__")).as(Seq("seg_no", "seg")))
+      .withColumn("__s__", trim(col("seg")))
+      .filter(col("__s__") =!= "")
+      .select(col("id"), col("seg_no").cast("long").as("seg_no"),
+        spanHashPairUdf(col("__s__")).as("__hp__"))
+      .select(col("id"), col("seg_no"),
+        col("__hp__")(0).as("h"), col("__hp__")(1).as("h2"))
+  }
+
+  /** Segments (split on `sep`, trimmed) appearing in at least `minDocs`
+    * DISTINCT documents — the cross-document boilerplate detector (the
+    * line-level dedup stage of CCNet / RefinedWeb: nav menus, cookie
+    * banners, licence lines repeat across a crawl, not within one page,
+    * so within-doc [[graft.ext.TextAnalysis.dedupSegments]] cannot see
+    * them and doc-level near-dup won't fire when the surrounding content
+    * differs). Distinct-DOC frequency, not occurrence count, is the
+    * boilerplate signal — a poem repeating its refrain in one doc is not
+    * boilerplate.
+    *
+    * Scale shape: one narrow map emits (id, seg_no, h128) per segment;
+    * the distinct-doc count is two partial-aggregatable passes
+    * (distinct (h, h2, id), then count per (h, h2)) — a segment present
+    * in 10⁹ docs partial-combines map-side in both, so no single task
+    * ever sees the full occurrence list; the annotate join keys on the
+    * 16-byte hash pair alone. Segment text never crosses a shuffle.
+    *
+    * Output: (idCol, seg_no, seg_hash, seg_hash2, n_docs) — one row per
+    * occurrence of a common segment. Identity is the (seg_hash,
+    * seg_hash2) PAIR, as with the span operators. */
+  def commonSegments(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 2): DataFrame = {
+    val occ = docSegments(df, idCol, textCol, sep)
+    occ.join(commonSet(occ, minDocs), Seq("h", "h2"))
+      .select(col("id").as(idCol), col("seg_no"),
+        col("h").as("seg_hash"), col("h2").as("seg_hash2"), col("n_docs"))
+  }
+
+  /** (h, h2, n_docs) of segments in ≥ minDocs distinct docs. */
+  private def commonSet(occ: DataFrame, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    occ.select("h", "h2", "id").distinct()
+      .groupBy("h", "h2").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Remove EVERY occurrence of every segment that appears in at least
+    * `minDocs` distinct documents — the rewrite half of cross-document
+    * boilerplate removal. Unlike [[stripDuplicatedSpans]] (which keeps a
+    * canonical copy — duplicated *content* should survive once), common
+    * segments are dropped everywhere: a cookie banner is noise in every
+    * document it appears in, including the first. Segments that trim to
+    * empty (blank lines) are always kept, preserving paragraph
+    * structure.
+    *
+    * Output: (idCol, n_segments, n_kept, text_kept) per non-null doc —
+    * `text_kept` re-joins the surviving ORIGINAL segments (untrimmed)
+    * with `sep`.
+    *
+    * Scale shape: same as [[commonSegments]] for detection; the removed
+    * positions come back per doc as a `collect_set` bounded by that
+    * doc's own segment count, join back to the one-row-per-doc segment
+    * arrays (auto-planned — broadcast when small), and a positional
+    * `filter` drops dead segments in a narrow map. The corpus is never
+    * reshuffled for reassembly. */
+  def stripCommonSegments(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 2): DataFrame = {
+    val quoted = java.util.regex.Pattern.quote(sep)
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), split(col(textCol), quoted).as("__l__"))
+    val occ = docSegments(df, idCol, textCol, sep)
+    val removedPerDoc = occ
+      .join(commonSet(occ, minDocs).select("h", "h2"), Seq("h", "h2"))
+      .groupBy("id").agg(collect_set(col("seg_no")).as("__rm__"))
+    val kept = when(col("__rm__").isNull, col("__l__"))
+      .otherwise(filter(col("__l__"),
+        (x, i) => not(array_contains(col("__rm__"), i.cast("long")))))
+    base.join(removedPerDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        size(col("__l__")).cast("long").as("n_segments"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, sep).as("text_kept"))
+  }
+
   // ——— shingles + MinHash ———
 
   private[graft] def hash64(s: String, seed: Long): Long = {

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Cross-document common-segment (boilerplate line) dedup — the CCNet /
+  * RefinedWeb line-level stage. Every expectation is hand-computed. */
+class CrossDocSegmentSpec extends SparkSuite {
+  import spark.implicits._
+
+  // "nav" appears in docs 1, 2, 3 (3 DISTINCT docs; doc 3 repeats it
+  // within itself — within-doc repeats must not inflate the doc count);
+  // doc 2's copy has surrounding whitespace (identity is the trimmed
+  // line); doc 4 leads with a blank segment; doc 5 is null.
+  private lazy val docs = Seq(
+    (1L, "nav\nbody one"),
+    (2L, "  nav  \nbody two"),
+    (3L, "nav\nbody three\nnav"),
+    (4L, "\nbody four"),
+    (5L, null.asInstanceOf[String]),
+  ).toDF("doc_id", "text")
+
+  test("commonSegments counts DISTINCT docs over the trimmed identity") {
+    val out = Dedup.commonSegments(docs, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "seg_no", "n_docs")
+      .as[(Long, Long, Long)].collect().toSet
+    // every occurrence of "nav" is reported, n_docs = 3 (not 4 — doc 3's
+    // repeat is one doc), and nothing else reaches 3 docs
+    assert(out == Set((1L, 0L, 3L), (2L, 0L, 3L), (3L, 0L, 3L), (3L, 2L, 3L)),
+      s"got $out")
+  }
+
+  test("minDocs above the corpus frequency finds nothing") {
+    assert(Dedup.commonSegments(docs, "doc_id", "text", minDocs = 4).count() == 0)
+  }
+
+  test("stripCommonSegments removes EVERY occurrence, keeps blank segments") {
+    val out = Dedup.stripCommonSegments(docs, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "n_segments", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L)) // null doc excluded
+    assert(out(1L) == ((1L, 2L, 1L, "body one")), s"${out(1L)}")
+    // untrimmed original is what gets removed; survivor joined as-is
+    assert(out(2L) == ((2L, 2L, 1L, "body two")), s"${out(2L)}")
+    // BOTH copies in doc 3 go — no canonical survivor for boilerplate
+    assert(out(3L) == ((3L, 3L, 1L, "body three")), s"${out(3L)}")
+    // the blank lead segment trims to empty: never common, always kept
+    assert(out(4L) == ((4L, 2L, 2L, "\nbody four")), s"${out(4L)}")
+  }
+
+  test("a segment shared by every doc of a large corpus strips linearly") {
+    // 2000 docs all carrying one boilerplate line: the distinct-doc count
+    // partial-combines (no per-key occurrence list is ever materialized)
+    // and the strip keeps exactly each doc's unique line
+    val big = spark.range(2000).select(col("id").as("doc_id"),
+      concat(lit("cookie banner text\nunique "), col("id").cast("string")).as("text"))
+    val out = Dedup.stripCommonSegments(big, "doc_id", "text", minDocs = 1000)
+    assert(out.count() == 2000)
+    assert(out.filter(col("n_kept") =!= 1).count() == 0)
+    val row = out.filter(col("doc_id") === 7L)
+      .select("text_kept").as[String].collect()
+    assert(row.sameElements(Array("unique 7")))
+  }
+
+  test("plan: detection has no window operator") {
+    val plan = Dedup.commonSegments(docs, "doc_id", "text", minDocs = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+  }
+}
