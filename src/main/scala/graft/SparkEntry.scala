@@ -204,6 +204,30 @@ object SparkEntry {
       .select(col("doc_id"),
         regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n").as("t"))
 
+  /** Strip mirror shared by dedup_seg_strip_cross (batch operator) and
+    * dedup_seg_strip_stream (broadcast gate body) — two implementations
+    * held to ONE oracle answer: remove ALL occurrences of common
+    * segments; kept ORIGINAL (untrimmed) segments re-joined in position
+    * order. */
+  private val segStripOracle: String =
+    s"WITH $segDocsCte, ${segCte(20)}, " +
+      "segrm AS (SELECT doc_id, seg_no FROM segh JOIN segcommon USING (h, h2)), " +
+      "segall AS (SELECT doc_id, s.seg_no AS seg_no, s.seg AS seg FROM (" +
+      "SELECT doc_id, unnest(list_transform(range(1, len(l) + 1), " +
+      "i -> {'seg_no': CAST(i - 1 AS BIGINT), 'seg': l[i]})) AS s " +
+      "FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM segdocs))), " +
+      "segkept AS (SELECT segall.doc_id, segall.seg_no, segall.seg FROM segall " +
+      "LEFT JOIN segrm ON segall.doc_id = segrm.doc_id AND segall.seg_no = segrm.seg_no " +
+      "WHERE segrm.seg_no IS NULL), " +
+      "segagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+      "string_agg(seg, chr(10) ORDER BY seg_no) AS text_kept FROM segkept GROUP BY doc_id), " +
+      "segtot AS (SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_segments " +
+      "FROM segdocs) " +
+      "SELECT segtot.doc_id, segtot.n_segments, " +
+      "coalesce(segagg.n_kept, 0) AS n_kept, " +
+      "coalesce(segagg.text_kept, '') AS text_kept " +
+      "FROM segtot LEFT JOIN segagg USING (doc_id)"
+
   /** Bigram-containment CTE chain (decontamination mirror), parameterized
     * over the corpus and bench relations (each must expose doc_id, text).
     * Ends with `contam(corpus_id, bench_id, shared, containment)` holding
@@ -833,6 +857,14 @@ object SparkEntry {
     "dedup_seg_strip_cross" -> ((s: SparkSession, dir: String) =>
       Dedup.stripCommonSegments(segDerived(s, dir), "doc_id", "t",
         sep = "\n", minDocs = 20)),
+    // —— dedup: the STREAMING boilerplate-strip gate body on a static
+    // frame — broadcast common-segment artifact, one narrow rewrite map;
+    // must equal the batch strip bit-for-bit (same oracle) ——
+    "dedup_seg_strip_stream" -> ((s: SparkSession, dir: String) => {
+      val docs = segDerived(s, dir)
+      graft.streaming.Streams.stripSegmentsGate(docs, "doc_id", "t",
+        Dedup.commonSegmentHashes(docs, "doc_id", "t", sep = "\n", minDocs = 20))
+    }),
     // —— dedup: exact n-gram (word-set) jaccard pairs (oracle) ——
     "dedup_ngram_jaccard" -> ((s: SparkSession, dir: String) =>
       Dedup.ngramJaccardPairsExact(
@@ -1816,24 +1848,10 @@ object SparkEntry {
         "FROM segh JOIN segcommon USING (h, h2)"),
     // strip mirror: remove ALL occurrences of common segments; kept
     // ORIGINAL (untrimmed) segments re-joined in position order
-    "dedup_seg_strip_cross" ->
-      (s"WITH $segDocsCte, ${segCte(20)}, " +
-        "segrm AS (SELECT doc_id, seg_no FROM segh JOIN segcommon USING (h, h2)), " +
-        "segall AS (SELECT doc_id, s.seg_no AS seg_no, s.seg AS seg FROM (" +
-        "SELECT doc_id, unnest(list_transform(range(1, len(l) + 1), " +
-        "i -> {'seg_no': CAST(i - 1 AS BIGINT), 'seg': l[i]})) AS s " +
-        "FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM segdocs))), " +
-        "segkept AS (SELECT segall.doc_id, segall.seg_no, segall.seg FROM segall " +
-        "LEFT JOIN segrm ON segall.doc_id = segrm.doc_id AND segall.seg_no = segrm.seg_no " +
-        "WHERE segrm.seg_no IS NULL), " +
-        "segagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
-        "string_agg(seg, chr(10) ORDER BY seg_no) AS text_kept FROM segkept GROUP BY doc_id), " +
-        "segtot AS (SELECT doc_id, CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_segments " +
-        "FROM segdocs) " +
-        "SELECT segtot.doc_id, segtot.n_segments, " +
-        "coalesce(segagg.n_kept, 0) AS n_kept, " +
-        "coalesce(segagg.text_kept, '') AS text_kept " +
-        "FROM segtot LEFT JOIN segagg USING (doc_id)"),
+    "dedup_seg_strip_cross" -> segStripOracle,
+    // the streaming gate body must be bit-identical to the batch strip —
+    // SAME oracle, two implementations held to one answer
+    "dedup_seg_strip_stream" -> segStripOracle,
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, " +
         "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +

@@ -238,6 +238,18 @@ object Dedup {
         col("h").as("seg_hash"), col("h2").as("seg_hash2"), col("n_docs"))
   }
 
+  /** Persistable common-segment hash artifact — (h, h2, n_docs) of every
+    * segment appearing in at least `minDocs` distinct documents. The
+    * boilerplate-line analog of [[minhashSignatures]] /
+    * [[textFingerprints]]: a 100 TB pipeline computes this ONCE from the
+    * corpus (16 bytes per distinct common segment — tiny) and every
+    * ingest micro-batch strips arriving docs against it via
+    * [[graft.streaming.Streams.stripSegmentsGate]] without re-scanning
+    * corpus text. */
+  def commonSegmentHashes(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Int = 2): DataFrame =
+    commonSet(docSegments(df, idCol, textCol, sep), minDocs)
+
   /** (h, h2, n_docs) of segments in ≥ minDocs distinct docs. */
   private def commonSet(occ: DataFrame, minDocs: Int): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")

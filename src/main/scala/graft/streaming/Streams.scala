@@ -218,6 +218,65 @@ object Streams {
       .select(col(idCol), col("ref_id"))
   }
 
+  /** Boilerplate-line STRIP gate for an incoming document stream: rewrite
+    * each arriving doc with every segment whose trimmed identity is in
+    * the persisted common-segment artifact
+    * ([[graft.ext.Dedup.commonSegmentHashes]]) removed — the streaming
+    * twin of [[graft.ext.Dedup.stripCommonSegments]], re-shaped append-
+    * legal: the artifact's (h, h2) pairs are collected driver-side
+    * (bounded by `maxSegments`, loud refusal above — the
+    * [[decontaminateGate]] discipline; 16 B/segment, so the default cap
+    * is ~160 MB) and broadcast once, then each doc is rewritten in ONE
+    * narrow map — no join, no aggregate, no cross-batch state, so a
+    * long-running query reuses the single broadcast across micro-batches.
+    *
+    * Batch-identical: on a batch frame with `artifact =
+    * commonSegmentHashes(corpus, minDocs)` the output equals
+    * `stripCommonSegments(corpus, minDocs)` row-for-row (same trimmed
+    * identity — ASCII space only, matching Spark's `trim` — same paired
+    * FNV hash, same blank-segment preservation).
+    *
+    * Output: (idCol, n_segments, n_kept, text_kept). */
+  def stripSegmentsGate(stream: DataFrame, idCol: String, textCol: String,
+      artifact: DataFrame, sep: String = "\n",
+      maxSegments: Long = 10000000L): DataFrame = {
+    require(sep.nonEmpty, "stripSegmentsGate: sep must be non-empty")
+    val cap = math.min(maxSegments, Int.MaxValue - 1L).toInt
+    val rows = artifact.select(col("h"), col("h2")).limit(cap + 1).collect()
+    require(rows.length <= cap,
+      s"stripSegmentsGate: artifact has more than maxSegments = " +
+        s"$maxSegments common segments; raise the cap or raise minDocs " +
+        "when building the artifact")
+    val set: Set[(Long, Long)] =
+      rows.iterator.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = stream.sparkSession.sparkContext.broadcast(set)
+    // Spark's trim() removes ASCII spaces only — mirror that exactly so
+    // the gate stays bit-identical to the batch operator (String.trim
+    // would also strip tabs/controls and silently diverge)
+    def spaceTrim(s: String): String = {
+      var b = 0; var e = s.length
+      while (b < e && s.charAt(b) == ' ') b += 1
+      while (e > b && s.charAt(e - 1) == ' ') e -= 1
+      s.substring(b, e)
+    }
+    val keepUdf = udf { (segs: Seq[String]) =>
+      segs.filter { seg =>
+        val t = spaceTrim(seg)
+        t.isEmpty || !bc.value.contains(
+          (graft.ext.Dedup.hash64(t, 0L),
+            graft.ext.Dedup.hash64(t, graft.ext.Dedup.SpanSeed2)))
+      }
+    }
+    val quoted = java.util.regex.Pattern.quote(sep)
+    stream.filter(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), quoted).as("__l__"))
+      .withColumn("__k__", keepUdf(col("__l__")))
+      .select(col(idCol),
+        size(col("__l__")).cast("long").as("n_segments"),
+        size(col("__k__")).cast("long").as("n_kept"),
+        array_join(col("__k__"), sep).as("text_kept"))
+  }
+
   /** The FULL ingest-curation gate as a foreachBatch harness — the
     * streaming twin of [[graft.ext.Curate.curate]]: each micro-batch of
     * arriving documents runs [[graft.ext.Curate.curateArrivals]]

@@ -63,6 +63,49 @@ class CrossDocSegmentSpec extends SparkSuite {
     assert(row.sameElements(Array("unique 7")))
   }
 
+  test("stripSegmentsGate batch path equals stripCommonSegments row-for-row") {
+    import graft.streaming.Streams
+    val artifact = Dedup.commonSegmentHashes(docs, "doc_id", "text", minDocs = 3)
+    val expected = Dedup.stripCommonSegments(docs, "doc_id", "text", minDocs = 3)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val got = Streams.stripSegmentsGate(docs, "doc_id", "text", artifact)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected, s"gate $got batch $expected")
+    assert(got.nonEmpty)
+  }
+
+  test("stripSegmentsGate runs append-legal on a real stream") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val artifact = Dedup.commonSegmentHashes(docs, "doc_id", "text", minDocs = 3)
+    val mem = MemoryStream[(Long, String)]
+    val out = Streams.stripSegmentsGate(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", artifact)
+    assert(out.isStreaming, "must stay a streaming frame")
+    val q = out.writeStream.format("memory").queryName("segstrip_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, "nav\nfresh arrival"), (101L, "no boilerplate at all"))
+      q.processAllAvailable()
+      val got = spark.table("segstrip_test")
+        .select("doc_id", "n_segments", "n_kept", "text_kept")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(got == Set((100L, 2L, 1L, "fresh arrival"),
+        (101L, 1L, 1L, "no boilerplate at all")), s"got $got")
+    } finally q.stop()
+  }
+
+  test("stripSegmentsGate refuses an over-cap artifact loudly") {
+    import graft.streaming.Streams
+    val artifact = Dedup.commonSegmentHashes(docs, "doc_id", "text", minDocs = 3)
+    val e = intercept[IllegalArgumentException] {
+      Streams.stripSegmentsGate(docs, "doc_id", "text", artifact,
+        maxSegments = 0L)
+    }
+    assert(e.getMessage.contains("maxSegments"))
+  }
+
   test("plan: detection has no window operator") {
     val plan = Dedup.commonSegments(docs, "doc_id", "text", minDocs = 2)
       .queryExecution.executedPlan.toString
