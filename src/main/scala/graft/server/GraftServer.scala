@@ -122,6 +122,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           getPerplexity(ex, model)
         case ("POST", "dedup" :: "spans" :: Nil) => postDedupSpans(ex)
         case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
+        case ("POST", "dedup" :: "segments" :: Nil) => postDedupSegments(ex)
+        case ("POST", "dedup" :: "strip-segments" :: Nil) => postDedupStripSegments(ex)
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
         case ("POST", "dedup" :: "semantic-gate" :: Nil) => postSemanticGate(ex)
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
@@ -543,6 +545,28 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     okRows(ex, graft.ext.Dedup.stripDuplicatedSpans(df,
       require(body, "idCol").asText(), require(body, "column").asText(),
       k = intOr(body, "k", 50)))
+  }
+
+  /** Cross-document common segments ([[graft.ext.Dedup.commonSegments]]):
+    * boilerplate lines appearing in ≥ minDocs distinct docs. */
+  private def postDedupSegments(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    okRows(ex, graft.ext.Dedup.commonSegments(df,
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      sep = opt(body, "sep").map(_.asText()).getOrElse("\n"),
+      minDocs = intOr(body, "minDocs", 2)))
+  }
+
+  /** Remove every occurrence of cross-document common segments
+    * ([[graft.ext.Dedup.stripCommonSegments]]). */
+  private def postDedupStripSegments(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    okRows(ex, graft.ext.Dedup.stripCommonSegments(df,
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      sep = opt(body, "sep").map(_.asText()).getOrElse("\n"),
+      minDocs = intOr(body, "minDocs", 2)))
   }
 
   /** Incoming-vs-corpus near-dup gate

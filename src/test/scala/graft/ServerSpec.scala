@@ -539,6 +539,35 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/gate_in")._1 == 200)
   }
 
+  test("segment routes: common lines detected and stripped, wire == library") {
+    val (c1, b1) = send("PUT", "/tables/seg_docs",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":1,"text":"nav menu\nbody one"},
+        {"doc_id":2,"text":"nav menu\nbody two"},
+        {"doc_id":3,"text":"nav menu\nbody three"},
+        {"doc_id":4,"text":"only unique content"}]}""")
+    assert(c1 == 200, b1)
+    val (dc, dBody) = send("POST", "/dedup/segments",
+      """{"source":"seg_docs","idCol":"doc_id","column":"text","minDocs":3}""")
+    assert(dc == 200, dBody)
+    val hit = scala.collection.mutable.Set.empty[(Long, Long)]
+    mapper.readTree(dBody).get("rows").elements()
+      .forEachRemaining(n => hit += ((n.get("doc_id").asLong(), n.get("n_docs").asLong())))
+    assert(hit.toSet == Set((1L, 3L), (2L, 3L), (3L, 3L)), s"got $hit")
+    val (sc3, sBody3) = send("POST", "/dedup/strip-segments",
+      """{"source":"seg_docs","idCol":"doc_id","column":"text","minDocs":3}""")
+    assert(sc3 == 200, sBody3)
+    val wireKept = new scala.collection.mutable.HashMap[Long, String]
+    mapper.readTree(sBody3).get("rows").elements()
+      .forEachRemaining(n => wireKept(n.get("doc_id").asLong()) = n.get("text_kept").asText())
+    val libKept = graft.ext.Dedup.stripCommonSegments(
+        engine.readTable(Seq("seg_docs")), "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(wireKept.toMap == libKept, s"wire $wireKept vs library $libKept")
+    assert(wireKept(1L) == "body one", s"got ${wireKept(1L)}")
+    assert(send("DELETE", "/tables/seg_docs")._1 == 200)
+  }
+
   test("semantic gate route: arriving vectors flagged through the IVF index") {
     // corpus: two tight clusters; arrivals: one near a corpus vector,
     // one far from everything
