@@ -8,6 +8,13 @@ import org.apache.spark.sql.functions._
   * order production pipelines run them (cheapest-per-byte first, so each
   * stage shrinks the input of the next):
   *
+  *   0. (optional) line-level boilerplate strip — rewrite each doc with
+  *                           cross-document common segments removed
+  *                           ([[Dedup.stripCommonSegments]] /
+  *                           [[graft.streaming.Streams.stripSegmentsGate]]
+  *                           for arrivals) so shared nav/banner chrome
+  *                           can't make near-identical pages look
+  *                           distinct to the doc-level stages;
   *   1. exact dedup        — keep the min-id row per identical text
   *                           ([[Dedup.exactDedup]]; map-side-combined
   *                           hash aggregate, id-only semi-join back);
@@ -72,7 +79,16 @@ object Curate {
       // the exploded-gram broadcast — for benchmarks too big to
       // broadcast. Identical output at any fpp (the tier's contract),
       // so the pipeline's oracle mirror is unchanged.
-      deconBloomFpp: Option[Double] = None)
+      deconBloomFpp: Option[Double] = None,
+      // Some(minDocs) PREPENDS the CCNet/RefinedWeb line-level stage:
+      // each doc is rewritten with cross-document common segments
+      // removed ([[Dedup.stripCommonSegments]]; the ingest twin strips
+      // against the persisted hash artifact) before any doc-level
+      // stage. This is the production order — removing shared
+      // boilerplate is what stops two pages differing only in nav
+      // chrome from LOOKING distinct to the dedup stages.
+      stripSegmentsMinDocs: Option[Int] = None,
+      stripSep: String = "\n")
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -101,6 +117,25 @@ object Curate {
       textCol != "n_words" && textCol != "lang_pred",
       "rename the id/text columns apart from the appended n_words/lang_pred")
 
+    // 0 (optional) — line-level boilerplate strip, rewriting textCol in
+    // place before any doc-level stage sees it
+    val docs0 = cfg.stripSegmentsMinDocs match {
+      case Some(m) => withStrippedText(docs, idCol, textCol,
+        Dedup.stripCommonSegments(docs, idCol, textCol, cfg.stripSep, m))
+      case None => docs
+    }
+    curatePostStrip(docs0, idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+  }
+
+  /** Stages 1–5 over an (optionally pre-stripped) corpus. */
+  private def curatePostStrip(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      cfg: Config): DataFrame = {
     // 1 — exact-dedup survivors (min id per identical text)
     val exactKeep = docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
@@ -163,6 +198,28 @@ object Curate {
       cfg: Config = Config()): DataFrame = {
     require(idCol != "drop_stage" && textCol != "drop_stage",
       "rename the id/text columns apart from the appended drop_stage")
+    // same optional pre-strip as [[curate]] — attribution is judged over
+    // the REWRITTEN text (a doc emptied by the strip attributes to
+    // "quality", which is what operationally happened to it), and the
+    // curate ∪ curateDrops partition property is preserved because the
+    // left-join rewrite keeps every row, null texts included
+    val docs0 = cfg.stripSegmentsMinDocs match {
+      case Some(m) => withStrippedText(docs, idCol, textCol,
+        Dedup.stripCommonSegments(docs, idCol, textCol, cfg.stripSep, m))
+      case None => docs
+    }
+    curateDropsPostStrip(docs0, idCol, textCol, bench, benchIdCol,
+      benchTextCol, cfg)
+  }
+
+  private def curateDropsPostStrip(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      cfg: Config): DataFrame = {
     val exactKeep = docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as(idCol)).select(idCol)
     val ndDrop = Dedup.nearDupPairsMinhash(docs, idCol, textCol,
@@ -202,6 +259,22 @@ object Curate {
       .join(contamDrop.withColumn("__ct__", lit(true)), Seq(idCol), "left")
       .select(col(idCol), stage.as("drop_stage"))
       .filter(col("drop_stage").isNotNull)
+  }
+
+  /** Replace `textCol` with the strip rewrite's `text_kept`, preserving
+    * every other column and every row: null-text docs have no strip row
+    * (the strip operators skip them) and keep their null text through
+    * the left join, so downstream stages see exactly the rows they
+    * would have without the strip tier. */
+  private def withStrippedText(docs: DataFrame, idCol: String,
+      textCol: String, stripped: DataFrame): DataFrame = {
+    require(idCol != "text_kept" && textCol != "text_kept",
+      "rename the id/text columns apart from the strip tier's text_kept")
+    docs.join(stripped.select(col(idCol), col("text_kept")), Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("text_kept").isNotNull, col("text_kept"))
+          .otherwise(col(textCol)))
+      .drop("text_kept")
   }
 
   /** Stages 4–5 (Gopher quality rules + language id), shared by the
@@ -257,10 +330,24 @@ object Curate {
       benchIdCol: String,
       benchTextCol: String,
       cfg: Config = Config(),
-      refFps: Option[DataFrame] = None): DataFrame = {
+      refFps: Option[DataFrame] = None,
+      refSegHashes: Option[DataFrame] = None): DataFrame = {
     require(idCol != "n_words" && idCol != "lang_pred" &&
       textCol != "n_words" && textCol != "lang_pred",
       "rename the id/text columns apart from the appended n_words/lang_pred")
+    // tier -1 (optional): line-level boilerplate strip against the
+    // persisted common-segment artifact
+    // ([[Dedup.commonSegmentHashes]] of the corpus). Must run BEFORE
+    // the fingerprint/signature tiers: those artifacts were built from
+    // the corpus's (stripped) text, so arrivals have to be compared in
+    // the same rewritten space — un-stripped arrivals would never
+    // fingerprint-match a stripped corpus twin.
+    val arrivals0 = refSegHashes match {
+      case Some(hashes) => withStrippedText(arrivals, idCol, textCol,
+        graft.streaming.Streams.stripSegmentsGate(
+          arrivals, idCol, textCol, hashes, cfg.stripSep))
+      case None => arrivals
+    }
     // tier 0 (optional): exact re-crawl rejection on the persisted
     // 8-byte fingerprint artifact. Changes NO survivor (an identical
     // normalized text has identical shingles, so the near-dup tier would
@@ -269,12 +356,12 @@ object Curate {
     // large share of every batch.
     val base = refFps match {
       case Some(fps) =>
-        arrivals.join(
+        arrivals0.join(
           graft.streaming.Streams.exactDupAgainstFingerprints(
-              arrivals, idCol, textCol, fps, refTexts)
+              arrivals0, idCol, textCol, fps, refTexts)
             .select(col(idCol)).distinct(),
           Seq(idCol), "left_anti")
-      case None => arrivals
+      case None => arrivals0
     }
     // same one-pass assembly as [[curate]]: the gate flag of one arrival
     // never depends on the other arrivals (it is a per-doc decision vs

@@ -650,7 +650,11 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       minQualityProb =
         opt(body, "minQualityProb").map(_.asDouble()).getOrElse(0.5),
       // optional bloom decontamination tier for oversized benchmarks
-      deconBloomFpp = opt(body, "deconBloomFpp").map(_.asDouble()))
+      deconBloomFpp = opt(body, "deconBloomFpp").map(_.asDouble()),
+      // optional line-level boilerplate strip pre-stage
+      stripSegmentsMinDocs =
+        opt(body, "stripSegmentsMinDocs").map(_.asInt()),
+      stripSep = opt(body, "stripSep").map(_.asText()).getOrElse("\n"))
 
   /** Drop attribution ([[graft.ext.Curate.curateDrops]]): every dropped
     * doc + the first stage that dropped it — the "why was my document

@@ -296,11 +296,13 @@ object Streams {
       idCol: String, textCol: String,
       cfg: graft.ext.Curate.Config = graft.ext.Curate.Config(),
       sink: DataFrame => Unit,
-      refFps: Option[DataFrame] = None): (DataFrame, Long) => Unit =
+      refFps: Option[DataFrame] = None,
+      refSegHashes: Option[DataFrame] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty)
         sink(graft.ext.Curate.curateArrivals(batch, idCol, textCol,
-          refSigs, refTexts, bench, benchIdCol, benchTextCol, cfg, refFps))
+          refSigs, refTexts, bench, benchIdCol, benchTextCol, cfg, refFps,
+          refSegHashes))
 
   /** Append the gate-ladder ARTIFACTS for newly accepted documents —
     * minhash signatures (near-dup tier) and, when a path is given, text

@@ -160,6 +160,96 @@ class CurateSpec extends SparkSuite {
     assert(expected.map(_._1) == Seq(12L, 14L))
   }
 
+  // ——— optional line-level strip tier (stage 0) ———
+
+  private val navLine = "home products about contact"
+  private val stripBody =
+    "the cat sat on the mat and it was nice to see the dog again"
+  // nav chrome in 3 distinct docs; 11 and 12 share a body and differ
+  // ONLY in the chrome; 15 is null (row preservation through the tier)
+  private lazy val stripDocs = Seq(
+    11L -> s"$navLine\n$stripBody",
+    12L -> stripBody,
+    13L -> s"$navLine\nof mice and men in the big house it was all fine to see",
+    14L -> s"$navLine\nanother page about cats with its own words it is all fine now",
+    15L -> null.asInstanceOf[String],
+  ).toDF("doc_id", "text")
+  // tight threshold: chrome-only deltas do NOT near-dup at 0.9
+  private lazy val stripCfg = cfg.copy(jaccardThreshold = 0.9)
+
+  test("strip tier: boilerplate chrome no longer hides duplicates") {
+    // without the tier the chrome makes 11 and 12 look distinct
+    val out0 = Curate.curate(stripDocs, "doc_id", "text",
+        bench, "doc_id", "text", stripCfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out0.contains(11L) && out0.contains(12L), s"got $out0")
+    // with it they become exact duplicates — min id survives
+    val out = Curate.curate(stripDocs, "doc_id", "text",
+        bench, "doc_id", "text",
+        stripCfg.copy(stripSegmentsMinDocs = Some(3)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.contains(11L) && !out.contains(12L), s"got $out")
+  }
+
+  test("strip tier equals pre-stripping the corpus by hand") {
+    val rewrite = graft.ext.Dedup.stripCommonSegments(
+        stripDocs, "doc_id", "text", minDocs = 3)
+      .select($"doc_id", $"text_kept")
+    val pre = stripDocs.join(rewrite, Seq("doc_id"), "left")
+      .withColumn("text",
+        when($"text_kept".isNotNull, $"text_kept").otherwise($"text"))
+      .drop("text_kept")
+    val byHand = Curate.curate(pre, "doc_id", "text",
+        bench, "doc_id", "text", stripCfg)
+      .collect().map(_.toSeq).toSet
+    val byTier = Curate.curate(stripDocs, "doc_id", "text",
+        bench, "doc_id", "text",
+        stripCfg.copy(stripSegmentsMinDocs = Some(3)))
+      .collect().map(_.toSeq).toSet
+    assert(byTier == byHand)
+  }
+
+  test("strip tier: curate ∪ curateDrops still partitions the corpus") {
+    val c = stripCfg.copy(stripSegmentsMinDocs = Some(3))
+    val kept = Curate.curate(stripDocs, "doc_id", "text",
+        bench, "doc_id", "text", c)
+      .select("doc_id").as[Long].collect().toSet
+    val drops = Curate.curateDrops(stripDocs, "doc_id", "text",
+        bench, "doc_id", "text", c)
+      .as[(Long, String)].collect().toMap
+    assert(kept ++ drops.keySet == Set(11L, 12L, 13L, 14L, 15L) &&
+      kept.intersect(drops.keySet).isEmpty,
+      s"kept $kept drops $drops")
+    assert(drops(12L) == "exact_dup", s"got $drops")
+    assert(drops(15L) == "quality", "null doc must still be attributed")
+  }
+
+  test("curateArrivals strips against the corpus artifact before gating") {
+    import graft.ext.Dedup
+    // corpus artifacts are built from the STRIPPED corpus text — the
+    // space the arrivals must be compared in
+    val corpusStripped = Dedup.stripCommonSegments(
+        stripDocs, "doc_id", "text", minDocs = 3)
+      .select($"doc_id".as("ref_id"), $"text_kept".as("ref_text"))
+    val sigs = Dedup.minhashSignatures(corpusStripped, "ref_id", "ref_text")
+    val segHashes = Dedup.commonSegmentHashes(
+      stripDocs, "doc_id", "text", minDocs = 3)
+    // a re-crawl of doc 11 with the same chrome: un-stripped it is only
+    // ~0.76 jaccard against the stripped corpus twin (passes at 0.9)...
+    val arrival = Seq(20L -> s"$navLine\n$stripBody").toDF("doc_id", "text")
+    val bench2 = bench.withColumnRenamed("doc_id", "bench_id")
+    val without = Curate.curateArrivals(arrival, "doc_id", "text",
+        sigs, corpusStripped, bench2, "bench_id", "text", stripCfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(without == Set(20L), s"got $without")
+    // ...stripped first, it is jaccard 1.0 and the gate rejects it
+    val withStrip = Curate.curateArrivals(arrival, "doc_id", "text",
+        sigs, corpusStripped, bench2, "bench_id", "text", stripCfg,
+        refSegHashes = Some(segHashes))
+      .select("doc_id").as[Long].collect().toSet
+    assert(withStrip.isEmpty, s"got $withStrip")
+  }
+
   test("idempotence: curating the survivors again changes nothing") {
     // survivors are pair-free (every verified pair's id_b was dropped),
     // decontaminated and per-row-clean, so a second pass is the identity
