@@ -120,6 +120,23 @@ object DedupSoak1M {
           dropUnknownLang = false)).count()
     }
 
+    // cross-doc common-line strip at 1M: a nav line shared by ALL 1M
+    // docs (the hottest possible distinct-doc-count key) plus the
+    // cluster's body line shared by 100k docs — both must strip (the
+    // cluster docs empty out), every unique body must survive. The hot
+    // keys partial-combine map-side; no per-key occurrence list exists
+    // anywhere in the plan.
+    val navDocs = docs.withColumn("text",
+      concat(lit("nav home products contact\n"), col("text")))
+    val (seg, tSeg) = time {
+      val s = Dedup.stripCommonSegments(navDocs, "doc_id", "text",
+        minDocs = 1000).cache()
+      s.count()
+      s
+    }
+    val segEmptied = seg.filter(col("n_kept") === 0L).count()
+    val segKeptOne = seg.filter(col("n_kept") === 1L).count()
+
     val json =
       f"""{"n_docs":$n,"cluster_size":$cluster,""" +
         f""""pairs_sec":$tPairs%.1f,"n_pairs":$nPairs,""" +
@@ -127,7 +144,9 @@ object DedupSoak1M {
         f""""injected_expected":$nExpected,"injected_found":$nFound,""" +
         f""""injected_recall":$recall%.4f,""" +
         f""""groups_sec":$tGroups%.1f,"cluster_components":$clusterComponents,""" +
-        f""""curate_sec":$tCurate%.1f,"curate_survivors":$nCurated}"""
+        f""""curate_sec":$tCurate%.1f,"curate_survivors":$nCurated,""" +
+        f""""seg_strip_sec":$tSeg%.1f,"seg_docs_emptied":$segEmptied,""" +
+        f""""seg_docs_kept_one":$segKeptOne}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("dedup_soak_1m.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -245,10 +245,40 @@ object Dedup {
     * corpus (16 bytes per distinct common segment — tiny) and every
     * ingest micro-batch strips arriving docs against it via
     * [[graft.streaming.Streams.stripSegmentsGate]] without re-scanning
-    * corpus text. */
+    * corpus text. For a GROWING corpus, persist the un-thresholded
+    * [[segmentDocCounts]] as an append-log instead and threshold at
+    * load time with [[commonFromCounts]]. */
   def commonSegmentHashes(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n", minDocs: Int = 2): DataFrame =
     commonSet(docSegments(df, idCol, textCol, sep), minDocs)
+
+  /** UN-thresholded per-segment distinct-doc counts (h, h2, n_docs) —
+    * the MAINTAINABLE form of the segment artifact. Because distinct-doc
+    * counts over DISJOINT doc-id sets add, an append-only corpus keeps
+    * the artifact fresh as an LSM-style append-log: each admitted batch
+    * appends its own `segmentDocCounts` rows
+    * ([[graft.streaming.Streams.appendGateArtifacts]]) and the gate
+    * loads the log through [[commonFromCounts]], which sums the partial
+    * counts before thresholding. No corpus re-scan, no read-modify-write
+    * of the artifact — compaction of the log is ordinary
+    * [[graft.store.Store.compact]] hygiene. */
+  def segmentDocCounts(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame =
+    docSegments(df, idCol, textCol, sep)
+      .select("h", "h2", "id").distinct()
+      .groupBy("h", "h2").agg(count(lit(1)).as("n_docs"))
+
+  /** Collapse a [[segmentDocCounts]] append-log (partial counts from
+    * successive disjoint batches) into the thresholded common-segment
+    * set: one partial-aggregatable sum, then the `minDocs` filter.
+    * `commonFromCounts(segmentDocCounts(all), m)` ==
+    * `commonSegmentHashes(all, m)` by construction; the log form only
+    * differs in arriving pre-aggregated per batch. */
+  def commonFromCounts(counts: DataFrame, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    counts.groupBy("h", "h2").agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
 
   /** (h, h2, n_docs) of segments in ≥ minDocs distinct docs. */
   private def commonSet(occ: DataFrame, minDocs: Int): DataFrame = {

@@ -313,13 +313,21 @@ object Streams {
     * contract. */
   def appendGateArtifacts(accepted: DataFrame, idCol: String,
       textCol: String, sigsPath: String, fpsPath: Option[String] = None,
-      numHashes: Int = 32, shingleSize: Int = 3): Unit = {
+      numHashes: Int = 32, shingleSize: Int = 3,
+      segCountsPath: Option[String] = None,
+      segSep: String = "\n"): Unit = {
     graft.ext.Dedup.minhashSignatures(
         accepted.select(col(idCol).as("ref_id"), col(textCol).as("ref_text")),
         "ref_id", "ref_text", numHashes, shingleSize)
       .write.mode("append").parquet(sigsPath)
     fpsPath.foreach(p =>
       graft.ext.Dedup.textFingerprints(accepted, idCol, textCol)
+        .write.mode("append").parquet(p))
+    // segment-count LSM log: this batch's partial counts append; the
+    // load side sums via Dedup.commonFromCounts. Valid because batches
+    // have disjoint doc ids (append-only corpus contract).
+    segCountsPath.foreach(p =>
+      graft.ext.Dedup.segmentDocCounts(accepted, idCol, textCol, segSep)
         .write.mode("append").parquet(p))
   }
 
@@ -343,7 +351,8 @@ object Streams {
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
       idCol: String, textCol: String,
       cfg: graft.ext.Curate.Config = graft.ext.Curate.Config(),
-      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+      sink: DataFrame => Unit,
+      segCountsPath: Option[String] = None): (DataFrame, Long) => Unit =
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val spark = batch.sparkSession
@@ -351,6 +360,13 @@ object Streams {
           .select(col(refIdCol).as("ref_id"), col(refTextCol).as("ref_text"))
         val refSigs = spark.read.parquet(sigsPath)
         val refFps = fpsPath.map(p => spark.read.parquet(p))
+        // strip tier: the count log collapses to the live common set at
+        // each batch — a line crossing the minDocs threshold mid-stream
+        // starts stripping from the NEXT batch on (docs admitted before
+        // keep their copy; eventual-consistency caveat of the log form)
+        val refSegHashes = segCountsPath.map(p =>
+          graft.ext.Dedup.commonFromCounts(spark.read.parquet(p),
+            cfg.stripSegmentsMinDocs.getOrElse(2)))
         // localCheckpoint (eager) is load-bearing here, not a cache: the
         // survivor plan READS the very paths the maintenance step then
         // APPENDS to, and Spark's recache-by-path would re-derive the
@@ -361,13 +377,13 @@ object Streams {
         // reference dies.
         val survivors = graft.ext.Curate.curateArrivals(batch, idCol,
             textCol, refSigs, refTexts, bench, benchIdCol, benchTextCol,
-            cfg, refFps)
+            cfg, refFps, refSegHashes)
           .localCheckpoint(true)
         survivors.select(col(idCol).as(refIdCol),
             col(textCol).as(refTextCol))
           .write.mode("append").parquet(store.tablePath(refTable))
         appendGateArtifacts(survivors, idCol, textCol, sigsPath, fpsPath,
-          cfg.numHashes, cfg.shingleSize)
+          cfg.numHashes, cfg.shingleSize, segCountsPath, cfg.stripSep)
         sink(survivors)
       }
 

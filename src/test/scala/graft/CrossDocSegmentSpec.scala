@@ -106,6 +106,46 @@ class CrossDocSegmentSpec extends SparkSuite {
     assert(e.getMessage.contains("maxSegments"))
   }
 
+  test("segment-count append-log collapses to the full-corpus artifact") {
+    // two disjoint batches sharing a segment that only crosses the
+    // threshold when their counts ADD — the growing-corpus case the
+    // log form exists for
+    val batch1 = Seq(
+      (1L, "shared line\nbody a"),
+      (2L, "shared line\nbody b"),
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (3L, "shared line\nbody c"),
+      (4L, "other stuff entirely"),
+    ).toDF("doc_id", "text")
+    val all = batch1.union(batch2)
+    val dir = java.nio.file.Files.createTempDirectory("seg-log").toString
+    Dedup.segmentDocCounts(batch1, "doc_id", "text")
+      .write.mode("append").parquet(s"$dir/log")
+    Dedup.segmentDocCounts(batch2, "doc_id", "text")
+      .write.mode("append").parquet(s"$dir/log")
+    val fromLog = Dedup.commonFromCounts(
+        spark.read.parquet(s"$dir/log"), minDocs = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = Dedup.commonSegmentHashes(all, "doc_id", "text", minDocs = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromLog == direct, s"log $fromLog direct $direct")
+    assert(fromLog.size == 1, "only the shared line crosses minDocs = 3")
+    // neither batch alone reaches the threshold — the sum is load-bearing
+    assert(Dedup.commonSegmentHashes(batch1, "doc_id", "text", minDocs = 3)
+      .count() == 0)
+    // and the gate built from the log strips identically to the direct
+    // artifact
+    import graft.streaming.Streams
+    val viaLog = Streams.stripSegmentsGate(all, "doc_id", "text",
+        Dedup.commonFromCounts(spark.read.parquet(s"$dir/log"), 3))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val viaDirect = Streams.stripSegmentsGate(all, "doc_id", "text",
+        Dedup.commonSegmentHashes(all, "doc_id", "text", minDocs = 3))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(viaLog == viaDirect && viaLog.nonEmpty)
+  }
+
   test("plan: detection has no window operator") {
     val plan = Dedup.commonSegments(docs, "doc_id", "text", minDocs = 2)
       .queryExecution.executedPlan.toString
