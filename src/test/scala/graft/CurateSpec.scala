@@ -330,6 +330,61 @@ class CurateSpec extends SparkSuite {
     assert(store.loadTable("gate_ref").count() == 2L)
     assert(spark.read.parquet(sigsPath).count() == 2L)
   }
+
+  test("selfMaintainingCurateGate: a line crossing minDocs starts stripping") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("gate-seg").toString
+    val store = new graft.store.Store(spark, root)
+    val seed = Seq(100L ->
+      "totally unrelated seed document with the and a to in words fine")
+      .toDF("ref_id", "ref_text")
+    store.createTable("gate_ref2", seed)
+    val sigsPath = s"$root/sigs"
+    val segPath = s"$root/segcounts"
+    graft.ext.Dedup.minhashSignatures(seed, "ref_id", "ref_text")
+      .write.parquet(sigsPath)
+    graft.ext.Dedup.segmentDocCounts(seed, "ref_id", "ref_text")
+      .write.parquet(segPath)
+    val banner = "promo banner offer today"
+    val bodies = Map(
+      10L -> "the cat sat on the mat and it was nice to see the dog again",
+      11L -> "of mice and men in the big house it was all fine to see",
+      12L -> "a completely different story about the sea and the old man there",
+      13L -> "the last body here is about winter snow and the quiet town at night")
+    val sunkText = scala.collection.mutable.Map.empty[Long, String]
+    val gate = graft.streaming.Streams.selfMaintainingCurateGate(
+      store, "gate_ref2", "ref_id", "ref_text", sigsPath, fpsPath = None,
+      bench.withColumnRenamed("doc_id", "bench_id"), "bench_id", "text",
+      "doc_id", "text", cfg.copy(stripSegmentsMinDocs = Some(3)),
+      sink = b => b.select("doc_id", "text").as[(Long, String)].collect()
+        .foreach { case (i, t) => sunkText(i) = t },
+      segCountsPath = Some(segPath))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(gate).start()
+    try {
+      // batches 1–2 admit banner-bearing docs while the line is still
+      // below minDocs = 3 — their stored text keeps the banner
+      mem.addData(10L -> s"$banner\n${bodies(10L)}", 11L -> s"$banner\n${bodies(11L)}")
+      q.processAllAvailable()
+      mem.addData(12L -> s"$banner\n${bodies(12L)}")
+      q.processAllAvailable()
+      assert(sunkText.keySet == Set(10L, 11L, 12L), s"got $sunkText")
+      assert(sunkText(12L).startsWith(banner),
+        "below threshold the banner must survive")
+      // the log now holds 3 banner docs: batch 3 strips it on arrival
+      mem.addData(13L -> s"$banner\n${bodies(13L)}")
+      q.processAllAvailable()
+      assert(sunkText(13L) == bodies(13L),
+        s"banner must be stripped once common: ${sunkText(13L)}")
+    } finally q.stop()
+    // the admitted (stripped) text is what the ref table holds
+    val stored = store.loadTable("gate_ref2")
+      .as[(Long, String)].collect().toMap
+    assert(stored(13L) == bodies(13L))
+    assert(stored(12L).startsWith(banner))
+  }
 }
 
 /** Exact-duplicate ingest gate over the persisted fingerprint artifact. */
