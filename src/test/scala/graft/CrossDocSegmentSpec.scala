@@ -146,6 +146,31 @@ class CrossDocSegmentSpec extends SparkSuite {
     assert(viaLog == viaDirect && viaLog.nonEmpty)
   }
 
+  test("strip is idempotent: nothing common remains, second strip is a no-op") {
+    val pool = (0 until 12).map(i => s"template line $i shared chrome")
+    val gen = udf { (id: Long) =>
+      val r = new java.util.Random(id)
+      (0 until 6).map(k =>
+        if (r.nextInt(3) == 0) s"unique $id $k"
+        else pool(r.nextInt(pool.length))).mkString("\n")
+    }
+    val corpus = spark.range(300)
+      .select(col("id").as("doc_id"), gen(col("id")).as("text"))
+    val stripped = Dedup.stripCommonSegments(corpus, "doc_id", "text",
+        minDocs = 10)
+      .select(col("doc_id"), col("text_kept").as("text")).cache()
+    // non-degenerate: unique lines survive somewhere
+    assert(stripped.filter(length(col("text")) > 0).count() > 0)
+    // removing common segments cannot create new common segments —
+    // doc frequencies of the survivors are unchanged
+    assert(Dedup.commonSegments(stripped, "doc_id", "text",
+      minDocs = 10).count() == 0)
+    val again = Dedup.stripCommonSegments(stripped, "doc_id", "text",
+      minDocs = 10)
+    assert(again.filter(col("n_kept") =!= col("n_segments")).count() == 0,
+      "second strip must remove nothing")
+  }
+
   test("plan: detection has no window operator") {
     val plan = Dedup.commonSegments(docs, "doc_id", "text", minDocs = 2)
       .queryExecution.executedPlan.toString
