@@ -148,24 +148,28 @@ object SparkEntry {
   private val FnvInit1 = "14695981039346656037"
   private val FnvInit2 = "6180598255448514352"
 
-  private val spanCte = {
-    def fnv(init: String) = fnvSql(init)
-    def signed(u: String) = signedSql(u)
-    "sptoks AS (SELECT doc_id, " +
+  /** Parameterized span-hash CTE generator: whitespace tokens of `rel`
+    * → k-token gram strings → signed paired FNV-1a hashes, CTE names
+    * prefixed with `p` (`{p}toks(doc_id, t)`, `{p}hs(doc_id, start, h,
+    * h2)`). One SQL spelling of `Dedup.tokenSpans` shared by the span
+    * dedup AND span decontamination oracles. */
+  private def spanHashCteFor(p: String, rel: String, k: Int): String =
+    s"${p}toks AS (SELECT doc_id, " +
       "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t " +
-      "FROM documents WHERE text IS NOT NULL), " +
-      "spge AS (SELECT doc_id, s.start AS start, s.gram AS gram FROM (" +
-      "SELECT doc_id, unnest(list_transform(range(0, len(t) - 7), " +
-      "i -> {'start': i, 'gram': array_to_string(t[i+1:i+8], ' ')})) AS s " +
-      "FROM sptoks WHERE len(t) >= 8)), " +
-      "spcs AS (SELECT doc_id, start, " +
+      s"FROM $rel WHERE text IS NOT NULL), " +
+      s"${p}ge AS (SELECT doc_id, s.start AS start, s.gram AS gram FROM (" +
+      s"SELECT doc_id, unnest(list_transform(range(0, len(t) - ${k - 1}), " +
+      s"i -> {'start': i, 'gram': array_to_string(t[i+1:i+$k], ' ')})) AS s " +
+      s"FROM ${p}toks WHERE len(t) >= $k)), " +
+      s"${p}cs AS (SELECT doc_id, start, " +
       "list_transform(string_split(gram, ''), c -> CAST(unicode(c) AS HUGEINT)) AS cs " +
-      "FROM spge), " +
-      "sphs AS (SELECT doc_id, CAST(start AS BIGINT) AS start, " +
-      s"${signed("hu")} AS h, ${signed("hu2")} AS h2 FROM (" +
-      s"SELECT doc_id, start, ${fnv(FnvInit1)} AS hu, " +
-      s"${fnv(FnvInit2)} AS hu2 FROM spcs))"
-  }
+      s"FROM ${p}ge), " +
+      s"${p}hs AS (SELECT doc_id, CAST(start AS BIGINT) AS start, " +
+      s"${signedSql("hu")} AS h, ${signedSql("hu2")} AS h2 FROM (" +
+      s"SELECT doc_id, start, ${fnvSql(FnvInit1)} AS hu, " +
+      s"${fnvSql(FnvInit2)} AS hu2 FROM ${p}cs))"
+
+  private val spanCte = spanHashCteFor("sp", "documents", 8)
 
   /** DuckDB cross-document segment CTE chain, shared by the
     * dedup_common_segs and dedup_seg_strip_cross oracles. Expects a
@@ -1201,6 +1205,25 @@ object SparkEntry {
         docs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("bench_id"), col("text")),
         "bench_id", "text", n = 2, threshold = 0.2)
+    }),
+    // —— span-LEVEL decontamination: mark every corpus occurrence of a
+    // benchmark 3-gram (surgical sibling of the doc-drop operators);
+    // attribution = min bench doc per gram ——
+    "decontaminate_spans" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.contaminatedSpans(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("bench_doc"), col("text")),
+        "bench_doc", "text", k = 3)
+    }),
+    // —— and the rewrite half: remove exactly the leaked token windows,
+    // keep the rest of each document ——
+    "decontaminate_span_strip" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.stripContaminatedSpans(docs, "doc_id", "text",
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("bench_doc"), col("text")),
+        "bench_doc", "text", k = 3)
     }),
     // —— multimodal: REAL P6 codec round-trip — every doc becomes a valid
     // 16×16 PPM, is decoded (header parse + raster), and reports its
@@ -2382,6 +2405,34 @@ object SparkEntry {
         "'\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}', '<PHONE>', 'g') AS redacted " +
         "FROM documents"),
     "text_decontaminate" -> decontaminateSql,
+    // span-level decontamination mirrors: paired-FNV gram hashes of the
+    // corpus (dc) and the benchmark slice (db) from the one shared CTE
+    // generator; attribution = min bench doc per (h, h2)
+    "decontaminate_spans" ->
+      (s"WITH ${spanHashCteFor("dc", "documents", 3)}, " +
+        s"${spanHashCteFor("db", "(SELECT * FROM documents WHERE doc_id < 5)", 3)}, " +
+        "dbg AS (SELECT h, h2, min(doc_id) AS bench_id FROM dbhs GROUP BY h, h2) " +
+        "SELECT dchs.doc_id, dchs.start, dchs.h AS gram_hash, " +
+        "dchs.h2 AS gram_hash2, dbg.bench_id " +
+        "FROM dchs JOIN dbg USING (h, h2)"),
+    "decontaminate_span_strip" ->
+      (s"WITH ${spanHashCteFor("dc", "documents", 3)}, " +
+        s"${spanHashCteFor("db", "(SELECT * FROM documents WHERE doc_id < 5)", 3)}, " +
+        "dbg AS (SELECT DISTINCT h, h2 FROM dbhs), " +
+        "dcrm AS (SELECT DISTINCT doc_id, unnest(range(start, start + 3)) AS p " +
+        "FROM dchs JOIN dbg USING (h, h2)), " +
+        "dctp AS (SELECT doc_id, s.p AS p, s.tok AS tok FROM (" +
+        "SELECT doc_id, unnest(list_transform(range(1, len(t) + 1), " +
+        "i -> {'p': CAST(i - 1 AS BIGINT), 'tok': t[i]})) AS s FROM dctoks)), " +
+        "dckept AS (SELECT dctp.doc_id, dctp.p, dctp.tok FROM dctp " +
+        "LEFT JOIN dcrm ON dctp.doc_id = dcrm.doc_id AND dctp.p = dcrm.p " +
+        "WHERE dcrm.p IS NULL), " +
+        "dcagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "string_agg(tok, ' ' ORDER BY p) AS text_kept FROM dckept GROUP BY doc_id) " +
+        "SELECT dctoks.doc_id, CAST(len(dctoks.t) AS BIGINT) AS n_tokens, " +
+        "coalesce(dcagg.n_kept, 0) AS n_kept, " +
+        "coalesce(dcagg.text_kept, '') AS text_kept " +
+        "FROM dctoks LEFT JOIN dcagg USING (doc_id)"),
     // the streaming gate computes the same containment in a narrow
     // broadcast map — same mirror
     "decontaminate_stream" -> decontaminateSql,

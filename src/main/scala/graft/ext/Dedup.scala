@@ -176,6 +176,17 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
       .groupBy("id").agg(collect_set(col("p")).as("__rm__"))
+    rebuildWithoutPositions(base, removedPerDoc, idCol)
+  }
+
+  /** Shared rewrite tail of the span strippers: positional-filter the
+    * one-row-per-doc token arrays against each doc's removed-position
+    * set and re-join surviving tokens — a narrow map after one left
+    * join; the corpus is never reshuffled. `base` must be
+    * (id, __t__: array<string>), `removedPerDoc` (id, __rm__:
+    * array<long>). */
+  private def rebuildWithoutPositions(base: DataFrame,
+      removedPerDoc: DataFrame, idCol: String): DataFrame = {
     val keptToks = when(col("__rm__").isNull, col("__t__"))
       .otherwise(filter(col("__t__"),
         (t, i) => not(array_contains(col("__rm__"), i.cast("long")))))
@@ -184,6 +195,65 @@ object Dedup {
         size(col("__t__")).cast("long").as("n_tokens"),
         size(keptToks).cast("long").as("n_kept"),
         array_join(keptToks, " ").as("text_kept"))
+  }
+
+  // ——— span-level benchmark decontamination (surgical strip) ———
+
+  /** Every corpus occurrence of a k-token gram that also appears in the
+    * BENCHMARK — span-level contamination detection, the surgical
+    * sibling of [[graft.ext.TextAnalysis.ngramContainment]]: instead of
+    * scoring documents and dropping whole rows, mark exactly the leaked
+    * token windows. `bench_id` is the MINIMUM benchmark doc containing
+    * the gram (deterministic attribution; joining every bench occurrence
+    * would blow up corpus-occ × bench-occ on common grams).
+    *
+    * Scale shape: both sides reduce to (id, start, h128) spans in their
+    * scan-side narrow maps; the benchmark collapses to one row per
+    * distinct gram (a tiny, broadcastable set — benchmarks are small by
+    * definition), and the join keys on the 16-byte hash pair alone.
+    *
+    * Output: (idCol, start, gram_hash, gram_hash2, bench_id). */
+  def contaminatedSpans(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchIdCol: String, benchTextCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"contaminatedSpans: k must be >= 1, got $k")
+    val spans = tokenSpans(corpus, idCol, textCol, k)
+    val benchGrams = tokenSpans(bench, benchIdCol, benchTextCol, k)
+      .groupBy("h", "h2").agg(min(col("id")).as("bench_id"))
+    spans.join(benchGrams, Seq("h", "h2"))
+      .select(col("id").as(idCol), col("start"),
+        col("h").as("gram_hash"), col("h2").as("gram_hash2"),
+        col("bench_id"))
+  }
+
+  /** Remove every token position covered by a benchmark k-gram —
+    * overlapping contaminated windows union, so a leaked benchmark
+    * passage of ANY length ≥ k disappears wholesale while the rest of
+    * the document survives. This is the surgical decontamination used
+    * when the corpus is precious and leakage is localized; doc-level
+    * [[graft.ext.TextAnalysis.ngramContainment]] (and the curation
+    * pipeline) DROPS contaminated documents instead. A benchmark doc
+    * sitting verbatim in the corpus strips to nothing here — the same
+    * "test set must not be trained on" semantics, token by token.
+    *
+    * Output: (idCol, n_tokens, n_kept, text_kept) for every non-null
+    * corpus doc. Scale shape is [[stripDuplicatedSpans]]': only
+    * id/offset/hash longs shuffle, and the corpus is never reshuffled
+    * for reassembly ([[rebuildWithoutPositions]]). */
+  def stripContaminatedSpans(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"stripContaminatedSpans: k must be >= 1, got $k")
+    val base = corpus.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
+    val spans = tokenSpans(corpus, idCol, textCol, k)
+    val benchGrams = tokenSpans(bench, benchIdCol, benchTextCol, k)
+      .select("h", "h2").distinct()
+    val removedPerDoc = spans.join(benchGrams, Seq("h", "h2"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("p"))
+      .groupBy("id").agg(collect_set(col("p")).as("__rm__"))
+    rebuildWithoutPositions(base, removedPerDoc, idCol)
   }
 
   // ——— cross-document common segments (boilerplate line removal) ———

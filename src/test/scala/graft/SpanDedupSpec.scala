@@ -121,9 +121,48 @@ class SpanDedupSpec extends SparkSuite {
     assert(Dedup.hash64(g, 0L) != Dedup.hash64(g, Dedup.SpanSeed2))
   }
 
+  // ——— span-level benchmark decontamination ———
+
+  private lazy val contamCorpus = Seq(
+    (1L, "x y a b c d z"),                 // leaks "a b c" (at 2), "b c d" (at 3)
+    (2L, "clean text entirely here"),
+    (4L, "a b c d"),                       // a bench doc verbatim
+    (5L, null.asInstanceOf[String]),
+  ).toDF("doc_id", "text")
+  // bench 3-grams: doc 50 {"a b c","b c d"}; doc 51 {"a b c","b c q"}
+  private lazy val contamBench =
+    Seq((50L, "a b c d"), (51L, "a b c q")).toDF("bench_doc", "text")
+
+  test("contaminatedSpans marks leaked windows with min-bench attribution") {
+    val out = Dedup.contaminatedSpans(contamCorpus, "doc_id", "text",
+        contamBench, "bench_doc", "text", k = 3)
+      .select("doc_id", "start", "bench_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // "a b c" is in BOTH bench docs -> attributed to min (50)
+    assert(out == Set((1L, 2L, 50L), (1L, 3L, 50L),
+      (4L, 0L, 50L), (4L, 1L, 50L)), s"got $out")
+  }
+
+  test("stripContaminatedSpans removes unioned windows, empties verbatim leaks") {
+    val out = Dedup.stripContaminatedSpans(contamCorpus, "doc_id", "text",
+        contamBench, "bench_doc", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_kept", "text_kept")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 4L))            // null doc excluded
+    // windows at 2 and 3 union to positions 2..5 — the whole leaked run
+    assert(out(1L) == ((1L, 7L, 3L, "x y z")), s"${out(1L)}")
+    assert(out(2L) == ((2L, 4L, 4L, "clean text entirely here")), s"${out(2L)}")
+    // a benchmark doc sitting verbatim in the corpus strips to nothing
+    assert(out(4L) == ((4L, 4L, 0L, "")), s"${out(4L)}")
+  }
+
   test("error contracts") {
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(docs, "doc_id", "text", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.contaminatedSpans(contamCorpus, "doc_id", "text",
+        contamBench, "bench_doc", "text", k = 0)
     }
     intercept[IllegalArgumentException] {
       Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3, minOccurrences = 1)
