@@ -127,6 +127,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
         case ("POST", "dedup" :: "semantic-gate" :: Nil) => postSemanticGate(ex)
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
+        case ("POST", "text" :: "decontaminate-spans" :: Nil) =>
+          postDecontaminateSpans(ex)
         case ("POST", "text" :: "curate" :: Nil)        => postCurate(ex)
         case ("POST", "text" :: "curate-drops" :: Nil)  => postCurateDrops(ex)
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
@@ -624,6 +626,28 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       bench, require(body, "benchIdCol").asText(), require(body, "benchColumn").asText(),
       n = intOr(body, "n", 2),
       threshold = opt(body, "threshold").map(_.asDouble()).getOrElse(0.2)))
+  }
+
+  /** Span-LEVEL decontamination ([[graft.ext.Dedup.stripContaminatedSpans]]
+    * or, with `"report": true`, [[graft.ext.Dedup.contaminatedSpans]]):
+    * strip exactly the leaked benchmark k-gram windows instead of
+    * dropping whole documents. */
+  private def postDecontaminateSpans(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val corpus = engine.readTable(Seq(require(body, "source").asText()))
+    val bench = engine.readTable(Seq(require(body, "bench").asText()))
+    val idCol = require(body, "idCol").asText()
+    val column = require(body, "column").asText()
+    val benchIdCol = require(body, "benchIdCol").asText()
+    val benchColumn = require(body, "benchColumn").asText()
+    val k = intOr(body, "k", 8)
+    okRows(ex,
+      if (opt(body, "report").exists(_.asBoolean()))
+        graft.ext.Dedup.contaminatedSpans(corpus, idCol, column,
+          bench, benchIdCol, benchColumn, k)
+      else
+        graft.ext.Dedup.stripContaminatedSpans(corpus, idCol, column,
+          bench, benchIdCol, benchColumn, k))
   }
 
   /** Full corpus-curation pipeline over stored tables

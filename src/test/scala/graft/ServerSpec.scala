@@ -539,6 +539,38 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/gate_in")._1 == 200)
   }
 
+  test("span decontamination route: report and strip forms") {
+    val (c1, b1) = send("PUT", "/tables/spd_corpus",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":1,"text":"x y a b c d z"},
+        {"doc_id":2,"text":"clean text entirely here"}]}""")
+    assert(c1 == 200, b1)
+    val (c2, b2) = send("PUT", "/tables/spd_bench",
+      """{"schema":"bench_doc LONG, text STRING","rows":[
+        {"bench_doc":50,"text":"a b c d"}]}""")
+    assert(c2 == 200, b2)
+    val (rc, rBody) = send("POST", "/text/decontaminate-spans",
+      """{"source":"spd_corpus","idCol":"doc_id","column":"text",
+        "bench":"spd_bench","benchIdCol":"bench_doc","benchColumn":"text",
+        "k":3,"report":true}""")
+    assert(rc == 200, rBody)
+    var nSpans = 0
+    mapper.readTree(rBody).get("rows").elements()
+      .forEachRemaining(n => { nSpans += 1; assert(n.get("bench_id").asLong() == 50L) })
+    assert(nSpans == 2, s"got $nSpans")
+    val (sc4, sBody4) = send("POST", "/text/decontaminate-spans",
+      """{"source":"spd_corpus","idCol":"doc_id","column":"text",
+        "bench":"spd_bench","benchIdCol":"bench_doc","benchColumn":"text","k":3}""")
+    assert(sc4 == 200, sBody4)
+    val kept = new scala.collection.mutable.HashMap[Long, String]
+    mapper.readTree(sBody4).get("rows").elements()
+      .forEachRemaining(n => kept(n.get("doc_id").asLong()) = n.get("text_kept").asText())
+    assert(kept(1L) == "x y z" && kept(2L) == "clean text entirely here",
+      s"got $kept")
+    assert(send("DELETE", "/tables/spd_corpus")._1 == 200)
+    assert(send("DELETE", "/tables/spd_bench")._1 == 200)
+  }
+
   test("segment routes: common lines detected and stripped, wire == library") {
     val (c1, b1) = send("PUT", "/tables/seg_docs",
       """{"schema":"doc_id LONG, text STRING","rows":[
