@@ -88,7 +88,18 @@ object Curate {
       // boilerplate is what stops two pages differing only in nav
       // chrome from LOOKING distinct to the dedup stages.
       stripSegmentsMinDocs: Option[Int] = None,
-      stripSep: String = "\n")
+      stripSep: String = "\n",
+      // true = SURGICAL decontamination: strip the leaked benchmark
+      // `contamNgram`-gram windows from each doc
+      // ([[Dedup.stripContaminatedSpans]]) instead of relying on the
+      // drop stage — for corpora precious enough that a quote shouldn't
+      // cost the whole document. The containment DROP stage still runs
+      // afterwards as the safety net (gap closure after a strip can in
+      // principle mint a new adjacency that matches a bench gram; in
+      // practice it measures zero residual — spec-pinned), and a doc
+      // that was a verbatim benchmark copy strips to nothing and falls
+      // to the quality stage.
+      contamStripSpans: Boolean = false)
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -124,8 +135,23 @@ object Curate {
         Dedup.stripCommonSegments(docs, idCol, textCol, cfg.stripSep, m))
       case None => docs
     }
-    curatePostStrip(docs0, idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+    // 0b (optional) — surgical decontamination rewrite, before the
+    // dedup stages see the text (a leaked quote must not make two
+    // otherwise-distinct docs look alike, nor differently-quoted copies
+    // of one doc look distinct)
+    val docs1 = contamStripped(docs0, idCol, textCol, bench, benchIdCol,
+      benchTextCol, cfg)
+    curatePostStrip(docs1, idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
   }
+
+  /** Apply [[Config.contamStripSpans]]'s rewrite (identity when off). */
+  private def contamStripped(docs: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, cfg: Config): DataFrame =
+    if (!cfg.contamStripSpans) docs
+    else withStrippedText(docs, idCol, textCol,
+      Dedup.stripContaminatedSpans(docs, idCol, textCol,
+        bench, benchIdCol, benchTextCol, cfg.contamNgram))
 
   /** Stages 1–5 over an (optionally pre-stripped) corpus. */
   private def curatePostStrip(
@@ -208,7 +234,9 @@ object Curate {
         Dedup.stripCommonSegments(docs, idCol, textCol, cfg.stripSep, m))
       case None => docs
     }
-    curateDropsPostStrip(docs0, idCol, textCol, bench, benchIdCol,
+    val docs1 = contamStripped(docs0, idCol, textCol, bench, benchIdCol,
+      benchTextCol, cfg)
+    curateDropsPostStrip(docs1, idCol, textCol, bench, benchIdCol,
       benchTextCol, cfg)
   }
 
@@ -342,12 +370,16 @@ object Curate {
     // the corpus's (stripped) text, so arrivals have to be compared in
     // the same rewritten space — un-stripped arrivals would never
     // fingerprint-match a stripped corpus twin.
-    val arrivals0 = refSegHashes match {
+    val arrivalsSeg = refSegHashes match {
       case Some(hashes) => withStrippedText(arrivals, idCol, textCol,
         graft.streaming.Streams.stripSegmentsGate(
           arrivals, idCol, textCol, hashes, cfg.stripSep))
       case None => arrivals
     }
+    // surgical decontamination of the batch itself (the bench frame is
+    // static and small; its gram set re-derives per batch)
+    val arrivals0 = contamStripped(arrivalsSeg, idCol, textCol, bench,
+      benchIdCol, benchTextCol, cfg)
     // tier 0 (optional): exact re-crawl rejection on the persisted
     // 8-byte fingerprint artifact. Changes NO survivor (an identical
     // normalized text has identical shingles, so the near-dup tier would

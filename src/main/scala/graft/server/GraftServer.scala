@@ -678,7 +678,11 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       // optional line-level boilerplate strip pre-stage
       stripSegmentsMinDocs =
         opt(body, "stripSegmentsMinDocs").map(_.asInt()),
-      stripSep = opt(body, "stripSep").map(_.asText()).getOrElse("\n"))
+      stripSep = opt(body, "stripSep").map(_.asText()).getOrElse("\n"),
+      // surgical decontamination: strip leaked spans instead of
+      // dropping the document
+      contamStripSpans =
+        opt(body, "contamStripSpans").exists(_.asBoolean()))
 
   /** Drop attribution ([[graft.ext.Curate.curateDrops]]): every dropped
     * doc + the first stage that dropped it — the "why was my document

@@ -19,7 +19,7 @@ class CurateSpec extends SparkSuite {
     1L -> doc1,
     2L -> doc1,
     3L -> doc1.replace("cat", "bat"),
-    4L -> (benchText + " the cat and it sat to play"),
+    4L -> (benchText + " the cats wandered around here and they found something nice to play with"),
     5L -> "# ## ### #### #####",
     6L -> "zzz qqq rrr sss ttt uuu vvv www xxx yyy",
     7L -> "of mice and men in the big house it was all fine to see"
@@ -158,6 +158,34 @@ class CurateSpec extends SparkSuite {
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(got.sortBy(_._1).toSeq == expected)
     assert(expected.map(_._1) == Seq(12L, 14L))
+  }
+
+  test("contamStripSpans: the leaked span goes, the document survives") {
+    val out = Curate.curate(docs, "doc_id", "text",
+        bench, "doc_id", "text", cfg.copy(contamStripSpans = true))
+      .orderBy("doc_id").collect()
+    // doc 4 loses its verbatim benchmark prefix but keeps the rest
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L, 7L))
+    val d4 = out(1)
+    assert(d4.getAs[String]("text") ==
+      "the cats wandered around here and they found something nice to play with",
+      s"$d4")
+    assert(d4.getAs[Long]("n_words") == 13L)
+    // residual containment on the stripped corpus is zero: the drop
+    // stage (still running as the safety net) drops nothing else
+    val drops = Curate.curateDrops(docs, "doc_id", "text",
+        bench, "doc_id", "text", cfg.copy(contamStripSpans = true))
+      .as[(Long, String)].collect().toMap
+    assert(!drops.values.exists(_ == "contaminated"), s"got $drops")
+    // partition property holds in strip mode too
+    assert(drops.keySet ++ Set(1L, 4L, 7L) == (1L to 7L).toSet)
+    // and a VERBATIM bench copy in the corpus empties out and falls to
+    // the quality stage rather than surviving as an empty husk
+    val verbatim = docs.union(Seq(8L -> benchText).toDF("doc_id", "text"))
+    val drops8 = Curate.curateDrops(verbatim, "doc_id", "text",
+        bench, "doc_id", "text", cfg.copy(contamStripSpans = true))
+      .as[(Long, String)].collect().toMap
+    assert(drops8(8L) == "quality", s"got $drops8")
   }
 
   // ——— optional line-level strip tier (stage 0) ———
