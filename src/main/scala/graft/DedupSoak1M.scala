@@ -137,6 +137,24 @@ object DedupSoak1M {
     val segEmptied = seg.filter(col("n_kept") === 0L).count()
     val segKeptOne = seg.filter(col("n_kept") === 1L).count()
 
+    // span-level decontamination at 1M: a 100-doc synthetic benchmark
+    // whose docs are verbatim copies of corpus docs (guaranteed leaks)
+    // — the leaked corpus docs must empty out, everything else must
+    // pass untouched. Bench grams collapse to a distinct set before the
+    // join, so the corpus-side work is one narrow span map + one
+    // hash-pair join regardless of benchmark size.
+    val benchIds = (0 until 100).map(i => cluster + 1L + i * 9001L)
+    val benchSpan = spark.createDataFrame(
+        benchIds.map(i => (i, text(i)))).toDF("bench_id", "text")
+    val (spanStats, tSpanDecon) = time {
+      val s = Dedup.stripContaminatedSpans(docs, "doc_id", "text",
+        benchSpan, "bench_id", "text", k = 8).cache()
+      s.count()
+      s
+    }
+    val deconEmptied = spanStats.filter(col("n_kept") === 0L).count()
+    val deconTouched = spanStats.filter(col("n_kept") =!= col("n_tokens")).count()
+
     val json =
       f"""{"n_docs":$n,"cluster_size":$cluster,""" +
         f""""pairs_sec":$tPairs%.1f,"n_pairs":$nPairs,""" +
@@ -146,7 +164,10 @@ object DedupSoak1M {
         f""""groups_sec":$tGroups%.1f,"cluster_components":$clusterComponents,""" +
         f""""curate_sec":$tCurate%.1f,"curate_survivors":$nCurated,""" +
         f""""seg_strip_sec":$tSeg%.1f,"seg_docs_emptied":$segEmptied,""" +
-        f""""seg_docs_kept_one":$segKeptOne}"""
+        f""""seg_docs_kept_one":$segKeptOne,""" +
+        f""""span_decon_sec":$tSpanDecon%.1f,""" +
+        f""""span_decon_emptied":$deconEmptied,""" +
+        f""""span_decon_touched":$deconTouched}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("dedup_soak_1m.json"),
       (json + "\n").getBytes("UTF-8"))
     println(json)
