@@ -128,21 +128,24 @@ object Curate {
       textCol != "n_words" && textCol != "lang_pred",
       "rename the id/text columns apart from the appended n_words/lang_pred")
 
-    // 0 (optional) — line-level boilerplate strip, rewriting textCol in
-    // place before any doc-level stage sees it
-    val docs0 = cfg.stripSegmentsMinDocs match {
+    // 0 (optional) — line-level boilerplate strip, then 0b (optional) —
+    // surgical decontamination, both rewriting textCol in place before
+    // any doc-level stage sees it (a leaked quote must not make two
+    // otherwise-distinct docs look alike, nor differently-quoted copies
+    // of one doc look distinct)
+    val docs1 = contamStripped(segStripped(docs, idCol, textCol, cfg),
+      idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+    curatePostStrip(docs1, idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+  }
+
+  /** Apply [[Config.stripSegmentsMinDocs]]'s rewrite (identity when off). */
+  private def segStripped(docs: DataFrame, idCol: String,
+      textCol: String, cfg: Config): DataFrame =
+    cfg.stripSegmentsMinDocs match {
       case Some(m) => withStrippedText(docs, idCol, textCol,
         Dedup.stripCommonSegments(docs, idCol, textCol, cfg.stripSep, m))
       case None => docs
     }
-    // 0b (optional) — surgical decontamination rewrite, before the
-    // dedup stages see the text (a leaked quote must not make two
-    // otherwise-distinct docs look alike, nor differently-quoted copies
-    // of one doc look distinct)
-    val docs1 = contamStripped(docs0, idCol, textCol, bench, benchIdCol,
-      benchTextCol, cfg)
-    curatePostStrip(docs1, idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
-  }
 
   /** Apply [[Config.contamStripSpans]]'s rewrite (identity when off). */
   private def contamStripped(docs: DataFrame, idCol: String,
@@ -224,18 +227,13 @@ object Curate {
       cfg: Config = Config()): DataFrame = {
     require(idCol != "drop_stage" && textCol != "drop_stage",
       "rename the id/text columns apart from the appended drop_stage")
-    // same optional pre-strip as [[curate]] — attribution is judged over
-    // the REWRITTEN text (a doc emptied by the strip attributes to
+    // same optional pre-rewrites as [[curate]] — attribution is judged
+    // over the REWRITTEN text (a doc emptied by a strip attributes to
     // "quality", which is what operationally happened to it), and the
     // curate ∪ curateDrops partition property is preserved because the
     // left-join rewrite keeps every row, null texts included
-    val docs0 = cfg.stripSegmentsMinDocs match {
-      case Some(m) => withStrippedText(docs, idCol, textCol,
-        Dedup.stripCommonSegments(docs, idCol, textCol, cfg.stripSep, m))
-      case None => docs
-    }
-    val docs1 = contamStripped(docs0, idCol, textCol, bench, benchIdCol,
-      benchTextCol, cfg)
+    val docs1 = contamStripped(segStripped(docs, idCol, textCol, cfg),
+      idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
     curateDropsPostStrip(docs1, idCol, textCol, bench, benchIdCol,
       benchTextCol, cfg)
   }

@@ -289,7 +289,11 @@ object Streams {
     * cannot express but per-micro-batch batch plans can — the same
     * pattern as [[semanticDupGateForEachBatch]]. The corpus-side work
     * (signature banding, bench-gram broadcast) is computed from STATIC
-    * frames and reused across batches. */
+    * frames and reused across batches. Note: when `refSegHashes` is
+    * given, its driver-side collect + broadcast happens per batch (the
+    * price of artifact freshness — [[selfMaintainingCurateGate]] relies
+    * on exactly that); the artifact is 16 B/segment, so this is cheap
+    * next to the batch's own work. */
   def curateGateForEachBatch(
       refSigs: DataFrame, refTexts: DataFrame,
       bench: DataFrame, benchIdCol: String, benchTextCol: String,
