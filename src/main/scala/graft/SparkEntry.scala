@@ -1581,6 +1581,47 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(count(lit(1)).as("cnt"),
           sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))),
+    // —— TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // integer-cents revenue (the q3 determinism discipline) ——
+    "q10_returns" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum((round(col("l_extendedprice") * 100) *
+          (lit(100) - round(col("l_discount") * 100))).cast("long"))
+          .as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("c_custkey").asc)
+        .limit(20)),
+    // —— grouped Pearson correlation from EXACT integer sums: the float
+    // aggregate that normally can't hash-match, made deterministic by
+    // the corpus_profile discipline — integer moments cross the shuffle,
+    // the double formula runs once per group on identical inputs ——
+    "stats_corr" -> ((s: SparkSession, dir: String) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      def d(c: Column): Column = c.cast("double")
+      li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("y") * col("y")).as("syy"))
+        .withColumn("corr_xy",
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+            (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+              sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+    }),
+    // —— unicode/whitespace normalization over a deterministically
+    // dirtied corpus: decomposed accent (e + U+0301), a BEL control,
+    // doubled spaces — NFC + strip + collapse + trim ——
+    "text_normalize" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(concat(col("text"), lit(" cafe"),
+            lit("\u0301"), lit("\u0007"), lit("  x"))).as("clean_text"))),
     "cte_query" -> ((s: SparkSession, dir: String) => {
       tbl(s, dir, "orders").createOrReplaceTempView("orders_cte")
       s.sql(
@@ -2747,6 +2788,34 @@ object SparkEntry {
         "JOIN orders ON o_custkey = c_custkey " +
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "WHERE r_name = (SELECT min(r_name) FROM region) GROUP BY n_name"),
+    "q10_returns" ->
+      ("SELECT c_custkey, c_name, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name " +
+        "ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20"),
+    // exact integer moments, then the SAME double formula once per
+    // group — both engines evaluate an identical IEEE expression tree
+    // on identical integer inputs, so even corr hash-matches
+    "stats_corr" ->
+      ("WITH b AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x, " +
+        "CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem), " +
+        "a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy, " +
+        "CAST(sum(y*y) AS BIGINT) AS syy FROM b GROUP BY l_returnflag) " +
+        "SELECT l_returnflag, n, sx, sy, sxx, sxy, syy, " +
+        "(CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / " +
+        "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
+        "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy " +
+        "FROM a"),
+    "text_normalize" ->
+      ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
+        "nfc_normalize(text || ' cafe' || chr(769) || chr(7) || '  x'), " +
+        "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'), " +
+        "'[ \\t]+', ' ', 'g')) AS clean_text " +
+        "FROM documents WHERE text IS NOT NULL"),
     "cte_query" ->
       ("WITH big AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 300000), " +
         "ranked AS (SELECT o_custkey, count(*) AS big_orders FROM big GROUP BY o_custkey) " +

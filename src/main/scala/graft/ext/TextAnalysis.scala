@@ -13,6 +13,34 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // ——— unicode / whitespace normalization ———
+
+  /** Unicode NFC canonical composition — decomposed sequences (base +
+    * combining marks, the classic mojibake/copy-paste residue) fold into
+    * their precomposed forms. Java's Normalizer and DuckDB's
+    * `nfc_normalize` implement the same Unicode standard algorithm, so
+    * the mirror is term-for-term. Deterministic scalar UDF (the JDK has
+    * no Catalyst expression for NFC); everything around it stays in
+    * codegen'd built-ins. */
+  private val nfcUdf = udf { (s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+  }
+
+  /** Encoding/whitespace cleanup — the normalization stage every crawl
+    * pipeline runs before anything hashes or tokenizes text: NFC
+    * composition (so "é" and "e"+U+0301 stop being distinct tokens,
+    * dedup keys, or vocab entries), C0/C1-style control-character
+    * removal (newline KEPT — it is document structure; tab survives the
+    * strip but the following collapse folds runs of spaces/tabs into
+    * one space), and edge trim. One narrow map; the order (NFC → strip
+    * → collapse → trim) is part of the contract and mirrored exactly by
+    * the oracle. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcUdf(c), "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t]+", " "))
+
   // ——— lexical (BM25) scoring ———
 
   /** Okapi BM25 scores of every document against a fixed term set

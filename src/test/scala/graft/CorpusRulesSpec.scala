@@ -59,6 +59,22 @@ class CorpusRulesSpec extends SparkSuite {
     assert(!rows(0).getAs[Boolean]("keep"))
   }
 
+  test("normalizeText: NFC composition, control strip, collapse, trim") {
+    val rows = Seq(
+      (1L, "cafe\u0301  au\tlait "),   // decomposed accent + runs
+      (2L, "a\u0007b\u0000c"),          // BEL + NUL stripped
+      (3L, "line1\nline2"),                 // newline preserved
+      (4L, null.asInstanceOf[String]),
+    ).toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextAnalysis.normalizeText(col("t")).as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "café au lait", s"got '${out(1L)}'")
+    assert(out(2L) == "abc", s"got '${out(2L)}'")
+    assert(out(3L) == "line1\nline2", s"got '${out(3L)}'")
+    assert(out(4L) == null)
+  }
+
   test("dedupSegments keeps first occurrences in order") {
     val df = Seq((1L, "x\ny\nx\nz\ny")).toDF("doc_id", "text")
     val r = TextAnalysis.dedupSegments(df, "doc_id", "text").collect()(0)
