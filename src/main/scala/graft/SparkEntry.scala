@@ -1594,6 +1594,32 @@ object SparkEntry {
           .as("revenue_c"))
         .orderBy(col("revenue_c").desc, col("c_custkey").asc)
         .limit(20)),
+    // —— TPC-H Q14 shape: promo revenue share — one global agg, ratio of
+    // exact integer-cents sums evaluated identically in both engines ——
+    "q14_promo" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("p_type"),
+          (round(col("l_extendedprice") * 100) *
+            (lit(100) - round(col("l_discount") * 100))).cast("long").as("rev_c"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev_c"))
+            .otherwise(lit(0L))).as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+        .withColumn("promo_share",
+          col("promo_c").cast("double") / col("total_c").cast("double"))),
+    // —— TPC-H Q18 shape: large-volume orders (HAVING over a grouped
+    // sum, then join back to customer), integer quantities ——
+    "q18_large" -> ((s: SparkSession, dir: String) => {
+      val big = tbl(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum(round(col("l_quantity")).cast("long")).as("total_qty"))
+        .filter(col("total_qty") > 300)
+      tbl(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc).limit(20)
+    }),
     // —— grouped Pearson correlation from EXACT integer sums: the float
     // aggregate that normally can't hash-match, made deterministic by
     // the corpus_profile discipline — integer moments cross the shuffle,
@@ -2795,6 +2821,22 @@ object SparkEntry {
         "JOIN lineitem ON o_orderkey = l_orderkey " +
         "WHERE l_returnflag = 'R' GROUP BY c_custkey, c_name " +
         "ORDER BY revenue_c DESC, c_custkey ASC LIMIT 20"),
+    "q14_promo" ->
+      ("SELECT promo_c, total_c, " +
+        "CAST(promo_c AS DOUBLE) / CAST(total_c AS DOUBLE) AS promo_share FROM (" +
+        "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c, " +
+        "CAST(sum(rev_c) AS BIGINT) AS total_c FROM (" +
+        "SELECT p_type, CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey))"),
+    "q18_large" ->
+      ("WITH big AS (SELECT l_orderkey, " +
+        "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty " +
+        "FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) " +
+        "SELECT c_custkey, c_name, o_orderkey, total_qty " +
+        "FROM orders JOIN big ON o_orderkey = l_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20"),
     // exact integer moments, then the SAME double formula once per
     // group — both engines evaluate an identical IEEE expression tree
     // on identical integer inputs, so even corr hash-matches

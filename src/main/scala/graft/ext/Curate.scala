@@ -99,7 +99,14 @@ object Curate {
       // practice it measures zero residual — spec-pinned), and a doc
       // that was a verbatim benchmark copy strips to nothing and falls
       // to the quality stage.
-      contamStripSpans: Boolean = false)
+      contamStripSpans: Boolean = false,
+      // true = unicode/whitespace normalization
+      // ([[TextAnalysis.normalizeText]]) as the very first rewrite —
+      // before ANY hash is taken, so "é" and "e"+U+0301 can't produce
+      // distinct fingerprints/signatures for visually identical text.
+      // A pure column expression: no join, no shuffle, fused into the
+      // base scan.
+      normalizeUnicode: Boolean = false)
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -133,10 +140,19 @@ object Curate {
     // any doc-level stage sees it (a leaked quote must not make two
     // otherwise-distinct docs look alike, nor differently-quoted copies
     // of one doc look distinct)
-    val docs1 = contamStripped(segStripped(docs, idCol, textCol, cfg),
+    val docs1 = contamStripped(
+      segStripped(normalized(docs, textCol, cfg), idCol, textCol, cfg),
       idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
     curatePostStrip(docs1, idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
   }
+
+  /** Apply [[Config.normalizeUnicode]]'s rewrite (identity when off) —
+    * a pure column expression, so Catalyst fuses it into the scan. */
+  private def normalized(docs: DataFrame, textCol: String,
+      cfg: Config): DataFrame =
+    if (!cfg.normalizeUnicode) docs
+    else docs.withColumn(textCol,
+      when(col(textCol).isNotNull, TextAnalysis.normalizeText(col(textCol))))
 
   /** Apply [[Config.stripSegmentsMinDocs]]'s rewrite (identity when off). */
   private def segStripped(docs: DataFrame, idCol: String,
@@ -232,7 +248,8 @@ object Curate {
     // "quality", which is what operationally happened to it), and the
     // curate ∪ curateDrops partition property is preserved because the
     // left-join rewrite keeps every row, null texts included
-    val docs1 = contamStripped(segStripped(docs, idCol, textCol, cfg),
+    val docs1 = contamStripped(
+      segStripped(normalized(docs, textCol, cfg), idCol, textCol, cfg),
       idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
     curateDropsPostStrip(docs1, idCol, textCol, bench, benchIdCol,
       benchTextCol, cfg)
@@ -368,11 +385,12 @@ object Curate {
     // the corpus's (stripped) text, so arrivals have to be compared in
     // the same rewritten space — un-stripped arrivals would never
     // fingerprint-match a stripped corpus twin.
+    val arrivalsNorm = normalized(arrivals, textCol, cfg)
     val arrivalsSeg = refSegHashes match {
-      case Some(hashes) => withStrippedText(arrivals, idCol, textCol,
+      case Some(hashes) => withStrippedText(arrivalsNorm, idCol, textCol,
         graft.streaming.Streams.stripSegmentsGate(
-          arrivals, idCol, textCol, hashes, cfg.stripSep))
-      case None => arrivals
+          arrivalsNorm, idCol, textCol, hashes, cfg.stripSep))
+      case None => arrivalsNorm
     }
     // surgical decontamination of the batch itself (the bench frame is
     // static and small; its gram set re-derives per batch)

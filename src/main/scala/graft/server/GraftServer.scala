@@ -682,7 +682,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       // surgical decontamination: strip leaked spans instead of
       // dropping the document
       contamStripSpans =
-        opt(body, "contamStripSpans").exists(_.asBoolean()))
+        opt(body, "contamStripSpans").exists(_.asBoolean()),
+      // NFC + control/whitespace normalization before any hashing
+      normalizeUnicode =
+        opt(body, "normalizeUnicode").exists(_.asBoolean()))
 
   /** Drop attribution ([[graft.ext.Curate.curateDrops]]): every dropped
     * doc + the first stage that dropped it — the "why was my document

@@ -188,6 +188,24 @@ class CurateSpec extends SparkSuite {
     assert(drops8(8L) == "quality", s"got $drops8")
   }
 
+  test("normalizeUnicode: a decomposed twin becomes an exact duplicate") {
+    val twins = Seq(
+      30L -> "the café sat on the mat and it was nice to see the dog again",
+      31L -> "the cafe\u0301 sat on the mat and it was nice to see the dog again",
+    ).toDF("doc_id", "text")
+    val tight = cfg.copy(jaccardThreshold = 0.95)
+    // without normalization the byte-distinct twin survives
+    val off = Curate.curate(twins, "doc_id", "text",
+        bench, "doc_id", "text", tight)
+      .select("doc_id").as[Long].collect().toSet
+    assert(off == Set(30L, 31L), s"got $off")
+    // with it, NFC makes the texts byte-identical -> exact dedup
+    val drops = Curate.curateDrops(twins, "doc_id", "text",
+        bench, "doc_id", "text", tight.copy(normalizeUnicode = true))
+      .as[(Long, String)].collect().toMap
+    assert(drops == Map(31L -> "exact_dup"), s"got $drops")
+  }
+
   // ——— optional line-level strip tier (stage 0) ———
 
   private val navLine = "home products about contact"
