@@ -120,6 +120,24 @@ object DedupSoak1M {
           dropUnknownLang = false)).count()
     }
 
+    // the FULL pipeline with every tier on, at 1M: unicode
+    // normalization + cross-doc line strip + surgical span
+    // decontamination + all five doc-level stages in the one-pass
+    // assembly — the composed plan must not reintroduce the
+    // cascade-rescan blowup the id-set design exists to prevent
+    val navDocs0 = docs.withColumn("text",
+      concat(lit("nav home products contact\n"), col("text")))
+    val (nFull, tFull) = time {
+      graft.ext.Curate.curate(navDocs0, "doc_id", "text", bench,
+        "bench_id", "text",
+        graft.ext.Curate.Config(jaccardThreshold = 0.5,
+          minWords = 10, maxWords = 100, minStopwords = 0,
+          dropUnknownLang = false,
+          normalizeUnicode = true,
+          stripSegmentsMinDocs = Some(1000),
+          contamStripSpans = true)).count()
+    }
+
     // cross-doc common-line strip at 1M: a nav line shared by ALL 1M
     // docs (the hottest possible distinct-doc-count key) plus the
     // cluster's body line shared by 100k docs — both must strip (the
@@ -163,6 +181,7 @@ object DedupSoak1M {
         f""""injected_recall":$recall%.4f,""" +
         f""""groups_sec":$tGroups%.1f,"cluster_components":$clusterComponents,""" +
         f""""curate_sec":$tCurate%.1f,"curate_survivors":$nCurated,""" +
+        f""""curate_full_sec":$tFull%.1f,"curate_full_survivors":$nFull,""" +
         f""""seg_strip_sec":$tSeg%.1f,"seg_docs_emptied":$segEmptied,""" +
         f""""seg_docs_kept_one":$segKeptOne,""" +
         f""""span_decon_sec":$tSpanDecon%.1f,""" +

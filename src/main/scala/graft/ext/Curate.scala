@@ -140,11 +140,29 @@ object Curate {
     // any doc-level stage sees it (a leaked quote must not make two
     // otherwise-distinct docs look alike, nor differently-quoted copies
     // of one doc look distinct)
-    val docs1 = contamStripped(
+    val docs1 = materializedRewrites(contamStripped(
       segStripped(normalized(docs, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+      idCol, textCol, bench, benchIdCol, benchTextCol, cfg), cfg)
     curatePostStrip(docs1, idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
   }
+
+  /** Materialize the rewritten corpus ONCE when a strip-JOIN tier is on.
+    * The one-pass id-set assembly references the corpus from ~6 branches
+    * (exact keep, near-dup pairs, contamination, the survivor pass, and
+    * curateDrops' marker joins); with a rewrite JOIN under it, every
+    * branch re-derives the whole strip subtree — and the replicated
+    * sort-merge sorts running concurrently exhaust the task memory pool
+    * (measured: full-tier curate at 1M docs x 32 threads dies with
+    * UNABLE_TO_ACQUIRE_MEMORY; with the checkpoint it completes). An
+    * eager localCheckpoint truncates the lineage so each branch reads
+    * the materialized rows instead — the [[Dedup.nearDupPairsMinhash]]
+    * banded-frame discipline. Pure-column rewrites (normalizeUnicode
+    * alone) replicate safely and skip the materialization; blocks are
+    * freed by the ContextCleaner when the per-call frame dies. */
+  private def materializedRewrites(docs: DataFrame, cfg: Config): DataFrame =
+    if (cfg.stripSegmentsMinDocs.nonEmpty || cfg.contamStripSpans)
+      docs.localCheckpoint()
+    else docs
 
   /** Apply [[Config.normalizeUnicode]]'s rewrite (identity when off) —
     * a pure column expression, so Catalyst fuses it into the scan. */
@@ -248,9 +266,9 @@ object Curate {
     // "quality", which is what operationally happened to it), and the
     // curate ∪ curateDrops partition property is preserved because the
     // left-join rewrite keeps every row, null texts included
-    val docs1 = contamStripped(
+    val docs1 = materializedRewrites(contamStripped(
       segStripped(normalized(docs, textCol, cfg), idCol, textCol, cfg),
-      idCol, textCol, bench, benchIdCol, benchTextCol, cfg)
+      idCol, textCol, bench, benchIdCol, benchTextCol, cfg), cfg)
     curateDropsPostStrip(docs1, idCol, textCol, bench, benchIdCol,
       benchTextCol, cfg)
   }
@@ -393,9 +411,11 @@ object Curate {
       case None => arrivalsNorm
     }
     // surgical decontamination of the batch itself (the bench frame is
-    // static and small; its gram set re-derives per batch)
-    val arrivals0 = contamStripped(arrivalsSeg, idCol, textCol, bench,
-      benchIdCol, benchTextCol, cfg)
+    // static and small; its gram set re-derives per batch). Same
+    // rewrite materialization as the batch pipeline — per micro-batch,
+    // so the checkpointed rows die with the batch.
+    val arrivals0 = materializedRewrites(contamStripped(arrivalsSeg,
+      idCol, textCol, bench, benchIdCol, benchTextCol, cfg), cfg)
     // tier 0 (optional): exact re-crawl rejection on the persisted
     // 8-byte fingerprint artifact. Changes NO survivor (an identical
     // normalized text has identical shingles, so the near-dup tier would

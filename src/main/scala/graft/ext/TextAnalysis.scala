@@ -210,13 +210,22 @@ object TextAnalysis {
       minStopwords: Int = 2): (Column, Seq[(String, Column)]) = {
     val words = filter(split(t, "\\s+"), w => w =!= lit(""))
     val nW = size(words)
+    // every nW-divided ratio below is consumed ONLY under a `hasWords`
+    // conjunct, so the greatest(nW, 1) divisor changes no rule's value —
+    // it exists because Spark 4's ANSI mode throws DIVIDE_BY_ZERO even
+    // for double division, and codegen common-subexpression elimination
+    // can evaluate the shared ratio BEFORE the short-circuiting
+    // conjunction would have skipped it (observed at 1M docs when a
+    // strip tier empties documents; the DuckDB mirror's n > 0 AND x/n
+    // form is unaffected — DuckDB double division never throws)
+    val nWsafe = greatest(nW, lit(1)).cast("double")
     val charSum = aggregate(transform(words, w => length(w).cast("long")),
       lit(0L), (a, x) => a + x)
-    val meanLen = charSum.cast("double") / nW.cast("double")
+    val meanLen = charSum.cast("double") / nWsafe
     val nHash = length(t) - length(regexp_replace(t, "#", ""))
     val nEll = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3) +
       (length(t) - length(regexp_replace(t, "…", "")))
-    val symbolRatio = (nHash + nEll).cast("double") / nW.cast("double")
+    val symbolRatio = (nHash + nEll).cast("double") / nWsafe
     val lines = split(t, "\n")
     val nLines = size(lines)
     val bulletFrac = size(filter(lines, l =>
@@ -226,7 +235,7 @@ object TextAnalysis {
       endswith(trim(l), lit("...")) || endswith(trim(l), lit("…"))))
       .cast("double") / nLines.cast("double")
     val alphaFrac = size(filter(words, w => w.rlike("[A-Za-z]")))
-      .cast("double") / nW.cast("double")
+      .cast("double") / nWsafe
     val stopHits = size(array_intersect(
       array_distinct(transform(words, w => lower(w))),
       array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)))
