@@ -1620,6 +1620,84 @@ object SparkEntry {
           col("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey").asc).limit(20)
     }),
+    // —— TPC-H Q4 shape: order-priority count where any lineitem shipped
+    // after the order date (EXISTS → left-semi with a mixed equi+range
+    // condition; Spark plans the equi part as the join key) ——
+    "q4_priority" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "leftsemi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))),
+    // —— TPC-H Q6 shape: single-scan filter + global agg — the pushdown
+    // showcase (date range, discount band, quantity cap all reach the
+    // parquet scan); integer-cents revenue ——
+    "q6_revenue" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          round(col("l_discount") * 100).between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(sum((round(col("l_extendedprice") * 100) *
+            round(col("l_discount") * 100)).cast("long")).as("revenue_c"),
+          count(lit(1)).as("n_items"))),
+    // —— TPC-H Q13 shape: orders-per-customer distribution (left join
+    // preserving order-less customers, two-level aggregation) ——
+    "q13_custdist" -> ((s: SparkSession, dir: String) =>
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))),
+    // —— TPC-H Q15 shape: top supplier by windowed revenue — grouped
+    // cents sum, scalar max via a broadcast 1-row join (q5 discipline),
+    // equality keeps ALL argmax suppliers ——
+    "q15_top_supplier" -> ((s: SparkSession, dir: String) => {
+      val rev = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum((round(col("l_extendedprice") * 100) *
+          (lit(100) - round(col("l_discount") * 100))).cast("long"))
+          .as("total_rev_c"))
+      rev.crossJoin(broadcast(rev.agg(max("total_rev_c").as("__mx__"))))
+        .filter(col("total_rev_c") === col("__mx__"))
+        .join(tbl(s, dir, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_c")
+    }),
+    // —— TPC-H Q17 shape: small-quantity revenue vs per-part average —
+    // the correlated avg comparison q < 0.2·avg(q) rewritten to exact
+    // integer arithmetic 5·q·n < Σq, so both engines compare identically ——
+    "q17_small_qty" -> ((s: SparkSession, dir: String) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      val stats = li.groupBy("l_partkey")
+        .agg(sum("q").as("sq"), count(lit(1)).as("nq"))
+      li.join(stats, "l_partkey")
+        .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_brand") === "Brand#23").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(col("q") * col("nq") * 5 < col("sq"))
+        .agg(sum("price_c").as("small_rev_c"), count(lit(1)).as("n_small"))
+    }),
+    // —— TPC-H Q22 shape: idle rich customers — above-average positive
+    // balance (integer compare bal·n > Σbal, no double avg) with no
+    // LARGE orders (anti join; plain "no orders" is empty at test SFs
+    // where every customer orders), grouped by nation ——
+    "q22_idle_balance" -> ((s: SparkSession, dir: String) => {
+      val cust = tbl(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+      cust.crossJoin(broadcast(cust.filter(col("bal_c") > 0)
+          .agg(sum("bal_c").as("__s__"), count(lit(1)).as("__n__"))))
+        .filter(col("bal_c") * col("__n__") > col("__s__"))
+        .join(tbl(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"), sum("bal_c").as("totbal_c"))
+    }),
     // —— grouped Pearson correlation from EXACT integer sums: the float
     // aggregate that normally can't hash-match, made deterministic by
     // the corpus_profile discipline — integer moments cross the shuffle,
@@ -2837,6 +2915,53 @@ object SparkEntry {
         "FROM orders JOIN big ON o_orderkey = l_orderkey " +
         "JOIN customer ON o_custkey = c_custkey " +
         "ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20"),
+    "q4_priority" ->
+      ("SELECT o_orderpriority, count(*) AS order_count FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) " +
+        "GROUP BY o_orderpriority"),
+    "q6_revenue" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c, " +
+        "count(*) AS n_items FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND round(l_discount * 100) BETWEEN 5 AND 7 AND l_quantity < 24"),
+    "q13_custdist" ->
+      ("WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count " +
+        "FROM customer LEFT JOIN orders ON c_custkey = o_custkey " +
+        "GROUP BY c_custkey) " +
+        "SELECT c_count, count(*) AS custdist FROM co GROUP BY c_count"),
+    "q15_top_supplier" ->
+      ("WITH rev AS (SELECT l_suppkey, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_rev_c " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) " +
+        "SELECT s_suppkey, s_name, total_rev_c FROM rev " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)"),
+    "q17_small_qty" ->
+      ("WITH li AS (SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q, " +
+        "CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), " +
+        "st AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq, " +
+        "count(*) AS nq FROM li GROUP BY l_partkey) " +
+        "SELECT CAST(sum(price_c) AS BIGINT) AS small_rev_c, " +
+        "count(*) AS n_small FROM li " +
+        "JOIN st USING (l_partkey) " +
+        "JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23' " +
+        "WHERE q * nq * 5 < sq"),
+    "q22_idle_balance" ->
+      ("WITH cust AS (SELECT c_custkey, c_nationkey, " +
+        "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer), " +
+        "a AS (SELECT CAST(sum(bal_c) AS BIGINT) AS s, count(*) AS n " +
+        "FROM cust WHERE bal_c > 0) " +
+        "SELECT c_nationkey, count(*) AS numcust, " +
+        "CAST(sum(bal_c) AS BIGINT) AS totbal_c FROM cust, a " +
+        "WHERE bal_c * n > s " +
+        "AND NOT EXISTS (SELECT 1 FROM orders " +
+        "WHERE o_custkey = c_custkey AND o_totalprice > 300000) " +
+        "GROUP BY c_nationkey"),
     // exact integer moments, then the SAME double formula once per
     // group — both engines evaluate an identical IEEE expression tree
     // on identical integer inputs, so even corr hash-matches
