@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{Engine, Search}
 import graft.coder.CoderConfig
-import graft.ext.{Dedup, Multimodal, NgramLm, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, NgramLm, Sketches, TextAnalysis}
 import graft.functions.functions._
 import graft.streaming.Streams
 
@@ -1756,6 +1756,22 @@ object SparkEntry {
     "events_sessions" -> ((s: SparkSession, dir: String) =>
       Streams.sessionize(tblEvents(s, dir), gapSecs = 1800L)
         .select("user_id", "session_start", "session_events", "session_secs")),
+    // —— sketches: KMV distinct-count estimate — O(k) aggregation state
+    // instead of an O(distinct) count-distinct shuffle; the md5-prefix
+    // hash makes the estimate bit-mirrorable in the oracle ——
+    "sketch_distinct_kmv" -> ((s: SparkSession, dir: String) =>
+      Sketches.kmvDistinct(
+        tbl(s, dir, "lineitem").select(col("l_partkey")), "l_partkey", 256)),
+    // —— sketches: exact heavy hitters through a Count-Min candidate
+    // pass — CMS overestimates, so the candidate slice provably contains
+    // every true heavy hitter; the exact re-count drops false positives,
+    // so the output equals a plain GROUP BY ... HAVING ——
+    "sketch_heavy_hitters" -> ((s: SparkSession, dir: String) =>
+      Sketches.heavyHitters(
+        tbl(s, dir, "documents").filter(col("text").isNotNull)
+          .select(explode(filter(split(trim(col("text")), "\\s+"),
+            t => t =!= lit(""))).as("token")),
+        "token", minCount = 500L)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3010,5 +3026,24 @@ object SparkEntry {
         "SELECT user_id, min(ts_sec) AS session_start, count(*) AS session_events, " +
         "CAST(max(ts_sec) - min(ts_sec) AS DOUBLE) AS session_secs " +
         "FROM s GROUP BY user_id, sid"),
+    // KMV mirror: distinct md5-prefix hashes, k smallest, (k-1)*2^60/h_k.
+    // 255*pow(2,60) is exact in a double, so the division is the same
+    // IEEE op in both engines.
+    "sketch_distinct_kmv" ->
+      ("WITH h AS (SELECT DISTINCT " + u60Sql("CAST(l_partkey AS VARCHAR)") +
+        " AS h FROM lineitem), " +
+        "k AS (SELECT h FROM h ORDER BY h LIMIT 256), " +
+        "a AS (SELECT count(*) AS n_kept, max(h) AS kth_hash FROM k) " +
+        "SELECT n_kept, kth_hash, CASE WHEN n_kept < 256 " +
+        "THEN CAST(n_kept AS DOUBLE) " +
+        "ELSE 255 * pow(2, 60) / CAST(kth_hash AS DOUBLE) END AS est_distinct " +
+        "FROM a"),
+    // the CMS pass is a lossless candidate filter; the exact HAVING is
+    // the whole observable behavior
+    "sketch_heavy_hitters" ->
+      ("SELECT t AS token, count(*) AS cnt FROM (" +
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t " +
+        "FROM documents WHERE text IS NOT NULL) " +
+        "WHERE len(t) > 0 GROUP BY t HAVING count(*) >= 500"),
   )
 }

@@ -151,7 +151,7 @@ object Corpus {
     * stable across runs, machines, and engines (the DuckDB oracle spells
     * the same bytes), unlike `rand(seed)` which is partition-layout
     * dependent. */
-  private def hashU60(key: Column): Column =
+  private[graft] def hashU60(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
 
   private val U60Denom = math.pow(2, 60)

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Encoder, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
   * typed `Aggregator` — a mergeable frequency sketch for heavy-hitter
@@ -50,5 +51,105 @@ class CountMinAgg(width: Int = 1024, depth: Int = 4)
       r += 1
     }
     min
+  }
+}
+
+/** K-minimum-values distinct-count sketch (Bar-Yossef et al., RANDOM
+  * 2002): keep the k smallest DISTINCT 60-bit hashes of the key; the
+  * k-th smallest, viewed as a uniform draw on [0, 2^60), estimates the
+  * distinct count as (k−1)·2^60 / h_k. Mergeable (union = merge of the
+  * min-sets), O(k) state regardless of cardinality, and — because the
+  * hash is the md5-prefix `hashU60` the engine uses everywhere — fully
+  * deterministic and mirrorable in an external SQL engine, unlike
+  * HLL-family `approx_count_distinct` whose register layout is private.
+  *
+  * Buffer = sorted long array (≤ k). Insertion cost is O(log k) for the
+  * common reject case (binary search against the current max); the
+  * O(k) memcpy happens only on a new record-minimum, which occurs
+  * O(k·log n) times over a stream of n keys.
+  */
+class KMinValuesAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  private def insert(b: Array[Long], h: Long): Array[Long] = {
+    val idx = java.util.Arrays.binarySearch(b, h)
+    if (idx >= 0) return b // already present (distinct-ness)
+    val ins = -idx - 1
+    if (b.length >= k && ins >= k) return b // not among the k smallest
+    val n = math.min(b.length + 1, k)
+    val out = new Array[Long](n)
+    System.arraycopy(b, 0, out, 0, ins)
+    out(ins) = h
+    System.arraycopy(b, ins, out, ins + 1, n - ins - 1)
+    out
+  }
+
+  override def zero: Array[Long] = Array.emptyLongArray
+  override def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var r = a; var i = 0
+    while (i < b.length) { r = insert(r, b(i)); i += 1 }
+    r
+  }
+  override def finish(r: Array[Long]): Array[Long] = r
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+}
+
+/** Sketch-based approximate operators surfaced as DataFrame verbs. */
+object Sketches {
+
+  /** Estimate the number of distinct values of `keyCol` with a KMV
+    * sketch: one map-side-combined aggregate whose state is k longs —
+    * vs an exact count-distinct whose shuffle is O(distinct keys).
+    * Output (one row): `n_kept` (≤ k), `kth_hash`, `est_distinct`.
+    * When fewer than k distinct hashes exist the sketch IS the distinct
+    * set and the estimate is exact. Deterministic: same data ⇒ same
+    * answer regardless of partitioning (set-union merge).
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashed = df.select(Corpus.hashU60(col(keyCol)).as("h")).as[Long]
+    val mins = hashed.select(new KMinValuesAgg(k).toColumn).toDF("mins")
+    // (k−1)·2^60 is exactly representable in a double (k ≤ 2^52), so the
+    // oracle's `(k-1) * pow(2, 60) / kth` evaluates the identical IEEE
+    // division — the estimate hash-matches bit-for-bit.
+    mins.select(
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 60)) /
+            col("kth_hash").cast("double")))
+  }
+
+  /** Exact heavy hitters at unbounded key cardinality, in two bounded
+    * passes: (1) a Count-Min sketch over the hashed keys — O(w·d) state,
+    * map-side combined, one 256 KB driver collect; (2) broadcast the
+    * sketch and re-scan, keeping only rows whose CMS estimate reaches
+    * `minCount` (CMS never underestimates, so no true heavy hitter is
+    * lost), then an EXACT groupBy-count over that candidate slice —
+    * ≤ N/minCount true keys + εN false positives — and a final HAVING
+    * that removes the false positives. Output = exactly the keys with
+    * true count ≥ minCount, with exact counts: oracle-checkable against
+    * a plain GROUP BY … HAVING, but the full-cardinality groupBy state
+    * never materializes.
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, minCount: Long,
+      width: Int = 8192, depth: Int = 4): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new CountMinAgg(width, depth)
+    val keyed = df.select(col(keyCol),
+      Corpus.hashU60(col(keyCol)).as("__hh_h__"))
+    val sketch: Array[Long] =
+      keyed.select(col("__hh_h__")).as[Long].select(agg.toColumn).head()
+    val bc = spark.sparkContext.broadcast(sketch)
+    val estimateUdf = udf((h: Long) => agg.estimate(bc.value, h))
+    keyed.filter(estimateUdf(col("__hh_h__")) >= minCount)
+      .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
   }
 }

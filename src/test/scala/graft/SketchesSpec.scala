@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{CountMinAgg, KMinValuesAgg, Sketches}
+
+/** CMS heavy hitters and KMV distinct estimation. */
+class SketchesSpec extends SparkSuite {
+  import spark.implicits._
+
+  // Zipf-ish fixture: key i appears ~ 3000/i times → a few heavy keys,
+  // a long tail of singletons. 10k extra distinct singleton keys push
+  // the cardinality well past the CMS width/4 so collisions are real.
+  private lazy val zipf = {
+    val heavy = (1 to 50).flatMap(i => Seq.fill(3000 / i)(s"k$i"))
+    val tail = (0 until 10000).map(i => s"tail$i")
+    (heavy ++ tail).toDF("k").repartition(7)
+  }
+
+  test("CMS estimate never underestimates the true count") {
+    val agg = new CountMinAgg(width = 512, depth = 4)
+    val sketch = zipf.select(graft.ext.Corpus.hashU60(col("k")).as("h"))
+      .as[Long].select(agg.toColumn).head()
+    val truth = zipf.groupBy("k").count()
+      .withColumn("h", graft.ext.Corpus.hashU60(col("k")))
+      .as[(String, Long, Long)].collect()
+    truth.foreach { case (k, n, h) =>
+      assert(agg.estimate(sketch, h) >= n, s"CMS underestimated $k: $n")
+    }
+  }
+
+  test("heavyHitters == exact GROUP BY HAVING, including the boundary") {
+    val minCount = 3000L / 17 // exactly the count of k17
+    val got = Sketches.heavyHitters(zipf, "k", minCount, width = 512)
+      .as[(String, Long)].collect().toMap
+    val want = zipf.groupBy("k").count().filter(col("count") >= minCount)
+      .as[(String, Long)].collect().toMap
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    assert(want.contains("k17"), "boundary key must be present")
+    assert(got.nonEmpty)
+  }
+
+  test("heavyHitters at minCount=1 degrades to the exact group count") {
+    val small = Seq("a", "a", "b").toDF("k")
+    val got = Sketches.heavyHitters(small, "k", 1L)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("KMV is exact below k and partition-invariant") {
+    val df = (0 until 100).map(i => s"v${i % 40}").toDF("k")
+    val r = Sketches.kmvDistinct(df, "k", k = 256)
+      .select("n_kept", "est_distinct").as[(Long, Double)].head()
+    assert(r == ((40L, 40.0)), s"below-k must be exact: $r")
+
+    val big = (0 until 20000).map(i => s"u$i").toDF("k")
+    val a = Sketches.kmvDistinct(big.repartition(1), "k").head()
+    val b = Sketches.kmvDistinct(big.repartition(13), "k").head()
+    assert(a == b, "merge must be order/partition independent")
+  }
+
+  test("KMV estimate lands within the k=256 error envelope") {
+    val n = 20000
+    val big = (0 until n).map(i => s"u$i").toDF("k")
+    val est = Sketches.kmvDistinct(big, "k", k = 256)
+      .select("est_distinct").as[Double].head()
+    // relative sd ≈ 1/sqrt(k-2) ≈ 6.3%; allow 4 sd
+    assert(math.abs(est - n) / n < 0.25, s"estimate too far off: $est vs $n")
+  }
+
+  test("KMinValuesAgg insert keeps k smallest distinct, sorted") {
+    val agg = new KMinValuesAgg(4)
+    var b = agg.zero
+    Seq(9L, 3L, 7L, 3L, 1L, 8L, 2L, 11L).foreach(h => b = agg.reduce(b, h))
+    assert(b.toSeq == Seq(1L, 2L, 3L, 7L))
+    val other = Seq(0L, 7L, 12L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(b, other).toSeq == Seq(0L, 1L, 2L, 3L))
+  }
+}
