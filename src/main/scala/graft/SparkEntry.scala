@@ -1756,6 +1756,14 @@ object SparkEntry {
     "events_sessions" -> ((s: SparkSession, dir: String) =>
       Streams.sessionize(tblEvents(s, dir), gapSecs = 1800L)
         .select("user_id", "session_start", "session_events", "session_secs")),
+    // —— latest-wins version dedup (the upsert merge step): newest event
+    // per user via one max_by aggregation, tie-broken by event_id ——
+    "upsert_latest" -> ((s: SparkSession, dir: String) =>
+      Dedup.latestByKey(
+        tblEvents(s, dir).select("user_id", "event_id", "ts_sec",
+          "event_type", "value"),
+        keyCols = Seq("user_id"), versionCol = "ts_sec",
+        tieBreakCol = "event_id")),
     // —— sketches: KMV distinct-count estimate — O(k) aggregation state
     // instead of an O(distinct) count-distinct shuffle; the md5-prefix
     // hash makes the estimate bit-mirrorable in the oracle ——
@@ -3026,6 +3034,16 @@ object SparkEntry {
         "SELECT user_id, min(ts_sec) AS session_start, count(*) AS session_events, " +
         "CAST(max(ts_sec) - min(ts_sec) AS DOUBLE) AS session_secs " +
         "FROM s GROUP BY user_id, sid"),
+    // max_by(struct, struct(version, tie)) == row_number over
+    // (version DESC, tie DESC) when (version, tie) is unique per key
+    "upsert_latest" ->
+      ("WITH e AS (SELECT user_id, event_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, event_type, value " +
+        "FROM events), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts_sec DESC, event_id DESC) AS rn FROM e) " +
+        "SELECT user_id, event_id, ts_sec, event_type, value " +
+        "FROM r WHERE rn = 1"),
     // KMV mirror: distinct md5-prefix hashes, k smallest, (k-1)*2^60/h_k.
     // 255*pow(2,60) is exact in a double, so the division is the same
     // IEEE op in both engines.

@@ -252,6 +252,24 @@ class Engine(val spark: SparkSession, val root: String) {
     store.loadTable(dest).count()
   }
 
+  /** Merge `updates` into table `name` with latest-wins semantics
+    * ([[graft.ext.Dedup.latestByKey]]): per key, the greatest
+    * (`versionCol`, `tieBreakCol`) row — existing or incoming — survives.
+    * Creates the table when absent (upsert). The merged frame is
+    * checkpointed before the overwrite because the write replaces the
+    * very files being read. Returns the post-merge row count. */
+  def upsertTable(name: String, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String, tieBreakCol: String): Long = {
+    val base =
+      if (store.tableExists(name)) store.loadTable(name).unionByName(updates)
+      else updates
+    val merged = graft.ext.Dedup
+      .latestByKey(base, keyCols, versionCol, tieBreakCol)
+      .localCheckpoint(true)
+    store.createTable(name, merged)
+    store.loadTable(name).count()
+  }
+
   /** Build the IVF+PQ index under an existing coding — the memory-
     * compressed search path ([[Index.buildPq]]). `residual = false`
     * explicitly opts into the flat variant (required above the residual

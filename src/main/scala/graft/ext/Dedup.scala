@@ -40,6 +40,32 @@ object Dedup {
       .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("keep_id"))
       .filter(col("cnt") > 1)
 
+  /** Latest-wins version dedup: keep, per key, the row with the greatest
+    * (`versionCol`, `tieBreakCol`) — the merge step of an upsert, and the
+    * re-crawl policy "newest snapshot of each URL wins".
+    *
+    * Shape: one `max_by(struct(payload), struct(version, tie))`
+    * aggregation — map-side combined, one surviving row per key crosses
+    * the shuffle. NOT a `row_number` window, which would sort every
+    * occurrence of a key inside one task (the exactDedup argument: a key
+    * re-crawled 10⁷ times is a single-task hot sort). `tieBreakCol`
+    * must make (version, tie) unique per key for a deterministic pick —
+    * ids are unique in every store table, so the natural id column is
+    * the right tie-break. */
+  def latestByKey(df: DataFrame, keyCols: Seq[String], versionCol: String,
+      tieBreakCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "latestByKey needs at least one key column")
+    val payload = df.columns.filterNot(keyCols.contains)
+    require(payload.contains(versionCol) && payload.contains(tieBreakCol),
+      s"versionCol/tieBreakCol must be non-key columns of the frame " +
+        s"(keys=$keyCols, cols=${df.columns.mkString(",")})")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.map(col).toIndexedSeq: _*),
+        struct(col(versionCol), col(tieBreakCol))).as("__row__"))
+      .select((keyCols.map(col) ++
+        payload.map(c => col(s"__row__.$c").as(c))).toIndexedSeq: _*)
+  }
+
   // ——— cross-document duplicated token spans (exact substring dedup) ———
 
   /** Whitespace tokens of raw text (case-sensitive — substring dedup must

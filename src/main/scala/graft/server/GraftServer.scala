@@ -122,6 +122,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           getPerplexity(ex, model)
         case ("POST", "dedup" :: "spans" :: Nil) => postDedupSpans(ex)
         case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
+        case ("POST", "tables" :: "upsert" :: Nil) => postUpsert(ex)
         case ("POST", "dedup" :: "segments" :: Nil) => postDedupSegments(ex)
         case ("POST", "dedup" :: "strip-segments" :: Nil) => postDedupStripSegments(ex)
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
@@ -551,6 +552,20 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Cross-document common segments ([[graft.ext.Dedup.commonSegments]]):
     * boilerplate lines appearing in ≥ minDocs distinct docs. */
+  /** Latest-wins merge of an updates table into a destination table
+    * ([[graft.api.Engine.upsertTable]]). Body: dest, updates, keys
+    * (array), versionCol, tieBreakCol. */
+  private def postUpsert(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val keysNode = require(body, "keys")
+    val keys = (0 until keysNode.size()).map(i => keysNode.get(i).asText())
+    val n = engine.upsertTable(require(body, "dest").asText(),
+      engine.readTable(Seq(require(body, "updates").asText())),
+      keys, require(body, "versionCol").asText(),
+      require(body, "tieBreakCol").asText())
+    ok(ex, s"""{"table":${jstr(require(body, "dest").asText())},"rows":$n}""")
+  }
+
   private def postDedupSegments(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val df = engine.readTable(Seq(require(body, "source").asText()))

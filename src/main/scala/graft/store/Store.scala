@@ -145,6 +145,9 @@ class Store(val spark: SparkSession, val root: String) {
 
   def listTables(): Seq[String] = list(s"$root/sources")
 
+  def tableExists(name: String): Boolean =
+    fs.exists(new Path(sourcePath(name)))
+
   /** Metadata-cheap content stamp of a stored source: MD5 over the
     * sorted (name, length, mtime) file listing of its directory. Any
     * rewrite — including one that preserves the row count — lands new

@@ -873,4 +873,26 @@ class ServerSpec extends SparkSuite {
 
     assert(send("DELETE", "/tables/wire_samp")._1 == 200)
   }
+
+  test("upsert route: latest-wins merge, wire == library semantics") {
+    val (c1, b1) = send("PUT", "/tables/wire_ups",
+      """{"schema":"id LONG, ver LONG, txt STRING",
+          "rows":[{"id":1,"ver":10,"txt":"old1"},{"id":2,"ver":10,"txt":"old2"}]}""")
+    assert(c1 == 200, b1)
+    val (c2, b2) = send("PUT", "/tables/wire_ups_new",
+      """{"schema":"id LONG, ver LONG, txt STRING",
+          "rows":[{"id":1,"ver":20,"txt":"new1"},{"id":2,"ver":5,"txt":"stale"},
+                  {"id":3,"ver":1,"txt":"add3"}]}""")
+    assert(c2 == 200, b2)
+    val (uc, uBody) = send("POST", "/tables/upsert",
+      """{"dest":"wire_ups","updates":"wire_ups_new","keys":["id"],
+          "versionCol":"ver","tieBreakCol":"ver"}""")
+    assert(uc == 200, uBody)
+    assert(mapper.readTree(uBody).get("rows").asLong() == 3)
+    val got = engine.readTable(Seq("wire_ups")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, 20L, "new1"), (2L, 10L, "old2"), (3L, 1L, "add3")))
+    assert(send("DELETE", "/tables/wire_ups")._1 == 200)
+    assert(send("DELETE", "/tables/wire_ups_new")._1 == 200)
+  }
 }

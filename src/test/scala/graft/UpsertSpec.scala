@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Engine
+import graft.ext.Dedup
+
+/** Latest-wins merge: Dedup.latestByKey and Engine.upsertTable. */
+class UpsertSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    (1L, "u", 10L, "a"), (1L, "u", 30L, "b"), (1L, "u", 20L, "c"),
+    (2L, "v", 10L, "d"),
+    // version tie on key 3 → greater id must win
+    (3L, "w", 10L, "e"), (4L, "w", 10L, "f")
+  ).toDF("id", "k", "ver", "payload")
+
+  test("latestByKey keeps the greatest (version, tie) row per key") {
+    val got = Dedup.latestByKey(base, Seq("k"), "ver", "id")
+      .as[(String, Long, Long, String)].collect()
+      .map { case (k, id, ver, p) => k -> ((id, ver, p)) }.toMap
+    assert(got("u") == ((1L, 30L, "b")))
+    assert(got("v") == ((2L, 10L, "d")))
+    assert(got("w") == ((4L, 10L, "f")), "version tie must fall to max id")
+  }
+
+  test("latestByKey plans as an aggregation, not a per-key sort window") {
+    val plan = Dedup.latestByKey(base, Seq("k"), "ver", "id")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("window"),
+      s"expected max_by aggregation, found a window:\n$plan")
+  }
+
+  test("latestByKey refuses keys/version overlap and missing columns") {
+    intercept[IllegalArgumentException] {
+      Dedup.latestByKey(base, Seq("k"), "k", "id")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.latestByKey(base, Seq("k"), "nope", "id")
+    }
+  }
+
+  test("upsertTable merges updates latest-wins and is idempotent") {
+    val root = Files.createTempDirectory("graft-upsert").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("inv",
+      Seq((1L, 10L, "old1"), (2L, 10L, "old2")).toDF("id", "ver", "txt"))
+    val updates = Seq(
+      (1L, 20L, "new1"),  // newer → replaces
+      (2L, 5L, "stale2"), // older → ignored
+      (3L, 1L, "add3")    // new key → inserted
+    ).toDF("id", "ver", "txt")
+    val n = engine.upsertTable("inv", updates, Seq("id"), "ver", "ver")
+    assert(n == 3)
+    val got = engine.readTable(Seq("inv"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 20L, "new1"), (2L, 10L, "old2"), (3L, 1L, "add3")))
+
+    // replaying the same updates changes nothing
+    val n2 = engine.upsertTable("inv", updates, Seq("id"), "ver", "ver")
+    assert(n2 == 3)
+    val again = engine.readTable(Seq("inv"))
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(again == got)
+  }
+
+  test("upsertTable creates the destination when absent") {
+    val root = Files.createTempDirectory("graft-upsert2").toString
+    val engine = new Engine(spark, root)
+    val n = engine.upsertTable("fresh",
+      Seq((1L, 1L, "x")).toDF("id", "ver", "txt"), Seq("id"), "ver", "ver")
+    assert(n == 1)
+    assert(engine.listTables().contains("fresh"))
+  }
+}
