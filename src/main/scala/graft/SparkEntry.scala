@@ -1756,6 +1756,18 @@ object SparkEntry {
     "events_sessions" -> ((s: SparkSession, dir: String) =>
       Streams.sessionize(tblEvents(s, dir), gapSecs = 1800L)
         .select("user_id", "session_start", "session_events", "session_secs")),
+    // —— stream-stream join (batch-identical body): clicks attributed to
+    // same-user views at most 1 h earlier — watermark-bounded state in
+    // the streaming deployment, a plain range join here ——
+    "events_attribution" -> ((s: SparkSession, dir: String) => {
+      val ev = tblEvents(s, dir)
+        .select("event_id", "user_id", "event_type", "ts")
+      Streams.attributionJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        idCol = "event_id", keyCol = "user_id", tsCol = "ts",
+        maxDelaySecs = 3600L)
+    }),
     // —— latest-wins version dedup (the upsert merge step): newest event
     // per user via one max_by aggregation, tie-broken by event_id ——
     "upsert_latest" -> ((s: SparkSession, dir: String) =>
@@ -3034,6 +3046,15 @@ object SparkEntry {
         "SELECT user_id, min(ts_sec) AS session_start, count(*) AS session_events, " +
         "CAST(max(ts_sec) - min(ts_sec) AS DOUBLE) AS session_secs " +
         "FROM s GROUP BY user_id, sid"),
+    "events_attribution" ->
+      ("WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts " +
+        "FROM events WHERE event_type = 'view'), " +
+        "c AS (SELECT event_id AS click_id, user_id, ts AS click_ts " +
+        "FROM events WHERE event_type = 'click') " +
+        "SELECT v.user_id, view_id, click_id, view_ts, click_ts " +
+        "FROM v JOIN c ON v.user_id = c.user_id " +
+        "AND click_ts >= view_ts " +
+        "AND click_ts <= view_ts + INTERVAL 3600 SECONDS"),
     // max_by(struct, struct(version, tie)) == row_number over
     // (version DESC, tie DESC) when (version, tie) is unique per key
     "upsert_latest" ->

@@ -639,6 +639,42 @@ object Streams {
     * the lag-gap cumulative-sum formulation) and, via [[sessionizeStreaming]],
     * as an incremental stateful streaming agg with watermark-bounded state.
     */
+  /** Stream-STREAM inner join with an event-time range: each `click` is
+    * attributed to every `view` of the same key at most `maxDelaySecs`
+    * before it — the ad-attribution / impression-conversion shape, and
+    * the one Structured Streaming join family the suite's gates (all
+    * stream-static) don't cover.
+    *
+    * Both inputs carry their own watermark; the equality key plus the
+    * two-sided time bound (`view_ts <= click_ts <= view_ts + delay`)
+    * make the join state PROVABLY bounded: Spark can discard a buffered
+    * view once the click-side watermark passes `view_ts + delay`, and a
+    * buffered click once the view-side watermark passes `click_ts` —
+    * without the range condition the state grows forever at 100 TB/day.
+    * Append-legal (inner join, no agg).
+    *
+    * Runs identically on batch frames — what the `events_attribution`
+    * DuckDB oracle checks — because the body is one join expression; on
+    * batch inputs the watermark call is skipped (no-op semantics,
+    * `withWatermark` requires a streaming frame only by convention). */
+  def attributionJoin(views: DataFrame, clicks: DataFrame,
+      idCol: String, keyCol: String, tsCol: String, maxDelaySecs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    require(maxDelaySecs > 0, s"maxDelaySecs must be > 0, got $maxDelaySecs")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
+      wm.select(col(keyCol).as(s"${tag}_key"), col(idCol).as(s"${tag}_id"),
+        col(tsCol).as(s"${tag}_ts"))
+    }
+    side(views, "view").join(side(clicks, "click"),
+        col("view_key") === col("click_key") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") +
+            expr(s"INTERVAL $maxDelaySecs SECONDS"))
+      .select(col("view_key").as(keyCol), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   def sessionize(events: DataFrame, gapSecs: Long = 1800L): DataFrame =
     events
       .withColumn("__sess_ts__", timestamp_seconds(col("ts_sec").cast("long")))

@@ -878,6 +878,43 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join: stream == batch, state bounded by range") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = (sec: Long) => new java.sql.Timestamp(sec * 1000L)
+    // views: (id, user, ts); clicks likewise. Click 20 at t=1500 matches
+    // views 1 (t=1000) and 2 (t=1400) of user 7; click 21 at t=9000 is
+    // outside every view's 3600 s window; click 22 is another user.
+    val viewRows = Seq((1L, 7L, t(1000L)), (2L, 7L, t(1400L)), (3L, 8L, t(1200L)))
+    val clickRows = Seq((20L, 7L, t(1500L)), (21L, 7L, t(9000L)), (22L, 8L, t(1300L)))
+
+    val vMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Streams.attributionJoin(
+        vMem.toDF().toDF("event_id", "user_id", "ts"),
+        cMem.toDF().toDF("event_id", "user_id", "ts"),
+        idCol = "event_id", keyCol = "user_id", tsCol = "ts",
+        maxDelaySecs = 3600L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      vMem.addData(viewRows: _*); cMem.addData(clickRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("attr_test")
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = Streams.attributionJoin(
+          viewRows.toDF("event_id", "user_id", "ts"),
+          clickRows.toDF("event_id", "user_id", "ts"),
+          idCol = "event_id", keyCol = "user_id", tsCol = "ts",
+          maxDelaySecs = 3600L)
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(want == Set((7L, 1L, 20L), (7L, 2L, 20L), (8L, 3L, 22L)))
+      assert(got == want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("stateful sessionize: emits on in-stream gap and on event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
