@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 
 import graft.api.{Engine, Search}
 import graft.coder.CoderConfig
-import graft.ext.{Dedup, Multimodal, NgramLm, Sketches, TextAnalysis}
+import graft.ext.{Dedup, Graph, Multimodal, NgramLm, Sketches, TextAnalysis}
 import graft.functions.functions._
 import graft.streaming.Streams
 
@@ -358,6 +358,29 @@ object SparkEntry {
       s"list_transform(string_split(substr(md5($keyExpr), 1, 15), ''), " +
       "ch -> CAST(strpos('0123456789abcdef', ch) - 1 AS BIGINT))), " +
       "(a, b) -> a * 16 + b)"
+
+  /** Unrolled fixed-point PageRank mirror ([[graft.ext.Graph.pageRank]]):
+    * `iterations` chained CTEs r0..rN, every update in integer `//`
+    * arithmetic (DuckDB sums lift to HUGEINT — cast back to BIGINT so
+    * each iteration's ranks stay the exact long values Spark carries).
+    * Ends with `r{iterations}(v, rank)`; expects `e(src, dst)` distinct
+    * edges defined upstream. */
+  private def pageRankCte(iterations: Int, dampPerMille: Long = 850L): String = {
+    val scale = graft.ext.Graph.Scale
+    val steps = (1 to iterations).map { i =>
+      s"r$i AS (SELECT nodes.v, CAST(((1000 - $dampPerMille) * ($scale // n)) // 1000 + " +
+        s"($dampPerMille * COALESCE(m.in_mass, 0)) // 1000 AS BIGINT) AS rank " +
+        s"FROM nodes CROSS JOIN ninit LEFT JOIN " +
+        s"(SELECT e.dst AS v, CAST(sum(r${i - 1}.rank // deg.out_deg) AS BIGINT) AS in_mass " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.v " +
+        s"JOIN deg ON deg.v = r${i - 1}.v GROUP BY e.dst) m USING (v))"
+    }.mkString(", ")
+    "nodes AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "ninit AS (SELECT count(*) AS n FROM nodes), " +
+      "deg AS (SELECT src AS v, count(*) AS out_deg FROM e GROUP BY 1), " +
+      s"r0 AS (SELECT v, CAST($scale // n AS BIGINT) AS rank FROM nodes CROSS JOIN ninit), " +
+      steps
+  }
 
   /** Language-id CTE chain over `src` (doc_id, text): stopword-hit
     * scoring per language, tie-break = (max hits, lexicographically
@@ -1756,6 +1779,20 @@ object SparkEntry {
     "events_sessions" -> ((s: SparkSession, dir: String) =>
       Streams.sessionize(tblEvents(s, dir), gapSecs = 1800L)
         .select("user_id", "session_start", "session_events", "session_secs")),
+    // —— link-graph centrality: fixed-point PageRank over the bipartite
+    // customer↔supplier order graph (both directions, so the walk has
+    // cycles). Integer arithmetic end-to-end → bit-exact vs the
+    // unrolled-iteration CTE mirror ——
+    "graph_pagerank" -> ((s: SparkSession, dir: String) => {
+      val lines = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sp"))
+      val edges = lines.select(col("c").as("src"), col("sp").as("dst"))
+        .union(lines.select(col("sp").as("src"), col("c").as("dst")))
+      Graph.topRanked(
+        Graph.pageRank(edges, "src", "dst", iterations = 5), 20)
+    }),
     // —— stream-stream join (batch-identical body): clicks attributed to
     // same-user views at most 1 h earlier — watermark-bounded state in
     // the streaming deployment, a plain range join here ——
@@ -3046,6 +3083,15 @@ object SparkEntry {
         "SELECT user_id, min(ts_sec) AS session_start, count(*) AS session_events, " +
         "CAST(max(ts_sec) - min(ts_sec) AS DOUBLE) AS session_secs " +
         "FROM s GROUP BY user_id, sid"),
+    "graph_pagerank" ->
+      ("WITH eb AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS sp " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT DISTINCT src, dst FROM (" +
+        "SELECT c AS src, sp AS dst FROM eb " +
+        "UNION ALL SELECT sp AS src, c AS dst FROM eb)), " +
+        pageRankCte(5) + " " +
+        "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
     "events_attribution" ->
       ("WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts " +
         "FROM events WHERE event_type = 'view'), " +

@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation — host/URL-graph centrality
+  * is a standard quality prior for web-crawl corpora (Page et al. 1999;
+  * Common Crawl publishes host-level ranks for exactly this use).
+  *
+  * Computed in FIXED-POINT integer arithmetic: ranks are longs scaled by
+  * `Scale`, every update is integer multiply/divide, so the result is
+  * bit-exact regardless of partitioning, summation order, or engine —
+  * the property that lets a DuckDB chained-CTE mirror hash-match it,
+  * which no double-summed PageRank can do (FP addition is
+  * order-dependent across a shuffle).
+  */
+object Graph {
+
+  /** Rank unit: 10^12 per unit of probability mass. Room for 10^6-node
+    * per-rank precision loss while staying far from Long overflow
+    * (total mass = Scale, per-node ranks ≤ Scale). */
+  val Scale: Long = 1000000000000L
+
+  /** Out-degrees over the DISTINCT edge set. */
+  def outDegrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("v"), col(dstCol).as("w")).distinct()
+      .groupBy("v").agg(count(lit(1)).as("out_deg"))
+
+  /** Fixed-iteration PageRank over the distinct directed edge set.
+    *
+    * Per iteration: every node sends `rank div out_deg` to each
+    * out-neighbor (integer division — the remainder, < out_deg units of
+    * 10^-12, is dropped, identically in the mirror), and
+    * `rank' = base + damp·Σcontribs div 1000` with
+    * `damp = dampPerMille/1000` and
+    * `base = ((1000 − dampPerMille) · (Scale div n)) div 1000`.
+    * Dangling-node mass is dropped, not redistributed (ranks sum to
+    * slightly under Scale) — the standard simplification, mirrored
+    * exactly.
+    *
+    * Scale shape: each iteration is one shuffle join (edges ⋈ ranks on
+    * src — ranks are (id, long) pairs, never wider) plus one partial-agg
+    * groupBy on dst; lineage is cut every iteration with an eager
+    * localCheckpoint so the plan stays O(1) deep (the round-10
+    * cascade-rescan lesson). Node count `n` is one bounded driver
+    * action. Skewed in-degree (everyone links to one hub) partial-
+    * aggregates map-side — the hot key receives one partial sum per
+    * partition, not one row per in-edge. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5, dampPerMille: Long = 850L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampPerMille >= 0 && dampPerMille <= 1000,
+      s"dampPerMille must be in [0, 1000], got $dampPerMille")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
+    val n = nodes.count()
+    require(n > 0, "pageRank needs a non-empty edge set")
+    val init = Scale / n
+    val base = ((1000L - dampPerMille) * init) / 1000L
+
+    var ranks = nodes.withColumn("rank", lit(init))
+    for (_ <- 1 to iterations) {
+      // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
+      // rounding would diverge from the oracle's integer `//`
+      val contribs = e
+        .join(ranks.join(deg, "v"), col("src") === col("v"))
+        .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      ranks = nodes.join(contribs, Seq("v"), "left")
+        .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
+        .select(col("v"),
+          expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Top-k nodes by rank with a deterministic id tiebreak. */
+  def topRanked(ranks: DataFrame, k: Int): DataFrame =
+    ranks.orderBy(col("rank").desc, col("v").asc).limit(k)
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Graph
+
+/** Fixed-point PageRank. */
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("2-cycle is the stationary fixed point: ranks stay Scale/2 exactly") {
+    val edges = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> Graph.Scale / 2, "b" -> Graph.Scale / 2), got)
+  }
+
+  test("star graph: the center out-ranks every leaf; dangling mass drops") {
+    // leaves point at the center AND back, center -> leaves: cycles so
+    // iterations matter
+    val leaves = (1 to 4).map(i => s"l$i")
+    val edges = (leaves.map(l => (l, "hub")) ++ leaves.map(l => ("hub", l)))
+      .toDF("src", "dst")
+    val ranks = Graph.pageRank(edges, "src", "dst", iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(leaves.forall(l => ranks("hub") > ranks(l)), ranks)
+    // total mass ≤ Scale (integer truncation only removes mass)
+    assert(ranks.values.sum <= Graph.Scale)
+    // all leaves symmetric → identical ranks
+    assert(leaves.map(ranks).distinct.size == 1, ranks)
+  }
+
+  test("deterministic across partitionings and repeated runs") {
+    val edges = (0 until 400).map(i => (s"n${i % 37}", s"n${(i * 7 + 3) % 37}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val a = Graph.pageRank(edges.repartition(1), "src", "dst", 4)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val b = Graph.pageRank(edges.repartition(13), "src", "dst", 4)
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("hand-computed two-hop chain after one iteration") {
+    // a -> b -> c: n=3, init=Scale/3, base=(150*init)//1000
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val init = Graph.Scale / 3
+    val base = (150L * init) / 1000L
+    val got = Graph.pageRank(edges, "src", "dst", iterations = 1)
+      .as[(String, Long)].collect().toMap
+    assert(got("a") == base)
+    assert(got("b") == base + (850L * init) / 1000L)
+    assert(got("c") == base + (850L * init) / 1000L)
+  }
+
+  test("topRanked breaks rank ties by id") {
+    val ranks = Seq(("z", 5L), ("a", 5L), ("m", 9L)).toDF("v", "rank")
+    val got = Graph.topRanked(ranks, 2).as[(String, Long)].collect().toSeq
+    assert(got == Seq(("m", 9L), ("a", 5L)))
+  }
+}
