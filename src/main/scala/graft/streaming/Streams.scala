@@ -52,6 +52,34 @@ object Streams {
       .start()
   }
 
+  /** CDC-style streaming ingest with latest-wins MERGE semantics: each
+    * micro-batch upserts into table `name` via
+    * [[graft.api.Engine.upsertTable]] — per key, the greatest
+    * (version, tiebreak) row across existing + arriving survives. The
+    * change-stream pattern `ingestStream` (plain append) can't express:
+    * re-crawled URLs, corrected records, out-of-order snapshots.
+    *
+    * The batch is deduped WITHIN itself first (same latestByKey), so a
+    * key updated twice in one micro-batch applies once — and replays
+    * after a checkpoint recovery are idempotent: merging the same rows
+    * again leaves every (version, tie) maximum unchanged. foreachBatch
+    * rewrites the table per micro-batch — right for modest state tables
+    * (a registry, a dimension), not for the 100 TB corpus itself (there
+    * the merge belongs in a periodic batch job over the append log). */
+  def upsertStream(engine: graft.api.Engine, name: String, df: DataFrame,
+      keyCols: Seq[String], versionCol: String, tieBreakCol: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val once = graft.ext.Dedup.latestByKey(
+          batch.toDF(), keyCols, versionCol, tieBreakCol)
+        engine.upsertTable(name, once, keyCols, versionCol, tieBreakCol)
+        ()
+      }
+      .start()
+
   /** Continuous incremental index maintenance for a streamed-into table:
     * a second streaming query tails the table directory (the file source
     * honors the ingest sink's `_spark_metadata` log, so only committed

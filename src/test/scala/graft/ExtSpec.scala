@@ -1180,6 +1180,36 @@ class LayoutSpec extends SparkSuite {
 class StreamIngestSpec extends SparkSuite {
   import spark.implicits._
 
+  test("streaming upsert: micro-batches merge latest-wins into the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-ups-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ups-ckpt").toString
+    val engine = new graft.api.Engine(spark, root)
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = Streams.upsertStream(engine, "registry",
+      mem.toDF().toDF("id", "ver", "txt"),
+      keyCols = Seq("id"), versionCol = "ver", tieBreakCol = "ver",
+      checkpoint = ckpt)
+    try {
+      // in-batch duplicate: id 1 twice, the v20 row must win
+      mem.addData((1L, 10L, "a"), (1L, 20L, "b"), (2L, 10L, "c"))
+      q.processAllAvailable()
+      val after1 = engine.readTable(Seq("registry"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(after1 == Seq((1L, 20L, "b"), (2L, 10L, "c")), after1)
+      // cross-batch: stale update ignored, newer applied, new key added
+      mem.addData((1L, 15L, "stale"), (2L, 30L, "d"), (3L, 1L, "e"))
+      q.processAllAvailable()
+      val after2 = engine.readTable(Seq("registry"))
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+      assert(after2 == Seq((1L, 20L, "b"), (2L, 30L, "d"), (3L, 1L, "e")), after2)
+    } finally {
+      if (q.isActive) q.stop()
+      engine.remove()
+    }
+  }
+
   test("streaming ingest lands shape-enforced rows in a readable table") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
