@@ -382,6 +382,31 @@ object SparkEntry {
       steps
   }
 
+  /** Seeded-teleport variant of [[pageRankCte]]: expects `e(src, dst)`
+    * AND a seed-id relation `sd(v)` upstream; teleport mass is uniform
+    * over the seeds present in the graph, zero elsewhere. */
+  private def pageRankSeededCte(iterations: Int, dampPerMille: Long = 850L): String = {
+    val scale = graft.ext.Graph.Scale
+    val baseCase = s"CASE WHEN sg.v IS NOT NULL THEN " +
+      s"((1000 - $dampPerMille) * ($scale // n)) // 1000 ELSE 0 END"
+    val steps = (1 to iterations).map { i =>
+      s"r$i AS (SELECT nodes.v, CAST($baseCase + " +
+        s"($dampPerMille * COALESCE(m.in_mass, 0)) // 1000 AS BIGINT) AS rank " +
+        s"FROM nodes CROSS JOIN ninit LEFT JOIN sg ON nodes.v = sg.v LEFT JOIN " +
+        s"(SELECT e.dst AS v, CAST(sum(r${i - 1}.rank // deg.out_deg) AS BIGINT) AS in_mass " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.v " +
+        s"JOIN deg ON deg.v = r${i - 1}.v GROUP BY e.dst) m ON nodes.v = m.v)"
+    }.mkString(", ")
+    "nodes AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "sg AS (SELECT DISTINCT sd.v FROM sd JOIN nodes ON sd.v = nodes.v), " +
+      "ninit AS (SELECT count(*) AS n FROM sg), " +
+      "deg AS (SELECT src AS v, count(*) AS out_deg FROM e GROUP BY 1), " +
+      s"r0 AS (SELECT nodes.v, CAST(CASE WHEN sg.v IS NOT NULL " +
+      s"THEN $scale // n ELSE 0 END AS BIGINT) AS rank " +
+      "FROM nodes CROSS JOIN ninit LEFT JOIN sg ON nodes.v = sg.v), " +
+      steps
+  }
+
   /** Language-id CTE chain over `src` (doc_id, text): stopword-hit
     * scoring per language, tie-break = (max hits, lexicographically
     * greatest lang) matching the Scala maxBy, CJK-ratio and empty-text
@@ -1793,6 +1818,21 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRank(edges, "src", "dst", iterations = 5), 20)
     }),
+    // —— personalized PageRank: teleport mass uniform over a trusted
+    // seed set (rich customers) — the seed-propagation quality prior;
+    // same fixed-point integer arithmetic ——
+    "graph_pagerank_seeded" -> ((s: SparkSession, dir: String) => {
+      val lines = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sp"))
+      val edges = lines.select(col("c").as("src"), col("sp").as("dst"))
+        .union(lines.select(col("sp").as("src"), col("c").as("dst")))
+      val seeds = tbl(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(concat(lit("c"), col("c_custkey")).as("v"))
+      Graph.topRanked(
+        Graph.pageRankSeeded(edges, "src", "dst", seeds, "v", 5), 20)
+    }),
     // —— stream-stream join (batch-identical body): clicks attributed to
     // same-user views at most 1 h earlier — watermark-bounded state in
     // the streaming deployment, a plain range join here ——
@@ -3091,6 +3131,17 @@ object SparkEntry {
         "SELECT c AS src, sp AS dst FROM eb " +
         "UNION ALL SELECT sp AS src, c AS dst FROM eb)), " +
         pageRankCte(5) + " " +
+        "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
+    "graph_pagerank_seeded" ->
+      ("WITH eb AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS sp " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "e AS (SELECT DISTINCT src, dst FROM (" +
+        "SELECT c AS src, sp AS dst FROM eb " +
+        "UNION ALL SELECT sp AS src, c AS dst FROM eb)), " +
+        "sd AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS v " +
+        "FROM customer WHERE c_acctbal > 9000), " +
+        pageRankSeededCte(5) + " " +
         "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
     "events_attribution" ->
       ("WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts " +

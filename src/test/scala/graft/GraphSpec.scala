@@ -53,6 +53,37 @@ class GraphSpec extends SparkSuite {
     assert(got("c") == base + (850L * init) / 1000L)
   }
 
+  test("seeded PageRank: mass stays near seeds, non-seeds get no teleport") {
+    // two disjoint 2-cycles; seed only in the first
+    val edges = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "zzz_not_in_graph").toDF("v")
+    val got = Graph.pageRankSeeded(edges, "src", "dst", seeds, "v", 5)
+      .as[(String, Long)].collect().toMap
+    assert(got("x") == 0L && got("y") == 0L,
+      s"unreachable component must hold zero mass: $got")
+    assert(got("a") > 0L && got("b") > 0L, got)
+    // a 2-cycle oscillates between the endpoints (damped by 0.85/step);
+    // the exact 5-step values are the recurrence a' = .15 + .85 b,
+    // b' = .85 a from (1, 0), in integer fixed point
+    var (ra, rb) = (Graph.Scale, 0L)
+    for (_ <- 1 to 5) {
+      val (na, nb) = ((150L * (Graph.Scale / 1)) / 1000L + (850L * rb) / 1000L,
+        (850L * ra) / 1000L)
+      ra = na; rb = nb
+    }
+    assert(got("a") == ra && got("b") == rb, s"$got vs ($ra, $rb)")
+    // single in-graph seed → init mass = Scale, conserved up to div loss
+    assert(got("a") + got("b") <= Graph.Scale)
+  }
+
+  test("seeded PageRank refuses an empty in-graph seed set") {
+    val edges = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankSeeded(edges, "src", "dst", Seq("nope").toDF("v"), "v", 2)
+    }
+  }
+
   test("topRanked breaks rank ties by id") {
     val ranks = Seq(("z", 5L), ("a", 5L), ("m", 9L)).toDF("v", "rank")
     val got = Graph.topRanked(ranks, 2).as[(String, Long)].collect().toSeq
