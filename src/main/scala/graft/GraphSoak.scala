@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off scale probe for the fixed-point PageRank loop: 1M edges over
+  * 200k nodes (deterministic hash-derived multigraph with hubs — node 0
+  * receives ~0.5% of all edges, the skew shape a web graph has), 5
+  * iterations, wall time + top-rank sanity recorded to
+  * graph_soak_1m.json (folded into bench_summary by [[Bench]]).
+  * Run: sbt "runMain graft.GraphSoak". */
+object GraphSoak {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.driver.memory", "32g")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val nEdges = 1000000L
+    val nNodes = 200000L
+    // splitmix-style mix keeps src/dst deterministic and uncorrelated;
+    // every 200th edge points at hub node 0
+    val edges = spark.range(nEdges).select(
+      (col("id") % nNodes).as("src"),
+      when(col("id") % 200 === 0, lit(0L)).otherwise(
+        abs(hash(col("id") * 2654435761L)) % nNodes).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+    val t0 = System.nanoTime()
+    val ranks = graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 5)
+    val top = graft.ext.Graph.topRanked(ranks, 10)
+      .as[(Long, Long)].collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val hubIsTop = top.headOption.exists(_._1 == 0L)
+    val json =
+      f"""{"n_edges":$nEdges,"n_nodes":$nNodes,"iterations":5,"pagerank_sec":$secs%.1f,"hub_is_top":${if (hubIsTop) 1 else 0},"top_rank":${top.headOption.map(_._2).getOrElse(0L)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("graph_soak_1m.json"), json)
+    println(json)
+    spark.stop()
+  }
+}
