@@ -776,6 +776,16 @@ object SparkEntry {
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
     }),
+    // —— filtered search through the PQ tier (pre-filter before the ADC
+    // coarse pass — same contract as search_sq_filtered) ——
+    "search_ivf_pq_filtered" -> ((s: SparkSession, dir: String) => {
+      val e = withPqIndex(s, dir)
+      graft.index.Index.searchIvfPq(e.store, "c_l2", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"),
+          filter = Some(col("label") >= 5), tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col(Search.DistCol).as("dist"))
+    }),
     // —— IVF+SQ8: d-byte scalar-quantized coarse pass + exact rerank;
     // full probes + candidates == exact (shares the brute-force oracle) ——
     "search_sq" -> ((s: SparkSession, dir: String) => {
@@ -784,6 +794,18 @@ object SparkEntry {
           targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— filtered search through the SQ8 tier: the metadata predicate is
+    // applied BEFORE coarse ranking (pre-filter, not post-filter — a
+    // post-filtered top-k can return < k rows when the filter is
+    // selective), so full budget == exact filtered kNN ——
+    "search_sq_filtered" -> ((s: SparkSession, dir: String) => {
+      val e = withSqIndex(s, dir)
+      graft.index.Index.searchSq(e.store, "c_l2", "emb", "embedding",
+          targetArray(s, dir), k = 10, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"),
+          filter = Some(col("label") >= 5), tieBreak = Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col(Search.DistCol).as("dist"))
     }),
     // —— IVF+BQ: 1-bit sign codes (32× smaller than float32), Hamming
     // popcount coarse rank + exact rerank; full budgets == exact ——
@@ -3123,6 +3145,18 @@ object SparkEntry {
         "SELECT user_id, min(ts_sec) AS session_start, count(*) AS session_events, " +
         "CAST(max(ts_sec) - min(ts_sec) AS DOUBLE) AS session_secs " +
         "FROM s GROUP BY user_id, sid"),
+    // same exact filtered-kNN mirror as knn_filtered: pre-filter + full
+    // budget makes the compressed tiers exact
+    "search_ivf_pq_filtered" ->
+      ("SELECT e.vec_id AS vec_id, e.label AS label, " + l2Sql + " AS dist " +
+        "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
+        "FROM embeddings WHERE vec_id = 0) q WHERE e.label >= 5 " +
+        "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
+    "search_sq_filtered" ->
+      ("SELECT e.vec_id AS vec_id, e.label AS label, " + l2Sql + " AS dist " +
+        "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
+        "FROM embeddings WHERE vec_id = 0) q WHERE e.label >= 5 " +
+        "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
     "graph_pagerank" ->
       ("WITH eb AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS sp " +
