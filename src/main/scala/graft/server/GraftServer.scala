@@ -141,6 +141,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("GET", "quality" :: Nil) =>
           ok(ex, s"""{"models":[${engine.listQualityModels()
             .map(jstr).mkString(",")}]}""")
+        case ("POST", "graph" :: "pagerank" :: Nil)    => postPageRank(ex)
+        case ("POST", "sketch" :: "distinct" :: Nil)   => postKmvDistinct(ex)
+        case ("POST", "sketch" :: "heavy-hitters" :: Nil) => postHeavyHitters(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
@@ -552,6 +555,47 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Cross-document common segments ([[graft.ext.Dedup.commonSegments]]):
     * boilerplate lines appearing in ≥ minDocs distinct docs. */
+  /** Fixed-point PageRank over an edge table ([[graft.ext.Graph]]).
+    * Body: source, srcCol, dstCol, optional iterations (default 5),
+    * topK (default 100), and seeds/seedCol for the personalized
+    * variant. */
+  private def postPageRank(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val edges = engine.readTable(Seq(require(body, "source").asText()))
+    val srcCol = require(body, "srcCol").asText()
+    val dstCol = require(body, "dstCol").asText()
+    val iters = intOr(body, "iterations", 5)
+    val ranks = opt(body, "seeds") match {
+      case Some(seedTable) =>
+        graft.ext.Graph.pageRankSeeded(edges, srcCol, dstCol,
+          engine.readTable(Seq(seedTable.asText())),
+          require(body, "seedCol").asText(), iters)
+      case None =>
+        graft.ext.Graph.pageRank(edges, srcCol, dstCol, iters)
+    }
+    okRows(ex, graft.ext.Graph.topRanked(ranks, intOr(body, "topK", 100)))
+  }
+
+  /** KMV distinct-count estimate ([[graft.ext.Sketches.kmvDistinct]]).
+    * Body: source, column, optional k (default 256). */
+  private def postKmvDistinct(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Sketches.kmvDistinct(
+      engine.readTable(Seq(require(body, "source").asText())),
+      require(body, "column").asText(), intOr(body, "k", 256)))
+  }
+
+  /** Exact heavy hitters via the CMS candidate pass
+    * ([[graft.ext.Sketches.heavyHitters]]). Body: source, column,
+    * minCount. */
+  private def postHeavyHitters(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Sketches.heavyHitters(
+      engine.readTable(Seq(require(body, "source").asText())),
+      require(body, "column").asText(),
+      require(body, "minCount").asLong()))
+  }
+
   /** Latest-wins merge of an updates table into a destination table
     * ([[graft.api.Engine.upsertTable]]). Body: dest, updates, keys
     * (array), versionCol, tieBreakCol. */

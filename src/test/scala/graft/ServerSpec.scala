@@ -874,6 +874,42 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_samp")._1 == 200)
   }
 
+  test("graph + sketch routes: wire == library") {
+    val (ec, eBody) = send("PUT", "/tables/wire_edges",
+      """{"schema":"src STRING, dst STRING",
+          "rows":[{"src":"a","dst":"b"},{"src":"b","dst":"a"},
+                  {"src":"a","dst":"c"},{"src":"c","dst":"a"}]}""")
+    assert(ec == 200, eBody)
+    val (pc, pBody) = send("POST", "/graph/pagerank",
+      """{"source":"wire_edges","srcCol":"src","dstCol":"dst",
+          "iterations":3,"topK":3}""")
+    assert(pc == 200, pBody)
+    val wireRanks = new scala.collection.mutable.HashMap[String, Long]
+    mapper.readTree(pBody).get("rows").elements()
+      .forEachRemaining(n => wireRanks(n.get("v").asText()) = n.get("rank").asLong())
+    val libRanks = graft.ext.Graph.pageRank(
+        engine.readTable(Seq("wire_edges")), "src", "dst", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wireRanks.toMap == libRanks, s"wire $wireRanks vs lib $libRanks")
+
+    val (kc, kBody) = send("POST", "/sketch/distinct",
+      """{"source":"wire_edges","column":"src","k":16}""")
+    assert(kc == 200, kBody)
+    val kRow = mapper.readTree(kBody).get("rows").get(0)
+    assert(kRow.get("n_kept").asLong() == 3 &&
+      kRow.get("est_distinct").asDouble() == 3.0, kBody)
+
+    val (hc, hBody) = send("POST", "/sketch/heavy-hitters",
+      """{"source":"wire_edges","column":"src","minCount":2}""")
+    assert(hc == 200, hBody)
+    val hh = new scala.collection.mutable.HashMap[String, Long]
+    mapper.readTree(hBody).get("rows").elements()
+      .forEachRemaining(n => hh(n.get("src").asText()) = n.get("cnt").asLong())
+    assert(hh.toMap == Map("a" -> 2L), hBody)
+
+    assert(send("DELETE", "/tables/wire_edges")._1 == 200)
+  }
+
   test("upsert route: latest-wins merge, wire == library semantics") {
     val (c1, b1) = send("PUT", "/tables/wire_ups",
       """{"schema":"id LONG, ver LONG, txt STRING",
