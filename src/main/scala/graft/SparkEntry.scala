@@ -1840,6 +1840,15 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRank(edges, "src", "dst", iterations = 5), 20)
     }),
+    // —— connected components over the customer→nation star graph: one
+    // component per nation, labeled by its lexicographically smallest
+    // node id (min-label propagation) ——
+    "graph_components" -> ((s: SparkSession, dir: String) =>
+      Graph.connectedComponents(
+        tbl(s, dir, "customer").select(
+          concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst")),
+        "src", "dst")),
     // —— personalized PageRank: teleport mass uniform over a trusted
     // seed set (rich customers) — the seed-propagation quality prior;
     // same fixed-point integer arithmetic ——
@@ -3157,6 +3166,16 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
         "FROM embeddings WHERE vec_id = 0) q WHERE e.label >= 5 " +
         "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
+    // the star-per-nation fixture makes components directly computable:
+    // component = min over {nation node} ∪ {its customers} (string min,
+    // same lexicographic order in both engines)
+    "graph_components" ->
+      ("WITH e AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS src, " +
+        "'n' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer), " +
+        "m AS (SELECT dst, least(min(src), dst) AS comp FROM e GROUP BY dst) " +
+        "SELECT v, comp AS component FROM (" +
+        "SELECT e.src AS v, m.comp FROM e JOIN m USING (dst) " +
+        "UNION SELECT dst AS v, comp FROM m)"),
     "graph_pagerank" ->
       ("WITH eb AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS sp " +

@@ -128,6 +128,21 @@ object Graph {
     ranks.select("v", "rank")
   }
 
+  /** Connected components over an undirected view of the edge set:
+    * (v, component) where component = the minimum node id reachable
+    * from v. Delegates to the min-label-propagation loop behind
+    * [[Dedup.duplicateGroups]] (per iteration: one narrow label join +
+    * map-side-combined min agg; converges in O(diameter) rounds,
+    * maxIter-capped). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val nodes = edges.select(col(srcCol).as("v"))
+      .union(edges.select(col(dstCol).as("v"))).distinct()
+    Dedup.duplicateGroups(nodes, "v", edges.select(col(srcCol), col(dstCol)),
+        srcCol, dstCol, maxIter)
+      .withColumnRenamed("rep", "component")
+  }
+
   /** Top-k nodes by rank with a deterministic id tiebreak. */
   def topRanked(ranks: DataFrame, k: Int): DataFrame =
     ranks.orderBy(col("rank").desc, col("v").asc).limit(k)

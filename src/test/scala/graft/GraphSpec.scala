@@ -84,6 +84,14 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("connectedComponents labels disjoint chains with their min node") {
+    val edges = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"), got)
+  }
+
   test("topRanked breaks rank ties by id") {
     val ranks = Seq(("z", 5L), ("a", 5L), ("m", 9L)).toDF("v", "rank")
     val got = Graph.topRanked(ranks, 2).as[(String, Long)].collect().toSeq
