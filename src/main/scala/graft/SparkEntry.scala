@@ -1890,6 +1890,12 @@ object SparkEntry {
     "sketch_distinct_kmv" -> ((s: SparkSession, dir: String) =>
       Sketches.kmvDistinct(
         tbl(s, dir, "lineitem").select(col("l_partkey")), "l_partkey", 256)),
+    // —— sketches: per-group KMV — distinct users per event type with
+    // k=64 (above-k groups exercise the estimator branch) ——
+    "sketch_distinct_by" -> ((s: SparkSession, dir: String) =>
+      Sketches.kmvDistinctBy(
+        tblEvents(s, dir).select("event_type", "user_id"),
+        "user_id", Seq("event_type"), k = 64)),
     // —— sketches: exact heavy hitters through a Count-Min candidate
     // pass — CMS overestimates, so the candidate slice provably contains
     // every true heavy hitter; the exact re-count drops false positives,
@@ -3226,6 +3232,17 @@ object SparkEntry {
         "SELECT n_kept, kth_hash, CASE WHEN n_kept < 256 " +
         "THEN CAST(n_kept AS DOUBLE) " +
         "ELSE 255 * pow(2, 60) / CAST(kth_hash AS DOUBLE) END AS est_distinct " +
+        "FROM a"),
+    "sketch_distinct_by" ->
+      ("WITH h AS (SELECT DISTINCT event_type, " +
+        u60Sql("CAST(user_id AS VARCHAR)") + " AS h FROM events), " +
+        "r AS (SELECT event_type, h, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY h ASC) AS rn FROM h), " +
+        "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, " +
+        "max(h) AS kth_hash FROM r WHERE rn <= 64 GROUP BY event_type) " +
+        "SELECT event_type, n_kept, kth_hash, CASE WHEN n_kept < 64 " +
+        "THEN CAST(n_kept AS DOUBLE) " +
+        "ELSE 63 * pow(2, 60) / CAST(kth_hash AS DOUBLE) END AS est_distinct " +
         "FROM a"),
     // the CMS pass is a lossless candidate filter; the exact HAVING is
     // the whole observable behavior

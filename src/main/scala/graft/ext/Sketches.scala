@@ -107,17 +107,28 @@ object Sketches {
     * set and the estimate is exact. Deterministic: same data ⇒ same
     * answer regardless of partitioning (set-union merge).
     */
-  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val hashed = df.select(Corpus.hashU60(col(keyCol)).as("h")).as[Long]
-    val mins = hashed.select(new KMinValuesAgg(k).toColumn).toDF("mins")
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int = 256): DataFrame =
+    kmvDistinctBy(df, keyCol, Nil, k)
+
+  /** Per-group KMV distinct estimate — one k-long sketch per group
+    * (groupCols), the windowed/segmented form of [[kmvDistinct]]: e.g.
+    * distinct users per hour, distinct URLs per crawl batch. The same
+    * mergeable aggregator runs unchanged in a Structured Streaming
+    * aggregation (monitoring gate: a distinct-rate collapse in an
+    * arriving crawl flags a stuck upstream). */
+  def kmvDistinctBy(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int = 256): DataFrame = {
+    val kmv = udaf(new KMinValuesAgg(k))
+    val gcols = groupCols.map(col)
     // (k−1)·2^60 is exactly representable in a double (k ≤ 2^52), so the
     // oracle's `(k-1) * pow(2, 60) / kth` evaluates the identical IEEE
     // division — the estimate hash-matches bit-for-bit.
-    mins.select(
+    df.select((gcols :+ Corpus.hashU60(col(keyCol)).as("__kmv_h__")).toIndexedSeq: _*)
+      .groupBy(gcols.toIndexedSeq: _*)
+      .agg(kmv(col("__kmv_h__")).as("mins"))
+      .select((gcols ++ Seq(
         size(col("mins")).cast("long").as("n_kept"),
-        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))).toIndexedSeq: _*)
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble * math.pow(2.0, 60)) /

@@ -69,6 +69,34 @@ class SketchesSpec extends SparkSuite {
     assert(math.abs(est - n) / n < 0.25, s"estimate too far off: $est vs $n")
   }
 
+  test("grouped KMV: per-group estimates, and streaming == batch") {
+    val df = (0 until 3000).map(i => (s"g${i % 3}", s"u${i % (100 * (i % 3 + 1))}"))
+      .toDF("g", "u")
+    val batch = Sketches.kmvDistinctBy(df, "u", Seq("g"), k = 64)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // exact per-group distinct as reference: estimates within 4 sd (50%)
+    val exact = df.groupBy("g").agg(countDistinct("u").as("d"))
+      .as[(String, Long)].collect().toMap
+    batch.foreach { case (g, nKept, _, est) =>
+      assert(nKept <= 64)
+      assert(math.abs(est - exact(g)) / exact(g) < 0.5, s"$g: $est vs ${exact(g)}")
+    }
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val q = Sketches.kmvDistinctBy(mem.toDF().toDF("g", "u"), "u", Seq("g"), k = 64)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      df.as[(String, String)].collect().grouped(1000)
+        .foreach { chunk => mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("kmv_stream")
+        .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("KMinValuesAgg insert keeps k smallest distinct, sorted") {
     val agg = new KMinValuesAgg(4)
     var b = agg.zero
