@@ -62,8 +62,10 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(max_by(struct(payload.map(col).toIndexedSeq: _*),
         struct(col(versionCol), col(tieBreakCol))).as("__row__"))
+      // getField, not a "__row__.name" path string — payload columns may
+      // legally contain dots
       .select((keyCols.map(col) ++
-        payload.map(c => col(s"__row__.$c").as(c))).toIndexedSeq: _*)
+        payload.map(c => col("__row__").getField(c).as(c))).toIndexedSeq: _*)
   }
 
   // ——— cross-document duplicated token spans (exact substring dedup) ———
