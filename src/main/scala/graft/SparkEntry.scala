@@ -1840,6 +1840,10 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRank(edges, "src", "dst", iterations = 5), 20)
     }),
+    // —— per-column table profile in ONE aggregation pass: counts +
+    // typed min/max (data values, not sums — so doubles hash-match) ——
+    "table_describe" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Describe.describe(tbl(s, dir, "orders"))),
     // —— connected components over the customer→nation star graph: one
     // component per nation, labeled by its lexicographically smallest
     // node id (min-label propagation) ——
@@ -3172,6 +3176,25 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
         "FROM embeddings WHERE vec_id = 0) q WHERE e.label >= 5 " +
         "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
+    "table_describe" -> {
+      def num(c: String) =
+        s"SELECT '$c' AS col_name, count(*) AS n_rows, " +
+          s"count(*) - count($c) AS n_nulls, " +
+          s"CAST(min($c) AS DOUBLE) AS min_num, " +
+          s"CAST(max($c) AS DOUBLE) AS max_num, " +
+          "CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str " +
+          "FROM orders"
+      def ts(c: String) =
+        s"SELECT '$c', count(*), count(*) - count($c), " +
+          s"CAST(floor(epoch(min($c))) AS DOUBLE), " +
+          s"CAST(floor(epoch(max($c))) AS DOUBLE), NULL, NULL FROM orders"
+      def str(c: String) =
+        s"SELECT '$c', count(*), count(*) - count($c), NULL, NULL, " +
+          s"min($c), max($c) FROM orders"
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), ts("o_orderdate"), str("o_orderpriority"))
+        .mkString(" UNION ALL ")
+    },
     // the star-per-nation fixture makes components directly computable:
     // component = min over {nation node} ∪ {its customers} (string min,
     // same lexicographic order in both engines)

@@ -252,6 +252,11 @@ class Engine(val spark: SparkSession, val root: String) {
     store.loadTable(dest).count()
   }
 
+  /** Per-column profile of a stored table ([[graft.ext.Describe]]):
+    * one aggregation pass, one row per column. */
+  def describeTable(name: String): DataFrame =
+    graft.ext.Describe.describe(store.loadTable(name))
+
   /** Merge `updates` into table `name` with latest-wins semantics
     * ([[graft.ext.Dedup.latestByKey]]): per key, the greatest
     * (`versionCol`, `tieBreakCol`) row — existing or incoming — survives.

@@ -93,6 +93,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("PUT", "tables" :: name :: Nil)    => putTable(ex, name)
         case ("GET", "tables" :: name :: "arrow" :: Nil) => getTableArrow(ex, name)
         case ("GET", "tables" :: name :: Nil)    => getTable(ex, name)
+        case ("GET", "tables" :: name :: "describe" :: Nil) =>
+          okRows(ex, engine.describeTable(name))
         case ("DELETE", "tables" :: name :: Nil) =>
           engine.dropTable(name); ok(ex, """{"dropped":true}""")
         case ("GET", "codings" :: Nil) =>

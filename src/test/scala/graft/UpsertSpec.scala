@@ -68,6 +68,25 @@ class UpsertSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("describe profiles every column type in one pass") {
+    val df = Seq(
+      (1L, Some(2.5), Some("b"), Seq(1, 2)),
+      (2L, None, Some("a"), Seq(3)),
+      (3L, Some(-1.0), None, Seq())
+    ).toDF("id", "x", "s", "arr")
+    val got = graft.ext.Describe.describe(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("id").getLong(1) == 3 && got("id").getLong(2) == 0)
+    assert(got("id").getDouble(3) == 1.0 && got("id").getDouble(4) == 3.0)
+    assert(got("x").getLong(2) == 1)
+    assert(got("x").getDouble(3) == -1.0 && got("x").getDouble(4) == 2.5)
+    assert(got("s").getLong(2) == 1)
+    assert(got("s").getString(5) == "a" && got("s").getString(6) == "b")
+    // array column: counts only, stat slots null
+    assert(got("arr").getLong(2) == 0 && got("arr").isNullAt(3) &&
+      got("arr").isNullAt(5))
+  }
+
   test("upsertTable creates the destination when absent") {
     val root = Files.createTempDirectory("graft-upsert2").toString
     val engine = new Engine(spark, root)
