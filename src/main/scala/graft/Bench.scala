@@ -110,7 +110,9 @@ object Bench {
       "curate_corpus", "curate_stream", "dedup_exact_stream",
       "text_fingerprint", "text_overlap", "search_sq",
       "q1_agg", "q3_shipping", "q5_region", "events_sessions", "text_quality",
-      "media_compressed_decode", "search_probed_16", "search_rerank_200",
+      "media_compressed_decode", "graph_pagerank", "sketch_heavy_hitters",
+      "upsert_latest", "events_attribution",
+      "search_probed_16", "search_rerank_200",
       "search_ivf_pq_16_200", "search_sq_16_200", "search_bq_16_200")
     val allMap = all.toMap
     val qsHead = headline.flatMap(k => allMap.get(k).map(v =>

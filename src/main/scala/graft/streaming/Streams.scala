@@ -687,8 +687,12 @@ object Streams {
     * `withWatermark` requires a streaming frame only by convention). */
   def attributionJoin(views: DataFrame, clicks: DataFrame,
       idCol: String, keyCol: String, tsCol: String, maxDelaySecs: Long,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame = {
     require(maxDelaySecs > 0, s"maxDelaySecs must be > 0, got $maxDelaySecs")
+    require(Set("inner", "left_outer").contains(joinType),
+      s"joinType must be inner | left_outer, got '$joinType' " +
+        "(left_outer emits never-clicked views with null click columns " +
+        "once the click watermark passes their window)")
     def side(df: DataFrame, tag: String): DataFrame = {
       val wm = if (df.isStreaming) df.withWatermark(tsCol, watermark) else df
       wm.select(col(keyCol).as(s"${tag}_key"), col(idCol).as(s"${tag}_id"),
@@ -698,7 +702,8 @@ object Streams {
         col("view_key") === col("click_key") &&
           col("click_ts") >= col("view_ts") &&
           col("click_ts") <= col("view_ts") +
-            expr(s"INTERVAL $maxDelaySecs SECONDS"))
+            expr(s"INTERVAL $maxDelaySecs SECONDS"),
+        joinType)
       .select(col("view_key").as(keyCol), col("view_id"), col("click_id"),
         col("view_ts"), col("click_ts"))
   }

@@ -915,6 +915,39 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("outer attribution join: never-clicked views emit with null clicks") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val t = (sec: Long) => new java.sql.Timestamp(sec * 1000L)
+    val vMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = Streams.attributionJoin(
+        vMem.toDF().toDF("event_id", "user_id", "ts"),
+        cMem.toDF().toDF("event_id", "user_id", "ts"),
+        idCol = "event_id", keyCol = "user_id", tsCol = "ts",
+        maxDelaySecs = 3600L, watermark = "0 seconds",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer_test")
+      .outputMode("append").start()
+    try {
+      // view 1 gets a click; view 2 never does
+      vMem.addData((1L, 7L, t(1000L)), (2L, 8L, t(1000L)))
+      cMem.addData((20L, 7L, t(1500L)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past view 2's window so the outer
+      // side can conclude no click will ever arrive
+      vMem.addData((3L, 9L, t(100000L)))
+      cMem.addData((21L, 9L, t(100000L)))
+      q.processAllAvailable()
+      val got = spark.table("attr_outer_test")
+        .select("user_id", "view_id", "click_id")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(got.contains((7L, 1L, Some(20L))), got)
+      assert(got.contains((8L, 2L, None)),
+        s"unmatched view must emit with null click: $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionize: emits on in-stream gap and on event-time timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
