@@ -128,7 +128,11 @@ object Sketches {
       .agg(kmv(col("__kmv_h__")).as("mins"))
       .select((gcols ++ Seq(
         size(col("mins")).cast("long").as("n_kept"),
-        element_at(col("mins"), size(col("mins"))).as("kth_hash"))).toIndexedSeq: _*)
+        // guard the empty sketch (empty input frame): ANSI element_at
+        // throws on index 0
+        when(size(col("mins")) > 0,
+          element_at(col("mins"), size(col("mins"))))
+          .otherwise(lit(null).cast("long")).as("kth_hash"))).toIndexedSeq: _*)
       .withColumn("est_distinct",
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(lit((k - 1).toDouble * math.pow(2.0, 60)) /

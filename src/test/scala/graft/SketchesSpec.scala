@@ -97,6 +97,13 @@ class SketchesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("KMV on an empty frame returns the zero profile, not an error") {
+    val empty = Seq.empty[String].toDF("k")
+    val r = Sketches.kmvDistinct(empty, "k")
+      .select("n_kept", "est_distinct").as[(Long, Double)].head()
+    assert(r == ((0L, 0.0)), r)
+  }
+
   test("KMinValuesAgg insert keeps k smallest distinct, sorted") {
     val agg = new KMinValuesAgg(4)
     var b = agg.zero
