@@ -1840,6 +1840,12 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRank(edges, "src", "dst", iterations = 5), 20)
     }),
+    // —— fill-in-the-middle transform: hash-selected docs split at two
+    // hash-derived offsets, PSM reassembly; deterministic, no RNG ——
+    "text_fim" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.fimTransform(
+        tbl(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", rate = 0.5)),
     // —— per-column table profile in ONE aggregation pass: counts +
     // typed min/max (data values, not sums — so doubles hash-match) ——
     "table_describe" -> ((s: SparkSession, dir: String) =>
@@ -3176,6 +3182,22 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
         "FROM embeddings WHERE vec_id = 0) q WHERE e.label >= 5 " +
         "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
+    // same u60 hash-select as mixture_sample, same substring arithmetic;
+    // threshold = (0.5 * 2^60) exactly
+    "text_fim" ->
+      ("WITH d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL), " +
+        "h AS (SELECT doc_id, text, " +
+        u60Sql("CAST(doc_id AS VARCHAR) || 'fim'") + " AS hs, " +
+        u60Sql("CAST(doc_id AS VARCHAR) || 'fim:a'") + " % (length(text) + 1) AS a, " +
+        u60Sql("CAST(doc_id AS VARCHAR) || 'fim:b'") + " % (length(text) + 1) AS b " +
+        "FROM d), " +
+        "p AS (SELECT doc_id, text, hs, least(a, b) AS p1, greatest(a, b) AS p2, " +
+        "length(text) AS ln FROM h) " +
+        "SELECT doc_id, CASE WHEN hs < 576460752303423488 THEN 'fim' ELSE 'plain' END AS fim_mode, " +
+        "CASE WHEN hs < 576460752303423488 THEN " +
+        "'<fim_prefix>' || substr(text, 1, p1) || '<fim_suffix>' || " +
+        "substr(text, p2 + 1, ln - p2) || '<fim_middle>' || " +
+        "substr(text, p1 + 1, p2 - p1) ELSE text END AS fim_text FROM p"),
     "table_describe" -> {
       def num(c: String) =
         s"SELECT '$c' AS col_name, count(*) AS n_rows, " +

@@ -145,6 +145,40 @@ object Corpus {
           s => s("__tok__")), " ").as("seq_text"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a `rate`
+    * fraction of documents — chosen by the same stable id-hash as
+    * [[hashSample]] — are split at two hash-derived character offsets
+    * into (prefix, middle, suffix) and reassembled in PSM order
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M`; the rest pass through
+    * verbatim (`fim_mode = 'plain'`). Everything is integer/substring
+    * arithmetic on code points, so an independent SQL engine reproduces
+    * the exact split — and re-running a pipeline reproduces the exact
+    * same training mix (no RNG state). Narrow per-row projection; no
+    * shuffle. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+      rate: Double = 0.5, salt: String = "fim"): DataFrame = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    val threshold = (rate * U60Denom).toLong
+    val selected = hashU60(concat(col(idCol).cast("string"), lit(salt)))
+      .< (threshold)
+    val len = length(col(textCol))
+    val a = pmod(hashU60(concat(col(idCol).cast("string"), lit(s"$salt:a"))),
+      len + 1)
+    val b = pmod(hashU60(concat(col(idCol).cast("string"), lit(s"$salt:b"))),
+      len + 1)
+    val p1 = least(a, b)
+    val p2 = greatest(a, b)
+    val prefix = col(textCol).substr(lit(1), p1)
+    val middle = col(textCol).substr(p1 + 1, p2 - p1)
+    val suffix = col(textCol).substr(p2 + 1, len - p2)
+    df.select(col(idCol),
+      when(selected, lit("fim")).otherwise(lit("plain")).as("fim_mode"),
+      when(selected, concat(lit("<fim_prefix>"), prefix,
+          lit("<fim_suffix>"), suffix, lit("<fim_middle>"), middle))
+        .otherwise(col(textCol)).as("fim_text"))
+  }
+
   // ——— deterministic hash sampling ———
 
   /** Uniform u in [0, 1) as a 60-bit integer derived from md5 of the key —

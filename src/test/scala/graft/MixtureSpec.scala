@@ -33,6 +33,34 @@ class MixtureSpec extends SparkSuite {
     assert(kept.count() == 200L)   // single domain → rate 1
   }
 
+  test("FIM transform: lossless split, deterministic selection, edge lengths") {
+    val docs = Seq((1L, "abcdefghij"), (2L, ""), (3L, "x"))
+      .toDF("doc_id", "text")
+    val out = Corpus.fimTransform(docs, "doc_id", "text", rate = 1.0)
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out.foreach { case (id, (mode, t)) =>
+      assert(mode == "fim", s"rate 1.0 selects all: $id")
+      // the three pieces reassemble the original exactly
+      val m = "<fim_prefix>(.*)<fim_suffix>(.*)<fim_middle>(.*)".r
+      t match {
+        case m(p, s, mid) =>
+          val orig = docs.filter($"doc_id" === id).select("text").as[String].head()
+          assert(p + mid + s == orig, s"$id: '$p'+'$mid'+'$s' != '$orig'")
+        case _ => fail(s"bad fim_text: $t")
+      }
+    }
+    // rate 0 → all plain, text untouched
+    val plain = Corpus.fimTransform(docs, "doc_id", "text", rate = 0.0)
+      .as[(Long, String, String)].collect()
+    assert(plain.forall(_._2 == "plain"))
+    assert(plain.map(r => r._1 -> r._3).toMap ==
+      Map(1L -> "abcdefghij", 2L -> "", 3L -> "x"))
+    // deterministic: same call twice, identical output
+    val again = Corpus.fimTransform(docs, "doc_id", "text", rate = 1.0)
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again == out)
+  }
+
   test("deterministic across runs; salt changes the sample") {
     val w = Map("web" -> 0.5, "books" -> 0.5)
     val a = Corpus.mixtureSample(skewed, "id", "domain", w)
