@@ -1840,6 +1840,12 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRank(edges, "src", "dst", iterations = 5), 20)
     }),
+    // —— per-doc DEFLATE ratio (entropy-proxy quality signal) — encoder-
+    // stream-dependent, so rows-only check + ScalaTest ordering pins ——
+    "text_compress_ratio" -> ((s: SparkSession, dir: String) =>
+      TextAnalysis.compressionRatios(
+        tbl(s, dir, "documents").filter(col("text").isNotNull),
+        "doc_id", "text")),
     // —— fill-in-the-middle transform: hash-selected docs split at two
     // hash-derived offsets, PSM reassembly; deterministic, no RNG ——
     "text_fim" -> ((s: SparkSession, dir: String) =>

@@ -312,6 +312,35 @@ object TextAnalysis {
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
   }
 
+  /** Per-document DEFLATE compression ratio (compressed/raw bytes) — the
+    * entropy-proxy quality signal (highly compressible ⇒ repetitive or
+    * templated; near-1 ⇒ high-entropy text or binary junk; both tails
+    * are filter candidates in RedPajama-style pipelines). Fixed level-6
+    * raw deflate, one narrow per-row UDF, no shuffle. No SQL oracle —
+    * the ratio depends on the zlib encoder's exact emitted stream, which
+    * an independent engine cannot be guaranteed to reproduce; pinned by
+    * ScalaTest ordering properties instead (repetitive < prose < random,
+    * same discipline as the coder_train holdout). Empty/null docs score
+    * 1.0 (incompressible by convention, not a divide-by-zero). */
+  val compressionRatio = udf { (s: String) =>
+    if (s == null || s.isEmpty) 1.0
+    else {
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      total.toDouble / bytes.length
+    }
+  }
+
+  /** [[compressionRatio]] over a frame: (id, compress_ratio). */
+  def compressionRatios(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      compressionRatio(col(textCol)).as("compress_ratio"))
+
   /** Within-document repetition: the fraction of a doc's word n-grams
     * that are duplicates (1 − distinct/total) — the classic
     * repetitiousness quality signal for training-corpus filtering (Rae

@@ -390,6 +390,25 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("compression ratio orders repetitive < prose < random; edges score 1.0") {
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      (1L, "spam " * 400),                                   // repetitive
+      (2L, "The quick brown fox jumps over the lazy dog. " * 40), // prose-ish
+      (3L, Seq.fill(2000)(('a' + rnd.nextInt(26)).toChar).mkString), // random
+      (4L, ""), (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val r = graft.ext.TextAnalysis.compressionRatios(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(r(1L) < r(2L) && r(2L) < r(3L), r)
+    assert(r(1L) < 0.1, s"400x-repeated token must compress hard: ${r(1L)}")
+    assert(r(4L) == 1.0 && r(5L) == 1.0)
+    // deterministic across runs
+    val again = graft.ext.TextAnalysis.compressionRatios(docs, "doc_id", "text")
+      .as[(Long, Double)].collect().toMap
+    assert(again == r)
+  }
+
   test("winnowing fingerprints match an independent reimplementation") {
     // plain-Scala winnowing, written without looking at the Column code:
     // hash every k-gram (base-257 poly mod 1e9+7), min per w-window, dedup
