@@ -1840,6 +1840,11 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRank(edges, "src", "dst", iterations = 5), 20)
     }),
+    // —— deterministic contrastive negatives: 2 hash-uniform other docs
+    // per anchor, never self, bit-reproducible across engines ——
+    "sample_negatives" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Corpus.negativeSample(
+        tbl(s, dir, "documents"), "doc_id", k = 2)),
     // —— per-doc DEFLATE ratio (entropy-proxy quality signal) — encoder-
     // stream-dependent, so rows-only check + ScalaTest ordering pins ——
     "text_compress_ratio" -> ((s: SparkSession, dir: String) =>
@@ -3188,6 +3193,21 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS t " +
         "FROM embeddings WHERE vec_id = 0) q WHERE e.label >= 5 " +
         "ORDER BY dist ASC, vec_id ASC LIMIT 10"),
+    // dense index by sorted row_number, hash mod n, shift-off-self — all
+    // integer, same u60 hash
+    "sample_negatives" ->
+      ("WITH ids AS (SELECT DISTINCT doc_id FROM documents), " +
+        "idx AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i " +
+        "FROM ids), " +
+        "nn AS (SELECT count(*) AS n FROM idx), " +
+        "a AS (SELECT idx.doc_id AS anchor_id, idx.i, j, " +
+        u60Sql("CAST(idx.doc_id AS VARCHAR) || 'neg:' || CAST(j AS VARCHAR)") +
+        " % nn.n AS t FROM idx CROSS JOIN nn " +
+        "CROSS JOIN (SELECT unnest([0, 1]) AS j)), " +
+        "f AS (SELECT anchor_id, j, CASE WHEN t = i THEN (t + 1) % " +
+        "(SELECT n FROM nn) ELSE t END AS t2 FROM a) " +
+        "SELECT anchor_id, j, i2.doc_id AS neg_id " +
+        "FROM f JOIN idx i2 ON f.t2 = i2.i"),
     // same u60 hash-select as mixture_sample, same substring arithmetic;
     // threshold = (0.5 * 2^60) exactly
     "text_fim" ->

@@ -179,6 +179,46 @@ object Corpus {
         .otherwise(col(textCol)).as("fim_text"))
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * distinct id, `k` pseudo-random OTHER ids — uniform over the corpus,
+    * reproducible across runs and engines (pure hash arithmetic, no RNG
+    * state), never the anchor itself (a hash landing on the anchor's own
+    * slot shifts to the next one, mod n).
+    *
+    * Scale shape: ids get a dense index by distributed sort +
+    * `zipWithIndex` (per-partition offsets from counts — NOT a
+    * single-partition row_number window), checkpointed once; the k
+    * negatives are an explode + one equi-join back on the index. Output:
+    * (anchor_id, j, neg_id), k rows per distinct id. */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val ids = df.select(col(idCol)).distinct().orderBy(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      ids.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "__idx__", org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      ids.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema).localCheckpoint(true)
+    val n = indexed.count()
+    require(n >= 2, s"negativeSample needs >= 2 distinct ids, got $n")
+    val anchors = indexed.select(col(idCol).as("anchor_id"),
+      col("__idx__").as("__ai__"))
+    val expanded = anchors
+      .select(col("anchor_id"), col("__ai__"),
+        explode(array((0 until k).map(lit): _*)).as("j"))
+      .withColumn("__t__", pmod(hashU60(concat(
+        col("anchor_id").cast("string"), lit(s"$salt:"),
+        col("j").cast("string"))), lit(n)))
+      .withColumn("__t2__", when(col("__t__") === col("__ai__"),
+        (col("__t__") + 1) % n).otherwise(col("__t__")))
+    expanded.join(indexed.select(col(idCol).as("neg_id"), col("__idx__")),
+        col("__t2__") === col("__idx__"))
+      .select("anchor_id", "j", "neg_id")
+  }
+
   // ——— deterministic hash sampling ———
 
   /** Uniform u in [0, 1) as a 60-bit integer derived from md5 of the key —

@@ -61,6 +61,18 @@ class MixtureSpec extends SparkSuite {
     assert(again == out)
   }
 
+  test("negative sampling: k per anchor, never self, partition-invariant") {
+    val docs = (0L until 50L).map(i => (i, s"d$i")).toDF("doc_id", "txt")
+    val neg = Corpus.negativeSample(docs, "doc_id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(neg.length == 150)
+    assert(neg.forall { case (a, _, n) => a != n }, "never the anchor itself")
+    assert(neg.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0, 1, 2)))
+    val again = Corpus.negativeSample(docs.repartition(7), "doc_id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(neg.toSet == again.toSet, "must not depend on partitioning")
+  }
+
   test("deterministic across runs; salt changes the sample") {
     val w = Map("web" -> 0.5, "books" -> 0.5)
     val a = Corpus.mixtureSample(skewed, "id", "domain", w)
