@@ -1885,6 +1885,28 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRankSeeded(edges, "src", "dst", seeds, "v", 5), 20)
     }),
+    // —— funnel analysis: first view → first click within a day of it →
+    // first purchase within a day of that, per user; stage counts
+    // (150/60/25 at sf0.01 — the windows discriminate). Three narrow
+    // per-user aggs — no window over event history ——
+    "events_funnel" -> ((s: SparkSession, dir: String) => {
+      val ev = tblEvents(s, dir).select("user_id", "event_type", "ts_sec")
+      def firstAtOrAfter(evType: String, lower: DataFrame, lowerCol: String,
+          outCol: String): DataFrame =
+        ev.filter(col("event_type") === evType)
+          .join(lower, Seq("user_id"))
+          .filter(col("ts_sec") >= col(lowerCol) &&
+            col("ts_sec") <= col(lowerCol) + 86400L)
+          .groupBy("user_id").agg(min("ts_sec").as(outCol))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_sec").as("view_ts"))
+      val c = firstAtOrAfter("click", v, "view_ts", "click_ts")
+      val p = firstAtOrAfter("purchase", c, "click_ts", "purchase_ts")
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("click_ts")).as("n_view_click"),
+          count(col("purchase_ts")).as("n_view_click_purchase"))
+    }),
     // —— stream-stream join (batch-identical body): clicks attributed to
     // same-user views at most 1 h earlier — watermark-bounded state in
     // the streaming deployment, a plain range join here ——
@@ -3273,6 +3295,22 @@ object SparkEntry {
         "FROM customer WHERE c_acctbal > 9000), " +
         pageRankSeededCte(5) + " " +
         "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
+    "events_funnel" ->
+      ("WITH e AS (SELECT user_id, event_type, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "v AS (SELECT user_id, min(ts_sec) AS view_ts FROM e " +
+        "WHERE event_type = 'view' GROUP BY user_id), " +
+        "c AS (SELECT e.user_id, min(ts_sec) AS click_ts FROM e " +
+        "JOIN v USING (user_id) WHERE event_type = 'click' " +
+        "AND ts_sec >= view_ts AND ts_sec <= view_ts + 86400 " +
+        "GROUP BY e.user_id), " +
+        "p AS (SELECT e.user_id, min(ts_sec) AS purchase_ts FROM e " +
+        "JOIN c USING (user_id) WHERE event_type = 'purchase' " +
+        "AND ts_sec >= click_ts AND ts_sec <= click_ts + 86400 " +
+        "GROUP BY e.user_id) " +
+        "SELECT count(*) AS n_view, count(click_ts) AS n_view_click, " +
+        "count(purchase_ts) AS n_view_click_purchase " +
+        "FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)"),
     "events_attribution" ->
       ("WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts " +
         "FROM events WHERE event_type = 'view'), " +
