@@ -1885,6 +1885,15 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRankSeeded(edges, "src", "dst", seeds, "v", 5), 20)
     }),
+    // —— time-series resample: per-user daily grid with last-observation-
+    // carried-forward; per-(user, second) ties pre-collapsed by max
+    // event_id so the carry is deterministic ——
+    "events_resample" -> ((s: SparkSession, dir: String) => {
+      val ev = tblEvents(s, dir)
+        .groupBy(col("user_id"), col("ts_sec"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.ext.Temporal.resampleLocf(ev, "user_id", "ts_sec", "value", 86400L)
+    }),
     // —— funnel analysis: first view → first click within a day of it →
     // first purchase within a day of that, per user; stage counts
     // (150/60/25 at sf0.01 — the windows discriminate). Three narrow
@@ -3295,6 +3304,18 @@ object SparkEntry {
         "FROM customer WHERE c_acctbal > 9000), " +
         pageRankSeededCte(5) + " " +
         "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
+    // DuckDB's native ASOF JOIN is the independent check of the union +
+    // running-last-value carry
+    "events_resample" ->
+      ("WITH e0 AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, " +
+        "arg_max(value, event_id) AS value FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, min(ts_sec) AS mn, max(ts_sec) AS mx " +
+        "FROM e0 GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(generate_series(" +
+        "((mn + 86399) // 86400) * 86400, (mx // 86400) * 86400, 86400)) " +
+        "AS grid_ts FROM b) " +
+        "SELECT g.user_id, g.grid_ts, e0.value FROM g ASOF JOIN e0 " +
+        "ON g.user_id = e0.user_id AND g.grid_ts >= e0.ts_sec"),
     "events_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, " +
         "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +

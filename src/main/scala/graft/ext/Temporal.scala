@@ -85,6 +85,37 @@ object Temporal {
     * right columns — the names must be disjoint (checked), mirroring a
     * plain join's usability contract.
     */
+  /** Resample an irregular per-key series onto a fixed `stepSecs` grid
+    * with last-observation-carried-forward: one row per key per grid
+    * point g ∈ [⌈min/step⌉·step, ⌊max/step⌋·step], carrying the value of
+    * the latest observation at-or-before g (a value always exists —
+    * the grid starts at-or-after the first observation).
+    *
+    * Scale shape: grid points come from a per-key (min, max) aggregate
+    * exploded with `sequence` (bounded by range/step per key, never by
+    * event count), and the carry is the [[asofJoin]] union + running
+    * last-value — one shuffle on the key, O(1) carry state per row, no
+    * per-grid-point probe join. */
+  def resampleLocf(df: DataFrame, keyCol: String, tsSecCol: String,
+      valueCol: String, stepSecs: Long): DataFrame = {
+    require(stepSecs > 0, s"stepSecs must be > 0, got $stepSecs")
+    // integer ceil/floor to the grid (timestamps are nonnegative epoch
+    // seconds); a key whose whole range falls inside one step has no
+    // grid point — filtered before sequence(), which rejects start>stop
+    val grid = df.groupBy(col(keyCol))
+      .agg(min(col(tsSecCol)).as("__mn__"), max(col(tsSecCol)).as("__mx__"))
+      .withColumn("__g0__",
+        expr(s"((__mn__ + ${stepSecs - 1}) div $stepSecs) * $stepSecs"))
+      .withColumn("__g1__", expr(s"(__mx__ div $stepSecs) * $stepSecs"))
+      .filter(col("__g0__") <= col("__g1__"))
+      .select(col(keyCol),
+        explode(sequence(col("__g0__"), col("__g1__"),
+          lit(stepSecs))).as("grid_ts"))
+    asofJoin(grid, df.select(col(keyCol), col(tsSecCol), col(valueCol)),
+        keyCol, "grid_ts", tsSecCol, Seq(valueCol))
+      .select(col(keyCol), col("grid_ts"), col(valueCol))
+  }
+
   def rangeJoin(
       left: DataFrame, valueCol: String,
       right: DataFrame, loCol: String, hiCol: String,

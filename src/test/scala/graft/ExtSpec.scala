@@ -1056,6 +1056,19 @@ class ScaleSpec extends SparkSuite {
 class TemporalSpec extends SparkSuite {
   import spark.implicits._
 
+  test("resampleLocf: grid alignment, carry-forward, sub-step keys dropped") {
+    val obs = Seq(
+      (1L, 95L, 1.0), (1L, 210L, 2.0), (1L, 455L, 3.0), // key 1: 95..455
+      (2L, 120L, 9.0), (2L, 130L, 9.5)                  // key 2: inside one step
+    ).toDF("k", "ts_sec", "v")
+    val got = graft.ext.Temporal.resampleLocf(obs, "k", "ts_sec", "v", 100L)
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // key 1 grid: 100, 200, 300, 400 — LOCF 1.0, 1.0, 2.0, 2.0
+    // key 2: range [120, 130] contains no multiple of 100 → no rows
+    assert(got == Seq((1L, 100L, 1.0), (1L, 200L, 1.0),
+      (1L, 300L, 2.0), (1L, 400L, 2.0)), got)
+  }
+
   test("asof join picks latest right row at or before left ts, null when none") {
     val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
       .toDF("event_id", "user_id", "ts")
