@@ -1885,6 +1885,16 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRankSeeded(edges, "src", "dst", seeds, "v", 5), 20)
     }),
+    // —— cohort retention: users bucketed by first-activity week, counted
+    // per week-offset of later activity — two aggs + one join, integers ——
+    "events_retention" -> ((s: SparkSession, dir: String) => {
+      val ev = tblEvents(s, dir)
+        .select(col("user_id"), expr("ts_sec div 604800").as("wk"))
+      val cohort = ev.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .agg(countDistinct("user_id").as("active_users"))
+    }),
     // —— time-series resample: per-user daily grid with last-observation-
     // carried-forward; per-(user, second) ties pre-collapsed by max
     // event_id so the carry is deterministic ——
@@ -3304,6 +3314,13 @@ object SparkEntry {
         "FROM customer WHERE c_acctbal > 9000), " +
         pageRankSeededCte(5) + " " +
         "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
+    "events_retention" ->
+      ("WITH e AS (SELECT user_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events), " +
+        "c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id) " +
+        "SELECT cohort_wk, wk - cohort_wk AS wk_offset, " +
+        "count(DISTINCT e.user_id) AS active_users " +
+        "FROM e JOIN c USING (user_id) GROUP BY 1, 2"),
     // DuckDB's native ASOF JOIN is the independent check of the union +
     // running-last-value carry
     "events_resample" ->
