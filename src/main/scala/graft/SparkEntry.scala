@@ -1904,6 +1904,14 @@ object SparkEntry {
         .agg(max_by(col("value"), col("event_id")).as("value"))
       graft.ext.Temporal.resampleLocf(ev, "user_id", "ts_sec", "value", 86400L)
     }),
+    // —— linear-interpolation resample: same grid, bracketing obs from
+    // both-direction carries, one shared IEEE formula per point ——
+    "events_resample_linear" -> ((s: SparkSession, dir: String) => {
+      val ev = tblEvents(s, dir)
+        .groupBy(col("user_id"), col("ts_sec"))
+        .agg(max_by(col("value"), col("event_id")).as("value"))
+      graft.ext.Temporal.resampleLinear(ev, "user_id", "ts_sec", "value", 86400L)
+    }),
     // —— funnel analysis: first view → first click within a day of it →
     // first purchase within a day of that, per user; stage counts
     // (150/60/25 at sf0.01 — the windows discriminate). Three narrow
@@ -3333,6 +3341,23 @@ object SparkEntry {
         "AS grid_ts FROM b) " +
         "SELECT g.user_id, g.grid_ts, e0.value FROM g ASOF JOIN e0 " +
         "ON g.user_id = e0.user_id AND g.grid_ts >= e0.ts_sec"),
+    // two ASOF joins bracket each grid point; the CASE guards the
+    // exact-hit (no 0/0); identical IEEE interpolation expression
+    "events_resample_linear" ->
+      ("WITH e0 AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, " +
+        "arg_max(value, event_id) AS value FROM events GROUP BY 1, 2), " +
+        "b AS (SELECT user_id, min(ts_sec) AS mn, max(ts_sec) AS mx " +
+        "FROM e0 GROUP BY user_id), " +
+        "g AS (SELECT user_id, unnest(generate_series(" +
+        "((mn + 86399) // 86400) * 86400, (mx // 86400) * 86400, 86400)) " +
+        "AS grid_ts FROM b), " +
+        "f AS (SELECT g.user_id, g.grid_ts, e0.ts_sec AS t0, e0.value AS v0 " +
+        "FROM g ASOF JOIN e0 ON g.user_id = e0.user_id AND g.grid_ts >= e0.ts_sec), " +
+        "w AS (SELECT f.user_id, f.grid_ts, t0, v0, e1.ts_sec AS t1, e1.value AS v1 " +
+        "FROM f ASOF JOIN e0 e1 ON f.user_id = e1.user_id AND f.grid_ts <= e1.ts_sec) " +
+        "SELECT user_id, grid_ts, CASE WHEN grid_ts = t0 THEN v0 " +
+        "ELSE v0 + (v1 - v0) * (CAST(grid_ts - t0 AS DOUBLE) / " +
+        "CAST(t1 - t0 AS DOUBLE)) END AS value FROM w"),
     "events_funnel" ->
       ("WITH e AS (SELECT user_id, event_type, " +
         "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +

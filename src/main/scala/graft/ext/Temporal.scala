@@ -98,11 +98,19 @@ object Temporal {
     * per-grid-point probe join. */
   def resampleLocf(df: DataFrame, keyCol: String, tsSecCol: String,
       valueCol: String, stepSecs: Long): DataFrame = {
+    val grid = gridFor(df, keyCol, tsSecCol, stepSecs)
+    asofJoin(grid, df.select(col(keyCol), col(tsSecCol), col(valueCol)),
+        keyCol, "grid_ts", tsSecCol, Seq(valueCol))
+      .select(col(keyCol), col("grid_ts"), col(valueCol))
+  }
+
+  /** Integer ceil/floor grid per key (timestamps are nonnegative epoch
+    * seconds); a key whose whole range falls inside one step has no
+    * grid point — filtered before sequence(), which rejects start>stop. */
+  private def gridFor(df: DataFrame, keyCol: String, tsSecCol: String,
+      stepSecs: Long): DataFrame = {
     require(stepSecs > 0, s"stepSecs must be > 0, got $stepSecs")
-    // integer ceil/floor to the grid (timestamps are nonnegative epoch
-    // seconds); a key whose whole range falls inside one step has no
-    // grid point — filtered before sequence(), which rejects start>stop
-    val grid = df.groupBy(col(keyCol))
+    df.groupBy(col(keyCol))
       .agg(min(col(tsSecCol)).as("__mn__"), max(col(tsSecCol)).as("__mx__"))
       .withColumn("__g0__",
         expr(s"((__mn__ + ${stepSecs - 1}) div $stepSecs) * $stepSecs"))
@@ -111,9 +119,49 @@ object Temporal {
       .select(col(keyCol),
         explode(sequence(col("__g0__"), col("__g1__"),
           lit(stepSecs))).as("grid_ts"))
-    asofJoin(grid, df.select(col(keyCol), col(tsSecCol), col(valueCol)),
-        keyCol, "grid_ts", tsSecCol, Seq(valueCol))
-      .select(col(keyCol), col("grid_ts"), col(valueCol))
+  }
+
+  /** Linear-interpolation resample: each grid point g between bracketing
+    * observations (t0, v0) ≤ g < (t1, v1) gets
+    * `v0 + (v1 − v0)·(g − t0)/(t1 − t0)`; a grid point that lands ON an
+    * observation takes its value exactly (no 0/0). The bracketing pair
+    * comes from the same union trick as [[asofJoin]] run in BOTH
+    * directions — one shuffle, two running carries, no per-point probe.
+    * The interpolation itself is one IEEE expression over data values
+    * and exact integer gaps, so an independent engine evaluating the
+    * same formula reproduces it bit-for-bit. Input must have at most
+    * one observation per (key, ts) — pre-collapse ties first. */
+  def resampleLinear(df: DataFrame, keyCol: String, tsSecCol: String,
+      valueCol: String, stepSecs: Long): DataFrame = {
+    val grid = gridFor(df, keyCol, tsSecCol, stepSecs)
+    val obs = df.select(col(keyCol), col(tsSecCol).as("__ts__"),
+        col(valueCol).as("__v__"))
+      .withColumn("__is_grid__", lit(0))
+      .withColumn("grid_ts", lit(null).cast("long"))
+    val g = grid.select(col(keyCol), col("grid_ts").as("__ts__"),
+        lit(null).cast(df.schema(valueCol).dataType).as("__v__"))
+      .withColumn("__is_grid__", lit(1))
+      .withColumn("grid_ts", col("__ts__"))
+    // obs sorts before grid at equal ts, so the forward carry at a
+    // coinciding point yields t0 == g (the exact-hit branch)
+    val ord = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ts__").asc, col("__is_grid__").asc)
+    val fwd = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pair = struct(col("__ts__"), col("__v__"))
+    val carried = g.unionByName(obs)
+      .withColumn("__p0__", last(when(col("__is_grid__") === 0, pair),
+        ignoreNulls = true).over(fwd))
+      .withColumn("__p1__", first(when(col("__is_grid__") === 0, pair),
+        ignoreNulls = true).over(bwd))
+      .filter(col("__is_grid__") === 1)
+    val t0 = col("__p0__.__ts__"); val v0 = col("__p0__.__v__")
+    val t1 = col("__p1__.__ts__"); val v1 = col("__p1__.__v__")
+    carried.select(col(keyCol), col("grid_ts"),
+      when(col("grid_ts") === t0, v0)
+        .otherwise(v0 + (v1 - v0) *
+          ((col("grid_ts") - t0).cast("double") / (t1 - t0).cast("double")))
+        .as(valueCol))
   }
 
   def rangeJoin(

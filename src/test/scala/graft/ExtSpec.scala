@@ -1069,6 +1069,17 @@ class TemporalSpec extends SparkSuite {
       (1L, 300L, 2.0), (1L, 400L, 2.0)), got)
   }
 
+  test("resampleLinear: exact hit takes the observation, between points interpolate") {
+    val obs = Seq((1L, 100L, 10.0), (1L, 300L, 30.0), (1L, 450L, 0.0))
+      .toDF("k", "ts_sec", "v")
+    val got = graft.ext.Temporal.resampleLinear(obs, "k", "ts_sec", "v", 100L)
+      .as[(Long, Long, Double)].collect().sortBy(_._2).toSeq
+    // 100 → exact 10.0; 200 → halfway 20.0; 300 → exact 30.0;
+    // 400 → 30 + (0-30)*(100/150) = 10.0
+    assert(got == Seq((1L, 100L, 10.0), (1L, 200L, 20.0),
+      (1L, 300L, 30.0), (1L, 400L, 30.0 + (0.0 - 30.0) * (100.0 / 150.0))), got)
+  }
+
   test("asof join picks latest right row at or before left ts, null when none") {
     val left = Seq((1L, 100L, 10L), (2L, 100L, 25L), (3L, 200L, 5L))
       .toDF("event_id", "user_id", "ts")
