@@ -52,31 +52,40 @@ object Graph {
       s"iterations must be in [1, 50], got $iterations")
     require(dampPerMille >= 0 && dampPerMille <= 1000,
       s"dampPerMille must be in [0, 1000], got $dampPerMille")
+    // Partitioning is established ONCE and reused every iteration:
+    // edges hash-partitioned on src, the rank frame on v (and
+    // localCheckpoint preserves partitioning), so the per-iteration
+    // src==v join runs exchange-free — the only shuffle per round is
+    // the partial-aggregated in-mass groupBy on dst.
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("v"))).distinct()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
-    val n = nodes.count()
+    // out_deg rides IN the rank frame (nullable for dangling nodes), so
+    // no per-iteration degree join
+    var ranks = nodes.join(deg, Seq("v"), "left")
+      .repartition(col("v")).localCheckpoint(true)
+    val n = ranks.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val init = Scale / n
     val base = ((1000L - dampPerMille) * init) / 1000L
+    ranks = ranks.withColumn("rank", lit(init)).localCheckpoint(true)
 
-    var ranks = nodes.withColumn("rank", lit(init))
     for (_ <- 1 to iterations) {
       // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
       // rounding would diverge from the oracle's integer `//`
       val contribs = e
-        .join(ranks.join(deg, "v"), col("src") === col("v"))
+        .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
-      ranks = nodes.join(contribs, Seq("v"), "left")
+      ranks = ranks.drop("rank").join(contribs, Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
-        .select(col("v"),
+        .select(col("v"), col("out_deg"),
           expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank"))
         .localCheckpoint(true)
     }
-    ranks
+    ranks.select("v", "rank")
   }
 
   /** Personalized PageRank: the teleport vector is uniform over `seeds`
@@ -94,33 +103,34 @@ object Graph {
       iterations: Int = 5, dampPerMille: Long = 850L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
+    // same reused-partitioning shape as [[pageRank]]: edges on src,
+    // the rank frame (carrying out_deg + is_seed) on v
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().repartition(col("src")).localCheckpoint(true)
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
-    val seedSet = nodes.join(
-        seeds.select(col(seedCol).as("v")).distinct(), Seq("v"), "left_semi")
+    val seedSet = seeds.select(col(seedCol).as("v")).distinct()
       .withColumn("is_seed", lit(true))
-    val marked = nodes.join(seedSet.select(col("v"), col("is_seed")),
-        Seq("v"), "left")
-      .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
-      .localCheckpoint(true)
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
-    val nSeeds = marked.filter(col("is_seed")).count()
+    var ranks = nodes.join(seedSet, Seq("v"), "left")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
+      .join(deg, Seq("v"), "left")
+      .repartition(col("v")).localCheckpoint(true)
+    val nSeeds = ranks.filter(col("is_seed")).count()
     require(nSeeds > 0, "pageRankSeeded needs at least one seed in the graph")
     val init = Scale / nSeeds
     val base = ((1000L - dampPerMille) * init) / 1000L
+    ranks = ranks.withColumn("rank",
+      when(col("is_seed"), lit(init)).otherwise(lit(0L))).localCheckpoint(true)
 
-    var ranks = marked.withColumn("rank",
-      when(col("is_seed"), lit(init)).otherwise(lit(0L)))
     for (_ <- 1 to iterations) {
       val contribs = e
-        .join(ranks.select("v", "rank").join(deg, "v"), col("src") === col("v"))
+        .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
-      ranks = marked.join(contribs, Seq("v"), "left")
+      ranks = ranks.drop("rank").join(contribs, Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
-        .select(col("v"), col("is_seed"),
+        .select(col("v"), col("is_seed"), col("out_deg"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampPerMille * in_mass) div 1000")).as("rank"))
         .localCheckpoint(true)
