@@ -1885,6 +1885,18 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRankSeeded(edges, "src", "dst", seeds, "v", 5), 20)
     }),
+    // —— event-transition counts (first-order Markov): per-user lag over
+    // (ts, event_id) order, global (prev → next) matrix ——
+    "events_transitions" -> ((s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts_sec").asc, col("event_id").asc)
+      tblEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_sec"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
     // —— cohort retention: users bucketed by first-activity week, counted
     // per week-offset of later activity — two aggs + one join, integers ——
     "events_retention" -> ((s: SparkSession, dir: String) => {
@@ -3322,6 +3334,14 @@ object SparkEntry {
         "FROM customer WHERE c_acctbal > 9000), " +
         pageRankSeededCte(5) + " " +
         "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
+    "events_transitions" ->
+      ("WITH e AS (SELECT user_id, event_type, event_id, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
+        "o AS (SELECT user_id, event_type, lag(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts_sec ASC, event_id ASC) AS prev " +
+        "FROM e) " +
+        "SELECT prev, event_type AS next, count(*) AS cnt FROM o " +
+        "WHERE prev IS NOT NULL GROUP BY 1, 2"),
     "events_retention" ->
       ("WITH e AS (SELECT user_id, " +
         "CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events), " +

@@ -68,6 +68,23 @@ class UpsertSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("latestByKey equals a reference maxBy on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, rnd.nextInt(50).toLong, rnd.nextInt(20).toLong,
+        rnd.nextString(4))
+    } // (id unique, key, version with many ties, payload)
+    val df = rows.toDF("id", "k", "ver", "p").repartition(9)
+    val got = Dedup.latestByKey(df, Seq("k"), "ver", "id")
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (k, id, ver, p) => k -> ((id, ver, p)) }.toMap
+    val want = rows.groupBy(_._2).map { case (k, g) =>
+      val best = g.maxBy(r => (r._3, r._1)) // (version, id-tiebreak)
+      k -> ((best._1, best._3, best._4))
+    }
+    assert(got == want)
+  }
+
   test("describe profiles every column type in one pass") {
     val df = Seq(
       (1L, Some(2.5), Some("b"), Seq(1, 2)),
