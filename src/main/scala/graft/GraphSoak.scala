@@ -18,24 +18,26 @@ object GraphSoak {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val nEdges = 1000000L
-    val nNodes = 200000L
     // splitmix-style mix keeps src/dst deterministic and uncorrelated;
     // every 200th edge points at hub node 0
-    val edges = spark.range(nEdges).select(
-      (col("id") % nNodes).as("src"),
-      when(col("id") % 200 === 0, lit(0L)).otherwise(
-        abs(hash(col("id") * 2654435761L)) % nNodes).as("dst"))
-      .filter(col("src") =!= col("dst"))
-
-    val t0 = System.nanoTime()
-    val ranks = graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 5)
-    val top = graft.ext.Graph.topRanked(ranks, 10)
-      .as[(Long, Long)].collect()
-    val secs = (System.nanoTime() - t0) / 1e9
-    val hubIsTop = top.headOption.exists(_._1 == 0L)
+    def run(nEdges: Long, nNodes: Long): (Double, Boolean, Long) = {
+      val edges = spark.range(nEdges).select(
+        (col("id") % nNodes).as("src"),
+        when(col("id") % 200 === 0, lit(0L)).otherwise(
+          abs(hash(col("id") * 2654435761L)) % nNodes).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val t0 = System.nanoTime()
+      val ranks = graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 5)
+      val top = graft.ext.Graph.topRanked(ranks, 10)
+        .as[(Long, Long)].collect()
+      ((System.nanoTime() - t0) / 1e9,
+        top.headOption.exists(_._1 == 0L),
+        top.headOption.map(_._2).getOrElse(0L))
+    }
+    val (s1, hub1, rank1) = run(1000000L, 200000L)
+    val (s10, hub10, _) = run(10000000L, 2000000L)
     val json =
-      f"""{"n_edges":$nEdges,"n_nodes":$nNodes,"iterations":5,"pagerank_sec":$secs%.1f,"hub_is_top":${if (hubIsTop) 1 else 0},"top_rank":${top.headOption.map(_._2).getOrElse(0L)}}"""
+      f"""{"n_edges":1000000,"n_nodes":200000,"iterations":5,"pagerank_sec":$s1%.1f,"hub_is_top":${if (hub1) 1 else 0},"top_rank":$rank1,"pagerank_10m_edges_sec":$s10%.1f,"hub_is_top_10m":${if (hub10) 1 else 0}}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("graph_soak_1m.json"), json)
     println(json)
