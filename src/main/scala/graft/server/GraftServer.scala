@@ -144,6 +144,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           ok(ex, s"""{"models":[${engine.listQualityModels()
             .map(jstr).mkString(",")}]}""")
         case ("POST", "graph" :: "pagerank" :: Nil)    => postPageRank(ex)
+        case ("POST", "events" :: "resample" :: Nil)   => postResample(ex)
         case ("POST", "sketch" :: "distinct" :: Nil)   => postKmvDistinct(ex)
         case ("POST", "sketch" :: "heavy-hitters" :: Nil) => postHeavyHitters(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
@@ -576,6 +577,26 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         graft.ext.Graph.pageRank(edges, srcCol, dstCol, iters)
     }
     okRows(ex, graft.ext.Graph.topRanked(ranks, intOr(body, "topK", 100)))
+  }
+
+  /** Fixed-grid resampling ([[graft.ext.Temporal.resampleLocf]] /
+    * `resampleLinear`). Body: source, keyCol, tsCol (epoch seconds),
+    * valueCol, stepSecs, optional mode = locf (default) | linear. */
+  private def postResample(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val mode = opt(body, "mode").map(_.asText()).getOrElse("locf")
+    // NB: `require(node, field)` above shadows Predef.require
+    Predef.require(Set("locf", "linear").contains(mode),
+      s"mode must be locf | linear, got '$mode'")
+    val keyCol = require(body, "keyCol").asText()
+    val tsCol = require(body, "tsCol").asText()
+    val valueCol = require(body, "valueCol").asText()
+    val step = require(body, "stepSecs").asLong()
+    okRows(ex,
+      if (mode == "linear")
+        graft.ext.Temporal.resampleLinear(df, keyCol, tsCol, valueCol, step)
+      else graft.ext.Temporal.resampleLocf(df, keyCol, tsCol, valueCol, step))
   }
 
   /** KMV distinct-count estimate ([[graft.ext.Sketches.kmvDistinct]]).

@@ -910,6 +910,31 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_edges")._1 == 200)
   }
 
+  test("resample route: locf and linear, wire == library") {
+    val (tc, tBody) = send("PUT", "/tables/wire_ts",
+      """{"schema":"k LONG, ts_sec LONG, v DOUBLE",
+          "rows":[{"k":1,"ts_sec":95,"v":1.0},{"k":1,"ts_sec":210,"v":2.0},
+                  {"k":1,"ts_sec":455,"v":3.0}]}""")
+    assert(tc == 200, tBody)
+    for (mode <- Seq("locf", "linear")) {
+      val (rc, rBody) = send("POST", "/events/resample",
+        s"""{"source":"wire_ts","keyCol":"k","tsCol":"ts_sec",
+            "valueCol":"v","stepSecs":100,"mode":"$mode"}""")
+      assert(rc == 200, rBody)
+      val wire = new scala.collection.mutable.HashMap[Long, Double]
+      mapper.readTree(rBody).get("rows").elements()
+        .forEachRemaining(n => wire(n.get("grid_ts").asLong()) =
+          n.get("v").asDouble())
+      val df = engine.readTable(Seq("wire_ts"))
+      val lib = (if (mode == "linear")
+          graft.ext.Temporal.resampleLinear(df, "k", "ts_sec", "v", 100L)
+        else graft.ext.Temporal.resampleLocf(df, "k", "ts_sec", "v", 100L))
+        .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+      assert(wire.toMap == lib, s"$mode: wire $wire vs lib $lib")
+    }
+    assert(send("DELETE", "/tables/wire_ts")._1 == 200)
+  }
+
   test("upsert route: latest-wins merge, wire == library semantics") {
     val (c1, b1) = send("PUT", "/tables/wire_ups",
       """{"schema":"id LONG, ver LONG, txt STRING",
