@@ -1751,6 +1751,42 @@ object SparkEntry {
         .filter(col("q") * col("nq") * 5 < col("sq"))
         .agg(sum("price_c").as("small_rev_c"), count(lit(1)).as("n_small"))
     }),
+    // —— TPC-H Q19 shape: disjunction of brand/size/quantity bands — the
+    // OR-of-ANDs predicate that exercises filter planning across a join ——
+    "q19_discount" -> ((s: SparkSession, dir: String) => {
+      def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity") >= qLo && col("l_quantity") <= qHi
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#12", 5, 1, 11) || band("Brand#23", 10, 10, 20) ||
+          band("Brand#24", 15, 20, 30))
+        .agg(sum((round(col("l_extendedprice") * 100) *
+            (lit(100) - round(col("l_discount") * 100))).cast("long"))
+          .as("revenue_c"), count(lit(1)).as("n_items"))
+    }),
+    // —— TPC-H Q7 shape: volume shipping between two nation pairs —
+    // 5-table join chain with a disjunctive pair predicate, grouped by
+    // (supp nation, cust nation, ship year), integer cents ——
+    "q7_volume" -> ((s: SparkSession, dir: String) => {
+      val n1 = tbl(s, dir, "nation").select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))
+      val n2 = tbl(s, dir, "nation").select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))
+      tbl(s, dir, "supplier")
+        .join(tbl(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((round(col("l_extendedprice") * 100) *
+            (lit(100) - round(col("l_discount") * 100))).cast("long"))
+          .as("volume_c"))
+    }),
     // —— TPC-H Q22 shape: idle rich customers — above-average positive
     // balance (integer compare bal·n > Σbal, no double avg) with no
     // LARGE orders (anti join; plain "no orders" is empty at test SFs
@@ -3183,6 +3219,30 @@ object SparkEntry {
         "JOIN st USING (l_partkey) " +
         "JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#23' " +
         "WHERE q * nq * 5 < sq"),
+    "q19_discount" ->
+      ("SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c, " +
+        "count(*) AS n_items " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 " +
+        "AND l_quantity >= 1 AND l_quantity <= 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 " +
+        "AND l_quantity >= 10 AND l_quantity <= 20) " +
+        "OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 " +
+        "AND l_quantity >= 20 AND l_quantity <= 30)"),
+    "q7_volume" ->
+      ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "year(l_shipdate) AS l_year, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS volume_c " +
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1') " +
+        "GROUP BY 1, 2, 3"),
     "q22_idle_balance" ->
       ("WITH cust AS (SELECT c_custkey, c_nationkey, " +
         "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c FROM customer), " +
