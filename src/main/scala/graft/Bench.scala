@@ -169,9 +169,16 @@ object Bench {
     // immune to stdout interleaving/truncation.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
       (fullLine + "\n").getBytes("UTF-8"))
-    // Compact stdout line (fits the driver's captured tail; see `headline`).
+    // Detail dump first (may be cut by the driver's tail capture — fine,
+    // bench_summary.json holds the canonical copy) …
+    println(fullLine)
+    // … then the compact parse line LAST: the driver keeps only a stdout
+    // tail, and folding ref/quality/soak blocks into the final line grew
+    // it past that window in r8/r9/r11 ("parsed": null). The headline
+    // subset + scalar totals stays ~1 KB regardless of how many soak
+    // artifacts exist.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"detail":"bench_summary.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"error_count":${errors.size},"detail":"bench_summary.json","sf":"$sfDir"}""")
     spark.stop()
     // A bench with crashed queries is not a clean pass — make the driver see it.
     if (errors.nonEmpty) sys.exit(1)

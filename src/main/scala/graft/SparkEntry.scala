@@ -1782,7 +1782,7 @@ object SparkEntry {
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
-          year(col("l_shipdate")).as("l_year"))
+          year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(sum((round(col("l_extendedprice") * 100) *
             (lit(100) - round(col("l_discount") * 100))).cast("long"))
           .as("volume_c"))

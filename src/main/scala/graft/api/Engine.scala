@@ -260,9 +260,14 @@ class Engine(val spark: SparkSession, val root: String) {
   /** Merge `updates` into table `name` with latest-wins semantics
     * ([[graft.ext.Dedup.latestByKey]]): per key, the greatest
     * (`versionCol`, `tieBreakCol`) row — existing or incoming — survives.
-    * Creates the table when absent (upsert). The merged frame is
-    * checkpointed before the overwrite because the write replaces the
-    * very files being read. Returns the post-merge row count. */
+    * Creates the table when absent (upsert).
+    *
+    * Crash/concurrency safety comes from [[graft.store.Store.replaceTable]]
+    * (staging write + delete/rename swap): the merge plan reads the OLD
+    * table files while the new contents land in staging — no
+    * read-overwrite hazard, no checkpoint copy of the merged frame, and
+    * a crash anywhere before the final rename leaves the old table
+    * intact. Returns the post-merge row count. */
   def upsertTable(name: String, updates: DataFrame, keyCols: Seq[String],
       versionCol: String, tieBreakCol: String): Long = {
     val base =
@@ -270,8 +275,7 @@ class Engine(val spark: SparkSession, val root: String) {
       else updates
     val merged = graft.ext.Dedup
       .latestByKey(base, keyCols, versionCol, tieBreakCol)
-      .localCheckpoint(true)
-    store.createTable(name, merged)
+    store.replaceTable(name, merged)
     store.loadTable(name).count()
   }
 

@@ -157,8 +157,16 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = new CountMinAgg(width, depth)
+    // NULL keys: hashU60(null) is null, which would crash the non-null
+    // Long sketch pass (and a null-dropping estimate would break the
+    // "equals GROUP BY … HAVING" contract, where NULL is a group). Fold
+    // them onto a fixed sentinel hash instead: CMS estimates only ever
+    // INFLATE under collision, so the null group still clears the
+    // candidate filter whenever its true count does, and the final exact
+    // groupBy (which keeps NULL as a group, same as SQL) restores
+    // exactness.
     val keyed = df.select(col(keyCol),
-      Corpus.hashU60(col(keyCol)).as("__hh_h__"))
+      coalesce(Corpus.hashU60(col(keyCol)), lit(0L)).as("__hh_h__"))
     val sketch: Array[Long] =
       keyed.select(col("__hh_h__")).as[Long].select(agg.toColumn).head()
     val bc = spark.sparkContext.broadcast(sketch)

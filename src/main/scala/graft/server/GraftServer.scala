@@ -10,7 +10,7 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, max, max_by}
 
 import graft.api.{Engine, TargetVector}
 import graft.coder.CoderConfig
@@ -581,7 +581,15 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Fixed-grid resampling ([[graft.ext.Temporal.resampleLocf]] /
     * `resampleLinear`). Body: source, keyCol, tsCol (epoch seconds),
-    * valueCol, stepSecs, optional mode = locf (default) | linear. */
+    * valueCol, stepSecs, optional mode = locf (default) | linear,
+    * optional tieBreakCol. The resamplers require at most one
+    * observation per (key, ts) — an arbitrary STORED table carries no
+    * such guarantee, so the route pre-collapses ties deterministically
+    * before resampling: `max_by(value, tieBreakCol)` when a tiebreak
+    * column is supplied, else `max(value)` (order-independent either
+    * way — without the collapse, duplicate timestamps would make the
+    * bracketing pair, and hence the interpolated value, partition-
+    * order-dependent). */
   private def postResample(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val df = engine.readTable(Seq(require(body, "source").asText()))
@@ -593,10 +601,15 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val tsCol = require(body, "tsCol").asText()
     val valueCol = require(body, "valueCol").asText()
     val step = require(body, "stepSecs").asLong()
+    val collapsed = df.groupBy(col(keyCol), col(tsCol))
+      .agg(opt(body, "tieBreakCol").map(_.asText()) match {
+        case Some(tie) => max_by(col(valueCol), col(tie)).as(valueCol)
+        case None      => max(col(valueCol)).as(valueCol)
+      })
     okRows(ex,
       if (mode == "linear")
-        graft.ext.Temporal.resampleLinear(df, keyCol, tsCol, valueCol, step)
-      else graft.ext.Temporal.resampleLocf(df, keyCol, tsCol, valueCol, step))
+        graft.ext.Temporal.resampleLinear(collapsed, keyCol, tsCol, valueCol, step)
+      else graft.ext.Temporal.resampleLocf(collapsed, keyCol, tsCol, valueCol, step))
   }
 
   /** KMV distinct-count estimate ([[graft.ext.Sketches.kmvDistinct]]).

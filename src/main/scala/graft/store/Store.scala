@@ -98,6 +98,34 @@ class Store(val spark: SparkSession, val root: String) {
 
   // ——— Tables (S1-S6) ———
 
+  /** Replace table `name` with `df` via staging + swap (the upsert/merge
+    * path, where `df` typically READS the very table being replaced).
+    *
+    * `mode("overwrite")` truncates the destination before the (long)
+    * distributed rewrite even starts, so a crash mid-write loses the
+    * whole table and a concurrent reader can observe a partial one.
+    * Here the new contents are fully written to a staging directory
+    * first; the swap is then two metadata ops (delete + rename). A crash
+    * before the swap leaves the old table untouched (the stale staging
+    * dir is cleared by the next replace); a crash between the two ops
+    * loses only the rename, with the complete new table intact under
+    * `staging/` for recovery. Readers racing the swap see old-or-new,
+    * never partial — the residue is the metadata-op-sized window where
+    * the path is briefly absent (Hadoop rename cannot atomically replace
+    * a non-empty directory; on object stores without atomic rename the
+    * window widens to a copy, the documented trade-off). */
+  def replaceTable(name: String, df: DataFrame): Unit = {
+    val dest = new Path(sourcePath(name))
+    val staging = new Path(s"$root/staging/${safeSeg(name)}")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    graft.types.Tensors.enforceDeclaredShapes(df)
+      .write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    fs.mkdirs(dest.getParent)
+    require(fs.rename(staging, dest),
+      s"replaceTable: rename $staging -> $dest failed (new table left in staging)")
+  }
+
   /** Write a table; columns declared as fixed-shape tensors (via
     * `Tensors.asTensor` metadata) are shape-checked during the write, so a
     * ragged vector fails ingest rather than a later distance/assign. */

@@ -48,6 +48,16 @@ class SketchesSpec extends SparkSuite {
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("heavyHitters keeps NULL as a group, matching GROUP BY semantics") {
+    // nulls heavy (4×), "a" heavy (3×), "b" below threshold
+    val withNulls = Seq(Some("a"), None, Some("a"), None, Some("b"),
+      None, Some("a"), None).toDF("k").repartition(3)
+    val got = Sketches.heavyHitters(withNulls, "k", 3L)
+      .as[(Option[String], Long)].collect().toMap
+    assert(got == Map(Option("a") -> 3L, Option.empty[String] -> 4L),
+      s"null group must survive the sketch pass: $got")
+  }
+
   test("KMV is exact below k and partition-invariant") {
     val df = (0 until 100).map(i => s"v${i % 40}").toDF("k")
     val r = Sketches.kmvDistinct(df, "k", k = 256)

@@ -104,6 +104,23 @@ class UpsertSpec extends SparkSuite {
       got("arr").isNullAt(5))
   }
 
+  test("replaceTable swaps via staging: old table survives until the new " +
+      "one is complete, and no staging residue remains") {
+    val root = Files.createTempDirectory("graft-swap").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("t", Seq((1L, "a")).toDF("id", "txt"))
+    // the replacement frame READS the table being replaced (upsert shape)
+    val merged = engine.readTable(Seq("t"))
+      .unionByName(Seq((2L, "b")).toDF("id", "txt"))
+    engine.store.replaceTable("t", merged)
+    val got = engine.readTable(Seq("t"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    // staged dir was renamed into place, not left behind
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "staging", "t")))
+  }
+
   test("upsertTable creates the destination when absent") {
     val root = Files.createTempDirectory("graft-upsert2").toString
     val engine = new Engine(spark, root)
