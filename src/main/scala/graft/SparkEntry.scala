@@ -382,6 +382,28 @@ object SparkEntry {
       steps
   }
 
+  /** Weighted variant of [[pageRankCte]]: expects `e(src, dst, w)` with
+    * positive integer weights and no parallel edges; out-degree becomes
+    * total out-weight and the contribution along an edge is
+    * `(rank · w) // out_w` — one extra exact integer multiply, so the
+    * mirror stays bit-exact. */
+  private def pageRankWeightedCte(iterations: Int, dampPerMille: Long = 850L): String = {
+    val scale = graft.ext.Graph.Scale
+    val steps = (1 to iterations).map { i =>
+      s"r$i AS (SELECT nodes.v, CAST(((1000 - $dampPerMille) * ($scale // n)) // 1000 + " +
+        s"($dampPerMille * COALESCE(m.in_mass, 0)) // 1000 AS BIGINT) AS rank " +
+        s"FROM nodes CROSS JOIN ninit LEFT JOIN " +
+        s"(SELECT e.dst AS v, CAST(sum((r${i - 1}.rank * e.w) // deg.out_w) AS BIGINT) AS in_mass " +
+        s"FROM e JOIN r${i - 1} ON e.src = r${i - 1}.v " +
+        s"JOIN deg ON deg.v = r${i - 1}.v GROUP BY e.dst) m USING (v))"
+    }.mkString(", ")
+    "nodes AS (SELECT DISTINCT src AS v FROM e UNION SELECT DISTINCT dst FROM e), " +
+      "ninit AS (SELECT count(*) AS n FROM nodes), " +
+      "deg AS (SELECT src AS v, CAST(sum(w) AS BIGINT) AS out_w FROM e GROUP BY 1), " +
+      s"r0 AS (SELECT v, CAST($scale // n AS BIGINT) AS rank FROM nodes CROSS JOIN ninit), " +
+      steps
+  }
+
   /** Seeded-teleport variant of [[pageRankCte]]: expects `e(src, dst)`
     * AND a seed-id relation `sd(v)` upstream; teleport mass is uniform
     * over the seeds present in the graph, zero elsewhere. */
@@ -1765,6 +1787,213 @@ object SparkEntry {
             (lit(100) - round(col("l_discount") * 100))).cast("long"))
           .as("revenue_c"), count(lit(1)).as("n_items"))
     }),
+    // —— TPC-H Q20 shape: nested IN-subquery decorrelation — promo-part
+    // prefix IN, a correlated per-part share threshold, then a supplier
+    // IN — expressed as two stacked partial aggregations + a LEFT SEMI
+    // join (no correlated re-scan; lineitem is read once). The testdata
+    // lacks partsupp, so (l_partkey, l_suppkey) shipped-quantity pairs
+    // stand in for availqty, and "availqty > 0.5·shipped" becomes
+    // "supplier shipped > half of the part's 1997 volume" — integer
+    // arithmetic (sq·2 > tq), same nesting depth ——
+    "q20_promo_share" -> ((s: SparkSession, dir: String) => {
+      val promo = tbl(s, dir, "part")
+        .filter(col("p_name").startsWith("small")).select("p_partkey")
+      val li = tbl(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_quantity")).cast("long").as("q"))
+      val pair = li.groupBy("l_partkey", "l_suppkey").agg(sum("q").as("sq"))
+      // per-part total via a window on the aggregated (part, supplier)
+      // frame — not a pair ⋈ total self-join, so lineitem is scanned
+      // once; partition = partkey with a bounded supplier fan-out
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      val big = pair.withColumn("tq", sum("sq").over(wp))
+        .filter(col("sq") * 2 > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      tbl(s, dir, "supplier")
+        .join(big, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    }),
+    // —— TPC-H Q21 shape: the multi-EXISTS/NOT-EXISTS waiting-supplier
+    // chain — "supplier was late in a multi-supplier order where NO
+    // other supplier was late" — decorrelated to ONE lineitem pass:
+    // per-(order, supplier) late-line counts, then per-order supplier/
+    // late-supplier counts; EXISTS(other supplier) ⇔ n_supp > 1,
+    // NOT EXISTS(other late) ⇔ n_late_supp = 1 (l1's own supplier IS
+    // late). Late = shipped > 365 days after the order date (the
+    // testdata carries no commit/receipt dates). Counted at LINE
+    // granularity like the original (sum of late lines, not orders) ——
+    "q21_waiting" -> ((s: SparkSession, dir: String) => {
+      val l = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("l_shipdate") > col("o_orderdate") +
+            expr("INTERVAL 365 DAYS"), 1L).otherwise(0L).as("late"))
+      val ls = l.groupBy("l_orderkey", "l_suppkey")
+        .agg(sum("late").as("n_late_lines"))
+      // per-order supplier counts via a window on the ALREADY-aggregated
+      // (order, supplier) frame — not a self-join, so lineitem is
+      // scanned exactly once. Partition = l_orderkey with ≤ a handful of
+      // suppliers per order: bounded window state, no hot key.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+      ls.withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(w))
+        .filter(col("n_late_lines") > 0 &&
+          col("n_supp") > 1 && col("n_late_supp") === 1)
+        .join(broadcast(tbl(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(sum("n_late_lines").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }),
+    // —— TPC-H Q2 shape: correlated-MIN subquery — "the supplier(s)
+    // achieving the minimum cost for each qualifying part, within a
+    // region". No partsupp in the testdata, so supply cost is proxied
+    // by the MINIMUM line price (cents) at which a supplier ever
+    // shipped the part. The correlated `cost = (SELECT min ...)` is
+    // decorrelated to a window MIN over the already-aggregated
+    // (part, supplier) frame, computed AFTER the part and region
+    // filters so the window only sees qualifying rows ——
+    "q2_min_cost_supplier" -> ((s: SparkSession, dir: String) => {
+      val eur = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      val cost = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(min(round(col("l_extendedprice") * 100).cast("long"))
+          .as("cost_c"))
+      val w2 = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+      cost
+        .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_size").isin(15, 25, 35) && col("p_type") === "LARGE")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eur), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("mn", min("cost_c").over(w2))
+        .filter(col("cost_c") === col("mn"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost_c")
+        .orderBy(col("s_acctbal").desc, col("n_name").asc,
+          col("s_name").asc, col("p_partkey").asc)
+        .limit(100)
+    }),
+    // —— TPC-H Q8 shape: national market share — one conditional-sum
+    // pass over the 6-table join (no per-year self-join); the share is
+    // integer ppm via truncating division on two exact cents sums, so
+    // both engines compute identical bits ——
+    "q8_market_share" -> ((s: SparkSession, dir: String) => {
+      val custRegion = tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey")
+      val suppNation = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")
+          .withColumnRenamed("n_name", "supp_nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "supp_nation")
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY").select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("vol_c", (round(col("l_extendedprice") * 100) *
+          (lit(100) - round(col("l_discount") * 100))).cast("long"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_2", col("vol_c"))
+          .otherwise(0L)).as("nation_vol_c"),
+          sum("vol_c").as("total_vol_c"))
+        .withColumn("mkt_share_ppm",
+          expr("(nation_vol_c * 1000000) div total_vol_c"))
+    }),
+    // —— TPC-H Q9 shape: product-line profit by nation and year — the
+    // 5-table star with a part-name substring filter; supply cost is
+    // proxied by p_retailprice·qty (no partsupp), both terms scaled to
+    // 10^-4 dollars so profit is one exact integer sum ——
+    "q9_profit" -> ((s: SparkSession, dir: String) => {
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_name").contains("bolt"))
+          .select("p_partkey", "p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(tbl(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "supplier")
+          .join(broadcast(tbl(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .withColumn("amount_c4",
+          (round(col("l_extendedprice") * 100) *
+            (lit(100) - round(col("l_discount") * 100))).cast("long") -
+          round(col("p_retailprice") * 100).cast("long") *
+            round(col("l_quantity")).cast("long") * 100L)
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum("amount_c4").as("profit_c4"))
+    }),
+    // —— TPC-H Q11 shape: grouped value with a GLOBAL-scalar HAVING —
+    // per-part shipped value from one nation's suppliers, kept when it
+    // exceeds 1/1000 of the total. The scalar rides a broadcast 1-row
+    // cross join (q15/q22 discipline) and the threshold is the
+    // division-free integer form value·1000 > total ——
+    "q11_important_stock" -> ((s: SparkSession, dir: String) => {
+      val vals = tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "supplier")
+          .join(broadcast(tbl(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .as("value_c"))
+      vals.crossJoin(broadcast(vals.agg(sum("value_c").as("__tot__"))))
+        .filter(col("value_c") * 1000 > col("__tot__"))
+        .select("l_partkey", "value_c")
+    }),
+    // —— TPC-H Q12 shape: two-way conditional counts by category for
+    // late lines — priority split (CASE-sum) per return flag; one
+    // lineitem ⋈ orders pass, late = shipped > 180 days after order ——
+    "q12_late_priority" -> ((s: SparkSession, dir: String) => {
+      tbl(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1998)
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+    }),
+    // —— TPC-H Q16 shape: supplier counts per part attribute with a
+    // NOT-IN exclusion — distinct (brand, type, size, supplier)
+    // combinations actually shipped, excluding negative-balance
+    // suppliers (complaints proxy) via a broadcast anti-join; the
+    // count-distinct collapses on the pre-distinct frame ——
+    "q16_supplier_cnt" -> ((s: SparkSession, dir: String) => {
+      tbl(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(tbl(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#23" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select("p_partkey", "p_brand", "p_type", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(tbl(s, dir, "supplier")
+          .filter(col("s_acctbal") < 0).select("s_suppkey")),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+    }),
     // —— TPC-H Q7 shape: volume shipping between two nation pairs —
     // 5-table join chain with a disjunctive pair predicate, grouped by
     // (supp nation, cust nation, ship year), integer cents ——
@@ -1921,6 +2150,21 @@ object SparkEntry {
       Graph.topRanked(
         Graph.pageRankSeeded(edges, "src", "dst", seeds, "v", 5), 20)
     }),
+    // —— weighted PageRank: same bipartite order graph, but each
+    // customer↔supplier edge carries its lineitem count — a node's rank
+    // divides over out-edges proportionally to link frequency (the real
+    // link-graph form: co-occurrence counts, not bare adjacency) ——
+    "graph_pagerank_weighted" -> ((s: SparkSession, dir: String) => {
+      val lines = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("sp"))
+      val pairW = lines.groupBy("c", "sp").agg(count(lit(1)).as("w"))
+      val edges = pairW.select(col("c").as("src"), col("sp").as("dst"), col("w"))
+        .union(pairW.select(col("sp").as("src"), col("c").as("dst"), col("w")))
+      Graph.topRanked(
+        Graph.pageRankWeighted(edges, "src", "dst", "w", iterations = 5), 20)
+    }),
     // —— event-transition counts (first-order Markov): per-user lag over
     // (ts, event_id) order, global (prev → next) matrix ——
     "events_transitions" -> ((s: SparkSession, dir: String) => {
@@ -2024,6 +2268,19 @@ object SparkEntry {
           .select(explode(filter(split(trim(col("text")), "\\s+"),
             t => t =!= lit(""))).as("token")),
         "token", minCount = 500L)),
+    // —— grid-histogram quantile sketch: one mergeable pass (groupBy on
+    // the bin = the sketch), quantile = smallest bin whose cumulative
+    // count reaches ⌈q·N⌉ — bit-mirrorable, unlike KLL/t-digest ——
+    "sketch_quantiles" -> ((s: SparkSession, dir: String) =>
+      Sketches.histogramQuantiles(tbl(s, dir, "lineitem"),
+        "l_extendedprice", binWidth = 100.0,
+        qs = Seq(0.25, 0.5, 0.9, 0.99))),
+    // multi-column profile: three lineitem columns in ONE scan
+    "profile_quantiles" -> ((s: SparkSession, dir: String) =>
+      Sketches.profileQuantiles(tbl(s, dir, "lineitem"),
+        Seq("l_quantity" -> 1.0, "l_extendedprice" -> 100.0,
+          "l_discount" -> 0.01),
+        qs = Seq(0.25, 0.5, 0.9, 0.99))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3230,6 +3487,116 @@ object SparkEntry {
         "AND l_quantity >= 10 AND l_quantity <= 20) " +
         "OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15 " +
         "AND l_quantity >= 20 AND l_quantity <= 30)"),
+    // the oracle keeps the GENUINE nested-IN form — DuckDB decorrelates
+    // it its own way, independently checking the semi-join rewrite
+    "q20_promo_share" ->
+      ("WITH li AS (SELECT l_partkey, l_suppkey, " +
+        "CAST(round(l_quantity) AS BIGINT) AS q FROM lineitem " +
+        "WHERE year(l_shipdate) = 1997 AND l_partkey IN " +
+        "(SELECT p_partkey FROM part WHERE p_name LIKE 'small%')), " +
+        "pair AS (SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS sq " +
+        "FROM li GROUP BY 1, 2), " +
+        "tot AS (SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq " +
+        "FROM pair GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, s_acctbal FROM supplier " +
+        "WHERE s_suppkey IN (SELECT l_suppkey FROM pair " +
+        "JOIN tot USING (l_partkey) WHERE sq * 2 > tq)"),
+    // genuine EXISTS / NOT EXISTS on the oracle side vs the single-pass
+    // aggregate decorrelation on the Spark side (equivalence: n_supp>1
+    // ⇔ EXISTS other supplier; n_late_supp=1 with l1 late ⇔ NOT EXISTS
+    // other late supplier)
+    "q21_waiting" ->
+      ("WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F') " +
+        "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait " +
+        "FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey " +
+        "WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL 365 DAY " +
+        "AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey " +
+        "AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > l3.o_orderdate + INTERVAL 365 DAY) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"),
+    // the oracle keeps the GENUINE correlated-min subquery (restricted
+    // to the same region inside the correlation) — DuckDB decorrelates
+    // it independently, checking the window-min rewrite
+    "q2_min_cost_supplier" ->
+      ("WITH cost AS (SELECT l_partkey, l_suppkey, " +
+        "CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS cost_c FROM lineitem GROUP BY 1, 2) " +
+        "SELECT s_acctbal, s_name, n_name, p_partkey, cost_c " +
+        "FROM part JOIN cost ON p_partkey = l_partkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE p_size IN (15, 25, 35) AND p_type = 'LARGE' AND r_name = 'EUROPE' " +
+        "AND cost_c = (SELECT min(c2.cost_c) FROM cost c2 " +
+        "JOIN supplier s2 ON c2.l_suppkey = s2.s_suppkey " +
+        "JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey " +
+        "JOIN region r2 ON n2.n_regionkey = r2.r_regionkey " +
+        "WHERE c2.l_partkey = p_partkey AND r2.r_name = 'EUROPE') " +
+        "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"),
+    "q8_market_share" ->
+      ("WITH v AS (SELECT year(o_orderdate) AS o_year, " +
+        "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS vol_c, " +
+        "n2.n_name AS supp_nation " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE p_type = 'ECONOMY' AND r_name = 'ASIA') " +
+        "SELECT o_year, CAST(sum(CASE WHEN supp_nation = 'NATION_2' " +
+        "THEN vol_c ELSE 0 END) AS BIGINT) AS nation_vol_c, " +
+        "CAST(sum(vol_c) AS BIGINT) AS total_vol_c, " +
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_c ELSE 0 END) " +
+        "* 1000000 AS BIGINT) // CAST(sum(vol_c) AS BIGINT) AS mkt_share_ppm " +
+        "FROM v GROUP BY o_year"),
+    "q9_profit" ->
+      ("SELECT n_name AS nation, year(o_orderdate) AS o_year, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - CAST(round(l_discount * 100) AS BIGINT)) - " +
+        "CAST(round(p_retailprice * 100) AS BIGINT) * " +
+        "CAST(round(l_quantity) AS BIGINT) * 100) AS BIGINT) AS profit_c4 " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%bolt%' GROUP BY 1, 2"),
+    "q11_important_stock" ->
+      ("WITH vals AS (SELECT l_partkey, " +
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) " +
+        "AS value_c FROM lineitem " +
+        "WHERE l_suppkey IN (SELECT s_suppkey FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE n_name = 'NATION_3') GROUP BY 1) " +
+        "SELECT l_partkey, value_c FROM vals " +
+        "WHERE value_c * 1000 > (SELECT sum(value_c) FROM vals)"),
+    "q12_late_priority" ->
+      ("SELECT l_returnflag, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE year(l_shipdate) = 1998 " +
+        "AND l_shipdate > o_orderdate + INTERVAL 180 DAY " +
+        "GROUP BY l_returnflag"),
+    // genuine NOT IN on the oracle side vs the broadcast anti-join
+    "q16_supplier_cnt" ->
+      ("SELECT p_brand, p_type, p_size, " +
+        "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt " +
+        "FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) " +
+        "JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) " +
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier " +
+        "WHERE s_acctbal < 0) " +
+        "GROUP BY 1, 2, 3"),
     "q7_volume" ->
       ("SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
         "year(l_shipdate) AS l_year, " +
@@ -3394,6 +3761,15 @@ object SparkEntry {
         "FROM customer WHERE c_acctbal > 9000), " +
         pageRankSeededCte(5) + " " +
         "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
+    "graph_pagerank_weighted" ->
+      ("WITH eb AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c, " +
+        "'s' || CAST(l_suppkey AS VARCHAR) AS sp " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), " +
+        "pw AS (SELECT c, sp, count(*) AS w FROM eb GROUP BY 1, 2), " +
+        "e AS (SELECT c AS src, sp AS dst, w FROM pw " +
+        "UNION ALL SELECT sp AS src, c AS dst, w FROM pw), " +
+        pageRankWeightedCte(5) + " " +
+        "SELECT v, rank FROM r5 ORDER BY rank DESC, v ASC LIMIT 20"),
     "events_transitions" ->
       ("WITH e AS (SELECT user_id, event_type, event_id, " +
         "CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events), " +
@@ -3503,5 +3879,42 @@ object SparkEntry {
         "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS t " +
         "FROM documents WHERE text IS NOT NULL) " +
         "WHERE len(t) > 0 GROUP BY t HAVING count(*) >= 500"),
+    // same floor(x / w) binning, cumulative window over the histogram,
+    // rank = ceil(q·N): every step is the identical IEEE/integer op
+    "sketch_quantiles" ->
+      ("WITH h AS (SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bin, " +
+        "count(*) AS cnt FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "GROUP BY 1), " +
+        "c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h), " +
+        "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h), " +
+        "qv(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)), " +
+        "r AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank FROM qv CROSS JOIN n) " +
+        "SELECT q, rank, min(bin) AS bin, min(bin) * 100.0 AS value " +
+        "FROM r JOIN c ON c.cum >= r.rank GROUP BY q, rank"),
+    "profile_quantiles" ->
+      ("WITH h AS (SELECT col_name, bin, count(*) AS cnt FROM (" +
+        "SELECT 'l_quantity' AS col_name, " +
+        "CAST(floor(l_quantity / 1.0) AS BIGINT) AS bin FROM lineitem " +
+        "WHERE l_quantity IS NOT NULL " +
+        "UNION ALL SELECT 'l_extendedprice', " +
+        "CAST(floor(l_extendedprice / 100.0) AS BIGINT) FROM lineitem " +
+        "WHERE l_extendedprice IS NOT NULL " +
+        "UNION ALL SELECT 'l_discount', " +
+        "CAST(floor(l_discount / 0.01) AS BIGINT) FROM lineitem " +
+        "WHERE l_discount IS NOT NULL) GROUP BY 1, 2), " +
+        "c AS (SELECT col_name, bin, CAST(sum(cnt) OVER " +
+        "(PARTITION BY col_name ORDER BY bin) AS BIGINT) AS cum FROM h), " +
+        "n AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n " +
+        "FROM h GROUP BY 1), " +
+        "w(col_name, bin_width) AS (VALUES ('l_quantity', 1.0), " +
+        "('l_extendedprice', 100.0), ('l_discount', 0.01)), " +
+        "qv(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)), " +
+        "r AS (SELECT col_name, q, CAST(ceil(q * n) AS BIGINT) AS rank " +
+        "FROM qv CROSS JOIN n) " +
+        "SELECT r.col_name, q, rank, min(bin) AS bin, " +
+        "min(bin) * CAST(min(bin_width) AS DOUBLE) AS value " +
+        "FROM r JOIN c ON c.col_name = r.col_name AND c.cum >= r.rank " +
+        "JOIN w ON w.col_name = r.col_name " +
+        "GROUP BY 1, 2, 3"),
   )
 }

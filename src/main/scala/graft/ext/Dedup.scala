@@ -644,26 +644,35 @@ object Dedup {
   def duplicateGroups(
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep"))
-      .localCheckpoint()
+      maxIter: Int = 20, durableCheckpoint: Boolean = false): DataFrame = {
+    val edges = Graph.cut(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct(), durableCheckpoint)
+    var labels = Graph.cut(
+      nodes.select(col(idCol).as("id"), col(idCol).as("rep")),
+      durableCheckpoint)
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
       val prop = edges.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("rep"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint()
+      val next = Graph.cut(labels.union(prop)
+        .groupBy("id").agg(min("rep").as("rep")), durableCheckpoint)
       changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
         .filter(col("rep") =!= col("prev")).count()
       labels = next
       it += 1
     }
+    // One-hop propagation converges in O(component diameter) rounds —
+    // fine for near-dup clusters (stars/cliques, diameter ≤ 2), but a
+    // chain-shaped graph longer than maxIter would exit here with
+    // silently WRONG labels. Fail loudly instead.
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateGroups: min-label propagation still changing after " +
+        s"$maxIter rounds — a component's diameter exceeds maxIter. " +
+        "Raise maxIter, or use Graph.connectedComponents " +
+        "(large-star/small-star, O(log n) rounds) for high-diameter graphs.")
     labels.withColumnRenamed("id", idCol)
   }
 

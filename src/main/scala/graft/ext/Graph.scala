@@ -21,6 +21,23 @@ object Graph {
     * (total mass = Scale, per-node ranks ≤ Scale). */
   val Scale: Long = 1000000000000L
 
+  /** Lineage cut for the iterative loops. `durable = false` is the
+    * local[n] default: eager `localCheckpoint`, no distributed write.
+    * On a REAL cluster localCheckpoint is not fault-tolerant — the
+    * checkpointed partitions live only in executor storage, so one lost
+    * executor invalidates them and (lineage having been cut) kills a
+    * multi-hour job. `durable = true` writes each iteration's frame to
+    * the configured `sparkContext.setCheckpointDir` (HDFS/object store)
+    * instead — one distributed write per iteration buys executor-loss
+    * survival; same results either way. */
+  private[ext] def cut(df: DataFrame, durable: Boolean): DataFrame =
+    if (!durable) df.localCheckpoint(true)
+    else {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "durableCheckpoint requires sparkContext.setCheckpointDir(...)")
+      df.checkpoint()
+    }
+
   /** Out-degrees over the DISTINCT edge set. */
   def outDegrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).as("v"), col(dstCol).as("w")).distinct()
@@ -47,30 +64,31 @@ object Graph {
     * aggregates map-side — the hot key receives one partial sum per
     * partition, not one row per in-edge. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 5, dampPerMille: Long = 850L): DataFrame = {
+      iterations: Int = 5, dampPerMille: Long = 850L,
+      durableCheckpoint: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     require(dampPerMille >= 0 && dampPerMille <= 1000,
       s"dampPerMille must be in [0, 1000], got $dampPerMille")
     // Partitioning is established ONCE and reused every iteration:
     // edges hash-partitioned on src, the rank frame on v (and
-    // localCheckpoint preserves partitioning), so the per-iteration
+    // checkpointing preserves partitioning), so the per-iteration
     // src==v join runs exchange-free — the only shuffle per round is
     // the partial-aggregated in-mass groupBy on dst.
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).localCheckpoint(true)
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")), durableCheckpoint)
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
     // out_deg rides IN the rank frame (nullable for dangling nodes), so
     // no per-iteration degree join
-    var ranks = nodes.join(deg, Seq("v"), "left")
-      .repartition(col("v")).localCheckpoint(true)
+    var ranks = cut(nodes.join(deg, Seq("v"), "left")
+      .repartition(col("v")), durableCheckpoint)
     val n = ranks.count()
     require(n > 0, "pageRank needs a non-empty edge set")
     val init = Scale / n
     val base = ((1000L - dampPerMille) * init) / 1000L
-    ranks = ranks.withColumn("rank", lit(init)).localCheckpoint(true)
+    ranks = cut(ranks.withColumn("rank", lit(init)), durableCheckpoint)
 
     for (_ <- 1 to iterations) {
       // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
@@ -79,11 +97,72 @@ object Graph {
         .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
-      ranks = ranks.drop("rank").join(contribs, Seq("v"), "left")
+      ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("out_deg"),
-          expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank"))
-        .localCheckpoint(true)
+          expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank")),
+        durableCheckpoint)
+    }
+    ranks.select("v", "rank")
+  }
+
+  /** Weighted PageRank: each out-edge carries a positive integer weight
+    * (link count, co-citation frequency — already-integer quantities, or
+    * caller-scaled fixed-point), and a node's rank divides over its
+    * out-edges proportionally: contribution along (u→v, w) is
+    * `(rank·w) div W_u` with `W_u` = total out-weight of u. Same
+    * fixed-point arithmetic and mirror-exactness argument as
+    * [[pageRank]] (one extra integer multiply in the contribution term),
+    * same per-iteration plan (the weight and W_u ride the frames the
+    * join already carries).
+    *
+    * Parallel edges must be pre-aggregated by the caller (duplicate
+    * (src, dst) rows are rejected); `rank·w` stays in Long because
+    * rank ≤ Scale = 10^12 and w ≤ `maxWeight` = 4·10^6 (checked — scale
+    * weights down if the sum of a node's link counts exceeds it). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 5, dampPerMille: Long = 850L,
+      durableCheckpoint: Boolean = false): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations")
+    require(dampPerMille >= 0 && dampPerMille <= 1000,
+      s"dampPerMille must be in [0, 1000], got $dampPerMille")
+    val maxWeight = 4000000L
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .repartition(col("src")), durableCheckpoint)
+    // one bounded setup job guards overflow, positivity, and parallel
+    // edges (count(*) > distinct(src,dst) ⇔ duplicates exist)
+    val g = e.agg(max(col("w")).as("mx"), min(col("w")).as("mn"),
+      count(lit(1)).as("cnt")).head()
+    if (g.getLong(2) > 0) {
+      require(g.getLong(1) >= 1 && g.getLong(0) <= maxWeight,
+        s"pageRankWeighted: weights must be in [1, $maxWeight] " +
+          s"(got [${g.getLong(1)}, ${g.getLong(0)}]) — rank·w must fit a Long")
+      require(e.select("src", "dst").distinct().count() == g.getLong(2),
+        "pageRankWeighted: duplicate (src, dst) edges — pre-aggregate weights")
+    }
+    val nodes = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+    val wdeg = e.groupBy(col("src").as("v")).agg(sum(col("w")).as("out_w"))
+    var ranks = cut(nodes.join(wdeg, Seq("v"), "left")
+      .repartition(col("v")), durableCheckpoint)
+    val n = ranks.count()
+    require(n > 0, "pageRankWeighted needs a non-empty edge set")
+    val init = Scale / n
+    val base = ((1000L - dampPerMille) * init) / 1000L
+    ranks = cut(ranks.withColumn("rank", lit(init)), durableCheckpoint)
+
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.filter(col("out_w").isNotNull), col("src") === col("v"))
+        .select(col("dst").as("v"), expr("(rank * w) div out_w").as("c"))
+        .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
+        .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
+        .select(col("v"), col("out_w"),
+          expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank")),
+        durableCheckpoint)
     }
     ranks.select("v", "rank")
   }
@@ -100,57 +179,132 @@ object Graph {
     * nodes (extra ids are ignored via the inner join). */
   def pageRankSeeded(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
-      iterations: Int = 5, dampPerMille: Long = 850L): DataFrame = {
+      iterations: Int = 5, dampPerMille: Long = 850L,
+      durableCheckpoint: Boolean = false): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     // same reused-partitioning shape as [[pageRank]]: edges on src,
     // the rank frame (carrying out_deg + is_seed) on v
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")).localCheckpoint(true)
+    val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().repartition(col("src")), durableCheckpoint)
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     val seedSet = seeds.select(col(seedCol).as("v")).distinct()
       .withColumn("is_seed", lit(true))
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
-    var ranks = nodes.join(seedSet, Seq("v"), "left")
+    var ranks = cut(nodes.join(seedSet, Seq("v"), "left")
       .withColumn("is_seed", coalesce(col("is_seed"), lit(false)))
       .join(deg, Seq("v"), "left")
-      .repartition(col("v")).localCheckpoint(true)
+      .repartition(col("v")), durableCheckpoint)
     val nSeeds = ranks.filter(col("is_seed")).count()
     require(nSeeds > 0, "pageRankSeeded needs at least one seed in the graph")
     val init = Scale / nSeeds
     val base = ((1000L - dampPerMille) * init) / 1000L
-    ranks = ranks.withColumn("rank",
-      when(col("is_seed"), lit(init)).otherwise(lit(0L))).localCheckpoint(true)
+    ranks = cut(ranks.withColumn("rank",
+      when(col("is_seed"), lit(init)).otherwise(lit(0L))), durableCheckpoint)
 
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
-      ranks = ranks.drop("rank").join(contribs, Seq("v"), "left")
+      ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("is_seed"), col("out_deg"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
-            expr(s"($dampPerMille * in_mass) div 1000")).as("rank"))
-        .localCheckpoint(true)
+            expr(s"($dampPerMille * in_mass) div 1000")).as("rank")),
+        durableCheckpoint)
     }
     ranks.select("v", "rank")
   }
 
   /** Connected components over an undirected view of the edge set:
     * (v, component) where component = the minimum node id reachable
-    * from v. Delegates to the min-label-propagation loop behind
-    * [[Dedup.duplicateGroups]] (per iteration: one narrow label join +
-    * map-side-combined min agg; converges in O(diameter) rounds,
-    * maxIter-capped). */
+    * from v.
+    *
+    * Algorithm: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — NOT one-hop min-label propagation, whose round count
+    * is the component DIAMETER (a redirect/citation chain of length
+    * 10⁹ would need 10⁹ rounds). Each round:
+    *
+    *  - large-star: every node u connects its strictly-larger neighbors
+    *    to `m(u) = min(Γ(u) ∪ u)`;
+    *  - small-star: keyed by the larger endpoint, every node connects
+    *    its smaller neighbors (and itself) to the minimum.
+    *
+    * Both preserve connectivity, never increase the edge count, and
+    * converge to per-component stars rooted at the minimum id in
+    * O(log² n) rounds (O(log n) in practice) — so `maxIter` = 50 covers
+    * any physically storable graph. If the edge set has NOT stabilized
+    * at `maxIter`, this THROWS rather than returning silently wrong
+    * labels.
+    *
+    * Per round: two self-aggregating joins on the (shrinking) edge set,
+    * each map-side combinable; state is the edge set itself, lineage cut
+    * per round (`durableCheckpoint` = executor-loss-safe variant, see
+    * [[cut]]). The min-label loop remains in
+    * [[Dedup.duplicateGroups]] for near-dup clusters (diameter ≤ 2 by
+    * construction), where its single narrower join wins per-round. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val nodes = edges.select(col(srcCol).as("v"))
-      .union(edges.select(col(dstCol).as("v"))).distinct()
-    Dedup.duplicateGroups(nodes, "v", edges.select(col(srcCol), col(dstCol)),
-        srcCol, dstCol, maxIter)
-      .withColumnRenamed("rep", "component")
+      maxIter: Int = 50, durableCheckpoint: Boolean = false): DataFrame = {
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct()
+    // canonical (big, small) form; self-loops don't affect connectivity
+    var e = cut(raw.where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct(), durableCheckpoint)
+    var eCount = e.count()
+    var converged = eCount == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: symmetrize, m = min(neighbors ∪ self), re-point every
+      // LARGER neighbor at m. (v > u ≥ m, so no self-edges arise.)
+      val nbrs = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbrs.join(minsL, Seq("u")).where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: keyed by the larger endpoint (canonical form), point
+      // every smaller neighbor AND the node itself at the minimum.
+      val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(minsS, Seq("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+      val next = cut(small, durableCheckpoint)
+      val nextCount = next.count()
+      // set equality = equal counts + empty one-sided anti join; a
+      // stable set is additionally verified to BE min-rooted stars
+      // (children and roots disjoint, one root per child) before the
+      // labels are trusted — belt-and-braces against a non-star
+      // fixpoint of the composed round ever existing
+      val stable = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti").isEmpty
+      converged = stable &&
+        next.select("u").intersect(next.select("v")).isEmpty &&
+        next.groupBy("u").count().where(col("count") > 1).isEmpty
+      e = next
+      eCount = nextCount
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: edge set still changing after $maxIter " +
+        "large-star/small-star rounds — raise maxIter (convergence is " +
+        "O(log² n) rounds, so this indicates n beyond any configured bound)")
+    // fixpoint = stars rooted at each component's min: every non-root
+    // node has exactly one (node, root) edge; roots/singletons label
+    // themselves
+    nodes.join(e.withColumnRenamed("u", "id"), Seq("id"), "left")
+      .select(col("id").as("v"),
+        coalesce(col("v"), col("id")).as("component"))
   }
 
   /** Top-k nodes by rank with a deterministic id tiebreak. */

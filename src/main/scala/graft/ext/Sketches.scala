@@ -20,13 +20,22 @@ case class CountMinSketch(width: Int, depth: Int) {
   def serializedSize: Int = width * depth
 }
 
-class CountMinAgg(width: Int = 1024, depth: Int = 4)
-    extends Aggregator[Long, Array[Long], Array[Long]] {
-  private def bucket(key: Long, row: Int): Int = {
+object CountMinAgg {
+  /** Row-`row` bucket of a key: xorshift-style integer mix over
+    * (key, row). Shared by the aggregator and the codegen probe
+    * ([[graft.functions.CmsEstimate]] inlines the identical Java
+    * arithmetic), so sketch build and probe agree bit-for-bit. */
+  def bucket(key: Long, row: Int, width: Int): Int = {
     var h = key * 0x9E3779B97F4A7C15L + (row + 1) * 0xC2B2AE3D27D4EB4FL
     h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
     ((h & Long.MaxValue) % width).toInt
   }
+}
+
+class CountMinAgg(width: Int = 1024, depth: Int = 4)
+    extends Aggregator[Long, Array[Long], Array[Long]] {
+  private def bucket(key: Long, row: Int): Int =
+    CountMinAgg.bucket(key, row, width)
   override def zero: Array[Long] = new Array[Long](width * depth)
   override def reduce(b: Array[Long], key: Long): Array[Long] = {
     var r = 0
@@ -139,6 +148,110 @@ object Sketches {
             col("kth_hash").cast("double")))
   }
 
+  /** Grid-resolution quantiles from a fixed-width histogram — the
+    * mergeable quantile sketch: the groupBy-on-bin partial aggregation
+    * IS the sketch (per-partition state = touched bins, merge = count
+    * addition — associative, commutative, partitioning-invariant), so
+    * one corpus pass yields every requested quantile with state bounded
+    * by `maxBins`, not by row count or value cardinality.
+    *
+    * Semantics (inverted CDF at grid resolution): for each q, the
+    * returned `bin` is the smallest bin whose cumulative count reaches
+    * `rank = ⌈q·N⌉`, and `value = bin·binWidth` — the lower edge of the
+    * bin containing the exact q-quantile, i.e. the exact quantile
+    * rounded down to the grid. Every step (floor of one IEEE divide,
+    * integer counts, one IEEE multiply) evaluates identically in an
+    * external engine, so the output is bit-mirrorable — unlike
+    * rank-error sketches (KLL/GK/t-digest) whose compaction order is
+    * engine-private. NULLs are excluded (SQL aggregate convention).
+    *
+    * Scale shape: the only per-row work is the bin expression; the
+    * cumulative window runs over the ≤ `maxBins` histogram rows
+    * (single-task by construction — that's the bounded frame, checked
+    * loudly), and the q-probe join is a broadcast over |qs| rows. A
+    * `binWidth` too fine for the data's range fails the `maxBins`
+    * guard rather than building a runaway histogram. */
+  def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Double,
+      qs: Seq[Double], maxBins: Long = 1000000L): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got ${qs.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // read 3× below (cum, total, probe)
+    val nBins = hist.count()
+    require(nBins <= maxBins,
+      s"histogramQuantiles: $nBins bins of width $binWidth (> maxBins=" +
+        s"$maxBins) — widen binWidth for this value range")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum("cnt").over(w))
+    val tot = hist.agg(sum("cnt").as("n"))
+    qs.toDF("q").crossJoin(broadcast(tot))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+      .join(cum, col("cum") >= col("rank"))
+      .groupBy("q", "rank").agg(min("bin").as("bin"))
+      .withColumn("value", col("bin") * binWidth)
+      .select("q", "rank", "bin", "value")
+  }
+
+  /** Multi-column grid quantiles in ONE table scan — the profiling
+    * companion to [[histogramQuantiles]]: each row contributes one
+    * (col_name, bin) entry per profiled column via a single generate,
+    * the combined histogram partial-aggregates map-side, and each
+    * column's cumulative window runs over its own ≤ bins partition
+    * (partitionBy col_name — never a global single task). Profiling k
+    * columns costs ONE scan + one histogram shuffle, not k scans.
+    *
+    * Same bit-mirrorable semantics as [[histogramQuantiles]] (floor of
+    * an IEEE divide, integer counts, one IEEE multiply per output row);
+    * NULLs excluded per column independently. `widths` maps each
+    * numeric column to its bin width; `maxBins` bounds the TOTAL
+    * histogram across columns. */
+  def profileQuantiles(df: DataFrame, widths: Seq[(String, Double)],
+      qs: Seq[Double], maxBins: Long = 1000000L): DataFrame = {
+    require(widths.nonEmpty, "profileQuantiles needs at least one column")
+    require(widths.forall(_._2 > 0),
+      s"bin widths must be positive, got ${widths.mkString(", ")}")
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1], got ${qs.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val entries = widths.map { case (c, w) =>
+      when(col(c).isNotNull, struct(lit(c).as("col_name"),
+        floor(col(c).cast("double") / w).cast("long").as("bin")))
+        .otherwise(lit(null))
+    }
+    val hist = df.select(explode(array(entries: _*)).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("e.col_name").as("col_name"), col("e.bin").as("bin"))
+      .groupBy("col_name", "bin").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // read 3× below (cum, totals, probe)
+    val nBins = hist.count()
+    require(nBins <= maxBins,
+      s"profileQuantiles: $nBins total bins (> maxBins=$maxBins) — " +
+        "widen the bin widths for these value ranges")
+    val wWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("col_name").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("cum", sum("cnt").over(wWin))
+    val tot = hist.groupBy("col_name").agg(sum("cnt").as("n"))
+    val wdf = widths.toDF("col_name", "bin_width")
+    qs.toDF("q").crossJoin(broadcast(tot))
+      .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
+      .join(cum, Seq("col_name"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy("col_name", "q", "rank").agg(min("bin").as("bin"))
+      .join(broadcast(wdf), Seq("col_name"))
+      .withColumn("value", col("bin") * col("bin_width"))
+      .select("col_name", "q", "rank", "bin", "value")
+  }
+
   /** Exact heavy hitters at unbounded key cardinality, in two bounded
     * passes: (1) a Count-Min sketch over the hashed keys — O(w·d) state,
     * map-side combined, one 256 KB driver collect; (2) broadcast the
@@ -169,9 +282,14 @@ object Sketches {
       coalesce(Corpus.hashU60(col(keyCol)), lit(0L)).as("__hh_h__"))
     val sketch: Array[Long] =
       keyed.select(col("__hh_h__")).as[Long].select(agg.toColumn).head()
-    val bc = spark.sparkContext.broadcast(sketch)
-    val estimateUdf = udf((h: Long) => agg.estimate(bc.value, h))
-    keyed.filter(estimateUdf(col("__hh_h__")) >= minCount)
+    // the probe is a codegen'd expression over the embedded sketch (no
+    // per-row boxing on the full second scan; the sketch ships with the
+    // plan references like CellAssign's centroids)
+    val estimate = org.apache.spark.sql.GraftShims.column(
+      graft.functions.CmsEstimate(
+        org.apache.spark.sql.GraftShims.expression(col("__hh_h__")),
+        sketch, width, depth))
+    keyed.filter(estimate >= minCount)
       .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }

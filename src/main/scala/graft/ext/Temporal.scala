@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * it is composed from built-ins with the standard union + windowed
   * last-value construction — one shuffle on (key), no range explosion,
   * skew-safe because state per key is a single carried row.
+  *
+  * Hot-key caveat (asofJoin and both resamples): the per-key ordered
+  * window serializes each key into a single task — inherent to ASOF
+  * semantics, which require a total time order within the key. A
+  * pathological key holding a large fraction of all rows (one
+  * instrument with 10^9 ticks) becomes one long-running task; the fix
+  * at that point is a coarser key (e.g. key × day) with per-boundary
+  * stitching, not a different join algorithm. For keys with the usual
+  * heavy-tail skew this is a straggler, not an OOM: window carry state
+  * is O(1) per row.
   */
 object Temporal {
 

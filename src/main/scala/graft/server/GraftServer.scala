@@ -144,9 +144,11 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           ok(ex, s"""{"models":[${engine.listQualityModels()
             .map(jstr).mkString(",")}]}""")
         case ("POST", "graph" :: "pagerank" :: Nil)    => postPageRank(ex)
+        case ("POST", "graph" :: "components" :: Nil)  => postComponents(ex)
         case ("POST", "events" :: "resample" :: Nil)   => postResample(ex)
         case ("POST", "sketch" :: "distinct" :: Nil)   => postKmvDistinct(ex)
         case ("POST", "sketch" :: "heavy-hitters" :: Nil) => postHeavyHitters(ex)
+        case ("POST", "sketch" :: "quantiles" :: Nil)  => postQuantiles(ex)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
@@ -560,23 +562,60 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * boilerplate lines appearing in ≥ minDocs distinct docs. */
   /** Fixed-point PageRank over an edge table ([[graft.ext.Graph]]).
     * Body: source, srcCol, dstCol, optional iterations (default 5),
-    * topK (default 100), and seeds/seedCol for the personalized
-    * variant. */
+    * topK (default 100), seeds/seedCol for the personalized variant,
+    * weightCol for the weighted variant (mutually exclusive with
+    * seeds), and durable (default false) to checkpoint each iteration
+    * to the cluster checkpoint dir instead of executor-local storage
+    * (executor-loss-safe on a real cluster). */
+  /** `durable: true` without a configured checkpoint dir defaults it to
+    * `<store root>/checkpoints` — on a cluster the store root is shared
+    * storage, which is exactly where durable checkpoints belong. */
+  private def durableFlag(body: JsonNode): Boolean = {
+    val durable = opt(body, "durable").exists(_.asBoolean(false))
+    val sc = engine.spark.sparkContext
+    if (durable && sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(s"${engine.store.root}/checkpoints")
+    durable
+  }
+
   private def postPageRank(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val edges = engine.readTable(Seq(require(body, "source").asText()))
     val srcCol = require(body, "srcCol").asText()
     val dstCol = require(body, "dstCol").asText()
     val iters = intOr(body, "iterations", 5)
-    val ranks = opt(body, "seeds") match {
-      case Some(seedTable) =>
+    val durable = durableFlag(body)
+    val ranks = (opt(body, "seeds"), opt(body, "weightCol")) match {
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "seeds and weightCol are mutually exclusive")
+      case (Some(seedTable), None) =>
         graft.ext.Graph.pageRankSeeded(edges, srcCol, dstCol,
           engine.readTable(Seq(seedTable.asText())),
-          require(body, "seedCol").asText(), iters)
-      case None =>
-        graft.ext.Graph.pageRank(edges, srcCol, dstCol, iters)
+          require(body, "seedCol").asText(), iters,
+          durableCheckpoint = durable)
+      case (None, Some(w)) =>
+        graft.ext.Graph.pageRankWeighted(edges, srcCol, dstCol,
+          w.asText(), iters, durableCheckpoint = durable)
+      case (None, None) =>
+        graft.ext.Graph.pageRank(edges, srcCol, dstCol, iters,
+          durableCheckpoint = durable)
     }
     okRows(ex, graft.ext.Graph.topRanked(ranks, intOr(body, "topK", 100)))
+  }
+
+  /** Connected components over an edge table
+    * ([[graft.ext.Graph.connectedComponents]]: large-star/small-star,
+    * O(log n) rounds, loud on non-convergence). Body: source, srcCol,
+    * dstCol, optional maxIter (default 50) and durable (see
+    * [[postPageRank]]). */
+  private def postComponents(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Graph.connectedComponents(
+      engine.readTable(Seq(require(body, "source").asText())),
+      require(body, "srcCol").asText(), require(body, "dstCol").asText(),
+      intOr(body, "maxIter", 50),
+      durableCheckpoint = durableFlag(body)))
   }
 
   /** Fixed-grid resampling ([[graft.ext.Temporal.resampleLocf]] /
@@ -630,6 +669,19 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       engine.readTable(Seq(require(body, "source").asText())),
       require(body, "column").asText(),
       require(body, "minCount").asLong()))
+  }
+
+  /** Grid-histogram quantiles
+    * ([[graft.ext.Sketches.histogramQuantiles]]). Body: source, column,
+    * binWidth, qs (array of (0, 1] fractions). */
+  private def postQuantiles(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val qsNode = require(body, "qs")
+    val qs = (0 until qsNode.size()).map(qsNode.get(_).asDouble())
+    okRows(ex, graft.ext.Sketches.histogramQuantiles(
+      engine.readTable(Seq(require(body, "source").asText())),
+      require(body, "column").asText(),
+      require(body, "binWidth").asDouble(), qs))
   }
 
   /** Latest-wins merge of an updates table into a destination table

@@ -92,6 +92,95 @@ class GraphSpec extends SparkSuite {
       "x" -> "x", "y" -> "x"), got)
   }
 
+  test("connectedComponents converges on a high-diameter chain in " +
+      "O(log n) rounds where min-label propagation cannot") {
+    // path graph v000-v001-…-v060: diameter 60 > the min-label default
+    // of 20 rounds; zero-padded ids keep lexicographic order = numeric
+    val chain = (0 until 60)
+      .map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("src", "dst")
+    // LSS labels the whole chain with its min in ≤ 50 rounds (actually ~6)
+    val got = Graph.connectedComponents(chain, "src", "dst")
+      .as[(String, String)].collect()
+    assert(got.length == 61 && got.forall(_._2 == "v000"), got.take(5).toSeq)
+    // the one-hop loop exits unconverged at the same diameter — and now
+    // says so loudly instead of returning wrong labels
+    val nodes = chain.select(col("src").as("id"))
+      .union(chain.select(col("dst").as("id"))).distinct()
+    val ex = intercept[IllegalStateException] {
+      graft.ext.Dedup.duplicateGroups(nodes, "id", chain, "src", "dst",
+        maxIter = 20).collect()
+    }
+    assert(ex.getMessage.contains("connectedComponents"), ex.getMessage)
+  }
+
+  test("connectedComponents handles self-loops, isolated-by-self-loop " +
+      "nodes, and a clique") {
+    val edges = Seq(("a", "a"), ("q", "q"), // self-loops (q isolated)
+      ("b", "c"), ("c", "d"), ("b", "d"), ("a", "b")).toDF("src", "dst")
+    val got = Graph.connectedComponents(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "q" -> "q"), got)
+  }
+
+  test("durableCheckpoint variants produce identical results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"))
+      .toDF("src", "dst")
+    val prLocal = Graph.pageRank(edges, "src", "dst", 3)
+      .as[(String, Long)].collect().toMap
+    val prDurable = Graph.pageRank(edges, "src", "dst", 3,
+        durableCheckpoint = true)
+      .as[(String, Long)].collect().toMap
+    assert(prLocal == prDurable)
+    val ccLocal = Graph.connectedComponents(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    val ccDurable = Graph.connectedComponents(edges, "src", "dst",
+        durableCheckpoint = true)
+      .as[(String, String)].collect().toMap
+    assert(ccLocal == ccDurable)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    val dgDurable = graft.ext.Dedup.duplicateGroups(nodes, "id",
+        edges, "src", "dst", durableCheckpoint = true)
+      .as[(String, String)].collect().toMap
+    assert(dgDurable == ccLocal.map { case (k, v) => k -> v })
+  }
+
+  test("weighted PageRank: heavier edge carries proportionally more " +
+      "mass, and weight-1 edges reduce to plain PageRank") {
+    // a → b (w 3), a → c (w 1): b gets 3/4 of a's mass, c gets 1/4
+    val w = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val got = Graph.pageRankWeighted(w, "src", "dst", "w", iterations = 1)
+      .as[(String, Long)].collect().toMap
+    val init = Graph.Scale / 3
+    val base = (150L * init) / 1000L
+    assert(got("b") == base + (850L * ((init * 3) / 4)) / 1000L, got)
+    assert(got("c") == base + (850L * ((init * 1) / 4)) / 1000L, got)
+    // all-ones weights == unweighted (same integer ops)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"))
+      .toDF("src", "dst")
+    val ones = edges.withColumn("w", lit(1L))
+    val a = Graph.pageRank(edges, "src", "dst", 4)
+      .as[(String, Long)].collect().toMap
+    val b = Graph.pageRankWeighted(ones, "src", "dst", "w", 4)
+      .as[(String, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("weighted PageRank rejects nonpositive weights and parallel edges") {
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(Seq(("a", "b", 0L)).toDF("src", "dst", "w"),
+        "src", "dst", "w")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(
+        Seq(("a", "b", 1L), ("a", "b", 2L)).toDF("src", "dst", "w"),
+        "src", "dst", "w")
+    }
+  }
+
   test("topRanked breaks rank ties by id") {
     val ranks = Seq(("z", 5L), ("a", 5L), ("m", 9L)).toDF("v", "rank")
     val got = Graph.topRanked(ranks, 2).as[(String, Long)].collect().toSeq

@@ -892,6 +892,36 @@ class ServerSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(wireRanks.toMap == libRanks, s"wire $wireRanks vs lib $libRanks")
 
+    // weighted variant over the same edges (pre-aggregated weights)
+    val (wtc, wtBody) = send("PUT", "/tables/wire_wedges",
+      """{"schema":"src STRING, dst STRING, w LONG",
+          "rows":[{"src":"a","dst":"b","w":3},{"src":"b","dst":"a","w":1},
+                  {"src":"a","dst":"c","w":1},{"src":"c","dst":"a","w":2}]}""")
+    assert(wtc == 200, wtBody)
+    val (wc, wBody) = send("POST", "/graph/pagerank",
+      """{"source":"wire_wedges","srcCol":"src","dstCol":"dst",
+          "weightCol":"w","iterations":3,"topK":3}""")
+    assert(wc == 200, wBody)
+    val wireW = new scala.collection.mutable.HashMap[String, Long]
+    mapper.readTree(wBody).get("rows").elements()
+      .forEachRemaining(n => wireW(n.get("v").asText()) = n.get("rank").asLong())
+    val libW = graft.ext.Graph.pageRankWeighted(
+        engine.readTable(Seq("wire_wedges")), "src", "dst", "w", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(wireW.toMap == libW, s"wire $wireW vs lib $libW")
+    assert(send("DELETE", "/tables/wire_wedges")._1 == 200)
+
+    // components route (durable: exercises the auto checkpoint-dir path)
+    val (cc, cBody) = send("POST", "/graph/components",
+      """{"source":"wire_edges","srcCol":"src","dstCol":"dst",
+          "durable":true}""")
+    assert(cc == 200, cBody)
+    val comps = new scala.collection.mutable.HashMap[String, String]
+    mapper.readTree(cBody).get("rows").elements()
+      .forEachRemaining(n => comps(n.get("v").asText()) =
+        n.get("component").asText())
+    assert(comps.toMap == Map("a" -> "a", "b" -> "a", "c" -> "a"), cBody)
+
     val (kc, kBody) = send("POST", "/sketch/distinct",
       """{"source":"wire_edges","column":"src","k":16}""")
     assert(kc == 200, kBody)
@@ -906,6 +936,22 @@ class ServerSpec extends SparkSuite {
     mapper.readTree(hBody).get("rows").elements()
       .forEachRemaining(n => hh(n.get("src").asText()) = n.get("cnt").asLong())
     assert(hh.toMap == Map("a" -> 2L), hBody)
+
+    val (qtc, qtBody) = send("PUT", "/tables/wire_vals",
+      """{"schema":"x DOUBLE",
+          "rows":[{"x":1},{"x":2},{"x":3},{"x":4},{"x":5},
+                  {"x":6},{"x":7},{"x":8},{"x":9},{"x":10}]}""")
+    assert(qtc == 200, qtBody)
+    val (qc, qBody) = send("POST", "/sketch/quantiles",
+      """{"source":"wire_vals","column":"x","binWidth":2.0,"qs":[0.5,1.0]}""")
+    assert(qc == 200, qBody)
+    val qr = new scala.collection.mutable.HashMap[Double, Double]
+    mapper.readTree(qBody).get("rows").elements()
+      .forEachRemaining(n => qr(n.get("q").asDouble()) =
+        n.get("value").asDouble())
+    // rank(0.5)=5 → value 5 → bin 2 → edge 4.0; rank(1)=10 → bin 5 → 10.0
+    assert(qr.toMap == Map(0.5 -> 4.0, 1.0 -> 10.0), qBody)
+    assert(send("DELETE", "/tables/wire_vals")._1 == 200)
 
     assert(send("DELETE", "/tables/wire_edges")._1 == 200)
   }

@@ -48,6 +48,32 @@ class SketchesSpec extends SparkSuite {
     assert(got == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("CmsEstimate kernel: codegen == interpreted == aggregator probe") {
+    val agg = new CountMinAgg(width = 256, depth = 4)
+    val keys = zipf.select(graft.ext.Corpus.hashU60(col("k")).as("h"))
+    val sketch = keys.as[Long].select(agg.toColumn).head()
+
+    def run(): Seq[(Long, Long)] = keys
+      .withColumn("est", org.apache.spark.sql.GraftShims.column(
+        graft.functions.CmsEstimate(
+          org.apache.spark.sql.GraftShims.expression(col("h")),
+          sketch, 256, 4)))
+      .distinct().orderBy("h")
+      .as[(Long, Long)].collect().toSeq
+
+    val codegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interpreted = try run() finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    assert(codegen == interpreted)
+    codegen.foreach { case (h, est) =>
+      assert(est == agg.estimate(sketch, h), s"driver-probe mismatch at $h")
+    }
+  }
+
   test("heavyHitters keeps NULL as a group, matching GROUP BY semantics") {
     // nulls heavy (4×), "a" heavy (3×), "b" below threshold
     val withNulls = Seq(Some("a"), None, Some("a"), None, Some("b"),
@@ -56,6 +82,71 @@ class SketchesSpec extends SparkSuite {
       .as[(Option[String], Long)].collect().toMap
     assert(got == Map(Option("a") -> 3L, Option.empty[String] -> 4L),
       s"null group must survive the sketch pass: $got")
+  }
+
+  test("histogramQuantiles: exact inverted-CDF at grid resolution, " +
+      "hand-checked") {
+    // values 1..100, binWidth 10 → bin i covers [10i, 10i+10);
+    // q=0.5 → rank 50 → value 50 lands in bin 5 (cum through bin 4 = 49)
+    val df = (1 to 100).map(_.toDouble).toDF("x")
+    val got = Sketches.histogramQuantiles(df, "x", 10.0,
+        Seq(0.01, 0.5, 0.99, 1.0))
+      .select("q", "rank", "bin", "value")
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0.01, 1L, 0L, 0.0),   // rank 1 = value 1 → bin 0
+      (0.5, 50L, 5L, 50.0),  // value 50 → bin 5
+      (0.99, 99L, 9L, 90.0), // value 99 → bin 9
+      (1.0, 100L, 10L, 100.0)), got) // value 100 → bin 10
+  }
+
+  test("histogramQuantiles is partition-invariant and excludes NULLs") {
+    val vals = (0 until 5000).map(i => Some(((i * 37) % 997).toDouble)) ++
+      Seq.fill(100)(Option.empty[Double])
+    val a = Sketches.histogramQuantiles(
+      vals.toDF("x").repartition(1), "x", 7.0, Seq(0.25, 0.75))
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val b = Sketches.histogramQuantiles(
+      vals.toDF("x").repartition(17), "x", 7.0, Seq(0.25, 0.75))
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b, s"$a vs $b")
+    // N excludes the nulls: rank of q=0.25 is ceil(0.25·5000), not ·5100
+    assert(a.head._2 == 1250L, a)
+  }
+
+  test("histogramQuantiles guards the bin count and the q domain") {
+    val df = (0 until 2000).map(_.toDouble).toDF("x")
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(df, "x", 1.0, Seq(0.5), maxBins = 1000L)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(df, "x", 1.0, Seq(0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantiles(df, "x", -1.0, Seq(0.5))
+    }
+  }
+
+  test("profileQuantiles: one-pass multi-column grid quantiles agree " +
+      "with per-column histogramQuantiles, per-column NULL exclusion") {
+    val rows = (1 to 200).map(i =>
+      (i.toDouble, if (i % 4 == 0) None else Some(i * 3.0)))
+    val df = rows.toDF("a", "b")
+    val got = Sketches.profileQuantiles(df,
+        Seq("a" -> 10.0, "b" -> 25.0), Seq(0.5, 0.9))
+      .select("col_name", "q", "rank", "bin", "value")
+      .as[(String, Double, Long, Long, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val single = Seq("a" -> 10.0, "b" -> 25.0).flatMap { case (c, w) =>
+      Sketches.histogramQuantiles(df, c, w, Seq(0.5, 0.9))
+        .select("q", "rank", "bin", "value")
+        .as[(Double, Long, Long, Double)].collect()
+        .map(t => (c, t._1, t._2, t._3, t._4))
+    }.sortBy(t => (t._1, t._2))
+    assert(got == single, s"$got vs $single")
+    // b's N excludes its 50 nulls independently of a's full 200
+    assert(got.find(t => t._1 == "b" && t._2 == 0.5).get._3 == 75L, got)
+    assert(got.find(t => t._1 == "a" && t._2 == 0.5).get._3 == 100L, got)
   }
 
   test("KMV is exact below k and partition-invariant") {
