@@ -99,22 +99,45 @@ object Bench {
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val allMap = all.toMap
+
+    // ——— Per-query regression gate (round-12 lesson: the five serving
+    // variants regressed 2–4× while the AGGREGATE got faster — a total
+    // can hide a serving-path regression). tools/bench_baseline.json
+    // holds the last clean run's per-query seconds (committed; refresh
+    // it whenever a clean run establishes a new baseline). Any query
+    // >2× its baseline AND >0.25s absolute over it (sub-100ms entries
+    // jitter well past 2× on a shared box) lands in a loud
+    // `regressions` block in both output lines. ———
+    val baselinePath = java.nio.file.Paths.get("tools/bench_baseline.json")
+    val baseline: Map[String, Double] =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val jmb = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = jmb.readTree(java.nio.file.Files.readAllBytes(baselinePath))
+        import scala.jdk.CollectionConverters._
+        node.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } else Map.empty
+    val regressions = all.flatMap { case (k, cur) =>
+      baseline.get(k).collect {
+        case base if cur > 2.0 * base && cur - base > 0.25 =>
+          k -> f"""{"sec":$cur%.3f,"baseline":$base%.3f,"factor":${cur / base}%.1f}"""
+      }
+    }
+    val regJson = regressions
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    regressions.foreach { case (k, v) =>
+      System.err.println(s"[bench] REGRESSION $k: $v")
+    }
+
     // Headline subset for the stdout line: the driver captures only a tail
     // of stdout, and the full 80+-query map overflows it (BENCH_r03
     // "parsed": null). Full per-query detail goes to bench_summary.json.
+    // Kept ≤ 10 queries so the compact line stays under ~512 bytes — the
+    // 40-query line in r12 still defeated the driver's tail parser.
     val headline = Seq("coder_train", "index_build", "search_probed",
-      "knn_l2", "knn_cosine", "knn_dot", "search_pq", "search_rerank",
-      "search_ivf_pq", "search_ivf_pq_cosine", "knn_join", "knn_join_ivf",
-      "dedup_exact", "dedup_minhash", "dedup_cosine_lsh", "dedup_groups_cc",
-      "dedup_semantic", "dedup_stream_static", "decontaminate_stream",
-      "curate_corpus", "curate_stream", "dedup_exact_stream",
-      "text_fingerprint", "text_overlap", "search_sq",
-      "q1_agg", "q3_shipping", "q5_region", "events_sessions", "text_quality",
-      "media_compressed_decode", "graph_pagerank", "sketch_heavy_hitters",
-      "upsert_latest", "events_attribution",
-      "search_probed_16", "search_rerank_200",
-      "search_ivf_pq_16_200", "search_sq_16_200", "search_bq_16_200")
-    val allMap = all.toMap
+      "knn_l2", "dedup_minhash", "curate_corpus", "graph_pagerank",
+      "q1_agg", "search_rerank_200", "search_sq_16_200")
     val qsHead = headline.flatMap(k => allMap.get(k).map(v =>
         "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")
@@ -164,7 +187,7 @@ object Bench {
       foldArtifact("dedup_soak_1m", "dedup_soak_1m.json") +
       foldArtifact("graph_soak_1m", "graph_soak_1m.json")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"regressions":$regJson,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
     // Machine-readable FULL copy the driver (or anyone) can ingest whole,
     // immune to stdout interleaving/truncation.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
@@ -173,12 +196,12 @@ object Bench {
     // bench_summary.json holds the canonical copy) …
     println(fullLine)
     // … then the compact parse line LAST: the driver keeps only a stdout
-    // tail, and folding ref/quality/soak blocks into the final line grew
-    // it past that window in r8/r9/r11 ("parsed": null). The headline
-    // subset + scalar totals stays ~1 KB regardless of how many soak
+    // tail, and every prior attempt that exceeded ~0.5 KB went unparsed
+    // (r8/r9/r11 full line; r12's 40-query compact line). 10 headline
+    // queries + scalars stays < 512 bytes regardless of how many soak
     // artifacts exist.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"error_count":${errors.size},"detail":"bench_summary.json","sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"error_count":${errors.size},"regression_count":${regressions.size},"sf":"$sfDir"}""")
     spark.stop()
     // A bench with crashed queries is not a clean pass — make the driver see it.
     if (errors.nonEmpty) sys.exit(1)

@@ -1615,6 +1615,19 @@ object SparkEntry {
           Seq("prior_click_value"))
         .select("event_id", "user_id", "prior_click_value")
     }),
+    // —— same semantics, hot-key-parallel: the carry runs per (key, day
+    // bucket), so one pathological key spreads over range/bucket tasks ——
+    "asof_join_bucketed" -> ((s: SparkSession, dir: String) => {
+      val ev = tblEvents(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("value").as("prior_click_value"))
+      graft.ext.Temporal.asofJoinBucketed(views, clicks, "user_id", "ts",
+          "click_ts", Seq("prior_click_value"), bucketSecs = 86400L)
+        .select("event_id", "user_id", "prior_click_value")
+    }),
     // —— bucketized range (interval) join: equi-shuffle on the bin id
     // instead of the O(n·m) nested-loop a raw BETWEEN join plans ——
     "range_join" -> ((s: SparkSession, dir: String) => {
@@ -2275,6 +2288,12 @@ object SparkEntry {
       Sketches.histogramQuantiles(tbl(s, dir, "lineitem"),
         "l_extendedprice", binWidth = 100.0,
         qs = Seq(0.25, 0.5, 0.9, 0.99))),
+    // auto-ranged: bin width derived from one min/max pass — the width
+    // is a data value both engines compute with the same IEEE divide
+    "sketch_quantiles_auto" -> ((s: SparkSession, dir: String) =>
+      Sketches.histogramQuantilesAuto(tbl(s, dir, "lineitem"),
+        "l_extendedprice", qs = Seq(0.25, 0.5, 0.9, 0.99),
+        targetBins = 500)),
     // multi-column profile: three lineitem columns in ONE scan
     "profile_quantiles" -> ((s: SparkSession, dir: String) =>
       Sketches.profileQuantiles(tbl(s, dir, "lineitem"),
@@ -3386,6 +3405,13 @@ object SparkEntry {
         "FROM (SELECT * FROM events WHERE event_type = 'view') l " +
         "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r " +
         "ON l.user_id = r.user_id AND l.ts >= r.ts"),
+    // the bucketed variant must produce the IDENTICAL result — same
+    // oracle as asof_join
+    "asof_join_bucketed" ->
+      ("SELECT l.event_id, l.user_id, r.value AS prior_click_value " +
+        "FROM (SELECT * FROM events WHERE event_type = 'view') l " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"),
     "range_join" ->
       ("SELECT c.c_custkey, o.o_orderkey, c.c_acctbal FROM customer c " +
         "JOIN orders o ON o.o_orderkey < 100 AND " +
@@ -3890,6 +3916,22 @@ object SparkEntry {
         "qv(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)), " +
         "r AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank FROM qv CROSS JOIN n) " +
         "SELECT q, rank, min(bin) AS bin, min(bin) * 100.0 AS value " +
+        "FROM r JOIN c ON c.cum >= r.rank GROUP BY q, rank"),
+    // derived width: both engines evaluate (max−min)/500.0 with the same
+    // IEEE divide over the same doubles, then the identical grid pipeline
+    "sketch_quantiles_auto" ->
+      ("WITH s AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL), " +
+        "w AS (SELECT CASE WHEN mx > mn THEN (mx - mn) / 500.0 ELSE 1.0 END AS bw " +
+        "FROM s), " +
+        "h AS (SELECT CAST(floor(l_extendedprice / (SELECT bw FROM w)) AS BIGINT) " +
+        "AS bin, count(*) AS cnt FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "GROUP BY 1), " +
+        "c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM h), " +
+        "n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h), " +
+        "qv(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)), " +
+        "r AS (SELECT q, CAST(ceil(q * n) AS BIGINT) AS rank FROM qv CROSS JOIN n) " +
+        "SELECT q, rank, min(bin) AS bin, min(bin) * (SELECT bw FROM w) AS value " +
         "FROM r JOIN c ON c.cum >= r.rank GROUP BY q, rank"),
     "profile_quantiles" ->
       ("WITH h AS (SELECT col_name, bin, count(*) AS cnt FROM (" +

@@ -661,9 +661,11 @@ object Dedup {
         .groupBy("id").agg(min("rep").as("rep")), durableCheckpoint)
       changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
         .filter(col("rep") =!= col("prev")).count()
+      Graph.release(labels) // superseded round — next is materialized
       labels = next
       it += 1
     }
+    Graph.release(edges)
     // One-hop propagation converges in O(component diameter) rounds —
     // fine for near-dup clusters (stars/cliques, diameter ≤ 2), but a
     // chain-shaped graph longer than maxIter would exit here with

@@ -38,6 +38,20 @@ object Graph {
       df.checkpoint()
     }
 
+  /** Free the executor-storage blocks behind a frame produced by
+    * [[cut]]. Iterative loops call this on each SUPERSEDED frame as soon
+    * as its successor has materialized — without it, every iteration's
+    * localCheckpoint stays pinned in BlockManager storage until GC +
+    * ContextCleaner get around to it, which at 10M+ nodes is gigabytes
+    * of dead storage per call and, in a long-lived server, per request
+    * (the round-12 serving-latency regression). The RESULT a public
+    * operator returns is still backed by its final checkpoint (the
+    * lineage was cut, the blocks are the only copy); callers that want
+    * storage back to baseline immediately after consuming the result
+    * call this on it — otherwise the ContextCleaner reclaims it on GC. */
+  def release(df: DataFrame): Unit =
+    org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
+
   /** Out-degrees over the DISTINCT edge set. */
   def outDegrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).as("v"), col(dstCol).as("w")).distinct()
@@ -88,7 +102,9 @@ object Graph {
     require(n > 0, "pageRank needs a non-empty edge set")
     val init = Scale / n
     val base = ((1000L - dampPerMille) * init) / 1000L
+    var prev = ranks
     ranks = cut(ranks.withColumn("rank", lit(init)), durableCheckpoint)
+    release(prev)
 
     for (_ <- 1 to iterations) {
       // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
@@ -97,12 +113,15 @@ object Graph {
         .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      prev = ranks
       ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("out_deg"),
           expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank")),
         durableCheckpoint)
+      release(prev)
     }
+    release(e)
     ranks.select("v", "rank")
   }
 
@@ -128,18 +147,38 @@ object Graph {
     require(dampPerMille >= 0 && dampPerMille <= 1000,
       s"dampPerMille must be in [0, 1000], got $dampPerMille")
     val maxWeight = 4000000L
+    // Integral input REQUIRED statically: a double weight silently
+    // truncated by cast("long") would pass the range check yet divide
+    // rank mass by the wrong totals. Free (schema-only) check.
+    edges.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"pageRankWeighted: weight column '$weightCol' must be an integral " +
+          s"type (tinyint/smallint/int/bigint), got ${other.catalogString} — " +
+          "scale fractional weights to fixed-point integers first")
+    }
     val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("long").as("w"))
       .repartition(col("src")), durableCheckpoint)
-    // one bounded setup job guards overflow, positivity, and parallel
-    // edges (count(*) > distinct(src,dst) ⇔ duplicates exist)
+    // ONE bounded setup job guards overflow, positivity, NULL weights,
+    // and parallel edges: min/max SKIP nulls (so count(w) must equal
+    // count(*) — a NULL weight would otherwise slip the range check and
+    // silently leak that edge's rank mass), and count(*) >
+    // count(distinct (src,dst)) ⇔ duplicates exist.
     val g = e.agg(max(col("w")).as("mx"), min(col("w")).as("mn"),
-      count(lit(1)).as("cnt")).head()
+      count(lit(1)).as("cnt"), count(col("w")).as("cntw"),
+      countDistinct(col("src"), col("dst")).as("cntd")).head()
     if (g.getLong(2) > 0) {
+      require(g.getLong(3) == g.getLong(2),
+        s"pageRankWeighted: ${g.getLong(2) - g.getLong(3)} NULL weight(s) — " +
+          "every edge needs a weight in [1, " + maxWeight + "]")
       require(g.getLong(1) >= 1 && g.getLong(0) <= maxWeight,
         s"pageRankWeighted: weights must be in [1, $maxWeight] " +
           s"(got [${g.getLong(1)}, ${g.getLong(0)}]) — rank·w must fit a Long")
-      require(e.select("src", "dst").distinct().count() == g.getLong(2),
+      require(g.getLong(4) == g.getLong(2),
         "pageRankWeighted: duplicate (src, dst) edges — pre-aggregate weights")
     }
     val nodes = e.select(col("src").as("v"))
@@ -151,19 +190,24 @@ object Graph {
     require(n > 0, "pageRankWeighted needs a non-empty edge set")
     val init = Scale / n
     val base = ((1000L - dampPerMille) * init) / 1000L
+    var prev = ranks
     ranks = cut(ranks.withColumn("rank", lit(init)), durableCheckpoint)
+    release(prev)
 
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("out_w").isNotNull), col("src") === col("v"))
         .select(col("dst").as("v"), expr("(rank * w) div out_w").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      prev = ranks
       ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("out_w"),
           expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank")),
         durableCheckpoint)
+      release(prev)
     }
+    release(e)
     ranks.select("v", "rank")
   }
 
@@ -200,21 +244,26 @@ object Graph {
     require(nSeeds > 0, "pageRankSeeded needs at least one seed in the graph")
     val init = Scale / nSeeds
     val base = ((1000L - dampPerMille) * init) / 1000L
+    var prev = ranks
     ranks = cut(ranks.withColumn("rank",
       when(col("is_seed"), lit(init)).otherwise(lit(0L))), durableCheckpoint)
+    release(prev)
 
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      prev = ranks
       ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("is_seed"), col("out_deg"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
             expr(s"($dampPerMille * in_mass) div 1000")).as("rank")),
         durableCheckpoint)
+      release(prev)
     }
+    release(e)
     ranks.select("v", "rank")
   }
 
@@ -291,6 +340,7 @@ object Graph {
       converged = stable &&
         next.select("u").intersect(next.select("v")).isEmpty &&
         next.groupBy("u").count().where(col("count") > 1).isEmpty
+      release(e) // superseded round's edge set — next is materialized
       e = next
       eCount = nextCount
       it += 1

@@ -191,12 +191,47 @@ object Sketches {
         org.apache.spark.sql.expressions.Window.currentRow)
     val cum = hist.withColumn("cum", sum("cnt").over(w))
     val tot = hist.agg(sum("cnt").as("n"))
-    qs.toDF("q").crossJoin(broadcast(tot))
+    val out = qs.toDF("q").crossJoin(broadcast(tot))
       .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
       .join(cum, col("cum") >= col("rank"))
       .groupBy("q", "rank").agg(min("bin").as("bin"))
       .withColumn("value", col("bin") * binWidth)
       .select("q", "rank", "bin", "value")
+    // The result is ≤ |qs| rows — materialize it NOW so the histogram
+    // checkpoint can be freed deterministically instead of pinning
+    // executor storage until GC (it leaked per call on the round-12
+    // serving path). Values pass through Row untouched: bit-exact.
+    val rows = out.collect().toSeq
+    Graph.release(hist)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, out.schema)
+  }
+
+  /** Auto-ranged grid quantiles: [[histogramQuantiles]] with the bin
+    * width DERIVED from the data — a real user asks for p99 of a column
+    * whose range they don't know, and a hand-picked `binWidth` either
+    * blows the bin guard or collapses the grid. One extra bounded
+    * min/max aggregate pass derives
+    * `width = (max − min) / targetBins` (or 1.0 when the column is
+    * constant, where any grid is exact); the derived width is a data
+    * value both engines compute with the same IEEE divide, so the
+    * result stays bit-mirrorable. Resolution: the reported quantile is
+    * the exact quantile rounded down to a grid of `targetBins` cells
+    * over the observed range — rank error zero, value error
+    * < range/targetBins. */
+  def histogramQuantilesAuto(df: DataFrame, valueCol: String,
+      qs: Seq[Double], targetBins: Int = 500,
+      maxBins: Long = 1000000L): DataFrame = {
+    require(targetBins >= 1 && targetBins <= maxBins,
+      s"targetBins must be in [1, $maxBins], got $targetBins")
+    val r = df.filter(col(valueCol).isNotNull)
+      .agg(min(col(valueCol).cast("double")).as("mn"),
+        max(col(valueCol).cast("double")).as("mx")).head()
+    require(!r.isNullAt(0),
+      s"histogramQuantilesAuto: '$valueCol' has no non-NULL values")
+    val mn = r.getDouble(0); val mx = r.getDouble(1)
+    val width = if (mx > mn) (mx - mn) / targetBins.toDouble else 1.0
+    histogramQuantiles(df, valueCol, width, qs, maxBins)
   }
 
   /** Multi-column grid quantiles in ONE table scan — the profiling
@@ -242,7 +277,7 @@ object Sketches {
     val cum = hist.withColumn("cum", sum("cnt").over(wWin))
     val tot = hist.groupBy("col_name").agg(sum("cnt").as("n"))
     val wdf = widths.toDF("col_name", "bin_width")
-    qs.toDF("q").crossJoin(broadcast(tot))
+    val out = qs.toDF("q").crossJoin(broadcast(tot))
       .withColumn("rank", ceil(col("q") * col("n")).cast("long"))
       .join(cum, Seq("col_name"))
       .filter(col("cum") >= col("rank"))
@@ -250,6 +285,13 @@ object Sketches {
       .join(broadcast(wdf), Seq("col_name"))
       .withColumn("value", col("bin") * col("bin_width"))
       .select("col_name", "q", "rank", "bin", "value")
+    // ≤ |qs|·k rows — same materialize-then-release as
+    // [[histogramQuantiles]]: frees the combined histogram checkpoint
+    // deterministically instead of leaking it per call.
+    val rows = out.collect().toSeq
+    Graph.release(hist)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, out.schema)
   }
 
   /** Exact heavy hitters at unbounded key cardinality, in two bounded

@@ -73,6 +73,116 @@ object Temporal {
     rightCols.foldLeft(out)((df, c) => df.withColumnRenamed(s"__r_$c", c))
   }
 
+  /** Bucketed as-of join: identical semantics to [[asofJoin]], but the
+    * ordered carry runs per (key, TIME BUCKET) instead of per key — the
+    * remedy for the documented hot-key caveat. One pathological key with
+    * 10⁹ ticks parallelizes across `range/bucketSecs` tasks instead of
+    * serializing into one.
+    *
+    * Construction (three stages, all bounded):
+    *  1. per (key, bucket): each carried column's LAST non-null right
+    *     value in the bucket (window over the bucket's rows — the
+    *     parallel unit);
+    *  2. per key: a running last-non-null over the ≤ #buckets summary
+    *     rows, shifted one bucket back — the value carried INTO each
+    *     bucket (per-key serialized, but over bucket summaries, not
+    *     events: range/bucketSecs rows per key, not event count);
+    *  3. per (key, bucket): union [carry row at bucket start, sorting
+    *     before any real row] ∪ [right rows] ∪ [left rows], one ordered
+    *     window, keep left rows. Right-before-left at equal ts gives the
+    *     same `<=` semantics; the carry row sorts before a real right
+    *     row AT the bucket boundary, so a boundary observation
+    *     supersedes it.
+    *
+    * Ordering stays on the ORIGINAL timestamp values (the seconds cast
+    * is used only to pick a bucket — sub-second order inside a bucket
+    * is preserved); the carry row orders via a NULL timestamp, which
+    * sorts before every real instant. Preconditions: timestamps are
+    * NONNEGATIVE (epochs — integer `div` bucketing truncates toward
+    * zero) and non-NULL, and `right` has at most one row per (key, ts) —
+    * the same tie precondition as [[resampleLinear]]; with ties the
+    * winner inside a bucket would be partition-order dependent (true of
+    * plain [[asofJoin]] too). */
+  def asofJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      rightCols: Seq[String],
+      bucketSecs: Long): DataFrame = {
+    require(bucketSecs > 0 && bucketSecs <= 9000000000L,
+      s"bucketSecs must be in (0, 9e9], got $bucketSecs")
+    // type-aware bucketing: integral epochs divide directly; timestamps
+    // (incl. NTZ — the session tz is UTC by repo convention, matching
+    // the oracle's naive epoch()) go through unix_micros
+    def bktExpr(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.TimestampType
+         | org.apache.spark.sql.types.TimestampNTZType =>
+        s"unix_micros(CAST(__ts__ AS TIMESTAMP)) div ${1000000L * bucketSecs}"
+      case org.apache.spark.sql.types.ByteType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.LongType =>
+        s"__ts__ div $bucketSecs"
+      case other => throw new IllegalArgumentException(
+        "asofJoinBucketed: timestamp column must be integral epoch " +
+          s"seconds or a timestamp type, got ${other.catalogString}")
+    }
+    val rb = right.select(Seq(col(key), col(rightTs).as("__ts__")) ++
+        rightCols.map(c => col(c).as(s"__r_$c")): _*)
+      .withColumn("__bkt__", expr(bktExpr(right.schema(rightTs).dataType)))
+    val lb = left
+      .withColumn("__ts__", col(leftTs))
+      .withColumn("__bkt__", expr(bktExpr(left.schema(leftTs).dataType)))
+    // stage 1: last non-null per carried column within (key, bucket)
+    val wFin = Window.partitionBy(col(key), col("__bkt__"))
+      .orderBy(col("__ts__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val fins = rightCols.foldLeft(rb) { (df, c) =>
+      df.withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wFin))
+    }.select(Seq(col(key), col("__bkt__")) ++
+      rightCols.map(c => col(s"__f_$c")): _*)
+      .dropDuplicates(key, "__bkt__")
+    // stage 2: carry into each bucket = last non-null over PRIOR buckets'
+    // summaries; buckets holding only left rows still need a carry row
+    val allBuckets = rb.select(col(key), col("__bkt__"))
+      .union(lb.select(col(key), col("__bkt__"))).distinct()
+    val wCarry = Window.partitionBy(col(key)).orderBy(col("__bkt__").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = rightCols.foldLeft(
+      allBuckets.join(fins, Seq(key, "__bkt__"), "left")) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__f_$c"), ignoreNulls = true).over(wCarry))
+    }
+    // stage 3: tagged union within (key, bucket); origin -1 = carry row
+    // (NULL ts — sorts before every real instant under asc_nulls_first,
+    // regardless of the timestamp column's type), 0 = right, 1 = left
+    val leftDataCols = left.columns.filter(_ != key).toSeq
+    val tsType = left.schema(leftTs).dataType
+    val carryTagged = carries.select(Seq(col(key), col("__bkt__"),
+      lit(null).cast(tsType).as("__ts__"), lit(-1).as("__org__")) ++
+      leftDataCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rightCols.map(c => col(s"__c_$c").as(s"__r_$c")): _*)
+    val rightTagged = rb.select(Seq(col(key), col("__bkt__"), col("__ts__"),
+      lit(0).as("__org__")) ++
+      leftDataCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rightCols.map(c => col(s"__r_$c")): _*)
+    val leftTagged = lb.select(Seq(col(key), col("__bkt__"), col("__ts__"),
+      lit(1).as("__org__")) ++
+      leftDataCols.map(c => col(c)) ++
+      rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val wAsof = Window.partitionBy(col(key), col("__bkt__"))
+      .orderBy(col("__ts__").asc_nulls_first, col("__org__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(
+      carryTagged.unionByName(rightTagged).unionByName(leftTagged)) { (df, c) =>
+      df.withColumn(s"__r_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wAsof))
+    }
+    val out = carried.filter(col("__org__") === 1)
+      .drop("__ts__", "__bkt__", "__org__")
+    rightCols.foldLeft(out)((df, c) => df.withColumnRenamed(s"__r_$c", c))
+  }
+
   /** Bucketized range (interval) join: left rows whose `valueCol` falls
     * inside a right-side interval `[loCol, hiCol]` (inclusive). Spark
     * plans a naive `v BETWEEN lo AND hi` join as a broadcast

@@ -33,6 +33,24 @@ case class CmsEstimate(child: Expression, sketch: Array[Long],
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
 
+  // Keep the up-to-32k-long sketch OUT of plan/explain/error strings
+  // (TreeNode stringifies case-class args), and give the expression
+  // VALUE equality: the synthesized case-class equals compares the
+  // array by reference, so two semantically identical probes would
+  // never compare equal (noisy for plan diagnostics/dedup).
+  override def stringArgs: Iterator[Any] =
+    Iterator(child, s"sketch[${sketch.length}]", width, depth)
+  override def equals(other: Any): Boolean = other match {
+    case that: CmsEstimate =>
+      child == that.child && width == that.width && depth == that.depth &&
+        java.util.Arrays.equals(sketch, that.sketch)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(getClass, child,
+      Integer.valueOf(width), Integer.valueOf(depth),
+      Integer.valueOf(java.util.Arrays.hashCode(sketch)))
+
   override def nullSafeEval(input: Any): Any = {
     val key = input.asInstanceOf[Long]
     var min = Long.MaxValue

@@ -65,6 +65,7 @@ object Index {
       .partitionBy(CodeCol)
       .parquet(path)
     recordSourceStamp(store, path, listing)
+    warnIfSkewed(store, codingName, source, column)
   }
 
   private def stampSidecar(path: String) = s"$path/_source_stamp.json"
@@ -176,6 +177,7 @@ object Index {
         val curSet = listing.toSet
         if (recordedListing(store, path).exists(_.forall(curSet.contains)))
           recordSourceStamp(store, path, listing)
+        warnIfSkewed(store, codingName, source, column)
       }
       appended
     } finally delta.unpersist(blocking = false)
@@ -438,6 +440,50 @@ object Index {
   /** Outcome of a [[compactCells]] pass. */
   case class CompactStats(cellsCompacted: Long, filesBefore: Long,
       filesAfter: Long)
+
+  /** Byte-share skew of a tier's cell layout. `ratio` = max cell bytes /
+    * median cell bytes; `maxShare` = max cell bytes / total bytes. */
+  case class SkewStats(cells: Int, maxCell: Long, maxBytes: Long,
+      medianBytes: Long, ratio: Double, maxShare: Double)
+
+  /** Cell-balance report for an index tier — at 100 TB a hot cell turns
+    * probed search into a near-scan: a probe that touches the hot cell
+    * reads its whole byte share regardless of the probe budget. Driver-
+    * only file listing (no job). Remedies for a skewed layout, in order:
+    * re-train the coder with more cells (or a fresh seed — a degenerate
+    * k-means init can starve centroids), raise `probes` so rank quality
+    * stops depending on the one hot cell, or pre-split the hot cell's
+    * key range upstream. [[build]] and [[syncIncremental]] print this
+    * report loudly when the layout crosses the skew threshold — the
+    * build is still usable (every query stays correct; only probed-
+    * search SPEED degrades), so it warns rather than throws. */
+  def cellSkew(store: Store, codingName: String, source: String,
+      column: String, tier: String = "ivf"): SkewStats = {
+    val stats = cellStats(store, codingName, source, column, tier = tier)
+    require(stats.nonEmpty, s"cellSkew: no cells under $tier index for " +
+      s"$source.$column ('$codingName')")
+    val bytes = stats.map(_._3).sorted
+    val median = math.max(1L, bytes(bytes.length / 2))
+    val (maxCell, _, maxBytes, _) = stats.maxBy(_._3)
+    val total = math.max(1L, bytes.sum)
+    SkewStats(stats.length, maxCell, maxBytes, median,
+      maxBytes.toDouble / median, maxBytes.toDouble / total)
+  }
+
+  /** Loud skew report after build/sync (threshold: one cell ≥ 16× the
+    * median or ≥ half of all bytes, with enough cells for "median" to
+    * mean anything). */
+  private def warnIfSkewed(store: Store, codingName: String, source: String,
+      column: String): Unit = {
+    val s = cellSkew(store, codingName, source, column)
+    if (s.cells >= 4 && (s.ratio >= 16.0 || s.maxShare >= 0.5))
+      System.err.println(f"[graft] SKEWED index layout for $source.$column " +
+        f"('$codingName'): cell ${s.maxCell} holds ${s.maxShare * 100}%.1f%% " +
+        f"of bytes (${s.ratio}%.1fx the median cell, ${s.cells} cells). " +
+        "Probed search degrades toward a scan on the hot cell; re-train " +
+        "the coder with more cells/new seed, raise probes, or pre-split " +
+        "the hot key range (see Index.cellSkew).")
+  }
 
   /** Cell-partitioned copy path of an index `tier` (ivf | pq | sq | bq) —
     * all four tiers share the `__CODED_ID__=N` partition layout, so the

@@ -50,6 +50,9 @@ class Store(val spark: SparkSession, val root: String) {
       name.forall(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '.' || c == '_' || c == '-'),
       s"invalid name '$name': allowed characters are [A-Za-z0-9._-]")
+    require(!name.endsWith(".graft-old"),
+      s"invalid name '$name': the .graft-old suffix is reserved for " +
+        "replaceTable's crash-safe aside copy")
     name
   }
 
@@ -93,7 +96,9 @@ class Store(val spark: SparkSession, val root: String) {
   private def list(dir: String): Seq[String] = {
     val p = new Path(dir)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.endsWith(".graft-old")) // crash-leftover aside copies
+      .toSeq.sorted
   }
 
   // ——— Tables (S1-S6) ———
@@ -105,25 +110,43 @@ class Store(val spark: SparkSession, val root: String) {
     * distributed rewrite even starts, so a crash mid-write loses the
     * whole table and a concurrent reader can observe a partial one.
     * Here the new contents are fully written to a staging directory
-    * first; the swap is then two metadata ops (delete + rename). A crash
-    * before the swap leaves the old table untouched (the stale staging
-    * dir is cleared by the next replace); a crash between the two ops
-    * loses only the rename, with the complete new table intact under
-    * `staging/` for recovery. Readers racing the swap see old-or-new,
-    * never partial — the residue is the metadata-op-sized window where
-    * the path is briefly absent (Hadoop rename cannot atomically replace
-    * a non-empty directory; on object stores without atomic rename the
-    * window widens to a copy, the documented trade-off). */
+    * first; the swap is then metadata ops only: the OLD table is renamed
+    * ASIDE (never deleted before the new one is live), staging renames
+    * into place, and only then is the aside copy dropped. A crash at any
+    * point leaves a complete table readable: before the aside-rename,
+    * the old table is untouched; between the two renames, the old table
+    * sits at `<dest>.graft-old` — [[loadTable]] falls back to it
+    * read-only, and the NEXT replaceTable completes the swap (it reads
+    * through the fallback, skips the aside-rename since dest is absent,
+    * and installs the fresh staging copy); after the staging rename the
+    * new table is live regardless of whether the aside cleanup ran.
+    * Readers racing the swap see old-or-new, never partial — the residue
+    * is the two-rename-sized window where the path is briefly absent
+    * (Hadoop rename cannot atomically replace a non-empty directory; on
+    * object stores without atomic rename the window widens to a copy,
+    * the documented trade-off). */
   def replaceTable(name: String, df: DataFrame): Unit = {
     val dest = new Path(sourcePath(name))
+    val aside = new Path(sourcePath(name) + ".graft-old")
     val staging = new Path(s"$root/staging/${safeSeg(name)}")
     if (fs.exists(staging)) fs.delete(staging, true)
+    // the FULL replacement is written before anything is renamed — df
+    // may read the very table being replaced (upsert shape) or, after a
+    // crashed swap, its aside copy via [[loadTable]]'s read fallback
     graft.types.Tensors.enforceDeclaredShapes(df)
       .write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(dest)) fs.delete(dest, true)
+    // a stale aside from a prior swap that crashed AFTER going live is
+    // dropped only when the destination is in fact live; in the
+    // crashed-between-renames state (dest absent) it survives as the
+    // readable copy until the new table is in place
+    if (fs.exists(aside) && fs.exists(dest)) fs.delete(aside, true)
+    if (fs.exists(dest)) require(fs.rename(dest, aside),
+      s"replaceTable: aside rename $dest -> $aside failed (table untouched)")
     fs.mkdirs(dest.getParent)
     require(fs.rename(staging, dest),
-      s"replaceTable: rename $staging -> $dest failed (new table left in staging)")
+      s"replaceTable: rename $staging -> $dest failed (old table intact at " +
+        s"$aside, new table left in staging)")
+    if (fs.exists(aside)) fs.delete(aside, true)
   }
 
   /** Write a table; columns declared as fixed-shape tensors (via
@@ -165,10 +188,23 @@ class Store(val spark: SparkSession, val root: String) {
   }
 
   /** Load one or many sources; many ⇒ vertical concat (S4/P7,
-    * `table.py:12-21`). */
+    * `table.py:12-21`).
+    *
+    * Read-only crash fallback: if a [[replaceTable]] swap crashed
+    * between its two renames, the table sits complete at
+    * `<dest>.graft-old` with the destination path absent — readers fall
+    * back to the aside copy (no mutation, so no race with a live
+    * writer; the next replaceTable performs the mutating recovery). */
   def loadTable(names: String*): DataFrame = {
     require(names.nonEmpty, "at least one source name")
-    names.map(n => spark.read.parquet(sourcePath(n))).reduce(_ unionByName _)
+    names.map { n =>
+      val p = sourcePath(n)
+      val path =
+        if (!fs.exists(new Path(p)) && fs.exists(new Path(p + ".graft-old")))
+          p + ".graft-old"
+        else p
+      spark.read.parquet(path)
+    }.reduce(_ unionByName _)
   }
 
   def listTables(): Seq[String] = list(s"$root/sources")

@@ -13,6 +13,27 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Release the executor-storage blocks behind a `localCheckpoint`ed
+    * (or `checkpoint`ed) DataFrame.
+    *
+    * A checkpointed Dataset's plan is a `LogicalRDD` leaf whose RDD
+    * holds the materialized partitions in BlockManager storage. Spark
+    * only frees those blocks when the RDD object is GC'd and the
+    * ContextCleaner gets around to it — in an iterative loop that
+    * checkpoints per iteration, superseded frames pile up in executor
+    * storage until LRU eviction starts pressuring unrelated jobs (the
+    * round-12 serving-latency regression). This frees them
+    * deterministically. Only call it once nothing will read the frame
+    * again: the lineage was CUT at checkpoint time, so the blocks are
+    * the only copy and a later action on the frame would fail. For a
+    * reliable (HDFS) `checkpoint()` the unpersist is a harmless no-op —
+    * the data lives in the checkpoint dir, not in blocks. */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Serialize a DataFrame to an Arrow IPC **stream** on `out` using
     * Spark's own Arrow writers (`execution.arrow.ArrowWriter` — the
     * exact serialization `toArrow`/pandas-interchange uses, so types and

@@ -1093,6 +1093,41 @@ class TemporalSpec extends SparkSuite {
     assert(got(3L) == None)       // user 200 has no clicks
   }
 
+  test("bucketed asof join equals the global asof join — hot key, carries " +
+      "across empty buckets, left rows before any right row") {
+    val rnd = new scala.util.Random(42)
+    // hot key 0 holds 3/4 of the rows; right ts globally unique (13 is
+    // coprime to 4096), so the per-(key,ts) tie precondition holds
+    val right = (0 until 400).map { i =>
+      val k = if (i % 4 != 0) 0L else (i % 7).toLong
+      (k, (i * 13 + 7) % 4096L, rnd.nextDouble())
+    }.toDF("user_id", "click_ts", "v")
+    val left = (0 until 300).map { i =>
+      (i.toLong, if (i % 3 != 0) 0L else (i % 7).toLong,
+        rnd.nextInt(4600).toLong)
+    }.toDF("event_id", "user_id", "ts")
+    val want = graft.ext.Temporal.asofJoin(left, right,
+        "user_id", "ts", "click_ts", Seq("v"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // tiny buckets (many carries), mid, and one-bucket degenerate case
+    for (b <- Seq(64L, 500L, 10000L)) {
+      val got = graft.ext.Temporal.asofJoinBucketed(left, right,
+          "user_id", "ts", "click_ts", Seq("v"), bucketSecs = b)
+        .select("event_id", "v").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got == want, s"bucketSecs=$b diverged from global asof")
+    }
+    // the event-scale windows partition on (key, bucket), not key alone
+    val plan = graft.ext.Temporal.asofJoinBucketed(left, right,
+        "user_id", "ts", "click_ts", Seq("v"), 64L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt__"),
+      "expected the asof carry window to be bucketed")
+  }
+
   test("range join matches BETWEEN semantics as an equi-join on bins") {
     val values = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5), (4L, -3.0), (5L, 99.0))
       .toDF("vid", "v")

@@ -181,6 +181,58 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("iterative loops release superseded checkpoints: executor storage " +
+      "does not grow with the iteration count") {
+    // Every iteration localCheckpoints a frame; before round 13 each of
+    // them stayed pinned in BlockManager storage until GC (≈ iter+3
+    // persistent RDDs per call — the round-12 serving-latency culprit).
+    // Now only the RESULT's final checkpoint may remain, and
+    // Graph.release frees that too. Bounds are deliberately loose (≤3,
+    // not ==1) because suites share the SparkContext and can checkpoint
+    // concurrently — a LEAK would show up as 10+ new entries.
+    val sc = spark.sparkContext
+    val edges = (0 until 3000).map(i => (s"n${i % 211}", s"n${(i * 13 + 5) % 211}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val before = sc.getPersistentRDDs.keySet
+    val ranks = Graph.pageRank(edges, "src", "dst", iterations = 8)
+    ranks.count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 3,
+      s"pageRank(8 iters) left ${leaked.size} persistent RDDs — " +
+        "superseded checkpoints are not being released")
+    Graph.release(ranks)
+    val after = sc.getPersistentRDDs.keySet -- before
+    assert(after.size < leaked.size || leaked.isEmpty,
+      s"Graph.release(result) freed nothing: $after")
+
+    // connectedComponents: same contract on its per-round edge frames
+    val ccBefore = sc.getPersistentRDDs.keySet
+    val cc = Graph.connectedComponents(edges, "src", "dst")
+    cc.count()
+    val ccLeaked = sc.getPersistentRDDs.keySet -- ccBefore
+    assert(ccLeaked.size <= 3,
+      s"connectedComponents left ${ccLeaked.size} persistent RDDs")
+    Graph.release(cc)
+  }
+
+  test("weighted PageRank rejects NULL and fractional-typed weights") {
+    // a NULL weight slips min/max (which skip NULLs) — must fail loudly
+    val withNull = Seq(("a", "b", Some(2L)), ("b", "a", None))
+      .toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(withNull, "src", "dst", "w")
+    }
+    // a double weight would be silently truncated by the long cast —
+    // rejected statically on the schema, no job launched
+    val frac = Seq(("a", "b", 1.5)).toDF("src", "dst", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWeighted(frac, "src", "dst", "w")
+    }
+    // integer (non-long) weights are fine
+    val ints = Seq(("a", "b", 2), ("b", "a", 3)).toDF("src", "dst", "w")
+    assert(Graph.pageRankWeighted(ints, "src", "dst", "w", 2).count() == 2)
+  }
+
   test("topRanked breaks rank ties by id") {
     val ranks = Seq(("z", 5L), ("a", 5L), ("m", 9L)).toDF("v", "rank")
     val got = Graph.topRanked(ranks, 2).as[(String, Long)].collect().toSeq

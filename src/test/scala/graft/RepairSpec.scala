@@ -301,6 +301,30 @@ class RepairSpec extends SparkSuite {
     engine.remove()
   }
 
+  test("cellSkew flags a pathological 90%-one-cell corpus") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    val engine = new graft.api.Engine(spark, root)
+    val rnd2 = new scala.util.Random(7)
+    // 90% of vectors pile onto one tight cluster; the rest spread wide —
+    // k-means gives the pile one centroid, so one cell holds ~90% of bytes
+    val hot = Seq.fill(720)(Array.fill(8)(5.0 + rnd2.nextGaussian() * 0.01))
+    val rest = Seq.fill(80)(Array.fill(8)(rnd2.nextDouble() * 200 - 100))
+    val df = (hot ++ rest).zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }
+      .toDF("id", "vec")
+    engine.makeTable("emb", df)
+    engine.makeIndex("sk", "emb", "vec",
+      graft.coder.CoderConfig(metric = "l2", codebookSize = 8,
+        numCodebooks = 1, batchSize = 256, numEpochs = 3))
+    val s = Index.cellSkew(engine.store, "sk", "emb", "vec")
+    assert(s.cells >= 2, s)
+    assert(s.maxShare >= 0.5,
+      s"expected the hot cluster to dominate one cell's byte share: $s")
+    assert(s.ratio >= 2.0, s)
+    engine.remove()
+  }
+
   test("compactCells coalesces fragmented cells; content and freshness intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

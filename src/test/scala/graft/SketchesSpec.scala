@@ -149,6 +149,46 @@ class SketchesSpec extends SparkSuite {
     assert(got.find(t => t._1 == "a" && t._2 == 0.5).get._3 == 100L, got)
   }
 
+  test("histogramQuantilesAuto derives width = range/targetBins and " +
+      "matches the explicit-width call; constant column degrades to " +
+      "width 1.0; all-NULL input fails loudly") {
+    val vals = (0 until 5000).map(i => ((i * 37) % 997).toDouble)
+    val df = vals.toDF("x")
+    val width = (vals.max - vals.min) / 250.0
+    val auto = Sketches.histogramQuantilesAuto(df, "x",
+        Seq(0.25, 0.5, 0.99), targetBins = 250)
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val manual = Sketches.histogramQuantiles(df, "x", width,
+        Seq(0.25, 0.5, 0.99))
+      .as[(Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(auto == manual, s"$auto vs $manual")
+    // bin count stays within targetBins + 1 (max can land on a bin edge)
+    assert(auto.forall(_._3 <= 251), auto)
+
+    val const = Seq.fill(10)(42.0).toDF("x")
+    val c = Sketches.histogramQuantilesAuto(const, "x", Seq(0.5))
+      .as[(Double, Long, Long, Double)].collect().toSeq
+    assert(c == Seq((0.5, 5L, 42L, 42.0)), c) // width 1.0, bin = value
+
+    intercept[IllegalArgumentException] {
+      Sketches.histogramQuantilesAuto(
+        Seq(Option.empty[Double]).toDF("x"), "x", Seq(0.5))
+    }
+  }
+
+  test("quantile helpers release their histogram checkpoints") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val df = (0 until 2000).map(_.toDouble).toDF("x")
+    Sketches.histogramQuantiles(df, "x", 10.0, Seq(0.5, 0.9)).count()
+    Sketches.profileQuantiles(df, Seq("x" -> 10.0), Seq(0.5)).count()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    // loose bound: suites share the context (a leak would be ≥ 2 here
+    // plus one per additional call, growing without bound in a server)
+    assert(leaked.size <= 1,
+      s"quantile helpers left ${leaked.size} persistent RDDs pinned")
+  }
+
   test("KMV is exact below k and partition-invariant") {
     val df = (0 until 100).map(i => s"v${i % 40}").toDF("k")
     val r = Sketches.kmvDistinct(df, "k", k = 256)

@@ -121,6 +121,35 @@ class UpsertSpec extends SparkSuite {
       java.nio.file.Paths.get(root, "staging", "t")))
   }
 
+  test("replaceTable swap is crash-recoverable: a crash between the two " +
+      "renames leaves the old table at .graft-old, and the next call " +
+      "restores it; leftover asides never surface in listTables") {
+    val root = Files.createTempDirectory("graft-aside").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("t", Seq((1L, "a")).toDF("id", "txt"))
+    // simulate the crash window: old table renamed aside, dest missing
+    val dest = java.nio.file.Paths.get(root, "sources", "t")
+    val aside = java.nio.file.Paths.get(root, "sources", "t.graft-old")
+    java.nio.file.Files.move(dest, aside)
+    assert(!engine.listTables().contains("t.graft-old"),
+      "aside copies must not appear as tables")
+    // reads fall back to the aside copy — the table never goes dark
+    assert(engine.readTable(Seq("t")).count() == 1)
+    // and the next replace (upsert shape: input reads the table, i.e.
+    // the fallback) completes the crashed swap
+    val merged = engine.readTable(Seq("t"))
+      .unionByName(Seq((2L, "b")).toDF("id", "txt"))
+    engine.store.replaceTable("t", merged)
+    val got = engine.readTable(Seq("t"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b")))
+    assert(!java.nio.file.Files.exists(aside), "aside must be cleaned up")
+    // the reserved suffix is rejected as a table name
+    intercept[IllegalArgumentException] {
+      engine.makeTable("x.graft-old", Seq((1L, "a")).toDF("id", "txt"))
+    }
+  }
+
   test("upsertTable creates the destination when absent") {
     val root = Files.createTempDirectory("graft-upsert2").toString
     val engine = new Engine(spark, root)
