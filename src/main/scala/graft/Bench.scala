@@ -44,7 +44,14 @@ object Bench {
     // best-of-2: first run pays planning/IO warmup, min is the steady state
     val results = order.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val runs = (1 to 2).map(_ => timed(fn(spark, sfDir).count()))
+      // release any checkpoint backing the result after consuming it —
+      // 183 queries × best-of-2 in one JVM otherwise accumulate dead
+      // blocks until GC (pressure lands on whatever runs last)
+      val runs = (1 to 2).map(_ => timed {
+        val df = fn(spark, sfDir)
+        df.count()
+        org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
+      })
       val oks = runs.collect { case Right(s) => s }
       if (oks.nonEmpty) Some(name -> oks.min)
       else {

@@ -2300,6 +2300,11 @@ object SparkEntry {
         Seq("l_quantity" -> 1.0, "l_extendedprice" -> 100.0,
           "l_discount" -> 0.01),
         qs = Seq(0.25, 0.5, 0.9, 0.99))),
+    // all three widths derived in one min/max pass
+    "profile_quantiles_auto" -> ((s: SparkSession, dir: String) =>
+      Sketches.profileQuantilesAuto(tbl(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        qs = Seq(0.5, 0.95), targetBins = 400)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3951,6 +3956,41 @@ object SparkEntry {
         "w(col_name, bin_width) AS (VALUES ('l_quantity', 1.0), " +
         "('l_extendedprice', 100.0), ('l_discount', 0.01)), " +
         "qv(q) AS (VALUES (0.25), (0.5), (0.9), (0.99)), " +
+        "r AS (SELECT col_name, q, CAST(ceil(q * n) AS BIGINT) AS rank " +
+        "FROM qv CROSS JOIN n) " +
+        "SELECT r.col_name, q, rank, min(bin) AS bin, " +
+        "min(bin) * CAST(min(bin_width) AS DOUBLE) AS value " +
+        "FROM r JOIN c ON c.col_name = r.col_name AND c.cum >= r.rank " +
+        "JOIN w ON w.col_name = r.col_name " +
+        "GROUP BY 1, 2, 3"),
+    // per-column derived widths: same IEEE (max−min)/targetBins both
+    // engines, then the identical partitioned grid pipeline
+    "profile_quantiles_auto" ->
+      ("WITH s AS (SELECT min(l_quantity) AS mn1, max(l_quantity) AS mx1, " +
+        "min(l_extendedprice) AS mn2, max(l_extendedprice) AS mx2, " +
+        "min(l_discount) AS mn3, max(l_discount) AS mx3 FROM lineitem), " +
+        "w(col_name, bin_width) AS (" +
+        "SELECT 'l_quantity', CASE WHEN mx1 > mn1 THEN (mx1 - mn1) / 400.0 " +
+        "ELSE 1.0 END FROM s " +
+        "UNION ALL SELECT 'l_extendedprice', CASE WHEN mx2 > mn2 THEN " +
+        "(mx2 - mn2) / 400.0 ELSE 1.0 END FROM s " +
+        "UNION ALL SELECT 'l_discount', CASE WHEN mx3 > mn3 THEN " +
+        "(mx3 - mn3) / 400.0 ELSE 1.0 END FROM s), " +
+        "h AS (SELECT col_name, bin, count(*) AS cnt FROM (" +
+        "SELECT 'l_quantity' AS col_name, CAST(floor(l_quantity / " +
+        "(SELECT bin_width FROM w WHERE col_name = 'l_quantity')) AS BIGINT) " +
+        "AS bin FROM lineitem WHERE l_quantity IS NOT NULL " +
+        "UNION ALL SELECT 'l_extendedprice', CAST(floor(l_extendedprice / " +
+        "(SELECT bin_width FROM w WHERE col_name = 'l_extendedprice')) AS BIGINT) " +
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL " +
+        "UNION ALL SELECT 'l_discount', CAST(floor(l_discount / " +
+        "(SELECT bin_width FROM w WHERE col_name = 'l_discount')) AS BIGINT) " +
+        "FROM lineitem WHERE l_discount IS NOT NULL) GROUP BY 1, 2), " +
+        "c AS (SELECT col_name, bin, CAST(sum(cnt) OVER " +
+        "(PARTITION BY col_name ORDER BY bin) AS BIGINT) AS cum FROM h), " +
+        "n AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n " +
+        "FROM h GROUP BY 1), " +
+        "qv(q) AS (VALUES (0.5), (0.95)), " +
         "r AS (SELECT col_name, q, CAST(ceil(q * n) AS BIGINT) AS rank " +
         "FROM qv CROSS JOIN n) " +
         "SELECT r.col_name, q, rank, min(bin) AS bin, " +

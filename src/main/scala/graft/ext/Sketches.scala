@@ -234,6 +234,32 @@ object Sketches {
     histogramQuantiles(df, valueCol, width, qs, maxBins)
   }
 
+  /** Multi-column [[histogramQuantilesAuto]]: widths for ALL columns
+    * derived in ONE bounded min/max aggregate pass (2k aggregate
+    * expressions, one scan), then [[profileQuantiles]]'s single-scan
+    * histogram. Columns with no non-NULL values fail loudly (a silent
+    * skip would make the output schema depend on the data). */
+  def profileQuantilesAuto(df: DataFrame, cols: Seq[String],
+      qs: Seq[Double], targetBins: Int = 500,
+      maxBins: Long = 1000000L): DataFrame = {
+    require(cols.nonEmpty, "profileQuantilesAuto needs at least one column")
+    require(targetBins >= 1 && targetBins * cols.length <= maxBins,
+      s"targetBins·columns must be in [1, $maxBins], got " +
+        s"$targetBins x ${cols.length}")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"__mn_$c"),
+        max(col(c).cast("double")).as(s"__mx_$c"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val widths = cols.zipWithIndex.map { case (c, i) =>
+      require(!r.isNullAt(2 * i),
+        s"profileQuantilesAuto: '$c' has no non-NULL values")
+      val mn = r.getDouble(2 * i); val mx = r.getDouble(2 * i + 1)
+      c -> (if (mx > mn) (mx - mn) / targetBins.toDouble else 1.0)
+    }
+    profileQuantiles(df, widths, qs, maxBins)
+  }
+
   /** Multi-column grid quantiles in ONE table scan — the profiling
     * companion to [[histogramQuantiles]]: each row contributes one
     * (col_name, bin) entry per profiled column via a single generate,

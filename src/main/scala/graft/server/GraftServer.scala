@@ -146,6 +146,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "graph" :: "pagerank" :: Nil)    => postPageRank(ex)
         case ("POST", "graph" :: "components" :: Nil)  => postComponents(ex)
         case ("POST", "events" :: "resample" :: Nil)   => postResample(ex)
+        case ("POST", "events" :: "asof" :: Nil)       => postAsof(ex)
         case ("POST", "sketch" :: "distinct" :: Nil)   => postKmvDistinct(ex)
         case ("POST", "sketch" :: "heavy-hitters" :: Nil) => postHeavyHitters(ex)
         case ("POST", "sketch" :: "quantiles" :: Nil)  => postQuantiles(ex)
@@ -488,7 +489,13 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val rows = stats.map { case (cell, files, bytes, rows) =>
       s"""{"cell":$cell,"files":$files,"bytes":$bytes,"rows":$rows}"""
     }.mkString(",")
-    ok(ex, s"""{"fresh":$fresh,"cells":[$rows]}""")
+    // skew headline (max/median byte ratio + max byte share) so ops can
+    // alert on hot cells without re-deriving it from the cell list
+    val skew = graft.index.Index.cellSkew(engine.store, coding, source,
+      column, tier)
+    ok(ex, f"""{"fresh":$fresh,"skew_ratio":${skew.ratio}%.3f,""" +
+      f""""max_share":${skew.maxShare}%.4f,"max_cell":${skew.maxCell},""" +
+      s""""cells":[$rows]}""")
   }
 
   /** Cell-scoped repair after in-place source changes
@@ -601,7 +608,11 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         graft.ext.Graph.pageRank(edges, srcCol, dstCol, iters,
           durableCheckpoint = durable)
     }
-    okRows(ex, graft.ext.Graph.topRanked(ranks, intOr(body, "topK", 100)))
+    // okRows collects before returning, so the result's final checkpoint
+    // can be freed — without this a long-lived server pins one
+    // checkpointed rank frame per request until GC
+    try okRows(ex, graft.ext.Graph.topRanked(ranks, intOr(body, "topK", 100)))
+    finally graft.ext.Graph.release(ranks)
   }
 
   /** Connected components over an edge table
@@ -611,11 +622,13 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * [[postPageRank]]). */
   private def postComponents(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
-    okRows(ex, graft.ext.Graph.connectedComponents(
+    val cc = graft.ext.Graph.connectedComponents(
       engine.readTable(Seq(require(body, "source").asText())),
       require(body, "srcCol").asText(), require(body, "dstCol").asText(),
       intOr(body, "maxIter", 50),
-      durableCheckpoint = durableFlag(body)))
+      durableCheckpoint = durableFlag(body))
+    // collected by okRows ⇒ the final star-edge checkpoint can be freed
+    try okRows(ex, cc) finally graft.ext.Graph.release(cc)
   }
 
   /** Fixed-grid resampling ([[graft.ext.Temporal.resampleLocf]] /
@@ -673,15 +686,44 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Grid-histogram quantiles
     * ([[graft.ext.Sketches.histogramQuantiles]]). Body: source, column,
-    * binWidth, qs (array of (0, 1] fractions). */
+    * qs (array of (0, 1] fractions), and either binWidth (explicit
+    * grid) or targetBins (auto-ranged: width derived from one min/max
+    * pass, [[graft.ext.Sketches.histogramQuantilesAuto]]; defaults to
+    * 500 when neither is given). */
   private def postQuantiles(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val qsNode = require(body, "qs")
     val qs = (0 until qsNode.size()).map(qsNode.get(_).asDouble())
-    okRows(ex, graft.ext.Sketches.histogramQuantiles(
-      engine.readTable(Seq(require(body, "source").asText())),
-      require(body, "column").asText(),
-      require(body, "binWidth").asDouble(), qs))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val column = require(body, "column").asText()
+    okRows(ex, opt(body, "binWidth") match {
+      case Some(w) => graft.ext.Sketches.histogramQuantiles(
+        df, column, w.asDouble(), qs)
+      case None => graft.ext.Sketches.histogramQuantilesAuto(
+        df, column, qs, intOr(body, "targetBins", 500))
+    })
+  }
+
+  /** As-of join of two stored tables
+    * ([[graft.ext.Temporal.asofJoin]] / `asofJoinBucketed`). Body:
+    * left, right, key, leftTs, rightTs, rightCols (array), optional
+    * bucketSecs (> 0 selects the hot-key-parallel bucketed variant —
+    * identical results, per-(key, bucket) windows). */
+  private def postAsof(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val left = engine.readTable(Seq(require(body, "left").asText()))
+    val right = engine.readTable(Seq(require(body, "right").asText()))
+    val key = require(body, "key").asText()
+    val leftTs = require(body, "leftTs").asText()
+    val rightTs = require(body, "rightTs").asText()
+    val colsNode = require(body, "rightCols")
+    val rightCols = (0 until colsNode.size()).map(colsNode.get(_).asText())
+    okRows(ex, opt(body, "bucketSecs") match {
+      case Some(b) => graft.ext.Temporal.asofJoinBucketed(
+        left, right, key, leftTs, rightTs, rightCols, b.asLong())
+      case None => graft.ext.Temporal.asofJoin(
+        left, right, key, leftTs, rightTs, rightCols)
+    })
   }
 
   /** Latest-wins merge of an updates table into a destination table

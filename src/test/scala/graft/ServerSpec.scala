@@ -157,6 +157,9 @@ class ServerSpec extends SparkSuite {
     assert(mapper.readTree(stBody).get("fresh").asBoolean(), stBody)
     val cellsNode = mapper.readTree(stBody).get("cells")
     assert(cellsNode.size() > 0 && cellsNode.get(0).has("files"), stBody)
+    // skew headline rides the stats response
+    assert(mapper.readTree(stBody).get("skew_ratio").asDouble() >= 1.0, stBody)
+    assert(mapper.readTree(stBody).get("max_share").asDouble() <= 1.0, stBody)
     val (cpc, cpBody) = send("POST", "/indexes/compact",
       """{"coding":"wire_c1","source":"wire_vecs","column":"vec","maxFilesPerCell":64}""")
     assert(cpc == 200 && mapper.readTree(cpBody).get("cellsCompacted").asLong() == 0L,
@@ -951,6 +954,17 @@ class ServerSpec extends SparkSuite {
         n.get("value").asDouble())
     // rank(0.5)=5 → value 5 → bin 2 → edge 4.0; rank(1)=10 → bin 5 → 10.0
     assert(qr.toMap == Map(0.5 -> 4.0, 1.0 -> 10.0), qBody)
+
+    // auto-ranged: omit binWidth → width = (10−1)/targetBins, wire ==
+    // library
+    val (qac, qaBody) = send("POST", "/sketch/quantiles",
+      """{"source":"wire_vals","column":"x","targetBins":9,"qs":[0.5]}""")
+    assert(qac == 200, qaBody)
+    val lib = graft.ext.Sketches.histogramQuantilesAuto(
+      engine.readTable(Seq("wire_vals")), "x", Seq(0.5), targetBins = 9)
+      .select("value").collect()(0).getDouble(0)
+    val qaRow = mapper.readTree(qaBody).get("rows").get(0)
+    assert(qaRow.get("value").asDouble() == lib, qaBody)
     assert(send("DELETE", "/tables/wire_vals")._1 == 200)
 
     assert(send("DELETE", "/tables/wire_edges")._1 == 200)
@@ -979,6 +993,35 @@ class ServerSpec extends SparkSuite {
       assert(wire.toMap == lib, s"$mode: wire $wire vs lib $lib")
     }
     assert(send("DELETE", "/tables/wire_ts")._1 == 200)
+  }
+
+  test("asof route: plain and bucketed variants agree with the library") {
+    val (lc, lBody) = send("PUT", "/tables/wire_asof_l",
+      """{"schema":"eid LONG, k LONG, ts LONG",
+          "rows":[{"eid":1,"k":7,"ts":100},{"eid":2,"k":7,"ts":250},
+                  {"eid":3,"k":8,"ts":50}]}""")
+    assert(lc == 200, lBody)
+    val (rc, rBody) = send("PUT", "/tables/wire_asof_r",
+      """{"schema":"k LONG, rts LONG, v DOUBLE",
+          "rows":[{"k":7,"rts":90,"v":1.5},{"k":7,"rts":240,"v":2.5},
+                  {"k":8,"rts":60,"v":9.0}]}""")
+    assert(rc == 200, rBody)
+    for (extra <- Seq("", ""","bucketSecs":100""")) {
+      val (ac, aBody) = send("POST", "/events/asof",
+        s"""{"left":"wire_asof_l","right":"wire_asof_r","key":"k",
+            "leftTs":"ts","rightTs":"rts","rightCols":["v"]$extra}""")
+      assert(ac == 200, aBody)
+      val got = new scala.collection.mutable.HashMap[Long, Option[Double]]
+      mapper.readTree(aBody).get("rows").elements()
+        .forEachRemaining(n => got(n.get("eid").asLong()) =
+          if (n.has("v")) Some(n.get("v").asDouble()) else None)
+      // eid 1: last k=7 at ts≤100 is 90→1.5; eid 2: 240→2.5;
+      // eid 3: k=8 has no row at ts≤50 → null (absent in toJSON rows)
+      assert(got.toMap == Map(1L -> Some(1.5), 2L -> Some(2.5), 3L -> None),
+        s"variant '$extra': $got")
+    }
+    assert(send("DELETE", "/tables/wire_asof_l")._1 == 200)
+    assert(send("DELETE", "/tables/wire_asof_r")._1 == 200)
   }
 
   test("upsert route: latest-wins merge, wire == library semantics") {

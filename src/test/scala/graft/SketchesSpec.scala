@@ -176,6 +176,29 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("profileQuantilesAuto derives per-column widths in one pass and " +
+      "matches explicit-width profileQuantiles; all-NULL column fails") {
+    val rows = (1 to 300).map(i =>
+      (i.toDouble, if (i % 5 == 0) None else Some(i * 7.0)))
+    val df = rows.toDF("a", "b")
+    val wa = (300.0 - 1.0) / 100.0
+    val bs = rows.flatMap(_._2)
+    val wb = (bs.max - bs.min) / 100.0
+    val auto = Sketches.profileQuantilesAuto(df, Seq("a", "b"),
+        Seq(0.5, 0.9), targetBins = 100)
+      .as[(String, Double, Long, Long, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    val manual = Sketches.profileQuantiles(df, Seq("a" -> wa, "b" -> wb),
+        Seq(0.5, 0.9))
+      .as[(String, Double, Long, Long, Double)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(auto == manual, s"$auto vs $manual")
+    intercept[IllegalArgumentException] {
+      Sketches.profileQuantilesAuto(
+        Seq((1.0, Option.empty[Double])).toDF("a", "b"), Seq("a", "b"), Seq(0.5))
+    }
+  }
+
   test("quantile helpers release their histogram checkpoints") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
