@@ -20,7 +20,7 @@ object GraphSoak {
 
     // splitmix-style mix keeps src/dst deterministic and uncorrelated;
     // every 200th edge points at hub node 0
-    def run(nEdges: Long, nNodes: Long): (Double, Boolean, Long) = {
+    def run(nEdges: Long, nNodes: Long): (Double, Boolean, Long, Int) = {
       val edges = spark.range(nEdges).select(
         (col("id") % nNodes).as("src"),
         when(col("id") % 200 === 0, lit(0L)).otherwise(
@@ -30,14 +30,18 @@ object GraphSoak {
       val ranks = graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 5)
       val top = graft.ext.Graph.topRanked(ranks, 10)
         .as[(Long, Long)].collect()
-      ((System.nanoTime() - t0) / 1e9,
-        top.headOption.exists(_._1 == 0L),
-        top.headOption.map(_._2).getOrElse(0L))
+      val secs = (System.nanoTime() - t0) / 1e9
+      // storage hygiene at soak scale: after release, nothing of this
+      // call may stay pinned in executor storage (round-13 contract)
+      graft.ext.Graph.release(ranks)
+      (secs, top.headOption.exists(_._1 == 0L),
+        top.headOption.map(_._2).getOrElse(0L),
+        spark.sparkContext.getPersistentRDDs.size)
     }
-    val (s1, hub1, rank1) = run(1000000L, 200000L)
-    val (s10, hub10, _) = run(10000000L, 2000000L)
+    val (s1, hub1, rank1, p1) = run(1000000L, 200000L)
+    val (s10, hub10, _, p10) = run(10000000L, 2000000L)
     val json =
-      f"""{"n_edges":1000000,"n_nodes":200000,"iterations":5,"pagerank_sec":$s1%.1f,"hub_is_top":${if (hub1) 1 else 0},"top_rank":$rank1,"pagerank_10m_edges_sec":$s10%.1f,"hub_is_top_10m":${if (hub10) 1 else 0}}"""
+      f"""{"n_edges":1000000,"n_nodes":200000,"iterations":5,"pagerank_sec":$s1%.1f,"hub_is_top":${if (hub1) 1 else 0},"top_rank":$rank1,"persistent_rdds_after_release":$p1,"pagerank_10m_edges_sec":$s10%.1f,"hub_is_top_10m":${if (hub10) 1 else 0},"persistent_rdds_after_release_10m":$p10}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("graph_soak_1m.json"), json)
     println(json)

@@ -27,7 +27,10 @@ object GraftShims {
     * again: the lineage was CUT at checkpoint time, so the blocks are
     * the only copy and a later action on the frame would fail. For a
     * reliable (HDFS) `checkpoint()` the unpersist is a harmless no-op —
-    * the data lives in the checkpoint dir, not in blocks. */
+    * the data lives in the checkpoint dir, not in blocks. Spark logs
+    * one WARN per unpersisted local checkpoint ("cannot be recomputed
+    * after unpersisting") — expected: it states exactly the contract
+    * above, not an error. */
   def releaseCheckpoint(df: Dataset[_]): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
