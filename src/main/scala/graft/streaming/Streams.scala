@@ -404,9 +404,7 @@ object Streams {
         // APPENDS to, and Spark's recache-by-path would re-derive the
         // plan over the grown artifacts — flagging each survivor as a
         // near-dup of ITSELF and emptying the sink. Truncating lineage
-        // freezes the batch's decisions before any append. The blocks
-        // are released by the ContextCleaner when the per-batch RDD
-        // reference dies.
+        // freezes the batch's decisions before any append.
         val survivors = graft.ext.Curate.curateArrivals(batch, idCol,
             textCol, refSigs, refTexts, bench, benchIdCol, benchTextCol,
             cfg, refFps, refSegHashes)
@@ -417,6 +415,10 @@ object Streams {
         appendGateArtifacts(survivors, idCol, textCol, sigsPath, fpsPath,
           cfg.numHashes, cfg.shingleSize, segCountsPath, cfg.stripSep)
         sink(survivors)
+        // the batch is fully consumed (Structured Streaming already
+        // forbids using a foreachBatch frame after the batch) — free the
+        // checkpoint now instead of letting batches pile up until GC
+        org.apache.spark.sql.GraftShims.releaseCheckpoint(survivors)
       }
 
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
