@@ -36,13 +36,18 @@ object AsofSoak {
       val t0 = System.nanoTime(); val a = f
       ((System.nanoTime() - t0) / 1e9, a)
     }
+    // force the carried column: a bare count() lets Catalyst prune the
+    // window away entirely (the filter only needs the origin tag), which
+    // would time the scan instead of the asof
+    def consume(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(col("v")).as("n")).head().getLong(0)
     val (sPlain, plainCnt) = time {
-      graft.ext.Temporal.asofJoin(left, right, "k", "ts", "rts", Seq("v")).count()
+      consume(graft.ext.Temporal.asofJoin(left, right, "k", "ts", "rts", Seq("v")))
     }
     // day buckets: the hot key spreads over horizon/86400 ≈ 578 tasks
     val (sBucketed, _) = time {
-      graft.ext.Temporal.asofJoinBucketed(left, right, "k", "ts", "rts",
-        Seq("v"), bucketSecs = 86400L).count()
+      consume(graft.ext.Temporal.asofJoinBucketed(left, right, "k", "ts", "rts",
+        Seq("v"), bucketSecs = 86400L))
     }
     // exact equality of the two variants on the full hot-key workload
     val a = graft.ext.Temporal.asofJoin(left, right, "k", "ts", "rts", Seq("v"))
@@ -53,8 +58,29 @@ object AsofSoak {
     val matches = a.join(b, Seq("eid"))
       .filter(col("v") <=> col("vb")).count()
 
+    // 10M tier: the plain variant's hot key is ONE ~9M-row window task;
+    // the bucketed variant spreads it over ~578 day buckets
+    val right10 = spark.range(10000000L).select(
+      when(col("id") % 10 =!= 0, lit(0L))
+        .otherwise(col("id") % 97 + 1).as("k"),
+      ((col("id") * 49999991L) % horizon).as("rts"),
+      (col("id") % 1000).cast("double").as("v"))
+    val left10 = spark.range(2000000L).select(
+      col("id").as("eid"),
+      when(col("id") % 10 =!= 0, lit(0L))
+        .otherwise(col("id") % 97 + 1).as("k"),
+      ((col("id") * 31415927L + 17L) % horizon).as("ts"))
+    val (sPlain10, _) = time {
+      consume(graft.ext.Temporal.asofJoin(left10, right10, "k", "ts", "rts",
+        Seq("v")))
+    }
+    val (sBucketed10, _) = time {
+      consume(graft.ext.Temporal.asofJoinBucketed(left10, right10, "k", "ts",
+        "rts", Seq("v"), bucketSecs = 86400L))
+    }
+
     val json =
-      f"""{"n_right":$nRight,"n_left":$nLeft,"hot_key_share":0.9,"plain_sec":$sPlain%.1f,"bucketed_sec":$sBucketed%.1f,"rows":$plainCnt,"bucketed_matches_plain":$matches}"""
+      f"""{"n_right":$nRight,"n_left":$nLeft,"hot_key_share":0.9,"plain_sec":$sPlain%.1f,"bucketed_sec":$sBucketed%.1f,"rows_with_match":$plainCnt,"bucketed_matches_plain":$matches,"plain_sec_10m":$sPlain10%.1f,"bucketed_sec_10m":$sBucketed10%.1f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("asof_soak_1m.json"), json)
     println(json)
