@@ -172,16 +172,38 @@ object Sketches {
     * `binWidth` too fine for the data's range fails the `maxBins`
     * guard rather than building a runaway histogram. */
   def histogramQuantiles(df: DataFrame, valueCol: String, binWidth: Double,
+      qs: Seq[Double], maxBins: Long = 1000000L): DataFrame =
+    quantilesFromBins(histogramBins(df, valueCol, binWidth), binWidth, qs,
+      maxBins)
+
+  /** The histogram HALF of [[histogramQuantiles]]: (bin, cnt) under a
+    * fixed grid. This IS the mergeable sketch (per-partition state =
+    * touched bins; merge = count addition), and — being a plain
+    * groupBy aggregation — it runs UNCHANGED as a Structured Streaming
+    * complete-mode aggregation: maintain the histogram over an arriving
+    * stream, then feed any sink snapshot to [[quantilesFromBins]] for
+    * the monitoring read (e.g. a p99-latency collapse gate). Streaming
+    * state is bounded by the touched-bin count, not row count. */
+  def histogramBins(df: DataFrame, valueCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    df.filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The quantile-extraction HALF of [[histogramQuantiles]]: inverted
+    * CDF over a materialized (bin, cnt) histogram — from [[histogramBins]]
+    * directly, a persisted histogram table, or a streaming aggregation's
+    * sink snapshot. Bit-mirrorable like the composed form. */
+  def quantilesFromBins(bins: DataFrame, binWidth: Double,
       qs: Seq[Double], maxBins: Long = 1000000L): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must lie in (0, 1], got ${qs.mkString(", ")}")
-    val spark = df.sparkSession
+    val spark = bins.sparkSession
     import spark.implicits._
-    val hist = df.filter(col(valueCol).isNotNull)
-      .select(floor(col(valueCol).cast("double") / binWidth).cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // read 3× below (cum, total, probe)
+    val hist = bins.localCheckpoint(true) // read 3× below (cum, total, probe)
     val nBins = hist.count()
     require(nBins <= maxBins,
       s"histogramQuantiles: $nBins bins of width $binWidth (> maxBins=" +

@@ -199,6 +199,35 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("histogram sketch streams: complete-mode bin aggregation == batch, " +
+      "and quantilesFromBins over the stream snapshot == histogramQuantiles") {
+    val vals = (0 until 4000).map(i => ((i * 53) % 701).toDouble)
+    val df = vals.toDF("x")
+    val batchBins = Sketches.histogramBins(df, "x", 25.0)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Double]
+    val q = Sketches.histogramBins(mem.toDF().toDF("x"), "x", 25.0)
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      vals.grouped(1500).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val streamedBins = spark.table("hist_stream")
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(streamedBins == batchBins, "streamed histogram != batch")
+      val viaStream = Sketches.quantilesFromBins(
+          spark.table("hist_stream"), 25.0, Seq(0.5, 0.99))
+        .as[(Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      val direct = Sketches.histogramQuantiles(df, "x", 25.0, Seq(0.5, 0.99))
+        .as[(Double, Long, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(viaStream == direct, s"$viaStream vs $direct")
+    } finally q.stop()
+  }
+
   test("quantile helpers release their histogram checkpoints") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
