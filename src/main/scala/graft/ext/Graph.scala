@@ -89,8 +89,12 @@ object Graph {
     // checkpointing preserves partitioning), so the per-iteration
     // src==v join runs exchange-free — the only shuffle per round is
     // the partial-aggregated in-mass groupBy on dst.
+    // repartition BEFORE distinct: HashPartitioning(src) satisfies the
+    // distinct aggregate's ClusteredDistribution(src, dst) (partition
+    // keys ⊆ grouping keys), so the dedup runs exchange-free on the
+    // already-placed rows — ONE shuffle of the edge set, not two
     val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")), durableCheckpoint)
+      .repartition(col("src")).distinct(), durableCheckpoint)
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("out_deg"))
@@ -228,9 +232,10 @@ object Graph {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     // same reused-partitioning shape as [[pageRank]]: edges on src,
-    // the rank frame (carrying out_deg + is_seed) on v
+    // the rank frame (carrying out_deg + is_seed) on v; repartition
+    // before distinct = one edge shuffle (see [[pageRank]])
     val e = cut(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().repartition(col("src")), durableCheckpoint)
+      .repartition(col("src")).distinct(), durableCheckpoint)
     val nodes = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
     val seedSet = seeds.select(col(seedCol).as("v")).distinct()

@@ -215,6 +215,20 @@ class GraphSpec extends SparkSuite {
     Graph.release(cc)
   }
 
+  test("edge setup dedups exchange-free on the src partitioning: ONE " +
+      "shuffle of the edge set, not two") {
+    // HashPartitioning(src) satisfies distinct's ClusteredDistribution
+    // (src, dst) — partition keys ⊆ grouping keys — so the aggregate
+    // must not add its own Exchange on top of the repartition
+    val edges = (0 until 500).map(i => (s"n${i % 37}", s"n${(i * 7 + 3) % 37}"))
+      .toDF("src", "dst")
+    val plan = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).distinct()
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges:\n$plan")
+  }
+
   test("weighted PageRank rejects NULL and fractional-typed weights") {
     // a NULL weight slips min/max (which skip NULLs) — must fail loudly
     val withNull = Seq(("a", "b", Some(2L)), ("b", "a", None))
