@@ -645,12 +645,19 @@ object Dedup {
       nodes: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20, durableCheckpoint: Boolean = false): DataFrame = {
+    // repartition on src BEFORE distinct (the Graph.pageRank shape):
+    // HashPartitioning(src) satisfies the dedup's clustered distribution,
+    // so edges land placed for the per-round src==id join ONCE — without
+    // it the edge set is (src, dst)-partitioned and re-shuffles every
+    // round; labels likewise start id-partitioned (each round's groupBy
+    // output already is), so the propagation join is exchange-free
     val edges = Graph.cut(
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct(), durableCheckpoint)
+        .repartition(col("src")).distinct(), durableCheckpoint)
     var labels = Graph.cut(
-      nodes.select(col(idCol).as("id"), col(idCol).as("rep")),
+      nodes.select(col(idCol).as("id"), col(idCol).as("rep"))
+        .repartition(col("id")),
       durableCheckpoint)
     var changed = 1L
     var it = 0
