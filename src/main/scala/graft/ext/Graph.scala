@@ -316,13 +316,18 @@ object Graph {
     while (!converged && it < maxIter) {
       // large-star: symmetrize, m = min(neighbors ∪ self), re-point every
       // LARGER neighbor at m. (v > u ≥ m, so no self-edges arise.)
+      // One explicit placement on u serves BOTH the min-agg and the
+      // re-point join exchange-free (HashPartitioning(u) satisfies each
+      // side's clustered distribution); same for the small-star stage
+      // below — 3 shuffles per round instead of ~6.
       val nbrs = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val minsL = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
       val large = nbrs.join(minsL, Seq("u")).where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
+        .repartition(col("u")).distinct()
       // small-star: keyed by the larger endpoint (canonical form), point
       // every smaller neighbor AND the node itself at the minimum.
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
