@@ -565,6 +565,9 @@ object Dedup {
         posexplode(sequence(lit(0), lit(bands - 1))).as(Seq("__p__", "band")))
       .withColumn("bucket", slice(col("sig"), col("band") * rows + 1, lit(rows)))
       .select("id", "band", "bucket")
+      // placed on the band key BEFORE the checkpoint: the sizes groupBy
+      // and both cap-branch joins then run exchange-free on it
+      .repartition(col("band"), col("bucket"))
       .localCheckpoint()
     // one partial-agg count pass sizes every bucket
     val sizes = banded.groupBy("band", "bucket").count()
@@ -758,10 +761,16 @@ object Dedup {
     require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
     require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     val bits = 64 / bands
+    // materialized once, placed on the band key: without the checkpoint
+    // the signature pass (a UDF over corpus text for SimHash) re-runs in
+    // every branch below (sizes + both cap branches = 3 corpus passes),
+    // and without the placement each branch re-shuffles the banded rows
     val banded = sigs.select(col("id"), col("sim"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("chunk", expr(s"shiftrightunsigned(sim, band * $bits)")
         .bitwiseAND(lit((1L << bits) - 1)))
+      .repartition(col("band"), col("chunk"))
+      .localCheckpoint()
     val sizes = banded.groupBy("band", "chunk").count()
     val small = banded.join(
       sizes.filter(col("count") <= maxBucket).select("band", "chunk"),
