@@ -590,7 +590,12 @@ object TextAnalysis {
     // they are read by the doc-frequency agg and BOTH self-join sides,
     // and recomputing the hashing three times dominated the query's wall
     // time
+    // placed on fp before the checkpoint: the doc-frequency groupBy and
+    // the rare-filter join then run exchange-free on the materialized
+    // rows (the self-join below already was — join outputs keep the fp
+    // partitioning)
     val fps0 = winnowFingerprints(df, idCol, textCol, k, window)
+      .repartition(col("fp"))
     val fps =
       if (!durableCheckpoint) fps0.localCheckpoint()
       else {
