@@ -850,8 +850,14 @@ object Dedup {
     // that side). When the bucketing expression is expensive (an IVF
     // cell assignment), pass a PRE-MATERIALIZED code column instead —
     // Engine.semanticDedup reads the stored index copy for exactly this.
+    // explicit __SB__ placement makes the three reads below (size guard,
+    // both self-join sides) share ONE identical Exchange subtree —
+    // ReuseExchange computes the scan + shuffle once and wires the other
+    // two branches to it, where the un-placed form shuffled each branch
+    // separately
     val vecs = df.select(bucket.as("__SB__"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
+      .repartition(col("__SB__"))
     val biggest = vecs.groupBy("__SB__").count()
       .agg(max("count")).collect()(0)
     if (!biggest.isNullAt(0))

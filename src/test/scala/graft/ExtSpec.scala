@@ -223,6 +223,29 @@ class DedupSpec extends SparkSuite {
     assert(err.getMessage.contains("re-bucket"), err.getMessage)
   }
 
+  test("semantic dedup self-join reuses ONE exchange of the bucketed frame") {
+    // the explicit __SB__ repartition makes both self-join branches share
+    // an identical Exchange subtree — ReuseExchange must wire the second
+    // branch to the first instead of shuffling the corpus twice
+    val vecs = (1L to 64L).map(i =>
+      (i, Seq(i.toFloat, (i % 7).toFloat, (i % 3).toFloat, 1.0f)))
+      .toDF("vec_id", "vec")
+    // at corpus scale the self-join is shuffled, not broadcast — force
+    // that shape here, and execute so AQE finalizes its stage reuse
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = graft.ext.Dedup.semanticDedup(vecs, "vec_id", "vec",
+        maxDist = 0.05, bucket = graft.ext.Dedup.signBuckets("vec", 4))
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange") ||
+          "ShuffleQueryStage".r.findAllIn(plan).toSeq.nonEmpty &&
+          "REPARTITION_BY_COL".r.findAllIn(plan).length <= 1,
+        s"expected the pair-join branches to share one Exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("engine semantic dedup over IVF cells honors the within-cell contract") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-semdedup").toString
