@@ -2305,6 +2305,46 @@ object SparkEntry {
       Sketches.profileQuantilesAuto(tbl(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"),
         qs = Seq(0.5, 0.95), targetBins = 400)),
+    // —— data-quality constraint gate (the Deequ shape): every check —
+    // nullability, key uniqueness, range, domain, regex, two foreign
+    // keys, row count — folded into ONE aggregation over ONE scan of
+    // the fact table, reference keys broadcast-joined in ——
+    "quality_constraints" -> ((s: SparkSession, dir: String) => {
+      import graft.ext.Validate
+      Validate.validate(tbl(s, dir, "lineitem"), Seq(
+        Validate.NotNull("l_orderkey"),
+        Validate.Unique(Seq("l_orderkey", "l_linenumber")),
+        Validate.InRange("l_discount", 0.0, 0.1),
+        Validate.InSet("l_returnflag", Seq("A", "N", "R")),
+        Validate.Matches("l_linestatus", "[OF]"),
+        Validate.ForeignKey("l_orderkey", tbl(s, dir, "orders"),
+          "o_orderkey"),
+        Validate.ForeignKey("l_partkey", tbl(s, dir, "part"), "p_partkey"),
+        Validate.RowCountAtLeast(1000L)))
+    }),
+    // —— snapshot drift report: per-bin exact length-distribution
+    // comparison between two corpus versions (here: the even- and
+    // odd-id halves) — pure integer counts, no KL/PSI logarithms ——
+    "corpus_drift" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      Sketches.histogramDrift(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(length(col("text")).cast("double").as("len")),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(length(col("text")).cast("double").as("len")),
+        "len", 50.0)
+    }),
+    // —— one-number drift gate: total-variation distance in exact
+    // integer per-mille (cross-multiplied counts, BigInt division) ——
+    "corpus_drift_summary" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      Sketches.driftSummary(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(length(col("text")).cast("double").as("len")),
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(length(col("text")).cast("double").as("len")),
+        "len", 50.0)
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3998,5 +4038,67 @@ object SparkEntry {
         "FROM r JOIN c ON c.col_name = r.col_name AND c.cum >= r.rank " +
         "JOIN w ON w.col_name = r.col_name " +
         "GROUP BY 1, 2, 3"),
+    // every check is a conditional-count over one scan; FK misses via
+    // correlated NOT EXISTS (the LEFT-join marker's SQL mirror)
+    "quality_constraints" ->
+      ("WITH agg AS (SELECT " +
+        "count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS v0, " +
+        "count(CASE WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL " +
+        "THEN 1 END) - count(DISTINCT CASE WHEN l_orderkey IS NOT NULL AND " +
+        "l_linenumber IS NOT NULL THEN (l_orderkey, l_linenumber) END) AS v1, " +
+        "count(CASE WHEN l_discount IS NOT NULL AND " +
+        "(l_discount < CAST(0.0 AS DOUBLE) OR l_discount > CAST(0.1 AS DOUBLE)) " +
+        "THEN 1 END) AS v2, " +
+        "count(CASE WHEN l_returnflag IS NOT NULL AND " +
+        "l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS v3, " +
+        "count(CASE WHEN l_linestatus IS NOT NULL AND " +
+        "NOT regexp_full_match(l_linestatus, '[OF]') THEN 1 END) AS v4, " +
+        "count(CASE WHEN l_orderkey IS NOT NULL AND NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l_orderkey) " +
+        "THEN 1 END) AS v5, " +
+        "count(CASE WHEN l_partkey IS NOT NULL AND NOT EXISTS " +
+        "(SELECT 1 FROM part p WHERE p.p_partkey = l_partkey) " +
+        "THEN 1 END) AS v6, " +
+        "greatest(1000 - count(*), 0) AS v7 FROM lineitem) " +
+        "SELECT 'not_null(l_orderkey)' AS \"check\", CAST(v0 AS BIGINT) AS violations, v0 = 0 AS passed FROM agg " +
+        "UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', CAST(v1 AS BIGINT), v1 = 0 FROM agg " +
+        "UNION ALL SELECT 'in_range(l_discount)', CAST(v2 AS BIGINT), v2 = 0 FROM agg " +
+        "UNION ALL SELECT 'in_set(l_returnflag)', CAST(v3 AS BIGINT), v3 = 0 FROM agg " +
+        "UNION ALL SELECT 'matches(l_linestatus)', CAST(v4 AS BIGINT), v4 = 0 FROM agg " +
+        "UNION ALL SELECT 'foreign_key(l_orderkey)', CAST(v5 AS BIGINT), v5 = 0 FROM agg " +
+        "UNION ALL SELECT 'foreign_key(l_partkey)', CAST(v6 AS BIGINT), v6 = 0 FROM agg " +
+        "UNION ALL SELECT 'row_count_at_least(1000)', CAST(v7 AS BIGINT), v7 = 0 FROM agg"),
+    "corpus_drift" ->
+      ("WITH a AS (SELECT CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) " +
+        "AS BIGINT) AS bin, count(*) AS cnt FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1), " +
+        "b AS (SELECT CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) " +
+        "AS BIGINT) AS bin, count(*) AS cnt FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1) " +
+        "SELECT COALESCE(a.bin, b.bin) AS bin, " +
+        "CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt_a, " +
+        "CAST(COALESCE(b.cnt, 0) AS BIGINT) AS cnt_b, " +
+        "CAST(COALESCE(a.cnt, 0) - COALESCE(b.cnt, 0) AS BIGINT) AS diff " +
+        "FROM a FULL OUTER JOIN b ON a.bin = b.bin"),
+    // HUGEINT cross-multiplied TV mirrors the BigInt arithmetic exactly
+    // (both integer divisions truncate a non-negative numerator)
+    "corpus_drift_summary" ->
+      ("WITH a AS (SELECT CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) " +
+        "AS BIGINT) AS bin, count(*) AS cnt FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1), " +
+        "b AS (SELECT CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) " +
+        "AS BIGINT) AS bin, count(*) AS cnt FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1), " +
+        "d AS (SELECT COALESCE(a.cnt, 0) AS ca, COALESCE(b.cnt, 0) AS cb " +
+        "FROM a FULL OUTER JOIN b ON a.bin = b.bin), " +
+        "t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na, " +
+        "CAST(sum(cb) AS HUGEINT) AS nb, count(*) AS bins FROM d), " +
+        "s AS (SELECT CAST(sum(abs(CAST(ca AS HUGEINT) * (SELECT nb FROM t) " +
+        "- CAST(cb AS HUGEINT) * (SELECT na FROM t))) AS HUGEINT) AS s FROM d) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(bins AS BIGINT) AS bins, " +
+        "CAST(CASE WHEN na * nb = 0 THEN 0 ELSE " +
+        "(s * 1000) / (2 * na * nb) END AS BIGINT) AS tv_permille " +
+        "FROM t, s"),
   )
 }

@@ -383,4 +383,66 @@ object Sketches {
       .groupBy(keyCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
   }
+
+  /** Snapshot drift report: per-bin count comparison of `valueCol`
+    * between two corpus versions under the [[histogramBins]] grid —
+    * the distribution-shift gate a pipeline runs when a new crawl
+    * snapshot replaces the old one (did the length/quality/score
+    * distribution move?). Pure integer counts, so the report is
+    * bit-exact across engines — no KL/PSI logarithms whose summation
+    * order would diverge.
+    *
+    * Scale shape: each side is a map-side-combined groupBy down to its
+    * touched-bin set (bounded by the grid, not row count); the
+    * full-outer join runs over bins only. */
+  def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Double): DataFrame = {
+    val ha = histogramBins(a, valueCol, binWidth)
+      .select(col("bin"), col("cnt").as("cnt_a"))
+    val hb = histogramBins(b, valueCol, binWidth)
+      .select(col("bin"), col("cnt").as("cnt_b"))
+    ha.join(hb, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .withColumn("diff", col("cnt_a") - col("cnt_b"))
+  }
+
+  /** One-number drift gate over [[histogramDrift]]: total-variation
+    * distance between the two binned distributions, in exact integer
+    * per-mille — `TV = Σ|p_a − p_b| / 2` computed as
+    * `⌊1000·Σ|cnt_a·n_b − cnt_b·n_a⌋ / (2·n_a·n_b)⌋` in arbitrary-
+    * precision integers (cross-multiplied counts, never a float), so
+    * an independent engine's HUGEINT arithmetic hash-matches it.
+    * Returns one row `(n_a, n_b, bins, tv_permille)`; 0 = identical
+    * binned distributions, 1000 = disjoint support. */
+  def driftSummary(a: DataFrame, b: DataFrame, valueCol: String,
+      binWidth: Double): DataFrame = {
+    val spark = a.sparkSession
+    // the cross-multipliers need each side's total alongside every bin:
+    // broadcast the 1-row totals over the bins frame, then one bounded
+    // agg. decimal(38,0): cnt·n products overflow longs at trillion-row
+    // corpora; 38 digits hold |cnt·n| ≤ 10^24 with room to sum.
+    val base = histogramDrift(a, b, valueCol, binWidth)
+      .localCheckpoint(true) // read twice (totals + agg); bins-sized
+    val tot = base.agg(sum("cnt_a").cast("decimal(38,0)").as("na2"),
+      sum("cnt_b").cast("decimal(38,0)").as("nb2"))
+    val row = base.crossJoin(broadcast(tot))
+      .agg(max(col("na2")).as("na"), max(col("nb2")).as("nb"),
+        count(lit(1)).as("bins"),
+        sum(abs(col("cnt_a").cast("decimal(38,0)") * col("nb2") -
+          col("cnt_b").cast("decimal(38,0)") * col("na2"))).as("s"))
+      .head()
+    Graph.release(base)
+    def dec(i: Int): BigInt =
+      if (row.isNullAt(i)) BigInt(0) else BigInt(row.getDecimal(i).toBigInteger)
+    val na = dec(0); val nb = dec(1)
+    val bins = row.getLong(2)
+    val s = dec(3)
+    val denom = na * nb * 2
+    val tv = if (denom == 0) 0L else ((s * 1000) / denom).toLong
+    import spark.implicits._
+    Seq((na.toLong, nb.toLong, bins, tv))
+      .toDF("n_a", "n_b", "bins", "tv_permille")
+  }
 }

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint validation (the Deequ/
+  * great-expectations admin surface, Schelter et al. 2018): a batch of
+  * checks evaluated against a table, one result row per check with its
+  * violation count. The gate a 100 TB pipeline runs BEFORE a training
+  * job consumes a corpus snapshot — a null id or a dangling foreign key
+  * found here costs one aggregation pass; found during training it
+  * costs the run.
+  *
+  * Scale shape: every check folds into ONE aggregation over ONE scan of
+  * the table. Scalar checks (not-null, range, set, regex, row-count)
+  * are conditional-count aggregates; uniqueness is `count(*) −
+  * count(distinct …)` in the same pass; referential integrity LEFT-joins
+  * the distinct reference keys (dimension-sized — broadcast by Catalyst
+  * when small, shuffled otherwise) BEFORE the aggregation, so FK misses
+  * are counted by the same single pass instead of one anti-join job per
+  * FK. No per-check scan, no driver-side row iteration.
+  */
+object Validate {
+
+  sealed trait Check {
+    /** Stable row label in the report. */
+    def label: String
+  }
+  /** `column IS NOT NULL` for every row. */
+  final case class NotNull(column: String) extends Check {
+    def label = s"not_null($column)"
+  }
+  /** No two rows share a value tuple of `columns` (NULL-containing
+    * tuples are ignored, matching SQL UNIQUE). Violations = number of
+    * surplus rows beyond one per distinct tuple. */
+  final case class Unique(columns: Seq[String]) extends Check {
+    require(columns.nonEmpty, "Unique needs at least one column")
+    def label = s"unique(${columns.mkString(",")})"
+  }
+  /** `lo <= column <= hi` (inclusive) for every non-NULL value. */
+  final case class InRange(column: String, lo: Double, hi: Double)
+      extends Check {
+    require(lo <= hi, s"InRange: lo $lo > hi $hi")
+    def label = s"in_range($column)"
+  }
+  /** Every non-NULL value is one of `values`. */
+  final case class InSet(column: String, values: Seq[String]) extends Check {
+    require(values.nonEmpty, "InSet needs at least one value")
+    def label = s"in_set($column)"
+  }
+  /** Every non-NULL value fully matches `regex` (anchored). */
+  final case class Matches(column: String, regex: String) extends Check {
+    def label = s"matches($column)"
+  }
+  /** Table has at least `n` rows. Violations = shortfall. */
+  final case class RowCountAtLeast(n: Long) extends Check {
+    require(n >= 0, s"RowCountAtLeast: n must be >= 0, got $n")
+    def label = s"row_count_at_least($n)"
+  }
+  /** Every non-NULL `column` value exists in `ref(refColumn)`
+    * (referential integrity). */
+  final case class ForeignKey(column: String, ref: DataFrame,
+      refColumn: String) extends Check {
+    def label = s"foreign_key($column)"
+  }
+
+  /** Evaluate `checks` against `df`. Returns one row per check —
+    * `(check, violations, passed)` — in the order given.
+    *
+    * The whole batch is one job: FK reference keys are joined in first
+    * (distinct key list per FK, LEFT join on a marker column), then a
+    * single aggregation computes every violation count, and the one
+    * result row is exploded into the report layout (the
+    * [[Describe.describe]] pattern).
+    */
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "validate needs at least one check")
+    // FK marker columns: LEFT join each FK's distinct reference keys,
+    // carrying a literal marker; a NULL marker after the join is a miss.
+    // Distinct BEFORE the join keeps the join 1:1 (no row duplication).
+    var augmented = df
+    val fkMarker = checks.zipWithIndex.collect {
+      case (fk: ForeignKey, i) =>
+        val m = s"__fk$i"
+        augmented = augmented.join(
+          fk.ref.select(col(fk.refColumn).as(s"__fkk$i")).distinct()
+            .withColumn(m, lit(1)),
+          augmented(fk.column) === col(s"__fkk$i"), "left")
+        (i, m)
+    }.toMap
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      val v: Column = c match {
+        case NotNull(cn) =>
+          count(when(col(cn).isNull, 1))
+        case Unique(cols) =>
+          // rows with a fully non-NULL tuple, minus distinct tuples;
+          // multi-arg count_distinct skips NULL-containing tuples,
+          // matching SQL UNIQUE (a struct would count them)
+          val nonNull = cols.map(col(_).isNotNull).reduce(_ && _)
+          count(when(nonNull, 1)) -
+            count_distinct(col(cols.head), cols.tail.map(col): _*)
+        case InRange(cn, lo, hi) =>
+          count(when(col(cn).isNotNull &&
+            (col(cn).cast("double") < lo || col(cn).cast("double") > hi), 1))
+        case InSet(cn, vs) =>
+          count(when(col(cn).isNotNull &&
+            !col(cn).cast("string").isin(vs: _*), 1))
+        case Matches(cn, re) =>
+          count(when(col(cn).isNotNull &&
+            !col(cn).cast("string").rlike(s"^(?:$re)$$"), 1))
+        case RowCountAtLeast(n) =>
+          greatest(lit(n) - count(lit(1)), lit(0L))
+        case fk: ForeignKey =>
+          count(when(col(fk.column).isNotNull &&
+            col(fkMarker(i)).isNull, 1))
+      }
+      v.cast("long").as(s"__v$i")
+    }
+    val one = augmented.agg(aggs.head, aggs.tail: _*)
+    val rows = checks.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.label).as("check"),
+        col(s"__v$i").as("violations"),
+        (col(s"__v$i") === 0L).as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select("__r.*")
+  }
+}

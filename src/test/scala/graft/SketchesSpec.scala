@@ -305,4 +305,37 @@ class SketchesSpec extends SparkSuite {
     val other = Seq(0L, 7L, 12L).foldLeft(agg.zero)(agg.reduce)
     assert(agg.merge(b, other).toSeq == Seq(0L, 1L, 2L, 3L))
   }
+
+  test("histogramDrift: per-bin exact counts, full-outer over the union " +
+      "of touched bins, NULLs excluded") {
+    import spark.implicits._
+    val a = Seq(Some(1.0), Some(1.5), Some(5.0), None).toDF("v")
+    val b = Seq(Some(1.0), Some(9.0)).toDF("v")
+    val d = graft.ext.Sketches.histogramDrift(a, b, "v", 2.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(d.toSeq == Seq((0L, 2L, 1L, 1L), (2L, 1L, 0L, 1L),
+      (4L, 0L, 1L, -1L)))
+  }
+
+  test("driftSummary: identical distributions → 0; disjoint → 1000; " +
+      "size-invariant cross-multiplied TV") {
+    import spark.implicits._
+    val a = Seq(1.0, 1.0, 3.0).toDF("v")
+    val same = Seq(1.0, 1.0, 1.0, 1.0, 3.0, 3.0).toDF("v") // 2× scaled
+    val row0 = graft.ext.Sketches.driftSummary(a, same, "v", 1.0).head()
+    assert(row0.getLong(3) == 0L, row0.toString) // proportions equal
+    val disjoint = Seq(10.0, 11.0).toDF("v")
+    val row1 = graft.ext.Sketches.driftSummary(a, disjoint, "v", 1.0).head()
+    assert(row1.getLong(3) == 1000L, row1.toString)
+    // half the mass moved: TV = 500
+    val shifted = Seq(1.0, 1.0, 1.0, 1.0, 99.0, 99.0, 3.0, 3.0).toDF("v")
+    val aa = Seq(1.0, 1.0, 3.0, 3.0).toDF("v")
+    val row2 = graft.ext.Sketches.driftSummary(aa, shifted, "v", 1.0).head()
+    assert(row2.getLong(3) == 250L, row2.toString)
+    // empty sides return zeros, not an NPE
+    val empty = Seq.empty[Double].toDF("v")
+    val row3 = graft.ext.Sketches.driftSummary(empty, empty, "v", 1.0).head()
+    assert(row3.getLong(0) == 0L && row3.getLong(3) == 0L, row3.toString)
+  }
 }
