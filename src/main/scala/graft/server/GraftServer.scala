@@ -125,6 +125,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "spans" :: Nil) => postDedupSpans(ex)
         case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
         case ("POST", "tables" :: "upsert" :: Nil) => postUpsert(ex)
+        case ("POST", "tables" :: "validate" :: Nil) => postValidate(ex)
+        case ("POST", "tables" :: "drift" :: Nil)    => postDrift(ex)
         case ("POST", "dedup" :: "segments" :: Nil) => postDedupSegments(ex)
         case ("POST", "dedup" :: "strip-segments" :: Nil) => postDedupStripSegments(ex)
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
@@ -963,6 +965,57 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Per-group corpus audit profile
     * ([[graft.ext.TextAnalysis.corpusProfile]]). */
+  /** Data-quality constraint gate ([[graft.ext.Validate]]): body
+    * `{"source": ..., "checks": [{"type": "not_null"|"unique"|
+    * "in_range"|"in_set"|"matches"|"row_count_at_least"|"foreign_key",
+    * ...}]}` — one report row per check. The whole batch is one
+    * aggregation over one scan of the table. */
+  private def postValidate(ex: HttpExchange): Unit = {
+    import graft.ext.Validate
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val checks = require(body, "checks").elements().asScala.map { n =>
+      require(n, "type").asText() match {
+        case "not_null" => Validate.NotNull(require(n, "column").asText())
+        case "unique" => Validate.Unique(
+          require(n, "columns").elements().asScala.map(_.asText()).toSeq)
+        case "in_range" => Validate.InRange(require(n, "column").asText(),
+          require(n, "lo").asDouble(), require(n, "hi").asDouble())
+        case "in_set" => Validate.InSet(require(n, "column").asText(),
+          require(n, "values").elements().asScala.map(_.asText()).toSeq)
+        case "matches" => Validate.Matches(require(n, "column").asText(),
+          require(n, "regex").asText())
+        case "row_count_at_least" =>
+          Validate.RowCountAtLeast(require(n, "n").asLong())
+        case "foreign_key" => Validate.ForeignKey(
+          require(n, "column").asText(),
+          engine.readTable(Seq(require(n, "ref").asText())),
+          require(n, "refColumn").asText())
+        case other =>
+          throw new IllegalArgumentException(s"unknown check type '$other'")
+      }
+    }.toSeq
+    okRows(ex, Validate.validate(df, checks))
+  }
+
+  /** Snapshot drift between two stored tables
+    * ([[graft.ext.Sketches.histogramDrift]]): body `{"sourceA": ...,
+    * "sourceB": ..., "valueCol": ..., "binWidth": ...}`; with
+    * `"summary": true` responds with the one-row total-variation gate
+    * instead of the per-bin report. */
+  private def postDrift(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val a = engine.readTable(Seq(require(body, "sourceA").asText()))
+    val b = engine.readTable(Seq(require(body, "sourceB").asText()))
+    val vc = require(body, "valueCol").asText()
+    val bw = require(body, "binWidth").asDouble()
+    val out =
+      if (opt(body, "summary").exists(_.asBoolean()))
+        graft.ext.Sketches.driftSummary(a, b, vc, bw)
+      else graft.ext.Sketches.histogramDrift(a, b, vc, bw)
+    okRows(ex, out)
+  }
+
   private def postProfile(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val groupCols = require(body, "groupCols").elements().asScala

@@ -1045,4 +1045,74 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_ups")._1 == 200)
     assert(send("DELETE", "/tables/wire_ups_new")._1 == 200)
   }
+
+  test("validate route: constraint batch over the wire") {
+    val (c1, b1) = send("PUT", "/tables/wire_val",
+      """{"schema":"id LONG, cat STRING, score DOUBLE",
+          "rows":[{"id":1,"cat":"a","score":0.5},
+                  {"id":2,"cat":"b","score":1.5},
+                  {"id":3,"score":0.2},
+                  {"id":3,"cat":"zz","score":0.9}]}""")
+    assert(c1 == 200, b1)
+    val (c2, b2) = send("PUT", "/tables/wire_val_dim",
+      """{"schema":"cat STRING","rows":[{"cat":"a"},{"cat":"b"}]}""")
+    assert(c2 == 200, b2)
+    val (vc, vBody) = send("POST", "/tables/validate",
+      """{"source":"wire_val","checks":[
+           {"type":"not_null","column":"cat"},
+           {"type":"unique","columns":["id"]},
+           {"type":"in_range","column":"score","lo":0.0,"hi":1.0},
+           {"type":"row_count_at_least","n":10},
+           {"type":"foreign_key","column":"cat","ref":"wire_val_dim",
+            "refColumn":"cat"}]}""")
+    assert(vc == 200, vBody)
+    val got = new scala.collection.mutable.HashMap[String, (Long, Boolean)]
+    mapper.readTree(vBody).get("rows").elements().forEachRemaining(n =>
+      got(n.get("check").asText()) =
+        (n.get("violations").asLong(), n.get("passed").asBoolean()))
+    assert(got.size == 5, got)
+    assert(got.values.count(_._2) == 0, got) // every check violated
+    assert(got.exists { case (k, v) => k.contains("not_null") && v._1 == 1L },
+      got) // the one null cat
+    assert(got.exists { case (k, v) => k.contains("unique") && v._1 == 1L },
+      got) // one duplicated id beyond its first
+    assert(got.exists { case (k, v) =>
+      k.contains("row_count") && v._1 == 6L }, got) // 10 − 4 rows
+    assert(got.exists { case (k, v) =>
+      k.contains("foreign_key") && v._1 == 1L }, got) // "zz" not in dim
+    assert(send("DELETE", "/tables/wire_val")._1 == 200)
+    assert(send("DELETE", "/tables/wire_val_dim")._1 == 200)
+  }
+
+  test("drift route: per-bin report and total-variation summary") {
+    val (c1, b1) = send("PUT", "/tables/wire_drift_a",
+      """{"schema":"v DOUBLE",
+          "rows":[{"v":0.1},{"v":0.2},{"v":1.1},{"v":1.2}]}""")
+    assert(c1 == 200, b1)
+    val (c2, b2) = send("PUT", "/tables/wire_drift_b",
+      """{"schema":"v DOUBLE",
+          "rows":[{"v":0.1},{"v":2.5},{"v":2.6},{"v":2.7}]}""")
+    assert(c2 == 200, b2)
+    val (dc, dBody) = send("POST", "/tables/drift",
+      """{"sourceA":"wire_drift_a","sourceB":"wire_drift_b",
+          "valueCol":"v","binWidth":1.0}""")
+    assert(dc == 200, dBody)
+    val bins = new scala.collection.mutable.HashMap[Long, (Long, Long)]
+    mapper.readTree(dBody).get("rows").elements().forEachRemaining(n =>
+      bins(n.get("bin").asLong()) =
+        (n.get("cnt_a").asLong(), n.get("cnt_b").asLong()))
+    assert(bins.toMap == Map(0L -> (2L, 1L), 1L -> (2L, 0L), 2L -> (0L, 3L)),
+      bins)
+    val (sc, sBody) = send("POST", "/tables/drift",
+      """{"sourceA":"wire_drift_a","sourceB":"wire_drift_b",
+          "valueCol":"v","binWidth":1.0,"summary":true}""")
+    assert(sc == 200, sBody)
+    val s = mapper.readTree(sBody).get("rows").elements().next()
+    // TV = 0.5*(|2/4-1/4| + |2/4-0| + |0-3/4|) = 0.75 → 750 per-mille
+    assert(s.get("n_a").asLong() == 4L && s.get("n_b").asLong() == 4L, sBody)
+    assert(s.get("bins").asLong() == 3L, sBody)
+    assert(s.get("tv_permille").asLong() == 750L, sBody)
+    assert(send("DELETE", "/tables/wire_drift_a")._1 == 200)
+    assert(send("DELETE", "/tables/wire_drift_b")._1 == 200)
+  }
 }
