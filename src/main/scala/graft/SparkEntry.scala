@@ -2345,6 +2345,34 @@ object SparkEntry {
           .select(length(col("text")).cast("double").as("len")),
         "len", 50.0)
     }),
+    // —— row-level quarantine split (the streaming validate gate's
+    // body): every row annotated with the checks IT violates — one
+    // codegen'd projection over the FK-augmented scan, no aggregation;
+    // quarantined rows returned with the violation labels joined ——
+    "quality_quarantine" -> ((s: SparkSession, dir: String) => {
+      import graft.ext.Validate
+      Validate.flagViolations(tbl(s, dir, "orders"), Seq(
+          Validate.InRange("o_totalprice", 2000.0, 400000.0),
+          Validate.InSet("o_orderstatus", Seq("O", "F")),
+          Validate.Matches("o_orderpriority", "[1-3]-.*"),
+          Validate.ForeignKey("o_custkey", tbl(s, dir, "customer"),
+            "c_custkey")))
+        .filter(size(col("violations")) > 0)
+        .select(col("o_orderkey"),
+          array_join(col("violations"), ",").as("violations"))
+    }),
+    // —— the streaming drift monitor's per-trigger body on a static
+    // frame: live complete-mode histogram snapshot vs the once-binned
+    // reference histogram — must equal the batch driftSummary with the
+    // same sides (same HUGEINT TV oracle, a/b swapped) ——
+    "corpus_drift_stream" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents").filter(col("text").isNotNull)
+      def bins(parity: Int) = Sketches.histogramBins(
+        docs.filter(col("doc_id") % 2 === parity)
+          .select(length(col("text")).cast("double").as("len")),
+        "len", 50.0)
+      Sketches.driftSummaryFromBins(bins(1), bins(0))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4089,6 +4117,41 @@ object SparkEntry {
         "b AS (SELECT CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) " +
         "AS BIGINT) AS bin, count(*) AS cnt FROM documents " +
         "WHERE text IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1), " +
+        "d AS (SELECT COALESCE(a.cnt, 0) AS ca, COALESCE(b.cnt, 0) AS cb " +
+        "FROM a FULL OUTER JOIN b ON a.bin = b.bin), " +
+        "t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na, " +
+        "CAST(sum(cb) AS HUGEINT) AS nb, count(*) AS bins FROM d), " +
+        "s AS (SELECT CAST(sum(abs(CAST(ca AS HUGEINT) * (SELECT nb FROM t) " +
+        "- CAST(cb AS HUGEINT) * (SELECT na FROM t))) AS HUGEINT) AS s FROM d) " +
+        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, " +
+        "CAST(bins AS BIGINT) AS bins, " +
+        "CAST(CASE WHEN na * nb = 0 THEN 0 ELSE " +
+        "(s * 1000) / (2 * na * nb) END AS BIGINT) AS tv_permille " +
+        "FROM t, s"),
+    // concat_ws skips NULL args in both engines, so the CASE chain
+    // mirrors array_compact(array(...)) + array_join exactly
+    "quality_quarantine" ->
+      ("WITH f AS (SELECT o_orderkey, concat_ws(',', " +
+        "CASE WHEN o_totalprice IS NOT NULL AND " +
+        "(CAST(o_totalprice AS DOUBLE) < 2000.0 OR " +
+        "CAST(o_totalprice AS DOUBLE) > 400000.0) " +
+        "THEN 'in_range(o_totalprice)' END, " +
+        "CASE WHEN o_orderstatus IS NOT NULL AND " +
+        "o_orderstatus NOT IN ('O', 'F') THEN 'in_set(o_orderstatus)' END, " +
+        "CASE WHEN o_orderpriority IS NOT NULL AND " +
+        "NOT regexp_full_match(o_orderpriority, '(?:[1-3]-.*)') " +
+        "THEN 'matches(o_orderpriority)' END, " +
+        "CASE WHEN o_custkey IS NOT NULL AND NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o_custkey) " +
+        "THEN 'foreign_key(o_custkey)' END) AS violations FROM orders) " +
+        "SELECT o_orderkey, violations FROM f WHERE violations <> ''"),
+    "corpus_drift_stream" ->
+      ("WITH a AS (SELECT CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) " +
+        "AS BIGINT) AS bin, count(*) AS cnt FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 2 = 1 GROUP BY 1), " +
+        "b AS (SELECT CAST(floor(CAST(length(text) AS DOUBLE) / 50.0) " +
+        "AS BIGINT) AS bin, count(*) AS cnt FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id % 2 = 0 GROUP BY 1), " +
         "d AS (SELECT COALESCE(a.cnt, 0) AS ca, COALESCE(b.cnt, 0) AS cb " +
         "FROM a FULL OUTER JOIN b ON a.bin = b.bin), " +
         "t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na, " +

@@ -396,11 +396,21 @@ object Sketches {
     * touched-bin set (bounded by the grid, not row count); the
     * full-outer join runs over bins only. */
   def histogramDrift(a: DataFrame, b: DataFrame, valueCol: String,
-      binWidth: Double): DataFrame = {
-    val ha = histogramBins(a, valueCol, binWidth)
-      .select(col("bin"), col("cnt").as("cnt_a"))
-    val hb = histogramBins(b, valueCol, binWidth)
-      .select(col("bin"), col("cnt").as("cnt_b"))
+      binWidth: Double): DataFrame =
+    driftFromBins(histogramBins(a, valueCol, binWidth),
+      histogramBins(b, valueCol, binWidth))
+
+  /** The bins-level half of [[histogramDrift]]: per-bin comparison of
+    * two already-materialized `(bin, cnt)` histograms — from
+    * [[histogramBins]] directly, a persisted histogram artifact, or a
+    * streaming aggregation's complete-mode snapshot (the shape
+    * [[graft.streaming.Streams.driftMonitorForEachBatch]] feeds it).
+    * Splitting here is what makes drift monitorable WITHOUT rescanning
+    * the reference corpus per trigger: the reference side is binned
+    * once and reused. */
+  def driftFromBins(binsA: DataFrame, binsB: DataFrame): DataFrame = {
+    val ha = binsA.select(col("bin"), col("cnt").as("cnt_a"))
+    val hb = binsB.select(col("bin"), col("cnt").as("cnt_b"))
     ha.join(hb, Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
@@ -417,13 +427,20 @@ object Sketches {
     * Returns one row `(n_a, n_b, bins, tv_permille)`; 0 = identical
     * binned distributions, 1000 = disjoint support. */
   def driftSummary(a: DataFrame, b: DataFrame, valueCol: String,
-      binWidth: Double): DataFrame = {
-    val spark = a.sparkSession
+      binWidth: Double): DataFrame =
+    driftSummaryFromBins(histogramBins(a, valueCol, binWidth),
+      histogramBins(b, valueCol, binWidth))
+
+  /** [[driftSummary]] over already-materialized `(bin, cnt)` histograms
+    * — the form a streaming monitor calls per trigger against a static
+    * reference histogram ([[driftFromBins]] note applies). */
+  def driftSummaryFromBins(binsA: DataFrame, binsB: DataFrame): DataFrame = {
+    val spark = binsA.sparkSession
     // the cross-multipliers need each side's total alongside every bin:
     // broadcast the 1-row totals over the bins frame, then one bounded
     // agg. decimal(38,0): cnt·n products overflow longs at trillion-row
     // corpora; 38 digits hold |cnt·n| ≤ 10^24 with room to sum.
-    val base = histogramDrift(a, b, valueCol, binWidth)
+    val base = driftFromBins(binsA, binsB)
       .localCheckpoint(true) // read twice (totals + agg); bins-sized
     val tot = base.agg(sum("cnt_a").cast("decimal(38,0)").as("na2"),
       sum("cnt_b").cast("decimal(38,0)").as("nb2"))

@@ -73,11 +73,11 @@ object Validate {
     * result row is exploded into the report layout (the
     * [[Describe.describe]] pattern).
     */
-  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    require(checks.nonEmpty, "validate needs at least one check")
-    // FK marker columns: LEFT join each FK's distinct reference keys,
-    // carrying a literal marker; a NULL marker after the join is a miss.
-    // Distinct BEFORE the join keeps the join 1:1 (no row duplication).
+  // FK marker columns: LEFT join each FK's distinct reference keys,
+  // carrying a literal marker; a NULL marker after the join is a miss.
+  // Distinct BEFORE the join keeps the join 1:1 (no row duplication).
+  private def fkAugment(df: DataFrame,
+      checks: Seq[Check]): (DataFrame, Map[Int, String]) = {
     var augmented = df
     val fkMarker = checks.zipWithIndex.collect {
       case (fk: ForeignKey, i) =>
@@ -88,6 +88,12 @@ object Validate {
           augmented(fk.column) === col(s"__fkk$i"), "left")
         (i, m)
     }.toMap
+    (augmented, fkMarker)
+  }
+
+  def validate(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "validate needs at least one check")
+    val (augmented, fkMarker) = fkAugment(df, checks)
     val aggs = checks.zipWithIndex.map { case (c, i) =>
       val v: Column = c match {
         case NotNull(cn) =>
@@ -124,5 +130,50 @@ object Validate {
         (col(s"__v$i") === 0L).as("passed"))
     }
     one.select(explode(array(rows: _*)).as("__r")).select("__r.*")
+  }
+
+  /** Row-level companion to [[validate]]: annotate every row with the
+    * labels of the checks IT violates — `df.*` plus `flagCol` (an
+    * array of violated-check labels, in check order; empty = the row
+    * passes). The quarantine split a streaming ingest gate needs:
+    * [[validate]] says WHETHER a snapshot is clean; this says WHICH
+    * rows to hold back.
+    *
+    * Only row-attributable checks are legal here — [[Unique]] and
+    * [[RowCountAtLeast]] are properties of the whole frame, not of a
+    * row, and are rejected loudly (run them through [[validate]]).
+    *
+    * Scale shape: one projection over the (FK-augmented) scan — every
+    * flag is a codegen'd boolean expression; no aggregation, no
+    * per-check pass. */
+  def flagViolations(df: DataFrame, checks: Seq[Check],
+      flagCol: String = "violations"): DataFrame = {
+    require(checks.nonEmpty, "flagViolations needs at least one check")
+    checks.foreach {
+      case c @ (_: Unique | _: RowCountAtLeast) =>
+        throw new IllegalArgumentException(
+          s"${c.label} is frame-level, not row-attributable — " +
+            "evaluate it with validate()")
+      case _ => ()
+    }
+    val (augmented, fkMarker) = fkAugment(df, checks)
+    val flags = checks.zipWithIndex.map { case (c, i) =>
+      val bad: Column = c match {
+        case NotNull(cn) => col(cn).isNull
+        case InRange(cn, lo, hi) => col(cn).isNotNull &&
+          (col(cn).cast("double") < lo || col(cn).cast("double") > hi)
+        case InSet(cn, vs) => col(cn).isNotNull &&
+          !col(cn).cast("string").isin(vs: _*)
+        case Matches(cn, re) => col(cn).isNotNull &&
+          !col(cn).cast("string").rlike(s"^(?:$re)$$")
+        case fk: ForeignKey => col(fk.column).isNotNull &&
+          col(fkMarker(i)).isNull
+        case _: Unique | _: RowCountAtLeast =>
+          throw new IllegalStateException("unreachable: rejected above")
+      }
+      when(bad, lit(c.label))
+    }
+    augmented.select(df.columns.map(col).toIndexedSeq :+
+      array_compact(array(flags: _*)).as(flagCol): _*)
   }
 }

@@ -421,6 +421,53 @@ object Streams {
         org.apache.spark.sql.GraftShims.releaseCheckpoint(survivors)
       }
 
+  /** Data-quality constraint gate as a foreachBatch harness — the
+    * streaming twin of [[graft.ext.Validate.validate]]: each
+    * micro-batch is row-flagged against the (row-attributable) checks
+    * via [[graft.ext.Validate.flagViolations]]; clean rows go to
+    * `sink`, violating rows (annotated with the violated-check labels
+    * and the batch id) go to `quarantineSink` — so a malformed crawl
+    * batch is held for inspection instead of poisoning the corpus OR
+    * silently vanishing. ForeignKey refs are STATIC frames reused
+    * across batches (their distinct-key side is dimension-sized and
+    * broadcast per batch).
+    *
+    * The flagged frame is checkpointed once per batch (both splits and
+    * any FK join read it) and freed after the sinks consume it — the
+    * round-13 storage contract. */
+  def validateGateForEachBatch(checks: Seq[graft.ext.Validate.Check],
+      sink: DataFrame => Unit,
+      quarantineSink: Option[DataFrame => Unit] = None): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val flagged = graft.ext.Validate.flagViolations(batch, checks)
+          .localCheckpoint(true)
+        quarantineSink.foreach(q =>
+          q(flagged.filter(size(col("violations")) > 0)
+            .withColumn("batch_id", lit(batchId))))
+        sink(flagged.filter(size(col("violations")) === 0)
+          .drop("violations"))
+        org.apache.spark.sql.GraftShims.releaseCheckpoint(flagged)
+      }
+
+  /** Distribution-drift monitor as a foreachBatch harness over a
+    * COMPLETE-mode streaming [[graft.ext.Sketches.histogramBins]]
+    * aggregation: each trigger delivers the full updated live
+    * histogram (state bounded by touched bins, not rows), and the
+    * monitor emits one total-variation row against the static
+    * reference histogram via
+    * [[graft.ext.Sketches.driftSummaryFromBins]] — the live "has the
+    * arriving distribution moved off the reference snapshot?" gate,
+    * with the reference corpus binned ONCE, never rescanned per
+    * trigger. Wire as
+    * `histogramBins(stream, col, w).writeStream.outputMode("complete")
+    * .foreachBatch(driftMonitorForEachBatch(refBins, onReport))`. */
+  def driftMonitorForEachBatch(refBins: DataFrame,
+      onReport: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (liveBins: DataFrame, _: Long) =>
+      if (!liveBins.isEmpty)
+        onReport(graft.ext.Sketches.driftSummaryFromBins(liveBins, refBins))
+
   /** Streaming exact dedup: drop repeats of `keyCols` arriving within the
     * watermark (state is bounded by the watermark horizon — the only way
     * exact streaming dedup is safe at scale). Works on batch frames too

@@ -338,4 +338,37 @@ class SketchesSpec extends SparkSuite {
     val row3 = graft.ext.Sketches.driftSummary(empty, empty, "v", 1.0).head()
     assert(row3.getLong(0) == 0L && row3.getLong(3) == 0L, row3.toString)
   }
+
+  test("driftMonitorForEachBatch: streamed TV reports converge to the " +
+      "batch driftSummary, reference binned once") {
+    import spark.implicits._
+    val ref = (0 until 1000).map(i => ((i * 7) % 100).toDouble).toDF("v")
+    val refBins = graft.ext.Sketches.histogramBins(ref, "v", 10.0)
+      .localCheckpoint(true) // binned ONCE — the monitor's contract
+    val live = (0 until 1000).map(i => ((i * 13) % 150).toDouble)
+
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long)]
+    val mem = MemoryStream[Double]
+    val q = graft.ext.Sketches.histogramBins(mem.toDF().toDF("v"), "v", 10.0)
+      .writeStream.outputMode("complete")
+      .foreachBatch(graft.streaming.Streams.driftMonitorForEachBatch(
+        refBins,
+        rep => reports ++= rep.as[(Long, Long, Long, Long)].collect()))
+      .start()
+    try {
+      live.grouped(400).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(reports.size == 3, reports.toString) // one TV row per trigger
+    val expected = graft.ext.Sketches.driftSummaryFromBins(
+        graft.ext.Sketches.histogramBins(live.toDF("v"), "v", 10.0), refBins)
+      .as[(Long, Long, Long, Long)].head()
+    assert(reports.last == expected, s"${reports.last} vs $expected")
+    assert(reports.last._1 == 1000L && reports.last._2 == 1000L)
+    graft.ext.Graph.release(refBins)
+  }
 }

@@ -112,4 +112,63 @@ class ValidateSpec extends SparkSuite {
     assert((rep - "unique(l_orderkey,l_linenumber)").values
       .forall { case (v, p) => v == 0L && p }, rep.toString)
   }
+
+  test("flagViolations: per-row labels, in check order, empty = clean") {
+    val dim = Seq("a", "b").toDF("k")
+    val df = Seq(
+      (1L, Some(0.05), "a"),  // clean
+      (2L, Some(0.20), "a"),  // range
+      (3L, None, "z"),        // null rate + FK miss
+    ).toDF("id", "rate", "k")
+    val out = Validate.flagViolations(df, Seq(
+        NotNull("rate"),
+        InRange("rate", 0.0, 0.10),
+        ForeignKey("k", dim, "k")))
+      .select(col("id"), col("violations"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) == Seq())
+    assert(out(2L) == Seq("in_range(rate)"))
+    assert(out(3L) == Seq("not_null(rate)", "foreign_key(k)"))
+  }
+
+  test("flagViolations rejects frame-level checks loudly") {
+    val df = Seq((1L, "a")).toDF("id", "k")
+    for (bad <- Seq(Unique(Seq("id")), RowCountAtLeast(5L))) {
+      val e = intercept[IllegalArgumentException](
+        Validate.flagViolations(df, Seq(NotNull("id"), bad)))
+      assert(e.getMessage.contains("not row-attributable"), e.getMessage)
+    }
+  }
+
+  test("validateGateForEachBatch: clean rows flow, violators quarantine " +
+      "with batch id, storage released") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq("a", "b").toDF("k")
+    val checks = Seq(
+      NotNull("k"): Check,
+      InRange("v", 0.0, 10.0),
+      ForeignKey("k", dim, "k"))
+    val clean = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val held = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    val gate = graft.streaming.Streams.validateGateForEachBatch(
+      checks,
+      df => clean ++= df.select("id").as[Long].collect(),
+      Some(df => held ++= df
+        .select(col("id"), array_join(col("violations"), ","), col("batch_id"))
+        .as[(Long, String, Long)].collect()))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val mem = MemoryStream[(Long, Double, String)]
+    val q = mem.toDF().toDF("id", "v", "k").writeStream
+      .foreachBatch(gate).outputMode("update").start()
+    try {
+      mem.addData((1L, 1.0, "a"), (2L, 99.0, "a")); q.processAllAvailable()
+      mem.addData((3L, 2.0, "z"), (4L, 3.0, "b")); q.processAllAvailable()
+    } finally q.stop()
+    assert(clean.sorted.toSeq == Seq(1L, 4L))
+    assert(held.sortBy(_._1).toSeq == Seq(
+      (2L, "in_range(v)", 0L), (3L, "foreign_key(k)", 1L)))
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "per-batch checkpoint not released")
+  }
 }
