@@ -2217,6 +2217,16 @@ object SparkEntry {
         .agg(max_by(col("value"), col("event_id")).as("value"))
       graft.ext.Temporal.resampleLinear(ev, "user_id", "ts_sec", "value", 86400L)
     }),
+    // —— rolling three-sigma anomaly flags: trailing-20-event window
+    // per user, |x−μ| > 3σ cross-multiplied into exact integers
+    // ((n·x−S)² > 9·(n·Q−S²) over floor-scaled values) — no float
+    // mean/sqrt, so the flag set is bit-mirrorable ——
+    "events_anomaly" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Temporal.rollingAnomalies(
+          tblEvents(s, dir).select("event_id", "ts", "user_id", "value"),
+          "user_id", "ts", "event_id", "value",
+          window = 20, minN = 10L, t = 3, scale = 1000.0)
+        .select("event_id", "user_id", "value", "n")),
     // —— funnel analysis: first view → first click within a day of it →
     // first purchase within a day of that, per user; stage counts
     // (150/60/25 at sf0.01 — the windows discriminate). Three narrow
@@ -2265,6 +2275,14 @@ object SparkEntry {
     "sketch_distinct_kmv" -> ((s: SparkSession, dir: String) =>
       Sketches.kmvDistinct(
         tbl(s, dir, "lineitem").select(col("l_partkey")), "l_partkey", 256)),
+    // —— sketches: KMV set algebra — union/Jaccard/intersection key
+    // cardinality of orders.o_custkey vs customer.c_custkey from two
+    // O(k) sketches (the join-size planner; k=128 < 1500 distinct keys
+    // exercises the estimator branch) ——
+    "sketch_join_size" -> ((s: SparkSession, dir: String) =>
+      Sketches.kmvSetOps(
+        tbl(s, dir, "orders").select("o_custkey"), "o_custkey",
+        tbl(s, dir, "customer").select("c_custkey"), "c_custkey", k = 128)),
     // —— sketches: per-group KMV — distinct users per event type with
     // k=64 (above-k groups exercise the estimator branch) ——
     "sketch_distinct_by" -> ((s: SparkSession, dir: String) =>
@@ -3884,6 +3902,20 @@ object SparkEntry {
         "SELECT cohort_wk, wk - cohort_wk AS wk_offset, " +
         "count(DISTINCT e.user_id) AS active_users " +
         "FROM e JOIN c USING (user_id) GROUP BY 1, 2"),
+    // HUGEINT sums/products replay the decimal(38,0) cross-multiplied
+    // three-sigma test exactly
+    "events_anomaly" ->
+      ("WITH b AS (SELECT event_id, ts, user_id, value, " +
+        "CAST(floor(CAST(value AS DOUBLE) * 1000.0) AS BIGINT) AS v " +
+        "FROM events), " +
+        "w AS (SELECT *, count(v) OVER win AS n, " +
+        "CAST(sum(v) OVER win AS HUGEINT) AS s, " +
+        "CAST(sum(CAST(v AS HUGEINT) * v) OVER win AS HUGEINT) AS q " +
+        "FROM b WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) " +
+        "SELECT event_id, user_id, value, CAST(n AS BIGINT) AS n FROM w " +
+        "WHERE v IS NOT NULL AND n >= 10 " +
+        "AND (n * v - s) * (n * v - s) > 9 * (n * q - s * s)"),
     // DuckDB's native ASOF JOIN is the independent check of the union +
     // running-last-value carry
     "events_resample" ->
@@ -3960,6 +3992,32 @@ object SparkEntry {
         "THEN CAST(n_kept AS DOUBLE) " +
         "ELSE 255 * pow(2, 60) / CAST(kth_hash AS DOUBLE) END AS est_distinct " +
         "FROM a"),
+    // coordinated k-min sample of the union: ha/hb are each side's k
+    // smallest distinct u60 hashes, ku the union's; overlap counts ku
+    // members present in BOTH sides; estimates replay the engine's
+    // IEEE arithmetic ((k-1)*2^60 exact in a double)
+    "sketch_join_size" ->
+      ("WITH ha AS (SELECT h FROM (SELECT DISTINCT " +
+        u60Sql("CAST(o_custkey AS VARCHAR)") + " AS h FROM orders) " +
+        "ORDER BY h LIMIT 128), " +
+        "hb AS (SELECT h FROM (SELECT DISTINCT " +
+        u60Sql("CAST(c_custkey AS VARCHAR)") + " AS h FROM customer) " +
+        "ORDER BY h LIMIT 128), " +
+        "ku AS (SELECT h FROM (SELECT DISTINCT h FROM " +
+        "(SELECT h FROM ha UNION ALL SELECT h FROM hb)) " +
+        "ORDER BY h LIMIT 128), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS union_kept, " +
+        "max(h) AS union_kth, " +
+        "CAST(count(CASE WHEN h IN (SELECT h FROM ha) " +
+        "AND h IN (SELECT h FROM hb) THEN 1 END) AS BIGINT) AS overlap " +
+        "FROM ku), " +
+        "e AS (SELECT *, CASE WHEN union_kept < 128 " +
+        "THEN CAST(union_kept AS DOUBLE) " +
+        "ELSE 127 * pow(2, 60) / CAST(union_kth AS DOUBLE) END AS est_union, " +
+        "CASE WHEN union_kept > 0 THEN CAST(overlap AS DOUBLE) / " +
+        "CAST(union_kept AS DOUBLE) ELSE 0.0 END AS jaccard_est FROM s) " +
+        "SELECT union_kept, union_kth, overlap, est_union, jaccard_est, " +
+        "jaccard_est * est_union AS est_intersect FROM e"),
     "sketch_distinct_by" ->
       ("WITH h AS (SELECT DISTINCT event_type, " +
         u60Sql("CAST(user_id AS VARCHAR)") + " AS h FROM events), " +

@@ -148,6 +148,61 @@ object Sketches {
             col("kth_hash").cast("double")))
   }
 
+  /** Sketch-level set algebra over two KMV sketches on the same key
+    * hash space (Beyer et al., SIGMOD 2007 — distinct-value estimation
+    * under set operations): union cardinality from the merged k-min
+    * set, Jaccard similarity as the overlap fraction INSIDE the merged
+    * k-min set (an unbiased estimator, since the k union-minima are a
+    * uniform coordinated sample of the union), and intersection
+    * cardinality as `jaccard · union`. This is the join-size planner:
+    * how many keys do two 100 TB tables share, and how big is their
+    * key union — answered from two O(k) sketches instead of a dry-run
+    * join. When the union has fewer than k distinct hashes the merged
+    * set IS the union and every output is exact.
+    *
+    * Deterministic and bit-mirrorable like [[kmvDistinct]]: same
+    * md5-prefix u60 hash, same IEEE estimate arithmetic — an external
+    * engine replaying the formulas hash-matches.
+    *
+    * Scale shape: each side collapses map-side to ONE k-long sketch
+    * row; the set algebra is array expressions over the broadcast
+    * 1-row pair. No shuffle scales with row count.
+    *
+    * Output (one row): `union_kept` (≤ k), `union_kth`, `overlap`
+    * (hashes present in BOTH sides among the union k-minima),
+    * `est_union`, `jaccard_est`, `est_intersect`. */
+  def kmvSetOps(a: DataFrame, aKeyCol: String, b: DataFrame,
+      bKeyCol: String, k: Int = 256): DataFrame = {
+    val kmv = udaf(new KMinValuesAgg(k))
+    val sa = a.select(Corpus.hashU60(col(aKeyCol)).as("__h__"))
+      .agg(kmv(col("__h__")).as("ma"))
+    val sb = b.select(Corpus.hashU60(col(bKeyCol)).as("__h__"))
+      .agg(kmv(col("__h__")).as("mb"))
+    sa.crossJoin(broadcast(sb))
+      .withColumn("ku",
+        slice(array_sort(array_union(col("ma"), col("mb"))), 1, k))
+      .withColumn("union_kept", size(col("ku")).cast("long"))
+      // guard the empty union (both inputs empty): ANSI element_at
+      // throws on index 0
+      .withColumn("union_kth", when(size(col("ku")) > 0,
+        element_at(col("ku"), size(col("ku"))))
+        .otherwise(lit(null).cast("long")))
+      .withColumn("overlap", size(filter(col("ku"),
+        x => array_contains(col("ma"), x) && array_contains(col("mb"), x)))
+        .cast("long"))
+      .withColumn("est_union",
+        when(col("union_kept") < k, col("union_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble * math.pow(2.0, 60)) /
+            col("union_kth").cast("double")))
+      .withColumn("jaccard_est",
+        when(col("union_kept") > 0,
+          col("overlap").cast("double") / col("union_kept").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("est_intersect", col("jaccard_est") * col("est_union"))
+      .select("union_kept", "union_kth", "overlap", "est_union",
+        "jaccard_est", "est_intersect")
+  }
+
   /** Grid-resolution quantiles from a fixed-width histogram — the
     * mergeable quantile sketch: the groupBy-on-bin partial aggregation
     * IS the sketch (per-partition state = touched bins, merge = count

@@ -316,4 +316,59 @@ object Temporal {
       .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__BIN__")
   }
+
+  /** Rolling z-score anomaly detection over a per-key event stream:
+    * flag each event whose value deviates from the trailing window's
+    * mean by more than `t` standard deviations — the metric-spike /
+    * sensor-glitch / corrupt-crawl-batch monitor.
+    *
+    * The three-sigma test is evaluated in EXACT integer arithmetic so
+    * an external engine hash-matches row-for-row: values are scaled to
+    * integers (`floor(value · scale)` — floor, not round, because
+    * round's half-case tie-breaking is engine-dependent), and
+    * `|x − μ| > t·σ` over the trailing window (S = Σv, Q = Σv²,
+    * n = count) is cross-multiplied by n² into
+    * `(n·x − S)² > t²·(n·Q − S²)` — no float mean, no float sqrt.
+    * Sums and products run in decimal(38,0) (HUGEINT-mirrorable);
+    * exactness holds while |scaled value| ≤ ~1e8 and window ≤ ~100
+    * (products ≤ 1e34 < 10^38).
+    *
+    * The window is the `window` PRECEDING rows (the current row is
+    * excluded — an outlier must not mask itself), ordered by
+    * `(tsCol, idCol)` for a deterministic frame under ts ties; rows
+    * with fewer than `minN` predecessors are unflaggable (cold start).
+    *
+    * Scale shape: one per-key window pass — shuffle on `keyCol` only,
+    * state is the O(window) frame. A pathologically hot key serializes
+    * into one task (same caveat as [[asofJoin]]; the time-bucketing
+    * remedy of [[asofJoinBucketed]] applies if one key dominates).
+    *
+    * Returns the FLAGGED rows only: the input columns plus `n` (the
+    * trailing-window count backing the flag). */
+  def rollingAnomalies(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 20, minN: Long = 10L,
+      t: Int = 3, scale: Double = 1000.0): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minN >= 2, s"minN must be >= 2 (variance needs it), got $minN")
+    require(t >= 1, s"t must be >= 1, got $t")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window, -1)
+    val dec = "decimal(38,0)"
+    val vd = col("__v__").cast(dec)
+    val out = df
+      .withColumn("__v__",
+        floor(col(valueCol).cast("double") * scale).cast("long"))
+      .withColumn("__n__", count(col("__v__")).over(w))
+      .withColumn("__s__", sum(vd).over(w))
+      .withColumn("__q__", sum(vd * vd).over(w))
+    val nd = col("__n__").cast(dec)
+    val lhs = nd * vd - col("__s__")
+    val rhs = lit(t.toLong * t).cast(dec) *
+      (nd * col("__q__") - col("__s__") * col("__s__"))
+    out.filter(col("__v__").isNotNull && col("__n__") >= minN &&
+        lhs * lhs > rhs)
+      .select(df.columns.map(col).toIndexedSeq :+
+        col("__n__").as("n"): _*)
+  }
 }

@@ -1154,6 +1154,45 @@ class TemporalSpec extends SparkSuite {
   test("range join matches BETWEEN semantics as an equi-join on bins") {
     val values = Seq((1L, 5.0), (2L, 10.0), (3L, 10.5), (4L, -3.0), (5L, 99.0))
       .toDF("vid", "v")
+    rangeJoinBody(values)
+  }
+
+  test("rollingAnomalies: hand-computed three-sigma flags, cold start, " +
+      "current row excluded from its own window") {
+    // key A: 12 steady values 100.0 then a spike 200.0 then steady.
+    // At the spike (id 13): n=12, S=1_200_000, Q=1.2e11 (scaled ×1000)
+    // → variance 0 → rhs 0, lhs≠0 → flagged. The value AFTER the spike
+    // (id 14, back to 100.0): window now holds the spike, mean pulled
+    // up, but |x−μ| = (S/n − x) small vs σ — hand-check below says NOT
+    // flagged at t=3. Cold start: ids 1..10 have n<10 → unflaggable.
+    val rows = ((1 to 12).map(i => ("A", i.toLong, 100.0)) :+
+      (("A", 13L, 200.0)) :+ (("A", 14L, 100.0))) ++
+      (1 to 15).map(i => ("B", i.toLong, 50.0)) // constant key: no flags
+    val df = rows.toDF("k", "ts", "v")
+    val got = graft.ext.Temporal.rollingAnomalies(df, "k", "ts", "ts", "v",
+        window = 20, minN = 10L, t = 3, scale = 1000.0)
+      .select("k", "ts", "n").as[(String, Long, Long)].collect().toSet
+    // id 13: window = twelve 100000s → n=12, S=1.2e6, Q=1.2e11;
+    // lhs = 12·2e5·... n·x−S = 2.4e6−1.2e6 = 1.2e6, lhs² = 1.44e12;
+    // rhs = 9·(12·1.2e11 − 1.44e12) = 0 → flagged (spike off a
+    // zero-variance window). id 14: window = ids 1..13, n=13,
+    // x=1e5, S=1.4e6, Q=1.6e11; lhs² = (1.3e6−1.4e6)² = 1e10;
+    // rhs = 9·(2.08e12 − 1.96e12) = 1.08e12 > 1e10 → not flagged.
+    assert(got == Set(("A", 13L, 12L)), got.toString)
+  }
+
+  test("rollingAnomalies rejects degenerate parameters loudly") {
+    val df = Seq(("A", 1L, 1.0)).toDF("k", "ts", "v")
+    for (bad <- Seq(
+        () => graft.ext.Temporal.rollingAnomalies(df, "k", "ts", "ts", "v", window = 0),
+        () => graft.ext.Temporal.rollingAnomalies(df, "k", "ts", "ts", "v", minN = 1L),
+        () => graft.ext.Temporal.rollingAnomalies(df, "k", "ts", "ts", "v", t = 0),
+        () => graft.ext.Temporal.rollingAnomalies(df, "k", "ts", "ts", "v", scale = 0.0)))
+      intercept[IllegalArgumentException](bad())
+  }
+
+  private def rangeJoinBody(values: org.apache.spark.sql.DataFrame): Unit = {
+    import spark.implicits._
     val intervals = Seq((100L, 4.0, 10.0), (200L, 10.5, 10.5), (300L, -5.0, -1.0))
       .toDF("iid", "lo", "hi")
     val got = graft.ext.Temporal.rangeJoin(values, "v", intervals, "lo", "hi",

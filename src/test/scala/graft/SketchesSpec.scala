@@ -290,6 +290,45 @@ class SketchesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kmvSetOps: exact below k — union, Jaccard, intersection") {
+    val a = (0 until 60).map(i => s"k$i").toDF("x")      // {0..59}
+    val b = (40 until 100).map(i => s"k$i").toDF("x")    // {40..99}
+    val r = graft.ext.Sketches.kmvSetOps(a, "x", b, "x", k = 256).head()
+    assert(r.getLong(0) == 100L, r.toString)             // union_kept exact
+    assert(r.getLong(2) == 20L, r.toString)              // overlap exact
+    assert(r.getDouble(3) == 100.0, r.toString)          // est_union exact
+    assert(r.getDouble(4) == 0.2, r.toString)            // jaccard exact
+    assert(r.getDouble(5) == 20.0, r.toString)           // est_intersect
+  }
+
+  test("kmvSetOps estimator branch: identical sides → jaccard 1; " +
+      "estimates within the k=256 envelope") {
+    val a = (0 until 20000).map(i => s"u$i").toDF("x")
+    val r1 = graft.ext.Sketches.kmvSetOps(a, "x", a, "x", k = 256).head()
+    assert(r1.getLong(0) == 256L)
+    assert(r1.getDouble(4) == 1.0, r1.toString)          // A ∩ A = A
+    assert(math.abs(r1.getDouble(3) - 20000.0) / 20000.0 < 0.2, r1.toString)
+    assert(r1.getDouble(5) == r1.getDouble(3), r1.toString)
+    // half-overlapping sides: jaccard ≈ 1/3, intersection ≈ 10k
+    val b = (10000 until 30000).map(i => s"u$i").toDF("x")
+    val r2 = graft.ext.Sketches.kmvSetOps(a, "x", b, "x", k = 256).head()
+    assert(math.abs(r2.getDouble(4) - 1.0 / 3.0) < 0.1, r2.toString)
+    assert(math.abs(r2.getDouble(5) - 10000.0) / 10000.0 < 0.35, r2.toString)
+    assert(math.abs(r2.getDouble(3) - 30000.0) / 30000.0 < 0.2, r2.toString)
+  }
+
+  test("kmvSetOps: empty and disjoint inputs degrade cleanly") {
+    val empty = Seq.empty[String].toDF("x")
+    val r0 = graft.ext.Sketches.kmvSetOps(empty, "x", empty, "x", 16).head()
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1) && r0.getDouble(4) == 0.0 &&
+      r0.getDouble(5) == 0.0, r0.toString)
+    val a = Seq("p", "q").toDF("x")
+    val b = Seq("r", "s", "t").toDF("x")
+    val r1 = graft.ext.Sketches.kmvSetOps(a, "x", b, "x", 16).head()
+    assert(r1.getLong(0) == 5L && r1.getLong(2) == 0L &&
+      r1.getDouble(5) == 0.0, r1.toString)
+  }
+
   test("KMV on an empty frame returns the zero profile, not an error") {
     val empty = Seq.empty[String].toDF("k")
     val r = Sketches.kmvDistinct(empty, "k")
