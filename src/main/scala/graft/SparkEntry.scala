@@ -2148,6 +2148,17 @@ object SparkEntry {
           concat(lit("c"), col("c_custkey")).as("src"),
           concat(lit("n"), col("c_nationkey")).as("dst")),
         "src", "dst")),
+    // —— exact triangle count over the part co-occurrence graph
+    // (parts sharing an order): degree-ordered orientation bounds the
+    // wedge set O(m^{3/2}) under any skew ——
+    "graph_triangles" -> ((s: SparkSession, dir: String) => {
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst"))
+      Graph.triangleCount(e, "src", "dst")
+    }),
     // —— personalized PageRank: teleport mass uniform over a trusted
     // seed set (rich customers) — the seed-propagation quality prior;
     // same fixed-point integer arithmetic ——
@@ -3858,6 +3869,23 @@ object SparkEntry {
         "SELECT v, comp AS component FROM (" +
         "SELECT e.src AS v, m.comp FROM e JOIN m USING (dst) " +
         "UNION SELECT dst AS v, comp FROM m)"),
+    // row-comparison (deg, id) orientation mirrors struct(deg, id) <
+    // struct(deg, id); wedge + closing join replay the engine exactly
+    "graph_triangles" ->
+      ("WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem), " +
+        "e0 AS (SELECT DISTINCT x.p AS a, y.p AS b FROM li x " +
+        "JOIN li y ON x.ok = y.ok AND x.p < y.p), " +
+        "deg AS (SELECT n, count(*) AS d FROM (SELECT a AS n FROM e0 " +
+        "UNION ALL SELECT b AS n FROM e0) GROUP BY n), " +
+        "o AS (SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b " +
+        "END AS u, " +
+        "CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v, " +
+        "CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv " +
+        "FROM e0 e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b), " +
+        "w AS (SELECT x.u, x.v AS v1, y.v AS v2 FROM o x JOIN o y " +
+        "ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)) " +
+        "SELECT CAST(count(*) AS BIGINT) AS triangles " +
+        "FROM w JOIN o ON o.u = w.v1 AND o.v = w.v2"),
     "graph_pagerank" ->
       ("WITH eb AS (SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c, " +
         "'s' || CAST(l_suppkey AS VARCHAR) AS sp " +

@@ -252,4 +252,43 @@ class GraphSpec extends SparkSuite {
     val got = Graph.topRanked(ranks, 2).as[(String, Long)].collect().toSeq
     assert(got == Seq(("m", 9L), ("a", 5L)))
   }
+
+  test("triangleCount: hand-built graph, duplicate/reversed/self edges " +
+      "collapse, storage released") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 + disjoint triangle
+    // {6,7,8} + noise: reversed duplicate 2->1, self-loop 3-3
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 1L), (6L, 7L), (7L, 8L), (6L, 8L),
+      (2L, 1L), (3L, 3L)).toDF("src", "dst")
+    val n = Graph.triangleCount(edges, "src", "dst").head().getLong(0)
+    assert(n == 5L, s"expected 5 triangles, got $n")
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "triangleCount left checkpoints pinned")
+    // triangle-free bipartite graph → 0
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L)).toDF("src", "dst")
+    assert(Graph.triangleCount(bip, "src", "dst").head().getLong(0) == 0L)
+    // string ids: one triangle, orientation on (deg, id) tuples
+    val strs = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"))
+      .toDF("src", "dst")
+    assert(Graph.triangleCount(strs, "src", "dst").head().getLong(0) == 1L)
+  }
+
+  test("triangleCount equals the naive ordered 3-cycle join on a " +
+      "random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .toDF("src", "dst")
+    val fast = Graph.triangleCount(edges, "src", "dst").head().getLong(0)
+    val e0 = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val naive = e0.as("e1")
+      .join(e0.as("e2"), col("e2.a") === col("e1.a") && col("e2.b") > col("e1.b"))
+      .join(e0.as("e3"), col("e3.a") === col("e1.b") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(fast == naive, s"oriented $fast vs naive $naive")
+    assert(fast > 0L, "degenerate test graph — no triangles at all")
+  }
 }
