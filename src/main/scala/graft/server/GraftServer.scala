@@ -147,6 +147,9 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
             .map(jstr).mkString(",")}]}""")
         case ("POST", "graph" :: "pagerank" :: Nil)    => postPageRank(ex)
         case ("POST", "graph" :: "components" :: Nil)  => postComponents(ex)
+        case ("POST", "graph" :: "triangles" :: Nil)   => postTriangles(ex)
+        case ("POST", "sketch" :: "set-ops" :: Nil)    => postKmvSetOps(ex)
+        case ("POST", "events" :: "anomalies" :: Nil)  => postAnomalies(ex)
         case ("POST", "events" :: "resample" :: Nil)   => postResample(ex)
         case ("POST", "events" :: "asof" :: Nil)       => postAsof(ex)
         case ("POST", "sketch" :: "distinct" :: Nil)   => postKmvDistinct(ex)
@@ -631,6 +634,47 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       durableCheckpoint = durableFlag(body))
     // collected by okRows ⇒ the final star-edge checkpoint can be freed
     try okRows(ex, cc) finally graft.ext.Graph.release(cc)
+  }
+
+  /** Exact triangle count over an edge table
+    * ([[graft.ext.Graph.triangleCount]]: degree-ordered orientation,
+    * O(m^1.5) wedges under any skew). Body: source, srcCol, dstCol,
+    * optional durable. */
+  private def postTriangles(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Graph.triangleCount(
+      engine.readTable(Seq(require(body, "source").asText())),
+      require(body, "srcCol").asText(), require(body, "dstCol").asText(),
+      durableCheckpoint = durableFlag(body)))
+  }
+
+  /** KMV set algebra — union/Jaccard/intersection key-cardinality
+    * estimates across two tables ([[graft.ext.Sketches.kmvSetOps]]:
+    * the join-size planner). Body: sourceA, columnA, sourceB, columnB,
+    * optional k (default 256). */
+  private def postKmvSetOps(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Sketches.kmvSetOps(
+      engine.readTable(Seq(require(body, "sourceA").asText())),
+      require(body, "columnA").asText(),
+      engine.readTable(Seq(require(body, "sourceB").asText())),
+      require(body, "columnB").asText(), intOr(body, "k", 256)))
+  }
+
+  /** Rolling three-sigma anomaly flags
+    * ([[graft.ext.Temporal.rollingAnomalies]]: exact cross-multiplied
+    * z-score over the trailing per-key window). Body: source, keyCol,
+    * tsCol, idCol, valueCol, optional window/minN/t/scale. */
+  private def postAnomalies(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Temporal.rollingAnomalies(
+      engine.readTable(Seq(require(body, "source").asText())),
+      require(body, "keyCol").asText(), require(body, "tsCol").asText(),
+      require(body, "idCol").asText(), require(body, "valueCol").asText(),
+      window = intOr(body, "window", 20),
+      minN = opt(body, "minN").map(_.asLong()).getOrElse(10L),
+      t = intOr(body, "t", 3),
+      scale = opt(body, "scale").map(_.asDouble()).getOrElse(1000.0)))
   }
 
   /** Fixed-grid resampling ([[graft.ext.Temporal.resampleLocf]] /

@@ -1084,6 +1084,53 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_val_dim")._1 == 200)
   }
 
+  test("triangles, set-ops and anomalies routes over the wire") {
+    // K4 + disjoint triangle = 5 triangles
+    val (c1, b1) = send("PUT", "/tables/wire_tri",
+      """{"schema":"src LONG, dst LONG",
+          "rows":[{"src":1,"dst":2},{"src":1,"dst":3},{"src":1,"dst":4},
+                  {"src":2,"dst":3},{"src":2,"dst":4},{"src":3,"dst":4},
+                  {"src":6,"dst":7},{"src":7,"dst":8},{"src":6,"dst":8}]}""")
+    assert(c1 == 200, b1)
+    val (tc, tBody) = send("POST", "/graph/triangles",
+      """{"source":"wire_tri","srcCol":"src","dstCol":"dst"}""")
+    assert(tc == 200, tBody)
+    assert(mapper.readTree(tBody).get("rows").elements().next()
+      .get("triangles").asLong() == 5L, tBody)
+
+    // set ops: {0..59} vs {40..99} exact below k
+    def keyRows(lo: Int, hi: Int) =
+      (lo until hi).map(i => s"""{"k":"v$i"}""").mkString(",")
+    assert(send("PUT", "/tables/wire_ka",
+      s"""{"schema":"k STRING","rows":[${keyRows(0, 60)}]}""")._1 == 200)
+    assert(send("PUT", "/tables/wire_kb",
+      s"""{"schema":"k STRING","rows":[${keyRows(40, 100)}]}""")._1 == 200)
+    val (sc2, sBody2) = send("POST", "/sketch/set-ops",
+      """{"sourceA":"wire_ka","columnA":"k",
+          "sourceB":"wire_kb","columnB":"k","k":256}""")
+    assert(sc2 == 200, sBody2)
+    val sRow = mapper.readTree(sBody2).get("rows").elements().next()
+    assert(sRow.get("est_union").asDouble() == 100.0, sBody2)
+    assert(sRow.get("jaccard_est").asDouble() == 0.2, sBody2)
+    assert(sRow.get("est_intersect").asDouble() == 20.0, sBody2)
+
+    // anomalies: 12 steady values then a spike
+    val evRows = ((1 to 12).map(i => s"""{"id":$i,"ts":$i,"k":"A","v":100.0}""") :+
+      s"""{"id":13,"ts":13,"k":"A","v":200.0}""").mkString(",")
+    assert(send("PUT", "/tables/wire_anom",
+      s"""{"schema":"id LONG, ts LONG, k STRING, v DOUBLE",
+           "rows":[$evRows]}""")._1 == 200)
+    val (ac, aBody) = send("POST", "/events/anomalies",
+      """{"source":"wire_anom","keyCol":"k","tsCol":"ts","idCol":"id",
+          "valueCol":"v"}""")
+    assert(ac == 200, aBody)
+    val flagged = mapper.readTree(aBody).get("rows")
+    assert(flagged.size() == 1 &&
+      flagged.elements().next().get("id").asLong() == 13L, aBody)
+    for (t <- Seq("wire_tri", "wire_ka", "wire_kb", "wire_anom"))
+      assert(send("DELETE", s"/tables/$t")._1 == 200)
+  }
+
   test("drift route: per-bin report and total-variation summary") {
     val (c1, b1) = send("PUT", "/tables/wire_drift_a",
       """{"schema":"v DOUBLE",
