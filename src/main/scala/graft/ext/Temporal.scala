@@ -356,12 +356,16 @@ object Temporal {
       .rowsBetween(-window, -1)
     val dec = "decimal(38,0)"
     val vd = col("__v__").cast(dec)
+    // one select for all three window aggregates — separate withColumn
+    // steps leave three Window operators (the interleaved Projects
+    // block CollapseWindow); one select ⇒ one Window pass
     val out = df
       .withColumn("__v__",
         floor(col(valueCol).cast("double") * scale).cast("long"))
-      .withColumn("__n__", count(col("__v__")).over(w))
-      .withColumn("__s__", sum(vd).over(w))
-      .withColumn("__q__", sum(vd * vd).over(w))
+      .select(col("*"),
+        count(col("__v__")).over(w).as("__n__"),
+        sum(vd).over(w).as("__s__"),
+        sum(vd * vd).over(w).as("__q__"))
     val nd = col("__n__").cast(dec)
     val lhs = nd * vd - col("__s__")
     val rhs = lit(t.toLong * t).cast(dec) *
