@@ -1555,6 +1555,20 @@ object SparkEntry {
           "doc_id", "text", Seq("hash", "join", "scan"))
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
     }),
+    // —— BM25 through the inverted-index tier: postings + doc-length
+    // artifacts (built inline here; Engine persists them term-bucket-
+    // partitioned), scores bit-equal to the full-scan bm25Scores on
+    // every matching doc — the serving path that touches only the
+    // query terms' postings ——
+    "search_bm25_indexed" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ext.Lexical.bm25FromIndex(
+          graft.ext.Lexical.postings(docs, "doc_id", "text", 64),
+          graft.ext.Lexical.docLengths(docs, "doc_id", "text"),
+          Seq("hash", "join", "scan"), 64)
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+    }),
     // —— TRUE hybrid retrieval: dense l2 ranking over embeddings fused
     // with the BM25 lexical ranking over documents (shared id space)
     // via reciprocal-rank fusion ——
@@ -3343,6 +3357,13 @@ object SparkEntry {
     // divergence), same left-associative arithmetic order
     "search_bm25" ->
       (bm25Sql + " ORDER BY bm25 DESC, doc_id ASC LIMIT 10"),
+    // the index path scores exactly the docs containing >= 1 query term
+    "search_bm25_indexed" ->
+      ("SELECT doc_id, bm25 FROM (" + bm25Sql + ") WHERE doc_id IN " +
+        "(SELECT doc_id FROM documents WHERE text IS NOT NULL AND " +
+        "list_has_any(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> ''), ['hash', 'join', 'scan'])) " +
+        "ORDER BY bm25 DESC, doc_id ASC LIMIT 10"),
     // hybrid RRF: dense l2 ranks × BM25 ranks over the shared id space,
     // fused with the same coalesce-sum as rrf_fusion
     "hybrid_rrf" ->

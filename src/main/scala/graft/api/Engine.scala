@@ -82,6 +82,76 @@ class Engine(val spark: SparkSession, val root: String) {
   def listCodings(): Seq[String] = store.listCodings()
   def dropIndex(name: String): Unit = store.dropCoding(name)
 
+  // ——— lexical (BM25) inverted index ———
+
+  /** Materialize the BM25 inverted index of a stored table's text
+    * column ([[graft.ext.Lexical]]): postings partitioned by
+    * `__TERM_BUCKET__` (a keyword query prunes to its terms' buckets
+    * at the file listing, the lexical analogue of the IVF tiers'
+    * cell pruning) plus the narrow doc-length sidecar. */
+  def buildLexicalIndex(source: String, idCol: String, textCol: String,
+      buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val df = store.loadTable(source)
+    val base = store.lexIndexPath(source, textCol)
+    graft.ext.Lexical.postings(df, idCol, textCol, buckets)
+      .write.mode("overwrite").partitionBy("__TERM_BUCKET__")
+      .parquet(s"$base/postings")
+    graft.ext.Lexical.docLengths(df, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$base/doclens")
+    // bucket count rides the artifact — a query pruning with the wrong
+    // modulus would silently miss terms
+    store.writeSidecar(s"$base/meta.json",
+      s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+  }
+
+  private def lexBuckets(base: String): Int = {
+    val s = new String(store.readSidecar(s"$base/meta.json"), "UTF-8")
+    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"lexical index at $base has no bucket count in meta.json"))
+  }
+
+  /** Append newly ingested documents to the lexical index: docs whose
+    * id is absent from the doc-length sidecar get their postings and
+    * lengths appended — the append-only-corpus incremental path (no
+    * existing posting is rewritten; document UPDATES need a rebuild,
+    * as with every tier's in-place-modification contract). */
+  def syncLexicalIndex(source: String, idCol: String,
+      textCol: String): Long = {
+    val base = store.lexIndexPath(source, textCol)
+    val buckets = lexBuckets(base)
+    val known = spark.read.parquet(s"$base/doclens").select("id")
+    val fresh = store.loadTable(source)
+      .join(known, col(idCol) === known("id"), "left_anti")
+      .localCheckpoint(true) // freeze: the appends below grow the very
+                             // paths a lazy plan would re-list
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        graft.ext.Lexical.postings(fresh, idCol, textCol, buckets)
+          .write.mode("append").partitionBy("__TERM_BUCKET__")
+          .parquet(s"$base/postings")
+        graft.ext.Lexical.docLengths(fresh, idCol, textCol)
+          .write.mode("append").parquet(s"$base/doclens")
+      }
+      n
+    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(fresh)
+  }
+
+  /** Top-k BM25 keyword search through the materialized index —
+    * touches only the query terms' posting buckets
+    * ([[graft.ext.Lexical.bm25FromIndex]]). Ties break by id. */
+  def searchBm25(source: String, textCol: String, terms: Seq[String],
+      k: Int = 10): DataFrame = {
+    val base = store.lexIndexPath(source, textCol)
+    graft.ext.Lexical.bm25FromIndex(
+        spark.read.parquet(s"$base/postings"),
+        spark.read.parquet(s"$base/doclens"), terms, lexBuckets(base))
+      .orderBy(col("bm25").desc, col("id").asc).limit(k)
+  }
+
   // ——— BPE tokenizer (pipeline extension: trained-merges token accounting) ———
 
   /** Train and persist a BPE model from a stored table's text column

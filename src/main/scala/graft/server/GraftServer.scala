@@ -148,6 +148,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "graph" :: "pagerank" :: Nil)    => postPageRank(ex)
         case ("POST", "graph" :: "components" :: Nil)  => postComponents(ex)
         case ("POST", "graph" :: "triangles" :: Nil)   => postTriangles(ex)
+        case ("POST", "indexes" :: "lexical" :: Nil)   => postLexicalBuild(ex)
+        case ("POST", "indexes" :: "lexical" :: "sync" :: Nil) =>
+          postLexicalSync(ex)
+        case ("POST", "search" :: "bm25" :: Nil)       => postBm25(ex)
         case ("POST", "sketch" :: "set-ops" :: Nil)    => postKmvSetOps(ex)
         case ("POST", "events" :: "anomalies" :: Nil)  => postAnomalies(ex)
         case ("POST", "events" :: "resample" :: Nil)   => postResample(ex)
@@ -634,6 +638,38 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       durableCheckpoint = durableFlag(body))
     // collected by okRows ⇒ the final star-edge checkpoint can be freed
     try okRows(ex, cc) finally graft.ext.Graph.release(cc)
+  }
+
+  /** Build the lexical (BM25) inverted index of a stored table
+    * ([[graft.api.Engine.buildLexicalIndex]]). Body: source, idCol,
+    * textCol, optional buckets (default 64). */
+  private def postLexicalBuild(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    engine.buildLexicalIndex(require(body, "source").asText(),
+      require(body, "idCol").asText(), require(body, "textCol").asText(),
+      intOr(body, "buckets", 64))
+    ok(ex, """{"status":"built"}""")
+  }
+
+  /** Incremental lexical-index sync — appends postings for documents
+    * not yet indexed ([[graft.api.Engine.syncLexicalIndex]]). Body:
+    * source, idCol, textCol. Responds with the indexed-doc count. */
+  private def postLexicalSync(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val n = engine.syncLexicalIndex(require(body, "source").asText(),
+      require(body, "idCol").asText(), require(body, "textCol").asText())
+    ok(ex, s"""{"indexed":$n}""")
+  }
+
+  /** Top-k BM25 keyword search through the materialized inverted index
+    * ([[graft.api.Engine.searchBm25]] — touches only the query terms'
+    * posting buckets). Body: source, textCol, terms, optional k. */
+  private def postBm25(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, engine.searchBm25(require(body, "source").asText(),
+      require(body, "textCol").asText(),
+      require(body, "terms").elements().asScala.map(_.asText()).toSeq,
+      intOr(body, "k", 10)))
   }
 
   /** Exact triangle count over an edge table

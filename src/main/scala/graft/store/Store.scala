@@ -72,6 +72,10 @@ class Store(val spark: SparkSession, val root: String) {
   /** IVF+BQ variant: cell-partitioned copy + 1-bit sign codes. */
   def bqIndexPath(source: String, column: String, coding: String) =
     s"$root/bq_indexes/${safeSeg(source)}/${safeSeg(column)}/${safeSeg(coding)}"
+  /** Lexical (BM25) inverted index: term-bucket-partitioned postings
+    * plus the doc-length sidecar table. */
+  def lexIndexPath(source: String, column: String) =
+    s"$root/lex_indexes/${safeSeg(source)}/${safeSeg(column)}"
 
   /** Write small sidecar bytes (e.g. PQ codebooks) through the store's
     * filesystem, so the layout works on HDFS/object stores too. */

@@ -1084,6 +1084,44 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_val_dim")._1 == 200)
   }
 
+  test("lexical index routes: build, bm25 search, incremental sync") {
+    val (c1, b1) = send("PUT", "/tables/wire_lex",
+      """{"schema":"doc_id LONG, text STRING",
+          "rows":[{"doc_id":1,"text":"spark shuffles the hash join build side"},
+                  {"doc_id":2,"text":"a scan reads parquet then a hash aggregate runs"},
+                  {"doc_id":3,"text":"nothing relevant here"}]}""")
+    assert(c1 == 200, b1)
+    val (bc, bBody) = send("POST", "/indexes/lexical",
+      """{"source":"wire_lex","idCol":"doc_id","textCol":"text","buckets":16}""")
+    assert(bc == 200, bBody)
+    val (sc, sBody) = send("POST", "/search/bm25",
+      """{"source":"wire_lex","textCol":"text","terms":["hash","join"],"k":5}""")
+    assert(sc == 200, sBody)
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    mapper.readTree(sBody).get("rows").elements()
+      .forEachRemaining(n => ids += n.get("id").asLong())
+    assert(ids.toSet == Set(1L, 2L), sBody) // doc 3 has no query term
+    // ingest one more matching doc (library-side append — the wire PUT
+    // is an overwrite), sync, and find it
+    locally {
+      val sp = engine.spark; import sp.implicits._
+      Seq((4L, "another hash heavy line")).toDF("doc_id", "text")
+        .write.mode("append").parquet(engine.store.tablePath("wire_lex"))
+    }
+    val (yc, yBody) = send("POST", "/indexes/lexical/sync",
+      """{"source":"wire_lex","idCol":"doc_id","textCol":"text"}""")
+    assert(yc == 200, yBody)
+    assert(mapper.readTree(yBody).get("indexed").asLong() == 1L, yBody)
+    val (s2c, s2Body) = send("POST", "/search/bm25",
+      """{"source":"wire_lex","textCol":"text","terms":["hash"],"k":5}""")
+    assert(s2c == 200, s2Body)
+    val ids2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    mapper.readTree(s2Body).get("rows").elements()
+      .forEachRemaining(n => ids2 += n.get("id").asLong())
+    assert(ids2.contains(4L), s2Body)
+    assert(send("DELETE", "/tables/wire_lex")._1 == 200)
+  }
+
   test("triangles, set-ops and anomalies routes over the wire") {
     // K4 + disjoint triangle = 5 triangles
     val (c1, b1) = send("PUT", "/tables/wire_tri",
