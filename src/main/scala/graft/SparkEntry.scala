@@ -490,6 +490,35 @@ object SparkEntry {
       "FROM documents WHERE text IS NOT NULL))) bs"
   }
 
+  /** TF-IDF cosine all-pairs oracle: weights w = tf·ln(1 + N/df), unit
+    * vectors and pair dots via `list_inner_product` over TERM-SORTED
+    * lists — the same left-fold float association as the Scala side's
+    * sorted-array `aggregate`. */
+  private val tfidfCosineSql: String =
+    "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
+      "string_split(lower(text), ' '), x -> x <> '')) AS term " +
+      "FROM documents WHERE text IS NOT NULL), " +
+    "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf " +
+      "FROM tok GROUP BY 1, 2), " +
+    "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1), " +
+    "nq AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents " +
+      "WHERE text IS NOT NULL), " +
+    "w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(1 + nq.n / dfq.df) AS w " +
+      "FROM tf JOIN dfq USING (term) CROSS JOIN nq), " +
+    "vec AS (SELECT doc_id, list(term ORDER BY term) ts, " +
+      "list(w ORDER BY term) ws FROM w GROUP BY doc_id), " +
+    "unit AS (SELECT doc_id, ts, list_transform(ws, " +
+      "x -> x / sqrt(list_inner_product(ws, ws))) us FROM vec) " +
+    "SELECT id_a, id_b, cosine FROM (" +
+      "SELECT a.doc_id id_a, b.doc_id id_b, " +
+      "round(list_inner_product(" +
+        "list_transform(list_sort(list_intersect(a.ts, b.ts)), " +
+          "t -> a.us[list_position(a.ts, t)]), " +
+        "list_transform(list_sort(list_intersect(a.ts, b.ts)), " +
+          "t -> b.us[list_position(b.ts, t)])), 6) AS cosine " +
+      "FROM unit a JOIN unit b ON a.doc_id < b.doc_id " +
+      "WHERE len(list_intersect(a.ts, b.ts)) > 0) WHERE cosine >= 0.9"
+
   /** Scratch root for lifecycle queries — single source of truth for the
     * formula (Bench attaches to the same root after the query loop has
     * populated it). */
@@ -966,6 +995,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairsExact(
         tbl(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", shingleSize = 1, threshold = 0.6)),
+    // —— dedup: TF-IDF cosine all-pairs, exact shared-term join (the
+    // oracle baseline — quadratic in posting length) ——
+    "dedup_tfidf_cosine" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Lexical.tfidfCosinePairs(
+        tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
+    // —— dedup: same join through Bayardo-prefix candidate filtering —
+    // identical output, candidates only from rare-term prefixes (the
+    // 100 TB path: frequent-term posting lists never self-join) ——
+    "dedup_tfidf_prefix" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Lexical.tfidfCosinePairsPrefix(
+        tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
     // —— dedup: pair graph → duplicate groups (connected components,
     // min-label propagation; rep = component-minimum doc_id) ——
     "dedup_groups_cc" -> ((s: SparkSession, dir: String) => {
@@ -1569,6 +1609,28 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
     }),
+    // —— conjunctive (AND) BM25: only docs containing EVERY query term
+    // are scored — at scale the scoring join shrinks from the union of
+    // the terms' postings to their intersection ——
+    "search_bm25_and" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+      graft.ext.Lexical.bm25FromIndex(
+          graft.ext.Lexical.postings(docs, "doc_id", "text", 64),
+          graft.ext.Lexical.docLengths(docs, "doc_id", "text"),
+          Seq("hash", "join", "scan"), 64, requireAll = true)
+        .select(col("id").as("doc_id"), col("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+    }),
+    // —— exact-phrase search through the positional posting index:
+    // docs containing the consecutive token sequence, with occurrence
+    // counts — pure integer output, position intersection over the
+    // pivoted per-term position arrays ——
+    "text_phrase_match" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Lexical.phraseMatch(
+          graft.ext.Lexical.positionalPostings(
+            tbl(s, dir, "documents"), "doc_id", "text", 64),
+          Seq("hash", "join"), 64)
+        .select(col("id").as("doc_id"), col("hits"))),
     // —— TRUE hybrid retrieval: dense l2 ranking over embeddings fused
     // with the BM25 lexical ranking over documents (shared id space)
     // via reciprocal-rank fusion ——
@@ -2680,6 +2742,13 @@ object SparkEntry {
     // the streaming gate body must be bit-identical to the batch strip —
     // SAME oracle, two implementations held to one answer
     "dedup_seg_strip_stream" -> segStripOracle,
+    // TF-IDF cosine all-pairs: unit vectors in term-sorted list order so
+    // list_inner_product reproduces the Spark fold's float association;
+    // round-before-threshold keeps boundary pairs engine-stable. The
+    // prefix-filtered variant returns the identical pair set by
+    // construction, so both queries share this oracle.
+    "dedup_tfidf_cosine" -> tfidfCosineSql,
+    "dedup_tfidf_prefix" -> tfidfCosineSql,
     "dedup_ngram_jaccard" ->
       ("WITH sh AS (SELECT doc_id, " +
         "list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')) AS s " +
@@ -3364,6 +3433,23 @@ object SparkEntry {
         "list_has_any(list_filter(string_split(lower(text), ' '), " +
         "x -> x <> ''), ['hash', 'join', 'scan'])) " +
         "ORDER BY bm25 DESC, doc_id ASC LIMIT 10"),
+    // conjunctive: only docs containing ALL query terms are scored;
+    // scores on the survivors are the same BM25 values
+    "search_bm25_and" ->
+      ("SELECT doc_id, bm25 FROM (" + bm25Sql + ") WHERE doc_id IN " +
+        "(SELECT doc_id FROM documents WHERE text IS NOT NULL AND " +
+        "list_has_all(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> ''), ['hash', 'join', 'scan'])) " +
+        "ORDER BY bm25 DESC, doc_id ASC LIMIT 10"),
+    // exact-phrase occurrence counts: start positions whose successor
+    // tokens line up (1-indexed DuckDB lists; pure integer compare)
+    "text_phrase_match" ->
+      ("SELECT doc_id, hits FROM (SELECT doc_id, " +
+        "CAST(len(list_filter(range(1, len(t)), " +
+        "p -> t[p] = 'hash' AND t[p + 1] = 'join')) AS BIGINT) AS hits " +
+        "FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> '') AS t FROM documents WHERE text IS NOT NULL)) " +
+        "WHERE hits > 0"),
     // hybrid RRF: dense l2 ranks × BM25 ranks over the shared id space,
     // fused with the same coalesce-sum as rrf_fusion
     "hybrid_rrf" ->

