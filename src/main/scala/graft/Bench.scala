@@ -21,6 +21,10 @@ object Bench {
       .config("spark.driver.maxResultSize", "2g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The checkpoint-release WARN spam (one line per released RDD,
+    // hundreds per bench) buried the driver's 2KB log tail in r13 —
+    // the stall diagnosis had nothing to work with.
+    org.apache.spark.sql.GraftShims.quietCheckpointLogs()
 
     def time[A](f: => A): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -31,6 +35,54 @@ object Bench {
     def timed(f: => Unit): Either[String, Double] =
       try Right(time(f))
       catch { case e: Throwable => Left(e.toString.take(200)) }
+
+    // ——— Per-query wall-clock budget + heartbeat (the r13 lesson: one
+    // pathological query stalled the ENTIRE driver bench for an hour
+    // with zero output, and the round lost its perf signal). Every
+    // (query, run) prints a timestamped stderr line BEFORE it starts —
+    // a stall is now attributable from the log tail alone — and runs
+    // on a watchdog thread under a Spark job group: past the budget the
+    // group's jobs are cancelled (interrupting tasks), the query is
+    // recorded as a `timeout` error, and the bench MOVES ON. One bad
+    // query costs its own entry, never the round. ———
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "180").toInt
+    def timedBudget(name: String, run: Int)(f: => Unit): Either[String, Double] = {
+      System.err.println(s"[bench] ${java.time.Instant.now()} $name run $run")
+      @volatile var res: Either[String, Double] = Left("watchdog: no result")
+      val group = s"bench-$name-$run"
+      val t = new Thread(() => {
+        // job-group + interruptOnCancel so cancelJobGroup reaches tasks
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try res = timed(f)
+        finally spark.sparkContext.clearJobGroup()
+      }, s"bench-$name-$run")
+      t.setDaemon(true)
+      t.start()
+      t.join(budgetSec * 1000L)
+      if (t.isAlive) {
+        System.err.println(
+          s"[bench] ${java.time.Instant.now()} TIMEOUT $name run $run (${budgetSec}s) — cancelling job group")
+        spark.sparkContext.cancelJobGroup(group)
+        t.join(30000L) // give cancellation a moment; daemon thread if not
+        Left(s"timeout: exceeded ${budgetSec}s budget")
+      } else res
+    }
+    // best-of-2, but a timed-out first run is NOT retried — the second
+    // attempt would just burn the budget again.
+    def bestOf2(name: String)(f: => Unit): Either[String, Double] = {
+      val r1 = timedBudget(name, 1)(f)
+      r1 match {
+        case Left(m) if m.startsWith("timeout") => r1
+        case _ =>
+          val r2 = timedBudget(name, 2)(f)
+          (r1, r2) match {
+            case (Right(a), Right(b)) => Right(math.min(a, b))
+            case (Right(a), _) => Right(a)
+            case (_, Right(b)) => Right(b)
+            case (l, _) => l
+          }
+      }
+    }
 
     // Warmup: JIT + codegen + parquet footer caches on a tiny slice.
     SparkEntry.queries("knn_l2")(spark, sfDir).count()
@@ -45,20 +97,18 @@ object Bench {
     val results = order.flatMap { name =>
       val fn = SparkEntry.queries(name)
       // release any checkpoint backing the result after consuming it —
-      // 183 queries × best-of-2 in one JVM otherwise accumulate dead
+      // ~200 queries × best-of-2 in one JVM otherwise accumulate dead
       // blocks until GC (pressure lands on whatever runs last)
-      val runs = (1 to 2).map(_ => timed {
+      bestOf2(name) {
         val df = fn(spark, sfDir)
         df.count()
         org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
-      })
-      val oks = runs.collect { case Right(s) => s }
-      if (oks.nonEmpty) Some(name -> oks.min)
-      else {
-        val msg = runs.collectFirst { case Left(m) => m }.getOrElse("?")
-        System.err.println(s"[bench] FAILED $name: $msg")
-        errors(name) = msg
-        None
+      } match {
+        case Right(s) => Some(name -> s)
+        case Left(msg) =>
+          System.err.println(s"[bench] FAILED $name: $msg")
+          errors(name) = msg
+          None
       }
     }
     // Bounded-budget ANN variants (the queries map runs these at full
@@ -91,14 +141,12 @@ object Bench {
         "c_l2", "emb", "embedding", target, k = 10, probes = 16,
         candidates = 200, idCol = "vec_id").count()),
     ).flatMap { case (name, fn) =>
-      val runs = (1 to 2).map(_ => timed(fn()))
-      val oks = runs.collect { case Right(s) => s }
-      if (oks.nonEmpty) Some(name -> oks.min)
-      else {
-        val msg = runs.collectFirst { case Left(m) => m }.getOrElse("?")
-        System.err.println(s"[bench] FAILED $name: $msg")
-        errors(name) = msg
-        None
+      bestOf2(name)(fn()) match {
+        case Right(s) => Some(name -> s)
+        case Left(msg) =>
+          System.err.println(s"[bench] FAILED $name: $msg")
+          errors(name) = msg
+          None
       }
     }
 
@@ -150,22 +198,26 @@ object Bench {
       .mkString("{", ",", "}")
 
     // Reference-shape workload (100k × 256-d, BASELINE.md constants).
+    System.err.println(s"[bench] ${java.time.Instant.now()} phase RefBench")
     val (refTimings, recall) = RefBench.run(spark)
     val refJson = refTimings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", s""","recall_at_10_probes_16":$recall}""")
 
     // Approximate-operator quality on this SF's documents (sampled).
+    System.err.println(s"[bench] ${java.time.Instant.now()} phase quality")
     val (mhRecall, mhPairs) = graft.ext.Eval.minhashRecall(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
       sampleSize = 200, shingleSize = 1, threshold = 0.5)
     // LSH vs exact near-dup at the 100k scale where n² visibly loses
     // (run once each — the exact baseline is the expensive side).
+    System.err.println(s"[bench] ${java.time.Instant.now()} phase NearDupBench")
     val nearDup = NearDupBench.run(spark) ++ NearDupBench.gateRun(spark) ++
       NearDupBench.deconRun(spark)
     val ndJson = nearDup.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString(",")
     // Recall-vs-budget curve at soak scale (1M): the SQ8 tier's
     // budget-independence claim, recorded in the artifact.
+    System.err.println(s"[bench] ${java.time.Instant.now()} phase CurveBench")
     val curveJson = CurveBench.run(spark)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString(",")
     val curvePart = if (curveJson.isEmpty) "" else s",$curveJson"

@@ -497,12 +497,12 @@ object SparkEntry {
   private val tfidfCosineSql: String =
     "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
       "string_split(lower(text), ' '), x -> x <> '')) AS term " +
-      "FROM documents WHERE text IS NOT NULL), " +
+      "FROM documents WHERE text IS NOT NULL AND doc_id < 1000), " +
     "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf " +
       "FROM tok GROUP BY 1, 2), " +
     "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1), " +
     "nq AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents " +
-      "WHERE text IS NOT NULL), " +
+      "WHERE text IS NOT NULL AND doc_id < 1000), " +
     "w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(1 + nq.n / dfq.df) AS w " +
       "FROM tf JOIN dfq USING (term) CROSS JOIN nq), " +
     "vec AS (SELECT doc_id, list(term ORDER BY term) ts, " +
@@ -996,16 +996,28 @@ object SparkEntry {
         tbl(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", shingleSize = 1, threshold = 0.6)),
     // —— dedup: TF-IDF cosine all-pairs, exact shared-term join (the
-    // oracle baseline — quadratic in posting length) ——
+    // oracle baseline — quadratic in posting length). Capped to a
+    // 1000-doc slice (a no-op at sf0.01, where max doc_id = 499): the
+    // fixture vocabulary is 31 terms, so EVERY pair shares terms and
+    // the full sf0.1 table materializes Σdf² ≈ 448M candidate rows —
+    // the query that stalled the r13 driver bench for an hour. The
+    // degenerate-vocabulary case is now refused loudly by the
+    // operator's candidate-volume guard; the ledger runs the slice
+    // both guards admit. ——
     "dedup_tfidf_cosine" -> ((s: SparkSession, dir: String) =>
       graft.ext.Lexical.tfidfCosinePairs(
-        tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
+        tbl(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.9)),
     // —— dedup: same join through Bayardo-prefix candidate filtering —
     // identical output, candidates only from rare-term prefixes (the
-    // 100 TB path: frequent-term posting lists never self-join) ——
+    // 100 TB path: frequent-term posting lists never self-join). Same
+    // 1000-doc slice, same oracle — with 31 terms every doc's prefix
+    // still collides with most others, so the full table is quadratic
+    // here too (~74M candidates at sf0.1). ——
     "dedup_tfidf_prefix" -> ((s: SparkSession, dir: String) =>
       graft.ext.Lexical.tfidfCosinePairsPrefix(
-        tbl(s, dir, "documents"), "doc_id", "text", threshold = 0.9)),
+        tbl(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", threshold = 0.9)),
     // —— dedup: pair graph → duplicate groups (connected components,
     // min-label propagation; rep = component-minimum doc_id) ——
     "dedup_groups_cc" -> ((s: SparkSession, dir: String) => {

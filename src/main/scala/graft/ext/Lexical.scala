@@ -229,19 +229,55 @@ object Lexical {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Candidate-volume guard both all-pairs variants run BEFORE their
+    * quadratic self-join: the join materializes Σ_t df_t·(df_t−1)/2
+    * rows (df_t = the posting length feeding it), so a dense
+    * vocabulary — e.g. a 31-term corpus where every term appears in
+    * ~78% of documents — silently degenerates to all-pairs no matter
+    * how clever the candidate filter is. Over `maxCandidates` the call
+    * is REFUSED loudly, naming the worst posting lists — the same
+    * fail-don't-degrade discipline as minhash's `maxBucket` star cap
+    * and the 32k INSET cap. Two bounded jobs over the vocabulary-sized
+    * (term, df) frame; pair counts sum in double (a guard needs
+    * magnitude, not exactness, and df² overflows long past ~4.3B
+    * docs). */
+  private def guardCandidates(terms: DataFrame, op: String,
+      maxCandidates: Long): Unit = {
+    val dfq = terms.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df"))
+      .withColumn("pairs", col("df") * (col("df") - 1) / 2)
+    val row = dfq.agg(sum(col("pairs"))).head()
+    val total = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (total > maxCandidates.toDouble) {
+      val worst = dfq.orderBy(col("pairs").desc).limit(5).collect()
+        .map(r => s"'${r.getString(0)}' (df=${r.getDouble(1).toLong})")
+        .mkString(", ")
+      throw new IllegalArgumentException(
+        f"$op: candidate volume ≈ $total%.3g pairs exceeds " +
+          s"maxCandidates=$maxCandidates — the shared-term self-join " +
+          s"would be quadratic (worst posting lists: $worst). " +
+          "Shrink the corpus slice, use tfidfCosinePairsPrefix with a " +
+          "higher threshold, or raise maxCandidates deliberately.")
+    }
+  }
+
   /** Exact TF-IDF cosine all-pairs join: every unordered document pair
     * with cosine ≥ threshold. Candidates are pairs sharing ≥ 1 term
     * (a pair sharing none has cosine 0), so this is quadratic in the
     * per-term posting lengths — the ORACLE baseline.
     * [[tfidfCosinePairsPrefix]] produces the identical result with the
-    * prefix-filtered candidate set and is the variant to run at scale. */
+    * prefix-filtered candidate set and is the variant to run at scale.
+    * Refuses (via [[guardCandidates]]) when the shared-term join would
+    * exceed `maxCandidates` pair rows. */
   def tfidfCosinePairs(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCandidates: Long = 50000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxCandidates >= 1, s"maxCandidates must be >= 1")
     val vecs = tfidfVectors(df, idCol, textCol)
     val terms1 = vecs.select(col("id").as("id_a"),
       explode(transform(col("vec"), s => s("term"))).as("term"))
+    guardCandidates(terms1, "tfidfCosinePairs", maxCandidates)
     val terms2 = terms1.select(col("id_a").as("id_b"), col("term"))
     val cand = terms1.join(terms2, "term")
       .filter(col("id_a") < col("id_b"))
@@ -268,11 +304,18 @@ object Lexical {
     * (position-descending running sum — no per-doc quadratic slice).
     *
     * Verification then scores ONLY candidate pairs with the same
-    * shared-term fold as the exact variant. */
+    * shared-term fold as the exact variant.
+    *
+    * Refuses (via [[guardCandidates]], measured over the PREFIX
+    * posting lists — the ones that actually self-join here) when the
+    * candidate volume would exceed `maxCandidates`: prefix filtering
+    * prunes a Zipfian vocabulary by orders of magnitude but cannot
+    * save a degenerate one where every document's prefix collides. */
   def tfidfCosinePairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, maxCandidates: Long = 50000000L): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
+    require(maxCandidates >= 1, s"maxCandidates must be >= 1")
     val eps = 1e-5
     val vecs = tfidfVectors(df, idCol, textCol)
     val entries = vecs.select(col("id"),
@@ -288,6 +331,8 @@ object Lexical {
       .withColumn("tailsq", sum(col("u") * col("u")).over(tail))
       .filter(sqrt(col("tailsq")) >= threshold - eps)
       .select(col("id"), col("term"))
+    guardCandidates(prefix.select(col("term")), "tfidfCosinePairsPrefix",
+      maxCandidates)
     val p1 = prefix.select(col("id").as("id_a"), col("term"))
     val p2 = prefix.select(col("id").as("id_b"), col("term"))
     val cand = p1.join(p2, "term")

@@ -37,6 +37,25 @@ object GraftShims {
       case _ => ()
     }
 
+  /** Silence the two expected-but-chatty WARN sources around
+    * [[releaseCheckpoint]]: every unpersist of a local checkpoint logs
+    * "was locally checkpointed … cannot be recomputed" once per RDD
+    * reference (`org.apache.spark.rdd.*`), and the follow-up block
+    * removal logs "Asked to remove block …, which does not exist"
+    * (`BlockManager`). Both restate the documented contract above — in
+    * a run that releases hundreds of frames they flood the log tail and
+    * bury the lines that matter (the r13 driver bench tail captured
+    * NOTHING but this spam). Call once from an entrypoint that releases
+    * checkpoints in bulk (Bench, Verify, the server main); scoped to
+    * the two specific logger subtrees, everything else stays at the
+    * session's level. */
+  def quietCheckpointLogs(): Unit = {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Configurator.setLevel("org.apache.spark.rdd", Level.ERROR)
+    Configurator.setLevel("org.apache.spark.storage.BlockManager", Level.ERROR)
+  }
+
   /** Serialize a DataFrame to an Arrow IPC **stream** on `out` using
     * Spark's own Arrow writers (`execution.arrow.ArrowWriter` — the
     * exact serialization `toArrow`/pandas-interchange uses, so types and

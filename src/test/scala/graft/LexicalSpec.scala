@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -157,6 +158,57 @@ class LexicalSpec extends SparkSuite {
     val exactCand = Lexical.tfidfCosinePairs(df, "doc_id", "text", 0.0001)
       .count() // ~ all shared-term pairs
     assert(fullEntries > 0 && exactCand > 0)
+  }
+
+  test("compactLexicalIndex recovers a bucket from its crash aside: a " +
+      "swap killed between aside-rename and install restores on the " +
+      "next compaction, and queries never lose the bucket's terms") {
+    val root = Files.createTempDirectory("graft-lexcrash").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("cdocs", docs.filter(col("doc_id") <= 3))
+    engine.buildLexicalIndex("cdocs", "doc_id", "text", buckets = 4)
+    val before = engine.searchBm25("cdocs", "text", Seq("hash"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(before.nonEmpty)
+    // simulate the crash window: one live bucket renamed to its aside,
+    // install never happened (bucket dir absent)
+    val postDir = java.nio.file.Paths.get(root,
+      "lex_indexes", "cdocs", "text", "postings")
+    val bucket = java.nio.file.Files.list(postDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("__TERM_BUCKET__=")).get
+    val aside = postDir.resolve(".graft-old-" + bucket.getFileName.toString)
+    java.nio.file.Files.move(bucket, aside)
+    // hidden aside dirs are ignored by the reader: the bucket's terms
+    // are MISSING until recovery (this is the crash residue)…
+    // …and the next compaction restores the aside before doing anything
+    engine.compactLexicalIndex("cdocs", "text", maxFilesPerBucket = 64)
+    assert(!java.nio.file.Files.exists(aside), "aside must be restored")
+    val after = engine.searchBm25("cdocs", "text", Seq("hash"), k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(after == before)
+  }
+
+  test("tfidf cosine: degenerate vocabulary is refused loudly by the " +
+      "candidate-volume guard, not silently quadratic") {
+    // every doc shares the single term "same": Σ df·(df−1)/2 = C(40,2)
+    // = 780 candidate pairs — over a 100-pair budget both variants must
+    // refuse BEFORE running the self-join, naming the offending term
+    val df = (0L until 40L).map(i => (i, "same")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Lexical.tfidfCosinePairs(df, "doc_id", "text", 0.9,
+        maxCandidates = 100L)
+    }
+    assert(e1.getMessage.contains("candidate volume"), e1.getMessage)
+    assert(e1.getMessage.contains("'same'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Lexical.tfidfCosinePairsPrefix(df, "doc_id", "text", 0.9,
+        maxCandidates = 100L)
+    }
+    assert(e2.getMessage.contains("candidate volume"), e2.getMessage)
+    // under the budget the same corpus runs (and every pair is cos=1)
+    val ok = Lexical.tfidfCosinePairs(df, "doc_id", "text", 0.9,
+      maxCandidates = 1000L)
+    assert(ok.count() === 780L)
   }
 
   test("engine lifecycle: build -> pruned search, sync appends only " +
