@@ -195,6 +195,10 @@ class Engine(val spark: SparkSession, val root: String) {
     * files are rewritten (temp sibling + per-bucket directory rename, as
     * [[compactIndex]]); the doc-length sidecar is rewritten alongside
     * when it fragments past the same bound. Content is identical. */
+  private def bucketAsidePath(base: String, b: Int) =
+    new org.apache.hadoop.fs.Path(
+      s"$base/postings/.graft-old-__TERM_BUCKET__=$b")
+
   def compactLexicalIndex(source: String, textCol: String,
       maxFilesPerBucket: Int = 8): (Long, Long) = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
@@ -203,6 +207,22 @@ class Engine(val spark: SparkSession, val root: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     val postP = new org.apache.hadoop.fs.Path(s"$base/postings")
     val fs = postP.getFileSystem(conf)
+    // Crash recovery from a previous compaction killed mid-swap: an
+    // aside dir with its live bucket ABSENT means the install never
+    // happened — rename the aside back before anything else reads or
+    // rewrites the postings (an aside alongside a live bucket means
+    // the crash hit after install; the stale copy is just dropped).
+    fs.listStatus(postP).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".graft-old-__TERM_BUCKET__="))
+      .foreach { st =>
+        val live = new org.apache.hadoop.fs.Path(postP,
+          st.getPath.getName.stripPrefix(".graft-old-"))
+        if (!fs.exists(live))
+          require(fs.rename(st.getPath, live),
+            s"compactLexicalIndex: crash-recovery rename ${st.getPath} failed")
+        else fs.delete(st.getPath, true)
+      }
     val frag = fs.listStatus(postP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__TERM_BUCKET__="))
       .map(s => s.getPath.getName.stripPrefix("__TERM_BUCKET__=").toInt ->
@@ -216,12 +236,25 @@ class Engine(val spark: SparkSession, val root: String) {
         .filter(col("__TERM_BUCKET__").isin(frag: _*))
         .repartition(frag.length, col("__TERM_BUCKET__"))
         .write.mode("overwrite").partitionBy("__TERM_BUCKET__").parquet(tmp)
+      // Per-bucket swap via rename-ASIDE, never delete-then-rename: a
+      // crash (or rename failure) between a delete and the install
+      // would permanently drop the bucket and BM25/phrase queries
+      // would silently miss every term hashing to it. The aside name
+      // starts with "." so parquet file listing ignores it — it cannot
+      // be misread as a partition directory during the window. The
+      // recovery sweep above restores any aside a crashed run left.
       frag.foreach { b =>
         val dst = new org.apache.hadoop.fs.Path(s"$base/postings/__TERM_BUCKET__=$b")
         val srcP = new org.apache.hadoop.fs.Path(s"$tmp/__TERM_BUCKET__=$b")
-        fs.delete(dst, true)
-        if (fs.exists(srcP))
-          require(fs.rename(srcP, dst), s"compactLexicalIndex: rename failed for bucket $b")
+        if (fs.exists(srcP)) {
+          val aside = bucketAsidePath(base, b)
+          if (fs.exists(dst))
+            require(fs.rename(dst, aside),
+              s"compactLexicalIndex: aside rename failed for bucket $b (bucket untouched)")
+          require(fs.rename(srcP, dst),
+            s"compactLexicalIndex: install failed for bucket $b (original intact at $aside)")
+          fs.delete(aside, true)
+        }
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }

@@ -359,9 +359,25 @@ object Temporal {
     // one select for all three window aggregates — separate withColumn
     // steps leave three Window operators (the interleaved Projects
     // block CollapseWindow); one select ⇒ one Window pass
+    // Enforce the documented exactness bound instead of trusting it: a
+    // decimal(38,0) overflow in lhs·lhs or n·Q−S² yields NULL under
+    // ANSI-off, the flag filter silently drops the row, and a TRUE
+    // anomaly vanishes with no error. Every product below is bounded by
+    // (t·n·|v|)² with n ≤ window, so |v| ≤ 5e18/(window·t) keeps all of
+    // them under 10^38 — rows past it fail LOUDLY (raise_error), the
+    // same convention as the window/minN/t/scale validation above.
+    // (At the defaults the bound is ~8.3e16 — far looser than the
+    // conservative ~1e8 the doc quotes.)
+    val vBound = (5e18 / (window.toDouble * t)).toLong
+    val vRaw = floor(col(valueCol).cast("double") * scale).cast("long")
     val out = df
       .withColumn("__v__",
-        floor(col(valueCol).cast("double") * scale).cast("long"))
+        when(vRaw.isNull || abs(vRaw) <= lit(vBound), vRaw)
+          .otherwise(raise_error(concat(
+            lit(s"rollingAnomalies: |floor(value*scale)| exceeds the " +
+              s"decimal(38,0) exactness bound $vBound (window=$window, " +
+              s"t=$t) — got "), vRaw.cast("string")))
+            .cast("long")))
       .select(col("*"),
         count(col("__v__")).over(w).as("__n__"),
         sum(vd).over(w).as("__s__"),

@@ -1231,15 +1231,18 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
 
   /** Rows as a JSON array via Spark's own row→JSON encoder (handles
     * nested arrays/structs/timestamps); bounded by [[maxResponseRows]]. */
-  private def okRows(ex: HttpExchange, df: DataFrame): Unit = {
-    ok(ex, df.limit(maxResponseRows).toJSON.collect().mkString("""{"rows":[""", ",", "]}"))
-    // the response is fully collected: free any localCheckpoint backing
-    // the frame (curate/dedup/graph results carry one) — a long-lived
-    // server otherwise pins one per request until GC. No route shares
-    // checkpointed frames across requests (every handler builds its
-    // frame from stored tables), so the blocks are provably unread.
-    org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
-  }
+  private def okRows(ex: HttpExchange, df: DataFrame): Unit =
+    // Free any localCheckpoint backing the frame (curate/dedup/graph
+    // results carry one) — a long-lived server otherwise pins one per
+    // request until GC. In a FINALLY so the error paths (bad plan in
+    // collect, client disconnect in the response write) release too:
+    // those are exactly the requests a long-lived server accumulates.
+    // No route shares checkpointed frames across requests (every
+    // handler builds its frame from stored tables), so the blocks are
+    // provably unread.
+    try ok(ex, df.limit(maxResponseRows).toJSON.collect()
+      .mkString("""{"rows":[""", ",", "]}"))
+    finally org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
 
   /** JSON string literal (quoted + escaped) — hand-built response bodies
     * must never interpolate raw user input. */

@@ -100,9 +100,20 @@ class Store(val spark: SparkSession, val root: String) {
   private def list(dir: String): Seq[String] = {
     val p = new Path(dir)
     if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filterNot(_.endsWith(".graft-old")) // crash-leftover aside copies
-      .toSeq.sorted
+    else {
+      val names = fs.listStatus(p).filter(_.isDirectory)
+        .map(_.getPath.getName).toSeq
+      val live = names.filterNot(_.endsWith(".graft-old"))
+      // a LONE aside (a replaceTable swap crashed between its two
+      // renames) is readable via loadTable's fallback — surface it
+      // under its base name, or listings/exists-based routes would
+      // report a readable table absent and DELETE could never reach
+      // it. An aside alongside its live dir stays hidden (stale copy).
+      val liveSet = live.toSet
+      val ghosts = names.filter(_.endsWith(".graft-old"))
+        .map(_.stripSuffix(".graft-old")).filterNot(liveSet)
+      (live ++ ghosts).sorted
+    }
   }
 
   // ——— Tables (S1-S6) ———
@@ -214,7 +225,9 @@ class Store(val spark: SparkSession, val root: String) {
   def listTables(): Seq[String] = list(s"$root/sources")
 
   def tableExists(name: String): Boolean =
-    fs.exists(new Path(sourcePath(name)))
+    fs.exists(new Path(sourcePath(name))) ||
+      // crashed-swap aside: readable via loadTable's fallback
+      fs.exists(new Path(sourcePath(name) + ".graft-old"))
 
   /** Metadata-cheap content stamp of a stored source: MD5 over the
     * sorted (name, length, mtime) file listing of its directory. Any
@@ -266,8 +279,12 @@ class Store(val spark: SparkSession, val root: String) {
 
   def loadBucketedTable(name: String): DataFrame = spark.table(name)
 
-  def dropTable(name: String): Unit =
+  def dropTable(name: String): Unit = {
     fs.delete(new Path(sourcePath(name)), true)
+    // a crashed-swap aside is the same logical table — dropping the
+    // name must not leave a readable ghost behind
+    fs.delete(new Path(sourcePath(name) + ".graft-old"), true)
+  }
 
   /** Rewrite a table into `numFiles` files (small-file compaction after
     * many incremental appends — at scale, file-count hygiene is what keeps

@@ -1181,6 +1181,27 @@ class TemporalSpec extends SparkSuite {
     assert(got == Set(("A", 13L, 12L)), got.toString)
   }
 
+  test("rollingAnomalies fails loudly past the decimal(38,0) exactness " +
+      "bound instead of silently dropping true anomalies") {
+    // |floor(v·scale)| beyond 5e18/(window·t) could overflow a
+    // decimal(38,0) product into NULL and vanish from the flag filter —
+    // the guard must turn that row into an error, not a silent miss
+    val big = 1e17 // ×1000 scale → 1e20 ≫ 8.3e16 bound at defaults
+    val rows = (1 to 12).map(i => ("A", i.toLong, big))
+    val df = rows.toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      graft.ext.Temporal.rollingAnomalies(df, "k", "ts", "ts", "v",
+        window = 20, minN = 10L, t = 3, scale = 1000.0).count()
+    }
+    assert(e.toString.contains("exactness bound") ||
+      Option(e.getCause).exists(_.toString.contains("exactness bound")),
+      e.toString)
+    // in-bound values are untouched (same fixture as the hand-check)
+    val ok = (1 to 12).map(i => ("A", i.toLong, 100.0)).toDF("k", "ts", "v")
+    assert(graft.ext.Temporal.rollingAnomalies(ok, "k", "ts", "ts", "v",
+      window = 20, minN = 10L, t = 3, scale = 1000.0).count() == 0L)
+  }
+
   test("rollingAnomalies rejects degenerate parameters loudly") {
     val df = Seq(("A", 1L, 1.0)).toDF("k", "ts", "v")
     for (bad <- Seq(

@@ -133,8 +133,23 @@ class UpsertSpec extends SparkSuite {
     java.nio.file.Files.move(dest, aside)
     assert(!engine.listTables().contains("t.graft-old"),
       "aside copies must not appear as tables")
+    // … but the LONE aside IS the table (readable via the fallback):
+    // listings and exists must surface it under its base name, or the
+    // readable table would be invisible to list/DELETE routes
+    assert(engine.listTables().contains("t"),
+      "a lone aside must list as its base name")
+    assert(engine.store.tableExists("t"),
+      "a lone aside must count as existing")
     // reads fall back to the aside copy — the table never goes dark
     assert(engine.readTable(Seq("t")).count() == 1)
+    // dropping the name in the crash window must remove the ghost too
+    engine.store.dropTable("t")
+    assert(!java.nio.file.Files.exists(aside),
+      "dropTable must remove the aside copy")
+    assert(!engine.store.tableExists("t") && !engine.listTables().contains("t"))
+    // restore the crash-window state for the swap-completion check
+    engine.makeTable("t", Seq((1L, "a")).toDF("id", "txt"))
+    java.nio.file.Files.move(dest, aside)
     // and the next replace (upsert shape: input reads the table, i.e.
     // the fallback) completes the crashed swap
     val merged = engine.readTable(Seq("t"))
