@@ -648,6 +648,23 @@ object SparkEntry {
     e
   }
 
+  /** Scratch documents table + PERSISTED term-bucket-partitioned
+    * lexical index (built once via [[graft.api.Engine.buildLexicalIndex]]
+    * — parquet postings partitioned by `__TERM_BUCKET__` + the
+    * doc-length sidecar). The serving queries that read THIS artifact
+    * exercise file-level bucket pruning, which the inline-postings
+    * `search_bm25_indexed` query cannot (its postings frame is derived
+    * in-plan). */
+  private def withLexIndex(s: SparkSession, dir: String): Engine = {
+    val e = new Engine(s, scratchRoot(dir))
+    if (!e.listTables().contains("docsrc"))
+      e.makeTable("docsrc", tbl(s, dir, "documents"))
+    if (!e.store.sidecarExists(
+        s"${e.store.lexIndexPath("docsrc", "text")}/meta.json"))
+      e.buildLexicalIndex("docsrc", "doc_id", "text", buckets = 64)
+    e
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnQuery("cosine")(spark, "/root/testdata/sf0.001")
@@ -1633,6 +1650,16 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
     }),
+    // —— BM25 through the PERSISTED artifact: Engine.buildLexicalIndex
+    // writes postings PARTITIONED BY __TERM_BUCKET__; Engine.searchBm25
+    // reads them back with the bucket filter first, so the parquet scan
+    // prunes to the query terms' bucket directories at the file listing
+    // (plan-asserted in LexicalSpec). Scores must equal the inline
+    // search_bm25_indexed bit-for-bit — same oracle. ——
+    "search_bm25_persisted" -> ((s: SparkSession, dir: String) =>
+      withLexIndex(s, dir)
+        .searchBm25("docsrc", "text", Seq("hash", "join", "scan"), k = 10)
+        .select(col("id").as("doc_id"), col("bm25"))),
     // —— exact-phrase search through the positional posting index:
     // docs containing the consecutive token sequence, with occurrence
     // counts — pure integer output, position intersection over the
@@ -3440,6 +3467,14 @@ object SparkEntry {
       (bm25Sql + " ORDER BY bm25 DESC, doc_id ASC LIMIT 10"),
     // the index path scores exactly the docs containing >= 1 query term
     "search_bm25_indexed" ->
+      ("SELECT doc_id, bm25 FROM (" + bm25Sql + ") WHERE doc_id IN " +
+        "(SELECT doc_id FROM documents WHERE text IS NOT NULL AND " +
+        "list_has_any(list_filter(string_split(lower(text), ' '), " +
+        "x -> x <> ''), ['hash', 'join', 'scan'])) " +
+        "ORDER BY bm25 DESC, doc_id ASC LIMIT 10"),
+    // the persisted-artifact path scores the same docs with the same
+    // arithmetic — one oracle holds both implementations to one answer
+    "search_bm25_persisted" ->
       ("SELECT doc_id, bm25 FROM (" + bm25Sql + ") WHERE doc_id IN " +
         "(SELECT doc_id FROM documents WHERE text IS NOT NULL AND " +
         "list_has_any(list_filter(string_split(lower(text), ' '), " +

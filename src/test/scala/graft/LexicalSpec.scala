@@ -160,6 +160,46 @@ class LexicalSpec extends SparkSuite {
     assert(fullEntries > 0 && exactCand > 0)
   }
 
+  test("persisted-artifact serving prunes at the partition level: the " +
+      "postings scan carries __TERM_BUCKET__ partition filters for " +
+      "exactly the query terms' buckets") {
+    val root = Files.createTempDirectory("graft-lexprune").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("pdocs", docs)
+    engine.buildLexicalIndex("pdocs", "doc_id", "text", buckets = 16)
+    val terms = Seq("hash", "join")
+    val hits = engine.searchBm25("pdocs", "text", terms, k = 10)
+    // the scan over the persisted postings must prune by the partition
+    // column — THAT is the file-level analogue of IVF cell pruning the
+    // tier claims; without it every keyword query lists every bucket
+    val scans = hits.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val postScan = scans.find(
+      _.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postScan.isDefined, s"no postings scan in:\n${hits.queryExecution}")
+    val pf = postScan.get.partitionFilters
+    assert(pf.exists(_.references.exists(_.name == "__TERM_BUCKET__")),
+      s"no __TERM_BUCKET__ partition filter; got: $pf")
+    // and the pruned file listing touches ONLY the query terms' buckets
+    val wantBuckets = terms.map(Lexical.termBucket(_, 16)).distinct.toSet
+    val readDirs = postScan.get.relation.location
+      .listFiles(pf, Nil)
+      .flatMap(_.files.map(_.getPath.getParent.getName))
+      .filter(_.startsWith("__TERM_BUCKET__="))
+      .map(_.stripPrefix("__TERM_BUCKET__=").toInt).toSet
+    assert(readDirs == wantBuckets,
+      s"scan reads buckets $readDirs, query needs $wantBuckets")
+    // the artifact answer still matches the full-scan scorer on every
+    // doc containing >= 1 query term (zero-match docs score exactly 0
+    // there and are absent here — the documented index contract)
+    val direct = TextAnalysis.bm25Scores(docs, "doc_id", "text", terms)
+      .filter(col("bm25") =!= 0.0)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+      .as[(Long, Double)].collect().toSeq
+    assert(hits.as[(Long, Double)].collect().toSeq == direct)
+  }
+
   test("compactLexicalIndex recovers a bucket from its crash aside: a " +
       "swap killed between aside-rename and install restores on the " +
       "next compaction, and queries never lose the bucket's terms") {
