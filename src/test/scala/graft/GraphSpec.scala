@@ -275,6 +275,24 @@ class GraphSpec extends SparkSuite {
     assert(Graph.triangleCount(strs, "src", "dst").head().getLong(0) == 1L)
   }
 
+  test("triangleCount refuses past the wedge-volume bound, releasing " +
+      "its checkpoint, and admits the same graph under a higher bound") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    // K4: oriented out-degrees (3,2,1,0) -> wedges C(3,2)+C(2,2)+0+0 = 4
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Graph.triangleCount(edges, "src", "dst", maxWedges = 3L)
+    }
+    assert(e.getMessage.contains("wedge"), e.getMessage)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty,
+      "refusal path left checkpoints pinned")
+    val n = Graph.triangleCount(edges, "src", "dst", maxWedges = 4L)
+      .head().getLong(0)
+    assert(n == 4L, s"expected 4 triangles in K4, got $n")
+  }
+
   test("triangleCount equals the naive ordered 3-cycle join on a " +
       "random graph") {
     val rnd = new scala.util.Random(7)
