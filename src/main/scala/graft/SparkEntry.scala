@@ -497,12 +497,12 @@ object SparkEntry {
   private val tfidfCosineSql: String =
     "WITH tok AS (SELECT doc_id, unnest(list_filter(" +
       "string_split(lower(text), ' '), x -> x <> '')) AS term " +
-      "FROM documents WHERE text IS NOT NULL AND doc_id < 1000), " +
+      "FROM documents WHERE text IS NOT NULL AND doc_id < 500), " +
     "tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) tf " +
       "FROM tok GROUP BY 1, 2), " +
     "dfq AS (SELECT term, CAST(count(*) AS DOUBLE) df FROM tf GROUP BY 1), " +
     "nq AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents " +
-      "WHERE text IS NOT NULL AND doc_id < 1000), " +
+      "WHERE text IS NOT NULL AND doc_id < 500), " +
     "w AS (SELECT tf.doc_id, tf.term, tf.tf * ln(1 + nq.n / dfq.df) AS w " +
       "FROM tf JOIN dfq USING (term) CROSS JOIN nq), " +
     "vec AS (SELECT doc_id, list(term ORDER BY term) ts, " +
@@ -1012,6 +1012,21 @@ object SparkEntry {
       Dedup.ngramJaccardPairsExact(
         tbl(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text", shingleSize = 1, threshold = 0.6)),
+    // —— dedup: edit-distance (levenshtein ≤ 2) near-dup pairs on
+    // 80-char prefixes — exact all-pairs baseline (oracle) ——
+    "dedup_editdist" -> ((s: SparkSession, dir: String) =>
+      Dedup.editDistancePairsExact(
+        tbl(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), substring(col("text"), 1, 80).as("t80")),
+        "doc_id", "t80", maxDist = 2)),
+    // —— dedup: identical pair set through PassJoin pigeonhole segment
+    // blocking (Li/Deng/Feng, VLDB 2011) — candidates only from exact
+    // segment-content collisions; the 100 TB path (larger slice) ——
+    "dedup_editdist_blocked" -> ((s: SparkSession, dir: String) =>
+      Dedup.editDistancePairsBlocked(
+        tbl(s, dir, "documents").filter(col("doc_id") < 2000)
+          .select(col("doc_id"), substring(col("text"), 1, 80).as("t80")),
+        "doc_id", "t80", maxDist = 2)),
     // —— dedup: TF-IDF cosine all-pairs, exact shared-term join (the
     // oracle baseline — quadratic in posting length). Capped to a
     // 1000-doc slice (a no-op at sf0.01, where max doc_id = 499): the
@@ -1019,21 +1034,22 @@ object SparkEntry {
     // the full sf0.1 table materializes Σdf² ≈ 448M candidate rows —
     // the query that stalled the r13 driver bench for an hour. The
     // degenerate-vocabulary case is now refused loudly by the
-    // operator's candidate-volume guard; the ledger runs the slice
-    // both guards admit. ——
+    // operator's candidate-volume guard; the ledger runs a 500-doc
+    // slice (the whole sf0.01 corpus — the oracle compares identical
+    // rows at every sf) both guards admit. ——
     "dedup_tfidf_cosine" -> ((s: SparkSession, dir: String) =>
       graft.ext.Lexical.tfidfCosinePairs(
-        tbl(s, dir, "documents").filter(col("doc_id") < 1000),
+        tbl(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", threshold = 0.9)),
     // —— dedup: same join through Bayardo-prefix candidate filtering —
     // identical output, candidates only from rare-term prefixes (the
     // 100 TB path: frequent-term posting lists never self-join). Same
-    // 1000-doc slice, same oracle — with 31 terms every doc's prefix
+    // 500-doc slice, same oracle — with 31 terms every doc's prefix
     // still collides with most others, so the full table is quadratic
     // here too (~74M candidates at sf0.1). ——
     "dedup_tfidf_prefix" -> ((s: SparkSession, dir: String) =>
       graft.ext.Lexical.tfidfCosinePairsPrefix(
-        tbl(s, dir, "documents").filter(col("doc_id") < 1000),
+        tbl(s, dir, "documents").filter(col("doc_id") < 500),
         "doc_id", "text", threshold = 0.9)),
     // —— dedup: pair graph → duplicate groups (connected components,
     // min-label propagation; rep = component-minimum doc_id) ——
@@ -2786,6 +2802,22 @@ object SparkEntry {
     // round-before-threshold keeps boundary pairs engine-stable. The
     // prefix-filtered variant returns the identical pair set by
     // construction, so both queries share this oracle.
+    // edit distance mirrored exactly: integer levenshtein on the same
+    // 80-char prefixes; the blocked variant returns the identical pair
+    // set by the pigeonhole-completeness argument, so its oracle is the
+    // same SQL over its own slice
+    "dedup_editdist" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id < 300) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "levenshtein(a.t, b.t) AS dist FROM d a JOIN d b " +
+        "ON a.doc_id < b.doc_id WHERE levenshtein(a.t, b.t) <= 2"),
+    "dedup_editdist_blocked" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id < 2000) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "levenshtein(a.t, b.t) AS dist FROM d a JOIN d b " +
+        "ON a.doc_id < b.doc_id WHERE levenshtein(a.t, b.t) <= 2"),
     "dedup_tfidf_cosine" -> tfidfCosineSql,
     "dedup_tfidf_prefix" -> tfidfCosineSql,
     "dedup_ngram_jaccard" ->

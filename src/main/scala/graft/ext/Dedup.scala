@@ -701,6 +701,132 @@ object Dedup {
         "large tables, or pass a larger maxRows to opt in explicitly.")
   }
 
+  // ——— Edit-distance (Levenshtein) near-dup ———
+
+  /** Exact edit-distance all-pairs baseline: every unordered pair with
+    * levenshtein(a, b) ≤ `maxDist`, with the distance. O(n²) pairs ×
+    * O(len²) per distance — the ORACLE, guarded like the other exact
+    * baselines; [[editDistancePairsBlocked]] produces the identical
+    * pair set through pigeonhole segment blocking and is the variant
+    * to run at scale. `dist` is long for cross-engine schema parity. */
+  def editDistancePairsExact(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, maxRows: Long = 100000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = df.filter(col(textCol).isNotNull)
+    guardAllPairs(base, "editDistancePairsExact", maxRows,
+      "editDistancePairsBlocked")
+    val a = base.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      // ed ≥ |length difference|: free pre-filter, result-identical
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Segment i (0-based, of maxDist+1) of a length-`l` string starts at
+    * ⌊i·l/(k+1)⌋ — the fixed even-partition scheme BOTH sides of the
+    * blocked join derive boundaries from, for every partner length. */
+  private def segPos(i: Column, l: Column, k: Int): Column =
+    floor(i.cast("double") * l / (k + 1)).cast("int")
+
+  /** Edit-distance near-dup pairs at scale — PassJoin-style pigeonhole
+    * segment blocking (Li, Deng, Feng: "PASS-JOIN: A Partition-based
+    * Method for Similarity Joins", VLDB 2011), identical output to
+    * [[editDistancePairsExact]]:
+    *
+    *  - INDEX side: every string's maxDist+1 contiguous segments under
+    *    the fixed even-partition scheme, keyed (l, i, content).
+    *  - PROBE side: for each string (length m), each candidate partner
+    *    length l ∈ [m−k, m], each segment index i of the l-scheme, and
+    *    each shift ∈ [−k, k]: the substring of the probe at the
+    *    segment's position + shift, same key shape.
+    *  - Pigeonhole completeness: ≤ k edits touch ≤ k of the SHORTER
+    *    string's k+1 segments, so one survives verbatim inside the
+    *    longer string, displaced by at most the ≤ k indels before it —
+    *    that (l, i, content) key is emitted by both sides, so every
+    *    true pair is a candidate. Pairs with |len diff| > k are never
+    *    generated (ed ≥ length difference).
+    *  - Verify: exact levenshtein with early-exit threshold over the
+    *    DISTINCT canonical candidate pairs.
+    *
+    * Scale shape: candidate generation shuffles (k+1)- resp.
+    * ≤ (k+1)²(2k+1)-per-row SEGMENT rows (bytes, not documents), the
+    * equi-join hits only segment-content collisions, and the quadratic
+    * work is one bounded levenshtein per surviving candidate. A corpus
+    * whose segment keys collide pathologically (boilerplate prefixes at
+    * matching offsets) is REFUSED via the candidate-volume estimate
+    * (Σ_key ns·np from two bounded aggs), naming the worst keys — the
+    * TF-IDF-guard discipline. Zero-length segments (strings shorter
+    * than k+1) degrade to length-bucket blocking and stay correct. */
+  def editDistancePairsBlocked(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val k = maxDist
+    val base = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+    val segs = base
+      .select(col("id").as("id_a"), col("t"), col("len").as("l"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .select(col("id_a"), col("l"), col("i"),
+        col("t").substr(segPos(col("i"), col("l"), k) + 1,
+          segPos(col("i") + 1, col("l"), k) -
+            segPos(col("i"), col("l"), k)).as("g"))
+    val variants = for { dl <- 0 to k; i <- 0 to k; sh <- -k to k }
+      yield struct(lit(dl).as("dl"), lit(i).as("i"), lit(sh).as("sh"))
+    val probes = base
+      .select(col("id").as("id_b"), col("t"), col("len").as("m"),
+        explode(array(variants: _*)).as("v"))
+      .select(col("id_b"), col("t"), col("m"),
+        (col("m") - col("v.dl")).as("l"), col("v.i").as("i"),
+        (segPos(col("v.i"), col("m") - col("v.dl"), k) + col("v.sh"))
+          .as("p"),
+        (segPos(col("v.i") + 1, col("m") - col("v.dl"), k) -
+          segPos(col("v.i"), col("m") - col("v.dl"), k)).as("glen"))
+      .filter(col("l") >= 0 && col("p") >= 0 &&
+        col("p") + col("glen") <= col("m"))
+      .select(col("id_b"), col("l"), col("i"),
+        col("t").substr(col("p") + 1, col("glen")).as("g"))
+      .distinct() // shifts often extract the same substring
+    // candidate-volume guard BEFORE the join (two bounded aggs over the
+    // segment-key frames; Σ_key ns·np IS the join's output size)
+    val segN = segs.groupBy("l", "i", "g")
+      .agg(count(lit(1)).cast("double").as("ns"))
+    val prbN = probes.groupBy("l", "i", "g")
+      .agg(count(lit(1)).cast("double").as("np"))
+    val keyed = segN.join(prbN, Seq("l", "i", "g"))
+      .withColumn("pairs", col("ns") * col("np"))
+    val row = keyed.agg(sum(col("pairs"))).head()
+    val vol = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    if (vol > maxCandidates.toDouble) {
+      val worst = keyed.orderBy(col("pairs").desc).limit(3).collect()
+        .map(r => s"(l=${r.get(0)}, i=${r.get(1)}, " +
+          s"'${String.valueOf(r.get(2)).take(30)}') -> " +
+          s"${r.getDouble(4).toLong}")
+        .mkString("; ")
+      throw new IllegalArgumentException(
+        f"editDistancePairsBlocked: segment-key candidate volume ≈ " +
+          f"$vol%.3g pairs exceeds maxCandidates=$maxCandidates — " +
+          s"segment contents collide pathologically (worst keys: $worst). " +
+          "Shrink the corpus slice, dedup boilerplate first, or raise " +
+          "maxCandidates deliberately.")
+    }
+    val cand = segs.join(probes, Seq("l", "i", "g"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    val ta = base.select(col("id").as("id_a"), col("t").as("__ta"))
+    val tb = base.select(col("id").as("id_b"), col("t").as("__tb"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), k).cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= k.toLong)
+  }
+
   // ——— SimHash ———
 
   /** 64-bit SimHash over word unigrams (deterministic FNV-based). */

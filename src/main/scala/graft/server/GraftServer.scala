@@ -10,7 +10,7 @@ import scala.util.control.NonFatal
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr, max, max_by}
+import org.apache.spark.sql.functions.{col, expr, max, max_by, substring}
 
 import graft.api.{Engine, TargetVector}
 import graft.coder.CoderConfig
@@ -129,6 +129,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "tables" :: "drift" :: Nil)    => postDrift(ex)
         case ("POST", "dedup" :: "segments" :: Nil) => postDedupSegments(ex)
         case ("POST", "dedup" :: "strip-segments" :: Nil) => postDedupStripSegments(ex)
+        case ("POST", "dedup" :: "editdist" :: Nil) => postEditDistance(ex)
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
         case ("POST", "dedup" :: "semantic-gate" :: Nil) => postSemanticGate(ex)
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
@@ -575,6 +576,28 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     okRows(ex, graft.ext.Dedup.stripDuplicatedSpans(df,
       require(body, "idCol").asText(), require(body, "column").asText(),
       k = intOr(body, "k", 50)))
+  }
+
+  /** Edit-distance near-dup pairs — PassJoin pigeonhole blocking by
+    * default ([[graft.ext.Dedup.editDistancePairsBlocked]]); `blocked:
+    * false` opts into the exact all-pairs baseline (row-guarded).
+    * `prefixLen` optionally truncates the compared text first (long
+    * documents rarely want full-text character distance). */
+  private def postEditDistance(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val src = engine.readTable(Seq(require(body, "source").asText()))
+    val idCol = require(body, "idCol").asText()
+    val column = require(body, "column").asText()
+    val k = intOr(body, "maxDist", 2)
+    val df = opt(body, "prefixLen").map(_.asInt()) match {
+      case Some(n) =>
+        src.select(col(idCol), substring(col(column), 1, n).as(column))
+      case None => src
+    }
+    okRows(ex,
+      if (opt(body, "blocked").forall(_.asBoolean(true)))
+        graft.ext.Dedup.editDistancePairsBlocked(df, idCol, column, k)
+      else graft.ext.Dedup.editDistancePairsExact(df, idCol, column, k))
   }
 
   /** Cross-document common segments ([[graft.ext.Dedup.commonSegments]]):

@@ -327,6 +327,72 @@ class DedupSpec extends SparkSuite {
       .select("vec_id").as[Long].collect().sorted
     assert(got.sameElements(want))
   }
+
+  test("editDistancePairsBlocked == exact on planted edits: " +
+      "substitution, insertion (shifted tail), deletion, equal strings, " +
+      "empties, strings shorter than k+1") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumpd"),      // 1 substitution of 1
+      (3L, "the quickk brown fox jumps"),     // 1 insertion -> tail shifts
+      (4L, "the quick brwn fox jumps"),       // 1 deletion
+      (5L, "the quxck brxwn fox jumps"),      // 2 substitutions
+      (6L, "a completely different sentence"),
+      (7L, "the quick brown fox jumps"),      // exact dup of 1 (ed=0)
+      (8L, ""), (9L, ""),                     // empty pair (ed=0)
+      (10L, "ab"), (11L, "ba"),               // short strings, l <= k
+      (12L, null.asInstanceOf[String])        // null text: excluded
+    ).toDF("id", "t")
+    val exact = Dedup.editDistancePairsExact(rows, "id", "t", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked = Dedup.editDistancePairsBlocked(rows, "id", "t", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked == exact,
+      s"missing=${exact.diff(blocked)} extra=${blocked.diff(exact)}")
+    // the planted relationships are all found with their distances
+    assert(exact.contains((1L, 2L, 1L)), exact.toString)
+    assert(exact.contains((1L, 3L, 1L)))
+    assert(exact.contains((1L, 4L, 1L)))
+    assert(exact.contains((1L, 5L, 2L)))
+    assert(exact.contains((1L, 7L, 0L)))
+    assert(exact.contains((8L, 9L, 0L)))
+    assert(exact.contains((10L, 11L, 2L)))
+    assert(!exact.exists(p => p._1 == 6L || p._2 == 6L))
+    assert(!exact.exists(p => p._1 == 12L || p._2 == 12L))
+  }
+
+  test("editDistancePairsBlocked == exact on randomized strings " +
+      "(property check over a small alphabet)") {
+    val rnd = new scala.util.Random(1234)
+    // small alphabet + short strings -> dense ed<=2 neighborhoods,
+    // exercising every segment/shift combination
+    val rows = (0L until 120L).map { i =>
+      val len = 3 + rnd.nextInt(10)
+      (i, Seq.fill(len)("abc" (rnd.nextInt(3))).mkString)
+    }.toDF("id", "t")
+    val exact = Dedup.editDistancePairsExact(rows, "id", "t", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked = Dedup.editDistancePairsBlocked(rows, "id", "t", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(blocked == exact,
+      s"missing=${exact.diff(blocked)} extra=${blocked.diff(exact)}")
+    assert(exact.nonEmpty, "fixture produced no close pairs")
+  }
+
+  test("editDistancePairsBlocked refuses pathological segment collisions " +
+      "via the candidate-volume guard") {
+    val rows = (0L until 60L).map(i => (i, "identical boilerplate"))
+      .toDF("id", "t")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairsBlocked(rows, "id", "t", maxDist = 2,
+        maxCandidates = 100L)
+    }
+    assert(e.getMessage.contains("candidate volume"), e.getMessage)
+    // under a budget that admits it, all C(60,2) pairs come back at 0
+    val ok = Dedup.editDistancePairsBlocked(rows, "id", "t", maxDist = 2,
+      maxCandidates = 100000L)
+    assert(ok.count() == 60L * 59L / 2L)
+  }
 }
 
 class TextAnalysisSpec extends SparkSuite {

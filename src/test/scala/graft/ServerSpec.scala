@@ -542,6 +542,36 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/gate_in")._1 == 200)
   }
 
+  test("edit-distance route: blocked pairs with prefix truncation, " +
+      "wire == library") {
+    val (c1, b1) = send("PUT", "/tables/wire_ed",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":1,"text":"the quick brown fox jumps"},
+        {"doc_id":2,"text":"the quick brown fox jumpd"},
+        {"doc_id":3,"text":"a completely different sentence"}]}""")
+    assert(c1 == 200, b1)
+    val (ec, eBody) = send("POST", "/dedup/editdist",
+      """{"source":"wire_ed","idCol":"doc_id","column":"text",
+        "maxDist":2,"prefixLen":80}""")
+    assert(ec == 200, eBody)
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    mapper.readTree(eBody).get("rows").elements()
+      .forEachRemaining(n => pairs += ((n.get("id_a").asLong(),
+        n.get("id_b").asLong(), n.get("dist").asLong())))
+    assert(pairs.toSet == Set((1L, 2L, 1L)), s"got $pairs")
+    // exact baseline over the wire agrees
+    val (xc, xBody) = send("POST", "/dedup/editdist",
+      """{"source":"wire_ed","idCol":"doc_id","column":"text",
+        "maxDist":2,"blocked":false}""")
+    assert(xc == 200, xBody)
+    val xp = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    mapper.readTree(xBody).get("rows").elements()
+      .forEachRemaining(n => xp += ((n.get("id_a").asLong(),
+        n.get("id_b").asLong(), n.get("dist").asLong())))
+    assert(xp.toSet == pairs.toSet, s"exact $xp vs blocked $pairs")
+    assert(send("DELETE", "/tables/wire_ed")._1 == 200)
+  }
+
   test("span decontamination route: report and strip forms") {
     val (c1, b1) = send("PUT", "/tables/spd_corpus",
       """{"schema":"doc_id LONG, text STRING","rows":[
