@@ -107,6 +107,15 @@ object GraftExtensions {
         require(args.length == 2, "hamming_distance(a, b)")
         HammingDistancePair(args(0), args(1))
       }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity in [0, 1] between " +
+          "two strings (prefix-boosted above jaro 0.7, cap 4, scale 0.1)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaro_winkler(a, b)")
+        graft.functions.JaroWinkler(args(0), args(1))
+      }),
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints",
         "winnow_fingerprints(text, k, window) - distinct MOSS winnowing " +

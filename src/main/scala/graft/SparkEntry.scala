@@ -1027,6 +1027,23 @@ object SparkEntry {
         tbl(s, dir, "documents").filter(col("doc_id") < 2000)
           .select(col("doc_id"), substring(col("text"), 1, 80).as("t80")),
         "doc_id", "t80", maxDist = 2)),
+    // —— dedup: Jaro-Winkler similarity pairs over 40-char prefixes —
+    // the record-linkage companion to the levenshtein operators (prefix-
+    // weighted agreement), through the codegen'd jaro_winkler
+    // expression; round-before-threshold keeps boundary pairs
+    // engine-stable ——
+    "dedup_jaro" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 300 && col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      val a = d.select(col("doc_id").as("id_a"), col("t").as("ta"))
+      val b = d.select(col("doc_id").as("id_b"), col("t").as("tb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(graft.functions.functions.jaro_winkler(col("ta"), col("tb")),
+            6).as("jw"))
+        .filter(col("jw") >= 0.9)
+    }),
     // —— dedup: TF-IDF cosine all-pairs, exact shared-term join (the
     // oracle baseline — quadratic in posting length). Capped to a
     // 1000-doc slice (a no-op at sf0.01, where max doc_id = 499): the
@@ -2806,6 +2823,16 @@ object SparkEntry {
     // 80-char prefixes; the blocked variant returns the identical pair
     // set by the pigeonhole-completeness argument, so its oracle is the
     // same SQL over its own slice
+    // Jaro-Winkler mirrored by DuckDB's native implementation (same
+    // match-window/transposition/boost-threshold semantics, probed);
+    // round(,6) absorbs the float association differences
+    "dedup_jaro" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id < 300) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(jaro_winkler_similarity(a.t, b.t), 6) AS jw " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        "WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= 0.9"),
     "dedup_editdist" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
         "WHERE text IS NOT NULL AND doc_id < 300) " +

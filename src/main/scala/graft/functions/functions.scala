@@ -48,6 +48,12 @@ object functions {
       MaxSim(GraftShims.expression(docTokens), GraftShims.expression(queryTokens),
         metric))
 
+  /** Jaro-Winkler similarity in [0, 1] between two string columns
+    * ([[JaroWinkler]] — codegen'd; DuckDB-parity semantics). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    GraftShims.column(
+      JaroWinkler(GraftShims.expression(a), GraftShims.expression(b)))
+
   /** A multi-vector (token-matrix) literal usable as the query side of
     * [[maxsim]]. */
   def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)

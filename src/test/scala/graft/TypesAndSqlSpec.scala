@@ -43,6 +43,45 @@ class SqlSurfaceSpec extends SparkSuite {
       err.getCause != null && err.getCause.getMessage.contains("dot | cosine"))
   }
 
+  test("jaro_winkler: oracle-probed reference values, boost-threshold " +
+      "rule, empties, nulls, SQL surface") {
+    Graft.register(spark)
+    // values cross-checked against DuckDB jaro_winkler_similarity (the
+    // verification oracle) to 1e-9
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111),
+      ("DIXON", "DICKSONX", 0.8133333333),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962963),
+      ("DWAYNE", "DUANE", 0.8400000000),
+      ("CRATE", "TRACE", 0.7333333333),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "b", 0.0),
+      // jaro = 2/3 < 0.7 with a common prefix: boost must NOT apply
+      ("az", "aq", 0.6666666667),
+      // jaro > 0.7 with a 2-char prefix: boost applies
+      ("ax", "axqqqqqqqqqqqq", 0.7714285714))
+    import org.apache.spark.unsafe.types.UTF8String
+    for ((a, b, want) <- cases) {
+      val got = graft.functions.JaroWinklerAlgo.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-9, s"($a, $b): got $got want $want")
+    }
+    // SQL surface + codegen path agree with the algorithm object
+    cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .createOrReplaceTempView("jw")
+    val viaSql = spark.sql("SELECT jaro_winkler(a, b) AS s FROM jw")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.zip(cases.map(_._3))
+      .forall { case (g, w) => math.abs(g - w) < 1e-9 }, viaSql.toSeq)
+    // null-safe
+    val n = Seq((Some("x"), None: Option[String])).toDF("a", "b")
+      .select(graft.functions.functions.jaro_winkler(col("a"), col("b")))
+      .collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("graft_dequantize from SQL") {
     Graft.register(spark)
     Seq(Tuple1(Array[Byte](0, 127.toByte, 255.toByte))).toDF("b")
