@@ -1044,6 +1044,19 @@ object SparkEntry {
             6).as("jw"))
         .filter(col("jw") >= 0.9)
     }),
+    // —— dedup: cross-table edit-distance JOIN (the entity-resolution /
+    // ingest-gate shape): arrivals [300, 400) fuzzy-joined to the
+    // corpus [0, 300) — both PassJoin directions (shorter side indexed)
+    // union before one verify ——
+    "dedup_editdist_gate" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
+      Dedup.editDistanceJoin(
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        "doc_id", "t80",
+        docs.filter(col("doc_id") < 300), "doc_id", "t80",
+        maxDist = 4)
+    }),
     // —— dedup: TF-IDF cosine all-pairs, exact shared-term join (the
     // oracle baseline — quadratic in posting length). Capped to a
     // 1000-doc slice (a no-op at sf0.01, where max doc_id = 499): the
@@ -2214,6 +2227,47 @@ object SparkEntry {
             (sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
               sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
     }),
+    // —— per-group OLS regression (slope/intercept/r²) from EXACT
+    // integer sums (the stats_corr trick: rounded-long inputs make
+    // every sum exact, then ONE term-for-term identical double formula
+    // on each side — no engine-private streaming covariance) ——
+    "stats_regression" -> ((s: SparkSession, dir: String) => {
+      val li = tbl(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_quantity")).cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      def d(c: Column): Column = c.cast("double")
+      val agg = li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      val cxy = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      agg.select(col("l_returnflag"), col("n"),
+        round(cxy / vx, 6).as("slope"),
+        round((d(col("sy")) - (cxy / vx) * d(col("sx"))) / d(col("n")), 6)
+          .as("intercept"),
+        round(cxy * cxy / (vx * vy), 6).as("r2"))
+    }),
+    // —— rank-family window functions over a TOTAL order (unique key
+    // appended so every engine ranks identically): ntile buckets,
+    // percent_rank, cume_dist, dense_rank ——
+    "window_rank_funcs" -> ((s: SparkSession, dir: String) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"))
+      tbl(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"),
+          ntile(4).over(w).cast("long").as("bucket"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          dense_rank().over(w).cast("long").as("dr"))
+    }),
     // —— unicode/whitespace normalization over a deterministically
     // dirtied corpus: decomposed accent (e + U+0301), a BEL control,
     // doubled spaces — NFC + strip + collapse + trim ——
@@ -2845,6 +2899,14 @@ object SparkEntry {
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "levenshtein(a.t, b.t) AS dist FROM d a JOIN d b " +
         "ON a.doc_id < b.doc_id WHERE levenshtein(a.t, b.t) <= 2"),
+    "dedup_editdist_gate" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "arr AS (SELECT * FROM d WHERE doc_id >= 300 AND doc_id < 400), " +
+        "corp AS (SELECT * FROM d WHERE doc_id < 300) " +
+        "SELECT a.doc_id AS id_a, c.doc_id AS id_b, " +
+        "levenshtein(a.t, c.t) AS dist FROM arr a JOIN corp c " +
+        "ON levenshtein(a.t, c.t) <= 4"),
     "dedup_tfidf_cosine" -> tfidfCosineSql,
     "dedup_tfidf_prefix" -> tfidfCosineSql,
     "dedup_ngram_jaccard" ->
@@ -3977,6 +4039,32 @@ object SparkEntry {
         "(sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * " +
         "sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))) AS corr_xy " +
         "FROM a"),
+    // identical integer-sums-then-one-double-formula mirror as stats_corr
+    "stats_regression" ->
+      ("WITH b AS (SELECT l_returnflag, CAST(round(l_quantity) AS BIGINT) AS x, " +
+        "CAST(round(l_extendedprice) AS BIGINT) AS y FROM lineitem), " +
+        "a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy, " +
+        "CAST(sum(y*y) AS BIGINT) AS syy FROM b GROUP BY l_returnflag), " +
+        "f AS (SELECT l_returnflag, n, " +
+        "CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS vx, " +
+        "CAST(n AS DOUBLE)*CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) AS vy, " +
+        "CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS cxy, " +
+        "CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy, " +
+        "CAST(n AS DOUBLE) AS dn FROM a) " +
+        "SELECT l_returnflag, n, round(cxy / vx, 6) AS slope, " +
+        "round((dsy - (cxy / vx) * dsx) / dn, 6) AS intercept, " +
+        "round(cxy * cxy / (vx * vy), 6) AS r2 FROM f"),
+    "window_rank_funcs" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag, " +
+        "ntile(4) OVER w AS bucket, " +
+        "round(percent_rank() OVER w, 6) AS pr, " +
+        "round(cume_dist() OVER w, 6) AS cd, " +
+        "CAST(dense_rank() OVER w AS BIGINT) AS dr " +
+        "FROM lineitem WHERE l_orderkey < 1000 " +
+        "WINDOW w AS (PARTITION BY l_returnflag " +
+        "ORDER BY l_extendedprice, l_orderkey, l_linenumber)"),
     "text_normalize" ->
       ("SELECT doc_id, trim(regexp_replace(regexp_replace(" +
         "nfc_normalize(text || ' cafe' || chr(769) || chr(7) || '  x'), " +

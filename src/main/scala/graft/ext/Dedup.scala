@@ -760,27 +760,29 @@ object Dedup {
     * (Σ_key ns·np from two bounded aggs), naming the worst keys — the
     * TF-IDF-guard discipline. Zero-length segments (strings shorter
     * than k+1) degrade to length-bucket blocking and stay correct. */
-  def editDistancePairsBlocked(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
-    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    require(maxCandidates >= 1, "maxCandidates must be >= 1")
-    val k = maxDist
-    val base = df.filter(col(textCol).isNotNull)
+  /** Shared frames of the PassJoin machinery: the null-filtered
+    * (id, t, len) base, the INDEX-side (id, l, i, g) segments, and the
+    * PROBE-side (id, l, i, g) shifted substrings — see
+    * [[editDistancePairsBlocked]] for the completeness argument. */
+  private def edBase(df: DataFrame, idCol: String, textCol: String) =
+    df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
-    val segs = base
-      .select(col("id").as("id_a"), col("t"), col("len").as("l"),
+
+  private def edSegs(base: DataFrame, k: Int): DataFrame =
+    base.select(col("id"), col("t"), col("len").as("l"),
         explode(sequence(lit(0), lit(k))).as("i"))
-      .select(col("id_a"), col("l"), col("i"),
+      .select(col("id"), col("l"), col("i"),
         col("t").substr(segPos(col("i"), col("l"), k) + 1,
           segPos(col("i") + 1, col("l"), k) -
             segPos(col("i"), col("l"), k)).as("g"))
+
+  private def edProbes(base: DataFrame, k: Int): DataFrame = {
     val variants = for { dl <- 0 to k; i <- 0 to k; sh <- -k to k }
       yield struct(lit(dl).as("dl"), lit(i).as("i"), lit(sh).as("sh"))
-    val probes = base
-      .select(col("id").as("id_b"), col("t"), col("len").as("m"),
+    base.select(col("id"), col("t"), col("len").as("m"),
         explode(array(variants: _*)).as("v"))
-      .select(col("id_b"), col("t"), col("m"),
+      .select(col("id"), col("t"), col("m"),
         (col("m") - col("v.dl")).as("l"), col("v.i").as("i"),
         (segPos(col("v.i"), col("m") - col("v.dl"), k) + col("v.sh"))
           .as("p"),
@@ -788,11 +790,16 @@ object Dedup {
           segPos(col("v.i"), col("m") - col("v.dl"), k)).as("glen"))
       .filter(col("l") >= 0 && col("p") >= 0 &&
         col("p") + col("glen") <= col("m"))
-      .select(col("id_b"), col("l"), col("i"),
+      .select(col("id"), col("l"), col("i"),
         col("t").substr(col("p") + 1, col("glen")).as("g"))
       .distinct() // shifts often extract the same substring
-    // candidate-volume guard BEFORE the join (two bounded aggs over the
-    // segment-key frames; Σ_key ns·np IS the join's output size)
+  }
+
+  /** Candidate-volume guard for a segment-key equi-join: Σ_key ns·np IS
+    * the join's output size (two bounded aggs over the key frames);
+    * refusal names the worst keys — the TF-IDF-guard discipline. */
+  private def edGuard(segs: DataFrame, probes: DataFrame, op: String,
+      maxCandidates: Long): Unit = {
     val segN = segs.groupBy("l", "i", "g")
       .agg(count(lit(1)).cast("double").as("ns"))
     val prbN = probes.groupBy("l", "i", "g")
@@ -808,12 +815,23 @@ object Dedup {
           s"${r.getDouble(4).toLong}")
         .mkString("; ")
       throw new IllegalArgumentException(
-        f"editDistancePairsBlocked: segment-key candidate volume ≈ " +
-          f"$vol%.3g pairs exceeds maxCandidates=$maxCandidates — " +
-          s"segment contents collide pathologically (worst keys: $worst). " +
-          "Shrink the corpus slice, dedup boilerplate first, or raise " +
-          "maxCandidates deliberately.")
+        f"$op: segment-key candidate volume ≈ $vol%.3g pairs exceeds " +
+          s"maxCandidates=$maxCandidates — segment contents collide " +
+          s"pathologically (worst keys: $worst). Shrink the corpus " +
+          "slice, dedup boilerplate first, or raise maxCandidates " +
+          "deliberately.")
     }
+  }
+
+  def editDistancePairsBlocked(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val k = maxDist
+    val base = edBase(df, idCol, textCol)
+    val segs = edSegs(base, k).withColumnRenamed("id", "id_a")
+    val probes = edProbes(base, k).withColumnRenamed("id", "id_b")
+    edGuard(segs, probes, "editDistancePairsBlocked", maxCandidates)
     val cand = segs.join(probes, Seq("l", "i", "g"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
@@ -821,6 +839,41 @@ object Dedup {
       .distinct()
     val ta = base.select(col("id").as("id_a"), col("t").as("__ta"))
     val tb = base.select(col("id").as("id_b"), col("t").as("__tb"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), k).cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= k.toLong)
+  }
+
+  /** Cross-TABLE edit-distance join (entity resolution / fuzzy-key
+    * join / ingest gate): every (left row, right row) pair with
+    * levenshtein ≤ `maxDist`, same PassJoin machinery as
+    * [[editDistancePairsBlocked]]. The pigeonhole argument indexes the
+    * SHORTER side of a pair, so both directions run — left segments ×
+    * right probes catches |l| ≤ |r|, right segments × left probes the
+    * rest — and the union of candidates dedupes before ONE verify.
+    * Output: (id_a = left id, id_b = right id, dist); a left row
+    * absent from the output has no right match (the gate decision). */
+  def editDistanceJoin(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val k = maxDist
+    val lb = edBase(left, leftId, leftText)
+    val rb = edBase(right, rightId, rightText)
+    val lSegs = edSegs(lb, k).withColumnRenamed("id", "id_a")
+    val lProbes = edProbes(lb, k).withColumnRenamed("id", "id_a")
+    val rSegs = edSegs(rb, k).withColumnRenamed("id", "id_b")
+    val rProbes = edProbes(rb, k).withColumnRenamed("id", "id_b")
+    edGuard(lSegs, rProbes, "editDistanceJoin", maxCandidates)
+    edGuard(rSegs, lProbes, "editDistanceJoin", maxCandidates)
+    val cand = lSegs.join(rProbes, Seq("l", "i", "g"))
+      .select("id_a", "id_b")
+      .union(lProbes.join(rSegs, Seq("l", "i", "g")).select("id_a", "id_b"))
+      .distinct()
+    val ta = lb.select(col("id").as("id_a"), col("t").as("__ta"))
+    val tb = rb.select(col("id").as("id_b"), col("t").as("__tb"))
     cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__ta"), col("__tb"), k).cast("long").as("dist"))

@@ -581,23 +581,37 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   /** Edit-distance near-dup pairs — PassJoin pigeonhole blocking by
     * default ([[graft.ext.Dedup.editDistancePairsBlocked]]); `blocked:
     * false` opts into the exact all-pairs baseline (row-guarded).
-    * `prefixLen` optionally truncates the compared text first (long
-    * documents rarely want full-text character distance). */
+    * With `corpus` (+ refIdCol/refColumn) the call becomes the
+    * cross-table fuzzy JOIN / ingest gate
+    * ([[graft.ext.Dedup.editDistanceJoin]]: source rows vs corpus
+    * rows, id_a = source id, id_b = corpus id). `prefixLen` optionally
+    * truncates the compared text first (long documents rarely want
+    * full-text character distance). */
   private def postEditDistance(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val src = engine.readTable(Seq(require(body, "source").asText()))
     val idCol = require(body, "idCol").asText()
     val column = require(body, "column").asText()
     val k = intOr(body, "maxDist", 2)
-    val df = opt(body, "prefixLen").map(_.asInt()) match {
-      case Some(n) =>
-        src.select(col(idCol), substring(col(column), 1, n).as(column))
-      case None => src
-    }
-    okRows(ex,
-      if (opt(body, "blocked").forall(_.asBoolean(true)))
-        graft.ext.Dedup.editDistancePairsBlocked(df, idCol, column, k)
-      else graft.ext.Dedup.editDistancePairsExact(df, idCol, column, k))
+    def trunc(df: DataFrame, id: String, c: String): DataFrame =
+      opt(body, "prefixLen").map(_.asInt()) match {
+        case Some(n) => df.select(col(id), substring(col(c), 1, n).as(c))
+        case None => df
+      }
+    val df = trunc(src, idCol, column)
+    okRows(ex, opt(body, "corpus") match {
+      case Some(corpusName) =>
+        val refIdCol = require(body, "refIdCol").asText()
+        val refColumn = require(body, "refColumn").asText()
+        val corpus = trunc(
+          engine.readTable(Seq(corpusName.asText())), refIdCol, refColumn)
+        graft.ext.Dedup.editDistanceJoin(
+          df, idCol, column, corpus, refIdCol, refColumn, k)
+      case None =>
+        if (opt(body, "blocked").forall(_.asBoolean(true)))
+          graft.ext.Dedup.editDistancePairsBlocked(df, idCol, column, k)
+        else graft.ext.Dedup.editDistancePairsExact(df, idCol, column, k)
+    })
   }
 
   /** Cross-document common segments ([[graft.ext.Dedup.commonSegments]]):

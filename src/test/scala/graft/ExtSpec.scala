@@ -379,6 +379,34 @@ class DedupSpec extends SparkSuite {
     assert(exact.nonEmpty, "fixture produced no close pairs")
   }
 
+  test("editDistanceJoin == cross-join levenshtein filter on planted " +
+      "edits, both length directions, disjoint and overlapping ids") {
+    val leftRows = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "zzzz unrelated zzzz"),
+      (3L, "short"),
+      (4L, "the quick brown foxes")) // longer than its corpus match
+      .toDF("lid", "lt")
+    val rightRows = Seq(
+      (1L, "the quick brown fot"),   // same id as a left row: legit pair
+      (10L, "the quick brown fox"),
+      (11L, "shirt"),
+      (12L, "totally different text"))
+      .toDF("rid", "rt")
+    val got = Dedup.editDistanceJoin(leftRows, "lid", "lt",
+        rightRows, "rid", "rt", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: cross join + plain levenshtein
+    val want = leftRows.join(rightRows)
+      .select(col("lid"), col("rid"),
+        levenshtein(col("lt"), col("rt")).cast("long").as("d"))
+      .filter(col("d") <= 2).as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"missing=${want.diff(got)} extra=${got.diff(want)}")
+    assert(want.contains((1L, 10L, 0L)) && want.contains((1L, 1L, 1L)) &&
+      want.contains((3L, 11L, 1L)) && want.contains((4L, 10L, 2L)),
+      want.toString)
+  }
+
   test("editDistancePairsBlocked refuses pathological segment collisions " +
       "via the candidate-volume guard") {
     val rows = (0L until 60L).map(i => (i, "identical boilerplate"))

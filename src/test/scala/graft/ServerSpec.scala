@@ -569,6 +569,23 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => xp += ((n.get("id_a").asLong(),
         n.get("id_b").asLong(), n.get("dist").asLong())))
     assert(xp.toSet == pairs.toSet, s"exact $xp vs blocked $pairs")
+    // cross-table join form: arrivals vs a stored corpus
+    val (c2, b2) = send("PUT", "/tables/wire_ed_corpus",
+      """{"schema":"ref_id LONG, text STRING","rows":[
+        {"ref_id":100,"text":"the quick brown fox jumps!"},
+        {"ref_id":101,"text":"nothing like the others"}]}""")
+    assert(c2 == 200, b2)
+    val (jc, jBody) = send("POST", "/dedup/editdist",
+      """{"source":"wire_ed","idCol":"doc_id","column":"text",
+        "corpus":"wire_ed_corpus","refIdCol":"ref_id","refColumn":"text",
+        "maxDist":2}""")
+    assert(jc == 200, jBody)
+    val jp = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    mapper.readTree(jBody).get("rows").elements()
+      .forEachRemaining(n => jp += ((n.get("id_a").asLong(),
+        n.get("id_b").asLong(), n.get("dist").asLong())))
+    assert(jp.toSet == Set((1L, 100L, 1L), (2L, 100L, 2L)), s"got $jp")
+    assert(send("DELETE", "/tables/wire_ed_corpus")._1 == 200)
     assert(send("DELETE", "/tables/wire_ed")._1 == 200)
   }
 
