@@ -40,8 +40,27 @@ object GraphSoak {
     }
     val (s1, hub1, rank1, p1) = run(1000000L, 200000L)
     val (s10, hub10, _, p10) = run(10000000L, 2000000L)
+
+    // Triangle count at 10M edges: the wedge guard's one-agg estimate
+    // plus the O(m^1.5) closing join at a scale 10× the bench fixture —
+    // the degree-ordered orientation must keep the hub (≈50k raw
+    // degree) from exploding the wedge set.
+    def triangles(nEdges: Long, nNodes: Long): (Double, Long, Int) = {
+      val edges = spark.range(nEdges).select(
+        (col("id") % nNodes).as("src"),
+        when(col("id") % 200 === 0, lit(0L)).otherwise(
+          abs(hash(col("id") * 2654435761L)) % nNodes).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val t0 = System.nanoTime()
+      val n = graft.ext.Graph.triangleCount(edges, "src", "dst",
+        maxWedges = 4000000000L).head().getLong(0)
+      val secs = (System.nanoTime() - t0) / 1e9
+      (secs, n, spark.sparkContext.getPersistentRDDs.size)
+    }
+    val (ts10, tri10, tp10) = triangles(10000000L, 2000000L)
+
     val json =
-      f"""{"n_edges":1000000,"n_nodes":200000,"iterations":5,"pagerank_sec":$s1%.1f,"hub_is_top":${if (hub1) 1 else 0},"top_rank":$rank1,"persistent_rdds_after_release":$p1,"pagerank_10m_edges_sec":$s10%.1f,"hub_is_top_10m":${if (hub10) 1 else 0},"persistent_rdds_after_release_10m":$p10}"""
+      f"""{"n_edges":1000000,"n_nodes":200000,"iterations":5,"pagerank_sec":$s1%.1f,"hub_is_top":${if (hub1) 1 else 0},"top_rank":$rank1,"persistent_rdds_after_release":$p1,"pagerank_10m_edges_sec":$s10%.1f,"hub_is_top_10m":${if (hub10) 1 else 0},"persistent_rdds_after_release_10m":$p10,"triangles_10m_edges_sec":$ts10%.1f,"triangles_10m":$tri10,"persistent_rdds_after_triangles":$tp10}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("graph_soak_1m.json"), json)
     println(json)
