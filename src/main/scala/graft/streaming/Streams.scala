@@ -207,6 +207,32 @@ object Streams {
           .filter(col("__DISTANCE__") <= maxDist))
   }
 
+  /** Fuzzy (edit-distance) ingest gate: per micro-batch, arriving docs
+    * are PassJoin-joined to the stored corpus
+    * ([[graft.ext.Dedup.editDistanceJoin]] — segment-key equi-joins
+    * with the shorter side of every pair indexed, then ONE thresholded
+    * levenshtein per distinct candidate) and rows with a corpus match
+    * within `maxDist` are emitted to `sink` as (idCol, ref_id, dist)
+    * flags; an arrival absent from the output is novel. A
+    * `foreachBatch` harness like [[semanticDupGateForEachBatch]]: the
+    * join's candidate `distinct` and volume-guard aggs are batch
+    * operations no single-pass streaming plan can express — the batch
+    * join IS the semantics. The corpus frame is resolved once and
+    * reused across micro-batches. */
+  def editDistGateForEachBatch(corpus: DataFrame, refIdCol: String,
+      refTextCol: String, idCol: String, textCol: String, maxDist: Int,
+      maxCandidates: Long = 50000000L,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(idCol != "ref_id", s"editDistGateForEachBatch: stream idCol " +
+      "'ref_id' collides with the fixed output column; rename it first")
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        sink(graft.ext.Dedup.editDistanceJoin(batch, idCol, textCol,
+            corpus, refIdCol, refTextCol, maxDist, maxCandidates)
+          .withColumnRenamed("id_a", idCol)
+          .withColumnRenamed("id_b", "ref_id"))
+  }
+
   /** EXACT-duplicate ingest gate: arriving docs vs a persisted corpus
     * fingerprint table ([[graft.ext.Dedup.textFingerprints]], 8
     * bytes/doc). The cheap first tier of the gate ladder — one narrow

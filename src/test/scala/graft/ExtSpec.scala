@@ -919,6 +919,39 @@ class MultimodalSpec extends SparkSuite {
 class StreamsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("editDistGateForEachBatch: streamed arrivals flag against the " +
+      "corpus exactly as the batch join, across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val corpus = Seq((100L, "the quick brown fox jumps"),
+      (101L, "an entirely different reference"))
+      .toDF("ref_id", "ref_text")
+    val batch1 = Seq((1L, "the quick brown fox jumpz"),
+      (2L, "no relation to anything here"))
+    val batch2 = Seq((3L, "the quick brown fox jump"),
+      (4L, "an entirely different reference"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val gate = graft.streaming.Streams.editDistGateForEachBatch(
+      corpus, "ref_id", "ref_text", "doc_id", "text", maxDist = 2,
+      sink = df => got ++= df.as[(Long, Long, Long)].collect())
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(gate).outputMode("update").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val expected = graft.ext.Dedup.editDistanceJoin(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "doc_id", "text",
+        corpus, "ref_id", "ref_text", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.toSet == expected,
+      s"missing=${expected.diff(got.toSet)} extra=${got.toSet.diff(expected)}")
+    assert(expected == Set((1L, 100L, 1L), (3L, 100L, 1L), (4L, 101L, 0L)),
+      expected.toString)
+  }
+
   test("windowed event stats on batch match a manual groupBy") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 100L, "click", 1.0),
