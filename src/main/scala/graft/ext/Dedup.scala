@@ -764,6 +764,15 @@ object Dedup {
     * (id, t, len) base, the INDEX-side (id, l, i, g) segments, and the
     * PROBE-side (id, l, i, g) shifted substrings — see
     * [[editDistancePairsBlocked]] for the completeness argument. */
+  /** Public aliases of the PassJoin frame builders for callers that
+    * materialize the corpus side once (the streaming gate): */
+  def editDistanceBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    edBase(df, idCol, textCol)
+  def editDistanceSegments(base: DataFrame, maxDist: Int): DataFrame =
+    edSegs(base, maxDist)
+  def editDistanceProbes(base: DataFrame, maxDist: Int): DataFrame =
+    edProbes(base, maxDist)
+
   private def edBase(df: DataFrame, idCol: String, textCol: String) =
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("t"),
@@ -859,13 +868,29 @@ object Dedup {
       maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val rb = edBase(right, rightId, rightText)
+    editDistanceJoinAgainstFrames(left, leftId, leftText, rb,
+      edSegs(rb, maxDist).withColumnRenamed("id", "id_b"),
+      edProbes(rb, maxDist).withColumnRenamed("id", "id_b"),
+      maxDist, maxCandidates)
+  }
+
+  /** [[editDistanceJoin]] against PRE-BUILT right-side frames — the
+    * streaming-gate / persisted-artifact shape: `rb` is the right
+    * side's (id, t, len) base, `rSegs`/`rProbes` its segment and probe
+    * frames with the id renamed to `id_b` (exactly what
+    * [[Streams.editDistGateForEachBatch]] materializes ONCE so a
+    * long-running gate never re-derives the corpus per micro-batch).
+    * Per call, only the LEFT side's frames are derived. */
+  def editDistanceJoinAgainstFrames(left: DataFrame, leftId: String,
+      leftText: String, rb: DataFrame, rSegs: DataFrame, rProbes: DataFrame,
+      maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
     val k = maxDist
     val lb = edBase(left, leftId, leftText)
-    val rb = edBase(right, rightId, rightText)
     val lSegs = edSegs(lb, k).withColumnRenamed("id", "id_a")
     val lProbes = edProbes(lb, k).withColumnRenamed("id", "id_a")
-    val rSegs = edSegs(rb, k).withColumnRenamed("id", "id_b")
-    val rProbes = edProbes(rb, k).withColumnRenamed("id", "id_b")
     edGuard(lSegs, rProbes, "editDistanceJoin", maxCandidates)
     edGuard(rSegs, lProbes, "editDistanceJoin", maxCandidates)
     val cand = lSegs.join(rProbes, Seq("l", "i", "g"))

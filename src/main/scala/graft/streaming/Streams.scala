@@ -225,10 +225,22 @@ object Streams {
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
     require(idCol != "ref_id", s"editDistGateForEachBatch: stream idCol " +
       "'ref_id' collides with the fixed output column; rename it first")
+    // The corpus pass runs ONCE, at gate construction: base text,
+    // segment and probe frames are materialized (localCheckpoint) so a
+    // long-running query joins each micro-batch against pinned frames
+    // instead of re-deriving the corpus — the persisted-signatures
+    // discipline of [[nearDupAgainstSignatures]]. The blocks live for
+    // the gate's lifetime (they ARE the gate's state).
+    val rb = graft.ext.Dedup.editDistanceBase(corpus, refIdCol, refTextCol)
+      .localCheckpoint(true)
+    val rSegs = graft.ext.Dedup.editDistanceSegments(rb, maxDist)
+      .withColumnRenamed("id", "id_b").localCheckpoint(true)
+    val rProbes = graft.ext.Dedup.editDistanceProbes(rb, maxDist)
+      .withColumnRenamed("id", "id_b").localCheckpoint(true)
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty)
-        sink(graft.ext.Dedup.editDistanceJoin(batch, idCol, textCol,
-            corpus, refIdCol, refTextCol, maxDist, maxCandidates)
+        sink(graft.ext.Dedup.editDistanceJoinAgainstFrames(batch, idCol,
+            textCol, rb, rSegs, rProbes, maxDist, maxCandidates)
           .withColumnRenamed("id_a", idCol)
           .withColumnRenamed("id_b", "ref_id"))
   }
