@@ -62,8 +62,15 @@ object Bench {
       if (t.isAlive) {
         System.err.println(
           s"[bench] ${java.time.Instant.now()} TIMEOUT $name run $run (${budgetSec}s) — cancelling job group")
-        spark.sparkContext.cancelJobGroup(group)
+        // …AndFutureJobs: a cancel landing between AQE stages must not
+        // let the query's NEXT job run; interrupt additionally breaks
+        // driver-side stalls (guard aggregations, collect loops) so the
+        // zombie can't keep contending with every later measurement
+        spark.sparkContext.cancelJobGroupAndFutureJobs(group)
+        t.interrupt()
         t.join(30000L) // give cancellation a moment; daemon thread if not
+        if (t.isAlive) System.err.println(
+          s"[bench] WARNING $name run $run still running after cancel — timings below may be contended")
         Left(s"timeout: exceeded ${budgetSec}s budget")
       } else res
     }

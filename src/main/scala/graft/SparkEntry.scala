@@ -1059,7 +1059,7 @@ object SparkEntry {
     }),
     // —— dedup: TF-IDF cosine all-pairs, exact shared-term join (the
     // oracle baseline — quadratic in posting length). Capped to a
-    // 1000-doc slice (a no-op at sf0.01, where max doc_id = 499): the
+    // 500-doc slice (a no-op at sf0.01, where max doc_id = 499): the
     // fixture vocabulary is 31 terms, so EVERY pair shares terms and
     // the full sf0.1 table materializes Σdf² ≈ 448M candidate rows —
     // the query that stalled the r13 driver bench for an hour. The

@@ -132,6 +132,11 @@ class Engine(val spark: SparkSession, val root: String) {
       textCol: String): Long = {
     val base = store.lexIndexPath(source, textCol)
     val (buckets, positional) = lexMeta(base)
+    // restore any crashed-compaction aside BEFORE appending: an append
+    // that recreates a bucket dir whose only full copy sits in an aside
+    // would otherwise turn the next compaction's stale-aside cleanup
+    // into silent data loss for every pre-crash posting of that bucket
+    recoverLexArtifacts(base)
     val known = spark.read.parquet(s"$base/doclens").select("id")
     val fresh = store.loadTable(source)
       // null-text docs are unindexable and never enter doclens — drop
@@ -199,6 +204,45 @@ class Engine(val spark: SparkSession, val root: String) {
     new org.apache.hadoop.fs.Path(
       s"$base/postings/.graft-old-__TERM_BUCKET__=$b")
 
+  /** Crash recovery for the lexical index's swap artifacts. MUST run
+    * before ANY path that appends to or rewrites the postings/doclens
+    * (sync and compaction both call it first): a lone posting-bucket
+    * aside with its live dir ABSENT means a compaction crashed between
+    * aside-rename and install — rename it back BEFORE an append can
+    * recreate the live dir with only new postings, which would make
+    * "aside alongside live" ambiguous and a later cleanup would delete
+    * the only full copy. With recovery ordered before every append,
+    * aside-alongside-live can only mean a crash AFTER install (the
+    * aside is a stale duplicate) and dropping it is safe. The doclens
+    * sidecar's `.__old__` gets the same treatment: restore when the
+    * live table is absent (crash between its two renames), drop when
+    * both exist (crash after the swap, before cleanup). */
+  private def recoverLexArtifacts(base: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val postP = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val fs = postP.getFileSystem(conf)
+    if (fs.exists(postP))
+      fs.listStatus(postP).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(".graft-old-__TERM_BUCKET__="))
+        .foreach { st =>
+          val live = new org.apache.hadoop.fs.Path(postP,
+            st.getPath.getName.stripPrefix(".graft-old-"))
+          if (!fs.exists(live))
+            require(fs.rename(st.getPath, live),
+              s"recoverLexArtifacts: crash-recovery rename ${st.getPath} failed")
+          else fs.delete(st.getPath, true)
+        }
+    val lensP = new org.apache.hadoop.fs.Path(s"$base/doclens")
+    val lensOld = new org.apache.hadoop.fs.Path(s"$base/doclens.__old__")
+    if (fs.exists(lensOld)) {
+      if (!fs.exists(lensP))
+        require(fs.rename(lensOld, lensP),
+          s"recoverLexArtifacts: doclens crash-recovery rename failed")
+      else fs.delete(lensOld, true)
+    }
+  }
+
   def compactLexicalIndex(source: String, textCol: String,
       maxFilesPerBucket: Int = 8): (Long, Long) = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
@@ -207,22 +251,11 @@ class Engine(val spark: SparkSession, val root: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     val postP = new org.apache.hadoop.fs.Path(s"$base/postings")
     val fs = postP.getFileSystem(conf)
-    // Crash recovery from a previous compaction killed mid-swap: an
-    // aside dir with its live bucket ABSENT means the install never
-    // happened — rename the aside back before anything else reads or
-    // rewrites the postings (an aside alongside a live bucket means
-    // the crash hit after install; the stale copy is just dropped).
-    fs.listStatus(postP).toSeq
-      .filter(st => st.isDirectory &&
-        st.getPath.getName.startsWith(".graft-old-__TERM_BUCKET__="))
-      .foreach { st =>
-        val live = new org.apache.hadoop.fs.Path(postP,
-          st.getPath.getName.stripPrefix(".graft-old-"))
-        if (!fs.exists(live))
-          require(fs.rename(st.getPath, live),
-            s"compactLexicalIndex: crash-recovery rename ${st.getPath} failed")
-        else fs.delete(st.getPath, true)
-      }
+    // Crash recovery from a previous run killed mid-swap (postings
+    // bucket asides AND the doclens aside). Every mutating entry point
+    // runs this first — see [[recoverLexArtifacts]] for why ordering it
+    // before appends is what makes aside-alongside-live unambiguous.
+    recoverLexArtifacts(base)
     val frag = fs.listStatus(postP).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("__TERM_BUCKET__="))
       .map(s => s.getPath.getName.stripPrefix("__TERM_BUCKET__=").toInt ->

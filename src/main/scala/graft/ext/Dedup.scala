@@ -804,24 +804,29 @@ object Dedup {
       .distinct() // shifts often extract the same substring
   }
 
+  /** Per-(l, i, g) row counts of a segment/probe frame — the bounded
+    * key-statistics frame the guard consumes. Public so a pipeline (or
+    * the streaming gate) can compute a long-lived side's counts ONCE
+    * instead of re-aggregating it per call. */
+  def editDistanceKeyCounts(frame: DataFrame, alias: String): DataFrame =
+    frame.groupBy("l", "i", "g").agg(count(lit(1)).cast("double").as(alias))
+
   /** Candidate-volume guard for a segment-key equi-join: Σ_key ns·np IS
-    * the join's output size (two bounded aggs over the key frames);
-    * refusal names the worst keys — the TF-IDF-guard discipline. */
-  private def edGuard(segs: DataFrame, probes: DataFrame, op: String,
-      maxCandidates: Long): Unit = {
-    val segN = segs.groupBy("l", "i", "g")
-      .agg(count(lit(1)).cast("double").as("ns"))
-    val prbN = probes.groupBy("l", "i", "g")
-      .agg(count(lit(1)).cast("double").as("np"))
-    val keyed = segN.join(prbN, Seq("l", "i", "g"))
-      .withColumn("pairs", col("ns") * col("np"))
+    * the join's output size; refusal names the worst keys by their PAIR
+    * volume — the TF-IDF-guard discipline. Takes pre-aggregated count
+    * frames (aliases ns / np) so a precomputed side costs nothing. */
+  private def edGuard(segCounts: DataFrame, probeCounts: DataFrame,
+      op: String, maxCandidates: Long): Unit = {
+    val keyed = segCounts.join(probeCounts, Seq("l", "i", "g"))
+      .select(col("l"), col("i"), col("g"),
+        (col("ns") * col("np")).as("pairs"))
     val row = keyed.agg(sum(col("pairs"))).head()
     val vol = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     if (vol > maxCandidates.toDouble) {
       val worst = keyed.orderBy(col("pairs").desc).limit(3).collect()
         .map(r => s"(l=${r.get(0)}, i=${r.get(1)}, " +
           s"'${String.valueOf(r.get(2)).take(30)}') -> " +
-          s"${r.getDouble(4).toLong}")
+          s"${r.getDouble(3).toLong}")
         .mkString("; ")
       throw new IllegalArgumentException(
         f"$op: segment-key candidate volume ≈ $vol%.3g pairs exceeds " +
@@ -840,7 +845,9 @@ object Dedup {
     val base = edBase(df, idCol, textCol)
     val segs = edSegs(base, k).withColumnRenamed("id", "id_a")
     val probes = edProbes(base, k).withColumnRenamed("id", "id_b")
-    edGuard(segs, probes, "editDistancePairsBlocked", maxCandidates)
+    edGuard(editDistanceKeyCounts(segs, "ns"),
+      editDistanceKeyCounts(probes, "np"),
+      "editDistancePairsBlocked", maxCandidates)
     val cand = segs.join(probes, Seq("l", "i", "g"))
       .filter(col("id_a") =!= col("id_b"))
       .select(least(col("id_a"), col("id_b")).as("id_a"),
@@ -884,15 +891,23 @@ object Dedup {
     * Per call, only the LEFT side's frames are derived. */
   def editDistanceJoinAgainstFrames(left: DataFrame, leftId: String,
       leftText: String, rb: DataFrame, rSegs: DataFrame, rProbes: DataFrame,
-      maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
+      maxDist: Int, maxCandidates: Long = 50000000L,
+      rSegCounts: Option[DataFrame] = None,
+      rProbeCounts: Option[DataFrame] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxCandidates >= 1, "maxCandidates must be >= 1")
     val k = maxDist
     val lb = edBase(left, leftId, leftText)
     val lSegs = edSegs(lb, k).withColumnRenamed("id", "id_a")
     val lProbes = edProbes(lb, k).withColumnRenamed("id", "id_a")
-    edGuard(lSegs, rProbes, "editDistanceJoin", maxCandidates)
-    edGuard(rSegs, lProbes, "editDistanceJoin", maxCandidates)
+    // precomputed right-side counts (the gate checkpoints them once)
+    // make the per-call guard cost scale with the LEFT side only
+    edGuard(editDistanceKeyCounts(lSegs, "ns"),
+      rProbeCounts.getOrElse(editDistanceKeyCounts(rProbes, "np")),
+      "editDistanceJoin", maxCandidates)
+    edGuard(rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
+      editDistanceKeyCounts(lProbes, "np"),
+      "editDistanceJoin", maxCandidates)
     val cand = lSegs.join(rProbes, Seq("l", "i", "g"))
       .select("id_a", "id_b")
       .union(lProbes.join(rSegs, Seq("l", "i", "g")).select("id_a", "id_b"))

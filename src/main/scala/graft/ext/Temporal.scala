@@ -369,14 +369,21 @@ object Temporal {
     // (At the defaults the bound is ~8.3e16 — far looser than the
     // conservative ~1e8 the doc quotes.)
     val vBound = (5e18 / (window.toDouble * t)).toLong
-    val vRaw = floor(col(valueCol).cast("double") * scale).cast("long")
+    // The bound compares the DOUBLE, before any long cast: a value like
+    // -1e19 would saturate the non-ANSI cast to Long.MinValue, whose
+    // non-ANSI abs() wraps NEGATIVE and would sail through a
+    // post-cast |long| check — the exact silent-miss this guard exists
+    // to prevent (its positive twin errors correctly; only the negative
+    // edge escapes).
+    val vDouble = col(valueCol).cast("double") * scale
     val out = df
       .withColumn("__v__",
-        when(vRaw.isNull || abs(vRaw) <= lit(vBound), vRaw)
+        when(vDouble.isNull || abs(vDouble) <= lit(vBound.toDouble),
+            floor(vDouble).cast("long"))
           .otherwise(raise_error(concat(
-            lit(s"rollingAnomalies: |floor(value*scale)| exceeds the " +
+            lit(s"rollingAnomalies: |value*scale| exceeds the " +
               s"decimal(38,0) exactness bound $vBound (window=$window, " +
-              s"t=$t) — got "), vRaw.cast("string")))
+              s"t=$t) — got "), vDouble.cast("string")))
             .cast("long")))
       .select(col("*"),
         count(col("__v__")).over(w).as("__n__"),

@@ -223,8 +223,10 @@ object Streams {
       refTextCol: String, idCol: String, textCol: String, maxDist: Int,
       maxCandidates: Long = 50000000L,
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
-    require(idCol != "ref_id", s"editDistGateForEachBatch: stream idCol " +
-      "'ref_id' collides with the fixed output column; rename it first")
+    require(!Set("ref_id", "dist", "id_b").contains(idCol),
+      s"editDistGateForEachBatch: stream idCol '$idCol' collides with " +
+        "the fixed output columns (ref_id, dist) or the join's internal " +
+        "id_b; rename it apart first")
     // The corpus pass runs ONCE, at gate construction: base text,
     // segment and probe frames are materialized (localCheckpoint) so a
     // long-running query joins each micro-batch against pinned frames
@@ -237,10 +239,18 @@ object Streams {
       .withColumnRenamed("id", "id_b").localCheckpoint(true)
     val rProbes = graft.ext.Dedup.editDistanceProbes(rb, maxDist)
       .withColumnRenamed("id", "id_b").localCheckpoint(true)
+    // the guard's corpus-side key counts are fixed for the gate's
+    // lifetime — aggregate them once so the per-batch guard cost
+    // scales with the BATCH, not the corpus
+    val rSegCounts = graft.ext.Dedup
+      .editDistanceKeyCounts(rSegs, "ns").localCheckpoint(true)
+    val rProbeCounts = graft.ext.Dedup
+      .editDistanceKeyCounts(rProbes, "np").localCheckpoint(true)
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty)
         sink(graft.ext.Dedup.editDistanceJoinAgainstFrames(batch, idCol,
-            textCol, rb, rSegs, rProbes, maxDist, maxCandidates)
+            textCol, rb, rSegs, rProbes, maxDist, maxCandidates,
+            Some(rSegCounts), Some(rProbeCounts))
           .withColumnRenamed("id_a", idCol)
           .withColumnRenamed("id_b", "ref_id"))
   }

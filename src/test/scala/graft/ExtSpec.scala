@@ -1323,6 +1323,18 @@ class TemporalSpec extends SparkSuite {
     assert(e.toString.contains("exactness bound") ||
       Option(e.getCause).exists(_.toString.contains("exactness bound")),
       e.toString)
+    // large NEGATIVE values must fail the same way: floor(-1e19) would
+    // saturate a long cast to Long.MinValue whose non-ANSI abs() wraps
+    // negative — the guard compares the DOUBLE, so it still errors
+    val eNeg = intercept[Exception] {
+      graft.ext.Temporal.rollingAnomalies(
+        (1 to 12).map(i => ("A", i.toLong, -big)).toDF("k", "ts", "v"),
+        "k", "ts", "ts", "v",
+        window = 20, minN = 10L, t = 3, scale = 1000.0).count()
+    }
+    assert(eNeg.toString.contains("exactness bound") ||
+      Option(eNeg.getCause).exists(_.toString.contains("exactness bound")),
+      eNeg.toString)
     // in-bound values are untouched (same fixture as the hand-check)
     val ok = (1 to 12).map(i => ("A", i.toLong, 100.0)).toDF("k", "ts", "v")
     assert(graft.ext.Temporal.rollingAnomalies(ok, "k", "ts", "ts", "v",

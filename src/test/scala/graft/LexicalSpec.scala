@@ -228,6 +228,40 @@ class LexicalSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("syncLexicalIndex restores a crashed-compaction aside BEFORE " +
+      "appending — a later compaction can never mistake the only full " +
+      "copy for a stale duplicate") {
+    val root = Files.createTempDirectory("graft-lexsync").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("sdocs", docs.filter(col("doc_id") <= 3))
+    engine.buildLexicalIndex("sdocs", "doc_id", "text", buckets = 1)
+    val before = engine.searchBm25("sdocs", "text", Seq("hash"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    assert(before.nonEmpty)
+    // simulate the compaction crash window on the single bucket
+    val postDir = java.nio.file.Paths.get(root,
+      "lex_indexes", "sdocs", "text", "postings")
+    val bucket = java.nio.file.Files.list(postDir).iterator().asScala
+      .find(_.getFileName.toString.startsWith("__TERM_BUCKET__=")).get
+    val aside = postDir.resolve(".graft-old-" + bucket.getFileName.toString)
+    java.nio.file.Files.move(bucket, aside)
+    // sync appends a new doc whose terms land in the SAME (only)
+    // bucket — without recovery-first this recreates the live dir and
+    // the next compaction would delete the aside (= all old postings)
+    docs.filter(col("doc_id") === 4)
+      .write.mode("append").parquet(engine.store.tablePath("sdocs"))
+    assert(engine.syncLexicalIndex("sdocs", "doc_id", "text") == 1L)
+    assert(!java.nio.file.Files.exists(aside),
+      "sync must restore the aside before appending")
+    engine.compactLexicalIndex("sdocs", "text", maxFilesPerBucket = 1)
+    val after = engine.searchBm25("sdocs", "text", Seq("hash"), k = 10)
+      .as[(Long, Double)].collect().toMap
+    // every pre-crash doc still matches (avgdl shifted by the new doc,
+    // so compare keys, not scores) and the synced doc joined them
+    assert(before.keySet.subsetOf(after.keySet),
+      s"pre-crash postings lost: before=${before.keySet} after=${after.keySet}")
+  }
+
   test("tfidf cosine: degenerate vocabulary is refused loudly by the " +
       "candidate-volume guard, not silently quadratic") {
     // every doc shares the single term "same": Σ df·(df−1)/2 = C(40,2)
