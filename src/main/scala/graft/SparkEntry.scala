@@ -665,6 +665,22 @@ object SparkEntry {
     e
   }
 
+  /** Scratch table of 80-char document prefixes + persisted FUZZY
+    * lookup index (segment-bucket-partitioned PassJoin artifacts via
+    * [[graft.api.Engine.buildFuzzyIndex]]) — the serving path for
+    * single-string edit-distance lookups. */
+  private def withFuzzyIndex(s: SparkSession, dir: String): Engine = {
+    val e = new Engine(s, scratchRoot(dir))
+    if (!e.listTables().contains("docsrc80"))
+      e.makeTable("docsrc80", tbl(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t80")))
+    if (!e.store.sidecarExists(
+        s"${e.store.fuzzyIndexPath("docsrc80", "t80")}/meta.json"))
+      e.buildFuzzyIndex("docsrc80", "doc_id", "t80", maxDist = 2,
+        buckets = 64)
+    e
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     knnQuery("cosine")(spark, "/root/testdata/sf0.001")
@@ -1695,6 +1711,18 @@ object SparkEntry {
           Seq("hash", "join", "scan"), 64, requireAll = true)
         .select(col("id").as("doc_id"), col("bm25"))
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+    }),
+    // —— fuzzy lookup through the PERSISTED edit-distance index: the
+    // query string (doc 0's own 80-char prefix) resolves driver-side to
+    // its <=45 segment keys, both artifact scans prune to those keys'
+    // __SEG_BUCKET__ partitions, and the thresholded levenshtein runs
+    // only on bucket-collision survivors ——
+    "search_fuzzy_persisted" -> ((s: SparkSession, dir: String) => {
+      val e = withFuzzyIndex(s, dir)
+      val q = tbl(s, dir, "documents").filter(col("doc_id") === 0)
+        .select(substring(col("text"), 1, 80)).head().getString(0)
+      e.fuzzyLookup("docsrc80", "t80", q)
+        .select(col("id").as("doc_id"), col("dist"))
     }),
     // —— BM25 through the PERSISTED artifact: Engine.buildLexicalIndex
     // writes postings PARTITIONED BY __TERM_BUCKET__; Engine.searchBm25
@@ -2887,6 +2915,13 @@ object SparkEntry {
         "round(jaro_winkler_similarity(a.t, b.t), 6) AS jw " +
         "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
         "WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= 0.9"),
+    "search_fuzzy_persisted" ->
+      ("WITH q AS (SELECT substr(text, 1, 80) AS t FROM documents " +
+        "WHERE doc_id = 0), " +
+        "d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL) " +
+        "SELECT d.doc_id AS doc_id, levenshtein(d.t, q.t) AS dist " +
+        "FROM d, q WHERE levenshtein(d.t, q.t) <= 2"),
     "dedup_editdist" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
         "WHERE text IS NOT NULL AND doc_id < 300) " +

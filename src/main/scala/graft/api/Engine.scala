@@ -310,6 +310,87 @@ class Engine(val spark: SparkSession, val root: String) {
     (frag.length.toLong, lensCompacted)
   }
 
+  // ——— Fuzzy (edit-distance) lookup index ———
+
+  /** Persist the PassJoin artifacts of a stored table's text column as
+    * a FUZZY LOOKUP INDEX: the (id, t, len) base plus the segment and
+    * probe frames, each PARTITIONED BY a CRC32 bucket of the segment
+    * content — the edit-distance analogue of the lexical tier's term
+    * buckets. A [[fuzzyLookup]] computes the query's ≤ (k+1)²(2k+1)
+    * segment keys DRIVER-SIDE ([[graft.ext.Dedup.querySegKeys]]/
+    * [[queryProbeKeys]]) and prunes both scans to those keys' bucket
+    * directories at the file listing, so a single lookup touches a
+    * constant number of buckets regardless of corpus size.
+    * Rebuild-on-update contract (like every tier: in-place source
+    * modifications need a rebuild). */
+  def buildFuzzyIndex(source: String, idCol: String, textCol: String,
+      maxDist: Int = 2, buckets: Int = 64): Unit = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = store.fuzzyIndexPath(source, textCol)
+    val bf = graft.ext.Dedup.editDistanceBase(
+      store.loadTable(source), idCol, textCol)
+    bf.write.mode("overwrite").parquet(s"$base/base")
+    val bucketCol =
+      (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
+    graft.ext.Dedup.editDistanceSegments(bf, maxDist)
+      .withColumn("__SEG_BUCKET__", bucketCol)
+      .write.mode("overwrite").partitionBy("__SEG_BUCKET__")
+      .parquet(s"$base/segs")
+    graft.ext.Dedup.editDistanceProbes(bf, maxDist)
+      .withColumn("__SEG_BUCKET__", bucketCol)
+      .write.mode("overwrite").partitionBy("__SEG_BUCKET__")
+      .parquet(s"$base/probes")
+    // parameters ride the artifact: pruning with a different modulus or
+    // distance than the build's would silently miss candidates
+    store.writeSidecar(s"$base/meta.json",
+      s"""{"maxDist":$maxDist,"buckets":$buckets}""".getBytes("UTF-8"))
+  }
+
+  private def fuzzyMeta(base: String): (Int, Int) = {
+    val s = new String(store.readSidecar(s"$base/meta.json"), "UTF-8")
+    def intOf(k: String) = (k + """\s*:\s*(\d+)""").r
+      .findFirstMatchIn(s).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"fuzzy index at $base has no $k in meta.json"))
+    (intOf("\"maxDist\""), intOf("\"buckets\""))
+  }
+
+  /** All documents within edit distance `maxDist` (the BUILD-time k) of
+    * `query`, with the distance, through the persisted fuzzy index:
+    * pairs where the document is the shorter side come from the
+    * document-SEGMENT scan matched by the query's probe keys; longer
+    * documents from the document-PROBE scan matched by the query's
+    * segment keys — both scans pruned to the keys' bucket partitions.
+    * One bounded union-distinct, then a thresholded levenshtein against
+    * the base texts. Ties order by (dist, id). */
+  def fuzzyLookup(source: String, textCol: String,
+      query: String): DataFrame = {
+    require(query != null && query.nonEmpty, "fuzzyLookup: empty query")
+    val base = store.fuzzyIndexPath(source, textCol)
+    val (maxDist, buckets) = fuzzyMeta(base)
+    val qSegs = graft.ext.Dedup.querySegKeys(query, maxDist)
+    val qProbes = graft.ext.Dedup.queryProbeKeys(query, maxDist)
+    def hits(path: String, keys: Seq[(Int, Int, String)]): DataFrame = {
+      val bks = keys.map(t => graft.ext.Lexical.termBucket(t._3, buckets))
+        .distinct
+      val keyStrs = keys.map(t => s"${t._1}\u0000${t._2}\u0000${t._3}")
+      spark.read.parquet(path)
+        // bucket filter FIRST — the partition-pruning predicate
+        .filter(col("__SEG_BUCKET__").isin(bks: _*) &&
+          concat_ws("\u0000", col("l"), col("i"), col("g"))
+            .isin(keyStrs: _*))
+        .select("id")
+    }
+    val cand = hits(s"$base/segs", qProbes)
+      .union(hits(s"$base/probes", qSegs)).distinct()
+    cand.join(spark.read.parquet(s"$base/base"), Seq("id"))
+      .select(col("id"),
+        levenshtein(col("t"), lit(query), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist.toLong)
+      .orderBy(col("dist"), col("id"))
+  }
+
   // ——— BPE tokenizer (pipeline extension: trained-merges token accounting) ———
 
   /** Train and persist a BPE model from a stored table's text column

@@ -773,6 +773,38 @@ object Dedup {
   def editDistanceProbes(base: DataFrame, maxDist: Int): DataFrame =
     edProbes(base, maxDist)
 
+  /** Driver-side mirrors of one QUERY string's PassJoin keys — the
+    * persisted-index lookup path needs them BEFORE any job runs (they
+    * drive segment-bucket partition pruning). Formula-identical to
+    * [[editDistanceSegments]]/[[editDistanceProbes]]: segment i of a
+    * length-l string spans [⌊i·l/(k+1)⌋, ⌊(i+1)·l/(k+1)⌋). */
+  def querySegKeys(q: String, k: Int): Seq[(Int, Int, String)] = {
+    val l = q.length
+    (0 to k).map { i =>
+      val st = (i.toLong * l / (k + 1)).toInt
+      val en = ((i + 1).toLong * l / (k + 1)).toInt
+      (l, i, q.substring(st, en))
+    }
+  }
+
+  /** The query-side probe keys: for each candidate partner length
+    * l ∈ [len−k, len], each segment index, each ±k shift — the exact
+    * key set [[editDistanceProbes]] would emit for this one string. */
+  def queryProbeKeys(q: String, k: Int): Seq[(Int, Int, String)] = {
+    val m = q.length
+    (for { dl <- 0 to k; i <- 0 to k; sh <- -k to k } yield {
+      val l = m - dl
+      if (l < 0) None
+      else {
+        val st = (i.toLong * l / (k + 1)).toInt
+        val len = ((i + 1).toLong * l / (k + 1)).toInt - st
+        val p = st + sh
+        if (p >= 0 && p + len <= m) Some((l, i, q.substring(p, p + len)))
+        else None
+      }
+    }).flatten.distinct
+  }
+
   private def edBase(df: DataFrame, idCol: String, textCol: String) =
     df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), col(textCol).as("t"),

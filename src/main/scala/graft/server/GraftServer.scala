@@ -155,6 +155,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "indexes" :: "lexical" :: "compact" :: Nil) =>
           postLexicalCompact(ex)
         case ("POST", "search" :: "bm25" :: Nil)       => postBm25(ex)
+        case ("POST", "search" :: "fuzzy" :: Nil)      => postFuzzy(ex)
+        case ("POST", "indexes" :: "fuzzy" :: Nil)     => postFuzzyBuild(ex)
         case ("POST", "search" :: "phrase" :: Nil)     => postPhrase(ex)
         case ("POST", "sketch" :: "set-ops" :: Nil)    => postKmvSetOps(ex)
         case ("POST", "events" :: "anomalies" :: Nil)  => postAnomalies(ex)
@@ -906,6 +908,25 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   /** Incoming-vs-corpus near-dup gate
     * ([[graft.streaming.Streams.nearDupAgainstCorpus]] on its batch
     * path): which docs of `source` near-duplicate a doc of `corpus`. */
+  /** Build the persisted fuzzy (edit-distance) lookup index
+    * ([[graft.api.Engine.buildFuzzyIndex]]). */
+  private def postFuzzyBuild(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    engine.buildFuzzyIndex(require(body, "source").asText(),
+      require(body, "idCol").asText(), require(body, "column").asText(),
+      maxDist = intOr(body, "maxDist", 2),
+      buckets = intOr(body, "buckets", 64))
+    ok(ex, """{"built":true}""")
+  }
+
+  /** Single-string fuzzy lookup through the persisted index
+    * ([[graft.api.Engine.fuzzyLookup]] — bucket-pruned scans). */
+  private def postFuzzy(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, engine.fuzzyLookup(require(body, "source").asText(),
+      require(body, "column").asText(), require(body, "query").asText()))
+  }
+
   private def postDedupGate(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     val arrivals = engine.readTable(Seq(require(body, "source").asText()))

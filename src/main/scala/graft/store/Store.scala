@@ -76,6 +76,10 @@ class Store(val spark: SparkSession, val root: String) {
     * plus the doc-length sidecar table. */
   def lexIndexPath(source: String, column: String) =
     s"$root/lex_indexes/${safeSeg(source)}/${safeSeg(column)}"
+  /** Fuzzy (edit-distance) lookup index: segment-bucket-partitioned
+    * PassJoin artifacts plus the (id, t, len) base table. */
+  def fuzzyIndexPath(source: String, column: String) =
+    s"$root/fuzzy_indexes/${safeSeg(source)}/${safeSeg(column)}"
 
   /** Write small sidecar bytes (e.g. PQ codebooks) through the store's
     * filesystem, so the layout works on HDFS/object stores too. */

@@ -125,6 +125,55 @@ class LexicalSpec extends SparkSuite {
     assert(e.getMessage.contains("positional"), e.getMessage)
   }
 
+  test("fuzzy lookup index: persisted lookup == editDistanceJoin, both " +
+      "scans prune to the query keys' __SEG_BUCKET__ partitions") {
+    val root = Files.createTempDirectory("graft-fuzzy").toString
+    val engine = new Engine(spark, root)
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumpd"),   // 1 edit from the query
+      (3L, "a completely different sentence"),
+      (4L, "the quick brown fox"),         // 6 deletes: out of range
+      (5L, "the quick brown fox jumps!!")) // 2 inserts: in range
+      .toDF("doc_id", "t")
+    engine.makeTable("fdocs", corpus)
+    engine.buildFuzzyIndex("fdocs", "doc_id", "t", maxDist = 2, buckets = 16)
+    val q = "the quick brown fox jumps"
+    val hits = engine.fuzzyLookup("fdocs", "t", q)
+    val got = hits.as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L), (2L, 1L), (5L, 2L)), got.toString)
+    // reference: the cross-table join with the query as a 1-row frame
+    val want = graft.ext.Dedup.editDistanceJoin(
+        Seq((0L, q)).toDF("qid", "qt"), "qid", "qt",
+        corpus, "doc_id", "t", maxDist = 2)
+      .select(col("id_b"), col("dist")).as[(Long, Long)]
+      .collect().toSet
+    assert(got.toSet == want, s"lookup $got vs join $want")
+    // plan: both artifact scans carry a __SEG_BUCKET__ partition filter
+    // and their pruned listings stay within the query keys' buckets
+    val scans = hits.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    for (part <- Seq("segs", "probes")) {
+      val sc = scans.find(_.relation.location.rootPaths
+        .exists(_.toString.endsWith(part)))
+      assert(sc.isDefined, s"no $part scan in plan")
+      val pf = sc.get.partitionFilters
+      assert(pf.exists(_.references.exists(_.name == "__SEG_BUCKET__")),
+        s"$part scan lacks the bucket partition filter: $pf")
+      val keys = if (part == "segs")
+        graft.ext.Dedup.queryProbeKeys(q, 2)
+      else graft.ext.Dedup.querySegKeys(q, 2)
+      val wantBks = keys.map(t => Lexical.termBucket(t._3, 16)).toSet
+      val readBks = sc.get.relation.location.listFiles(pf, Nil)
+        .flatMap(_.files.map(_.getPath.getParent.getName))
+        .filter(_.startsWith("__SEG_BUCKET__="))
+        .map(_.stripPrefix("__SEG_BUCKET__=").toInt).toSet
+      assert(readBks.subsetOf(wantBks),
+        s"$part scan reads buckets $readBks outside the query's $wantBks")
+    }
+  }
+
   test("tfidf cosine: prefix-filtered pairs == exact pairs, with a " +
       "strictly smaller candidate surface") {
     // deterministic word-soup corpus with planted near-duplicates

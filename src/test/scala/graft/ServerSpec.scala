@@ -589,6 +589,26 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_ed")._1 == 200)
   }
 
+  test("fuzzy index routes: build then bucket-pruned lookup over the wire") {
+    val (c1, b1) = send("PUT", "/tables/wire_fz",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":1,"text":"the quick brown fox jumps"},
+        {"doc_id":2,"text":"the quick brown fox jumpd"},
+        {"doc_id":3,"text":"nothing like the others at all"}]}""")
+    assert(c1 == 200, b1)
+    val (bc, bBody) = send("POST", "/indexes/fuzzy",
+      """{"source":"wire_fz","idCol":"doc_id","column":"text","maxDist":2,"buckets":8}""")
+    assert(bc == 200, bBody)
+    val (fc, fBody) = send("POST", "/search/fuzzy",
+      """{"source":"wire_fz","column":"text","query":"the quick brown fox jumps"}""")
+    assert(fc == 200, fBody)
+    val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    mapper.readTree(fBody).get("rows").elements()
+      .forEachRemaining(n => hits += ((n.get("id").asLong(), n.get("dist").asLong())))
+    assert(hits.toSeq == Seq((1L, 0L), (2L, 1L)), hits.toString)
+    assert(send("DELETE", "/tables/wire_fz")._1 == 200)
+  }
+
   test("span decontamination route: report and strip forms") {
     val (c1, b1) = send("PUT", "/tables/spd_corpus",
       """{"schema":"doc_id LONG, text STRING","rows":[
