@@ -1105,6 +1105,17 @@ object SparkEntry {
         docs, "doc_id", "text", shingleSize = 1, threshold = 0.6)
       Dedup.duplicateGroups(docs, "doc_id", pairs, "id_a", "id_b")
     }),
+    // —— dedup: edit-distance pair graph → duplicate groups (the full
+    // fuzzy-dedup PIPELINE: PassJoin blocked pairs feed the same
+    // min-label component propagation as the jaccard groups) ——
+    "dedup_groups_editdist" -> ((s: SparkSession, dir: String) => {
+      val docs = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 300 && col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
+      val pairs = Dedup.editDistancePairsBlocked(
+        docs, "doc_id", "t80", maxDist = 4)
+      Dedup.duplicateGroups(docs, "doc_id", pairs, "id_a", "id_b")
+    }),
     // —— dedup: embedding-cosine near-dup, exact self-join (oracle) ——
     "dedup_cosine" -> ((s: SparkSession, dir: String) =>
       Dedup.nearDupPairsCosineExact(
@@ -2962,6 +2973,18 @@ object SparkEntry {
         "WHERE len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s)) >= 0.6), " +
         "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs), " +
         "reach(id, r) AS (SELECT doc_id, doc_id FROM sh " +
+        "UNION SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id) " +
+        "SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id"),
+    "dedup_groups_editdist" ->
+      ("WITH RECURSIVE " +
+        "d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id < 300), " +
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        "WHERE levenshtein(a.t, b.t) <= 4), " +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs " +
+        "UNION SELECT id_b, id_a FROM pairs), " +
+        "reach(id, r) AS (SELECT doc_id, doc_id FROM d " +
         "UNION SELECT e.dst, reach.r FROM edges e JOIN reach ON e.src = reach.id) " +
         "SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id"),
     "dedup_cosine" ->
