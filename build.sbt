@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through UNDECORATED: the default
+// LoggedOutput strategy prefixes every line with "[info] ", which broke
+// the driver's parse of Bench's compact JSON line two rounds running
+// (BENCH_r13/r14 "parsed": null — the line printed but arrived as
+// `[info] {...}`). StdoutOutput pipes the child's stdout/stderr straight
+// to sbt's own streams, so the final line is bare JSON.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -32,9 +32,6 @@ object Bench {
     // A crashed query must NOT be recorded as a (fast) timing: collect
     // failures separately, surface them in the JSON, and exit nonzero.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def timed(f: => Unit): Either[String, Double] =
-      try Right(time(f))
-      catch { case e: Throwable => Left(e.toString.take(200)) }
 
     // ——— Per-query wall-clock budget + heartbeat (the r13 lesson: one
     // pathological query stalled the ENTIRE driver bench for an hour
@@ -48,31 +45,25 @@ object Bench {
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "180").toInt
     def timedBudget(name: String, run: Int)(f: => Unit): Either[String, Double] = {
       System.err.println(s"[bench] ${java.time.Instant.now()} $name run $run")
-      @volatile var res: Either[String, Double] = Left("watchdog: no result")
-      val group = s"bench-$name-$run"
-      val t = new Thread(() => {
-        // job-group + interruptOnCancel so cancelJobGroup reaches tasks
-        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-        try res = timed(f)
-        finally spark.sparkContext.clearJobGroup()
-      }, s"bench-$name-$run")
-      t.setDaemon(true)
-      t.start()
-      t.join(budgetSec * 1000L)
-      if (t.isAlive) {
-        System.err.println(
-          s"[bench] ${java.time.Instant.now()} TIMEOUT $name run $run (${budgetSec}s) — cancelling job group")
-        // …AndFutureJobs: a cancel landing between AQE stages must not
-        // let the query's NEXT job run; interrupt additionally breaks
-        // driver-side stalls (guard aggregations, collect loops) so the
-        // zombie can't keep contending with every later measurement
-        spark.sparkContext.cancelJobGroupAndFutureJobs(group)
-        t.interrupt()
-        t.join(30000L) // give cancellation a moment; daemon thread if not
-        if (t.isAlive) System.err.println(
-          s"[bench] WARNING $name run $run still running after cancel — timings below may be contended")
-        Left(s"timeout: exceeded ${budgetSec}s budget")
-      } else res
+      BenchGuard.budgeted(spark, s"$name-$run", budgetSec)(time(f))
+    }
+    // Tail phases (RefBench/quality/NearDupBench/CurveBench) get the same
+    // watchdog with a larger budget: r14 gave them heartbeats but NOT the
+    // budget, so a stall in any of them could still reproduce the r13
+    // silent round-killer. A timed-out or crashed phase records a
+    // `phase_<name>` error, its metrics are omitted, and the bench STILL
+    // emits the compact line (exit 1 marks the run dirty).
+    val phaseSec = sys.env.getOrElse("SPARK_GRAFT_PHASE_BUDGET_SEC", "600").toInt
+    def phaseBudget[A](name: String)(f: => A): Option[A] = {
+      System.err.println(
+        s"[bench] ${java.time.Instant.now()} phase $name (budget ${phaseSec}s)")
+      BenchGuard.budgeted(spark, s"phase-$name", phaseSec)(f) match {
+        case Right(a) => Some(a)
+        case Left(msg) =>
+          System.err.println(s"[bench] FAILED phase $name: $msg")
+          errors(s"phase_$name") = msg
+          None
+      }
     }
     // best-of-2, but a timed-out first run is NOT retried — the second
     // attempt would just burn the budget again.
@@ -233,31 +224,35 @@ object Bench {
       .mkString("{", ",", "}")
 
     // Reference-shape workload (100k × 256-d, BASELINE.md constants).
-    System.err.println(s"[bench] ${java.time.Instant.now()} phase RefBench")
-    val (refTimings, recall) = RefBench.run(spark)
-    val refJson = refTimings.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", s""","recall_at_10_probes_16":$recall}""")
+    val (refTimings, recall) = phaseBudget("RefBench")(RefBench.run(spark))
+      .getOrElse((Seq.empty[(String, Double)], -1.0))
+    val refJson = (refTimings.map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.3f" } :+
+      s""""recall_at_10_probes_16":$recall""").mkString("{", ",", "}")
 
     // Approximate-operator quality on this SF's documents (sampled).
-    System.err.println(s"[bench] ${java.time.Instant.now()} phase quality")
-    val (mhRecall, mhPairs) = graft.ext.Eval.minhashRecall(
-      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
-      sampleSize = 200, shingleSize = 1, threshold = 0.5)
+    val (mhRecall, mhPairs) = phaseBudget("quality")(
+      graft.ext.Eval.minhashRecall(
+        spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+        sampleSize = 200, shingleSize = 1, threshold = 0.5))
+      .getOrElse((-1.0, -1L))
     // LSH vs exact near-dup at the 100k scale where n² visibly loses
     // (run once each — the exact baseline is the expensive side).
-    System.err.println(s"[bench] ${java.time.Instant.now()} phase NearDupBench")
-    val nearDup = NearDupBench.run(spark) ++ NearDupBench.gateRun(spark) ++
-      NearDupBench.deconRun(spark)
-    val ndJson = nearDup.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString(",")
+    val nearDup =
+      phaseBudget("NearDupBench")(NearDupBench.run(spark))
+        .getOrElse(Seq.empty) ++
+      phaseBudget("NearDupGate")(NearDupBench.gateRun(spark))
+        .getOrElse(Seq.empty) ++
+      phaseBudget("NearDupDecon")(NearDupBench.deconRun(spark))
+        .getOrElse(Seq.empty)
     // Recall-vs-budget curve at soak scale (1M): the SQ8 tier's
     // budget-independence claim, recorded in the artifact.
-    System.err.println(s"[bench] ${java.time.Instant.now()} phase CurveBench")
-    val curveJson = CurveBench.run(spark)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString(",")
-    val curvePart = if (curveJson.isEmpty) "" else s",$curveJson"
-    val quality =
-      f"""{"minhash_recall_sampled":$mhRecall%.3f,"minhash_exact_pairs":$mhPairs,$ndJson$curvePart}"""
+    val curve = phaseBudget("CurveBench")(CurveBench.run(spark))
+      .getOrElse(Seq.empty)
+    val quality = (Seq(f""""minhash_recall_sampled":$mhRecall%.3f""",
+      s""""minhash_exact_pairs":$mhPairs""") ++
+      (nearDup ++ curve).map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.3f" }).mkString("{", ",", "}")
 
     // messages escaped by the JSON library — exception text can carry any
     // control character, and a hand-rolled character class would let e.g.
@@ -295,9 +290,17 @@ object Bench {
     // tail, and every prior attempt that exceeded ~0.5 KB went unparsed
     // (r8/r9/r11 full line; r12's 40-query compact line). 10 headline
     // queries + scalars stays < 512 bytes regardless of how many soak
-    // artifacts exist.
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"error_count":${errors.size},"regression_count":${regressions.size},"sf":"$sfDir"}""")
+    // artifacts exist. r14's line was size-correct but arrived prefixed
+    // "[info] " by sbt's run logger and the driver's parser rejected it
+    // — build.sbt now sets `run / outputStrategy := StdoutOutput` so the
+    // forked JVM's stdout passes through undecorated, AND the identical
+    // line lands in tools/bench_compact.json for artifact-file ingestion.
+    val compact =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"error_count":${errors.size},"regression_count":${regressions.size},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("tools/bench_compact.json"),
+      (compact + "\n").getBytes("UTF-8"))
+    println(compact)
     spark.stop()
     // A bench with crashed queries is not a clean pass — make the driver see it.
     if (errors.nonEmpty) sys.exit(1)
