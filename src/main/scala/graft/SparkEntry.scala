@@ -674,8 +674,12 @@ object SparkEntry {
     if (!e.listTables().contains("docsrc80"))
       e.makeTable("docsrc80", tbl(s, dir, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 80).as("t80")))
-    if (!e.store.sidecarExists(
-        s"${e.store.fuzzyIndexPath("docsrc80", "t80")}/meta.json"))
+    val base = e.store.fuzzyIndexPath("docsrc80", "t80")
+    // rebuild legacy artifacts predating the lifecycle metadata (no
+    // idCol in meta.json / no freshness stamp) — serving now REFUSES
+    // stamp-less artifacts rather than silently trusting them
+    if (!e.store.sidecarExists(s"$base/meta.json") ||
+        !e.store.sidecarExists(s"$base/_source_stamp.json"))
       e.buildFuzzyIndex("docsrc80", "doc_id", "t80", maxDist = 2,
         buckets = 64)
     e
@@ -1733,6 +1737,41 @@ object SparkEntry {
       val q = tbl(s, dir, "documents").filter(col("doc_id") === 0)
         .select(substring(col("text"), 1, 80)).head().getString(0)
       e.fuzzyLookup("docsrc80", "t80", q)
+        .select(col("id").as("doc_id"), col("dist"))
+    }),
+    // —— BATCH fuzzy join served from the SAME persisted artifact: the
+    // corpus side's segment/probe frames and the guard's corpus-side
+    // key counts are read back instead of re-derived, so per-call cost
+    // scales with the query side only (Engine.fuzzyJoin) ——
+    "search_fuzzy_batch" -> ((s: SparkSession, dir: String) => {
+      val e = withFuzzyIndex(s, dir)
+      val left = tbl(s, dir, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 320)
+        .select(col("doc_id").as("q_id"),
+          substring(col("text"), 1, 80).as("q_t"))
+      e.fuzzyJoin("docsrc80", "t80", left, "q_id", "q_t")
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+    // —— fuzzy index LIFECYCLE end-to-end, every run: build on the
+    // first half of a slice, grow the table append-only, incremental
+    // sync (appends the new docs' PassJoin rows + partial key counts,
+    // re-stamps freshness), then look up a doc that arrived via SYNC —
+    // proving the synced rows serve, against the full-slice oracle ——
+    "search_fuzzy_synced" -> ((s: SparkSession, dir: String) => {
+      val root = scratchRoot(dir) + "_fuzzysync"
+      val e = new Engine(s, root)
+      e.remove() // deterministic from-scratch lifecycle each run
+      val docs80 = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .filter(col("doc_id") < 400)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
+      e.makeTable("d80", docs80.filter(col("doc_id") < 200))
+      e.buildFuzzyIndex("d80", "doc_id", "t80", maxDist = 2, buckets = 64)
+      docs80.filter(col("doc_id") >= 200)
+        .write.mode("append").parquet(e.store.tablePath("d80"))
+      e.syncFuzzyIndex("d80", "t80")
+      val q = tbl(s, dir, "documents").filter(col("doc_id") === 350)
+        .select(substring(col("text"), 1, 80)).head().getString(0)
+      e.fuzzyLookup("d80", "t80", q)
         .select(col("id").as("doc_id"), col("dist"))
     }),
     // —— BM25 through the PERSISTED artifact: Engine.buildLexicalIndex
@@ -2931,6 +2970,21 @@ object SparkEntry {
         "WHERE doc_id = 0), " +
         "d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
         "WHERE text IS NOT NULL) " +
+        "SELECT d.doc_id AS doc_id, levenshtein(d.t, q.t) AS dist " +
+        "FROM d, q WHERE levenshtein(d.t, q.t) <= 2"),
+    "search_fuzzy_batch" ->
+      ("WITH l AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id >= 300 AND doc_id < 320), " +
+        "d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL) " +
+        "SELECT l.doc_id AS id_a, d.doc_id AS id_b, " +
+        "levenshtein(l.t, d.t) AS dist FROM l JOIN d " +
+        "ON levenshtein(l.t, d.t) <= 2"),
+    "search_fuzzy_synced" ->
+      ("WITH q AS (SELECT substr(text, 1, 80) AS t FROM documents " +
+        "WHERE doc_id = 350), " +
+        "d AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id < 400) " +
         "SELECT d.doc_id AS doc_id, levenshtein(d.t, q.t) AS dist " +
         "FROM d, q WHERE levenshtein(d.t, q.t) <= 2"),
     "dedup_editdist" ->

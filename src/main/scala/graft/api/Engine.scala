@@ -168,6 +168,9 @@ class Engine(val spark: SparkSession, val root: String) {
   def searchBm25(source: String, textCol: String, terms: Seq[String],
       k: Int = 10, requireAll: Boolean = false): DataFrame = {
     val base = store.lexIndexPath(source, textCol)
+    recoverLexArtifacts(base) // reads too: a crashed compaction's aside
+    // is invisible to parquet listing — without this, queries silently
+    // miss every term hashing to that bucket until a mutating call
     graft.ext.Lexical.bm25FromIndex(
         spark.read.parquet(s"$base/postings"),
         spark.read.parquet(s"$base/doclens"), terms, lexMeta(base)._1,
@@ -184,6 +187,7 @@ class Engine(val spark: SparkSession, val root: String) {
   def searchPhrase(source: String, textCol: String, phrase: Seq[String],
       k: Int = 10): DataFrame = {
     val base = store.lexIndexPath(source, textCol)
+    recoverLexArtifacts(base) // see searchBm25 — reads need the sweep too
     val (buckets, positional) = lexMeta(base)
     require(positional, s"lexical index for $source.$textCol was built " +
       "without positions — rebuild with positional = true for phrase search")
@@ -200,47 +204,25 @@ class Engine(val spark: SparkSession, val root: String) {
     * files are rewritten (temp sibling + per-bucket directory rename, as
     * [[compactIndex]]); the doc-length sidecar is rewritten alongside
     * when it fragments past the same bound. Content is identical. */
-  private def bucketAsidePath(base: String, b: Int) =
-    new org.apache.hadoop.fs.Path(
-      s"$base/postings/.graft-old-__TERM_BUCKET__=$b")
-
-  /** Crash recovery for the lexical index's swap artifacts. MUST run
+  /** Crash recovery for the lexical index's swap artifacts
+    * ([[graft.store.Swap]] holds the shared discipline). MUST run
     * before ANY path that appends to or rewrites the postings/doclens
     * (sync and compaction both call it first): a lone posting-bucket
     * aside with its live dir ABSENT means a compaction crashed between
     * aside-rename and install — rename it back BEFORE an append can
     * recreate the live dir with only new postings, which would make
     * "aside alongside live" ambiguous and a later cleanup would delete
-    * the only full copy. With recovery ordered before every append,
-    * aside-alongside-live can only mean a crash AFTER install (the
-    * aside is a stale duplicate) and dropping it is safe. The doclens
-    * sidecar's `.__old__` gets the same treatment: restore when the
-    * live table is absent (crash between its two renames), drop when
-    * both exist (crash after the swap, before cleanup). */
+    * the only full copy. Read entry points ([[searchBm25]]/
+    * [[searchPhrase]]) run it too: the aside is dot-prefixed and
+    * INVISIBLE to parquet file listing, so between a crash and the next
+    * mutating call queries would otherwise silently miss every term
+    * hashing to the crashed bucket. One listStatus when clean. */
   private def recoverLexArtifacts(base: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val postP = new org.apache.hadoop.fs.Path(s"$base/postings")
-    val fs = postP.getFileSystem(conf)
-    if (fs.exists(postP))
-      fs.listStatus(postP).toSeq
-        .filter(st => st.isDirectory &&
-          st.getPath.getName.startsWith(".graft-old-__TERM_BUCKET__="))
-        .foreach { st =>
-          val live = new org.apache.hadoop.fs.Path(postP,
-            st.getPath.getName.stripPrefix(".graft-old-"))
-          if (!fs.exists(live))
-            require(fs.rename(st.getPath, live),
-              s"recoverLexArtifacts: crash-recovery rename ${st.getPath} failed")
-          else fs.delete(st.getPath, true)
-        }
-    val lensP = new org.apache.hadoop.fs.Path(s"$base/doclens")
-    val lensOld = new org.apache.hadoop.fs.Path(s"$base/doclens.__old__")
-    if (fs.exists(lensOld)) {
-      if (!fs.exists(lensP))
-        require(fs.rename(lensOld, lensP),
-          s"recoverLexArtifacts: doclens crash-recovery rename failed")
-      else fs.delete(lensOld, true)
-    }
+    val fs = store.fs
+    graft.store.Swap.recoverBucketAsides(fs,
+      new org.apache.hadoop.fs.Path(s"$base/postings"), "__TERM_BUCKET__")
+    graft.store.Swap.recoverFlatAside(fs,
+      new org.apache.hadoop.fs.Path(s"$base/doclens"))
   }
 
   def compactLexicalIndex(source: String, textCol: String,
@@ -248,66 +230,18 @@ class Engine(val spark: SparkSession, val root: String) {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val base = store.lexIndexPath(source, textCol)
     lexMeta(base) // fail loudly on a missing index
-    val conf = spark.sparkContext.hadoopConfiguration
-    val postP = new org.apache.hadoop.fs.Path(s"$base/postings")
-    val fs = postP.getFileSystem(conf)
     // Crash recovery from a previous run killed mid-swap (postings
     // bucket asides AND the doclens aside). Every mutating entry point
     // runs this first — see [[recoverLexArtifacts]] for why ordering it
     // before appends is what makes aside-alongside-live unambiguous.
     recoverLexArtifacts(base)
-    val frag = fs.listStatus(postP).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__TERM_BUCKET__="))
-      .map(s => s.getPath.getName.stripPrefix("__TERM_BUCKET__=").toInt ->
-        fs.listStatus(s.getPath).count(f => f.isFile &&
-          !f.getPath.getName.startsWith("_")))
-      .filter(_._2 > maxFilesPerBucket).map(_._1)
-    if (frag.nonEmpty) {
-      val tmp = s"$base/postings.__compact_tmp__"
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      spark.read.parquet(s"$base/postings")
-        .filter(col("__TERM_BUCKET__").isin(frag: _*))
-        .repartition(frag.length, col("__TERM_BUCKET__"))
-        .write.mode("overwrite").partitionBy("__TERM_BUCKET__").parquet(tmp)
-      // Per-bucket swap via rename-ASIDE, never delete-then-rename: a
-      // crash (or rename failure) between a delete and the install
-      // would permanently drop the bucket and BM25/phrase queries
-      // would silently miss every term hashing to it. The aside name
-      // starts with "." so parquet file listing ignores it — it cannot
-      // be misread as a partition directory during the window. The
-      // recovery sweep above restores any aside a crashed run left.
-      frag.foreach { b =>
-        val dst = new org.apache.hadoop.fs.Path(s"$base/postings/__TERM_BUCKET__=$b")
-        val srcP = new org.apache.hadoop.fs.Path(s"$tmp/__TERM_BUCKET__=$b")
-        if (fs.exists(srcP)) {
-          val aside = bucketAsidePath(base, b)
-          if (fs.exists(dst))
-            require(fs.rename(dst, aside),
-              s"compactLexicalIndex: aside rename failed for bucket $b (bucket untouched)")
-          require(fs.rename(srcP, dst),
-            s"compactLexicalIndex: install failed for bucket $b (original intact at $aside)")
-          fs.delete(aside, true)
-        }
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-    }
-    val lensP = new org.apache.hadoop.fs.Path(s"$base/doclens")
-    val lensFiles = fs.listStatus(lensP).count(f => f.isFile &&
-      !f.getPath.getName.startsWith("_"))
-    var lensCompacted = 0L
-    if (lensFiles > maxFilesPerBucket) {
-      val tmp = new org.apache.hadoop.fs.Path(s"$base/doclens.__compact_tmp__")
-      fs.delete(tmp, true)
-      spark.read.parquet(s"$base/doclens").coalesce(1)
-        .write.mode("overwrite").parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$base/doclens.__old__")
-      fs.delete(old, true)
-      require(fs.rename(lensP, old), "compactLexicalIndex: doclens aside rename failed")
-      require(fs.rename(tmp, lensP), "compactLexicalIndex: doclens swap failed")
-      fs.delete(old, true)
-      lensCompacted = lensFiles.toLong
-    }
-    (frag.length.toLong, lensCompacted)
+    val fs = store.fs
+    val buckets = graft.store.Swap.compactBuckets(spark, fs,
+      s"$base/postings", "__TERM_BUCKET__", maxFilesPerBucket,
+      "compactLexicalIndex")
+    val lens = graft.store.Swap.compactFlat(spark, fs,
+      s"$base/doclens", maxFilesPerBucket, "compactLexicalIndex")
+    (buckets, lens)
   }
 
   // ——— Fuzzy (edit-distance) lookup index ———
@@ -316,45 +250,175 @@ class Engine(val spark: SparkSession, val root: String) {
     * a FUZZY LOOKUP INDEX: the (id, t, len) base plus the segment and
     * probe frames, each PARTITIONED BY a CRC32 bucket of the segment
     * content — the edit-distance analogue of the lexical tier's term
-    * buckets. A [[fuzzyLookup]] computes the query's ≤ (k+1)²(2k+1)
-    * segment keys DRIVER-SIDE ([[graft.ext.Dedup.querySegKeys]]/
-    * [[queryProbeKeys]]) and prunes both scans to those keys' bucket
-    * directories at the file listing, so a single lookup touches a
-    * constant number of buckets regardless of corpus size.
-    * Rebuild-on-update contract (like every tier: in-place source
-    * modifications need a rebuild). */
+    * buckets — plus the per-key row counts of both frames (the
+    * candidate-volume guard's statistics, precomputed so a batch
+    * [[fuzzyJoin]]'s guard cost scales with the query side only). A
+    * [[fuzzyLookup]] computes the query's ≤ (k+1)²(2k+1) segment keys
+    * DRIVER-SIDE ([[graft.ext.Dedup.querySegKeys]]/[[queryProbeKeys]])
+    * and prunes both scans to those keys' bucket directories at the
+    * file listing, so a single lookup touches a constant number of
+    * buckets regardless of corpus size.
+    *
+    * Lifecycle parity with the other five tiers: the build records the
+    * source file-listing stamp; [[syncFuzzyIndex]] appends new docs'
+    * rows (PassJoin frames are row-local, so appends compose exactly);
+    * [[fuzzyIndexIsFresh]] reports staleness after in-place source
+    * rewrites (which need a rebuild, as everywhere); and
+    * [[compactFuzzyIndex]] coalesces sync-fragmented buckets. */
   def buildFuzzyIndex(source: String, idCol: String, textCol: String,
       maxDist: Int = 2, buckets: Int = 64): Unit = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val base = store.fuzzyIndexPath(source, textCol)
+    // listing BEFORE reading: a concurrent source change mid-build then
+    // leaves a stale stamp (conservative) rather than a wrongly-fresh one
+    val listing = store.sourceListing(source)
     val bf = graft.ext.Dedup.editDistanceBase(
       store.loadTable(source), idCol, textCol)
     bf.write.mode("overwrite").parquet(s"$base/base")
-    val bucketCol =
-      (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
-    graft.ext.Dedup.editDistanceSegments(bf, maxDist)
-      .withColumn("__SEG_BUCKET__", bucketCol)
-      .write.mode("overwrite").partitionBy("__SEG_BUCKET__")
-      .parquet(s"$base/segs")
-    graft.ext.Dedup.editDistanceProbes(bf, maxDist)
-      .withColumn("__SEG_BUCKET__", bucketCol)
-      .write.mode("overwrite").partitionBy("__SEG_BUCKET__")
-      .parquet(s"$base/probes")
+    writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite")
     // parameters ride the artifact: pruning with a different modulus or
-    // distance than the build's would silently miss candidates
+    // distance than the build's would silently miss candidates; the id
+    // column rides too so sync can anti-join the source against the base
     store.writeSidecar(s"$base/meta.json",
-      s"""{"maxDist":$maxDist,"buckets":$buckets}""".getBytes("UTF-8"))
+      s"""{"maxDist":$maxDist,"buckets":$buckets,"idCol":"$idCol"}"""
+        .getBytes("UTF-8"))
+    Index.recordSourceStamp(store, base, listing)
   }
 
-  private def fuzzyMeta(base: String): (Int, Int) = {
+  /** Segment/probe/count frames of one base delta, written under the
+    * artifact — shared by build (overwrite) and sync (append). */
+  private def writeFuzzyFrames(base: String, bf: DataFrame, maxDist: Int,
+      buckets: Int, mode: String): Unit = {
+    val bucketCol =
+      (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
+    val segs = graft.ext.Dedup.editDistanceSegments(bf, maxDist)
+    val probes = graft.ext.Dedup.editDistanceProbes(bf, maxDist)
+    segs.withColumn("__SEG_BUCKET__", bucketCol)
+      .write.mode(mode).partitionBy("__SEG_BUCKET__")
+      .parquet(s"$base/segs")
+    probes.withColumn("__SEG_BUCKET__", bucketCol)
+      .write.mode(mode).partitionBy("__SEG_BUCKET__")
+      .parquet(s"$base/probes")
+    // per-key counts: sync appends PARTIAL count rows (one set per
+    // delta); readers re-aggregate — Σ over partials is exact, and the
+    // counts frame stays orders of magnitude smaller than the frames
+    graft.ext.Dedup.editDistanceKeyCounts(segs, "ns")
+      .write.mode(mode).parquet(s"$base/segcounts")
+    graft.ext.Dedup.editDistanceKeyCounts(probes, "np")
+      .write.mode(mode).parquet(s"$base/probecounts")
+  }
+
+  private def fuzzyMeta(base: String): (Int, Int, String) = {
     val s = new String(store.readSidecar(s"$base/meta.json"), "UTF-8")
     def intOf(k: String) = (k + """\s*:\s*(\d+)""").r
       .findFirstMatchIn(s).map(_.group(1).toInt)
       .getOrElse(throw new IllegalStateException(
         s"fuzzy index at $base has no $k in meta.json"))
-    (intOf("\"maxDist\""), intOf("\"buckets\""))
+    val idCol = """"idCol"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
+      .map(_.group(1))
+      .getOrElse(throw new IllegalStateException(
+        s"fuzzy index at $base predates the lifecycle metadata " +
+          "(no idCol in meta.json) — rebuild with buildFuzzyIndex"))
+    (intOf("\"maxDist\""), intOf("\"buckets\""), idCol)
   }
+
+  /** Whether the fuzzy artifact exists AND was built/synced from the
+    * CURRENT source content (file-listing stamp comparison, the
+    * [[Index.tierFresh]] contract) — false after any in-place source
+    * rewrite until a rebuild, and false for artifacts predating the
+    * stamp sidecar (rebuild to adopt). */
+  def fuzzyIndexIsFresh(source: String, textCol: String): Boolean = {
+    val base = store.fuzzyIndexPath(source, textCol)
+    store.sidecarExists(s"$base/meta.json") &&
+      Index.recordedStamp(store, base).contains(store.sourceStamp(source))
+  }
+
+  /** Append newly ingested documents to the fuzzy index: docs whose id
+    * is absent from the base frame get their base/segment/probe rows
+    * and partial key counts appended — the append-only-corpus
+    * incremental path (PassJoin frames are row-local, so the appended
+    * artifact equals a fresh rebuild row-for-row; document UPDATES need
+    * a rebuild, as with every tier). Re-stamps freshness only when
+    * growth is verifiably append-only (every file recorded at the last
+    * build/sync still present unchanged). Returns rows appended. */
+  def syncFuzzyIndex(source: String, textCol: String): Long = {
+    val base = store.fuzzyIndexPath(source, textCol)
+    val (maxDist, buckets, idCol) = fuzzyMeta(base)
+    // restore any crashed-compaction aside BEFORE appending — an append
+    // recreating a bucket dir whose only full copy sits in an aside
+    // would turn the next cleanup into silent data loss (see
+    // [[graft.store.Swap]])
+    recoverFuzzyArtifacts(base)
+    val listing = store.sourceListing(source)
+    val known = spark.read.parquet(s"$base/base")
+      .select(col("id").as("__known_id__"))
+    val fresh = store.loadTable(source)
+      .filter(col(textCol).isNotNull)
+      .join(known, col(idCol) === col("__known_id__"), "left_anti")
+    val bf = graft.ext.Dedup.editDistanceBase(fresh, idCol, textCol)
+      .localCheckpoint(true) // freeze: the appends below grow the very
+                             // paths a lazy plan would re-list
+    try {
+      val n = bf.count()
+      if (n > 0) {
+        bf.write.mode("append").parquet(s"$base/base")
+        writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
+        val curSet = listing.toSet
+        if (Index.recordedListing(store, base).exists(_.forall(curSet.contains)))
+          Index.recordSourceStamp(store, base, listing)
+      }
+      n
+    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(bf)
+  }
+
+  /** Crash recovery for the fuzzy index's swap artifacts — both bucket
+    * dirs plus the three flat tables; MUST run before every mutation
+    * and runs from the read paths too (same rationale as
+    * [[recoverLexArtifacts]]: an aside is invisible to parquet listing,
+    * so lookups would silently miss the crashed bucket's segments). */
+  private def recoverFuzzyArtifacts(base: String): Unit = {
+    val fs = store.fs
+    graft.store.Swap.recoverBucketAsides(fs,
+      new org.apache.hadoop.fs.Path(s"$base/segs"), "__SEG_BUCKET__")
+    graft.store.Swap.recoverBucketAsides(fs,
+      new org.apache.hadoop.fs.Path(s"$base/probes"), "__SEG_BUCKET__")
+    Seq("base", "segcounts", "probecounts").foreach(d =>
+      graft.store.Swap.recoverFlatAside(fs,
+        new org.apache.hadoop.fs.Path(s"$base/$d")))
+  }
+
+  /** Coalesce sync-fragmented segment buckets (crash-safe per-bucket
+    * rename-aside swaps, [[graft.store.Swap]]) and flat tables.
+    * Returns (buckets compacted across segs+probes, flat tables
+    * compacted). Content identical; the partial count rows are merely
+    * coalesced, not merged — readers re-aggregate either way. */
+  def compactFuzzyIndex(source: String, textCol: String,
+      maxFilesPerBucket: Int = 8): (Long, Long) = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val base = store.fuzzyIndexPath(source, textCol)
+    fuzzyMeta(base) // fail loudly on a missing index
+    recoverFuzzyArtifacts(base)
+    val fs = store.fs
+    val bucketsDone =
+      graft.store.Swap.compactBuckets(spark, fs, s"$base/segs",
+        "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex") +
+      graft.store.Swap.compactBuckets(spark, fs, s"$base/probes",
+        "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex")
+    val flatsDone = Seq("base", "segcounts", "probecounts").map(d =>
+      if (graft.store.Swap.compactFlat(spark, fs, s"$base/$d",
+        maxFilesPerBucket, "compactFuzzyIndex") > 0) 1L else 0L).sum
+    (bucketsDone, flatsDone)
+  }
+
+  private def requireFuzzyFresh(source: String, textCol: String,
+      allowStale: Boolean): Unit =
+    require(allowStale || fuzzyIndexIsFresh(source, textCol),
+      s"fuzzy index for $source.$textCol is STALE: the source content " +
+        "changed since the last build/sync (or the artifact predates " +
+        "freshness stamps). Run syncFuzzyIndex after append-only growth, " +
+        "rebuild after in-place rewrites, or pass allowStale = true to " +
+        "serve from the stale artifact deliberately.")
 
   /** All documents within edit distance `maxDist` (the BUILD-time k) of
     * `query`, with the distance, through the persisted fuzzy index:
@@ -363,23 +427,29 @@ class Engine(val spark: SparkSession, val root: String) {
     * documents from the document-PROBE scan matched by the query's
     * segment keys — both scans pruned to the keys' bucket partitions.
     * One bounded union-distinct, then a thresholded levenshtein against
-    * the base texts. Ties order by (dist, id). */
-  def fuzzyLookup(source: String, textCol: String,
-      query: String): DataFrame = {
+    * the base texts. Ties order by (dist, id). Refuses a stale artifact
+    * (loud-or-fresh, never silently stale) unless `allowStale`. */
+  def fuzzyLookup(source: String, textCol: String, query: String,
+      allowStale: Boolean = false): DataFrame = {
     require(query != null && query.nonEmpty, "fuzzyLookup: empty query")
     val base = store.fuzzyIndexPath(source, textCol)
-    val (maxDist, buckets) = fuzzyMeta(base)
+    val (maxDist, buckets, _) = fuzzyMeta(base)
+    recoverFuzzyArtifacts(base)
+    requireFuzzyFresh(source, textCol, allowStale)
     val qSegs = graft.ext.Dedup.querySegKeys(query, maxDist)
     val qProbes = graft.ext.Dedup.queryProbeKeys(query, maxDist)
     def hits(path: String, keys: Seq[(Int, Int, String)]): DataFrame = {
       val bks = keys.map(t => graft.ext.Lexical.termBucket(t._3, buckets))
         .distinct
-      val keyStrs = keys.map(t => s"${t._1}\u0000${t._2}\u0000${t._3}")
+      // key match as a disjunction over the (l, i, g) TUPLES — never a
+      // separator-joined string, which a text containing the separator
+      // could alias (two distinct keys comparing equal)
+      val keyPred = keys.map(t =>
+        col("l") === t._1 && col("i") === t._2 && col("g") === t._3)
+        .reduce(_ || _)
       spark.read.parquet(path)
         // bucket filter FIRST — the partition-pruning predicate
-        .filter(col("__SEG_BUCKET__").isin(bks: _*) &&
-          concat_ws("\u0000", col("l"), col("i"), col("g"))
-            .isin(keyStrs: _*))
+        .filter(col("__SEG_BUCKET__").isin(bks: _*) && keyPred)
         .select("id")
     }
     val cand = hits(s"$base/segs", qProbes)
@@ -389,6 +459,75 @@ class Engine(val spark: SparkSession, val root: String) {
         levenshtein(col("t"), lit(query), maxDist).cast("long").as("dist"))
       .filter(col("dist") >= 0L && col("dist") <= maxDist.toLong)
       .orderBy(col("dist"), col("id"))
+  }
+
+  /** The persisted artifact's PassJoin frames, shaped for
+    * [[graft.ext.Dedup.editDistanceJoinAgainstFrames]] (id renamed to
+    * id_b, partition column dropped, partial counts re-aggregated). */
+  private def fuzzyFrames(base: String): (DataFrame, DataFrame, DataFrame,
+      DataFrame, DataFrame) = {
+    val rb = spark.read.parquet(s"$base/base")
+    val rSegs = spark.read.parquet(s"$base/segs")
+      .select(col("l"), col("i"), col("g"), col("id").as("id_b"))
+    val rProbes = spark.read.parquet(s"$base/probes")
+      .select(col("l"), col("i"), col("g"), col("id").as("id_b"))
+    val segCounts = spark.read.parquet(s"$base/segcounts")
+      .groupBy("l", "i", "g").agg(sum("ns").as("ns"))
+    val probeCounts = spark.read.parquet(s"$base/probecounts")
+      .groupBy("l", "i", "g").agg(sum("np").as("np"))
+    (rb, rSegs, rProbes, segCounts, probeCounts)
+  }
+
+  /** BATCH edit-distance join against the persisted fuzzy index: every
+    * (left row, stored doc) pair within the build-time `maxDist`, as
+    * (id_a = left id, id_b = stored id, dist) — identical output to
+    * [[graft.ext.Dedup.editDistanceJoin]] against the live table, but
+    * the corpus side's segment/probe frames AND the guard's corpus-side
+    * key counts come from the artifact, so per-call derivation cost
+    * scales with the LEFT side only. The serving path for entity
+    * resolution / fuzzy-key joins over an indexed corpus. */
+  def fuzzyJoin(source: String, textCol: String, left: DataFrame,
+      leftId: String, leftText: String,
+      maxCandidates: Long = 50000000L,
+      allowStale: Boolean = false): DataFrame = {
+    val base = store.fuzzyIndexPath(source, textCol)
+    val (maxDist, _, _) = fuzzyMeta(base)
+    recoverFuzzyArtifacts(base)
+    requireFuzzyFresh(source, textCol, allowStale)
+    val (rb, rSegs, rProbes, segCounts, probeCounts) = fuzzyFrames(base)
+    graft.ext.Dedup.editDistanceJoinAgainstFrames(left, leftId, leftText,
+      rb, rSegs, rProbes, maxDist, maxCandidates,
+      Some(segCounts), Some(probeCounts))
+  }
+
+  /** Fuzzy ingest gate served FROM the persisted artifact — the
+    * [[graft.streaming.Streams.editDistGateForEachBatch]] contract
+    * ((streamIdCol, ref_id, dist) flags per micro-batch; an arrival
+    * absent from the output is novel) without re-deriving the corpus
+    * frames at gate construction or pinning them in executor storage:
+    * the frames are parquet-backed, so a [[syncFuzzyIndex]] while the
+    * stream runs extends the gate's corpus on the next micro-batch. */
+  def fuzzyGateForEachBatch(source: String, textCol: String,
+      streamIdCol: String, streamTextCol: String,
+      maxCandidates: Long = 50000000L,
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = {
+    require(!Set("ref_id", "dist", "id_b").contains(streamIdCol),
+      s"fuzzyGateForEachBatch: stream idCol '$streamIdCol' collides with " +
+        "the fixed output columns (ref_id, dist) or the join's internal " +
+        "id_b; rename it apart first")
+    val base = store.fuzzyIndexPath(source, textCol)
+    val (maxDist, _, _) = fuzzyMeta(base)
+    recoverFuzzyArtifacts(base)
+    requireFuzzyFresh(source, textCol, allowStale = false)
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val (rb, rSegs, rProbes, segCounts, probeCounts) = fuzzyFrames(base)
+        sink(graft.ext.Dedup.editDistanceJoinAgainstFrames(batch,
+            streamIdCol, streamTextCol, rb, rSegs, rProbes, maxDist,
+            maxCandidates, Some(segCounts), Some(probeCounts))
+          .withColumnRenamed("id_a", streamIdCol)
+          .withColumnRenamed("id_b", "ref_id"))
+      }
   }
 
   // ——— BPE tokenizer (pipeline extension: trained-merges token accounting) ———

@@ -74,7 +74,7 @@ object Index {
     * listing it hashes — sync needs the listing to prove growth was
     * append-only before re-stamping, and [[repair]] diffs it to find
     * WHICH files changed. */
-  private def recordSourceStamp(store: Store, indexPath: String,
+  private[graft] def recordSourceStamp(store: Store, indexPath: String,
       listing: Seq[String]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val payload = mapper.createObjectNode()
@@ -86,7 +86,7 @@ object Index {
 
   /** The recorded source listing, if the sidecar carries one (indexes
     * stamped before the listing field report None). */
-  private def recordedListing(store: Store, indexPath: String): Option[Seq[String]] = {
+  private[graft] def recordedListing(store: Store, indexPath: String): Option[Seq[String]] = {
     val sc = stampSidecar(indexPath)
     if (!store.sidecarExists(sc)) return None
     val n = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -96,7 +96,7 @@ object Index {
     }
   }
 
-  private def recordedStamp(store: Store, indexPath: String): Option[String] = {
+  private[graft] def recordedStamp(store: Store, indexPath: String): Option[String] = {
     val sc = stampSidecar(indexPath)
     if (!store.sidecarExists(sc)) return None
     Option(new com.fasterxml.jackson.databind.ObjectMapper()

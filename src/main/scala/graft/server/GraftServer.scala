@@ -156,7 +156,13 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           postLexicalCompact(ex)
         case ("POST", "search" :: "bm25" :: Nil)       => postBm25(ex)
         case ("POST", "search" :: "fuzzy" :: Nil)      => postFuzzy(ex)
+        case ("POST", "search" :: "fuzzy" :: "join" :: Nil) =>
+          postFuzzyJoin(ex)
         case ("POST", "indexes" :: "fuzzy" :: Nil)     => postFuzzyBuild(ex)
+        case ("POST", "indexes" :: "fuzzy" :: "sync" :: Nil) =>
+          postFuzzySync(ex)
+        case ("POST", "indexes" :: "fuzzy" :: "compact" :: Nil) =>
+          postFuzzyCompact(ex)
         case ("POST", "search" :: "phrase" :: Nil)     => postPhrase(ex)
         case ("POST", "sketch" :: "set-ops" :: Nil)    => postKmvSetOps(ex)
         case ("POST", "events" :: "anomalies" :: Nil)  => postAnomalies(ex)
@@ -924,7 +930,42 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   private def postFuzzy(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     okRows(ex, engine.fuzzyLookup(require(body, "source").asText(),
-      require(body, "column").asText(), require(body, "query").asText()))
+      require(body, "column").asText(), require(body, "query").asText(),
+      allowStale = opt(body, "allowStale").exists(_.asBoolean())))
+  }
+
+  /** BATCH edit-distance join of a stored query table against the
+    * persisted fuzzy index ([[graft.api.Engine.fuzzyJoin]] — the corpus
+    * frames and guard counts come from the artifact). */
+  private def postFuzzyJoin(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val left = engine.readTable(Seq(require(body, "left").asText()))
+    okRows(ex, engine.fuzzyJoin(require(body, "source").asText(),
+      require(body, "column").asText(), left,
+      require(body, "leftIdCol").asText(),
+      require(body, "leftColumn").asText(),
+      maxCandidates = opt(body, "maxCandidates").map(_.asLong())
+        .getOrElse(50000000L),
+      allowStale = opt(body, "allowStale").exists(_.asBoolean())))
+  }
+
+  /** Incremental fuzzy-index sync ([[graft.api.Engine.syncFuzzyIndex]]);
+    * returns rows appended and the post-sync freshness. */
+  private def postFuzzySync(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val source = require(body, "source").asText()
+    val column = require(body, "column").asText()
+    val n = engine.syncFuzzyIndex(source, column)
+    ok(ex, s"""{"appended":$n,"fresh":${engine.fuzzyIndexIsFresh(source, column)}}""")
+  }
+
+  /** Fuzzy-index bucket compaction ([[graft.api.Engine.compactFuzzyIndex]]). */
+  private def postFuzzyCompact(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val (buckets, flats) = engine.compactFuzzyIndex(
+      require(body, "source").asText(), require(body, "column").asText(),
+      maxFilesPerBucket = intOr(body, "maxFilesPerBucket", 8))
+    ok(ex, s"""{"bucketsCompacted":$buckets,"flatsCompacted":$flats}""")
   }
 
   private def postDedupGate(ex: HttpExchange): Unit = {

@@ -30,7 +30,7 @@ import graft.coder.{Coder, CoderConfig, Coding}
   * on local disk, HDFS, or object stores.
   */
 class Store(val spark: SparkSession, val root: String) {
-  private def fs: FileSystem =
+  private[graft] def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Every table/coding/column/model name becomes a filesystem path

@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.api.Engine
+
+/** Fuzzy (edit-distance) index LIFECYCLE: incremental sync, freshness
+  * stamps (loud-or-fresh serving), compaction + crash recovery, and the
+  * batch/gate serving paths against the persisted artifact. */
+class FuzzySpec extends SparkSuite {
+  import spark.implicits._
+
+  // every string is 1-2 digit edits from its neighbors — dense matches
+  private def corpusRows(n: Int): Seq[(Long, String)] =
+    (0 until n).map(i => (i.toLong, f"row $i%04d of the fuzzy corpus"))
+
+  private def freshEngine(tag: String): Engine =
+    new Engine(spark, Files.createTempDirectory(s"graft-$tag").toString)
+
+  test("incremental sync == full rebuild; stale artifact refuses to serve " +
+      "until synced; re-sync is a no-op") {
+    val all = corpusRows(60).toDF("doc_id", "t")
+    val e = freshEngine("fsync")
+    e.makeTable("fd", all.filter(col("doc_id") < 30))
+    e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 8)
+    assert(e.fuzzyIndexIsFresh("fd", "t"))
+
+    // grow the table append-only WITHOUT syncing: freshness drops and
+    // serving refuses LOUDLY (never silently stale); allowStale opts in
+    all.filter(col("doc_id") >= 30)
+      .write.mode("append").parquet(e.store.tablePath("fd"))
+    assert(!e.fuzzyIndexIsFresh("fd", "t"))
+    val q = f"row ${41}%04d of the fuzzy corpus"
+    val ex = intercept[IllegalArgumentException](e.fuzzyLookup("fd", "t", q))
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+    // stale serving on request still works (serves the OLD corpus only)
+    val stale = e.fuzzyLookup("fd", "t", q, allowStale = true)
+      .as[(Long, Long)].collect()
+    assert(stale.forall(_._1 < 30L), stale.mkString(","))
+
+    assert(e.syncFuzzyIndex("fd", "t") == 30L)
+    assert(e.fuzzyIndexIsFresh("fd", "t"))
+    assert(e.syncFuzzyIndex("fd", "t") == 0L) // idempotent
+
+    // parity with a from-scratch build over the full corpus
+    val e2 = freshEngine("fsync2")
+    e2.makeTable("fd", all)
+    e2.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 8)
+    val got = e.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSeq
+    val want = e2.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSeq
+    assert(got == want && got.exists(_._1 >= 30L), s"$got vs $want")
+  }
+
+  test("batch fuzzyJoin through the artifact == inline editDistanceJoin") {
+    val all = corpusRows(50).toDF("doc_id", "t")
+    val e = freshEngine("fjoin")
+    e.makeTable("fd", all)
+    e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 8)
+    val left = corpusRows(50).take(5)
+      .map { case (i, t) => (i + 1000L, t.replaceFirst("row", "r0w")) }
+      .toDF("qid", "qt") // one edit from its source row
+    val got = e.fuzzyJoin("fd", "t", left, "qid", "qt")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.ext.Dedup.editDistanceJoin(
+        left, "qid", "qt", all, "doc_id", "t", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+  }
+
+  test("artifact-served ingest gate closure == editDistanceJoin, and a " +
+      "mid-stream sync extends the gate's corpus") {
+    val all = corpusRows(40).toDF("doc_id", "t")
+    val e = freshEngine("fgate")
+    e.makeTable("fd", all.filter(col("doc_id") < 20))
+    e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 8)
+    var out: Option[DataFrame] = None
+    val gate = e.fuzzyGateForEachBatch("fd", "t", "qid", "qt",
+      sink = df => out = Some(df))
+    val batch = Seq((1L, f"row ${7}%04d of the fuzzy corpus"),
+      (2L, f"row ${33}%04d of the fuzzy corpus")).toDF("qid", "qt")
+    gate(batch, 0L)
+    val flags1 = out.get.select("qid", "ref_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    val want1 = graft.ext.Dedup.editDistanceJoin(batch, "qid", "qt",
+        all.filter(col("doc_id") < 20), "doc_id", "t", maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(flags1 == want1 && flags1.exists(_._1 == 1L), flags1.toString)
+    assert(!flags1.exists(_._2 >= 20L))
+    // grow + sync while the gate is "running": parquet-backed frames
+    // pick up the appended rows on the next batch
+    all.filter(col("doc_id") >= 20)
+      .write.mode("append").parquet(e.store.tablePath("fd"))
+    assert(e.syncFuzzyIndex("fd", "t") == 20L)
+    gate(batch, 1L)
+    val flags2 = out.get.select("qid", "ref_id", "dist")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(flags2.exists(f => f._1 == 2L && f._2 == 33L && f._3 == 0L),
+      flags2.toString)
+  }
+
+  test("NUL-containing text: lookup == brute force (tuple key filter " +
+      "cannot alias distinct keys through a separator)") {
+    val rows = Seq(
+      (1L, "abc\u0000def"), (2L, "abc\u0000dxf"), (3L, "abc0def"),
+      (4L, "\u0000\u0000\u0000"), (5L, "completely unrelated string"))
+    val e = freshEngine("fnul")
+    e.makeTable("fd", rows.toDF("doc_id", "t"))
+    e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 4)
+    for ((_, q) <- rows) {
+      val got = e.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSet
+      val want = rows.flatMap { case (id, t) =>
+        val d = levenshteinRef(t, q)
+        if (d <= 2) Some((id, d.toLong)) else None
+      }.toSet
+      assert(got == want, s"q=${q.replace('\u0000', '?')}: $got vs $want")
+    }
+  }
+
+  test("sync fragments buckets; compaction coalesces them crash-safely; " +
+      "a crashed-swap aside is recovered on the READ path") {
+    val all = corpusRows(40).toDF("doc_id", "t")
+    val e = freshEngine("fcomp")
+    e.makeTable("fd", all.filter(col("doc_id") < 10))
+    e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 4)
+    for (lo <- Seq(10, 20, 30)) {
+      all.filter(col("doc_id") >= lo && col("doc_id") < lo + 10)
+        .write.mode("append").parquet(e.store.tablePath("fd"))
+      e.syncFuzzyIndex("fd", "t")
+    }
+    val q = f"row ${25}%04d of the fuzzy corpus"
+    val before = e.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSeq
+    val (buckets, flats) = e.compactFuzzyIndex("fd", "t", maxFilesPerBucket = 1)
+    assert(buckets > 0, "4 syncs left no fragmented bucket?")
+    assert(flats > 0, "base/counts never fragmented?")
+    val after = e.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSeq
+    assert(after == before, s"$after vs $before")
+
+    // simulate a compaction crash between aside-rename and install: the
+    // live bucket dir is GONE, only the dot-prefixed aside remains —
+    // a read must restore it (parquet listing ignores the aside, so
+    // without recovery the bucket's segments silently vanish)
+    val base = e.store.fuzzyIndexPath("fd", "t")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/segs"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__SEG_BUCKET__="))
+    assert(segDirs.nonEmpty)
+    val victim = segDirs.head.getPath
+    val aside = new org.apache.hadoop.fs.Path(victim.getParent,
+      s".graft-old-${victim.getName}")
+    assert(fs.rename(victim, aside))
+    val recovered = e.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSeq
+    assert(recovered == before, s"$recovered vs $before")
+    assert(fs.exists(victim) && !fs.exists(aside), "aside not restored")
+  }
+
+  /** Reference Levenshtein (classic DP) for the brute-force oracle. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+}

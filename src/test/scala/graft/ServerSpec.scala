@@ -606,6 +606,31 @@ class ServerSpec extends SparkSuite {
     mapper.readTree(fBody).get("rows").elements()
       .forEachRemaining(n => hits += ((n.get("id").asLong(), n.get("dist").asLong())))
     assert(hits.toSeq == Seq((1L, 0L), (2L, 1L)), hits.toString)
+    // lifecycle routes: a no-op sync reports 0 appended + fresh, and
+    // compaction on an unfragmented index reports 0 work
+    val (sc, sBody) = send("POST", "/indexes/fuzzy/sync",
+      """{"source":"wire_fz","column":"text"}""")
+    assert(sc == 200, sBody)
+    assert(mapper.readTree(sBody).get("appended").asLong() == 0L, sBody)
+    assert(mapper.readTree(sBody).get("fresh").asBoolean(), sBody)
+    val (cc, cBody) = send("POST", "/indexes/fuzzy/compact",
+      """{"source":"wire_fz","column":"text"}""")
+    assert(cc == 200, cBody)
+    // batch join served from the artifact
+    val (qc, qBody) = send("PUT", "/tables/wire_fzq",
+      """{"schema":"qid LONG, qt STRING","rows":[
+        {"qid":10,"qt":"the quick brown fox jumpz"}]}""")
+    assert(qc == 200, qBody)
+    val (jc, jBody) = send("POST", "/search/fuzzy/join",
+      """{"source":"wire_fz","column":"text","left":"wire_fzq",
+        "leftIdCol":"qid","leftColumn":"qt"}""")
+    assert(jc == 200, jBody)
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    mapper.readTree(jBody).get("rows").elements()
+      .forEachRemaining(n => pairs += ((n.get("id_a").asLong(),
+        n.get("id_b").asLong(), n.get("dist").asLong())))
+    assert(pairs.toSet == Set((10L, 1L, 1L), (10L, 2L, 1L)), pairs.toString)
+    assert(send("DELETE", "/tables/wire_fzq")._1 == 200)
     assert(send("DELETE", "/tables/wire_fz")._1 == 200)
   }
 
