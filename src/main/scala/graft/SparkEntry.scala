@@ -1056,12 +1056,27 @@ object SparkEntry {
       val d = tbl(s, dir, "documents")
         .filter(col("doc_id") < 300 && col("text").isNotNull)
         .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
-      val a = d.select(col("doc_id").as("id_a"), col("t").as("ta"))
-      val b = d.select(col("doc_id").as("id_b"), col("t").as("tb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(graft.functions.functions.jaro_winkler(col("ta"), col("tb")),
-            6).as("jw"))
+      // operator threshold a hair under the ledger's rounded one: raw
+      // jw ≥ 0.8999995 whenever round(jw, 6) ≥ 0.9, so the rounded
+      // post-filter sees every oracle pair
+      graft.ext.Dedup.jaroWinklerPairsExact(d, "doc_id", "t",
+          minSim = 0.899999)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+    }),
+    // —— Jaro-Winkler near-dup at SCALE: sound length-band +
+    // (char, occurrence) prefix-filter blocking — candidates only from
+    // exact blocking-element collisions inside the length band, one
+    // jaro_winkler per distinct survivor, Σ c(c−1)/2 volume guard.
+    // Identical output to the exact baseline (JaroBlockingSpec), same
+    // oracle; runs on a 4× larger slice than the all-pairs ledger. ——
+    "dedup_jaro_blocked" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents")
+        .filter(col("doc_id") < 1200 && col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      graft.ext.Dedup.jaroWinklerPairsBlocked(d, "doc_id", "t",
+          minSim = 0.899999)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
         .filter(col("jw") >= 0.9)
     }),
     // —— dedup: cross-table edit-distance JOIN (the entity-resolution /
@@ -2961,6 +2976,13 @@ object SparkEntry {
     "dedup_jaro" ->
       ("WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents " +
         "WHERE text IS NOT NULL AND doc_id < 300) " +
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "round(jaro_winkler_similarity(a.t, b.t), 6) AS jw " +
+        "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
+        "WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= 0.9"),
+    "dedup_jaro_blocked" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents " +
+        "WHERE text IS NOT NULL AND doc_id < 1200) " +
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
         "round(jaro_winkler_similarity(a.t, b.t), 6) AS jw " +
         "FROM d a JOIN d b ON a.doc_id < b.doc_id " +

@@ -952,6 +952,127 @@ object Dedup {
       .filter(col("dist") >= 0L && col("dist") <= k.toLong)
   }
 
+  // ——— Jaro-Winkler near-dup ———
+
+  /** Exact Jaro-Winkler all-pairs baseline: every unordered pair with
+    * jaro_winkler(a, b) ≥ `minSim` (raw, unrounded), with the
+    * similarity. O(n²) pairs — the ORACLE, guarded like the other exact
+    * baselines; [[jaroWinklerPairsBlocked]] produces the identical pair
+    * set through sound length-band + character-prefix blocking and is
+    * the variant to run at scale. */
+  def jaroWinklerPairsExact(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double, maxRows: Long = 100000L): DataFrame = {
+    require(minSim > 0.0 && minSim <= 1.0,
+      s"minSim must be in (0, 1], got $minSim")
+    val base = df.filter(col(textCol).isNotNull)
+    guardAllPairs(base, "jaroWinklerPairsExact", maxRows,
+      "jaroWinklerPairsBlocked")
+    val a = base.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
+          .as("jw"))
+      .filter(col("jw") >= minSim)
+  }
+
+  /** Jaro-Winkler near-dup pairs at scale — sound length-band +
+    * positional-character PREFIX-FILTER blocking, identical output to
+    * [[jaroWinklerPairsExact]]. The soundness chain for jw ≥ t > 0.8:
+    *
+    *  1. Jaro floor. jw = J + 0.1·p·(1−J) with prefix p ≤ 4, applied
+    *     only when J > 0.7 ⇒ jw ≤ 0.6·J + 0.4; with no boost jw = J.
+    *     Either way jw ≥ t ⇒ J ≥ j0 = (t − 0.4)/0.6.
+    *  2. Length band. With m ≤ min(|a|,|b|) matches and |a| ≤ |b|,
+    *     J ≤ (1 + |a|/|b| + 1)/3 ⇒ min ≥ β·max, β = 3·j0 − 2 (> 0 for
+    *     t > 0.8 — below that the band is vacuous, hence the floor on
+    *     `minSim`).
+    *  3. Match floor. J ≤ (m/|a| + m/|b| + 1)/3 ⇒
+    *     m ≥ (3j0 − 1)·|a||b|/(|a|+|b|); minimized over partner lengths
+    *     in the band (the product term is increasing, so the infimum
+    *     sits at |b| = β·|a|): o(s) = ⌈(3j0 − 1)·β/(1+β)·s⌉ ≥ 1.
+    *  4. Every Jaro match pairs EQUAL characters one-to-one, so the
+    *     multiset character overlap of the two strings is ≥ m ≥ the
+    *     pair's o bound. Prefix filtering over the code-point-sorted
+    *     (char, occurrence#) element multisets (Chaudhuri/Ganti/Kaushik
+    *     ICDE 2006; Bayardo/Ma/Srikant WWW 2007): overlap ≥ o implies
+    *     the first len − o + 1 sorted elements of BOTH strings share an
+    *     element — per-record o(s) bounds only lengthen the prefixes,
+    *     preserving the guarantee. Every true pair collides on a
+    *     blocking key.
+    *
+    * Scale shape: the shuffle carries (id, len, element) rows — single
+    * characters, not documents; candidates come only from exact
+    * element collisions inside the length band; the quadratic work is
+    * one jaro_winkler per surviving DISTINCT candidate. Pathological
+    * element collisions (everything shares a rare-prefix character) are
+    * REFUSED via the Σ c·(c−1)/2 candidate estimate naming the worst
+    * elements — the TF-IDF-guard discipline. Character comparison is by
+    * code point: on non-BMP text (UTF-16 surrogates) the match floor is
+    * conservative-in-the-wrong-direction, so like the expression itself
+    * the guarantee is stated for BMP text. */
+  def jaroWinklerPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+      minSim: Double, maxCandidates: Long = 50000000L): DataFrame = {
+    require(minSim > 0.8 && minSim <= 1.0,
+      s"jaroWinklerPairsBlocked needs minSim in (0.8, 1] (got $minSim): " +
+        "at or below 0.8 the derived Jaro floor makes length and " +
+        "character blocking vacuous — use jaroWinklerPairsExact " +
+        "(guarded all-pairs) instead")
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val j0 = (minSim - 0.4) / 0.6
+    val beta = 3 * j0 - 2
+    val coef = (3 * j0 - 1) * beta / (1 + beta)
+    val base = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+    // sorted (char, occurrence#) elements — the occurrence index turns
+    // set intersection into MULTISET overlap; array order under
+    // (code point, occ) is exactly array_sort's order
+    val sorted = array_sort(transform(
+      sequence(lit(1), col("len")), i => col("t").substr(i, lit(1))))
+    val elems = transform(sorted, (c, i) => struct(c.as("c"),
+      size(filter(slice(sorted, lit(1), i), x => x === c)).as("occ")))
+    val oReq = ceil(lit(coef) * col("len")).cast("int")
+    val prefix = slice(elems, lit(1),
+      greatest(lit(1), col("len") - oReq + 1))
+    val block = base.select(col("id"), col("len"),
+      explode(prefix).as("e"))
+    // candidate-volume guard: Σ_element c·(c−1)/2 IS the self-join's
+    // worst-case output; refusal names the heaviest blocking elements
+    val counts = block.groupBy("e")
+      .agg(count(lit(1)).cast("double").as("c"))
+      .select(col("e"), (col("c") * (col("c") - 1) / 2).as("pairs"))
+    val volRow = counts.agg(sum(col("pairs"))).head()
+    val vol = if (volRow.isNullAt(0)) 0.0 else volRow.getDouble(0)
+    if (vol > maxCandidates.toDouble) {
+      val worst = counts.orderBy(col("pairs").desc).limit(3).collect()
+        .map(r => s"'${r.getStruct(0).getString(0)}'#${r.getStruct(0).getInt(1)}" +
+          s" -> ${r.getDouble(1).toLong}")
+        .mkString("; ")
+      throw new IllegalArgumentException(
+        f"jaroWinklerPairsBlocked: blocking-element candidate volume ≈ " +
+          f"$vol%.3g pairs exceeds maxCandidates=$maxCandidates — prefix " +
+          s"characters collide pathologically (worst elements: $worst). " +
+          "Raise minSim, dedup boilerplate first, or raise maxCandidates " +
+          "deliberately.")
+    }
+    val x = block.select(col("id").as("id_a"), col("len").as("__la"), col("e"))
+    val y = block.select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
+    val cand = x.join(y, Seq("e"))
+      .filter(col("id_a") < col("id_b") &&
+        // the length band as a REAL inequality — no rounding slack
+        least(col("__la"), col("__lb")).cast("double") >=
+          lit(beta) * greatest(col("__la"), col("__lb")))
+      .select("id_a", "id_b").distinct()
+    val ta = base.select(col("id").as("id_a"), col("t").as("__ta"))
+    val tb = base.select(col("id").as("id_b"), col("t").as("__tb"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
+          .as("jw"))
+      .filter(col("jw") >= minSim)
+  }
+
   // ——— SimHash ———
 
   /** 64-bit SimHash over word unigrams (deterministic FNV-based). */

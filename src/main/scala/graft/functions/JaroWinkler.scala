@@ -24,6 +24,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle on BMP text. */
 object JaroWinklerAlgo {
   def similarity(l: UTF8String, r: UTF8String): Double = {
+    // equal-bytes fast path BEFORE any allocation: dedup workloads feed
+    // this exact duplicates constantly (JW of equal non-empty strings
+    // is 1.0 by definition; empty-empty is 0.0 by the convention above)
+    if (l.equals(r)) return if (l.numBytes() == 0) 0.0 else 1.0
     val a = l.toString
     val b = r.toString
     val la = a.length

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Dedup
+
+/** Blocked Jaro-Winkler pairs must equal the exact all-pairs baseline —
+  * the pigeonhole-style guarantee is a length band (min ≥ (3j0−2)·max)
+  * plus prefix filtering over sorted (char, occurrence) multisets; this
+  * pins the identity across thresholds and fixture shapes that stress
+  * each piece of the bound (duplicates, 1-char strings, shared
+  * prefixes, repeated characters, length extremes). */
+class JaroBlockingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val corpus = {
+    val names = Seq(
+      "jonathan archer", "jonathon archer", "jonathan archar", // near-dups
+      "kathryn janeway", "kathryn janewai", "katherin janeway",
+      "benjamin sisko", "benjamin siskoo", "ben sisko",
+      "jean luc picard", "jean luc piccard", "jean-luc picard",
+      "aaaaaaaaaa", "aaaaaaaaab", "aaaa", "a", "b", "ab", "ba",
+      "completely different text", "zzz unrelated zzz",
+      "jonathan archer", // exact duplicate of id 0
+      "the quick brown fox", "the quick brown fax",
+      "mississippi", "missisippi", "mississippee")
+    names.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  }
+
+  test("blocked == exact at every threshold above the 0.8 floor") {
+    val df = corpus.toDF("doc_id", "t")
+    for (t <- Seq(0.81, 0.85, 0.9, 0.95, 0.99)) {
+      val exact = Dedup.jaroWinklerPairsExact(df, "doc_id", "t", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val blocked = Dedup.jaroWinklerPairsBlocked(df, "doc_id", "t", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(blocked == exact,
+        s"t=$t missing=${exact.diff(blocked)} spurious=${blocked.diff(exact)}")
+      assert(exact.nonEmpty || t == 0.99, s"t=$t produced no pairs")
+    }
+  }
+
+  test("blocked == exact on randomized mutations (deterministic seed)") {
+    val rnd = new scala.util.Random(1234)
+    val alpha = "abcdefgh" // small alphabet → heavy element collisions
+    def word(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val rows = (0 until 120).map { i =>
+      val base = word(6 + rnd.nextInt(10))
+      val t =
+        if (i % 3 == 0) base
+        else { // mutate one position of the previous base shape
+          val p = rnd.nextInt(base.length)
+          base.updated(p, alpha(rnd.nextInt(alpha.length)))
+        }
+      (i.toLong, t)
+    }
+    val df = rows.toDF("doc_id", "t")
+    for (t <- Seq(0.85, 0.9)) {
+      val exact = Dedup.jaroWinklerPairsExact(df, "doc_id", "t", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val blocked = Dedup
+        .jaroWinklerPairsBlocked(df, "doc_id", "t", t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(blocked == exact,
+        s"t=$t missing=${exact.diff(blocked)} spurious=${blocked.diff(exact)}")
+    }
+  }
+
+  test("guard refuses pathological element collisions, naming the worst") {
+    val df = (0L until 200L).map(i => (i, "aaaaaaaaaa")).toDF("doc_id", "t")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.jaroWinklerPairsBlocked(df, "doc_id", "t", 0.9,
+        maxCandidates = 100L)
+    }
+    assert(ex.getMessage.contains("candidate volume"), ex.getMessage)
+    assert(ex.getMessage.contains("'a'"), ex.getMessage)
+  }
+
+  test("thresholds at or below the 0.8 floor are refused with a remedy") {
+    val df = corpus.toDF("doc_id", "t")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.jaroWinklerPairsBlocked(df, "doc_id", "t", 0.8)
+    }
+    assert(ex.getMessage.contains("jaroWinklerPairsExact"), ex.getMessage)
+  }
+}
