@@ -24,7 +24,9 @@ object GraphSoak {
       val edges = spark.range(nEdges).select(
         (col("id") % nNodes).as("src"),
         when(col("id") % 200 === 0, lit(0L)).otherwise(
-          abs(hash(col("id") * 2654435761L)) % nNodes).as("dst"))
+          // pmod, not abs(...)%: abs(Int.MinValue) throws under ANSI
+          // mode — a ~0.2%-per-10M-rows nondeterministic soak failure
+          pmod(hash(col("id") * 2654435761L), lit(nNodes))).as("dst"))
         .filter(col("src") =!= col("dst"))
       val t0 = System.nanoTime()
       val ranks = graft.ext.Graph.pageRank(edges, "src", "dst", iterations = 5)
@@ -49,7 +51,9 @@ object GraphSoak {
       val edges = spark.range(nEdges).select(
         (col("id") % nNodes).as("src"),
         when(col("id") % 200 === 0, lit(0L)).otherwise(
-          abs(hash(col("id") * 2654435761L)) % nNodes).as("dst"))
+          // pmod, not abs(...)%: abs(Int.MinValue) throws under ANSI
+          // mode — a ~0.2%-per-10M-rows nondeterministic soak failure
+          pmod(hash(col("id") * 2654435761L), lit(nNodes))).as("dst"))
         .filter(col("src") =!= col("dst"))
       val t0 = System.nanoTime()
       val n = graft.ext.Graph.triangleCount(edges, "src", "dst",

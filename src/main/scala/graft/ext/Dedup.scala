@@ -1001,16 +1001,28 @@ object Dedup {
     *     preserving the guarantee. Every true pair collides on a
     *     blocking key.
     *
+    * The global element order is CORPUS-FREQUENCY ASCENDING (one
+    * bounded alphabet-sized aggregate; ties by char) — the canonical
+    * prefix-filter optimization: prefixes then hold each string's
+    * RAREST characters, so blocking keys collide orders of magnitude
+    * less than under code-point order, where every prefix fills with
+    * the commonest characters. Any fixed total order preserves the
+    * guarantee; frequency order just minimizes candidates. Corpora with
+    * more than 65536 distinct characters fall back to code-point order.
+    *
     * Scale shape: the shuffle carries (id, len, element) rows — single
     * characters, not documents; candidates come only from exact
     * element collisions inside the length band; the quadratic work is
-    * one jaro_winkler per surviving DISTINCT candidate. Pathological
-    * element collisions (everything shares a rare-prefix character) are
-    * REFUSED via the Σ c·(c−1)/2 candidate estimate naming the worst
-    * elements — the TF-IDF-guard discipline. Character comparison is by
-    * code point: on non-BMP text (UTF-16 surrogates) the match floor is
-    * conservative-in-the-wrong-direction, so like the expression itself
-    * the guarantee is stated for BMP text. */
+    * one jaro_winkler per surviving DISTINCT candidate. Character-
+    * granularity blocking is selective on skewed alphabets and high
+    * thresholds (the record-linkage name-matching shape); a corpus
+    * that defeats it (long uniform-alphabet strings, where even rare
+    * elements appear in a constant fraction of rows) is REFUSED via
+    * the Σ c·(c−1)/2 candidate estimate naming the worst elements —
+    * the TF-IDF-guard discipline, fail-don't-degrade. Character
+    * comparison is by code point: on non-BMP text (UTF-16 surrogates)
+    * the match floor is conservative-in-the-wrong-direction, so like
+    * the expression itself the guarantee is stated for BMP text. */
   def jaroWinklerPairsBlocked(df: DataFrame, idCol: String, textCol: String,
       minSim: Double, maxCandidates: Long = 50000000L): DataFrame = {
     require(minSim > 0.8 && minSim <= 1.0,
@@ -1025,13 +1037,34 @@ object Dedup {
     val base = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
       .select(col(idCol).as("id"), col(textCol).as("t"),
         length(col(textCol)).as("len"))
-    // sorted (char, occurrence#) elements — the occurrence index turns
-    // set intersection into MULTISET overlap; array order under
-    // (code point, occ) is exactly array_sort's order
-    val sorted = array_sort(transform(
-      sequence(lit(1), col("len")), i => col("t").substr(i, lit(1))))
-    val elems = transform(sorted, (c, i) => struct(c.as("c"),
-      size(filter(slice(sorted, lit(1), i), x => x === c)).as("occ")))
+    val chars = transform(sequence(lit(1), col("len")),
+      i => col("t").substr(i, lit(1)))
+    // corpus character frequencies → rarest-first rank map (bounded by
+    // the alphabet; both sides of the self-join use the SAME order, so
+    // any fixed total order is sound — this one minimizes collisions)
+    val alphabetCap = 65536
+    val freqRows = base.select(explode(chars).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("f"))
+      .limit(alphabetCap + 1).collect()
+    val rankLit: Column => Column =
+      if (freqRows.length > alphabetCap) _ => lit(0) // code-point fallback
+      else {
+        val ranks = freqRows.map(r => (r.getString(0), r.getLong(1)))
+          .sortBy { case (c, f) => (f, c) }.zipWithIndex
+          .map { case ((c, _), i) => c -> i }.toMap
+        val m = typedLit(ranks)
+        c => element_at(m, c)
+      }
+    // sorted (rank, char, occurrence#) elements — the occurrence index
+    // turns set intersection into MULTISET overlap; struct ordering is
+    // field-by-field, so array_sort applies the (rank, char) order and
+    // equal chars stay consecutive with increasing occ
+    val sorted = array_sort(transform(chars,
+      c => struct(rankLit(c).as("r"), c.as("c"))))
+    val elems = transform(sorted, (e, i) => struct(
+      e.getField("r").as("r"), e.getField("c").as("c"),
+      size(filter(slice(sorted, lit(1), i),
+        x => x.getField("c") === e.getField("c"))).as("occ")))
     val oReq = ceil(lit(coef) * col("len")).cast("int")
     val prefix = slice(elems, lit(1),
       greatest(lit(1), col("len") - oReq + 1))
@@ -1046,7 +1079,7 @@ object Dedup {
     val vol = if (volRow.isNullAt(0)) 0.0 else volRow.getDouble(0)
     if (vol > maxCandidates.toDouble) {
       val worst = counts.orderBy(col("pairs").desc).limit(3).collect()
-        .map(r => s"'${r.getStruct(0).getString(0)}'#${r.getStruct(0).getInt(1)}" +
+        .map(r => s"'${r.getStruct(0).getString(1)}'#${r.getStruct(0).getInt(2)}" +
           s" -> ${r.getDouble(1).toLong}")
         .mkString("; ")
       throw new IllegalArgumentException(

@@ -52,7 +52,13 @@ object GraftShims {
   def quietCheckpointLogs(): Unit = {
     import org.apache.logging.log4j.Level
     import org.apache.logging.log4j.core.config.Configurator
-    Configurator.setLevel("org.apache.spark.rdd", Level.ERROR)
+    // exactly the three loggers that emit the two messages — NOT the
+    // whole org.apache.spark.rdd subtree, which would also suppress
+    // unrelated WARN diagnostics (e.g. closure-capture warnings) for
+    // the JVM's lifetime in long-lived server processes
+    Configurator.setLevel("org.apache.spark.rdd.LocalRDDCheckpointData",
+      Level.ERROR)
+    Configurator.setLevel("org.apache.spark.rdd.RDD", Level.ERROR)
     Configurator.setLevel("org.apache.spark.storage.BlockManager", Level.ERROR)
   }
 
