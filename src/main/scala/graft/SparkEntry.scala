@@ -1079,6 +1079,20 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
         .filter(col("jw") >= 0.9)
     }),
+    // —— cross-table Jaro-Winkler JOIN (the fuzzy-NAME entity-resolution
+    // gate): arrivals [300, 400) blocked-joined to the corpus [0, 300)
+    // under ONE union-alphabet frequency order; identical semantics to
+    // the exact nested loop (JaroBlockingSpec) ——
+    "dedup_jaro_gate" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+      val arrivals = d.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id").as("q_id"), col("t").as("q_t"))
+      graft.ext.Dedup.jaroWinklerJoin(arrivals, "q_id", "q_t",
+          d.filter(col("doc_id") < 300), "doc_id", "t", minSim = 0.899999)
+        .select(col("id_a"), col("id_b"), round(col("jw"), 6).as("jw"))
+        .filter(col("jw") >= 0.9)
+    }),
     // —— dedup: cross-table edit-distance JOIN (the entity-resolution /
     // ingest-gate shape): arrivals [300, 400) fuzzy-joined to the
     // corpus [0, 300) — both PassJoin directions (shorter side indexed)
@@ -2987,6 +3001,15 @@ object SparkEntry {
         "round(jaro_winkler_similarity(a.t, b.t), 6) AS jw " +
         "FROM d a JOIN d b ON a.doc_id < b.doc_id " +
         "WHERE round(jaro_winkler_similarity(a.t, b.t), 6) >= 0.9"),
+    "dedup_jaro_gate" ->
+      ("WITH d AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents " +
+        "WHERE text IS NOT NULL), " +
+        "arr AS (SELECT * FROM d WHERE doc_id >= 300 AND doc_id < 400), " +
+        "corp AS (SELECT * FROM d WHERE doc_id < 300) " +
+        "SELECT a.doc_id AS id_a, c.doc_id AS id_b, " +
+        "round(jaro_winkler_similarity(a.t, c.t), 6) AS jw " +
+        "FROM arr a JOIN corp c " +
+        "ON round(jaro_winkler_similarity(a.t, c.t), 6) >= 0.9"),
     "search_fuzzy_persisted" ->
       ("WITH q AS (SELECT substr(text, 1, 80) AS t FROM documents " +
         "WHERE doc_id = 0), " +

@@ -976,6 +976,103 @@ object Dedup {
       .filter(col("jw") >= minSim)
   }
 
+  /** The Jaro floor implied by jw ≥ t: boost adds at most 0.4·(1−J)
+    * (prefix ≤ 4, scale 0.1) and applies only above J = 0.7, so
+    * J ≥ (t − 0.4)/0.6 in both the boosted and unboosted case. The
+    * length band and match floor below derive from it — see
+    * [[jaroWinklerPairsBlocked]] for the full chain. */
+  private def jwBounds(minSim: Double, op: String): (Double, Double) = {
+    require(minSim > 0.8 && minSim <= 1.0,
+      s"$op needs minSim in (0.8, 1] (got $minSim): at or below 0.8 the " +
+        "derived Jaro floor makes length and character blocking vacuous " +
+        "— use the guarded exact variant instead")
+    val j0 = (minSim - 0.4) / 0.6
+    val beta = 3 * j0 - 2
+    val coef = (3 * j0 - 1) * beta / (1 + beta)
+    (beta, coef)
+  }
+
+  private def jwBase(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+
+  private def jwChars: Column =
+    transform(sequence(lit(1), col("len")), i => col("t").substr(i, lit(1)))
+
+  /** Rarest-first global character rank over the union alphabet of
+    * `frames` — one bounded alphabet-sized aggregate, ties by char.
+    * Every side of a blocking join MUST use the SAME order (any fixed
+    * total order preserves the prefix-filter guarantee; frequency order
+    * minimizes collisions). Corpora over 65536 distinct characters fall
+    * back to code-point order. */
+  private def jwRank(frames: Seq[DataFrame]): Column => Column = {
+    val alphabetCap = 65536
+    val freqRows = frames.map(_.select(explode(jwChars).as("c")))
+      .reduce(_ unionAll _)
+      .groupBy("c").agg(count(lit(1)).as("f"))
+      .limit(alphabetCap + 1).collect()
+    if (freqRows.length > alphabetCap) _ => lit(0)
+    else {
+      val ranks = freqRows.map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (c, f) => (f, c) }.zipWithIndex
+        .map { case ((c, _), i) => c -> i }.toMap
+      val m = typedLit(ranks)
+      c => element_at(m, c)
+    }
+  }
+
+  /** One side's (id, len, element) blocking frame: the first
+    * len − o + 1 elements of the rank-sorted (rank, char, occurrence#)
+    * multiset, o(s) = ⌈coef·s⌉ — the occurrence index turns set
+    * intersection into MULTISET overlap; struct ordering is
+    * field-by-field, so array_sort applies the (rank, char) order and
+    * equal chars stay consecutive with increasing occ. */
+  private def jwPrefixFrame(base: DataFrame, coef: Double,
+      rank: Column => Column): DataFrame = {
+    val sorted = array_sort(transform(jwChars,
+      c => struct(rank(c).as("r"), c.as("c"))))
+    val elems = transform(sorted, (e, i) => struct(
+      e.getField("r").as("r"), e.getField("c").as("c"),
+      size(filter(slice(sorted, lit(1), i),
+        x => x.getField("c") === e.getField("c"))).as("occ")))
+    val oReq = ceil(lit(coef) * col("len")).cast("int")
+    base.select(col("id"), col("len"),
+      explode(slice(elems, lit(1),
+        greatest(lit(1), col("len") - oReq + 1))).as("e"))
+  }
+
+  /** Candidate-volume guard for a blocking-element equi-join: Σ_e na·nb
+    * (or Σ_e c·(c−1)/2 when both sides are the same frame) IS the
+    * join's worst-case output; refusal names the heaviest elements —
+    * the TF-IDF-guard discipline, fail-don't-degrade. */
+  private def jwGuard(blockA: DataFrame, blockB: Option[DataFrame],
+      op: String, maxCandidates: Long): Unit = {
+    val na = blockA.groupBy("e").agg(count(lit(1)).cast("double").as("na"))
+    val keyed = blockB match {
+      case Some(b) =>
+        val nb = b.groupBy("e").agg(count(lit(1)).cast("double").as("nb"))
+        na.join(nb, Seq("e")).select(col("e"),
+          (col("na") * col("nb")).as("pairs"))
+      case None =>
+        na.select(col("e"), (col("na") * (col("na") - 1) / 2).as("pairs"))
+    }
+    val volRow = keyed.agg(sum(col("pairs"))).head()
+    val vol = if (volRow.isNullAt(0)) 0.0 else volRow.getDouble(0)
+    if (vol > maxCandidates.toDouble) {
+      val worst = keyed.orderBy(col("pairs").desc).limit(3).collect()
+        .map(r => s"'${r.getStruct(0).getString(1)}'#${r.getStruct(0).getInt(2)}" +
+          s" -> ${r.getDouble(1).toLong}")
+        .mkString("; ")
+      throw new IllegalArgumentException(
+        f"$op: blocking-element candidate volume ≈ $vol%.3g pairs " +
+          s"exceeds maxCandidates=$maxCandidates — prefix characters " +
+          s"collide pathologically (worst elements: $worst). Raise " +
+          "minSim, dedup boilerplate first, or raise maxCandidates " +
+          "deliberately.")
+    }
+  }
+
   /** Jaro-Winkler near-dup pairs at scale — sound length-band +
     * positional-character PREFIX-FILTER blocking, identical output to
     * [[jaroWinklerPairsExact]]. The soundness chain for jw ≥ t > 0.8:
@@ -993,7 +1090,7 @@ object Dedup {
     *     sits at |b| = β·|a|): o(s) = ⌈(3j0 − 1)·β/(1+β)·s⌉ ≥ 1.
     *  4. Every Jaro match pairs EQUAL characters one-to-one, so the
     *     multiset character overlap of the two strings is ≥ m ≥ the
-    *     pair's o bound. Prefix filtering over the code-point-sorted
+    *     pair's o bound. Prefix filtering over the rank-sorted
     *     (char, occurrence#) element multisets (Chaudhuri/Ganti/Kaushik
     *     ICDE 2006; Bayardo/Ma/Srikant WWW 2007): overlap ≥ o implies
     *     the first len − o + 1 sorted elements of BOTH strings share an
@@ -1001,14 +1098,11 @@ object Dedup {
     *     preserving the guarantee. Every true pair collides on a
     *     blocking key.
     *
-    * The global element order is CORPUS-FREQUENCY ASCENDING (one
-    * bounded alphabet-sized aggregate; ties by char) — the canonical
-    * prefix-filter optimization: prefixes then hold each string's
-    * RAREST characters, so blocking keys collide orders of magnitude
-    * less than under code-point order, where every prefix fills with
-    * the commonest characters. Any fixed total order preserves the
-    * guarantee; frequency order just minimizes candidates. Corpora with
-    * more than 65536 distinct characters fall back to code-point order.
+    * The global element order is CORPUS-FREQUENCY ASCENDING
+    * ([[jwRank]]) — prefixes hold each string's RAREST characters, so
+    * blocking keys collide orders of magnitude less than under
+    * code-point order, where every prefix fills with the commonest
+    * characters.
     *
     * Scale shape: the shuffle carries (id, len, element) rows — single
     * characters, not documents; candidates come only from exact
@@ -1025,70 +1119,11 @@ object Dedup {
     * the expression itself the guarantee is stated for BMP text. */
   def jaroWinklerPairsBlocked(df: DataFrame, idCol: String, textCol: String,
       minSim: Double, maxCandidates: Long = 50000000L): DataFrame = {
-    require(minSim > 0.8 && minSim <= 1.0,
-      s"jaroWinklerPairsBlocked needs minSim in (0.8, 1] (got $minSim): " +
-        "at or below 0.8 the derived Jaro floor makes length and " +
-        "character blocking vacuous — use jaroWinklerPairsExact " +
-        "(guarded all-pairs) instead")
     require(maxCandidates >= 1, "maxCandidates must be >= 1")
-    val j0 = (minSim - 0.4) / 0.6
-    val beta = 3 * j0 - 2
-    val coef = (3 * j0 - 1) * beta / (1 + beta)
-    val base = df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
-      .select(col(idCol).as("id"), col(textCol).as("t"),
-        length(col(textCol)).as("len"))
-    val chars = transform(sequence(lit(1), col("len")),
-      i => col("t").substr(i, lit(1)))
-    // corpus character frequencies → rarest-first rank map (bounded by
-    // the alphabet; both sides of the self-join use the SAME order, so
-    // any fixed total order is sound — this one minimizes collisions)
-    val alphabetCap = 65536
-    val freqRows = base.select(explode(chars).as("c"))
-      .groupBy("c").agg(count(lit(1)).as("f"))
-      .limit(alphabetCap + 1).collect()
-    val rankLit: Column => Column =
-      if (freqRows.length > alphabetCap) _ => lit(0) // code-point fallback
-      else {
-        val ranks = freqRows.map(r => (r.getString(0), r.getLong(1)))
-          .sortBy { case (c, f) => (f, c) }.zipWithIndex
-          .map { case ((c, _), i) => c -> i }.toMap
-        val m = typedLit(ranks)
-        c => element_at(m, c)
-      }
-    // sorted (rank, char, occurrence#) elements — the occurrence index
-    // turns set intersection into MULTISET overlap; struct ordering is
-    // field-by-field, so array_sort applies the (rank, char) order and
-    // equal chars stay consecutive with increasing occ
-    val sorted = array_sort(transform(chars,
-      c => struct(rankLit(c).as("r"), c.as("c"))))
-    val elems = transform(sorted, (e, i) => struct(
-      e.getField("r").as("r"), e.getField("c").as("c"),
-      size(filter(slice(sorted, lit(1), i),
-        x => x.getField("c") === e.getField("c"))).as("occ")))
-    val oReq = ceil(lit(coef) * col("len")).cast("int")
-    val prefix = slice(elems, lit(1),
-      greatest(lit(1), col("len") - oReq + 1))
-    val block = base.select(col("id"), col("len"),
-      explode(prefix).as("e"))
-    // candidate-volume guard: Σ_element c·(c−1)/2 IS the self-join's
-    // worst-case output; refusal names the heaviest blocking elements
-    val counts = block.groupBy("e")
-      .agg(count(lit(1)).cast("double").as("c"))
-      .select(col("e"), (col("c") * (col("c") - 1) / 2).as("pairs"))
-    val volRow = counts.agg(sum(col("pairs"))).head()
-    val vol = if (volRow.isNullAt(0)) 0.0 else volRow.getDouble(0)
-    if (vol > maxCandidates.toDouble) {
-      val worst = counts.orderBy(col("pairs").desc).limit(3).collect()
-        .map(r => s"'${r.getStruct(0).getString(1)}'#${r.getStruct(0).getInt(2)}" +
-          s" -> ${r.getDouble(1).toLong}")
-        .mkString("; ")
-      throw new IllegalArgumentException(
-        f"jaroWinklerPairsBlocked: blocking-element candidate volume ≈ " +
-          f"$vol%.3g pairs exceeds maxCandidates=$maxCandidates — prefix " +
-          s"characters collide pathologically (worst elements: $worst). " +
-          "Raise minSim, dedup boilerplate first, or raise maxCandidates " +
-          "deliberately.")
-    }
+    val (beta, coef) = jwBounds(minSim, "jaroWinklerPairsBlocked")
+    val base = jwBase(df, idCol, textCol)
+    val block = jwPrefixFrame(base, coef, jwRank(Seq(base)))
+    jwGuard(block, None, "jaroWinklerPairsBlocked", maxCandidates)
     val x = block.select(col("id").as("id_a"), col("len").as("__la"), col("e"))
     val y = block.select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
     val cand = x.join(y, Seq("e"))
@@ -1099,6 +1134,40 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val ta = base.select(col("id").as("id_a"), col("t").as("__ta"))
     val tb = base.select(col("id").as("id_b"), col("t").as("__tb"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
+          .as("jw"))
+      .filter(col("jw") >= minSim)
+  }
+
+  /** Cross-TABLE Jaro-Winkler join (entity resolution / fuzzy-name
+    * join / ingest gate): every (left row, right row) pair with
+    * jaro_winkler ≥ `minSim`, same blocking machinery and soundness
+    * chain as [[jaroWinklerPairsBlocked]] — ONE frequency order is
+    * computed over the UNION alphabet so both prefix frames sort
+    * identically (the prefix-filter guarantee needs a shared total
+    * order). Output: (id_a = left id, id_b = right id, jw); a left row
+    * absent from the output has no right match (the gate decision). */
+  def jaroWinklerJoin(left: DataFrame, leftId: String, leftText: String,
+      right: DataFrame, rightId: String, rightText: String,
+      minSim: Double, maxCandidates: Long = 50000000L): DataFrame = {
+    require(maxCandidates >= 1, "maxCandidates must be >= 1")
+    val (beta, coef) = jwBounds(minSim, "jaroWinklerJoin")
+    val lb = jwBase(left, leftId, leftText)
+    val rb = jwBase(right, rightId, rightText)
+    val rank = jwRank(Seq(lb, rb))
+    val lBlock = jwPrefixFrame(lb, coef, rank)
+      .select(col("id").as("id_a"), col("len").as("__la"), col("e"))
+    val rBlock = jwPrefixFrame(rb, coef, rank)
+      .select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
+    jwGuard(lBlock, Some(rBlock), "jaroWinklerJoin", maxCandidates)
+    val cand = lBlock.join(rBlock, Seq("e"))
+      .filter(least(col("__la"), col("__lb")).cast("double") >=
+        lit(beta) * greatest(col("__la"), col("__lb")))
+      .select("id_a", "id_b").distinct()
+    val ta = lb.select(col("id").as("id_a"), col("t").as("__ta"))
+    val tb = rb.select(col("id").as("id_b"), col("t").as("__tb"))
     cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))

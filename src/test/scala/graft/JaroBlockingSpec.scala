@@ -66,6 +66,38 @@ class JaroBlockingSpec extends SparkSuite {
     }
   }
 
+  test("cross-table join == exact nested loop (shared union-alphabet order)") {
+    val corpusDf = corpus.toDF("doc_id", "t")
+    // arrivals: mutations of corpus rows + one disjoint-alphabet row
+    // (stresses the UNION-alphabet rank: a char absent from one side
+    // must still rank identically in both prefix frames)
+    val arrivals = Seq(
+      (100L, "jonathan archerr"), (101L, "kathryn janewa"),
+      (102L, "jean luc piqard"), (103L, "xxxxqqqqxxxx"),
+      (104L, "mississippi")).toDF("qid", "qt")
+    for (t <- Seq(0.85, 0.9)) {
+      val got = Dedup.jaroWinklerJoin(arrivals, "qid", "qt",
+          corpusDf, "doc_id", "t", t)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = (for {
+        (qid, qt) <- Seq((100L, "jonathan archerr"), (101L, "kathryn janewa"),
+          (102L, "jean luc piqard"), (103L, "xxxxqqqqxxxx"),
+          (104L, "mississippi"))
+        (id, s) <- corpus
+        jw = jwRef(qt, s) if jw >= t
+      } yield (qid, id, jw)).toSet
+      assert(got.map(x => (x._1, x._2)) == want.map(x => (x._1, x._2)),
+        s"t=$t got=${got.map(x => (x._1, x._2))} want=${want.map(x => (x._1, x._2))}")
+      assert(got.exists(_._1 == 104L), "exact duplicate must match")
+    }
+  }
+
+  /** Scala-side JW reference via the shared algorithm object. */
+  private def jwRef(a: String, b: String): Double =
+    graft.functions.JaroWinklerAlgo.similarity(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a),
+      org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   test("guard refuses pathological element collisions, naming the worst") {
     val df = (0L until 200L).map(i => (i, "aaaaaaaaaa")).toDF("doc_id", "t")
     val ex = intercept[IllegalArgumentException] {
@@ -81,6 +113,6 @@ class JaroBlockingSpec extends SparkSuite {
     val ex = intercept[IllegalArgumentException] {
       Dedup.jaroWinklerPairsBlocked(df, "doc_id", "t", 0.8)
     }
-    assert(ex.getMessage.contains("jaroWinklerPairsExact"), ex.getMessage)
+    assert(ex.getMessage.contains("guarded exact variant"), ex.getMessage)
   }
 }
