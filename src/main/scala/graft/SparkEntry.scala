@@ -676,10 +676,15 @@ object SparkEntry {
         .select(col("doc_id"), substring(col("text"), 1, 80).as("t80")))
     val base = e.store.fuzzyIndexPath("docsrc80", "t80")
     // rebuild legacy artifacts predating the lifecycle metadata (no
-    // idCol in meta.json / no freshness stamp) — serving now REFUSES
-    // stamp-less artifacts rather than silently trusting them
+    // idCol / no layout-2 id-bucketed base in meta.json, no freshness
+    // stamp) — serving now REFUSES stamp-less artifacts rather than
+    // silently trusting them, and the benchmarked lookup path should
+    // exercise the pruned base verify
+    def meta = new String(
+      e.store.readSidecar(s"$base/meta.json"), "UTF-8")
     if (!e.store.sidecarExists(s"$base/meta.json") ||
-        !e.store.sidecarExists(s"$base/_source_stamp.json"))
+        !e.store.sidecarExists(s"$base/_source_stamp.json") ||
+        !meta.contains("\"layout\":2"))
       e.buildFuzzyIndex("docsrc80", "doc_id", "t80", maxDist = 2,
         buckets = 64)
     e

@@ -275,16 +275,44 @@ class Engine(val spark: SparkSession, val root: String) {
     val listing = store.sourceListing(source)
     val bf = graft.ext.Dedup.editDistanceBase(
       store.loadTable(source), idCol, textCol)
-    bf.write.mode("overwrite").parquet(s"$base/base")
+    // the base is partitioned by an ID bucket (layout 2): the lookup's
+    // final verify then prunes the base scan to its candidates' buckets
+    // instead of scanning every stored document's text — without this,
+    // single-lookup latency scales with corpus size
+    writeFuzzyBase(base, bf, buckets, mode = "overwrite")
     writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite")
     // parameters ride the artifact: pruning with a different modulus or
     // distance than the build's would silently miss candidates; the id
-    // column rides too so sync can anti-join the source against the base
+    // column rides too so sync can anti-join the source against the
+    // base; layout 2 = id-bucketed base (layout-1 artifacts keep
+    // serving with an unpruned base verify)
     store.writeSidecar(s"$base/meta.json",
-      s"""{"maxDist":$maxDist,"buckets":$buckets,"idCol":"$idCol"}"""
+      s"""{"maxDist":$maxDist,"buckets":$buckets,"idCol":"$idCol","layout":2}"""
         .getBytes("UTF-8"))
     Index.recordSourceStamp(store, base, listing)
   }
+
+  private def idBucketCol(buckets: Int): Column =
+    (crc32(encode(col("id").cast("string"), "UTF-8")) % buckets).cast("int")
+
+  /** Cluster rows by their bucket BEFORE a bucket-partitioned write —
+    * without this every task writes a file into every bucket directory
+    * (tasks × buckets tiny files per build/sync), the [[Index.build]]
+    * lesson. One shuffle sized to the bucket count; each bucket becomes
+    * one task's output. */
+  private def bucketClustered(df: DataFrame, bucketCol: String,
+      buckets: Int): DataFrame = {
+    val parts = math.max(1, math.min(buckets,
+      spark.sparkContext.defaultParallelism * 2))
+    df.repartition(parts, col(bucketCol))
+  }
+
+  private def writeFuzzyBase(base: String, bf: DataFrame, buckets: Int,
+      mode: String): Unit =
+    bucketClustered(bf.withColumn("__ID_BUCKET__", idBucketCol(buckets)),
+        "__ID_BUCKET__", buckets)
+      .write.mode(mode).partitionBy("__ID_BUCKET__")
+      .parquet(s"$base/base")
 
   /** Segment/probe/count frames of one base delta, written under the
     * artifact — shared by build (overwrite) and sync (append). */
@@ -294,10 +322,12 @@ class Engine(val spark: SparkSession, val root: String) {
       (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
     val segs = graft.ext.Dedup.editDistanceSegments(bf, maxDist)
     val probes = graft.ext.Dedup.editDistanceProbes(bf, maxDist)
-    segs.withColumn("__SEG_BUCKET__", bucketCol)
+    bucketClustered(segs.withColumn("__SEG_BUCKET__", bucketCol),
+        "__SEG_BUCKET__", buckets)
       .write.mode(mode).partitionBy("__SEG_BUCKET__")
       .parquet(s"$base/segs")
-    probes.withColumn("__SEG_BUCKET__", bucketCol)
+    bucketClustered(probes.withColumn("__SEG_BUCKET__", bucketCol),
+        "__SEG_BUCKET__", buckets)
       .write.mode(mode).partitionBy("__SEG_BUCKET__")
       .parquet(s"$base/probes")
     // per-key counts: sync appends PARTIAL count rows (one set per
@@ -309,10 +339,11 @@ class Engine(val spark: SparkSession, val root: String) {
       .write.mode(mode).parquet(s"$base/probecounts")
   }
 
-  private def fuzzyMeta(base: String): (Int, Int, String) = {
+  private def fuzzyMeta(base: String): (Int, Int, String, Int) = {
     val s = new String(store.readSidecar(s"$base/meta.json"), "UTF-8")
     def intOf(k: String) = (k + """\s*:\s*(\d+)""").r
       .findFirstMatchIn(s).map(_.group(1).toInt)
+    def intOrFail(k: String) = intOf(k)
       .getOrElse(throw new IllegalStateException(
         s"fuzzy index at $base has no $k in meta.json"))
     val idCol = """"idCol"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s)
@@ -320,7 +351,8 @@ class Engine(val spark: SparkSession, val root: String) {
       .getOrElse(throw new IllegalStateException(
         s"fuzzy index at $base predates the lifecycle metadata " +
           "(no idCol in meta.json) — rebuild with buildFuzzyIndex"))
-    (intOf("\"maxDist\""), intOf("\"buckets\""), idCol)
+    (intOrFail("\"maxDist\""), intOrFail("\"buckets\""), idCol,
+      intOf("\"layout\"").getOrElse(1))
   }
 
   /** Whether the fuzzy artifact exists AND was built/synced from the
@@ -344,7 +376,7 @@ class Engine(val spark: SparkSession, val root: String) {
     * build/sync still present unchanged). Returns rows appended. */
   def syncFuzzyIndex(source: String, textCol: String): Long = {
     val base = store.fuzzyIndexPath(source, textCol)
-    val (maxDist, buckets, idCol) = fuzzyMeta(base)
+    val (maxDist, buckets, idCol, layout) = fuzzyMeta(base)
     // restore any crashed-compaction aside BEFORE appending — an append
     // recreating a bucket dir whose only full copy sits in an aside
     // would turn the next cleanup into silent data loss (see
@@ -362,7 +394,8 @@ class Engine(val spark: SparkSession, val root: String) {
     try {
       val n = bf.count()
       if (n > 0) {
-        bf.write.mode("append").parquet(s"$base/base")
+        if (layout >= 2) writeFuzzyBase(base, bf, buckets, mode = "append")
+        else bf.write.mode("append").parquet(s"$base/base")
         writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
         val curSet = listing.toSet
         if (Index.recordedListing(store, base).exists(_.forall(curSet.contains)))
@@ -383,6 +416,10 @@ class Engine(val spark: SparkSession, val root: String) {
       new org.apache.hadoop.fs.Path(s"$base/segs"), "__SEG_BUCKET__")
     graft.store.Swap.recoverBucketAsides(fs,
       new org.apache.hadoop.fs.Path(s"$base/probes"), "__SEG_BUCKET__")
+    // the base is id-bucketed on layout 2, flat on layout 1 — both
+    // recovery shapes are cheap no-ops when the other doesn't apply
+    graft.store.Swap.recoverBucketAsides(fs,
+      new org.apache.hadoop.fs.Path(s"$base/base"), "__ID_BUCKET__")
     Seq("base", "segcounts", "probecounts").foreach(d =>
       graft.store.Swap.recoverFlatAside(fs,
         new org.apache.hadoop.fs.Path(s"$base/$d")))
@@ -397,15 +434,21 @@ class Engine(val spark: SparkSession, val root: String) {
       maxFilesPerBucket: Int = 8): (Long, Long) = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val base = store.fuzzyIndexPath(source, textCol)
-    fuzzyMeta(base) // fail loudly on a missing index
+    val layout = fuzzyMeta(base)._4 // fails loudly on a missing index
     recoverFuzzyArtifacts(base)
     val fs = store.fs
     val bucketsDone =
       graft.store.Swap.compactBuckets(spark, fs, s"$base/segs",
         "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex") +
       graft.store.Swap.compactBuckets(spark, fs, s"$base/probes",
-        "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex")
-    val flatsDone = Seq("base", "segcounts", "probecounts").map(d =>
+        "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex") +
+      (if (layout >= 2)
+        graft.store.Swap.compactBuckets(spark, fs, s"$base/base",
+          "__ID_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex")
+      else 0L)
+    val flats = (if (layout >= 2) Seq.empty else Seq("base")) ++
+      Seq("segcounts", "probecounts")
+    val flatsDone = flats.map(d =>
       if (graft.store.Swap.compactFlat(spark, fs, s"$base/$d",
         maxFilesPerBucket, "compactFuzzyIndex") > 0) 1L else 0L).sum
     (bucketsDone, flatsDone)
@@ -427,17 +470,57 @@ class Engine(val spark: SparkSession, val root: String) {
     * documents from the document-PROBE scan matched by the query's
     * segment keys — both scans pruned to the keys' bucket partitions.
     * One bounded union-distinct, then a thresholded levenshtein against
-    * the base texts. Ties order by (dist, id). Refuses a stale artifact
+    * the base texts — the base scan is ALSO pruned (layout 2 partitions
+    * it by an id bucket; the collected candidate ids select their
+    * buckets at the file listing), so the whole lookup touches a
+    * constant number of files regardless of corpus size; without it the
+    * final verify would scan every stored document's text. Candidates
+    * beyond `maxLookupCandidates` refuse loudly (a driver collect must
+    * stay bounded). Ties order by (dist, id). Refuses a stale artifact
     * (loud-or-fresh, never silently stale) unless `allowStale`. */
   def fuzzyLookup(source: String, textCol: String, query: String,
-      allowStale: Boolean = false): DataFrame = {
+      allowStale: Boolean = false,
+      maxLookupCandidates: Int = 10000): DataFrame = {
     require(query != null && query.nonEmpty, "fuzzyLookup: empty query")
+    require(maxLookupCandidates >= 1, "maxLookupCandidates must be >= 1")
     val base = store.fuzzyIndexPath(source, textCol)
-    val (maxDist, buckets, _) = fuzzyMeta(base)
+    val (maxDist, buckets, _, layout) = fuzzyMeta(base)
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale)
-    val qSegs = graft.ext.Dedup.querySegKeys(query, maxDist)
-    val qProbes = graft.ext.Dedup.queryProbeKeys(query, maxDist)
+    val cand = fuzzyLookupCandidates(base, query, maxDist, buckets)
+    val baseDf = spark.read.parquet(s"$base/base")
+    val verified =
+      if (layout >= 2) {
+        // candidate ids to the driver (bounded, refused past the cap),
+        // their id buckets computed IN the collecting job — never by a
+        // driver-side re-hash that could disagree on exotic id types
+        val rows = cand.withColumn("__b__", idBucketCol(buckets))
+          .limit(maxLookupCandidates + 1).collect()
+        require(rows.length <= maxLookupCandidates,
+          s"fuzzyLookup: more than $maxLookupCandidates candidate ids for " +
+            "this query — segment buckets collide heavily; raise " +
+            "maxLookupCandidates deliberately or use fuzzyJoin for bulk " +
+            "matching")
+        if (rows.isEmpty) baseDf.filter(lit(false))
+        else baseDf
+          .filter(col("__ID_BUCKET__").isin(rows.map(_.get(1)).distinct: _*) &&
+            col("id").isin(rows.map(_.get(0)): _*))
+      } else cand.join(baseDf, Seq("id")) // layout-1 artifact: full base
+    verified
+      .select(col("id"),
+        levenshtein(col("t"), lit(query), maxDist).cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist.toLong)
+      .orderBy(col("dist"), col("id"))
+  }
+
+  /** The candidate-id frame of one lookup: the query's probe keys
+    * against the segment scan ∪ its segment keys against the probe
+    * scan, both pruned to the keys' `__SEG_BUCKET__` partitions at the
+    * file listing. Package-visible so the pruning is plan-assertable
+    * ([[fuzzyLookup]] consumes it eagerly, so its scans never appear in
+    * the returned frame's plan). */
+  private[graft] def fuzzyLookupCandidates(base: String, query: String,
+      maxDist: Int, buckets: Int): DataFrame = {
     def hits(path: String, keys: Seq[(Int, Int, String)]): DataFrame = {
       val bks = keys.map(t => graft.ext.Lexical.termBucket(t._3, buckets))
         .distinct
@@ -452,13 +535,9 @@ class Engine(val spark: SparkSession, val root: String) {
         .filter(col("__SEG_BUCKET__").isin(bks: _*) && keyPred)
         .select("id")
     }
-    val cand = hits(s"$base/segs", qProbes)
-      .union(hits(s"$base/probes", qSegs)).distinct()
-    cand.join(spark.read.parquet(s"$base/base"), Seq("id"))
-      .select(col("id"),
-        levenshtein(col("t"), lit(query), maxDist).cast("long").as("dist"))
-      .filter(col("dist") >= 0L && col("dist") <= maxDist.toLong)
-      .orderBy(col("dist"), col("id"))
+    hits(s"$base/segs", graft.ext.Dedup.queryProbeKeys(query, maxDist))
+      .union(hits(s"$base/probes", graft.ext.Dedup.querySegKeys(query, maxDist)))
+      .distinct()
   }
 
   /** The persisted artifact's PassJoin frames, shaped for
@@ -466,7 +545,7 @@ class Engine(val spark: SparkSession, val root: String) {
     * id_b, partition column dropped, partial counts re-aggregated). */
   private def fuzzyFrames(base: String): (DataFrame, DataFrame, DataFrame,
       DataFrame, DataFrame) = {
-    val rb = spark.read.parquet(s"$base/base")
+    val rb = spark.read.parquet(s"$base/base").select("id", "t", "len")
     val rSegs = spark.read.parquet(s"$base/segs")
       .select(col("l"), col("i"), col("g"), col("id").as("id_b"))
     val rProbes = spark.read.parquet(s"$base/probes")
@@ -491,7 +570,7 @@ class Engine(val spark: SparkSession, val root: String) {
       maxCandidates: Long = 50000000L,
       allowStale: Boolean = false): DataFrame = {
     val base = store.fuzzyIndexPath(source, textCol)
-    val (maxDist, _, _) = fuzzyMeta(base)
+    val maxDist = fuzzyMeta(base)._1
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale)
     val (rb, rSegs, rProbes, segCounts, probeCounts) = fuzzyFrames(base)
@@ -516,7 +595,7 @@ class Engine(val spark: SparkSession, val root: String) {
         "the fixed output columns (ref_id, dist) or the join's internal " +
         "id_b; rename it apart first")
     val base = store.fuzzyIndexPath(source, textCol)
-    val (maxDist, _, _) = fuzzyMeta(base)
+    val maxDist = fuzzyMeta(base)._1
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale = false)
     (batch: DataFrame, _: Long) =>

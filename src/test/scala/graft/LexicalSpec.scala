@@ -149,9 +149,13 @@ class LexicalSpec extends SparkSuite {
       .select(col("id_b"), col("dist")).as[(Long, Long)]
       .collect().toSet
     assert(got.toSet == want, s"lookup $got vs join $want")
-    // plan: both artifact scans carry a __SEG_BUCKET__ partition filter
+    // plan: both CANDIDATE scans carry a __SEG_BUCKET__ partition filter
     // and their pruned listings stay within the query keys' buckets
-    val scans = hits.queryExecution.sparkPlan.collect {
+    // (fuzzyLookup consumes the candidate frame eagerly, so it is
+    // asserted through the package-visible builder)
+    val candFrame = engine.fuzzyLookupCandidates(
+      engine.store.fuzzyIndexPath("fdocs", "t"), q, 2, 16)
+    val scans = candFrame.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     for (part <- Seq("segs", "probes")) {
@@ -172,6 +176,18 @@ class LexicalSpec extends SparkSuite {
       assert(readBks.subsetOf(wantBks),
         s"$part scan reads buckets $readBks outside the query's $wantBks")
     }
+    // and the returned frame's BASE verify scan prunes by __ID_BUCKET__
+    // (layout 2) — without it, every lookup would scan every stored
+    // document's text and lookup latency would scale with corpus size
+    val baseScan = hits.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.endsWith("base")) => f
+    }
+    assert(baseScan.nonEmpty, "no base scan in the lookup plan")
+    assert(baseScan.head.partitionFilters
+        .exists(_.references.exists(_.name == "__ID_BUCKET__")),
+      s"base scan lacks the id-bucket partition filter: " +
+        s"${baseScan.head.partitionFilters}")
   }
 
   test("tfidf cosine: prefix-filtered pairs == exact pairs, with a " +
