@@ -957,9 +957,10 @@ object Dedup {
   /** Exact Jaro-Winkler all-pairs baseline: every unordered pair with
     * jaro_winkler(a, b) ≥ `minSim` (raw, unrounded), with the
     * similarity. O(n²) pairs — the ORACLE, guarded like the other exact
-    * baselines; [[jaroWinklerPairsBlocked]] produces the identical pair
-    * set through sound length-band + character-prefix blocking and is
-    * the variant to run at scale. */
+    * baselines — and, on small-alphabet short-string corpora, often
+    * the FASTER plan outright (shuffle-free broadcast nested loop;
+    * see the regime note on [[jaroWinklerPairsBlocked]], which
+    * produces the identical pair set through sound blocking). */
   def jaroWinklerPairsExact(df: DataFrame, idCol: String, textCol: String,
       minSim: Double, maxRows: Long = 100000L): DataFrame = {
     require(minSim > 0.0 && minSim <= 1.0,
@@ -1073,9 +1074,27 @@ object Dedup {
     }
   }
 
-  /** Jaro-Winkler near-dup pairs at scale — sound length-band +
+  /** Jaro-Winkler near-dup pairs through sound length-band +
     * positional-character PREFIX-FILTER blocking, identical output to
-    * [[jaroWinklerPairsExact]]. The soundness chain for jw ≥ t > 0.8:
+    * [[jaroWinklerPairsExact]].
+    *
+    * WHEN TO USE WHICH (measured honestly, not assumed): blocking's
+    * candidate volume is Θ(Σ_e c_e²) over element frequencies. On a
+    * rich alphabet (codes, URLs, mixed-case IDs) or a corpus where the
+    * rarest-character prefixes are selective, it collapses the
+    * quadratic; on a SMALL uniform alphabet (plain lowercase prose) at
+    * moderate n, Σ c_e² can exceed n²/2 — the guard refuses, and the
+    * right plan is [[jaroWinklerPairsExact]]: a shuffle-free broadcast
+    * nested loop whose per-pair JW is sub-microsecond on short strings
+    * (compute-bound and embarrassingly parallel up to ~10⁵ rows). Past
+    * both regimes, character-granularity blocking is the SHARPEST SOUND
+    * invariant Jaro admits (matches reorder freely within half-length
+    * windows, so q-grams/segments do not survive); corpora beyond it
+    * need an edit-distance threshold ([[editDistancePairsBlocked]],
+    * whose PassJoin segment keys are sharp) or an unsound phonetic/
+    * q-gram blocker chosen deliberately.
+    *
+    * The soundness chain for jw ≥ t > 0.8:
     *
     *  1. Jaro floor. jw = J + 0.1·p·(1−J) with prefix p ≤ 4, applied
     *     only when J > 0.7 ⇒ jw ≤ 0.6·J + 0.4; with no boost jw = J.

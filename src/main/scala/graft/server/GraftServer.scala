@@ -130,6 +130,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "segments" :: Nil) => postDedupSegments(ex)
         case ("POST", "dedup" :: "strip-segments" :: Nil) => postDedupStripSegments(ex)
         case ("POST", "dedup" :: "editdist" :: Nil) => postEditDistance(ex)
+        case ("POST", "dedup" :: "jaro" :: Nil)     => postJaro(ex)
         case ("POST", "dedup" :: "gate" :: Nil)  => postDedupGate(ex)
         case ("POST", "dedup" :: "semantic-gate" :: Nil) => postSemanticGate(ex)
         case ("POST", "text" :: "decontaminate" :: Nil) => postDecontaminate(ex)
@@ -619,6 +620,37 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         if (opt(body, "blocked").forall(_.asBoolean(true)))
           graft.ext.Dedup.editDistancePairsBlocked(df, idCol, column, k)
         else graft.ext.Dedup.editDistancePairsExact(df, idCol, column, k)
+    })
+  }
+
+  /** Jaro-Winkler near-dup pairs / cross-table join — the fuzzy-NAME
+    * mirror of [[postEditDistance]]: `corpus` present → blocked
+    * [[graft.ext.Dedup.jaroWinklerJoin]]; absent → blocked pairs
+    * (`blocked: false` opts into the guarded exact all-pairs). */
+  private def postJaro(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val src = engine.readTable(Seq(require(body, "source").asText()))
+    val idCol = require(body, "idCol").asText()
+    val column = require(body, "column").asText()
+    val minSim = opt(body, "minSim").map(_.asDouble()).getOrElse(0.9)
+    def trunc(df: DataFrame, id: String, c: String): DataFrame =
+      opt(body, "prefixLen").map(_.asInt()) match {
+        case Some(n) => df.select(col(id), substring(col(c), 1, n).as(c))
+        case None => df
+      }
+    val df = trunc(src, idCol, column)
+    okRows(ex, opt(body, "corpus") match {
+      case Some(corpusName) =>
+        val refIdCol = require(body, "refIdCol").asText()
+        val refColumn = require(body, "refColumn").asText()
+        val corpus = trunc(
+          engine.readTable(Seq(corpusName.asText())), refIdCol, refColumn)
+        graft.ext.Dedup.jaroWinklerJoin(
+          df, idCol, column, corpus, refIdCol, refColumn, minSim)
+      case None =>
+        if (opt(body, "blocked").forall(_.asBoolean(true)))
+          graft.ext.Dedup.jaroWinklerPairsBlocked(df, idCol, column, minSim)
+        else graft.ext.Dedup.jaroWinklerPairsExact(df, idCol, column, minSim)
     })
   }
 

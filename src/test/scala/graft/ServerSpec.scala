@@ -542,6 +542,50 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/gate_in")._1 == 200)
   }
 
+  test("jaro route: blocked pairs and cross-table join over the wire") {
+    val (c1, b1) = send("PUT", "/tables/wire_jw",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":1,"text":"jonathan archer"},
+        {"doc_id":2,"text":"jonathon archer"},
+        {"doc_id":3,"text":"kathryn janeway"}]}""")
+    assert(c1 == 200, b1)
+    val (pc, pBody) = send("POST", "/dedup/jaro",
+      """{"source":"wire_jw","idCol":"doc_id","column":"text","minSim":0.9}""")
+    assert(pc == 200, pBody)
+    val pairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    mapper.readTree(pBody).get("rows").elements()
+      .forEachRemaining(n => pairs += ((n.get("id_a").asLong(),
+        n.get("id_b").asLong())))
+    assert(pairs.toSet == Set((1L, 2L)), s"got $pairs")
+    // exact variant agrees over the wire
+    val (xc, xBody) = send("POST", "/dedup/jaro",
+      """{"source":"wire_jw","idCol":"doc_id","column":"text",
+        "minSim":0.9,"blocked":false}""")
+    assert(xc == 200, xBody)
+    val xPairs = scala.collection.mutable.Set.empty[(Long, Long)]
+    mapper.readTree(xBody).get("rows").elements()
+      .forEachRemaining(n => xPairs += ((n.get("id_a").asLong(),
+        n.get("id_b").asLong())))
+    assert(xPairs.toSet == pairs.toSet, s"$xPairs vs $pairs")
+    // cross-table join: one arrival against the corpus
+    val (qc, qBody) = send("PUT", "/tables/wire_jwq",
+      """{"schema":"qid LONG, qt STRING","rows":[
+        {"qid":10,"qt":"jonathan archar"}]}""")
+    assert(qc == 200, qBody)
+    val (jc, jBody) = send("POST", "/dedup/jaro",
+      """{"source":"wire_jwq","idCol":"qid","column":"qt",
+        "corpus":"wire_jw","refIdCol":"doc_id","refColumn":"text",
+        "minSim":0.9}""")
+    assert(jc == 200, jBody)
+    val jp = scala.collection.mutable.Set.empty[(Long, Long)]
+    mapper.readTree(jBody).get("rows").elements()
+      .forEachRemaining(n => jp += ((n.get("id_a").asLong(),
+        n.get("id_b").asLong())))
+    assert(jp.contains((10L, 1L)), s"got $jp")
+    assert(send("DELETE", "/tables/wire_jwq")._1 == 200)
+    assert(send("DELETE", "/tables/wire_jw")._1 == 200)
+  }
+
   test("edit-distance route: blocked pairs with prefix truncation, " +
       "wire == library") {
     val (c1, b1) = send("PUT", "/tables/wire_ed",
