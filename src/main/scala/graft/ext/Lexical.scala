@@ -208,23 +208,23 @@ object Lexical {
         .as("vec"))
   }
 
-  /** The pair scorer both variants share: shared terms in term-ASC
-    * order (the filter preserves `va`'s sort), dot = left fold of
-    * u_a·u_b — the same multiply-add sequence as the SQL mirror's
-    * `list_inner_product` over the sorted shared list. Rounded to 6
-    * decimals BEFORE the threshold filter so a ≤1-ulp `ln` divergence
-    * between engines cannot flip a boundary pair. */
+  /** The pair scorer both variants share: dot = Σ u_a·u_b over shared
+    * terms accumulated in ascending-term order — the same multiply-add
+    * sequence as the SQL mirror's `list_inner_product` over the sorted
+    * shared list. One codegen'd merge pass per pair
+    * ([[graft.functions.SparseDot]]); the previous
+    * map_from_entries→filter→aggregate HOF chain evaluated INTERPRETED
+    * (HOF lambdas are CodegenFallback) at ~140µs/pair — 17s of the two
+    * ledger queries' ~14s each sat in it. Rounded to 6 decimals BEFORE
+    * the threshold filter so a ≤1-ulp `ln` divergence between engines
+    * cannot flip a boundary pair. */
   private def scorePairs(cand: DataFrame, vecs: DataFrame,
       threshold: Double): DataFrame = {
     val va = vecs.select(col("id").as("id_a"), col("vec").as("va"))
     val vb = vecs.select(col("id").as("id_b"), col("vec").as("vb"))
     cand.join(va, "id_a").join(vb, "id_b")
-      .withColumn("mb", map_from_entries(col("vb")))
-      .withColumn("shared",
-        filter(col("va"), s => map_contains_key(col("mb"), s("term"))))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(col("shared"), lit(0.0),
-          (acc, s) => acc + s("u") * element_at(col("mb"), s("term"))), 6)
+        round(graft.functions.functions.sparse_dot(col("va"), col("vb")), 6)
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }

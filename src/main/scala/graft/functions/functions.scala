@@ -54,6 +54,13 @@ object functions {
     GraftShims.column(
       JaroWinkler(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** Merge-pass dot product of two term-sorted sparse vectors
+    * (array<struct<term, u>>) — [[SparseDot]], codegen'd; ascending-term
+    * accumulation order (the oracle-mirrorable arithmetic). */
+  def sparse_dot(a: Column, b: Column): Column =
+    GraftShims.column(
+      SparseDot(GraftShims.expression(a), GraftShims.expression(b)))
+
   /** A multi-vector (token-matrix) literal usable as the query side of
     * [[maxsim]]. */
   def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)
