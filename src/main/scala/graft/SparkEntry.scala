@@ -1241,6 +1241,52 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .withColumn("token_count", TextAnalysis.tokenCount(col("text")).cast("long"))
         .select("doc_id", "n_chars", "token_count")),
+    // —— web curation: URL normalization + registered domain (the keys
+    // crawl pipelines dedupe and mix by). URLs derived DETERMINISTICALLY
+    // from fixture columns, with deliberate mess per branch: case-mixed
+    // scheme/host, default and non-default ports, tracking params,
+    // trailing slashes, fragments — both engines build the identical
+    // string and normalize it independently. ——
+    "web_url_normalize" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 500)
+      val url = concat(
+        when(col("doc_id") % 5 === 0, lit("HTTP://WWW.Example.CO.UK:80"))
+          .when(col("doc_id") % 5 === 1, lit("https://News.Example.COM:443"))
+          .when(col("doc_id") % 5 === 2, lit("https://blog.example.com:8443"))
+          .when(col("doc_id") % 5 === 3, lit("http://Example.Org"))
+          .otherwise(lit("https://a.b.example.com")),
+        lit("/Docs/"), col("source"), lit("/"),
+        col("doc_id").cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, lit("&utm_campaign=x"))
+          .otherwise(lit("")),
+        lit("&lang="), coalesce(col("lang"), lit("xx")), lit("#frag"))
+      d.select(col("doc_id"),
+        graft.ext.Web.urlNormalize(url).as("url_norm"),
+        graft.ext.Web.registeredDomain(
+          graft.ext.Web.urlHost(url)).as("reg_domain"))
+    }),
+    // —— URL-level exact dedup (the C4 re-crawl collapse): URLs keyed by
+    // doc_id % 100, so ~10 docs share each page modulo tracking-param /
+    // slash / fragment noise; grouped on the NORMALIZED key ——
+    "web_url_dedup" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents").filter(col("doc_id") < 1000)
+      val k = (col("doc_id") % 100).cast("string")
+      val url = concat(
+        when(col("doc_id") % 100 % 5 === 0, lit("HTTP://WWW.Example.CO.UK:80"))
+          .when(col("doc_id") % 100 % 5 === 1, lit("https://News.Example.COM:443"))
+          .when(col("doc_id") % 100 % 5 === 2, lit("https://blog.example.com:8443"))
+          .when(col("doc_id") % 100 % 5 === 3, lit("http://Example.Org"))
+          .otherwise(lit("https://a.b.example.com")),
+        lit("/page/"), k,
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="), k,
+        when(col("doc_id") % 3 === 0, lit("&gclid=z")).otherwise(lit("")),
+        lit("#s"), col("doc_id").cast("string"))
+      graft.ext.Web.urlDedup(d.select(col("doc_id"), url.as("url")),
+        "doc_id", "url")
+    }),
     // —— RAG-style chunking: 200-char chunks, 40-char overlap ——
     "text_chunks" -> ((s: SparkSession, dir: String) =>
       TextAnalysis.chunkDocuments(tbl(s, dir, "documents"), "doc_id", "text",
@@ -3194,6 +3240,66 @@ object SparkEntry {
       |LEFT JOIN docw ON d.doc_id = docw.doc_id
       |LEFT JOIN wordtok wt ON docw.w = wt.word
       |GROUP BY d.doc_id""".stripMargin,
+    "web_url_normalize" ->
+      ("WITH d AS (SELECT doc_id, source, coalesce(lang, 'xx') AS lang " +
+        "FROM documents WHERE doc_id < 500), " +
+        "u AS (SELECT doc_id, (CASE doc_id % 5 " +
+        "WHEN 0 THEN 'HTTP://WWW.Example.CO.UK:80' " +
+        "WHEN 1 THEN 'https://News.Example.COM:443' " +
+        "WHEN 2 THEN 'https://blog.example.com:8443' " +
+        "WHEN 3 THEN 'http://Example.Org' " +
+        "ELSE 'https://a.b.example.com' END) " +
+        "|| '/Docs/' || source || '/' || CAST(doc_id AS VARCHAR) " +
+        "|| (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) " +
+        "|| '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) " +
+        "|| (CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END) " +
+        "|| '&lang=' || lang || '#frag' AS url FROM d), " +
+        "n AS (SELECT doc_id, " +
+        "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS proto, " +
+        "lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')) AS host, " +
+        "coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS port, " +
+        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), ''), '/+$', '') AS path, " +
+        "coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q FROM u), " +
+        "k AS (SELECT doc_id, proto, host, port, path, " +
+        "array_to_string(list_filter(string_split(q, '&'), " +
+        "x -> NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)=') AND x <> ''), '&') AS qn, " +
+        "string_split(host, '.') AS labels FROM n) " +
+        "SELECT doc_id, proto || '://' || host || " +
+        "(CASE WHEN port = '' OR (proto = 'http' AND port = '80') " +
+        "OR (proto = 'https' AND port = '443') THEN '' ELSE ':' || port END) " +
+        "|| path || (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm, " +
+        "(CASE WHEN len(labels) <= 2 THEN host " +
+        "WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','or.jp','ne.jp','co.in','co.nz','com.au','net.au','org.au','com.br','com.cn','com.mx','co.za','com.sg','com.tr','co.kr') " +
+        "THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1] " +
+        "ELSE labels[-2] || '.' || labels[-1] END) AS reg_domain FROM k"),
+    "web_url_dedup" ->
+      ("WITH d AS (SELECT doc_id, CAST(doc_id % 100 AS VARCHAR) AS k " +
+        "FROM documents WHERE doc_id < 1000), " +
+        "u AS (SELECT doc_id, (CASE (doc_id % 100) % 5 " +
+        "WHEN 0 THEN 'HTTP://WWW.Example.CO.UK:80' " +
+        "WHEN 1 THEN 'https://News.Example.COM:443' " +
+        "WHEN 2 THEN 'https://blog.example.com:8443' " +
+        "WHEN 3 THEN 'http://Example.Org' " +
+        "ELSE 'https://a.b.example.com' END) " +
+        "|| '/page/' || k " +
+        "|| (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) " +
+        "|| '?utm_source=feed&id=' || k " +
+        "|| (CASE WHEN doc_id % 3 = 0 THEN '&gclid=z' ELSE '' END) " +
+        "|| '#s' || CAST(doc_id AS VARCHAR) AS url FROM d), " +
+        "n AS (SELECT doc_id, " +
+        "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS proto, " +
+        "lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')) AS host, " +
+        "coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS port, " +
+        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), ''), '/+$', '') AS path, " +
+        "array_to_string(list_filter(string_split(" +
+        "coalesce(regexp_extract(url, '\\?([^#]*)', 1), ''), '&'), " +
+        "x -> NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)=') AND x <> ''), '&') AS qn FROM u), " +
+        "k2 AS (SELECT doc_id, proto || '://' || host || " +
+        "(CASE WHEN port = '' OR (proto = 'http' AND port = '80') " +
+        "OR (proto = 'https' AND port = '443') THEN '' ELSE ':' || port END) " +
+        "|| path || (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm FROM n) " +
+        "SELECT url_norm, min(doc_id) AS keeper, count(*) AS cnt " +
+        "FROM k2 GROUP BY url_norm"),
     "text_stats" ->
       ("SELECT doc_id, n_chars, CASE WHEN length(trim(text)) = 0 THEN 0 " +
         "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_count " +
