@@ -1141,7 +1141,13 @@ object Dedup {
     require(maxCandidates >= 1, "maxCandidates must be >= 1")
     val (beta, coef) = jwBounds(minSim, "jaroWinklerPairsBlocked")
     val base = jwBase(df, idCol, textCol)
+    // localCheckpoint: the element construction is the expensive pass
+    // (per-row O(len²) interpreted HOFs — lambdas are CodegenFallback)
+    // and the frame is read THREE times (guard + both self-join sides);
+    // the slim (id, len, element) rows materialize it once — the
+    // minhash `banded` discipline
     val block = jwPrefixFrame(base, coef, jwRank(Seq(base)))
+      .localCheckpoint()
     jwGuard(block, None, "jaroWinklerPairsBlocked", maxCandidates)
     val x = block.select(col("id").as("id_a"), col("len").as("__la"), col("e"))
     val y = block.select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
@@ -1176,10 +1182,14 @@ object Dedup {
     val lb = jwBase(left, leftId, leftText)
     val rb = jwBase(right, rightId, rightText)
     val rank = jwRank(Seq(lb, rb))
+    // each side's element construction runs ONCE (read by the guard and
+    // the join) — see the pairs variant for the checkpoint rationale
     val lBlock = jwPrefixFrame(lb, coef, rank)
       .select(col("id").as("id_a"), col("len").as("__la"), col("e"))
+      .localCheckpoint()
     val rBlock = jwPrefixFrame(rb, coef, rank)
       .select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
+      .localCheckpoint()
     jwGuard(lBlock, Some(rBlock), "jaroWinklerJoin", maxCandidates)
     val cand = lBlock.join(rBlock, Seq("e"))
       .filter(least(col("__la"), col("__lb")).cast("double") >=
