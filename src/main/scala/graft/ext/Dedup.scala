@@ -715,14 +715,25 @@ object Dedup {
     val base = df.filter(col(textCol).isNotNull)
     guardAllPairs(base, "editDistancePairsExact", maxRows,
       "editDistancePairsBlocked")
+    // the broadcast-nested-loop join STREAMS the left side with its
+    // input partitioning — a small filtered scan is often ONE task, so
+    // the whole O(n²) verify would run single-threaded; spreading the
+    // (guarded, bounded) left side costs one tiny shuffle and buys full
+    // parallelism on the quadratic work
+    val parts = df.sparkSession.sparkContext.defaultParallelism
     val a = base.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+      .repartition(parts)
     val b = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
     a.join(b, col("id_a") < col("id_b"))
       // ed ≥ |length difference|: free pre-filter, result-identical
       .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("dist"))
-      .filter(col("dist") <= maxDist)
+        // thresholded three-arg form: O((2k+1)·n) banded DP with early
+        // exit instead of the full O(n²) table; −1 (= over threshold)
+        // rows are dropped by the same filter, output identical
+        levenshtein(col("__ta"), col("__tb"), maxDist)
+          .cast("long").as("dist"))
+      .filter(col("dist") >= 0L && col("dist") <= maxDist.toLong)
   }
 
   /** Segment i (0-based, of maxDist+1) of a length-`l` string starts at
@@ -968,7 +979,12 @@ object Dedup {
     val base = df.filter(col(textCol).isNotNull)
     guardAllPairs(base, "jaroWinklerPairsExact", maxRows,
       "jaroWinklerPairsBlocked")
+    // spread the streamed side of the nested-loop join — see
+    // [[editDistancePairsExact]]: without it the O(n²) verify runs in
+    // as few tasks as the filtered scan produced
+    val parts = df.sparkSession.sparkContext.defaultParallelism
     val a = base.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+      .repartition(parts)
     val b = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
