@@ -615,7 +615,12 @@ object Dedup {
           array_distinct(split(lower(trim(col(textCol))), "\\s+")).as("s"))
       else
         df.select(col(idCol).as("id"), shingleUdf(shingleSize)(col(textCol)).as("s"))
+    // spread the streamed side of the nested-loop join — see
+    // [[editDistancePairsExact]]: without it the O(n²) verify runs in
+    // as few tasks as the filtered scan produced
+    val parts = df.sparkSession.sparkContext.defaultParallelism
     val a = withSets.select(col("id").as("id_a"), col("s").as("s_a"))
+      .repartition(parts)
     val b = withSets.select(col("id").as("id_b"), col("s").as("s_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("jaccard",
@@ -1326,7 +1331,10 @@ object Dedup {
       maxRows: Long = 100000L): DataFrame = {
     guardAllPairs(df, "nearDupPairsCosineExact", maxRows,
       "nearDupPairsCosineLsh")
+    // spread the streamed side — see [[editDistancePairsExact]]
+    val parts = df.sparkSession.sparkContext.defaultParallelism
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+      .repartition(parts)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("dist", vector_distance(col("vec_a"), col("vec_b"), "cosine"))
