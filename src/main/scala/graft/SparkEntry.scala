@@ -1845,7 +1845,11 @@ object SparkEntry {
         .filter(col("doc_id") < 400)
         .select(col("doc_id"), substring(col("text"), 1, 80).as("t80"))
       e.makeTable("d80", docs80.filter(col("doc_id") < 200))
-      e.buildFuzzyIndex("d80", "doc_id", "t80", maxDist = 2, buckets = 64)
+      // 16 buckets: the slice is ~400 docs and the lifecycle runs ~8
+      // bucketed writes from scratch every invocation — 64 buckets just
+      // multiplies tiny write tasks (correctness is bucket-count
+      // independent; the sf-scale serving artifact keeps 64)
+      e.buildFuzzyIndex("d80", "doc_id", "t80", maxDist = 2, buckets = 16)
       docs80.filter(col("doc_id") >= 200)
         .write.mode("append").parquet(e.store.tablePath("d80"))
       e.syncFuzzyIndex("d80", "t80")
