@@ -301,6 +301,27 @@ object SparkEntry {
       "ELSE CAST(len(list_intersect(sa.gs, sb.gs)) AS DOUBLE) / len(list_distinct(sa.gs || sb.gs)) END AS j " +
       "FROM cands c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)"
 
+  /** DuckDB mirror of [[graft.ext.Web.pctNormalize]] — the IDENTICAL
+    * replace/regexp chain generated from the same shared tables
+    * ([[graft.ext.Web.HexLetters]]/[[graft.ext.Web.UnreservedDecodes]]),
+    * so the two engines cannot drift: uppercase each escape's hex
+    * digits (first digit, then second), then decode the unreserved-
+    * character escapes. */
+  private def pctNormSql(inner: String): String = {
+    val upFirst = graft.ext.Web.HexLetters.foldLeft(inner)((acc, c) =>
+      s"regexp_replace($acc, '%$c([0-9A-Fa-f])', '%${c.toUpper}\\1', 'g')")
+    val up = graft.ext.Web.HexLetters.foldLeft(upFirst)((acc, c) =>
+      s"regexp_replace($acc, '%([0-9A-F])$c', '%\\1${c.toUpper}', 'g')")
+    graft.ext.Web.UnreservedDecodes.foldLeft(up) { case (acc, (esc, ch)) =>
+      s"replace($acc, '$esc', '$ch')"
+    }
+  }
+
+  /** The [[graft.ext.Web.MultiPartTlds]] set as a SQL IN-list — one
+    * source of truth for both engines' suffix logic. */
+  private def multiPartTldsSql: String =
+    graft.ext.Web.MultiPartTlds.map(t => s"'$t'").mkString(",")
+
   /** Gopher rule-flag CTE chain over `src` (doc_id, text; nulls dropped),
     * word bounds [20, 80] as in text_gopher. Ends with `g4(doc_id,
     * n_words, rule_*, keep)`. Shared by text_gopher and curate_corpus. */
@@ -1257,10 +1278,16 @@ object SparkEntry {
           .otherwise(lit("https://a.b.example.com")),
         lit("/Docs/"), col("source"), lit("/"),
         col("doc_id").cast("string"),
+        // percent-escape mess: %61/%7e decode (unreserved), %2f only
+        // uppercases (reserved slash must stay escaped)
+        when(col("doc_id") % 7 === 0, lit("/Esc%2fp%61th%7e"))
+          .otherwise(lit("")),
         when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
         lit("?utm_source=feed&id="), col("doc_id").cast("string"),
         when(col("doc_id") % 3 === 0, lit("&utm_campaign=x"))
           .otherwise(lit("")),
+        // an ESCAPED tracker name — must decode, then be stripped
+        when(col("doc_id") % 4 === 0, lit("&%75tm_x=1")).otherwise(lit("")),
         lit("&lang="), coalesce(col("lang"), lit("xx")), lit("#frag"))
       d.select(col("doc_id"),
         graft.ext.Web.urlNormalize(url).as("url_norm"),
@@ -3254,16 +3281,21 @@ object SparkEntry {
         "WHEN 3 THEN 'http://Example.Org' " +
         "ELSE 'https://a.b.example.com' END) " +
         "|| '/Docs/' || source || '/' || CAST(doc_id AS VARCHAR) " +
+        "|| (CASE WHEN doc_id % 7 = 0 THEN '/Esc%2fp%61th%7e' ELSE '' END) " +
         "|| (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) " +
         "|| '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) " +
         "|| (CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=x' ELSE '' END) " +
+        "|| (CASE WHEN doc_id % 4 = 0 THEN '&%75tm_x=1' ELSE '' END) " +
         "|| '&lang=' || lang || '#frag' AS url FROM d), " +
         "n AS (SELECT doc_id, " +
         "lower(coalesce(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), '')) AS proto, " +
         "lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')) AS host, " +
         "coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1), '') AS port, " +
-        "regexp_replace(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), ''), '/+$', '') AS path, " +
-        "coalesce(regexp_extract(url, '\\?([^#]*)', 1), '') AS q FROM u), " +
+        "regexp_replace(" + pctNormSql(
+          "coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '')") +
+        ", '/+$', '') AS path, " +
+        pctNormSql("coalesce(regexp_extract(url, '\\?([^#]*)', 1), '')") +
+        " AS q FROM u), " +
         "k AS (SELECT doc_id, proto, host, port, path, " +
         "array_to_string(list_filter(string_split(q, '&'), " +
         "x -> NOT regexp_matches(x, '^(utm_[^=&]*|fbclid|gclid|msclkid|ref)=') AND x <> ''), '&') AS qn, " +
@@ -3272,8 +3304,9 @@ object SparkEntry {
         "(CASE WHEN port = '' OR (proto = 'http' AND port = '80') " +
         "OR (proto = 'https' AND port = '443') THEN '' ELSE ':' || port END) " +
         "|| path || (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS url_norm, " +
-        "(CASE WHEN len(labels) <= 2 THEN host " +
-        "WHEN (labels[-2] || '.' || labels[-1]) IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','or.jp','ne.jp','co.in','co.nz','com.au','net.au','org.au','com.br','com.cn','com.mx','co.za','com.sg','com.tr','co.kr') " +
+        "(CASE WHEN regexp_matches(host, '^[0-9.]+$') OR host LIKE '[%' THEN host " +
+        "WHEN len(labels) <= 2 THEN host " +
+        s"WHEN (labels[-2] || '.' || labels[-1]) IN ($multiPartTldsSql) " +
         "THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1] " +
         "ELSE labels[-2] || '.' || labels[-1] END) AS reg_domain FROM k"),
     "web_url_dedup" ->

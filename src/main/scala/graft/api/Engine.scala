@@ -97,20 +97,22 @@ class Engine(val spark: SparkSession, val root: String) {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val df = store.loadTable(source)
     val base = store.lexIndexPath(source, textCol)
-    val post =
-      if (positional)
-        graft.ext.Lexical.positionalPostings(df, idCol, textCol, buckets)
-      else graft.ext.Lexical.postings(df, idCol, textCol, buckets)
-    post.write.mode("overwrite").partitionBy("__TERM_BUCKET__")
-      .parquet(s"$base/postings")
-    graft.ext.Lexical.docLengths(df, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$base/doclens")
-    // bucket count rides the artifact — a query pruning with the wrong
-    // modulus would silently miss terms; the positional flag too, so
-    // sync keeps appending the same posting shape
-    store.writeSidecar(s"$base/meta.json",
-      s"""{"buckets":$buckets,"positional":$positional}"""
-        .getBytes("UTF-8"))
+    graft.store.Swap.withArtifactLock(base) {
+      val post =
+        if (positional)
+          graft.ext.Lexical.positionalPostings(df, idCol, textCol, buckets)
+        else graft.ext.Lexical.postings(df, idCol, textCol, buckets)
+      post.write.mode("overwrite").partitionBy("__TERM_BUCKET__")
+        .parquet(s"$base/postings")
+      graft.ext.Lexical.docLengths(df, idCol, textCol)
+        .write.mode("overwrite").parquet(s"$base/doclens")
+      // bucket count rides the artifact — a query pruning with the wrong
+      // modulus would silently miss terms; the positional flag too, so
+      // sync keeps appending the same posting shape
+      store.writeSidecar(s"$base/meta.json",
+        s"""{"buckets":$buckets,"positional":$positional}"""
+          .getBytes("UTF-8"))
+    }
   }
 
   private def lexMeta(base: String): (Int, Boolean) = {
@@ -127,38 +129,43 @@ class Engine(val spark: SparkSession, val root: String) {
     * id is absent from the doc-length sidecar get their postings and
     * lengths appended — the append-only-corpus incremental path (no
     * existing posting is rewritten; document UPDATES need a rebuild,
-    * as with every tier's in-place-modification contract). */
+    * as with every tier's in-place-modification contract). Mutations
+    * run under the artifact lock — a concurrent compaction rewriting
+    * the very buckets an append lands in would otherwise install a
+    * rewrite missing the appended rows. */
   def syncLexicalIndex(source: String, idCol: String,
       textCol: String): Long = {
     val base = store.lexIndexPath(source, textCol)
-    val (buckets, positional) = lexMeta(base)
-    // restore any crashed-compaction aside BEFORE appending: an append
-    // that recreates a bucket dir whose only full copy sits in an aside
-    // would otherwise turn the next compaction's stale-aside cleanup
-    // into silent data loss for every pre-crash posting of that bucket
-    recoverLexArtifacts(base)
-    val known = spark.read.parquet(s"$base/doclens").select("id")
-    val fresh = store.loadTable(source)
-      // null-text docs are unindexable and never enter doclens — drop
-      // them up front so re-sync stays a no-op (idempotent count)
-      .filter(col(textCol).isNotNull)
-      .join(known, col(idCol) === known("id"), "left_anti")
-      .localCheckpoint(true) // freeze: the appends below grow the very
-                             // paths a lazy plan would re-list
-    try {
-      val n = fresh.count()
-      if (n > 0) {
-        val post =
-          if (positional) graft.ext.Lexical
-            .positionalPostings(fresh, idCol, textCol, buckets)
-          else graft.ext.Lexical.postings(fresh, idCol, textCol, buckets)
-        post.write.mode("append").partitionBy("__TERM_BUCKET__")
-          .parquet(s"$base/postings")
-        graft.ext.Lexical.docLengths(fresh, idCol, textCol)
-          .write.mode("append").parquet(s"$base/doclens")
-      }
-      n
-    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(fresh)
+    graft.store.Swap.withArtifactLock(base) {
+      val (buckets, positional) = lexMeta(base)
+      // restore any crashed-compaction aside BEFORE appending: an append
+      // that recreates a bucket dir whose only full copy sits in an aside
+      // would otherwise turn the next compaction's stale-aside cleanup
+      // into silent data loss for every pre-crash posting of that bucket
+      recoverLexArtifacts(base)
+      val known = spark.read.parquet(s"$base/doclens").select("id")
+      val fresh = store.loadTable(source)
+        // null-text docs are unindexable and never enter doclens — drop
+        // them up front so re-sync stays a no-op (idempotent count)
+        .filter(col(textCol).isNotNull)
+        .join(known, col(idCol) === known("id"), "left_anti")
+        .localCheckpoint(true) // freeze: the appends below grow the very
+                               // paths a lazy plan would re-list
+      try {
+        val n = fresh.count()
+        if (n > 0) {
+          val post =
+            if (positional) graft.ext.Lexical
+              .positionalPostings(fresh, idCol, textCol, buckets)
+            else graft.ext.Lexical.postings(fresh, idCol, textCol, buckets)
+          post.write.mode("append").partitionBy("__TERM_BUCKET__")
+            .parquet(s"$base/postings")
+          graft.ext.Lexical.docLengths(fresh, idCol, textCol)
+            .write.mode("append").parquet(s"$base/doclens")
+        }
+        n
+      } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(fresh)
+    }
   }
 
   /** Top-k BM25 keyword search through the materialized index —
@@ -216,32 +223,49 @@ class Engine(val spark: SparkSession, val root: String) {
     * [[searchPhrase]]) run it too: the aside is dot-prefixed and
     * INVISIBLE to parquet file listing, so between a crash and the next
     * mutating call queries would otherwise silently miss every term
-    * hashing to the crashed bucket. One listStatus when clean. */
+    * hashing to the crashed bucket. One listStatus when clean, and the
+    * artifact lock is taken ONLY when that listing shows an aside — a
+    * read path must never rename an aside out from under a RUNNING
+    * compaction's legitimate aside→install window (see
+    * [[graft.store.Swap.withArtifactLock]]); inside the lock the sweep
+    * re-checks, so an aside that belonged to a just-finished compaction
+    * resolves to a no-op. */
   private def recoverLexArtifacts(base: String): Unit = {
     val fs = store.fs
-    graft.store.Swap.recoverBucketAsides(fs,
-      new org.apache.hadoop.fs.Path(s"$base/postings"), "__TERM_BUCKET__")
-    graft.store.Swap.recoverFlatAside(fs,
-      new org.apache.hadoop.fs.Path(s"$base/doclens"))
+    val postings = new org.apache.hadoop.fs.Path(s"$base/postings")
+    val doclens = new org.apache.hadoop.fs.Path(s"$base/doclens")
+    if (graft.store.Swap.hasBucketAsides(fs, postings, "__TERM_BUCKET__") ||
+        graft.store.Swap.hasFlatAside(fs, doclens))
+      graft.store.Swap.withArtifactLock(base) {
+        graft.store.Swap.recoverBucketAsides(fs, postings, "__TERM_BUCKET__")
+        graft.store.Swap.recoverFlatAside(fs, doclens)
+      }
   }
 
   def compactLexicalIndex(source: String, textCol: String,
       maxFilesPerBucket: Int = 8): (Long, Long) = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val base = store.lexIndexPath(source, textCol)
-    lexMeta(base) // fail loudly on a missing index
-    // Crash recovery from a previous run killed mid-swap (postings
-    // bucket asides AND the doclens aside). Every mutating entry point
-    // runs this first — see [[recoverLexArtifacts]] for why ordering it
-    // before appends is what makes aside-alongside-live unambiguous.
-    recoverLexArtifacts(base)
-    val fs = store.fs
-    val buckets = graft.store.Swap.compactBuckets(spark, fs,
-      s"$base/postings", "__TERM_BUCKET__", maxFilesPerBucket,
-      "compactLexicalIndex")
-    val lens = graft.store.Swap.compactFlat(spark, fs,
-      s"$base/doclens", maxFilesPerBucket, "compactLexicalIndex")
-    (buckets, lens)
+    // the WHOLE compact holds the artifact lock: the rewrite must not
+    // race a sync's append into the same buckets (an installed rewrite
+    // read before the append would silently drop the appended rows),
+    // and the aside→install window must not race a reader's recovery
+    // sweep ([[graft.store.Swap.withArtifactLock]])
+    graft.store.Swap.withArtifactLock(base) {
+      lexMeta(base) // fail loudly on a missing index
+      // Crash recovery from a previous run killed mid-swap (postings
+      // bucket asides AND the doclens aside). Every mutating entry point
+      // runs this first — see [[recoverLexArtifacts]] for why ordering it
+      // before appends is what makes aside-alongside-live unambiguous.
+      recoverLexArtifacts(base)
+      val fs = store.fs
+      val buckets = graft.store.Swap.compactBuckets(spark, fs,
+        s"$base/postings", "__TERM_BUCKET__", maxFilesPerBucket,
+        "compactLexicalIndex")
+      val lens = graft.store.Swap.compactFlat(spark, fs,
+        s"$base/doclens", maxFilesPerBucket, "compactLexicalIndex")
+      (buckets, lens)
+    }
   }
 
   // ——— Fuzzy (edit-distance) lookup index ———
@@ -275,21 +299,23 @@ class Engine(val spark: SparkSession, val root: String) {
     val listing = store.sourceListing(source)
     val bf = graft.ext.Dedup.editDistanceBase(
       store.loadTable(source), idCol, textCol)
-    // the base is partitioned by an ID bucket (layout 2): the lookup's
-    // final verify then prunes the base scan to its candidates' buckets
-    // instead of scanning every stored document's text — without this,
-    // single-lookup latency scales with corpus size
-    writeFuzzyBase(base, bf, buckets, mode = "overwrite")
-    writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite")
-    // parameters ride the artifact: pruning with a different modulus or
-    // distance than the build's would silently miss candidates; the id
-    // column rides too so sync can anti-join the source against the
-    // base; layout 2 = id-bucketed base (layout-1 artifacts keep
-    // serving with an unpruned base verify)
-    store.writeSidecar(s"$base/meta.json",
-      s"""{"maxDist":$maxDist,"buckets":$buckets,"idCol":"$idCol","layout":2}"""
-        .getBytes("UTF-8"))
-    Index.recordSourceStamp(store, base, listing)
+    graft.store.Swap.withArtifactLock(base) {
+      // the base is partitioned by an ID bucket (layout 2): the lookup's
+      // final verify then prunes the base scan to its candidates' buckets
+      // instead of scanning every stored document's text — without this,
+      // single-lookup latency scales with corpus size
+      writeFuzzyBase(base, bf, buckets, mode = "overwrite")
+      writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite")
+      // parameters ride the artifact: pruning with a different modulus or
+      // distance than the build's would silently miss candidates; the id
+      // column rides too so sync can anti-join the source against the
+      // base. layout 2 (id-bucketed base) is the only layout written or
+      // served — artifacts predating it need a rebuild
+      store.writeSidecar(s"$base/meta.json",
+        s"""{"maxDist":$maxDist,"buckets":$buckets,"idCol":"$idCol","layout":2}"""
+          .getBytes("UTF-8"))
+      Index.recordSourceStamp(store, base, listing)
+    }
   }
 
   private def idBucketCol(buckets: Int): Column =
@@ -339,7 +365,7 @@ class Engine(val spark: SparkSession, val root: String) {
       .write.mode(mode).parquet(s"$base/probecounts")
   }
 
-  private def fuzzyMeta(base: String): (Int, Int, String, Int) = {
+  private def fuzzyMeta(base: String): (Int, Int, String) = {
     val s = new String(store.readSidecar(s"$base/meta.json"), "UTF-8")
     def intOf(k: String) = (k + """\s*:\s*(\d+)""").r
       .findFirstMatchIn(s).map(_.group(1).toInt)
@@ -351,8 +377,14 @@ class Engine(val spark: SparkSession, val root: String) {
       .getOrElse(throw new IllegalStateException(
         s"fuzzy index at $base predates the lifecycle metadata " +
           "(no idCol in meta.json) — rebuild with buildFuzzyIndex"))
-    (intOrFail("\"maxDist\""), intOrFail("\"buckets\""), idCol,
-      intOf("\"layout\"").getOrElse(1))
+    // layout 2 (id-bucketed base) is the only layout ever written by a
+    // build that also records idCol, so anything else here is a
+    // hand-rolled artifact — refuse rather than serve an unknown shape
+    require(intOf("\"layout\"").contains(2),
+      s"fuzzy index at $base has an unsupported layout in meta.json — " +
+        "only layout 2 (id-bucketed base) is served; rebuild with " +
+        "buildFuzzyIndex")
+    (intOrFail("\"maxDist\""), intOrFail("\"buckets\""), idCol)
   }
 
   /** Whether the fuzzy artifact exists AND was built/synced from the
@@ -376,33 +408,41 @@ class Engine(val spark: SparkSession, val root: String) {
     * build/sync still present unchanged). Returns rows appended. */
   def syncFuzzyIndex(source: String, textCol: String): Long = {
     val base = store.fuzzyIndexPath(source, textCol)
-    val (maxDist, buckets, idCol, layout) = fuzzyMeta(base)
-    // restore any crashed-compaction aside BEFORE appending — an append
-    // recreating a bucket dir whose only full copy sits in an aside
-    // would turn the next cleanup into silent data loss (see
-    // [[graft.store.Swap]])
-    recoverFuzzyArtifacts(base)
-    val listing = store.sourceListing(source)
-    val known = spark.read.parquet(s"$base/base")
-      .select(col("id").as("__known_id__"))
-    val fresh = store.loadTable(source)
-      .filter(col(textCol).isNotNull)
-      .join(known, col(idCol) === col("__known_id__"), "left_anti")
-    val bf = graft.ext.Dedup.editDistanceBase(fresh, idCol, textCol)
-      .localCheckpoint(true) // freeze: the appends below grow the very
-                             // paths a lazy plan would re-list
-    try {
-      val n = bf.count()
-      if (n > 0) {
-        if (layout >= 2) writeFuzzyBase(base, bf, buckets, mode = "append")
-        else bf.write.mode("append").parquet(s"$base/base")
-        writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
+    graft.store.Swap.withArtifactLock(base) {
+      val (maxDist, buckets, idCol) = fuzzyMeta(base)
+      // restore any crashed-compaction aside BEFORE appending — an append
+      // recreating a bucket dir whose only full copy sits in an aside
+      // would turn the next cleanup into silent data loss (see
+      // [[graft.store.Swap]])
+      recoverFuzzyArtifacts(base)
+      val listing = store.sourceListing(source)
+      val known = spark.read.parquet(s"$base/base")
+        .select(col("id").as("__known_id__"))
+      val fresh = store.loadTable(source)
+        .filter(col(textCol).isNotNull)
+        .join(known, col(idCol) === col("__known_id__"), "left_anti")
+      val bf = graft.ext.Dedup.editDistanceBase(fresh, idCol, textCol)
+        .localCheckpoint(true) // freeze: the appends below grow the very
+                               // paths a lazy plan would re-list
+      try {
+        val n = bf.count()
+        if (n > 0) {
+          writeFuzzyBase(base, bf, buckets, mode = "append")
+          writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
+        }
+        // re-stamp OUTSIDE the n > 0 branch: append-only growth whose
+        // new rows are all null-text (filtered by design) appends
+        // nothing yet leaves the artifact semantically complete — a
+        // stamp gated on n > 0 would hold it permanently "stale" with
+        // only a full rebuild as the way out. The append-only check
+        // (every file recorded at the last build/sync still present
+        // unchanged) still gates the stamp either way.
         val curSet = listing.toSet
         if (Index.recordedListing(store, base).exists(_.forall(curSet.contains)))
           Index.recordSourceStamp(store, base, listing)
-      }
-      n
-    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(bf)
+        n
+      } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(bf)
+    }
   }
 
   /** Crash recovery for the fuzzy index's swap artifacts — both bucket
@@ -412,17 +452,23 @@ class Engine(val spark: SparkSession, val root: String) {
     * so lookups would silently miss the crashed bucket's segments). */
   private def recoverFuzzyArtifacts(base: String): Unit = {
     val fs = store.fs
-    graft.store.Swap.recoverBucketAsides(fs,
-      new org.apache.hadoop.fs.Path(s"$base/segs"), "__SEG_BUCKET__")
-    graft.store.Swap.recoverBucketAsides(fs,
-      new org.apache.hadoop.fs.Path(s"$base/probes"), "__SEG_BUCKET__")
-    // the base is id-bucketed on layout 2, flat on layout 1 — both
-    // recovery shapes are cheap no-ops when the other doesn't apply
-    graft.store.Swap.recoverBucketAsides(fs,
-      new org.apache.hadoop.fs.Path(s"$base/base"), "__ID_BUCKET__")
-    Seq("base", "segcounts", "probecounts").foreach(d =>
-      graft.store.Swap.recoverFlatAside(fs,
-        new org.apache.hadoop.fs.Path(s"$base/$d")))
+    val bucketed = Seq(s"$base/segs" -> "__SEG_BUCKET__",
+      s"$base/probes" -> "__SEG_BUCKET__", s"$base/base" -> "__ID_BUCKET__")
+      .map { case (d, c) => new org.apache.hadoop.fs.Path(d) -> c }
+    val flats = Seq("segcounts", "probecounts")
+      .map(d => new org.apache.hadoop.fs.Path(s"$base/$d"))
+    // lock only when a listing actually shows an aside — the clean read
+    // path stays lock-free, and a visible aside may belong to a RUNNING
+    // compaction, whose window the lock serializes against (see
+    // [[recoverLexArtifacts]]); the sweep re-checks inside the lock
+    if (bucketed.exists { case (d, c) =>
+          graft.store.Swap.hasBucketAsides(fs, d, c) } ||
+        flats.exists(graft.store.Swap.hasFlatAside(fs, _)))
+      graft.store.Swap.withArtifactLock(base) {
+        bucketed.foreach { case (d, c) =>
+          graft.store.Swap.recoverBucketAsides(fs, d, c) }
+        flats.foreach(graft.store.Swap.recoverFlatAside(fs, _))
+      }
   }
 
   /** Coalesce sync-fragmented segment buckets (crash-safe per-bucket
@@ -434,24 +480,23 @@ class Engine(val spark: SparkSession, val root: String) {
       maxFilesPerBucket: Int = 8): (Long, Long) = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
     val base = store.fuzzyIndexPath(source, textCol)
-    val layout = fuzzyMeta(base)._4 // fails loudly on a missing index
-    recoverFuzzyArtifacts(base)
-    val fs = store.fs
-    val bucketsDone =
-      graft.store.Swap.compactBuckets(spark, fs, s"$base/segs",
-        "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex") +
-      graft.store.Swap.compactBuckets(spark, fs, s"$base/probes",
-        "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex") +
-      (if (layout >= 2)
+    // whole compact under the artifact lock — see [[compactLexicalIndex]]
+    graft.store.Swap.withArtifactLock(base) {
+      fuzzyMeta(base) // fails loudly on a missing index
+      recoverFuzzyArtifacts(base)
+      val fs = store.fs
+      val bucketsDone =
+        graft.store.Swap.compactBuckets(spark, fs, s"$base/segs",
+          "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex") +
+        graft.store.Swap.compactBuckets(spark, fs, s"$base/probes",
+          "__SEG_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex") +
         graft.store.Swap.compactBuckets(spark, fs, s"$base/base",
           "__ID_BUCKET__", maxFilesPerBucket, "compactFuzzyIndex")
-      else 0L)
-    val flats = (if (layout >= 2) Seq.empty else Seq("base")) ++
-      Seq("segcounts", "probecounts")
-    val flatsDone = flats.map(d =>
-      if (graft.store.Swap.compactFlat(spark, fs, s"$base/$d",
-        maxFilesPerBucket, "compactFuzzyIndex") > 0) 1L else 0L).sum
-    (bucketsDone, flatsDone)
+      val flatsDone = Seq("segcounts", "probecounts").map(d =>
+        if (graft.store.Swap.compactFlat(spark, fs, s"$base/$d",
+          maxFilesPerBucket, "compactFuzzyIndex") > 0) 1L else 0L).sum
+      (bucketsDone, flatsDone)
+    }
   }
 
   private def requireFuzzyFresh(source: String, textCol: String,
@@ -484,28 +529,26 @@ class Engine(val spark: SparkSession, val root: String) {
     require(query != null && query.nonEmpty, "fuzzyLookup: empty query")
     require(maxLookupCandidates >= 1, "maxLookupCandidates must be >= 1")
     val base = store.fuzzyIndexPath(source, textCol)
-    val (maxDist, buckets, _, layout) = fuzzyMeta(base)
+    val (maxDist, buckets, _) = fuzzyMeta(base)
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale)
     val cand = fuzzyLookupCandidates(base, query, maxDist, buckets)
     val baseDf = spark.read.parquet(s"$base/base")
+    // candidate ids to the driver (bounded, refused past the cap),
+    // their id buckets computed IN the collecting job — never by a
+    // driver-side re-hash that could disagree on exotic id types
+    val rows = cand.withColumn("__b__", idBucketCol(buckets))
+      .limit(maxLookupCandidates + 1).collect()
+    require(rows.length <= maxLookupCandidates,
+      s"fuzzyLookup: more than $maxLookupCandidates candidate ids for " +
+        "this query — segment buckets collide heavily; raise " +
+        "maxLookupCandidates deliberately or use fuzzyJoin for bulk " +
+        "matching")
     val verified =
-      if (layout >= 2) {
-        // candidate ids to the driver (bounded, refused past the cap),
-        // their id buckets computed IN the collecting job — never by a
-        // driver-side re-hash that could disagree on exotic id types
-        val rows = cand.withColumn("__b__", idBucketCol(buckets))
-          .limit(maxLookupCandidates + 1).collect()
-        require(rows.length <= maxLookupCandidates,
-          s"fuzzyLookup: more than $maxLookupCandidates candidate ids for " +
-            "this query — segment buckets collide heavily; raise " +
-            "maxLookupCandidates deliberately or use fuzzyJoin for bulk " +
-            "matching")
-        if (rows.isEmpty) baseDf.filter(lit(false))
-        else baseDf
-          .filter(col("__ID_BUCKET__").isin(rows.map(_.get(1)).distinct: _*) &&
-            col("id").isin(rows.map(_.get(0)): _*))
-      } else cand.join(baseDf, Seq("id")) // layout-1 artifact: full base
+      if (rows.isEmpty) baseDf.filter(lit(false))
+      else baseDf
+        .filter(col("__ID_BUCKET__").isin(rows.map(_.get(1)).distinct: _*) &&
+          col("id").isin(rows.map(_.get(0)): _*))
     verified
       .select(col("id"),
         levenshtein(col("t"), lit(query), maxDist).cast("long").as("dist"))
@@ -600,6 +643,14 @@ class Engine(val spark: SparkSession, val root: String) {
     requireFuzzyFresh(source, textCol, allowStale = false)
     (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
+        // freshness re-checked PER MICRO-BATCH (one file listing), not
+        // just at gate construction: the frames are re-read from parquet
+        // each batch, so an in-place source rewrite mid-stream would
+        // otherwise serve from a silently stale artifact until restart —
+        // this tier's contract is loud-or-fresh. (A syncFuzzyIndex while
+        // the stream runs re-stamps, so append-only growth passes.)
+        recoverFuzzyArtifacts(base)
+        requireFuzzyFresh(source, textCol, allowStale = false)
         val (rb, rSegs, rProbes, segCounts, probeCounts) = fuzzyFrames(base)
         sink(graft.ext.Dedup.editDistanceJoinAgainstFrames(batch,
             streamIdCol, streamTextCol, rb, rSegs, rProbes, maxDist,
@@ -609,11 +660,8 @@ class Engine(val spark: SparkSession, val root: String) {
       }
   }
 
-  // ——— BPE tokenizer (pipeline extension: trained-merges token accounting) ———
+  // ——— index maintenance / ops views ———
 
-  /** Train and persist a BPE model from a stored table's text column
-    * ([[graft.ext.Bpe.train]] — one distributed word-frequency agg,
-    * driver-bounded merge learning, deterministic). */
   /** Per-cell (cell, files, bytes, rows) layout stats of an IVF index
     * ([[Index.cellStats]]) — the skew/fragmentation ops view. */
   def indexStats(codingName: String, source: String, column: String,
@@ -661,6 +709,11 @@ class Engine(val spark: SparkSession, val root: String) {
     graft.ext.Embeddings.project(store.loadTable(source), column,
       store.loadPcaModel(modelName), out)
 
+  // ——— BPE tokenizer (pipeline extension: trained-merges token accounting) ———
+
+  /** Train and persist a BPE model from a stored table's text column
+    * ([[graft.ext.Bpe.train]] — one distributed word-frequency agg,
+    * driver-bounded merge learning, deterministic). */
   def trainBpe(name: String, source: String, textCol: String,
       numMerges: Int, maxWords: Int = 65536): graft.ext.Bpe.BpeModel = {
     val model = graft.ext.Bpe.train(store.loadTable(source), textCol,

@@ -1169,22 +1169,31 @@ object Dedup {
     // minhash `banded` discipline
     val block = jwPrefixFrame(base, coef, jwRank(Seq(base)))
       .localCheckpoint()
-    jwGuard(block, None, "jaroWinklerPairsBlocked", maxCandidates)
-    val x = block.select(col("id").as("id_a"), col("len").as("__la"), col("e"))
-    val y = block.select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
-    val cand = x.join(y, Seq("e"))
-      .filter(col("id_a") < col("id_b") &&
-        // the length band as a REAL inequality — no rounding slack
-        least(col("__la"), col("__lb")).cast("double") >=
-          lit(beta) * greatest(col("__la"), col("__lb")))
-      .select("id_a", "id_b").distinct()
-    val ta = base.select(col("id").as("id_a"), col("t").as("__ta"))
-    val tb = base.select(col("id").as("id_b"), col("t").as("__tb"))
-    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
-          .as("jw"))
-      .filter(col("jw") >= minSim)
+    // the blocking frame's checkpoint blocks are RELEASED before
+    // returning (result materialized first): in a long-lived server,
+    // per-request checkpoints would otherwise pin executor storage until
+    // an eventual GC. The returned frame is the (threshold-filtered,
+    // small) RESULT's own checkpoint — freed by the ContextCleaner when
+    // the caller's reference dies.
+    try {
+      jwGuard(block, None, "jaroWinklerPairsBlocked", maxCandidates)
+      val x = block.select(col("id").as("id_a"), col("len").as("__la"), col("e"))
+      val y = block.select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
+      val cand = x.join(y, Seq("e"))
+        .filter(col("id_a") < col("id_b") &&
+          // the length band as a REAL inequality — no rounding slack
+          least(col("__la"), col("__lb")).cast("double") >=
+            lit(beta) * greatest(col("__la"), col("__lb")))
+        .select("id_a", "id_b").distinct()
+      val ta = base.select(col("id").as("id_a"), col("t").as("__ta"))
+      val tb = base.select(col("id").as("id_b"), col("t").as("__tb"))
+      cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
+            .as("jw"))
+        .filter(col("jw") >= minSim)
+        .localCheckpoint(true)
+    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(block)
   }
 
   /** Cross-TABLE Jaro-Winkler join (entity resolution / fuzzy-name
@@ -1211,18 +1220,27 @@ object Dedup {
     val rBlock = jwPrefixFrame(rb, coef, rank)
       .select(col("id").as("id_b"), col("len").as("__lb"), col("e"))
       .localCheckpoint()
-    jwGuard(lBlock, Some(rBlock), "jaroWinklerJoin", maxCandidates)
-    val cand = lBlock.join(rBlock, Seq("e"))
-      .filter(least(col("__la"), col("__lb")).cast("double") >=
-        lit(beta) * greatest(col("__la"), col("__lb")))
-      .select("id_a", "id_b").distinct()
-    val ta = lb.select(col("id").as("id_a"), col("t").as("__ta"))
-    val tb = rb.select(col("id").as("id_b"), col("t").as("__tb"))
-    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
-          .as("jw"))
-      .filter(col("jw") >= minSim)
+    // blocking-frame checkpoints released before returning — see the
+    // pairs variant; the result is materialized first so the returned
+    // plan no longer references them
+    try {
+      jwGuard(lBlock, Some(rBlock), "jaroWinklerJoin", maxCandidates)
+      val cand = lBlock.join(rBlock, Seq("e"))
+        .filter(least(col("__la"), col("__lb")).cast("double") >=
+          lit(beta) * greatest(col("__la"), col("__lb")))
+        .select("id_a", "id_b").distinct()
+      val ta = lb.select(col("id").as("id_a"), col("t").as("__ta"))
+      val tb = rb.select(col("id").as("id_b"), col("t").as("__tb"))
+      cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
+            .as("jw"))
+        .filter(col("jw") >= minSim)
+        .localCheckpoint(true)
+    } finally {
+      org.apache.spark.sql.GraftShims.releaseCheckpoint(lBlock)
+      org.apache.spark.sql.GraftShims.releaseCheckpoint(rBlock)
+    }
   }
 
   // ——— SimHash ———

@@ -18,12 +18,52 @@ object Web {
     * (utm_* et al.): exactly the params URL-dedup must ignore. */
   val TrackingParamPattern = "^(utm_[^=&]*|fbclid|gclid|msclkid|ref)="
 
+  /** Hex digits that appear lowercased in percent escapes. Shared with
+    * the SQL-oracle mirror generator, which derives the identical
+    * replace chain from these same tables. */
+  private[graft] val HexLetters = "abcdef"
+
+  /** The RFC 3986 unreserved characters as (canonical escape → char)
+    * decode pairs — ALPHA / DIGIT / "-" / "." / "_" / "~". Escaping
+    * these never changes a URL's meaning, so their escapes decode
+    * during normalization; every other escape (reserved delimiters like
+    * %2F, arbitrary octets) is KEPT, since decoding it would move the
+    * URL's delimiters. */
+  private[graft] val UnreservedDecodes: Seq[(String, String)] =
+    (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++ Seq('-', '.', '_', '~'))
+      .map(c => (f"%%${c.toInt}%02X", c.toString))
+
+  /** Canonicalize percent-encoding (RFC 3986 §6.2.2.1-2): the hex
+    * digits of every %XX escape uppercased ("%2f" ≡ "%2F" — same
+    * octet), then escapes of UNRESERVED characters decoded
+    * ("%7Euser" ≡ "~user"). A chain of codegen'd single-pass
+    * replace/regexp steps, mirrored operation-for-operation by the SQL
+    * oracle. A bare "%" not followed by two hex digits is malformed per
+    * the RFC; both hex passes require the full two-hex-digit shape
+    * before rewriting, and inside [[urlNormalize]] such URLs never
+    * reach this point anyway (try_parse_url rejects them → NULL). */
+  def pctNormalize(s: Column): Column = {
+    // first hex digit: %xY → %XY (second digit must be hex — a lone
+    // "%x" before a non-hex character is malformed and left alone)
+    val upFirst = HexLetters.foldLeft(s)((acc, c) =>
+      regexp_replace(acc, s"%$c([0-9A-Fa-f])", s"%${c.toUpper}" + "$1"))
+    // second hex digit: %Xy → %XY (first digit canonical after pass 1)
+    val up = HexLetters.foldLeft(upFirst)((acc, c) =>
+      regexp_replace(acc, s"%([0-9A-F])$c", "%$1" + c.toUpper))
+    UnreservedDecodes.foldLeft(up) { case (acc, (esc, ch)) =>
+      replace(acc, lit(esc), lit(ch))
+    }
+  }
+
   /** Normalize a URL for identity comparison:
     *  - scheme and host lowercased (path case is PRESERVED — paths are
     *    case-sensitive on most origins);
     *  - default ports dropped (http:80, https:443), explicit
     *    non-default ports kept;
     *  - fragment dropped (never sent to the origin);
+    *  - percent-encoding canonicalized in path and query
+    *    ([[pctNormalize]]: escape hex uppercased, unreserved-character
+    *    escapes decoded) — "%7Euser" and "~user" are one page;
     *  - tracking query params removed ([[TrackingParamPattern]]),
     *    remaining params kept in their original order (reordering
     *    could merge semantically different URLs on picky origins);
@@ -39,9 +79,11 @@ object Web {
     val host = lower(try_parse_url(u, lit("HOST")))
     val port = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\\d+)", 1)
-    val path = regexp_replace(
-      coalesce(try_parse_url(u, lit("PATH")), lit("")), "/+$", "")
-    val q = coalesce(try_parse_url(u, lit("QUERY")), lit(""))
+    val path = regexp_replace(pctNormalize(
+      coalesce(try_parse_url(u, lit("PATH")), lit(""))), "/+$", "")
+    // escapes canonicalized BEFORE the tracker filter, so an escaped
+    // spelling of a tracker name ("%75tm_source") cannot slip past it
+    val q = pctNormalize(coalesce(try_parse_url(u, lit("QUERY")), lit("")))
     val kept = filter(split(q, "&"),
       p => !(p.rlike(TrackingParamPattern) || p === ""))
     val qn = array_join(kept, "&")
@@ -62,21 +104,66 @@ object Web {
   }
 
   /** Multi-part public suffixes recognized by [[registeredDomain]] —
-    * a built-in subset of the common ccTLD second-level registries
-    * (the full public-suffix list is a network-fetched artifact; this
-    * engine is zero-egress, so the heuristic set is explicit and the
-    * caller can see exactly what it covers). */
+    * a built-in static subset of the well-known ccTLD second-level
+    * registries (the full public-suffix list is a network-fetched
+    * artifact; this engine is zero-egress, so the vendored set is
+    * explicit and the caller can see exactly what it covers). The SQL
+    * oracle's IN-list is generated from this same Seq, so the two
+    * engines can never drift. */
   val MultiPartTlds: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "or.jp", "ne.jp",
-    "co.in", "co.nz", "com.au", "net.au", "org.au", "com.br", "com.cn",
-    "com.mx", "co.za", "com.sg", "com.tr", "co.kr")
+    // United Kingdom
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk",
+    // Japan
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    // India
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in",
+    // Brazil / Mexico / Argentina and wider Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "com.pe", "com.ve", "com.uy", "com.ec", "com.bo",
+    "com.py", "com.do", "com.gt", "com.ni", "com.pa", "com.sv",
+    // China / Taiwan / Hong Kong / Korea
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "org.tw", "net.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "ac.kr",
+    // Southeast Asia
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "co.id", "or.id", "ac.id", "go.id", "web.id", "sch.id", "net.id",
+    "my.id", "biz.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "co.th", "or.th", "ac.th", "go.th", "in.th", "net.th",
+    // Turkey / Israel / Middle East / Africa
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.eg", "com.sa", "com.pk", "com.bd", "com.ng",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke",
+    "co.tz", "co.ug", "co.zw", "co.bw", "co.zm",
+    // Eastern Europe / Central & South Asia
+    "com.ua", "in.ua", "com.pl", "net.pl", "org.pl", "edu.pl",
+    "com.np", "org.np", "edu.np", "gov.np",
+    "com.lk", "org.lk", "edu.lk", "gov.lk")
 
   /** The registrable domain of a host: the last two labels, or the
     * last three when the last two form a recognized multi-part public
     * suffix ([[MultiPartTlds]]) — "news.bbc.co.uk" → "bbc.co.uk",
-    * "a.b.example.com" → "example.com". Hosts with ≤ 2 labels (and IP
-    * literals, which have no registrable domain) pass through
-    * unchanged. The domain-mixing key for [[Corpus.mixtureSample]]. */
+    * "a.b.example.com" → "example.com". Hosts with ≤ 2 labels pass
+    * through unchanged, and so do IP literals — detected BEFORE the
+    * label logic (digits-and-dots for IPv4, a leading "[" for bracketed
+    * IPv6), since an IPv4 host has 4 labels and the last-two-labels
+    * rule would otherwise collapse every pair of addresses sharing
+    * their final octets into one domain-mixing key. The domain-mixing
+    * key for [[Corpus.mixtureSample]]. */
   def registeredDomain(host: Column): Column = {
     val labels = split(host, "\\.")
     val n = size(labels)
@@ -85,6 +172,7 @@ object Web {
     val last3 = concat_ws(".", element_at(labels, -3),
       element_at(labels, -2), element_at(labels, -1))
     when(host.isNull, lit(null).cast("string"))
+      .when(host.rlike("^[0-9.]+$") || host.startsWith("["), host)
       .when(n <= 2, host)
       .when(last2.isin(MultiPartTlds: _*) && n >= 3, last3)
       .otherwise(last2)

@@ -25,6 +25,40 @@ private[graft] object Swap {
   private def asidePath(dir: Path, partDirName: String) =
     new Path(dir, s".graft-old-$partDirName")
 
+  /** Per-artifact mutation locks (striped by base path, process-wide).
+    *
+    * A server thread pool can race a read path's crash-recovery sweep
+    * against an in-flight compaction: during the legitimate
+    * aside-rename→install window the reader sees "aside with live
+    * absent" and would rename the aside back over the live dir, making
+    * the compactor's install fail (local FS) or nest the new dir inside
+    * the restored one (HDFS rename-into-dir), corrupting the bucket;
+    * two readers recovering one genuine crash aside also race, and the
+    * loser's require(rename) fails a query spuriously. Every mutation
+    * (build/sync/compact) runs under its artifact's lock, and recovery
+    * sweeps take it only when a listing actually shows an aside — the
+    * clean-path read stays lock-free. Monitor locks are reentrant, so
+    * the recovery call inside a locked sync/compact is safe. In-process
+    * only: the engine's single-driver deployment model (one JVM owns an
+    * artifact root's mutations); cross-process coordination would need
+    * a filesystem lease and is out of scope by design. */
+  private val artifactLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def withArtifactLock[A](base: String)(f: => A): A =
+    artifactLocks.computeIfAbsent(base, _ => new Object).synchronized(f)
+
+  /** Whether `dir` holds any bucket aside for `partCol` — the cheap
+    * pre-check that lets read-path recovery skip the artifact lock on
+    * the (overwhelmingly common) clean path. */
+  def hasBucketAsides(fs: FileSystem, dir: Path, partCol: String): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists(st => st.isDirectory &&
+      st.getPath.getName.startsWith(s".graft-old-$partCol="))
+
+  /** Whether a flat table's `.__old__` aside exists — see
+    * [[hasBucketAsides]]. */
+  def hasFlatAside(fs: FileSystem, live: Path): Boolean =
+    fs.exists(new Path(live.getParent, live.getName + ".__old__"))
+
   /** Restore/drop bucket asides under `dir` for partition column
     * `partCol` (dirs named `<partCol>=N`). Cheap: one listStatus. */
   def recoverBucketAsides(fs: FileSystem, dir: Path, partCol: String): Unit =

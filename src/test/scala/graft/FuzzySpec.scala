@@ -158,6 +158,78 @@ class FuzzySpec extends SparkSuite {
     assert(fs.exists(victim) && !fs.exists(aside), "aside not restored")
   }
 
+  test("append-only growth of ONLY null-text rows re-stamps freshness " +
+      "through a zero-row sync (no rebuild needed)") {
+    val e = freshEngine("fnullsync")
+    e.makeTable("fd", corpusRows(20).toDF("doc_id", "t"))
+    e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 4)
+    // append rows whose text is NULL — unindexable by design, but the
+    // growth is append-only, so the artifact is semantically complete
+    Seq((100L, null.asInstanceOf[String]), (101L, null.asInstanceOf[String]))
+      .toDF("doc_id", "t")
+      .write.mode("append").parquet(e.store.tablePath("fd"))
+    assert(!e.fuzzyIndexIsFresh("fd", "t"))
+    assert(e.syncFuzzyIndex("fd", "t") == 0L) // nothing indexable
+    assert(e.fuzzyIndexIsFresh("fd", "t"),
+      "a zero-row sync over verified append-only growth must re-stamp")
+    val q = f"row ${7}%04d of the fuzzy corpus"
+    assert(e.fuzzyLookup("fd", "t", q).count() > 0)
+  }
+
+  test("gate re-checks freshness PER MICRO-BATCH: an in-place source " +
+      "rewrite mid-stream fails the next batch loudly") {
+    val e = freshEngine("fgatefresh")
+    val all = corpusRows(20).toDF("doc_id", "t")
+    e.makeTable("fd", all)
+    e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 4)
+    var out: Option[DataFrame] = None
+    val gate = e.fuzzyGateForEachBatch("fd", "t", "qid", "qt",
+      sink = df => out = Some(df))
+    val batch = Seq((1L, f"row ${7}%04d of the fuzzy corpus")).toDF("qid", "qt")
+    gate(batch, 0L)
+    assert(out.get.count() > 0)
+    // IN-PLACE rewrite (not append-only): replaceTable swaps the whole
+    // content — the artifact is now semantically wrong, and the next
+    // micro-batch must refuse instead of serving the stale frames
+    e.store.replaceTable("fd", all.withColumn("t", concat(col("t"), lit("!"))))
+    val ex = intercept[IllegalArgumentException](gate(batch, 1L))
+    assert(ex.getMessage.contains("STALE"), ex.getMessage)
+  }
+
+  test("artifact lock: reentrant for one thread, mutually exclusive " +
+      "across threads (recovery cannot interleave a compaction window)") {
+    import graft.store.Swap
+    // reentrancy: a locked sync calling locked recovery must not deadlock
+    val r = Swap.withArtifactLock("spec-base") {
+      Swap.withArtifactLock("spec-base") { 42 }
+    }
+    assert(r == 42)
+    // mutual exclusion: a second thread's critical section cannot run
+    // while the first holds the same artifact's lock
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() => Swap.withArtifactLock("spec-base2") {
+      order.add("a-enter"); held.countDown(); Thread.sleep(150)
+      order.add("a-exit")
+    })
+    t1.start(); held.await()
+    val t2 = new Thread(() => Swap.withArtifactLock("spec-base2") {
+      order.add("b-enter")
+    })
+    t2.start(); t1.join(); t2.join()
+    assert(order.toArray.toSeq == Seq("a-enter", "a-exit", "b-enter"),
+      order.toString)
+    // independent artifacts do not contend: a lock held on one base must
+    // not block another base's critical section
+    val free = new java.util.concurrent.CountDownLatch(1)
+    val t3 = new Thread(() => Swap.withArtifactLock("spec-base3") {
+      free.await()
+    })
+    t3.start()
+    assert(Swap.withArtifactLock("spec-base4") { 7 } == 7)
+    free.countDown(); t3.join()
+  }
+
   /** Reference Levenshtein (classic DP) for the brute-force oracle. */
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -46,12 +46,49 @@ class WebSpec extends SparkSuite {
     assert(norm("/relative/path").isEmpty)
   }
 
+  test("urlNormalize: percent-encoding canonicalized (hex case, " +
+      "unreserved decodes, escaped trackers)") {
+    // unreserved escapes decode; reserved ones only uppercase their hex
+    assert(norm("https://a.com/p%61th%7e/x%2fy").contains(
+      "https://a.com/path~/x%2Fy"))
+    // %2F and %2f are one octet -> one key; %61 and 'a' are one page
+    assert(norm("https://a.com/x%2fy") == norm("https://a.com/x%2Fy"))
+    assert(norm("https://a.com/p%61th") == norm("https://a.com/path"))
+    // an escaped tracker name decodes FIRST, then gets stripped
+    assert(norm("https://a.com/q?%75tm_source=1&a=2").contains(
+      "https://a.com/q?a=2"))
+    // query escapes normalize too
+    assert(norm("https://a.com/q?k=%7ev%2f").contains(
+      "https://a.com/q?k=~v%2F"))
+    // malformed: a % not followed by two hex digits is rejected by the
+    // URL parser itself (try_parse_url -> NULL) — quarantined upstream,
+    // pctNormalize never sees it
+    assert(norm("https://a.com/not%good").isEmpty)
+    assert(norm("https://a.com/odd%2").isEmpty)
+    // but "%fa" IS a well-formed escape of a non-unreserved octet, even
+    // mid-word — hex uppercased, kept escaped
+    assert(norm("https://a.com/100%fat").contains("https://a.com/100%FAt"))
+  }
+
   test("registeredDomain: multi-part TLDs, depth, short hosts") {
     assert(regDom("news.bbc.co.uk") == "bbc.co.uk")
     assert(regDom("a.b.c.example.com") == "example.com")
     assert(regDom("example.org") == "example.org")
     assert(regDom("localhost") == "localhost")
     assert(regDom("shop.example.com.au") == "example.com.au")
+    // wider static suffix subset
+    assert(regDom("www.shop.com.ar") == "shop.com.ar")
+    assert(regDom("x.y.co.id") == "y.co.id")
+    assert(regDom("news.site.com.tw") == "site.com.tw")
+  }
+
+  test("registeredDomain: IP literals pass through unchanged (no " +
+      "registrable domain — two IPs must never share a mixing key)") {
+    assert(regDom("192.168.0.1") == "192.168.0.1")
+    assert(regDom("10.0.0.1") == "10.0.0.1")
+    // without the IP rule these two would both collapse to "0.1"
+    assert(regDom("192.168.0.1") != regDom("10.77.0.1"))
+    assert(regDom("[2001:db8::1]") == "[2001:db8::1]")
   }
 
   test("urlDedup groups variants, excludes unparseables") {
