@@ -139,6 +139,56 @@ object Streams {
       .start()
   }
 
+  /** [[indexSyncStream]] for the TEXT index tiers — fuzzy (edit-
+    * distance PassJoin artifact) and lexical (BM25 postings): tails the
+    * streamed-into table directory and runs the tier's idempotent
+    * incremental sync after each micro-batch of committed files, with
+    * the same optional compaction cadence. Same contracts as the vector
+    * twin: the micro-batch CONTENT is ignored (sync re-reads the table
+    * through its id anti-join delta, so replays cannot double-index a
+    * row), a sync failure never blocks the ingest query, and restarts
+    * re-run an idempotent delta. For the fuzzy tier this is what keeps
+    * [[graft.api.Engine.fuzzyLookup]]/[[graft.api.Engine.fuzzyJoin]]
+    * serving FRESH under a live ingest stream with no manual
+    * [[graft.api.Engine.syncFuzzyIndex]] anywhere — each sync over the
+    * verifiably append-only growth re-stamps freshness. `idCol` is the
+    * lexical tier's doc-id column; the fuzzy tier reads its id column
+    * from the artifact's own metadata and ignores the argument. */
+  def textIndexSyncStream(engine: graft.api.Engine, source: String,
+      idCol: String, textCol: String, checkpoint: String,
+      tier: String = "fuzzy", compactEveryBatches: Int = 0,
+      maxFilesPerBucket: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(Set("fuzzy", "lexical")(tier),
+      s"textIndexSyncStream: tier must be fuzzy | lexical, got '$tier'")
+    require(compactEveryBatches >= 0,
+      "textIndexSyncStream: compactEveryBatches must be >= 0 (0 = off)")
+    val spark = engine.store.spark
+    val path = engine.store.tablePath(source)
+    val schema = spark.read.parquet(path).schema
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.readStream.schema(schema).parquet(path)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        tier match {
+          case "fuzzy" => engine.syncFuzzyIndex(source, textCol)
+          case "lexical" => engine.syncLexicalIndex(source, idCol, textCol)
+        }
+        val n = batches.incrementAndGet()
+        if (compactEveryBatches > 0 && n % compactEveryBatches == 0) {
+          tier match {
+            case "fuzzy" =>
+              engine.compactFuzzyIndex(source, textCol, maxFilesPerBucket)
+            case "lexical" =>
+              engine.compactLexicalIndex(source, textCol, maxFilesPerBucket)
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Tumbling-window per-type aggregates. On a stream, add
     * `.withWatermark("ts", "1 hour")` upstream and this plans as an
     * incremental stateful agg; on a batch frame it's a plain groupBy. */

@@ -196,6 +196,56 @@ class FuzzySpec extends SparkSuite {
     assert(ex.getMessage.contains("STALE"), ex.getMessage)
   }
 
+  test("textIndexSyncStream keeps the fuzzy tier FRESH under a live " +
+      "ingest stream with bounded files per bucket — no manual sync") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val e = freshEngine("fstream")
+    val ckptIn = Files.createTempDirectory("graft-fs-in").toString
+    val ckptIx = Files.createTempDirectory("graft-fs-ix").toString
+    val mem = MemoryStream[(Long, String)]
+    val ingest = graft.streaming.Streams.ingestStream(e.store, "fd",
+      mem.toDF().toDF("doc_id", "t"), ckptIn)
+    var sync: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      mem.addData(corpusRows(20): _*)
+      ingest.processAllAvailable()
+      e.buildFuzzyIndex("fd", "doc_id", "t", maxDist = 2, buckets = 4)
+      sync = graft.streaming.Streams.textIndexSyncStream(e, "fd", "doc_id",
+        "t", ckptIx, tier = "fuzzy", compactEveryBatches = 2,
+        maxFilesPerBucket = 2)
+      sync.processAllAvailable()
+      for (wave <- 1 to 4) {
+        val lo = 10 + wave * 10
+        mem.addData(corpusRows(lo + 10).drop(lo): _*)
+        ingest.processAllAvailable()
+        sync.processAllAvailable()
+        assert(e.fuzzyIndexIsFresh("fd", "t"),
+          s"fuzzy index stale after wave $wave with a running sync stream")
+        // a doc ingested THIS wave serves from the artifact immediately
+        val q = f"row ${lo + 5}%04d of the fuzzy corpus"
+        val got = e.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect()
+        assert(got.contains(((lo + 5).toLong, 0L)), got.mkString(","))
+      }
+      // 4 appended waves would leave >= 4 file sets per touched bucket;
+      // the in-stream compaction cadence must keep the layout bounded
+      val fs = new org.apache.hadoop.fs.Path(e.store.fuzzyIndexPath("fd", "t"))
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val segDirs = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"${e.store.fuzzyIndexPath("fd", "t")}/segs"))
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("__SEG_BUCKET__="))
+      assert(segDirs.nonEmpty)
+      val worst = segDirs.map(d => fs.listStatus(d.getPath)
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))).max
+      assert(worst <= 4, s"buckets not compacted: worst holds $worst files")
+    } finally {
+      if (sync != null && sync.isActive) sync.stop()
+      if (ingest.isActive) ingest.stop()
+      e.remove()
+    }
+  }
+
   test("artifact lock: reentrant for one thread, mutually exclusive " +
       "across threads (recovery cannot interleave a compaction window)") {
     import graft.store.Swap

@@ -386,4 +386,46 @@ class LexicalSpec extends SparkSuite {
       .filter(col("bm25") > 0.0).as[(Long, Double)].collect().toMap
     assert(after == expect, s"$after vs $expect")
   }
+
+  test("textIndexSyncStream (lexical tier): streamed-in docs become " +
+      "searchable per micro-batch, index rows track the table exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft-lexstream").toString
+    val ckptIn = Files.createTempDirectory("graft-ls-in").toString
+    val ckptIx = Files.createTempDirectory("graft-ls-ix").toString
+    val engine = new Engine(spark, root)
+    val mem = MemoryStream[(Long, String)]
+    val ingest = graft.streaming.Streams.ingestStream(engine.store,
+      "sldocs", mem.toDF().toDF("doc_id", "text"), ckptIn)
+    var sync: org.apache.spark.sql.streaming.StreamingQuery = null
+    try {
+      mem.addData((0L until 8L).map(i => (i, s"seed doc $i common")): _*)
+      ingest.processAllAvailable()
+      engine.buildLexicalIndex("sldocs", "doc_id", "text", buckets = 8)
+      sync = graft.streaming.Streams.textIndexSyncStream(engine, "sldocs",
+        "doc_id", "text", ckptIx, tier = "lexical",
+        compactEveryBatches = 2, maxFilesPerBucket = 2)
+      sync.processAllAvailable()
+      for (wave <- 1 to 3) {
+        mem.addData((0L until 4L).map(i =>
+          (wave * 100L + i, s"wave$wave doc $i common")): _*)
+        ingest.processAllAvailable()
+        sync.processAllAvailable()
+        // a term that exists ONLY in this wave is already served
+        val got = engine.searchBm25("sldocs", "text", Seq(s"wave$wave"))
+          .select("id").as[Long].collect().toSet
+        assert(got == (0L until 4L).map(wave * 100L + _).toSet, got.toString)
+      }
+      val tableN = engine.readTable(Seq("sldocs"))
+        .filter(col("text").isNotNull).count()
+      val lensN = spark.read.parquet(
+        s"${engine.store.lexIndexPath("sldocs", "text")}/doclens").count()
+      assert(lensN == tableN, s"doclens $lensN != table $tableN")
+    } finally {
+      if (sync != null && sync.isActive) sync.stop()
+      if (ingest.isActive) ingest.stop()
+      engine.remove()
+    }
+  }
 }
