@@ -322,6 +322,25 @@ object SparkEntry {
   private def multiPartTldsSql: String =
     graft.ext.Web.MultiPartTlds.map(t => s"'$t'").mkString(",")
 
+  /** Shared DSIR-scoring CTE chain: replay the exported per-bucket
+    * log-ratio model over the same unigram+bigram feature sequence in
+    * the same left-fold order as [[graft.ext.Corpus.dsirWeightExpr]] —
+    * ends with `wt(doc_id, dsir_weight)`. */
+  private def dsirWeightsCte: String =
+    s"WITH m AS (SELECT * FROM read_json('$dsirOracleModelPath', " +
+      "columns = {buckets: 'INTEGER', smoothing: 'DOUBLE', " +
+      "logRatio: 'DOUBLE[]'})), " +
+      "tk AS (SELECT doc_id, list_filter(" +
+      "regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS t " +
+      "FROM documents WHERE text IS NOT NULL), " +
+      "gs AS (SELECT doc_id, t || list_transform(" +
+      "range(1, CAST(len(t) AS BIGINT)), i -> t[i] || ' ' || t[i + 1]) AS g " +
+      "FROM tk), " +
+      "wt AS (SELECT doc_id, list_reduce(list_prepend(0.0, " +
+      "list_transform(g, x -> m.logRatio[CAST(" + u60Sql("x") +
+      " % m.buckets AS INT) + 1])), (a, b) -> a + b) AS dsir_weight " +
+      "FROM gs, m)"
+
   /** Gopher rule-flag CTE chain over `src` (doc_id, text; nulls dropped),
     * word bounds [20, 80] as in text_gopher. Ends with `g4(doc_id,
     * n_words, rule_*, keep)`. Shared by text_gopher and curate_corpus. */
@@ -569,6 +588,13 @@ object SparkEntry {
   /** Fixed tmpdir path for the `text_perplexity3` trigram model export. */
   def ngram3OracleModelPath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ngram3_oracle_v2048_mc2.json"
+
+  /** Fixed tmpdir path where the DSIR queries export the trained
+    * per-bucket log-ratio model for the DuckDB oracle (exported-model
+    * pattern: the oracle replays SCORING only — the same left fold over
+    * the same hashed features). */
+  def dsirOracleModelPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dsir_oracle_b512.json"
 
   /** Fixed tmpdir path where `quality_classifier` exports its trained
     * logistic weights for the DuckDB oracle (exported-model pattern:
@@ -1458,6 +1484,50 @@ object SparkEntry {
       graft.ext.Corpus.temperatureMixture(tbl(s, dir, "documents"),
         "doc_id", "source", "text", Seq("src0", "src1", "src2"), 0.5)
         .select("doc_id", "source")),
+    // —— web × mixing composition: the crawl-pipeline shape — mixture
+    // resampling keyed on registeredDomain(urlHost(url)), end-to-end ——
+    "mixture_by_domain" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents")
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 4 === 0, lit("WWW.Shop.Example.CO.UK"))
+          .when(col("doc_id") % 4 === 1, lit("news.example.com"))
+          .when(col("doc_id") % 4 === 2, lit("a.b.Example.ORG"))
+          .otherwise(lit("cdn.shop.example.com.au")),
+        lit("/p/"), col("doc_id").cast("string"))
+      val keyed = d.select(col("doc_id"),
+        graft.ext.Web.registeredDomain(graft.ext.Web.urlHost(url))
+          .as("reg_domain"))
+      graft.ext.Corpus.mixtureSample(keyed, "doc_id", "reg_domain",
+        Map("example.co.uk" -> 0.5, "example.com" -> 0.3,
+          "example.org" -> 0.2))
+    }),
+    // —— DSIR importance resampling (Xie et al. 2023): hashed-ngram
+    // target-vs-raw log-likelihood weights (target = the English slice),
+    // model exported for the oracle to replay the scoring fold ——
+    "dsir_weights" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents")
+      val model = graft.ext.Corpus.dsirTrain(
+        d.filter(col("lang") === "en"), d, "text",
+        buckets = 512, smoothing = 1.0)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dsirOracleModelPath), model.toJson)
+      graft.ext.Corpus.dsirWeights(d, "doc_id", "text", model)
+    }),
+    // —— the resampling step: keep prob min(1, e^w), stable-hash
+    // thresholded — deterministic, SQL-mirrorable selection ——
+    "dsir_sample" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents")
+      val model = graft.ext.Corpus.dsirTrain(
+        d.filter(col("lang") === "en"), d, "text",
+        buckets = 512, smoothing = 1.0)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dsirOracleModelPath), model.toJson)
+      val w = d.filter(col("text").isNotNull).select(col("doc_id"),
+        graft.ext.Corpus.dsirWeightExpr(col("text"), model)
+          .as("dsir_weight"))
+      graft.ext.Corpus.dsirSample(w, "doc_id", col("dsir_weight"),
+        pivot = 0.0, salt = "dsir")
+    }),
     // —— deterministic token-budget cut: first docs per domain in
     // (u60 hash, id) order until the domain's token budget is met ——
     "sample_token_budget" -> ((s: SparkSession, dir: String) =>
@@ -3647,6 +3717,58 @@ object SparkEntry {
       "h AS (SELECT doc_id, source, " + u60Sql("CAST(doc_id AS VARCHAR)") +
       " AS h FROM documents WHERE source IN ('src0','src1','src2')) " +
       "SELECT h.doc_id, h.source FROM h JOIN r USING (source) WHERE h.h < r.thr"),
+    // web × mixing composition: re-derive the registrable-domain key
+    // (host lowercase + label logic, the web_url_normalize mirror), then
+    // replay the mixture arithmetic on it (the mixture_sample mirror)
+    "mixture_by_domain" ->
+      ("WITH u AS (SELECT doc_id, 'https://' || (CASE doc_id % 4 " +
+        "WHEN 0 THEN 'WWW.Shop.Example.CO.UK' " +
+        "WHEN 1 THEN 'news.example.com' " +
+        "WHEN 2 THEN 'a.b.Example.ORG' " +
+        "ELSE 'cdn.shop.example.com.au' END) " +
+        "|| '/p/' || CAST(doc_id AS VARCHAR) AS url FROM documents), " +
+        "hx AS (SELECT doc_id, " +
+        "lower(coalesce(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1), '')) AS host FROM u), " +
+        "ky AS (SELECT doc_id, host, string_split(host, '.') AS labels FROM hx), " +
+        "kd AS (SELECT doc_id, " +
+        "(CASE WHEN regexp_matches(host, '^[0-9.]+$') OR host LIKE '[%' THEN host " +
+        "WHEN len(labels) <= 2 THEN host " +
+        s"WHEN (labels[-2] || '.' || labels[-1]) IN ($multiPartTldsSql) " +
+        "THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1] " +
+        "ELSE labels[-2] || '.' || labels[-1] END) AS reg_domain FROM ky), " +
+        "mc AS (SELECT reg_domain, CAST(count(*) AS BIGINT) AS c FROM kd " +
+        "WHERE reg_domain IN ('example.co.uk','example.com','example.org') " +
+        "GROUP BY reg_domain), " +
+        "mt AS (SELECT * FROM (VALUES " +
+        "('example.co.uk', CAST(0.5 AS DOUBLE)), " +
+        "('example.com', CAST(0.3 AS DOUBLE)), " +
+        "('example.org', CAST(0.2 AS DOUBLE))) AS t(reg_domain, w)), " +
+        "mtot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM mc), " +
+        "mf AS (SELECT mc.reg_domain, " +
+        "mt.w / (CAST(mc.c AS DOUBLE) / CAST(mtot.total AS DOUBLE)) AS f " +
+        "FROM mc JOIN mt USING (reg_domain) CROSS JOIN mtot), " +
+        "mm AS (SELECT max(f) AS maxf FROM mf), " +
+        "mr AS (SELECT reg_domain, " +
+        "CAST(trunc(f / mm.maxf * 1152921504606846976.0) AS BIGINT) AS thr " +
+        "FROM mf CROSS JOIN mm), " +
+        "mh AS (SELECT doc_id, reg_domain, " +
+        u60Sql("CAST(doc_id AS VARCHAR)") + " AS h FROM kd " +
+        "WHERE reg_domain IN ('example.co.uk','example.com','example.org')) " +
+        "SELECT mh.doc_id, mh.reg_domain FROM mh JOIN mr USING (reg_domain) " +
+        "WHERE mh.h < mr.thr"),
+    // DSIR scoring replayed from the exported model: same feature
+    // sequence (unigrams then bigrams, token order), same bucket hash,
+    // same left fold — bit-exact weights
+    "dsir_weights" ->
+      (dsirWeightsCte + " SELECT doc_id, dsir_weight FROM wt"),
+    // the resampling filter: keep prob min(1, e^w) decimal-rounded to
+    // 1e-9 before the stable-hash compare (pivot 0, salt 'dsir')
+    "dsir_sample" ->
+      (dsirWeightsCte + " SELECT doc_id, dsir_weight FROM wt WHERE CAST(" +
+        u60Sql("CAST(doc_id AS VARCHAR) || 'dsir'") +
+        " AS DOUBLE) / 1152921504606846976.0 < " +
+        "(CASE WHEN dsir_weight >= 0.0 THEN 1.0 " +
+        "ELSE floor(exp(dsir_weight - 0.0) * 1e9 + 0.5) / 1e9 END)"),
     // token-budget cut: the pure-window mirror of the contract (the
     // Spark side's hash prefilter is a work bound, not a semantic)
     "sample_token_budget" -> ("WITH d AS (SELECT doc_id, source, " +

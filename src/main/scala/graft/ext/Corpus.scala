@@ -353,6 +353,115 @@ object Corpus {
     df.filter(hashU60(concat(col(keyCol).cast("string"), lit(salt))) < thr)
   }
 
+  // ——— DSIR importance resampling (Xie et al. 2023) ———
+
+  /** A fitted DSIR model: per-bucket log-likelihood ratios
+    * log p_target(b) − log p_raw(b) over hashed n-gram features —
+    * everything scoring needs, exportable as JSON so a SQL engine can
+    * replay the scoring arithmetic bit-exactly (the NgramLm/QualityModel
+    * exported-model oracle pattern; Double.toString round-trips). */
+  case class DsirModel(buckets: Int, smoothing: Double,
+      logRatio: Array[Double]) {
+    def toJson: String =
+      s"""{"buckets":$buckets,"smoothing":$smoothing,""" +
+        s""""logRatio":[${logRatio.mkString(",")}]}"""
+  }
+
+  /** The hashed n-gram feature sequence of one document: word unigrams
+    * then word bigrams, each in token order (the order is part of the
+    * scoring contract — weights are LEFT FOLDS of per-feature log
+    * ratios, and float addition order must match the SQL mirror).
+    * Tokens are whitespace-split lowercased words, the DSIR paper's
+    * hashed n-gram featurization (Xie et al. 2023 §3.2). */
+  private[graft] def dsirNgrams(text: Column): Column = {
+    val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+    val n = size(toks)
+    // sequence(1, 0) would DESCEND in Spark — guard the 0/1-token case
+    val bigrams = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
+        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(toks, bigrams)
+  }
+
+  /** Per-feature bucket id: the shared u60 content hash mod `buckets` —
+    * the same deterministic hash every sampling operator here uses, so
+    * the SQL oracle mirrors it with the same md5 fold. */
+  private def dsirBucket(g: Column, buckets: Int): Column =
+    pmod(hashU60(g), lit(buckets.toLong)).cast("int")
+
+  /** Fit a DSIR model: hashed-n-gram bag counts of the TARGET corpus
+    * (what the data should look like) and the RAW corpus (what it does
+    * look like), add-λ smoothed into per-bucket log-likelihood ratios.
+    * Two map-side-combined aggregates, each bounded by `buckets` rows
+    * to the driver — fitting cost is two corpus scans regardless of
+    * scale, and the model is a `buckets`-sized array. */
+  def dsirTrain(target: DataFrame, raw: DataFrame, textCol: String,
+      buckets: Int = 4096, smoothing: Double = 1.0): DsirModel = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
+    def counts(df: DataFrame): Array[Long] = {
+      val out = new Array[Long](buckets)
+      df.filter(col(textCol).isNotNull)
+        .select(explode(dsirNgrams(col(textCol))).as("g"))
+        .select(dsirBucket(col("g"), buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
+      out
+    }
+    val ct = counts(target)
+    val cr = counts(raw)
+    val denomT = ct.sum.toDouble + smoothing * buckets
+    val denomR = cr.sum.toDouble + smoothing * buckets
+    DsirModel(buckets, smoothing, Array.tabulate(buckets)(b =>
+      math.log((ct(b) + smoothing) / denomT) -
+        math.log((cr(b) + smoothing) / denomR)))
+  }
+
+  /** One document's DSIR importance weight — the left fold of its
+    * features' log ratios (Σ_g logRatio[h(g)], token order). A pure
+    * column expression with the model as an array literal: narrow,
+    * partition-parallel, no join. NULL text scores NULL. */
+  def dsirWeightExpr(text: Column, model: DsirModel): Column = {
+    val lr = typedLit(model.logRatio.toSeq)
+    aggregate(dsirNgrams(text), lit(0.0), (acc, g) =>
+      acc + element_at(lr, dsirBucket(g, model.buckets) + 1))
+  }
+
+  /** Per-document DSIR weights of a corpus: (idCol, `out`) for every
+    * non-null-text row. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      model: DsirModel, out: String = "dsir_weight"): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), dsirWeightExpr(col(textCol), model).as(out))
+
+  /** Deterministic DSIR resampling: keep each row with probability
+    * min(1, e^(w − pivot)) — rows at or above the pivot weight always
+    * survive, rows below it decay exponentially, the importance-
+    * resampling rule made reproducible by the same stable hash
+    * threshold as [[hashSample]] (re-running reproduces the exact
+    * sample; `pivot` tunes the kept mass). The keep probability is
+    * decimal-rounded to 1e-9 BEFORE the compare (floor(x·1e9 + 0.5))
+    * so a SQL engine's `exp` — correct only to ulps — reproduces the
+    * selection bit-exactly, the [[temperatureMixture]] discipline.
+    * One narrow filter; nothing shuffles. */
+  def dsirSample(df: DataFrame, keyCol: String, weightCol: Column,
+      pivot: Double = 0.0, salt: String = ""): DataFrame =
+    df.filter(dsirKeepExpr(col(keyCol), weightCol, pivot, salt))
+
+  /** The [[dsirSample]] keep predicate as a reusable expression (the
+    * curation pipeline's resampling stage and its drop-attribution
+    * twin need the same boolean). */
+  def dsirKeepExpr(key: Column, weight: Column, pivot: Double,
+      salt: String = ""): Column = {
+    // the >= pivot branch avoids floor(exp(huge)·1e9) long overflow AND
+    // pins the boundary case to both engines' THEN branch
+    val p = when(weight >= pivot, lit(1.0))
+      .otherwise(floor(exp(weight - lit(pivot)) * 1e9 + 0.5)
+        .cast("double") / 1e9)
+    hashU60(concat(key.cast("string"), lit(salt)))
+      .cast("double") / U60Denom < p
+  }
+
   /** Deterministic per-domain TOKEN-BUDGET cut: within each domain, take
     * documents in ascending (u60 hash, key) order until the cumulative
     * token count reaches the domain's budget — the "give me exactly B

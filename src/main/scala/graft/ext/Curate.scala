@@ -106,7 +106,16 @@ object Curate {
       // distinct fingerprints/signatures for visually identical text.
       // A pure column expression: no join, no shuffle, fused into the
       // base scan.
-      normalizeUnicode: Boolean = false)
+      normalizeUnicode: Boolean = false,
+      // Some((model, pivot)) APPENDS the DSIR importance-resampling
+      // stage (Xie et al. 2023) after every filter: each surviving doc
+      // is kept with probability min(1, e^(w − pivot)), w its hashed-
+      // n-gram target-vs-raw log-likelihood ratio under the trained
+      // [[Corpus.DsirModel]] — the data-SELECTION step that tilts a
+      // cleaned corpus toward a target distribution. Deterministic
+      // (stable hash threshold keyed on the doc id), a pure expression:
+      // no join, no shuffle.
+      dsir: Option[(Corpus.DsirModel, Double)] = None)
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -230,13 +239,21 @@ object Curate {
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(ndDrop, Seq(idCol), "left_anti")
       .join(contamDrop, Seq(idCol), "left_anti")
-    qualityAndLang(survivors, idCol, textCol, cfg)
+    val cleaned = qualityAndLang(survivors, idCol, textCol, cfg)
+    // 6 (optional) — DSIR importance resampling over what survived
+    // every filter (resampling a corpus that still holds junk would
+    // just re-weight the junk); a pure expression filter, no join
+    cfg.dsir.fold(cleaned) { case (model, pivot) =>
+      cleaned.filter(Corpus.dsirKeepExpr(col(idCol),
+        Corpus.dsirWeightExpr(col(textCol), model), pivot))
+    }
   }
 
   /** Drop ATTRIBUTION — the audit/explain twin of [[curate]]: one row
     * per DROPPED document with the FIRST pipeline stage that drops it
     * (`drop_stage` ∈ exact_dup, near_dup, contaminated, quality,
-    * language, model_quality — pipeline order; survivors are absent).
+    * language, model_quality, dsir_resampled — pipeline order;
+    * survivors are absent).
     * [[curate]]'s ids and [[curateDrops]]'s ids partition the corpus:
     * this is the "why was my document removed" report every curation
     * run owes its operators, and the per-stage drop counts fall out of
@@ -307,6 +324,11 @@ object Curate {
         QualityModel.scoreExpr(textCol, m) < cfg.minQualityProb
       case None => lit(false)
     }
+    val dsirDrop: Column = cfg.dsir match {
+      case Some((model, pivot)) => !Corpus.dsirKeepExpr(col(idCol),
+        Corpus.dsirWeightExpr(col(textCol), model), pivot)
+      case None => lit(false)
+    }
     val stage = when(col("__ex__").isNull, "exact_dup")
       .when(col("__nd__").isNotNull, "near_dup")
       .when(col("__ct__").isNotNull, "contaminated")
@@ -314,6 +336,7 @@ object Curate {
       .when(lit(cfg.dropUnknownLang) &&
         TextAnalysis.langId(col(textCol)) === "und", "language")
       .when(modelFail, "model_quality")
+      .when(dsirDrop, "dsir_resampled")
     docs
       .join(exactKeep.withColumn("__ex__", lit(true)), Seq(idCol), "left")
       .join(ndDrop.withColumn("__nd__", lit(true)), Seq(idCol), "left")

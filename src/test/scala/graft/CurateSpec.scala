@@ -39,6 +39,31 @@ class CurateSpec extends SparkSuite {
     assert(out.columns.toSet == Set("doc_id", "text", "n_words", "lang_pred"))
   }
 
+  test("DSIR resampling stage: keep-all pivot is a no-op, drop-all " +
+      "pivot attributes survivors to dsir_resampled, partition holds") {
+    // target == raw → every weight is exactly 0; the pivot alone
+    // decides (keep prob = min(1, e^(0 − pivot)))
+    val model = graft.ext.Corpus.dsirTrain(docs, docs, "text")
+    val base = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+      "text", cfg).select("doc_id").as[Long].collect().toSet
+    // pivot far below every weight: every survivor is at/above it
+    val keepAll = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+        "text", cfg.copy(dsir = Some((model, -50.0))))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keepAll == base)
+    // pivot far above: e^(−50)·1e9 rounds to 0 — every survivor drops,
+    // and attribution names the new stage without disturbing earlier ones
+    val none = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+      "text", cfg.copy(dsir = Some((model, 50.0))))
+    assert(none.count() == 0L)
+    val drops = Curate.curateDrops(docs, "doc_id", "text", bench,
+        "doc_id", "text", cfg.copy(dsir = Some((model, 50.0))))
+      .as[(Long, String)].collect().toMap
+    assert(drops == Map(1L -> "dsir_resampled", 7L -> "dsir_resampled",
+      2L -> "exact_dup", 3L -> "near_dup", 4L -> "contaminated",
+      5L -> "quality", 6L -> "language"), s"got $drops")
+  }
+
   test("curateDrops: first-dropping-stage attribution partitions the corpus") {
     val drops = Curate.curateDrops(docs, "doc_id", "text",
         bench, "doc_id", "text", cfg)

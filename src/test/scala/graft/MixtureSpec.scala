@@ -279,4 +279,60 @@ class MixtureSpec extends SparkSuite {
         Map("web" -> 10L), slack = 1.0)
     }
   }
+
+  // ——— DSIR importance resampling (Xie et al. 2023) ———
+
+  // 100 target-vocabulary docs and 100 off-target docs, token sequences
+  // varied per row so n-gram sets are not degenerate
+  private lazy val dsirDocs = ((0L until 100L).map(i =>
+      (i, s"alpha beta gamma delta tok${i % 7} alpha beta")) ++
+    (100L until 200L).map(i =>
+      (i, s"omega psi chi phi tok${i % 7} omega psi")))
+    .toDF("id", "text")
+
+  test("dsirTrain/dsirWeights: target-like docs outscore off-target " +
+      "docs; a target == raw fit scores everything zero") {
+    val target = dsirDocs.filter(col("id") < 100)
+    val model = Corpus.dsirTrain(target, dsirDocs, "text", buckets = 256)
+    val w = Corpus.dsirWeights(dsirDocs, "id", "text", model)
+      .as[(Long, Double)].collect().toMap
+    val tgtMin = (0L until 100L).map(w).min
+    val offMax = (100L until 200L).map(w).max
+    assert(tgtMin > offMax,
+      s"every target doc must outscore every off-target doc: " +
+        s"min(target)=$tgtMin, max(off)=$offMax")
+    // identical distributions → per-bucket ratios all zero
+    val model0 = Corpus.dsirTrain(dsirDocs, dsirDocs, "text", buckets = 256)
+    assert(model0.logRatio.forall(_ == 0.0))
+    val w0 = Corpus.dsirWeights(dsirDocs, "id", "text", model0)
+      .as[(Long, Double)].collect()
+    assert(w0.forall(_._2 == 0.0))
+  }
+
+  test("dsirSample: deterministic, above-pivot rows always kept, " +
+      "raising the pivot only shrinks the sample, salt re-deals") {
+    val model = Corpus.dsirTrain(dsirDocs.filter(col("id") < 100),
+      dsirDocs, "text", buckets = 256)
+    val w = dsirDocs.select(col("id"),
+      Corpus.dsirWeightExpr(col("text"), model).as("w"))
+    // pivots anchored to the fixture's actual weight range so both sit
+    // INSIDE the lottery region (a fixed pivot between the two weight
+    // modes would keep exactly the target mode at any value)
+    val wmax = w.agg(max("w")).head().getDouble(0)
+    def kept(pivot: Double, salt: String = ""): Set[Long] =
+      Corpus.dsirSample(w, "id", col("w"), pivot, salt)
+        .select("id").as[Long].collect().toSet
+    val lo = kept(wmax - 1.0)
+    assert(lo == kept(wmax - 1.0), "must be reproducible")
+    // every row at or above the pivot weight survives unconditionally
+    val above = w.filter(col("w") >= wmax - 1.0)
+      .select("id").as[Long].collect().toSet
+    assert(above.nonEmpty && above.subsetOf(lo))
+    // pivot monotonicity: a stricter pivot keeps a subset (same hash,
+    // pointwise smaller keep probability)
+    val hi = kept(wmax + 2.0)
+    assert(hi.subsetOf(lo) && hi.size < lo.size, s"${hi.size} vs ${lo.size}")
+    // salt re-deals the lottery (every row below this pivot)
+    assert(kept(wmax + 0.5) != kept(wmax + 0.5, salt = "other"))
+  }
 }
