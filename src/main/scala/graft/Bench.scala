@@ -276,7 +276,8 @@ object Bench {
       foldArtifact("dedup_soak_1m", "dedup_soak_1m.json") +
       foldArtifact("graph_soak_1m", "graph_soak_1m.json") +
       foldArtifact("asof_soak_1m", "asof_soak_1m.json") +
-      foldArtifact("editdist_soak_1m", "editdist_soak_1m.json")
+      foldArtifact("editdist_soak_1m", "editdist_soak_1m.json") +
+      foldArtifact("jw_soak_1m", "jw_soak_1m.json")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"regressions":$regJson,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
     // Machine-readable FULL copy the driver (or anyone) can ingest whole,

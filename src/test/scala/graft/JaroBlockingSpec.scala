@@ -40,6 +40,40 @@ class JaroBlockingSpec extends SparkSuite {
     }
   }
 
+  test("blocked == exact on a large Zipfian alphabet (the regime " +
+      "blocking WINS — candidate volume well under the quadratic)") {
+    // CJK-style short names over a 500-char Zipf alphabet: rarest-first
+    // prefixes land in the alphabet tail, so element collisions are
+    // rare — the record-linkage shape JwSoak measures at 1M
+    val rnd = new scala.util.Random(4321)
+    def zipfChar(): Char = {
+      // mild skew (quadratic CDF): a hot head plus a broad tail — at
+      // this tiny n a heavy Zipf head would swamp the 500-char tail
+      // and the selectivity margin (the 1M-scale distribution is the
+      // soak's job, JwSoak/jw_soak_1m.json)
+      val u = rnd.nextDouble()
+      (0x4E00 + (u * u * 500).toInt).toChar
+    }
+    val base = (0 until 600).map(i =>
+      (i.toLong, (0 until 8).map(_ => zipfChar()).mkString))
+    val mutated = base.take(150).map { case (i, t) =>
+      (i + 1000L, t.substring(0, 5) + zipfChar() + t.substring(6))
+    }
+    val df = (base ++ mutated).toDF("doc_id", "t")
+    val exact = Dedup.jaroWinklerPairsExact(df, "doc_id", "t", 0.93)
+      .as[(Long, Long, Double)].collect().toSet
+    val blocked = Dedup.jaroWinklerPairsBlocked(df, "doc_id", "t", 0.93)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == exact,
+      s"missing=${exact.diff(blocked)} spurious=${blocked.diff(exact)}")
+    assert(exact.size >= 50, s"fixture too sparse: ${exact.size} pairs")
+    // the regime claim itself: measured candidate volume ≪ n(n−1)/2
+    val vol = Dedup.jaroWinklerCandidateVolume(df, "doc_id", "t", 0.93)
+    val quad = 750.0 * 749.0 / 2.0
+    assert(vol < quad / 5.0,
+      f"blocking not selective on a rich alphabet: vol=$vol%.0f vs n²/2=$quad%.0f")
+  }
+
   test("blocked == exact on randomized mutations (deterministic seed)") {
     val rnd = new scala.util.Random(1234)
     val alpha = "abcdefgh" // small alphabet → heavy element collisions
