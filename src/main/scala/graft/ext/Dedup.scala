@@ -1027,41 +1027,64 @@ object Dedup {
     * Every side of a blocking join MUST use the SAME order (any fixed
     * total order preserves the prefix-filter guarantee; frequency order
     * minimizes collisions). Corpora over 65536 distinct characters fall
-    * back to code-point order. */
-  private def jwRank(frames: Seq[DataFrame]): Column => Column = {
+    * back to code-point order (the EMPTY map — every char ranks 0 and
+    * the char itself breaks the tie). */
+  private def jwRankMap(frames: Seq[DataFrame]): Map[String, Int] = {
     val alphabetCap = 65536
     val freqRows = frames.map(_.select(explode(jwChars).as("c")))
       .reduce(_ unionAll _)
       .groupBy("c").agg(count(lit(1)).as("f"))
       .limit(alphabetCap + 1).collect()
-    if (freqRows.length > alphabetCap) _ => lit(0)
-    else {
-      val ranks = freqRows.map(r => (r.getString(0), r.getLong(1)))
-        .sortBy { case (c, f) => (f, c) }.zipWithIndex
-        .map { case ((c, _), i) => c -> i }.toMap
-      val m = typedLit(ranks)
-      c => element_at(m, c)
-    }
+    if (freqRows.length > alphabetCap) Map.empty
+    else freqRows.map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (c, f) => (f, c) }.zipWithIndex
+      .map { case ((c, _), i) => c -> i }.toMap
   }
+
+  /** One blocking element: frequency rank, the character, and its
+    * occurrence index within the record — (c, occ) turns set
+    * intersection into MULTISET overlap. Field ORDER is load-bearing
+    * ([[jwGuard]]'s worst-element printer reads positions 1 and 2). */
+  private case class JwElem(r: Int, c: String, occ: Int)
 
   /** One side's (id, len, element) blocking frame: the first
     * len − o + 1 elements of the rank-sorted (rank, char, occurrence#)
-    * multiset, o(s) = ⌈coef·s⌉ — the occurrence index turns set
-    * intersection into MULTISET overlap; struct ordering is
-    * field-by-field, so array_sort applies the (rank, char) order and
-    * equal chars stay consecutive with increasing occ. */
+    * multiset, o(s) = ⌈coef·s⌉. Built by ONE per-row sort in a
+    * deterministic function with the bounded rank map in its closure —
+    * an expression formulation (array_sort + an indexed transform
+    * counting preceding equal chars) re-evaluates the captured sorted
+    * array per element, because HOF lambdas do not bind outer subtrees:
+    * O(n²·sort) interpreted work per row, measured as the dominant cost
+    * of the blocked operators. Character granularity is the UTF-16 code
+    * unit, matching [[graft.functions.JaroWinklerAlgo]]'s matching unit
+    * (the soundness chain pairs EQUAL MATCH UNITS one-to-one); the
+    * guarantee is stated for BMP text, as everywhere in this family. */
   private def jwPrefixFrame(base: DataFrame, coef: Double,
-      rank: Column => Column): DataFrame = {
-    val sorted = array_sort(transform(jwChars,
-      c => struct(rank(c).as("r"), c.as("c"))))
-    val elems = transform(sorted, (e, i) => struct(
-      e.getField("r").as("r"), e.getField("c").as("c"),
-      size(filter(slice(sorted, lit(1), i),
-        x => x.getField("c") === e.getField("c"))).as("occ")))
-    val oReq = ceil(lit(coef) * col("len")).cast("int")
-    base.select(col("id"), col("len"),
-      explode(slice(elems, lit(1),
-        greatest(lit(1), col("len") - oReq + 1))).as("e"))
+      ranks: Map[String, Int]): DataFrame = {
+    val elems = udf { (t: String) =>
+      val n = t.length
+      val chars = new Array[String](n)
+      var i = 0
+      while (i < n) { chars(i) = String.valueOf(t.charAt(i)); i += 1 }
+      // (rank asc, char asc) — the struct order array_sort would apply;
+      // equal chars share one rank, so each char's run is contiguous
+      // and the occurrence counter below is exact even at the prefix cut
+      val sorted = chars.sortBy(c => (ranks.getOrElse(c, 0), c))
+      val keep = math.min(n,
+        math.max(1, n - math.ceil(coef * n).toInt + 1))
+      val occ = new java.util.HashMap[String, Integer](keep * 2)
+      val out = new Array[JwElem](keep)
+      i = 0
+      while (i < keep) {
+        val c = sorted(i)
+        val o = occ.getOrDefault(c, 0).intValue()
+        out(i) = JwElem(ranks.getOrElse(c, 0), c, o)
+        occ.put(c, o + 1)
+        i += 1
+      }
+      out.toSeq
+    }
+    base.select(col("id"), col("len"), explode(elems(col("t"))).as("e"))
   }
 
   /** Candidate-volume guard for a blocking-element equi-join: Σ_e na·nb
@@ -1145,7 +1168,7 @@ object Dedup {
     *     blocking key.
     *
     * The global element order is CORPUS-FREQUENCY ASCENDING
-    * ([[jwRank]]) — prefixes hold each string's RAREST characters, so
+    * ([[jwRankMap]]) — prefixes hold each string's RAREST characters, so
     * blocking keys collide orders of magnitude less than under
     * code-point order, where every prefix fills with the commonest
     * characters.
@@ -1173,7 +1196,7 @@ object Dedup {
       textCol: String, minSim: Double): Double = {
     val (_, coef) = jwBounds(minSim, "jaroWinklerCandidateVolume")
     val base = jwBase(df, idCol, textCol)
-    val block = jwPrefixFrame(base, coef, jwRank(Seq(base)))
+    val block = jwPrefixFrame(base, coef, jwRankMap(Seq(base)))
     val row = block.groupBy("e").agg(count(lit(1)).cast("double").as("na"))
       .agg(sum(col("na") * (col("na") - 1) / 2)).head()
     if (row.isNullAt(0)) 0.0 else row.getDouble(0)
@@ -1184,12 +1207,11 @@ object Dedup {
     require(maxCandidates >= 1, "maxCandidates must be >= 1")
     val (beta, coef) = jwBounds(minSim, "jaroWinklerPairsBlocked")
     val base = jwBase(df, idCol, textCol)
-    // localCheckpoint: the element construction is the expensive pass
-    // (per-row O(len²) interpreted HOFs — lambdas are CodegenFallback)
-    // and the frame is read THREE times (guard + both self-join sides);
-    // the slim (id, len, element) rows materialize it once — the
-    // minhash `banded` discipline
-    val block = jwPrefixFrame(base, coef, jwRank(Seq(base)))
+    // localCheckpoint: the element construction (one per-row sort in
+    // jwPrefixFrame) is the expensive pass and the frame is read THREE
+    // times (guard + both self-join sides); the slim (id, len, element)
+    // rows materialize it once — the minhash `banded` discipline
+    val block = jwPrefixFrame(base, coef, jwRankMap(Seq(base)))
       .localCheckpoint()
     // the blocking frame's checkpoint blocks are RELEASED before
     // returning (result materialized first): in a long-lived server,
@@ -1233,7 +1255,7 @@ object Dedup {
     val (beta, coef) = jwBounds(minSim, "jaroWinklerJoin")
     val lb = jwBase(left, leftId, leftText)
     val rb = jwBase(right, rightId, rightText)
-    val rank = jwRank(Seq(lb, rb))
+    val rank = jwRankMap(Seq(lb, rb))
     // each side's element construction runs ONCE (read by the guard and
     // the join) — see the pairs variant for the checkpoint rationale
     val lBlock = jwPrefixFrame(lb, coef, rank)
