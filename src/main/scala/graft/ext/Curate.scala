@@ -489,6 +489,14 @@ object Curate {
       .join(exactKeep, Seq(idCol), "left_semi")
       .join(ndDrop, Seq(idCol), "left_anti")
       .join(contamDrop, Seq(idCol), "left_anti")
-    qualityAndLang(survivors, idCol, textCol, cfg)
+    val cleaned = qualityAndLang(survivors, idCol, textCol, cfg)
+    // optional DSIR resampling — stream == batch parity with [[curate]]:
+    // the keep decision is per-doc (stable id hash vs the model's
+    // weight), so gating each arrival is EXACTLY the batch filter
+    // restricted to the batch's rows
+    cfg.dsir.fold(cleaned) { case (model, pivot) =>
+      cleaned.filter(Corpus.dsirKeepExpr(col(idCol),
+        Corpus.dsirWeightExpr(col(textCol), model), pivot))
+    }
   }
 }

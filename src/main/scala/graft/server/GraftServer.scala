@@ -58,6 +58,7 @@ import graft.coder.CoderConfig
   *   - `POST   /api/text/decontaminate` (corpus-vs-benchmark containment)
   *   - `POST   /api/text/curate` (full curation pipeline; optional dest table)
   *   - `POST   /api/sample/mixture` (domain-mixture resampling)
+  *   - `POST   /api/sample/dsir` (DSIR importance weights / resampling)
   *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
   *     `POST /api/indexes/repair`
   *     (per-cell layout stats / compaction / cell-scoped repair, any tier)
@@ -141,6 +142,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "sample" :: "mixture" :: Nil) => postMixture(ex)
         case ("POST", "sample" :: "budget" :: Nil)  => postBudget(ex)
         case ("POST", "sample" :: "splits" :: Nil)  => postSplits(ex)
+        case ("POST", "sample" :: "dsir" :: Nil)    => postDsir(ex)
         case ("POST", "text" :: "profile" :: Nil)       => postProfile(ex)
         case ("POST", "text" :: "quality-model" :: Nil) => postQualityModel(ex)
         case ("POST", "text" :: "quality-score" :: Nil) => postQualityScore(ex)
@@ -1176,6 +1178,38 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         }
         okRows(ex, graft.ext.Corpus.mixtureSample(df, keyCol, domainCol,
           weights, salt))
+    }
+  }
+
+  /** DSIR importance resampling ([[graft.ext.Corpus.dsirTrain]]):
+    * fit hashed-n-gram target-vs-raw log-likelihood ratios (`target` =
+    * a stored table holding what the data SHOULD look like; its text
+    * column defaults to the source's), then return per-doc weights —
+    * or, when `pivot` is present, the deterministically resampled rows
+    * (keep prob min(1, e^(w − pivot)), stable hash keyed on `idCol` +
+    * `salt`). Training is two bounded aggregates; the weights frame is
+    * checkpointed before the sample filter so the scoring fold runs
+    * once (the predicate-pushdown alias trap, DESIGN §14). */
+  private def postDsir(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val df = engine.readTable(Seq(require(body, "source").asText()))
+    val idCol = require(body, "idCol").asText()
+    val textCol = require(body, "textCol").asText()
+    val targetRaw = engine.readTable(Seq(require(body, "target").asText()))
+    val target = opt(body, "targetTextCol").map(_.asText()) match {
+      case Some(c) if c != textCol => targetRaw.withColumnRenamed(c, textCol)
+      case _ => targetRaw
+    }
+    val model = graft.ext.Corpus.dsirTrain(target, df, textCol,
+      opt(body, "buckets").map(_.asInt()).getOrElse(4096),
+      opt(body, "smoothing").map(_.asDouble()).getOrElse(1.0))
+    val w = graft.ext.Corpus.dsirWeights(df, idCol, textCol, model)
+    opt(body, "pivot") match {
+      case Some(p) =>
+        okRows(ex, graft.ext.Corpus.dsirSample(w.localCheckpoint(),
+          idCol, org.apache.spark.sql.functions.col("dsir_weight"),
+          p.asDouble(), opt(body, "salt").map(_.asText()).getOrElse("")))
+      case None => okRows(ex, w)
     }
   }
 

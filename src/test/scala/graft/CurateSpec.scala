@@ -62,6 +62,24 @@ class CurateSpec extends SparkSuite {
     assert(drops == Map(1L -> "dsir_resampled", 7L -> "dsir_resampled",
       2L -> "exact_dup", 3L -> "near_dup", 4L -> "contaminated",
       5L -> "quality", 6L -> "language"), s"got $drops")
+    // stream == batch parity: the ingest gate applies the same per-doc
+    // keep decision, so a drop-all pivot admits nothing
+    val refSigs = graft.ext.Dedup.minhashSignatures(
+      docs.select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+        .filter(col("ref_id") === 7L),
+      "ref_id", "ref_text", 32, 3)
+    val refTexts = docs.filter(col("doc_id") === 7L)
+      .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+    val arrivals = Seq(100L -> doc1).toDF("doc_id", "text")
+    val gateBench = bench.withColumnRenamed("doc_id", "bench_id")
+    val admitted0 = Curate.curateArrivals(arrivals, "doc_id", "text",
+      refSigs, refTexts, gateBench, "bench_id", "text", cfg)
+    assert(admitted0.count() == 1L, "fixture arrival must pass the gate")
+    val admitted = Curate.curateArrivals(arrivals, "doc_id", "text",
+      refSigs, refTexts, gateBench, "bench_id", "text",
+      cfg.copy(dsir = Some((model, 50.0))))
+    assert(admitted.count() == 0L,
+      "gate must apply the DSIR stage like the batch pipeline")
   }
 
   test("curateDrops: first-dropping-stage attribution partitions the corpus") {

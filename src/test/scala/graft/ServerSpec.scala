@@ -973,6 +973,41 @@ class ServerSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(wireS.toMap == libS, s"wire $wireS vs library $libS")
 
+    // DSIR route: weights form, then resampling form — wire == library
+    // (target = the books slice of the same corpus, via a second table)
+    val (gc0, gb0) = send("PUT", "/tables/wire_samp_tgt",
+      s"""{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":900,"text":"the quick brown fox jumps over the lazy dog and runs in a calm stride"},
+        {"doc_id":901,"text":"a calm fox runs to the hill in a quick stride over the dog"}]}""")
+    assert(gc0 == 200, gb0)
+    val (dc, dBody) = send("POST", "/sample/dsir",
+      """{"source":"wire_samp","idCol":"doc_id","textCol":"text",
+         "target":"wire_samp_tgt","buckets":256}""")
+    assert(dc == 200, dBody)
+    val wireD = new scala.collection.mutable.HashMap[Long, Double]
+    mapper.readTree(dBody).get("rows").elements()
+      .forEachRemaining(n => wireD(n.get("doc_id").asLong()) =
+        n.get("dsir_weight").asDouble())
+    val libModel = graft.ext.Corpus.dsirTrain(
+      engine.readTable(Seq("wire_samp_tgt")), df, "text", buckets = 256)
+    val libD = graft.ext.Corpus.dsirWeights(df, "doc_id", "text", libModel)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wireD.toMap == libD, s"wire $wireD vs library $libD")
+    val (dc2, dBody2) = send("POST", "/sample/dsir",
+      """{"source":"wire_samp","idCol":"doc_id","textCol":"text",
+         "target":"wire_samp_tgt","buckets":256,"pivot":0.0,"salt":"s"}""")
+    assert(dc2 == 200, dBody2)
+    val wireD2 = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(dBody2).get("rows").elements()
+      .forEachRemaining(n => wireD2 += n.get("doc_id").asLong())
+    val libD2 = graft.ext.Corpus.dsirSample(
+        graft.ext.Corpus.dsirWeights(df, "doc_id", "text", libModel),
+        "doc_id", org.apache.spark.sql.functions.col("dsir_weight"),
+        pivot = 0.0, salt = "s")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(wireD2.toSet == libD2, s"wire $wireD2 vs library $libD2")
+    assert(send("DELETE", "/tables/wire_samp_tgt")._1 == 200)
+
     // corpus profile route — exact integer metrics per group
     val (fc, fBody) = send("POST", "/text/profile",
       """{"source":"wire_samp","textCol":"text","groupCols":["src"],
