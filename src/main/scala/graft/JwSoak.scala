@@ -151,8 +151,37 @@ object JwSoak {
         .collect().toSet
       val parityEqual = exactSet == blockedSet
 
+      // ——— The LOSING direction of the crossover rule, measured in the
+      // same artifact: realistic mixed-case Latin names with digits and
+      // punctuation offer only E ~ 10² effective tail symbols, so with
+      // prefix length p ≈ 3 the candidate floor ≈ (p·n)²/E lands at or
+      // above n²/2 — blocking must NOT be used there and the default
+      // guard refuses. The volume RATIO is n-independent (both sides
+      // scale n²), so a 200k estimate pins the regime at any scale. ———
+      val latinUdf = udf { (id: Long) =>
+        val rnd = new java.util.Random(id * 0x9E3779B97F4A7C15L + 5L)
+        val lower = "etaoinshrdlcumwfgypbvkjxqz" // frequency-ordered
+        def zc(): Char = { // Zipf-ish pick over the 26 letters
+          val u = rnd.nextDouble()
+          lower.charAt(math.min(25, (u * u * 26).toInt))
+        }
+        val first = (0 until 5 + rnd.nextInt(3)).map(_ => zc()).mkString
+        val last = (0 until 6 + rnd.nextInt(3)).map(_ => zc()).mkString
+        s"${first.capitalize} ${last.capitalize}-${1900 + rnd.nextInt(100)}"
+      }
+      val nLatin = math.min(n, 200000L)
+      val latinRows = spark.range(nLatin)
+        .select(col("id"), latinUdf(col("id")).as("t"))
+        .localCheckpoint(true)
+      val (latinEstSec, latinVolume) = time {
+        graft.ext.Dedup.jaroWinklerCandidateVolume(latinRows, "id", "t",
+          MinSim)
+      }
+      val latinQuad = nLatin.toDouble * (nLatin - 1).toDouble / 2.0
+      val latinRatio = latinVolume / latinQuad
+
       val json =
-        f"""{"n":$n,"min_sim":$MinSim,"alphabet":4210,"name_len":"8-10","estimate_sec":$estSec%.1f,"candidate_volume":$volume%.4g,"n2_over_2":$quadratic%.4g,"volume_ratio":${volume / quadratic}%.6f,"blocked_sec":$blockedSec%.1f,"n_pairs":$nPairs,"planted_expected":$expected,"planted_found":$planted,"planted_recall":${planted.toDouble / expected}%.4f,"parity_rows":$parityN,"parity_equal":$parityEqual,"exact_slice_sec":$exactSec%.1f,"blocked_slice_sec":$blockedSliceSec%.1f}"""
+        f"""{"n":$n,"min_sim":$MinSim,"alphabet":4210,"name_len":"8-10","estimate_sec":$estSec%.1f,"candidate_volume":$volume%.4g,"n2_over_2":$quadratic%.4g,"volume_ratio":${volume / quadratic}%.6f,"blocked_sec":$blockedSec%.1f,"n_pairs":$nPairs,"planted_expected":$expected,"planted_found":$planted,"planted_recall":${planted.toDouble / expected}%.4f,"parity_rows":$parityN,"parity_equal":$parityEqual,"exact_slice_sec":$exactSec%.1f,"blocked_slice_sec":$blockedSliceSec%.1f,"latin_n":$nLatin,"latin_estimate_sec":$latinEstSec%.1f,"latin_candidate_volume":$latinVolume%.4g,"latin_volume_ratio":$latinRatio%.4f}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("jw_soak_1m.json"), json)
       println(json)
