@@ -245,10 +245,28 @@ object Bench {
         .getOrElse(Seq.empty) ++
       phaseBudget("NearDupDecon")(NearDupBench.deconRun(spark))
         .getOrElse(Seq.empty)
-    // Recall-vs-budget curve at soak scale (1M): the SQ8 tier's
-    // budget-independence claim, recorded in the artifact.
-    val curve = phaseBudget("CurveBench")(CurveBench.run(spark))
-      .getOrElse(Seq.empty)
+    // Recall-vs-budget curves (250k in-bench default): split into
+    // per-tier sub-phases each under its OWN budget, reusing the one
+    // engine Curve-build creates — round 16 ran all of this as a single
+    // 600s phase at 1M and a ~1.25× slower driver machine tipped it
+    // over, failing the round's bench. A timed-out sub-phase now costs
+    // its own keys, never the siblings'. The 1M curves live in the
+    // standalone curve_soak_1m.json artifact (folded below).
+    val curve: Seq[(String, Double)] =
+      phaseBudget("Curve-build")(CurveBench.build(spark)).flatten match {
+        case None => Seq.empty
+        case Some(ctx) =>
+          val parts: Seq[(String, () => Seq[(String, Double)])] = Seq(
+            "Curve-pq" -> (() => CurveBench.pqCurves(ctx)),
+            "Curve-bits" -> (() => CurveBench.bitTierCurves(ctx)),
+            "Curve-joins" -> (() => CurveBench.joinCurves(ctx)),
+            "Curve-lowrank" -> (() => CurveBench.bqLowRankCurves(spark, ctx.engine)),
+            "Curve-maxsim" -> (() => CurveBench.maxsimCurves(spark, ctx.engine)))
+          val out = parts.flatMap { case (n, f) =>
+            phaseBudget(n)(f()).getOrElse(Seq.empty) }
+          CurveBench.cleanup(ctx)
+          Seq("curve_vectors" -> CurveBench.NumVectors.toDouble) ++ out
+      }
     val quality = (Seq(f""""minhash_recall_sampled":$mhRecall%.3f""",
       s""""minhash_exact_pairs":$mhPairs""") ++
       (nearDup ++ curve).map { case (k, v) =>
@@ -277,7 +295,9 @@ object Bench {
       foldArtifact("graph_soak_1m", "graph_soak_1m.json") +
       foldArtifact("asof_soak_1m", "asof_soak_1m.json") +
       foldArtifact("editdist_soak_1m", "editdist_soak_1m.json") +
-      foldArtifact("jw_soak_1m", "jw_soak_1m.json")
+      foldArtifact("jw_soak_1m", "jw_soak_1m.json") +
+      foldArtifact("curve_soak_1m", "curve_soak_1m.json") +
+      foldArtifact("fuzzy_soak_10m", "fuzzy_soak_10m.json")
     val fullLine =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"regressions":$regJson,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
     // Machine-readable FULL copy the driver (or anyone) can ingest whole,

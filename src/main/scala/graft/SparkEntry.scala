@@ -596,6 +596,13 @@ object SparkEntry {
   def dsirOracleModelPath: String =
     s"${System.getProperty("java.io.tmpdir")}/graft_dsir_oracle_b512.json"
 
+  /** Fixed tmpdir path where `dsir_sample_sized` exports the pivot it
+    * derived for the requested keep fraction
+    * ([[graft.ext.Corpus.dsirPivotForKeep]]) — the oracle applies the
+    * same deterministic keep rule under the same constant. */
+  def dsirOraclePivotPath: String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_dsir_oracle_pivot.json"
+
   /** Fixed tmpdir path where `quality_classifier` exports its trained
     * logistic weights for the DuckDB oracle (exported-model pattern:
     * the oracle replays SCORING only). */
@@ -1532,6 +1539,27 @@ object SparkEntry {
         .localCheckpoint()
       graft.ext.Corpus.dsirSample(w, "doc_id", col("dsir_weight"),
         pivot = 0.0, salt = "dsir")
+    }),
+    // —— SIZED resampling (the paper's "resample raw down to N docs"):
+    // pivot derived for a 50% kept mass by the bounded-histogram pass,
+    // exported for the oracle to apply the identical keep rule ——
+    "dsir_sample_sized" -> ((s: SparkSession, dir: String) => {
+      val d = tbl(s, dir, "documents")
+      val model = graft.ext.Corpus.dsirTrain(
+        d.filter(col("lang") === "en"), d, "text",
+        buckets = 512, smoothing = 1.0)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dsirOracleModelPath), model.toJson)
+      val w = d.filter(col("text").isNotNull).select(col("doc_id"),
+        graft.ext.Corpus.dsirWeightExpr(col("text"), model)
+          .as("dsir_weight"))
+        .localCheckpoint()
+      val (kept, pivot) = graft.ext.Corpus.dsirSampleSized(
+        w, "doc_id", "dsir_weight", keepFraction = 0.5, salt = "dsir")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dsirOraclePivotPath),
+        s"""{"p": $pivot}""")
+      kept
     }),
     // —— deterministic token-budget cut: first docs per domain in
     // (u60 hash, id) order until the domain's token budget is met ——
@@ -3774,6 +3802,16 @@ object SparkEntry {
         " AS DOUBLE) / 1152921504606846976.0 < " +
         "(CASE WHEN dsir_weight >= 0.0 THEN 1.0 " +
         "ELSE floor(exp(dsir_weight - 0.0) * 1e9 + 0.5) / 1e9 END)"),
+    // sized resampling: the SAME keep rule under the exported derived
+    // pivot (read as a constant — the exported-model pattern)
+    "dsir_sample_sized" ->
+      (dsirWeightsCte + s", pv AS (SELECT p FROM read_json(" +
+        s"'$dsirOraclePivotPath', columns = {p: 'DOUBLE'})) " +
+        "SELECT doc_id, dsir_weight FROM wt, pv WHERE CAST(" +
+        u60Sql("CAST(doc_id AS VARCHAR) || 'dsir'") +
+        " AS DOUBLE) / 1152921504606846976.0 < " +
+        "(CASE WHEN dsir_weight >= pv.p THEN 1.0 " +
+        "ELSE floor(exp(dsir_weight - pv.p) * 1e9 + 0.5) / 1e9 END)"),
     // token-budget cut: the pure-window mirror of the contract (the
     // Spark side's hash prefilter is a work bound, not a semantic)
     "sample_token_budget" -> ("WITH d AS (SELECT doc_id, source, " +

@@ -379,11 +379,19 @@ class Engine(val spark: SparkSession, val root: String) {
           "(no idCol in meta.json) — rebuild with buildFuzzyIndex"))
     // layout 2 (id-bucketed base) is the only layout ever written by a
     // build that also records idCol, so anything else here is a
-    // hand-rolled artifact — refuse rather than serve an unknown shape
+    // hand-rolled artifact — refuse rather than serve an unknown shape.
+    // MIGRATION: layout-1 artifacts (pre-bucketed base, written before
+    // the idCol field existed) are intentionally no longer served —
+    // every lookup/sync/compact on one throws this error until a
+    // one-time `buildFuzzyIndex(source, textCol)` rebuild, which
+    // regenerates the artifact in place from the (unchanged) source
+    // table. The rebuild is idempotent and crash-safe (Swap-guarded),
+    // so the migration is a single engine call per artifact.
     require(intOf("\"layout\"").contains(2),
       s"fuzzy index at $base has an unsupported layout in meta.json — " +
-        "only layout 2 (id-bucketed base) is served; rebuild with " +
-        "buildFuzzyIndex")
+        "only layout 2 (id-bucketed base) is served. One-time migration: " +
+        "rebuild with buildFuzzyIndex(source, textCol) against the same " +
+        "source table")
     (intOrFail("\"maxDist\""), intOrFail("\"buckets\""), idCol)
   }
 

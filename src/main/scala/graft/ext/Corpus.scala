@@ -460,6 +460,79 @@ object Corpus {
       pivot: Double = 0.0, salt: String = ""): DataFrame =
     df.filter(dsirKeepExpr(col(keyCol), weightCol, pivot, salt))
 
+  /** Derive the [[dsirSample]] pivot that keeps (in expectation) a
+    * requested FRACTION of the rows — the paper's actual workflow
+    * ("resample raw down to N docs") rather than a hand-tuned pivot.
+    * One bounded histogram pass over the weights (the
+    * [[Sketches.histogramQuantilesAuto]] discipline: min/max agg →
+    * `targetBins` equi-width bins → ≤ targetBins+1 count rows to the
+    * driver), then a driver-side binary search for the p with
+    * Σ_bins count·min(1, e^(midpoint − p)) = keepFraction·n. The
+    * result is a deterministic function of the weight distribution —
+    * re-deriving on the same frame reproduces it bit-exactly, so a
+    * batch filter and its attribution twin can derive independently
+    * and still agree. Accuracy is bin-width bound (keepFraction·n to
+    * within the mass of one bin); the SELECTION under the derived
+    * pivot is exact and deterministic as always.
+    *
+    * Call on the MATERIALIZED narrow weights frame (the [[dsirSample]]
+    * pushdown note) — this runs an aggregate over it, and a lazy
+    * scoring projection would re-run the per-ngram fold here and again
+    * in the sample filter. */
+  def dsirPivotForKeep(weights: DataFrame, weightCol: String,
+      keepFraction: Double, targetBins: Int = 2048): Double = {
+    require(keepFraction > 0.0 && keepFraction <= 1.0,
+      s"keepFraction must be in (0, 1], got $keepFraction")
+    require(targetBins >= 1, s"targetBins must be >= 1, got $targetBins")
+    val w = col(weightCol).cast("double")
+    val r = weights.filter(w.isNotNull)
+      .agg(min(w).as("mn"), max(w).as("mx"), count(lit(1)).as("n")).head()
+    require(!r.isNullAt(0),
+      s"dsirPivotForKeep: '$weightCol' has no non-NULL values")
+    val mn = r.getDouble(0)
+    val mx = r.getDouble(1)
+    val n = r.getLong(2)
+    if (keepFraction == 1.0) return mn // every row at/above pivot: prob 1
+    // all-equal degenerate case is closed-form: min(1, e^(mn−p)) = f
+    if (mx == mn) return mn - math.log(keepFraction)
+    val width = (mx - mn) / targetBins.toDouble
+    val hist = weights.filter(w.isNotNull)
+      .select(floor((w - lit(mn)) / lit(width)).cast("int").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+      .collect().map(row => (mn + (row.getInt(0) + 0.5) * width,
+        row.getLong(1).toDouble))
+    def kept(p: Double): Double = {
+      var acc = 0.0
+      hist.foreach { case (wb, c) =>
+        acc += c * math.min(1.0, math.exp(wb - p)) }
+      acc
+    }
+    val target = keepFraction * n
+    // kept(p) is strictly decreasing; e^(−60) bounds the tail
+    var lo = mn
+    var hi = mx + 60.0
+    var i = 0
+    while (i < 100) {
+      val mid = (lo + hi) / 2
+      if (kept(mid) > target) lo = mid else hi = mid
+      i += 1
+    }
+    (lo + hi) / 2
+  }
+
+  /** [[dsirSample]] sized by kept fraction: derive the pivot
+    * ([[dsirPivotForKeep]]) and apply the existing deterministic rule.
+    * Returns the kept rows AND the derived pivot (callers export the
+    * pivot — to an oracle, a config, or the streaming gate, which needs
+    * a CONSTANT pivot for stream==batch parity). */
+  def dsirSampleSized(weights: DataFrame, keyCol: String,
+      weightCol: String, keepFraction: Double, salt: String = "",
+      targetBins: Int = 2048): (DataFrame, Double) = {
+    val pivot = dsirPivotForKeep(weights, weightCol, keepFraction,
+      targetBins)
+    (dsirSample(weights, keyCol, col(weightCol), pivot, salt), pivot)
+  }
+
   /** The [[dsirSample]] keep predicate as a reusable expression (the
     * curation pipeline's resampling stage and its drop-attribution
     * twin need the same boolean). */

@@ -115,7 +115,18 @@ object Curate {
       // cleaned corpus toward a target distribution. Deterministic
       // (stable hash threshold keyed on the doc id), a pure expression:
       // no join, no shuffle.
-      dsir: Option[(Corpus.DsirModel, Double)] = None)
+      dsir: Option[(Corpus.DsirModel, Double)] = None,
+      // Some(f) SIZES the dsir stage by kept mass instead of the raw
+      // pivot: the pivot is derived once per run from the INPUT
+      // corpus' weight distribution ([[Corpus.dsirPivotForKeep]] —
+      // one bounded histogram pass), overriding the tuple's pivot.
+      // Derivation is deterministic in the corpus, so [[curate]] and
+      // [[curateDrops]] derive independently and agree (the partition
+      // property holds). The STREAMING gate refuses this knob — a
+      // stream has no corpus to derive from; resolve the fraction to
+      // a constant pivot offline and pass it in `dsir` (stream==batch
+      // parity requires a constant).
+      dsirKeepFraction: Option[Double] = None)
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -243,11 +254,38 @@ object Curate {
     // 6 (optional) — DSIR importance resampling over what survived
     // every filter (resampling a corpus that still holds junk would
     // just re-weight the junk); a pure expression filter, no join
-    cfg.dsir.fold(cleaned) { case (model, pivot) =>
+    resolvedDsir(docs, textCol, cfg).fold(cleaned) { case (model, pivot) =>
       cleaned.filter(Corpus.dsirKeepExpr(col(idCol),
         Corpus.dsirWeightExpr(col(textCol), model), pivot))
     }
   }
+
+  /** The effective (model, pivot) of the dsir stage: when
+    * [[Config.dsirKeepFraction]] is set, the pivot is DERIVED from this
+    * corpus' weight distribution ([[Corpus.dsirPivotForKeep]] — one
+    * bounded histogram pass over a materialized narrow weights frame,
+    * released after). The derivation is deterministic in the corpus,
+    * so [[curate]] and [[curateDrops]] — which both call this on the
+    * same (post-strip) frame — agree without sharing state, preserving
+    * the partition property. The fraction is of the SCORED docs (text
+    * non-NULL, the full rewritten corpus — the paper's "resample raw",
+    * not of the post-filter survivors): the realized kept share of
+    * curate's OUTPUT can sit slightly off f where the quality stages
+    * correlate with the weights. */
+  private def resolvedDsir(docs: DataFrame, textCol: String,
+      cfg: Config): Option[(Corpus.DsirModel, Double)] =
+    cfg.dsir.map { case (model, pivot) =>
+      cfg.dsirKeepFraction match {
+        case None => (model, pivot)
+        case Some(f) =>
+          val w = docs.filter(col(textCol).isNotNull)
+            .select(Corpus.dsirWeightExpr(col(textCol), model)
+              .as("__dsir_w"))
+            .localCheckpoint()
+          try (model, Corpus.dsirPivotForKeep(w, "__dsir_w", f))
+          finally org.apache.spark.sql.GraftShims.releaseCheckpoint(w)
+      }
+    }
 
   /** Drop ATTRIBUTION — the audit/explain twin of [[curate]]: one row
     * per DROPPED document with the FIRST pipeline stage that drops it
@@ -324,7 +362,7 @@ object Curate {
         QualityModel.scoreExpr(textCol, m) < cfg.minQualityProb
       case None => lit(false)
     }
-    val dsirDrop: Column = cfg.dsir match {
+    val dsirDrop: Column = resolvedDsir(docs, textCol, cfg) match {
       case Some((model, pivot)) => !Corpus.dsirKeepExpr(col(idCol),
         Corpus.dsirWeightExpr(col(textCol), model), pivot)
       case None => lit(false)
@@ -493,7 +531,14 @@ object Curate {
     // optional DSIR resampling — stream == batch parity with [[curate]]:
     // the keep decision is per-doc (stable id hash vs the model's
     // weight), so gating each arrival is EXACTLY the batch filter
-    // restricted to the batch's rows
+    // restricted to the batch's rows. A stream has no corpus to derive
+    // a sized pivot from — the fraction knob must be resolved to a
+    // constant offline ([[Corpus.dsirPivotForKeep]]), or every batch
+    // would re-derive a drifting pivot and break the parity.
+    require(cfg.dsirKeepFraction.isEmpty,
+      "dsirKeepFraction is a batch-corpus knob: resolve it to a pivot " +
+        "with Corpus.dsirPivotForKeep and pass Config.dsir = " +
+        "Some((model, pivot)) to the streaming gate")
     cfg.dsir.fold(cleaned) { case (model, pivot) =>
       cleaned.filter(Corpus.dsirKeepExpr(col(idCol),
         Corpus.dsirWeightExpr(col(textCol), model), pivot))

@@ -991,10 +991,13 @@ object Dedup {
     val a = base.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
       .repartition(parts)
     val b = base.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    // jaro_winkler_min: pairs whose lengths alone bound the similarity
+    // below minSim skip the match loops inside the kernel (the exact
+    // path has no upstream length band — the blocked variants do)
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        graft.functions.functions.jaro_winkler(col("__ta"), col("__tb"))
-          .as("jw"))
+        graft.functions.functions.jaro_winkler_min(
+          col("__ta"), col("__tb"), minSim).as("jw"))
       .filter(col("jw") >= minSim)
   }
 

@@ -41,8 +41,17 @@ object Web {
     * oracle. A bare "%" not followed by two hex digits is malformed per
     * the RFC; both hex passes require the full two-hex-digit shape
     * before rewriting, and inside [[urlNormalize]] such URLs never
-    * reach this point anyway (try_parse_url rejects them → NULL). */
-  def pctNormalize(s: Column): Column = {
+    * reach this point anyway (try_parse_url rejects them → NULL).
+    *
+    * `private[graft]` deliberately: on MALFORMED input the
+    * unreserved-decode pass can SYNTHESIZE a new escape ("%2%34" →
+    * "%2" + "4" = "%24" — decoding %34 created a valid-looking %24
+    * that was never in the input), changing the string's
+    * percent-decoded meaning. Callers must pre-validate escapes the
+    * way [[urlNormalize]] does (the try_parse_url gate); that is
+    * stronger than "malformed % left alone", so the method is not
+    * part of the public surface. */
+  private[graft] def pctNormalize(s: Column): Column = {
     // first hex digit: %xY → %XY (second digit must be hex — a lone
     // "%x" before a non-hex character is malformed and left alone)
     val upFirst = HexLetters.foldLeft(s)((acc, c) =>
@@ -56,8 +65,11 @@ object Web {
   }
 
   /** Normalize a URL for identity comparison:
-    *  - scheme and host lowercased (path case is PRESERVED — paths are
-    *    case-sensitive on most origins);
+    *  - scheme and host lowercased (host escapes don't occur here:
+    *    try_parse_url rejects a %-escape in the authority outright, so
+    *    such URLs normalize to NULL like any other unparseable input;
+    *    path case is PRESERVED — paths are case-sensitive on most
+    *    origins);
     *  - default ports dropped (http:80, https:443), explicit
     *    non-default ports kept;
     *  - fragment dropped (never sent to the origin);
@@ -76,6 +88,11 @@ object Web {
     * the lowercased host field). */
   def urlNormalize(u: Column): Column = {
     val proto = lower(try_parse_url(u, lit("PROTOCOL")))
+    // no pctNormalize on the host — PROBED: try_parse_url rejects any
+    // %-escape in the authority outright (the whole URL parses to
+    // NULL), so an escaped host never reaches normalization; it is
+    // quarantined upstream exactly like a malformed path escape
+    // (WebSpec pins the rejection)
     val host = lower(try_parse_url(u, lit("HOST")))
     val port = regexp_extract(u,
       "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:(\\d+)", 1)
@@ -97,7 +114,9 @@ object Web {
         when(qn === "", lit("")).otherwise(concat(lit("?"), qn))))
   }
 
-  /** The lowercased host of a URL (no port), NULL when unparseable. */
+  /** The lowercased host of a URL (no port), NULL when unparseable
+    * (incl. any %-escape in the authority — try_parse_url rejects
+    * those whole, see [[urlNormalize]]). */
   def urlHost(u: Column): Column = {
     val h = lower(try_parse_url(u, lit("HOST")))
     when(h === "", lit(null).cast("string")).otherwise(h)

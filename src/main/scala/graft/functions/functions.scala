@@ -54,6 +54,14 @@ object functions {
     GraftShims.column(
       JaroWinkler(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** [[jaro_winkler]] with the kernel length early-out: exact value
+    * whenever ≥ `minSim`, else 0.0 — the filter companion for all-pairs
+    * paths ([[JaroWinklerMin]]; internal, not SQL-registered). */
+  def jaro_winkler_min(a: Column, b: Column, minSim: Double): Column =
+    GraftShims.column(
+      JaroWinklerMin(GraftShims.expression(a), GraftShims.expression(b),
+        minSim))
+
   /** Merge-pass dot product of two term-sorted sparse vectors
     * (array<struct<term, u>>) — [[SparseDot]], codegen'd; ascending-term
     * accumulation order (the oracle-mirrorable arithmetic). */

@@ -62,6 +62,9 @@ import graft.coder.CoderConfig
   *   - `POST   /api/indexes/stats` · `POST /api/indexes/compact` ·
   *     `POST /api/indexes/repair`
   *     (per-cell layout stats / compaction / cell-scoped repair, any tier)
+  *   - `POST   /api/streams/text-sync` · `GET /api/streams` ·
+  *     `DELETE /api/streams/{id}`
+  *     (start / list / stop the fuzzy|lexical self-maintenance stream)
   */
 class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   private val mapper = new ObjectMapper()
@@ -79,7 +82,21 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     this
   }
 
-  def stop(): Unit = { http.stop(0); pool.shutdown() }
+  /** Self-maintenance streams started over the wire, keyed by query id
+    * — listed by `GET /api/streams`, stopped by `DELETE /api/streams/x`
+    * and at server [[stop]] (a stream outliving its server would keep
+    * syncing with nobody able to address it). */
+  private val opsStreams = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.streaming.StreamingQuery]()
+
+  def stop(): Unit = {
+    opsStreams.asScala.values.foreach { q =>
+      try q.stop() catch { case NonFatal(_) => () }
+    }
+    opsStreams.clear()
+    http.stop(0)
+    pool.shutdown()
+  }
 
   // ——— routing ———
 
@@ -174,6 +191,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "sketch" :: "distinct" :: Nil)   => postKmvDistinct(ex)
         case ("POST", "sketch" :: "heavy-hitters" :: Nil) => postHeavyHitters(ex)
         case ("POST", "sketch" :: "quantiles" :: Nil)  => postQuantiles(ex)
+        case ("POST", "streams" :: "text-sync" :: Nil) =>
+          postTextSyncStream(ex)
+        case ("GET", "streams" :: Nil)                 => getStreams(ex)
+        case ("DELETE", "streams" :: id :: Nil)        => deleteStream(ex, id)
         case ("POST", "indexes" :: "stats" :: Nil)     => postIndexStats(ex)
         case ("POST", "indexes" :: "compact" :: Nil)   => postIndexCompact(ex)
         case ("POST", "indexes" :: "repair" :: Nil)    => postIndexRepair(ex)
@@ -993,6 +1014,52 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     ok(ex, s"""{"appended":$n,"fresh":${engine.fuzzyIndexIsFresh(source, column)}}""")
   }
 
+  /** Start the TEXT-tier self-maintenance stream
+    * ([[graft.streaming.Streams.textIndexSyncStream]]): tails the
+    * source table, runs the idempotent incremental sync (+ optional
+    * compaction cadence) per micro-batch — the ops verb that turns a
+    * built fuzzy/lexical index into a self-maintaining one without a
+    * client cron. Body: source, idCol, column, tier (fuzzy |
+    * lexical, default fuzzy), compactEveryBatches (default 0 = off),
+    * maxFilesPerBucket (default 8), checkpoint (default under the
+    * engine root). Returns the stream id for GET /api/streams and
+    * DELETE /api/streams/{id}. */
+  private def postTextSyncStream(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val source = require(body, "source").asText()
+    val textCol = require(body, "column").asText()
+    val tier = opt(body, "tier").map(_.asText()).getOrElse("fuzzy")
+    val checkpoint = opt(body, "checkpoint").map(_.asText()).getOrElse(
+      s"${engine.root}/streams/${source}_${textCol}_$tier")
+    val q = graft.streaming.Streams.textIndexSyncStream(engine, source,
+      require(body, "idCol").asText(), textCol, checkpoint, tier,
+      compactEveryBatches = intOr(body, "compactEveryBatches", 0),
+      maxFilesPerBucket = intOr(body, "maxFilesPerBucket", 8))
+    opsStreams.put(q.id.toString, q)
+    ok(ex, s"""{"id":${jstr(q.id.toString)},"tier":${jstr(tier)},"active":true}""")
+  }
+
+  /** Active ops streams (id + liveness). A stream that died on its own
+    * (source dropped, artifact error) shows active: false until a
+    * DELETE reaps it. */
+  private def getStreams(ex: HttpExchange): Unit = {
+    val items = opsStreams.asScala.toSeq.sortBy(_._1).map { case (id, q) =>
+      s"""{"id":${jstr(id)},"active":${q.isActive}}"""
+    }
+    ok(ex, s"""{"streams":[${items.mkString(",")}]}""")
+  }
+
+  /** Stop + deregister an ops stream. */
+  private def deleteStream(ex: HttpExchange, id: String): Unit = {
+    val q = opsStreams.remove(id)
+    if (q == null)
+      send(ex, 404, s"""{"error":${jstr(s"no stream: $id")}}""")
+    else {
+      q.stop()
+      ok(ex, s"""{"stopped":${jstr(id)}}""")
+    }
+  }
+
   /** Fuzzy-index bucket compaction ([[graft.api.Engine.compactFuzzyIndex]]). */
   private def postFuzzyCompact(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
@@ -1196,9 +1263,14 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val idCol = require(body, "idCol").asText()
     val textCol = require(body, "textCol").asText()
     val targetRaw = engine.readTable(Seq(require(body, "target").asText()))
+    // project (not rename): withColumnRenamed would leave a duplicate
+    // when the target table already has a column named textCol, and
+    // dsirTrain's reference to it would then be ambiguous
     val target = opt(body, "targetTextCol").map(_.asText()) match {
-      case Some(c) if c != textCol => targetRaw.withColumnRenamed(c, textCol)
-      case _ => targetRaw
+      case Some(c) => targetRaw.select(
+        org.apache.spark.sql.functions.col(c).as(textCol))
+      case None => targetRaw.select(
+        org.apache.spark.sql.functions.col(textCol))
     }
     val model = graft.ext.Corpus.dsirTrain(target, df, textCol,
       opt(body, "buckets").map(_.asInt()).getOrElse(4096),

@@ -82,6 +82,46 @@ class CurateSpec extends SparkSuite {
       "gate must apply the DSIR stage like the batch pipeline")
   }
 
+  test("DSIR sized stage (dsirKeepFraction): curate and curateDrops " +
+      "derive the pivot independently and still partition; earlier " +
+      "attributions undisturbed; the streaming gate refuses the knob") {
+    // target = doc 1 → weights vary across docs (the sized path needs a
+    // real distribution to derive from); the tuple's pivot is NaN to
+    // prove the fraction OVERRIDES it
+    val model = graft.ext.Corpus.dsirTrain(
+      docs.filter(col("doc_id") === 1L), docs, "text")
+    val sized = cfg.copy(dsir = Some((model, Double.NaN)),
+      dsirKeepFraction = Some(0.5))
+    val kept = Curate.curate(docs, "doc_id", "text", bench, "doc_id",
+      "text", sized).select("doc_id").as[Long].collect().toSet
+    val drops = Curate.curateDrops(docs, "doc_id", "text", bench,
+      "doc_id", "text", sized).as[(Long, String)].collect().toMap
+    // partition: the two sides derive the pivot with no shared state —
+    // determinism of dsirPivotForKeep is what makes them agree
+    assert(kept ++ drops.keySet == (1L to 7L).toSet &&
+      kept.intersect(drops.keySet).isEmpty,
+      s"kept=$kept drops=$drops must partition the corpus")
+    // dsir sits LAST: every earlier stage's attribution is unchanged
+    assert(drops.filter(_._2 != "dsir_resampled") ==
+      Map(2L -> "exact_dup", 3L -> "near_dup", 4L -> "contaminated",
+        5L -> "quality", 6L -> "language"), s"got $drops")
+    // the gate has no corpus to derive from — loud refusal, with the
+    // resolve-offline instruction in the message
+    val refSigs = graft.ext.Dedup.minhashSignatures(
+      docs.select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+        .filter(col("ref_id") === 7L),
+      "ref_id", "ref_text", 32, 3)
+    val refTexts = docs.filter(col("doc_id") === 7L)
+      .select(col("doc_id").as("ref_id"), col("text").as("ref_text"))
+    val arrivals = Seq(100L -> doc1).toDF("doc_id", "text")
+    val gateBench = bench.withColumnRenamed("doc_id", "bench_id")
+    val err = intercept[IllegalArgumentException] {
+      Curate.curateArrivals(arrivals, "doc_id", "text", refSigs,
+        refTexts, gateBench, "bench_id", "text", sized).count()
+    }
+    assert(err.getMessage.contains("dsirPivotForKeep"))
+  }
+
   test("curateDrops: first-dropping-stage attribution partitions the corpus") {
     val drops = Curate.curateDrops(docs, "doc_id", "text",
         bench, "doc_id", "text", cfg)

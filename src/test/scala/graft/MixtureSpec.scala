@@ -335,4 +335,44 @@ class MixtureSpec extends SparkSuite {
     // salt re-deals the lottery (every row below this pivot)
     assert(kept(wmax + 0.5) != kept(wmax + 0.5, salt = "other"))
   }
+
+  test("dsirPivotForKeep: derived pivot realizes the requested kept " +
+      "mass to histogram tolerance; deterministic; edge cases") {
+    // 10k rows, weights spread over [−5, 5] deterministically
+    val w = spark.range(10000L).select(col("id"),
+      ((col("id") % 1000L).cast("double") / 100.0 - 5.0).as("w"))
+      .localCheckpoint()
+    for (f <- Seq(0.25, 0.5, 0.9)) {
+      val pivot = Corpus.dsirPivotForKeep(w, "w", f)
+      // re-derivation is bit-identical (the curate/curateDrops contract)
+      assert(pivot == Corpus.dsirPivotForKeep(w, "w", f))
+      val kept = Corpus.dsirSample(w, "id", col("w"), pivot).count()
+      // expected mass is bin-width-accurate; the hash lottery adds
+      // ~sqrt(n·f) binomial noise on top — 5% absolute covers both
+      assert(math.abs(kept / 10000.0 - f) < 0.05,
+        s"f=$f pivot=$pivot kept=$kept")
+    }
+    // keepFraction 1 → pivot at the minimum (all rows at/above: prob 1)
+    assert(Corpus.dsirPivotForKeep(w, "w", 1.0) == -5.0)
+    assert(Corpus.dsirSample(w, "id", col("w"),
+      Corpus.dsirPivotForKeep(w, "w", 1.0)).count() == 10000L)
+    // all-equal weights: closed form mn − ln(f)
+    val eq = spark.range(1000L).select(col("id"), lit(2.0).as("w"))
+    val p = Corpus.dsirPivotForKeep(eq, "w", 0.5)
+    assert(math.abs(p - (2.0 - math.log(0.5))) < 1e-12)
+    val keptEq = Corpus.dsirSample(eq, "id", col("w"), p).count()
+    assert(math.abs(keptEq / 1000.0 - 0.5) < 0.06, s"kept $keptEq")
+    // error contracts
+    intercept[IllegalArgumentException] {
+      Corpus.dsirPivotForKeep(w, "w", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.dsirPivotForKeep(w, "w", 1.5)
+    }
+    // sized wrapper returns the kept frame AND the pivot it derived
+    val (sampled, piv) = Corpus.dsirSampleSized(w, "id", "w", 0.5)
+    assert(piv == Corpus.dsirPivotForKeep(w, "w", 0.5))
+    assert(sampled.count() ==
+      Corpus.dsirSample(w, "id", col("w"), piv).count())
+  }
 }

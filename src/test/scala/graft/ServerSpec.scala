@@ -678,6 +678,48 @@ class ServerSpec extends SparkSuite {
     assert(send("DELETE", "/tables/wire_fz")._1 == 200)
   }
 
+  test("text-sync stream routes: start, same-wave serving after an " +
+      "append, list, stop") {
+    val (c1, b1) = send("PUT", "/tables/wire_tss",
+      """{"schema":"doc_id LONG, text STRING","rows":[
+        {"doc_id":1,"text":"the quick brown fox jumps"},
+        {"doc_id":2,"text":"nothing like the others at all"}]}""")
+    assert(c1 == 200, b1)
+    val (bc, bBody) = send("POST", "/indexes/fuzzy",
+      """{"source":"wire_tss","idCol":"doc_id","column":"text","maxDist":2,"buckets":8}""")
+    assert(bc == 200, bBody)
+    // start the self-maintenance stream over the wire
+    val (sc, sBody) = send("POST", "/streams/text-sync",
+      """{"source":"wire_tss","idCol":"doc_id","column":"text","tier":"fuzzy"}""")
+    assert(sc == 200, sBody)
+    val streamId = mapper.readTree(sBody).get("id").asText()
+    assert(mapper.readTree(sBody).get("active").asBoolean(), sBody)
+    val (lc, lBody) = send("GET", "/streams")
+    assert(lc == 200 && lBody.contains(streamId), lBody)
+    // append a near-dup of a NEW string directly to the table (the
+    // bulk-data path); the stream must sync it with no manual verb
+    import spark.implicits._
+    Seq((7L, "completely fresh wording here")).toDF("doc_id", "text")
+      .write.mode("append").parquet(engine.store.tablePath("wire_tss"))
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    var served = false
+    while (!served && System.nanoTime() < deadline) {
+      val (fc, fBody) = send("POST", "/search/fuzzy",
+        """{"source":"wire_tss","column":"text","query":"completely fresh wording hera"}""")
+      // until the stream's sync lands, freshness fails loudly (400) —
+      // retry; once it lands, the lookup serves the appended row
+      served = fc == 200 && fBody.contains("\"id\":7")
+      if (!served) Thread.sleep(500L)
+    }
+    assert(served, "stream did not sync the appended rows within 60s")
+    // stop + reap; a second delete of the same id is a 404
+    val (dc, dBody) = send("DELETE", s"/streams/$streamId")
+    assert(dc == 200, dBody)
+    assert(send("GET", "/streams")._2 == """{"streams":[]}""")
+    assert(send("DELETE", s"/streams/$streamId")._1 == 404)
+    assert(send("DELETE", "/tables/wire_tss")._1 == 200)
+  }
+
   test("span decontamination route: report and strip forms") {
     val (c1, b1) = send("PUT", "/tables/spd_corpus",
       """{"schema":"doc_id LONG, text STRING","rows":[

@@ -82,6 +82,91 @@ class SqlSurfaceSpec extends SparkSuite {
     assert(n.isNullAt(0))
   }
 
+  test("jaro_winkler: hand UTF-8 decode matches the String reference " +
+      "on random multilingual input; bounded variant is filter-exact") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // the allocation-free kernel decodes UTF-8 bytes itself — pin it
+    // char-for-char against new String(bytes, UTF_8) via a reference
+    // reimplementation of the same loops over String.charAt
+    def ref(a: String, b: String): Double = {
+      val la = a.length; val lb = b.length
+      if (a == b) return if (la == 0) 0.0 else 1.0
+      if (la == 0 || lb == 0) return 0.0
+      val window = math.max(0, math.max(la, lb) / 2 - 1)
+      val am = new Array[Boolean](la); val bm = new Array[Boolean](lb)
+      var m = 0
+      for (i <- 0 until la) {
+        var j = math.max(0, i - window)
+        val hi = math.min(lb - 1, i + window)
+        var found = false
+        while (j <= hi && !found) {
+          if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+            am(i) = true; bm(j) = true; m += 1; found = true
+          }
+          j += 1
+        }
+      }
+      if (m == 0) return 0.0
+      var t = 0; var k = 0
+      for (i <- 0 until la) if (am(i)) {
+        while (!bm(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      val md = m.toDouble
+      val jaro = (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+      if (jaro <= 0.7) jaro
+      else {
+        val cap = math.min(4, math.min(la, lb))
+        var p = 0
+        while (p < cap && a.charAt(p) == b.charAt(p)) p += 1
+        jaro + p * 0.1 * (1.0 - jaro)
+      }
+    }
+    // alphabet spanning 1-byte (ASCII), 2-byte (Cyrillic), 3-byte (CJK)
+    // and 4-byte (astral — surrogate pairs) UTF-8 sequences
+    val alphabet = ("ab1-" + "жщд" + "日本語漢字" + "éüñ" +
+      new String(Character.toChars(0x1F600)) +
+      new String(Character.toChars(0x10348))).toCharArray
+    // build from CODE POINTS so astral chars stay whole
+    val cps = new String(alphabet).codePoints().toArray
+    val rnd = new scala.util.Random(42)
+    def randStr(): String = {
+      val n = rnd.nextInt(12)
+      (0 until n).map(_ => new String(
+        Character.toChars(cps(rnd.nextInt(cps.length))))).mkString
+    }
+    for (_ <- 1 to 2000) {
+      val a = randStr(); val b = randStr()
+      val got = graft.functions.JaroWinklerAlgo.similarity(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val want = ref(a, b)
+      assert(got == want, s"('$a', '$b'): got $got want $want")
+      // bounded variant: exact whenever >= minSim, else anything < minSim
+      for (minSim <- Seq(0.3, 0.85, 0.95)) {
+        val gotB = graft.functions.JaroWinklerAlgo.similarityBounded(
+          UTF8String.fromString(a), UTF8String.fromString(b), minSim)
+        if (want >= minSim) assert(gotB == want,
+          s"bounded('$a', '$b', $minSim): got $gotB want $want")
+        else assert(gotB < minSim,
+          s"bounded('$a', '$b', $minSim): got $gotB, true $want < $minSim")
+      }
+    }
+    // the expression surface: jaro_winkler_min(a, b, s) >= s keeps the
+    // identical rows AND values as jaro_winkler(a, b) >= s
+    val pairs = (1 to 500).map(_ => (randStr(), randStr())).toDF("a", "b")
+    val viaMin = pairs.select(col("a"), col("b"),
+        graft.functions.functions.jaro_winkler_min(
+          col("a"), col("b"), 0.85).as("jw"))
+      .filter(col("jw") >= 0.85).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val viaFull = pairs.select(col("a"), col("b"),
+        graft.functions.functions.jaro_winkler(col("a"), col("b")).as("jw"))
+      .filter(col("jw") >= 0.85).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(viaMin == viaFull)
+  }
+
   test("graft_dequantize from SQL") {
     Graft.register(spark)
     Seq(Tuple1(Array[Byte](0, 127.toByte, 255.toByte))).toDF("b")

@@ -68,6 +68,12 @@ class WebSpec extends SparkSuite {
     // but "%fa" IS a well-formed escape of a non-unreserved octet, even
     // mid-word — hex uppercased, kept escaped
     assert(norm("https://a.com/100%fat").contains("https://a.com/100%FAt"))
+    // a %-escape in the HOST is rejected by the URL parser itself
+    // (try_parse_url → NULL), the same upstream quarantine as a
+    // malformed path escape — host escapes never reach pctNormalize
+    assert(norm("https://Ex%41mple.COM/x").isEmpty)
+    assert(Seq("https://Ex%41mple.COM").toDF("u")
+      .select(Web.urlHost(col("u"))).head().isNullAt(0))
   }
 
   test("registeredDomain: multi-part TLDs, depth, short hosts") {
