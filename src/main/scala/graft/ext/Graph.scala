@@ -401,7 +401,7 @@ object Graph {
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
       durableCheckpoint: Boolean = false,
       maxWedges: Long = 2000000000L,
-      maxBroadcastClosingEdges: Long = 2000000L): DataFrame = {
+      maxBroadcastClosingEdges: Long = 500000L): DataFrame = {
     require(maxWedges >= 1, "maxWedges must be >= 1")
     val e0 = edges.filter(col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -447,14 +447,19 @@ object Graph {
       .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
       .select("v1", "v2")
     // Closing join: the wedge side is the superlinear one (O(m^1.5)
-    // rows), the edge side is just m rows — when m is modest, BROADCAST
-    // the edges so the wedges stream through a hash lookup in the same
-    // stage they're generated in, instead of being shuffle-written,
-    // sorted and shuffle-read for a merge join (at sf0.1: 41M wedges vs
-    // 1.2M edges — the shuffle of the 41M was most of the query). The
-    // exact edge count is already in hand from the guard agg; past
-    // `maxBroadcastClosingEdges` (10M-edge soaks, real crawls) the
-    // shuffled join is the right plan and is kept.
+    // rows), the edge side is just m rows — for SMALL edge sets,
+    // BROADCAST the edges so the wedges stream through a hash lookup
+    // in the same stage they're generated in, instead of being
+    // shuffle-written, sorted and shuffle-read for a merge join. The
+    // exact edge count is already in hand from the guard agg. The
+    // default threshold is MEASURED, not guessed: at sf0.1 (1.2M
+    // oriented edges, 41M wedges) broadcast and shuffle are a wash —
+    // the single-threaded 1.2M-row hash-relation build (~2s) eats
+    // exactly what the 41M-row exchange costs at 32 threads (probed
+    // 3 runs each: broadcast 4.4-5.8s, shuffle 3.9-5.2s for the wedge
+    // phase) — so only clearly-under-the-build-cost edge sets take the
+    // broadcast path; everything else keeps the shuffled join, which
+    // also stays the right plan at the 10M-edge soak scale.
     val closingEdges = o.select(col("u").as("v1"), col("v").as("v2"))
     val closed = wedges.join(
       if (edgeCount <= maxBroadcastClosingEdges) broadcast(closingEdges)

@@ -41,13 +41,16 @@ object JaroWinklerAlgo {
     var b: Array[Char] = new Array[Char](256)
     var ma: Array[Boolean] = new Array[Boolean](256)
     var mb: Array[Boolean] = new Array[Boolean](256)
+    private def grown(n: Int): Int =
+      if (n > (1 << 30)) Int.MaxValue - 8 // 2GB-string edge: no overflow
+      else Integer.highestOneBit(n) * 2
     def ensure(na: Int, nb: Int): Unit = {
       if (na > a.length) {
-        a = new Array[Char](Integer.highestOneBit(na) * 2)
+        a = new Array[Char](grown(na))
         ma = new Array[Boolean](a.length)
       }
       if (nb > b.length) {
-        b = new Array[Char](Integer.highestOneBit(nb) * 2)
+        b = new Array[Char](grown(nb))
         mb = new Array[Boolean](b.length)
       }
     }
