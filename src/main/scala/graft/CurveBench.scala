@@ -111,10 +111,28 @@ object CurveBench {
         val out = Seq("curve_vectors" -> NumVectors.toDouble) ++
           pqCurves(ctx) ++ bitTierCurves(ctx) ++ joinCurves(ctx) ++
           bqLowRankCurves(spark, ctx.engine) ++
-          maxsimCurves(spark, ctx.engine)
+          maxsimCurves(spark, ctx.engine) ++
+          advisorCurve(ctx)
         cleanup(ctx)
         out
     }
+
+  /** Standalone/soak-only phase (NOT in the driver bench's budgeted
+    * phase list — the advisor's brute ground-truth pass belongs in the
+    * evidence artifact, not the gate): [[Engine.recommendProbes]] at
+    * corpus scale. Emits the advised probe count + its recall for a
+    * 0.95 target, plus the full measured ladder — at-scale validation
+    * that the advisor's answer is sane (recall at the advised probes ≥
+    * target, full-probe tail = 1.0). */
+  def advisorCurve(ctx: Ctx): Seq[(String, Double)] = {
+    val advice = ctx.engine.recommendProbes("c", "vectors", "vector",
+      "vec_id", k = 10, targetRecall = 0.95, sampleQueries = 32)
+    Seq(
+      "advisor_cells" -> advice.numCells.toDouble,
+      "advisor_probes_r95" -> advice.probes.toDouble,
+      "advisor_recall_at_advised" -> advice.recall) ++
+      advice.curve.map { case (p, r) => s"advisor_recall_at_p$p" -> r }
+  }
 
   /** Phase 1: scratch engine + corpus + coder + IVF + SQ8, and the
     * brute-force top-10 ground truth (one codes-light kNN join pass). */

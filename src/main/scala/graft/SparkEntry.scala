@@ -238,6 +238,38 @@ object SparkEntry {
     * only rows at containment >= 0.2. Shared by text_decontaminate,
     * decontaminate_stream and curate_corpus so the gram arithmetic cannot
     * drift between the three. */
+  /** DuckDB lambda mirroring [[graft.ext.Corpus.luhnValidExpr]] over a
+    * candidate `x`: separators stripped, 13-19 digits, reverse-indexed
+    * double-every-second-digit sum ≡ 0 (mod 10). */
+  private val luhnValidLambdaSql: String =
+    "x -> length(regexp_replace(x, '[ -]', '', 'g')) BETWEEN 13 AND 19 AND " +
+      "list_sum(list_transform(range(length(regexp_replace(x,'[ -]','','g'))), i -> " +
+      "CASE WHEN i % 2 = 1 THEN " +
+      "CASE WHEN 2*(ascii(substr(reverse(regexp_replace(x,'[ -]','','g')), CAST(i+1 AS INT), 1))-48) > 9 " +
+      "THEN 2*(ascii(substr(reverse(regexp_replace(x,'[ -]','','g')), CAST(i+1 AS INT), 1))-48) - 9 " +
+      "ELSE 2*(ascii(substr(reverse(regexp_replace(x,'[ -]','','g')), CAST(i+1 AS INT), 1))-48) END " +
+      "ELSE ascii(substr(reverse(regexp_replace(x,'[ -]','','g')), CAST(i+1 AS INT), 1))-48 END)) % 10 = 0"
+
+  /** The RE2 card-candidate pattern ([[graft.ext.Corpus.cardCandidatesExpr]])
+    * as a DuckDB string literal. */
+  private val cardPatSql = "'\\b[0-9](?:[ -]?[0-9]){12,18}\\b'"
+
+  /** Mirror of [[graft.ext.Corpus.cardRedactedExpr]] applied to SQL
+    * expression `t`: Luhn-valid candidates replaced with `<CARD>`
+    * (list_prepend seeds the fold — an empty valid list is identity). */
+  private def cardRedactSql(t: String): String =
+    s"list_reduce(list_prepend($t, list_filter(regexp_extract_all($t, " +
+      s"$cardPatSql), $luhnValidLambdaSql)), " +
+      "(acc,x) -> replace(acc, x, '<CARD>'))"
+
+  /** Mirror of [[graft.ext.Corpus.piiRedactedExpr]] applied to SQL
+    * expression `t` (emails → IPs → phones, replace-all). */
+  private def piiRedactSql(t: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($t, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
+      "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
+      "'\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}', '<PHONE>', 'g')"
+
   private def containmentCte(corpusRel: String, benchRel: String): String =
     "b AS (SELECT doc_id AS bench_id, " +
       "list_distinct(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS gs " +
@@ -1616,6 +1648,23 @@ object SparkEntry {
       graft.ext.Corpus.redactPii(d, "text2")
         .select(col("doc_id"), col("redacted"))
     }),
+    // —— Luhn-validated card redaction: a synthetic 16-digit number is
+    // derived from doc_id (spaced display grouping every 3rd doc), so
+    // whether a given doc's number passes the mod-10 check is decided by
+    // the LUHN ARITHMETIC itself, identically in both engines — validity
+    // is computed, not planted (~10% of docs carry a valid number) ——
+    "text_redact_cards" -> ((s: SparkSession, dir: String) => {
+      val num = lpad((col("doc_id") * lit(987654321L) +
+        lit(4123456789012345L)).cast("string"), 16, "0")
+      val disp = when(col("doc_id") % 3 === 0,
+        concat_ws(" ", substring(num, 1, 4), substring(num, 5, 4),
+          substring(num, 9, 4), substring(num, 13, 4))).otherwise(num)
+      val d = tbl(s, dir, "documents").withColumn("text2",
+        concat(col("text"), lit(" pay "), disp, lit(" ok")))
+      graft.ext.Corpus.redactCards(d, "text2")
+        .select(col("doc_id"), col("n_card_candidates"),
+          col("n_cards_valid"), col("redacted"))
+    }),
     // —— text: benchmark decontamination (n-gram containment) ——
     "text_decontaminate" -> ((s: SparkSession, dir: String) => {
       val docs = tbl(s, dir, "documents")
@@ -1854,6 +1903,24 @@ object SparkEntry {
           graft.ext.Curate.Config(jaccardThreshold = 0.35,
             minWords = 20, maxWords = 80))
         .select(col("doc_id"), col("lang_pred"), col("n_words"))
+    }),
+    // —— the curation pipeline with the PII output-scrub stage on: the
+    // SAME staged chain as curate_corpus over PII-injected text (email
+    // + Luhn-checkable card derived from doc_id), survivors' text
+    // masked as the FINAL rewrite — filters see the raw text, the
+    // output never carries the PII ——
+    "curate_redacted" -> ((s: SparkSession, dir: String) => {
+      val docs0 = tbl(s, dir, "documents")
+      val piiDocs = docs0.withColumn("text",
+        concat(col("text"), lit(" mail u"), col("doc_id").cast("string"),
+          lit("@m.example card "),
+          lpad((col("doc_id") * lit(987654321L) + lit(4123456789012345L))
+            .cast("string"), 16, "0"), lit(" ok")))
+      graft.ext.Curate.curate(piiDocs, "doc_id", "text",
+          piiDocs.filter(col("doc_id") < 5), "doc_id", "text",
+          graft.ext.Curate.Config(jaccardThreshold = 0.35,
+            minWords = 20, maxWords = 80, redactOutputPii = true))
+        .select(col("doc_id"), col("text").as("redacted"))
     }),
     // —— drop attribution: every dropped doc + the FIRST stage that
     // dropped it (the "why was my document removed" audit) ——
@@ -3007,6 +3074,31 @@ object SparkEntry {
         " SELECT dc.doc_id AS doc_id, p.lang_pred AS lang_pred, g.n_words AS n_words " +
         "FROM dc JOIN g4 g USING (doc_id) JOIN lpred p USING (doc_id) " +
         "WHERE g.keep AND p.lang_pred <> 'und'"),
+    // curation with the PII output-scrub: the curate_corpus chain over
+    // PII-injected text (same staged CTEs, `pii` replacing `documents`),
+    // survivors' text run through the email/IP/phone chain then the
+    // Luhn card fold — the same shared mirrors the standalone redaction
+    // oracles use
+    "curate_redacted" ->
+      ("WITH pii AS (SELECT doc_id, text || ' mail u' || " +
+        "CAST(doc_id AS VARCHAR) || '@m.example card ' || " +
+        "lpad(CAST(doc_id*987654321 + 4123456789012345 AS VARCHAR),16,'0') " +
+        "|| ' ok' AS text FROM documents), " +
+        "ex AS (SELECT min(doc_id) AS doc_id FROM pii GROUP BY text), " +
+        "exd AS (SELECT d.doc_id, d.text FROM pii d JOIN ex USING (doc_id)), " +
+        minhashBandedCte("exd") + ", " + minhashPairVerifyCte + ", " +
+        "nd AS (SELECT doc_id, text FROM exd WHERE doc_id NOT IN " +
+        "(SELECT id_b FROM ver WHERE j >= 0.35)), " +
+        containmentCte("nd",
+          "(SELECT doc_id, text FROM pii WHERE doc_id < 5)") + ", " +
+        "dc AS (SELECT doc_id, text FROM nd WHERE doc_id NOT IN " +
+        "(SELECT corpus_id FROM contam)), " +
+        gopherCte("dc") + ", " + langPredCte("dc") +
+        ", surv AS (SELECT dc.doc_id, dc.text FROM dc " +
+        "JOIN g4 g USING (doc_id) JOIN lpred p USING (doc_id) " +
+        "WHERE g.keep AND p.lang_pred <> 'und'), " +
+        "rp AS (SELECT doc_id, " + piiRedactSql("text") + " AS t FROM surv) " +
+        "SELECT doc_id, " + cardRedactSql("t") + " AS redacted FROM rp"),
     // drop attribution: the SAME staged chains as curate_corpus, read
     // through a precedence CASE — each stage's membership is consulted
     // only for docs every earlier stage kept, which is exactly why the
@@ -3908,6 +4000,24 @@ object SparkEntry {
         "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), " +
         "'\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}', '<PHONE>', 'g') AS redacted " +
         "FROM documents"),
+    // Luhn card redaction mirrored term-for-term: same RE2 candidate
+    // regex, same reverse-indexed double-every-second-digit sum, same
+    // literal replace fold over the valid candidates (list_prepend seeds
+    // the fold with the text so an empty valid list is the identity)
+    "text_redact_cards" ->
+      ("WITH d AS (SELECT doc_id, text || ' pay ' || " +
+        "(CASE WHEN doc_id % 3 = 0 THEN substr(num,1,4)||' '||substr(num,5,4)" +
+        "||' '||substr(num,9,4)||' '||substr(num,13,4) ELSE num END) || ' ok' AS t " +
+        "FROM (SELECT doc_id, text, lpad(CAST(doc_id*987654321 + " +
+        "4123456789012345 AS VARCHAR),16,'0') AS num FROM documents)), " +
+        "c AS (SELECT doc_id, t, " +
+        s"regexp_extract_all(t, $cardPatSql) AS cands FROM d), " +
+        "v AS (SELECT doc_id, t, cands, " +
+        s"list_filter(cands, $luhnValidLambdaSql) AS valid FROM c) " +
+        "SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_card_candidates, " +
+        "CAST(len(valid) AS BIGINT) AS n_cards_valid, " +
+        "list_reduce(list_prepend(t, valid), (acc,x) -> replace(acc, x, '<CARD>')) AS redacted " +
+        "FROM v"),
     "text_decontaminate" -> decontaminateSql,
     // span-level decontamination mirrors: paired-FNV gram hashes of the
     // corpus (dc) and the benchmark slice (db) from the one shared CTE

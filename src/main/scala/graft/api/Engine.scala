@@ -1248,5 +1248,87 @@ class Engine(val spark: SparkSession, val root: String) {
       "metric is required for search without a coding; expected one of " +
         graft.core.Metrics.All.mkString(", ")))
 
+  /** IVF probe advisor: the "how many probes do I need for recall r?"
+    * calibration every probed deployment runs once before serving.
+    * Measures mean recall@k of [[knnJoinIvf]] against the exact
+    * brute-force top-k ([[Search.knnJoin]]) on a DETERMINISTIC sample of
+    * the table's own vectors (the `sampleQueries` smallest
+    * `xxhash64(id)` rows — re-runs advise identically), doubling probes
+    * 1, 2, 4, … until `targetRecall` is met; the final ladder step is
+    * always the coding's full cell count, where probed == exact and
+    * recall is 1.0 by construction, so the advisor always terminates
+    * with a valid answer.
+    *
+    * Cost shape: ONE brute batch-join pass over the corpus for ground
+    * truth plus one PRUNED pass per ladder step (≤ log₂(cells) + 1
+    * steps), each amortizing all sample queries — never a per-query
+    * loop. Driver state is `sampleQueries × k` id pairs per step
+    * (bounded by the 256-query cap). Ties at the k-th distance are
+    * broken on `idCol` on BOTH sides, so the recall is well-defined.
+    * At 100 TB the brute pass is the honest price of ground truth —
+    * run the advisor once per (coding, corpus) and persist the answer,
+    * not per query. */
+  def recommendProbes(coding: String, source: String, column: String,
+      idCol: String, k: Int = 10, targetRecall: Double = 0.95,
+      sampleQueries: Int = 32): Engine.ProbeAdvice = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(sampleQueries >= 1 && sampleQueries <= 256,
+      s"sampleQueries must be in [1, 256] (bounded driver state), " +
+        s"got $sampleQueries")
+    val codingObj = store.loadCoding(coding)
+    val cells: Int = codingObj.numCells.toInt
+    val metric = codingObj.config.metric
+    val corpus = store.loadTable(source)
+    // deterministic bounded sample; localCheckpoint so the orderBy scan
+    // runs once, not once per ladder step
+    val queries = corpus
+      .select(col(idCol).as("__q_id__"), col(column).as("__q_vec__"))
+      .orderBy(xxhash64(col("__q_id__")), col("__q_id__"))
+      .limit(sampleQueries).localCheckpoint()
+    // string keys so non-numeric id columns advise too
+    def collectTopK(df: DataFrame): Map[String, Set[String]] =
+      df.select(col("__q_id__").cast("string"), col(idCol).cast("string"))
+        .collect().groupBy(_.getString(0))
+        .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val truth = collectTopK(graft.api.Search.knnJoin(corpus, column,
+      queries, "__q_id__", "__q_vec__", metric, k,
+      tieBreak = Seq(idCol), idCol = Some(idCol)))
+    def recallAt(probes: Int): Double = {
+      val got = collectTopK(knnJoinIvf(coding, source, column, queries,
+        "__q_id__", "__q_vec__", k, probes, idCol, Some(metric),
+        tieBreak = Seq(idCol)))
+      val rs = truth.map { case (q, ids) =>
+        if (ids.isEmpty) 1.0
+        else ids.count(got.getOrElse(q, Set.empty[String]).contains)
+          .toDouble / ids.size
+      }
+      if (rs.isEmpty) 1.0 else rs.sum / rs.size
+    }
+    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cells) ++
+      Iterator.single(cells)).toSeq
+    val curve = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    var advice: Option[(Int, Double)] = None
+    val it = ladder.iterator
+    while (advice.isEmpty && it.hasNext) {
+      val p = it.next()
+      val r = recallAt(p)
+      curve += ((p, r))
+      if (r >= targetRecall) advice = Some((p, r))
+    }
+    graft.ext.Graph.release(queries)
+    val (probes, recall) = advice.getOrElse(curve.last)
+    Engine.ProbeAdvice(probes, recall, curve.toList, cells)
+  }
+
   def remove(): Unit = store.remove()
+}
+
+object Engine {
+  /** [[Engine.recommendProbes]] result: the smallest measured probe
+    * count meeting the target, its recall, the (probes, recall) points
+    * actually measured, and the coding's cell count for context. */
+  case class ProbeAdvice(probes: Int, recall: Double,
+      curve: Seq[(Int, Double)], numCells: Int)
 }

@@ -734,15 +734,99 @@ object Corpus {
     * local parts can contain digits), then IPs, then phones. Narrow map,
     * stays in codegen. */
   def redactPii(df: DataFrame, textCol: String,
-      out: String = "redacted"): DataFrame = {
+      out: String = "redacted"): DataFrame =
+    df.withColumn(out, piiRedactedExpr(col(textCol)))
+
+  /** The email → IP → phone redaction chain as a column expression
+    * (the [[redactPii]] body, reusable by the curation pipeline's
+    * output-scrub stage). */
+  def piiRedactedExpr(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val phone = "\\+\\d{1,3}[- ]?\\d{3}[- ]?\\d{3,4}[- ]?\\d{3,4}"
-    df.withColumn(out,
+    regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), email, "<EMAIL>"),
-          ipv4, "<IP>"),
-        phone, "<PHONE>"))
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
   }
+
+  /** Payment-card-number detection + redaction with Luhn validation —
+    * the scrubbing step regex alone cannot do: a 13-19-digit run is only
+    * PII if its Luhn mod-10 checksum holds (ISO/IEC 7812), so order ids
+    * and timestamps that happen to be long digit runs survive while real
+    * card numbers are masked.
+    *
+    * Candidates: `\b`-anchored runs of 13-19 digits with optional single
+    * space/dash separators between digits (the common display groupings;
+    * RE2-compatible pattern — no lookaround — so the DuckDB oracle runs
+    * the identical regex). Each candidate's digits (separators stripped)
+    * are Luhn-checked — double every second digit from the RIGHT,
+    * subtract 9 when the double exceeds 9, valid iff the sum is ≡ 0
+    * (mod 10); only VALID candidates are replaced with `<CARD>`.
+    *
+    * Adds `n_card_candidates`, `n_cards_valid`, and `out` (the redacted
+    * text). All pure built-ins — regexp_extract_all, higher-order
+    * filter/aggregate over the candidate array, integer Luhn arithmetic
+    * — one narrow map, no UDF, embarrassingly parallel at 100 TB and
+    * deterministic enough to hash-match an external SQL mirror.
+    * NULL text passes through as NULL with NULL counts (no candidates
+    * is `0`, unknown text is unknown — the SQL-natural convention). */
+  def redactCards(df: DataFrame, textCol: String,
+      out: String = "redacted"): DataFrame = {
+    val cands = cardCandidatesExpr(col(textCol))
+    val valid = filter(cands, luhnValidExpr(_))
+    df.withColumn("__cc__", cands)
+      .withColumn("__ccv__", valid)
+      .withColumn("n_card_candidates", size(col("__cc__")).cast("long"))
+      .withColumn("n_cards_valid", size(col("__ccv__")).cast("long"))
+      .withColumn(out,
+        aggregate(col("__ccv__"), col(textCol),
+          (acc: Column, c: Column) => replace(acc, c, lit("<CARD>"))))
+      .drop("__cc__", "__ccv__")
+  }
+
+  /** The card-candidate extraction of [[redactCards]] as an expression:
+    * `\b`-anchored 13-19-digit runs with optional single space/dash
+    * separators (RE2-compatible — no lookaround). */
+  def cardCandidatesExpr(text: Column): Column =
+    regexp_extract_all(text, lit("\\b[0-9](?:[ -]?[0-9]){12,18}\\b"), lit(0))
+
+  /** Luhn mod-10 validity of one candidate string (separators stripped;
+    * 13-19 digits required). Double every second digit from the RIGHT
+    * (reverse + 0-based index i, odd i doubles, −9 when the double
+    * exceeds 9); valid iff the sum ≡ 0 (mod 10). `aggregate` over
+    * `sequence` keeps the whole check inside codegen'd built-ins. */
+  def luhnValidExpr(c: Column): Column = {
+    val ds = regexp_replace(c, "[ -]", "")
+    val rev = reverse(ds)
+    val luhnSum = aggregate(
+      sequence(lit(0), length(ds) - 1),
+      lit(0),
+      (acc: Column, i: Column) => {
+        val d = ascii(rev.substr(i + 1, lit(1))) - 48
+        val dbl = d * 2
+        acc + when(i % 2 === 1, when(dbl > 9, dbl - 9).otherwise(dbl))
+          .otherwise(d)
+      })
+    // the regex already bounds total run length; re-check the DIGIT
+    // count so separator-heavy matches can't sneak a short number in
+    length(ds).between(13, 19) && luhnSum % 10 === 0
+  }
+
+  /** [[redactCards]]' rewrite as a single column expression: every
+    * Luhn-VALID candidate replaced with `<CARD>` (literal replace fold
+    * seeded with the text — an empty valid list is the identity). */
+  def cardRedactedExpr(text: Column): Column =
+    aggregate(filter(cardCandidatesExpr(text), luhnValidExpr(_)), text,
+      (acc: Column, c: Column) => replace(acc, c, lit("<CARD>")))
+
+  /** The full output-scrub chain of the curation pipeline: emails →
+    * IPs → phones → Luhn-valid cards. Cards must run LAST — the phone
+    * rule's digit runs could otherwise be consumed as card candidates
+    * (a 13-digit "+"-less phone body passes Luhn for ~10% of numbers),
+    * while no earlier tag leaves digits behind for the card rule to
+    * misread. */
+  def piiAndCardsRedactedExpr(text: Column): Column =
+    cardRedactedExpr(piiRedactedExpr(text))
 }

@@ -126,7 +126,18 @@ object Curate {
       // stream has no corpus to derive from; resolve the fraction to
       // a constant pivot offline and pass it in `dsir` (stream==batch
       // parity requires a constant).
-      dsirKeepFraction: Option[Double] = None)
+      dsirKeepFraction: Option[Double] = None,
+      // true = PII scrubbing as the FINAL rewrite on the survivors'
+      // text ([[Corpus.piiAndCardsRedactedExpr]]: emails → IPs →
+      // phones → Luhn-valid card numbers). An OUTPUT-hygiene rewrite,
+      // not a filter: it runs after every stage so no upstream hash
+      // sees masked text (two spam variants differing only in their
+      // contact emails must still near-dup-pair on the real content),
+      // it adds/removes no row (drop attribution and the
+      // curate ∪ curateDrops partition property are untouched), and
+      // the streaming gate applies the identical expression per batch
+      // (stream == batch parity is free — the rewrite is per-row).
+      redactOutputPii: Boolean = false)
 
   /** Although the SEMANTICS are a staged cascade (each stage filtering
     * the last), the PLAN is not: a literal cascade re-derives every
@@ -254,11 +265,23 @@ object Curate {
     // 6 (optional) — DSIR importance resampling over what survived
     // every filter (resampling a corpus that still holds junk would
     // just re-weight the junk); a pure expression filter, no join
-    resolvedDsir(docs, textCol, cfg).fold(cleaned) { case (model, pivot) =>
-      cleaned.filter(Corpus.dsirKeepExpr(col(idCol),
-        Corpus.dsirWeightExpr(col(textCol), model), pivot))
-    }
+    val resampled =
+      resolvedDsir(docs, textCol, cfg).fold(cleaned) { case (model, pivot) =>
+        cleaned.filter(Corpus.dsirKeepExpr(col(idCol),
+          Corpus.dsirWeightExpr(col(textCol), model), pivot))
+      }
+    redactedOutput(resampled, textCol, cfg)
   }
+
+  /** Apply [[Config.redactOutputPii]]'s FINAL rewrite (identity when
+    * off) — after every filter, so no upstream hash ever sees masked
+    * text. A pure column expression: fused into the survivor pass. */
+  private def redactedOutput(survivors: DataFrame, textCol: String,
+      cfg: Config): DataFrame =
+    if (!cfg.redactOutputPii) survivors
+    else survivors.withColumn(textCol,
+      when(col(textCol).isNotNull,
+        Corpus.piiAndCardsRedactedExpr(col(textCol))))
 
   /** The effective (model, pivot) of the dsir stage: when
     * [[Config.dsirKeepFraction]] is set, the pivot is DERIVED from this
@@ -539,9 +562,13 @@ object Curate {
       "dsirKeepFraction is a batch-corpus knob: resolve it to a pivot " +
         "with Corpus.dsirPivotForKeep and pass Config.dsir = " +
         "Some((model, pivot)) to the streaming gate")
-    cfg.dsir.fold(cleaned) { case (model, pivot) =>
+    val resampled = cfg.dsir.fold(cleaned) { case (model, pivot) =>
       cleaned.filter(Corpus.dsirKeepExpr(col(idCol),
         Corpus.dsirWeightExpr(col(textCol), model), pivot))
     }
+    // same FINAL output-scrub as [[curate]] (per-row rewrite, so
+    // gating each arrival is exactly the batch rewrite restricted to
+    // the batch's rows — stream == batch parity holds by construction)
+    redactedOutput(resampled, textCol, cfg)
   }
 }

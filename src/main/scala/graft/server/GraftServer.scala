@@ -122,6 +122,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           engine.dropIndex(name); ok(ex, """{"dropped":true}""")
         case ("POST", "search" :: Nil)           => postSearch(ex)
         case ("POST", "search" :: "maxsim" :: Nil) => postMaxsim(ex)
+        case ("POST", "advise" :: "probes" :: Nil) => postAdviseProbes(ex)
         case ("GET", "pca" :: Nil) =>
           ok(ex, mapper.writeValueAsString(
             Map("models" -> engine.store.listPcaModels().asJava).asJava))
@@ -303,6 +304,28 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * decision table as [[Engine.search]] / `flight.py:242-288`. A
     * `targets` array of vectors instead of `target` selects the BATCH
     * form ([[postSearchBatch]]). */
+  /** Probe-count advisor ([[graft.api.Engine.recommendProbes]]): body =
+    * {coding, source, column, idCol, k?, targetRecall?, sampleQueries?};
+    * response = the advice plus the measured (probes, recall) curve. A
+    * calibration verb, not a serving verb — run once per (coding,
+    * corpus), persist the answer client-side. */
+  private def postAdviseProbes(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val advice = engine.recommendProbes(
+      require(body, "coding").asText(),
+      require(body, "source").asText(),
+      require(body, "column").asText(),
+      require(body, "idCol").asText(),
+      k = intOr(body, "k", 10),
+      targetRecall = opt(body, "targetRecall").map(_.asDouble()).getOrElse(0.95),
+      sampleQueries = intOr(body, "sampleQueries", 32))
+    val curve = advice.curve
+      .map { case (p, r) => s"""{"probes":$p,"recall":$r}""" }
+      .mkString(",")
+    ok(ex, s"""{"probes":${advice.probes},"recall":${advice.recall},""" +
+      s""""numCells":${advice.numCells},"curve":[$curve]}""")
+  }
+
   private def postSearch(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
     if (opt(body, "targets").isDefined) { postSearchBatch(ex, body); return }
@@ -1180,7 +1203,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         opt(body, "contamStripSpans").exists(_.asBoolean()),
       // NFC + control/whitespace normalization before any hashing
       normalizeUnicode =
-        opt(body, "normalizeUnicode").exists(_.asBoolean()))
+        opt(body, "normalizeUnicode").exists(_.asBoolean()),
+      // PII output-scrub (emails/IPs/phones/Luhn cards) on survivors
+      redactOutputPii =
+        opt(body, "redactOutputPii").exists(_.asBoolean()))
 
   /** Drop attribution ([[graft.ext.Curate.curateDrops]]): every dropped
     * doc + the first stage that dropped it — the "why was my document

@@ -243,6 +243,39 @@ class CurateSpec extends SparkSuite {
     assert(expected.map(_._1) == Seq(12L, 14L))
   }
 
+  test("redactOutputPii: survivors' ids unchanged, PII masked, " +
+      "stream gate applies the identical rewrite") {
+    // doc1 survivor gets an email + a Luhn-valid PAN appended; doc7
+    // survivor stays clean. The scrub must not change WHICH docs
+    // survive (it runs after every filter), only their text.
+    val piiDocs = docs.withColumn("text",
+      when(col("doc_id") === 1L, concat(col("text"),
+        lit(" mail bob@corp.example.org card 4532015112830366")))
+        .otherwise(col("text")))
+    val off = Curate.curate(piiDocs, "doc_id", "text",
+      bench, "doc_id", "text", cfg)
+    val on = Curate.curate(piiDocs, "doc_id", "text",
+      bench, "doc_id", "text", cfg.copy(redactOutputPii = true))
+    assert(on.select("doc_id").as[Long].collect().sorted.toSeq ==
+      off.select("doc_id").as[Long].collect().sorted.toSeq)
+    val t1 = on.filter(col("doc_id") === 1L)
+      .select("text").as[String].collect().head
+    assert(t1.endsWith("mail <EMAIL> card <CARD>"), t1)
+    val t7 = on.filter(col("doc_id") === 7L)
+      .select("text").as[String].collect().head
+    assert(t7 == "of mice and men in the big house it was all fine to see")
+    // the ingest twin applies the same rewrite (stream == batch parity)
+    val corpus = Seq(100L -> doc1).toDF("ref_id", "ref_text")
+    val sigs = graft.ext.Dedup.minhashSignatures(corpus, "ref_id", "ref_text")
+    val arr = Seq(12L -> ("of mice and men in the big house it was " +
+      "all fine to see mail eve@x.example.net")).toDF("doc_id", "text")
+    val gated = Curate.curateArrivals(arr, "doc_id", "text",
+      sigs, corpus, bench.withColumnRenamed("doc_id", "bench_id"),
+      "bench_id", "text", cfg.copy(redactOutputPii = true))
+    assert(gated.select("text").as[String].collect().head
+      .endsWith("mail <EMAIL>"))
+  }
+
   test("contamStripSpans: the leaked span goes, the document survives") {
     val out = Curate.curate(docs, "doc_id", "text",
         bench, "doc_id", "text", cfg.copy(contamStripSpans = true))

@@ -2345,4 +2345,43 @@ class CorpusSpec extends SparkSuite {
     assert(Corpus.redactPii(clean, "text").select("redacted")
       .as[String].collect().head == "no pii here just words and 42 numbers")
   }
+
+  test("card redaction masks Luhn-valid numbers only") {
+    // 4532015112830366 and 4111111111111111 are the standard Luhn-valid
+    // test PANs; flipping the last digit breaks the checksum
+    val df = Seq(
+      (1L, "pay 4532015112830366 now"),               // valid, bare
+      (2L, "pay 4532 0151 1283 0366 now"),            // valid, spaced
+      (3L, "pay 4532-0151-1283-0367 now"),            // check digit off
+      (4L, "order 1234567890123456 and 4111111111111111"), // invalid+valid
+      (5L, "ts 20260816120000123 and short 123456789012"), // 17 digits fails luhn? checked below; 12 digits not a candidate
+      (6L, "amex 371449635398431 ok")                 // 15-digit valid
+    ).toDF("id", "text")
+    val out = Corpus.redactCards(df, "text")
+      .select("id", "n_card_candidates", "n_cards_valid", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((1L, 1L, "pay <CARD> now")))
+    assert(out(2L) == ((1L, 1L, "pay <CARD> now")))
+    assert(out(3L) == ((1L, 0L, "pay 4532-0151-1283-0367 now")))
+    assert(out(4L)._1 == 2L && out(4L)._2 == 1L &&
+      out(4L)._3 == "order 1234567890123456 and <CARD>")
+    // the 17-digit timestamp is a CANDIDATE but must fail Luhn unless it
+    // accidentally passes — assert against the ground-truth check
+    def luhnOk(s: String): Boolean = {
+      val ds = s.filter(_.isDigit).reverse
+      ds.zipWithIndex.map { case (c, i) =>
+        val d = c - '0'; if (i % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+      }.sum % 10 == 0
+    }
+    val tsValid = if (luhnOk("20260816120000123")) 1L else 0L
+    assert(out(5L) == ((1L, tsValid,
+      if (tsValid == 1L) "ts <CARD> and short 123456789012"
+      else "ts 20260816120000123 and short 123456789012")))
+    assert(out(6L) == ((1L, 1L, "amex <CARD> ok")))
+    // parity with the ground-truth Luhn on every candidate above
+    assert(luhnOk("4532015112830366") && luhnOk("4111111111111111") &&
+      luhnOk("371449635398431") && !luhnOk("4532015112830367") &&
+      !luhnOk("1234567890123456"))
+  }
 }

@@ -154,6 +154,29 @@ class EngineSpec extends SparkSuite {
     assert(df.count() == 5)
   }
 
+  test("probe advisor: deterministic, target-meeting, exact at full probes") {
+    val advice = engine.recommendProbes("c1", "emb", "embedding", "vec_id",
+      k = 10, targetRecall = 0.9, sampleQueries = 8)
+    assert(advice.numCells == 16)
+    assert(advice.probes >= 1 && advice.probes <= 16)
+    assert(advice.recall >= 0.9 || advice.probes == 16,
+      s"advice below target without exhausting cells: $advice")
+    // curve is the measured ladder: positive probes, recalls in [0, 1],
+    // strictly increasing probe counts
+    assert(advice.curve.nonEmpty)
+    assert(advice.curve.forall { case (p, r) => p >= 1 && r >= 0.0 && r <= 1.0 })
+    assert(advice.curve.map(_._1) == advice.curve.map(_._1).sorted.distinct)
+    // the full-probe ladder step equals exact search → recall exactly 1.0
+    // (guaranteed termination: a 1.0 target is always eventually met)
+    val full = engine.recommendProbes("c1", "emb", "embedding", "vec_id",
+      k = 10, targetRecall = 1.0, sampleQueries = 8)
+    assert(full.recall == 1.0, s"full-probe recall ${full.recall}")
+    // deterministic: the same call advises identically
+    val again = engine.recommendProbes("c1", "emb", "embedding", "vec_id",
+      k = 10, targetRecall = 0.9, sampleQueries = 8)
+    assert(again == advice)
+  }
+
   test("admin: list and drop") {
     assert(engine.listTables().contains("emb"))
     assert(engine.listCodings().contains("c1"))

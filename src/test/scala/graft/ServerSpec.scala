@@ -104,6 +104,18 @@ class ServerSpec extends SparkSuite {
       .forEachRemaining(n => probed += n.get("id").asLong())
     assert(probed.toSeq == Seq(0L, 2L, 4L, 6L, 8L), s"probed $probed")
 
+    // probe advisor over the wire: full-recall target always terminates
+    // (final ladder step = all cells, where probed == exact)
+    val (ac, aBody) = send("POST", "/advise/probes",
+      """{"coding":"wire_c1","source":"wire_vecs","column":"vec",
+          "idCol":"id","k":5,"targetRecall":1.0,"sampleQueries":4}""")
+    assert(ac == 200, aBody)
+    val adv = mapper.readTree(aBody)
+    assert(adv.get("numCells").asInt() == 2, aBody)
+    assert(adv.get("probes").asInt() >= 1 && adv.get("probes").asInt() <= 2, aBody)
+    assert(adv.get("recall").asDouble() == 1.0, aBody)
+    assert(adv.get("curve").size() >= 1, aBody)
+
     // ivf+pq search over the wire (candidates + idCol select the PQ path)
     val (pc2, pBody2) = send("POST", "/search",
       """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
@@ -841,7 +853,8 @@ class ServerSpec extends SparkSuite {
   }
 
   test("curate route: inline survivors and persisted dest table match the library") {
-    val doc1 = "the cat sat on the mat and it was nice to see the dog again"
+    val doc1 = "the cat sat on the mat and it was nice to see the dog " +
+      "again mail bob@x.example"
     def j(id: Long, t: String) = s"""{"doc_id":$id,"text":"$t"}"""
     val (c1, b1) = send("PUT", "/tables/cur_docs",
       s"""{"schema":"doc_id LONG, text STRING","rows":[
@@ -875,6 +888,19 @@ class ServerSpec extends SparkSuite {
     mapper.readTree(sBody).get("rows").elements()
       .forEachRemaining(n => stored += n.get("doc_id").asLong())
     assert(stored.toSet == Set(1L, 5L), s"stored $stored")
+    // PII output-scrub knob over the wire: same survivors, masked text
+    val (pc2, pBody2) = send("POST", "/text/curate",
+      s"""{$req,"redactOutputPii":true}""")
+    assert(pc2 == 200, pBody2)
+    val redIds = scala.collection.mutable.Set.empty[Long]
+    val redTexts = scala.collection.mutable.Map.empty[Long, String]
+    mapper.readTree(pBody2).get("rows").elements()
+      .forEachRemaining { n =>
+        redIds += n.get("doc_id").asLong()
+        redTexts(n.get("doc_id").asLong()) = n.get("text").asText()
+      }
+    assert(redIds.toSet == Set(1L, 5L), s"redacted survivors $redIds")
+    assert(redTexts(1L).endsWith("mail <EMAIL>"), redTexts(1L))
     Seq("cur_docs", "cur_bench", "cur_out").foreach(t =>
       assert(send("DELETE", s"/tables/$t")._1 == 200))
   }
