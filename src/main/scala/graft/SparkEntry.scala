@@ -2912,6 +2912,19 @@ object SparkEntry {
         Validate.ForeignKey("l_partkey", tbl(s, dir, "part"), "p_partkey"),
         Validate.RowCountAtLeast(1000L)))
     }),
+    // —— snapshot diff: keyed added/removed/changed audit between two
+    // corpus versions (v2 synthesized: every 7th doc dropped, every
+    // 5th survivor's text edited, the first 20 re-keyed +10000 as new
+    // arrivals) — one full-outer join, null-safe struct compare ——
+    "table_diff" -> ((s: SparkSession, dir: String) => {
+      val a = tbl(s, dir, "documents")
+      val b = a.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(a.filter(col("doc_id") < 20)
+          .withColumn("doc_id", col("doc_id") + 10000))
+      graft.ext.Validate.diffByKey(a, b, "doc_id")
+    }),
     // —— snapshot drift report: per-bin exact length-distribution
     // comparison between two corpus versions (here: the even- and
     // odd-id halves) — pure integer counts, no KL/PSI logarithms ——
@@ -5035,6 +5048,25 @@ object SparkEntry {
         "GROUP BY 1, 2, 3"),
     // every check is a conditional-count over one scan; FK misses via
     // correlated NOT EXISTS (the LEFT-join marker's SQL mirror)
+    // keyed snapshot diff: full-outer join + IS NOT DISTINCT FROM per
+    // compared column (the struct null-safe compare, spelled out)
+    "table_diff" ->
+      ("WITH b AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+        "THEN text || ' v2' ELSE text END AS text, lang, source, n_chars " +
+        "FROM documents WHERE doc_id % 7 <> 0 " +
+        "UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars " +
+        "FROM documents WHERE doc_id < 20) " +
+        "SELECT doc_id, status FROM (" +
+        "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+        "CASE WHEN a.doc_id IS NULL THEN 'added' " +
+        "WHEN b.doc_id IS NULL THEN 'removed' " +
+        "WHEN NOT (a.text IS NOT DISTINCT FROM b.text " +
+        "AND a.lang IS NOT DISTINCT FROM b.lang " +
+        "AND a.source IS NOT DISTINCT FROM b.source " +
+        "AND a.n_chars IS NOT DISTINCT FROM b.n_chars) THEN 'changed' " +
+        "END AS status " +
+        "FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id) " +
+        "WHERE status IS NOT NULL"),
     "quality_constraints" ->
       ("WITH agg AS (SELECT " +
         "count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS v0, " +

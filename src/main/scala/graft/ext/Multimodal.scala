@@ -25,6 +25,14 @@ object Multimodal {
   // executors must never try to touch a display; set before any ImageIO
   // class loads (safe to set repeatedly)
   System.setProperty("java.awt.headless", "true")
+  // ImageIO.read/write on a raw Input/OutputStream default to
+  // FILE-backed stream caches — one temp file created and deleted per
+  // codec call. Per-row codec work (the media ledger queries run 4
+  // calls/row × corpus) then serializes on tmp-dir metadata ops and its
+  // latency tracks filesystem state, not codec cost (measured: the
+  // 16×16 round-trip query swung 1.3→4.6s between idle-machine runs).
+  // Memory-backed caches fix both; our payloads are small by design.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Media row: payload + typed metadata (modality, dims, sample rate). */
   case class MediaMeta(modality: String, width: Int, height: Int, sampleRateHz: Int)

@@ -176,4 +176,54 @@ object Validate {
     augmented.select(df.columns.map(col).toIndexedSeq :+
       array_compact(array(flags: _*)).as(flagCol): _*)
   }
+
+  /** Keyed diff of two table versions — the "what changed between
+    * corpus v1 and v2" audit a pipeline runs before re-training on a
+    * refreshed snapshot: one row per key whose presence or content
+    * differs, `status` ∈ `added` (right only) / `removed` (left only) /
+    * `changed` (both sides, any compared column differs — null-safe).
+    * Unchanged keys are absent. Compared columns = the LEFT side's
+    * non-key columns; the right side must carry them all (checked
+    * statically). Keys must be non-NULL and unique per side — checked
+    * in ONE bounded aggregation per side and REFUSED otherwise (a
+    * duplicate key would silently turn the full-outer join into a
+    * row-multiplying blowup and the diff into nonsense; same
+    * fail-don't-degrade discipline as the all-pairs guards).
+    *
+    * Scale shape: one full-outer hash join on the key, both sides
+    * pruned to keyCol + the compared set packed in ONE struct; content
+    * comparison is a null-safe struct inequality (structs compare like
+    * rows — NULL fields equal NULL fields), evaluated row-side in
+    * codegen. No hashing pass, no collect; output is keys + a status
+    * string, never the payloads. */
+  def diffByKey(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val cols = a.columns.filterNot(_ == keyCol).toSeq
+    require(a.columns.contains(keyCol) && b.columns.contains(keyCol),
+      s"diffByKey: both sides need key column '$keyCol'")
+    require(cols.nonEmpty, "diffByKey: no non-key columns to compare")
+    val missing = cols.filterNot(b.columns.contains)
+    require(missing.isEmpty,
+      s"diffByKey: right side lacks compared column(s) ${missing.mkString(", ")}")
+    def guardKeys(df: DataFrame, side: String): Unit = {
+      val r = df.agg(count(lit(1)), count(col(keyCol)),
+        countDistinct(col(keyCol))).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"diffByKey: NULL $keyCol on the $side side — keys must be non-NULL")
+      require(r.getLong(1) == r.getLong(2),
+        s"diffByKey: duplicate $keyCol on the $side side — " +
+          "deduplicate (e.g. Dedup.latestByKey) before diffing")
+    }
+    guardKeys(a, "left"); guardKeys(b, "right")
+    val la = a.select(col(keyCol),
+      struct(cols.map(col): _*).as("__va__"), lit(1).as("__pa__"))
+    val lb = b.select(col(keyCol),
+      struct(cols.map(col): _*).as("__vb__"), lit(1).as("__pb__"))
+    la.join(lb, Seq(keyCol), "full_outer")
+      .withColumn("status",
+        when(col("__pa__").isNull, lit("added"))
+          .when(col("__pb__").isNull, lit("removed"))
+          .when(!(col("__va__") <=> col("__vb__")), lit("changed")))
+      .filter(col("status").isNotNull)
+      .select(col(keyCol), col("status"))
+  }
 }

@@ -51,7 +51,17 @@ object Web {
     * way [[urlNormalize]] does (the try_parse_url gate); that is
     * stronger than "malformed % left alone", so the method is not
     * part of the public surface. */
-  private[graft] def pctNormalize(s: Column): Column = {
+  private[graft] def pctNormalize(s: Column): Column =
+    graft.functions.functions.pct_normalize(s)
+
+  /** The ORIGINAL 12-regexp + 62-replace column chain, kept as the
+    * differential-test twin of the codegen kernel that replaced it
+    * ([[graft.functions.PctNormalizeAlgo]] — the chain, applied twice
+    * inside [[urlNormalize]], pushed the projection out of whole-stage
+    * codegen and its Catalyst-analysis cost dominated small inputs;
+    * NOTES round 17). WebSpec pins kernel == chain on adversarial
+    * escape soup, well-formed and malformed alike. */
+  private[graft] def pctNormalizeChain(s: Column): Column = {
     // first hex digit: %xY → %XY (second digit must be hex — a lone
     // "%x" before a non-hex character is malformed and left alone)
     val upFirst = HexLetters.foldLeft(s)((acc, c) =>
@@ -101,9 +111,12 @@ object Web {
     // escapes canonicalized BEFORE the tracker filter, so an escaped
     // spelling of a tracker name ("%75tm_source") cannot slip past it
     val q = pctNormalize(coalesce(try_parse_url(u, lit("QUERY")), lit("")))
-    val kept = filter(split(q, "&"),
-      p => !(p.rlike(TrackingParamPattern) || p === ""))
-    val qn = array_join(kept, "&")
+    // tracker filter as a codegen kernel — the split/filter/array_join
+    // HOF lambda it replaces can never compile (no doGenCode on
+    // collection HOFs) and alone pushed this projection out of
+    // whole-stage codegen ([[graft.functions.StripTrackersAlgo]];
+    // WebSpec pins kernel == lambda)
+    val qn = graft.functions.functions.strip_trackers(q)
     val portPart = when(port === "" ||
         (proto === "http" && port === "80") ||
         (proto === "https" && port === "443"), lit(""))

@@ -69,6 +69,18 @@ object functions {
     GraftShims.column(
       SparseDot(GraftShims.expression(a), GraftShims.expression(b)))
 
+  /** RFC 3986 percent-encoding canonicalization ([[PctNormalize]] —
+    * codegen'd single-pass kernel, bit-exact to the legacy replace
+    * chain; internal to [[graft.ext.Web.urlNormalize]]). */
+  def pct_normalize(s: Column): Column =
+    GraftShims.column(PctNormalize(GraftShims.expression(s)))
+
+  /** Tracker-param filter for a URL query string ([[StripTrackerParams]]
+    * — codegen'd; bit-exact to the HOF lambda it replaced; internal to
+    * [[graft.ext.Web.urlNormalize]]). */
+  def strip_trackers(q: Column): Column =
+    GraftShims.column(StripTrackerParams(GraftShims.expression(q)))
+
   /** A multi-vector (token-matrix) literal usable as the query side of
     * [[maxsim]]. */
   def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)

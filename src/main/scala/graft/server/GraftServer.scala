@@ -145,6 +145,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "dedup" :: "strip" :: Nil) => postDedupStrip(ex)
         case ("POST", "tables" :: "upsert" :: Nil) => postUpsert(ex)
         case ("POST", "tables" :: "validate" :: Nil) => postValidate(ex)
+        case ("POST", "tables" :: "diff" :: Nil)     => postDiff(ex)
         case ("POST", "tables" :: "drift" :: Nil)    => postDrift(ex)
         case ("POST", "dedup" :: "segments" :: Nil) => postDedupSegments(ex)
         case ("POST", "dedup" :: "strip-segments" :: Nil) => postDedupStripSegments(ex)
@@ -1337,6 +1338,16 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * "in_range"|"in_set"|"matches"|"row_count_at_least"|"foreign_key",
     * ...}]}` — one report row per check. The whole batch is one
     * aggregation over one scan of the table. */
+  /** Keyed snapshot diff ([[graft.ext.Validate.diffByKey]]): body =
+    * {left, right, keyCol}; rows = (key, status added|removed|changed). */
+  private def postDiff(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    okRows(ex, graft.ext.Validate.diffByKey(
+      engine.readTable(Seq(require(body, "left").asText())),
+      engine.readTable(Seq(require(body, "right").asText())),
+      require(body, "keyCol").asText()))
+  }
+
   private def postValidate(ex: HttpExchange): Unit = {
     import graft.ext.Validate
     val body = mapper.readTree(readBody(ex))

@@ -1319,8 +1319,29 @@ class ServerSpec extends SparkSuite {
       k.contains("row_count") && v._1 == 6L }, got) // 10 − 4 rows
     assert(got.exists { case (k, v) =>
       k.contains("foreign_key") && v._1 == 1L }, got) // "zz" not in dim
+    // keyed snapshot diff over the wire: v2 drops id 2, edits id 4's
+    // cat, adds id 9 (wire_val has a duplicate id 3 — diff refuses, so
+    // diff the deduplicated halves)
+    val (c3, b3) = send("PUT", "/tables/wire_diff_a",
+      """{"schema":"id LONG, cat STRING",
+          "rows":[{"id":1,"cat":"a"},{"id":2,"cat":"b"},{"id":4,"cat":"c"}]}""")
+    assert(c3 == 200, b3)
+    val (c4, b4) = send("PUT", "/tables/wire_diff_b",
+      """{"schema":"id LONG, cat STRING",
+          "rows":[{"id":1,"cat":"a"},{"id":4,"cat":"cc"},{"id":9,"cat":"z"}]}""")
+    assert(c4 == 200, b4)
+    val (dc, dBody) = send("POST", "/tables/diff",
+      """{"left":"wire_diff_a","right":"wire_diff_b","keyCol":"id"}""")
+    assert(dc == 200, dBody)
+    val dGot = new scala.collection.mutable.HashMap[Long, String]
+    mapper.readTree(dBody).get("rows").elements().forEachRemaining(n =>
+      dGot(n.get("id").asLong()) = n.get("status").asText())
+    assert(dGot.toMap == Map(2L -> "removed", 4L -> "changed",
+      9L -> "added"), dGot)
     assert(send("DELETE", "/tables/wire_val")._1 == 200)
     assert(send("DELETE", "/tables/wire_val_dim")._1 == 200)
+    assert(send("DELETE", "/tables/wire_diff_a")._1 == 200)
+    assert(send("DELETE", "/tables/wire_diff_b")._1 == 200)
   }
 
   test("lexical index routes: build, bm25 search, incremental sync") {

@@ -171,4 +171,43 @@ class ValidateSpec extends SparkSuite {
     assert(spark.sparkContext.getPersistentRDDs.size == before,
       "per-batch checkpoint not released")
   }
+
+  test("diffByKey: added/removed/changed partition the differing keys; " +
+      "NULL payloads compare null-safe; bad inputs refuse") {
+    import graft.ext.Validate
+    val a = Seq(
+      (1L, Some("x"), 10L),   // unchanged
+      (2L, Some("y"), 20L),   // text changes
+      (3L, None: Option[String], 30L), // NULL text both sides → unchanged
+      (4L, Some("z"), 40L),   // removed in b
+      (5L, None: Option[String], 50L)  // NULL → non-NULL = changed
+    ).toDF("id", "text", "n")
+    val b = Seq(
+      (1L, Some("x"), 10L),
+      (2L, Some("y2"), 20L),
+      (3L, None: Option[String], 30L),
+      (5L, Some("now set"), 50L),
+      (6L, Some("new"), 60L)  // added
+    ).toDF("id", "text", "n")
+    val diff = Validate.diffByKey(a, b, "id")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(diff == Seq(2L -> "changed", 4L -> "removed",
+      5L -> "changed", 6L -> "added"), diff.toString)
+    // identical sides → empty diff
+    assert(Validate.diffByKey(a, a, "id").isEmpty)
+    // duplicate key refuses loudly
+    val dup = a.unionByName(Seq((1L, Some("x"), 10L)).toDF("id", "text", "n"))
+    val e1 = intercept[IllegalArgumentException](
+      Validate.diffByKey(dup, b, "id"))
+    assert(e1.getMessage.contains("duplicate"), e1.getMessage)
+    // NULL key refuses loudly
+    val nk = Seq((Option.empty[Long], Some("x"), 1L)).toDF("id", "text", "n")
+    val e2 = intercept[IllegalArgumentException](
+      Validate.diffByKey(a.unionByName(nk), b, "id"))
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+    // missing compared column refuses statically
+    val e3 = intercept[IllegalArgumentException](
+      Validate.diffByKey(a, b.drop("n"), "id"))
+    assert(e3.getMessage.contains("lacks"), e3.getMessage)
+  }
 }

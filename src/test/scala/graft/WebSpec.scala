@@ -108,4 +108,90 @@ class WebSpec extends SparkSuite {
     assert(got == Set(("https://a.com/p", 1L, 2L), ("https://a.com/q", 3L, 1L)),
       got.toString)
   }
+
+  test("pctNormalize kernel == legacy chain on adversarial escape soup " +
+      "(well-formed, malformed, decode-synthesis), and the plan is " +
+      "whole-stage-codegen'd again") {
+    // hand-picked shapes: every hex-case combination, unreserved vs
+    // reserved escapes, the documented malformed decode-synthesis case,
+    // trailing/lone %, empty, no-%, adjacent and overlapping-looking
+    // units, non-ASCII neighbors
+    val hand = Seq(
+      "", "plain", "a%2fb", "a%2Fb", "a%7eb", "%7E", "%41%42%43",
+      "%61%7a%30%39", "%2d%2e%5f%7e", "%3a%2f%3f%23", "%aF%Af%af%AF",
+      "x%2%34y", "%2%34", "%4%411", "%", "%a", "%g1", "%1g", "tail%",
+      "tail%4", "%aab", "%aaf", "%a%af", "%aa%aa", "%%41", "%%ab",
+      "a%c3%a9b", "%E2%82%AC", "p%20q%09r", "%00%01%1f", "%ff%FE",
+      "%41a%42b%43c", "q=%75tm_source", "%2541", "%25%34%31")
+    // plus pseudo-random soup over a hostile alphabet (deterministic)
+    val rnd = new scala.util.Random(20260816L)
+    val alphabet = "abcdefgh%0129AF%%xyz-._~"
+    val fuzz = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(24)).map(_ => alphabet(rnd.nextInt(alphabet.length)))
+        .mkString)
+    val df = (hand ++ fuzz).toDF("s")
+      .select(col("s"),
+        graft.ext.Web.pctNormalize(col("s")).as("kernel"),
+        graft.ext.Web.pctNormalizeChain(col("s")).as("chain"))
+    val diffs = df.filter(!(col("kernel") <=> col("chain")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(diffs.isEmpty, s"kernel != chain on: ${diffs.take(5).mkString("; ")}")
+    // NULL in → NULL out
+    val nullRow = Seq(Option.empty[String]).toDF("s")
+      .select(graft.ext.Web.pctNormalize(col("s"))).head()
+    assert(nullRow.isNullAt(0))
+    // tracker kernel == the HOF lambda it replaced, on param soup
+    val trackerHand = Seq(
+      "", "a=1", "utm_source=x", "utm_=x", "utm_a=", "utm_x", "utm=x",
+      "ref=z", "reference=z", "fbclid=1&a=2", "a=1&utm_medium=m&b=2",
+      "&&", "a=1&&b=2&", "utm_source=x&utm_term=y", "gclid=g&msclkid=m",
+      "a=utm_source%3Dx", "ref%3Dz=1", "a&b", "=v", "a==b&utm_c=1")
+    val trackerFuzz = (1 to 200).map(_ =>
+      (1 to rnd.nextInt(5)).map(_ => Seq("utm_", "ref", "fbclid", "a",
+        "b=", "=", "&", "1", "x=y")(rnd.nextInt(9))).mkString)
+    val lambdaKept = (q: org.apache.spark.sql.Column) => array_join(
+      filter(split(q, "&"),
+        p => !(p.rlike(graft.ext.Web.TrackingParamPattern) || p === "")),
+      "&")
+    val tdf = (trackerHand ++ trackerFuzz).toDF("q")
+      .select(col("q"),
+        graft.functions.functions.strip_trackers(col("q")).as("kernel"),
+        lambdaKept(col("q")).as("chain"))
+    val tdiffs = tdf.filter(!(col("kernel") <=> col("chain")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(tdiffs.isEmpty,
+      s"tracker kernel != lambda on: ${tdiffs.take(5).mkString("; ")}")
+    // the motivating perf property: urlNormalize's projection compiles
+    // into a WholeStageCodegen span again (the chain pushed it out).
+    // A real scan (range), not a local Seq — ConvertToLocalRelation
+    // folds a local relation's projection at PLAN time, leaving no
+    // codegen node to inspect either way.
+    val plan = spark.range(4)
+      .select(concat(lit("https://x.example.com/a%2fb?c=%7ed&i="),
+        col("id")).as("u"))
+      .select(graft.ext.Web.urlNormalize(col("u")))
+      .queryExecution.executedPlan.toString
+    // codegen'd operators print star-annotated: `*(n) Project [...]`
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[CASE WHEN.*"),
+      s"urlNormalize's projection is not codegen'd (no star):\n$plan")
+    // attribution probe: the codegen BLOCKER was the tracker-filter
+    // HOF lambda, not the replace chain — a urlNormalize twin that
+    // keeps the lambda falls out of codegen even with both kernels
+    // available elsewhere in the tree
+    val lambdaQn = {
+      val u = col("u")
+      val q = graft.ext.Web.pctNormalize(
+        coalesce(try_parse_url(u, lit("QUERY")), lit("")))
+      array_join(filter(split(q, "&"),
+        p => !(p.rlike(graft.ext.Web.TrackingParamPattern) || p === "")), "&")
+    }
+    val lambdaPlan = spark.range(4)
+      .select(concat(lit("https://x.example.com/a%2fb?c=%7ed&i="),
+        col("id")).as("u"))
+      .select(lambdaQn.as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!lambdaPlan.matches("(?s).*\\*\\(\\d+\\) Project \\[array_join.*"),
+      "the HOF lambda unexpectedly codegens now — revisit whether " +
+        "strip_trackers is still needed:\n" + lambdaPlan)
+  }
 }
