@@ -1484,10 +1484,13 @@ object SparkEntry {
     // (all-integer block means; any codec or hash break breaks the row) ——
     "media_phash" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
+      // encode hoisted per partition (same bytes every row — see
+      // Multimodal.compressedCodecCheck); the per-row decode + aHash
+      // stays the codec exercise
       tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
+        .mapPartitions { it =>
           val png = Multimodal.encodeImage(Multimodal.testPattern(16, 16), "png")
-          (id, Multimodal.aHash64(Multimodal.decodeImage(png)))
+          it.map(id => (id, Multimodal.aHash64(Multimodal.decodeImage(png))))
         }.toDF("media_id", "ahash")
     }),
     // —— multimodal: audio energy-delta fingerprint through the REAL wav
