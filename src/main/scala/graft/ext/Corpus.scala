@@ -408,9 +408,14 @@ object Corpus {
     require(smoothing > 0, s"smoothing must be > 0, got $smoothing")
     def counts(df: DataFrame): Array[Long] = {
       val out = new Array[Long](buckets)
+      // bucket ids straight from the codegen kernel — same hash, same
+      // gram order as the exploded-STRING chain (spec-pinned via the
+      // weight kernel's shared tokenizer), without materializing gram
+      // strings through the interpreted HOF chain or hashing them with
+      // per-gram Md5 expressions
       df.filter(col(textCol).isNotNull)
-        .select(explode(dsirNgrams(col(textCol))).as("g"))
-        .select(dsirBucket(col("g"), buckets).as("b"))
+        .select(explode(graft.functions.functions.dsir_buckets(
+          col(textCol), buckets)).as("b"))
         .groupBy("b").agg(count(lit(1)).as("c"))
         .collect().foreach(r => out(r.getInt(0)) = r.getLong(1))
       out
@@ -428,7 +433,19 @@ object Corpus {
     * features' log ratios (Σ_g logRatio[h(g)], token order). A pure
     * column expression with the model as an array literal: narrow,
     * partition-parallel, no join. NULL text scores NULL. */
-  def dsirWeightExpr(text: Column, model: DsirModel): Column = {
+  def dsirWeightExpr(text: Column, model: DsirModel): Column =
+    graft.functions.functions.dsir_weight(text, model.logRatio,
+      model.buckets)
+
+  /** The ORIGINAL column composition (aggregate over [[dsirNgrams]]
+    * with a per-gram md5 bucket lookup), kept as the differential twin
+    * of the codegen kernel that replaced it
+    * ([[graft.functions.DsirWeightAlgo]] — the HOF fold evaluated
+    * interpreted and allocated three arrays + one Md5 per gram per
+    * row; scoring is a full-corpus pass). CorpusRulesSpec pins
+    * kernel == chain bit-exactly on adversarial token soup. */
+  private[graft] def dsirWeightExprChain(text: Column,
+      model: DsirModel): Column = {
     val lr = typedLit(model.logRatio.toSeq)
     aggregate(dsirNgrams(text), lit(0.0), (acc, g) =>
       acc + element_at(lr, dsirBucket(g, model.buckets) + 1))

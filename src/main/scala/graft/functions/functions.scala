@@ -81,6 +81,20 @@ object functions {
   def strip_trackers(q: Column): Column =
     GraftShims.column(StripTrackerParams(GraftShims.expression(q)))
 
+  /** DSIR document weight under a trained model ([[DsirWeight]] —
+    * codegen'd; bit-exact to the HOF fold it replaced; internal to
+    * [[graft.ext.Corpus.dsirWeightExpr]]). */
+  def dsir_weight(text: Column, logRatio: Seq[Double],
+      buckets: Int): Column =
+    GraftShims.column(DsirWeight(GraftShims.expression(text), logRatio,
+      buckets))
+
+  /** DSIR uni+bigram bucket ids for model fitting ([[DsirBuckets]] —
+    * codegen'd; same hash and order as the exploded-gram chain;
+    * internal to [[graft.ext.Corpus.dsirTrain]]). */
+  def dsir_buckets(text: Column, buckets: Int): Column =
+    GraftShims.column(DsirBuckets(GraftShims.expression(text), buckets))
+
   /** A multi-vector (token-matrix) literal usable as the query side of
     * [[maxsim]]. */
   def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)

@@ -375,4 +375,32 @@ class MixtureSpec extends SparkSuite {
     assert(sampled.count() ==
       Corpus.dsirSample(w, "id", col("w"), piv).count())
   }
+
+  test("dsir weight kernel == legacy HOF fold, bit-exactly, on " +
+      "adversarial token soup") {
+    val model = Corpus.dsirTrain(dsirDocs.filter(col("id") < 100),
+      dsirDocs, "text", buckets = 256)
+    val hand = Seq(
+      "", " ", "   ", "one", " one ", "a b", "a  b", "a\tb", "\ta b\t",
+      "a\nb c", "a b a b", "UPPER Case MiXeD", "Ünïcôdé tøkens HERE",
+      "trailing space ", " leading", "x " * 50, "solo nbsp",
+      "tab\t\ttab", "a b c d e f g h i j k l m")
+    val rnd = new scala.util.Random(17L)
+    val words = Seq("the", "cat", "DOG", "sat", "ünï", "x1", "", " ", "\t")
+    val fuzz = (1 to 300).map(_ =>
+      (1 to rnd.nextInt(12)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    import spark.implicits._
+    val df = (hand ++ fuzz).zipWithIndex.map(_.swap).toDF("id", "text")
+      .select(col("id"),
+        Corpus.dsirWeightExpr(col("text"), model).as("kernel"),
+        Corpus.dsirWeightExprChain(col("text"), model).as("chain"))
+    val diffs = df.filter(!(col("kernel") <=> col("chain")))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(diffs.isEmpty, s"kernel != chain on: ${diffs.take(5).mkString("; ")}")
+    // NULL text → NULL weight, both forms
+    val nulls = Seq((0L, Option.empty[String])).toDF("id", "text")
+      .select(Corpus.dsirWeightExpr(col("text"), model)).head()
+    assert(nulls.isNullAt(0))
+  }
 }
