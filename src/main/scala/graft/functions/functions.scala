@@ -95,6 +95,13 @@ object functions {
   def dsir_buckets(text: Column, buckets: Int): Column =
     GraftShims.column(DsirBuckets(GraftShims.expression(text), buckets))
 
+  /** MinHash signature ([[MinhashSig]] — codegen'd; bit-exact to
+    * [[graft.ext.Dedup.minhashUdf]], which stays as the differential
+    * twin; internal to the minhash dedup/gate operators). */
+  def minhash_sig(text: Column, numHashes: Int, shingleSize: Int): Column =
+    GraftShims.column(MinhashSig(GraftShims.expression(text), numHashes,
+      shingleSize))
+
   /** A multi-vector (token-matrix) literal usable as the query side of
     * [[maxsim]]. */
   def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)

@@ -654,7 +654,9 @@ object Streams {
       s"nearDupAgainstSignatures: stream idCol '$idCol' collides with a " +
         "fixed output column (ref_id, jaccard); rename it apart first")
     val rows = numHashes / bands
-    val mh = graft.ext.Dedup.minhashUdf(numHashes, shingleSize)
+    // signature kernel — bit-exact to the minhashUdf twin (DedupSpec)
+    val mh = (c: org.apache.spark.sql.Column) =>
+      graft.functions.functions.minhash_sig(c, numHashes, shingleSize)
     val ref = refSigs.select(col("ref_id"), col("sig").as("__ref_sig__"))
     val refBandedAll = ref.select(col("ref_id"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"),

@@ -156,6 +156,29 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.hash64(gClef, 0L) == (0xcbf29ce484222325L ^ 0x1D11E) * 0x100000001b3L)
   }
 
+  test("minhash signature kernel == minhashUdf twin, bit-exactly, on " +
+      "adversarial token soup incl. astral chars") {
+    val hand = Seq(
+      "", " ", "one", "one two", "one two three", "one two three four",
+      "UPPER lower MiXeD", "a  b\t c\nd", " lead", "trail ",
+      "𝄞 clef 🎼 emoji tokens here now", "混合 𠀀 text with cjk chars",
+      "dup dup dup dup", "a b a b a b", "x " * 40)
+    val rnd = new scala.util.Random(99L)
+    val words = Seq("the", "cat", "DOG", "sat", "ünï", "𝄞", "x1", "yy")
+    val fuzz = (1 to 300).map(_ =>
+      (0 to rnd.nextInt(10)).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    for ((nh, ss) <- Seq((32, 3), (8, 2), (4, 1), (16, 5))) {
+      val df = (hand ++ fuzz).zipWithIndex.map(_.swap).toDF("id", "text")
+        .select(col("id"),
+          graft.functions.functions.minhash_sig(col("text"), nh, ss)
+            .as("kernel"),
+          Dedup.minhashUdf(nh, ss)(col("text")).as("twin"))
+      val diffs = df.filter(!(col("kernel") <=> col("twin"))).count()
+      assert(diffs == 0, s"kernel != udf for numHashes=$nh shingle=$ss")
+    }
+  }
+
   test("minhash jaccard estimates track exact jaccard") {
     val j = Dedup.jaccardUdf(3)
     val got = docs.filter($"doc_id" === 1).crossJoin(docs.filter($"doc_id" === 3).select($"text".as("t2")))
