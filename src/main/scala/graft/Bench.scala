@@ -153,10 +153,13 @@ object Bench {
     // variants regressed 2–4× while the AGGREGATE got faster — a total
     // can hide a serving-path regression). tools/bench_baseline.json
     // holds the last clean run's per-query seconds (committed; refresh
-    // it whenever a clean run establishes a new baseline). Any query
-    // >2× its baseline AND >0.25s absolute over it (sub-100ms entries
-    // jitter well past 2× on a shared box) lands in a loud
-    // `regressions` block in both output lines. ———
+    // it whenever a clean run establishes a new baseline). Gating is
+    // MACHINE-SPEED-NORMALIZED ([[RegressionGate]]): a query regresses
+    // iff it exceeds 2× its baseline relative to the run's canary
+    // (median current/baseline over ≥0.25s entries — r16/r17 lesson: a
+    // uniformly 1.4× slower driver box otherwise converts environment
+    // into "confirmed regressions" on untouched queries). The absolute
+    // 2× check survives as a loud `warnings` block. ———
     val baselinePath = java.nio.file.Paths.get("tools/bench_baseline.json")
     val baseline: Map[String, Double] =
       if (java.nio.file.Files.exists(baselinePath)) {
@@ -166,8 +169,6 @@ object Bench {
         node.properties().asScala
           .map(e => e.getKey -> e.getValue.asDouble()).toMap
       } else Map.empty
-    def overBaseline(k: String, cur: Double): Boolean =
-      baseline.get(k).exists(b => cur > 2.0 * b && cur - b > 0.25)
 
     // ——— Regression CONFIRMATION pass: a would-be regression gets ONE
     // extra budgeted run and keeps the min. The baseline records the
@@ -177,6 +178,13 @@ object Bench {
     // round each flagged a different, disjoint set of small queries. A
     // real regression reproduces on the re-run and still lands. ———
     val prelim = (results ++ pruned).toMap
+    // canary from the PRELIMINARY pass: the estimate must reflect the
+    // run the suspicions came from, not the quieter confirmation reruns
+    val canary = RegressionGate.canary(prelim, baseline)
+    System.err.println(f"[bench] machine-speed canary: $canary%.3f " +
+      s"(median current/baseline over >=${RegressionGate.MinSec}s entries)")
+    def overBaseline(k: String, cur: Double): Boolean =
+      baseline.get(k).exists(b => RegressionGate.isRegression(cur, b, canary))
     val rerunFns: Map[String, () => Unit] = prunedFns.toMap ++
       SparkEntry.queries.view.mapValues(fn => () => {
         val df = fn(spark, sfDir)
@@ -199,16 +207,31 @@ object Bench {
     val prunedNames = prunedFns.map(_._1).toSet
     val total = all.collect {
       case (k, v) if !prunedNames.contains(k) => v }.sum
+    def entryJson(cur: Double, base: Double): String =
+      f"""{"sec":$cur%.3f,"baseline":$base%.3f,"factor":${cur / base}%.1f,"norm_factor":${cur / (canary * base)}%.1f}"""
     val regressions = all.flatMap { case (k, cur) =>
       baseline.get(k).collect {
-        case base if cur > 2.0 * base && cur - base > 0.25 =>
-          k -> f"""{"sec":$cur%.3f,"baseline":$base%.3f,"factor":${cur / base}%.1f}"""
+        case base if RegressionGate.isRegression(cur, base, canary) =>
+          k -> entryJson(cur, base)
+      }
+    }
+    // absolute-2× entries the normalized gate declined: loud, not fatal
+    val warnings = all.flatMap { case (k, cur) =>
+      baseline.get(k).collect {
+        case base if RegressionGate.isAbsoluteOver(cur, base) &&
+            !RegressionGate.isRegression(cur, base, canary) =>
+          k -> entryJson(cur, base)
       }
     }
     val regJson = regressions
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val warnJson = warnings
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     regressions.foreach { case (k, v) =>
       System.err.println(s"[bench] REGRESSION $k: $v")
+    }
+    warnings.foreach { case (k, v) =>
+      System.err.println(s"[bench] WARNING (absolute 2x, within canary) $k: $v")
     }
 
     // Headline subset for the stdout line: the driver captures only a tail
@@ -299,7 +322,7 @@ object Bench {
       foldArtifact("curve_soak_1m", "curve_soak_1m.json") +
       foldArtifact("fuzzy_soak_10m", "fuzzy_soak_10m.json")
     val fullLine =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"regressions":$regJson,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"canary":$canary%.3f,"regressions":$regJson,"warnings":$warnJson,"ref_shape_100k_256d":$refJson,"quality":$quality$errPart$soakPart,"sf":"$sfDir"}"""
     // Machine-readable FULL copy the driver (or anyone) can ingest whole,
     // immune to stdout interleaving/truncation.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_summary.json"),
@@ -317,7 +340,7 @@ object Bench {
     // forked JVM's stdout passes through undecorated, AND the identical
     // line lands in tools/bench_compact.json for artifact-file ingestion.
     val compact =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"error_count":${errors.size},"regression_count":${regressions.size},"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsHead,"error_count":${errors.size},"canary":$canary%.3f,"regression_count":${regressions.size},"warning_count":${warnings.size},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("tools/bench_compact.json"),
       (compact + "\n").getBytes("UTF-8"))

@@ -2917,15 +2917,19 @@ object SparkEntry {
     }),
     // —— snapshot diff: keyed added/removed/changed audit between two
     // corpus versions (v2 synthesized: every 7th doc dropped, every
-    // 5th survivor's text edited, the first 20 re-keyed +10000 as new
-    // arrivals) — one full-outer join, null-safe struct compare ——
+    // 5th survivor's text edited, the first 20 re-keyed past
+    // max(doc_id) as new arrivals — the offset is DERIVED, one bounded
+    // single-row agg, so a fixture with any doc count can never
+    // collide shifted keys with surviving real ids and trip
+    // diffByKey's duplicate-key guard) ——
     "table_diff" -> ((s: SparkSession, dir: String) => {
       val a = tbl(s, dir, "documents")
+      val offset = a.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val b = a.filter(col("doc_id") % 7 =!= 0)
         .withColumn("text", when(col("doc_id") % 5 === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
         .unionByName(a.filter(col("doc_id") < 20)
-          .withColumn("doc_id", col("doc_id") + 10000))
+          .withColumn("doc_id", col("doc_id") + lit(offset)))
       graft.ext.Validate.diffByKey(a, b, "doc_id")
     }),
     // —— snapshot drift report: per-bin exact length-distribution
@@ -5054,11 +5058,12 @@ object SparkEntry {
     // keyed snapshot diff: full-outer join + IS NOT DISTINCT FROM per
     // compared column (the struct null-safe compare, spelled out)
     "table_diff" ->
-      ("WITH b AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
+      ("WITH off AS (SELECT max(doc_id) + 1 AS o FROM documents), " +
+        "b AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 " +
         "THEN text || ' v2' ELSE text END AS text, lang, source, n_chars " +
         "FROM documents WHERE doc_id % 7 <> 0 " +
-        "UNION ALL SELECT doc_id + 10000, text, lang, source, n_chars " +
-        "FROM documents WHERE doc_id < 20) " +
+        "UNION ALL SELECT doc_id + (SELECT o FROM off), text, lang, " +
+        "source, n_chars FROM documents WHERE doc_id < 20) " +
         "SELECT doc_id, status FROM (" +
         "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
         "CASE WHEN a.doc_id IS NULL THEN 'added' " +

@@ -1292,34 +1292,38 @@ class Engine(val spark: SparkSession, val root: String) {
       df.select(col("__q_id__").cast("string"), col(idCol).cast("string"))
         .collect().groupBy(_.getString(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
-    val truth = collectTopK(graft.api.Search.knnJoin(corpus, column,
-      queries, "__q_id__", "__q_vec__", metric, k,
-      tieBreak = Seq(idCol), idCol = Some(idCol)))
-    def recallAt(probes: Int): Double = {
-      val got = collectTopK(knnJoinIvf(coding, source, column, queries,
-        "__q_id__", "__q_vec__", k, probes, idCol, Some(metric),
-        tieBreak = Seq(idCol)))
-      val rs = truth.map { case (q, ids) =>
-        if (ids.isEmpty) 1.0
-        else ids.count(got.getOrElse(q, Set.empty[String]).contains)
-          .toDouble / ids.size
+    // try/finally: a ladder-step join that throws must still release
+    // the checkpointed query RDD (it would otherwise pin executor
+    // blocks for the session lifetime)
+    try {
+      val truth = collectTopK(graft.api.Search.knnJoin(corpus, column,
+        queries, "__q_id__", "__q_vec__", metric, k,
+        tieBreak = Seq(idCol), idCol = Some(idCol)))
+      def recallAt(probes: Int): Double = {
+        val got = collectTopK(knnJoinIvf(coding, source, column, queries,
+          "__q_id__", "__q_vec__", k, probes, idCol, Some(metric),
+          tieBreak = Seq(idCol)))
+        val rs = truth.map { case (q, ids) =>
+          if (ids.isEmpty) 1.0
+          else ids.count(got.getOrElse(q, Set.empty[String]).contains)
+            .toDouble / ids.size
+        }
+        if (rs.isEmpty) 1.0 else rs.sum / rs.size
       }
-      if (rs.isEmpty) 1.0 else rs.sum / rs.size
-    }
-    val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cells) ++
-      Iterator.single(cells)).toSeq
-    val curve = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
-    var advice: Option[(Int, Double)] = None
-    val it = ladder.iterator
-    while (advice.isEmpty && it.hasNext) {
-      val p = it.next()
-      val r = recallAt(p)
-      curve += ((p, r))
-      if (r >= targetRecall) advice = Some((p, r))
-    }
-    graft.ext.Graph.release(queries)
-    val (probes, recall) = advice.getOrElse(curve.last)
-    Engine.ProbeAdvice(probes, recall, curve.toList, cells)
+      val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cells) ++
+        Iterator.single(cells)).toSeq
+      val curve = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+      var advice: Option[(Int, Double)] = None
+      val it = ladder.iterator
+      while (advice.isEmpty && it.hasNext) {
+        val p = it.next()
+        val r = recallAt(p)
+        curve += ((p, r))
+        if (r >= targetRecall) advice = Some((p, r))
+      }
+      val (probes, recall) = advice.getOrElse(curve.last)
+      Engine.ProbeAdvice(probes, recall, curve.toList, cells)
+    } finally graft.ext.Graph.release(queries)
   }
 
   def remove(): Unit = store.remove()

@@ -782,6 +782,17 @@ object Corpus {
     * subtract 9 when the double exceeds 9, valid iff the sum is ≡ 0
     * (mod 10); only VALID candidates are replaced with `<CARD>`.
     *
+    * Replacement is REPLACE-ALL per candidate STRING, not per matched
+    * span: every occurrence of a valid candidate's exact text is
+    * substituted, including an occurrence embedded in a longer digit
+    * run that was never itself a candidate (where it can splice
+    * `<CARD>` between surviving digits). This is deliberate — a
+    * positional splice cannot be expressed in RE2-safe built-ins that
+    * an external SQL mirror replays (no lookaround, no callback
+    * replace), and over-redaction of PII-adjacent digits is the safe
+    * direction for a scrubbing stage. The codegen kernel replays the
+    * same fold bit-exactly.
+    *
     * Adds `n_card_candidates`, `n_cards_valid`, and `out` (the redacted
     * text). All pure built-ins — regexp_extract_all, higher-order
     * filter/aggregate over the candidate array, integer Luhn arithmetic
@@ -827,8 +838,15 @@ object Corpus {
           .otherwise(d)
       })
     // the regex already bounds total run length; re-check the DIGIT
-    // count so separator-heavy matches can't sneak a short number in
-    length(ds).between(13, 19) && luhnSum % 10 === 0
+    // count so separator-heavy matches can't sneak a short number in.
+    // The length guard WRAPS the fold (not just conjoins): on a <13-char
+    // (or empty) input `sequence(0, length-1)` would infer a negative
+    // step and the fold would run substr over out-of-range indices —
+    // the && is not short-circuit per-row, so the garbage arithmetic
+    // would actually evaluate. Guarded, the sum only exists for
+    // plausible candidates; the boolean result is unchanged.
+    when(length(ds).between(13, 19), luhnSum % 10 === 0)
+      .otherwise(lit(false))
   }
 
   /** [[redactCards]]' rewrite as a single column expression: every

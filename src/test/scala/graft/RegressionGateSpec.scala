@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[RegressionGate]] spec'd with synthetic runs — the r16/r17 failure
+  * mode (a uniformly slower driver machine grazing the absolute 2×
+  * gate on untouched queries) replayed without running a bench. */
+class RegressionGateSpec extends AnyFunSuite {
+
+  /** 40 synthetic baseline entries spanning 0.05s..8s — a mix of
+    * sub-gate jitter entries and solid multi-second queries, like the
+    * real per-query ledger. */
+  private val base: Map[String, Double] =
+    (1 to 40).map(i => s"q$i" -> (0.05 * i)).toMap
+
+  private def scaled(f: Double): Map[String, Double] =
+    base.view.mapValues(_ * f).toMap
+
+  test("uniformly 1.4x slower machine: canary ~1.4, zero regressions") {
+    val cur = scaled(1.4)
+    val c = RegressionGate.canary(cur, base)
+    assert(math.abs(c - 1.4) < 1e-9)
+    val regs = base.keys.filter(k =>
+      RegressionGate.isRegression(cur(k), base(k), c))
+    assert(regs.isEmpty)
+    // …but the absolute gate would have fired on nothing either at
+    // 1.4× (needs >2×); at 2.2× uniform it fires on every solid entry
+    val cur22 = scaled(2.2)
+    val c22 = RegressionGate.canary(cur22, base)
+    assert(math.abs(c22 - 2.2) < 1e-9)
+    assert(base.keys.forall(k =>
+      !RegressionGate.isRegression(cur22(k), base(k), c22)))
+    val absOver = base.keys.count(k =>
+      RegressionGate.isAbsoluteOver(cur22(k), base(k)))
+    assert(absOver > 0) // the warning channel still sees it
+  }
+
+  test("genuine 3x regression on a slowed machine still flags") {
+    val cur = scaled(1.4) + ("q30" -> base("q30") * 1.4 * 3.0)
+    val c = RegressionGate.canary(cur, base)
+    // one outlier among 40 entries barely moves the median
+    assert(c < 1.5)
+    assert(RegressionGate.isRegression(cur("q30"), base("q30"), c))
+    assert((base.keySet - "q30").forall(k =>
+      !RegressionGate.isRegression(cur(k), base(k), c)))
+  }
+
+  test("faster machine tightens the gate: a code-caused 1.8x on a 0.7x box flags") {
+    // machine runs 0.7× baseline speed… er, 0.7× the TIME — faster.
+    // q20 (1.0s baseline) regressed 2.6× in code → 0.7·2.6 = 1.82×
+    // observed: under the absolute gate it hides; the canary catches it.
+    val cur = scaled(0.7) + ("q20" -> base("q20") * 0.7 * 2.6)
+    val c = RegressionGate.canary(cur, base)
+    assert(math.abs(c - 0.7) < 1e-9)
+    assert(!RegressionGate.isAbsoluteOver(cur("q20"), base("q20")))
+    assert(RegressionGate.isRegression(cur("q20"), base("q20"), c))
+  }
+
+  test("canary falls back to 1.0 with too few solid entries") {
+    val tiny = Map("a" -> 1.0, "b" -> 2.0) // < MinEntries qualifying
+    assert(RegressionGate.canary(tiny.view.mapValues(_ * 1.5).toMap,
+      tiny) === 1.0)
+    assert(RegressionGate.canary(Map.empty, Map.empty) === 1.0)
+  }
+
+  test("canary ignores sub-0.25s baseline entries and missing currents") {
+    // 10 jittery tiny entries at 5x + 9 solid entries at 1.1x: the
+    // canary must track the solid set
+    val b = (1 to 10).map(i => s"t$i" -> 0.05).toMap ++
+      (1 to 10).map(i => s"s$i" -> (1.0 + i)).toMap
+    val cur = b.map { case (k, v) =>
+      k -> (if (k.startsWith("t")) v * 5 else v * 1.1) }
+    val c = RegressionGate.canary(cur, b)
+    assert(math.abs(c - 1.1) < 1e-9)
+    // entries absent from current (pruned/errored) don't blow up
+    val c2 = RegressionGate.canary(cur - "s1" - "s2", b)
+    assert(math.abs(c2 - 1.1) < 1e-9)
+  }
+
+  test("canary clamps to [0.5, 3.0]") {
+    assert(RegressionGate.canary(scaled(5.0), base) === 3.0)
+    assert(RegressionGate.canary(scaled(0.1), base) === 0.5)
+  }
+
+  test("sub-quarter-second absolute deltas never flag (either gate)") {
+    assert(!RegressionGate.isRegression(0.3, 0.1, 1.0)) // 3x but +0.2s
+    assert(!RegressionGate.isAbsoluteOver(0.3, 0.1))
+    assert(RegressionGate.isRegression(0.9, 0.1, 1.0)) // 9x and +0.8s
+  }
+}
