@@ -802,6 +802,23 @@ object Corpus {
     * is `0`, unknown text is unknown — the SQL-natural convention). */
   def redactCards(df: DataFrame, textCol: String,
       out: String = "redacted"): DataFrame = {
+    val k = graft.functions.functions.card_redact(col(textCol))
+    df.withColumn("__cr__", k)
+      .withColumn("n_card_candidates",
+        col("__cr__.n_candidates").cast("long"))
+      .withColumn("n_cards_valid", col("__cr__.n_valid").cast("long"))
+      .withColumn(out, col("__cr__.redacted"))
+      .drop("__cr__")
+  }
+
+  /** The ORIGINAL column composition of [[redactCards]] (candidates →
+    * HOF Luhn filter → replace fold), kept as the differential twin of
+    * the [[graft.functions.CardRedact]] kernel (the HOFs evaluate
+    * interpreted — the DESIGN §14/16 ceiling — on what
+    * `redactOutputPii` makes a full-corpus pass). CorpusRulesSpec pins
+    * kernel == chain bit-exactly on adversarial digit soup. */
+  private[graft] def redactCardsChain(df: DataFrame, textCol: String,
+      out: String = "redacted"): DataFrame = {
     val cands = cardCandidatesExpr(col(textCol))
     val valid = filter(cands, luhnValidExpr(_))
     df.withColumn("__cc__", cands)
@@ -851,7 +868,10 @@ object Corpus {
 
   /** [[redactCards]]' rewrite as a single column expression: every
     * Luhn-VALID candidate replaced with `<CARD>` (literal replace fold
-    * seeded with the text — an empty valid list is the identity). */
+    * seeded with the text — an empty valid list is the identity).
+    * This is the HOF CHAIN form, kept as the differential twin of the
+    * codegen kernel ([[graft.functions.CardRedactText]]) that the
+    * pipeline actually runs. */
   def cardRedactedExpr(text: Column): Column =
     aggregate(filter(cardCandidatesExpr(text), luhnValidExpr(_)), text,
       (acc: Column, c: Column) => replace(acc, c, lit("<CARD>")))
@@ -861,7 +881,10 @@ object Corpus {
     * rule's digit runs could otherwise be consumed as card candidates
     * (a 13-digit "+"-less phone body passes Luhn for ~10% of numbers),
     * while no earlier tag leaves digits behind for the card rule to
-    * misread. */
+    * misread. The card stage is the codegen kernel
+    * ([[graft.functions.CardRedactText]] — bit-exact to
+    * [[cardRedactedExpr]]); the email/IP/phone stages are
+    * `regexp_replace` built-ins, already codegen'd. */
   def piiAndCardsRedactedExpr(text: Column): Column =
-    cardRedactedExpr(piiRedactedExpr(text))
+    graft.functions.functions.card_redact_text(piiRedactedExpr(text))
 }

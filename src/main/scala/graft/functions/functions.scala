@@ -102,6 +102,18 @@ object functions {
     GraftShims.column(MinhashSig(GraftShims.expression(text), numHashes,
       shingleSize))
 
+  /** Card detection + Luhn + redaction in one pass ([[CardRedact]] —
+    * codegen'd; struct<redacted, n_candidates, n_valid>; bit-exact to
+    * the regexp_extract_all + HOF chain it replaced, which stays as
+    * the differential twin in [[graft.ext.Corpus.cardRedactedExpr]]). */
+  def card_redact(text: Column): Column =
+    GraftShims.column(CardRedact(GraftShims.expression(text)))
+
+  /** [[card_redact]]'s redacted text only ([[CardRedactText]] —
+    * codegen'd; the output-scrub hot path). */
+  def card_redact_text(text: Column): Column =
+    GraftShims.column(CardRedactText(GraftShims.expression(text)))
+
   /** A multi-vector (token-matrix) literal usable as the query side of
     * [[maxsim]]. */
   def tokens_lit(tokens: Seq[Seq[Double]]): Column = typedLit(tokens)

@@ -2407,4 +2407,48 @@ class CorpusSpec extends SparkSuite {
       luhnOk("371449635398431") && !luhnOk("4532015112830367") &&
       !luhnOk("1234567890123456"))
   }
+
+  test("card-redact kernel == HOF chain bit-exactly on adversarial digit soup") {
+    // the differential twin contract: graft.functions.CardRedact (one
+    // codegen pass) must reproduce the regexp_extract_all + HOF-Luhn +
+    // replace-fold chain byte for byte, including its replace-all and
+    // regex-backtracking quirks
+    val soup = Seq(
+      "pay 4532015112830366 now",
+      "pay 4532 0151 1283 0366 now",
+      "pay 4532-0151-1283-0367 now",                // invalid check digit
+      "two 4111111111111111 and 371449635398431",   // two valid cards
+      // 20-digit run: \b...\b backtracking matches 19 digits FROM
+      // INDEX 1 (position 0 can never reach a trailing \b)
+      "run 45320151128303664111 end",
+      // valid candidate ALSO embedded in a longer non-candidate run
+      // glued to letters (replace-all splices <CARD> there too — the
+      // documented over-redaction; both sides must agree)
+      "a 4111111111111111 and x4111111111111111999y",
+      "glued4532015112830366tail",                   // no \b → no match
+      "sep soup 4-1-1-1 1-1-1-1 1-1-1-1 1-1-1-1 done",
+      "émoji 😀 4111 1111 1111 1111 😀",
+      "empty", "", "1234567890123", "123456789012",
+      "4111111111111111",                            // entire string
+      "4111111111111111 4111111111111111",           // duplicate card
+      null.asInstanceOf[String]
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = soup.toDF("id", "text")
+    val kernel = Corpus.redactCards(df, "text")
+      .select("id", "n_card_candidates", "n_cards_valid", "redacted")
+    val chain = Corpus.redactCardsChain(df, "text")
+      .select("id", "n_card_candidates", "n_cards_valid", "redacted")
+    val k = kernel.collect().sortBy(_.getLong(0)).map(_.toString)
+    val c = chain.collect().sortBy(_.getLong(0)).map(_.toString)
+    assert(k.toSeq == c.toSeq,
+      s"kernel/chain diverge:\n${k.zip(c).filter(p => p._1 != p._2)
+        .mkString("\n")}")
+    // and the scrub-chain text form agrees with both
+    import graft.functions.functions.card_redact_text
+    val txtK = df.select(col("id"), card_redact_text(col("text")).as("r"))
+      .collect().sortBy(_.getLong(0)).map(r => Option(r.getString(1)))
+    val txtC = df.select(col("id"), Corpus.cardRedactedExpr(col("text")).as("r"))
+      .collect().sortBy(_.getLong(0)).map(r => Option(r.getString(1)))
+    assert(txtK.toSeq == txtC.toSeq)
+  }
 }
