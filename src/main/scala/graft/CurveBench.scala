@@ -127,11 +127,26 @@ object CurveBench {
   def advisorCurve(ctx: Ctx): Seq[(String, Double)] = {
     val advice = ctx.engine.recommendProbes("c", "vectors", "vector",
       "vec_id", k = 10, targetRecall = 0.95, sampleQueries = 32)
+    // candidate-budget advisor for the reranked tiers at the advised
+    // probe count — the SAME truth discipline answering the OTHER
+    // serving knob ([[Engine.recommendCandidates]]); the sq tier
+    // typically reaches the target within a k-scale budget while bq
+    // needs orders more, which is exactly why it is measured per tier
+    val candAdvice = Seq("sq", "bq").map { tier =>
+      tier -> ctx.engine.recommendCandidates("c", "vectors", "vector",
+        "vec_id", tier, probes = advice.probes, k = 10,
+        targetRecall = 0.95, sampleQueries = 32, maxCandidates = 4096)
+    }
     Seq(
       "advisor_cells" -> advice.numCells.toDouble,
       "advisor_probes_r95" -> advice.probes.toDouble,
       "advisor_recall_at_advised" -> advice.recall) ++
-      advice.curve.map { case (p, r) => s"advisor_recall_at_p$p" -> r }
+      advice.curve.map { case (p, r) => s"advisor_recall_at_p$p" -> r } ++
+      candAdvice.flatMap { case (tier, a) => Seq(
+        s"advisor_${tier}_cand_r95" -> a.candidates.toDouble,
+        s"advisor_${tier}_recall_at_cand" -> a.recall,
+        s"advisor_${tier}_reached" -> (if (a.reachedTarget) 1.0 else 0.0))
+      }
   }
 
   /** Phase 1: scratch engine + corpus + coder + IVF + SQ8, and the

@@ -1167,7 +1167,12 @@ class Engine(val spark: SparkSession, val root: String) {
     }
 
   /** Brute-force or probed top-k depending on `coding`/`probes`, mirroring
-    * `Flight.search` (`flight.py:242-288`). */
+    * `Flight.search` (`flight.py:242-288`). With a coding but NO probe
+    * count, FRESH persisted advisor output for that (coding, source,
+    * column) supplies the probe count ([[adviseProbes]] — the "advise
+    * once, serve many" loop closed); absent or stale advice falls back
+    * to the original brute-force behavior rather than guessing a probe
+    * budget nobody measured. */
   def search(
       source: String,
       column: String,
@@ -1179,7 +1184,8 @@ class Engine(val spark: SparkSession, val root: String) {
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
-    (coding, probes) match {
+    (coding, probes.orElse(coding.flatMap(
+        advisedProbesFor(_, source, column)))) match {
       case (Some(c), Some(p)) =>
         Index.searchProbed(store, c, source, column, target, k, p, metric,
           filter, select, tieBreak)
@@ -1188,6 +1194,18 @@ class Engine(val spark: SparkSession, val root: String) {
           spark.range(1).select(target.lit.as("__target__")),
           requireMetric(metric), k, filter, select, tieBreak)
     }
+
+  /** Advised probe count for (coding, source, column) when persisted
+    * advice exists, matches, and is fresh — None otherwise (never
+    * throws: the serving path degrades to brute force, it does not
+    * fail). */
+  private def advisedProbesFor(coding: String, source: String,
+      column: String): Option[Int] =
+    try {
+      val p = freshProbeAdvice(coding)
+      if (p.source == source && p.column == column) Some(p.advice.probes)
+      else None
+    } catch { case _: Exception => None }
 
   /** Late-interaction (ColBERT MaxSim) retrieval over a table carrying a
     * multi-vector `tokensCol` — see [[Search.maxsimSearch]].
@@ -1271,59 +1289,188 @@ class Engine(val spark: SparkSession, val root: String) {
   def recommendProbes(coding: String, source: String, column: String,
       idCol: String, k: Int = 10, targetRecall: Double = 0.95,
       sampleQueries: Int = 32): Engine.ProbeAdvice = {
+    requireAdvisorParams(k, targetRecall, sampleQueries)
+    val ctx = adviceContext(coding, source, column, idCol, k, sampleQueries)
+    // try/finally: a ladder-step join that throws must still release
+    // the checkpointed query RDD (it would otherwise pin executor
+    // blocks for the session lifetime)
+    try {
+      def recallAt(probes: Int): Double =
+        ctx.meanRecall(collectTopK(idCol,
+          knnJoinIvf(coding, source, column, ctx.queries,
+            "__q_id__", "__q_vec__", k, probes, idCol, Some(ctx.metric),
+            tieBreak = Seq(idCol))))
+      val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < ctx.cells) ++
+        Iterator.single(ctx.cells)).toSeq
+      val (curve, advice) = climbLadder(ladder, recallAt, targetRecall)
+      val (probes, recall) = advice.getOrElse(curve.last)
+      Engine.ProbeAdvice(probes, recall, curve, ctx.cells)
+    } finally graft.ext.Graph.release(ctx.queries)
+  }
+
+  /** Rerank-tier candidate-budget advisor — the same ladder discipline
+    * as [[recommendProbes]] for the OTHER serving knob: how many
+    * coarse-stage candidates do the SQ8/BQ rerank tiers need (at a
+    * GIVEN probe budget) before the exact rerank of the survivors
+    * recovers recall r? Ground truth is the same brute batch-join
+    * pass; the ladder doubles candidates k, 2k, 4k, … up to
+    * `maxCandidates`.
+    *
+    * Unlike the probe ladder (whose final step — all cells — is exact
+    * by construction), the candidate ladder PLATEAUS at the recall
+    * ceiling of the probe budget it was given: candidates only decide
+    * which coarse survivors reach the exact rerank, they cannot
+    * recover a neighbor whose cell was never probed. An unreachable
+    * target therefore terminates at `maxCandidates` with the measured
+    * ceiling — the caller learns the budget is probe-bound, which is
+    * exactly the diagnosis the curve is for (the 250k bench curves
+    * show the sq tier hitting 1.0 at small budgets while bq needs
+    * thousands — this varies by tier and regime, so it is measured,
+    * not guessed). */
+  def recommendCandidates(coding: String, source: String, column: String,
+      idCol: String, tier: String, probes: Int, k: Int = 10,
+      targetRecall: Double = 0.95, sampleQueries: Int = 32,
+      maxCandidates: Int = 4096): Engine.CandidateAdvice = {
+    requireAdvisorParams(k, targetRecall, sampleQueries)
+    require(probes >= 1, s"probes must be >= 1, got $probes")
+    require(maxCandidates >= k,
+      s"maxCandidates ($maxCandidates) must be >= k ($k)")
+    val joinFn: (DataFrame, Int) => DataFrame = tier match {
+      case "sq" => (q, cand) => knnJoinSq(coding, source, column, q,
+        "__q_id__", "__q_vec__", k, probes, cand, idCol,
+        tieBreak = Seq(idCol))
+      case "bq" => (q, cand) => knnJoinBq(coding, source, column, q,
+        "__q_id__", "__q_vec__", k, probes, cand, idCol,
+        tieBreak = Seq(idCol))
+      case other => throw new IllegalArgumentException(
+        s"tier must be 'sq' or 'bq' (the reranked batch-join tiers), " +
+          s"got '$other'")
+    }
+    val ctx = adviceContext(coding, source, column, idCol, k, sampleQueries)
+    try {
+      def recallAt(cand: Int): Double =
+        ctx.meanRecall(collectTopK(idCol, joinFn(ctx.queries, cand)))
+      val ladder = (Iterator.iterate(k)(_ * 2)
+        .takeWhile(_ < maxCandidates) ++ Iterator.single(maxCandidates))
+        .toSeq
+      val (curve, advice) = climbLadder(ladder, recallAt, targetRecall)
+      val (cand, recall) = advice.getOrElse(curve.last)
+      Engine.CandidateAdvice(tier, probes, cand, recall, curve,
+        reachedTarget = advice.isDefined)
+    } finally graft.ext.Graph.release(ctx.queries)
+  }
+
+  /** [[recommendProbes]] + PERSIST: the advisor's scaladoc says "run
+    * once per (coding, corpus) and persist the answer" — this is the
+    * method that actually does. The advice lands as a JSON sidecar
+    * under the coding (the PCA/BPE model-artifact pattern) stamped
+    * with the source's file-listing stamp taken BEFORE the measurement
+    * pass (the [[graft.index.Index]] discipline: a concurrent source
+    * change mid-run leaves a stale stamp — conservative). */
+  def adviseProbes(coding: String, source: String, column: String,
+      idCol: String, k: Int = 10, targetRecall: Double = 0.95,
+      sampleQueries: Int = 32): Engine.PersistedProbeAdvice = {
+    val stamp = store.sourceStamp(source)
+    val a = recommendProbes(coding, source, column, idCol, k,
+      targetRecall, sampleQueries)
+    val p = Engine.PersistedProbeAdvice(a, source, column, idCol, k,
+      targetRecall, sampleQueries, stamp)
+    store.saveProbeAdvice(coding, p.toJson.getBytes("UTF-8"))
+    p
+  }
+
+  /** Persisted advice for `coding`, or None when never advised. No
+    * freshness check — see [[freshProbeAdvice]]. */
+  def loadProbeAdvice(coding: String): Option[Engine.PersistedProbeAdvice] =
+    store.loadProbeAdviceBytes(coding)
+      .map(b => Engine.PersistedProbeAdvice.fromJson(new String(b, "UTF-8")))
+
+  /** Persisted advice, REFUSED loudly when the source corpus changed
+    * since it was measured (file-listing stamp mismatch — the advice's
+    * recall curve was measured against a corpus that no longer
+    * exists). Callers that can re-measure should catch and call
+    * [[adviseProbes]]. */
+  def freshProbeAdvice(coding: String): Engine.PersistedProbeAdvice = {
+    val p = loadProbeAdvice(coding).getOrElse(
+      throw new NoSuchElementException(
+        s"no persisted probe advice for coding '$coding' — run " +
+          "adviseProbes (or POST /api/advise/probes) first"))
+    val now = store.sourceStamp(p.source)
+    if (now != p.sourceStamp) throw new IllegalStateException(
+      s"probe advice for coding '$coding' is STALE: source " +
+        s"'${p.source}' changed since the advice was measured " +
+        s"(stamp ${p.sourceStamp} -> $now) — re-run adviseProbes " +
+        "(or POST /api/advise/probes) to re-measure")
+    p
+  }
+
+  /** Shared advisor scaffolding: deterministic bounded query sample
+    * (checkpointed — the orderBy scan runs once, not once per ladder
+    * step), exact brute-force ground truth, mean recall@k. ONE truth
+    * pass serves whichever ladder the caller climbs. */
+  private case class AdviceContext(queries: DataFrame,
+      truth: Map[String, Set[String]], metric: String, cells: Int) {
+    def meanRecall(got: Map[String, Set[String]]): Double = {
+      val rs = truth.map { case (q, ids) =>
+        if (ids.isEmpty) 1.0
+        else ids.count(got.getOrElse(q, Set.empty[String]).contains)
+          .toDouble / ids.size
+      }
+      if (rs.isEmpty) 1.0 else rs.sum / rs.size
+    }
+  }
+
+  // string keys so non-numeric id columns advise too
+  private def collectTopK(idCol: String,
+      df: DataFrame): Map[String, Set[String]] =
+    df.select(col("__q_id__").cast("string"), col(idCol).cast("string"))
+      .collect().groupBy(_.getString(0))
+      .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+
+  private def adviceContext(coding: String, source: String, column: String,
+      idCol: String, k: Int, sampleQueries: Int): AdviceContext = {
+    val codingObj = store.loadCoding(coding)
+    val metric = codingObj.config.metric
+    val corpus = store.loadTable(source)
+    val queries = corpus
+      .select(col(idCol).as("__q_id__"), col(column).as("__q_vec__"))
+      .orderBy(xxhash64(col("__q_id__")), col("__q_id__"))
+      .limit(sampleQueries).localCheckpoint()
+    try {
+      val truth = collectTopK(idCol, graft.api.Search.knnJoin(corpus,
+        column, queries, "__q_id__", "__q_vec__", metric, k,
+        tieBreak = Seq(idCol), idCol = Some(idCol)))
+      AdviceContext(queries, truth, metric, codingObj.numCells.toInt)
+    } catch {
+      case t: Throwable =>
+        graft.ext.Graph.release(queries); throw t
+    }
+  }
+
+  /** Climb `ladder` until `recallAt` meets `target`; returns every
+    * measured point and the first passing one. */
+  private def climbLadder(ladder: Seq[Int], recallAt: Int => Double,
+      target: Double): (List[(Int, Double)], Option[(Int, Double)]) = {
+    val curve = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    var advice: Option[(Int, Double)] = None
+    val it = ladder.iterator
+    while (advice.isEmpty && it.hasNext) {
+      val p = it.next()
+      val r = recallAt(p)
+      curve += ((p, r))
+      if (r >= target) advice = Some((p, r))
+    }
+    (curve.toList, advice)
+  }
+
+  private def requireAdvisorParams(k: Int, targetRecall: Double,
+      sampleQueries: Int): Unit = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
     require(k >= 1, s"k must be >= 1, got $k")
     require(sampleQueries >= 1 && sampleQueries <= 256,
       s"sampleQueries must be in [1, 256] (bounded driver state), " +
         s"got $sampleQueries")
-    val codingObj = store.loadCoding(coding)
-    val cells: Int = codingObj.numCells.toInt
-    val metric = codingObj.config.metric
-    val corpus = store.loadTable(source)
-    // deterministic bounded sample; localCheckpoint so the orderBy scan
-    // runs once, not once per ladder step
-    val queries = corpus
-      .select(col(idCol).as("__q_id__"), col(column).as("__q_vec__"))
-      .orderBy(xxhash64(col("__q_id__")), col("__q_id__"))
-      .limit(sampleQueries).localCheckpoint()
-    // string keys so non-numeric id columns advise too
-    def collectTopK(df: DataFrame): Map[String, Set[String]] =
-      df.select(col("__q_id__").cast("string"), col(idCol).cast("string"))
-        .collect().groupBy(_.getString(0))
-        .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
-    // try/finally: a ladder-step join that throws must still release
-    // the checkpointed query RDD (it would otherwise pin executor
-    // blocks for the session lifetime)
-    try {
-      val truth = collectTopK(graft.api.Search.knnJoin(corpus, column,
-        queries, "__q_id__", "__q_vec__", metric, k,
-        tieBreak = Seq(idCol), idCol = Some(idCol)))
-      def recallAt(probes: Int): Double = {
-        val got = collectTopK(knnJoinIvf(coding, source, column, queries,
-          "__q_id__", "__q_vec__", k, probes, idCol, Some(metric),
-          tieBreak = Seq(idCol)))
-        val rs = truth.map { case (q, ids) =>
-          if (ids.isEmpty) 1.0
-          else ids.count(got.getOrElse(q, Set.empty[String]).contains)
-            .toDouble / ids.size
-        }
-        if (rs.isEmpty) 1.0 else rs.sum / rs.size
-      }
-      val ladder = (Iterator.iterate(1)(_ * 2).takeWhile(_ < cells) ++
-        Iterator.single(cells)).toSeq
-      val curve = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
-      var advice: Option[(Int, Double)] = None
-      val it = ladder.iterator
-      while (advice.isEmpty && it.hasNext) {
-        val p = it.next()
-        val r = recallAt(p)
-        curve += ((p, r))
-        if (r >= targetRecall) advice = Some((p, r))
-      }
-      val (probes, recall) = advice.getOrElse(curve.last)
-      Engine.ProbeAdvice(probes, recall, curve.toList, cells)
-    } finally graft.ext.Graph.release(queries)
   }
 
   def remove(): Unit = store.remove()
@@ -1335,4 +1482,52 @@ object Engine {
     * actually measured, and the coding's cell count for context. */
   case class ProbeAdvice(probes: Int, recall: Double,
       curve: Seq[(Int, Double)], numCells: Int)
+
+  /** [[Engine.recommendCandidates]] result: the smallest measured
+    * candidate budget meeting the target at the given (tier, probes) —
+    * or the `maxCandidates` ceiling with `reachedTarget = false` when
+    * the probe budget's recall ceiling sits below the target. */
+  case class CandidateAdvice(tier: String, probes: Int, candidates: Int,
+      recall: Double, curve: Seq[(Int, Double)], reachedTarget: Boolean)
+
+  /** [[Engine.adviseProbes]]' sidecar payload: the measured advice plus
+    * everything needed to (a) reproduce the measurement and (b) detect
+    * staleness (the source's file-listing stamp at measure time). */
+  case class PersistedProbeAdvice(advice: ProbeAdvice, source: String,
+      column: String, idCol: String, k: Int, targetRecall: Double,
+      sampleQueries: Int, sourceStamp: String) {
+    def toJson: String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = m.createObjectNode()
+      o.put("source", source); o.put("column", column)
+      o.put("idCol", idCol); o.put("k", k)
+      o.put("targetRecall", targetRecall)
+      o.put("sampleQueries", sampleQueries)
+      o.put("sourceStamp", sourceStamp)
+      o.put("probes", advice.probes); o.put("recall", advice.recall)
+      o.put("numCells", advice.numCells)
+      val arr = o.putArray("curve")
+      advice.curve.foreach { case (p, r) =>
+        val e = arr.addObject(); e.put("probes", p); e.put("recall", r)
+      }
+      m.writeValueAsString(o)
+    }
+  }
+
+  object PersistedProbeAdvice {
+    def fromJson(s: String): PersistedProbeAdvice = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      import scala.jdk.CollectionConverters._
+      val curve = n.get("curve").elements().asScala
+        .map(e => (e.get("probes").asInt(), e.get("recall").asDouble()))
+        .toList
+      PersistedProbeAdvice(
+        ProbeAdvice(n.get("probes").asInt(), n.get("recall").asDouble(),
+          curve, n.get("numCells").asInt()),
+        n.get("source").asText(), n.get("column").asText(),
+        n.get("idCol").asText(), n.get("k").asInt(),
+        n.get("targetRecall").asDouble(), n.get("sampleQueries").asInt(),
+        n.get("sourceStamp").asText())
+    }
+  }
 }

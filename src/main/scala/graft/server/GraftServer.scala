@@ -123,6 +123,10 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         case ("POST", "search" :: Nil)           => postSearch(ex)
         case ("POST", "search" :: "maxsim" :: Nil) => postMaxsim(ex)
         case ("POST", "advise" :: "probes" :: Nil) => postAdviseProbes(ex)
+        case ("GET", "advise" :: "probes" :: coding :: Nil) =>
+          getAdviseProbes(ex, coding)
+        case ("POST", "advise" :: "candidates" :: Nil) =>
+          postAdviseCandidates(ex)
         case ("GET", "pca" :: Nil) =>
           ok(ex, mapper.writeValueAsString(
             Map("models" -> engine.store.listPcaModels().asJava).asJava))
@@ -310,9 +314,12 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * response = the advice plus the measured (probes, recall) curve. A
     * calibration verb, not a serving verb — run once per (coding,
     * corpus), persist the answer client-side. */
+  /** Measures AND persists ([[graft.api.Engine.adviseProbes]] — the
+    * advisor's own scaladoc demands "run once and persist"; the POST is
+    * the run-once, the GET below is the serve-many). */
   private def postAdviseProbes(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
-    val advice = engine.recommendProbes(
+    val p = engine.adviseProbes(
       require(body, "coding").asText(),
       require(body, "source").asText(),
       require(body, "column").asText(),
@@ -320,11 +327,59 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       k = intOr(body, "k", 10),
       targetRecall = opt(body, "targetRecall").map(_.asDouble()).getOrElse(0.95),
       sampleQueries = intOr(body, "sampleQueries", 32))
-    val curve = advice.curve
-      .map { case (p, r) => s"""{"probes":$p,"recall":$r}""" }
+    ok(ex, adviceJson(p, cached = false))
+  }
+
+  /** Serves the PERSISTED advice for a coding — no measurement pass.
+    * 404 when never advised; 409 (loudly, naming the re-measure route)
+    * when the source corpus changed since the advice was measured. */
+  private def getAdviseProbes(ex: HttpExchange, coding: String): Unit =
+    try ok(ex, adviceJson(engine.freshProbeAdvice(coding), cached = true))
+    catch {
+      case e: NoSuchElementException =>
+        send(ex, 404, s"""{"error":${jstr(e.getMessage)}}""")
+      case e: IllegalStateException =>
+        send(ex, 409, s"""{"error":${jstr(e.getMessage)}}""")
+    }
+
+  /** Rerank-tier candidate-budget advisor
+    * ([[graft.api.Engine.recommendCandidates]]) — measured per call,
+    * not persisted (the knob is per-(tier, probes) and cheap to
+    * re-derive next to the probe advice). */
+  private def postAdviseCandidates(ex: HttpExchange): Unit = {
+    val body = mapper.readTree(readBody(ex))
+    val a = engine.recommendCandidates(
+      require(body, "coding").asText(),
+      require(body, "source").asText(),
+      require(body, "column").asText(),
+      require(body, "idCol").asText(),
+      tier = require(body, "tier").asText(),
+      probes = require(body, "probes").asInt(),
+      k = intOr(body, "k", 10),
+      targetRecall = opt(body, "targetRecall").map(_.asDouble()).getOrElse(0.95),
+      sampleQueries = intOr(body, "sampleQueries", 32),
+      maxCandidates = intOr(body, "maxCandidates", 4096))
+    val curve = a.curve
+      .map { case (c, r) => s"""{"candidates":$c,"recall":$r}""" }
       .mkString(",")
-    ok(ex, s"""{"probes":${advice.probes},"recall":${advice.recall},""" +
-      s""""numCells":${advice.numCells},"curve":[$curve]}""")
+    ok(ex, s"""{"tier":${jstr(a.tier)},"probes":${a.probes},""" +
+      s""""candidates":${a.candidates},"recall":${a.recall},""" +
+      s""""reachedTarget":${a.reachedTarget},"curve":[$curve]}""")
+  }
+
+  private def adviceJson(p: graft.api.Engine.PersistedProbeAdvice,
+      cached: Boolean): String = {
+    val a = p.advice
+    val curve = a.curve
+      .map { case (pr, r) => s"""{"probes":$pr,"recall":$r}""" }
+      .mkString(",")
+    s"""{"probes":${a.probes},"recall":${a.recall},""" +
+      s""""numCells":${a.numCells},"curve":[$curve],""" +
+      s""""source":${jstr(p.source)},"column":${jstr(p.column)},""" +
+      s""""idCol":${jstr(p.idCol)},"k":${p.k},""" +
+      s""""targetRecall":${p.targetRecall},""" +
+      s""""sampleQueries":${p.sampleQueries},""" +
+      s""""sourceStamp":${jstr(p.sourceStamp)},"cached":$cached}"""
   }
 
   private def postSearch(ex: HttpExchange): Unit = {

@@ -498,6 +498,24 @@ class Store(val spark: SparkSession, val root: String) {
   def dropPcaModel(name: String): Unit =
     fs.delete(new Path(pcaModelPath(name)), false)
 
+  // ——— probe/candidate advisor advice (persisted per coding — the
+  // advisor's ground-truth pass is a full corpus scan; "run once per
+  // (coding, corpus) and persist" is only real if something persists) ———
+
+  def probeAdvicePath(coding: String): String =
+    s"$root/models/advice/${safeSeg(coding)}.json"
+
+  def saveProbeAdvice(coding: String, json: Array[Byte]): Unit =
+    writeSidecar(probeAdvicePath(coding), json)
+
+  def loadProbeAdviceBytes(coding: String): Option[Array[Byte]] = {
+    val p = probeAdvicePath(coding)
+    if (sidecarExists(p)) Some(readSidecar(p)) else None
+  }
+
+  def dropProbeAdvice(coding: String): Unit =
+    fs.delete(new Path(probeAdvicePath(coding)), false)
+
   // ——— Codings (V3, A1) ———
 
   def saveCoding(name: String, coding: Coding): Unit = {

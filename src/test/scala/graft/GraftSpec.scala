@@ -177,6 +177,97 @@ class EngineSpec extends SparkSuite {
     assert(again == advice)
   }
 
+  test("candidate advisor: per-tier ladder, exact at full budget, probe-bound ceiling honest") {
+    engine.makeSqIndex("c1", "emb", "embedding")
+    engine.makeBqIndex("c1", "emb", "embedding")
+    for (tier <- Seq("sq", "bq")) {
+      // full probes + candidates up to corpus size: 1.0 reachable
+      val a = engine.recommendCandidates("c1", "emb", "embedding",
+        "vec_id", tier, probes = 16, k = 10, targetRecall = 1.0,
+        sampleQueries = 8, maxCandidates = 512)
+      assert(a.tier == tier && a.probes == 16)
+      assert(a.reachedTarget && a.recall == 1.0,
+        s"$tier at full probes/budget: $a")
+      assert(a.curve.map(_._1) == a.curve.map(_._1).sorted.distinct)
+      // deterministic
+      val again = engine.recommendCandidates("c1", "emb", "embedding",
+        "vec_id", tier, probes = 16, k = 10, targetRecall = 1.0,
+        sampleQueries = 8, maxCandidates = 512)
+      assert(again == a)
+    }
+    // probe-bound regime: 1 probe of 16 cannot reach recall 1.0 no
+    // matter the candidate budget — the advisor must terminate at
+    // maxCandidates and SAY so rather than advise a budget it never
+    // measured to work
+    val bound = engine.recommendCandidates("c1", "emb", "embedding",
+      "vec_id", "sq", probes = 1, k = 10, targetRecall = 1.0,
+      sampleQueries = 8, maxCandidates = 128)
+    if (bound.recall < 1.0)
+      assert(!bound.reachedTarget && bound.candidates == 128,
+        s"probe-bound advice must report the ceiling: $bound")
+    // bogus tier refused
+    intercept[IllegalArgumentException] {
+      engine.recommendCandidates("c1", "emb", "embedding", "vec_id",
+        "pq", probes = 16)
+    }
+  }
+
+  test("persisted probe advice: cached == recomputed, stale corpus refuses, search defaults to it") {
+    val p = engine.adviseProbes("c1", "emb", "embedding", "vec_id",
+      k = 10, targetRecall = 1.0, sampleQueries = 8)
+    // round-trips the sidecar byte-exactly
+    val loaded = engine.loadProbeAdvice("c1")
+    assert(loaded.contains(p), s"$loaded vs $p")
+    // fresh: stamp still matches
+    assert(engine.freshProbeAdvice("c1") == p)
+    // search with coding but NO probes now serves the advised plan
+    // (probed — returns k rows with the advised budget) instead of
+    // demanding a metric for brute force
+    val t = targetVec()
+    val viaAdvice = engine.search("emb", "embedding", t,
+      coding = Some("c1"), k = 5, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val explicit = engine.search("emb", "embedding", t,
+      coding = Some("c1"), probes = Some(p.advice.probes), k = 5,
+      tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaAdvice == explicit, "advised default must equal the " +
+      "explicit probed search at the advised budget")
+    // never-advised coding → loud refusal with the remedy named
+    engine.store.dropProbeAdvice("c1")
+    val e = intercept[NoSuchElementException] {
+      engine.freshProbeAdvice("c1")
+    }
+    assert(e.getMessage.contains("adviseProbes"))
+    // …and the search default falls back to requiring a metric
+    intercept[IllegalArgumentException] {
+      engine.search("emb", "embedding", t, coding = Some("c1"), k = 5)
+    }
+    // stale: re-advise, then change the corpus listing
+    engine.adviseProbes("c1", "emb", "embedding", "vec_id",
+      k = 10, targetRecall = 1.0, sampleQueries = 8)
+    val sp = engine.spark; import sp.implicits._
+    Seq((9999L, Seq.fill(dim)(9.0f))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(engine.store.tablePath("emb"))
+    val stale = intercept[IllegalStateException] {
+      engine.freshProbeAdvice("c1")
+    }
+    assert(stale.getMessage.contains("STALE") &&
+      stale.getMessage.contains("adviseProbes"))
+    // stale advice never silently serves: the default search degrades
+    // to brute (which needs a metric) rather than running a probe
+    // count measured against a corpus that no longer exists
+    intercept[IllegalArgumentException] {
+      engine.search("emb", "embedding", t, coding = Some("c1"), k = 5)
+    }
+    // re-advising heals
+    engine.adviseProbes("c1", "emb", "embedding", "vec_id",
+      k = 10, targetRecall = 1.0, sampleQueries = 8)
+    assert(engine.freshProbeAdvice("c1").sourceStamp ==
+      engine.store.sourceStamp("emb"))
+    engine.store.dropProbeAdvice("c1")
+  }
+
   test("admin: list and drop") {
     assert(engine.listTables().contains("emb"))
     assert(engine.listCodings().contains("c1"))

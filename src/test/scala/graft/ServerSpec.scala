@@ -115,6 +115,72 @@ class ServerSpec extends SparkSuite {
     assert(adv.get("probes").asInt() >= 1 && adv.get("probes").asInt() <= 2, aBody)
     assert(adv.get("recall").asDouble() == 1.0, aBody)
     assert(adv.get("curve").size() >= 1, aBody)
+    assert(!adv.get("cached").asBoolean(), aBody)
+    assert(adv.get("sourceStamp").asText().nonEmpty, aBody)
+
+    // the POST persisted the advice; GET serves the CACHE (no
+    // measurement pass) and must agree field-for-field
+    val (gc, gBody) = send("GET", "/advise/probes/wire_c1")
+    assert(gc == 200, gBody)
+    val cached = mapper.readTree(gBody)
+    assert(cached.get("cached").asBoolean(), gBody)
+    for (f <- Seq("probes", "recall", "numCells", "curve", "source",
+        "column", "idCol", "k", "targetRecall", "sampleQueries",
+        "sourceStamp"))
+      assert(cached.get(f) == adv.get(f), s"$f: $gBody vs $aBody")
+    // never-advised coding → 404
+    assert(send("GET", "/advise/probes/no_such_coding")._1 == 404)
+
+    // candidate-budget advisor for the reranked tiers shares the same
+    // sample/truth discipline; full-recall target reachable at full
+    // probes so the ladder terminates with reachedTarget
+    for (tier <- Seq("sq", "bq")) {
+      val (cc2, cBody2) = send("POST", "/advise/candidates",
+        s"""{"coding":"wire_c1","source":"wire_vecs","column":"vec",
+            "idCol":"id","tier":"$tier","probes":2,"k":5,
+            "targetRecall":1.0,"sampleQueries":4,"maxCandidates":40}""")
+      assert(cc2 == 200, cBody2)
+      val ca = mapper.readTree(cBody2)
+      assert(ca.get("tier").asText() == tier, cBody2)
+      assert(ca.get("recall").asDouble() == 1.0, cBody2)
+      assert(ca.get("reachedTarget").asBoolean(), cBody2)
+      assert(ca.get("candidates").asInt() >= 5 &&
+        ca.get("candidates").asInt() <= 40, cBody2)
+    }
+
+    // stale corpus: on a DEDICATED table (appending to wire_vecs would
+    // legitimately un-freshen the index-stats assertions further down)
+    // — appending changes the source's file-listing stamp, and the
+    // cached advice must refuse LOUDLY (409, naming the re-measure
+    // route), not silently serve a curve measured against a corpus
+    // that no longer exists
+    locally {
+      val sp = engine.spark; import sp.implicits._
+      engine.makeTable("wire_adv", (0L until 20L).map(i =>
+        (i, Seq(i.toDouble % 2, 0.0, 0.0, 0.0))).toDF("id", "vec"))
+      val (ic9, iBody9) = send("POST", "/indexes",
+        """{"name":"wire_adv_c","source":"wire_adv","column":"vec",
+            "metric":"l2","codebookSize":2,"numCodebooks":1,
+            "batchSize":64,"numEpochs":2}""")
+      assert(ic9 == 200, iBody9)
+      val (pc9, pBody9) = send("POST", "/advise/probes",
+        """{"coding":"wire_adv_c","source":"wire_adv","column":"vec",
+            "idCol":"id","k":5,"targetRecall":1.0,"sampleQueries":4}""")
+      assert(pc9 == 200, pBody9)
+      assert(send("GET", "/advise/probes/wire_adv_c")._1 == 200)
+      Seq((100L, Seq(9.0, 9.0, 9.0, 9.0))).toDF("id", "vec")
+        .write.mode("append").parquet(engine.store.tablePath("wire_adv"))
+      val (sc9, sBody9) = send("GET", "/advise/probes/wire_adv_c")
+      assert(sc9 == 409, s"$sc9 $sBody9")
+      assert(sBody9.contains("STALE") && sBody9.contains("advise"), sBody9)
+      // re-advising over the wire refreshes the stamp and the GET recovers
+      val (ac2, aBody2) = send("POST", "/advise/probes",
+        """{"coding":"wire_adv_c","source":"wire_adv","column":"vec",
+            "idCol":"id","k":5,"targetRecall":1.0,"sampleQueries":4}""")
+      assert(ac2 == 200, aBody2)
+      assert(send("GET", "/advise/probes/wire_adv_c")._1 == 200)
+      assert(send("DELETE", "/tables/wire_adv")._1 == 200)
+    }
 
     // ivf+pq search over the wire (candidates + idCol select the PQ path)
     val (pc2, pBody2) = send("POST", "/search",
