@@ -1231,7 +1231,12 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     * back inline. */
   /** The curation Config fields shared by the curate and curate-drops
     * routes — one parser so the two can never accept different knobs. */
-  private def curateCfg(body: JsonNode): graft.ext.Curate.Config =
+  private def curateCfg(body: JsonNode): graft.ext.Curate.Config = {
+    if (opt(body, "dsirKeepFraction").isDefined &&
+        opt(body, "dsirTarget").isEmpty)
+      throw new IllegalArgumentException(
+        "dsirKeepFraction sizes the DSIR stage — it needs dsirTarget " +
+          "(the table to train the importance model against)")
     graft.ext.Curate.Config(
       jaccardThreshold =
         opt(body, "jaccard").map(_.asDouble()).getOrElse(0.5),
@@ -1262,7 +1267,31 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         opt(body, "normalizeUnicode").exists(_.asBoolean()),
       // PII output-scrub (emails/IPs/phones/Luhn cards) on survivors
       redactOutputPii =
-        opt(body, "redactOutputPii").exists(_.asBoolean()))
+        opt(body, "redactOutputPii").exists(_.asBoolean()),
+      // optional DSIR resampling stage: train against a stored target
+      // table ("what the data should look like"); pivot explicit
+      // ("dsirPivot") or SIZED by kept mass ("dsirKeepFraction" — the
+      // library derives the pivot from this corpus' weight histogram;
+      // batch-only: the streaming gate refuses the fraction knob and
+      // names the offline resolution, Curate.scala streaming gate)
+      dsir = opt(body, "dsirTarget").map { t =>
+        val textCol = require(body, "column").asText()
+        val df = engine.readTable(Seq(require(body, "source").asText()))
+        val targetRaw = engine.readTable(Seq(t.asText()))
+        val target = opt(body, "dsirTargetTextCol").map(_.asText()) match {
+          case Some(c) => targetRaw.select(
+            org.apache.spark.sql.functions.col(c).as(textCol))
+          case None => targetRaw.select(
+            org.apache.spark.sql.functions.col(textCol))
+        }
+        val model = graft.ext.Corpus.dsirTrain(target, df, textCol,
+          intOr(body, "dsirBuckets", 4096),
+          opt(body, "dsirSmoothing").map(_.asDouble()).getOrElse(1.0))
+        (model, opt(body, "dsirPivot").map(_.asDouble()).getOrElse(0.0))
+      },
+      dsirKeepFraction =
+        opt(body, "dsirKeepFraction").map(_.asDouble()))
+  }
 
   /** Drop attribution ([[graft.ext.Curate.curateDrops]]): every dropped
     * doc + the first stage that dropped it — the "why was my document

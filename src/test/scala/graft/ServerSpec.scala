@@ -967,6 +967,31 @@ class ServerSpec extends SparkSuite {
       }
     assert(redIds.toSet == Set(1L, 5L), s"redacted survivors $redIds")
     assert(redTexts(1L).endsWith("mail <EMAIL>"), redTexts(1L))
+    // sized DSIR over the wire: keepFraction=1.0 derives the minimal
+    // pivot (every scored doc keeps) — survivors unchanged, proving
+    // the knob reaches Curate.Config; the route-level guard refuses
+    // the fraction without a target to train against
+    val (fc, fBody) = send("POST", "/text/curate",
+      s"""{$req,"dsirTarget":"cur_bench","dsirTargetTextCol":"text",
+          "dsirKeepFraction":1.0}""")
+    assert(fc == 200, fBody)
+    val dsirIds = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(fBody).get("rows").elements()
+      .forEachRemaining(n => dsirIds += n.get("doc_id").asLong())
+    assert(dsirIds.toSet == Set(1L, 5L), s"dsir-sized survivors $dsirIds")
+    // drop attribution accepts the identical knobs (one shared parser)
+    // and still partitions the corpus with the survivors
+    val (fc2, fBody2) = send("POST", "/text/curate-drops",
+      s"""{$req,"dsirTarget":"cur_bench","dsirTargetTextCol":"text",
+          "dsirKeepFraction":1.0}""")
+    assert(fc2 == 200, fBody2)
+    val dropped = scala.collection.mutable.Set.empty[Long]
+    mapper.readTree(fBody2).get("rows").elements()
+      .forEachRemaining(n => dropped += n.get("doc_id").asLong())
+    assert(dropped.toSet == Set(2L, 3L, 4L), s"dropped $dropped")
+    val (bc9, bBody9) = send("POST", "/text/curate",
+      s"""{$req,"dsirKeepFraction":0.5}""")
+    assert(bc9 == 400 && bBody9.contains("dsirTarget"), s"$bc9 $bBody9")
     Seq("cur_docs", "cur_bench", "cur_out").foreach(t =>
       assert(send("DELETE", s"/tables/$t")._1 == 200))
   }
