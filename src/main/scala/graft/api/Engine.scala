@@ -593,19 +593,54 @@ class Engine(val spark: SparkSession, val root: String) {
 
   /** The persisted artifact's PassJoin frames, shaped for
     * [[graft.ext.Dedup.editDistanceJoinAgainstFrames]] (id renamed to
-    * id_b, partition column dropped, partial counts re-aggregated). */
-  private def fuzzyFrames(base: String): (DataFrame, DataFrame, DataFrame,
-      DataFrame, DataFrame) = {
+    * id_b, partition column dropped, partial counts re-aggregated).
+    * `segBuckets`/`probeBuckets` prune the segs/probes scans to those
+    * `__SEG_BUCKET__` partitions at the file listing (None = full
+    * scan); the count frames are never pruned — the guard needs the
+    * corpus-side key statistics whole, and they are orders of
+    * magnitude smaller. */
+  private def fuzzyFrames(base: String,
+      segBuckets: Option[Seq[Int]] = None,
+      probeBuckets: Option[Seq[Int]] = None): (DataFrame, DataFrame,
+      DataFrame, DataFrame, DataFrame) = {
     val rb = spark.read.parquet(s"$base/base").select("id", "t", "len")
-    val rSegs = spark.read.parquet(s"$base/segs")
+    def pruned(path: String, bks: Option[Seq[Int]]): DataFrame = {
+      val raw = spark.read.parquet(path)
+      bks.fold(raw)(b => raw.filter(col("__SEG_BUCKET__").isin(b: _*)))
+    }
+    val rSegs = pruned(s"$base/segs", segBuckets)
       .select(col("l"), col("i"), col("g"), col("id").as("id_b"))
-    val rProbes = spark.read.parquet(s"$base/probes")
+    val rProbes = pruned(s"$base/probes", probeBuckets)
       .select(col("l"), col("i"), col("g"), col("id").as("id_b"))
     val segCounts = spark.read.parquet(s"$base/segcounts")
       .groupBy("l", "i", "g").agg(sum("ns").as("ns"))
     val probeCounts = spark.read.parquet(s"$base/probecounts")
       .groupBy("l", "i", "g").agg(sum("np").as("np"))
     (rb, rSegs, rProbes, segCounts, probeCounts)
+  }
+
+  /** The LEFT side's hit-bucket sets for the batch join's artifact
+    * pruning, as (segs-scan filter, probes-scan filter): the artifact
+    * SEGS frame joins the left side's PROBE keys and vice versa, and a
+    * right-side row whose `g` hashes outside every left key's bucket
+    * can never find a join partner (key equality implies bucket
+    * equality under the same CRC32 formula the writer used) — so the
+    * batch join may prune exactly like the single lookup does, at the
+    * file listing. Two bounded driver jobs over the (small) left side,
+    * ≤ `buckets` ints each; a batch whose keys cover every bucket
+    * returns None (pruning nothing would only add an isin filter). */
+  private def fuzzyHitBuckets(left: DataFrame, leftId: String,
+      leftText: String, maxDist: Int,
+      buckets: Int): (Option[Seq[Int]], Option[Seq[Int]]) = {
+    val lb = graft.ext.Dedup.editDistanceBase(left, leftId, leftText)
+    val bCol = (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
+    def hit(keys: DataFrame): Option[Seq[Int]] = {
+      val bks = keys.select(bCol.as("__b__")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (bks.size >= buckets) None else Some(bks)
+    }
+    (hit(graft.ext.Dedup.editDistanceProbes(lb, maxDist)),
+      hit(graft.ext.Dedup.editDistanceSegments(lb, maxDist)))
   }
 
   /** BATCH edit-distance join against the persisted fuzzy index: every
@@ -621,13 +656,38 @@ class Engine(val spark: SparkSession, val root: String) {
       maxCandidates: Long = 50000000L,
       allowStale: Boolean = false): DataFrame = {
     val base = store.fuzzyIndexPath(source, textCol)
-    val maxDist = fuzzyMeta(base)._1
+    val (maxDist, buckets, _) = fuzzyMeta(base)
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale)
-    val (rb, rSegs, rProbes, segCounts, probeCounts) = fuzzyFrames(base)
+    // batch-shape pruning (round 18): the single lookup always pruned
+    // to its query's __SEG_BUCKET__ partitions, but the batch join
+    // read the FULL artifact frames — per-batch cost scaled with the
+    // corpus even for a handful of queries. Collect the left side's
+    // hit buckets up front and prune the artifact scans the same way.
+    val (segBks, probeBks) =
+      fuzzyHitBuckets(left, leftId, leftText, maxDist, buckets)
+    val (rb, rSegs, rProbes, segCounts, probeCounts) =
+      fuzzyFrames(base, segBks, probeBks)
     graft.ext.Dedup.editDistanceJoinAgainstFrames(left, leftId, leftText,
       rb, rSegs, rProbes, maxDist, maxCandidates,
-      Some(segCounts), Some(probeCounts))
+      Some(segCounts), Some(probeCounts),
+      broadcastLeft = fuzzyLeftIsSmall(left, leftId, leftText, maxDist))
+  }
+
+  /** Whether the batch join's LEFT side is small enough to broadcast
+    * its derived key frames (the serving shape: a few thousand queries
+    * against a 10M-doc artifact — shuffling the corpus-side key
+    * frames against it cost ~the whole corpus per call; broadcast
+    * flips those joins map-side). One bounded count job; the probe
+    * frame is the larger derivation at ≤ (k+1)²(2k+1) keys per left
+    * row, capped at ~2M broadcast keys. */
+  private def fuzzyLeftIsSmall(left: DataFrame, leftId: String,
+      leftText: String, maxDist: Int): Boolean = {
+    val rows =
+      graft.ext.Dedup.editDistanceBase(left, leftId, leftText).count()
+    val perRow =
+      (maxDist + 1).toLong * (maxDist + 1) * (2 * maxDist + 1)
+    rows * perRow <= 2000000L
   }
 
   /** Fuzzy ingest gate served FROM the persisted artifact — the
@@ -646,7 +706,7 @@ class Engine(val spark: SparkSession, val root: String) {
         "the fixed output columns (ref_id, dist) or the join's internal " +
         "id_b; rename it apart first")
     val base = store.fuzzyIndexPath(source, textCol)
-    val maxDist = fuzzyMeta(base)._1
+    val (maxDist, buckets, _) = fuzzyMeta(base)
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale = false)
     (batch: DataFrame, _: Long) =>
@@ -659,10 +719,18 @@ class Engine(val spark: SparkSession, val root: String) {
         // the stream runs re-stamps, so append-only growth passes.)
         recoverFuzzyArtifacts(base)
         requireFuzzyFresh(source, textCol, allowStale = false)
-        val (rb, rSegs, rProbes, segCounts, probeCounts) = fuzzyFrames(base)
+        // a micro-batch hits a handful of buckets — prune the artifact
+        // scans to them (the batch-join discipline; per-arrival cost
+        // must scale with the BATCH, not the corpus)
+        val (segBks, probeBks) = fuzzyHitBuckets(batch, streamIdCol,
+          streamTextCol, maxDist, buckets)
+        val (rb, rSegs, rProbes, segCounts, probeCounts) =
+          fuzzyFrames(base, segBks, probeBks)
         sink(graft.ext.Dedup.editDistanceJoinAgainstFrames(batch,
             streamIdCol, streamTextCol, rb, rSegs, rProbes, maxDist,
-            maxCandidates, Some(segCounts), Some(probeCounts))
+            maxCandidates, Some(segCounts), Some(probeCounts),
+            broadcastLeft =
+              fuzzyLeftIsSmall(batch, streamIdCol, streamTextCol, maxDist))
           .withColumnRenamed("id_a", streamIdCol)
           .withColumnRenamed("id_b", "ref_id"))
       }

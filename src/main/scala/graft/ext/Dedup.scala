@@ -951,26 +951,59 @@ object Dedup {
       leftText: String, rb: DataFrame, rSegs: DataFrame, rProbes: DataFrame,
       maxDist: Int, maxCandidates: Long = 50000000L,
       rSegCounts: Option[DataFrame] = None,
-      rProbeCounts: Option[DataFrame] = None): DataFrame = {
+      rProbeCounts: Option[DataFrame] = None,
+      broadcastLeft: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxCandidates >= 1, "maxCandidates must be >= 1")
     val k = maxDist
     val lb = edBase(left, leftId, leftText)
-    val lSegs = edSegs(lb, k).withColumnRenamed("id", "id_a")
-    val lProbes = edProbes(lb, k).withColumnRenamed("id", "id_a")
-    // precomputed right-side counts (the gate checkpoints them once)
-    // make the per-call guard cost scale with the LEFT side only
-    edGuard(editDistanceKeyCounts(lSegs, "ns"),
-      rProbeCounts.getOrElse(editDistanceKeyCounts(rProbes, "np")),
-      "editDistanceJoin", maxCandidates)
-    edGuard(rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
-      editDistanceKeyCounts(lProbes, "np"),
-      "editDistanceJoin", maxCandidates)
-    val cand = lSegs.join(rProbes, Seq("l", "i", "g"))
+    // `broadcastLeft` flips the candidate joins from shuffling the
+    // CORPUS-side key frames (rProbes is ~(k+1)²(2k+1) rows per stored
+    // doc — hundreds of millions at the 10M tier, and its shuffle+sort
+    // dominated the batch join end to end) to map-side hash joins
+    // streaming those frames once, with the left key frames broadcast.
+    // Only the caller knows the left side is small enough (the serving
+    // batch shape); the dedup-scale symmetric path keeps the shuffle.
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastLeft) broadcast(df) else df
+    val lSegs = hint(edSegs(lb, k).withColumnRenamed("id", "id_a"))
+    val lProbes = hint(edProbes(lb, k).withColumnRenamed("id", "id_a"))
+    val rawPairs = lSegs.join(rProbes, Seq("l", "i", "g"))
       .select("id_a", "id_b")
       .union(lProbes.join(rSegs, Seq("l", "i", "g")).select("id_a", "id_b"))
-      .distinct()
-    val ta = lb.select(col("id").as("id_a"), col("t").as("__ta"))
+    if (broadcastLeft) {
+      // guard by COUNTING the raw (pre-distinct) pair stream: under
+      // the broadcast hint the candidate joins are map-side, so the
+      // count is one pruned scan with a partial-aggregated count and
+      // NO shuffle — the exact Σ ns·np the counts-frame guard
+      // estimates, without touching the corpus counts artifact at all
+      // (its per-call re-aggregation was the measured 1k-query
+      // constant: one partial-count row per corpus key, hundreds of
+      // millions at the 10M tier, shuffled on every call). The big
+      // join output is never materialized: the guard pass reduces to
+      // per-partition counts, and only when it passes does the
+      // distinct (the first shuffle) run.
+      val vol = rawPairs.count()
+      if (vol > maxCandidates)
+        throw new IllegalArgumentException(
+          s"editDistanceJoin: segment-key candidate volume = $vol " +
+            s"pairs exceeds maxCandidates=$maxCandidates — segment " +
+            "contents collide pathologically. Shrink the query batch, " +
+            "dedup boilerplate first, or raise maxCandidates " +
+            "deliberately.")
+    } else {
+      // symmetric/dedup shape: precomputed right-side counts (the gate
+      // checkpoints them once) make the per-call guard cost scale with
+      // the LEFT side only
+      edGuard(editDistanceKeyCounts(lSegs, "ns"),
+        rProbeCounts.getOrElse(editDistanceKeyCounts(rProbes, "np")),
+        "editDistanceJoin", maxCandidates)
+      edGuard(rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
+        editDistanceKeyCounts(lProbes, "np"),
+        "editDistanceJoin", maxCandidates)
+    }
+    val cand = rawPairs.distinct()
+    val ta = hint(lb.select(col("id").as("id_a"), col("t").as("__ta")))
     val tb = rb.select(col("id").as("id_b"), col("t").as("__tb"))
     cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -68,6 +68,35 @@ class FuzzySpec extends SparkSuite {
         left, "qid", "qt", all, "doc_id", "t", maxDist = 2)
       .as[(Long, Long, Long)].collect().toSet
     assert(got == want && got.nonEmpty, s"$got vs $want")
+
+    // both guard/plan shapes of the frames join agree with each other
+    // and with the artifact path: broadcastLeft=true (serving — raw
+    // pair-stream count guard, map-side joins) and false (symmetric —
+    // counts-frame guard, shuffle joins) are plan variants of ONE
+    // contract
+    val base = e.store.fuzzyIndexPath("fd", "t")
+    def frames() = (
+      spark.read.parquet(s"$base/base").select("id", "t", "len"),
+      spark.read.parquet(s"$base/segs")
+        .select(col("l"), col("i"), col("g"), col("id").as("id_b")),
+      spark.read.parquet(s"$base/probes")
+        .select(col("l"), col("i"), col("g"), col("id").as("id_b")))
+    for (bcast <- Seq(true, false)) {
+      val (rb, rSegs, rProbes) = frames()
+      val viaFrames = graft.ext.Dedup.editDistanceJoinAgainstFrames(
+          left, "qid", "qt", rb, rSegs, rProbes, maxDist = 2,
+          broadcastLeft = bcast)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(viaFrames == want, s"broadcastLeft=$bcast: $viaFrames")
+      // the guard trips at the same volume on both paths (5 queries ×
+      // ≥1 key match each ⇒ raw pair volume ≥ 5 > 1)
+      val (rb2, rSegs2, rProbes2) = frames()
+      intercept[IllegalArgumentException] {
+        graft.ext.Dedup.editDistanceJoinAgainstFrames(
+          left, "qid", "qt", rb2, rSegs2, rProbes2, maxDist = 2,
+          maxCandidates = 1L, broadcastLeft = bcast).count()
+      }
+    }
   }
 
   test("artifact-served ingest gate closure == editDistanceJoin, and a " +
