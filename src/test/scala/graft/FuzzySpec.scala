@@ -97,6 +97,19 @@ class FuzzySpec extends SparkSuite {
           maxCandidates = 1L, broadcastLeft = bcast).count()
       }
     }
+
+    // the serving plan shape is pinned, not assumed: the artifact
+    // scans carry the hit-bucket IN-set as a PARTITION filter
+    // (file-listing pruning) and the candidate joins are broadcast
+    // (the corpus-side frames are never shuffled)
+    val plan = e.fuzzyJoin("fd", "t", left, "qid", "qt")
+      .queryExecution.executedPlan.toString
+    val pfs = plan.linesIterator
+      .filter(_.contains("PartitionFilters:")).toSeq
+    assert(pfs.nonEmpty && pfs.exists(_.contains("__SEG_BUCKET__")),
+      s"hit buckets not a partition filter:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate joins not broadcast:\n$plan")
   }
 
   test("artifact-served ingest gate closure == editDistanceJoin, and a " +
