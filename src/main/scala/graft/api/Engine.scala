@@ -305,15 +305,18 @@ class Engine(val spark: SparkSession, val root: String) {
       // instead of scanning every stored document's text — without this,
       // single-lookup latency scales with corpus size
       writeFuzzyBase(base, bf, buckets, mode = "overwrite")
-      writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite")
+      val (maxNs, maxNp) =
+        writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite")
       // parameters ride the artifact: pruning with a different modulus or
       // distance than the build's would silently miss candidates; the id
       // column rides too so sync can anti-join the source against the
       // base. layout 2 (id-bucketed base) is the only layout written or
-      // served — artifacts predating it need a rebuild
+      // served — artifacts predating it need a rebuild. maxNsBound/
+      // maxNpBound are per-key frequency UPPER bounds (sync adds each
+      // delta's max — Σ of per-delta maxima ≥ any key's true total),
+      // letting the serving join's volume guard run driver-side.
       store.writeSidecar(s"$base/meta.json",
-        s"""{"maxDist":$maxDist,"buckets":$buckets,"idCol":"$idCol","layout":2}"""
-          .getBytes("UTF-8"))
+        fuzzyMetaJson(maxDist, buckets, idCol, maxNs, maxNp))
       Index.recordSourceStamp(store, base, listing)
     }
   }
@@ -341,9 +344,14 @@ class Engine(val spark: SparkSession, val root: String) {
       .parquet(s"$base/base")
 
   /** Segment/probe/count frames of one base delta, written under the
-    * artifact — shared by build (overwrite) and sync (append). */
+    * artifact — shared by build (overwrite) and sync (append). Returns
+    * this DELTA's (max per-key segment count, max per-key probe count),
+    * observed for FREE on the counts writes ([[Observation]] — no
+    * extra pass): the serving join's volume guard multiplies the
+    * accumulated bounds against the query batch's key counts and skips
+    * its artifact pass entirely when the product is safely small. */
   private def writeFuzzyFrames(base: String, bf: DataFrame, maxDist: Int,
-      buckets: Int, mode: String): Unit = {
+      buckets: Int, mode: String): (Long, Long) = {
     val bucketCol =
       (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
     val segs = graft.ext.Dedup.editDistanceSegments(bf, maxDist)
@@ -359,10 +367,17 @@ class Engine(val spark: SparkSession, val root: String) {
     // per-key counts: sync appends PARTIAL count rows (one set per
     // delta); readers re-aggregate — Σ over partials is exact, and the
     // counts frame stays orders of magnitude smaller than the frames
+    val segObs = new org.apache.spark.sql.Observation()
+    val probeObs = new org.apache.spark.sql.Observation()
     graft.ext.Dedup.editDistanceKeyCounts(segs, "ns")
+      .observe(segObs, max(col("ns")).as("mx"))
       .write.mode(mode).parquet(s"$base/segcounts")
     graft.ext.Dedup.editDistanceKeyCounts(probes, "np")
+      .observe(probeObs, max(col("np")).as("mx"))
       .write.mode(mode).parquet(s"$base/probecounts")
+    def mx(o: org.apache.spark.sql.Observation): Long =
+      Option(o.get("mx")).map(_.asInstanceOf[Double].toLong).getOrElse(0L)
+    (mx(segObs), mx(probeObs))
   }
 
   private def fuzzyMeta(base: String): (Int, Int, String) = {
@@ -393,6 +408,23 @@ class Engine(val spark: SparkSession, val root: String) {
         "rebuild with buildFuzzyIndex(source, textCol) against the same " +
         "source table")
     (intOrFail("\"maxDist\""), intOrFail("\"buckets\""), idCol)
+  }
+
+  private def fuzzyMetaJson(maxDist: Int, buckets: Int, idCol: String,
+      maxNsBound: Long, maxNpBound: Long): Array[Byte] =
+    (s"""{"maxDist":$maxDist,"buckets":$buckets,"idCol":"$idCol",""" +
+      s""""layout":2,"maxNsBound":$maxNsBound,"maxNpBound":$maxNpBound}""")
+      .getBytes("UTF-8")
+
+  /** The artifact's accumulated per-key frequency upper bounds, or None
+    * for an artifact built before they existed (the serving guard then
+    * keeps its exact counting pass). */
+  private def fuzzyMetaBounds(base: String): Option[(Long, Long)] = {
+    val s = new String(store.readSidecar(s"$base/meta.json"), "UTF-8")
+    def longOf(k: String) = (k + """\s*:\s*(\d+)""").r
+      .findFirstMatchIn(s).map(_.group(1).toLong)
+    for (ns <- longOf("\"maxNsBound\""); np <- longOf("\"maxNpBound\""))
+      yield (ns, np)
   }
 
   /** Whether the fuzzy artifact exists AND was built/synced from the
@@ -436,7 +468,17 @@ class Engine(val spark: SparkSession, val root: String) {
         val n = bf.count()
         if (n > 0) {
           writeFuzzyBase(base, bf, buckets, mode = "append")
-          writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
+          val (dNs, dNp) =
+            writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
+          // accumulate the frequency bounds: a key split across deltas
+          // totals at most the sum of the per-delta maxima. An artifact
+          // predating the bounds stays unbounded (the serving guard
+          // falls back to its exact count pass) — only a rebuild can
+          // establish a true bound.
+          fuzzyMetaBounds(base).foreach { case (ns, np) =>
+            store.writeSidecar(s"$base/meta.json",
+              fuzzyMetaJson(maxDist, buckets, idCol, ns + dNs, np + dNp))
+          }
         }
         // re-stamp OUTSIDE the n > 0 branch: append-only growth whose
         // new rows are all null-text (filtered by design) appends
@@ -619,29 +661,33 @@ class Engine(val spark: SparkSession, val root: String) {
     (rb, rSegs, rProbes, segCounts, probeCounts)
   }
 
-  /** The LEFT side's hit-bucket sets for the batch join's artifact
-    * pruning, as (segs-scan filter, probes-scan filter): the artifact
-    * SEGS frame joins the left side's PROBE keys and vice versa, and a
-    * right-side row whose `g` hashes outside every left key's bucket
-    * can never find a join partner (key equality implies bucket
-    * equality under the same CRC32 formula the writer used) — so the
-    * batch join may prune exactly like the single lookup does, at the
-    * file listing. Two bounded driver jobs over the (small) left side,
-    * ≤ `buckets` ints each; a batch whose keys cover every bucket
-    * returns None (pruning nothing would only add an isin filter). */
-  private def fuzzyHitBuckets(left: DataFrame, leftId: String,
-      leftText: String, maxDist: Int,
-      buckets: Int): (Option[Seq[Int]], Option[Seq[Int]]) = {
-    val lb = graft.ext.Dedup.editDistanceBase(left, leftId, leftText)
+  /** One key frame's serving-side statistics: its hit-bucket set (the
+    * batch join's artifact pruning — a right-side row whose `g` hashes
+    * outside every left key's bucket can never find a join partner,
+    * because key equality implies bucket equality under the writer's
+    * CRC32 formula; None when the batch covers every bucket, where an
+    * isin filter would prune nothing) and its ROW count (the broadcast
+    * decision and the driver-side volume-guard bound). ONE bounded
+    * driver job per frame: collect_set over ≤ `buckets` ints + a
+    * count. */
+  private case class FuzzySideStats(hitBuckets: Option[Seq[Int]],
+    rows: Long)
+
+  private def fuzzySideStats(keys: DataFrame,
+      buckets: Int): FuzzySideStats = {
     val bCol = (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
-    def hit(keys: DataFrame): Option[Seq[Int]] = {
-      val bks = keys.select(bCol.as("__b__")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      if (bks.size >= buckets) None else Some(bks)
-    }
-    (hit(graft.ext.Dedup.editDistanceProbes(lb, maxDist)),
-      hit(graft.ext.Dedup.editDistanceSegments(lb, maxDist)))
+    val r = keys.agg(collect_set(bCol).as("bks"),
+      count(lit(1)).as("n")).head()
+    val bks = r.getSeq[Int](0)
+    FuzzySideStats(
+      if (bks.size >= buckets) None else Some(bks),
+      r.getLong(1))
   }
+
+  /** Broadcast the left key frames when their total stays under ~2M
+    * rows (the serving-batch shape; a 10M-row dedup side must keep the
+    * shuffle plan). */
+  private val FuzzyBroadcastKeyCap = 2000000L
 
   /** BATCH edit-distance join against the persisted fuzzy index: every
     * (left row, stored doc) pair within the build-time `maxDist`, as
@@ -659,35 +705,33 @@ class Engine(val spark: SparkSession, val root: String) {
     val (maxDist, buckets, _) = fuzzyMeta(base)
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale)
-    // batch-shape pruning (round 18): the single lookup always pruned
-    // to its query's __SEG_BUCKET__ partitions, but the batch join
-    // read the FULL artifact frames — per-batch cost scaled with the
-    // corpus even for a handful of queries. Collect the left side's
-    // hit buckets up front and prune the artifact scans the same way.
-    val (segBks, probeBks) =
-      fuzzyHitBuckets(left, leftId, leftText, maxDist, buckets)
+    // batch-shape serving plan (round 18): the single lookup always
+    // pruned to its query's __SEG_BUCKET__ partitions, but the batch
+    // join read the FULL artifact frames — per-batch cost scaled with
+    // the corpus even for a handful of queries. Two bounded driver
+    // jobs over the left side yield the hit buckets (artifact scans
+    // pruned at the file listing), the key counts (broadcast
+    // decision), and — with the artifact's persisted frequency
+    // bounds — a PROVEN volume bound that lets the guard skip its
+    // artifact pass entirely (the join then reads the artifact ONCE).
+    val lb = graft.ext.Dedup.editDistanceBase(left, leftId, leftText)
+    val lSegStats = fuzzySideStats(
+      graft.ext.Dedup.editDistanceSegments(lb, maxDist), buckets)
+    val lProbeStats = fuzzySideStats(
+      graft.ext.Dedup.editDistanceProbes(lb, maxDist), buckets)
     val (rb, rSegs, rProbes, segCounts, probeCounts) =
-      fuzzyFrames(base, segBks, probeBks)
+      fuzzyFrames(base, lProbeStats.hitBuckets, lSegStats.hitBuckets)
+    // Σ ns(k)·npLeft(k) + Σ np(k)·nsLeft(k) ≤ maxNs·|left probes| +
+    // maxNp·|left segs| — every factor known on the driver
+    val bound = fuzzyMetaBounds(base).map { case (maxNs, maxNp) =>
+      maxNs.toDouble * lProbeStats.rows + maxNp.toDouble * lSegStats.rows
+    }
     graft.ext.Dedup.editDistanceJoinAgainstFrames(left, leftId, leftText,
       rb, rSegs, rProbes, maxDist, maxCandidates,
       Some(segCounts), Some(probeCounts),
-      broadcastLeft = fuzzyLeftIsSmall(left, leftId, leftText, maxDist))
-  }
-
-  /** Whether the batch join's LEFT side is small enough to broadcast
-    * its derived key frames (the serving shape: a few thousand queries
-    * against a 10M-doc artifact — shuffling the corpus-side key
-    * frames against it cost ~the whole corpus per call; broadcast
-    * flips those joins map-side). One bounded count job; the probe
-    * frame is the larger derivation at ≤ (k+1)²(2k+1) keys per left
-    * row, capped at ~2M broadcast keys. */
-  private def fuzzyLeftIsSmall(left: DataFrame, leftId: String,
-      leftText: String, maxDist: Int): Boolean = {
-    val rows =
-      graft.ext.Dedup.editDistanceBase(left, leftId, leftText).count()
-    val perRow =
-      (maxDist + 1).toLong * (maxDist + 1) * (2 * maxDist + 1)
-    rows * perRow <= 2000000L
+      broadcastLeft =
+        lSegStats.rows + lProbeStats.rows <= FuzzyBroadcastKeyCap,
+      provenVolumeBound = bound)
   }
 
   /** Fuzzy ingest gate served FROM the persisted artifact — the
@@ -721,16 +765,26 @@ class Engine(val spark: SparkSession, val root: String) {
         requireFuzzyFresh(source, textCol, allowStale = false)
         // a micro-batch hits a handful of buckets — prune the artifact
         // scans to them (the batch-join discipline; per-arrival cost
-        // must scale with the BATCH, not the corpus)
-        val (segBks, probeBks) = fuzzyHitBuckets(batch, streamIdCol,
-          streamTextCol, maxDist, buckets)
+        // must scale with the BATCH, not the corpus); the persisted
+        // frequency bounds let the guard skip its artifact pass
+        val lb = graft.ext.Dedup.editDistanceBase(batch, streamIdCol,
+          streamTextCol)
+        val lSegStats = fuzzySideStats(
+          graft.ext.Dedup.editDistanceSegments(lb, maxDist), buckets)
+        val lProbeStats = fuzzySideStats(
+          graft.ext.Dedup.editDistanceProbes(lb, maxDist), buckets)
         val (rb, rSegs, rProbes, segCounts, probeCounts) =
-          fuzzyFrames(base, segBks, probeBks)
+          fuzzyFrames(base, lProbeStats.hitBuckets, lSegStats.hitBuckets)
+        val bound = fuzzyMetaBounds(base).map { case (maxNs, maxNp) =>
+          maxNs.toDouble * lProbeStats.rows +
+            maxNp.toDouble * lSegStats.rows
+        }
         sink(graft.ext.Dedup.editDistanceJoinAgainstFrames(batch,
             streamIdCol, streamTextCol, rb, rSegs, rProbes, maxDist,
             maxCandidates, Some(segCounts), Some(probeCounts),
             broadcastLeft =
-              fuzzyLeftIsSmall(batch, streamIdCol, streamTextCol, maxDist))
+              lSegStats.rows + lProbeStats.rows <= FuzzyBroadcastKeyCap,
+            provenVolumeBound = bound)
           .withColumnRenamed("id_a", streamIdCol)
           .withColumnRenamed("id_b", "ref_id"))
       }

@@ -952,7 +952,8 @@ object Dedup {
       maxDist: Int, maxCandidates: Long = 50000000L,
       rSegCounts: Option[DataFrame] = None,
       rProbeCounts: Option[DataFrame] = None,
-      broadcastLeft: Boolean = false): DataFrame = {
+      broadcastLeft: Boolean = false,
+      provenVolumeBound: Option[Double] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(maxCandidates >= 1, "maxCandidates must be >= 1")
     val k = maxDist
@@ -971,7 +972,14 @@ object Dedup {
     val rawPairs = lSegs.join(rProbes, Seq("l", "i", "g"))
       .select("id_a", "id_b")
       .union(lProbes.join(rSegs, Seq("l", "i", "g")).select("id_a", "id_b"))
-    if (broadcastLeft) {
+    if (provenVolumeBound.exists(_ <= maxCandidates.toDouble)) {
+      // the caller PROVED the volume safe from persisted per-key
+      // frequency bounds (maxNs·|left probes| + maxNp·|left segs|, all
+      // driver-side factors) — no guard pass at all; the join reads
+      // the corpus frames exactly once. A bound ABOVE the cap proves
+      // nothing (it is loose), so that case falls through to the exact
+      // guards below rather than throwing.
+    } else if (broadcastLeft) {
       // guard by COUNTING the raw (pre-distinct) pair stream: under
       // the broadcast hint the candidate joins are map-side, so the
       // count is one pruned scan with a partial-aggregated count and

@@ -65,6 +65,10 @@ import graft.coder.CoderConfig
   *   - `POST   /api/streams/text-sync` · `GET /api/streams` ·
   *     `DELETE /api/streams/{id}`
   *     (start / list / stop the fuzzy|lexical self-maintenance stream)
+  *   - `POST   /api/advise/probes` (measure + persist the IVF probe
+  *     advice) · `GET /api/advise/probes/{coding}` (serve the cached
+  *     advice; 409 when the corpus outgrew it) ·
+  *     `POST /api/advise/candidates` (rerank-tier candidate budgets)
   */
 class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   private val mapper = new ObjectMapper()

@@ -52,6 +52,26 @@ class FuzzySpec extends SparkSuite {
     val got = e.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSeq
     val want = e2.fuzzyLookup("fd", "t", q).as[(Long, Long)].collect().toSeq
     assert(got == want && got.exists(_._1 >= 30L), s"$got vs $want")
+
+    // the per-key frequency UPPER bounds ride the meta and accumulate
+    // across syncs (Σ of per-delta maxima): the synced artifact's
+    // bounds must be >= the from-scratch build's true maxima (the
+    // bound is allowed to be loose, never under), and every doc's
+    // segments are unique in this fixture so the true maxNs is >= 1
+    def bounds(eng: graft.api.Engine): (Long, Long) = {
+      val s = new String(eng.store.readSidecar(
+        eng.store.fuzzyIndexPath("fd", "t") + "/meta.json"), "UTF-8")
+      def l(k: String) = (k + """\s*:\s*(\d+)""").r
+        .findFirstMatchIn(s).map(_.group(1).toLong)
+        .getOrElse(fail(s"no $k in meta: $s"))
+      (l("\"maxNsBound\""), l("\"maxNpBound\""))
+    }
+    val (nsSync, npSync) = bounds(e)
+    val (nsFull, npFull) = bounds(e2)
+    assert(nsSync >= nsFull && npSync >= npFull,
+      s"accumulated bounds ($nsSync, $npSync) under true maxima " +
+        s"($nsFull, $npFull)")
+    assert(nsFull >= 1L && npFull >= 1L)
   }
 
   test("batch fuzzyJoin through the artifact == inline editDistanceJoin") {
