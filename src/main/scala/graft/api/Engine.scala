@@ -1267,7 +1267,12 @@ class Engine(val spark: SparkSession, val root: String) {
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
-    (coding, probes) match {
+    // the advised-probes default ([[search]]) applies to the
+    // SINGLE-source form only: persisted advice is measured against one
+    // (coding, source, column) corpus, and a multi-source union is a
+    // different corpus with a different recall curve
+    (coding, probes.orElse(coding.filter(_ => sources.size == 1)
+        .flatMap(advisedProbesFor(_, sources.head, column)))) match {
       case (Some(c), Some(p)) =>
         val codingObj = store.loadCoding(c)
         val m = metric.getOrElse(codingObj.config.metric)

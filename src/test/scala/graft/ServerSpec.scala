@@ -179,6 +179,21 @@ class ServerSpec extends SparkSuite {
             "idCol":"id","k":5,"targetRecall":1.0,"sampleQueries":4}""")
       assert(ac2 == 200, aBody2)
       assert(send("GET", "/advise/probes/wire_adv_c")._1 == 200)
+      // advised-default serving over the wire: coding + NO probes + NO
+      // metric — refused before advice existed, now served with the
+      // advised probe budget (probed search defaults its metric from
+      // the coding)
+      val (dc9, dBody9) = send("POST", "/search",
+        """{"sources":["wire_adv"],"column":"vec","target":[0,0,0,0],
+            "coding":"wire_adv_c","k":3,"tieBreak":["id"],"select":["id"]}""")
+      assert(dc9 == 200, s"$dc9 $dBody9")
+      assert(mapper.readTree(dBody9).get("rows").size() == 3, dBody9)
+      // a multi-source union is a different corpus — the advice must
+      // NOT silently apply there (brute path still demands a metric)
+      val (mc9, mBody9) = send("POST", "/search",
+        """{"sources":["wire_adv","wire_vecs"],"column":"vec",
+            "target":[0,0,0,0],"coding":"wire_adv_c","k":3}""")
+      assert(mc9 == 400 && mBody9.contains("metric"), s"$mc9 $mBody9")
       assert(send("DELETE", "/tables/wire_adv")._1 == 200)
     }
 
