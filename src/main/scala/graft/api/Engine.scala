@@ -12,7 +12,8 @@ import graft.store.Store
   * stateless library API: every scan parameter travels in the call (no
   * server-global session state, fixing the reference race — SURVEY §1.3).
   */
-class Engine(val spark: SparkSession, val root: String) {
+class Engine(val spark: SparkSession, val root: String,
+    val advisedStampTtlMs: Long = 10000L) {
   val store = new Store(spark, root)
 
   // ——— tables ———
@@ -1267,13 +1268,23 @@ class Engine(val spark: SparkSession, val root: String) {
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
-    // the advised-probes default ([[search]]) applies to the
-    // SINGLE-source form only: persisted advice is measured against one
-    // (coding, source, column) corpus, and a multi-source union is a
-    // different corpus with a different recall curve
-    (coding, probes.orElse(coding.filter(_ => sources.size == 1)
-        .flatMap(advisedProbesFor(_, sources.head, column)))) match {
-      case (Some(c), Some(p)) =>
+    (coding, probes) match {
+      case (Some(c), Some(p0)) =>
+        // the Advised sentinel applies to the SINGLE-source form only:
+        // persisted advice is measured against one (coding, source,
+        // column) corpus, and a multi-source union is a different
+        // corpus with a different recall curve
+        val p =
+          if (p0 != Engine.Advised) p0
+          else {
+            require(sources.size == 1,
+              "probes = Engine.Advised is single-source only: persisted " +
+                "probe advice is measured against one (coding, source, " +
+                s"column) corpus, and this call unions ${sources.size} " +
+                "sources — pass an explicit probe count (or advise a " +
+                "dedicated union table)")
+            resolveAdvisedProbes(c, sources.head, column, k, metric)
+          }
         val codingObj = store.loadCoding(c)
         val m = metric.getOrElse(codingObj.config.metric)
         val cells = codingObj.rankCells(target.doubles, p)
@@ -1288,18 +1299,24 @@ class Engine(val spark: SparkSession, val root: String) {
           withDist.select((cols :+ Search.DistCol).map(col): _*))
         projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
       case _ =>
+        require(!probes.contains(Engine.Advised),
+          "probes = Engine.Advised needs a coding — the advice is " +
+            "persisted per coding; pass the coding the advice was " +
+            "measured for")
         Search.knn(store.loadTable(sources: _*), column,
           spark.range(1).select(target.lit.as("__target__")),
           requireMetric(metric), k, filter, select, tieBreak)
     }
 
   /** Brute-force or probed top-k depending on `coding`/`probes`, mirroring
-    * `Flight.search` (`flight.py:242-288`). With a coding but NO probe
-    * count, FRESH persisted advisor output for that (coding, source,
-    * column) supplies the probe count ([[adviseProbes]] — the "advise
-    * once, serve many" loop closed); absent or stale advice falls back
-    * to the original brute-force behavior rather than guessing a probe
-    * budget nobody measured. */
+    * `Flight.search` (`flight.py:242-288`). A coding with NO probe count
+    * is EXACT brute force — approximation is never a silent default.
+    * `probes = Some(Engine.Advised)` explicitly opts into the persisted
+    * advisor budget for this (coding, source, column)
+    * ([[adviseProbes]] — the "advise once, serve many" loop), refused
+    * loudly when the advice is absent, stale, or was measured under an
+    * incompatible k/metric ([[resolveAdvisedProbes]]); the call site
+    * always reads as advised, never as exact. */
   def search(
       source: String,
       column: String,
@@ -1311,28 +1328,84 @@ class Engine(val spark: SparkSession, val root: String) {
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
-    (coding, probes.orElse(coding.flatMap(
-        advisedProbesFor(_, source, column)))) match {
-      case (Some(c), Some(p)) =>
+    (coding, probes) match {
+      case (Some(c), Some(p0)) =>
+        val p = if (p0 == Engine.Advised)
+          resolveAdvisedProbes(c, source, column, k, metric) else p0
         Index.searchProbed(store, c, source, column, target, k, p, metric,
           filter, select, tieBreak)
       case _ =>
+        require(!probes.contains(Engine.Advised),
+          "probes = Engine.Advised needs a coding — the advice is " +
+            "persisted per coding; pass the coding the advice was " +
+            "measured for")
         Search.knn(store.loadTable(source), column,
           spark.range(1).select(target.lit.as("__target__")),
           requireMetric(metric), k, filter, select, tieBreak)
     }
 
-  /** Advised probe count for (coding, source, column) when persisted
-    * advice exists, matches, and is fresh — None otherwise (never
-    * throws: the serving path degrades to brute force, it does not
-    * fail). */
-  private def advisedProbesFor(coding: String, source: String,
-      column: String): Option[Int] =
-    try {
-      val p = freshProbeAdvice(coding)
-      if (p.source == source && p.column == column) Some(p.advice.probes)
-      else None
-    } catch { case _: Exception => None }
+  /** Per-coding (advice, freshness-verified-at) memo behind
+    * [[resolveAdvisedProbes]]: the freshness check is a full source
+    * file listing, and a serving loop issuing one advised search per
+    * query must not pay a listing per call. Entries expire after
+    * [[advisedStampTtlMs]] (an in-place corpus rewrite is therefore
+    * detected within the TTL, not instantly — pass `0` to re-verify
+    * every call). */
+  @transient private lazy val advisedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Engine.PersistedProbeAdvice, Long)]()
+
+  /** The probe budget `probes = Some(Engine.Advised)` serves, or a LOUD
+    * refusal. Refuses when: no advice was ever persisted for `coding`
+    * ([[adviseProbes]] names the remedy); the advice was measured
+    * against a different (source, column); the caller's `k` exceeds the
+    * advice's (recall@k was never measured past the advice's k); a
+    * `metric` override differs from the coding's metric the advice was
+    * measured under; or the source corpus changed since the measurement
+    * (file-listing stamp — checked at most once per
+    * [[advisedStampTtlMs]] per coding). Compatibility is checked BEFORE
+    * the stamp so a mismatch never pays the listing IO. */
+  def resolveAdvisedProbes(coding: String, source: String, column: String,
+      k: Int, metric: Option[String]): Int = {
+    val p = loadProbeAdvice(coding).getOrElse(
+      throw new NoSuchElementException(
+        s"no persisted probe advice for coding '$coding' — run " +
+          "adviseProbes (or POST /api/advise/probes) first"))
+    require(p.source == source && p.column == column,
+      s"probe advice for coding '$coding' was measured against " +
+        s"(${p.source}, ${p.column}), not ($source, $column) — advise " +
+        "this corpus before serving it with Engine.Advised")
+    require(k <= p.k,
+      s"probe advice for coding '$coding' was measured at k = ${p.k}; " +
+        s"serving k = $k with it would apply a recall curve nobody " +
+        s"measured — re-run adviseProbes with k >= $k")
+    metric.map(graft.core.Metrics.canonical).foreach { m =>
+      val cm = graft.core.Metrics.canonical(
+        store.loadCoding(coding).config.metric)
+      require(m == cm,
+        s"probe advice for coding '$coding' was measured under the " +
+          s"coding's metric '$cm', not '$m' — drop the metric override " +
+          "or re-index/advise under it")
+    }
+    val now = System.nanoTime()
+    val memo = Option(advisedMemo.get(coding))
+    val verified = memo.exists { case (cached, at) =>
+      cached == p && (now - at) < advisedStampTtlMs * 1000000L
+    }
+    if (!verified) {
+      val stampNow = store.sourceStamp(p.source)
+      if (stampNow != p.sourceStamp) {
+        advisedMemo.remove(coding)
+        throw new IllegalStateException(
+          s"probe advice for coding '$coding' is STALE: source " +
+            s"'${p.source}' changed since the advice was measured " +
+            s"(stamp ${p.sourceStamp} -> $stampNow) — re-run " +
+            "adviseProbes (or POST /api/advise/probes) to re-measure")
+      }
+      advisedMemo.put(coding, (p, now))
+    }
+    p.advice.probes
+  }
 
   /** Late-interaction (ColBERT MaxSim) retrieval over a table carrying a
     * multi-vector `tokensCol` — see [[Search.maxsimSearch]].
@@ -1503,6 +1576,7 @@ class Engine(val spark: SparkSession, val root: String) {
     val p = Engine.PersistedProbeAdvice(a, source, column, idCol, k,
       targetRecall, sampleQueries, stamp)
     store.saveProbeAdvice(coding, p.toJson.getBytes("UTF-8"))
+    advisedMemo.put(coding, (p, System.nanoTime()))
     p
   }
 
@@ -1604,6 +1678,14 @@ class Engine(val spark: SparkSession, val root: String) {
 }
 
 object Engine {
+  /** Sentinel probe count: `probes = Some(Engine.Advised)` opts a
+    * [[Engine.search]]/[[Engine.searchMulti]] call into the PERSISTED
+    * advisor budget ([[Engine.adviseProbes]]) — explicit at the call
+    * site, so exact and advised serving are never confusable. Resolved
+    * (and loudly refused on absent/stale/incompatible advice) by
+    * [[Engine.resolveAdvisedProbes]]. */
+  val Advised: Int = -1
+
   /** [[Engine.recommendProbes]] result: the smallest measured probe
     * count meeting the target, its recall, the (probes, recall) points
     * actually measured, and the coding's cell count for context. */

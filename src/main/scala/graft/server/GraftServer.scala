@@ -395,8 +395,25 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       require(body, "target").elements().asScala.map(_.asDouble()).toArray[Double]
     val metric = opt(body, "metric").map(_.asText())
     val coding = opt(body, "coding").map(_.asText())
-    val probes = opt(body, "probes").map(_.asInt())
     val k = intOr(body, "k", 10)
+    // "probes":"advised" (or the -1 sentinel) opts into the PERSISTED
+    // advisor budget — resolved here (not inside the engine call) so the
+    // response can carry the serving-visibility marker: a caller must
+    // always be able to tell exact from advised
+    val (probes, advisedProbes) = parseProbes(body) match {
+      case Some(graft.api.Engine.Advised) =>
+        val c = coding.getOrElse(throw new IllegalArgumentException(
+          """"probes":"advised" needs a coding"""))
+        if (sources.size != 1) throw new IllegalArgumentException(
+          """"probes":"advised" is single-source (advice is measured """ +
+            "against one corpus)")
+        val p = engine.resolveAdvisedProbes(c, sources.head, column,
+          math.min(k, maxResponseRows), metric)
+        (Some(p), Some(p))
+      case other => (other, None)
+    }
+    val advisedMark = advisedProbes
+      .fold("")(p => s""""advised":true,"probes":$p,""")
     val filter = opt(body, "filter").map(n => expr(n.asText()))
     val select = opt(body, "select").map(_.elements().asScala.map(_.asText()).toSeq)
     val tieBreak = opt(body, "tieBreak")
@@ -453,8 +470,20 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         engine.searchMulti(sources, column, target, metric, coding,
           probes, math.min(k, maxResponseRows), filter, select, tieBreak)
     }
-    okRows(ex, df)
+    okRows(ex, df, advisedMark)
   }
+
+  /** `probes` from a request body: an integer, or the string "advised"
+    * (→ [[graft.api.Engine.Advised]]). Any other non-integer refuses
+    * loudly — Jackson's asInt() would otherwise silently read a typo'd
+    * string as 0 probes. */
+  private def parseProbes(body: com.fasterxml.jackson.databind.JsonNode): Option[Int] =
+    opt(body, "probes").map { n =>
+      if (n.isTextual && n.asText() == "advised") graft.api.Engine.Advised
+      else if (n.isIntegralNumber) n.asInt()
+      else throw new IllegalArgumentException(
+        s"""probes must be an integer or "advised", got ${n.toString}""")
+    }
 
   /** Batch-targets search: `targets: [[...], ...]` maps onto the capped
     * batch kNN joins (broadcast guard + auto-chunking already live
@@ -475,8 +504,23 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       throw new IllegalArgumentException("targets must be a non-empty array of vectors")
     val metric = opt(body, "metric").map(_.asText())
     val coding = opt(body, "coding").map(_.asText())
-    val probes = opt(body, "probes").map(_.asInt())
     val k = math.min(intOr(body, "k", 10), maxResponseRows)
+    // same "advised" sentinel + visibility contract as the single-target
+    // form; the batch joins take exactly one source, matching the
+    // advice's single-corpus scope
+    val (probes, advisedProbes) = parseProbes(body) match {
+      case Some(graft.api.Engine.Advised) =>
+        val c = coding.getOrElse(throw new IllegalArgumentException(
+          """"probes":"advised" needs a coding"""))
+        if (sources.size != 1) throw new IllegalArgumentException(
+          """"probes":"advised" is single-source (advice is measured """ +
+            "against one corpus)")
+        val p = engine.resolveAdvisedProbes(c, sources.head, column, k, metric)
+        (Some(p), Some(p))
+      case other => (other, None)
+    }
+    val advisedMark = advisedProbes
+      .fold("")(p => s""""advised":true,"probes":$p,""")
     val tieBreak = opt(body, "tieBreak")
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val sq = opt(body, "sq").exists(_.asBoolean(false))
@@ -516,7 +560,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
             queries, "query_id", "__QV__", m, k, tieBreak,
             idCol = opt(body, "idCol").map(_.asText()))
       }
-    okRows(ex, df.drop("__QV__"))
+    okRows(ex, df.drop("__QV__"), advisedMark)
   }
 
   /** Late-interaction MaxSim retrieval ([[Engine.maxsimSearch]]): body
@@ -1594,16 +1638,22 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
   /** Rows as a JSON array via Spark's own row→JSON encoder (handles
     * nested arrays/structs/timestamps); bounded by [[maxResponseRows]]. */
   private def okRows(ex: HttpExchange, df: DataFrame): Unit =
-    // Free any localCheckpoint backing the frame (curate/dedup/graph
-    // results carry one) — a long-lived server otherwise pins one per
-    // request until GC. In a FINALLY so the error paths (bad plan in
-    // collect, client disconnect in the response write) release too:
-    // those are exactly the requests a long-lived server accumulates.
-    // No route shares checkpointed frames across requests (every
-    // handler builds its frame from stored tables), so the blocks are
-    // provably unread.
+    okRows(ex, df, extraFields = "")
+
+  /** `extraFields` is a pre-rendered `"k":v,` run (trailing comma, or
+    * empty) placed before `rows` — the advised-serving marker's hook.
+    * Frees any localCheckpoint backing the frame (curate/dedup/graph
+    * results carry one) — a long-lived server otherwise pins one per
+    * request until GC. In a FINALLY so the error paths (bad plan in
+    * collect, client disconnect in the response write) release too:
+    * those are exactly the requests a long-lived server accumulates.
+    * No route shares checkpointed frames across requests (every
+    * handler builds its frame from stored tables), so the blocks are
+    * provably unread. */
+  private def okRows(ex: HttpExchange, df: DataFrame,
+      extraFields: String): Unit =
     try ok(ex, df.limit(maxResponseRows).toJSON.collect()
-      .mkString("""{"rows":[""", ",", "]}"))
+      .mkString(s"""{$extraFields"rows":[""", ",", "]}"))
     finally org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
 
   /** JSON string literal (quoted + escaped) — hand-built response bodies

@@ -212,7 +212,7 @@ class EngineSpec extends SparkSuite {
     }
   }
 
-  test("persisted probe advice: cached == recomputed, stale corpus refuses, search defaults to it") {
+  test("persisted probe advice: Advised sentinel explicit, exact default, stale/incompat refuse") {
     val p = engine.adviseProbes("c1", "emb", "embedding", "vec_id",
       k = 10, targetRecall = 1.0, sampleQueries = 8)
     // round-trips the sidecar byte-exactly
@@ -220,51 +220,80 @@ class EngineSpec extends SparkSuite {
     assert(loaded.contains(p), s"$loaded vs $p")
     // fresh: stamp still matches
     assert(engine.freshProbeAdvice("c1") == p)
-    // search with coding but NO probes now serves the advised plan
-    // (probed — returns k rows with the advised budget) instead of
-    // demanding a metric for brute force
     val t = targetVec()
+    // a coding with NO probes stays EXACT brute force even with advice
+    // persisted (approximation is never a silent default): the brute
+    // path demands a metric, the advice is not consulted
+    intercept[IllegalArgumentException] {
+      engine.search("emb", "embedding", t, coding = Some("c1"), k = 5)
+    }
+    // the Advised sentinel opts in explicitly and equals the explicit
+    // probed search at the persisted budget
     val viaAdvice = engine.search("emb", "embedding", t,
-      coding = Some("c1"), k = 5, tieBreak = Seq("vec_id"))
+      coding = Some("c1"), probes = Some(Engine.Advised), k = 5,
+      tieBreak = Seq("vec_id"))
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     val explicit = engine.search("emb", "embedding", t,
       coding = Some("c1"), probes = Some(p.advice.probes), k = 5,
       tieBreak = Seq("vec_id"))
       .select("vec_id").collect().map(_.getLong(0)).toSeq
-    assert(viaAdvice == explicit, "advised default must equal the " +
+    assert(viaAdvice == explicit, "advised serving must equal the " +
       "explicit probed search at the advised budget")
-    // never-advised coding → loud refusal with the remedy named
+    // sentinel without a coding refused (no coding → no advice key)
+    intercept[IllegalArgumentException] {
+      engine.search("emb", "embedding", t, metric = Some("l2"),
+        probes = Some(Engine.Advised), k = 5)
+    }
+    // compatibility gates (checked before any listing IO): k beyond
+    // the advice's measured k, a metric override differing from the
+    // coding's, and a different (source, column) all refuse; the
+    // coding's own metric passes
+    intercept[IllegalArgumentException] {
+      engine.resolveAdvisedProbes("c1", "emb", "embedding", k = 11,
+        metric = None)
+    }
+    intercept[IllegalArgumentException] {
+      engine.resolveAdvisedProbes("c1", "emb", "embedding", k = 10,
+        metric = Some("cosine"))
+    }
+    assert(engine.resolveAdvisedProbes("c1", "emb", "embedding", k = 10,
+      metric = Some("l2")) == p.advice.probes)
+    intercept[IllegalArgumentException] {
+      engine.resolveAdvisedProbes("c1", "emb_lo", "embedding", k = 10,
+        metric = None)
+    }
+    // never-advised coding → loud refusal with the remedy named, from
+    // the search call itself
     engine.store.dropProbeAdvice("c1")
     val e = intercept[NoSuchElementException] {
-      engine.freshProbeAdvice("c1")
+      engine.search("emb", "embedding", t, coding = Some("c1"),
+        probes = Some(Engine.Advised), k = 5)
     }
     assert(e.getMessage.contains("adviseProbes"))
-    // …and the search default falls back to requiring a metric
-    intercept[IllegalArgumentException] {
-      engine.search("emb", "embedding", t, coding = Some("c1"), k = 5)
-    }
-    // stale: re-advise, then change the corpus listing
+    // stale: re-advise, then change the corpus listing. A zero-TTL
+    // engine re-verifies freshness on every resolve (the default 10s
+    // memo legitimately serves inside its window — that is its
+    // documented trade)
     engine.adviseProbes("c1", "emb", "embedding", "vec_id",
       k = 10, targetRecall = 1.0, sampleQueries = 8)
     val sp = engine.spark; import sp.implicits._
     Seq((9999L, Seq.fill(dim)(9.0f))).toDF("vec_id", "embedding")
       .write.mode("append").parquet(engine.store.tablePath("emb"))
+    val eager = new Engine(spark, root, advisedStampTtlMs = 0)
     val stale = intercept[IllegalStateException] {
-      engine.freshProbeAdvice("c1")
+      eager.search("emb", "embedding", t, coding = Some("c1"),
+        probes = Some(Engine.Advised), k = 5)
     }
     assert(stale.getMessage.contains("STALE") &&
       stale.getMessage.contains("adviseProbes"))
-    // stale advice never silently serves: the default search degrades
-    // to brute (which needs a metric) rather than running a probe
-    // count measured against a corpus that no longer exists
-    intercept[IllegalArgumentException] {
-      engine.search("emb", "embedding", t, coding = Some("c1"), k = 5)
-    }
-    // re-advising heals
+    intercept[IllegalStateException] { eager.freshProbeAdvice("c1") }
+    // re-advising heals (through the zero-TTL engine too)
     engine.adviseProbes("c1", "emb", "embedding", "vec_id",
       k = 10, targetRecall = 1.0, sampleQueries = 8)
     assert(engine.freshProbeAdvice("c1").sourceStamp ==
       engine.store.sourceStamp("emb"))
+    assert(eager.resolveAdvisedProbes("c1", "emb", "embedding", k = 10,
+      metric = None) >= 1)
     engine.store.dropProbeAdvice("c1")
   }
 

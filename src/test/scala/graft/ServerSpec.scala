@@ -179,21 +179,42 @@ class ServerSpec extends SparkSuite {
             "idCol":"id","k":5,"targetRecall":1.0,"sampleQueries":4}""")
       assert(ac2 == 200, aBody2)
       assert(send("GET", "/advise/probes/wire_adv_c")._1 == 200)
-      // advised-default serving over the wire: coding + NO probes + NO
-      // metric — refused before advice existed, now served with the
-      // advised probe budget (probed search defaults its metric from
-      // the coding)
+      // advised serving over the wire is EXPLICIT: coding + NO probes
+      // + NO metric stays exact brute force (refused for its missing
+      // metric — advice is never a silent default) …
+      val (bc9, bBody9) = send("POST", "/search",
+        """{"sources":["wire_adv"],"column":"vec","target":[0,0,0,0],
+            "coding":"wire_adv_c","k":3}""")
+      assert(bc9 == 400 && bBody9.contains("metric"), s"$bc9 $bBody9")
+      // … while "probes":"advised" opts in, and the response CARRIES
+      // the visibility marker (advised flag + the probe count served)
+      // so a caller can always tell exact from advised
       val (dc9, dBody9) = send("POST", "/search",
         """{"sources":["wire_adv"],"column":"vec","target":[0,0,0,0],
-            "coding":"wire_adv_c","k":3,"tieBreak":["id"],"select":["id"]}""")
+            "coding":"wire_adv_c","probes":"advised","k":3,
+            "tieBreak":["id"],"select":["id"]}""")
       assert(dc9 == 200, s"$dc9 $dBody9")
-      assert(mapper.readTree(dBody9).get("rows").size() == 3, dBody9)
+      val dNode9 = mapper.readTree(dBody9)
+      assert(dNode9.get("rows").size() == 3, dBody9)
+      assert(dNode9.get("advised").asBoolean(), dBody9)
+      assert(dNode9.get("probes").asInt() >= 1, dBody9)
+      // …and an exact probed response carries NO advised marker
+      val (xc9, xBody9) = send("POST", "/search",
+        """{"sources":["wire_adv"],"column":"vec","target":[0,0,0,0],
+            "coding":"wire_adv_c","probes":1,"k":3,"select":["id"]}""")
+      assert(xc9 == 200 && !mapper.readTree(xBody9).has("advised"),
+        s"$xc9 $xBody9")
+      // a typo'd probes string must not silently parse as 0 probes
+      assert(send("POST", "/search",
+        """{"sources":["wire_adv"],"column":"vec","target":[0,0,0,0],
+            "coding":"wire_adv_c","probes":"advsied","k":3}""")._1 == 400)
       // a multi-source union is a different corpus — the advice must
-      // NOT silently apply there (brute path still demands a metric)
+      // NOT apply there (explicitly refused)
       val (mc9, mBody9) = send("POST", "/search",
         """{"sources":["wire_adv","wire_vecs"],"column":"vec",
-            "target":[0,0,0,0],"coding":"wire_adv_c","k":3}""")
-      assert(mc9 == 400 && mBody9.contains("metric"), s"$mc9 $mBody9")
+            "target":[0,0,0,0],"coding":"wire_adv_c",
+            "probes":"advised","k":3}""")
+      assert(mc9 == 400 && mBody9.contains("single-source"), s"$mc9 $mBody9")
       assert(send("DELETE", "/tables/wire_adv")._1 == 200)
     }
 
