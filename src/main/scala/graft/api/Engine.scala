@@ -468,18 +468,25 @@ class Engine(val spark: SparkSession, val root: String,
       try {
         val n = bf.count()
         if (n > 0) {
-          writeFuzzyBase(base, bf, buckets, mode = "append")
-          val (dNs, dNp) =
-            writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
           // accumulate the frequency bounds: a key split across deltas
-          // totals at most the sum of the per-delta maxima. An artifact
-          // predating the bounds stays unbounded (the serving guard
-          // falls back to its exact count pass) — only a rebuild can
-          // establish a true bound.
+          // totals at most the sum of the per-delta maxima. Written
+          // BEFORE the frame appends — a crash between the two leaves
+          // the bound LOOSE (counting a delta whose frames never
+          // landed), never UNDER; an under-bound would let
+          // provenVolumeBound "prove" safe a candidate volume that is
+          // not, silently disabling the serving join's volume guard.
+          // The delta maxima cost one extra agg pass over the
+          // (checkpointed) delta; [[compactFuzzyIndex]] re-tightens to
+          // the true maxima. An artifact predating the bounds stays
+          // unbounded (the serving guard keeps its exact count pass) —
+          // a rebuild or a compaction establishes a true bound.
           fuzzyMetaBounds(base).foreach { case (ns, np) =>
+            val (dNs, dNp) = deltaKeyMaxima(bf, maxDist)
             store.writeSidecar(s"$base/meta.json",
               fuzzyMetaJson(maxDist, buckets, idCol, ns + dNs, np + dNp))
           }
+          writeFuzzyBase(base, bf, buckets, mode = "append")
+          writeFuzzyFrames(base, bf, maxDist, buckets, mode = "append")
         }
         // re-stamp OUTSIDE the n > 0 branch: append-only growth whose
         // new rows are all null-text (filtered by design) appends
@@ -494,6 +501,19 @@ class Engine(val spark: SparkSession, val root: String,
         n
       } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(bf)
     }
+  }
+
+  /** One delta's (max per-key segment count, max per-key probe count),
+    * measured EAGERLY — [[syncFuzzyIndex]] needs the accumulated bound
+    * on disk before any frame append (the crash-safe write order). */
+  private def deltaKeyMaxima(bf: DataFrame, maxDist: Int): (Long, Long) = {
+    def mx(frame: DataFrame, alias: String): Long = {
+      val r = graft.ext.Dedup.editDistanceKeyCounts(frame, alias)
+        .agg(max(col(alias))).head()
+      if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
+    }
+    (mx(graft.ext.Dedup.editDistanceSegments(bf, maxDist), "ns"),
+      mx(graft.ext.Dedup.editDistanceProbes(bf, maxDist), "np"))
   }
 
   /** Crash recovery for the fuzzy index's swap artifacts — both bucket
@@ -533,7 +553,7 @@ class Engine(val spark: SparkSession, val root: String,
     val base = store.fuzzyIndexPath(source, textCol)
     // whole compact under the artifact lock — see [[compactLexicalIndex]]
     graft.store.Swap.withArtifactLock(base) {
-      fuzzyMeta(base) // fails loudly on a missing index
+      val (maxDist, buckets, idCol) = fuzzyMeta(base) // fails loudly on a missing index
       recoverFuzzyArtifacts(base)
       val fs = store.fs
       val bucketsDone =
@@ -546,6 +566,23 @@ class Engine(val spark: SparkSession, val root: String,
       val flatsDone = Seq("segcounts", "probecounts").map(d =>
         if (graft.store.Swap.compactFlat(spark, fs, s"$base/$d",
           maxFilesPerBucket, "compactFuzzyIndex") > 0) 1L else 0L).sum
+      // Re-tighten the frequency bounds to the TRUE per-key maxima:
+      // sync's crash-safe accumulation (Σ of per-delta maxima) only
+      // ever loosens, and a loose bound degrades the serving join's
+      // driver-side volume guard back to its exact counting pass. The
+      // counts frames hold exact per-key totals and are orders of
+      // magnitude smaller than the key frames — one agg each, meta
+      // rewritten under the same artifact lock. Also ESTABLISHES
+      // bounds on artifacts that predate them.
+      def trueMax(dir: String, alias: String): Long = {
+        val r = spark.read.parquet(s"$base/$dir")
+          .groupBy("l", "i", "g").agg(sum(col(alias)).as("__t__"))
+          .agg(max(col("__t__"))).head()
+        if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
+      }
+      store.writeSidecar(s"$base/meta.json", fuzzyMetaJson(maxDist,
+        buckets, idCol, trueMax("segcounts", "ns"),
+        trueMax("probecounts", "np")))
       (bucketsDone, flatsDone)
     }
   }

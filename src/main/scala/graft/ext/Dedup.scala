@@ -972,33 +972,43 @@ object Dedup {
     val rawPairs = lSegs.join(rProbes, Seq("l", "i", "g"))
       .select("id_a", "id_b")
       .union(lProbes.join(rSegs, Seq("l", "i", "g")).select("id_a", "id_b"))
-    if (provenVolumeBound.exists(_ <= maxCandidates.toDouble)) {
+    val cand = if (provenVolumeBound.exists(_ <= maxCandidates.toDouble)) {
       // the caller PROVED the volume safe from persisted per-key
       // frequency bounds (maxNs·|left probes| + maxNp·|left segs|, all
       // driver-side factors) — no guard pass at all; the join reads
       // the corpus frames exactly once. A bound ABOVE the cap proves
       // nothing (it is loose), so that case falls through to the exact
       // guards below rather than throwing.
+      rawPairs.distinct()
     } else if (broadcastLeft) {
-      // guard by COUNTING the raw (pre-distinct) pair stream: under
-      // the broadcast hint the candidate joins are map-side, so the
-      // count is one pruned scan with a partial-aggregated count and
-      // NO shuffle — the exact Σ ns·np the counts-frame guard
-      // estimates, without touching the corpus counts artifact at all
-      // (its per-call re-aggregation was the measured 1k-query
-      // constant: one partial-count row per corpus key, hundreds of
-      // millions at the 10M tier, shuffled on every call). The big
-      // join output is never materialized: the guard pass reduces to
-      // per-partition counts, and only when it passes does the
-      // distinct (the first shuffle) run.
-      val vol = rawPairs.count()
-      if (vol > maxCandidates)
+      // guard by OBSERVING the raw (pre-distinct) pair stream inside
+      // the distinct pass itself: under the broadcast hint the
+      // candidate joins are map-side, so the distinct's partial
+      // aggregate consumes the raw stream in ONE pruned artifact scan
+      // — the Observation counts it for free (the exact Σ ns·np the
+      // counts-frame guard estimates, without touching the corpus
+      // counts artifact), and the localCheckpoint lets the verify join
+      // below REUSE the distinct pairs instead of re-reading the
+      // frames (previously: one scan for a count-only guard pass, a
+      // second for the real join). The raw volume is known only after
+      // the pass completes, but the distinct is spill-safe (partial
+      // aggregation collapses duplicates map-side, the shuffle carries
+      // distinct pairs only) and the guard still refuses before any
+      // verify work runs.
+      val obs = new org.apache.spark.sql.Observation()
+      val ckpt = rawPairs.observe(obs, count(lit(1)).as("raw"))
+        .distinct().localCheckpoint(true)
+      val vol = Option(obs.get("raw")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (vol > maxCandidates) {
+        org.apache.spark.sql.GraftShims.releaseCheckpoint(ckpt)
         throw new IllegalArgumentException(
           s"editDistanceJoin: segment-key candidate volume = $vol " +
             s"pairs exceeds maxCandidates=$maxCandidates — segment " +
             "contents collide pathologically. Shrink the query batch, " +
             "dedup boilerplate first, or raise maxCandidates " +
             "deliberately.")
+      }
+      ckpt
     } else {
       // symmetric/dedup shape: precomputed right-side counts (the gate
       // checkpoints them once) make the per-call guard cost scale with
@@ -1009,8 +1019,8 @@ object Dedup {
       edGuard(rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
         editDistanceKeyCounts(lProbes, "np"),
         "editDistanceJoin", maxCandidates)
+      rawPairs.distinct()
     }
-    val cand = rawPairs.distinct()
     val ta = hint(lb.select(col("id").as("id_a"), col("t").as("__ta")))
     val tb = rb.select(col("id").as("id_b"), col("t").as("__tb"))
     cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))

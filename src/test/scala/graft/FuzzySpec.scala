@@ -72,6 +72,14 @@ class FuzzySpec extends SparkSuite {
       s"accumulated bounds ($nsSync, $npSync) under true maxima " +
         s"($nsFull, $npFull)")
     assert(nsFull >= 1L && npFull >= 1L)
+
+    // compaction re-tightens the accumulated bounds to the TRUE per-key
+    // maxima (recomputed from the counts frames) — exactly what a
+    // from-scratch build over the same corpus records, so the serving
+    // join's driver-side volume guard survives sync+compact cycles
+    e.compactFuzzyIndex("fd", "t")
+    assert(bounds(e) == bounds(e2),
+      s"post-compact bounds ${bounds(e)} != from-scratch ${bounds(e2)}")
   }
 
   test("batch fuzzyJoin through the artifact == inline editDistanceJoin") {
@@ -117,6 +125,20 @@ class FuzzySpec extends SparkSuite {
           maxCandidates = 1L, broadcastLeft = bcast).count()
       }
     }
+
+    // single-read: the no-bound broadcast path folds its raw-volume
+    // guard into the distinct pass (Observation + localCheckpoint), so
+    // the RETURNED plan must not re-scan the segment/probe frames —
+    // they were consumed exactly once, into the checkpointed candidate
+    // set (the base frame is still scanned for the verify texts)
+    val (rb3, rSegs3, rProbes3) = frames()
+    val singleRead = graft.ext.Dedup.editDistanceJoinAgainstFrames(
+      left, "qid", "qt", rb3, rSegs3, rProbes3, maxDist = 2,
+      broadcastLeft = true)
+    val plan3 = singleRead.queryExecution.executedPlan.toString
+    assert(!plan3.contains("/segs") && !plan3.contains("/probes"),
+      s"segment/probe frames re-scanned by the verify join:\n$plan3")
+    assert(singleRead.as[(Long, Long, Long)].collect().toSet == want)
 
     // the serving plan shape is pinned, not assumed: the artifact
     // scans carry the hit-bucket IN-set as a PARTITION filter
