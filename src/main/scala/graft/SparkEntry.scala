@@ -930,6 +930,30 @@ object SparkEntry {
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
     }),
+    // —— batch kNN join over the IVF+PQ (residual/IVFADC) index: the
+    // per-cell join carries m-byte codes, each query's ADC table rides
+    // the broadcast side as a column; full budgets == exact, sharing
+    // knn_join_ivf's oracle shape ——
+    "knn_join_pq" -> ((s: SparkSession, dir: String) => {
+      val e = withPqIndex(s, dir)
+      val queries = tbl(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
+      graft.index.Index.pqKnnJoin(e.store, "c_l2", "emb", "embedding",
+          queries, "q_id", "q_emb", k = 3, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
+    // —— batch retrieve-rerank join: cell-rank coarse stage reads NO
+    // vectors at all; full budgets == exact, same oracle shape ——
+    "knn_join_rerank" -> ((s: SparkSession, dir: String) => {
+      val e = withIndex(s, dir)
+      val queries = tbl(s, dir, "embeddings").filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").cast("array<double>").as("q_emb"))
+      graft.index.Index.rerankKnnJoin(e.store, "c_l2", "emb", "embedding",
+          queries, "q_id", "q_emb", k = 3, probes = 64, candidates = 1 << 20,
+          idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
+    }),
     // —— PQ: product-quantization ADC search (codes-only coarse scan +
     // exact rerank); at full candidate budget the result is exact, so the
     // PQ path gets the brute-force oracle (same contract as search_probed) ——
@@ -4287,6 +4311,22 @@ object SparkEntry {
         "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
         ") WHERE rn <= 3"),
     "knn_join_bq" ->
+      ("SELECT q_id, vec_id, dist FROM (" +
+        "SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) ASC, e.vec_id ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
+        ") WHERE rn <= 3"),
+    "knn_join_pq" ->
+      ("SELECT q_id, vec_id, dist FROM (" +
+        "SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) ASC, e.vec_id ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
+        ") WHERE rn <= 3"),
+    "knn_join_rerank" ->
       ("SELECT q_id, vec_id, dist FROM (" +
         "SELECT q.vec_id AS q_id, e.vec_id AS vec_id, " +
         "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS dist, " +

@@ -1136,6 +1136,25 @@ class Engine(val spark: SparkSession, val root: String,
     Index.bqKnnJoin(store, coding, source, column, queries, queryIdCol,
       queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
 
+  /** Batch k-NN join over the IVF+PQ index ([[Index.pqKnnJoin]]): the
+    * per-cell join carries m-byte ADC codes, each query's lookup table
+    * rides the broadcast side, raw vectors only for coarse survivors. */
+  def knnJoinPq(coding: String, source: String, column: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, probes: Int, candidates: Int, idCol: String,
+      metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
+    Index.pqKnnJoin(store, coding, source, column, queries, queryIdCol,
+      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+
+  /** Batch retrieve-rerank k-NN join ([[Index.rerankKnnJoin]]): cell-rank
+    * coarse stage with no vector math, exact rerank of the survivors. */
+  def knnJoinRerank(coding: String, source: String, column: String,
+      queries: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, probes: Int, candidates: Int, idCol: String,
+      metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
+    Index.rerankKnnJoin(store, coding, source, column, queries, queryIdCol,
+      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+
   /** Multi-source IVF+PQ search (reference ticket `"a:b:c"`,
     * `flight.py:47`): each source's PQ index is searched independently —
     * per-source codebooks make ADC scores incomparable across sources,
@@ -1579,9 +1598,15 @@ class Engine(val spark: SparkSession, val root: String,
       case "bq" => (q, cand) => knnJoinBq(coding, source, column, q,
         "__q_id__", "__q_vec__", k, probes, cand, idCol,
         tieBreak = Seq(idCol))
+      case "pq" => (q, cand) => knnJoinPq(coding, source, column, q,
+        "__q_id__", "__q_vec__", k, probes, cand, idCol,
+        tieBreak = Seq(idCol))
+      case "rerank" => (q, cand) => knnJoinRerank(coding, source, column,
+        q, "__q_id__", "__q_vec__", k, probes, cand, idCol,
+        tieBreak = Seq(idCol))
       case other => throw new IllegalArgumentException(
-        s"tier must be 'sq' or 'bq' (the reranked batch-join tiers), " +
-          s"got '$other'")
+        s"tier must be one of 'sq', 'bq', 'pq', 'rerank' (the reranked " +
+          s"batch-join tiers), got '$other'")
     }
     val ctx = adviceContext(coding, source, column, idCol, k, sampleQueries)
     try {

@@ -492,6 +492,58 @@ object PQ {
         org.apache.spark.sql.GraftShims.expression(codes),
         cb.adcTable(target), cb.m, cb.k, cb.canonicalMetric))
 
+  /** Whether [[adcLut]] tables finish with a sqrt (l2) or a plain sum. */
+  def adcSqrtFinish(cb: PQCodebooks): Boolean = cb.canonicalMetric == "l2"
+
+  /** Per-(query, cell) unified ADC lookup table for the BATCH join
+    * ([[graft.index.Index.pqKnnJoin]]): m·k entries such that a row's
+    * coarse score is `sqrt(Σ)` under l2 and `Σ` otherwise
+    * ([[adcSqrtFinish]]) — the same per-metric math as [[adcScoreExpr]]
+    * (flat codebooks; `cell` ignored) and [[adcScoreCellsExpr]]
+    * (residual codebooks), with the additive constant folded into
+    * subspace 0's entries (every row sums exactly one entry per
+    * subspace, so the constant lands exactly once). Computed once per
+    * (query, cell) on the broadcast query side — never per corpus
+    * row. */
+  def adcLut(cb: PQCodebooks, fallbackAnchor: Long => Array[Double],
+      target: Array[Double], cell: Long): Array[Double] = {
+    val metric = cb.canonicalMetric
+    val mk = cb.m * cb.k
+    def negate(table: Array[Double], w: Double, const: Double): Array[Double] = {
+      val out = new Array[Double](mk)
+      var e = 0
+      while (e < mk) { out(e) = w * table(e); e += 1 }
+      var i = 0
+      while (i < cb.k) { out(i) += const; i += 1 }
+      out
+    }
+    if (!cb.residual) metric match {
+      case "l2"     => cb.adcTable(target) // squared subspace l2; sqrt finish
+      case "cosine" => negate(cb.adcTable(target), -0.5, 0.5)
+      case _        => negate(cb.adcTable(target), -1.0, 0.0)
+    } else {
+      // residual (IVFADC): anchors live in the ORIGINAL space; cosine
+      // residuals are taken on the unit sphere (adcTable's own
+      // normalization is identity for residual codebooks) — mirrors
+      // adcScoreCellsExpr term for term
+      val q = if (metric == "cosine") Metrics.normalize(target) else target
+      val anchor = cb.anchors.getOrElse(cell, fallbackAnchor(cell))
+      metric match {
+        case "l2" =>
+          val qRes = new Array[Double](q.length)
+          var t = 0
+          while (t < q.length) { qRes(t) = q(t) - anchor(t); t += 1 }
+          cb.adcTable(qRes)
+        case _ =>
+          var qa = 0.0; var t = 0
+          while (t < q.length) { qa += q(t) * anchor(t); t += 1 }
+          if (metric == "cosine")
+            negate(cb.adcTable(q), -0.5, 0.5 - 0.5 * qa)
+          else negate(cb.adcTable(q), -1.0, -qa)
+      }
+    }
+  }
+
   /** Two-stage PQ search: ADC coarse top-`candidates` over codes only,
     * then exact rerank on the raw vectors. With `candidates` ≥ corpus
     * size this equals brute-force search (the oracle contract); bounded

@@ -265,3 +265,68 @@ case class PQAdcScoreCells(codes: Expression, cell: Expression,
       newLeft: Expression, newRight: Expression): Expression =
     copy(codes = newLeft, cell = newRight)
 }
+
+/** ADC scoring for the BATCH k-NN join: the lookup table rides the
+  * (broadcast) query side as an `array<double>` COLUMN instead of a
+  * per-expression literal, so one expression scores every (query,
+  * corpus-row) pair of the per-cell join — the table is built once per
+  * (query, cell) by [[graft.coder.PQ.adcLut]] (additive constant folded
+  * into subspace 0), never per corpus row. `sqrtFinish` mirrors
+  * [[graft.coder.PQ.adcSqrtFinish]] (l2 tables hold squared subspace
+  * distances).
+  */
+case class PQAdcScoreLut(codes: Expression, lut: Expression, m: Int, k: Int,
+    sqrtFinish: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = codes
+  override def right: Expression = lut
+
+  override def checkInputDataTypes(): TypeCheckResult = (codes.dataType, lut.dataType) match {
+    case (BinaryType, ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (c, l) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_score_lut expects (binary, array<double>), got (${c.catalogString}, ${l.catalogString})")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_score_lut"
+
+  override def nullSafeEval(codesAny: Any, lutAny: Any): Any = {
+    val c = codesAny.asInstanceOf[Array[Byte]]
+    val t = lutAny.asInstanceOf[ArrayData]
+    if (c.length != m)
+      throw new IllegalArgumentException(
+        s"pq_adc_score_lut: expected $m code bytes, got ${c.length}")
+    if (t.numElements() != m * k)
+      throw new IllegalArgumentException(
+        s"pq_adc_score_lut: expected ${m * k} table entries, got ${t.numElements()}")
+    var acc = 0.0; var j = 0
+    while (j < m) { acc += t.getDouble(j * k + (c(j) & 0xFF)); j += 1 }
+    if (sqrtFinish) math.sqrt(acc) else acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acc = ctx.freshName("acc"); val j = ctx.freshName("j")
+    nullSafeCodeGen(ctx, ev, (c, t) => {
+      s"""
+         |if ($c.length != $m) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_score_lut: expected $m code bytes, got " + $c.length);
+         |}
+         |if ($t.numElements() != ${m * k}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_adc_score_lut: expected ${m * k} table entries, got " + $t.numElements());
+         |}
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < $m; $j++) {
+         |  $acc += $t.getDouble($j * $k + ($c[$j] & 0xFF));
+         |}
+         |${ev.value} = ${if (sqrtFinish) s"Math.sqrt($acc)" else acc};
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(codes = newLeft, lut = newRight)
+}

@@ -1910,4 +1910,191 @@ object Index {
     reranked.withColumn("__rank__", row_number().over(w))
       .filter(col("__rank__") <= k).drop("__rank__")
   }
+
+  /** Batch k-NN join over the IVF+PQ index: [[sqKnnJoin]]'s shape at the
+    * ADC tier — the per-cell corpus×queries join carries (id, cell,
+    * m-byte PQ codes) and ranks with the codegen'd
+    * [[graft.functions.PQAdcScoreLut]] (each query's per-cell lookup
+    * table is built ONCE on the broadcast side by
+    * [[graft.coder.PQ.adcLut]] — the [[searchIvfPq]] per-target table
+    * shipped as a column instead of an expression literal; residual
+    * codebooks get their per-cell IVFADC tables the same way), then raw
+    * vectors are read back only for each query's `candidates` coarse
+    * survivors and scored exactly under the codebooks' metric. With
+    * probes = numCells and candidates ≥ corpus size this equals the
+    * exact k-NN join (the oracle contract). Query batches estimated
+    * past `broadcastCapBytes` are hash-chunked (see [[ivfKnnJoin]];
+    * the LUT adds m·k doubles per (query, probe) to the broadcast —
+    * included in no estimate, but bounded by probes·m·k ≤ the ADC
+    * table cap). */
+  def pqKnnJoin(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil,
+      broadcastCapBytes: Long = Search.QueryBroadcastCap): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qs = queries.select(col(queryIdCol), col(queryVecCol))
+    Search.chunkByBroadcastSize(qs, queryIdCol, queryVecCol, probes, broadcastCapBytes)
+      .map(ch => pqKnnJoinChunk(store, codingName, source, column, ch,
+        queryIdCol, queryVecCol, k, probes, candidates, idCol, metric, tieBreak))
+      .reduce(_.unionByName(_))
+  }
+
+  private def pqKnnJoinChunk(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String],
+      tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coding = store.loadCoding(codingName)
+    val cb = loadPqCodebooks(store, codingName, source, column)
+    val m = graft.core.Metrics.canonical(metric.getOrElse(cb.canonicalMetric))
+    require(m == cb.canonicalMetric,
+      s"metric '$m' does not match the PQ codebooks' training metric " +
+        s"'${cb.canonicalMetric}' — rebuild the PQ index under '$m'")
+    val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
+    val exploded = queries
+      .withColumn("__cell__",
+        explode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
+    val cells = probedCellUnion(exploded, coding.numCells)
+    val pqDf = pruneToCells(loadPq(store, codingName, source, column),
+      cells, coding.numCells)
+    val fallback = residualFallbackAnchor(cb, coding)
+    val lutUdf = udf((v: Seq[Double], cell: Long) =>
+      graft.coder.PQ.adcLut(cb, fallback, v.toArray, cell).toSeq)
+    val qSide = exploded
+      .withColumn("__LUT__",
+        lutUdf(col(queryVecCol).cast("array<double>"), col("__cell__")))
+      .select(col(queryIdCol), col("__cell__"), col("__LUT__"))
+    // coarse: (id, cell, m-byte codes) ride the per-cell join, the LUT
+    // lookup lands in the join projection, and the per-query window
+    // exchange carries SCALARS only — neither vectors, codes, nor
+    // tables cross the shuffle
+    val adc = org.apache.spark.sql.GraftShims.column(
+      graft.functions.PQAdcScoreLut(
+        org.apache.spark.sql.GraftShims.expression(col(PqCol)),
+        org.apache.spark.sql.GraftShims.expression(col("__LUT__")),
+        cb.m, cb.k, graft.coder.PQ.adcSqrtFinish(cb)))
+    val coarse = pqDf.select(col(idCol), col(CodeCol), col(PqCol))
+      .join(broadcast(qSide), col(CodeCol) === col("__cell__"))
+      .withColumn("__ADC__", adc)
+      .select(col(queryIdCol), col(idCol), col("__ADC__"))
+    val wCoarse = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__ADC__").asc, col(idCol).asc)
+    val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
+      .filter(col("__crank__") <= candidates)
+      .select(col(queryIdCol), col(idCol))
+    // rerank: query vectors rejoin via the (small) broadcast query side,
+    // raw corpus vectors only for each query's surviving candidates
+    val reranked = survivors
+      .join(broadcast(queries), Seq(queryIdCol))
+      .join(pqDf.select(col(idCol), col(column)), Seq(idCol))
+      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
+      .drop(queryVecCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+    reranked.withColumn("__rank__", row_number().over(w))
+      .filter(col("__rank__") <= k).drop("__rank__")
+  }
+
+  /** Batch retrieve-rerank k-NN join: [[searchRerank]]'s two-stage shape
+    * amortized over a query batch — stage 1 ranks rows by their CELL's
+    * position in each query's probe list (the additive coarse score,
+    * carried by the broadcast join key itself via `posexplode`: no
+    * per-query score table, no vector math at all), stage 2 reads raw
+    * vectors only for each query's `candidates` survivors and scores
+    * them exactly. With probes = numCells and candidates ≥ corpus size
+    * this equals the exact k-NN join (the oracle contract). Coarse ties
+    * inside one cell break on `idCol` — deterministic candidate
+    * selection, as [[sqKnnJoin]]. Query batches estimated past
+    * `broadcastCapBytes` are hash-chunked (see [[ivfKnnJoin]]). */
+  def rerankKnnJoin(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String] = None,
+      tieBreak: Seq[String] = Nil,
+      broadcastCapBytes: Long = Search.QueryBroadcastCap): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val qs = queries.select(col(queryIdCol), col(queryVecCol))
+    Search.chunkByBroadcastSize(qs, queryIdCol, queryVecCol, probes, broadcastCapBytes)
+      .map(ch => rerankKnnJoinChunk(store, codingName, source, column, ch,
+        queryIdCol, queryVecCol, k, probes, candidates, idCol, metric, tieBreak))
+      .reduce(_.unionByName(_))
+  }
+
+  private def rerankKnnJoinChunk(
+      store: Store,
+      codingName: String,
+      source: String,
+      column: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      probes: Int,
+      candidates: Int,
+      idCol: String,
+      metric: Option[String],
+      tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val coding = store.loadCoding(codingName)
+    val m = metric.getOrElse(coding.config.metric)
+    val rankCellsUdf = udf((v: Seq[Double]) => coding.rankCells(v.toArray, probes))
+    // posexplode: the position in the probe list IS the coarse score
+    val exploded = queries
+      .select(col(queryIdCol),
+        posexplode(rankCellsUdf(col(queryVecCol).cast("array<double>"))))
+      .withColumnRenamed("pos", "__cell_rank__")
+      .withColumnRenamed("col", "__cell__")
+    val cells = probedCellUnion(exploded, coding.numCells)
+    val corpus = pruneToCells(load(store, codingName, source, column),
+      cells, coding.numCells)
+    // coarse: (id, cell) only — at 100 TB the coarse stage never reads
+    // a float vector
+    val coarse = corpus.select(col(idCol), col(CodeCol))
+      .join(broadcast(exploded), col(CodeCol) === col("__cell__"))
+      .select(col(queryIdCol), col(idCol), col("__cell_rank__"))
+    val wCoarse = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("__cell_rank__").asc, col(idCol).asc)
+    val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
+      .filter(col("__crank__") <= candidates)
+      .select(col(queryIdCol), col(idCol))
+    val reranked = survivors
+      .join(broadcast(queries), Seq(queryIdCol))
+      .join(corpus.select(col(idCol), col(column)), Seq(idCol))
+      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
+      .drop(queryVecCol)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
+    reranked.withColumn("__rank__", row_number().over(w))
+      .filter(col("__rank__") <= k).drop("__rank__")
+  }
 }

@@ -180,7 +180,10 @@ class EngineSpec extends SparkSuite {
   test("candidate advisor: per-tier ladder, exact at full budget, probe-bound ceiling honest") {
     engine.makeSqIndex("c1", "emb", "embedding")
     engine.makeBqIndex("c1", "emb", "embedding")
-    for (tier <- Seq("sq", "bq")) {
+    engine.makePqIndex("c1", "emb", "embedding",
+      graft.coder.PQ.PQConfig(numSubspaces = 8, codebookSize = 16,
+        metric = "l2"))
+    for (tier <- Seq("sq", "bq", "pq", "rerank")) {
       // full probes + candidates up to corpus size: 1.0 reachable
       val a = engine.recommendCandidates("c1", "emb", "embedding",
         "vec_id", tier, probes = 16, k = 10, targetRecall = 1.0,
@@ -208,7 +211,7 @@ class EngineSpec extends SparkSuite {
     // bogus tier refused
     intercept[IllegalArgumentException] {
       engine.recommendCandidates("c1", "emb", "embedding", "vec_id",
-        "pq", probes = 16)
+        "flat", probes = 16)
     }
   }
 

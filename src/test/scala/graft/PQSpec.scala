@@ -933,3 +933,124 @@ class SqKnnJoinSpec extends SparkSuite {
     engine.remove()
   }
 }
+
+/** Batch PQ (ADC) + retrieve-rerank k-NN joins: exact at full budgets,
+  * near-exact bounded, and the coarse stages never read raw vectors. */
+class PqRerankKnnJoinSpec extends SparkSuite {
+  import graft.api.Engine
+  import graft.coder.CoderConfig
+  import graft.index.Index
+  import org.apache.spark.sql.functions._
+
+  private def clustered(seed: Int): Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Seq.fill(4)(Array.fill(8)(rnd.nextDouble() * 20 - 10))
+    for {
+      (c, ci) <- centers.zipWithIndex
+      i <- 0 until 30
+    } yield ((ci * 30 + i).toLong,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+  }
+
+  test("pq knn join: exact at full budgets (residual l2 AND flat cosine); " +
+      "coarse join carries codes + tables, never vectors") {
+    import spark.implicits._
+    val df = clustered(37).toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-pqknn").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("kv", df)
+    val queries = df.filter(col("id") < 3)
+      .select(col("id").as("q_id"), col("vec").cast("array<double>").as("q_vec"))
+    for ((metric, residual) <- Seq(("l2", true), ("cosine", false))) {
+      val cName = s"kc_$metric"
+      engine.makeCoder(cName, "kv", "vec",
+        CoderConfig(metric = metric, codebookSize = 2, numCodebooks = 2,
+          batchSize = 64, numEpochs = 2))
+      Index.build(engine.store, cName, "kv", "vec")
+      engine.makePqIndex(cName, "kv", "vec",
+        graft.coder.PQ.PQConfig(numSubspaces = 4, codebookSize = 16,
+          metric = metric), residual = residual)
+      val brute = graft.api.Search.knnJoin(df, "vec", queries,
+          "q_id", "q_vec", metric = metric, k = 3, tieBreak = Seq("id"))
+        .select("q_id", "id").as[(Long, Long)].collect().toSet
+      val full = Index.pqKnnJoin(engine.store, cName, "kv", "vec", queries,
+          "q_id", "q_vec", k = 3, probes = 4, candidates = 1 << 20,
+          idCol = "id", tieBreak = Seq("id"))
+        .select("q_id", "id").as[(Long, Long)].collect().toSet
+      assert(full == brute,
+        s"full-budget pq knn join ($metric, residual=$residual) != " +
+          s"brute:\n$full\nvs $brute")
+    }
+    // bounded budgets stay near-exact (ADC coarse ranking)
+    val brute = graft.api.Search.knnJoin(df, "vec", queries,
+        "q_id", "q_vec", metric = "l2", k = 3, tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val tight = Index.pqKnnJoin(engine.store, "kc_l2", "kv", "vec", queries,
+        "q_id", "q_vec", k = 3, probes = 2, candidates = 10,
+        idCol = "id", tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(tight.contains).toDouble / brute.size
+    info(s"pq knn join recall at probes=2, candidates=10: $recall")
+    // within a σ=0.1 cluster the residuals are tiny relative to the
+    // 2-dim-block codebook resolution, so ADC ranking inside the true
+    // cluster is noisy — the candidate budget (not 1-recall) is what
+    // this pins; exactness is pinned above at the full budget
+    assert(recall >= 0.6, s"low recall $recall")
+    // mismatched metric refused (codebook tables are metric-specific)
+    intercept[IllegalArgumentException] {
+      Index.pqKnnJoin(engine.store, "kc_l2", "kv", "vec", queries,
+        "q_id", "q_vec", k = 3, probes = 4, candidates = 10,
+        idCol = "id", metric = Some("cosine"))
+    }
+    // coarse scan reads codes, not the raw vector column
+    val planStr = Index.pqKnnJoin(engine.store, "kc_l2", "kv", "vec",
+        queries, "q_id", "q_vec", k = 3, probes = 4, candidates = 10,
+        idCol = "id", tieBreak = Seq("id"))
+      .queryExecution.executedPlan.toString
+    val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(l => l.contains(Index.PqCol) && !l.contains("vec:")),
+      s"no codes-only scan in:\n$planStr")
+    engine.remove()
+  }
+
+  test("rerank knn join: exact at full budgets; coarse stage reads NO vectors") {
+    import spark.implicits._
+    val df = clustered(41).toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-rrknn").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("kv", df)
+    engine.makeCoder("kc", "kv", "vec",
+      CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 2,
+        batchSize = 64, numEpochs = 2))
+    Index.build(engine.store, "kc", "kv", "vec")
+    val queries = df.filter(col("id") < 3)
+      .select(col("id").as("q_id"), col("vec").cast("array<double>").as("q_vec"))
+    val brute = graft.api.Search.knnJoin(df, "vec", queries,
+        "q_id", "q_vec", metric = "l2", k = 3, tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val full = Index.rerankKnnJoin(engine.store, "kc", "kv", "vec", queries,
+        "q_id", "q_vec", k = 3, probes = 4, candidates = 1 << 20,
+        idCol = "id", metric = Some("l2"), tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    assert(full == brute, s"full-budget rerank join != brute:\n$full\nvs $brute")
+    // the cluster structure makes the cell-rank coarse stage a good
+    // filter: the nearest cluster's cell ranks first for its queries
+    val tight = Index.rerankKnnJoin(engine.store, "kc", "kv", "vec",
+        queries, "q_id", "q_vec", k = 3, probes = 2, candidates = 30,
+        idCol = "id", metric = Some("l2"), tieBreak = Seq("id"))
+      .select("q_id", "id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(tight.contains).toDouble / brute.size
+    info(s"rerank knn join recall at probes=2, candidates=30: $recall")
+    assert(recall >= 0.8, s"low recall $recall")
+    // the coarse stage's scan reads only (id, cell) — no vector column
+    // anywhere before the rerank join
+    val planStr = Index.rerankKnnJoin(engine.store, "kc", "kv", "vec",
+        queries, "q_id", "q_vec", k = 3, probes = 4, candidates = 10,
+        idCol = "id", metric = Some("l2"), tieBreak = Seq("id"))
+      .queryExecution.executedPlan.toString
+    val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
+    assert(scans.exists(l => l.contains("__CODED_ID__") && !l.contains("vec:")),
+      s"no vector-free coarse scan in:\n$planStr")
+    engine.remove()
+  }
+}
