@@ -1642,6 +1642,52 @@ class Engine(val spark: SparkSession, val root: String,
     p
   }
 
+  /** [[recommendCandidates]] + PERSIST, keyed per (coding, tier,
+    * probes) — the same sidecar discipline as [[adviseProbes]] (the
+    * candidate advisor shares its expensive brute ground-truth pass, so
+    * "measure per call" was the one advisor output that did NOT
+    * persist). Stamp taken BEFORE the measurement, conservative under
+    * concurrent source changes. */
+  def adviseCandidates(coding: String, source: String, column: String,
+      idCol: String, tier: String, probes: Int, k: Int = 10,
+      targetRecall: Double = 0.95, sampleQueries: Int = 32,
+      maxCandidates: Int = 4096): Engine.PersistedCandidateAdvice = {
+    val stamp = store.sourceStamp(source)
+    val a = recommendCandidates(coding, source, column, idCol, tier,
+      probes, k, targetRecall, sampleQueries, maxCandidates)
+    val p = Engine.PersistedCandidateAdvice(a, source, column, idCol, k,
+      targetRecall, sampleQueries, maxCandidates, stamp)
+    store.saveCandidateAdvice(coding, tier, probes,
+      p.toJson.getBytes("UTF-8"))
+    p
+  }
+
+  /** Persisted candidate advice for (coding, tier, probes), or None when
+    * never advised. No freshness check — see [[freshCandidateAdvice]]. */
+  def loadCandidateAdvice(coding: String, tier: String,
+      probes: Int): Option[Engine.PersistedCandidateAdvice] =
+    store.loadCandidateAdviceBytes(coding, tier, probes)
+      .map(b => Engine.PersistedCandidateAdvice.fromJson(new String(b, "UTF-8")))
+
+  /** Persisted candidate advice, REFUSED loudly when never advised for
+    * this (coding, tier, probes) or when the source corpus changed since
+    * the measurement — the [[freshProbeAdvice]] contract. */
+  def freshCandidateAdvice(coding: String, tier: String,
+      probes: Int): Engine.PersistedCandidateAdvice = {
+    val p = loadCandidateAdvice(coding, tier, probes).getOrElse(
+      throw new NoSuchElementException(
+        s"no persisted candidate advice for (coding '$coding', tier " +
+          s"'$tier', probes $probes) — run adviseCandidates (or POST " +
+          "/api/advise/candidates) first"))
+    val now = store.sourceStamp(p.source)
+    if (now != p.sourceStamp) throw new IllegalStateException(
+      s"candidate advice for (coding '$coding', tier '$tier', probes " +
+        s"$probes) is STALE: source '${p.source}' changed since the " +
+        s"advice was measured (stamp ${p.sourceStamp} -> $now) — re-run " +
+        "adviseCandidates (or POST /api/advise/candidates) to re-measure")
+    p
+  }
+
   /** Persisted advice for `coding`, or None when never advised. No
     * freshness check — see [[freshProbeAdvice]]. */
   def loadProbeAdvice(coding: String): Option[Engine.PersistedProbeAdvice] =
@@ -1782,6 +1828,52 @@ object Engine {
         val e = arr.addObject(); e.put("probes", p); e.put("recall", r)
       }
       m.writeValueAsString(o)
+    }
+  }
+
+  /** [[Engine.adviseCandidates]]' sidecar payload — the candidate-budget
+    * analogue of [[PersistedProbeAdvice]] (tier and probes live inside
+    * the advice; the sidecar is keyed by them too). */
+  case class PersistedCandidateAdvice(advice: CandidateAdvice,
+      source: String, column: String, idCol: String, k: Int,
+      targetRecall: Double, sampleQueries: Int, maxCandidates: Int,
+      sourceStamp: String) {
+    def toJson: String = {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val o = m.createObjectNode()
+      o.put("source", source); o.put("column", column)
+      o.put("idCol", idCol); o.put("k", k)
+      o.put("targetRecall", targetRecall)
+      o.put("sampleQueries", sampleQueries)
+      o.put("maxCandidates", maxCandidates)
+      o.put("sourceStamp", sourceStamp)
+      o.put("tier", advice.tier); o.put("probes", advice.probes)
+      o.put("candidates", advice.candidates)
+      o.put("recall", advice.recall)
+      o.put("reachedTarget", advice.reachedTarget)
+      val arr = o.putArray("curve")
+      advice.curve.foreach { case (c, r) =>
+        val e = arr.addObject(); e.put("candidates", c); e.put("recall", r)
+      }
+      m.writeValueAsString(o)
+    }
+  }
+
+  object PersistedCandidateAdvice {
+    def fromJson(s: String): PersistedCandidateAdvice = {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+      import scala.jdk.CollectionConverters._
+      val curve = n.get("curve").elements().asScala
+        .map(e => (e.get("candidates").asInt(), e.get("recall").asDouble()))
+        .toList
+      PersistedCandidateAdvice(
+        CandidateAdvice(n.get("tier").asText(), n.get("probes").asInt(),
+          n.get("candidates").asInt(), n.get("recall").asDouble(), curve,
+          n.get("reachedTarget").asBoolean()),
+        n.get("source").asText(), n.get("column").asText(),
+        n.get("idCol").asText(), n.get("k").asInt(),
+        n.get("targetRecall").asDouble(), n.get("sampleQueries").asInt(),
+        n.get("maxCandidates").asInt(), n.get("sourceStamp").asText())
     }
   }
 

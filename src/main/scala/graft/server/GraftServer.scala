@@ -131,6 +131,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           getAdviseProbes(ex, coding)
         case ("POST", "advise" :: "candidates" :: Nil) =>
           postAdviseCandidates(ex)
+        case ("GET", "advise" :: "candidates" :: coding :: Nil) =>
+          getAdviseCandidates(ex, coding)
         case ("GET", "pca" :: Nil) =>
           ok(ex, mapper.writeValueAsString(
             Map("models" -> engine.store.listPcaModels().asJava).asJava))
@@ -346,13 +348,15 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         send(ex, 409, s"""{"error":${jstr(e.getMessage)}}""")
     }
 
-  /** Rerank-tier candidate-budget advisor
-    * ([[graft.api.Engine.recommendCandidates]]) — measured per call,
-    * not persisted (the knob is per-(tier, probes) and cheap to
-    * re-derive next to the probe advice). */
+  /** Candidate-budget advisor for the reranked tiers — measures AND
+    * persists per (coding, tier, probes)
+    * ([[graft.api.Engine.adviseCandidates]]; it shares the probe
+    * advisor's expensive brute ground-truth pass, so the POST is the
+    * run-once and the GET below the serve-many, exactly the probe-advice
+    * wire contract). */
   private def postAdviseCandidates(ex: HttpExchange): Unit = {
     val body = mapper.readTree(readBody(ex))
-    val a = engine.recommendCandidates(
+    val p = engine.adviseCandidates(
       require(body, "coding").asText(),
       require(body, "source").asText(),
       require(body, "column").asText(),
@@ -363,12 +367,44 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       targetRecall = opt(body, "targetRecall").map(_.asDouble()).getOrElse(0.95),
       sampleQueries = intOr(body, "sampleQueries", 32),
       maxCandidates = intOr(body, "maxCandidates", 4096))
+    ok(ex, candidateAdviceJson(p, cached = false))
+  }
+
+  /** Serves the PERSISTED candidate advice for (coding, ?tier=, ?probes=)
+    * — no measurement pass. 404 when never advised at this key; 409 when
+    * the source corpus changed since the measurement (naming the
+    * re-measure route) — mirrors [[getAdviseProbes]]. */
+  private def getAdviseCandidates(ex: HttpExchange, coding: String): Unit = {
+    val params = queryParams(ex)
+    val tier = params.getOrElse("tier", throw new IllegalArgumentException(
+      "tier query param required (sq | bq | pq | rerank)"))
+    val probes = params.getOrElse("probes",
+      throw new IllegalArgumentException("probes query param required")).toInt
+    try ok(ex, candidateAdviceJson(
+      engine.freshCandidateAdvice(coding, tier, probes), cached = true))
+    catch {
+      case e: NoSuchElementException =>
+        send(ex, 404, s"""{"error":${jstr(e.getMessage)}}""")
+      case e: IllegalStateException =>
+        send(ex, 409, s"""{"error":${jstr(e.getMessage)}}""")
+    }
+  }
+
+  private def candidateAdviceJson(p: graft.api.Engine.PersistedCandidateAdvice,
+      cached: Boolean): String = {
+    val a = p.advice
     val curve = a.curve
       .map { case (c, r) => s"""{"candidates":$c,"recall":$r}""" }
       .mkString(",")
-    ok(ex, s"""{"tier":${jstr(a.tier)},"probes":${a.probes},""" +
+    s"""{"tier":${jstr(a.tier)},"probes":${a.probes},""" +
       s""""candidates":${a.candidates},"recall":${a.recall},""" +
-      s""""reachedTarget":${a.reachedTarget},"curve":[$curve]}""")
+      s""""reachedTarget":${a.reachedTarget},"curve":[$curve],""" +
+      s""""source":${jstr(p.source)},"column":${jstr(p.column)},""" +
+      s""""idCol":${jstr(p.idCol)},"k":${p.k},""" +
+      s""""targetRecall":${p.targetRecall},""" +
+      s""""sampleQueries":${p.sampleQueries},""" +
+      s""""maxCandidates":${p.maxCandidates},""" +
+      s""""sourceStamp":${jstr(p.sourceStamp)},"cached":$cached}"""
   }
 
   private def adviceJson(p: graft.api.Engine.PersistedProbeAdvice,

@@ -516,6 +516,26 @@ class Store(val spark: SparkSession, val root: String) {
   def dropProbeAdvice(coding: String): Unit =
     fs.delete(new Path(probeAdvicePath(coding)), false)
 
+  /** Candidate advice is keyed per (coding, tier, probes): the budget is
+    * a property of the serving tier AT a probe count, not of the coding
+    * alone (`_cand_` + the tier name keeps the namespace disjoint from
+    * probe-advice files, whose stem is the bare coding name). */
+  def candidateAdvicePath(coding: String, tier: String, probes: Int): String =
+    s"$root/models/advice/${safeSeg(coding)}_cand_${safeSeg(tier)}_p$probes.json"
+
+  def saveCandidateAdvice(coding: String, tier: String, probes: Int,
+      json: Array[Byte]): Unit =
+    writeSidecar(candidateAdvicePath(coding, tier, probes), json)
+
+  def loadCandidateAdviceBytes(coding: String, tier: String,
+      probes: Int): Option[Array[Byte]] = {
+    val p = candidateAdvicePath(coding, tier, probes)
+    if (sidecarExists(p)) Some(readSidecar(p)) else None
+  }
+
+  def dropCandidateAdvice(coding: String, tier: String, probes: Int): Unit =
+    fs.delete(new Path(candidateAdvicePath(coding, tier, probes)), false)
+
   // ——— Codings (V3, A1) ———
 
   def saveCoding(name: String, coding: Coding): Unit = {
@@ -606,6 +626,19 @@ class Store(val spark: SparkSession, val root: String) {
       column <- list(s"$root/bq_indexes/$source")
       coding <- list(s"$root/bq_indexes/$source/$column") if coding == name
     } fs.delete(new Path(bqIndexPath(source, column, coding)), true)
+    // advisor sidecars measured for this coding die with it: probe
+    // advice (bare coding stem) and every (tier, probes) candidate
+    // advice — the tier set is matched explicitly so a sibling coding
+    // whose NAME merely starts with "<name>_cand_" is never collected
+    dropProbeAdvice(name)
+    val candRe = (java.util.regex.Pattern.quote(safeSeg(name)) +
+      """_cand_(sq|bq|pq|rerank)_p\d+\.json""").r
+    val adviceDir = new Path(s"$root/models/advice")
+    if (fs.exists(adviceDir))
+      fs.listStatus(adviceDir)
+        .filter(s => s.isFile &&
+          candRe.pattern.matcher(s.getPath.getName).matches())
+        .foreach(s => fs.delete(s.getPath, false))
   }
 
   def listIndexes(): Seq[(String, String, String)] =

@@ -213,6 +213,18 @@ class EngineSpec extends SparkSuite {
       engine.recommendCandidates("c1", "emb", "embedding", "vec_id",
         "flat", probes = 16)
     }
+    // persisted: adviseCandidates round-trips the sidecar, keyed per
+    // (coding, tier, probes) — a different probe count is a different
+    // key, and freshness follows the probe-advice contract
+    val pc = engine.adviseCandidates("c1", "emb", "embedding", "vec_id",
+      "sq", probes = 16, k = 10, targetRecall = 1.0, sampleQueries = 8,
+      maxCandidates = 512)
+    assert(engine.loadCandidateAdvice("c1", "sq", 16).contains(pc))
+    assert(engine.freshCandidateAdvice("c1", "sq", 16) == pc)
+    assert(engine.loadCandidateAdvice("c1", "sq", 8).isEmpty)
+    intercept[NoSuchElementException] {
+      engine.freshCandidateAdvice("c1", "bq", 16)
+    }
   }
 
   test("persisted probe advice: Advised sentinel explicit, exact default, stale/incompat refuse") {
@@ -304,9 +316,15 @@ class EngineSpec extends SparkSuite {
     assert(engine.listTables().contains("emb"))
     assert(engine.listCodings().contains("c1"))
     assert(engine.store.listIndexes().contains(("emb", "embedding", "c1")))
+    // advisor sidecars must die with their coding (probe + candidate)
+    engine.store.saveProbeAdvice("c1", "{}".getBytes("UTF-8"))
+    engine.store.saveCandidateAdvice("c1", "bq", 4, "{}".getBytes("UTF-8"))
     engine.dropIndex("c1")
     assert(!engine.listCodings().contains("c1"))
     assert(engine.store.listIndexes().isEmpty, "drop-index must not leak sidecars")
+    assert(engine.store.loadProbeAdviceBytes("c1").isEmpty &&
+      engine.store.loadCandidateAdviceBytes("c1", "bq", 4).isEmpty,
+      "drop-index must drop the coding's advisor sidecars")
     engine.dropTable("emb_lo")
     assert(!engine.listTables().contains("emb_lo"))
     engine.remove()

@@ -146,7 +146,22 @@ class ServerSpec extends SparkSuite {
       assert(ca.get("reachedTarget").asBoolean(), cBody2)
       assert(ca.get("candidates").asInt() >= 5 &&
         ca.get("candidates").asInt() <= 40, cBody2)
+      assert(!ca.get("cached").asBoolean(), cBody2)
+      // the POST persisted per (coding, tier, probes); GET serves the
+      // CACHE (no measurement pass) and must agree field-for-field
+      val (gc2, gBody2) = send("GET",
+        s"/advise/candidates/wire_c1?tier=$tier&probes=2")
+      assert(gc2 == 200, gBody2)
+      val cached2 = mapper.readTree(gBody2)
+      assert(cached2.get("cached").asBoolean(), gBody2)
+      for (f <- Seq("tier", "probes", "candidates", "recall",
+          "reachedTarget", "curve", "source", "column", "idCol", "k",
+          "targetRecall", "sampleQueries", "maxCandidates", "sourceStamp"))
+        assert(cached2.get(f) == ca.get(f), s"$f: $gBody2 vs $cBody2")
     }
+    // a different (tier, probes) is a different advice key → 404
+    assert(send("GET", "/advise/candidates/wire_c1?tier=sq&probes=99")._1 == 404)
+    assert(send("GET", "/advise/candidates/wire_c1?tier=rerank&probes=2")._1 == 404)
 
     // stale corpus: on a DEDICATED table (appending to wire_vecs would
     // legitimately un-freshen the index-stats assertions further down)
@@ -168,11 +183,31 @@ class ServerSpec extends SparkSuite {
             "idCol":"id","k":5,"targetRecall":1.0,"sampleQueries":4}""")
       assert(pc9 == 200, pBody9)
       assert(send("GET", "/advise/probes/wire_adv_c")._1 == 200)
+      // candidate advice persists under the SAME stamp discipline (the
+      // rerank tier needs only the base IVF index)
+      val (cc9, cBody9c) = send("POST", "/advise/candidates",
+        """{"coding":"wire_adv_c","source":"wire_adv","column":"vec",
+            "idCol":"id","tier":"rerank","probes":2,"k":5,
+            "targetRecall":1.0,"sampleQueries":4,"maxCandidates":40}""")
+      assert(cc9 == 200, cBody9c)
+      assert(send("GET",
+        "/advise/candidates/wire_adv_c?tier=rerank&probes=2")._1 == 200)
       Seq((100L, Seq(9.0, 9.0, 9.0, 9.0))).toDF("id", "vec")
         .write.mode("append").parquet(engine.store.tablePath("wire_adv"))
       val (sc9, sBody9) = send("GET", "/advise/probes/wire_adv_c")
       assert(sc9 == 409, s"$sc9 $sBody9")
       assert(sBody9.contains("STALE") && sBody9.contains("advise"), sBody9)
+      // …and the cached candidate advice refuses the changed corpus too
+      val (sc9c, sBody9cc) = send("GET",
+        "/advise/candidates/wire_adv_c?tier=rerank&probes=2")
+      assert(sc9c == 409 && sBody9cc.contains("STALE"), s"$sc9c $sBody9cc")
+      // re-advising heals the candidate cache
+      assert(send("POST", "/advise/candidates",
+        """{"coding":"wire_adv_c","source":"wire_adv","column":"vec",
+            "idCol":"id","tier":"rerank","probes":2,"k":5,
+            "targetRecall":1.0,"sampleQueries":4,"maxCandidates":40}""")._1 == 200)
+      assert(send("GET",
+        "/advise/candidates/wire_adv_c?tier=rerank&probes=2")._1 == 200)
       // re-advising over the wire refreshes the stamp and the GET recovers
       val (ac2, aBody2) = send("POST", "/advise/probes",
         """{"coding":"wire_adv_c","source":"wire_adv","column":"vec",
