@@ -93,8 +93,9 @@ object CurveBench {
     val wallSec = (System.nanoTime() - t0) / 1e9
     out.foreach { case (k, v) => println(f"[curve] $k = $v%.3f") }
     sys.env.get("GRAFT_CURVE_SOAK_OUT").foreach { path =>
-      val json = (out.map { case (k, v) => f""""$k":$v%.4f""" } :+
-        f""""wall_sec":$wallSec%.1f""").mkString("{", ",", "}")
+      val json = MachineCanary.withCanary(spark,
+        (out.map { case (k, v) => f""""$k":$v%.4f""" } :+
+          f""""wall_sec":$wallSec%.1f""").mkString("{", ",", "}"))
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (json + "\n").getBytes("UTF-8"))
       println(json)

@@ -43,6 +43,17 @@ object RegressionGate {
   val CanaryLo = 0.5
   val CanaryHi = 3.0
 
+  /** First-class alert line: median normalization makes a UNIFORM code
+    * regression (a common-path change slowing every query) invisible to
+    * the per-query gate up to the [[CanaryHi]] clamp — the canary itself
+    * is the only witness. Past this value the bench surfaces
+    * `canary_alert` in its JSON and stderr: either the box really is
+    * that slow (verify against `tools/canary_history.jsonl`, which the
+    * bench appends every run) or every query got slower at once, which
+    * no per-query ratio will ever flag. Observed clean-environment
+    * canaries to date: 1.0-1.41. */
+  val CanaryAlertHi = 1.5
+
   /** Median of current/baseline over entries whose baseline is ≥
     * [[MinSec]], clamped to [[CanaryLo]]..[[CanaryHi]]; 1.0 when fewer
     * than [[MinEntries]] entries qualify. */
@@ -63,11 +74,14 @@ object RegressionGate {
   }
 
   /** Code-caused regression: >2× the machine-normalized baseline AND
-    * >0.25s absolute over it (sub-100ms entries jitter well past 2×). */
+    * >0.25s absolute over it (sub-100ms entries jitter well past 2×).
+    * A zero/absent baseline gates nothing: a sub-millisecond query
+    * rounded to 0.000 by the baseline writer would otherwise flag any
+    * cur > MinSec and put factor = ∞ (invalid JSON) in the report. */
   def isRegression(cur: Double, base: Double, canary: Double): Boolean =
-    cur > 2.0 * canary * base && cur - canary * base > MinSec
+    base > 0.0 && cur > 2.0 * canary * base && cur - canary * base > MinSec
 
   /** The pre-canary absolute gate, kept as a loud warning. */
   def isAbsoluteOver(cur: Double, base: Double): Boolean =
-    cur > 2.0 * base && cur - base > MinSec
+    base > 0.0 && cur > 2.0 * base && cur - base > MinSec
 }

@@ -87,4 +87,20 @@ class RegressionGateSpec extends AnyFunSuite {
     assert(!RegressionGate.isAbsoluteOver(0.3, 0.1))
     assert(RegressionGate.isRegression(0.9, 0.1, 1.0)) // 9x and +0.8s
   }
+
+  test("a 0.000 baseline gates nothing (would be factor = Infinity)") {
+    // a sub-millisecond query rounded to 0.000 by the baseline writer:
+    // every cur > MinSec used to flag, with Infinity in the JSON
+    assert(!RegressionGate.isRegression(5.0, 0.0, 1.0))
+    assert(!RegressionGate.isAbsoluteOver(5.0, 0.0))
+    assert(!RegressionGate.isRegression(5.0, -1.0, 1.0))
+  }
+
+  test("canary alert threshold sits between observed-clean and the clamp") {
+    // observed clean-environment canaries to date: 1.0-1.41; the median
+    // normalization stays trusted up to the 3.0 clamp — the alert line
+    // must separate the two regimes
+    assert(RegressionGate.CanaryAlertHi > 1.41)
+    assert(RegressionGate.CanaryAlertHi < RegressionGate.CanaryHi)
+  }
 }
