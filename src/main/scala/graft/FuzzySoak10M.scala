@@ -52,10 +52,17 @@ object FuzzySoak10M {
     val (syncSec, synced) = time { e.syncFuzzyIndex("fzdocs", "t") }
 
     // single lookup: one-substitution copy of row 424243's string —
-    // bucket-pruned constant work regardless of corpus size
+    // bucket-pruned constant work regardless of corpus size. Cold AND
+    // warm: the first call pays JIT/codegen/FileStatusCache once per
+    // JVM; warm is the serving steady state (round-19 probe: the
+    // pre-fix 3.2s warm constant was ~85% partition discovery, now
+    // pruned to explicit hit-bucket leaf paths)
     val src = rows.filter(col("id") === 424243L).head().getString(1)
     val probe = src.substring(0, 7) + "z" + src.substring(8)
     val (lookupSec, lookupRows) = time {
+      e.fuzzyLookup("fzdocs", "t", probe).count()
+    }
+    val (lookupWarmSec, _) = time {
       e.fuzzyLookup("fzdocs", "t", probe).count()
     }
 
@@ -71,6 +78,12 @@ object FuzzySoak10M {
         .localCheckpoint(true)
     }
     val joinRows = joined.count()
+    // second identical join: steady-state serving (plan/codegen warm)
+    val (joinWarmSec, joined2) = time {
+      e.fuzzyJoin("fzdocs", "t", queries, "qid", "qt")
+        .localCheckpoint(true)
+    }
+    org.apache.spark.sql.GraftShims.releaseCheckpoint(joined2)
     // recall: each qid must match its own source id (dist 1)
     val found = joined.filter(col("id_b") === col("id_a") * 9973L &&
       col("dist") === 1L).count()
@@ -78,7 +91,7 @@ object FuzzySoak10M {
     e.remove()
 
     val json =
-      f"""{"n_strings":$n,"str_len":40,"max_dist":2,"buckets":512,"index_build_sec":$buildSec%.1f,"sync_rows":$synced,"sync_sec":$syncSec%.1f,"lookup_sec":$lookupSec%.2f,"lookup_rows":$lookupRows,"join_1k_sec":$joinSec%.1f,"join_rows":$joinRows,"join_expected":1000,"join_found":$found,"join_recall":${found / 1000.0}%.4f}"""
+      f"""{"n_strings":$n,"str_len":40,"max_dist":2,"buckets":512,"index_build_sec":$buildSec%.1f,"sync_rows":$synced,"sync_sec":$syncSec%.1f,"lookup_sec":$lookupSec%.2f,"lookup_warm_sec":$lookupWarmSec%.2f,"lookup_rows":$lookupRows,"join_1k_sec":$joinSec%.1f,"join_1k_warm_sec":$joinWarmSec%.1f,"join_rows":$joinRows,"join_expected":1000,"join_found":$found,"join_recall":${found / 1000.0}%.4f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("fuzzy_soak_10m.json"),
       MachineCanary.withCanary(spark, json))

@@ -621,7 +621,6 @@ class Engine(val spark: SparkSession, val root: String,
     recoverFuzzyArtifacts(base)
     requireFuzzyFresh(source, textCol, allowStale)
     val cand = fuzzyLookupCandidates(base, query, maxDist, buckets)
-    val baseDf = spark.read.parquet(s"$base/base")
     // candidate ids to the driver (bounded, refused past the cap),
     // their id buckets computed IN the collecting job — never by a
     // driver-side re-hash that could disagree on exotic id types
@@ -632,11 +631,15 @@ class Engine(val spark: SparkSession, val root: String,
         "this query — segment buckets collide heavily; raise " +
         "maxLookupCandidates deliberately or use fuzzyJoin for bulk " +
         "matching")
+    // the verify scan reads ONLY the candidates' id buckets — explicit
+    // leaf paths, like the candidate scans ([[readBuckets]]): the base
+    // table's full 512-dir discovery was one of the three ~0.9s terms
+    // in the 10M single-lookup constant
     val verified =
-      if (rows.isEmpty) baseDf.filter(lit(false))
-      else baseDf
-        .filter(col("__ID_BUCKET__").isin(rows.map(_.get(1)).distinct: _*) &&
-          col("id").isin(rows.map(_.get(0)): _*))
+      if (rows.isEmpty) spark.read.parquet(s"$base/base").filter(lit(false))
+      else readBuckets(s"$base/base", "__ID_BUCKET__",
+          rows.map(_.getInt(1)).toSeq)
+        .filter(col("id").isin(rows.map(_.get(0)): _*))
     verified
       .select(col("id"),
         levenshtein(col("t"), lit(query), maxDist).cast("long").as("dist"))
@@ -644,12 +647,34 @@ class Engine(val spark: SparkSession, val root: String,
       .orderBy(col("dist"), col("id"))
   }
 
+  /** Read ONLY the given bucket partitions of a bucket-partitioned
+    * artifact table: explicit `<dir>/<partCol>=<b>` leaf paths (with
+    * `basePath` retaining the partition column) make partition
+    * DISCOVERY itself proportional to the hit set — `read.parquet(dir)`
+    * lists every bucket directory up front no matter what the plan
+    * later prunes, and at the 10M/512-bucket tier that discovery was
+    * ~0.9s per table × 3 tables ≈ 85% of the measured single-lookup
+    * constant ([[graft.FuzzyLookupProbe]]). Buckets no key ever hashed
+    * into have no directory — one cheap exists() each skips them; all
+    * absent degrades to a full read filtered to nothing (rare, and the
+    * schema must still come from somewhere). */
+  private def readBuckets(dir: String, partCol: String,
+      bks: Seq[Int]): DataFrame = {
+    val fs = store.fs
+    val paths = bks.distinct
+      .map(b => s"$dir/$partCol=$b")
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) spark.read.parquet(dir).filter(lit(false))
+    else spark.read.option("basePath", dir).parquet(paths: _*)
+  }
+
   /** The candidate-id frame of one lookup: the query's probe keys
     * against the segment scan ∪ its segment keys against the probe
-    * scan, both pruned to the keys' `__SEG_BUCKET__` partitions at the
-    * file listing. Package-visible so the pruning is plan-assertable
-    * ([[fuzzyLookup]] consumes it eagerly, so its scans never appear in
-    * the returned frame's plan). */
+    * scan, both read through EXPLICIT hit-bucket leaf paths
+    * ([[readBuckets]] — pruning at the listing, not a partition filter
+    * over a full discovery). Package-visible so the pruning is
+    * plan-assertable ([[fuzzyLookup]] consumes it eagerly, so its scans
+    * never appear in the returned frame's plan). */
   private[graft] def fuzzyLookupCandidates(base: String, query: String,
       maxDist: Int, buckets: Int): DataFrame = {
     def hits(path: String, keys: Seq[(Int, Int, String)]): DataFrame = {
@@ -661,9 +686,8 @@ class Engine(val spark: SparkSession, val root: String,
       val keyPred = keys.map(t =>
         col("l") === t._1 && col("i") === t._2 && col("g") === t._3)
         .reduce(_ || _)
-      spark.read.parquet(path)
-        // bucket filter FIRST — the partition-pruning predicate
-        .filter(col("__SEG_BUCKET__").isin(bks: _*) && keyPred)
+      readBuckets(path, "__SEG_BUCKET__", bks)
+        .filter(keyPred)
         .select("id")
     }
     hits(s"$base/segs", graft.ext.Dedup.queryProbeKeys(query, maxDist))
@@ -684,10 +708,13 @@ class Engine(val spark: SparkSession, val root: String,
       probeBuckets: Option[Seq[Int]] = None): (DataFrame, DataFrame,
       DataFrame, DataFrame, DataFrame) = {
     val rb = spark.read.parquet(s"$base/base").select("id", "t", "len")
-    def pruned(path: String, bks: Option[Seq[Int]]): DataFrame = {
-      val raw = spark.read.parquet(path)
-      bks.fold(raw)(b => raw.filter(col("__SEG_BUCKET__").isin(b: _*)))
-    }
+    // hit-bucket pruning through EXPLICIT leaf paths ([[readBuckets]]):
+    // the pruned scan's partition discovery lists only the hit buckets
+    // instead of the full layout (None = genuinely every bucket → plain
+    // full read, no filter needed)
+    def pruned(path: String, bks: Option[Seq[Int]]): DataFrame =
+      bks.fold(spark.read.parquet(path))(b =>
+        readBuckets(path, "__SEG_BUCKET__", b))
     val rSegs = pruned(s"$base/segs", segBuckets)
       .select(col("l"), col("i"), col("g"), col("id").as("id_b"))
     val rProbes = pruned(s"$base/probes", probeBuckets)

@@ -141,17 +141,28 @@ class FuzzySpec extends SparkSuite {
     assert(singleRead.as[(Long, Long, Long)].collect().toSet == want)
 
     // the serving plan shape is pinned, not assumed: the artifact
-    // scans carry the hit-bucket IN-set as a PARTITION filter
-    // (file-listing pruning) and the candidate joins are broadcast
-    // (the corpus-side frames are never shuffled)
-    val plan = e.fuzzyJoin("fd", "t", left, "qid", "qt")
-      .queryExecution.executedPlan.toString
-    val pfs = plan.linesIterator
-      .filter(_.contains("PartitionFilters:")).toSeq
-    assert(pfs.nonEmpty && pfs.exists(_.contains("__SEG_BUCKET__")),
-      s"hit buckets not a partition filter:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"candidate joins not broadcast:\n$plan")
+    // scans root at EXPLICIT hit-bucket leaf paths (round 19 — pruning
+    // moved from an INSET partition filter over a full discovery to
+    // the discovery itself; the full-layout listing was the dominant
+    // term of the 10M single-lookup constant) and the candidate joins
+    // are broadcast (the corpus-side frames are never shuffled)
+    val servingPlan = e.fuzzyJoin("fd", "t", left, "qid", "qt")
+      .queryExecution
+    val keyScans = servingPlan.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(p =>
+          p.toString.contains("/segs/") || p.toString.contains("/probes/"))
+        => f
+    }
+    assert(keyScans.nonEmpty, s"no key-frame scans:\n${servingPlan.sparkPlan}")
+    keyScans.foreach { sc =>
+      assert(sc.relation.location.rootPaths
+          .forall(_.getName.startsWith("__SEG_BUCKET__=")),
+        s"key-frame scan not rooted at hit-bucket leaves: " +
+          sc.relation.location.rootPaths.mkString(","))
+    }
+    assert(servingPlan.executedPlan.toString.contains("BroadcastHashJoin"),
+      s"candidate joins not broadcast:\n${servingPlan.executedPlan}")
   }
 
   test("artifact-served ingest gate closure == editDistanceJoin, and a " +

@@ -149,10 +149,13 @@ class LexicalSpec extends SparkSuite {
       .select(col("id_b"), col("dist")).as[(Long, Long)]
       .collect().toSet
     assert(got.toSet == want, s"lookup $got vs join $want")
-    // plan: both CANDIDATE scans carry a __SEG_BUCKET__ partition filter
-    // and their pruned listings stay within the query keys' buckets
-    // (fuzzyLookup consumes the candidate frame eagerly, so it is
-    // asserted through the package-visible builder)
+    // plan: both CANDIDATE scans are rooted at EXPLICIT hit-bucket leaf
+    // paths — partition DISCOVERY itself is pruned (the round-19 probe
+    // measured full-layout discovery as ~85% of the 10M single-lookup
+    // constant), so the scan's rootPaths must all be __SEG_BUCKET__=
+    // leaves within the query keys' buckets (fuzzyLookup consumes the
+    // candidate frame eagerly, so this is asserted through the
+    // package-visible builder)
     val candFrame = engine.fuzzyLookupCandidates(
       engine.store.fuzzyIndexPath("fdocs", "t"), q, 2, 16)
     val scans = candFrame.queryExecution.sparkPlan.collect {
@@ -160,34 +163,34 @@ class LexicalSpec extends SparkSuite {
     }
     for (part <- Seq("segs", "probes")) {
       val sc = scans.find(_.relation.location.rootPaths
-        .exists(_.toString.endsWith(part)))
+        .exists(_.toString.contains(s"/$part/")))
       assert(sc.isDefined, s"no $part scan in plan")
-      val pf = sc.get.partitionFilters
-      assert(pf.exists(_.references.exists(_.name == "__SEG_BUCKET__")),
-        s"$part scan lacks the bucket partition filter: $pf")
       val keys = if (part == "segs")
         graft.ext.Dedup.queryProbeKeys(q, 2)
       else graft.ext.Dedup.querySegKeys(q, 2)
       val wantBks = keys.map(t => Lexical.termBucket(t._3, 16)).toSet
-      val readBks = sc.get.relation.location.listFiles(pf, Nil)
-        .flatMap(_.files.map(_.getPath.getParent.getName))
-        .filter(_.startsWith("__SEG_BUCKET__="))
+      val rootBks = sc.get.relation.location.rootPaths
+        .map(_.getName).filter(_.startsWith("__SEG_BUCKET__="))
         .map(_.stripPrefix("__SEG_BUCKET__=").toInt).toSet
-      assert(readBks.subsetOf(wantBks),
-        s"$part scan reads buckets $readBks outside the query's $wantBks")
+      assert(rootBks.nonEmpty,
+        s"$part scan not rooted at bucket leaf paths: " +
+          sc.get.relation.location.rootPaths.mkString(","))
+      assert(rootBks.subsetOf(wantBks),
+        s"$part scan roots at buckets $rootBks outside the query's $wantBks")
     }
-    // and the returned frame's BASE verify scan prunes by __ID_BUCKET__
-    // (layout 2) — without it, every lookup would scan every stored
-    // document's text and lookup latency would scale with corpus size
+    // and the returned frame's BASE verify scan roots at the candidate
+    // ids' __ID_BUCKET__ leaves (layout 2) — without it, every lookup
+    // would list and scan every stored document's bucket and lookup
+    // latency would scale with corpus size
     val baseScan = hits.queryExecution.sparkPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
-        if f.relation.location.rootPaths.exists(_.toString.endsWith("base")) => f
+        if f.relation.location.rootPaths.exists(_.toString.contains("/base/")) => f
     }
     assert(baseScan.nonEmpty, "no base scan in the lookup plan")
-    assert(baseScan.head.partitionFilters
-        .exists(_.references.exists(_.name == "__ID_BUCKET__")),
-      s"base scan lacks the id-bucket partition filter: " +
-        s"${baseScan.head.partitionFilters}")
+    assert(baseScan.head.relation.location.rootPaths
+        .forall(_.getName.startsWith("__ID_BUCKET__=")),
+      s"base scan not rooted at id-bucket leaf paths: " +
+        s"${baseScan.head.relation.location.rootPaths.mkString(",")}")
   }
 
   test("tfidf cosine: prefix-filtered pairs == exact pairs, with a " +
