@@ -1086,14 +1086,19 @@ class Engine(val spark: SparkSession, val root: String,
     Index.syncIncrementalSq(store, codingName, source, column, idCol)
 
   /** Probed IVF+SQ8 search ([[Index.searchSq]]): coarse pass over the
-    * d-byte quantized copy, exact rerank of the survivors. */
+    * d-byte quantized copy, exact rerank of the survivors.
+    * `candidates = Engine.Advised` serves the PERSISTED candidate
+    * budget for (coding, "sq", probes) — see
+    * [[resolveAdvisedCandidates]] (loud-or-fresh, target-reached only). */
   def searchSq(source: String, column: String, target: TargetVector,
       coding: String, probes: Int, candidates: Int, idCol: String,
       k: Int = 10, metric: Option[String] = None,
       filter: Option[Column] = None, select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
     Index.searchSq(store, coding, source, column, target, k, probes,
-      candidates, idCol, metric, filter, select, tieBreak)
+      advisedCand(candidates, coding, "sq", probes, source, column, k,
+        metric),
+      idCol, metric, filter, select, tieBreak)
 
   /** Build the IVF+BQ index under an existing coding — 1-bit sign codes
     * (32× smaller than float32; [[Index.buildBq]]); returns the
@@ -1124,14 +1129,18 @@ class Engine(val spark: SparkSession, val root: String,
       tieBreak)
 
   /** Probed IVF+BQ search ([[Index.searchBq]]): Hamming coarse pass over
-    * the 1-bit codes, exact rerank of the survivors. */
+    * the 1-bit codes, exact rerank of the survivors.
+    * `candidates = Engine.Advised` serves the persisted (coding, "bq",
+    * probes) budget ([[resolveAdvisedCandidates]]). */
   def searchBq(source: String, column: String, target: TargetVector,
       coding: String, probes: Int, candidates: Int, idCol: String,
       k: Int = 10, metric: Option[String] = None,
       filter: Option[Column] = None, select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
     Index.searchBq(store, coding, source, column, target, k, probes,
-      candidates, idCol, metric, filter, select, tieBreak)
+      advisedCand(candidates, coding, "bq", probes, source, column, k,
+        metric),
+      idCol, metric, filter, select, tieBreak)
 
   /** Batch IVF k-NN join ([[Index.ivfKnnJoin]]): per-query top-k over
     * the probed cells — many queries amortized over one pruned corpus
@@ -1151,7 +1160,10 @@ class Engine(val spark: SparkSession, val root: String,
       k: Int, probes: Int, candidates: Int, idCol: String,
       metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
     Index.sqKnnJoin(store, coding, source, column, queries, queryIdCol,
-      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+      queryVecCol, k, probes,
+      advisedCand(candidates, coding, "sq", probes, source, column, k,
+        metric),
+      idCol, metric, tieBreak)
 
   /** Batch BQ k-NN join ([[Index.bqKnnJoin]]): the 1-bit tier's batch
     * join — Hamming popcount coarse pass per cell, scalars-only window,
@@ -1161,7 +1173,10 @@ class Engine(val spark: SparkSession, val root: String,
       k: Int, probes: Int, candidates: Int, idCol: String,
       metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
     Index.bqKnnJoin(store, coding, source, column, queries, queryIdCol,
-      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+      queryVecCol, k, probes,
+      advisedCand(candidates, coding, "bq", probes, source, column, k,
+        metric),
+      idCol, metric, tieBreak)
 
   /** Batch k-NN join over the IVF+PQ index ([[Index.pqKnnJoin]]): the
     * per-cell join carries m-byte ADC codes, each query's lookup table
@@ -1171,7 +1186,10 @@ class Engine(val spark: SparkSession, val root: String,
       k: Int, probes: Int, candidates: Int, idCol: String,
       metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
     Index.pqKnnJoin(store, coding, source, column, queries, queryIdCol,
-      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+      queryVecCol, k, probes,
+      advisedCand(candidates, coding, "pq", probes, source, column, k,
+        metric),
+      idCol, metric, tieBreak)
 
   /** Batch retrieve-rerank k-NN join ([[Index.rerankKnnJoin]]): cell-rank
     * coarse stage with no vector math, exact rerank of the survivors. */
@@ -1180,7 +1198,10 @@ class Engine(val spark: SparkSession, val root: String,
       k: Int, probes: Int, candidates: Int, idCol: String,
       metric: Option[String] = None, tieBreak: Seq[String] = Nil): DataFrame =
     Index.rerankKnnJoin(store, coding, source, column, queries, queryIdCol,
-      queryVecCol, k, probes, candidates, idCol, metric, tieBreak)
+      queryVecCol, k, probes,
+      advisedCand(candidates, coding, "rerank", probes, source, column, k,
+        metric),
+      idCol, metric, tieBreak)
 
   /** Multi-source IVF+PQ search (reference ticket `"a:b:c"`,
     * `flight.py:47`): each source's PQ index is searched independently —
@@ -1204,6 +1225,10 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(candidates != Engine.Advised,
+      "candidates = Engine.Advised is single-source only: persisted " +
+        "candidate advice is measured against one corpus — pass an " +
+        "explicit candidate count for a multi-source union")
     require(sources.nonEmpty, "at least one source")
     val metrics = sources.map(s =>
       s -> Index.loadPqCodebooks(store, coding, s, column).canonicalMetric)
@@ -1249,6 +1274,10 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(candidates != Engine.Advised,
+      "candidates = Engine.Advised is single-source only: persisted " +
+        "candidate advice is measured against one corpus — pass an " +
+        "explicit candidate count for a multi-source union")
     require(sources.nonEmpty, "at least one source")
     unionTopK(sources, k, tieBreak)(s =>
       Index.searchSq(store, coding, s, column, target, k, probes,
@@ -1270,6 +1299,10 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(candidates != Engine.Advised,
+      "candidates = Engine.Advised is single-source only: persisted " +
+        "candidate advice is measured against one corpus — pass an " +
+        "explicit candidate count for a multi-source union")
     require(sources.nonEmpty, "at least one source")
     unionTopK(sources, k, tieBreak)(s =>
       Index.searchBq(store, coding, s, column, target, k, probes,
@@ -1292,9 +1325,19 @@ class Engine(val spark: SparkSession, val root: String,
       metric: Option[String] = None,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
-      tieBreak: Seq[String] = Nil): DataFrame =
-    Index.searchRerank(store, coding, source, column, target, k, candidates,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    // the advice key includes the probe budget it was measured at, so
+    // the probe-free (all-cells) rerank cannot serve an advised budget
+    val cand =
+      if (candidates != Engine.Advised) candidates
+      else resolveAdvisedCandidates(coding, "rerank",
+        probes.getOrElse(throw new IllegalArgumentException(
+          "candidates = Engine.Advised needs an explicit probes value — " +
+            "candidate advice is persisted per (coding, tier, probes)")),
+        source, column, k, metric)
+    Index.searchRerank(store, coding, source, column, target, k, cand,
       idCol, probes, metric, filter, select, tieBreak)
+  }
 
   /** Multi-source retrieve-rerank: per-source exact-reranked top-k
     * merged by the shared global-top-k step (final distances are exact,
@@ -1313,6 +1356,10 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    require(candidates != Engine.Advised,
+      "candidates = Engine.Advised is single-source only: persisted " +
+        "candidate advice is measured against one corpus — pass an " +
+        "explicit candidate count for a multi-source union")
     require(sources.nonEmpty, "at least one source")
     unionTopK(sources, k, tieBreak)(s =>
       Index.searchRerank(store, coding, s, column, target, k, candidates,
@@ -1335,7 +1382,9 @@ class Engine(val spark: SparkSession, val root: String,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame =
     Index.searchIvfPq(store, coding, source, column, target, k, probes,
-      candidates, idCol, metric, filter, select, tieBreak)
+      advisedCand(candidates, coding, "pq", probes, source, column, k,
+        metric),
+      idCol, metric, filter, select, tieBreak)
 
   // ——— search (V8/V9) ———
   /** Multi-source search (reference ticket `"a:b:c"`, `flight.py:47`):
@@ -1488,6 +1537,82 @@ class Engine(val spark: SparkSession, val root: String,
       advisedMemo.put(coding, (p, now))
     }
     p.advice.probes
+  }
+
+  /** [[advisedMemo]]'s candidate-advice twin — same TTL semantics. */
+  @transient private lazy val advisedCandMemo =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Engine.PersistedCandidateAdvice, Long)]()
+
+  /** Pass-through unless `candidates` is the [[Engine.Advised]]
+    * sentinel — then the persisted budget for (coding, tier, probes)
+    * via [[resolveAdvisedCandidates]]. */
+  private def advisedCand(candidates: Int, coding: String, tier: String,
+      probes: Int, source: String, column: String, k: Int,
+      metric: Option[String]): Int =
+    if (candidates != Engine.Advised) candidates
+    else resolveAdvisedCandidates(coding, tier, probes, source, column,
+      k, metric)
+
+  /** The candidate budget `candidates = Engine.Advised` serves, or a
+    * LOUD refusal — [[resolveAdvisedProbes]]' contract for the OTHER
+    * serving knob. Additionally refuses advice that never REACHED its
+    * recall target: a ceiling budget measured to miss is a diagnosis
+    * (probe-bound or rate-distortion-bound), not a budget anyone should
+    * silently serve. Keyed per (coding, tier, probes) — the advice is
+    * only valid at the probe count it was measured with. */
+  def resolveAdvisedCandidates(coding: String, tier: String, probes: Int,
+      source: String, column: String, k: Int,
+      metric: Option[String]): Int = {
+    val key = s"$coding#$tier#$probes"
+    val p = loadCandidateAdvice(coding, tier, probes).getOrElse(
+      throw new NoSuchElementException(
+        s"no persisted candidate advice for (coding '$coding', tier " +
+          s"'$tier', probes $probes) — run adviseCandidates (or POST " +
+          "/api/advise/candidates) first"))
+    require(p.source == source && p.column == column,
+      s"candidate advice for (coding '$coding', tier '$tier', probes " +
+        s"$probes) was measured against (${p.source}, ${p.column}), " +
+        s"not ($source, $column) — advise this corpus before serving " +
+        "it with Engine.Advised")
+    require(k <= p.k,
+      s"candidate advice for (coding '$coding', tier '$tier', probes " +
+        s"$probes) was measured at k = ${p.k}; serving k = $k with it " +
+        s"would apply a recall curve nobody measured — re-run " +
+        s"adviseCandidates with k >= $k")
+    require(p.advice.reachedTarget,
+      s"candidate advice for (coding '$coding', tier '$tier', probes " +
+        s"$probes) never REACHED its ${p.targetRecall} target (recall " +
+        s"${p.advice.recall} at the ${p.advice.candidates} ceiling) — " +
+        "the budget is probe- or rate-bound; raise probes/maxCandidates " +
+        "and re-advise, or pass an explicit candidate count deliberately")
+    metric.map(graft.core.Metrics.canonical).foreach { m =>
+      val cm = graft.core.Metrics.canonical(
+        store.loadCoding(coding).config.metric)
+      require(m == cm,
+        s"candidate advice for coding '$coding' was measured under the " +
+          s"coding's metric '$cm', not '$m' — drop the metric override " +
+          "or re-index/advise under it")
+    }
+    val now = System.nanoTime()
+    val memo = Option(advisedCandMemo.get(key))
+    val verified = memo.exists { case (cached, at) =>
+      cached == p && (now - at) < advisedStampTtlMs * 1000000L
+    }
+    if (!verified) {
+      val stampNow = store.sourceStamp(p.source)
+      if (stampNow != p.sourceStamp) {
+        advisedCandMemo.remove(key)
+        throw new IllegalStateException(
+          s"candidate advice for (coding '$coding', tier '$tier', " +
+            s"probes $probes) is STALE: source '${p.source}' changed " +
+            s"since the advice was measured (stamp ${p.sourceStamp} -> " +
+            s"$stampNow) — re-run adviseCandidates (or POST " +
+            "/api/advise/candidates) to re-measure")
+      }
+      advisedCandMemo.put(key, (p, now))
+    }
+    p.advice.candidates
   }
 
   /** Late-interaction (ColBERT MaxSim) retrieval over a table carrying a
@@ -1686,6 +1811,7 @@ class Engine(val spark: SparkSession, val root: String,
       targetRecall, sampleQueries, maxCandidates, stamp)
     store.saveCandidateAdvice(coding, tier, probes,
       p.toJson.getBytes("UTF-8"))
+    advisedCandMemo.put(s"$coding#$tier#$probes", (p, System.nanoTime()))
     p
   }
 

@@ -448,8 +448,6 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         (Some(p), Some(p))
       case other => (other, None)
     }
-    val advisedMark = advisedProbes
-      .fold("")(p => s""""advised":true,"probes":$p,""")
     val filter = opt(body, "filter").map(n => expr(n.asText()))
     val select = opt(body, "select").map(_.elements().asScala.map(_.asText()).toSeq)
     val tieBreak = opt(body, "tieBreak")
@@ -476,6 +474,28 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       okRows(ex, df)
       return
     }
+    // "candidates":"advised" serves the persisted (coding, tier,
+    // probes) candidate budget — resolved here so the response carries
+    // the visibility marker, like the probes sentinel above
+    var advisedCandN: Option[Int] = None
+    def candValue(n: com.fasterxml.jackson.databind.JsonNode,
+        c: String, tier: String, p: => Int): Int = {
+      val raw =
+        if (n.isTextual && n.asText() == "advised") graft.api.Engine.Advised
+        else if (n.isIntegralNumber) n.asInt()
+        else throw new IllegalArgumentException(
+          s"""candidates must be an integer or "advised", got ${n.toString}""")
+      if (raw != graft.api.Engine.Advised) raw
+      else {
+        if (sources.size != 1) throw new IllegalArgumentException(
+          """"candidates":"advised" is single-source (advice is """ +
+            "measured against one corpus)")
+        val r = engine.resolveAdvisedCandidates(c, tier, p, sources.head,
+          column, math.min(k, maxResponseRows), metric)
+        advisedCandN = Some(r)
+        r
+      }
+    }
     val df = (opt(body, "candidates"), coding, probes) match {
       case _ if sq || bq =>
         // explicit contract, no silent fall-through to another path
@@ -487,26 +507,33 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         val cand = opt(body, "candidates").getOrElse(
           throw new IllegalArgumentException(s"$tier search requires \"candidates\""))
         if (sq)
-          engine.searchSqMulti(sources, column, target, c, p, cand.asInt(),
+          engine.searchSqMulti(sources, column, target, c, p,
+            candValue(cand, c, tier, p),
             require(body, "idCol").asText(), math.min(k, maxResponseRows),
             metric, filter, select, tieBreak)
         else
-          engine.searchBqMulti(sources, column, target, c, p, cand.asInt(),
+          engine.searchBqMulti(sources, column, target, c, p,
+            candValue(cand, c, tier, p),
             require(body, "idCol").asText(), math.min(k, maxResponseRows),
             metric, filter, select, tieBreak)
       case (Some(cand), Some(c), _) if rerank =>
-        engine.searchRerankMulti(sources, column, target, c, cand.asInt(),
+        engine.searchRerankMulti(sources, column, target, c,
+          candValue(cand, c, "rerank", probes.getOrElse(
+            throw new IllegalArgumentException(
+              """"candidates":"advised" rerank search needs explicit """ +
+                "\"probes\" (advice is keyed per (coding, tier, probes))"))),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),
           probes, metric, filter, select, tieBreak)
       case (Some(cand), Some(c), Some(p)) =>
-        engine.searchPqMulti(sources, column, target, c, p, cand.asInt(),
+        engine.searchPqMulti(sources, column, target, c, p,
+          candValue(cand, c, "pq", p),
           require(body, "idCol").asText(), math.min(k, maxResponseRows),
           metric, filter, select, tieBreak)
       case _ =>
         engine.searchMulti(sources, column, target, metric, coding,
           probes, math.min(k, maxResponseRows), filter, select, tieBreak)
     }
-    okRows(ex, df, advisedMark)
+    okRows(ex, df, advisedJson(advisedProbes, advisedCandN))
   }
 
   /** `probes` from a request body: an integer, or the string "advised"
@@ -520,6 +547,17 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
       else throw new IllegalArgumentException(
         s"""probes must be an integer or "advised", got ${n.toString}""")
     }
+
+  /** The serving-visibility marker: which knobs the persisted advice
+    * supplied, and the values served — empty when nothing was advised
+    * (a caller can always tell exact from advised). */
+  private def advisedJson(probes: Option[Int],
+      candidates: Option[Int]): String = {
+    val fields = probes.map(p => s""""probes":$p""").toSeq ++
+      candidates.map(c => s""""candidates":$c""").toSeq
+    if (fields.isEmpty) ""
+    else fields.mkString(""""advised":true,""", ",", ",")
+  }
 
   /** Batch-targets search: `targets: [[...], ...]` maps onto the capped
     * batch kNN joins (broadcast guard + auto-chunking already live
@@ -555,8 +593,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
         (Some(p), Some(p))
       case other => (other, None)
     }
-    val advisedMark = advisedProbes
-      .fold("")(p => s""""advised":true,"probes":$p,""")
+    var advisedCandN: Option[Int] = None
     val tieBreak = opt(body, "tieBreak")
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val sq = opt(body, "sq").exists(_.asBoolean(false))
@@ -576,9 +613,19 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
           s"$tier batch search requires \"coding\""))
         val p = probes.getOrElse(throw new IllegalArgumentException(
           s"$tier batch search requires \"probes\""))
-        val cand = opt(body, "candidates").getOrElse(
+        val candNode = opt(body, "candidates").getOrElse(
           throw new IllegalArgumentException(
-            s"$tier batch search requires \"candidates\"")).asInt()
+            s"$tier batch search requires \"candidates\""))
+        // "candidates":"advised" — same sentinel + marker as postSearch
+        val cand =
+          if (candNode.isTextual && candNode.asText() == "advised") {
+            val r = engine.resolveAdvisedCandidates(c, tier, p,
+              oneSource(tier), column, k, metric)
+            advisedCandN = Some(r)
+            r
+          } else if (candNode.isIntegralNumber) candNode.asInt()
+          else throw new IllegalArgumentException(
+            s"""candidates must be an integer or "advised", got $candNode""")
         val id = require(body, "idCol").asText()
         if (sq) engine.knnJoinSq(c, oneSource(tier), column, queries,
           "query_id", "__QV__", k, p, cand, id, metric, tieBreak)
@@ -596,7 +643,7 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
             queries, "query_id", "__QV__", m, k, tieBreak,
             idCol = opt(body, "idCol").map(_.asText()))
       }
-    okRows(ex, df.drop("__QV__"), advisedMark)
+    okRows(ex, df.drop("__QV__"), advisedJson(advisedProbes, advisedCandN))
   }
 
   /** Late-interaction MaxSim retrieval ([[Engine.maxsimSearch]]): body

@@ -225,6 +225,48 @@ class EngineSpec extends SparkSuite {
     intercept[NoSuchElementException] {
       engine.freshCandidateAdvice("c1", "bq", 16)
     }
+    // serving: candidates = Engine.Advised equals the explicit call at
+    // the persisted budget; an unadvised (tier, probes) key refuses
+    val t = targetVec()
+    val viaAdvice = engine.searchSq("emb", "embedding", t, "c1",
+        probes = 16, candidates = Engine.Advised, idCol = "vec_id",
+        k = 5, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val explicitC = engine.searchSq("emb", "embedding", t, "c1",
+        probes = 16, candidates = pc.advice.candidates, idCol = "vec_id",
+        k = 5, tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(viaAdvice == explicitC, "advised candidates must equal the " +
+      "explicit search at the persisted budget")
+    intercept[NoSuchElementException] {
+      engine.searchBq("emb", "embedding", t, "c1", probes = 16,
+        candidates = Engine.Advised, idCol = "vec_id", k = 5)
+    }
+    // k beyond the advice's measured k refuses (compat gate)
+    intercept[IllegalArgumentException] {
+      engine.resolveAdvisedCandidates("c1", "sq", 16, "emb", "embedding",
+        k = 11, metric = None)
+    }
+    // advice that never REACHED its target refuses to serve: a ceiling
+    // budget measured to miss is a diagnosis, not a serving budget
+    val unreached = Engine.PersistedCandidateAdvice(
+      Engine.CandidateAdvice("sq", 2, 128, 0.8, List((128, 0.8)),
+        reachedTarget = false),
+      "emb", "embedding", "vec_id", 10, 0.95, 8, 128,
+      engine.store.sourceStamp("emb"))
+    engine.store.saveCandidateAdvice("c1", "sq", 2,
+      unreached.toJson.getBytes("UTF-8"))
+    val miss = intercept[IllegalArgumentException] {
+      engine.resolveAdvisedCandidates("c1", "sq", 2, "emb", "embedding",
+        k = 10, metric = None)
+    }
+    assert(miss.getMessage.contains("REACHED"), miss.getMessage)
+    engine.store.dropCandidateAdvice("c1", "sq", 2)
+    // multi-source unions refuse the sentinel (a different corpus)
+    intercept[IllegalArgumentException] {
+      engine.searchSqMulti(Seq("emb", "emb_lo"), "embedding", t, "c1",
+        probes = 16, candidates = Engine.Advised, idCol = "vec_id", k = 5)
+    }
   }
 
   test("persisted probe advice: Advised sentinel explicit, exact default, stale/incompat refuse") {

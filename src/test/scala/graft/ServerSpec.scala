@@ -163,6 +163,23 @@ class ServerSpec extends SparkSuite {
     assert(send("GET", "/advise/candidates/wire_c1?tier=sq&probes=99")._1 == 404)
     assert(send("GET", "/advise/candidates/wire_c1?tier=rerank&probes=2")._1 == 404)
 
+    // "candidates":"advised" serves the persisted (coding, tier, probes)
+    // budget and the response carries the visibility marker
+    val (avc, avBody) = send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","probes":2,"candidates":"advised",
+          "idCol":"id","sq":true,"k":5,"tieBreak":["id"],"select":["id"]}""")
+    assert(avc == 200, avBody)
+    val avNode = mapper.readTree(avBody)
+    assert(avNode.get("advised").asBoolean(), avBody)
+    assert(avNode.get("candidates").asInt() >= 5, avBody)
+    assert(avNode.get("rows").size() == 5, avBody)
+    // an unadvised key over the wire refuses (400 from the resolver)
+    assert(send("POST", "/search",
+      """{"sources":["wire_vecs"],"column":"vec","target":[0,0,0,0],
+          "coding":"wire_c1","probes":1,"candidates":"advised",
+          "idCol":"id","sq":true,"k":5}""")._1 == 400)
+
     // stale corpus: on a DEDICATED table (appending to wire_vecs would
     // legitimately un-freshen the index-stats assertions further down)
     // — appending changes the source's file-listing stamp, and the
