@@ -179,9 +179,15 @@ class Engine(val spark: SparkSession, val root: String,
     recoverLexArtifacts(base) // reads too: a crashed compaction's aside
     // is invisible to parquet listing — without this, queries silently
     // miss every term hashing to that bucket until a mutating call
+    val buckets = lexMeta(base)._1
+    // explicit term-bucket leaf paths (the fuzzy tier's round-19
+    // lesson, [[readBuckets]]): a keyword query knows its buckets
+    // before reading, so partition discovery lists just those dirs
+    // instead of the whole layout
+    val bks = terms.map(graft.ext.Lexical.termBucket(_, buckets)).distinct
     graft.ext.Lexical.bm25FromIndex(
-        spark.read.parquet(s"$base/postings"),
-        spark.read.parquet(s"$base/doclens"), terms, lexMeta(base)._1,
+        readBuckets(s"$base/postings", "__TERM_BUCKET__", bks),
+        spark.read.parquet(s"$base/doclens"), terms, buckets,
         requireAll = requireAll)
       .orderBy(col("bm25").desc, col("id").asc).limit(k)
   }
@@ -199,8 +205,11 @@ class Engine(val spark: SparkSession, val root: String,
     val (buckets, positional) = lexMeta(base)
     require(positional, s"lexical index for $source.$textCol was built " +
       "without positions — rebuild with positional = true for phrase search")
+    // leaf-path pruning as [[searchBm25]]
+    val bks = phrase.map(graft.ext.Lexical.termBucket(_, buckets)).distinct
     graft.ext.Lexical.phraseMatch(
-        spark.read.parquet(s"$base/postings"), phrase, buckets)
+        readBuckets(s"$base/postings", "__TERM_BUCKET__", bks),
+        phrase, buckets)
       .orderBy(col("hits").desc, col("id").asc).limit(k)
   }
 

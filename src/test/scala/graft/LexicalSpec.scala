@@ -368,14 +368,22 @@ class LexicalSpec extends SparkSuite {
       .as[(Long, Double)].collect().toSeq
     assert(hits.as[(Long, Double)].collect().toSeq == direct)
 
-    // the postings scan must carry the bucket IN-set as a PARTITION
-    // filter (file-listing pruning), not a data filter
-    val plan = engine.searchBm25("lexdocs", "text", terms)
-      .queryExecution.executedPlan.toString
-    val pf = plan.linesIterator
-      .find(_.contains("PartitionFilters:"))
-      .getOrElse(fail(s"no PartitionFilters in plan:\n$plan"))
-    assert(pf.contains("__TERM_BUCKET__"), s"bucket not a partition filter:\n$plan")
+    // the postings scan must be rooted at the query terms' bucket leaf
+    // paths (round 19: discovery-level pruning — the scan never lists a
+    // bucket outside the terms', let alone reads one)
+    val postScan = engine.searchBm25("lexdocs", "text", terms)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths
+            .exists(_.toString.contains("/postings")) => f
+      }
+    assert(postScan.nonEmpty, "no postings scan in the bm25 plan")
+    val wantBks = terms.map(Lexical.termBucket(_, 16)).toSet
+    val rootBks = postScan.head.relation.location.rootPaths
+      .map(_.getName).filter(_.startsWith("__TERM_BUCKET__="))
+      .map(_.stripPrefix("__TERM_BUCKET__=").toInt).toSet
+    assert(rootBks.nonEmpty && rootBks.subsetOf(wantBks),
+      s"postings scan roots $rootBks outside the terms' buckets $wantBks")
 
     // sync: one new doc arrives; only it gets indexed, and re-sync is a no-op
     docs.filter(col("doc_id") === 5)
