@@ -186,7 +186,7 @@ class Engine(val spark: SparkSession, val root: String,
     // instead of the whole layout
     val bks = terms.map(graft.ext.Lexical.termBucket(_, buckets)).distinct
     graft.ext.Lexical.bm25FromIndex(
-        readBuckets(s"$base/postings", "__TERM_BUCKET__", bks),
+        readBuckets(s"$base/postings", "__TERM_BUCKET__", bks, buckets),
         spark.read.parquet(s"$base/doclens"), terms, buckets,
         requireAll = requireAll)
       .orderBy(col("bm25").desc, col("id").asc).limit(k)
@@ -208,7 +208,7 @@ class Engine(val spark: SparkSession, val root: String,
     // leaf-path pruning as [[searchBm25]]
     val bks = phrase.map(graft.ext.Lexical.termBucket(_, buckets)).distinct
     graft.ext.Lexical.phraseMatch(
-        readBuckets(s"$base/postings", "__TERM_BUCKET__", bks),
+        readBuckets(s"$base/postings", "__TERM_BUCKET__", bks, buckets),
         phrase, buckets)
       .orderBy(col("hits").desc, col("id").asc).limit(k)
   }
@@ -647,7 +647,7 @@ class Engine(val spark: SparkSession, val root: String,
     val verified =
       if (rows.isEmpty) spark.read.parquet(s"$base/base").filter(lit(false))
       else readBuckets(s"$base/base", "__ID_BUCKET__",
-          rows.map(_.getInt(1)).toSeq)
+          rows.map(_.getInt(1)).toSeq, buckets)
         .filter(col("id").isin(rows.map(_.get(0)): _*))
     verified
       .select(col("id"),
@@ -668,13 +668,24 @@ class Engine(val spark: SparkSession, val root: String,
     * absent degrades to a full read filtered to nothing (rare, and the
     * schema must still come from somewhere). */
   private def readBuckets(dir: String, partCol: String,
-      bks: Seq[Int]): DataFrame = {
-    val fs = store.fs
-    val paths = bks.distinct
-      .map(b => s"$dir/$partCol=$b")
-      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (paths.isEmpty) spark.read.parquet(dir).filter(lit(false))
-    else spark.read.option("basePath", dir).parquet(paths: _*)
+      bks: Seq[Int], totalBuckets: Int): DataFrame = {
+    val distinct = bks.distinct
+    // Past half the layout, per-bucket exists() probes plus a
+    // many-root listing cost as much as one full discovery — and on an
+    // object store every exists() is its own RPC. Fall back to full
+    // discovery + the INSET partition filter (still file-listing
+    // pruning, just not discovery pruning).
+    if (distinct.size * 2 >= totalBuckets)
+      spark.read.parquet(dir)
+        .filter(col(partCol).isin(distinct: _*))
+    else {
+      val fs = store.fs
+      val paths = distinct
+        .map(b => s"$dir/$partCol=$b")
+        .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      if (paths.isEmpty) spark.read.parquet(dir).filter(lit(false))
+      else spark.read.option("basePath", dir).parquet(paths: _*)
+    }
   }
 
   /** The candidate-id frame of one lookup: the query's probe keys
@@ -695,7 +706,7 @@ class Engine(val spark: SparkSession, val root: String,
       val keyPred = keys.map(t =>
         col("l") === t._1 && col("i") === t._2 && col("g") === t._3)
         .reduce(_ || _)
-      readBuckets(path, "__SEG_BUCKET__", bks)
+      readBuckets(path, "__SEG_BUCKET__", bks, buckets)
         .filter(keyPred)
         .select("id")
     }
@@ -712,7 +723,7 @@ class Engine(val spark: SparkSession, val root: String,
     * scan); the count frames are never pruned — the guard needs the
     * corpus-side key statistics whole, and they are orders of
     * magnitude smaller. */
-  private def fuzzyFrames(base: String,
+  private def fuzzyFrames(base: String, buckets: Int,
       segBuckets: Option[Seq[Int]] = None,
       probeBuckets: Option[Seq[Int]] = None): (DataFrame, DataFrame,
       DataFrame, DataFrame, DataFrame) = {
@@ -723,7 +734,7 @@ class Engine(val spark: SparkSession, val root: String,
     // full read, no filter needed)
     def pruned(path: String, bks: Option[Seq[Int]]): DataFrame =
       bks.fold(spark.read.parquet(path))(b =>
-        readBuckets(path, "__SEG_BUCKET__", b))
+        readBuckets(path, "__SEG_BUCKET__", b, buckets))
     val rSegs = pruned(s"$base/segs", segBuckets)
       .select(col("l"), col("i"), col("g"), col("id").as("id_b"))
     val rProbes = pruned(s"$base/probes", probeBuckets)
@@ -794,7 +805,7 @@ class Engine(val spark: SparkSession, val root: String,
     val lProbeStats = fuzzySideStats(
       graft.ext.Dedup.editDistanceProbes(lb, maxDist), buckets)
     val (rb, rSegs, rProbes, segCounts, probeCounts) =
-      fuzzyFrames(base, lProbeStats.hitBuckets, lSegStats.hitBuckets)
+      fuzzyFrames(base, buckets, lProbeStats.hitBuckets, lSegStats.hitBuckets)
     // Σ ns(k)·npLeft(k) + Σ np(k)·nsLeft(k) ≤ maxNs·|left probes| +
     // maxNp·|left segs| — every factor known on the driver
     val bound = fuzzyMetaBounds(base).map { case (maxNs, maxNp) =>
@@ -848,7 +859,7 @@ class Engine(val spark: SparkSession, val root: String,
         val lProbeStats = fuzzySideStats(
           graft.ext.Dedup.editDistanceProbes(lb, maxDist), buckets)
         val (rb, rSegs, rProbes, segCounts, probeCounts) =
-          fuzzyFrames(base, lProbeStats.hitBuckets, lSegStats.hitBuckets)
+          fuzzyFrames(base, buckets, lProbeStats.hitBuckets, lSegStats.hitBuckets)
         val bound = fuzzyMetaBounds(base).map { case (maxNs, maxNp) =>
           maxNs.toDouble * lProbeStats.rows +
             maxNp.toDouble * lSegStats.rows

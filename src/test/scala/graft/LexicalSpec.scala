@@ -163,20 +163,49 @@ class LexicalSpec extends SparkSuite {
     }
     for (part <- Seq("segs", "probes")) {
       val sc = scans.find(_.relation.location.rootPaths
-        .exists(_.toString.contains(s"/$part/")))
+        .exists(r => r.toString.contains(s"/$part/") ||
+          r.toString.endsWith(s"/$part")))
       assert(sc.isDefined, s"no $part scan in plan")
       val keys = if (part == "segs")
         graft.ext.Dedup.queryProbeKeys(q, 2)
       else graft.ext.Dedup.querySegKeys(q, 2)
       val wantBks = keys.map(t => Lexical.termBucket(t._3, 16)).toSet
-      val rootBks = sc.get.relation.location.rootPaths
-        .map(_.getName).filter(_.startsWith("__SEG_BUCKET__="))
+      // this 16-bucket fixture's query keys cover most buckets, so
+      // readBuckets may legally pick either mode — assert the files
+      // actually READ stay within the query's buckets regardless
+      // (leaf roots prune at discovery; INSET prunes at the listing)
+      val readBks = sc.get.relation.location
+        .listFiles(sc.get.partitionFilters, Nil)
+        .flatMap(_.files.map(_.getPath.getParent.getName))
+        .filter(_.startsWith("__SEG_BUCKET__="))
         .map(_.stripPrefix("__SEG_BUCKET__=").toInt).toSet
-      assert(rootBks.nonEmpty,
-        s"$part scan not rooted at bucket leaf paths: " +
-          sc.get.relation.location.rootPaths.mkString(","))
-      assert(rootBks.subsetOf(wantBks),
-        s"$part scan roots at buckets $rootBks outside the query's $wantBks")
+      assert(readBks.nonEmpty && readBks.subsetOf(wantBks),
+        s"$part scan reads buckets $readBks outside the query's $wantBks")
+    }
+    // dedicated LEAF-MODE pin: at 256 buckets the query's hit set is
+    // far below half the layout, so the candidate scans MUST be rooted
+    // at explicit hit-bucket leaf paths (discovery-level pruning — the
+    // measured 10M single-lookup win)
+    locally {
+      val e256 = new Engine(spark,
+        Files.createTempDirectory("graft-lex256").toString)
+      e256.makeTable("fdocs", corpus)
+      e256.buildFuzzyIndex("fdocs", "doc_id", "t", maxDist = 2,
+        buckets = 256)
+      val cand256 = e256.fuzzyLookupCandidates(
+        e256.store.fuzzyIndexPath("fdocs", "t"), q, 2, 256)
+      val scans256 = cand256.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans256.nonEmpty)
+      scans256.foreach { sc =>
+        assert(sc.relation.location.rootPaths
+            .forall(_.getName.startsWith("__SEG_BUCKET__=")),
+          s"not leaf-rooted at 256 buckets: " +
+            sc.relation.location.rootPaths.take(3).mkString(","))
+      }
+      assert(cand256.count() > 0)
+      e256.remove()
     }
     // and the returned frame's BASE verify scan roots at the candidate
     // ids' __ID_BUCKET__ leaves (layout 2) — without it, every lookup
