@@ -1245,6 +1245,7 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    Engine.validCount("candidates", candidates)
     require(candidates != Engine.Advised,
       "candidates = Engine.Advised is single-source only: persisted " +
         "candidate advice is measured against one corpus — pass an " +
@@ -1294,6 +1295,7 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    Engine.validCount("candidates", candidates)
     require(candidates != Engine.Advised,
       "candidates = Engine.Advised is single-source only: persisted " +
         "candidate advice is measured against one corpus — pass an " +
@@ -1319,6 +1321,7 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    Engine.validCount("candidates", candidates)
     require(candidates != Engine.Advised,
       "candidates = Engine.Advised is single-source only: persisted " +
         "candidate advice is measured against one corpus — pass an " +
@@ -1346,6 +1349,7 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    Engine.validCount("candidates", candidates)
     // the advice key includes the probe budget it was measured at, so
     // the probe-free (all-cells) rerank cannot serve an advised budget
     val cand =
@@ -1376,6 +1380,7 @@ class Engine(val spark: SparkSession, val root: String,
       filter: Option[Column] = None,
       select: Option[Seq[String]] = None,
       tieBreak: Seq[String] = Nil): DataFrame = {
+    Engine.validCount("candidates", candidates)
     require(candidates != Engine.Advised,
       "candidates = Engine.Advised is single-source only: persisted " +
         "candidate advice is measured against one corpus — pass an " +
@@ -1426,6 +1431,7 @@ class Engine(val spark: SparkSession, val root: String,
         // persisted advice is measured against one (coding, source,
         // column) corpus, and a multi-source union is a different
         // corpus with a different recall curve
+        Engine.validCount("probes", p0)
         val p =
           if (p0 != Engine.Advised) p0
           else {
@@ -1451,6 +1457,7 @@ class Engine(val spark: SparkSession, val root: String,
           withDist.select((cols :+ Search.DistCol).map(col): _*))
         projected.orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*).limit(k)
       case _ =>
+        probes.foreach(Engine.validCount("probes", _))
         require(!probes.contains(Engine.Advised),
           "probes = Engine.Advised needs a coding — the advice is " +
             "persisted per coding; pass the coding the advice was " +
@@ -1482,11 +1489,13 @@ class Engine(val spark: SparkSession, val root: String,
       tieBreak: Seq[String] = Nil): DataFrame =
     (coding, probes) match {
       case (Some(c), Some(p0)) =>
+        Engine.validCount("probes", p0)
         val p = if (p0 == Engine.Advised)
           resolveAdvisedProbes(c, source, column, k, metric) else p0
         Index.searchProbed(store, c, source, column, target, k, p, metric,
           filter, select, tieBreak)
       case _ =>
+        probes.foreach(Engine.validCount("probes", _))
         require(!probes.contains(Engine.Advised),
           "probes = Engine.Advised needs a coding — the advice is " +
             "persisted per coding; pass the coding the advice was " +
@@ -1496,16 +1505,19 @@ class Engine(val spark: SparkSession, val root: String,
           requireMetric(metric), k, filter, select, tieBreak)
     }
 
-  /** Per-coding (advice, freshness-verified-at) memo behind
+  /** Per-coding (parsed advice, coding metric, verified-at) memo behind
     * [[resolveAdvisedProbes]]: the freshness check is a full source
-    * file listing, and a serving loop issuing one advised search per
-    * query must not pay a listing per call. Entries expire after
-    * [[advisedStampTtlMs]] (an in-place corpus rewrite is therefore
-    * detected within the TTL, not instantly — pass `0` to re-verify
-    * every call). */
+    * file listing, the advice itself is a sidecar read, and the metric
+    * compat check is a coding load — a serving loop issuing one advised
+    * search per query must pay NONE of them per call. Entries expire
+    * after [[advisedStampTtlMs]] (an in-place corpus rewrite — or a
+    * re-advise — is therefore picked up within the TTL, not instantly;
+    * pass `0` to re-verify every call). The metric slot fills lazily:
+    * only a call with a metric override needs the coding, and once one
+    * has paid that load the entry is upgraded in place. */
   @transient private lazy val advisedMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Engine.PersistedProbeAdvice, Long)]()
+      (Engine.PersistedProbeAdvice, Option[String], Long)]()
 
   /** The probe budget `probes = Some(Engine.Advised)` serves, or a LOUD
     * refusal. Refuses when: no advice was ever persisted for `coding`
@@ -1519,10 +1531,16 @@ class Engine(val spark: SparkSession, val root: String,
     * the stamp so a mismatch never pays the listing IO. */
   def resolveAdvisedProbes(coding: String, source: String, column: String,
       k: Int, metric: Option[String]): Int = {
-    val p = loadProbeAdvice(coding).getOrElse(
+    val now = System.nanoTime()
+    val hit = Option(advisedMemo.get(coding)).filter { case (_, _, at) =>
+      (now - at) < advisedStampTtlMs * 1000000L
+    }
+    // sidecar read only on a memo miss — the steady-state advised call
+    // touches no storage at all
+    val p = hit.map(_._1).getOrElse(loadProbeAdvice(coding).getOrElse(
       throw new NoSuchElementException(
         s"no persisted probe advice for coding '$coding' — run " +
-          "adviseProbes (or POST /api/advise/probes) first"))
+          "adviseProbes (or POST /api/advise/probes) first")))
     require(p.source == source && p.column == column,
       s"probe advice for coding '$coding' was measured against " +
         s"(${p.source}, ${p.column}), not ($source, $column) — advise " +
@@ -1531,48 +1549,54 @@ class Engine(val spark: SparkSession, val root: String,
       s"probe advice for coding '$coding' was measured at k = ${p.k}; " +
         s"serving k = $k with it would apply a recall curve nobody " +
         s"measured — re-run adviseProbes with k >= $k")
-    metric.map(graft.core.Metrics.canonical).foreach { m =>
-      val cm = graft.core.Metrics.canonical(
-        store.loadCoding(coding).config.metric)
+    val codingMetric = metric.map(graft.core.Metrics.canonical).map { m =>
+      val cm = hit.flatMap(_._2).getOrElse(graft.core.Metrics.canonical(
+        store.loadCoding(coding).config.metric))
       require(m == cm,
         s"probe advice for coding '$coding' was measured under the " +
           s"coding's metric '$cm', not '$m' — drop the metric override " +
           "or re-index/advise under it")
+      cm
     }
-    val now = System.nanoTime()
-    val memo = Option(advisedMemo.get(coding))
-    val verified = memo.exists { case (cached, at) =>
-      cached == p && (now - at) < advisedStampTtlMs * 1000000L
-    }
-    if (!verified) {
-      val stampNow = store.sourceStamp(p.source)
-      if (stampNow != p.sourceStamp) {
-        advisedMemo.remove(coding)
-        throw new IllegalStateException(
-          s"probe advice for coding '$coding' is STALE: source " +
-            s"'${p.source}' changed since the advice was measured " +
-            s"(stamp ${p.sourceStamp} -> $stampNow) — re-run " +
-            "adviseProbes (or POST /api/advise/probes) to re-measure")
-      }
-      advisedMemo.put(coding, (p, now))
+    hit match {
+      case Some((cached, None, at)) if codingMetric.isDefined =>
+        // upgrade in place: the NEXT overridden call skips the coding
+        // load too (same verified-at — no freshness extension)
+        advisedMemo.put(coding, (cached, codingMetric, at))
+      case Some(_) => ()
+      case None =>
+        val stampNow = store.sourceStamp(p.source)
+        if (stampNow != p.sourceStamp) {
+          advisedMemo.remove(coding)
+          throw new IllegalStateException(
+            s"probe advice for coding '$coding' is STALE: source " +
+              s"'${p.source}' changed since the advice was measured " +
+              s"(stamp ${p.sourceStamp} -> $stampNow) — re-run " +
+              "adviseProbes (or POST /api/advise/probes) to re-measure")
+        }
+        advisedMemo.put(coding, (p, codingMetric, now))
     }
     p.advice.probes
   }
 
-  /** [[advisedMemo]]'s candidate-advice twin — same TTL semantics. */
+  /** [[advisedMemo]]'s candidate-advice twin — same TTL and
+    * lazily-filled coding-metric semantics, keyed per
+    * (coding, tier, probes). */
   @transient private lazy val advisedCandMemo =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Engine.PersistedCandidateAdvice, Long)]()
+      (Engine.PersistedCandidateAdvice, Option[String], Long)]()
 
   /** Pass-through unless `candidates` is the [[Engine.Advised]]
     * sentinel — then the persisted budget for (coding, tier, probes)
     * via [[resolveAdvisedCandidates]]. */
   private def advisedCand(candidates: Int, coding: String, tier: String,
       probes: Int, source: String, column: String, k: Int,
-      metric: Option[String]): Int =
+      metric: Option[String]): Int = {
+    Engine.validCount("candidates", candidates)
     if (candidates != Engine.Advised) candidates
     else resolveAdvisedCandidates(coding, tier, probes, source, column,
       k, metric)
+  }
 
   /** The candidate budget `candidates = Engine.Advised` serves, or a
     * LOUD refusal — [[resolveAdvisedProbes]]' contract for the OTHER
@@ -1585,11 +1609,17 @@ class Engine(val spark: SparkSession, val root: String,
       source: String, column: String, k: Int,
       metric: Option[String]): Int = {
     val key = s"$coding#$tier#$probes"
-    val p = loadCandidateAdvice(coding, tier, probes).getOrElse(
-      throw new NoSuchElementException(
-        s"no persisted candidate advice for (coding '$coding', tier " +
-          s"'$tier', probes $probes) — run adviseCandidates (or POST " +
-          "/api/advise/candidates) first"))
+    val now = System.nanoTime()
+    val hit = Option(advisedCandMemo.get(key)).filter { case (_, _, at) =>
+      (now - at) < advisedStampTtlMs * 1000000L
+    }
+    // sidecar read only on a memo miss — see [[resolveAdvisedProbes]]
+    val p = hit.map(_._1).getOrElse(
+      loadCandidateAdvice(coding, tier, probes).getOrElse(
+        throw new NoSuchElementException(
+          s"no persisted candidate advice for (coding '$coding', tier " +
+            s"'$tier', probes $probes) — run adviseCandidates (or POST " +
+            "/api/advise/candidates) first")))
     require(p.source == source && p.column == column,
       s"candidate advice for (coding '$coding', tier '$tier', probes " +
         s"$probes) was measured against (${p.source}, ${p.column}), " +
@@ -1606,31 +1636,31 @@ class Engine(val spark: SparkSession, val root: String,
         s"${p.advice.recall} at the ${p.advice.candidates} ceiling) — " +
         "the budget is probe- or rate-bound; raise probes/maxCandidates " +
         "and re-advise, or pass an explicit candidate count deliberately")
-    metric.map(graft.core.Metrics.canonical).foreach { m =>
-      val cm = graft.core.Metrics.canonical(
-        store.loadCoding(coding).config.metric)
+    val codingMetric = metric.map(graft.core.Metrics.canonical).map { m =>
+      val cm = hit.flatMap(_._2).getOrElse(graft.core.Metrics.canonical(
+        store.loadCoding(coding).config.metric))
       require(m == cm,
         s"candidate advice for coding '$coding' was measured under the " +
           s"coding's metric '$cm', not '$m' — drop the metric override " +
           "or re-index/advise under it")
+      cm
     }
-    val now = System.nanoTime()
-    val memo = Option(advisedCandMemo.get(key))
-    val verified = memo.exists { case (cached, at) =>
-      cached == p && (now - at) < advisedStampTtlMs * 1000000L
-    }
-    if (!verified) {
-      val stampNow = store.sourceStamp(p.source)
-      if (stampNow != p.sourceStamp) {
-        advisedCandMemo.remove(key)
-        throw new IllegalStateException(
-          s"candidate advice for (coding '$coding', tier '$tier', " +
-            s"probes $probes) is STALE: source '${p.source}' changed " +
-            s"since the advice was measured (stamp ${p.sourceStamp} -> " +
-            s"$stampNow) — re-run adviseCandidates (or POST " +
-            "/api/advise/candidates) to re-measure")
-      }
-      advisedCandMemo.put(key, (p, now))
+    hit match {
+      case Some((cached, None, at)) if codingMetric.isDefined =>
+        advisedCandMemo.put(key, (cached, codingMetric, at))
+      case Some(_) => ()
+      case None =>
+        val stampNow = store.sourceStamp(p.source)
+        if (stampNow != p.sourceStamp) {
+          advisedCandMemo.remove(key)
+          throw new IllegalStateException(
+            s"candidate advice for (coding '$coding', tier '$tier', " +
+              s"probes $probes) is STALE: source '${p.source}' changed " +
+              s"since the advice was measured (stamp ${p.sourceStamp} -> " +
+              s"$stampNow) — re-run adviseCandidates (or POST " +
+              "/api/advise/candidates) to re-measure")
+        }
+        advisedCandMemo.put(key, (p, codingMetric, now))
     }
     p.advice.candidates
   }
@@ -1810,7 +1840,7 @@ class Engine(val spark: SparkSession, val root: String,
     val p = Engine.PersistedProbeAdvice(a, source, column, idCol, k,
       targetRecall, sampleQueries, stamp)
     store.saveProbeAdvice(coding, p.toJson.getBytes("UTF-8"))
-    advisedMemo.put(coding, (p, System.nanoTime()))
+    advisedMemo.put(coding, (p, None, System.nanoTime()))
     p
   }
 
@@ -1831,7 +1861,8 @@ class Engine(val spark: SparkSession, val root: String,
       targetRecall, sampleQueries, maxCandidates, stamp)
     store.saveCandidateAdvice(coding, tier, probes,
       p.toJson.getBytes("UTF-8"))
-    advisedCandMemo.put(s"$coding#$tier#$probes", (p, System.nanoTime()))
+    advisedCandMemo.put(s"$coding#$tier#$probes",
+      (p, None, System.nanoTime()))
     p
   }
 
@@ -1964,8 +1995,23 @@ object Engine {
     * advisor budget ([[Engine.adviseProbes]]) — explicit at the call
     * site, so exact and advised serving are never confusable. Resolved
     * (and loudly refused on absent/stale/incompatible advice) by
-    * [[Engine.resolveAdvisedProbes]]. */
-  val Advised: Int = -1
+    * [[Engine.resolveAdvisedProbes]]. Deliberately NOT -1: -1 means
+    * "disabled/unbounded" in enough other libraries that a caller
+    * passing it out of habit must get an invalid-count refusal
+    * ([[Engine.validCount]]), never a silent opt-in to advised
+    * serving. */
+  val Advised: Int = Int.MinValue
+
+  /** Every serving knob that accepts the [[Advised]] sentinel validates
+    * through here: a real budget is >= 1, the sentinel is the single
+    * documented negative, and everything else — 0, -1, any stray
+    * negative — refuses loudly instead of acquiring a meaning by
+    * accident. */
+  private[graft] def validCount(name: String, v: Int): Unit =
+    require(v >= 1 || v == Advised,
+      s"invalid $name $v: pass a count >= 1, or Engine.Advised " +
+        "(\"advised\" on the wire) to opt into the persisted advisor " +
+        "budget")
 
   /** [[Engine.recommendProbes]] result: the smallest measured probe
     * count meeting the target, its recall, the (probes, recall) points

@@ -33,23 +33,29 @@ object Search {
 
   /** Splits a query batch into deterministic hash chunks so no single
     * broadcast exceeds `capBytes` (estimated: vector payload + per-row
-    * overhead, times `replication` for joins that explode each query to
-    * its probed cells). One chunk returns the batch unchanged; the
-    * sizing agg is one tiny job over the query side. */
+    * overhead + `perReplicaExtraBytes` for columns the caller derives
+    * per replicated row — e.g. [[graft.index.Index.pqKnnJoin]]'s m·k·8-
+    * byte ADC lookup table per (query, probed cell) — times
+    * `replication` for joins that explode each query to its probed
+    * cells). One chunk returns the batch unchanged; the sizing agg is
+    * one tiny job over the query side. */
   private[graft] def chunkByBroadcastSize(
       queries: DataFrame,
       queryIdCol: String,
       queryVecCol: String,
       replication: Int,
-      capBytes: Long): Seq[DataFrame] = {
+      capBytes: Long,
+      perReplicaExtraBytes: Long = 0L): Seq[DataFrame] = {
     require(capBytes > 0, "broadcastCapBytes must be > 0")
+    require(perReplicaExtraBytes >= 0, "perReplicaExtraBytes must be >= 0")
     val r = queries
       .agg(count(lit(1)), max(size(col(queryVecCol).cast("array<double>"))))
       .head
     val nq = r.getLong(0)
     if (nq == 0L) return Seq(queries)
     val dim = if (r.isNullAt(1)) 0 else r.getInt(1)
-    val rowBytes = (dim.toLong * 8 + 64) * math.max(1, replication)
+    val rowBytes =
+      (dim.toLong * 8 + 64 + perReplicaExtraBytes) * math.max(1, replication)
     val est = nq * rowBytes
     val chunks = math.min(nq, math.max(1L, (est + capBytes - 1) / capBytes)).toInt
     if (chunks == 1) Seq(queries)

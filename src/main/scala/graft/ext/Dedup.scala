@@ -873,6 +873,15 @@ object Dedup {
     * the join's output size; refusal names the worst keys by their PAIR
     * volume — the TF-IDF-guard discipline. Takes pre-aggregated count
     * frames (aliases ns / np) so a precomputed side costs nothing. */
+  /** How loose a persisted volume bound may be before the broadcast-left
+    * join's exact Observation guard must be preceded by the cheap
+    * counts-frame pre-guard: a bound within this multiple of
+    * `maxCandidates` caps the materialization a worst-case refusal can
+    * have already paid, so the single-scan plan stays safe; anything
+    * looser (or no bound at all) refuses map-side BEFORE the pair
+    * shuffle runs. */
+  private[graft] val EdObservedGuardSlack = 4.0
+
   private def edGuard(segCounts: DataFrame, probeCounts: DataFrame,
       op: String, maxCandidates: Long): Unit = {
     val keyed = segCounts.join(probeCounts, Seq("l", "i", "g"))
@@ -995,6 +1004,26 @@ object Dedup {
       // aggregation collapses duplicates map-side, the shuffle carries
       // distinct pairs only) and the guard still refuses before any
       // verify work runs.
+      //
+      // The Observation alone, though, refuses only AFTER a
+      // pathological volume has been shuffled and materialized — so
+      // unless the persisted frequency bound proves the raw volume
+      // sits within [[EdObservedGuardSlack]]× the cap, the cheap
+      // counts-frame pre-guard (map-side Σ ns·np over the key COUNTS,
+      // zero pair materialization) runs first and refuses before any
+      // pair work starts. The pre-guard's second (counts-artifact)
+      // scan is the price of cluster protection in the unproven case;
+      // the proven-near-cap case keeps the single-scan plan.
+      val provenNearCap = provenVolumeBound.exists(
+        _ <= maxCandidates.toDouble * EdObservedGuardSlack)
+      if (!provenNearCap) {
+        edGuard(editDistanceKeyCounts(lSegs, "ns"),
+          rProbeCounts.getOrElse(editDistanceKeyCounts(rProbes, "np")),
+          "editDistanceJoin", maxCandidates)
+        edGuard(rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
+          editDistanceKeyCounts(lProbes, "np"),
+          "editDistanceJoin", maxCandidates)
+      }
       val obs = new org.apache.spark.sql.Observation()
       val ckpt = rawPairs.observe(obs, count(lit(1)).as("raw"))
         .distinct().localCheckpoint(true)

@@ -1792,16 +1792,44 @@ object Index {
       .orderBy(col("__SQD__").asc, col(idCol).asc)
     val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
       .filter(col("__crank__") <= candidates)
-      .select(col(queryIdCol), col(queryVecCol), col(idCol))
-    // rerank: raw vectors only for each query's surviving candidates
-    val reranked = survivors
-      .join(sqDf.select(col(idCol), col(column)), Seq(idCol))
-      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
-      .drop(queryVecCol)
+      .select(col(queryIdCol), col(idCol))
+    rerankSurvivors(survivors, sqDf, queries, queryIdCol, queryVecCol,
+      column, idCol, k, m, tieBreak)
+  }
+
+  /** Shared rerank tail of the sq/bq/pq/rerank batch kNN joins — the
+    * [[ivfKnnJoin]] scale discipline applied to a candidate set: the
+    * survivors (≤ queries·candidates scalar id pairs) broadcast back
+    * against the pruned corpus so the corpus side NEVER shuffles by id,
+    * the already-broadcast-sized query batch rejoins map-side for the
+    * exact rescore, the per-query top-k window exchanges SCALARS only
+    * (queryId, id, distance, tie-breaks — no vectors), and the k
+    * winners fetch their vector rows by a second broadcast join
+    * (distances travel with them; no re-scoring). */
+  private def rerankSurvivors(
+      survivors: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      column: String,
+      idCol: String,
+      k: Int,
+      metric: String,
+      tieBreak: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rerankCols = (Seq(queryIdCol, idCol) ++ tieBreak).distinct
+    val scored = broadcast(survivors)
+      .join(corpus.select(col(idCol), col(column)), Seq(idCol))
+      .join(broadcast(queries), Seq(queryIdCol))
+      .withColumn(Search.DistCol,
+        vector_distance(col(column), col(queryVecCol), metric))
+      .select((rerankCols :+ Search.DistCol).map(col): _*)
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
-    reranked.withColumn("__rank__", row_number().over(w))
+    val topk = scored.withColumn("__rank__", row_number().over(w))
       .filter(col("__rank__") <= k).drop("__rank__")
+    broadcast(topk).join(corpus.select(col(idCol), col(column)), Seq(idCol))
   }
 
   /** Batch k-NN join over the BQ index: [[sqKnnJoin]]'s shape at the
@@ -1898,17 +1926,9 @@ object Index {
     val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
       .filter(col("__crank__") <= candidates)
       .select(col(queryIdCol), col(idCol))
-    // rerank: query vectors rejoin via the (small) broadcast query side,
-    // raw corpus vectors only for each query's surviving candidates
-    val reranked = survivors
-      .join(broadcast(queries), Seq(queryIdCol))
-      .join(bqDf.select(col(idCol), col(column)), Seq(idCol))
-      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
-      .drop(queryVecCol)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
-    reranked.withColumn("__rank__", row_number().over(w))
-      .filter(col("__rank__") <= k).drop("__rank__")
+    // scale discipline of the rerank tail: see [[rerankSurvivors]]
+    rerankSurvivors(survivors, bqDf, queries, queryIdCol, queryVecCol,
+      column, idCol, k, m, tieBreak)
   }
 
   /** Batch k-NN join over the IVF+PQ index: [[sqKnnJoin]]'s shape at the
@@ -1923,10 +1943,11 @@ object Index {
     * survivors and scored exactly under the codebooks' metric. With
     * probes = numCells and candidates ≥ corpus size this equals the
     * exact k-NN join (the oracle contract). Query batches estimated
-    * past `broadcastCapBytes` are hash-chunked (see [[ivfKnnJoin]];
-    * the LUT adds m·k doubles per (query, probe) to the broadcast —
-    * included in no estimate, but bounded by probes·m·k ≤ the ADC
-    * table cap). */
+    * past `broadcastCapBytes` are hash-chunked (see [[ivfKnnJoin]]);
+    * the LUT adds m·k doubles per (query, probed cell) to the
+    * broadcast — at m=64,k=256 that is ~130 KB per replica, dwarfing
+    * the vector itself — so the chunk estimate charges m·k·8 bytes per
+    * replicated row on top of the vector payload. */
   def pqKnnJoin(
       store: Store,
       codingName: String,
@@ -1944,7 +1965,13 @@ object Index {
       broadcastCapBytes: Long = Search.QueryBroadcastCap): DataFrame = {
     require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
     val qs = queries.select(col(queryIdCol), col(queryVecCol))
-    Search.chunkByBroadcastSize(qs, queryIdCol, queryVecCol, probes, broadcastCapBytes)
+    // the broadcast q-side carries an m·k-double ADC LUT per (query,
+    // probed cell) — charge it per replica or a batch sized just under
+    // the cap on vectors alone ships a multi-GB broadcast
+    val cb = loadPqCodebooks(store, codingName, source, column)
+    val lutBytes = cb.m.toLong * cb.k * 8
+    Search.chunkByBroadcastSize(qs, queryIdCol, queryVecCol, probes,
+        broadcastCapBytes, perReplicaExtraBytes = lutBytes)
       .map(ch => pqKnnJoinChunk(store, codingName, source, column, ch,
         queryIdCol, queryVecCol, k, probes, candidates, idCol, metric, tieBreak))
       .reduce(_.unionByName(_))
@@ -2003,17 +2030,9 @@ object Index {
     val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
       .filter(col("__crank__") <= candidates)
       .select(col(queryIdCol), col(idCol))
-    // rerank: query vectors rejoin via the (small) broadcast query side,
-    // raw corpus vectors only for each query's surviving candidates
-    val reranked = survivors
-      .join(broadcast(queries), Seq(queryIdCol))
-      .join(pqDf.select(col(idCol), col(column)), Seq(idCol))
-      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
-      .drop(queryVecCol)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
-    reranked.withColumn("__rank__", row_number().over(w))
-      .filter(col("__rank__") <= k).drop("__rank__")
+    // scale discipline of the rerank tail: see [[rerankSurvivors]]
+    rerankSurvivors(survivors, pqDf, queries, queryIdCol, queryVecCol,
+      column, idCol, k, m, tieBreak)
   }
 
   /** Batch retrieve-rerank k-NN join: [[searchRerank]]'s two-stage shape
@@ -2087,14 +2106,8 @@ object Index {
     val survivors = coarse.withColumn("__crank__", row_number().over(wCoarse))
       .filter(col("__crank__") <= candidates)
       .select(col(queryIdCol), col(idCol))
-    val reranked = survivors
-      .join(broadcast(queries), Seq(queryIdCol))
-      .join(corpus.select(col(idCol), col(column)), Seq(idCol))
-      .withColumn(Search.DistCol, vector_distance(col(column), col(queryVecCol), m))
-      .drop(queryVecCol)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col(Search.DistCol).asc +: tieBreak.map(col(_).asc): _*)
-    reranked.withColumn("__rank__", row_number().over(w))
-      .filter(col("__rank__") <= k).drop("__rank__")
+    // scale discipline of the rerank tail: see [[rerankSurvivors]]
+    rerankSurvivors(survivors, corpus, queries, queryIdCol, queryVecCol,
+      column, idCol, k, m, tieBreak)
   }
 }

@@ -432,7 +432,8 @@ class GraftServer(engine: Engine, host: String = "127.0.0.1", port: Int = 0) {
     val metric = opt(body, "metric").map(_.asText())
     val coding = opt(body, "coding").map(_.asText())
     val k = intOr(body, "k", 10)
-    // "probes":"advised" (or the -1 sentinel) opts into the PERSISTED
+    // "probes":"advised" (the string — an integer -1 is an invalid
+    // count, refused by Engine.validCount) opts into the PERSISTED
     // advisor budget — resolved here (not inside the engine call) so the
     // response can carry the serving-visibility marker: a caller must
     // always be able to tell exact from advised

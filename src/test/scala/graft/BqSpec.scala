@@ -171,6 +171,10 @@ class BqSpec extends SparkSuite {
           !b.contains(graft.index.Index.BqCol),
         s"vector or code column rides a shuffle:\n$b")
     }
+    // rerank reads the corpus via broadcast survivor ids — the corpus
+    // never shuffles by id (only the per-query windows exchange)
+    assertNoCorpusIdShuffle(
+      joined.queryExecution.executedPlan.toString)
     engine.remove()
   }
 

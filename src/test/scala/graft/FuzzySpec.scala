@@ -130,11 +130,38 @@ class FuzzySpec extends SparkSuite {
       }
     }
 
-    // single-read: the no-bound broadcast path folds its raw-volume
-    // guard into the distinct pass (Observation + localCheckpoint), so
-    // the RETURNED plan must not re-scan the segment/probe frames —
-    // they were consumed exactly once, into the checkpointed candidate
-    // set (the base frame is still scanned for the verify texts)
+    // guard layering (round 20): with NO proven volume bound the
+    // broadcast path refuses MAP-SIDE from the key-counts frames —
+    // before any pair is shuffled or materialized (the counts-frame
+    // message carries '≈'); with a bound within EdObservedGuardSlack
+    // of the cap it defers to the exact Observation inside the
+    // distinct pass (message carries 'volume =') — bounded
+    // materialization bought the single-scan plan
+    val (rb4, rSegs4, rProbes4) = frames()
+    val pre = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.editDistanceJoinAgainstFrames(
+        left, "qid", "qt", rb4, rSegs4, rProbes4, maxDist = 2,
+        maxCandidates = 1L, broadcastLeft = true).count()
+    }
+    assert(pre.getMessage.contains("≈"),
+      s"expected the counts-frame pre-guard refusal: ${pre.getMessage}")
+    val (rb5, rSegs5, rProbes5) = frames()
+    val obs = intercept[IllegalArgumentException] {
+      graft.ext.Dedup.editDistanceJoinAgainstFrames(
+        left, "qid", "qt", rb5, rSegs5, rProbes5, maxDist = 2,
+        maxCandidates = 1L, broadcastLeft = true,
+        provenVolumeBound = Some(3.0)).count()
+    }
+    assert(obs.getMessage.contains("volume ="),
+      s"expected the Observation (exact) refusal: ${obs.getMessage}")
+
+    // single-read: with a bound proving the volume the broadcast path
+    // folds its raw-volume guard into the distinct pass (Observation +
+    // localCheckpoint); the no-bound path pays ONE extra counts-frame
+    // guard pass up front (refusal-before-work), but the RETURNED plan
+    // must still not re-scan the segment/probe frames — they were
+    // consumed once, into the checkpointed candidate set (the base
+    // frame is still scanned for the verify texts)
     val (rb3, rSegs3, rProbes3) = frames()
     val singleRead = graft.ext.Dedup.editDistanceJoinAgainstFrames(
       left, "qid", "qt", rb3, rSegs3, rProbes3, maxDist = 2,

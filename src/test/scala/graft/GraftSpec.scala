@@ -23,6 +23,18 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
   override def afterAll(): Unit = { /* shared across suites; do not stop */ }
   def sf(dir: String, table: String) =
     spark.read.parquet(s"/root/testdata/$dir/$table.parquet")
+
+  /** Asserts the batch-kNN-join scale contract: the corpus side never
+    * shuffles by its id column — the rerank reads it through a
+    * broadcast of the survivor ids, so the only hash exchanges in the
+    * plan partition by the QUERY id (the per-query windows). */
+  def assertNoCorpusIdShuffle(planStr: String, idCol: String = "id"): Unit = {
+    val idShuffles = planStr.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains(s"($idCol#")).toSeq
+    assert(idShuffles.isEmpty,
+      s"corpus shuffles by $idCol:\n${idShuffles.mkString("\n")}\nin:\n$planStr")
+  }
 }
 
 class MetricsSpec extends AnyFunSuite {
@@ -320,11 +332,18 @@ class EngineSpec extends SparkSuite {
         metric = None)
     }
     // never-advised coding → loud refusal with the remedy named, from
-    // the search call itself
+    // the search call itself. The default-TTL engine above has the
+    // advice memoized (parsed-advice memo: a drop — like a corpus
+    // rewrite — is picked up within the TTL, not instantly; that is
+    // the documented trade for IO-free steady-state serving), so the
+    // refusal is pinned through a FRESH engine with an empty memo.
     engine.store.dropProbeAdvice("c1")
+    assert(engine.resolveAdvisedProbes("c1", "emb", "embedding", k = 10,
+        metric = None) == p.advice.probes,
+      "within the TTL the memo serves the parsed advice with no sidecar read")
     val e = intercept[NoSuchElementException] {
-      engine.search("emb", "embedding", t, coding = Some("c1"),
-        probes = Some(Engine.Advised), k = 5)
+      new Engine(spark, root).search("emb", "embedding", t,
+        coding = Some("c1"), probes = Some(Engine.Advised), k = 5)
     }
     assert(e.getMessage.contains("adviseProbes"))
     // stale: re-advise, then change the corpus listing. A zero-TTL
@@ -352,6 +371,36 @@ class EngineSpec extends SparkSuite {
     assert(eager.resolveAdvisedProbes("c1", "emb", "embedding", k = 10,
       metric = None) >= 1)
     engine.store.dropProbeAdvice("c1")
+  }
+
+  test("serving knobs validate counts: >= 1 or the Advised sentinel only") {
+    val t = targetVec()
+    // -1 ("disabled/unbounded" in enough other libraries) must NEVER
+    // mean advised serving — it refuses as an invalid count, as do 0
+    // and any other non-positive value; the sentinel is Engine.Advised
+    // alone (and the "advised" string on the wire)
+    for (bad <- Seq(0, -1, -7)) {
+      val e1 = intercept[IllegalArgumentException] {
+        engine.search("emb", "embedding", t, coding = Some("c1"),
+          probes = Some(bad), k = 5)
+      }
+      assert(e1.getMessage.contains("invalid probes"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        engine.searchSq("emb", "embedding", t, "c1", probes = 16,
+          candidates = bad, idCol = "vec_id", k = 5)
+      }
+      assert(e2.getMessage.contains("invalid candidates"), e2.getMessage)
+      val e3 = intercept[IllegalArgumentException] {
+        engine.searchRerank("emb", "embedding", t, "c1", candidates = bad,
+          idCol = "vec_id", k = 5, probes = Some(4))
+      }
+      assert(e3.getMessage.contains("invalid candidates"), e3.getMessage)
+    }
+    // brute path (no coding): a stray negative probe count refuses too
+    assert(intercept[IllegalArgumentException] {
+      engine.search("emb", "embedding", t, metric = Some("l2"),
+        probes = Some(-1), k = 5)
+    }.getMessage.contains("invalid probes"))
   }
 
   test("admin: list and drop") {

@@ -930,6 +930,10 @@ class SqKnnJoinSpec extends SparkSuite {
     val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
     assert(scans.exists(l => l.contains(Index.SqCol) && !l.contains("vec:")),
       s"no codes-only scan in:\n$planStr")
+    // the rerank reads the corpus through a BROADCAST of the survivor
+    // ids — the corpus itself must never shuffle by id (only the
+    // per-query windows exchange, on q_id)
+    assertNoCorpusIdShuffle(planStr)
     engine.remove()
   }
 }
@@ -1010,6 +1014,8 @@ class PqRerankKnnJoinSpec extends SparkSuite {
     val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
     assert(scans.exists(l => l.contains(Index.PqCol) && !l.contains("vec:")),
       s"no codes-only scan in:\n$planStr")
+    // rerank reads the corpus via broadcast survivor ids — no id shuffle
+    assertNoCorpusIdShuffle(planStr)
     engine.remove()
   }
 
@@ -1051,6 +1057,49 @@ class PqRerankKnnJoinSpec extends SparkSuite {
     val scans = planStr.split("\n").filter(_.contains("ReadSchema"))
     assert(scans.exists(l => l.contains("__CODED_ID__") && !l.contains("vec:")),
       s"no vector-free coarse scan in:\n$planStr")
+    // rerank reads the corpus via broadcast survivor ids — no id shuffle
+    assertNoCorpusIdShuffle(planStr)
+    engine.remove()
+  }
+
+  test("pqKnnJoin broadcast estimate charges the ADC LUT per replica: " +
+      "chunking kicks in on LUT mass alone, results identical") {
+    import spark.implicits._
+    val df = clustered(53).toDF("id", "vec")
+    val root = Files.createTempDirectory("graft-pqcap").toString
+    val engine = new Engine(spark, root)
+    engine.makeTable("kv", df)
+    engine.makeCoder("kc", "kv", "vec",
+      CoderConfig(metric = "l2", codebookSize = 2, numCodebooks = 2,
+        batchSize = 64, numEpochs = 2))
+    Index.build(engine.store, "kc", "kv", "vec")
+    engine.makePqIndex("kc", "kv", "vec",
+      graft.coder.PQ.PQConfig(numSubspaces = 4, codebookSize = 16,
+        metric = "l2"), residual = true)
+    val queries = df.filter(col("id") < 6)
+      .select(col("id").as("q_id"), col("vec").cast("array<double>").as("q_vec"))
+    // dim=8, m=4, k=16: the vector estimate is 8·8+64 = 128 B/replica;
+    // the ADC LUT adds 4·16·8 = 512 B/replica. At probes=4 over 6
+    // queries the vectors-only estimate (~3 KB) fits a 4 KB cap but the
+    // LUT-charged estimate (~15 KB) must chunk — the r19 gap where a
+    // batch sized just under the cap on vectors shipped a broadcast
+    // ~5× the estimate.
+    val cap = 4096L
+    val noLut = graft.api.Search.chunkByBroadcastSize(
+      queries, "q_id", "q_vec", 4, cap)
+    val withLut = graft.api.Search.chunkByBroadcastSize(
+      queries, "q_id", "q_vec", 4, cap, perReplicaExtraBytes = 512L)
+    assert(noLut.size == 1,
+      s"vectors alone must fit the cap; got ${noLut.size} chunks")
+    assert(withLut.size > 1, "LUT mass alone must force chunking")
+    def run(capBytes: Long) = Index.pqKnnJoin(engine.store, "kc", "kv",
+        "vec", queries, "q_id", "q_vec", k = 3, probes = 4,
+        candidates = 1 << 20, idCol = "id", tieBreak = Seq("id"),
+        broadcastCapBytes = capBytes)
+      .select(col("q_id"), col("id"), col(graft.api.Search.DistCol))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(run(cap) == run(graft.api.Search.QueryBroadcastCap),
+      "chunked pq join must be bit-identical to the unchunked one")
     engine.remove()
   }
 }
