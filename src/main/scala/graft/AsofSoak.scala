@@ -83,7 +83,7 @@ object AsofSoak {
       f"""{"n_right":$nRight,"n_left":$nLeft,"hot_key_share":0.9,"plain_sec":$sPlain%.1f,"bucketed_sec":$sBucketed%.1f,"rows_with_match":$plainCnt,"bucketed_matches_plain":$matches,"plain_sec_10m":$sPlain10%.1f,"bucketed_sec_10m":$sBucketed10%.1f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("asof_soak_1m.json"),
-      MachineCanary.withCanary(spark, json))
+      MachineCanary.withCanary(spark, json, "asof_soak_1m.json"))
     println(json)
     spark.stop()
   }

@@ -95,7 +95,7 @@ object CurveBench {
     sys.env.get("GRAFT_CURVE_SOAK_OUT").foreach { path =>
       val json = MachineCanary.withCanary(spark,
         (out.map { case (k, v) => f""""$k":$v%.4f""" } :+
-          f""""wall_sec":$wallSec%.1f""").mkString("{", ",", "}"))
+          f""""wall_sec":$wallSec%.1f""").mkString("{", ",", "}"), path)
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (json + "\n").getBytes("UTF-8"))
       println(json)
@@ -160,6 +160,16 @@ object CurveBench {
           "advisor_bq_cell_recall_at_cand" -> a.recall,
           "advisor_bq_cell_reached" -> (if (a.reachedTarget) 1.0 else 0.0))
       }
+    // the rerank tier's cell-rank coarse cannot discriminate inside one
+    // cell, so `advisor_rerank_reached = 0` at the advised probe count
+    // is a diagnosis of the TIER — the deployable advice is the joint
+    // (probes, candidates) frontier ([[Engine.adviseRerankFrontier]]),
+    // started at the IVF-advised probe budget (a distance-ranked coarse
+    // already needed that many cells; the rank-only coarse never needs
+    // fewer)
+    val fr = ctx.engine.adviseRerankFrontier("c", "vectors", "vector",
+      "vec_id", k = 10, targetRecall = 0.95, sampleQueries = 32,
+      maxCandidates = 4096, startProbes = advice.probes)
     Seq(
       "advisor_cells" -> advice.numCells.toDouble,
       "advisor_probes_r95" -> advice.probes.toDouble,
@@ -169,7 +179,13 @@ object CurveBench {
         s"advisor_${tier}_cand_r95" -> a.candidates.toDouble,
         s"advisor_${tier}_recall_at_cand" -> a.recall,
         s"advisor_${tier}_reached" -> (if (a.reachedTarget) 1.0 else 0.0))
-      } ++ bqCell
+      } ++ Seq(
+        "advisor_rerank_frontier_probes" -> fr.probes.toDouble,
+        "advisor_rerank_frontier_cand" -> fr.candidates.toDouble,
+        "advisor_rerank_frontier_recall" -> fr.recall,
+        "advisor_rerank_frontier_reached" ->
+          (if (fr.reachedTarget) 1.0 else 0.0)
+      ) ++ bqCell
   }
 
   /** Phase 1: scratch engine + corpus + coder + IVF + SQ8, and the

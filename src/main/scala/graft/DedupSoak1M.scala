@@ -188,7 +188,8 @@ object DedupSoak1M {
         f""""span_decon_emptied":$deconEmptied,""" +
         f""""span_decon_touched":$deconTouched}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("dedup_soak_1m.json"),
-      (MachineCanary.withCanary(spark, json) + "\n").getBytes("UTF-8"))
+      (MachineCanary.withCanary(spark, json, "dedup_soak_1m.json") +
+        "\n").getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

@@ -90,7 +90,7 @@ object EditDistSoak {
       f"""{"n_strings":$n,"str_len":40,"max_dist":2,"pairs_sec":$sec%.1f,"n_pairs":$nPairs,"planted_expected":$expected,"planted_found":$planted,"planted_recall":${planted.toDouble / expected}%.4f,"index_build_sec":$buildSec%.1f,"sync_100k_sec":$syncSec%.1f,"sync_rows":$synced,"lookup_sec":$lookupSec%.2f,"lookup_rows":$lookupRows,"join_1k_sec":$joinSec%.1f,"join_rows":$joinRows}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("editdist_soak_1m.json"),
-      MachineCanary.withCanary(spark, json))
+      MachineCanary.withCanary(spark, json, "editdist_soak_1m.json"))
     println(json)
     spark.stop()
   }

@@ -94,7 +94,7 @@ object FuzzySoak10M {
       f"""{"n_strings":$n,"str_len":40,"max_dist":2,"buckets":512,"index_build_sec":$buildSec%.1f,"sync_rows":$synced,"sync_sec":$syncSec%.1f,"lookup_sec":$lookupSec%.2f,"lookup_warm_sec":$lookupWarmSec%.2f,"lookup_rows":$lookupRows,"join_1k_sec":$joinSec%.1f,"join_1k_warm_sec":$joinWarmSec%.1f,"join_rows":$joinRows,"join_expected":1000,"join_found":$found,"join_recall":${found / 1000.0}%.4f}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("fuzzy_soak_10m.json"),
-      MachineCanary.withCanary(spark, json))
+      MachineCanary.withCanary(spark, json, "fuzzy_soak_10m.json"))
     println(json)
     spark.stop()
   }

@@ -67,7 +67,7 @@ object GraphSoak {
       f"""{"n_edges":1000000,"n_nodes":200000,"iterations":5,"pagerank_sec":$s1%.1f,"hub_is_top":${if (hub1) 1 else 0},"top_rank":$rank1,"persistent_rdds_after_release":$p1,"pagerank_10m_edges_sec":$s10%.1f,"hub_is_top_10m":${if (hub10) 1 else 0},"persistent_rdds_after_release_10m":$p10,"triangles_10m_edges_sec":$ts10%.1f,"triangles_10m":$tri10,"persistent_rdds_after_triangles":$tp10}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("graph_soak_1m.json"),
-      MachineCanary.withCanary(spark, json))
+      MachineCanary.withCanary(spark, json, "graph_soak_1m.json"))
     println(json)
     spark.stop()
   }

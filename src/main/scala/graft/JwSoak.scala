@@ -188,7 +188,7 @@ object JwSoak {
         f"""{"n":$n,"min_sim":$MinSim,"alphabet":4210,"name_len":"8-10","estimate_sec":$estSec%.1f,"candidate_volume":$volume%.4g,"n2_over_2":$quadratic%.4g,"volume_ratio":${volume / quadratic}%.6f,"blocked_sec":$blockedSec%.1f,"n_pairs":$nPairs,"planted_expected":$expected,"planted_found":$planted,"planted_recall":$plantedRecall%.4f,"parity_rows":$parityN,"parity_equal":$parityEqual,"exact_slice_sec":$exactSec%.1f,"blocked_slice_sec":$blockedSliceSec%.1f,"latin_n":$nLatin,"latin_estimate_sec":$latinEstSec%.1f,"latin_candidate_volume":$latinVolume%.4g,"latin_volume_ratio":$latinRatio%.4f}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("jw_soak_1m.json"),
-        MachineCanary.withCanary(spark, json))
+        MachineCanary.withCanary(spark, json, "jw_soak_1m.json"))
       println(json)
     } finally spark.stop()
   }

@@ -43,9 +43,72 @@ object MachineCanary {
   }
 
   /** A soak's one-line `{…}` JSON with the canary fields spliced in —
-    * every soak artifact records the machine it ran on. */
-  def withCanary(spark: SparkSession, json: String): String = {
+    * every soak artifact records the machine it ran on. When
+    * `artifactPath` names the PRIOR run's artifact (the file this run
+    * is about to overwrite), a `normalized_delta` object is spliced in
+    * too: per-key canary-normalized current/prior ratios for every
+    * shared `*_sec` field plus their median — the soak twin of the
+    * bench gate's canary-normalized comparison, so cross-round soak
+    * deltas are machine-corrected in the artifact itself instead of
+    * eyeballed from raw wall times. */
+  def withCanary(spark: SparkSession, json: String,
+      artifactPath: String = ""): String = {
     require(json.endsWith("}"), s"not a one-line JSON object: $json")
-    json.stripSuffix("}") + "," + jsonFragment(spark) + "}"
+    val sec = measureSec(spark)
+    val factor = sec / ReferenceSec
+    val prior =
+      if (artifactPath.isEmpty) ""
+      else try java.nio.file.Files.readString(
+        java.nio.file.Paths.get(artifactPath))
+      catch { case _: Exception => "" }
+    val delta = if (prior.isEmpty) "" else deltaFragment(json, prior, factor)
+    json.stripSuffix("}") +
+      f""","canary_sec":$sec%.3f,"canary_factor":$factor%.3f""" +
+      delta + "}"
+  }
+
+  /** Pure core of the soak delta (testable without a session): for
+    * every positive numeric `*_sec` field shared by the current and
+    * prior artifacts (the probe's own `canary_sec` excluded),
+    * `(cur / curFactor) / (prior / priorFactor)` — machine drift
+    * normalizes away, real regressions survive. Returns the leading
+    * `,"normalized_delta":…` fragment, or "" when the prior artifact
+    * is unparsable, carries no positive `canary_factor`, or shares no
+    * timing keys. */
+  private[graft] def deltaFragment(curJson: String, priorJson: String,
+      curFactor: Double): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed =
+      try Some((mapper.readTree(curJson), mapper.readTree(priorJson)))
+      catch { case _: Exception => None }
+    parsed.fold("") { case (cur, prior) =>
+      val pf = Option(prior.get("canary_factor"))
+        .filter(_.isNumber).map(_.asDouble()).filter(_ > 0.0)
+      pf.fold("") { priorFactor =>
+        val it = cur.fieldNames()
+        val deltas = scala.collection.mutable.ListBuffer.empty[(String, Double)]
+        while (it.hasNext) {
+          val k = it.next()
+          if (k.endsWith("_sec") && k != "canary_sec") {
+            val c = cur.get(k); val p = prior.get(k)
+            if (c != null && p != null && c.isNumber && p.isNumber &&
+                c.asDouble() > 0.0 && p.asDouble() > 0.0)
+              deltas += k ->
+                ((c.asDouble() / curFactor) / (p.asDouble() / priorFactor))
+          }
+        }
+        if (deltas.isEmpty) ""
+        else {
+          val sorted = deltas.map(_._2).sorted
+          val n = sorted.size
+          val median =
+            if (n % 2 == 1) sorted(n / 2)
+            else (sorted(n / 2 - 1) + sorted(n / 2)) / 2.0
+          deltas.map { case (k, v) => f""""$k":$v%.3f""" }
+            .mkString(""","normalized_delta":{""", ",",
+              f"""},"normalized_median_delta":$median%.3f""")
+        }
+      }
+    }
   }
 }

@@ -36,7 +36,8 @@ object Soak10M {
     val json = out.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("soak_10m.json"),
-      (MachineCanary.withCanary(spark, json) + "\n").getBytes("UTF-8"))
+      (MachineCanary.withCanary(spark, json, "soak_10m.json") +
+        "\n").getBytes("UTF-8"))
     println("[soak10m] " + json)
     spark.stop()
   }

@@ -954,6 +954,21 @@ object SparkEntry {
           idCol = "vec_id", metric = Some("l2"), tieBreak = Seq("vec_id"))
         .select(col("q_id"), col("vec_id"), col(Search.DistCol).as("dist"))
     }),
+    // —— clustered corpus organization: per-cluster occupancy + distance
+    // spread. cluster_profile organizes around explicit EXEMPLAR rows
+    // (vec_id < 8) — the assignment is a pure argmin, so DuckDB checks
+    // it exactly. cell_profile is the same view over the trained IVF
+    // coder's cells (anchor distances); like coder_train it has no SQL
+    // oracle (k-means is not SQL-expressible) and is ScalaTest-pinned ——
+    "cluster_profile" -> ((s: SparkSession, dir: String) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.ext.Corpus.clusterProfile(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", "l2")
+    }),
+    "cell_profile" -> ((s: SparkSession, dir: String) => {
+      val e = withIndex(s, dir)
+      e.cellProfile("c_l2", "emb", "embedding")
+    }),
     // —— PQ: product-quantization ADC search (codes-only coarse scan +
     // exact rerank); at full candidate budget the result is exact, so the
     // PQ path gets the brute-force oracle (same contract as search_probed) ——
@@ -4334,6 +4349,21 @@ object SparkEntry {
         "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) ASC, e.vec_id ASC) AS rn " +
         "FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q" +
         ") WHERE rn <= 3"),
+    // seeded cluster profile: nearest-exemplar argmin (ties on the
+    // smaller seed id) then per-cluster stats — the same l2 the knn
+    // oracles use; mean rounded to 6 decimals (float-sum association),
+    // max exact (order-free)
+    "cluster_profile" ->
+      ("WITH s AS (SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS sv " +
+        "FROM embeddings WHERE vec_id < 8), " +
+        "a AS (SELECT e.vec_id AS vid, s.seed_id, " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), s.sv) AS dist, " +
+        "row_number() OVER (PARTITION BY e.vec_id ORDER BY " +
+        "list_distance(CAST(e.embedding AS DOUBLE[]), s.sv) ASC, s.seed_id ASC) AS rn " +
+        "FROM embeddings e CROSS JOIN s) " +
+        "SELECT seed_id AS cluster_id, COUNT(*) AS n, " +
+        "round(avg(dist), 6) AS mean_dist, max(dist) AS max_dist " +
+        "FROM a WHERE rn = 1 GROUP BY 1"),
     "rollup_agg" ->
       ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt " +
         "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),

@@ -883,6 +883,37 @@ class Engine(val spark: SparkSession, val root: String,
       withRows: Boolean = false, tier: String = "ivf"): Seq[(Long, Int, Long, Long)] =
     Index.cellStats(store, codingName, source, column, withRows, tier)
 
+  /** Content profile of an IVF index's cells — the clustered-corpus
+    * organization view ([[indexStats]] covers storage skew; this covers
+    * CONTENT skew): per cell (cell, n, mean_dist rounded to 6 decimals,
+    * max_dist), distances measured from each row to its cell's ANCHOR
+    * ([[graft.coder.Coding.anchor]] — the mean of the cell's digit
+    * centroids) under the coding's metric. Crowded far-spread cells are
+    * candidates for re-training or curriculum splits; tight cells are
+    * coherent domains. The anchors ride a broadcast numCells-row frame
+    * joined on the cell id — distance lands in the join projection
+    * (codegen'd vector_distance), the index scan stays
+    * partition-aligned, and the only shuffle is the per-cell scalar
+    * aggregate. The same profile over explicit exemplar rows (no coder
+    * needed) is [[graft.ext.Corpus.clusterProfile]]. */
+  def cellProfile(codingName: String, source: String,
+      column: String): DataFrame = {
+    val codingObj = store.loadCoding(codingName)
+    val cells = codingObj.numCells.toInt
+    import spark.implicits._
+    val anchors = (0 until cells)
+      .map(c => (c.toLong, codingObj.anchor(c.toLong).toSeq))
+      .toDF("cell", "__anchor__")
+    Index.load(store, codingName, source, column)
+      .join(broadcast(anchors), col(Search.CodeCol) === col("cell"))
+      .withColumn("__d__", graft.functions.functions.vector_distance(
+        col(column), col("__anchor__"), codingObj.config.metric))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__d__")), 6).as("mean_dist"),
+        max(col("__d__")).as("max_dist"))
+  }
+
   /** Cell-scoped index repair after in-place source modifications or
     * deletions ([[Index.repair]] for the ivf copy, [[Index.repairTier]]
     * for the quantized tiers) — re-encodes only rows from changed files
@@ -1844,6 +1875,91 @@ class Engine(val spark: SparkSession, val root: String,
     p
   }
 
+  /** Joint (probes, candidates) frontier advisor for the RERANK tier,
+    * persisted.
+    *
+    * [[recommendCandidates]] answers "how many candidates at a GIVEN
+    * probe budget" — the right question for the sq/bq/pq tiers, whose
+    * coarse scores discriminate between rows inside one cell. The
+    * rerank tier's coarse score is the CELL RANK itself: every row of
+    * a probed cell ties (broken only by id), so at small probe budgets
+    * no candidate budget can separate true neighbors from their
+    * cell-mates and the candidate ladder plateaus below target — the
+    * measured `reached = 0 at probes = 1` on the 1M curve is a
+    * diagnosis of the tier, not of the budget. The advice a rerank
+    * deployment needs is therefore the FRONTIER: the smallest
+    * (probes, candidates) pair that reaches `targetRecall`, probes
+    * doubling from `startProbes` up to the coding's cell count.
+    *
+    * Cost shape: ground truth is the ONE shared brute pass; each
+    * failing probe budget costs a single pruned pass (its recall
+    * CEILING at `maxCandidates` — if the ceiling misses, no ladder
+    * point can pass, so none is run), and only the first reachable
+    * budget pays the candidate ladder (≤ log₂(maxCandidates/k)
+    * passes). The winning pair is persisted under its measured
+    * (coding, "rerank", probes) key, so
+    * `searchRerank(probes = Some(frontier.probes),
+    * candidates = Engine.Advised)` serves it; an unreachable frontier
+    * persists nothing (there is no budget anyone should serve) and
+    * returns `reachedTarget = false` with the measured ceilings. */
+  def adviseRerankFrontier(coding: String, source: String, column: String,
+      idCol: String, k: Int = 10, targetRecall: Double = 0.95,
+      sampleQueries: Int = 32, maxCandidates: Int = 4096,
+      startProbes: Int = 1): Engine.RerankFrontier = {
+    requireAdvisorParams(k, targetRecall, sampleQueries)
+    require(maxCandidates >= k,
+      s"maxCandidates ($maxCandidates) must be >= k ($k)")
+    require(startProbes >= 1, s"startProbes must be >= 1, got $startProbes")
+    val stamp = store.sourceStamp(source)
+    val ctx = adviceContext(coding, source, column, idCol, k, sampleQueries)
+    try {
+      val start = math.min(startProbes, ctx.cells)
+      val probeLadder = (Iterator.iterate(start)(_ * 2)
+        .takeWhile(_ < ctx.cells) ++ Iterator.single(ctx.cells)).toSeq
+      val candLadder = (Iterator.iterate(k)(_ * 2)
+        .takeWhile(_ < maxCandidates) ++ Iterator.single(maxCandidates))
+        .toSeq
+      val frontier = scala.collection.mutable.ListBuffer.empty[(Int, Int, Double)]
+      var winner: Option[(Int, Int, Double)] = None
+      var winnerCurve: List[(Int, Double)] = Nil
+      val pit = probeLadder.iterator
+      while (winner.isEmpty && pit.hasNext) {
+        val p = pit.next()
+        def recallAt(cand: Int): Double =
+          ctx.meanRecall(collectTopK(idCol, knnJoinRerank(coding, source,
+            column, ctx.queries, "__q_id__", "__q_vec__", k, p, cand,
+            idCol, tieBreak = Seq(idCol))))
+        val ceiling = recallAt(maxCandidates)
+        if (ceiling >= targetRecall) {
+          val (curve, advice) =
+            climbLadder(candLadder.init, recallAt, targetRecall)
+          val fullCurve = curve :+ ((maxCandidates, ceiling))
+          frontier ++= fullCurve.map { case (c, r) => (p, c, r) }
+          winner = Some(advice.getOrElse((maxCandidates, ceiling)))
+            .map { case (c, r) => (p, c, r) }
+          winnerCurve = fullCurve
+        } else frontier += ((p, maxCandidates, ceiling))
+      }
+      winner match {
+        case Some((p, c, r)) =>
+          val a = Engine.CandidateAdvice("rerank", p, c, r, winnerCurve,
+            reachedTarget = true)
+          val pa = Engine.PersistedCandidateAdvice(a, source, column,
+            idCol, k, targetRecall, sampleQueries, maxCandidates, stamp)
+          store.saveCandidateAdvice(coding, "rerank", p,
+            pa.toJson.getBytes("UTF-8"))
+          advisedCandMemo.put(s"$coding#rerank#$p",
+            (pa, None, System.nanoTime()))
+          Engine.RerankFrontier(p, c, r, frontier.toList,
+            reachedTarget = true)
+        case None =>
+          val (p, c, r) = frontier.last
+          Engine.RerankFrontier(p, c, r, frontier.toList,
+            reachedTarget = false)
+      }
+    } finally graft.ext.Graph.release(ctx.queries)
+  }
+
   /** [[recommendCandidates]] + PERSIST, keyed per (coding, tier,
     * probes) — the same sidecar discipline as [[adviseProbes]] (the
     * candidate advisor shares its expensive brute ground-truth pass, so
@@ -2025,6 +2141,13 @@ object Engine {
     * the probe budget's recall ceiling sits below the target. */
   case class CandidateAdvice(tier: String, probes: Int, candidates: Int,
       recall: Double, curve: Seq[(Int, Double)], reachedTarget: Boolean)
+
+  /** [[Engine.adviseRerankFrontier]] result: the smallest measured
+    * (probes, candidates) pair meeting the target on the rerank tier,
+    * every (probes, candidates, recall) point measured on the way, and
+    * whether any pair reached the target at all. */
+  case class RerankFrontier(probes: Int, candidates: Int, recall: Double,
+      frontier: Seq[(Int, Int, Double)], reachedTarget: Boolean)
 
   /** [[Engine.adviseProbes]]' sidecar payload: the measured advice plus
     * everything needed to (a) reproduce the measurement and (b) detect

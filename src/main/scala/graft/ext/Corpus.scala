@@ -242,6 +242,41 @@ object Corpus {
       < threshold)
   }
 
+  // ——— clustered corpus organization ———
+
+  /** Seeded cluster profile — organize a corpus around k exemplar rows
+    * (curriculum / domain discovery over an embedding column): every
+    * row is assigned to its NEAREST seed under `metric` (distance ties
+    * break on the smaller seed id), and each cluster reports occupancy
+    * and distance spread: (cluster_id = seed id, n, mean_dist rounded
+    * to 6 decimals, max_dist).
+    *
+    * Spark shape: the seed frame is broadcast (k exemplars — always
+    * small), the per-row argmin is the lexicographic
+    * `min(struct(dist, seed))` — a map-side partial aggregate, so the
+    * k× row amplification of the broadcast cross join collapses before
+    * any exchange — and the only shuffles carry scalars: one row per
+    * corpus id, then one per cluster. No corpus re-shuffle, no driver
+    * loop, no UDF. For the IVF-cell variant over a BUILT index (cells
+    * from the trained coder instead of explicit seeds) see
+    * `Engine.cellProfile`. */
+  def clusterProfile(corpus: DataFrame, idCol: String, vecCol: String,
+      seeds: DataFrame, seedIdCol: String, seedVecCol: String,
+      metric: String): DataFrame = {
+    val s = seeds.select(col(seedIdCol).as("__seed_id__"),
+      col(seedVecCol).cast("array<double>").as("__seed_vec__"))
+    corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(s))
+      .withColumn("__d__", graft.functions.functions.vector_distance(
+        col(vecCol), col("__seed_vec__"), metric))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d__"), col("__seed_id__"))).as("__a__"))
+      .groupBy(col("__a__.__seed_id__").as("cluster_id"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__a__.__d__")), 6).as("mean_dist"),
+        max(col("__a__.__d__")).as("max_dist"))
+  }
+
   /** Deterministic importance sampling: keep each row with probability
     * `weightCol` (clamped to [0,1]) — the quality-weighted resampling step
     * of a data-mix pipeline (e.g. weight = quality score). Same stable

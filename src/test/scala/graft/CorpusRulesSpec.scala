@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ext.TextAnalysis
+import graft.ext.{Corpus, TextAnalysis}
 
 /** Gopher rule flags + within-doc segment dedup — hand-computed fixtures. */
 class CorpusRulesSpec extends SparkSuite {
@@ -176,5 +176,28 @@ class CorpusRulesSpec extends SparkSuite {
       TextAnalysis.dedupSegments(Seq((1L, "x")).toDF("doc_id", "text"),
         "doc_id", "text", sep = "")
     }
+  }
+
+  test("clusterProfile: nearest-seed assignment, distance ties break on " +
+      "the smaller seed id, stats hand-checked") {
+    val corpus = Seq(
+      (1L, Seq(0.0, 0.0)), // 0.0 to seed 10, 5.0 to seed 20 -> 10
+      (2L, Seq(0.5, 0.0)), // 0.5 vs sqrt(3.5^2+3^2)          -> 10
+      (3L, Seq(4.0, 3.0)), // 5.0 vs 0.0                      -> 20
+      (4L, Seq(2.0, 1.5))  // 2.5 vs 2.5: TIE -> smaller seed -> 10
+    ).toDF("id", "v")
+    val seeds = Seq((10L, Seq(0.0, 0.0)), (20L, Seq(4.0, 3.0)))
+      .toDF("sid", "sv")
+    val got = Corpus.clusterProfile(corpus, "id", "v", seeds, "sid", "sv",
+        "l2")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    // cluster 10: dists {0, 0.5, 2.5} -> mean 1.0, max 2.5
+    assert(got == Set((10L, 3L, 1.0, 2.5), (20L, 1L, 0.0, 0.0)), got)
+    // one scalar exchange per aggregate, never a corpus-vector shuffle:
+    // the seed cross join is broadcast
+    val plan = Corpus.clusterProfile(corpus, "id", "v", seeds, "sid", "sv",
+      "l2").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
   }
 }

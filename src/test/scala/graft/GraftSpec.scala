@@ -373,6 +373,75 @@ class EngineSpec extends SparkSuite {
     engine.store.dropProbeAdvice("c1")
   }
 
+  test("rerank frontier advisor: finds a reaching (probes, candidates) " +
+      "pair, persists it, serves it; unreachable persists nothing") {
+    // fold the 9999 append from the probe-advice test into the index so
+    // the brute ground truth and the served corpus agree
+    engine.syncIndex("c1", "emb", "embedding")
+    val fr = engine.adviseRerankFrontier("c1", "emb", "embedding",
+      "vec_id", k = 5, targetRecall = 1.0, sampleQueries = 8,
+      maxCandidates = 512)
+    // maxCandidates >= corpus and the probe ladder ends at all cells,
+    // where the rerank tier is exact — the frontier always terminates
+    // with a reaching pair under these bounds
+    assert(fr.reachedTarget, s"frontier never reached: ${fr.frontier}")
+    assert(fr.recall == 1.0 && fr.candidates <= 512)
+    assert(fr.frontier.nonEmpty &&
+      fr.frontier.last == ((fr.probes, fr.candidates, fr.recall)))
+    // the winning pair is persisted under its probe key and served by
+    // the Advised sentinel at exactly that probe count
+    val t = targetVec()
+    val served = engine.searchRerank("emb", "embedding", t, "c1",
+        candidates = Engine.Advised, idCol = "vec_id", k = 5,
+        probes = Some(fr.probes), tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val explicit = engine.searchRerank("emb", "embedding", t, "c1",
+        candidates = fr.candidates, idCol = "vec_id", k = 5,
+        probes = Some(fr.probes), tieBreak = Seq("vec_id"))
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(served == explicit,
+      "advised rerank serving must equal the explicit frontier pair")
+    engine.store.dropCandidateAdvice("c1", "rerank", fr.probes)
+    // an unreachable frontier (candidate cap at k: the cell-rank coarse
+    // truncated to 5 rows by id cannot recover the true top-5) reports
+    // the measured ceilings and persists NO advice key
+    val miss = engine.adviseRerankFrontier("c1", "emb", "embedding",
+      "vec_id", k = 5, targetRecall = 1.0, sampleQueries = 8,
+      maxCandidates = 5)
+    assert(!miss.reachedTarget,
+      s"k-capped frontier unexpectedly reached: ${miss.frontier}")
+    assert(miss.frontier.forall(_._3 < 1.0))
+    assert(engine.loadCandidateAdvice("c1", "rerank", miss.probes).isEmpty,
+      "unreachable frontier must not persist a serving budget")
+  }
+
+  test("cellProfile: per-cell anchor distances match a full recomputation") {
+    val coding = engine.store.loadCoding("c1")
+    val prof = engine.cellProfile("c1", "emb", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // occupancy covers the whole indexed corpus, cells are in range
+    val total = engine.readTable(Seq("emb")).count()
+    assert(prof.values.map(_._1).sum == total, s"${prof.values.map(_._1).sum} != $total")
+    assert(prof.keys.forall(c => c >= 0 && c < coding.numCells))
+    // full recomputation from the indexed rows + Coding.anchor
+    val rows = engine.readTable(Seq("emb"), coding = Some(("c1", "embedding")))
+      .select(col(Search.CodeCol), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val byCell = rows.groupBy(_._1)
+    assert(byCell.keySet == prof.keySet)
+    for ((cell, vs) <- byCell) {
+      val anchor = coding.anchor(cell)
+      val ds = vs.map { case (_, v) => Metrics.dist(v, anchor, "l2") }
+      val (n, mean, mx) = prof(cell)
+      assert(n == vs.length)
+      assert(math.abs(mean - BigDecimal(ds.sum / ds.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+        s"cell $cell mean $mean vs ${ds.sum / ds.length}")
+      assert(mx == ds.max, s"cell $cell max $mx vs ${ds.max}")
+    }
+  }
+
   test("serving knobs validate counts: >= 1 or the Advised sentinel only") {
     val t = targetVec()
     // -1 ("disabled/unbounded" in enough other libraries) must NEVER

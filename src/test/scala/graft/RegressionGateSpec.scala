@@ -103,4 +103,32 @@ class RegressionGateSpec extends AnyFunSuite {
     assert(RegressionGate.CanaryAlertHi > 1.41)
     assert(RegressionGate.CanaryAlertHi < RegressionGate.CanaryHi)
   }
+
+  test("soak normalized delta: machine drift divides out, regressions survive") {
+    // prior recorded on a 1.0× box; current run on a 2.0× (slower) box.
+    // build_sec doubled purely with the box → delta 1.0; lookup_sec
+    // went 6× wall → genuinely 3× after normalization. Non-_sec and
+    // canary_sec fields never enter the delta.
+    val prior = """{"build_sec":100.0,"lookup_sec":2.0,"join_recall":1.0,""" +
+      """"canary_sec":0.82,"canary_factor":1.0}"""
+    val cur = """{"build_sec":200.0,"lookup_sec":12.0,"join_recall":0.5,""" +
+      """"canary_sec":1.64}"""
+    val frag = MachineCanary.deltaFragment(cur, prior, 2.0)
+    assert(frag.contains(""""build_sec":1.000"""), frag)
+    assert(frag.contains(""""lookup_sec":3.000"""), frag)
+    assert(frag.contains(""""normalized_median_delta":2.000"""), frag)
+    assert(!frag.contains("join_recall") && !frag.contains("canary_sec"), frag)
+    // unparsable prior / missing canary_factor → no fragment (first
+    // run of a fresh artifact stays a plain canary line)
+    assert(MachineCanary.deltaFragment(cur, "not json", 2.0) == "")
+    assert(MachineCanary.deltaFragment(cur,
+      """{"build_sec":100.0}""", 2.0) == "")
+    // the fragment splices into a VALID one-line JSON object
+    val line = cur.stripSuffix("}") +
+      ""","canary_factor":2.0""" + frag + "}"
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(line)
+    assert(node.get("normalized_delta").get("lookup_sec").asDouble() == 3.0)
+    assert(node.get("normalized_median_delta").asDouble() == 2.0)
+  }
 }
