@@ -166,10 +166,15 @@ object CurveBench {
     // (probes, candidates) frontier ([[Engine.adviseRerankFrontier]]),
     // started at the IVF-advised probe budget (a distance-ranked coarse
     // already needed that many cells; the rank-only coarse never needs
-    // fewer)
+    // fewer). The ladder must clear ONE CELL'S ROW MASS (corpus/cells ≈
+    // 15.6k at the 1M soak): within a probed cell the coarse selects by
+    // id, so the recall ceiling at budget c is ≈ c/cellsize until the
+    // top cell is fully covered — 4096 measured 0.216 ≈ 4096/15625,
+    // exactly that arithmetic. 32768 ≥ 2 cells' mass lets the frontier
+    // honestly REACH instead of reporting the sub-cell ceiling.
     val fr = ctx.engine.adviseRerankFrontier("c", "vectors", "vector",
       "vec_id", k = 10, targetRecall = 0.95, sampleQueries = 32,
-      maxCandidates = 4096, startProbes = advice.probes)
+      maxCandidates = 32768, startProbes = advice.probes)
     Seq(
       "advisor_cells" -> advice.numCells.toDouble,
       "advisor_probes_r95" -> advice.probes.toDouble,
