@@ -67,9 +67,20 @@ object MachineCanary {
       delta + "}"
   }
 
+  /** [[Soak10M]]'s wall-time keys predate the `*_sec` suffix
+    * convention and are pinned by cross-round history in
+    * bench_summary.json, so the delta matcher names them explicitly
+    * instead of renaming the artifact fields. */
+  private[graft] val UnsuffixedTimingKeys: Set[String] = Set(
+    "ingest", "coder_train", "index_build", "sq_index_build",
+    "pq_index_build", "knn_l2_brute", "search_probed_16",
+    "search_ivf_pq", "search_sq", "knn_join_sq_8q",
+    "sync_append_ivf", "sync_append_sq", "sync_append_pq")
+
   /** Pure core of the soak delta (testable without a session): for
     * every positive numeric `*_sec` field shared by the current and
-    * prior artifacts (the probe's own `canary_sec` excluded),
+    * prior artifacts (the probe's own `canary_sec` excluded, the
+    * unsuffixed [[Soak10M]] wall-time keys included),
     * `(cur / curFactor) / (prior / priorFactor)` — machine drift
     * normalizes away, real regressions survive. Returns the leading
     * `,"normalized_delta":…` fragment, or "" when the prior artifact
@@ -89,7 +100,8 @@ object MachineCanary {
         val deltas = scala.collection.mutable.ListBuffer.empty[(String, Double)]
         while (it.hasNext) {
           val k = it.next()
-          if (k.endsWith("_sec") && k != "canary_sec") {
+          if ((k.endsWith("_sec") || UnsuffixedTimingKeys(k)) &&
+              k != "canary_sec") {
             val c = cur.get(k); val p = prior.get(k)
             if (c != null && p != null && c.isNumber && p.isNumber &&
                 c.asDouble() > 0.0 && p.asDouble() > 0.0)

@@ -100,6 +100,12 @@ object Soak10M {
         k = 10, probes = 16, candidates = 100, idCol = "vec_id",
         metric = Some("l2"), tieBreak = Seq("vec_id")).count()
     }
+    // cluster organization over the full 10M build: per-cell occupancy +
+    // distance-to-anchor stats (broadcast anchors, one scalar shuffle) —
+    // the corpus-profiling view a curriculum/domain pass starts from
+    val (cellRows, tCellProfile) = time {
+      engine.cellProfile("c", "vectors", "vector").count()
+    }
     // 1% append, then the incremental delta path on all three tiers
     val extra = RefBench.corpus(spark, n / 100)
       .withColumn("vec_id", col("vec_id") + n)
@@ -122,6 +128,8 @@ object Soak10M {
       "search_sq" -> tSqSearch,
       "sq_recall_at_10" -> brute.count(sqIds.contains) / 10.0,
       "knn_join_sq_8q" -> tJoin, "knn_join_rows" -> joinRows.toDouble,
+      "cell_profile_sec" -> tCellProfile,
+      "cell_profile_cells" -> cellRows.toDouble,
       "sync_append_ivf" -> tSyncIvf, "sync_append_sq" -> tSyncSq,
       "sync_append_pq" -> tSyncPq)
   }

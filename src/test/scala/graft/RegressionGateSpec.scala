@@ -131,4 +131,21 @@ class RegressionGateSpec extends AnyFunSuite {
     assert(node.get("normalized_delta").get("lookup_sec").asDouble() == 3.0)
     assert(node.get("normalized_median_delta").asDouble() == 2.0)
   }
+
+  test("soak normalized delta: Soak10M's unsuffixed wall-time keys enter") {
+    // Soak10M predates the *_sec suffix convention (its key names are
+    // pinned by bench_summary cross-round history); the delta matcher
+    // must pick them up by allowlist or the flagship soak silently
+    // emits no delta at all — the round-20 gap this test pins.
+    val prior = """{"vectors":1.0E7,"index_build":100.0,"search_sq":2.0,""" +
+      """"pq_recall_at_10":1.0,"canary_sec":0.82,"canary_factor":1.0}"""
+    val cur = """{"vectors":1.0E7,"index_build":200.0,"search_sq":12.0,""" +
+      """"pq_recall_at_10":1.0,"canary_sec":1.64}"""
+    val frag = MachineCanary.deltaFragment(cur, prior, 2.0)
+    assert(frag.contains(""""index_build":1.000"""), frag)
+    assert(frag.contains(""""search_sq":3.000"""), frag)
+    // counts and recalls stay out even when numeric and shared
+    assert(!frag.contains("vectors") && !frag.contains("pq_recall"), frag)
+    assert(MachineCanary.UnsuffixedTimingKeys.contains("sync_append_pq"))
+  }
 }
