@@ -22,6 +22,7 @@ object FuzzySoak10M {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    MachineCanary.markStart(spark)
     org.apache.spark.sql.GraftShims.quietCheckpointLogs()
 
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)

@@ -87,6 +87,7 @@ object JwSoak {
       .config("spark.sql.shuffle.partitions", "256")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    MachineCanary.markStart(spark)
     org.apache.spark.sql.GraftShims.quietCheckpointLogs()
     import spark.implicits._
 

@@ -61,11 +61,36 @@ object MachineCanary {
       else try java.nio.file.Files.readString(
         java.nio.file.Paths.get(artifactPath))
       catch { case _: Exception => "" }
+    splice(json, sec, factor, preFactor.getAndSet(-1.0), prior)
+  }
+
+  /** Pure assembly of the canary-annotated artifact line (testable
+    * without a session). One end-of-run probe cannot represent a host
+    * that oscillates WITHIN a long soak (observed 0.8↔2.4 swings
+    * inside 15 minutes on the round-20 builder), so when the soak
+    * marked its start the pre-run factor is spliced too — a pre/post
+    * pair that disagrees says "do not trust this run's
+    * normalized_delta" (the normalization assumes ONE machine speed
+    * across the run). */
+  private[graft] def splice(json: String, sec: Double, factor: Double,
+      pre: Double, prior: String): String = {
     val delta = if (prior.isEmpty) "" else deltaFragment(json, prior, factor)
+    val preFrag =
+      if (pre > 0.0) f""","canary_factor_pre":$pre%.3f""" else ""
     json.stripSuffix("}") +
       f""","canary_sec":$sec%.3f,"canary_factor":$factor%.3f""" +
-      delta + "}"
+      preFrag + delta + "}"
   }
+
+  private val preFactor = new java.util.concurrent.atomic.AtomicReference[Double](-1.0)
+
+  /** Call FIRST thing in a long soak's `main`: probes the machine
+    * before any work so [[withCanary]] can splice the pre-run factor
+    * alongside the end-of-run one. A pre/post pair that disagrees says
+    * "do not trust this run's normalized_delta" — the normalization
+    * assumes ONE machine speed across the run. */
+  def markStart(spark: SparkSession): Unit =
+    preFactor.set(measureSec(spark) / ReferenceSec)
 
   /** [[Soak10M]]'s wall-time keys predate the `*_sec` suffix
     * convention and are pinned by cross-round history in

@@ -32,6 +32,7 @@ object Soak10M {
       .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    MachineCanary.markStart(spark)
     val out = run(spark)
     val json = out.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
