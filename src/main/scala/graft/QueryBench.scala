@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Targeted per-query timer for optimization work: times a NAMED subset
+  * of [[SparkEntry.queries]] under the exact Bench session config and
+  * methodology (best-of-N `df.count()` + checkpoint release, knn_l2
+  * warmup) so numbers are comparable with bench_summary.json without
+  * paying for the full 230-entry sweep per iteration. Not part of the
+  * driver contract — the driver runs [[Bench]].
+  *
+  * Usage: sbt "runMain graft.QueryBench q1_agg graph_triangles"
+  * Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_QB_RUNS. */
+object QueryBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_QB_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.maxResultSize", "2g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.GraftShims.quietCheckpointLogs()
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    SparkEntry.queries("knn_l2")(spark, sfDir).count() // warmup
+    val out = args.toSeq.map { name =>
+      spark.sparkContext.setJobDescription(s"qbench: $name")
+      val fn = SparkEntry.queries(name)
+      val secs = (1 to runs).map { _ =>
+        time {
+          val df = fn(spark, sfDir)
+          df.count()
+          org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
+        }
+      }
+      System.err.println(f"[qbench] $name: ${secs.map(s => f"$s%.3f").mkString(", ")}")
+      name -> secs.min
+    }
+    println(out.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}"))
+    spark.stop()
+  }
+}

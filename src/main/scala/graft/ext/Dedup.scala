@@ -558,6 +558,10 @@ object Dedup {
     // skipped up front (the DuckDB oracle drops them in tokenization; the
     // UDF's all-MaxValue null signature would instead pair every null doc
     // with every other at jaccard 1.0)
+    // NOT spread ([[graft.core.Par.spread]]): measured at sf0.1, the
+    // extra exchange + planning cost MORE than the single-task signature
+    // pass saves (1.10 → 1.55s best-of-4) — the codegen'd FNV kernel is
+    // too cheap per row to amortize a repartition of the corpus text
     val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
       .filter(col("text").isNotNull)
       .withColumn("sig", graft.functions.functions.minhash_sig(
@@ -1177,7 +1181,10 @@ object Dedup {
       }
       out.toSeq
     }
-    base.select(col("id"), col("len"), explode(elems(col("t"))).as("e"))
+    // spread before the per-row sort kernel: a single-row-group scan
+    // otherwise builds every blocking element in one task (guide §2.5)
+    graft.core.Par.spread(base)
+      .select(col("id"), col("len"), explode(elems(col("t"))).as("e"))
   }
 
   /** Candidate-volume guard for a blocking-element equi-join: Σ_e na·nb

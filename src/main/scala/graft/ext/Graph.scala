@@ -113,12 +113,19 @@ object Graph {
     for (_ <- 1 to iterations) {
       // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
       // rounding would diverge from the oracle's integer `//`
+      // shuffle_hash on the rank side: both sides are already placed on
+      // the join key, but the default sort-merge would re-SORT the full
+      // edge set EVERY iteration (the checkpoint preserves partitioning,
+      // not ordering) — hashing the node-count side instead streams the
+      // edges sort-free (guide §3.1; build side = ranks ≪ edges)
       val contribs = e
-        .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
+        .join(ranks.filter(col("out_deg").isNotNull).hint("shuffle_hash"),
+          col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
       prev = ranks
-      ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
+      ranks = cut(ranks.drop("rank")
+        .join(contribs.hint("shuffle_hash"), Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("out_deg"),
           expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank")),
@@ -199,12 +206,16 @@ object Graph {
     release(prev)
 
     for (_ <- 1 to iterations) {
+      // shuffle_hash: stream the edges sort-free, hash the node side
+      // (see [[pageRank]]'s iteration join)
       val contribs = e
-        .join(ranks.filter(col("out_w").isNotNull), col("src") === col("v"))
+        .join(ranks.filter(col("out_w").isNotNull).hint("shuffle_hash"),
+          col("src") === col("v"))
         .select(col("dst").as("v"), expr("(rank * w) div out_w").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
       prev = ranks
-      ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
+      ranks = cut(ranks.drop("rank")
+        .join(contribs.hint("shuffle_hash"), Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("out_w"),
           expr(s"$base + ($dampPerMille * in_mass) div 1000").as("rank")),
@@ -255,12 +266,16 @@ object Graph {
     release(prev)
 
     for (_ <- 1 to iterations) {
+      // shuffle_hash: stream the edges sort-free, hash the node side
+      // (see [[pageRank]]'s iteration join)
       val contribs = e
-        .join(ranks.filter(col("out_deg").isNotNull), col("src") === col("v"))
+        .join(ranks.filter(col("out_deg").isNotNull).hint("shuffle_hash"),
+          col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
       prev = ranks
-      ranks = cut(ranks.drop("rank").join(contribs, Seq("v"), "left")
+      ranks = cut(ranks.drop("rank")
+        .join(contribs.hint("shuffle_hash"), Seq("v"), "left")
         .withColumn("in_mass", coalesce(col("in_mass"), lit(0L)))
         .select(col("v"), col("is_seed"), col("out_deg"),
           (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
@@ -325,13 +340,16 @@ object Graph {
         .repartition(col("u"))
       val minsL = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
-      val large = nbrs.join(minsL, Seq("u")).where(col("v") > col("u"))
+      // shuffle_hash on the per-node min side: the neighbor frame
+      // streams sort-free (guide §3.1; same rationale as [[pageRank]])
+      val large = nbrs.join(minsL.hint("shuffle_hash"), Seq("u"))
+        .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .repartition(col("u")).distinct()
       // small-star: keyed by the larger endpoint (canonical form), point
       // every smaller neighbor AND the node itself at the minimum.
       val minsS = large.groupBy("u").agg(min(col("v")).as("m"))
-      val small = large.join(minsS, Seq("u"))
+      val small = large.join(minsS.hint("shuffle_hash"), Seq("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(minsS.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
@@ -443,7 +461,12 @@ object Graph {
     }
     val x = o.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
     val y = o.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
-    val wedges = x.join(y, Seq("u"))
+    // shuffle_hash: both sides are the checkpointed frame already placed
+    // on u, but sort-merge would SORT each 1x the edge set before the
+    // merge (the checkpoint preserves partitioning, not ordering); a
+    // per-partition hash build over m/parts rows streams the other side
+    // sort-free (guide §3.1)
+    val wedges = x.join(y.hint("shuffle_hash"), Seq("u"))
       .filter(struct(col("d1"), col("v1")) < struct(col("d2"), col("v2")))
       .select("v1", "v2")
     // Closing join: the wedge side is the superlinear one (O(m^1.5)
@@ -461,9 +484,13 @@ object Graph {
     // broadcast path; everything else keeps the shuffled join, which
     // also stays the right plan at the 10M-edge soak scale.
     val closingEdges = o.select(col("u").as("v1"), col("v").as("v2"))
+    // non-broadcast path: shuffle_hash instead of sort-merge — the
+    // O(m^1.5) wedge side must cross the wire either way, but hashing
+    // the m-row edge side (m/parts rows per task) removes the SORT of
+    // the wedge set, the dominant cost of the merge plan (guide §3.1)
     val closed = wedges.join(
       if (edgeCount <= maxBroadcastClosingEdges) broadcast(closingEdges)
-      else closingEdges,
+      else closingEdges.hint("shuffle_hash"),
       Seq("v1", "v2"))
     val n = closed.agg(count(lit(1)).as("t")).head().getLong(0)
     release(o) // consumed; storage back to baseline (round-13 contract)

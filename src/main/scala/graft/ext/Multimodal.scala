@@ -232,7 +232,8 @@ object Multimodal {
   def compressedCodecCheck(df: DataFrame, idCol: String,
       width: Int = 16, height: Int = 16): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+    graft.core.Par.spread(df.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { it =>
       val img = testPattern(width, height)
       val png = encodeImage(img, "png")
       val jpg = encodeImage(img, "jpg")
@@ -318,7 +319,8 @@ object Multimodal {
   def mediaAsWav(df: DataFrame, idCol: String, rateHz: Int = 8000,
       frames: Int = 8000): Dataset[MediaRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].map { id =>
+    graft.core.Par.spread(df.select(col(idCol).cast("long")))
+      .as[Long].map { id =>
       val s = new Array[Short](frames)
       val freq = 100.0 + (id % 40) * 10.0
       var h = id * 0x9E3779B97F4A7C15L

@@ -165,6 +165,9 @@ object NgramLm {
     require(minCount >= 1, s"train: minCount must be >= 1, got $minCount")
     require(alpha > 0 && alpha <= 1, s"train: alpha must be in (0,1], got $alpha")
     require(order == 2 || order == 3, s"train: order must be 2 or 3, got $order")
+    // NOT spread ([[graft.core.Par.spread]]): measured at sf0.1, the
+    // extra exchange per count pass cost more than the single-task
+    // tokenize saves (text_perplexity 1.25 → 1.94s best-of-4)
     val base = df.filter(col(textCol).isNotNull)
       .select(toksCol(textCol).as("__t__"))
       .filter(size(col("__t__")) >= 1)
