@@ -2386,8 +2386,12 @@ object SparkEntry {
       val big = pair.withColumn("tq", sum("sq").over(wp))
         .filter(col("sq") * 2 > col("tq"))
         .select(col("l_suppkey")).distinct()
+      // shuffle_hash: the winner-supplier set's post-agg estimate
+      // defeats auto-broadcast and sort-merge sorts both sides for one
+      // semi lookup (guide §3.1)
       tbl(s, dir, "supplier")
-        .join(big, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(big.hint("shuffle_hash"),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "s_acctbal")
     }),
     // —— TPC-H Q21 shape: the multi-EXISTS/NOT-EXISTS waiting-supplier
@@ -2479,7 +2483,11 @@ object SparkEntry {
           .filter(col("p_type") === "ECONOMY").select("p_partkey")),
           col("l_partkey") === col("p_partkey"))
         .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+        // shuffle_hash: the ASIA-customer id set's post-join estimate
+        // defeats auto-broadcast; hash it rather than sort the whole
+        // lineitem⋈orders stream for one semi lookup (guide §3.1)
+        .join(custRegion.hint("shuffle_hash"),
+          col("o_custkey") === col("c_custkey"), "left_semi")
         .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
         .withColumn("vol_c", (round(col("l_extendedprice") * 100) *
           (lit(100) - round(col("l_discount") * 100))).cast("long"))

@@ -214,7 +214,11 @@ object Corpus {
         col("j").cast("string"))), lit(n)))
       .withColumn("__t2__", when(col("__t__") === col("__ai__"),
         (col("__t__") + 1) % n).otherwise(col("__t__")))
-    expanded.join(indexed.select(col(idCol).as("neg_id"), col("__idx__")),
+    // shuffle_hash: both sides are id-count-sized, and sort-merge would
+    // sort each for one equi-lookup (guide §3.1)
+    expanded.join(
+        indexed.select(col(idCol).as("neg_id"), col("__idx__"))
+          .hint("shuffle_hash"),
         col("__t2__") === col("__idx__"))
       .select("anchor_id", "j", "neg_id")
   }

@@ -257,10 +257,15 @@ object Curate {
 
     // 4–5 assemble: one pass over the base scan against the id-sets,
     // then the per-row quality/language maps
+    // shuffle_hash on the drop-id sides: their post-agg size estimates
+    // defeat auto-broadcast, and the default sort-merge SORTS the whole
+    // corpus side per anti join (guide §3.1) — hashing the slim id sets
+    // streams the corpus through both anti joins sort-free, on the one
+    // exchange-by-id it pays either way
     val survivors = docs
       .join(exactKeep, Seq(idCol), "left_semi")
-      .join(ndDrop, Seq(idCol), "left_anti")
-      .join(contamDrop, Seq(idCol), "left_anti")
+      .join(ndDrop.hint("shuffle_hash"), Seq(idCol), "left_anti")
+      .join(contamDrop.hint("shuffle_hash"), Seq(idCol), "left_anti")
     val cleaned = qualityAndLang(survivors, idCol, textCol, cfg)
     // 6 (optional) — DSIR importance resampling over what survived
     // every filter (resampling a corpus that still holds junk would
@@ -398,10 +403,15 @@ object Curate {
         TextAnalysis.langId(col(textCol)) === "und", "language")
       .when(modelFail, "model_quality")
       .when(dsirDrop, "dsir_resampled")
+    // shuffle_hash on the drop-marker sides (exactKeep broadcasts fine
+    // under its estimate) — same sort-free streaming as
+    // [[curatePostStrip]]'s survivor assembly
     docs
       .join(exactKeep.withColumn("__ex__", lit(true)), Seq(idCol), "left")
-      .join(ndDrop.withColumn("__nd__", lit(true)), Seq(idCol), "left")
-      .join(contamDrop.withColumn("__ct__", lit(true)), Seq(idCol), "left")
+      .join(ndDrop.withColumn("__nd__", lit(true))
+        .hint("shuffle_hash"), Seq(idCol), "left")
+      .join(contamDrop.withColumn("__ct__", lit(true))
+        .hint("shuffle_hash"), Seq(idCol), "left")
       .select(col(idCol), stage.as("drop_stage"))
       .filter(col("drop_stage").isNotNull)
   }

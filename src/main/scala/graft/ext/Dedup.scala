@@ -1561,7 +1561,11 @@ object Dedup {
       .where(col("id_b") < col("id_a") &&
         vector_distance(col("vec_a"), col("vec_b"), "cosine") <= maxDist)
       .select(col("id_a").as("__drop__")).distinct()
-    df.join(dropped, col(idCol) === col("__drop__"), "left_anti")
+    // shuffle_hash: the drop-id set's post-agg estimate defeats
+    // auto-broadcast and sort-merge would sort the whole corpus side
+    // (guide §3.1) — hash the slim id set, stream the corpus sort-free
+    df.join(dropped.hint("shuffle_hash"),
+      col(idCol) === col("__drop__"), "left_anti")
   }
 
   /** Scale path: multi-table random-hyperplane (SRP) LSH. `numTables`

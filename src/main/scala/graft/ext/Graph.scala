@@ -52,6 +52,22 @@ object Graph {
   def release(df: DataFrame): Unit =
     org.apache.spark.sql.GraftShims.releaseCheckpoint(df)
 
+  /** Plan-evidence hook: the iterative operators EXECUTE their joins
+    * during construction (eager checkpoints), so a caller-side
+    * `explain` only ever sees the final LogicalRDD — when
+    * `GRAFT_PLAN_DIR` is set, the interesting INTERNAL plans (the
+    * per-iteration contribution join, the wedge/closing joins) are
+    * written there as formatted-explain files instead. Inert (one env
+    * probe) otherwise. */
+  private def dumpPlan(df: DataFrame, name: String): Unit =
+    sys.env.get("GRAFT_PLAN_DIR").foreach { dir =>
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(s"$name.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+    }
+
   /** Out-degrees over the DISTINCT edge set. */
   def outDegrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).as("v"), col(dstCol).as("w")).distinct()
@@ -110,7 +126,7 @@ object Graph {
     ranks = cut(ranks.withColumn("rank", lit(init)), durableCheckpoint)
     release(prev)
 
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       // `div` (not `/`): Spark's `/` on longs is DOUBLE division, whose
       // rounding would diverge from the oracle's integer `//`
       // shuffle_hash on the rank side: both sides are already placed on
@@ -123,6 +139,7 @@ object Graph {
           col("src") === col("v"))
         .select(col("dst").as("v"), expr("rank div out_deg").as("c"))
         .groupBy("v").agg(sum(col("c")).as("in_mass"))
+      if (it == 1) dumpPlan(contribs, "graph_pagerank_iter")
       prev = ranks
       ranks = cut(ranks.drop("rank")
         .join(contribs.hint("shuffle_hash"), Seq("v"), "left")
@@ -356,6 +373,7 @@ object Graph {
         .select(greatest(col("u"), col("v")).as("u"),
           least(col("u"), col("v")).as("v"))
         .distinct()
+      if (it == 0) dumpPlan(small, "graph_components_round")
       val next = cut(small, durableCheckpoint)
       val nextCount = next.count()
       // set equality = equal counts + empty one-sided anti join; a
@@ -492,6 +510,7 @@ object Graph {
       if (edgeCount <= maxBroadcastClosingEdges) broadcast(closingEdges)
       else closingEdges.hint("shuffle_hash"),
       Seq("v1", "v2"))
+    dumpPlan(closed, "graph_triangles_closing")
     val n = closed.agg(count(lit(1)).as("t")).head().getLong(0)
     release(o) // consumed; storage back to baseline (round-13 contract)
     val spark = edges.sparkSession

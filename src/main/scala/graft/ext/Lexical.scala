@@ -274,15 +274,24 @@ object Lexical {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(maxCandidates >= 1, s"maxCandidates must be >= 1")
-    val vecs = tfidfVectors(df, idCol, textCol)
-    val terms1 = vecs.select(col("id").as("id_a"),
-      explode(transform(col("vec"), s => s("term"))).as("term"))
-    guardCandidates(terms1, "tfidfCosinePairs", maxCandidates)
-    val terms2 = terms1.select(col("id_a").as("id_b"), col("term"))
-    val cand = terms1.join(terms2, "term")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    scorePairs(cand, vecs, threshold)
+    // localCheckpoint: the tokenize → tf/df aggs → per-doc sort+norm
+    // chain is read FOUR times (guard, both self-join sides via terms1,
+    // and both scorePairs sides) — materializing the slim (id, vec)
+    // rows runs it once (the minhash `banded` discipline); per-doc
+    // folds are over sort_array'd entries, so the values are
+    // placement-independent. Blocks released after the (small) result
+    // materializes.
+    val vecs = tfidfVectors(df, idCol, textCol).localCheckpoint()
+    try {
+      val terms1 = vecs.select(col("id").as("id_a"),
+        explode(transform(col("vec"), s => s("term"))).as("term"))
+      guardCandidates(terms1, "tfidfCosinePairs", maxCandidates)
+      val terms2 = terms1.select(col("id_a").as("id_b"), col("term"))
+      val cand = terms1.join(terms2, "term")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      scorePairs(cand, vecs, threshold).localCheckpoint(true)
+    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(vecs)
   }
 
   /** Prefix-filtered TF-IDF cosine all-pairs join (Bayardo et al.,
@@ -317,27 +326,39 @@ object Lexical {
       s"threshold must be in (0, 1], got $threshold")
     require(maxCandidates >= 1, s"maxCandidates must be >= 1")
     val eps = 1e-5
-    val vecs = tfidfVectors(df, idCol, textCol)
-    val entries = vecs.select(col("id"),
-      explode(col("vec")).as("e")).select(col("id"),
-      col("e")("term").as("term"), col("e")("u").as("u"))
-    val dfq = entries.groupBy("term").agg(count(lit(1)).as("df"))
-    // rarity order is (df ASC, term ASC); the tail-norm running sum
-    // walks it REVERSED so one window pass yields Σ_{j≥i} u_j²
-    val tail = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df").desc, col("term").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val prefix = entries.join(dfq, "term")
-      .withColumn("tailsq", sum(col("u") * col("u")).over(tail))
-      .filter(sqrt(col("tailsq")) >= threshold - eps)
-      .select(col("id"), col("term"))
-    guardCandidates(prefix.select(col("term")), "tfidfCosinePairsPrefix",
-      maxCandidates)
-    val p1 = prefix.select(col("id").as("id_a"), col("term"))
-    val p2 = prefix.select(col("id").as("id_b"), col("term"))
-    val cand = p1.join(p2, "term")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    scorePairs(cand, vecs, threshold)
+    // localCheckpoint both reused frames (the minhash `banded`
+    // discipline): `vecs` feeds the entry explode AND both scorePairs
+    // sides, `prefix` feeds the guard AND both candidate self-join
+    // sides — without the cut each branch re-runs the tokenize/agg/
+    // window chain (measured: 32 Exchanges in this one plan). Per-doc
+    // folds are over sort_array'd entries; the window is order-pinned
+    // by (df, term) — placement-independent values.
+    val vecs = tfidfVectors(df, idCol, textCol).localCheckpoint()
+    try {
+      val entries = vecs.select(col("id"),
+        explode(col("vec")).as("e")).select(col("id"),
+        col("e")("term").as("term"), col("e")("u").as("u"))
+      val dfq = entries.groupBy("term").agg(count(lit(1)).as("df"))
+      // rarity order is (df ASC, term ASC); the tail-norm running sum
+      // walks it REVERSED so one window pass yields Σ_{j≥i} u_j²
+      val tail = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("df").desc, col("term").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val prefix = entries.join(dfq, "term")
+        .withColumn("tailsq", sum(col("u") * col("u")).over(tail))
+        .filter(sqrt(col("tailsq")) >= threshold - eps)
+        .select(col("id"), col("term"))
+        .localCheckpoint()
+      try {
+        guardCandidates(prefix.select(col("term")), "tfidfCosinePairsPrefix",
+          maxCandidates)
+        val p1 = prefix.select(col("id").as("id_a"), col("term"))
+        val p2 = prefix.select(col("id").as("id_b"), col("term"))
+        val cand = p1.join(p2, "term")
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        scorePairs(cand, vecs, threshold).localCheckpoint(true)
+      } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(prefix)
+    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(vecs)
   }
 }

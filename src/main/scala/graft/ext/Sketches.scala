@@ -466,7 +466,9 @@ object Sketches {
   def driftFromBins(binsA: DataFrame, binsB: DataFrame): DataFrame = {
     val ha = binsA.select(col("bin"), col("cnt").as("cnt_a"))
     val hb = binsB.select(col("bin"), col("cnt").as("cnt_b"))
-    ha.join(hb, Seq("bin"), "full_outer")
+    // shuffle_hash: bins-sized sides, integer counts — full-outer hash
+    // join beats sorting both histograms (guide §3.1)
+    ha.join(hb.hint("shuffle_hash"), Seq("bin"), "full_outer")
       .select(col("bin"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))

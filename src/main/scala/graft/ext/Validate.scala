@@ -218,7 +218,9 @@ object Validate {
       struct(cols.map(col): _*).as("__va__"), lit(1).as("__pa__"))
     val lb = b.select(col(keyCol),
       struct(cols.map(col): _*).as("__vb__"), lit(1).as("__pb__"))
-    la.join(lb, Seq(keyCol), "full_outer")
+    // shuffle_hash: full-outer hash join (SPARK-32399) streams one side
+    // and hashes the other instead of sorting BOTH snapshots (guide §3.1)
+    la.join(lb.hint("shuffle_hash"), Seq(keyCol), "full_outer")
       .withColumn("status",
         when(col("__pa__").isNull, lit("added"))
           .when(col("__pb__").isNull, lit("removed"))
