@@ -99,7 +99,12 @@ object Dedup {
     * document. `start` is the 0-based token offset. */
   private def tokenSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
-    df.filter(col(textCol).isNotNull)
+    // spread before the window-hash kernel (split + k-slice + hash UDF
+    // per token position — hundreds of windows per doc): a single-row-
+    // group scan otherwise runs it all in one task (guide §2.5); no-op
+    // on already-parallel inputs
+    graft.core.Par.spread(df.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
       .filter(size(col("__t__")) >= k)
       .select(col("id"), posexplode(transform(
@@ -140,6 +145,10 @@ object Dedup {
     require(k >= 1, s"duplicatedSpans: k must be >= 1, got $k")
     require(minOccurrences >= 2,
       s"duplicatedSpans: minOccurrences must be >= 2, got $minOccurrences")
+    // the span-hash pass is read twice (occurrence agg + annotate join);
+    // NOT checkpointed — the result is occurrence-sized (unbounded at
+    // corpus scale, so pinning it in executor storage is a hazard), and
+    // with the kernel spread the recompute is cheap parallel work
     duplicatedSpansFrom(tokenSpans(df, idCol, textCol, k), idCol, minOccurrences)
   }
 
@@ -151,7 +160,9 @@ object Dedup {
     val dup = spans.groupBy("h", "h2")
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurrences)
-    spans.join(dup, Seq("h", "h2"))
+    // shuffle_hash: the duplicated-hash set's post-agg estimate defeats
+    // auto-broadcast; hash it rather than sort every span occurrence
+    spans.join(dup.hint("shuffle_hash"), Seq("h", "h2"))
       .select(col("id").as(idCol), col("start"),
         col("h").as("gram_hash"), col("h2").as("gram_hash2"), col("n_occ"))
   }
@@ -181,12 +192,15 @@ object Dedup {
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"stripDuplicatedSpans: k must be >= 1, got $k")
-    val base = df.filter(col(textCol).isNotNull)
+    val base = graft.core.Par.spread(df.filter(col(textCol).isNotNull)
+        .select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
+    // dup side hashed, not sorted, as in duplicatedSpans; spans NOT
+    // checkpointed (see there — corpus-scale storage pinning)
     val spans = tokenSpans(df, idCol, textCol, k)
     val dup = spans.groupBy("h", "h2").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select("h", "h2")
-    val occ = spans.join(dup, Seq("h", "h2"))
+    val occ = spans.join(dup.hint("shuffle_hash"), Seq("h", "h2"))
     // non-canonical occurrences: everything but the (id, start)-smallest.
     // The canonical pick is a min(struct) AGGREGATION, not a row_number
     // window: all occurrences of one span hash to one partition either

@@ -165,12 +165,19 @@ object NgramLm {
     require(minCount >= 1, s"train: minCount must be >= 1, got $minCount")
     require(alpha > 0 && alpha <= 1, s"train: alpha must be in (0,1], got $alpha")
     require(order == 2 || order == 3, s"train: order must be 2 or 3, got $order")
-    // NOT spread ([[graft.core.Par.spread]]): measured at sf0.1, the
-    // extra exchange per count pass cost more than the single-task
-    // tokenize saves (text_perplexity 1.25 → 1.94s best-of-4)
-    val base = df.filter(col(textCol).isNotNull)
+    // spread + localCheckpoint: the vocab, unigram and bigram/trigram
+    // passes each re-ran the single-task tokenize (a plain spread made
+    // it WORSE — three actions re-paid the exchange); materializing the
+    // token arrays once, parallel, feeds every pass from executor
+    // storage. Counts are integers, so placement cannot move the
+    // result; blocks are released before returning (the model is
+    // driver-side, nothing lazy escapes).
+    val base = graft.core.Par.spread(
+        df.filter(col(textCol).isNotNull).select(col(textCol)))
       .select(toksCol(textCol).as("__t__"))
       .filter(size(col("__t__")) >= 1)
+      .localCheckpoint()
+    try {
     val vocab = base.select(explode(col("__t__")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("tok").asc)
@@ -230,6 +237,7 @@ object NgramLm {
         .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
         .toMap
     NgramLmModel(vocab, unigrams, bigrams, total, alpha, order, trigrams)
+    } finally org.apache.spark.sql.GraftShims.releaseCheckpoint(base)
   }
 
   /** Per-document perplexity under a trained model: one narrow map, model
