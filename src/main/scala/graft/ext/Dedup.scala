@@ -192,11 +192,9 @@ object Dedup {
   def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"stripDuplicatedSpans: k must be >= 1, got $k")
-    val base = graft.core.Par.spread(df.filter(col(textCol).isNotNull)
-        .select(col(idCol), col(textCol)))
+    val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
-    // dup side hashed, not sorted, as in duplicatedSpans; spans NOT
-    // checkpointed (see there — corpus-scale storage pinning)
+    // dup side hashed, not sorted, as in duplicatedSpans
     val spans = tokenSpans(df, idCol, textCol, k)
     val dup = spans.groupBy("h", "h2").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select("h", "h2")
@@ -1171,7 +1169,7 @@ object Dedup {
     * (the soundness chain pairs EQUAL MATCH UNITS one-to-one); the
     * guarantee is stated for BMP text, as everywhere in this family. */
   private def jwPrefixFrame(base: DataFrame, coef: Double,
-      ranks: Map[String, Int]): DataFrame = {
+      ranks: Map[String, Int], spread: Boolean = true): DataFrame = {
     val elems = udf { (t: String) =>
       val n = t.length
       val chars = new Array[String](n)
@@ -1195,9 +1193,12 @@ object Dedup {
       }
       out.toSeq
     }
-    // spread before the per-row sort kernel: a single-row-group scan
-    // otherwise builds every blocking element in one task (guide §2.5)
-    graft.core.Par.spread(base)
+    // spread before the per-row sort kernel on CORPUS-shaped sides
+    // only (guide §2.5): measured at sf0.1, the blocked self variant
+    // gains ~1.5s from parallelizing the element pass while the gate's
+    // ~100-row arrivals side LOSES ~0.8s to the extra exchange +
+    // replans (the round-20 bench gate flagged exactly that)
+    (if (spread) graft.core.Par.spread(base) else base)
       .select(col("id"), col("len"), explode(elems(col("t"))).as("e"))
   }
 
@@ -1372,7 +1373,9 @@ object Dedup {
     val rank = jwRankMap(Seq(lb, rb))
     // each side's element construction runs ONCE (read by the guard and
     // the join) — see the pairs variant for the checkpoint rationale
-    val lBlock = jwPrefixFrame(lb, coef, rank)
+    // the left (arrivals/query) side is serving-batch-shaped: spreading
+    // it costs more than its element pass (see jwPrefixFrame)
+    val lBlock = jwPrefixFrame(lb, coef, rank, spread = false)
       .select(col("id").as("id_a"), col("len").as("__la"), col("e"))
       .localCheckpoint()
     val rBlock = jwPrefixFrame(rb, coef, rank)
@@ -1645,7 +1648,12 @@ object Dedup {
     //      genuinely-near pairs still collide in the other L−1 tables
     //      (recall trade documented; raise numPlanes to shrink buckets
     //      instead of raising the cap).
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    // spread before the signature kernel (L·b·d multiply-adds per row —
+    // ~10k at the defaults): a single-row-group scan otherwise computes
+    // every signature in one task, twice (both `banded` reads) —
+    // guide §2.5; no-op on already-parallel inputs
+    val vecs = graft.core.Par.spread(df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec")))
     val banded = vecs
       .withColumn("bucket", explode(bucketsUdf(col("vec"))))
       .select("bucket", "id")
