@@ -1526,7 +1526,11 @@ object SparkEntry {
       // encode hoisted per partition (same bytes every row — see
       // Multimodal.compressedCodecCheck); the per-row decode + aHash
       // stays the codec exercise
-      tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      // spread: the per-row ImageIO decode otherwise runs in the
+      // single-row-group scan's one task (guide §2.5)
+      graft.core.Par.spread(
+          tbl(s, dir, "documents").select(col("doc_id").cast("long")))
+        .as[Long]
         .mapPartitions { it =>
           val png = Multimodal.encodeImage(Multimodal.testPattern(16, 16), "png")
           it.map(id => (id, Multimodal.aHash64(Multimodal.decodeImage(png))))
@@ -1536,7 +1540,11 @@ object SparkEntry {
     // codec — all-integer square-wave signal, hand-derivable constant ——
     "media_afp" -> ((s: SparkSession, dir: String) => {
       import s.implicits._
-      tbl(s, dir, "documents").select(col("doc_id").cast("long")).as[Long]
+      // spread: per-row wav encode+decode is the heavy-kernel shape
+      // (guide §2.5)
+      graft.core.Par.spread(
+          tbl(s, dir, "documents").select(col("doc_id").cast("long")))
+        .as[Long]
         .map { id =>
           val wav = graft.ext.Wav.encode(Multimodal.testSignal())
           (id, Multimodal.audioFingerprint64(graft.ext.Wav.decode(wav)))
