@@ -12,14 +12,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.maxResultSize", "2g")
-      .getOrCreate()
+    // identical session to r20 and earlier rounds — the config literals
+    // moved to [[BenchSession]] (shared with QueryBench/PlanDump so the
+    // three tools can never drift apart), values unchanged
+    val spark = BenchSession.create()
     spark.sparkContext.setLogLevel("WARN")
     // The checkpoint-release WARN spam (one line per released RDD,
     // hundreds per bench) buried the driver's 2KB log tail in r13 —
@@ -138,6 +134,29 @@ object Bench {
       "search_bq_16_200" -> (() => graft.index.Index.searchBq(scratch.store,
         "c_l2", "emb", "embedding", target, k = 10, probes = 16,
         candidates = 200, idCol = "vec_id").count()),
+      // Bench-visible GRAPH datapoint (r21): the shuffle-hash iteration
+      // plan's win only shows at edge counts the sf0.1 fixture can't
+      // reach (flat at fixture scale, 1.4x at the 10M soak) — a
+      // deterministic 2M-edge hub-skewed multigraph (the GraphSoak
+      // shape) timed INSIDE the bench keeps the graph family's scale
+      // behavior on the driver's own record instead of only in
+      // builder-run soak artifacts. Synthesized from range() per run —
+      // nothing cached or persisted across runs. Rides the pruned
+      // block, so `total` keeps its round-over-round meaning; headline-
+      // listed so the compact line carries it.
+      "graph_pagerank_2m" -> (() => {
+        import org.apache.spark.sql.functions._
+        val nNodes = 200000L
+        val edges = spark.range(2000000L).select(
+          (col("id") % nNodes).as("src"),
+          when(col("id") % 200 === 0, lit(0L)).otherwise(
+            pmod(hash(col("id") * 2654435761L), lit(nNodes))).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val ranks = graft.ext.Graph.pageRank(edges, "src", "dst",
+          iterations = 5)
+        ranks.count()
+        graft.ext.Graph.release(ranks)
+      }),
     ).map { case (n, f) => n -> (() => { f(); () }) }
     val pruned = prunedFns.flatMap { case (name, fn) =>
       bestOf2(name)(fn()) match {
@@ -262,7 +281,8 @@ object Bench {
     // 40-query line in r12 still defeated the driver's tail parser.
     val headline = Seq("coder_train", "index_build", "search_probed",
       "knn_l2", "dedup_minhash", "curate_corpus", "graph_pagerank",
-      "q1_agg", "search_rerank_200", "search_sq_16_200")
+      "q1_agg", "search_rerank_200", "search_sq_16_200",
+      "graph_pagerank_2m") // r21 addition — compact line stays < 512 B
     val qsHead = headline.flatMap(k => allMap.get(k).map(v =>
         "\"" + k + "\":" + f"$v%.3f"))
       .mkString("{", ",", "}")

@@ -12,14 +12,7 @@ object PlanDump {
     require(args.length >= 3, "usage: PlanDump <tag> <suffix> <query>...")
     val tag = args(0); val suffix = args(1); val names = args.drop(2)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.maxResultSize", "2g")
-      .getOrCreate()
+    val spark = BenchSession.create() // ONE config for Bench/QB/PlanDump
     spark.sparkContext.setLogLevel("ERROR")
     val dir = java.nio.file.Paths.get(s"plans/$tag")
     java.nio.file.Files.createDirectories(dir)

@@ -14,15 +14,8 @@ import org.apache.spark.sql.SparkSession
 object QueryBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_QB_RUNS", "2").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.driver.maxResultSize", "2g")
-      .getOrCreate()
+    val spark = BenchSession.create() // ONE config for Bench/QB/PlanDump
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.GraftShims.quietCheckpointLogs()
     def time(f: => Unit): Double = {

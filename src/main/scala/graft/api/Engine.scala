@@ -313,10 +313,16 @@ class Engine(val spark: SparkSession, val root: String,
       // the base is partitioned by an ID bucket (layout 2): the lookup's
       // final verify then prunes the base scan to its candidates' buckets
       // instead of scanning every stored document's text — without this,
-      // single-lookup latency scales with corpus size
-      writeFuzzyBase(base, bf, buckets, mode = "overwrite")
-      val (maxNs, maxNp) =
-        writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite")
+      // single-lookup latency scales with corpus size.
+      // Base and frame writes overlap (guide §2.6): a from-scratch build
+      // is all-or-nothing (the freshness stamp lands only after every
+      // write), so the overwrite writes carry no ordering constraint.
+      var frames = (0L, 0L)
+      runConcurrently(Seq(
+        () => writeFuzzyBase(base, bf, buckets, mode = "overwrite"),
+        () => { frames =
+          writeFuzzyFrames(base, bf, maxDist, buckets, mode = "overwrite") }))
+      val (maxNs, maxNp) = frames
       // parameters ride the artifact: pruning with a different modulus or
       // distance than the build's would silently miss candidates; the id
       // column rides too so sync can anti-join the source against the
@@ -330,6 +336,34 @@ class Engine(val spark: SparkSession, val root: String,
       Index.recordSourceStamp(store, base, listing)
     }
   }
+
+  /** Run independent Spark actions concurrently and wait for all
+    * (guide §2.6 "overlap independent jobs"): the fuzzy lifecycle's
+    * artifact writes are separate small jobs whose tails leave most
+    * cores idle — submitted together, each job's tasks back-fill the
+    * executors the others free. Threads are created fresh PER CALL so
+    * Spark's InheritableThreadLocal job group/description (the bench
+    * watchdog's cancellation handle) is inherited from the caller.
+    * The first failure rethrows after all tasks settle — no write is
+    * left mid-flight when the caller unwinds into its artifact-lock
+    * cleanup. */
+  private def runConcurrently(tasks: Seq[() => Unit]): Unit =
+    if (tasks.sizeIs <= 1) tasks.foreach(_.apply())
+    else {
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = tasks.map { t =>
+        val th = new Thread(() => {
+          try t() catch {
+            case e: Throwable => failure.compareAndSet(null, e)
+          }
+        })
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+      threads.foreach(_.join())
+      Option(failure.get()).foreach(e => throw e)
+    }
 
   private def idBucketCol(buckets: Int): Column =
     (crc32(encode(col("id").cast("string"), "UTF-8")) % buckets).cast("int")
@@ -366,25 +400,31 @@ class Engine(val spark: SparkSession, val root: String,
       (crc32(encode(col("g"), "UTF-8")) % buckets).cast("int")
     val segs = graft.ext.Dedup.editDistanceSegments(bf, maxDist)
     val probes = graft.ext.Dedup.editDistanceProbes(bf, maxDist)
-    bucketClustered(segs.withColumn("__SEG_BUCKET__", bucketCol),
-        "__SEG_BUCKET__", buckets)
-      .write.mode(mode).partitionBy("__SEG_BUCKET__")
-      .parquet(s"$base/segs")
-    bucketClustered(probes.withColumn("__SEG_BUCKET__", bucketCol),
-        "__SEG_BUCKET__", buckets)
-      .write.mode(mode).partitionBy("__SEG_BUCKET__")
-      .parquet(s"$base/probes")
     // per-key counts: sync appends PARTIAL count rows (one set per
     // delta); readers re-aggregate — Σ over partials is exact, and the
     // counts frame stays orders of magnitude smaller than the frames
     val segObs = new org.apache.spark.sql.Observation()
     val probeObs = new org.apache.spark.sql.Observation()
-    graft.ext.Dedup.editDistanceKeyCounts(segs, "ns")
-      .observe(segObs, max(col("ns")).as("mx"))
-      .write.mode(mode).parquet(s"$base/segcounts")
-    graft.ext.Dedup.editDistanceKeyCounts(probes, "np")
-      .observe(probeObs, max(col("np")).as("mx"))
-      .write.mode(mode).parquet(s"$base/probecounts")
+    // the four writes land in four separate directories and share no
+    // ordering constraint — overlapped (guide §2.6), they back-fill
+    // each other's task tails instead of running one small job at a
+    // time (the r20 fixture profile: the lifecycle queries were
+    // job-count-bound, not data-bound)
+    runConcurrently(Seq(
+      () => bucketClustered(segs.withColumn("__SEG_BUCKET__", bucketCol),
+          "__SEG_BUCKET__", buckets)
+        .write.mode(mode).partitionBy("__SEG_BUCKET__")
+        .parquet(s"$base/segs"),
+      () => bucketClustered(probes.withColumn("__SEG_BUCKET__", bucketCol),
+          "__SEG_BUCKET__", buckets)
+        .write.mode(mode).partitionBy("__SEG_BUCKET__")
+        .parquet(s"$base/probes"),
+      () => graft.ext.Dedup.editDistanceKeyCounts(segs, "ns")
+        .observe(segObs, max(col("ns")).as("mx"))
+        .write.mode(mode).parquet(s"$base/segcounts"),
+      () => graft.ext.Dedup.editDistanceKeyCounts(probes, "np")
+        .observe(probeObs, max(col("np")).as("mx"))
+        .write.mode(mode).parquet(s"$base/probecounts")))
     def mx(o: org.apache.spark.sql.Observation): Long =
       Option(o.get("mx")).map(_.asInstanceOf[Double].toLong).getOrElse(0L)
     (mx(segObs), mx(probeObs))
@@ -521,8 +561,14 @@ class Engine(val spark: SparkSession, val root: String,
         .agg(max(col(alias))).head()
       if (r.isNullAt(0)) 0L else r.getDouble(0).toLong
     }
-    (mx(graft.ext.Dedup.editDistanceSegments(bf, maxDist), "ns"),
-      mx(graft.ext.Dedup.editDistanceProbes(bf, maxDist), "np"))
+    // two independent bounded aggs over the same checkpointed delta —
+    // overlapped (guide §2.6)
+    @volatile var ns = 0L
+    @volatile var np = 0L
+    runConcurrently(Seq(
+      () => ns = mx(graft.ext.Dedup.editDistanceSegments(bf, maxDist), "ns"),
+      () => np = mx(graft.ext.Dedup.editDistanceProbes(bf, maxDist), "np")))
+    (ns, np)
   }
 
   /** Crash recovery for the fuzzy index's swap artifacts — both bucket

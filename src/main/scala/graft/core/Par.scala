@@ -32,14 +32,25 @@ import org.apache.spark.sql.DataFrame
   * blocking-element sorts) gain 1.1-4.5x.
   */
 object Par {
+  /** Known limitation (documented, not probed): the partition gate reads
+    * the byte-range SPLIT count, so a single ROW GROUP larger than
+    * `maxPartitionBytes` reports >= target splits while every row still
+    * lands in one task (a row group is indivisible) — spread then no-ops
+    * in exactly the skew case it targets. Fixture files are kept under
+    * one split; production writers should size row groups ≤ the split
+    * size. Detecting it would need a footer read per file at query time.
+    */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
-
-  /** [[spread]] for typed Datasets (the media pipeline). */
-  def spreadDs[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
-    val target = ds.sparkSession.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    // plan-leaf probe (GraftShims.scanPartitions): reads the partition
+    // count off the SAME cached queryExecution the later action uses —
+    // `df.rdd` built a second deserializer QueryExecution per call
+    // (~0.1-0.3s fixed planning cost per spread site at fixture scale)
+    // and would eagerly execute upstream shuffle stages under AQE; the
+    // `.rdd` path survives only as the fallback for exotic
+    // (exchange-free, so double-execution-safe) leaf shapes
+    val parts = org.apache.spark.sql.GraftShims.scanPartitions(df)
+      .getOrElse(df.rdd.getNumPartitions)
+    if (parts < target) df.repartition(target) else df
   }
 }

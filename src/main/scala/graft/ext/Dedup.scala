@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.functions.vector_distance
 
+/** One Jaro-Winkler blocking element: frequency rank, the character, and
+  * its occurrence index within the record — (c, occ) turns set
+  * intersection into MULTISET overlap. Field ORDER is load-bearing
+  * (`jwGuard`'s worst-element printer reads positions 1 and 2).
+  *
+  * TOP-LEVEL (not nested in [[Dedup]]) on purpose: as an object-private
+  * nested class, Janino could not compile the generated serializer for
+  * the `Seq[JwElem]`-returning blocking UDF ("No applicable
+  * constructor/method found … JwElem.r()") and Spark silently fell back
+  * to INTERPRETED expression evaluation on every executor for the whole
+  * JW blocking family — the r20 Verify log wart. A public top-level case
+  * class codegen-compiles. */
+case class JwElem(r: Int, c: String, occ: Int)
+
 /** Deduplication operators for training-data pipelines (driver mandate).
   *
   * Scale design: every near-dup variant is
@@ -149,20 +163,42 @@ object Dedup {
     // NOT checkpointed — the result is occurrence-sized (unbounded at
     // corpus scale, so pinning it in executor storage is a hazard), and
     // with the kernel spread the recompute is cheap parallel work
-    duplicatedSpansFrom(tokenSpans(df, idCol, textCol, k), idCol, minOccurrences)
+    duplicatedSpansFrom(tokenSpans(df, idCol, textCol, k), idCol,
+      minOccurrences, corpus = Some(df))
+  }
+
+  /** Size-aware join hint for a duplicated-span hash set (r21, VERDICT
+    * #4): the dup set's post-agg estimate defeats auto-broadcast, so
+    * the r20 fix forced `shuffle_hash` unconditionally — but at any
+    * scale where the dup set DOES fit, a broadcast wins (the span
+    * occurrences are never shuffled at all). The gate reads the CORPUS
+    * input's scan estimate (file bytes — reliable, unlike the post-agg
+    * stats): the dup set is bounded by the corpus' span hashes, so an
+    * input under `graft.dedup.spanDupBroadcastBytes` (default 32 MB,
+    * settable per session; conservative because the bound is loose)
+    * proves it broadcastable. Anything larger — and any caller with no
+    * corpus frame to size — keeps the sort-free shuffle_hash: an
+    * unbounded dup set must never be collected to the driver. */
+  private def spanDupHint(dup: DataFrame, corpus: Option[DataFrame]): DataFrame = {
+    val broadcastable = corpus.exists { c =>
+      val thresh = c.sparkSession.conf
+        .get("graft.dedup.spanDupBroadcastBytes", (32L << 20).toString).toLong
+      c.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thresh)
+    }
+    if (broadcastable) broadcast(dup) else dup.hint("shuffle_hash")
   }
 
   /** Detection stage over an already-hashed (id, start, h, h2) span frame
     * — split out so tests can inject a synthetic seed-0 collision (equal
-    * `h`, different `h2`) and prove the pair key keeps the grams apart. */
+    * `h`, different `h2`) and prove the pair key keeps the grams apart.
+    * `corpus` (when the caller has the raw input frame) lets the dup-set
+    * join pick broadcast at provably-small scale — see [[spanDupHint]]. */
   private[graft] def duplicatedSpansFrom(spans: DataFrame, idCol: String,
-      minOccurrences: Int): DataFrame = {
+      minOccurrences: Int, corpus: Option[DataFrame] = None): DataFrame = {
     val dup = spans.groupBy("h", "h2")
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOccurrences)
-    // shuffle_hash: the duplicated-hash set's post-agg estimate defeats
-    // auto-broadcast; hash it rather than sort every span occurrence
-    spans.join(dup.hint("shuffle_hash"), Seq("h", "h2"))
+    spans.join(spanDupHint(dup, corpus), Seq("h", "h2"))
       .select(col("id").as(idCol), col("start"),
         col("h").as("gram_hash"), col("h2").as("gram_hash2"), col("n_occ"))
   }
@@ -194,11 +230,12 @@ object Dedup {
     require(k >= 1, s"stripDuplicatedSpans: k must be >= 1, got $k")
     val base = df.filter(col(textCol).isNotNull)
       .select(col(idCol).as("id"), spanTokens(textCol).as("__t__"))
-    // dup side hashed, not sorted, as in duplicatedSpans
+    // dup side hashed (or broadcast at provably-small input scale —
+    // [[spanDupHint]]), never sorted, as in duplicatedSpans
     val spans = tokenSpans(df, idCol, textCol, k)
     val dup = spans.groupBy("h", "h2").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2).select("h", "h2")
-    val occ = spans.join(dup.hint("shuffle_hash"), Seq("h", "h2"))
+    val occ = spans.join(spanDupHint(dup, Some(df)), Seq("h", "h2"))
     // non-canonical occurrences: everything but the (id, start)-smallest.
     // The canonical pick is a min(struct) AGGREGATION, not a row_number
     // window: all occurrences of one span hash to one partition either
@@ -696,12 +733,33 @@ object Dedup {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val prop = edges.join(labels, col("src") === col("id"))
+      // shuffle_hash on the label side: both frames are already placed
+      // on the join key, but sort-merge would re-SORT the edge set every
+      // round (checkpoints preserve partitioning, not ordering) — same
+      // rationale as [[Graph.pageRank]]'s iteration join; min(rep) is
+      // order-independent, so the strategy is result-safe
+      val prop = edges.join(labels.hint("shuffle_hash"),
+          col("src") === col("id"))
         .select(col("dst").as("id"), col("rep"))
-      val next = Graph.cut(labels.union(prop)
-        .groupBy("id").agg(min("rep").as("rep")), durableCheckpoint)
-      changed = next.join(labels.withColumnRenamed("rep", "prev"), Seq("id"))
-        .filter(col("rep") =!= col("prev")).count()
+      // ONE action per round (guide §2.6 — the r20 loop ran a second
+      // join+count job per round just to detect convergence): the old
+      // label rides the union tagged __old__, the groupBy emits the new
+      // min AND the previous rep, and an Observation counts the changed
+      // ids inside the same checkpoint materialization. Min-label
+      // propagation is monotone (labels only decrease), so
+      // rep < prev ⇔ the id changed this round.
+      val obs = new org.apache.spark.sql.Observation()
+      val round = labels.withColumn("__old__", lit(true))
+        .unionByName(prop.withColumn("__old__", lit(false)))
+        .groupBy("id").agg(min("rep").as("rep"),
+          min(when(col("__old__"), col("rep"))).as("__prev__"))
+        .observe(obs, sum(when(col("rep") < col("__prev__"), 1L)
+          .otherwise(0L)).as("changed"))
+        .select("id", "rep")
+      if (it == 0) Graph.dumpPlan(round, "dedup_groups_round")
+      val next = Graph.cut(round, durableCheckpoint)
+      changed = Option(obs.get("changed"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       Graph.release(labels) // superseded round — next is materialized
       labels = next
       it += 1
@@ -920,6 +978,47 @@ object Dedup {
     }
   }
 
+  /** Per-key segment AND probe counts of one side in a SINGLE
+    * aggregation: the two frames union with a 0/1 tag and one
+    * groupBy(l, i, g) emits both counts — one exchange where
+    * [[editDistanceKeyCounts]] twice cost two. A key absent from one
+    * frame carries an explicit 0 (never null). */
+  private def edPairCounts(segs: DataFrame, probes: DataFrame,
+      nsAlias: String, npAlias: String): DataFrame =
+    segs.select(col("l"), col("i"), col("g"), lit(1L).as("__s__"))
+      .unionAll(probes.select(col("l"), col("i"), col("g"),
+        lit(0L).as("__s__")))
+      .groupBy("l", "i", "g")
+      .agg(sum(col("__s__")).cast("double").as(nsAlias),
+        (count(lit(1)) - sum(col("__s__"))).cast("double").as(npAlias))
+
+  /** BOTH cross-table guard directions (left segs × right probes, right
+    * segs × left probes) in ONE action — the r20 gate ran four count
+    * aggregations and two join+sum jobs per call (guide §2.6: fold the
+    * per-round checks into one action). The left side's counts come
+    * from [[edPairCounts]] (one exchange instead of two); `rCounts`
+    * carries (l, i, g, rns, rnp) with nulls where a key is
+    * segment-only / probe-only. On refusal the matching per-direction
+    * [[edGuard]] re-runs so the refusal MESSAGE (worst keys included)
+    * is byte-identical to the old path — only the exceptional path
+    * pays the extra pass. */
+  private def edGuardBoth(lSegs: DataFrame, lProbes: DataFrame,
+      rCounts: DataFrame, rnsForMsg: => DataFrame, rnpForMsg: => DataFrame,
+      op: String, maxCandidates: Long): Unit = {
+    val lCounts = edPairCounts(lSegs, lProbes, "lns", "lnp")
+    val row = lCounts.join(rCounts, Seq("l", "i", "g"))
+      .agg(
+        sum(col("lns") * coalesce(col("rnp"), lit(0.0))).as("v1"),
+        sum(col("lnp") * coalesce(col("rns"), lit(0.0))).as("v2")).head()
+    def volOf(i: Int) = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+    if (volOf(0) > maxCandidates.toDouble)
+      edGuard(editDistanceKeyCounts(lSegs, "ns"), rnpForMsg,
+        op, maxCandidates)
+    if (volOf(1) > maxCandidates.toDouble)
+      edGuard(rnsForMsg, editDistanceKeyCounts(lProbes, "np"),
+        op, maxCandidates)
+  }
+
   def editDistancePairsBlocked(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int, maxCandidates: Long = 50000000L): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
@@ -994,6 +1093,19 @@ object Dedup {
       if (broadcastLeft) broadcast(df) else df
     val lSegs = hint(edSegs(lb, k).withColumnRenamed("id", "id_a"))
     val lProbes = hint(edProbes(lb, k).withColumnRenamed("id", "id_a"))
+    // right-side counts for the one-action combined guard: precomputed
+    // count frames join full-outer (a key may be segment-only or
+    // probe-only — either direction still needs it); when neither is
+    // precomputed (the ad-hoc gate shape), ONE union-tagged aggregation
+    // over the raw frames replaces the two separate count aggs
+    lazy val rCountsBoth: DataFrame =
+      if (rSegCounts.isEmpty && rProbeCounts.isEmpty)
+        edPairCounts(rSegs, rProbes, "rns", "rnp")
+      else rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns"))
+        .withColumnRenamed("ns", "rns")
+        .join(rProbeCounts.getOrElse(editDistanceKeyCounts(rProbes, "np"))
+            .withColumnRenamed("np", "rnp"),
+          Seq("l", "i", "g"), "full_outer")
     val rawPairs = lSegs.join(rProbes, Seq("l", "i", "g"))
       .select("id_a", "id_b")
       .union(lProbes.join(rSegs, Seq("l", "i", "g")).select("id_a", "id_b"))
@@ -1033,11 +1145,9 @@ object Dedup {
       val provenNearCap = provenVolumeBound.exists(
         _ <= maxCandidates.toDouble * EdObservedGuardSlack)
       if (!provenNearCap) {
-        edGuard(editDistanceKeyCounts(lSegs, "ns"),
+        edGuardBoth(lSegs, lProbes, rCountsBoth,
+          rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
           rProbeCounts.getOrElse(editDistanceKeyCounts(rProbes, "np")),
-          "editDistanceJoin", maxCandidates)
-        edGuard(rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
-          editDistanceKeyCounts(lProbes, "np"),
           "editDistanceJoin", maxCandidates)
       }
       val obs = new org.apache.spark.sql.Observation()
@@ -1057,12 +1167,10 @@ object Dedup {
     } else {
       // symmetric/dedup shape: precomputed right-side counts (the gate
       // checkpoints them once) make the per-call guard cost scale with
-      // the LEFT side only
-      edGuard(editDistanceKeyCounts(lSegs, "ns"),
+      // the LEFT side only; both directions check in ONE action
+      edGuardBoth(lSegs, lProbes, rCountsBoth,
+        rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
         rProbeCounts.getOrElse(editDistanceKeyCounts(rProbes, "np")),
-        "editDistanceJoin", maxCandidates)
-      edGuard(rSegCounts.getOrElse(editDistanceKeyCounts(rSegs, "ns")),
-        editDistanceKeyCounts(lProbes, "np"),
         "editDistanceJoin", maxCandidates)
       rawPairs.distinct()
     }
@@ -1149,12 +1257,6 @@ object Dedup {
       .sortBy { case (c, f) => (f, c) }.zipWithIndex
       .map { case ((c, _), i) => c -> i }.toMap
   }
-
-  /** One blocking element: frequency rank, the character, and its
-    * occurrence index within the record — (c, occ) turns set
-    * intersection into MULTISET overlap. Field ORDER is load-bearing
-    * ([[jwGuard]]'s worst-element printer reads positions 1 and 2). */
-  private case class JwElem(r: Int, c: String, occ: Int)
 
   /** One side's (id, len, element) blocking frame: the first
     * len − o + 1 elements of the rank-sorted (rank, char, occurrence#)

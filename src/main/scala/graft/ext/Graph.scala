@@ -59,13 +59,21 @@ object Graph {
     * per-iteration contribution join, the wedge/closing joins) are
     * written there as formatted-explain files instead. Inert (one env
     * probe) otherwise. */
-  private def dumpPlan(df: DataFrame, name: String): Unit =
+  private val dumpedPlans =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private[ext] def dumpPlan(df: DataFrame, name: String): Unit =
     sys.env.get("GRAFT_PLAN_DIR").foreach { dir =>
-      val p = java.nio.file.Paths.get(dir)
-      java.nio.file.Files.createDirectories(p)
-      java.nio.file.Files.write(p.resolve(s"$name.txt"),
-        df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      // once per plan name per JVM: a soak loop with the env set would
+      // otherwise rewrite the file and pay the explain cost on EVERY
+      // invocation (triangles had no iteration gate of its own)
+      if (dumpedPlans.add(name)) {
+        val p = java.nio.file.Paths.get(dir)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(p.resolve(s"$name.txt"),
+          df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode).getBytes("UTF-8"))
+      }
     }
 
   /** Out-degrees over the DISTINCT edge set. */
@@ -374,18 +382,31 @@ object Graph {
           least(col("u"), col("v")).as("v"))
         .distinct()
       if (it == 0) dumpPlan(small, "graph_components_round")
-      val next = cut(small, durableCheckpoint)
-      val nextCount = next.count()
+      // the round's edge count rides the checkpoint materialization as
+      // an Observation — the r20 loop paid a second full count() job
+      // per round for it (guide §2.6: fewer driver round-trips)
+      val obs = new org.apache.spark.sql.Observation()
+      val next = cut(small.observe(obs, count(lit(1)).as("n")),
+        durableCheckpoint)
+      val nextCount = Option(obs.get("n"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       // set equality = equal counts + empty one-sided anti join; a
       // stable set is additionally verified to BE min-rooted stars
       // (children and roots disjoint, one root per child) before the
       // labels are trusted — belt-and-braces against a non-star
-      // fixpoint of the composed round ever existing
-      val stable = nextCount == eCount &&
-        next.join(e, Seq("u", "v"), "left_anti").isEmpty
-      converged = stable &&
-        next.select("u").intersect(next.select("v")).isEmpty &&
-        next.groupBy("u").count().where(col("count") > 1).isEmpty
+      // fixpoint of the composed round ever existing. The three probes
+      // union into ONE violation frame checked with a single head-1
+      // action (was 3 separate jobs), and only run at all once the
+      // count says the set MIGHT be stable — the common non-final
+      // round pays nothing.
+      converged = nextCount == eCount &&
+        next.join(e, Seq("u", "v"), "left_anti")
+          .select(lit(1).as("viol"))
+          .unionAll(next.select("u").intersect(next.select("v"))
+            .select(lit(1).as("viol")))
+          .unionAll(next.groupBy("u").agg(count(lit(1)).as("c"))
+            .where(col("c") > 1).select(lit(1).as("viol")))
+          .isEmpty
       release(e) // superseded round's edge set — next is materialized
       e = next
       eCount = nextCount

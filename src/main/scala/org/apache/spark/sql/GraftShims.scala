@@ -62,6 +62,50 @@ object GraftShims {
     Configurator.setLevel("org.apache.spark.storage.BlockManager", Level.ERROR)
   }
 
+  /** Partition count `df` will execute with, WITHOUT `Dataset.rdd`.
+    *
+    * `df.rdd` builds a whole second QueryExecution (a deserializer plan
+    * over the analyzed plan) per call — measured as a fixed 0.1-0.3s of
+    * the `Par.spread` probe at fixture scale — and, worse, under AQE
+    * `.rdd` on a plan containing exchanges EAGERLY EXECUTES the upstream
+    * shuffle stages, which are not reused by the later real action
+    * (silent double execution; the r20 ADVICE hazard). This probe reads
+    * the SAME `queryExecution` the later action will reuse, so its lazy
+    * plan work is never paid twice:
+    *
+    *  - a plan AQE wrapped (= it contains exchanges/subqueries), or any
+    *    plan with a shuffle exchange, reports `Some(Int.MaxValue)`:
+    *    post-shuffle partitioning is session-scaled already, so a
+    *    parallelism floor is a provable no-op — and this is exactly the
+    *    case where probing via `.rdd` would double-execute;
+    *  - exchange-free plans report the max partition count over their
+    *    scan leaves (file splits / checkpointed RDD partitions / local
+    *    relation slices) — the count the executed RDD will have, since
+    *    narrow operators preserve partitioning;
+    *  - an unrecognized leaf reports None (caller decides; such a plan
+    *    is exchange-free here, so a `.rdd` fallback cannot
+    *    double-execute anything). */
+  def scanPartitions(df: Dataset[_]): Option[Int] =
+    df.queryExecution.executedPlan match {
+      case _: execution.adaptive.AdaptiveSparkPlanExec => Some(Int.MaxValue)
+      case p if p.collect {
+          case s: execution.exchange.ShuffleExchangeLike => s }.nonEmpty =>
+        Some(Int.MaxValue)
+      case p =>
+        val leaves = p.collectLeaves().map {
+          case f: execution.FileSourceScanExec =>
+            Some(f.inputRDD.getNumPartitions)
+          case r: execution.RDDScanExec => Some(r.rdd.getNumPartitions)
+          case l: execution.LocalTableScanExec =>
+            // mirrors LocalTableScanExec's private numParallelism
+            Some(math.min(math.max(l.rows.length, 1),
+              df.sparkSession.sparkContext.defaultParallelism))
+          case _ => None
+        }
+        if (leaves.isEmpty || leaves.contains(None)) None
+        else Some(leaves.flatten.max)
+    }
+
   /** Serialize a DataFrame to an Arrow IPC **stream** on `out` using
     * Spark's own Arrow writers (`execution.arrow.ArrowWriter` — the
     * exact serialization `toArrow`/pandas-interchange uses, so types and

@@ -99,6 +99,37 @@ class SpanDedupSpec extends SparkSuite {
     assert(out(500L) == 5L, "non-duplicated doc untouched")
   }
 
+  test("dup-set join: broadcast at small input scale, shuffle-hash above") {
+    // size-aware hint (r21): a corpus whose scan estimate is under
+    // graft.dedup.spanDupBroadcastBytes broadcasts the dup set (the
+    // annotate join never shuffles the span occurrences); a forced-zero
+    // threshold models the 100 TB regime — the dup set must then ride
+    // the sort-free shuffle_hash join, never a driver collect.
+    def planOf(k: String): String = {
+      val df = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    }
+    val small = planOf("small")
+    assert(small.contains("BroadcastHashJoin"),
+      s"small corpus must broadcast the dup set:\n$small")
+    spark.conf.set("graft.dedup.spanDupBroadcastBytes", "0")
+    try {
+      val big = planOf("big")
+      assert(big.contains("ShuffledHashJoin") &&
+        !big.contains("BroadcastHashJoin"),
+        s"over-threshold corpus must hash-join the dup set:\n$big")
+      // strategy changes the plan, never the rows
+      val rows = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+        .select("doc_id", "start", "n_occ").as[(Long, Long, Long)]
+        .collect().toSet
+      assert(rows == Set(
+        (1L, 0L, 2L), (1L, 1L, 2L), (1L, 2L, 2L),
+        (2L, 2L, 2L), (2L, 3L, 2L), (2L, 4L, 2L),
+        (3L, 0L, 2L), (3L, 5L, 2L)), s"got $rows")
+    } finally spark.conf.unset("graft.dedup.spanDupBroadcastBytes")
+  }
+
   test("seed-0 hash collision: pair key keeps distinct grams apart") {
     // Two DIFFERENT grams engineered to collide on h (the old single-hash
     // identity) but differ on h2: under the pre-round-8 code these four
